@@ -1,13 +1,195 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Each `queries` entry has a matching DuckDB oracle in `oracleSql`
+  * computing the same result with the same column names; doubles are
+  * rounded identically on both sides so hash-compare is stable.
+  */
 object SparkEntry {
+
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s: SparkSession, dir: String) => f(Tables(s, dir))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1PricingSummary(Tables(spark, "/root/testdata/sf0.001"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary"  -> q(Relational.q1PricingSummary),
+    "q3_shipping_priority"-> q(Relational.q3ShippingPriority),
+    "q5_local_supplier"   -> q(Relational.q5LocalSupplier),
+    "q6_revenue_delta"    -> q(Relational.q6RevenueDelta),
+    "q10_returned_items"  -> q(Relational.q10ReturnedItems),
+    "q_group_multi"       -> q(Relational.qGroupMulti),
+    "q_window_rank"       -> q(Relational.qWindowRank),
+    "q_window_running"    -> q(Relational.qWindowRunning),
+    "q_topk"              -> q(Relational.qTopK),
+    "q_distinct"          -> q(Relational.qDistinct),
+    "q_semi_join"         -> q(Relational.qSemiJoin),
+    "q_anti_join"         -> q(Relational.qAntiJoin),
+    "q_outer_join"        -> q(Relational.qOuterJoin),
+    "q_union"             -> q(Relational.qUnion),
+    "q_rollup"            -> q(Relational.qRollup),
+    "q_pivot"             -> q(Relational.qPivot),
+    "q_case_agg"          -> q(Relational.qCaseAgg),
+    "q_having"            -> q(Relational.qHaving),
+    "q_scalar_subquery"   -> q(Relational.qScalarSubquery),
+    "q_percentile"        -> q(Relational.qPercentile),
+    "q_asof_join"         -> q(Relational.qAsofJoin),
+    "q_sessionize"        -> q(Relational.qSessionize),
+    "q_json_extract"      -> q(Relational.qJsonExtract),
+    "q_time_bucket"       -> q(Relational.qTimeBucket),
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names + rounding). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        | JOIN lineitem ON l_orderkey=o_orderkey
+        |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY 1,2,3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        | JOIN lineitem ON l_orderkey=o_orderkey
+        | JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        | JOIN nation ON s_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        |WHERE r_name='ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q6_revenue_delta" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM customer JOIN orders ON c_custkey=o_custkey
+        | JOIN lineitem ON l_orderkey=o_orderkey
+        | JOIN nation ON c_nationkey=n_nationkey
+        |WHERE l_returnflag='R' AND o_orderdate >= TIMESTAMP '1996-07-01'
+        | AND o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY 1,2,3,4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_group_multi" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | round(sum(o_totalprice),2) AS sum_price,
+        | round(avg(o_totalprice),4) AS avg_price,
+        | round(min(o_totalprice),2) AS min_price,
+        | round(max(o_totalprice),2) AS max_price,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM orders GROUP BY 1,2""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_sum,
+        | round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),4) AS mov_avg
+        |FROM orders""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey=c.c_custkey AND o.o_totalprice > 450000)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey=c.c_custkey AND o.o_orderdate >= TIMESTAMP '2001-01-01')""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice),0),2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey=o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q_union" ->
+      """WITH u AS (
+        | SELECT 'orders' AS src, o_totalprice AS v FROM orders WHERE o_totalprice > 400000
+        | UNION ALL
+        | SELECT 'lineitem' AS src, l_extendedprice AS v FROM lineitem WHERE l_extendedprice > 40000)
+        |SELECT src, count(*) AS n, round(sum(v),2) AS total FROM u GROUP BY src""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END),2) AS f_total,
+        | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END),2) AS o_total,
+        | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END),2) AS p_total
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_case_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty,
+        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice*(1-l_discount) ELSE 0 END),2) AS discounted_rev
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_having" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice)*1.02 FROM part)""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5),4) AS med_qty,
+        | round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_asof_join" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1,2),
+        | e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts, o.last_orderkey, o.o_orderdate AS last_orderdate
+        |FROM e ASOF LEFT JOIN o1 o
+        | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        | s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        | t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value),2) AS sum_value
+        |FROM t GROUP BY 1,2""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | round(avg(CAST(json_extract_string(props,'$.k') AS INTEGER)),4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_time_bucket" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+  )
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Loads the driver-generated parquet tables from a scale-factor dir.
+  *
+  * All tables come back exactly as stored except `events`, whose `ts`
+  * column is parquet TIMESTAMP(NANOS) — Spark can't map that natively,
+  * so it's read as a nanosecond epoch long
+  * (`spark.sql.legacy.parquet.nanosAsLong`) and normalized here to a
+  * microsecond TIMESTAMP_NTZ via truncating division, which is exactly
+  * how DuckDB reads the same column after CAST(ts AS TIMESTAMP) — so
+  * both engines see identical values.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+
+  def raw(name: String): DataFrame = {
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def region: DataFrame = raw("region")
+  def nation: DataFrame = raw("nation")
+  def customer: DataFrame = raw("customer")
+  def supplier: DataFrame = raw("supplier")
+  def part: DataFrame = raw("part")
+  def orders: DataFrame = raw("orders")
+  def lineitem: DataFrame = raw("lineitem")
+  def documents: DataFrame = raw("documents")
+  def embeddings: DataFrame = raw("embeddings")
+
+  /** events with `ts` as microsecond TIMESTAMP_NTZ (see class doc). */
+  def events: DataFrame = {
+    val df = raw("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer division: ns epoch exceeds double precision (2^53)
+        df.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ => df // already a timestamp type
+    }
+  }
+}
