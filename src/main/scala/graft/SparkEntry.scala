@@ -45,7 +45,33 @@ object SparkEntry {
     "q_sessionize"        -> q(Relational.qSessionize),
     "q_json_extract"      -> q(Relational.qJsonExtract),
     "q_time_bucket"       -> q(Relational.qTimeBucket),
+    // §2.5 text analysis
+    "text_lang_id"        -> q(TextAnalysis.textLangId),
+    "text_quality"        -> q(TextAnalysis.textQuality),
+    "text_tokens"         -> q(TextAnalysis.textTokens),
+    "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
+    "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
+    // §2.3 deduplication
+    "dedup_exact"         -> q(Dedup.dedupExact),
+    "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
+    "dedup_minhash_lsh"   -> q(Dedup.dedupMinhashLsh),
+    "dedup_simhash"       -> q(Dedup.dedupSimhash),
+    "dedup_embedding"     -> q(Dedup.dedupEmbedding),
+    // §2.4 similarity search ("ann_lsh_topk" is rows-only: no oracle)
+    "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
+    "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
   )
+
+  /** DuckDB fragment: normalized word tokens of `text` (kept in exact
+    * sync with [[graft.operators.TextAnalysis.tokens]]). */
+  private val sqlToks =
+    "list_filter(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' '), x -> len(x)>0)"
+
+  /** DuckDB CTE body: distinct word-3-gram shingles per doc. */
+  private val sqlShingles =
+    s"""t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS shingle
+       |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) g WHERE i <= len(toks)-2)""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same column names + rounding). */
   def oracleSql: Map[String, String] = Map(
@@ -191,5 +217,89 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
+    "text_lang_id" ->
+      s"""WITH lex(slang, word) AS (VALUES
+        | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),
+        | ('de','der'),('de','die'),('de','das'),('de','und'),('de','ein'),
+        | ('es','el'),('es','la'),('es','los'),('es','de'),('es','y'),
+        | ('fr','le'),('fr','les'),('fr','et'),('fr','un'),('fr','dans')),
+        |tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        |sc AS (SELECT doc_id, slang, count(*) AS n FROM tk JOIN lex ON tok=word GROUP BY 1,2),
+        |best AS (SELECT doc_id, slang, n FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, slang) AS rn FROM sc)
+        |  WHERE rn=1)
+        |SELECT d.doc_id, coalesce(b.slang,'und') AS lang_pred, coalesce(b.n, 0) AS n_hits
+        |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(length(text),0) AS pr,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+        |    / nullif(len(toks),0) AS sr
+        | FROM t)
+        |SELECT doc_id, n_tokens, round(pr+1e-9,4) AS punct_ratio, round(sr+1e-9,4) AS stop_ratio,
+        | round(0.4*coalesce(sr,0)+0.3*(1-coalesce(pr,0))+0.3*least(n_tokens/100.0,1.0)+1e-9,4) AS quality_score
+        |FROM m""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x)>0))::BIGINT AS ws_tokens,
+        | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens,
+        | length(text)::BIGINT AS char_len
+        |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents),
+        |tk AS (SELECT doc_id, min(md5(tok)) AS min_tok_hash FROM
+        |  (SELECT doc_id, unnest(list_distinct(list_filter(string_split(norm,' '), x->len(x)>0))) AS tok FROM t)
+        |  GROUP BY 1)
+        |SELECT t.doc_id, md5(t.norm) AS fp, tk.min_tok_hash
+        |FROM t LEFT JOIN tk USING (doc_id)""".stripMargin,
+    "text_ngram_freq" ->
+      s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
+        |bg AS (SELECT array_to_string(toks[i:i+1],' ') AS bigram
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) g WHERE i <= len(toks)-1)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH $sqlShingles,
+        |n AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY 1),
+        |c AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2, count(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id<b.doc_id GROUP BY 1,2)
+        |SELECT doc_id_1, doc_id_2, round(common*1.0/(na.ns+nb.ns-common),4) AS jaccard
+        |FROM c JOIN n na ON na.doc_id=c.doc_id_1 JOIN n nb ON nb.doc_id=c.doc_id_2
+        |WHERE common*1.0/(na.ns+nb.ns-common) >= 0.8""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $sqlShingles,
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+        |  FROM mh GROUP BY 1,2)
+        |SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $sqlShingles,
+        |shc AS (SELECT doc_id, shingle, count(*) AS cnt FROM sh GROUP BY 1,2),
+        |bits AS (SELECT doc_id, b.i AS bit_pos,
+        |  sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(shingle), 1 + b.i//4, 1)) - 1)
+        |            >> (3 - (b.i % 4))) & 1 = 1 THEN cnt ELSE -cnt END) AS s
+        | FROM shc, (SELECT unnest(generate_series(0,31)) AS i) b GROUP BY 1,2),
+        |hs AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << (31-bit_pos) ELSE 0 END)::BIGINT AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+        | CAST(bit_count(xor(a.simhash,b.simhash)) AS INTEGER) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash,b.simhash)) <= 3""".stripMargin,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+    "ann_bruteforce_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
+        |s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qe, e),4) AS cos_sim FROM q, c),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
   )
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSimilarity
+
+/** Similarity-search operators over the `embeddings` table
+  * (SURVEY.md §2.4): exact brute-force cosine top-k as the baseline,
+  * and a random-hyperplane LSH bucketed variant as the 100 TB path.
+  */
+object Similarity {
+
+  /** Number of query vectors (lowest vec_ids) and neighbors per query. */
+  val NumQueries = 10
+  val TopK = 5
+
+  private def withEmb(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** S1 — exact cosine top-k per query vector.
+    *
+    * The (small) query set is broadcast against the corpus, so the scan
+    * is map-only and embarrassingly parallel at any corpus size; the
+    * per-query top-k is a rank over a (query-keyed) window on the
+    * candidate scores. Ranking uses the ROUNDED score plus vec_id so
+    * the ordering is bit-for-bit reproducible across engines.
+    */
+  def annBruteForceTopK(t: Tables): DataFrame = {
+    val e = withEmb(t)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    val scored = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
+  /** Deterministic ±1 random-hyperplane weights: sign p,d is the parity
+    * of the first md5 nibble of "p:d" (reproducible everywhere).
+    */
+  def hyperplane(p: Int, dims: Int): Seq[Double] = {
+    val md = MessageDigest.getInstance("MD5")
+    (0 until dims).map { d =>
+      val h = md.digest(s"$p:$d".getBytes(StandardCharsets.UTF_8))
+      md.reset()
+      if (((h(0) >> 4) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** S2 — LSH-bucketed approximate top-k (the scale path).
+    *
+    * Each vector gets an `nBits`-bit signature (sign of the dot product
+    * against `nBits` fixed ±1 hyperplanes), computed as column
+    * expressions over the array — map-only. Candidates are corpus
+    * vectors sharing the query's bucket, so the join is keyed by bucket
+    * id and never scans the full corpus per query; recall/cost is tuned
+    * by `nBits` (fewer bits → bigger buckets → higher recall).
+    */
+  def annLshTopK(t: Tables, nBits: Int = 8, dims: Int = 64): DataFrame = {
+    val e = withEmb(t)
+    def signature(emb: Column): Column =
+      (0 until nBits).map { p =>
+        val w = typedlit(hyperplane(p, dims))
+        val dot = aggregate(zip_with(emb, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+
+    val bucketed = e.withColumn("bucket", signature(col("emb")))
+    val queries = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("bucket"))
+    val corpus = bucketed.filter(col("vec_id") >= NumQueries)
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operator suite over the `documents` corpus
+  * (SURVEY.md §2.5) — the LLM-training-data quality toolchain.
+  *
+  * Every operator is pure column-expression composition (no UDFs), so
+  * the whole pipeline stays inside whole-stage codegen and scales as a
+  * single scan + one aggregation shuffle where needed. All hashing is
+  * `md5` hex so results are reproducible cross-engine (the DuckDB
+  * oracles recompute identical values).
+  */
+object TextAnalysis {
+
+  /** Lowercase, collapse non-alphanumeric runs to single spaces, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
+  /** Normalized word tokens (no empties, even for blank input). */
+  def tokens(c: Column): Column =
+    filter(split(normText(c), " "), t => length(t) > 0)
+
+  /** Tiny per-language stopword lexicon used by language-ID.
+    * Deterministic heuristic — the point is the distributed argmax
+    * shape, not linguistic accuracy. Kept in exact sync with the
+    * DuckDB oracle's VALUES list.
+    */
+  val stopwordLexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
+    "en" -> "to", "en" -> "in", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ein",
+    "es" -> "el", "es" -> "la", "es" -> "los", "es" -> "de", "es" -> "y",
+    "fr" -> "le", "fr" -> "les", "fr" -> "et", "fr" -> "un", "fr" -> "dans")
+
+  /** English stopwords reused by the quality score (ratio feature). */
+  val enStopwords: Seq[String] =
+    stopwordLexicon.collect { case ("en", w) => w }
+
+  /** T1 — language ID: explode tokens, broadcast-join the lexicon,
+    * argmax hit-count per doc with a deterministic (count desc, lang
+    * asc) tiebreak; docs with zero hits come back as "und".
+    * One narrow shuffle on doc_id; the lexicon is broadcast.
+    */
+  def textLangId(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val lex = stopwordLexicon.toDF("slang", "word")
+    val docs = t.documents
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(lex), col("tok") === col("word"))
+      .groupBy(col("doc_id"), col("slang"))
+      .agg(count(lit(1)).as("n"))
+    val best = hits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(desc("n"), asc("slang"))))
+      .filter(col("rn") === 1)
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("slang"), lit("und")).as("lang_pred"),
+        coalesce(col("n"), lit(0L)).as("n_hits"))
+  }
+
+  /** T2 — quality scoring: token count, punctuation ratio, stopword
+    * ratio, and a composite quality score. Map-only (no shuffle):
+    * every feature is a column expression over one scan.
+    */
+  def textQuality(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    val nToks = size(toks).cast("long")
+    val nChars = length(col("text")).cast("double")
+    val punctCnt = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+    val stopCnt = size(filter(toks, tk => tk.isin(enStopwords: _*)))
+    val punctRatio = punctCnt / nullif(nChars, lit(0.0))
+    val stopRatio = stopCnt.cast("double") / nullif(nToks.cast("double"), lit(0.0))
+    // +1e-9 before rounding: ratios of small ints land exactly on
+    // x.xxxx5 half-way points, where a 1-ulp cross-engine difference
+    // flips the 4th decimal; the epsilon breaks the tie identically in
+    // Spark and the DuckDB oracle.
+    val eps = lit(1e-9)
+    t.documents.select(
+      col("doc_id"),
+      nToks.as("n_tokens"),
+      round(punctRatio + eps, 4).as("punct_ratio"),
+      round(stopRatio + eps, 4).as("stop_ratio"),
+      round(
+        lit(0.4) * coalesce(stopRatio, lit(0.0)) +
+        lit(0.3) * (lit(1.0) - coalesce(punctRatio, lit(0.0))) +
+        lit(0.3) * least(nToks.cast("double") / 100.0, lit(1.0)) + eps, 4)
+        .as("quality_score"))
+  }
+
+  /** T3 — token counting: whitespace tokens vs a BPE-ish regex
+    * tokenizer (letter runs | digit runs | single symbol). Map-only.
+    */
+  def textTokens(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), tk => length(tk) > 0))
+        .cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("re_tokens"),
+      length(col("text")).cast("long").as("char_len"))
+
+  /** T4 — document fingerprinting: md5 of the normalized text plus the
+    * minimum per-token md5 (a 1-hash MinHash). Map-only; both digests
+    * are portable to any engine with md5.
+    */
+  def textFingerprint(t: Tables): DataFrame =
+    t.documents.select(
+      col("doc_id"),
+      md5(normText(col("text"))).as("fp"),
+      array_min(transform(array_distinct(tokens(col("text"))), tk => md5(tk)))
+        .as("min_tok_hash"))
+
+  /** T5 — corpus-level top-20 bigram frequencies with a deterministic
+    * (count desc, bigram asc) tiebreak. One aggregation shuffle on the
+    * bigram key; the top-k is a TakeOrderedAndProject, no global sort.
+    */
+  def textNgramFreq(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    t.documents
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("bigram"))
+      .limit(20)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for operator specs (sf0.001 data). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestSession.get
+  val sfDir = "/root/testdata/sf0.001"
+  def tables: Tables = Tables(spark, sfDir)
+}
+
+object SparkTestSession {
+  // one session across all suites — Spark startup dominates test time
+  lazy val get: SparkSession = {
+    val s = GraftSession.builder("graft-test")
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+/** Smoke-level invariants for every SparkEntry query at sf0.001: runs,
+  * non-degenerate schema, and (for most) non-empty output. Deep value
+  * correctness is the driver's DuckDB gate; these specs catch
+  * regressions fast and locally.
+  */
+class OperatorSuiteSpec extends SparkSpec {
+
+  // queries that may legitimately return zero rows at tiny SF
+  private val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "dedup_embedding", "q_union", "q_having", "q_semi_join",
+    "q_scalar_subquery")
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, sfDir)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+}

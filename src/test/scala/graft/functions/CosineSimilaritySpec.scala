@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions.cosineSimilarity
+
+class CosineSimilaritySpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def cosOf(a: Seq[Double], b: Seq[Double]): Option[Double] = {
+    val df = spark.createDataFrame(Seq((a, b))).toDF("a", "b")
+    val r = df.select(cosineSimilarity(col("a"), col("b")).as("c")).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("orthogonal vectors → 0") {
+    assert(math.abs(cosOf(Seq(1.0, 0.0), Seq(0.0, 1.0)).get) < 1e-12)
+  }
+
+  test("identical vectors → 1") {
+    assert(math.abs(cosOf(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0)).get - 1.0) < 1e-12)
+  }
+
+  test("opposite vectors → -1") {
+    assert(math.abs(cosOf(Seq(1.0, 2.0), Seq(-1.0, -2.0)).get + 1.0) < 1e-12)
+  }
+
+  test("zero vector → null") {
+    assert(cosOf(Seq(0.0, 0.0), Seq(1.0, 2.0)).isEmpty)
+  }
+
+  test("length mismatch → null") {
+    assert(cosOf(Seq(1.0), Seq(1.0, 2.0)).isEmpty)
+  }
+
+  test("matches a reference computation on real embeddings") {
+    val t = tables
+    val rows = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit(2).collect()
+    val v0 = rows(0).getSeq[Double](1)
+    val v1 = rows(1).getSeq[Double](1)
+    val expected = {
+      val dot = v0.zip(v1).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(v0.map(x => x * x).sum) * math.sqrt(v1.map(x => x * x).sum))
+    }
+    assert(math.abs(cosOf(v0, v1).get - expected) < 1e-12)
+  }
+
+  test("interpreted (no-codegen) path agrees with codegen path") {
+    val t = tables
+    val df = t.embeddings.select(col("embedding").cast("array<double>").as("e")).limit(20)
+    val withCos = df.crossJoin(df.select(col("e").as("e2")))
+      .select(cosineSimilarity(col("e"), col("e2")).as("c"))
+    val codegen = withCos.collect().map(r => r.getDouble(0)).sorted
+    withSQLConf("spark.sql.codegen.wholeStage" -> "false",
+                "spark.sql.codegen.factoryMode" -> "NO_CODEGEN") {
+      val interp = withCos.collect().map(r => r.getDouble(0)).sorted
+      assert(codegen.sameElements(interp))
+    }
+  }
+
+  private def withSQLConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val conf = spark.conf
+    val olds = pairs.map { case (k, _) => k -> conf.getOption(k) }
+    pairs.foreach { case (k, v) => conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+}
+
+/** LSH recall vs the exact brute-force baseline. */
+class AnnLshRecallSpec extends SparkSpec {
+  import graft.operators.Similarity
+
+  test("lsh top-k recall over brute force is reasonable at 4 bits") {
+    val t = tables
+    val exact = Similarity.annBruteForceTopK(t)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 4 bits → 16 buckets: sized so buckets are non-trivial on the
+    // ~500-vector sf0.001 corpus (production tunes bits to corpus size)
+    val approx = Similarity.annLshTopK(t, nBits = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty, "lsh returned no candidates")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // random-hyperplane buckets preserve cosine locality: expect a
+    // meaningful fraction of the exact top-k, not a guarantee
+    assert(recall > 0.1, s"recall $recall unexpectedly low")
+  }
+}
