@@ -60,6 +60,8 @@ object SparkEntry {
     // §2.4 similarity search ("ann_lsh_topk" is rows-only: no oracle)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
+    // §2.1 pipeline core over real data
+    "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -295,6 +297,9 @@ object SparkEntry {
         | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+    "pipeline_ingest" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
