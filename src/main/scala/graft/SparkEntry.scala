@@ -62,6 +62,12 @@ object SparkEntry {
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
+    // §2.7 structured streaming
+    "stream_window_agg"   -> q(graft.streaming.Streaming.streamWindowAgg),
+    "stream_dedup"        -> q(graft.streaming.Streaming.streamDedup),
+    // §2.6 multimodal columns (decode stubbed, plumbing real)
+    "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
+    "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -300,6 +306,33 @@ object SparkEntry {
     "pipeline_ingest" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "stream_window_agg" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+        | count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1,2""".stripMargin,
+    "stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin,
+    "mm_decode_meta" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
+        |b AS (SELECT doc_id, bl,
+        |  16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS b0,
+        |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
+        |  16*(strpos('0123456789abcdef',substr(h,5,1))-1)+(strpos('0123456789abcdef',substr(h,6,1))-1) AS b2,
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3
+        | FROM m)
+        |SELECT doc_id, bl::BIGINT AS byte_len, (16+b0)::INTEGER AS width, (16+b1)::INTEGER AS height,
+        | (1 + b2 % 120)::INTEGER AS n_frames,
+        | CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
+        |FROM b""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+        |f AS (SELECT doc_id, text,
+        |  1 + (16*(strpos('0123456789abcdef',substr(h,5,1))-1)+(strpos('0123456789abcdef',substr(h,6,1))-1)) % 120 AS n_frames
+        | FROM m)
+        |SELECT doc_id, i::INTEGER AS frame_idx, md5(text || ':' || i) AS frame_hash
+        |FROM f, (SELECT unnest(generate_series(0,200)) AS i) g
+        |WHERE i < n_frames AND i % 5 = 0""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),

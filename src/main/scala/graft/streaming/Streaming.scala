@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+
+import graft.Tables
+
+/** Structured-Streaming operators (SURVEY.md §2.7).
+  *
+  * Each [Q] operator reads the events table as a file stream
+  * (availableNow trigger — a bounded drain of the source, which is how
+  * a backfill runs on a real cluster), applies the streaming transform,
+  * sinks to an in-memory table, and returns that table's DataFrame so
+  * the driver can compare it against a batch DuckDB oracle. Stream and
+  * batch share Catalyst plans, so the streaming results are exactly the
+  * batch semantics — that equivalence is what the oracle checks.
+  */
+object Streaming {
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** FileStreamSource needs a directory: stage the single parquet file
+    * behind a symlink in a per-sf temp dir (idempotent). */
+  private def stageDir(sfDir: String, table: String): String = {
+    val safe = sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$safe", table)
+    if (!Files.exists(dir.resolve(s"$table.parquet"))) {
+      Files.createDirectories(dir)
+      Files.createSymbolicLink(dir.resolve(s"$table.parquet"),
+        Paths.get(s"$sfDir/$table.parquet"))
+    }
+    dir.toString
+  }
+
+  /** events as a stream with `ts` normalized to TIMESTAMP_NTZ exactly
+    * as [[Tables.events]] does for batch. */
+  private def eventsStream(t: Tables): DataFrame = {
+    val schema = t.raw("events").schema
+    val src = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "events"))
+    schema("ts").dataType match {
+      case LongType =>
+        src.withColumn("ts",
+          timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ => src
+    }
+  }
+
+  /** Drain `df` through a streaming query into a memory sink and
+    * return the sink table. */
+  private def drainToTable(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_${runSeq.getAndIncrement()}"
+    val q = df.writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** X1 — `stream_window_agg`: tumbling 1-hour event-time window with a
+    * 1-hour watermark, aggregated per (window, event_type). Watermark +
+    * windowed state is the canonical streaming-agg shape; at cluster
+    * scale the state store shards by the window/group key and the
+    * watermark bounds state size.
+    */
+  def streamWindowAgg(t: Tables): DataFrame = {
+    // watermarks require TIMESTAMP (not NTZ); the session is pinned to
+    // UTC so the instant-typed window boundaries are the same wall
+    // times — cast back to NTZ on output for engine-portable results
+    val agg = eventsStream(t)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    // complete mode: a bounded availableNow drain emits every window,
+    // including those the watermark hasn't closed at end-of-stream
+    drainToTable(agg, "complete")
+      .select(col("window.start").cast(TimestampNTZType).as("hour_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** X2 — `stream_dedup`: streaming dropDuplicates on
+    * (user_id, event_type) — first event per user/type survives — then
+    * a per-type distinct-user count over the deduped stream. State is
+    * keyed by the dedup tuple and shards across executors.
+    */
+  def streamDedup(t: Tables): DataFrame = {
+    val deduped = eventsStream(t)
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+    drainToTable(deduped, "complete")
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import Multimodal._
+
+  test("typed mapPartitions decode plumbing matches the column twin") {
+    import spark.implicits._
+    val t = tables
+    val media = mediaTable(t)
+      .as[(Long, Array[Byte])]
+
+    val typed = decodeDataset(media)
+      .map { case (id, m) => (id, m.byteLen, m.width, m.height, m.nFrames, m.fmt) }
+      .toDF("doc_id", "byte_len", "width", "height", "n_frames", "fmt")
+
+    val cols = mmDecodeMeta(t)
+    val diff = typed.exceptAll(cols).count() + cols.exceptAll(typed).count()
+    assert(diff == 0, s"typed and column decode disagree on $diff rows")
+  }
+
+  test("decode is map-only (no shuffle in the plan)") {
+    val plan = mmDecodeMeta(tables).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
+  test("frame sampling emits every 5th frame below n_frames") {
+    val t = tables
+    val joined = mmFrameSample(t).groupBy("doc_id")
+      .agg(max("frame_idx").as("max_idx"), count(lit(1)).as("n_samples"))
+      .join(mmDecodeMeta(t).select(col("doc_id"), col("n_frames")), "doc_id")
+    val bad = joined.filter(
+      col("max_idx") >= col("n_frames") ||
+      col("n_samples") =!= ceil(col("n_frames") / 5.0).cast("long"))
+    assert(bad.count() == 0)
+  }
+}
