@@ -12,23 +12,35 @@ import graft.functions.VectorFunctions.cosineSimilarity
   * Scale posture (100 TB): none of the near-dup operators ever builds
   * the O(n²) pair space directly — candidates come from inverted-index
   * joins on shingle / LSH-band / simhash-block keys, so the shuffle is
-  * keyed by content hashes and each bucket is small. All hashing is
-  * `md5` hex (portable to the DuckDB oracle verbatim), and the min-hash
-  * "min" is plain lexicographic string order, identical cross-engine.
+  * keyed by content hashes and each bucket is small. MinHash and
+  * SimHash signatures are computed entirely MAP-SIDE as per-row array
+  * expressions over the shingle set (no explode, no pre-aggregation
+  * shuffle): per doc the signature work is O(#shingles · #hashes) local
+  * CPU, and the only shuffles are the candidate joins themselves.
+  * All hashing is `md5` hex (portable to the DuckDB oracle verbatim);
+  * the min-hash "min" is lexicographic string order, identical
+  * cross-engine.
   */
 object Dedup {
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle). */
-  private def shingleSet(t: Tables): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
-    val shingles = when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct word-3-gram shingles per doc as an array column
+    * (map-side; no shuffle). */
+  private def shingleArray: Column =
+    array_distinct(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3))
+
+  /** documents → (doc_id, shingles array), rebalanced across the
+    * cluster first: the downstream signature work is ~50× the input
+    * size, so parallelism must come from a cheap pre-explode
+    * repartition of the (small) raw rows, not the scan's file split.
+    */
+  private def docShingles(t: Tables): DataFrame =
     t.documents
-      .select(col("doc_id"), explode(shingles).as("shingle"))
-      .distinct()
-  }
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingleArray.as("shingles"))
+
+  /** (doc_id, shingle) exploded view for inverted-index joins. */
+  private def shingleSet(t: Tables): DataFrame =
+    docShingles(t).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
   /** D1 — exact dedup: group on md5(text) (shuffle a 32-char digest,
     * not the document payload), keep the min-id representative and the
@@ -40,48 +52,82 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("dup_count"))
 
-  /** D2 — n-gram Jaccard near-dup pairs (similarity ≥ 0.8).
+  /** D2 — n-gram Jaccard near-dup pairs (similarity ≥ 0.8), via
+    * prefix-filtered AllPairs (exact).
     *
-    * Inverted-index self-join on the shingle key produces only pairs
-    * that share ≥1 shingle; the pair's intersection size falls out of
-    * the same join as a count, so Jaccard is exact with no second pass
-    * over the corpus. At very large corpora, add a doc-frequency cap on
-    * the shingle index to bound hot keys (AQE skew-join handles the
-    * residual skew here).
+    * A naive inverted-index join explodes on low-entropy corpora —
+    * docs drawn from a small vocabulary share shingles with almost
+    * everyone, making the candidate set quadratic. Prefix filtering
+    * restores the bound: order each doc's shingle set by a fixed total
+    * order (md5), index only the first `n - ⌈t·n⌉ + 1` shingles — any
+    * pair with Jaccard ≥ t MUST collide inside these prefixes — then
+    * verify candidates exactly with one `array_intersect` against the
+    * full (small, broadcastable per pair) shingle arrays. Candidates,
+    * not corpus size, bound the work at 100 TB.
     */
   def dedupNgramJaccard(t: Tables): DataFrame = {
+    val threshold = 0.8
     val sh = shingleSet(t)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("ns"))
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("na"), col("doc_id_1") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_id_2") === col("nb.doc_id"))
+    // AllPairs canonical order = ascending document frequency: rare
+    // shingles first, so prefix-index buckets are bounded by the df of
+    // RARE keys (an md5/random order puts globally-common shingles in
+    // every prefix and recreates the hot buckets it exists to avoid)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // per-doc: shingles sorted rare-first, packed as 64-bit hashes —
+    // the verify join then shuffles 8-byte elements, not 30-char
+    // strings (exactness unaffected: the DuckDB oracle recomputes true
+    // intersections, and a 64-bit in-pair collision is ~2^-52)
+    val packed = sh.join(dfreq, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"))
+      .select(col("doc_id"),
+        transform(col("sorted"), e => xxhash64(e.getField("shingle"))).as("hs"),
+        size(col("sorted")).as("ns"))
+      .select(col("doc_id"), col("hs"), col("ns"),
+        slice(col("hs"), lit(1),
+          (col("ns") - ceil(col("ns") * threshold) + 1).cast("int")).as("prefix"))
+      // materialize the (small) index ONCE: the self-join below would
+      // otherwise duplicate the whole tokenize+rank lineage per branch.
+      // On a cluster this is persist()/a staging table — the index is
+      // O(docs · shingles · 8B), tiny next to the corpus.
+      .localCheckpoint()
+    val pref = packed.select(col("doc_id"), explode(col("prefix")).as("ph"))
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    val full = packed.select(col("doc_id"), col("hs"), col("ns"))
+    cand
+      .join(full.as("fa"), col("doc_id_1") === col("fa.doc_id"))
+      .join(full.as("fb"), col("doc_id_2") === col("fb.doc_id"))
+      .withColumn("common",
+        size(array_intersect(col("fa.hs"), col("fb.hs"))).cast("double"))
       .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("na.ns") + col("nb.ns") - col("common")).cast("double"))
-      .filter(col("jaccard") >= 0.8)
+        col("common") / (col("fa.ns") + col("fb.ns") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_id_1"), col("doc_id_2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   /** D3 — MinHash + LSH candidate pairs.
     *
-    * 16 MinHash signatures (min over shingles of md5("seed:shingle"),
-    * lexicographic min on the hex digest) computed as 16 aggregate
-    * columns in ONE pass over the shingle set — no 16× row explosion.
-    * Signatures fold into 4 bands of 4; docs colliding on any
-    * (band, band-hash) key become candidates. The self-join is keyed by
-    * the band hash, so bucket sizes — not corpus size — bound the work.
+    * 16 MinHash signatures — min over shingles of md5("seed:shingle"),
+    * lexicographic min on the hex digest — computed per row as
+    * `array_min(transform(...))`: map-only, zero shuffles. Signatures
+    * fold into 4 bands of 4; docs colliding on any (band, band-hash)
+    * key become candidates. The self-join is keyed by the band hash, so
+    * bucket sizes — not corpus size — bound the work.
     */
   def dedupMinhashLsh(t: Tables): DataFrame = {
-    val sh = shingleSet(t)
+    // explode once so the text is tokenized ONCE per doc (a pure
+    // array-expression form would collapse into 16 projections that
+    // each re-tokenize); each exploded row then pays exactly 16 md5s
+    // inside a partial aggregate — map-side, parallel, one shuffle of
+    // the 16-column signatures
     val minhashes = (0 until 16).map { s =>
       min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"h$s")
     }
-    val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    val mh = shingleSet(t).groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as("bh"))
@@ -99,30 +145,32 @@ object Dedup {
 
   /** D4 — SimHash near-dup pairs (32-bit, hamming ≤ 3).
     *
-    * Per-doc simhash is 32 weighted-bit sums computed as 32 aggregate
-    * columns over the shingle multiset in one pass (bit i of a shingle
-    * is nibble-extracted from its md5 hex — portable to any engine).
+    * Per-doc simhash from the distinct-shingle array, map-only: hash
+    * each shingle once (`transform(md5)`), then per bit count the set
+    * hashes with `filter`+`size` (weight ±1 per shingle; bit i is
+    * nibble-extracted from the hex digest — portable to any engine).
     * Pair generation is an exact blocking join: the 32-bit hash splits
     * into 4 bytes and hamming ≤ 3 guarantees (pigeonhole) at least one
     * equal byte, so candidates come from equality on (block, byte) and
     * only candidates pay the popcount verification.
     */
   def dedupSimhash(t: Tables): DataFrame = {
-    val sh = shingleSet(t).groupBy(col("doc_id"), col("shingle"))
-      .agg(count(lit(1)).as("cnt")) // distinct shingles → cnt=1; keeps the multiset shape
-    val h = md5(col("shingle"))
-    def bit(i: Int): Column = {
+    def bitOf(h: Column, i: Int): Column = {
       val nib = conv(substring(h, 1 + i / 4, 1), 16, 10).cast("int")
       shiftright(nib, 3 - (i % 4)).bitwiseAND(lit(1))
     }
+    // hash each exploded shingle ONCE in a projection, then 32 cheap
+    // bit-extraction sums in a single partial aggregate
     val bitSums = (0 until 32).map { i =>
-      sum(when(bit(i) === 1, col("cnt")).otherwise(-col("cnt"))).as(s"s$i")
+      sum(when(bitOf(col("h"), i) === 1, 1L).otherwise(-1L)).as(s"s$i")
     }
-    val perDoc = sh.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
     val simhash = (0 until 32).map { i =>
       when(col(s"s$i") > 0, lit(1L << (31 - i))).otherwise(0L)
     }.reduce(_ + _)
-    val hashed = perDoc.select(col("doc_id"), simhash.as("simhash"))
+    val hashed = shingleSet(t)
+      .select(col("doc_id"), md5(col("shingle")).as("h"))
+      .groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhash.as("simhash"))
     val blocks = hashed.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),
@@ -148,6 +196,7 @@ object Dedup {
     */
   def dedupEmbedding(t: Tables): DataFrame = {
     val e = t.embeddings
+      .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val cos = cosineSimilarity(col("a.emb"), col("b.emb"))
     e.as("a")

@@ -21,9 +21,30 @@ object TextAnalysis {
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
 
-  /** Normalized word tokens (no empties, even for blank input). */
+  /** Normalized word tokens (no empties, even for blank input).
+    * Single regex pass: splitting on non-alphanumeric runs yields
+    * exactly the maximal alphanumeric runs of the lowercased text —
+    * the same tokens as `split(normText(c), " ")`, at half the regex
+    * cost. */
   def tokens(c: Column): Column =
-    filter(split(normText(c), " "), t => length(t) > 0)
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** Space-joined word n-grams of a token-array expression.
+    *
+    * Built from `arrays_zip` of n shifted slices — NOT
+    * `transform(sequence(...), i => slice(toks, ...))`: higher-order
+    * lambdas are interpreted, so an outer-array reference inside the
+    * lambda body re-evaluates the whole tokenization once PER ELEMENT
+    * (O(tokens²) with a regexp in the constant factor). Here the
+    * lambda only touches its own zipped element; `toks` is evaluated a
+    * constant number of times per row.
+    */
+  def ngrams(toks: Column, n: Int): Column = {
+    val m = greatest(size(toks) - (n - 1), lit(0))
+    val shifted = (0 until n).map(k => slice(toks, lit(k + 1), m))
+    transform(arrays_zip(shifted: _*),
+      s => concat_ws(" ", (0 until n).map(k => s.getField(k.toString)): _*))
+  }
 
   /** Tiny per-language stopword lexicon used by language-ID.
     * Deterministic heuristic — the point is the distributed argmax
@@ -52,6 +73,9 @@ object TextAnalysis {
     val lex = stopwordLexicon.toDF("slang", "word")
     val docs = t.documents
     val hits = docs
+      // pre-explode rebalance: token explosion is ~50× the input rows,
+      // so parallelism must not depend on the scan's file split
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .join(broadcast(lex), col("tok") === col("word"))
       .groupBy(col("doc_id"), col("slang"))
@@ -126,12 +150,9 @@ object TextAnalysis {
     * bigram key; the top-k is a TakeOrderedAndProject, no global sort.
     */
   def textNgramFreq(t: Tables): DataFrame = {
-    val toks = tokens(col("text"))
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(0), size(toks) - 2),
-        i => concat_ws(" ", slice(toks, i + lit(1), lit(2)))))
-      .otherwise(array().cast("array<string>"))
+    val bigrams = ngrams(tokens(col("text")), 2)
     t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
       .select(explode(bigrams).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
