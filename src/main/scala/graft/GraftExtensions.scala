@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.CosineSimilarity
+
+/** Session extensions registering graft's native SQL functions
+  * (SURVEY.md §2.4 S3). Install with
+  * `spark.sql.extensions=graft.GraftExtensions` (any deployment
+  * mechanism — spark-submit conf, builder config) and the functions
+  * resolve in plain SQL: `SELECT cosine_similarity(a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, null,
+        "cosine_similarity", "cosine_similarity(a, b) - cosine similarity of two array<double> vectors", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_similarity expects 2 arguments, got ${children.length}")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Uniform batch source/sink helpers.
+  *
+  * Thin, deliberately declarative wrappers over `spark.read` /
+  * `df.write` so every format keeps full Catalyst pushdown (predicate
+  * and column pruning reach parquet scans; csv/json get schema
+  * enforcement instead of inference scans — at 100 TB an inference
+  * pass is a full extra read).
+  */
+object Sources {
+
+  /** Supported formats, keyed by file extension. */
+  val formats: Map[String, String] = Map(
+    "parquet" -> "parquet", "csv" -> "csv", "json" -> "json", "orc" -> "orc")
+
+  private def formatOf(path: String): String = {
+    val ext = path.replaceAll("/+$", "").split('.').last.toLowerCase
+    formats.getOrElse(ext, "parquet")
+  }
+
+  /** Read `path`, inferring the format from the extension. An explicit
+    * schema skips inference (csv/json would otherwise pay a full
+    * pre-scan); csv assumes a header row.
+    */
+  def read(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val fmt = formatOf(path)
+    val r0 = spark.read.format(fmt)
+    val r1 = schema.fold(if (fmt == "csv" || fmt == "json") r0.option("inferSchema", "true") else r0)(r0.schema)
+    val r2 = if (fmt == "csv") r1.option("header", "true") else r1
+    r2.load(path)
+  }
+
+  /** Write `df` to `path` in the extension-inferred format, optionally
+    * hash-partitioned by columns (directory partitioning → partition
+    * pruning for downstream readers).
+    */
+  def write(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val fmt = formatOf(path)
+    val w0 = df.write.format(fmt).mode(mode)
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    val w2 = if (fmt == "csv") w1.option("header", "true") else w1
+    w2.save(path)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.operators._
+
+/** Plan-shape audit: asserts the scale-critical physical-plan
+  * properties (SURVEY.md §5) hold — filters and projections reach the
+  * parquet scan, dimension joins broadcast, top-k avoids global sorts.
+  * These are the properties that decide whether a query survives a
+  * 100× scale-up, so they're pinned as tests, not just eyeballed.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String = {
+    df.collect() // force AQE to finalize the adaptive plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p: SparkPlan => p.toString
+    }
+  }
+
+  test("q6: tight filters are pushed to the parquet scan") {
+    val p = plan(Relational.q6RevenueDelta(tables))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+  }
+
+  test("q6: scan reads only the needed columns") {
+    val p = plan(Relational.q6RevenueDelta(tables))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"scan reads unneeded columns: $readSchema")
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q5: dimension joins are broadcast, not shuffled") {
+    val p = plan(Relational.q5LocalSupplier(tables))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q10: nation dim broadcast") {
+    val p = plan(Relational.q10ReturnedItems(tables))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_topk: global top-k is TakeOrderedAndProject, not a full sort") {
+    val p = plan(Relational.qTopK(tables))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan(Relational.q1PricingSummary(tables))
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("semi/anti joins use semi/anti physical joins (no row explosion)") {
+    assert(plan(Relational.qSemiJoin(tables)).contains("LeftSemi"))
+    assert(plan(Relational.qAntiJoin(tables)).contains("LeftAnti"))
+  }
+
+  test("ann brute force: query side broadcast (map-only scoring)") {
+    val p = plan(Similarity.annBruteForceTopK(tables))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("mm_decode_meta: map-only, no exchange") {
+    val p = plan(Multimodal.mmDecodeMeta(tables))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("asof join: single shuffle, no range-explosion join") {
+    val p = plan(Relational.qAsofJoin(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // union + one window over user partitioning: exchanges should be
+    // bounded (union sides + window partitioning), far from a join blowup
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+}

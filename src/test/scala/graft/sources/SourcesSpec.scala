@@ -1,0 +1,45 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SourcesSpec extends SparkSpec {
+
+  private def roundtrip(fmt: String): Unit = {
+    val t = tables
+    val base = Files.createTempDirectory("graft-sources").toString
+    val src = t.nation.select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val path = s"$base/nation.$fmt"
+    Sources.write(src, path)
+    val back = Sources.read(spark, path, Some(src.schema))
+    assert(back.count() == src.count(), s"$fmt roundtrip lost rows")
+    assert(back.columns.sorted.sameElements(src.columns.sorted))
+  }
+
+  test("parquet roundtrip")(roundtrip("parquet"))
+  test("csv roundtrip")(roundtrip("csv"))
+  test("json roundtrip")(roundtrip("json"))
+  test("orc roundtrip")(roundtrip("orc"))
+
+  test("partitioned write produces directory partitions + pruning") {
+    val t = tables
+    val base = Files.createTempDirectory("graft-sources-part").toString
+    val path = s"$base/orders.parquet"
+    Sources.write(t.orders.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")),
+      path, partitionBy = Seq("o_orderstatus"))
+    assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("o_orderstatus=")))
+    val pruned = Sources.read(spark, path).filter(col("o_orderstatus") === "F")
+    val plan = pruned.queryExecution.executedPlan.toString
+    // partition filter must reach the scan, not a post-scan Filter
+    assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"), plan)
+  }
+
+  test("registered SQL function cosine_similarity resolves via extensions") {
+    val r = spark.sql(
+      "SELECT cosine_similarity(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c").head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+}
