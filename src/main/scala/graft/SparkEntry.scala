@@ -68,6 +68,8 @@ object SparkEntry {
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
+    // composite: the flagship corpus-cleaning pipeline
+    "corpus_clean"        -> q(CorpusClean.corpusClean),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -325,6 +327,37 @@ object SparkEntry {
         | (1 + b2 % 120)::INTEGER AS n_frames,
         | CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
         |FROM b""".stripMargin,
+    "corpus_clean" ->
+      s"""WITH lex(slang, word) AS (VALUES
+        | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),
+        | ('de','der'),('de','die'),('de','das'),('de','und'),('de','ein'),
+        | ('es','el'),('es','la'),('es','los'),('es','de'),('es','y'),
+        | ('fr','le'),('fr','les'),('fr','et'),('fr','un'),('fr','dans')),
+        |tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        |sc AS (SELECT doc_id, slang, count(*) AS n FROM tk JOIN lex ON tok=word GROUP BY 1,2),
+        |best AS (SELECT doc_id, slang FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, slang) AS rn FROM sc)
+        |  WHERE rn=1),
+        |qm AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(length(text),0) AS pr,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+        |    / nullif(len(toks),0) AS sr
+        | FROM (SELECT doc_id, text, $sqlToks AS toks FROM documents)),
+        |qual AS (SELECT doc_id,
+        |  round(0.4*coalesce(sr,0)+0.3*(1-coalesce(pr,0))+0.3*least(n_tokens/100.0,1.0)+1e-9,4) AS quality_score
+        | FROM qm),
+        |$sqlShingles,
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+        |  FROM mh GROUP BY 1,2),
+        |dups AS (SELECT DISTINCT b.doc_id
+        |  FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id)
+        |SELECT d.doc_id, best.slang AS lang_pred, qual.quality_score
+        |FROM documents d
+        | JOIN best ON d.doc_id=best.doc_id AND best.slang='en'
+        | JOIN qual ON d.doc_id=qual.doc_id AND qual.quality_score >= 0.5
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
         |f AS (SELECT doc_id, text,
