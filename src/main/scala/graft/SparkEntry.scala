@@ -70,6 +70,10 @@ object SparkEntry {
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
+    // §5 scale techniques ("q_approx_stats" is rows-only: sketches are
+    // engine-specific; ScaleSpec bounds them against exact answers)
+    "q_salted_agg"        -> q(Scale.qSaltedAgg),
+    "q_approx_stats"      -> q(Scale.qApproxStats),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -327,6 +331,9 @@ object SparkEntry {
         | (1 + b2 % 120)::INTEGER AS n_frames,
         | CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
         |FROM b""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "corpus_clean" ->
       s"""WITH lex(slang, word) AS (VALUES
         | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),

@@ -1,0 +1,73 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ScaleSpec extends SparkSpec {
+
+  test("salted aggregation equals plain aggregation") {
+    val t = tables
+    val salted = Scale.qSaltedAgg(t)
+    val plain = t.events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
+  test("approx sketches land near the exact answers") {
+    val t = tables
+    val exact = t.events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        percentile(col("value"), lit(0.5)).as("median"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    Scale.qApproxStats(t).collect().foreach { r =>
+      val (users, median) = exact(r.getString(0))
+      val approxUsers = r.getLong(1)
+      val approxMedian = r.getDouble(3)
+      assert(math.abs(approxUsers - users).toDouble / users < 0.1,
+        s"HLL off by >10%: $approxUsers vs $users")
+      assert(math.abs(approxMedian - median) / math.max(math.abs(median), 1e-9) < 0.2,
+        s"approx median far off: $approxMedian vs $median")
+    }
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val t = tables
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    val n = 8
+    // bucket both sides on the join key → co-located join
+    t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode("overwrite")
+      .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
+    t.lineitem.select(col("l_orderkey"), col("l_extendedprice"))
+      .write.mode("overwrite")
+      .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    // force a shuffled join (tiny test tables would auto-broadcast and
+    // hide the bucket co-location being demonstrated)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("l_extendedprice")).as("s"))
+      joined.collect()
+      // AQE's toString appends the pre-adaptive "Initial Plan"; audit
+      // only the final executed section
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // the join itself must not introduce a shuffle: both sides are
+      // pre-partitioned by bucket (only the final groupBy may exchange)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      val exchanges = plan.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+      assert(exchanges <= 1, s"expected no join-side exchanges (≤1 for final agg), got $exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
