@@ -42,6 +42,7 @@ object SparkEntry {
     "q_scalar_subquery"   -> q(Relational.qScalarSubquery),
     "q_percentile"        -> q(Relational.qPercentile),
     "q_asof_join"         -> q(Relational.qAsofJoin),
+    "q_asof_join_native"  -> q(Relational.qAsofJoinNative),
     "q_sessionize"        -> q(Relational.qSessionize),
     "q_json_extract"      -> q(Relational.qJsonExtract),
     "q_time_bucket"       -> q(Relational.qTimeBucket),
@@ -205,6 +206,14 @@ object SparkEntry {
         | round(quantile_cont(l_extendedprice, 0.9),4) AS p90_price
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_asof_join" ->
+      """WITH o1 AS (
+        |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1,2),
+        | e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts, o.last_orderkey, o.o_orderdate AS last_orderdate
+        |FROM e ASOF LEFT JOIN o1 o
+        | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_asof_join_native" ->
       """WITH o1 AS (
         |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS last_orderkey
         |  FROM orders GROUP BY 1,2),

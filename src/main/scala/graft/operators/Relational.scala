@@ -248,6 +248,23 @@ object Relational {
         col("last_ord.last_orderdate").as("last_orderdate"))
   }
 
+  /** As-of join via the NATIVE custom operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics and oracle as
+    * [[qAsofJoin]], executed by the sort-merge as-of physical plan —
+    * one shuffle per side, linear merge, O(1) carried state.
+    */
+  def qAsofJoinNative(t: Tables): DataFrame = {
+    val o1 = t.orders
+      .groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max(col("o_orderkey")).as("last_orderkey"))
+      .select(col("o_custkey").as("r_user"), col("o_orderdate").as("r_date"),
+        col("last_orderkey"))
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoinOps.asofJoin(ev, o1, "user_id", "ts", "r_user", "r_date")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("last_orderkey"), col("r_date").as("last_orderdate"))
+  }
+
   /** Sessionization: a >30-min gap starts a new session; emit per-session
     * stats. lag + running sum over one user-partitioned window. */
   def qSessionize(t: Tables): DataFrame = {

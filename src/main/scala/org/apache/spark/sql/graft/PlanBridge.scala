@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
+
+/** Bridge from a raw Catalyst [[LogicalPlan]] to a public DataFrame —
+  * the `Dataset.ofRows` constructor is `private[sql]` in Spark 4, so
+  * graft's custom logical operators re-export it from inside the
+  * package tree (same pattern as [[ColumnBridge]]).
+  */
+object PlanBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}
