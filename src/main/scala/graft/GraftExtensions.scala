@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance}
 
 /** Session extensions registering graft's native SQL functions
   * (SURVEY.md §2.4 S3). Install with
@@ -23,6 +23,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"cosine_similarity expects 2 arguments, got ${children.length}")
         CosineSimilarity(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, null,
+        "dot_product", "dot_product(a, b) - inner product of two array<double> vectors", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dot_product expects 2 arguments, got ${children.length}")
+        DotProduct(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2Distance].getName, null,
+        "l2_distance", "l2_distance(a, b) - Euclidean distance of two array<double> vectors", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"l2_distance expects 2 arguments, got ${children.length}")
+        L2Distance(children.head, children(1))
       }))
   }
 }

@@ -93,4 +93,14 @@ object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Inner product of two `array<double>` columns (codegen'd). */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Euclidean distance of two `array<double>` columns (codegen'd). */
+  def l2Distance(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Distance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
