@@ -66,6 +66,7 @@ object SparkEntry {
     // §2.7 structured streaming
     "stream_window_agg"   -> q(graft.streaming.Streaming.streamWindowAgg),
     "stream_dedup"        -> q(graft.streaming.Streaming.streamDedup),
+    "stream_static_join"  -> q(graft.streaming.Streaming.streamStaticJoin),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
@@ -328,6 +329,10 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+    "stream_static_join" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value),2) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,

@@ -88,6 +88,20 @@ object Streaming {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** `stream_static_join`: the streaming side enriched against a
+    * static dimension (broadcastable at any stream rate), then a
+    * running aggregate per enriched key. The static side is planned
+    * once and reused every micro-batch — the canonical dimension-join
+    * shape for a production ingest.
+    */
+  def streamStaticJoin(t: Tables): DataFrame = {
+    val enriched = eventsStream(t)
+      .join(broadcast(t.customer), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    drainToTable(enriched, "complete")
+  }
+
   /** X2 — `stream_dedup`: streaming dropDuplicates on
     * (user_id, event_type) — first event per user/type survives — then
     * a per-type distinct-user count over the deduped stream. State is
