@@ -26,6 +26,13 @@ object SparkEntry {
     "q5_local_supplier"   -> q(Relational.q5LocalSupplier),
     "q6_revenue_delta"    -> q(Relational.q6RevenueDelta),
     "q10_returned_items"  -> q(Relational.q10ReturnedItems),
+    "q2_min_cost_supplier"-> q(Relational.q2MinCostSupplier),
+    "q4_order_priority"   -> q(Relational.q4OrderPriority),
+    "q7_nation_volume"    -> q(Relational.q7NationVolume),
+    "q14_promo_revenue"   -> q(Relational.q14PromoRevenue),
+    "q18_large_orders"    -> q(Relational.q18LargeOrders),
+    "q19_disjunctive"     -> q(Relational.q19Disjunctive),
+    "q22_idle_customers"  -> q(Relational.q22IdleCustomers),
     "q_group_multi"       -> q(Relational.qGroupMulti),
     "q_window_rank"       -> q(Relational.qWindowRank),
     "q_window_running"    -> q(Relational.qWindowRunning),
@@ -135,6 +142,58 @@ object SparkEntry {
         |WHERE l_returnflag='R' AND o_orderdate >= TIMESTAMP '1996-07-01'
         | AND o_orderdate < TIMESTAMP '1996-10-01'
         |GROUP BY 1,2,3,4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """SELECT p_partkey, p_name, s_suppkey, round(unit_price_raw, 4) AS unit_price FROM (
+        | SELECT p.p_partkey, p.p_name, s.s_suppkey,
+        |  l.l_extendedprice / l.l_quantity AS unit_price_raw,
+        |  row_number() OVER (PARTITION BY p.p_partkey
+        |    ORDER BY l.l_extendedprice / l.l_quantity, s.s_suppkey, l.l_orderkey, l.l_linenumber) AS rn
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | WHERE p.p_partkey <= 200)
+        |WHERE rn = 1""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        | CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        | JOIN supplier ON l_suppkey=s_suppkey
+        | JOIN nation ns ON s_nationkey=ns.n_nationkey
+        | JOIN nation nc ON c_nationkey=nc.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1,2,3""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END) /
+        |  sum(l_extendedprice*(1-l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+        |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, round(total_qty,2) AS total_qty
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |WHERE (p_brand='Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand='Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand='Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal),2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1""".stripMargin,
     "q_group_multi" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice),2) AS sum_price,

@@ -215,6 +215,110 @@ object Relational {
         round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
         round(percentile(col("l_extendedprice"), lit(0.9)), 4).as("p90_price"))
 
+  /** TPC-H Q2-flavored: cheapest supplier per part (unit-price rank via
+    * window; part filter pushed to the scan, supplier broadcast). */
+  def q2MinCostSupplier(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(asc("unit_price_raw"), asc("s_suppkey"), asc("l_orderkey"), asc("l_linenumber"))
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_partkey") <= 200)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("unit_price_raw", col("l_extendedprice") / col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        round(col("unit_price_raw"), 4).as("unit_price"))
+  }
+
+  /** TPC-H Q4-flavored: order-priority counts for orders with at least
+    * one returned item in a quarter (left-semi + agg). */
+  def q4OrderPriority(t: Tables): DataFrame =
+    t.orders
+      .filter(col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+      .join(t.lineitem.filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  /** TPC-H Q7-flavored: bilateral trade volume per (supplier nation,
+    * customer nation, year). Both nation dims broadcast; one fact
+    * shuffle chain. */
+  def q7NationVolume(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cnk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      // exact decimal arithmetic: double sums are order-dependent and
+      // this query's many mid-size groups make cent-boundary flips
+      // against the oracle likely; decimal sums are exact on both
+      // engines regardless of order
+      .agg(round(sum(
+          col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))), 2)
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q14-flavored: promo revenue share in one month (conditional
+    * aggregation over a broadcast part join → one scalar row). */
+  def q14PromoRevenue(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("promo_pct"))
+
+  /** TPC-H Q18-flavored: large-quantity orders (HAVING subquery as a
+    * semi-join on the aggregated keys) with customer context, top-100. */
+  def q18LargeOrders(t: Tables): DataFrame = {
+    val big = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150)
+    t.orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19-flavored: disjunctive brand/size/quantity predicates —
+    * the OR-of-ANDs shape that tests predicate normalization. */
+  def q19Disjunctive(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1, 11) && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** TPC-H Q22-flavored: well-funded customers with no orders, per
+    * nation (scalar subquery threshold + anti join). */
+  def q22IdleCustomers(t: Tables): DataFrame = {
+    val thr = t.customer.filter(col("c_acctbal") > 0)
+      .agg(avg(col("c_acctbal")).as("thr"))
+    t.customer
+      .crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("thr"))
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), round(sum(col("c_acctbal")), 2).as("totacctbal"))
+  }
+
   /** As-of join: enrich each event with the user's most recent order at
     * or before the event time.
     *
