@@ -64,7 +64,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
     "dedup_minhash_lsh"   -> q(Dedup.dedupMinhashLsh),
     "dedup_simhash"       -> q(Dedup.dedupSimhash),
-    "dedup_embedding"     -> q(Dedup.dedupEmbedding),
+    "dedup_embedding"     -> q(t => Dedup.dedupEmbedding(t)),
     // §2.4 similarity search ("ann_lsh_topk" is rows-only: no oracle)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions.cosineSimilarity
+import graft.functions.VectorFunctions.{cosineSimilarity, dotProduct}
 
 /** Deduplication operator suite over `documents` / `embeddings`
   * (SURVEY.md §2.3).
@@ -187,17 +187,69 @@ object Dedup {
       .filter(col("hamming") <= 3)
   }
 
-  /** D5 — embedding near-dup pairs: cosine ≥ 0.4 (threshold sits in a
-    * wide numeric gap in the corpus, so the cross-engine compare is
-    * float-safe). Exact all-pairs via a self nested-loop join — the
-    * exact baseline; the LSH-bucketed scale path is
-    * [[Similarity.annLshTopK]]. Cosine is the native codegen
-    * expression [[graft.functions.CosineSimilarity]].
-    */
-  def dedupEmbedding(t: Tables): DataFrame = {
-    val e = t.embeddings
+  private def withEmb(t: Tables): DataFrame =
+    t.embeddings
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** D5 — embedding near-dup pairs: cosine ≥ 0.4 (no pair sits exactly
+    * on the threshold, so the cross-engine compare is float-safe).
+    *
+    * Scale path: multi-band random-hyperplane LSH candidates + exact
+    * verification with the codegen cosine. Signatures are `nBands`
+    * bands of `bitsPerBand` sign bits (one codegen `dot_product`
+    * against a fixed ±1 hyperplane per bit — map-only); docs colliding
+    * on any (band, band-value) key become candidates, so the candidate
+    * join is a bucket-keyed equi-join that shuffles (vec_id, band,
+    * bucket) triples — never embeddings, never an all-pairs /
+    * broadcast-NLJ shape — and only candidates pay the exact cosine.
+    *
+    * Parameter honesty: a pair at the 0.4 threshold collides per band
+    * with p = (1-θ/π)^bits ≈ 0.63^4 ≈ 0.16, so 28 bands give per-pair
+    * recall ≈ 1-(1-0.16)^28 ≈ 0.992 — and empirically 100% on this
+    * corpus (verified against [[dedupEmbeddingExact]] by spec; the
+    * driver oracle is the exact all-pairs SQL). This corpus is
+    * near-worst-case for LSH — the background cosine mass sits at
+    * ~0.3, right under the 0.4 threshold, so candidates here are a
+    * large fraction of all-pairs. On a real near-dup corpus (dups at
+    * cos ≥ 0.9, background ≲ 0.3) the same operator with wider bands
+    * (e.g. 16 bits → 65k buckets) prunes quadratically; the plan
+    * shape is what survives 100 TB, and it is the same either way.
+    */
+  def dedupEmbedding(t: Tables, bitsPerBand: Int = 4, nBands: Int = 28): DataFrame = {
+    val dims = 64
+    val e = withEmb(t)
+    val bandCols = (0 until nBands).map { j =>
+      val bv = (0 until bitsPerBand).map { k =>
+        val plane = typedlit(Similarity.hyperplane(j * bitsPerBand + k, dims))
+        when(dotProduct(col("emb"), plane) > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+      struct(lit(j).as("band"), bv.as("bv"))
+    }
+    val banded = e
+      .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id_1"), col("b.vec_id").as("vec_id_2"))
+      .distinct()
+    cand
+      .join(e.as("ea"), col("vec_id_1") === col("ea.vec_id"))
+      .join(e.as("eb"), col("vec_id_2") === col("eb.vec_id"))
+      .select(col("vec_id_1"), col("vec_id_2"),
+        cosineSimilarity(col("ea.emb"), col("eb.emb")).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("vec_id_1"), col("vec_id_2"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** Exact all-pairs ground truth for [[dedupEmbedding]] — O(n²) by
+    * construction (broadcast nested-loop self-join), so it is
+    * spec-only at tiny SF and never wired into `SparkEntry.queries`.
+    */
+  def dedupEmbeddingExact(t: Tables): DataFrame = {
+    val e = withEmb(t)
     val cos = cosineSimilarity(col("a.emb"), col("b.emb"))
     e.as("a")
       .join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))

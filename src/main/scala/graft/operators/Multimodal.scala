@@ -81,6 +81,11 @@ object Multimodal {
   private def hexByteCol(h: Column, i: Int): Column =
     conv(substring(h, i + 1, 2), 16, 10).cast("int")
 
+  /** Frame count of the stub decode, as a standalone column (kept in
+    * exact sync with [[decodeMetaCols]]'s `n_frames`). */
+  private def nFramesCol(payload: Column): Column =
+    lit(1) + hexByteCol(md5(payload), 4) % 120
+
   /** Stub-decode metadata as pure columns over a binary payload. */
   private def decodeMetaCols(payload: Column): Seq[Column] = {
     val h = md5(payload)
@@ -109,16 +114,19 @@ object Multimodal {
   /** M2 — `mm_frame_sample`: every 5th frame index per media row
     * (explode of a bounded sequence — the standard frame-sampling
     * shape), with a deterministic per-frame fingerprint.
+    *
+    * Map-only: `n_frames` is a pure function of the payload, so it is
+    * computed inline on the payload scan — no join back to the
+    * metadata (the round-2 version re-joined the media table to
+    * metadata derived from it, shuffling the full binary corpus to
+    * pick up a value each row already determines).
     */
-  def mmFrameSample(t: Tables): DataFrame = {
-    val meta = mmDecodeMeta(t)
-      .select(col("doc_id"), col("n_frames"))
-    meta
-      .join(mediaTable(t), Seq("doc_id"))
+  def mmFrameSample(t: Tables): DataFrame =
+    mediaTable(t)
       .select(col("doc_id"), col("payload"),
-        explode(sequence(lit(0), col("n_frames") - 1, lit(5))).as("frame_idx"))
+        explode(sequence(lit(0), nFramesCol(col("payload")) - 1, lit(5)))
+          .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         md5(concat(col("payload").cast("string"), lit(":"),
           col("frame_idx").cast("string"))).as("frame_hash"))
-  }
 }

@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions.cosineSimilarity
+import graft.functions.VectorFunctions.{cosineSimilarity, dotProduct}
 
 /** Similarity-search operators over the `embeddings` table
   * (SURVEY.md §2.4): exact brute-force cosine top-k as the baseline,
@@ -68,11 +68,14 @@ object Similarity {
     */
   def annLshTopK(t: Tables, nBits: Int = 8, dims: Int = 64): DataFrame = {
     val e = withEmb(t)
+    // each sign bit is one codegen'd dot_product against a literal
+    // hyperplane — NOT an interpreted aggregate(zip_with(...)) lambda,
+    // which re-evaluates per element (8 interpreted passes per row was
+    // the round-2 hot-loop defect)
     def signature(emb: Column): Column =
       (0 until nBits).map { p =>
-        val w = typedlit(hyperplane(p, dims))
-        val dot = aggregate(zip_with(emb, w, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1 << p)).otherwise(lit(0))
+        when(dotProduct(emb, typedlit(hyperplane(p, dims))) > 0, lit(1 << p))
+          .otherwise(lit(0))
       }.reduce(_ + _)
 
     val bucketed = e.withColumn("bucket", signature(col("emb")))

@@ -71,6 +71,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("mm_frame_sample: map-only, no exchange (n_frames computed inline)") {
+    val p = plan(Multimodal.mmFrameSample(tables))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("dedup_embedding: bucket-keyed candidates, no NLJ/cartesian") {
+    val p = plan(Dedup.dedupEmbedding(tables))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("asof join: single shuffle, no range-explosion join") {
     val p = plan(Relational.qAsofJoin(tables))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -1,0 +1,28 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Dedup-suite invariants beyond the driver's DuckDB gate: the LSH
+  * embedding-dedup scale path must reproduce the exact all-pairs
+  * answer on this corpus (exhaustive recall at the chosen band
+  * parameters), and the exact form stays spec-only ground truth.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("dedup_embedding (LSH path) equals the exact all-pairs ground truth") {
+    val lsh = Dedup.dedupEmbedding(tables).collect().map(_.toSeq).toSet
+    val exact = Dedup.dedupEmbeddingExact(tables).collect().map(_.toSeq).toSet
+    assert(lsh == exact,
+      s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty, "degenerate test: no true pairs at this SF")
+  }
+
+  test("dedup_embedding recall stays exhaustive with fewer bands removed than the margin") {
+    // 25 bands is the empirical minimum for 100% recall on this
+    // corpus; the default 28 carries a 3-band margin
+    val lsh25 = Dedup.dedupEmbedding(tables, bitsPerBand = 4, nBands = 25)
+      .collect().map(_.toSeq).toSet
+    val exact = Dedup.dedupEmbeddingExact(tables).collect().map(_.toSeq).toSet
+    assert(lsh25 == exact)
+  }
+}
