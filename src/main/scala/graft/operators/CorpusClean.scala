@@ -12,9 +12,18 @@ import graft.Tables
   *   quality-score bar, and (3) are not the higher-id member of a
   *   MinHash-LSH near-duplicate pair.
   *
-  * Each stage is the already-verified operator; this query proves they
-  * compose into one distributed plan (the common `documents` scan is
-  * shared, the dup-pair set arrives as a left-anti join on doc_id).
+  * One corpus scan, not three: the tokenized projection (doc_id, text,
+  * toks) is computed once and cached, then (a) language-ID and quality
+  * are evaluated MAP-SIDE over it as pure column expressions
+  * ([[TextAnalysis.isPredLangExpr]] / [[TextAnalysis.qualityScoreExpr]]
+  * — the per-doc argmax shuffle of the standalone `text_lang_id`
+  * operator is waste when only the "is English" predicate is needed),
+  * and (b) the MinHash-LSH dup pairs are generated from the same
+  * cached projection via [[Dedup.minhashPairsFrom]]. On a cluster the
+  * cached projection is a staging write; the only shuffles left are
+  * the MinHash signature aggregate, the band candidate join, and the
+  * final left-anti join on doc_id.
+  *
   * The quality filter applies to the ROUNDED score — both engines
   * produce identical rounded values, so the threshold is stable
   * cross-engine even when a raw score sits exactly on the boundary.
@@ -22,17 +31,21 @@ import graft.Tables
 object CorpusClean {
 
   def corpusClean(t: Tables): DataFrame = {
-    val lang = TextAnalysis.textLangId(t)
-      .filter(col("lang_pred") === "en")
-      .select(col("doc_id"), col("lang_pred"))
-    val qual = TextAnalysis.textQuality(t)
+    val docs = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
+        TextAnalysis.tokens(col("text")).as("toks"))
+      .persist()
+
+    val kept = docs
+      .filter(TextAnalysis.isPredLangExpr(col("toks"), "en"))
+      .select(col("doc_id"), lit("en").as("lang_pred"),
+        TextAnalysis.qualityScoreExpr(col("text"), col("toks")).as("quality_score"))
       .filter(col("quality_score") >= 0.5)
-      .select(col("doc_id"), col("quality_score"))
-    val nearDups = Dedup.dedupMinhashLsh(t)
+
+    val nearDups = Dedup.minhashPairsFrom(Dedup.shingleSetFrom(docs))
       .select(col("doc_id_2").as("doc_id"))
-    lang
-      .join(qual, "doc_id")
-      .join(nearDups, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("lang_pred"), col("quality_score"))
+
+    kept.join(nearDups, Seq("doc_id"), "left_anti")
   }
 }

@@ -42,6 +42,13 @@ object Dedup {
   private def shingleSet(t: Tables): DataFrame =
     docShingles(t).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
+  /** Same exploded view from a pre-tokenized (doc_id, toks) frame —
+    * lets composites (corpus_clean) feed one shared scan into the
+    * near-dup machinery instead of re-reading + re-tokenizing. */
+  private[operators] def shingleSetFrom(docToks: DataFrame): DataFrame =
+    docToks.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.ngrams(col("toks"), 3))).as("shingle"))
+
   /** D1 — exact dedup: group on md5(text) (shuffle a 32-char digest,
     * not the document payload), keep the min-id representative and the
     * duplicate count. At 100 TB this is the cheapest possible exact
@@ -67,30 +74,34 @@ object Dedup {
     */
   def dedupNgramJaccard(t: Tables): DataFrame = {
     val threshold = 0.8
-    val sh = shingleSet(t)
+    // hash shingles to 64 bits AT THE SOURCE: every downstream shuffle
+    // (df count, rank join, prefix index, verify) carries 8-byte keys,
+    // never the ~30-char shingle strings (exactness unaffected: the
+    // DuckDB oracle recomputes true intersections, and a 64-bit
+    // in-pair collision is ~2^-52)
+    val sh = shingleSet(t).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
     // AllPairs canonical order = ascending document frequency: rare
     // shingles first, so prefix-index buckets are bounded by the df of
     // RARE keys (an md5/random order puts globally-common shingles in
     // every prefix and recreates the hot buckets it exists to avoid)
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // per-doc: shingles sorted rare-first, packed as 64-bit hashes —
-    // the verify join then shuffles 8-byte elements, not 30-char
-    // strings (exactness unaffected: the DuckDB oracle recomputes true
-    // intersections, and a 64-bit in-pair collision is ~2^-52)
-    val packed = sh.join(dfreq, "shingle")
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val packed = sh.join(dfreq, "h")
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("sorted"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
       .select(col("doc_id"),
-        transform(col("sorted"), e => xxhash64(e.getField("shingle"))).as("hs"),
+        transform(col("sorted"), e => e.getField("h")).as("hs"),
         size(col("sorted")).as("ns"))
       .select(col("doc_id"), col("hs"), col("ns"),
         slice(col("hs"), lit(1),
           (col("ns") - ceil(col("ns") * threshold) + 1).cast("int")).as("prefix"))
       // materialize the (small) index ONCE: the self-join below would
       // otherwise duplicate the whole tokenize+rank lineage per branch.
-      // On a cluster this is persist()/a staging table — the index is
-      // O(docs · shingles · 8B), tiny next to the corpus.
-      .localCheckpoint()
+      // persist(), not localCheckpoint(): non-replicated checkpoint
+      // blocks die with an executor on a real cluster, while a cached
+      // index recomputes from lineage; at 100 TB this is a staging
+      // write. The index is O(docs · shingles · 8B), tiny next to the
+      // corpus.
+      .persist()
     val pref = packed.select(col("doc_id"), explode(col("prefix")).as("ph"))
     val cand = pref.as("a")
       .join(pref.as("b"),
@@ -118,7 +129,12 @@ object Dedup {
     * key become candidates. The self-join is keyed by the band hash, so
     * bucket sizes — not corpus size — bound the work.
     */
-  def dedupMinhashLsh(t: Tables): DataFrame = {
+  def dedupMinhashLsh(t: Tables): DataFrame = minhashPairsFrom(shingleSet(t))
+
+  /** MinHash-LSH pair generation over an exploded (doc_id, shingle)
+    * frame (the body of [[dedupMinhashLsh]], reusable from a shared
+    * scan). */
+  private[operators] def minhashPairsFrom(sh: DataFrame): DataFrame = {
     // explode once so the text is tokenized ONCE per doc (a pure
     // array-expression form would collapse into 16 projections that
     // each re-tokenize); each exploded row then pays exactly 16 md5s
@@ -127,7 +143,7 @@ object Dedup {
     val minhashes = (0 until 16).map { s =>
       min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"h$s")
     }
-    val mh = shingleSet(t).groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+    val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
     val bandCols = (0 until 4).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as("bh"))

@@ -92,33 +92,62 @@ object TextAnalysis {
         coalesce(col("n"), lit(0L)).as("n_hits"))
   }
 
+  /** Punctuation ratio over a text column (null on empty text). */
+  private def punctRatioExpr(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")) /
+      nullif(length(text).cast("double"), lit(0.0))
+
+  /** English-stopword ratio over a token-array column (null on no
+    * tokens). */
+  private def stopRatioExpr(toks: Column): Column =
+    size(filter(toks, tk => tk.isin(enStopwords: _*))).cast("double") /
+      nullif(size(toks).cast("double"), lit(0.0))
+
+  /** Composite quality score over (text, tokens) columns — shared by
+    * [[textQuality]] and [[CorpusClean]]'s fused single-scan pipeline
+    * so the two stay in exact sync (and with the DuckDB oracle).
+    *
+    * +1e-9 before rounding: ratios of small ints land exactly on
+    * x.xxxx5 half-way points, where a 1-ulp cross-engine difference
+    * flips the 4th decimal; the epsilon breaks the tie identically in
+    * Spark and the DuckDB oracle.
+    */
+  def qualityScoreExpr(text: Column, toks: Column): Column =
+    round(
+      lit(0.4) * coalesce(stopRatioExpr(toks), lit(0.0)) +
+      lit(0.3) * (lit(1.0) - coalesce(punctRatioExpr(text), lit(0.0))) +
+      lit(0.3) * least(size(toks).cast("double") / 100.0, lit(1.0)) + lit(1e-9), 4)
+
+  /** Map-side "does this doc language-ID as `lang`" predicate over a
+    * token-array column: same occurrence counts and (count desc, lang
+    * asc) tie-break as [[textLangId]], zero hits → no language — but
+    * as pure column expressions, no explode/join/window. Used by
+    * composites that only need the predicate, where a per-doc argmax
+    * shuffle would be waste.
+    */
+  def isPredLangExpr(toks: Column, lang: String): Column = {
+    def hits(l: String): Column =
+      size(filter(toks,
+        tk => tk.isin(stopwordLexicon.collect { case (`l`, w) => w }: _*)))
+    val n = hits(lang)
+    val others = stopwordLexicon.map(_._1).distinct.filterNot(_ == lang)
+    others.map(o => if (o < lang) n > hits(o) else n >= hits(o))
+      .foldLeft(n >= 1)(_ && _)
+  }
+
   /** T2 — quality scoring: token count, punctuation ratio, stopword
     * ratio, and a composite quality score. Map-only (no shuffle):
     * every feature is a column expression over one scan.
     */
   def textQuality(t: Tables): DataFrame = {
     val toks = tokens(col("text"))
-    val nToks = size(toks).cast("long")
-    val nChars = length(col("text")).cast("double")
-    val punctCnt = length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-    val stopCnt = size(filter(toks, tk => tk.isin(enStopwords: _*)))
-    val punctRatio = punctCnt / nullif(nChars, lit(0.0))
-    val stopRatio = stopCnt.cast("double") / nullif(nToks.cast("double"), lit(0.0))
-    // +1e-9 before rounding: ratios of small ints land exactly on
-    // x.xxxx5 half-way points, where a 1-ulp cross-engine difference
-    // flips the 4th decimal; the epsilon breaks the tie identically in
-    // Spark and the DuckDB oracle.
     val eps = lit(1e-9)
     t.documents.select(
       col("doc_id"),
-      nToks.as("n_tokens"),
-      round(punctRatio + eps, 4).as("punct_ratio"),
-      round(stopRatio + eps, 4).as("stop_ratio"),
-      round(
-        lit(0.4) * coalesce(stopRatio, lit(0.0)) +
-        lit(0.3) * (lit(1.0) - coalesce(punctRatio, lit(0.0))) +
-        lit(0.3) * least(nToks.cast("double") / 100.0, lit(1.0)) + eps, 4)
-        .as("quality_score"))
+      size(toks).cast("long").as("n_tokens"),
+      round(punctRatioExpr(col("text")) + eps, 4).as("punct_ratio"),
+      round(stopRatioExpr(toks) + eps, 4).as("stop_ratio"),
+      qualityScoreExpr(col("text"), toks).as("quality_score"))
   }
 
   /** T3 — token counting: whitespace tokens vs a BPE-ish regex
