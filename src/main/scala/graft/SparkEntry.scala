@@ -74,6 +74,7 @@ object SparkEntry {
     "stream_window_agg"   -> q(graft.streaming.Streaming.streamWindowAgg),
     "stream_dedup"        -> q(graft.streaming.Streaming.streamDedup),
     "stream_static_join"  -> q(graft.streaming.Streaming.streamStaticJoin),
+    "stream_sessionize"   -> q(graft.streaming.Streaming.streamSessionize),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
@@ -392,6 +393,16 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        | s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        | t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        | round(sum(value),2) AS sum_value
+        |FROM t GROUP BY 1,2""".stripMargin,
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,

@@ -102,6 +102,34 @@ object Streaming {
     drainToTable(enriched, "complete")
   }
 
+  /** X3 — `stream_sessionize`: the custom flatMapGroupsWithState
+    * sessionizer ([[StatefulSessionize]]) driven end-to-end — event
+    * file stream → per-user gap sessionization with carried state →
+    * update-mode sink. In update mode the open session's row is
+    * re-emitted every batch that extends it, so the final emission per
+    * (user, session) is selected by max n_events (strictly increasing
+    * within a session); closed sessions are emitted exactly once.
+    * Batch-equivalent to [[graft.operators.Relational.qSessionize]],
+    * which is what the DuckDB oracle checks.
+    */
+  def streamSessionize(t: Tables): DataFrame = {
+    import StatefulSessionize.Ev
+    val spark = t.spark
+    import spark.implicits._
+    val typed = eventsStream(t)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("value"))
+      .as[Ev]
+    val sess = StatefulSessionize.sessionize(typed, gapUs = 1800000000L)
+    drainToTable(sess.toDF(), "update")
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
+      .select(col("user_id"), col("session_id"),
+        col("fin.n_events").as("n_events"),
+        round(col("fin.sum_value"), 2).as("sum_value"))
+  }
+
   /** X2 — `stream_dedup`: streaming dropDuplicates on
     * (user_id, event_type) — first event per user/type survives — then
     * a per-type distinct-user count over the deduped stream. State is
