@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -84,6 +84,18 @@ case class AsOfJoinExec(
         private var rNext: InternalRow = advanceRight()
         private var best: InternalRow = null // last right row for best's key
         private var bestKey: Long = 0L
+        // single reusable buffer for the carried right row: the sort
+        // iterator reuses its UnsafeRow, so the candidate must be
+        // copied before advancing — but into ONE buffer (copyFrom
+        // reuses the backing array), not a fresh allocation per
+        // consumed right row as row.copy() would be
+        private val bestBuf = new UnsafeRow(rightArity)
+        bestBuf.pointTo(new Array[Byte](64), 64) // copyFrom needs a byte[]-backed target; it grows on demand
+
+        private def retainBest(r: InternalRow): InternalRow = r match {
+          case u: UnsafeRow => bestBuf.copyFrom(u); bestBuf
+          case other => other.copy()
+        }
 
         private def advanceRight(): InternalRow =
           if (rit.hasNext) rit.next() else null
@@ -106,7 +118,7 @@ case class AsOfJoinExec(
                 val rk = rNext.getLong(rkOrd)
                 if (rk < lk || (rk == lk && rNext.getLong(rtOrd) <= lt)) {
                   if (rk == lk) {
-                    best = rNext.copy() // retained across iterator steps
+                    best = retainBest(rNext) // retained across iterator steps
                     bestKey = rk
                   }
                   rNext = advanceRight()

@@ -46,4 +46,26 @@ object Sources {
     val w2 = if (fmt == "csv") w1.option("header", "true") else w1
     w2.save(path)
   }
+
+  /** Write `df` as a bucketed (and optionally sort-within-bucket)
+    * parquet table — bucket metadata lives in the catalog, so this is
+    * `saveAsTable`, with an explicit `path` for an external table.
+    *
+    * This is the 100 TB fact-table layout: equi-joins and aggregations
+    * keyed on the bucket columns between same-bucketed tables skip
+    * their shuffle entirely (ScaleSpec pins the zero-join-exchange
+    * plan), and in-bucket sort order makes the merge side of a
+    * sort-merge join scan-ready.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      nBuckets: Int, sortCols: Seq[String] = Nil, path: Option[String] = None,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val w0 = df.write.format("parquet").mode(mode)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+    val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
+    val w2 = path.fold(w1)(p => w1.option("path", p))
+    w2.saveAsTable(table)
+  }
 }

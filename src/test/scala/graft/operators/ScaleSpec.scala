@@ -37,15 +37,14 @@ class ScaleSpec extends SparkSpec {
     val t = tables
     val wh = Files.createTempDirectory("graft-warehouse").toString
     val n = 8
-    // bucket both sides on the join key → co-located join
-    t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .write.mode("overwrite")
-      .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
-      .option("path", s"$wh/orders_b").saveAsTable("orders_b")
-    t.lineitem.select(col("l_orderkey"), col("l_extendedprice"))
-      .write.mode("overwrite")
-      .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
-      .option("path", s"$wh/lineitem_b").saveAsTable("lineitem_b")
+    // bucket both sides on the join key → co-located join (via the
+    // production writer API)
+    graft.sources.Sources.writeBucketed(
+      t.orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      "orders_b", Seq("o_orderkey"), n, Seq("o_orderkey"), Some(s"$wh/orders_b"))
+    graft.sources.Sources.writeBucketed(
+      t.lineitem.select(col("l_orderkey"), col("l_extendedprice")),
+      "lineitem_b", Seq("l_orderkey"), n, Seq("l_orderkey"), Some(s"$wh/lineitem_b"))
     // force a shuffled join (tiny test tables would auto-broadcast and
     // hide the bucket co-location being demonstrated)
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
