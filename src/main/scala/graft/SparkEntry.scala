@@ -59,6 +59,7 @@ object SparkEntry {
     "text_tokens"         -> q(TextAnalysis.textTokens),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
+    "text_repetition"     -> q(TextAnalysis.textRepetition),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -68,6 +69,7 @@ object SparkEntry {
     // §2.4 similarity search ("ann_lsh_topk" is rows-only: no oracle)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
+    "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
     // §2.7 structured streaming
@@ -75,6 +77,7 @@ object SparkEntry {
     "stream_dedup"        -> q(graft.streaming.Streaming.streamDedup),
     "stream_static_join"  -> q(graft.streaming.Streaming.streamStaticJoin),
     "stream_sessionize"   -> q(graft.streaming.Streaming.streamSessionize),
+    "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
@@ -337,6 +340,23 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT t.doc_id, md5(t.norm) AS fp, tk.min_tok_hash
         |FROM t LEFT JOIN tk USING (doc_id)""".stripMargin,
+    "text_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS n FROM tk GROUP BY 1,2),
+        |s AS (SELECT doc_id, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+        |  max(n)::BIGINT AS top_tok_n FROM c GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.n_tokens,0) AS n_tokens,
+        | coalesce(s.n_distinct,0) AS n_distinct,
+        | round(1.0 - s.n_distinct*1.0/s.n_tokens + 1e-9, 4) AS dup_ratio,
+        | round(s.top_tok_n*1.0/s.n_tokens + 1e-9, 4) AS top_ratio
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    "stream_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
+        |SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+        | a.ts AS click_ts, b.ts AS view_ts
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        | AND a.event_type = 'click' AND b.event_type = 'view'
+        | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""".stripMargin,
     "text_ngram_freq" ->
       s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
         |bg AS (SELECT array_to_string(toks[i:i+1],' ') AS bigram

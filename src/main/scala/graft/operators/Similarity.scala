@@ -89,4 +89,50 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
       .filter(col("rnk") <= TopK)
   }
+
+  /** S4 — IVF(-Flat) approximate top-k: the other classic ANN scale
+    * path, complementing the LSH variant.
+    *
+    * Coarse quantizer: `nCells` deterministic centroids (the first
+    * `nCells` corpus vectors — in production the offline k-means
+    * output; only the K centroid vectors ever reach the driver, a
+    * bounded O(K·dims) collect). Each corpus vector is assigned
+    * map-side to its best cell (argmax of K codegen cosines via a
+    * lexicographic `greatest` over (score, cell) structs). Queries
+    * probe their `nProbe` best cells; candidates are corpus vectors in
+    * probed cells, so the join is keyed by cell id — the shuffle
+    * carries cell-assigned rows, never an all-pairs shape — and only
+    * candidates pay the exact ranking cosine. Recall/cost tunes with
+    * nCells (bucket size) and nProbe, exactly like IVF indexes in
+    * production ANN systems.
+    */
+  def annIvfTopK(t: Tables, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = withEmb(t)
+    val cents: Seq[(Int, Seq[Double])] = e
+      .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + nCells)
+      .orderBy(col("vec_id")).collect()
+      .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
+
+    def scoredCells(emb: Column) = cents.map { case (cid, v) =>
+      struct(cosineSimilarity(emb, typedlit(v)).as("s"), lit(cid).as("c"))
+    }
+    // argmax cell: lexicographic greatest on (score, cell)
+    def cellOf(emb: Column): Column = greatest(scoredCells(emb): _*).getField("c")
+    // top-nProbe cells for a query: sort the (score, cell) structs desc
+    def probeCells(emb: Column): Column =
+      transform(slice(reverse(array_sort(array(scoredCells(emb): _*))), 1, nProbe),
+        s => s.getField("c"))
+
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+      .withColumn("cell", cellOf(col("emb")))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(probeCells(col("emb"))).as("cell"))
+    corpus.join(broadcast(queries), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
 }

@@ -174,6 +174,33 @@ object TextAnalysis {
       array_min(transform(array_distinct(tokens(col("text"))), tk => md5(tk)))
         .as("min_tok_hash"))
 
+  /** T6 — repetition stats (Gopher-style quality rules): per doc, the
+    * duplicate-token ratio (1 − distinct/total) and the top single
+    * token's frequency share. High values flag the boilerplate /
+    * keyword-stuffed docs an LLM-data pipeline drops. One explode +
+    * two-level aggregation, both with map-side partial agg; the
+    * shuffle is keyed by (doc_id, token) then doc_id.
+    */
+  def textRepetition(t: Tables): DataFrame = {
+    val stats = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("n")).as("top_tok_n"))
+    val eps = lit(1e-9)
+    t.documents.select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens") + eps, 4)
+          .as("dup_ratio"),
+        round(col("top_tok_n").cast("double") / col("n_tokens") + eps, 4)
+          .as("top_ratio"))
+  }
+
   /** T5 — corpus-level top-20 bigram frequencies with a deterministic
     * (count desc, bigram asc) tiebreak. One aggregation shuffle on the
     * bigram key; the top-k is a TakeOrderedAndProject, no global sort.

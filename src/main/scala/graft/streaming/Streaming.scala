@@ -130,6 +130,35 @@ object Streaming {
         round(col("fin.sum_value"), 2).as("sum_value"))
   }
 
+  /** X4 — `stream_stream_join`: watermarked stream-stream inner join —
+    * click events joined to the same user's view events within the
+    * preceding hour. Both sides carry event-time watermarks and the
+    * join condition includes the time range, so on a live cluster the
+    * join state is pruned as the watermark advances (bounded state at
+    * any stream length); state shards by user_id. The bounded
+    * availableNow drain emits exactly the batch-join result, which is
+    * what the DuckDB oracle checks.
+    */
+  def streamStreamJoin(t: Tables): DataFrame = {
+    def side(evType: String, idAs: String, tsAs: String) =
+      eventsStream(t)
+        .filter(col("event_type") === evType)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as(s"${evType}_user"),
+          col("event_id").as(idAs), col("ts").as(tsAs))
+    val clicks = side("click", "click_id", "click_ts")
+    val views = side("view", "view_id", "view_ts")
+    val joined = clicks.join(views,
+      col("click_user") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"))
+    drainToTable(joined, "append")
+      .select(col("click_user").as("user_id"), col("click_id"), col("view_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"))
+  }
+
   /** X2 — `stream_dedup`: streaming dropDuplicates on
     * (user_id, event_type) — first event per user/type survives — then
     * a per-type distinct-user count over the deduped stream. State is

@@ -89,4 +89,17 @@ class AnnLshRecallSpec extends SparkSpec {
     // meaningful fraction of the exact top-k, not a guarantee
     assert(recall > 0.1, s"recall $recall unexpectedly low")
   }
+
+  test("ivf top-k recall over brute force is reasonable at 16 cells / 4 probes") {
+    val t = tables
+    val exact = Similarity.annBruteForceTopK(t)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvfTopK(t)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.nonEmpty, "ivf returned no candidates")
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // probing 4/16 cells scans ~1/4 of the corpus; cell locality should
+    // beat random sampling clearly
+    assert(recall > 0.25, s"recall $recall unexpectedly low")
+  }
 }
