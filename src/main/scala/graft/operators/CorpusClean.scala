@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -13,16 +14,14 @@ import graft.Tables
   *   MinHash-LSH near-duplicate pair.
   *
   * One corpus scan, not three: the tokenized projection (doc_id, text,
-  * toks) is computed once and cached, then (a) language-ID and quality
-  * are evaluated MAP-SIDE over it as pure column expressions
-  * ([[TextAnalysis.isPredLangExpr]] / [[TextAnalysis.qualityScoreExpr]]
-  * — the per-doc argmax shuffle of the standalone `text_lang_id`
-  * operator is waste when only the "is English" predicate is needed),
-  * and (b) the MinHash-LSH dup pairs are generated from the same
-  * cached projection via [[Dedup.minhashPairsFrom]]. On a cluster the
-  * cached projection is a staging write; the only shuffles left are
-  * the MinHash signature aggregate, the band candidate join, and the
-  * final left-anti join on doc_id.
+  * toks) is computed once and cached (a staging write on a real
+  * cluster), and all three stages consume it — language-ID as the
+  * explode → broadcast-lexicon join → per-doc argmax (all codegen;
+  * counting hits with interpreted higher-order `filter` lambdas
+  * instead benches ~2× slower, the SURVEY §8 HOF trap), quality as
+  * map-side column expressions ([[TextAnalysis.qualityScoreExpr]],
+  * shared with `text_quality`), and the MinHash-LSH dup pairs via
+  * [[Dedup.minhashPairsFrom]].
   *
   * The quality filter applies to the ROUNDED score — both engines
   * produce identical rounded values, so the threshold is stable
@@ -31,17 +30,30 @@ import graft.Tables
 object CorpusClean {
 
   def corpusClean(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
     val docs = t.documents
-      .repartition(t.spark.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .persist()
 
+    val lex = TextAnalysis.stopwordLexicon.toDF("slang", "word")
+    val enDocs = docs
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .join(broadcast(lex), col("tok") === col("word"))
+      .groupBy(col("doc_id"), col("slang")).agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(desc("n"), asc("slang"))))
+      .filter(col("rn") === 1 && col("slang") === "en")
+      .select(col("doc_id"), lit("en").as("lang_pred"))
+
     val kept = docs
-      .filter(TextAnalysis.isPredLangExpr(col("toks"), "en"))
-      .select(col("doc_id"), lit("en").as("lang_pred"),
+      .select(col("doc_id"),
         TextAnalysis.qualityScoreExpr(col("text"), col("toks")).as("quality_score"))
       .filter(col("quality_score") >= 0.5)
+      .join(enDocs, "doc_id")
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"))
 
     val nearDups = Dedup.minhashPairsFrom(Dedup.shingleSetFrom(docs))
       .select(col("doc_id_2").as("doc_id"))

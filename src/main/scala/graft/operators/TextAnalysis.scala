@@ -118,23 +118,6 @@ object TextAnalysis {
       lit(0.3) * (lit(1.0) - coalesce(punctRatioExpr(text), lit(0.0))) +
       lit(0.3) * least(size(toks).cast("double") / 100.0, lit(1.0)) + lit(1e-9), 4)
 
-  /** Map-side "does this doc language-ID as `lang`" predicate over a
-    * token-array column: same occurrence counts and (count desc, lang
-    * asc) tie-break as [[textLangId]], zero hits → no language — but
-    * as pure column expressions, no explode/join/window. Used by
-    * composites that only need the predicate, where a per-doc argmax
-    * shuffle would be waste.
-    */
-  def isPredLangExpr(toks: Column, lang: String): Column = {
-    def hits(l: String): Column =
-      size(filter(toks,
-        tk => tk.isin(stopwordLexicon.collect { case (`l`, w) => w }: _*)))
-    val n = hits(lang)
-    val others = stopwordLexicon.map(_._1).distinct.filterNot(_ == lang)
-    others.map(o => if (o < lang) n > hits(o) else n >= hits(o))
-      .foldLeft(n >= 1)(_ && _)
-  }
-
   /** T2 — quality scoring: token count, punctuation ratio, stopword
     * ratio, and a composite quality score. Map-only (no shuffle):
     * every feature is a column expression over one scan.
