@@ -60,6 +60,9 @@ object SparkEntry {
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
+    "text_contamination"  -> q(t => TextAnalysis.textContamination(t)),
+    "corpus_stats"        -> q(TextAnalysis.corpusStats),
+    "corpus_split"        -> q(TextAnalysis.corpusSplit),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -350,6 +353,27 @@ object SparkEntry {
         | round(1.0 - s.n_distinct*1.0/s.n_tokens + 1e-9, 4) AS dup_ratio,
         | round(s.top_tok_n*1.0/s.n_tokens + 1e-9, 4) AS top_ratio
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+    "text_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4],' ') AS g
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) s WHERE i <= len(toks)-4),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(*) AS n_hits
+        |FROM g JOIN b USING (g) WHERE g.doc_id >= 10 GROUP BY 1""".stripMargin,
+    "corpus_stats" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |d AS (SELECT len(toks)::BIGINT AS n_toks FROM t),
+        |a AS (SELECT count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens,
+        |  round(avg(n_toks)+1e-9,4) AS avg_tokens,
+        |  round(quantile_cont(n_toks,0.5)+1e-9,4) AS med_tokens FROM d),
+        |v AS (SELECT count(DISTINCT tok) AS vocab_size
+        |  FROM (SELECT unnest(toks) AS tok FROM t))
+        |SELECT * FROM a, v""".stripMargin,
+    "corpus_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(doc_id::VARCHAR),1,1) IN ('0','1')
+        |   THEN 'val' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
     "stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
         |SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,

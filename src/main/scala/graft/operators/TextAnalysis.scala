@@ -184,6 +184,59 @@ object TextAnalysis {
           .as("top_ratio"))
   }
 
+  /** T7 — benchmark decontamination: flag corpus docs sharing any
+    * distinct word-5-gram with the "benchmark" doc set (doc_id <
+    * `benchDocs`, a stand-in for an eval suite), with the overlap
+    * count — the standard eval-contamination filter of an LLM data
+    * pipeline. The benchmark gram set is tiny next to the corpus and
+    * is broadcast, so the corpus side is one explode + broadcast join
+    * + per-doc count: the shuffle carries (doc_id, count) partials
+    * only, never text.
+    */
+  def textContamination(t: Tables, n: Int = 5, benchDocs: Int = 10): DataFrame = {
+    val grams = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(ngrams(tokens(col("text")), n))).as("g"))
+    val bench = grams.filter(col("doc_id") < benchDocs).select(col("g")).distinct()
+    grams.filter(col("doc_id") >= benchDocs)
+      .join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** T8 — corpus-level stats report: doc count, token totals,
+    * mean/median tokens per doc, vocabulary size. Two aggregations
+    * (per-doc token counts reduce to one row; distinct-token count is
+    * one keyed shuffle) cross-joined into a single summary row — the
+    * "corpus card" numbers every dataset release publishes.
+    */
+  def corpusStats(t: Tables): DataFrame = {
+    val eps = lit(1e-9)
+    val perDoc = t.documents
+      .select(size(tokens(col("text"))).cast("long").as("n_toks"))
+    val agg = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).as("total_tokens"),
+      round(avg(col("n_toks")) + eps, 4).as("avg_tokens"),
+      round(percentile(col("n_toks"), lit(0.5)) + eps, 4).as("med_tokens"))
+    val vocab = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab_size"))
+    agg.crossJoin(vocab)
+  }
+
+  /** T9 — deterministic train/validation split: assignment is a pure
+    * function of doc_id (first md5 hex nibble ∈ {0,1} → ~12.5% "val"),
+    * so the split is reproducible on any engine, any run, any
+    * partitioning — no sampled state to coordinate. Map-only.
+    */
+  def corpusSplit(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), "val")
+        .otherwise("train").as("split"))
+
   /** T5 — corpus-level top-20 bigram frequencies with a deterministic
     * (count desc, bigram asc) tiebreak. One aggregation shuffle on the
     * bigram key; the top-k is a TakeOrderedAndProject, no global sort.
