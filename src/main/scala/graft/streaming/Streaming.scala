@@ -52,16 +52,33 @@ object Streaming {
   }
 
   /** Drain `df` through a streaming query into a memory sink and
-    * return the sink table. */
+    * return the sink table.
+    *
+    * State-partition sizing: a streaming query pins its state-store
+    * partition count to `spark.sql.shuffle.partitions` AT FIRST START,
+    * and every micro-batch then pays per-partition state-store setup
+    * for each stateful operator. That count should track the stream's
+    * state volume, not the batch-analytics default —
+    * `graft.streaming.statePartitions` (default 8 on the local rig)
+    * scopes it for the query's start; a production deploy sets it to
+    * ~1-2x executor count. Batch queries in the same session are
+    * unaffected (the conf is restored immediately after start).
+    */
   private def drainToTable(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_${runSeq.getAndIncrement()}"
-    val q = df.writeStream
-      .trigger(Trigger.AvailableNow())
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
+    val stateParts = spark.conf.getOption("graft.streaming.statePartitions")
+      .getOrElse("8")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val q = try {
+      spark.conf.set("spark.sql.shuffle.partitions", stateParts)
+      df.writeStream
+        .trigger(Trigger.AvailableNow())
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(name)
   }
