@@ -83,6 +83,40 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("near-dup pair generators: keyed joins only, never cartesian") {
+    for (df <- Seq(Dedup.dedupNgramJaccard(tables), Dedup.dedupMinhashLsh(tables),
+        Dedup.dedupSimhash(tables))) {
+      val p = plan(df)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("ann_ivf: cell-keyed candidate join, queries broadcast") {
+    val p = plan(Similarity.annIvfTopK(tables))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("text_contamination: benchmark gram set broadcast, no payload shuffle") {
+    val p = plan(TextAnalysis.textContamination(tables))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("corpus_split: map-only, no exchange") {
+    val p = plan(TextAnalysis.corpusSplit(tables))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("corpus_clean: tokenized projection computed once (cached scan reused)") {
+    val df = CorpusClean.corpusClean(tables)
+    val p = plan(df)
+    // every stage must read the cached projection (the parquet scan
+    // only appears inside the InMemoryRelation's own build lineage)
+    val scans = p.linesIterator.count(_.contains("InMemoryTableScan"))
+    assert(scans >= 2, s"expected >=2 cached-scan readers, got $scans:\n$p")
+  }
+
   test("asof join: single shuffle, no range-explosion join") {
     val p = plan(Relational.qAsofJoin(tables))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
