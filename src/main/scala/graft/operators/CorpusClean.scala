@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -30,22 +29,16 @@ import graft.Tables
 object CorpusClean {
 
   def corpusClean(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
     val docs = t.documents
-      .repartition(spark.sparkContext.defaultParallelism)
+      .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"),
         TextAnalysis.tokens(col("text")).as("toks"))
       .persist()
+    docs.count() // populate eagerly: the three stages race the lazy cache otherwise
 
-    val lex = TextAnalysis.stopwordLexicon.toDF("slang", "word")
-    val enDocs = docs
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .join(broadcast(lex), col("tok") === col("word"))
-      .groupBy(col("doc_id"), col("slang")).agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(desc("n"), asc("slang"))))
-      .filter(col("rn") === 1 && col("slang") === "en")
+    val enDocs = TextAnalysis.langArgmax(
+        docs.select(col("doc_id"), explode(col("toks")).as("tok")))
+      .filter(col("slang") === "en")
       .select(col("doc_id"), lit("en").as("lang_pred"))
 
     val kept = docs

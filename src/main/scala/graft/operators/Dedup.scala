@@ -102,6 +102,7 @@ object Dedup {
       // write. The index is O(docs · shingles · 8B), tiny next to the
       // corpus.
       .persist()
+    packed.count() // populate eagerly: downstream branches race the lazy cache otherwise
     val pref = packed.select(col("doc_id"), explode(col("prefix")).as("ph"))
     val cand = pref.as("a")
       .join(pref.as("b"),
@@ -148,9 +149,14 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as("bh"))
     }
+    // materialize the (tiny: 4 rows/doc) band index once — the
+    // self-join would otherwise re-run the whole shingle+signature
+    // lineage on each side
     val bands = mh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist()
+    bands.count() // populate eagerly: the join's two branches race the lazy cache otherwise
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -193,6 +199,9 @@ object Dedup {
           shiftright(col("simhash"), 8 * (3 - b)).bitwiseAND(lit(255L)).as("bv"))
       }: _*)).as("kb"))
       .select(col("doc_id"), col("simhash"), col("kb.blk").as("blk"), col("kb.bv").as("bv"))
+      // materialize once: same self-join lineage-duplication as minhash
+      .persist()
+    blocks.count()
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
@@ -242,9 +251,14 @@ object Dedup {
       }.reduce(_ + _)
       struct(lit(j).as("band"), bv.as("bv"))
     }
+    // materialize the (vec_id, band, bucket) index once: the self-join
+    // would otherwise compute all nBands·bitsPerBand signature dot
+    // products twice per vector
     val banded = e
       .select(col("vec_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+      .persist()
+    banded.count()
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

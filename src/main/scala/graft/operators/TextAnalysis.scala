@@ -62,28 +62,46 @@ object TextAnalysis {
   val enStopwords: Seq[String] =
     stopwordLexicon.collect { case ("en", w) => w }
 
-  /** T1 — language ID: explode tokens, broadcast-join the lexicon,
-    * argmax hit-count per doc with a deterministic (count desc, lang
-    * asc) tiebreak; docs with zero hits come back as "und".
-    * One narrow shuffle on doc_id; the lexicon is broadcast.
+  /** Winning language per doc over exploded (doc_id, tok) rows:
+    * broadcast-lexicon join, per-(doc, lang) hit counts, then the
+    * argmax as `max` of a (n, inverted-lang-code, lang) struct — the
+    * (count desc, lang asc) tie-break encoded ordinally, so the winner
+    * falls out of a partial-aggregating `max` instead of a per-doc
+    * window sort. Returns (doc_id, slang, n).
     */
-  def textLangId(t: Tables): DataFrame = {
-    val spark = t.spark
+  private[operators] def langArgmax(tokRows: DataFrame): DataFrame = {
+    val spark = tokRows.sparkSession
     import spark.implicits._
     val lex = stopwordLexicon.toDF("slang", "word")
-    val docs = t.documents
-    val hits = docs
-      // pre-explode rebalance: token explosion is ~50× the input rows,
-      // so parallelism must not depend on the scan's file split
-      .repartition(spark.sparkContext.defaultParallelism)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val langs = stopwordLexicon.map(_._1).distinct.sorted
+    // alphabetically-first language gets the LARGEST code: on hit-count
+    // ties, struct-max then picks exactly the window tie-break's winner
+    val codeExpr = langs.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (l, i)) => when(col("slang") === l, lit(langs.size - i)).otherwise(acc)
+    }
+    tokRows
       .join(broadcast(lex), col("tok") === col("word"))
       .groupBy(col("doc_id"), col("slang"))
       .agg(count(lit(1)).as("n"))
-    val best = hits
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(desc("n"), asc("slang"))))
-      .filter(col("rn") === 1)
+      .select(col("doc_id"), struct(col("n"), codeExpr.as("c"), col("slang")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("s")).as("m"))
+      .select(col("doc_id"), col("m.slang").as("slang"), col("m.n").as("n"))
+  }
+
+  /** T1 — language ID: explode tokens, broadcast-join the lexicon,
+    * argmax hit-count per doc with a deterministic (count desc, lang
+    * asc) tiebreak; docs with zero hits come back as "und".
+    * Two narrow keyed aggregations (both partial-agg); the lexicon is
+    * broadcast.
+    */
+  def textLangId(t: Tables): DataFrame = {
+    val docs = t.documents
+    val best = langArgmax(docs
+      // pre-explode rebalance: token explosion is ~50× the input rows,
+      // so parallelism must not depend on the scan's file split
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok")))
     docs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(
