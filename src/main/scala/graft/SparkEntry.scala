@@ -73,6 +73,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
+    "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
     // §2.7 structured streaming
@@ -501,6 +502,20 @@ object SparkEntry {
         |SELECT doc_id, i::INTEGER AS frame_idx, md5(text || ':' || i) AS frame_hash
         |FROM f, (SELECT unnest(generate_series(0,200)) AS i) g
         |WHERE i < n_frames AND i % 5 = 0""".stripMargin,
+    "embed_centroids" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
+        |corp AS (SELECT * FROM e WHERE vec_id >= 10),
+        |s AS (SELECT corp.vec_id, c.cell, list_cosine_similarity(corp.emb, c.cemb) AS sc
+        |  FROM corp CROSS JOIN c),
+        |a AS (SELECT vec_id, cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sc DESC, cell DESC) AS rn FROM s)
+        |  WHERE rn = 1),
+        |x AS (SELECT a.cell, (g.i - 1)::INT AS pos, corp.emb[g.i] AS v
+        |  FROM a JOIN corp USING (vec_id), (SELECT unnest(generate_series(1,64)) AS i) g),
+        |m AS (SELECT cell, pos, round(avg(v) + 1e-9, 4) AS m FROM x GROUP BY 1,2),
+        |n AS (SELECT cell, count(*) AS n_members FROM a GROUP BY 1)
+        |SELECT m.cell, n.n_members, m.pos, m.m FROM m JOIN n USING (cell)""".stripMargin,
     "ann_bruteforce_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),

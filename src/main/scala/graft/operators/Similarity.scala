@@ -106,25 +106,35 @@ object Similarity {
     * nCells (bucket size) and nProbe, exactly like IVF indexes in
     * production ANN systems.
     */
-  def annIvfTopK(t: Tables, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val e = withEmb(t)
-    val cents: Seq[(Int, Seq[Double])] = e
+  /** The first `nCells` corpus vectors as deterministic coarse
+    * centroids (cell i ↔ vec_id NumQueries+i); a bounded O(K·dims)
+    * driver collect — in production the offline k-means output. */
+  private def centroidSeq(t: Tables, nCells: Int): Seq[(Int, Seq[Double])] =
+    withEmb(t)
       .filter(col("vec_id") >= NumQueries && col("vec_id") < NumQueries + nCells)
       .orderBy(col("vec_id")).collect()
       .zipWithIndex.map { case (r, i) => i -> r.getSeq[Double](1) }.toSeq
 
-    def scoredCells(emb: Column) = cents.map { case (cid, v) =>
+  private def scoredCells(emb: Column, cents: Seq[(Int, Seq[Double])]) =
+    cents.map { case (cid, v) =>
       struct(cosineSimilarity(emb, typedlit(v)).as("s"), lit(cid).as("c"))
     }
-    // argmax cell: lexicographic greatest on (score, cell)
-    def cellOf(emb: Column): Column = greatest(scoredCells(emb): _*).getField("c")
+
+  /** Map-side argmax cell: lexicographic greatest on (score, cell). */
+  private def cellOf(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
+    greatest(scoredCells(emb, cents): _*).getField("c")
+
+  def annIvfTopK(t: Tables, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = withEmb(t)
+    val cents = centroidSeq(t, nCells)
+
     // top-nProbe cells for a query: sort the (score, cell) structs desc
     def probeCells(emb: Column): Column =
-      transform(slice(reverse(array_sort(array(scoredCells(emb): _*))), 1, nProbe),
+      transform(slice(reverse(array_sort(array(scoredCells(emb, cents): _*))), 1, nProbe),
         s => s.getField("c"))
 
     val corpus = e.filter(col("vec_id") >= NumQueries)
-      .withColumn("cell", cellOf(col("emb")))
+      .withColumn("cell", cellOf(col("emb"), cents))
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
         explode(probeCells(col("emb"))).as("cell"))
@@ -134,5 +144,33 @@ object Similarity {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
       .filter(col("rnk") <= TopK)
+  }
+
+  /** S5 — `embed_centroids`: the distributed k-means UPDATE step over
+    * the IVF cells — assign every corpus vector to its best cell
+    * (map-side codegen cosines, no shuffle of vectors beyond the one
+    * keyed aggregation) and recompute per-cell mean vectors.
+    *
+    * The per-dimension mean runs as posexplode → partial-aggregating
+    * groupBy (cell, dim) → re-assembly sorted by dim: the shuffle
+    * carries (cell, dim, partial-sum) triples, so centroid recompute
+    * at 100 TB is one map pass + one bounded agg regardless of corpus
+    * size — the canonical scalable k-means iteration. Output is the
+    * flat (cell, n_members, dimension, mean) form — relational and
+    * engine-comparable; re-assembling array centroids is one
+    * `sort_array(collect_list(...))` away. Means rounded (+1e-9 tie
+    * nudge) for cross-engine compare.
+    */
+  def embedCentroids(t: Tables, nCells: Int = 16): DataFrame = {
+    val cents = centroidSeq(t, nCells)
+    val assigned = withEmb(t).filter(col("vec_id") >= NumQueries)
+      .withColumn("cell", cellOf(col("emb"), cents))
+    val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+    assigned
+      .select(col("cell"), posexplode(col("emb")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(round(avg(col("col")) + lit(1e-9), 4).as("m"))
+      .join(counts, "cell")
+      .select(col("cell"), col("n_members"), col("pos"), col("m"))
   }
 }
