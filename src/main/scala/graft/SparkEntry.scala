@@ -33,6 +33,11 @@ object SparkEntry {
     "q18_large_orders"    -> q(Relational.q18LargeOrders),
     "q19_disjunctive"     -> q(Relational.q19Disjunctive),
     "q22_idle_customers"  -> q(Relational.q22IdleCustomers),
+    "q8_market_share"     -> q(Relational.q8MarketShare),
+    "q9_product_profit"   -> q(Relational.q9ProductProfit),
+    "q12_late_shipments"  -> q(Relational.q12LateShipments),
+    "q13_cust_distribution"-> q(Relational.q13CustDistribution),
+    "q17_small_qty"       -> q(Relational.q17SmallQty),
     "q_group_multi"       -> q(Relational.qGroupMulti),
     "q_window_rank"       -> q(Relational.qWindowRank),
     "q_window_running"    -> q(Relational.qWindowRunning),
@@ -202,6 +207,49 @@ object SparkEntry {
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH asia AS (SELECT n_nationkey FROM nation JOIN region ON n_regionkey=r_regionkey
+        |  WHERE r_name='ASIA')
+        |SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | round(CAST(sum(CASE WHEN ns.n_name='NATION_5'
+        |     THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |     ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+        |   + 1e-9, 4) AS mkt_share
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        | JOIN customer ON o_custkey=c_custkey
+        | JOIN asia ON c_nationkey=asia.n_nationkey
+        | JOIN part ON l_partkey=p_partkey AND p_type='STANDARD'
+        | JOIN supplier ON l_suppkey=s_suppkey
+        | JOIN nation ns ON s_nationkey=ns.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS profit
+        |FROM lineitem JOIN part ON l_partkey=p_partkey AND p_name LIKE '%red%'
+        | JOIN orders ON l_orderkey=o_orderkey
+        | JOIN supplier ON l_suppkey=s_suppkey
+        | JOIN nation ON s_nationkey=n_nationkey
+        |GROUP BY 1,2""".stripMargin,
+    "q12_late_shipments" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high' ELSE 'low' END
+        |  AS priority_class, count(*) AS n_late
+        |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1""".stripMargin,
+    "q13_cust_distribution" ->
+      """WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice)/7.0 + 1e-9, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#23'
+        | AND l_quantity < (SELECT 0.2*avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q_group_multi" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice),2) AS sum_price,

@@ -405,4 +405,88 @@ object Relational {
         date_trunc("hour", col("ts")).as("hour_ts"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+  /** Exact decimal revenue term (order-independent sums; see q7). */
+  private def decRevenue: Column =
+    col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+
+  /** TPC-H Q8-flavored: one supplier nation's share of a region's
+    * STANDARD-part customer revenue, per year. All dims broadcast; one
+    * fact shuffle chain; share = ratio of two exact decimal sums. */
+  def q8MarketShare(t: Tables): DataFrame = {
+    val asiaNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    t.lineitem
+      .join(t.orders.filter(
+          col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("cnk"))
+      .join(broadcast(t.part.filter(col("p_type") === "STANDARD")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("snk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_5", decRevenue)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(decRevenue).cast("double") + 1e-9, 4).as("mkt_share"))
+  }
+
+  /** TPC-H Q9-flavored: profit by supplier nation and year for parts
+    * matching a name fragment (no partsupp table in this corpus, so
+    * profit = discounted revenue). */
+  def q9ProductProfit(t: Tables): DataFrame =
+    t.lineitem
+      .join(broadcast(t.part.filter(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(decRevenue), 2).cast("double").as("profit"))
+
+  /** TPC-H Q12-flavored: late-shipment counts by order-priority class
+    * (this corpus has no shipmode; lateness = shipped >90 days after
+    * the order date). */
+  def q12LateShipments(t: Tables): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .otherwise("low").as("priority_class"))
+      .agg(count(lit(1)).as("n_late"))
+
+  /** TPC-H Q13: distribution of per-customer order counts (left join
+    * keeps zero-order customers; the anti-filter rides the join
+    * condition). */
+  def q13CustDistribution(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.filter(col("o_orderpriority") =!= "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q17: yearly revenue opportunity from small-quantity orders
+    * of one brand's parts — the correlated avg-quantity subquery
+    * decorrelates into a per-part aggregate join (computed only over
+    * the brand's lineitems, as correlation would). */
+  def q17SmallQty(t: Tables): DataFrame = {
+    val brandParts = broadcast(t.part.filter(col("p_brand") === "Brand#23"))
+    val thr = t.lineitem
+      .join(brandParts.select(col("p_partkey").as("tp")), col("l_partkey") === col("tp"))
+      .groupBy(col("l_partkey").as("ap"))
+      .agg((avg(col("l_quantity")) * 0.2).as("thr"))
+    t.lineitem
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+      .join(thr, col("l_partkey") === col("ap"))
+      .filter(col("l_quantity") < col("thr"))
+      .agg(round(sum(col("l_extendedprice")) / 7.0 + 1e-9, 2).as("avg_yearly"))
+  }
 }
