@@ -38,6 +38,8 @@ object SparkEntry {
     "q12_late_shipments"  -> q(Relational.q12LateShipments),
     "q13_cust_distribution"-> q(Relational.q13CustDistribution),
     "q17_small_qty"       -> q(Relational.q17SmallQty),
+    "q15_top_supplier"    -> q(Relational.q15TopSupplier),
+    "q16_part_suppliers"  -> q(Relational.q16PartSuppliers),
     "q_group_multi"       -> q(Relational.qGroupMulti),
     "q_window_rank"       -> q(Relational.qWindowRank),
     "q_window_running"    -> q(Relational.qWindowRunning),
@@ -244,6 +246,19 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY 1)
         |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice*(1-l_discount)),2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q16_part_suppliers" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#12'
+        |GROUP BY 1,2""".stripMargin,
     "q17_small_qty" ->
       """SELECT round(sum(l_extendedprice)/7.0 + 1e-9, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey

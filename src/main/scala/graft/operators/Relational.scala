@@ -473,6 +473,31 @@ object Relational {
       .groupBy(col("c_count"))
       .agg(count(lit(1)).as("custdist"))
 
+  /** TPC-H Q15: top supplier(s) by quarterly revenue — the revenue
+    * "view" is one aggregate; the max is a scalar subquery over it
+    * (equality on the ROUNDED revenue, identical cross-engine). */
+  def q15TopSupplier(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("mx"))
+    t.supplier
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("total_revenue") === col("mx"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q16-flavored: distinct-supplier counts per (brand, size),
+    * excluding one brand — lineitem stands in for partsupp (this
+    * corpus ships no partsupp table). */
+  def q16PartSuppliers(t: Tables): DataFrame =
+    t.part.filter(col("p_brand") =!= "Brand#12")
+      .join(t.lineitem, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+
   /** TPC-H Q17: yearly revenue opportunity from small-quantity orders
     * of one brand's parts — the correlated avg-quantity subquery
     * decorrelates into a per-part aggregate join (computed only over
