@@ -30,6 +30,11 @@ object Bench {
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // operators persist small key indexes and never unpersist (their
+      // result is a lazy DataFrame): drop abandoned cache blocks so
+      // they can't evict each other / shrink execution memory for
+      // later timed queries
+      spark.catalog.clearCache()
       System.gc() // drain accumulated garbage OUTSIDE the timed window
       val t0 = System.nanoTime()
       // a failed query must surface in the JSON, not bench as "fast":
@@ -41,9 +46,13 @@ object Bench {
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
-      "\"" + k + "\":\"" + m.replaceAll("[\\\\\"\n\r\t]", " ").take(200) + "\""
+      // strip EVERY control char + quote/backslash: one bad byte makes
+      // the whole stdout JSON line unparseable to the driver
+      "\"" + k + "\":\"" + m.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries carry the -1 sentinel: exclude them from the
+    // total rather than letting failures subtract from it
+    val total = results.collect { case (_, v, None) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }

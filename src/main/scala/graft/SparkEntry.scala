@@ -247,7 +247,8 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
     "q15_top_supplier" ->
-      """WITH rev AS (SELECT l_suppkey, round(sum(l_extendedprice*(1-l_discount)),2) AS total_revenue
+      """WITH rev AS (SELECT l_suppkey,
+        |   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
         |  GROUP BY 1)

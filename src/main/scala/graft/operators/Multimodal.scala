@@ -94,7 +94,7 @@ object Multimodal {
       length(payload).cast("long").as("byte_len"),
       (lit(16) + hexByteCol(h, 0)).as("width"),
       (lit(16) + hexByteCol(h, 2)).as("height"),
-      (lit(1) + hexByteCol(h, 4) % 120).as("n_frames"),
+      nFramesCol(payload).as("n_frames"),
       when(b3 === 0, "jpeg").when(b3 === 1, "png").otherwise("webp").as("fmt"))
   }
 

@@ -477,11 +477,13 @@ object Relational {
     * "view" is one aggregate; the max is a scalar subquery over it
     * (equality on the ROUNDED revenue, identical cross-engine). */
   def q15TopSupplier(t: Tables): DataFrame = {
+    // exact decimal sum: total_revenue feeds an EQUALITY join against
+    // the max, so the rounded value must be bit-identical cross-engine
+    // (a double sum's accumulation order is not)
     val rev = t.lineitem
       .filter(col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
       .groupBy(col("l_suppkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("total_revenue"))
+      .agg(round(sum(decRevenue), 2).cast("double").as("total_revenue"))
     val maxRev = rev.agg(max(col("total_revenue")).as("mx"))
     t.supplier
       .join(rev, col("s_suppkey") === col("l_suppkey"))

@@ -25,4 +25,14 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.dedupEmbeddingExact(tables).collect().map(_.toSeq).toSet
     assert(lsh25 == exact)
   }
+
+  test("dedup_embedding recall is exhaustive at sf0.01 (the driver's verify SF)") {
+    // the driver gate compares against the exact all-pairs oracle AT
+    // sf0.01 — pin parity on that corpus too, not just the spec SF
+    val t = graft.Tables(spark, "/root/testdata/sf0.01")
+    val lsh = Dedup.dedupEmbedding(t).collect().map(_.toSeq).toSet
+    val exact = Dedup.dedupEmbeddingExact(t).collect().map(_.toSeq).toSet
+    assert(lsh == exact,
+      s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+  }
 }
