@@ -40,6 +40,9 @@ object SparkEntry {
     "q17_small_qty"       -> q(Relational.q17SmallQty),
     "q15_top_supplier"    -> q(Relational.q15TopSupplier),
     "q16_part_suppliers"  -> q(Relational.q16PartSuppliers),
+    "q_cube"              -> q(Relational.qCube),
+    "q_window_lag"        -> q(Relational.qWindowLag),
+    "q_window_range"      -> q(Relational.qWindowRange),
     "q_group_multi"       -> q(Relational.qGroupMulti),
     "q_window_rank"       -> q(Relational.qWindowRank),
     "q_window_running"    -> q(Relational.qWindowRunning),
@@ -310,6 +313,24 @@ object SparkEntry {
         | UNION ALL
         | SELECT 'lineitem' AS src, l_extendedprice AS v FROM lineitem WHERE l_extendedprice > 40000)
         |SELECT src, count(*) AS n, round(sum(v),2) AS total FROM u GROUP BY src""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        | round(lag(value) OVER w + 1e-9, 4) AS prev_value,
+        | round(value - lag(value) OVER w + 1e-9, 4) AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""".stripMargin,
+    "q_window_range" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT user_id, event_id, us,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY us
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) + 1e-9, 2) AS hour_sum
+        |FROM e""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
         | coalesce(o_orderpriority,'ALL') AS priority,

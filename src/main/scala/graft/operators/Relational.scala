@@ -406,6 +406,42 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** CUBE grouping sets over order status × priority (all four
+    * grouping combinations in one pass — partial-aggregated expand,
+    * one shuffle). */
+  def qCube(t: Tables): DataFrame =
+    t.orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+
+  /** lag/delta window: each event's value change vs the user's
+    * previous event (deterministic (ts, event_id) order). */
+  def qWindowLag(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("ts"), asc("event_id"))
+    val eps = lit(1e-9)
+    t.events.select(
+      col("user_id"), col("event_id"), col("ts"),
+      round(lag(col("value"), 1).over(w) + eps, 4).as("prev_value"),
+      round(col("value") - lag(col("value"), 1).over(w) + eps, 4).as("delta"))
+  }
+
+  /** RANGE-frame window: per user, the running sum of `value` over the
+    * trailing hour of EVENT TIME (range frame on the microsecond
+    * epoch — peers with equal timestamps share a frame, so the result
+    * is order-independent). */
+  def qWindowRange(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    t.events
+      .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+      .select(col("user_id"), col("event_id"), col("us"),
+        round(sum(col("value")).over(w) + lit(1e-9), 2).as("hour_sum"))
+  }
+
   /** Exact decimal revenue term (order-independent sums; see q7). */
   private def decRevenue: Column =
     col("l_extendedprice").cast("decimal(18,4)") *
