@@ -41,6 +41,7 @@ object SparkEntry {
     "q15_top_supplier"    -> q(Relational.q15TopSupplier),
     "q16_part_suppliers"  -> q(Relational.q16PartSuppliers),
     "q_cube"              -> q(Relational.qCube),
+    "q_set_ops"           -> q(Relational.qSetOps),
     "q_window_lag"        -> q(Relational.qWindowLag),
     "q_window_range"      -> q(Relational.qWindowRange),
     "q_group_multi"       -> q(Relational.qGroupMulti),
@@ -318,6 +319,14 @@ object SparkEntry {
         | coalesce(o_orderpriority,'ALL') AS priority,
         | count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_set_ops" ->
+      """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
+        |urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |u AS (
+        | SELECT 'intersect' AS op, o_custkey FROM (SELECT * FROM big INTERSECT SELECT * FROM urgent)
+        | UNION ALL
+        | SELECT 'except' AS op, o_custkey FROM (SELECT * FROM big EXCEPT SELECT * FROM urgent))
+        |SELECT op, count(*) AS n_cust FROM u GROUP BY 1""".stripMargin,
     "q_window_lag" ->
       """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         | round(lag(value) OVER w + 1e-9, 4) AS prev_value,

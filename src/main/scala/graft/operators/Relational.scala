@@ -406,6 +406,19 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** INTERSECT / EXCEPT set operators over two customer key sets
+    * (distinct set semantics on both engines; counted per operator so
+    * the result is compact). */
+  def qSetOps(t: Tables): DataFrame = {
+    val big = t.orders.filter(col("o_totalprice") > 300000).select(col("o_custkey"))
+    val urgent = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    big.intersect(urgent).select(lit("intersect").as("op"), col("o_custkey"))
+      .union(big.except(urgent).select(lit("except").as("op"), col("o_custkey")))
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n_cust"))
+  }
+
   /** CUBE grouping sets over order status × priority (all four
     * grouping combinations in one pass — partial-aggregated expand,
     * one shuffle). */
