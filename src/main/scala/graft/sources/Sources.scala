@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Uniform batch source/sink helpers.
@@ -67,5 +68,22 @@ object Sources {
     val w1 = if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0
     val w2 = path.fold(w1)(p => w1.option("path", p))
     w2.saveAsTable(table)
+  }
+
+  /** Range-partitioned, sorted-within-partition parquet layout: rows
+    * land in contiguous key ranges per file, so parquet min/max footer
+    * stats prune WHOLE FILES for range predicates on the sort key —
+    * the sorted-layout technique that turns a 100 TB time- or
+    * key-range scan into a few-file read. One range-exchange + local
+    * sort at write time buys every downstream range query.
+    */
+  def writeRangePartitioned(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(sortCols.nonEmpty, "writeRangePartitioned needs at least one sort column")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    val cols = sortCols.map(col)
+    df.repartitionByRange(numFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.format("parquet").mode(mode).save(path)
   }
 }

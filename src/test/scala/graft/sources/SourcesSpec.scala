@@ -37,6 +37,27 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("o_orderstatus"), plan)
   }
 
+  test("range-partitioned write yields disjoint per-file key ranges (file-level pruning)") {
+    val base = Files.createTempDirectory("graft-sources-range").toString
+    val path = s"$base/orders_range.parquet"
+    Sources.writeRangePartitioned(
+      tables.orders.select(col("o_orderkey"), col("o_totalprice")),
+      path, Seq("o_orderkey"), numFiles = 4)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2, s"expected multiple range files, got ${files.length}")
+    val ranges = files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min(col("o_orderkey")),
+          org.apache.spark.sql.functions.max(col("o_orderkey"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, prevMax), (nextMin, _)) =>
+        assert(prevMax < nextMin, s"overlapping file ranges: $ranges")
+      case _ => ()
+    }
+  }
+
   test("registered SQL function cosine_similarity resolves via extensions") {
     val r = spark.sql(
       "SELECT cosine_similarity(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c").head()
