@@ -43,17 +43,22 @@ object Bench {
                 catch { case e: Throwable => Some(e.toString) }
       (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // 3-decimal fixed-point timings (Locale.ROOT: a comma decimal
+    // separator would corrupt the JSON) — full-precision doubles made
+    // the single stdout line overflow the driver's tail capture, which
+    // truncated "metric":"total" and left BENCH_r{3,4}.json unparsed
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       // strip EVERY control char + quote/backslash: one bad byte makes
       // the whole stdout JSON line unparseable to the driver
-      "\"" + k + "\":\"" + m.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(200) + "\""
+      "\"" + k + "\":\"" + m.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(80) + "\""
     }.mkString("{", ",", "}")
     // failed queries carry the -1 sentinel: exclude them from the
     // total rather than letting failures subtract from it
     val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
