@@ -80,7 +80,8 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> q(Dedup.dedupMinhashLsh),
     "dedup_simhash"       -> q(Dedup.dedupSimhash),
     "dedup_embedding"     -> q(t => Dedup.dedupEmbedding(t)),
-    // §2.4 similarity search ("ann_lsh_topk" is rows-only: no oracle)
+    // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
+    // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
@@ -616,5 +617,47 @@ object SparkEntry {
         |s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qe, e),4) AS cos_sim FROM q, c),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // The LSH/IVF index builds are fully deterministic (md5-derived
+    // hyperplanes / first-16-corpus-vector centroids), so the oracle
+    // replays the EXACT candidate-generation semantics in SQL — a
+    // stronger check than recall-vs-brute-force.
+    "ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |b AS (SELECT vec_id, emb, ${(0 until 8).map(p =>
+             s"(CASE WHEN list_dot_product(emb, ${hyperplaneLit(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+             .mkString(" + ")} AS bucket FROM e),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb, bucket FROM b WHERE vec_id >= 10),
+        |s AS (SELECT q_id, c.vec_id, round(list_cosine_similarity(qe, c.emb), 4) AS cos_sim
+        |  FROM q JOIN c USING (bucket)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cent AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
+        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |sc AS (SELECT corp.vec_id, cent.cell, list_cosine_similarity(corp.emb, cent.cemb) AS s
+        |  FROM corp CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+        |qs AS (SELECT q.q_id, cent.cell, list_cosine_similarity(q.qe, cent.cemb) AS s
+        |  FROM q CROSS JOIN cent),
+        |probe AS (SELECT q_id, cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell DESC) AS rn FROM qs)
+        |  WHERE rn <= 4),
+        |s2 AS (SELECT p.q_id, a.vec_id, round(list_cosine_similarity(q.qe, corp.emb), 4) AS cos_sim
+        |  FROM probe p JOIN assign a USING (cell) JOIN corp ON corp.vec_id = a.vec_id JOIN q ON q.q_id = p.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s2)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
   )
+
+  /** DuckDB DOUBLE[] literal of ±1 LSH hyperplane `p` — generated from
+    * [[graft.operators.Similarity.hyperplane]] itself so the oracle's
+    * bucketing can never drift from the Spark implementation.
+    */
+  private def hyperplaneLit(p: Int): String =
+    Similarity.hyperplane(p, 64).map(w => if (w > 0) "1.0" else "-1.0")
+      .mkString("[", ",", "]")
 }
