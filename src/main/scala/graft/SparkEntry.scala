@@ -103,6 +103,9 @@ object SparkEntry {
     // engine-specific; ScaleSpec bounds them against exact answers)
     "q_salted_agg"        -> q(Scale.qSaltedAgg),
     "q_approx_stats"      -> q(Scale.qApproxStats),
+    // §2.8 sources/sinks: write → read-back → aggregate, oracled
+    // against the original table (catches sink/source corruption)
+    "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -651,6 +654,12 @@ object SparkEntry {
         |  FROM probe p JOIN assign a USING (cell) JOIN corp ON corp.vec_id = a.vec_id JOIN q ON q.q_id = p.q_id),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s2)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // the roundtrip legs must equal this aggregate over the ORIGINAL
+    // table — one oracle row set per written/re-read format
+    "q_source_roundtrip" ->
+      """WITH a AS (SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1)
+        |SELECT a.*, f.fmt FROM a, (VALUES ('parquet'), ('csv')) f(fmt)""".stripMargin,
   )
 
   /** DuckDB DOUBLE[] literal of ±1 LSH hyperplane `p` — generated from

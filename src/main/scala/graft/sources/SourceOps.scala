@@ -1,0 +1,53 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Oracle-facing write-path exercise: proves the [[Sources]] sinks
+  * produce data that reads back EXACTLY — not merely that the write
+  * calls succeed (which is all a unit spec can pin). Two legs share
+  * one aggregate shape:
+  *
+  *  - parquet, directory-partitioned by the group key — the 100 TB
+  *    fact layout (downstream readers get partition pruning); the
+  *    read-back exercises partition-column recovery from dir names.
+  *  - csv with an explicit schema — the interchange path; the
+  *    read-back exercises header handling, schema enforcement (no
+  *    inference pre-scan) and double round-tripping through text.
+  *
+  * The DuckDB oracle computes the same aggregate over the ORIGINAL
+  * table, so any row loss, duplication or value corruption introduced
+  * by either sink/source pair breaks the driver's hash match.
+  */
+object SourceOps {
+
+  private val csvSchema = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_orderpriority", StringType),
+    StructField("o_totalprice", DoubleType)))
+
+  def sourceRoundtrip(t: Tables): DataFrame = {
+    val base = Files.createTempDirectory("graft_roundtrip_")
+    val pqPath = s"$base/orders_part.parquet"
+    val csvPath = s"$base/orders_flat.csv"
+    Sources.write(t.orders, pqPath, partitionBy = Seq("o_orderpriority"))
+    Sources.write(
+      t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice"), csvPath)
+
+    // o_totalprice carries 2 decimals, so the sum sits on a 0.01 grid:
+    // round(x, 2) is cross-engine stable with no half-way hazard
+    def agg(df: DataFrame, fmt: String): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .withColumn("fmt", lit(fmt))
+
+    agg(Sources.read(t.spark, pqPath), "parquet")
+      .unionByName(agg(Sources.read(t.spark, csvPath, Some(csvSchema)), "csv"))
+  }
+}
