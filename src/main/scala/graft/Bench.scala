@@ -47,13 +47,20 @@ object Bench {
     // separator would corrupt the JSON) — full-precision doubles made
     // the single stdout line overflow the driver's tail capture, which
     // truncated "metric":"total" and left BENCH_r{3,4}.json unparsed
-    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // non-finite guard: %.3f would print NaN/Infinity, which is not
+    // valid JSON — map any such timing to the -1 failure sentinel
+    def fmt(v: Double): String =
+      if (v.isNaN || v.isInfinite) "-1.000"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) =>
       // strip EVERY control char + quote/backslash: one bad byte makes
       // the whole stdout JSON line unparseable to the driver
-      "\"" + k + "\":\"" + m.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(80) + "\""
+      // 200 chars keeps the exception class + message (Spark class
+      // names alone approach 80); the line stays short now that the
+      // timings are 3-decimal fixed point
+      "\"" + k + "\":\"" + m.replaceAll("[\\\\\"\\x00-\\x1f]", " ").take(200) + "\""
     }.mkString("{", ",", "}")
     // failed queries carry the -1 sentinel: exclude them from the
     // total rather than letting failures subtract from it

@@ -19,7 +19,10 @@ object Sources {
     "parquet" -> "parquet", "csv" -> "csv", "json" -> "json", "orc" -> "orc")
 
   private def formatOf(path: String): String = {
-    val ext = path.replaceAll("/+$", "").split('.').last.toLowerCase
+    // extension of the LAST path segment only: a dotted directory name
+    // (".../v2.5/data") must not be mistaken for an extension
+    val seg = path.replaceAll("/+$", "").split('/').last
+    val ext = if (seg.contains('.')) seg.split('.').last.toLowerCase else ""
     formats.getOrElse(ext, "parquet")
   }
 

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
+import org.apache.spark.sql.graft.PlanBridge
+
 import graft.Tables
 
 /** Structured-Streaming operators (SURVEY.md §2.7).
@@ -61,26 +63,33 @@ object Streaming {
     * state volume, not the batch-analytics default —
     * `graft.streaming.statePartitions` (default 8 on the local rig)
     * scopes it for the query's start; a production deploy sets it to
-    * ~1-2x executor count. Batch queries in the same session are
-    * unaffected (the conf is restored immediately after start).
+    * ~1-2x executor count. The stream runs in a CHILD session (own
+    * SQLConf, shared SparkContext and cache) carrying that count, so
+    * the caller's conf is never mutated — batch queries on other
+    * threads cannot observe a transient setting.
     */
   private def drainToTable(df: DataFrame, mode: String): DataFrame = {
-    val spark = df.sparkSession
+    val parent = df.sparkSession
     val name = s"graft_stream_${runSeq.getAndIncrement()}"
-    val stateParts = spark.conf.getOption("graft.streaming.statePartitions")
+    val stateParts = parent.conf.getOption("graft.streaming.statePartitions")
       .getOrElse("8")
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q = try {
-      spark.conf.set("spark.sql.shuffle.partitions", stateParts)
-      df.writeStream
-        .trigger(Trigger.AvailableNow())
-        .outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val child = parent.newSession()
+    // newSession starts from the SparkConf defaults: carry over the
+    // parent's runtime conf (e.g. the nanosAsLong parquet flag the
+    // events reader needs) before pinning the state-partition count
+    parent.conf.getAll.foreach { case (k, v) =>
+      try child.conf.set(k, v) catch { case _: Exception => () }
+    }
+    child.conf.set("spark.sql.shuffle.partitions", stateParts)
+    val q = PlanBridge.ofRows(child, PlanBridge.logicalPlan(df))
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
     q.awaitTermination()
-    spark.table(name)
+    child.table(name)
   }
 
   /** X1 — `stream_window_agg`: tumbling 1-hour event-time window with a

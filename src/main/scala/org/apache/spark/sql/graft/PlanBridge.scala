@@ -12,4 +12,11 @@ import org.apache.spark.sql.classic
 object PlanBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed plan behind `df` (`Dataset.logicalPlan` is
+    * `private[sql]`) — lets a caller rebind a DataFrame to another
+    * session of the same SparkContext via [[ofRows]].
+    */
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
 }
