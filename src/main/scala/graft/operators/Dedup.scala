@@ -83,9 +83,15 @@ object Dedup {
     // AllPairs canonical order = ascending document frequency: rare
     // shingles first, so prefix-index buckets are bounded by the df of
     // RARE keys (an md5/random order puts globally-common shingles in
-    // every prefix and recreates the hot buckets it exists to avoid)
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val packed = sh.join(dfreq, "h")
+    // every prefix and recreates the hot buckets it exists to avoid).
+    // df comes from a count window over h — ONE shuffle of the
+    // exploded set and ONE tokenize pass, where a groupBy(h)+re-join
+    // costs a second tokenize pass (it re-evaluates the shingle
+    // lineage) plus a third shuffle; the bench bisect put the
+    // tokenize pass at ~60% of this query's cost
+    val ranked = sh.withColumn("df",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("h"))))
+    val packed = ranked
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sorted"))
       .select(col("doc_id"),

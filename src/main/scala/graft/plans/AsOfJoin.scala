@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
@@ -80,6 +80,10 @@ case class AsOfJoinExec(
     left.execute().zipPartitions(right.execute()) { (lit, rit) =>
       val nullRight = new GenericInternalRow(rightArity)
       val joined = new JoinedRow
+      // emit UnsafeRows: every downstream consumer (exchange, agg,
+      // codegen stage) needs them, and one generated projection here
+      // beats a per-operator interpreted conversion of the JoinedRow
+      val toUnsafe = UnsafeProjection.create(output, output)
       new Iterator[InternalRow] {
         private var rNext: InternalRow = advanceRight()
         private var best: InternalRow = null // last right row for best's key
@@ -105,7 +109,7 @@ case class AsOfJoinExec(
         override def next(): InternalRow = {
           val l = lit.next()
           if (l.isNullAt(lkOrd) || l.isNullAt(ltOrd)) {
-            joined(l, nullRight)
+            toUnsafe(joined(l, nullRight))
           } else {
             val lk = l.getLong(lkOrd)
             val lt = l.getLong(ltOrd)
@@ -127,7 +131,7 @@ case class AsOfJoinExec(
                 }
               }
             }
-            joined(l, if (best != null && bestKey == lk) best else nullRight)
+            toUnsafe(joined(l, if (best != null && bestKey == lk) best else nullRight))
           }
         }
       }
