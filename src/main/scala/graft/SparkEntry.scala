@@ -72,6 +72,10 @@ object SparkEntry {
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
     "text_contamination"  -> q(t => TextAnalysis.textContamination(t)),
+    // same operator, shuffled-join mode (gram set "too big" to
+    // broadcast): same oracle proves mode equivalence
+    "text_contamination_shuffled" ->
+      q(t => TextAnalysis.textContamination(t, maxBroadcastGrams = 0L)),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     // §2.3 deduplication
@@ -453,6 +457,13 @@ object SparkEntry {
         | round(s.top_tok_n*1.0/s.n_tokens + 1e-9, 4) AS top_ratio
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
     "text_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4],' ') AS g
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) s WHERE i <= len(toks)-4),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(*) AS n_hits
+        |FROM g JOIN b USING (g) WHERE g.doc_id >= 10 GROUP BY 1""".stripMargin,
+    "text_contamination_shuffled" ->
       s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4],' ') AS g
         |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) s WHERE i <= len(toks)-4),

@@ -206,19 +206,32 @@ object TextAnalysis {
     * distinct word-5-gram with the "benchmark" doc set (doc_id <
     * `benchDocs`, a stand-in for an eval suite), with the overlap
     * count — the standard eval-contamination filter of an LLM data
-    * pipeline. The benchmark gram set is tiny next to the corpus and
-    * is broadcast, so the corpus side is one explode + broadcast join
-    * + per-doc count: the shuffle carries (doc_id, count) partials
-    * only, never text.
+    * pipeline.
+    *
+    * Two physical modes, auto-gated on the MEASURED benchmark gram
+    * count (one job over the bench side only — pushdown-filtered, so
+    * its cost is the eval suite's, never the corpus's):
+    *  - gram set ≤ `maxBroadcastGrams`: broadcast join — the corpus
+    *    side is one explode + broadcast join + per-doc count; the
+    *    shuffle carries (doc_id, count) partials only, never text.
+    *  - larger: shuffled sort-merge join on the gram key (`merge`
+    *    hint), so an eval suite too large for executor memory never
+    *    forces a driver-side broadcast build. AQE may still downgrade
+    *    to broadcast at runtime if the set proves small — the gate
+    *    removes the *requirement*, not the opportunity.
     */
-  def textContamination(t: Tables, n: Int = 5, benchDocs: Int = 10): DataFrame = {
+  def textContamination(t: Tables, n: Int = 5, benchDocs: Int = 10,
+      maxBroadcastGrams: Long = 4L * 1000 * 1000): DataFrame = {
     val grams = t.documents
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(array_distinct(ngrams(tokens(col("text")), n))).as("g"))
     val bench = grams.filter(col("doc_id") < benchDocs).select(col("g")).distinct()
-    grams.filter(col("doc_id") >= benchDocs)
-      .join(broadcast(bench), "g")
+    val corpus = grams.filter(col("doc_id") >= benchDocs)
+    val joined =
+      if (bench.count() <= maxBroadcastGrams) corpus.join(broadcast(bench), "g")
+      else corpus.join(bench.hint("merge"), "g")
+    joined
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }

@@ -34,7 +34,8 @@ class OperatorSuiteSpec extends SparkSpec {
   private val mayBeEmpty = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "dedup_embedding", "q_union", "q_having", "q_semi_join",
     "q_scalar_subquery", "q22_idle_customers", "q19_disjunctive",
-    "q18_large_orders", "stream_stream_join", "text_contamination")
+    "q18_large_orders", "stream_stream_join", "text_contamination",
+    "text_contamination_shuffled")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

@@ -103,6 +103,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text_contamination: oversized gram set falls back to a shuffled join") {
+    val p = plan(TextAnalysis.textContamination(tables, maxBroadcastGrams = 0L))
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("corpus_split: map-only, no exchange") {
     val p = plan(TextAnalysis.corpusSplit(tables))
     assert(!p.contains("Exchange"), p)
