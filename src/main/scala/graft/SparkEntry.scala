@@ -78,6 +78,12 @@ object SparkEntry {
       q(t => TextAnalysis.textContamination(t, maxBroadcastGrams = 0L)),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
+    "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
+    "corpus_length_histogram"  -> q(TextAnalysis.corpusLengthHistogram),
+    "text_novelty"        -> q(TextAnalysis.textNovelty),
+    // §2.2 event analytics
+    "events_funnel"       -> q(EventAnalytics.eventsFunnel),
+    "events_retention"    -> q(EventAnalytics.eventsRetention),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -484,6 +490,41 @@ object SparkEntry {
         | CASE WHEN substr(md5(doc_id::VARCHAR),1,1) IN ('0','1')
         |   THEN 'val' ELSE 'train' END AS split
         |FROM documents""".stripMargin,
+    "corpus_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR),1,1)
+        |  < CASE WHEN lang = 'en' THEN '4' ELSE '8' END""".stripMargin,
+    "corpus_length_histogram" ->
+      """SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS len_bucket,
+        | count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+        | round(avg(n_chars) + 1e-9, 4) AS avg_chars
+        |FROM documents WHERE n_chars > 0 GROUP BY 1""".stripMargin,
+    "text_novelty" ->
+      s"""WITH $sqlShingles,
+        |f AS (SELECT *, min(doc_id) OVER (PARTITION BY shingle) AS first_doc FROM sh)
+        |SELECT doc_id, count(*) AS n_grams,
+        | sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        | round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)*1.0/count(*) + 1e-9, 4)
+        |   AS novelty_ratio
+        |FROM f GROUP BY 1""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type='click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |  WHERE event_type='purchase' AND us > c_us GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "events_retention" ->
+      """WITH d AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+        | date_diff('day', cohort_day, day) AS day_offset,
+        | count(DISTINCT user_id) AS n_users
+        |FROM d JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
     "stream_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)
         |SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,

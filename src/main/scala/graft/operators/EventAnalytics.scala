@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Product-analytics operators over the `events` stream table
+  * (SURVEY.md §2.2 additions) — the funnel/retention queries every
+  * event-analytics engine ships, expressed as keyed aggregations so
+  * they scale as user-partitioned shuffles with map-side combine.
+  */
+object EventAnalytics {
+
+  /** Microsecond epoch of the event timestamp — the same conversion
+    * the sessionize query uses, so DuckDB's `epoch_us(CAST(ts AS
+    * TIMESTAMP))` sees identical values. */
+  private def us = unix_micros(col("ts").cast("timestamp"))
+
+  /** E1 — ordered conversion funnel (view → click → purchase): one
+    * summary row counting users who viewed, users whose first click
+    * came strictly after their first view, and users whose first
+    * purchase came strictly after that click.
+    *
+    * Shape: three aggregations and two joins, ALL keyed by `user_id` —
+    * after the first hash shuffle every stage is co-partitioned, and
+    * each aggregation partial-aggregates map-side. Per-user state is
+    * O(1) (a min timestamp per stage); no event-list explosion at any
+    * skew. The final counts reduce three one-column frames to one row.
+    */
+  def eventsFunnel(t: Tables): DataFrame = {
+    val e = t.events.select(col("user_id"), col("event_type"), us.as("us"))
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val clicked = e.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val purchased = e.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    viewed.agg(count(lit(1)).as("n_view"))
+      .crossJoin(clicked.agg(count(lit(1)).as("n_click")))
+      .crossJoin(purchased.agg(count(lit(1)).as("n_purchase")))
+  }
+
+  /** E2 — retention cohorts: users are cohorted by the day of their
+    * first event; each (cohort day, day offset) cell counts the
+    * distinct users from that cohort active that many days later.
+    *
+    * Shape: one user-keyed aggregation for the cohort day, one
+    * user-keyed join to tag events, then a (cohort, offset)-keyed
+    * count-distinct. The join ships only (user_id, cohort_day); the
+    * distinct-count shuffle carries (cohort, offset, user_id) —
+    * bounded by active users, never raw events, thanks to the
+    * partial-aggregating distinct.
+    */
+  def eventsRetention(t: Tables): DataFrame = {
+    val days = t.events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      // ISO string: DATE round-trips differently through the two
+      // engines' parquet/pandas paths (date vs datetime64)
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+  }
+}

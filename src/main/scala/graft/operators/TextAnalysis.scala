@@ -268,6 +268,68 @@ object TextAnalysis {
       when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), "val")
         .otherwise("train").as("split"))
 
+  /** T10 — stratified deterministic sampling: downsample the dominant
+    * language while keeping the rest, with the keep decision a pure
+    * function of doc_id (first md5 hex nibble vs a per-stratum /16
+    * rate). Map-only — no sampled state, no coordination, identical
+    * output on any engine, any run, any partitioning; rates are
+    * sixteenths so the nibble comparison is exact. The rebalancing
+    * step every LLM data mix applies before training.
+    */
+  def corpusSampleStratified(t: Tables): DataFrame = {
+    val nibble = substring(md5(col("doc_id").cast("string")), 1, 1)
+    // hex chars order lexically: nibble < '4' keeps 4/16, < '8' keeps 8/16
+    val keepBelow = when(col("lang") === "en", lit("4")).otherwise(lit("8"))
+    t.documents
+      .filter(nibble < keepBelow)
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** T11 — corpus length histogram on log2 buckets: doc counts and
+    * char totals per power-of-two length band — the long-tail length
+    * audit run before choosing truncation/packing lengths. One
+    * aggregation with map-side combine on a ~32-value key; empty docs
+    * are excluded (log2(0) diverges on both engines).
+    */
+  def corpusLengthHistogram(t: Tables): DataFrame = {
+    val eps = lit(1e-9)
+    t.documents
+      .filter(col("n_chars") > 0)
+      .groupBy(floor(log2(col("n_chars"))).cast("long").as("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        round(avg(col("n_chars")) + eps, 4).as("avg_chars"))
+  }
+
+  /** T12 — inter-document novelty: per doc, how many of its distinct
+    * word-3-grams appear in NO lower-numbered doc (doc_id as corpus
+    * order), and the novelty ratio. The incremental-information score
+    * used to rank near-duplicate clusters and order curricula.
+    *
+    * The global first-occurrence is a `min(doc_id)` window over the
+    * gram key — ONE shuffle of the exploded gram set and ONE tokenize
+    * pass (a groupBy+re-join would re-evaluate the tokenize lineage;
+    * same finding as the Jaccard df ranking, SURVEY §8c). Docs with
+    * fewer than 3 tokens have no grams and are excluded, matching the
+    * oracle's inner aggregation.
+    */
+  def textNovelty(t: Tables): DataFrame = {
+    val eps = lit(1e-9)
+    val grams = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(array_distinct(ngrams(tokens(col("text")), 3))).as("g"))
+    grams
+      .withColumn("first_doc", min(col("doc_id")).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams") + eps, 4).as("novelty_ratio"))
+  }
+
   /** T5 — corpus-level top-20 bigram frequencies with a deterministic
     * (count desc, bigram asc) tiebreak. One aggregation shuffle on the
     * bigram key; the top-k is a TakeOrderedAndProject, no global sort.
