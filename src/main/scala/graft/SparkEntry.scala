@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> q(Dedup.dedupMinhashLsh),
     "dedup_simhash"       -> q(Dedup.dedupSimhash),
     "dedup_embedding"     -> q(t => Dedup.dedupEmbedding(t)),
+    "dedup_clusters"      -> q(t => Dedup.dedupClusters(t)),
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
@@ -556,6 +557,22 @@ object SparkEntry {
         |  FROM mh GROUP BY 1,2)
         |SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
         |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $sqlShingles,
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+        |  FROM mh GROUP BY 1,2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)
+        |SELECT doc_id, min(r) AS cluster_id,
+        | CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+        |FROM reach GROUP BY 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $sqlShingles,
         |shc AS (SELECT doc_id, shingle, count(*) AS cnt FROM sh GROUP BY 1,2),

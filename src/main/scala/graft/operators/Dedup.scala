@@ -294,4 +294,62 @@ object Dedup {
       .filter(col("cos") >= 0.4)
       .select(col("vec_id_1"), col("vec_id_2"), round(col("cos"), 4).as("cos_sim"))
   }
+
+  /** D6 — near-dup cluster canonicalization: connected components over
+    * the MinHash-LSH pair graph, labelling every doc with the minimum
+    * doc_id of its component. The "keep one per duplicate cluster"
+    * final step of an LLM dedup pipeline — pairs alone over-delete
+    * (a,b) and (b,c) without knowing they're one cluster.
+    *
+    * Algorithm: distributed min-label propagation — labels start as
+    * doc_id and each round every node takes the min of its own and its
+    * neighbours' labels, converging in O(component diameter) rounds
+    * (near-dup components are short chains; diameter is small). Each
+    * round is ONE keyed join + partial-agg min + ONE label update —
+    * the standard large-graph CC shape: no component ever has to fit
+    * anywhere, shuffles carry (id, label) pairs only. The driver-side
+    * work per round is a single O(1) convergence scalar (sum of
+    * labels, monotonically decreasing; decimal so it cannot overflow
+    * at any corpus size) — never row data.
+    */
+  def dedupClusters(t: Tables, maxIters: Int = 50): DataFrame = {
+    val pairs = minhashPairsFrom(shingleSet(t))
+    val edges = pairs
+      .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
+      .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
+      .persist()
+    edges.count() // eager: every round joins this index; don't race the lazy cache
+
+    def labelSum(labels: DataFrame): java.math.BigDecimal =
+      labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+        .first().getDecimal(0)
+
+    var labels = t.documents
+      .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges.as("e")
+        .join(labels.as("l"), col("e.src") === col("l.doc_id"))
+        .groupBy(col("e.dst").as("doc_id"))
+        .agg(min(col("l.cluster_id")).as("nbr_min"))
+      val next = labels.as("l")
+        .join(nbrMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("l.cluster_id"), coalesce(col("n.nbr_min"), col("l.cluster_id")))
+            .as("cluster_id"))
+        .persist()
+      val nextSum = labelSum(next) // also populates next's cache
+      labels.unpersist()
+      labels = next
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("doc_id"), col("cluster_id"),
+      (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
+  }
 }

@@ -35,4 +35,19 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact,
       s"missing=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
+
+  test("dedup_clusters: every near-dup pair lands in one cluster, labels are component minima") {
+    val cluster = Dedup.dedupClusters(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Dedup.dedupMinhashLsh(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "degenerate test: no near-dup pairs at this SF")
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // a label is always a member of its own cluster and is its minimum
+    cluster.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(members.keys.min == lbl, s"cluster $lbl labelled above its min member")
+    }
+  }
 }
