@@ -81,6 +81,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
     "corpus_length_histogram"  -> q(TextAnalysis.corpusLengthHistogram),
     "text_novelty"        -> q(TextAnalysis.textNovelty),
+    "corpus_token_shards" -> q(t => TextAnalysis.corpusTokenShards(t)),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
     "events_retention"    -> q(EventAnalytics.eventsRetention),
@@ -508,6 +509,12 @@ object SparkEntry {
         | round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)*1.0/count(*) + 1e-9, 4)
         |   AS novelty_ratio
         |FROM f GROUP BY 1""".stripMargin,
+    "corpus_token_shards" ->
+      s"""WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n_toks FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |  sum(n_toks) OVER (ORDER BY doc_id) - n_toks AS start_tok FROM t)
+        |SELECT doc_id, n_toks, start_tok::BIGINT AS start_tok,
+        | (start_tok // 2048)::BIGINT AS shard_id FROM c""".stripMargin,
     "events_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -330,6 +330,41 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams") + eps, 4).as("novelty_ratio"))
   }
 
+  /** T13 — global token-offset sharding: each doc's starting token
+    * offset in corpus (doc_id) order, and the fixed-token-budget shard
+    * it lands in — the layout step that packs a corpus into uniform
+    * training shards.
+    *
+    * A naive `sum() OVER (ORDER BY doc_id)` is a single-partition
+    * window — the one shape that cannot scale. This is the two-level
+    * distributed prefix sum instead: docs bucket by `doc_id div
+    * bucketSize`; within-bucket cumsums run as ordinary partitioned
+    * windows; per-bucket totals (corpus/bucketSize rows) get bucket
+    * offsets from one window over the SMALL bucket list, broadcast
+    * back. Only the bucket list is ever globally ordered; size
+    * `bucketSize` so that list stays driver-broadcastable (recurse the
+    * same trick for more levels if not).
+    */
+  def corpusTokenShards(t: Tables, tokensPerShard: Long = 2048,
+      bucketSize: Long = 64): DataFrame = {
+    val docs = t.documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_toks"),
+      (col("doc_id") / bucketSize).cast("long").as("bucket"))
+    val local = docs.withColumn("local_cum",
+      sum(col("n_toks")).over(
+        Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+    val offsets = docs.groupBy(col("bucket")).agg(sum(col("n_toks")).as("btot"))
+      .withColumn("offset", coalesce(
+        sum(col("btot")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("offset"))
+    local.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("n_toks"),
+        (col("offset") + col("local_cum") - col("n_toks")).as("start_tok"))
+      .withColumn("shard_id", expr(s"start_tok DIV $tokensPerShard"))
+  }
+
   /** T5 — corpus-level top-20 bigram frequencies with a deterministic
     * (count desc, bigram asc) tiebreak. One aggregation shuffle on the
     * bigram key; the top-k is a TakeOrderedAndProject, no global sort.

@@ -103,6 +103,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("corpus_token_shards: full-set window is bucket-partitioned, offsets broadcast") {
+    val p = plan(TextAnalysis.corpusTokenShards(tables))
+    // the per-doc cumsum window must be keyed by bucket (never a
+    // global single-partition window over the corpus); the only
+    // globally-ordered window runs over the small bucket list, whose
+    // offsets then come back via broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    val docWindow = p.linesIterator.find(l =>
+      l.contains("Window") && l.contains("local_cum")).getOrElse("")
+    assert(docWindow.contains("bucket"), s"per-doc window not bucket-partitioned: $docWindow")
+  }
+
   test("text_contamination: oversized gram set falls back to a shuffled join") {
     val p = plan(TextAnalysis.textContamination(tables, maxBroadcastGrams = 0L))
     assert(p.contains("SortMergeJoin"), p)
