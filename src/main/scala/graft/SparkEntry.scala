@@ -64,6 +64,8 @@ object SparkEntry {
     "q_sessionize"        -> q(Relational.qSessionize),
     "q_json_extract"      -> q(Relational.qJsonExtract),
     "q_time_bucket"       -> q(Relational.qTimeBucket),
+    "q_grouping_sets"     -> q(Relational.qGroupingSets),
+    "q_window_ntile"      -> q(Relational.qWindowNtile),
     // §2.5 text analysis
     "text_lang_id"        -> q(TextAnalysis.textLangId),
     "text_quality"        -> q(TextAnalysis.textQuality),
@@ -335,6 +337,21 @@ object SparkEntry {
         | coalesce(o_orderpriority,'ALL') AS priority,
         | count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+        | CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        | (o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q_window_ntile" ->
+      """WITH d AS (SELECT event_type, value,
+        |  ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        | FROM events)
+        |SELECT event_type, decile::BIGINT AS decile, count(*) AS n,
+        | round(min(value) + 1e-9, 4) AS lo, round(max(value) + 1e-9, 4) AS hi
+        |FROM d GROUP BY 1, 2""".stripMargin,
     "q_set_ops" ->
       """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 300000),
         |urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),

@@ -431,6 +431,38 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("n"), col("total"))
 
+  /** Explicit GROUPING SETS — the general form cube/rollup specialize:
+    * (status, priority), (status), (priority) but NOT the grand total,
+    * a set no rollup/cube can express. `grouping()` flags distinguish
+    * real NULL keys from subtotal rows. Same partial-aggregated expand
+    * + one shuffle as cube. */
+  def qGroupingSets(t: Tables): DataFrame = {
+    t.orders.createOrReplaceTempView("graft_orders_gs")
+    t.spark.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM graft_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (o_orderpriority))""".stripMargin)
+  }
+
+  /** ntile decile assignment: per event type, value deciles with a
+    * deterministic (value, event_id) order, reduced to per-decile
+    * stats so the output is compact and order-independent. */
+  def qWindowNtile(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(asc("value"), asc("event_id"))
+    t.events
+      .select(col("event_type"), col("value"),
+        ntile(10).over(w).cast("long").as("decile"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")) + lit(1e-9), 4).as("lo"),
+        round(max(col("value")) + lit(1e-9), 4).as("hi"))
+  }
+
   /** lag/delta window: each event's value change vs the user's
     * previous event (deterministic (ts, event_id) order). */
   def qWindowLag(t: Tables): DataFrame = {
