@@ -324,7 +324,9 @@ object Dedup {
       labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .first().getDecimal(0)
 
-    var labels = t.documents
+    // iterate over graph NODES only (docs in ≥1 pair) — a small
+    // fraction of any real corpus; singletons join back at the end
+    var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     var prevSum = labelSum(labels)
     var iter = 0
@@ -349,7 +351,11 @@ object Dedup {
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    labels.select(col("doc_id"), col("cluster_id"),
-      (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
+    t.documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
   }
 }
