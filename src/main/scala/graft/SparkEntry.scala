@@ -116,6 +116,7 @@ object SparkEntry {
     // §5 scale techniques ("q_approx_stats" is rows-only: sketches are
     // engine-specific; ScaleSpec bounds them against exact answers)
     "q_salted_agg"        -> q(Scale.qSaltedAgg),
+    "q_salted_join"       -> q(Scale.qSaltedJoin),
     "q_approx_stats"      -> q(Scale.qApproxStats),
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
@@ -654,6 +655,12 @@ object SparkEntry {
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_salted_join" ->
+      """WITH u AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT event_type, count(*) AS n, sum(n_orders)::BIGINT AS sum_orders,
+        | round(sum(value),2) AS sum_value
+        |FROM events JOIN u USING (user_id) GROUP BY 1""".stripMargin,
     "corpus_clean" ->
       s"""WITH lex(slang, word) AS (VALUES
         | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),

@@ -49,6 +49,42 @@ object Scale {
         sum(col("pn")).as("n"),
         round(sum(col("ps")), 2).as("sum_value")))
 
+  /** Salted skew join: equi-join where one key dominates the probe
+    * side. The probe side salts each row into one of `saltFactor`
+    * sub-keys; the (small-per-key) build side replicates each row
+    * across ALL `saltFactor` sub-keys, so the hot key's rows spread
+    * over `saltFactor` reducers instead of melting one. Exact for any
+    * equi-join: every probe row still meets every matching build row
+    * exactly once. The manual form of what AQE's skew-join split does
+    * at runtime — needed when the skew is known ahead of time or AQE's
+    * per-partition thresholds miss it (one giant key inside an
+    * otherwise-average partition).
+    */
+  def saltedJoin(
+      probe: DataFrame, build: DataFrame,
+      key: String, saltFactor: Int): DataFrame = {
+    val salted = probe.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltFactor)))
+    val replicated = build.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit(_)): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** `q_salted_join` — events joined to per-user order counts through
+    * the salted path, reduced to a per-event-type summary; the oracle
+    * is the PLAIN join + aggregation, proving the salting is exact.
+    */
+  def qSaltedJoin(t: Tables): DataFrame = {
+    val userOrders = t.orders
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    saltedJoin(t.events, userOrders, "user_id", saltFactor = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_orders")).as("sum_orders"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
   /** `q_approx_stats` — sketch aggregates per event type: HyperLogLog++
     * distinct users and approximate percentiles. Fixed-size sketches
     * merge associatively, so at 100 TB these cost one narrow shuffle of
