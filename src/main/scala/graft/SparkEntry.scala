@@ -100,6 +100,7 @@ object SparkEntry {
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
+    "embed_quantize"      -> q(Similarity.embedQuantize),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
     // §2.7 structured streaming
@@ -121,6 +122,7 @@ object SparkEntry {
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
+    "q_bucketed_roundtrip" -> q(graft.sources.SourceOps.bucketedRoundtrip),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -700,6 +702,13 @@ object SparkEntry {
         |SELECT doc_id, i::INTEGER AS frame_idx, md5(text || ':' || i) AS frame_hash
         |FROM f, (SELECT unnest(generate_series(0,200)) AS i) g
         |WHERE i < n_frames AND i % 5 = 0""".stripMargin,
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
+        | FROM embeddings)
+        |SELECT vec_id, (g.i - 1)::INT AS pos, scale,
+        | CAST(round(emb[g.i] / scale * 127 + 1e-9) AS INTEGER) AS q
+        |FROM e, (SELECT unnest(generate_series(1,64)) AS i) g""".stripMargin,
     "embed_centroids" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |c AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
@@ -760,6 +769,12 @@ object SparkEntry {
       """WITH a AS (SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1)
         |SELECT a.*, f.fmt FROM a, (VALUES ('parquet'), ('csv')) f(fmt)""".stripMargin,
+    // the bucketed-layout join must equal this join over the ORIGINAL tables
+    "q_bucketed_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 
   /** DuckDB DOUBLE[] literal of ±1 LSH hyperplane `p` — generated from

@@ -161,6 +161,27 @@ object Similarity {
     * `sort_array(collect_list(...))` away. Means rounded (+1e-9 tie
     * nudge) for cross-engine compare.
     */
+  /** S6 — symmetric int8 vector quantization: per-vector max-abs
+    * scale, each component mapped to round(v/scale·127). The 4×
+    * memory/bandwidth reduction step an ANN index applies before
+    * storing vectors.
+    *
+    * Entirely MAP-ONLY — the scale comes from the row's own array
+    * (`array_max(transform(abs))`: the lambda touches only its own
+    * element, so it stays O(dims) per row), and the flatten is a
+    * posexplode projection. Zero shuffles at any corpus size. The
+    * +1e-9 perturbation keeps exact .5 quantization ties off the
+    * cross-engine rounding-rule boundary; scale itself is emitted
+    * unrounded (max|v| involves no arithmetic — both engines see
+    * identical doubles).
+    */
+  def embedQuantize(t: Tables): DataFrame =
+    withEmb(t)
+      .withColumn("scale", array_max(transform(col("emb"), v => abs(v))))
+      .select(col("vec_id"), col("scale"), posexplode(col("emb")))
+      .select(col("vec_id"), col("pos"), col("scale"),
+        round(col("col") / col("scale") * 127 + lit(1e-9), 0).cast("int").as("q"))
+
   def embedCentroids(t: Tables, nCells: Int = 16): DataFrame = {
     val cents = centroidSeq(t, nCells)
     val assigned = withEmb(t).filter(col("vec_id") >= NumQueries)

@@ -50,4 +50,31 @@ object SourceOps {
     agg(Sources.read(t.spark, pqPath), "parquet")
       .unionByName(agg(Sources.read(t.spark, csvPath, Some(csvSchema)), "csv"))
   }
+
+  /** Bucketed-layout roundtrip: write orders and lineitem as
+    * co-bucketed external tables on the join key, join them back
+    * THROUGH the catalog (the join side runs with zero exchanges —
+    * both sides' bucketing satisfies the join distribution; ScaleSpec
+    * pins that plan shape for this layout), and aggregate. The oracle
+    * computes the same join + aggregate over the ORIGINAL tables, so
+    * the green row proves the 100 TB co-located fact layout
+    * round-trips values exactly, not just that the plan looks right.
+    */
+  def bucketedRoundtrip(t: Tables): DataFrame = {
+    val base = Files.createTempDirectory("graft_bucketed_rt_")
+    Sources.writeBucketed(
+      t.orders.select("o_orderkey", "o_orderpriority"),
+      "graft_rt_orders", Seq("o_orderkey"), nBuckets = 8,
+      sortCols = Seq("o_orderkey"), path = Some(s"$base/orders"))
+    Sources.writeBucketed(
+      t.lineitem.select("l_orderkey", "l_quantity"),
+      "graft_rt_lineitem", Seq("l_orderkey"), nBuckets = 8,
+      sortCols = Seq("l_orderkey"), path = Some(s"$base/lineitem"))
+    val o = t.spark.table("graft_rt_orders")
+    val l = t.spark.table("graft_rt_lineitem")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
 }

@@ -103,6 +103,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("embed_quantize: map-only, no exchange (per-row scale, no window)") {
+    val p = plan(Similarity.embedQuantize(tables))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("corpus_token_shards: full-set window is bucket-partitioned, offsets broadcast") {
     val p = plan(TextAnalysis.corpusTokenShards(tables))
     // the per-doc cumsum window must be keyed by bucket (never a
