@@ -84,6 +84,7 @@ object SparkEntry {
     "corpus_length_histogram"  -> q(TextAnalysis.corpusLengthHistogram),
     "text_novelty"        -> q(TextAnalysis.textNovelty),
     "corpus_token_shards" -> q(t => TextAnalysis.corpusTokenShards(t)),
+    "text_surprisal"      -> q(TextAnalysis.textSurprisal),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
     "events_retention"    -> q(EventAnalytics.eventsRetention),
@@ -529,6 +530,14 @@ object SparkEntry {
         | round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)*1.0/count(*) + 1e-9, 4)
         |   AS novelty_ratio
         |FROM f GROUP BY 1""".stripMargin,
+    "text_surprisal" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY tok) AS tf FROM x),
+        |n AS (SELECT count(*) AS corpus_toks FROM x)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(avg(-ln(tf * 1.0 / corpus_toks)) + 1e-9, 4) AS avg_surprisal
+        |FROM f, n GROUP BY 1""".stripMargin,
     "corpus_token_shards" ->
       s"""WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n_toks FROM documents),
         |c AS (SELECT doc_id, n_toks,

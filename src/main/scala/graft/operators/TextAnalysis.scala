@@ -330,6 +330,31 @@ object TextAnalysis {
         round(col("n_novel").cast("double") / col("n_grams") + eps, 4).as("novelty_ratio"))
   }
 
+  /** T14 — unigram surprisal score: each doc's mean negative log
+    * probability of its tokens under the corpus's own unigram model —
+    * the cheap stand-in for perplexity filtering (high surprisal =
+    * rare-token soup; near-zero = repeated boilerplate). Token
+    * frequencies come from a count window over the token key (one
+    * shuffle, one tokenize pass — SURVEY §8c); the corpus total is a
+    * one-row broadcast. ln/division differences between engines sit
+    * below the rounded 4th decimal (+1e-9 tie guard).
+    */
+  def textSurprisal(t: Tables): DataFrame = {
+    val eps = lit(1e-9)
+    val toks = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val withTf = toks.withColumn("tf",
+      count(lit(1)).over(Window.partitionBy(col("tok"))))
+    withTf
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("corpus_toks"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("tf").cast("double") / col("corpus_toks"))) + eps, 4)
+          .as("avg_surprisal"))
+  }
+
   /** T13 — global token-offset sharding: each doc's starting token
     * offset in corpus (doc_id) order, and the fixed-token-budget shard
     * it lands in — the layout step that packs a corpus into uniform
