@@ -113,6 +113,7 @@ object SparkEntry {
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
+    "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
     // §5 scale techniques ("q_approx_stats" is rows-only: sketches are
@@ -663,6 +664,22 @@ object SparkEntry {
         | (1 + b2 % 120)::INTEGER AS n_frames,
         | CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
         |FROM b""".stripMargin,
+    "mm_resize_plan" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
+        |b AS (SELECT doc_id, bl,
+        |  16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS b0,
+        |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3
+        | FROM m),
+        |d AS (SELECT bl, 16+b0 AS width, 16+b1 AS height,
+        |  CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt FROM b),
+        |r AS (SELECT *, greatest(width, height) * 1.0 AS mx FROM d),
+        |s AS (SELECT fmt, floor(log2(bl))::BIGINT AS len_bucket, bl,
+        |  floor(width * least(1.0, 224 / mx))::INT AS tw,
+        |  floor(height * least(1.0, 224 / mx))::INT AS th FROM r)
+        |SELECT fmt, len_bucket, count(*) AS n_media, sum(bl)::BIGINT AS total_bytes,
+        | sum(tw * th)::BIGINT AS total_pixels
+        |FROM s GROUP BY 1, 2""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,

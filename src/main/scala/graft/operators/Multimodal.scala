@@ -121,6 +121,27 @@ object Multimodal {
     * metadata derived from it, shuffling the full binary corpus to
     * pick up a value each row already determines).
     */
+  /** M3 — `mm_resize_plan`: the decode-batch planner — per (format,
+    * log2 size band), how many media rows land there, their byte
+    * volume, and the total output pixels after fit-to-`maxSide`
+    * downscale (never upscaled; `floor` sizing avoids the cross-engine
+    * round-half hazard on exact rational scales). This is the grouping
+    * a real pipeline uses to bin payloads into codec batches of
+    * similar cost. Map-only metadata + one small aggregation shuffle
+    * keyed by (fmt, band).
+    */
+  def mmResizePlan(t: Tables, maxSide: Int = 224): DataFrame = {
+    val m = greatest(col("width"), col("height")).cast("double")
+    val scale = least(lit(1.0), lit(maxSide) / m)
+    mmDecodeMeta(t)
+      .withColumn("target_w", floor(col("width") * scale).cast("int"))
+      .withColumn("target_h", floor(col("height") * scale).cast("int"))
+      .groupBy(col("fmt"), floor(log2(col("byte_len"))).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("byte_len")).as("total_bytes"),
+        sum((col("target_w") * col("target_h")).cast("long")).as("total_pixels"))
+  }
+
   def mmFrameSample(t: Tables): DataFrame =
     mediaTable(t)
       .select(col("doc_id"), col("payload"),
