@@ -120,6 +120,7 @@ object SparkEntry {
     // engine-specific; ScaleSpec bounds them against exact answers)
     "q_salted_agg"        -> q(Scale.qSaltedAgg),
     "q_salted_join"       -> q(Scale.qSaltedJoin),
+    "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
     "q_approx_stats"      -> q(Scale.qApproxStats),
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
@@ -689,6 +690,13 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, sum(n_orders)::BIGINT AS sum_orders,
         | round(sum(value),2) AS sum_value
         |FROM events JOIN u USING (user_id) GROUP BY 1""".stripMargin,
+    // the banded rewrite must equal the plain inequality join
+    "q_range_join_banded" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.us > a.us AND b.us - a.us <= 60000000
+        |GROUP BY 1""".stripMargin,
     "corpus_clean" ->
       s"""WITH lex(slang, word) AS (VALUES
         | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),

@@ -85,6 +85,30 @@ object Scale {
         round(sum(col("value")), 2).as("sum_value"))
   }
 
+  /** Banded range self-join: pairs of same-user events at most
+    * `bandUs` apart in time. A raw inequality join plans as a
+    * nested-loop (per-user cartesian — quadratic in the hottest user);
+    * bucketizing time into band-width buckets turns it into an
+    * EQUI-join on (user, bucket): the later event sits in exactly one
+    * bucket, the earlier event probes its own bucket and the next, so
+    * every qualifying pair is met exactly once and non-qualifying
+    * candidates are bounded by two buckets' width. The standard
+    * interval/band-join rewrite for time-window pairing at scale.
+    */
+  def qRangeJoinBanded(t: Tables, bandUs: Long = 60000000L): DataFrame = {
+    val e = t.events.select(col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val earlier = e.select(col("user_id"), col("us").as("a_us"))
+      .withColumn("bkt", explode(array(
+        expr(s"a_us DIV $bandUs"), expr(s"a_us DIV $bandUs + 1"))))
+    val later = e.select(col("user_id"), col("us").as("b_us"))
+      .withColumn("bkt", expr(s"b_us DIV $bandUs"))
+    earlier.join(later, Seq("user_id", "bkt"))
+      .filter(col("b_us") > col("a_us") && col("b_us") - col("a_us") <= bandUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** `q_approx_stats` — sketch aggregates per event type: HyperLogLog++
     * distinct users and approximate percentiles. Fixed-size sketches
     * merge associatively, so at 100 TB these cost one narrow shuffle of

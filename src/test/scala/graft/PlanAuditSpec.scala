@@ -103,6 +103,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_range_join_banded: equi-join on (user, bucket), no nested loop") {
+    val p = plan(Scale.qRangeJoinBanded(tables))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("embed_quantize: map-only, no exchange (per-row scale, no window)") {
     val p = plan(Similarity.embedQuantize(tables))
     assert(!p.contains("Exchange"), p)
