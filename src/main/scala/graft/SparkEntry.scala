@@ -110,6 +110,7 @@ object SparkEntry {
     "stream_static_join"  -> q(graft.streaming.Streaming.streamStaticJoin),
     "stream_sessionize"   -> q(graft.streaming.Streaming.streamSessionize),
     "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
+    "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
@@ -132,6 +133,19 @@ object SparkEntry {
     * sync with [[graft.operators.TextAnalysis.tokens]]). */
   private val sqlToks =
     "list_filter(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' '), x -> len(x)>0)"
+
+  /** DuckDB oracle shared by the batch and streaming funnels. */
+  private val funnelSql =
+    """WITH e AS (SELECT user_id, event_type,
+      |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type='view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+      |  WHERE event_type='click' AND us > v_us GROUP BY 1),
+      |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+      |  WHERE event_type='purchase' AND us > c_us GROUP BY 1)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
 
   /** DuckDB CTE body: distinct word-3-gram shingles per doc. */
   private val sqlShingles =
@@ -546,17 +560,9 @@ object SparkEntry {
         |  sum(n_toks) OVER (ORDER BY doc_id) - n_toks AS start_tok FROM t)
         |SELECT doc_id, n_toks, start_tok::BIGINT AS start_tok,
         | (start_tok // 2048)::BIGINT AS shard_id FROM c""".stripMargin,
-    "events_funnel" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type='view' GROUP BY 1),
-        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
-        |  WHERE event_type='click' AND us > v_us GROUP BY 1),
-        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
-        |  WHERE event_type='purchase' AND us > c_us GROUP BY 1)
-        |SELECT (SELECT count(*) FROM v) AS n_view,
-        |       (SELECT count(*) FROM c) AS n_click,
-        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "events_funnel" -> funnelSql,
+    // the streaming funnel must converge to the batch funnel's answer
+    "stream_funnel" -> funnelSql,
     "events_retention" ->
       """WITH d AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)

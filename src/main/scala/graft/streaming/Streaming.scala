@@ -185,6 +185,33 @@ object Streaming {
         col("view_ts").cast(TimestampNTZType).as("view_ts"))
   }
 
+  /** X5 — `stream_funnel`: the stateful streaming conversion funnel
+    * ([[StatefulFunnel]]) driven end-to-end — event file stream →
+    * per-user write-once stage state → update-mode sink. Re-emissions
+    * across batches only ever ADD stages, so the final per-user row is
+    * the max of each stage timestamp; the one-row summary then counts
+    * users per reached stage, which the SAME DuckDB oracle as the
+    * batch funnel checks.
+    */
+  def streamFunnel(t: Tables): DataFrame = {
+    import StatefulFunnel.Ev
+    val spark = t.spark
+    import spark.implicits._
+    val typed = eventsStream(t)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"))
+      .as[Ev]
+    val fin = drainToTable(StatefulFunnel.funnel(typed).toDF(), "update")
+      .groupBy(col("user_id"))
+      .agg(max(col("v_us")).as("v"), max(col("c_us")).as("c"),
+        max(col("p_us")).as("p"))
+    fin.agg(
+      count(when(col("v") >= 0, 1)).as("n_view"),
+      count(when(col("c") >= 0, 1)).as("n_click"),
+      count(when(col("p") >= 0, 1)).as("n_purchase"))
+  }
+
   /** X2 — `stream_dedup`: streaming dropDuplicates on
     * (user_id, event_type) — first event per user/type survives — then
     * a per-type distinct-user count over the deduped stream. State is
