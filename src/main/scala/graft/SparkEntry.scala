@@ -95,6 +95,7 @@ object SparkEntry {
     "dedup_simhash"       -> q(Dedup.dedupSimhash),
     "dedup_embedding"     -> q(t => Dedup.dedupEmbedding(t)),
     "dedup_clusters"      -> q(t => Dedup.dedupClusters(t)),
+    "dedup_incremental"   -> q(t => Dedup.dedupIncremental(t)),
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
@@ -601,6 +602,15 @@ object SparkEntry {
         |  FROM mh GROUP BY 1,2)
         |SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
         |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $sqlShingles,
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+        |  FROM mh GROUP BY 1,2)
+        |SELECT DISTINCT a.doc_id AS hist_doc, b.doc_id AS new_doc
+        |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh
+        |WHERE a.doc_id < 400 AND b.doc_id >= 400""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $sqlShingles,
         |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h

@@ -141,7 +141,13 @@ object Dedup {
   /** MinHash-LSH pair generation over an exploded (doc_id, shingle)
     * frame (the body of [[dedupMinhashLsh]], reusable from a shared
     * scan). */
-  private[operators] def minhashPairsFrom(sh: DataFrame): DataFrame = {
+  /** MinHash LSH band index over an exploded (doc_id, shingle) frame:
+    * (doc_id, band, bh) rows, persisted and eagerly populated (a
+    * downstream self-join's branches would otherwise race the lazy
+    * cache and both recompute the signature lineage). In production
+    * the history side of this index is computed once and reused by
+    * every increment. */
+  private[operators] def minhashBands(sh: DataFrame): DataFrame = {
     // explode once so the text is tokenized ONCE per doc (a pure
     // array-expression form would collapse into 16 projections that
     // each re-tokenize); each exploded row then pays exactly 16 md5s
@@ -155,14 +161,16 @@ object Dedup {
       struct(lit(b).as("band"),
         md5(concat_ws("|", (0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as("bh"))
     }
-    // materialize the (tiny: 4 rows/doc) band index once — the
-    // self-join would otherwise re-run the whole shingle+signature
-    // lineage on each side
     val bands = mh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist()
-    bands.count() // populate eagerly: the join's two branches race the lazy cache otherwise
+    bands.count() // populate eagerly
+    bands
+  }
+
+  private[operators] def minhashPairsFrom(sh: DataFrame): DataFrame = {
+    val bands = minhashBands(sh)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -293,6 +301,26 @@ object Dedup {
         cos.as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("vec_id_1"), col("vec_id_2"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  /** D7 — incremental near-dup: flag documents of an INCREMENT (doc_id
+    * ≥ `splitId`, standing in for today's batch) that near-duplicate
+    * the existing HISTORY corpus — the production daily-dedup shape:
+    * the history band index is built once (persisted here; on a real
+    * deploy read back from its table) and each increment joins against
+    * it, so per-batch cost scales with the increment × bucket hit
+    * rate, never history × history. No old-vs-old or new-vs-new pair
+    * is ever generated.
+    */
+  def dedupIncremental(t: Tables, splitId: Long = 400): DataFrame = {
+    val bands = minhashBands(shingleSet(t))
+    val history = bands.filter(col("doc_id") < splitId)
+    val increment = bands.filter(col("doc_id") >= splitId)
+    history.as("a")
+      .join(increment.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("hist_doc"), col("b.doc_id").as("new_doc"))
+      .distinct()
   }
 
   /** D6 — near-dup cluster canonicalization: connected components over
