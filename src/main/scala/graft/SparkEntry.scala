@@ -118,6 +118,7 @@ object SparkEntry {
     "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
+    "corpus_pipeline"     -> q(t => CorpusClean.corpusPipeline(t)),
     // §5 scale techniques ("q_approx_stats" is rows-only: sketches are
     // engine-specific; ScaleSpec bounds them against exact answers)
     "q_salted_agg"        -> q(Scale.qSaltedAgg),
@@ -697,6 +698,33 @@ object SparkEntry {
         |SELECT fmt, len_bucket, count(*) AS n_media, sum(bl)::BIGINT AS total_bytes,
         | sum(tw * th)::BIGINT AS total_pixels
         |FROM s GROUP BY 1, 2""".stripMargin,
+    "corpus_pipeline" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+        |m AS (SELECT *, len(toks)::BIGINT AS n_toks,
+        |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(length(text),0) AS pr,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+        |    / nullif(len(toks),0) AS sr
+        | FROM t),
+        |q AS (SELECT doc_id, text, toks, n_toks FROM m
+        | WHERE round(0.4*coalesce(sr,0)+0.3*(1-coalesce(pr,0))+0.3*least(n_toks/100.0,1.0)+1e-9,4) >= 0.5),
+        |d AS (SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS rep FROM q)
+        | WHERE doc_id = rep),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4],' ') AS g
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) s WHERE i <= len(toks)-4),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10),
+        |c AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (g) WHERE g.doc_id >= 10),
+        |k AS (SELECT d.* FROM d WHERE doc_id >= 10
+        |  AND doc_id NOT IN (SELECT doc_id FROM c)),
+        |s AS (SELECT *, CASE WHEN substr(md5(doc_id::VARCHAR),1,1) IN ('0','1')
+        |  THEN 'val' ELSE 'train' END AS split FROM k)
+        |SELECT (SELECT count(*) FROM t) AS n_in,
+        | (SELECT count(*) FROM q) AS n_quality,
+        | (SELECT count(*) FROM d) AS n_dedup,
+        | count(*) AS n_clean,
+        | count(CASE WHEN split='train' THEN 1 END) AS n_train,
+        | count(CASE WHEN split='val' THEN 1 END) AS n_val,
+        | CAST(ceil(sum(n_toks)/2048.0) AS BIGINT) AS n_shards
+        |FROM s""".stripMargin,
     "q_salted_agg" ->
       """SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
