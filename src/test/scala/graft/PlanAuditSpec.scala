@@ -103,6 +103,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text_novelty / text_surprisal: frequency windows are key-partitioned") {
+    // the df/tf count windows must shuffle by the gram/token key —
+    // never collapse to a single-partition global window
+    for ((df, key) <- Seq(
+        (TextAnalysis.textNovelty(tables), "g"),
+        (TextAnalysis.textSurprisal(tables), "tok"))) {
+      val p = plan(df)
+      val w = p.linesIterator.find(_.contains("Window")).getOrElse("")
+      assert(w.contains(key), s"window not partitioned by $key: $w")
+    }
+  }
+
   test("q_range_join_banded: equi-join on (user, bucket), no nested loop") {
     val p = plan(Scale.qRangeJoinBanded(tables))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
