@@ -66,6 +66,7 @@ object SparkEntry {
     "q_time_bucket"       -> q(Relational.qTimeBucket),
     "q_grouping_sets"     -> q(Relational.qGroupingSets),
     "q_window_ntile"      -> q(Relational.qWindowNtile),
+    "q_window_distribution" -> q(Relational.qWindowDistribution),
     // §2.5 text analysis
     "text_lang_id"        -> q(TextAnalysis.textLangId),
     "text_quality"        -> q(TextAnalysis.textQuality),
@@ -367,6 +368,13 @@ object SparkEntry {
         | count(*) AS n, round(sum(o_totalprice),2) AS total
         |FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
         | (o_orderstatus), (o_orderpriority))""".stripMargin,
+    "q_window_distribution" ->
+      """SELECT event_type, event_id,
+        | round(percent_rank() OVER w + 1e-9, 6) AS pct_rank,
+        | round(cume_dist() OVER w + 1e-9, 6) AS cume,
+        | first_value(event_id) OVER w AS min_value_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
     "q_window_ntile" ->
       """WITH d AS (SELECT event_type, value,
         |  ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile

@@ -463,6 +463,20 @@ object Relational {
         round(max(col("value")) + lit(1e-9), 4).as("hi"))
   }
 
+  /** Distribution windows — percent_rank, cume_dist, first_value in
+    * one pass over a (event_type)-partitioned, deterministically
+    * ordered frame. percent_rank/cume_dist are exact rationals of row
+    * counts, so rounding +eps is cross-engine stable. */
+  def qWindowDistribution(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(asc("value"), asc("event_id"))
+    val eps = lit(1e-9)
+    t.events.select(
+      col("event_type"), col("event_id"),
+      round(percent_rank().over(w) + eps, 6).as("pct_rank"),
+      round(cume_dist().over(w) + eps, 6).as("cume"),
+      first(col("event_id")).over(w).as("min_value_event"))
+  }
+
   /** lag/delta window: each event's value change vs the user's
     * previous event (deterministic (ts, event_id) order). */
   def qWindowLag(t: Tables): DataFrame = {
