@@ -42,6 +42,14 @@ object Dedup {
   private def shingleSet(t: Tables): DataFrame =
     docShingles(t).select(col("doc_id"), explode(col("shingles")).as("shingle"))
 
+  /** Same exploded view over an arbitrary (doc_id, text) frame — lets
+    * the incremental paths shingle history and increment separately. */
+  private def shingleSetOf(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), shingleArray.as("shingles"))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+
   /** Same exploded view from a pre-tokenized (doc_id, toks) frame —
     * lets composites (corpus_clean) feed one shared scan into the
     * near-dup machinery instead of re-reading + re-tokenizing. */
@@ -147,7 +155,7 @@ object Dedup {
     * cache and both recompute the signature lineage). In production
     * the history side of this index is computed once and reused by
     * every increment. */
-  private[operators] def minhashBands(sh: DataFrame): DataFrame = {
+  private[operators] def minhashBands(sh: DataFrame, materialize: Boolean = true): DataFrame = {
     // explode once so the text is tokenized ONCE per doc (a pure
     // array-expression form would collapse into 16 projections that
     // each re-tokenize); each exploded row then pays exactly 16 md5s
@@ -164,9 +172,10 @@ object Dedup {
     val bands = mh
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-      .persist()
-    bands.count() // populate eagerly
-    bands
+    // materialize only when the caller joins the index against itself
+    // (both branches would race the lazy cache); single-consumer paths
+    // (table write, one-sided increment join) skip the extra pass
+    if (materialize) { val b = bands.persist(); b.count(); b } else bands
   }
 
   private[operators] def minhashPairsFrom(sh: DataFrame): DataFrame = {
@@ -323,6 +332,64 @@ object Dedup {
       .distinct()
   }
 
+  /** D7b — the table-backed production form of [[dedupIncremental]]:
+    * the HISTORY band index is written ONCE as a bucketed external
+    * table — bucketed AND sorted on the join key (band, bh), so every
+    * daily increment joins against it with ZERO exchange and zero sort
+    * on the index side (DedupSpec pins that plan) — then read back
+    * through the catalog and joined by the increment. This is the
+    * amortization [[dedupIncremental]]'s scaladoc promises: at 100 TB
+    * the index build is a one-off backfill; each batch pays only its
+    * own shingling + one shuffle of the increment's (doc_id, band, bh)
+    * triples to the index's bucket layout.
+    */
+  def dedupIncrementalTable(t: Tables, splitId: Long = 400, nBuckets: Int = 8): DataFrame = {
+    import graft.sources.{Sources, SourceOps}
+    val table = s"graft_minhash_index_${SourceOps.runId}"
+    val hist = minhashBands(
+      shingleSetOf(t.documents.filter(col("doc_id") < splitId)), materialize = false)
+    Sources.writeBucketed(hist, table, Seq("band", "bh"), nBuckets,
+      sortCols = Seq("band", "bh"), path = Some(SourceOps.staging("minhash_index")))
+    val index = t.spark.table(table)
+    val inc = minhashBands(
+      shingleSetOf(t.documents.filter(col("doc_id") >= splitId)), materialize = false)
+    index.as("a")
+      .join(inc.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("hist_doc"), col("b.doc_id").as("new_doc"))
+      .distinct()
+  }
+
+  /** D8 — passage-level (sub-document) exact dedup: the standard
+    * complement to document-level MinHash — near-dup docs share long
+    * verbatim runs that whole-document hashing misses once a single
+    * token differs. Docs are cut into NON-OVERLAPPING `chunkTokens`-
+    * token passages (this corpus has no blank-line paragraph
+    * structure, so fixed token windows are the substring granularity;
+    * real corpora would split on paragraphs first and chunk only the
+    * oversized ones) and every passage occurring in more than one
+    * place is reported with its min-doc representative.
+    *
+    * Shape: the chunk set comes from the linear `arrays_zip` n-gram
+    * form sampled at stride `chunkTokens` (every cs-th gram = the
+    * non-overlapping chunking) — map-only until the single groupBy on
+    * the passage md5, which shuffles 32-char digests, never text.
+    * A `transform(sequence(...), i => slice(toks, ...))` chunker
+    * would re-evaluate the tokenize per element (§8 HOF trap).
+    */
+  def dedupPassage(t: Tables, chunkTokens: Int = 8): DataFrame =
+    t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), chunkTokens)))
+      .filter(col("pos") % chunkTokens === 0)
+      .select(col("doc_id"), md5(col("col")).as("passage_hash"))
+      .groupBy(col("passage_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_occ") > 1)
+
   /** D6 — near-dup cluster canonicalization: connected components over
     * the MinHash-LSH pair graph, labelling every doc with the minimum
     * doc_id of its component. The "keep one per duplicate cluster"
@@ -353,32 +420,41 @@ object Dedup {
         .first().getDecimal(0)
 
     // iterate over graph NODES only (docs in ≥1 pair) — a small
-    // fraction of any real corpus; singletons join back at the end
+    // fraction of any real corpus; singletons join back at the end.
+    // NOTE: the returned (lazy) DataFrame deliberately pins the FINAL
+    // labels cache — callers release it via clearCache/unpersist once
+    // consumed; the try/finally below only guards the failure paths
+    // (a thrown job or non-convergence must not leak edges + the live
+    // labels frame into the cache for the rest of the session).
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
-    var prevSum = labelSum(labels)
-    var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
-      val nbrMin = edges.as("e")
-        .join(labels.as("l"), col("e.src") === col("l.doc_id"))
-        .groupBy(col("e.dst").as("doc_id"))
-        .agg(min(col("l.cluster_id")).as("nbr_min"))
-      val next = labels.as("l")
-        .join(nbrMin.as("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("l.cluster_id"), coalesce(col("n.nbr_min"), col("l.cluster_id")))
-            .as("cluster_id"))
-        .persist()
-      val nextSum = labelSum(next) // also populates next's cache
-      labels.unpersist()
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      iter += 1
+    try {
+      var prevSum = labelSum(labels)
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val nbrMin = edges.as("e")
+          .join(labels.as("l"), col("e.src") === col("l.doc_id"))
+          .groupBy(col("e.dst").as("doc_id"))
+          .agg(min(col("l.cluster_id")).as("nbr_min"))
+        val next = labels.as("l")
+          .join(nbrMin.as("n"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("l.cluster_id"), coalesce(col("n.nbr_min"), col("l.cluster_id")))
+              .as("cluster_id"))
+          .persist()
+        val nextSum = labelSum(next) // also populates next's cache
+        labels.unpersist()
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        iter += 1
+      }
+      require(converged, s"label propagation did not converge in $maxIters rounds")
+    } finally {
+      edges.unpersist()
+      if (!converged) labels.unpersist()
     }
-    edges.unpersist()
-    require(converged, s"label propagation did not converge in $maxIters rounds")
     t.documents.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),

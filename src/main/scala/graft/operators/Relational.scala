@@ -453,7 +453,9 @@ object Relational {
     * deterministic (value, event_id) order, reduced to per-decile
     * stats so the output is compact and order-independent. */
   def qWindowNtile(t: Tables): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(asc("value"), asc("event_id"))
+    // NULLS LAST explicitly: Spark ASC defaults nulls first, DuckDB
+    // last — a null value would silently shift every decile boundary
+    val w = Window.partitionBy(col("event_type")).orderBy(asc_nulls_last("value"), asc("event_id"))
     t.events
       .select(col("event_type"), col("value"),
         ntile(10).over(w).cast("long").as("decile"))
@@ -468,7 +470,8 @@ object Relational {
     * ordered frame. percent_rank/cume_dist are exact rationals of row
     * counts, so rounding +eps is cross-engine stable. */
   def qWindowDistribution(t: Tables): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(asc("value"), asc("event_id"))
+    // NULLS LAST: match the DuckDB oracle's default for nullable value
+    val w = Window.partitionBy(col("event_type")).orderBy(asc_nulls_last("value"), asc("event_id"))
     val eps = lit(1e-9)
     t.events.select(
       col("event_type"), col("event_id"),

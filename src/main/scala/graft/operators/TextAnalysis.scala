@@ -219,6 +219,11 @@ object TextAnalysis {
     *    forces a driver-side broadcast build. AQE may still downgrade
     *    to broadcast at runtime if the set proves small — the gate
     *    removes the *requirement*, not the opportunity.
+    *
+    * NOTE: the gate count is an EAGER Spark job at DataFrame-CONSTRUCTION
+    * time (a physical-strategy choice can't be deferred into the lazy
+    * plan) — callers that only build or explain the plan still pay one
+    * bench-side-only scan per call.
     */
   def textContamination(t: Tables, n: Int = 5, benchDocs: Int = 10,
       maxBroadcastGrams: Long = 4L * 1000 * 1000): DataFrame = {
@@ -344,14 +349,19 @@ object TextAnalysis {
     val toks = t.documents
       .repartition(t.spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val withTf = toks.withColumn("tf",
-      count(lit(1)).over(Window.partitionBy(col("tok"))))
-    withTf
-      .crossJoin(broadcast(toks.agg(count(lit(1)).as("corpus_toks"))))
+      // staging cache: the corpus-total count below and the tf window
+      // both consume the exploded set; uncached, the one-row total
+      // re-ran the whole tokenize lineage as a second corpus scan
+      .persist()
+    // the eager populate IS the corpus total — a single O(1) driver
+    // scalar (same bounded-collect budget as the centroid seed)
+    val corpusToks = toks.count()
+    toks
+      .withColumn("tf", count(lit(1)).over(Window.partitionBy(col("tok"))))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(-log(col("tf").cast("double") / col("corpus_toks"))) + eps, 4)
+        round(avg(-log(col("tf").cast("double") / lit(corpusToks.toDouble))) + eps, 4)
           .as("avg_surprisal"))
   }
 
@@ -370,8 +380,39 @@ object TextAnalysis {
     * `bucketSize` so that list stays driver-broadcastable (recurse the
     * same trick for more levels if not).
     */
+  /** Exclusive prefix sums of a (key, tot) frame in key order,
+    * recursing whenever the frame exceeds `maxWindowRows`: keys fold
+    * into super-buckets of `fanout`, within-super cumsums run as
+    * partitioned windows, and the super totals (rows / fanout) recurse
+    * — so NO single-partition window ever sees more than
+    * `maxWindowRows` rows at any corpus size (PlanAuditSpec pins
+    * this). `rows` is the frame's row count, threaded down so each
+    * level pays one bounded metadata-scale count, pre-counted at the
+    * top by the caller.
+    */
+  private[operators] def exclusivePrefixSum(df: DataFrame, rows: Long,
+      fanout: Long, maxWindowRows: Long): DataFrame = {
+    if (rows <= maxWindowRows) {
+      df.withColumn("offset", coalesce(
+          sum(col("tot")).over(Window.orderBy(col("key"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("key"), col("offset"))
+    } else {
+      val sup = df.withColumn("skey", (col("key") / fanout).cast("long"))
+      val local = sup.withColumn("lcum",
+        sum(col("tot")).over(Window.partitionBy(col("skey")).orderBy(col("key"))))
+      val stots = sup.groupBy(col("skey")).agg(sum(col("tot")).as("tot"))
+        .select(col("skey").as("key"), col("tot"))
+      val soff = exclusivePrefixSum(stots, stots.count(), fanout, maxWindowRows)
+        .select(col("key").as("skey"), col("offset").as("soff"))
+      local.join(soff, "skey")
+        .select(col("key"), (col("soff") + col("lcum") - col("tot")).as("offset"))
+    }
+  }
+
   def corpusTokenShards(t: Tables, tokensPerShard: Long = 2048,
-      bucketSize: Long = 64): DataFrame = {
+      bucketSize: Long = 64, maxWindowRows: Long = 1L << 20,
+      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
     val docs = t.documents.select(
       col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_toks"),
@@ -379,12 +420,18 @@ object TextAnalysis {
     val local = docs.withColumn("local_cum",
       sum(col("n_toks")).over(
         Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
-    val offsets = docs.groupBy(col("bucket")).agg(sum(col("n_toks")).as("btot"))
-      .withColumn("offset", coalesce(
-        sum(col("btot")).over(Window.orderBy(col("bucket"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("bucket"), col("offset"))
-    local.join(broadcast(offsets), "bucket")
+    val btots = docs.groupBy(col("bucket")).agg(sum(col("n_toks")).as("tot"))
+      .select(col("bucket").as("key"), col("tot"))
+    // one bounded metadata-scale count (corpus/bucketSize rows) sizes
+    // BOTH decisions: whether the bucket list needs another prefix-sum
+    // level, and whether its offsets are still broadcastable into the
+    // doc-side join (at 10⁹ docs / bucket 64 the 16 M-row offset list
+    // is neither — it recurses and the join shuffles by bucket)
+    val nBuckets = btots.count()
+    val offsets = exclusivePrefixSum(btots, nBuckets, bucketSize, maxWindowRows)
+      .select(col("key").as("bucket"), col("offset"))
+    val offsetSide = if (nBuckets <= maxBroadcastRows) broadcast(offsets) else offsets
+    local.join(offsetSide, "bucket")
       .select(col("doc_id"), col("n_toks"),
         (col("offset") + col("local_cum") - col("n_toks")).as("start_tok"))
       .withColumn("shard_id", expr(s"start_tok DIV $tokensPerShard"))

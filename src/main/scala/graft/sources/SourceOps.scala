@@ -31,8 +31,32 @@ object SourceOps {
     StructField("o_orderpriority", StringType),
     StructField("o_totalprice", DoubleType)))
 
+  /** ONE staging dir per process, reused across invocations: the write
+    * mode is Overwrite, so repeated calls (bench warmup + 6 timed
+    * rounds) rewrite in place instead of leaking a full table copy per
+    * call; a shutdown hook removes the tree on exit.
+    */
+  private lazy val stagingDir: java.nio.file.Path = {
+    val d = Files.createTempDirectory("graft_roundtrip_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(d.toFile)
+    }
+    d
+  }
+
+  /** Per-process table-name suffix: concurrent sessions sharing a
+    * warehouse must not clobber each other's catalog entries. */
+  private[graft] lazy val runId: String = java.lang.Long.toHexString(ProcessHandle.current().pid())
+
+  /** A named path inside the process-wide staging dir (Overwrite-mode
+    * writers reuse it across invocations instead of leaking copies). */
+  private[graft] def staging(name: String): String = s"$stagingDir/$name"
+
   def sourceRoundtrip(t: Tables): DataFrame = {
-    val base = Files.createTempDirectory("graft_roundtrip_")
+    val base = stagingDir
     val pqPath = s"$base/orders_part.parquet"
     val csvPath = s"$base/orders_flat.csv"
     Sources.write(t.orders, pqPath, partitionBy = Seq("o_orderpriority"))
@@ -61,17 +85,18 @@ object SourceOps {
     * round-trips values exactly, not just that the plan looks right.
     */
   def bucketedRoundtrip(t: Tables): DataFrame = {
-    val base = Files.createTempDirectory("graft_bucketed_rt_")
+    val base = stagingDir
+    val (oTable, lTable) = (s"graft_rt_orders_$runId", s"graft_rt_lineitem_$runId")
     Sources.writeBucketed(
       t.orders.select("o_orderkey", "o_orderpriority"),
-      "graft_rt_orders", Seq("o_orderkey"), nBuckets = 8,
+      oTable, Seq("o_orderkey"), nBuckets = 8,
       sortCols = Seq("o_orderkey"), path = Some(s"$base/orders"))
     Sources.writeBucketed(
       t.lineitem.select("l_orderkey", "l_quantity"),
-      "graft_rt_lineitem", Seq("l_orderkey"), nBuckets = 8,
+      lTable, Seq("l_orderkey"), nBuckets = 8,
       sortCols = Seq("l_orderkey"), path = Some(s"$base/lineitem"))
-    val o = t.spark.table("graft_rt_orders")
-    val l = t.spark.table("graft_rt_lineitem")
+    val o = t.spark.table(oTable)
+    val l = t.spark.table(lTable)
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_items"),

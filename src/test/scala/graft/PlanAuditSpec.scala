@@ -139,6 +139,54 @@ class PlanAuditSpec extends SparkSpec {
     assert(docWindow.contains("bucket"), s"per-doc window not bucket-partitioned: $docWindow")
   }
 
+  test("corpus_token_shards: no single-partition window exceeds the row bound (recursive prefix sum)") {
+    // force recursion with a 2-row window bound: the result must be
+    // IDENTICAL to the flat form, and every globally-ordered window in
+    // the recursive plan must see at most 2 input rows — the pin that
+    // the two-level prefix sum really does recurse instead of ever
+    // widening a single task's window
+    val default = TextAnalysis.corpusTokenShards(tables).collect().toSet
+    val forced = TextAnalysis.corpusTokenShards(tables, maxWindowRows = 2)
+    assert(forced.collect().toSet == default, "recursive prefix sum changed the result")
+    val globalWindows = forced.queryExecution.analyzed.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w.child
+    }
+    assert(globalWindows.nonEmpty, "expected at least one (bounded) global window")
+    for (child <- globalWindows) {
+      val n = org.apache.spark.sql.graft.PlanBridge.ofRows(spark, child).count()
+      assert(n <= 2, s"single-partition window over $n rows exceeds the 2-row bound")
+    }
+  }
+
+  test("dedup_incremental_table: bucketed index side joins with no exchange") {
+    // with broadcast off, the increment⋈index join must be a sort-merge
+    // join whose index side reads the bucketed table layout directly:
+    // exactly ONE exchange on the join keys (the increment side) —
+    // an unbucketed index would force a second. (A cheap in-bucket
+    // Sort may remain on the index side when a bucket spans several
+    // files; the shuffle is the scale cost this layout removes.)
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val p = plan(Dedup.dedupIncrementalTable(tables))
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), s"index side not read as bucketed:\n$p")
+      val joinKeyExchanges = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(band"))
+      assert(joinKeyExchanges == 1,
+        s"expected exactly 1 join-key exchange (increment side only), got $joinKeyExchanges:\n$p")
+    }
+  }
+
+  private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
+    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("text_contamination: oversized gram set falls back to a shuffled join") {
     val p = plan(TextAnalysis.textContamination(tables, maxBroadcastGrams = 0L))
     assert(p.contains("SortMergeJoin"), p)
