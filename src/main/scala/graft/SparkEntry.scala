@@ -97,12 +97,16 @@ object SparkEntry {
     "dedup_embedding"     -> q(t => Dedup.dedupEmbedding(t)),
     "dedup_clusters"      -> q(t => Dedup.dedupClusters(t)),
     "dedup_incremental"   -> q(t => Dedup.dedupIncremental(t)),
+    "dedup_incremental_table" -> q(t => Dedup.dedupIncrementalTable(t)),
+    "dedup_passage"       -> q(t => Dedup.dedupPassage(t)),
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
+    "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
+    "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "embed_quantize"      -> q(Similarity.embedQuantize),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
@@ -149,6 +153,18 @@ object SparkEntry {
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |       (SELECT count(*) FROM c) AS n_click,
       |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+
+  /** DuckDB oracle shared by the in-session and table-backed
+    * incremental dedup paths (identical semantics by design). */
+  private lazy val incrementalOracleSql =
+    s"""WITH $sqlShingles,
+      |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+      |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+      |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+      |  FROM mh GROUP BY 1,2)
+      |SELECT DISTINCT a.doc_id AS hist_doc, b.doc_id AS new_doc
+      |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh
+      |WHERE a.doc_id < 400 AND b.doc_id >= 400""".stripMargin
 
   /** DuckDB CTE body: distinct word-3-gram shingles per doc. */
   private val sqlShingles =
@@ -611,15 +627,10 @@ object SparkEntry {
         |  FROM mh GROUP BY 1,2)
         |SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
         |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id""".stripMargin,
-    "dedup_incremental" ->
-      s"""WITH $sqlShingles,
-        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
-        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
-        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
-        |  FROM mh GROUP BY 1,2)
-        |SELECT DISTINCT a.doc_id AS hist_doc, b.doc_id AS new_doc
-        |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh
-        |WHERE a.doc_id < 400 AND b.doc_id >= 400""".stripMargin,
+    "dedup_incremental" -> incrementalOracleSql,
+    // the table-backed form answers the SAME question through the
+    // persisted index — one oracle proves both paths
+    "dedup_incremental_table" -> incrementalOracleSql,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $sqlShingles,
         |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
@@ -636,6 +647,14 @@ object SparkEntry {
         |SELECT doc_id, min(r) AS cluster_id,
         | CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
         |FROM reach GROUP BY 1""".stripMargin,
+    "dedup_passage" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |c AS (SELECT doc_id, md5(array_to_string(toks[(k-1)*8+1:(k-1)*8+8],' ')) AS passage_hash
+        |  FROM t, (SELECT unnest(generate_series(1,512)) AS k) g
+        |  WHERE len(toks) >= (k-1)*8+8)
+        |SELECT passage_hash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+        | min(doc_id) AS rep_doc_id
+        |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $sqlShingles,
         |shc AS (SELECT doc_id, shingle, count(*) AS cnt FROM sh GROUP BY 1,2),
@@ -830,6 +849,33 @@ object SparkEntry {
         |  FROM q JOIN c USING (bucket)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // embed_kmeans runs 4 Lloyd iterations (3 driver-collected rounded
+    // updates + the distributed output step); the oracle replays the
+    // identical chain and selects update 4's means + member counts
+    "embed_kmeans" ->
+      s"""WITH ${kmeansChainSql(4)},
+        |n AS (SELECT cell, count(*) AS n_members FROM a4 GROUP BY 1)
+        |SELECT m.cell, n.n_members, m.pos, m.m FROM m4 m JOIN n USING (cell)""".stripMargin,
+    // IVF with the k-means quantizer: the same IVF probe/assign body
+    // as ann_ivf_topk, centered on the replayed c3 centroids
+    "ann_ivf_kmeans_topk" ->
+      s"""WITH ${kmeansChainSql(3)},
+        |cent AS (SELECT cell, cemb FROM c3),
+        |sc AS (SELECT corp.vec_id, cent.cell, list_cosine_similarity(corp.emb, cent.cemb) AS s
+        |  FROM corp CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+        |qs AS (SELECT q.q_id, cent.cell, list_cosine_similarity(q.qe, cent.cemb) AS s
+        |  FROM q CROSS JOIN cent),
+        |probe AS (SELECT q_id, cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell DESC) AS rn FROM qs)
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, a.vec_id, round(list_cosine_similarity(q.qe, corp.emb), 4) AS cos_sim
+        |  FROM probe p JOIN assign a USING (cell) JOIN corp ON corp.vec_id = a.vec_id JOIN q ON q.q_id = p.q_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM cand)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |cent AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
@@ -870,4 +916,34 @@ object SparkEntry {
   private def hyperplaneLit(p: Int): String =
     Similarity.hyperplane(p, 64).map(w => if (w > 0) "1.0" else "-1.0")
       .mkString("[", ",", "]")
+
+  /** Chained-CTE replay of the deterministic Lloyd iterations
+    * ([[graft.operators.Similarity.kmeansCentroids]]): defines `e`,
+    * `corp`, `g64` and `c0..c{nUpdates}`, where `c{i}` are the
+    * centroids after `i` rounded (4 dp, +1e-9) mean updates with the
+    * (score desc, cell desc) assignment tie-break and empty cells
+    * carried forward — bit-for-bit the Spark loop's semantics. Also
+    * leaves `a{i}`/`m{i}` (assignment / rounded means of update i) in
+    * scope for the caller's final select.
+    */
+  private def kmeansChainSql(nUpdates: Int): String = {
+    val head =
+      """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |g64 AS (SELECT unnest(generate_series(1,64)) AS i),
+        |c0 AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26)""".stripMargin
+    val iters = (1 to nUpdates).map { i =>
+      s"""s$i AS (SELECT corp.vec_id, c.cell, list_cosine_similarity(corp.emb, c.cemb) AS s
+         |  FROM corp CROSS JOIN c${i - 1} c),
+         |a$i AS (SELECT vec_id, cell FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM s$i)
+         |  WHERE rn = 1),
+         |m$i AS (SELECT a.cell, (g64.i - 1)::INT AS pos, round(avg(corp.emb[g64.i]) + 1e-9, 4) AS m
+         |  FROM a$i a JOIN corp USING (vec_id), g64 GROUP BY 1, 2),
+         |c$i AS (SELECT p.cell, list(coalesce(m.m, p.v) ORDER BY p.pos) AS cemb
+         |  FROM (SELECT cell, (g64.i - 1)::INT AS pos, cemb[g64.i] AS v FROM c${i - 1}, g64) p
+         |  LEFT JOIN m$i m ON m.cell = p.cell AND m.pos = p.pos GROUP BY 1)""".stripMargin
+    }
+    (head +: iters).mkString(",\n")
+  }
 }

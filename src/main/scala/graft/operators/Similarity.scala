@@ -124,9 +124,23 @@ object Similarity {
   private def cellOf(emb: Column, cents: Seq[(Int, Seq[Double])]): Column =
     greatest(scoredCells(emb, cents): _*).getField("c")
 
-  def annIvfTopK(t: Tables, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  def annIvfTopK(t: Tables, nCells: Int = 16, nProbe: Int = 4): DataFrame =
+    annIvfWith(t, centroidSeq(t, nCells), nProbe)
+
+  /** S7 — IVF top-k seeded by the CONVERGED k-means centroids instead
+    * of the raw first-K vectors: the production IVF build order
+    * (offline k-means → cell assignment → probe). Same candidate-join
+    * shape as [[annIvfTopK]]; only the coarse quantizer improves —
+    * cells tile the data's actual density, so probes capture more true
+    * neighbors at equal nProbe (recall spec pins ≥ the raw-seed path).
+    */
+  def annIvfKmeansTopK(t: Tables, k: Int = 16, nIters: Int = 4,
+      nProbe: Int = 4): DataFrame =
+    annIvfWith(t, kmeansCentroids(t, k, nIters), nProbe)
+
+  private def annIvfWith(t: Tables, cents: Seq[(Int, Seq[Double])],
+      nProbe: Int): DataFrame = {
     val e = withEmb(t)
-    val cents = centroidSeq(t, nCells)
 
     // top-nProbe cells for a query: sort the (score, cell) structs desc
     def probeCells(emb: Column): Column =
@@ -182,8 +196,13 @@ object Similarity {
       .select(col("vec_id"), col("pos"), col("scale"),
         round(col("col") / col("scale") * 127 + lit(1e-9), 0).cast("int").as("q"))
 
-  def embedCentroids(t: Tables, nCells: Int = 16): DataFrame = {
-    val cents = centroidSeq(t, nCells)
+  def embedCentroids(t: Tables, nCells: Int = 16): DataFrame =
+    embedCentroidsWith(t, centroidSeq(t, nCells))
+
+  /** One distributed centroid-update step under the given centroids:
+    * map-side cell assignment, per-dimension means via posexplode
+    * partial agg, member counts joined back. */
+  private def embedCentroidsWith(t: Tables, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val assigned = withEmb(t).filter(col("vec_id") >= NumQueries)
       .withColumn("cell", cellOf(col("emb"), cents))
     val counts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
@@ -194,4 +213,54 @@ object Similarity {
       .join(counts, "cell")
       .select(col("cell"), col("n_members"), col("pos"), col("m"))
   }
+
+  /** Driver-iterated Lloyd k-means over the corpus, fully
+    * deterministic so a chained-CTE DuckDB oracle replays it exactly:
+    * raw first-K init ([[centroidSeq]]), cosine argmax assignment with
+    * the (score desc, cell desc) tie-break, means ROUNDED to 4 dp
+    * (+1e-9 tie nudge) after every update — the rounding is what keeps
+    * the next round's argmax identical cross-engine — and empty cells
+    * carrying their previous centroid forward.
+    *
+    * Returns the centroids after `nIters - 1` updates (the caller's
+    * distributed output step is iteration `nIters`). Each update is
+    * one map pass + one (cell, dim)-keyed partial agg; only the
+    * K×dims rounded means ever reach the driver (the same bounded
+    * O(K·dims) collect as the seed). Early exit when an update is the
+    * identity: every later iteration is then a fixed point, so the
+    * replayed fixed-length oracle chain still matches.
+    */
+  private[operators] def kmeansCentroids(t: Tables, k: Int, nIters: Int): Seq[(Int, Seq[Double])] = {
+    // staging cache: the loop scans the corpus once per iteration
+    val corpus = withEmb(t).filter(col("vec_id") >= NumQueries).persist()
+    try {
+      var cents = centroidSeq(t, k)
+      var it = 1
+      var converged = false
+      while (it < nIters && !converged) {
+        val rows = corpus
+          .withColumn("cell", cellOf(col("emb"), cents))
+          .select(col("cell"), posexplode(col("emb")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(round(avg(col("col")) + lit(1e-9), 4).as("m"))
+          .collect() // bounded: K×dims rounded means
+        val upd: Map[Int, Seq[Double]] = rows
+          .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          .groupBy(_._1).map { case (c, xs) => c -> xs.sortBy(_._2).map(_._3).toSeq }
+        val next = cents.map { case (c, v) => c -> upd.getOrElse(c, v) }
+        converged = next == cents
+        cents = next
+        it += 1
+      }
+      cents
+    } finally corpus.unpersist()
+  }
+
+  /** S8 — `embed_kmeans`: k-means run to (bounded) convergence — the
+    * closed loop [[embedCentroids]] is one step of. Output is the
+    * final distributed update under the converged centroids, flat
+    * (cell, n_members, pos, m) like `embed_centroids`.
+    */
+  def embedKmeans(t: Tables, k: Int = 16, nIters: Int = 4): DataFrame =
+    embedCentroidsWith(t, kmeansCentroids(t, k, nIters))
 }

@@ -102,4 +102,21 @@ class AnnLshRecallSpec extends SparkSpec {
     // beat random sampling clearly
     assert(recall > 0.25, s"recall $recall unexpectedly low")
   }
+
+  test("ivf with converged k-means centroids: recall at least matches the raw-seeded quantizer") {
+    val t = tables
+    val exact = Similarity.annBruteForceTopK(t)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect s).size.toDouble / exact.size
+    }
+    val raw = recallOf(Similarity.annIvfTopK(t))
+    val kmeans = recallOf(Similarity.annIvfKmeansTopK(t))
+    // Lloyd-converged cells tile the data's density: at equal nProbe
+    // the trained quantizer must not LOSE recall vs first-K seeding
+    assert(kmeans >= raw, s"kmeans-seeded recall $kmeans < raw-seeded $raw")
+    assert(kmeans > 0.25, s"kmeans-seeded recall $kmeans unexpectedly low")
+  }
 }
