@@ -10,18 +10,25 @@ import graft.Tables
 
 /** Multimodal-column operators (SURVEY.md §2.6).
   *
-  * Media payloads are opaque `binary` columns with typed metadata — the
-  * Spark-side plumbing (schema, batch shape, partitioning) is real and
-  * tested; the actual byte-level decode is STUBBED deterministically
-  * (image/audio codecs are not available in this environment): the stub
-  * "parses a header" from the payload's md5, so every engine computes
-  * identical metadata and the DuckDB oracle can verify the full
-  * distributed pipeline around the decode seam.
+  * Media payloads are opaque `binary` columns with typed metadata. The
+  * driver corpus ships no real media blobs, so [[mediaTable]]
+  * synthesizes a deterministic payload per document: a REAL image
+  * container header — PNG signature + IHDR, JPEG SOI + JFIF APP0 +
+  * baseline SOF0, or a GIF89a logical screen descriptor, with
+  * dimensions chosen from the text's md5 — followed by the text bytes
+  * as the body. The decode side then parses the ACTUAL BYTES: format
+  * detected from the signature, dimensions read from the header fields
+  * (big-endian u32 for PNG, big-endian u16 behind a SOF0 marker SCAN
+  * for JPEG, little-endian u16 for GIF), all as pure column
+  * expressions over the binary column — no codec library, exactly the
+  * header-sniffing a 100 TB media-ingest pass runs before batching
+  * payloads to decoders. The DuckDB oracle recomputes the metadata
+  * from the GENERATOR's formulas, so generator-vs-parser is the
+  * cross-check: a parser misreading any byte breaks the hash match.
   *
-  * In production the [[MediaDecoder]] seam is where a real codec slots
-  * in: `decodeDataset` already runs it batch-wise per partition
-  * (`mapPartitions`), which is the Scala-side equivalent of an Arrow /
-  * Pandas-UDF batch — amortized per-batch setup, no per-row codec init.
+  * Frame count has no still-image header field; it stays derived from
+  * the BODY's md5 (standing in for a video container's frame table —
+  * media codec libraries are absent in this environment, documented).
   */
 object Multimodal {
 
@@ -35,30 +42,66 @@ object Multimodal {
     def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[MediaMeta]
   }
 
-  /** Deterministic stub decoder: metadata derived from the payload md5
-    * ("header bytes"), exactly mirroring [[decodeMetaCols]]. A real
-    * decoder (libjpeg/ffmpeg/...) replaces this object only.
+  // --- container-header layouts (public PNG / JFIF / GIF specs) ---
+
+  /** PNG signature + IHDR chunk length/type; W/H (BE32) follow at
+    * bytes 17–24, then bit-depth 8, truecolor, deflate, no filter, no
+    * interlace, and a placeholder CRC. */
+  private val PngPre: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 0, 0, 0, 0x0D,
+      'I', 'H', 'D', 'R').map(_.toByte)
+  private val PngPost: Array[Byte] = Array[Byte](8, 2, 0, 0, 0, 0, 0, 0, 0)
+  private val PngHdrLen = 33
+
+  /** JPEG SOI + 16-byte JFIF APP0 + SOF0 marker/length/precision; the
+    * frame HEIGHT then WIDTH (BE16) follow, then 3 component specs. */
+  private val JpegPre: Array[Byte] =
+    Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xC0, 0x00, 0x11, 0x08).map(_.toByte)
+  private val JpegPost: Array[Byte] =
+    Array(0x03, 0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+  private val JpegHdrLen = 39
+
+  /** GIF89a signature; logical screen W/H (LE16) at bytes 7–10, then
+    * packed fields / background / aspect. */
+  private val GifPre: Array[Byte] = "GIF89a".getBytes(StandardCharsets.US_ASCII)
+  private val GifPost: Array[Byte] = Array[Byte](0, 0, 0)
+  private val GifHdrLen = 13
+
+  /** Real header parser over raw bytes — the JVM twin of the column
+    * parser, for the typed Dataset path. One digest per partition
+    * batch (the amortization the batch shape exists for).
     */
-  object StubMediaDecoder extends MediaDecoder {
+  object HeaderMediaDecoder extends MediaDecoder {
     override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[MediaMeta] = {
-      // one digest instance per batch — the amortization the batch
-      // shape exists for
       val md = MessageDigest.getInstance("MD5")
       payloads.map { bytes =>
+        def u8(i: Int): Int = bytes(i) & 0xFF
+        def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+        def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
+        val (fmt, w, h, hdr) =
+          if (bytes.length >= PngHdrLen && PngPre.indices.forall(i => bytes(i) == PngPre(i)))
+            ("png", be32(16), be32(20), PngHdrLen)
+          else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+            // scan the header region for the SOF0 marker (FF C0): the
+            // 2-byte length + precision byte precede height/width
+            val limit = math.min(bytes.length - 8, 64)
+            val m = (2 until limit).find(i => u8(i) == 0xFF && u8(i + 1) == 0xC0)
+              .getOrElse(sys.error("jpeg payload without SOF0 in header region"))
+            ("jpeg", be16(m + 7), be16(m + 5), m + 2 + be16(m + 2))
+          } else if (bytes.length >= GifHdrLen && GifPre.indices.forall(i => bytes(i) == GifPre(i)))
+            ("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8), GifHdrLen)
+          else ("unknown", 0, 0, 0)
         md.reset()
-        val h = md.digest(bytes).map("%02x".format(_)).mkString
+        val bh = md.digest(java.util.Arrays.copyOfRange(bytes, hdr, bytes.length))
+          .map("%02x".format(_)).mkString
         MediaMeta(
           byteLen = bytes.length.toLong,
-          width = 16 + hexByte(h, 0),
-          height = 16 + hexByte(h, 2),
-          nFrames = 1 + hexByte(h, 4) % 120,
-          fmt = fmtName(hexByte(h, 6) % 3))
+          width = w, height = h,
+          nFrames = 1 + Integer.parseInt(bh.substring(4, 6), 16) % 120,
+          fmt = fmt)
       }
-    }
-    private def hexByte(h: String, i: Int): Int =
-      Integer.parseInt(h.substring(i, i + 2), 16)
-    private def fmtName(i: Int): String = i match {
-      case 0 => "jpeg"; case 1 => "png"; case _ => "webp"
     }
   }
 
@@ -68,7 +111,7 @@ object Multimodal {
     */
   def decodeDataset(
       media: Dataset[(Long, Array[Byte])],
-      decoder: MediaDecoder = StubMediaDecoder): Dataset[(Long, MediaMeta)] = {
+      decoder: MediaDecoder = HeaderMediaDecoder): Dataset[(Long, MediaMeta)] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       val (ids, payloads) = it.duplicate
@@ -76,51 +119,102 @@ object Multimodal {
     }
   }
 
-  // --- column-expression twin of the stub (portable to the oracle) ---
+  // --- payload synthesis (generator side) ---
 
   private def hexByteCol(h: Column, i: Int): Column =
     conv(substring(h, i + 1, 2), 16, 10).cast("int")
 
-  /** Frame count of the stub decode, as a standalone column (kept in
-    * exact sync with [[decodeMetaCols]]'s `n_frames`). */
-  private def nFramesCol(payload: Column): Column =
-    lit(1) + hexByteCol(md5(payload), 4) % 120
-
-  /** Stub-decode metadata as pure columns over a binary payload. */
-  private def decodeMetaCols(payload: Column): Seq[Column] = {
-    val h = md5(payload)
-    val b3 = hexByteCol(h, 6) % 3
-    Seq(
-      length(payload).cast("long").as("byte_len"),
-      (lit(16) + hexByteCol(h, 0)).as("width"),
-      (lit(16) + hexByteCol(h, 2)).as("height"),
-      nFramesCol(payload).as("n_frames"),
-      when(b3 === 0, "jpeg").when(b3 === 1, "png").otherwise("webp").as("fmt"))
+  private def be32Col(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
+  private def be16Col(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
+  private def le16Col(c: Column): Column = {
+    val hx = lpad(hex(c), 4, "0")
+    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
   }
 
-  /** The documents table viewed as a media table: payload is the text's
-    * bytes (a stand-in for real image/audio blobs with the same
-    * schema). */
-  def mediaTable(t: Tables): DataFrame =
-    t.documents.select(col("doc_id"), col("text").cast("binary").as("payload"))
+  /** The documents table viewed as a media table: each payload is a
+    * real container header (format and dimensions a pure function of
+    * the text's md5) followed by the text bytes as the body. Map-only
+    * column expressions — the synthesis adds no shuffle anywhere.
+    */
+  def mediaTable(t: Tables): DataFrame = {
+    val body = col("text").cast("binary")
+    val h = md5(body)
+    val w = lit(16) + hexByteCol(h, 0)
+    val ht = lit(16) + hexByteCol(h, 2)
+    val fmtIdx = hexByteCol(h, 6) % 3
+    val pngHeader = concat(lit(PngPre), be32Col(w), be32Col(ht), lit(PngPost))
+    val jpegHeader = concat(lit(JpegPre), be16Col(ht), be16Col(w), lit(JpegPost))
+    val gifHeader = concat(lit(GifPre), le16Col(w), le16Col(ht), lit(GifPost))
+    val header = when(fmtIdx === 0, jpegHeader)
+      .when(fmtIdx === 1, pngHeader)
+      .otherwise(gifHeader)
+    t.documents.select(col("doc_id"), concat(header, body).as("payload"))
+  }
 
-  /** M1 — `mm_decode_meta`: binary payload → typed metadata struct via
-    * the stub decode. Map-only; at scale this is the schema/shape of a
-    * real decode pass (binary in, fixed-width typed columns out).
+  // --- byte-level parser (decode side), pure column expressions ---
+
+  /** Uppercase hex of the payload's header region (64 bytes bounds
+    * every layout above; a real sniffer reads a fixed prefix too). */
+  private def headHex(payload: Column): Column = hex(substring(payload, 1, 64))
+
+  private def isPng(hx: Column): Column = hx.startsWith("89504E470D0A1A0A")
+  private def isJpeg(hx: Column): Column = hx.startsWith("FFD8")
+  private def isGif(hx: Column): Column = hx.startsWith("474946383961")
+
+  /** Parsed header length — how many leading bytes the container owns
+    * (JPEG's is fixed here because the generator writes SOI+APP0+SOF0
+    * back to back; the SOF0 *field* positions below are still found by
+    * scanning, not assumed). Unknown formats own no header. */
+  private def hdrLenCol(hx: Column): Column =
+    when(isPng(hx), lit(PngHdrLen))
+      .when(isJpeg(hx), lit(JpegHdrLen))
+      .when(isGif(hx), lit(GifHdrLen))
+      .otherwise(lit(0))
+
+  /** The payload body (bytes past the parsed container header). */
+  private def bodyCol(payload: Column): Column =
+    payload.substr(hdrLenCol(headHex(payload)) + 1, length(payload))
+
+  /** Frame count: no still-image header carries one, so it derives
+    * from the BODY's md5 (deterministic video-frame-table stand-in). */
+  private def nFramesCol(payload: Column): Column =
+    lit(1) + hexByteCol(md5(bodyCol(payload)), 4) % 120
+
+  /** Metadata parsed from the payload's actual bytes. */
+  private def decodeMetaCols(payload: Column): Seq[Column] = {
+    val hx = headHex(payload)
+    // PNG: IHDR width/height, big-endian u32 at bytes 17–20 / 21–24
+    val pngW = conv(substring(hx, 33, 8), 16, 10).cast("int")
+    val pngH = conv(substring(hx, 41, 8), 16, 10).cast("int")
+    // JPEG: locate the SOF0 marker (FF C0) by scanning the header hex;
+    // height/width (BE16) sit 5 and 7 bytes past the marker (2-byte
+    // segment length + precision byte first). p is the 1-based hex-char
+    // offset of the marker, so byte m+k maps to hex char p + 2k
+    val p = locate("FFC0", hx)
+    val jpegH = conv(hx.substr(p + 10, lit(4)), 16, 10).cast("int")
+    val jpegW = conv(hx.substr(p + 14, lit(4)), 16, 10).cast("int")
+    // GIF: logical screen width/height, LITTLE-endian u16 at bytes 7–10
+    val gifW = conv(concat(substring(hx, 15, 2), substring(hx, 13, 2)), 16, 10).cast("int")
+    val gifH = conv(concat(substring(hx, 19, 2), substring(hx, 17, 2)), 16, 10).cast("int")
+    Seq(
+      length(payload).cast("long").as("byte_len"),
+      when(isPng(hx), pngW).when(isJpeg(hx), jpegW).when(isGif(hx), gifW)
+        .otherwise(lit(0)).as("width"),
+      when(isPng(hx), pngH).when(isJpeg(hx), jpegH).when(isGif(hx), gifH)
+        .otherwise(lit(0)).as("height"),
+      nFramesCol(payload).as("n_frames"),
+      when(isPng(hx), "png").when(isJpeg(hx), "jpeg").when(isGif(hx), "gif")
+        .otherwise("unknown").as("fmt"))
+  }
+
+  /** M1 — `mm_decode_meta`: binary payload → typed metadata struct by
+    * parsing the container header bytes. Map-only; at scale this is
+    * the schema/shape of a real decode pass (binary in, fixed-width
+    * typed columns out).
     */
   def mmDecodeMeta(t: Tables): DataFrame =
     mediaTable(t).select(col("doc_id") +: decodeMetaCols(col("payload")): _*)
 
-  /** M2 — `mm_frame_sample`: every 5th frame index per media row
-    * (explode of a bounded sequence — the standard frame-sampling
-    * shape), with a deterministic per-frame fingerprint.
-    *
-    * Map-only: `n_frames` is a pure function of the payload, so it is
-    * computed inline on the payload scan — no join back to the
-    * metadata (the round-2 version re-joined the media table to
-    * metadata derived from it, shuffling the full binary corpus to
-    * pick up a value each row already determines).
-    */
   /** M3 — `mm_resize_plan`: the decode-batch planner — per (format,
     * log2 size band), how many media rows land there, their byte
     * volume, and the total output pixels after fit-to-`maxSide`
@@ -142,12 +236,23 @@ object Multimodal {
         sum((col("target_w") * col("target_h")).cast("long")).as("total_pixels"))
   }
 
+  /** M2 — `mm_frame_sample`: every 5th frame index per media row
+    * (explode of a bounded sequence — the standard frame-sampling
+    * shape), with a deterministic per-frame fingerprint over the
+    * payload BODY.
+    *
+    * Map-only: `n_frames` is a pure function of the payload, so it is
+    * computed inline on the payload scan — no join back to the
+    * metadata (the round-2 version re-joined the media table to
+    * metadata derived from it, shuffling the full binary corpus to
+    * pick up a value each row already determines).
+    */
   def mmFrameSample(t: Tables): DataFrame =
     mediaTable(t)
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0), nFramesCol(col("payload")) - 1, lit(5)))
           .as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
-        md5(concat(col("payload").cast("string"), lit(":"),
+        md5(concat(bodyCol(col("payload")).cast("string"), lit(":"),
           col("frame_idx").cast("string"))).as("frame_hash"))
 }
