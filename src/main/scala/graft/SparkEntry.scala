@@ -85,6 +85,11 @@ object SparkEntry {
     "corpus_length_histogram"  -> q(TextAnalysis.corpusLengthHistogram),
     "text_novelty"        -> q(TextAnalysis.textNovelty),
     "corpus_token_shards" -> q(t => TextAnalysis.corpusTokenShards(t)),
+    "text_bpe_tokens"     -> q(TextAnalysis.textBpeTokens),
+    // shard layout priced in SUBWORD tokens (what training actually
+    // packs), reusing the recursive prefix-sum machinery
+    "corpus_bpe_shards"   -> q(t => TextAnalysis.corpusTokenShards(t,
+      tokenCount = TextAnalysis.bpeTokenCount)),
     "text_surprisal"      -> q(TextAnalysis.textSurprisal),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
@@ -586,6 +591,24 @@ object SparkEntry {
         |  sum(n_toks) OVER (ORDER BY doc_id) - n_toks AS start_tok FROM t)
         |SELECT doc_id, n_toks, start_tok::BIGINT AS start_tok,
         | (start_tok // 2048)::BIGINT AS shard_id FROM c""".stripMargin,
+    // same layout priced in greedy-subword tokens: the tokenizer is the
+    // SAME regex alternation as the Spark side (spliced from bpeRegex)
+    "corpus_bpe_shards" ->
+      s"""WITH t AS (SELECT doc_id,
+        |  len(regexp_extract_all(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),
+        |      '${TextAnalysis.bpeRegex}'))::BIGINT AS n_toks FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |  sum(n_toks) OVER (ORDER BY doc_id) - n_toks AS start_tok FROM t)
+        |SELECT doc_id, n_toks, start_tok::BIGINT AS start_tok,
+        | (start_tok // 2048)::BIGINT AS shard_id FROM c""".stripMargin,
+    "text_bpe_tokens" ->
+      s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS nt FROM documents),
+        |b AS (SELECT doc_id,
+        |  len(list_filter(string_split(nt,' '), x -> len(x)>0))::BIGINT AS n_words,
+        |  len(regexp_extract_all(nt, '${TextAnalysis.bpeRegex}'))::BIGINT AS n_bpe,
+        |  length(replace(nt, ' ', ''))::BIGINT AS n_chars FROM n)
+        |SELECT doc_id, n_words, n_bpe, n_chars,
+        | round(n_bpe*1.0/nullif(n_words,0)+1e-9,4) AS fertility FROM b""".stripMargin,
     "events_funnel" -> funnelSql,
     // the streaming funnel must converge to the batch funnel's answer
     "stream_funnel" -> funnelSql,
@@ -697,6 +720,10 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         | round(sum(value),2) AS sum_value
         |FROM t GROUP BY 1,2""".stripMargin,
+    // the oracle recomputes the metadata from the GENERATOR's formulas
+    // (dims/format from the text md5, byte_len = body + header length);
+    // the Spark side PARSES the same values back out of the payload's
+    // actual header bytes — generator vs parser is the cross-check
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,
@@ -705,9 +732,11 @@ object SparkEntry {
         |  16*(strpos('0123456789abcdef',substr(h,5,1))-1)+(strpos('0123456789abcdef',substr(h,6,1))-1) AS b2,
         |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3
         | FROM m)
-        |SELECT doc_id, bl::BIGINT AS byte_len, (16+b0)::INTEGER AS width, (16+b1)::INTEGER AS height,
+        |SELECT doc_id,
+        | (bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33 ELSE 13 END)::BIGINT AS byte_len,
+        | (16+b0)::INTEGER AS width, (16+b1)::INTEGER AS height,
         | (1 + b2 % 120)::INTEGER AS n_frames,
-        | CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt
+        | CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt
         |FROM b""".stripMargin,
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
@@ -716,8 +745,9 @@ object SparkEntry {
         |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
         |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3
         | FROM m),
-        |d AS (SELECT bl, 16+b0 AS width, 16+b1 AS height,
-        |  CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS fmt FROM b),
+        |d AS (SELECT bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33 ELSE 13 END AS bl,
+        |  16+b0 AS width, 16+b1 AS height,
+        |  CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt FROM b),
         |r AS (SELECT *, greatest(width, height) * 1.0 AS mx FROM d),
         |s AS (SELECT fmt, floor(log2(bl))::BIGINT AS len_bucket, bl,
         |  floor(width * least(1.0, 224 / mx))::INT AS tw,

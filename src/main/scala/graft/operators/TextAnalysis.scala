@@ -412,10 +412,11 @@ object TextAnalysis {
 
   def corpusTokenShards(t: Tables, tokensPerShard: Long = 2048,
       bucketSize: Long = 64, maxWindowRows: Long = 1L << 20,
-      maxBroadcastRows: Long = 4L * 1000 * 1000): DataFrame = {
+      maxBroadcastRows: Long = 4L * 1000 * 1000,
+      tokenCount: Column = size(tokens(col("text"))).cast("long")): DataFrame = {
     val docs = t.documents.select(
       col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_toks"),
+      tokenCount.as("n_toks"),
       (col("doc_id") / bucketSize).cast("long").as("bucket"))
     val local = docs.withColumn("local_cum",
       sum(col("n_toks")).over(
@@ -435,6 +436,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_toks"),
         (col("offset") + col("local_cum") - col("n_toks")).as("start_tok"))
       .withColumn("shard_id", expr(s"start_tok DIV $tokensPerShard"))
+  }
+
+  /** Fixed subword vocabulary for [[textBpeTokens]] — multi-character
+    * units only (single characters are the implicit fallback). A real
+    * deployment learns these from corpus pair frequencies (BPE/
+    * WordPiece training); a fixed deterministic vocab keeps the
+    * OPERATOR — the part that runs at 100 TB — fully oracle-checkable.
+    * Units must be literal alnum strings (they are spliced into a
+    * regex alternation unescaped).
+    */
+  val bpeVocab: Seq[String] = Seq(
+    "spark", "window", "table", "batch", "value", "merge", "scan", "sort",
+    "hash", "part", "fast", "slow", "line", "row", "key", "agg",
+    "tion", "ing", "er", "an", "re", "on", "at", "st", "ar", "le", "ow",
+    "al", "in", "en")
+  require(bpeVocab.forall(_.matches("[a-z0-9]{2,}")),
+    "bpe vocab units must be literal alnum strings of length >= 2")
+
+  /** Greedy longest-match subword tokenization as ONE regex: the vocab
+    * alternation ordered longest-first (ties lexicographic), with a
+    * single-character fallback last. At every scan position the engine
+    * takes the first alternative that matches — i.e. the LONGEST vocab
+    * unit (maximal munch) or one character — which is exactly the
+    * greedy subword algorithm, and behaves identically under Java
+    * regex (leftmost-first) and RE2 (where longest-first ordering and
+    * leftmost-longest coincide). Spaces match no alternative, so word
+    * boundaries fall out for free over normalized text.
+    */
+  private[graft] val bpeRegex: String =
+    (bpeVocab.sortBy(u => (-u.length, u)) :+ "[a-z0-9]").mkString("|")
+
+  /** Subword token count of the `text` column under the greedy
+    * tokenizer — the unit [[corpusTokenShards]] plugs in to price
+    * shards in subwords instead of words. */
+  def bpeTokenCount: Column =
+    size(regexp_extract_all(normText(col("text")), lit(bpeRegex), lit(0))).cast("long")
+
+  /** T15 — `text_bpe_tokens`: subword token counts under the greedy
+    * longest-match tokenizer, with word count, character count and
+    * fertility (subwords per word — the tokenizer-quality metric every
+    * LLM data pipeline tracks; 1.0 = every word is one unit, ~chars =
+    * vocab miss). Map-only: one codegen regex pass per doc, no
+    * shuffle, no UDF.
+    */
+  def textBpeTokens(t: Tables): DataFrame = {
+    val eps = lit(1e-9)
+    val nt = normText(col("text"))
+    t.documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      bpeTokenCount.as("n_bpe"),
+      length(regexp_replace(nt, " ", "")).cast("long").as("n_chars"))
+      .withColumn("fertility",
+        round(col("n_bpe").cast("double") /
+          nullif(col("n_words").cast("double"), lit(0.0)) + eps, 4))
   }
 
   /** T5 — corpus-level top-20 bigram frequencies with a deterministic

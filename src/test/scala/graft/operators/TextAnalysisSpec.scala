@@ -20,4 +20,35 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(viaOp == viaExpr)
   }
+
+  test("bpe tokenizer: the single regex pass equals reference greedy longest-match") {
+    // independent reference implementation of maximal munch over the
+    // same vocab — pins that the ordered-alternation regex really IS
+    // the greedy algorithm, on every corpus doc
+    val vocab = TextAnalysis.bpeVocab.sortBy(u => (-u.length, u))
+    def greedyCount(word: String): Int = {
+      var i = 0; var n = 0
+      while (i < word.length) {
+        val unit = vocab.find(u => word.startsWith(u, i))
+        i += unit.map(_.length).getOrElse(1)
+        n += 1
+      }
+      n
+    }
+    val expected = tables.documents.select(col("doc_id"), col("text")).collect().map { r =>
+      val words = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      r.getLong(0) -> words.map(greedyCount).sum.toLong
+    }.toMap
+    val actual = TextAnalysis.textBpeTokens(tables)
+      .select(col("doc_id"), col("n_bpe")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(actual == expected)
+  }
+
+  test("bpe tokenizer: fertility is bounded by 1 and the word length ratio") {
+    val bad = TextAnalysis.textBpeTokens(tables)
+      .filter(col("n_words") > 0)
+      .filter(col("fertility") < 1.0 || col("n_bpe") > col("n_chars"))
+    assert(bad.count() == 0, "fertility below 1 or more subwords than characters")
+  }
 }
