@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Distance}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, QuantizedCosine}
 
 /** Session extensions registering graft's native SQL functions
   * (SURVEY.md §2.4 S3). Install with
@@ -41,6 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"l2_distance expects 2 arguments, got ${children.length}")
         L2Distance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("quantized_cosine"),
+      new ExpressionInfo(classOf[QuantizedCosine].getName, null,
+        "quantized_cosine", "quantized_cosine(a, b) - cosine over the symmetric-int8 quantization of two array<double> vectors", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"quantized_cosine expects 2 arguments, got ${children.length}")
+        QuantizedCosine(children.head, children(1))
       }))
   }
 }

@@ -103,4 +103,11 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column =
     ColumnBridge.column(L2Distance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Cosine over the inline symmetric-int8 quantization of both
+    * `array<double>` columns (codegen'd) — the int8 ANN scoring
+    * kernel. */
+  def quantizedCosine(a: Column, b: Column): Column =
+    ColumnBridge.column(QuantizedCosine(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

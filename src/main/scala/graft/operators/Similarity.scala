@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.VectorFunctions.{cosineSimilarity, dotProduct}
+import graft.functions.VectorFunctions.{cosineSimilarity, dotProduct, quantizedCosine}
 
 /** Similarity-search operators over the `embeddings` table
   * (SURVEY.md §2.4): exact brute-force cosine top-k as the baseline,
@@ -40,6 +40,29 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
     scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
+  /** S9 — `ann_quantized_topk`: exact top-k under the int8-QUANTIZED
+    * cosine — the reduced-precision scoring pass of a production ANN
+    * index (store int8, score int8, rerank survivors in full
+    * precision if needed). Same broadcast + window shape as
+    * [[annBruteForceTopK]]; scoring runs through the codegen
+    * `quantized_cosine` kernel whose integer arithmetic is exact and
+    * engine-portable, so even this approximate-precision path has an
+    * exact DuckDB oracle. The +1e-9 nudge keeps the 4-dp rounding of
+    * the int-ratio scores off half-way ties.
+    */
+  def annQuantizedTopK(t: Tables): DataFrame = {
+    val e = withEmb(t)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(quantizedCosine(col("q_emb"), col("emb")) + lit(1e-9), 4).as("cos_sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
       .filter(col("rnk") <= TopK)

@@ -103,6 +103,41 @@ class AnnLshRecallSpec extends SparkSpec {
     assert(recall > 0.25, s"recall $recall unexpectedly low")
   }
 
+  test("quantized_cosine matches a reference int8 quantized computation") {
+    import graft.functions.VectorFunctions.quantizedCosine
+    val t = tables
+    val rows = t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy("vec_id").limit(2).collect()
+    val v0 = rows(0).getSeq[Double](1)
+    val v1 = rows(1).getSeq[Double](1)
+    def quant(v: Seq[Double]): Seq[Long] = {
+      val s = v.map(math.abs).max
+      v.map { x =>
+        val tt = x / s * 127.0 + 1e-9
+        if (tt >= 0) math.floor(tt + 0.5).toLong else math.ceil(tt - 0.5).toLong
+      }
+    }
+    val (qa, qb) = (quant(v0), quant(v1))
+    val dot = qa.zip(qb).map { case (x, y) => x * y }.sum.toDouble
+    val expected = dot /
+      (math.sqrt(qa.map(x => x * x).sum.toDouble) * math.sqrt(qb.map(x => x * x).sum.toDouble))
+    val df = spark.createDataFrame(Seq((v0, v1))).toDF("a", "b")
+    val actual = df.select(quantizedCosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(actual - expected) < 1e-12)
+  }
+
+  test("quantized top-k recall over full-precision brute force is near-exact at int8") {
+    val t = tables
+    val exact = Similarity.annBruteForceTopK(t)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.annQuantizedTopK(t)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    // int8 keeps ~2 decimal digits of score precision: ordering flips
+    // only between near-tied neighbors
+    assert(recall > 0.8, s"quantized recall $recall unexpectedly low")
+  }
+
   test("ivf with converged k-means centroids: recall at least matches the raw-seeded quantizer") {
     val t = tables
     val exact = Similarity.annBruteForceTopK(t)
