@@ -90,6 +90,7 @@ object SparkEntry {
     // packs), reusing the recursive prefix-sum machinery
     "corpus_bpe_shards"   -> q(t => TextAnalysis.corpusTokenShards(t,
       tokenCount = TextAnalysis.bpeTokenCount)),
+    "corpus_pack"         -> q(t => TextAnalysis.corpusPackSequences(t)),
     "text_surprisal"      -> q(TextAnalysis.textSurprisal),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
@@ -107,6 +108,7 @@ object SparkEntry {
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
+    "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
@@ -601,6 +603,18 @@ object SparkEntry {
         |  sum(n_toks) OVER (ORDER BY doc_id) - n_toks AS start_tok FROM t)
         |SELECT doc_id, n_toks, start_tok::BIGINT AS start_tok,
         | (start_tok // 2048)::BIGINT AS shard_id FROM c""".stripMargin,
+    // concat-and-chop packing replayed: same global cumsum offsets,
+    // each doc unnested over the [first,last] sequence range it spans
+    "corpus_pack" ->
+      s"""WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n FROM documents),
+        |c AS (SELECT doc_id, n, (sum(n) OVER (ORDER BY doc_id) - n)::BIGINT AS st FROM t),
+        |e AS (SELECT doc_id, n, st,
+        |  unnest(generate_series(st // 128, (st + n - 1) // 128)) AS seq_id
+        |  FROM c WHERE n > 0)
+        |SELECT seq_id, count(*)::BIGINT AS n_docs,
+        | sum(least((seq_id+1)*128, st+n) - greatest(seq_id*128, st))::BIGINT AS n_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e GROUP BY 1""".stripMargin,
     "text_bpe_tokens" ->
       s"""WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS nt FROM documents),
         |b AS (SELECT doc_id,
@@ -863,6 +877,23 @@ object SparkEntry {
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
         |s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qe, e),4) AS cos_sim FROM q, c),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // int8-quantized scoring replayed exactly: same max-abs scale and
+    // round(+1e-9) mapping as embed_quantize; integer dots are exact on
+    // both engines, so the reduced-precision path hash-checks too
+    "ann_quantized_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |  list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale FROM e),
+        |qv AS (SELECT vec_id,
+        |  list_transform(emb, x -> CAST(round(x / scale * 127 + 1e-9) AS BIGINT)) AS qe FROM s),
+        |q AS (SELECT vec_id AS q_id, qe AS qq FROM qv WHERE vec_id < 10),
+        |c AS (SELECT vec_id, qe FROM qv WHERE vec_id >= 10),
+        |sc AS (SELECT q_id, vec_id,
+        |  round(list_dot_product(qq, qe) /
+        |    (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qe, qe))) + 1e-9, 4) AS cos_sim
+        |  FROM q, c),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM sc)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // The LSH/IVF index builds are fully deterministic (md5-derived
     // hyperplanes / first-16-corpus-vector centroids), so the oracle

@@ -438,6 +438,38 @@ object TextAnalysis {
       .withColumn("shard_id", expr(s"start_tok DIV $tokensPerShard"))
   }
 
+  /** T16 — sequence packing: the concat-and-chop layout that turns a
+    * tokenized corpus into fixed-`seqLen` training sequences (docs
+    * concatenated in doc_id order, chopped every `seqLen` tokens —
+    * the standard pretraining packer). Per sequence: how many docs
+    * contribute, how many tokens it holds (= `seqLen` except the
+    * tail), and the first/last contributing doc — the manifest a
+    * loader needs to materialize any sequence without scanning its
+    * neighbours.
+    *
+    * Shape: per-doc global offsets come from [[corpusTokenShards]]'s
+    * recursive two-level prefix sum (no single-partition window at
+    * any corpus size); each doc then explodes into only the
+    * ⌈n_toks/seqLen⌉ sequences it overlaps — corpus-total explode
+    * volume is n_sequences + n_docs rows, linear — and one groupBy on
+    * seq_id aggregates contributions. Integer arithmetic end-to-end,
+    * so the oracle hash-checks exactly.
+    */
+  def corpusPackSequences(t: Tables, seqLen: Long = 128): DataFrame =
+    corpusTokenShards(t, tokensPerShard = seqLen)
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"), col("start_tok"),
+        explode(sequence(col("shard_id"),
+          expr(s"(start_tok + n_toks - 1) DIV $seqLen"))).as("seq_id"))
+      .withColumn("contrib",
+        least((col("seq_id") + 1) * seqLen, col("start_tok") + col("n_toks"))
+          - greatest(col("seq_id") * seqLen, col("start_tok")))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("contrib")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+
   /** Fixed subword vocabulary for [[textBpeTokens]] — multi-character
     * units only (single characters are the implicit fallback). A real
     * deployment learns these from corpus pair frequencies (BPE/
