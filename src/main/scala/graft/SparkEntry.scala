@@ -91,10 +91,12 @@ object SparkEntry {
     "corpus_bpe_shards"   -> q(t => TextAnalysis.corpusTokenShards(t,
       tokenCount = TextAnalysis.bpeTokenCount)),
     "corpus_pack"         -> q(t => TextAnalysis.corpusPackSequences(t)),
+    "corpus_mixture"      -> q(t => TextAnalysis.corpusMixture(t)),
     "text_surprisal"      -> q(TextAnalysis.textSurprisal),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
     "events_retention"    -> q(EventAnalytics.eventsRetention),
+    "events_anomaly"      -> q(t => EventAnalytics.eventsAnomaly(t)),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -488,6 +490,18 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
+    "events_anomaly" ->
+      """WITH hc AS (
+        | SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+        |  count(*) AS n_events
+        | FROM events GROUP BY 1, 2),
+        |st AS (
+        | SELECT *, avg(n_events) OVER (PARTITION BY event_type) AS mu,
+        |  stddev_pop(n_events) OVER (PARTITION BY event_type) AS sigma
+        | FROM hc)
+        |SELECT event_type, hour_ts, n_events,
+        | round((n_events - mu) / sigma + 1e-9, 4) AS z_score
+        |FROM st WHERE sigma > 0 AND abs(n_events - mu) > 2.0 * sigma""".stripMargin,
     "text_lang_id" ->
       s"""WITH lex(slang, word) AS (VALUES
         | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),
@@ -566,6 +580,18 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR),1,1)
         |  < CASE WHEN lang = 'en' THEN '4' ELSE '8' END""".stripMargin,
+    "corpus_mixture" ->
+      """WITH r AS (
+        | SELECT doc_id, source,
+        |  md5(doc_id::VARCHAR) AS hh,
+        |  ((strpos('0123456789abcdef', substr(md5(source),1,1)) - 1) % 4 + 1) * 4
+        |    AS rate16,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(doc_id::VARCHAR), doc_id) AS samp_rank,
+        |  count(*) OVER (PARTITION BY source) AS n_src
+        | FROM documents)
+        |SELECT doc_id, source, samp_rank
+        |FROM r WHERE samp_rank <= (n_src * rate16 + 15) // 16""".stripMargin,
     "corpus_length_histogram" ->
       """SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS len_bucket,
         | count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,

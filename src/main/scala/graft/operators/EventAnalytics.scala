@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -67,5 +68,35 @@ object EventAnalytics {
       // engines' parquet/pandas paths (date vs datetime64)
       .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("day_offset"), col("n_users"))
+  }
+
+  /** E3 — volume anomaly detection: hourly event counts per type,
+    * flagged where the count sits more than `zThreshold` population
+    * standard deviations from that type's own hourly mean — the
+    * monitoring query that catches ingestion gaps and bot spikes in an
+    * event pipeline.
+    *
+    * Shape: one (type, hour)-keyed count (map-side partial agg —
+    * the only shuffle that sees raw events), then mean/stddev as
+    * windows PARTITIONED BY type over the hourly rollup, whose size
+    * is #types × #hours (~10⁴ rows/type even over a decade) —
+    * metadata-scale regardless of corpus size. Spark and DuckDB both
+    * aggregate doubles left-to-right within a partition here, and the
+    * rollup is small enough that the 4-dp round (+1e-9 off the
+    * half-boundary) absorbs any accumulation-order drift.
+    */
+  def eventsAnomaly(t: Tables, zThreshold: Double = 2.0): DataFrame = {
+    val counts = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("mu", avg(col("n_events")).over(w))
+      .withColumn("sigma", stddev_pop(col("n_events")).over(w))
+      .filter(col("sigma") > 0 &&
+        abs(col("n_events") - col("mu")) > lit(zThreshold) * col("sigma"))
+      .select(col("event_type"), col("hour_ts"), col("n_events"),
+        round((col("n_events") - col("mu")) / col("sigma") + lit(1e-9), 4)
+          .as("z_score"))
   }
 }

@@ -290,6 +290,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** T17 — exact-quota domain mixture: downsample each source to an
+    * EXACT per-domain quota (vs [[corpusSampleStratified]]'s
+    * probabilistic rates, which only hit the mix in expectation) — the
+    * reweighting step when the training recipe demands precise domain
+    * proportions. Quotas here derive deterministically from the source
+    * name (md5-nibble → 4/8/12/16 sixteenths of that source's docs,
+    * all-integer ceil) so the operator generalizes to any source set;
+    * a production run would broadcast-join an explicit weights table
+    * in place of the nibble expression. Selection INSIDE a quota is a
+    * per-source rank over md5(doc_id) — an unbiased deterministic
+    * shuffle, reproducible on any engine.
+    *
+    * Shape: one source-partitioned window pass (rank + count share the
+    * partitioning) — a single shuffle keyed by source, no collect. A
+    * skewed mega-source makes that window partition large; at that
+    * scale the rank goes through the same recursive prefix-sum trick
+    * as [[corpusTokenShards]] with the source as the outer key.
+    */
+  def corpusMixture(t: Tables): DataFrame = {
+    val nib = conv(substring(md5(col("source")), 1, 1), 16, 10).cast("long")
+    val rate16 = (nib % 4 + 1) * 4 // 4, 8, 12 or 16 sixteenths
+    val w = Window.partitionBy(col("source"))
+    t.documents
+      .select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("hh"), rate16.as("rate16"))
+      .withColumn("samp_rank",
+        row_number().over(w.orderBy(col("hh"), col("doc_id"))).cast("long"))
+      .withColumn("n_src", count(lit(1)).over(w))
+      // integer ceil(n_src * rate16 / 16); DIV, not `/` (double)
+      .withColumn("quota", expr("(n_src * rate16 + 15) DIV 16"))
+      .filter(col("samp_rank") <= col("quota"))
+      .select(col("doc_id"), col("source"), col("samp_rank"))
+  }
+
   /** T11 — corpus length histogram on log2 buckets: doc counts and
     * char totals per power-of-two length band — the long-tail length
     * audit run before choosing truncation/packing lengths. One
