@@ -111,12 +111,14 @@ object SparkEntry {
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
+    "ann_refine_topk"     -> q(t => Similarity.annRefineTopK(t)),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "embed_quantize"      -> q(Similarity.embedQuantize),
+    "embed_project"       -> q(t => Similarity.embedProject(t)),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
     // §2.7 structured streaming
@@ -126,6 +128,7 @@ object SparkEntry {
     "stream_sessionize"   -> q(graft.streaming.Streaming.streamSessionize),
     "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
+    "stream_anomaly"      -> q(graft.streaming.Streaming.streamAnomaly),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
@@ -162,6 +165,21 @@ object SparkEntry {
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |       (SELECT count(*) FROM c) AS n_click,
       |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin
+
+  /** DuckDB oracle shared by the batch and streaming volume-anomaly
+    * monitors (the streaming rollup is batch-equivalent by design). */
+  private val anomalySql =
+    """WITH hc AS (
+      | SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
+      |  count(*) AS n_events
+      | FROM events GROUP BY 1, 2),
+      |st AS (
+      | SELECT *, avg(n_events) OVER (PARTITION BY event_type) AS mu,
+      |  stddev_pop(n_events) OVER (PARTITION BY event_type) AS sigma
+      | FROM hc)
+      |SELECT event_type, hour_ts, n_events,
+      | round((n_events - mu) / sigma + 1e-9, 4) AS z_score
+      |FROM st WHERE sigma > 0 AND abs(n_events - mu) > 2.0 * sigma""".stripMargin
 
   /** DuckDB oracle shared by the in-session and table-backed
     * incremental dedup paths (identical semantics by design). */
@@ -490,18 +508,8 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
         | count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events GROUP BY 1,2""".stripMargin,
-    "events_anomaly" ->
-      """WITH hc AS (
-        | SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
-        |  count(*) AS n_events
-        | FROM events GROUP BY 1, 2),
-        |st AS (
-        | SELECT *, avg(n_events) OVER (PARTITION BY event_type) AS mu,
-        |  stddev_pop(n_events) OVER (PARTITION BY event_type) AS sigma
-        | FROM hc)
-        |SELECT event_type, hour_ts, n_events,
-        | round((n_events - mu) / sigma + 1e-9, 4) AS z_score
-        |FROM st WHERE sigma > 0 AND abs(n_events - mu) > 2.0 * sigma""".stripMargin,
+    "events_anomaly" -> anomalySql,
+    "stream_anomaly" -> anomalySql,
     "text_lang_id" ->
       s"""WITH lex(slang, word) AS (VALUES
         | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),
@@ -884,6 +892,16 @@ object SparkEntry {
         |SELECT vec_id, (g.i - 1)::INT AS pos, scale,
         | CAST(round(emb[g.i] / scale * 127 + 1e-9) AS INTEGER) AS q
         |FROM e, (SELECT unnest(generate_series(1,64)) AS i) g""".stripMargin,
+    "embed_project" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |hp AS (SELECT p.p, d.d,
+        |  CASE WHEN (strpos('0123456789abcdef', substr(md5(p.p||':'||d.d),1,1)) - 1) % 2 = 1
+        |    THEN 1.0 ELSE -1.0 END AS w
+        |  FROM (SELECT unnest(generate_series(0,15)) AS p) p,
+        |       (SELECT unnest(generate_series(0,63)) AS d) d)
+        |SELECT vec_id, hp.p::INT AS pos,
+        | round(sum(emb[hp.d + 1] * hp.w) / sqrt(16.0) + 1e-9, 4) AS proj
+        |FROM e, hp GROUP BY 1, 2""".stripMargin,
     "embed_centroids" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |c AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
@@ -920,6 +938,26 @@ object SparkEntry {
         |    (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qe, qe))) + 1e-9, 4) AS cos_sim
         |  FROM q, c),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM sc)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_refine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb,
+        |  list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale FROM e),
+        |qv AS (SELECT vec_id,
+        |  list_transform(emb, x -> CAST(round(x / scale * 127 + 1e-9) AS BIGINT)) AS qe FROM s),
+        |q AS (SELECT vec_id AS q_id, qe AS qq FROM qv WHERE vec_id < 10),
+        |c AS (SELECT vec_id, qe FROM qv WHERE vec_id >= 10),
+        |sc AS (SELECT q_id, vec_id,
+        |  round(list_dot_product(qq, qe) /
+        |    (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qe, qe))) + 1e-9, 4) AS q_sim
+        |  FROM q, c),
+        |sl AS (SELECT q_id, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY q_sim DESC, vec_id) AS qrnk FROM sc)
+        |  WHERE qrnk <= 20),
+        |x AS (SELECT sl.q_id, sl.vec_id,
+        |  round(list_cosine_similarity(eq.emb, ec.emb), 4) AS cos_sim
+        |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM x)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // The LSH/IVF index builds are fully deterministic (md5-derived
     // hyperplanes / first-16-corpus-vector centroids), so the oracle

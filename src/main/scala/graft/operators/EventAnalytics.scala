@@ -89,8 +89,17 @@ object EventAnalytics {
     val counts = t.events
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
+    anomalyScore(counts, zThreshold)
+  }
+
+  /** Scoring stage of [[eventsAnomaly]], factored out so the streaming
+    * rollup ([[graft.streaming.Streaming.streamAnomaly]]) scores through
+    * the identical plan. Input: an hourly rollup with columns
+    * (hour_ts, event_type, n_events).
+    */
+  def anomalyScore(hourly: DataFrame, zThreshold: Double = 2.0): DataFrame = {
     val w = Window.partitionBy(col("event_type"))
-    counts
+    hourly
       .withColumn("mu", avg(col("n_events")).over(w))
       .withColumn("sigma", stddev_pop(col("n_events")).over(w))
       .filter(col("sigma") > 0 &&

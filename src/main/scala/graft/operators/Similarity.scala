@@ -68,6 +68,42 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
+  /** S10 — `ann_refine_topk`: the two-stage retrieval every production
+    * vector index runs — a cheap int8-quantized scoring pass shortlists
+    * `shortlist` candidates per query, and ONLY those are re-scored in
+    * full precision for the final top-k.
+    *
+    * Scale shape: pass 1 is the map-only broadcast scan of
+    * [[annQuantizedTopK]] but its q_id-keyed shortlist shuffle carries
+    * (q_id, vec_id, score) — never vectors (on a real index this pass
+    * reads the 4×-smaller int8 columns, so it is also the
+    * memory-bandwidth win). Pass 2 fetches the shortlisted full-precision
+    * vectors on a second scan via a broadcast join of the tiny
+    * (queries × shortlist) id set — exact rerank cost is independent of
+    * corpus size. Both stages are deterministic, so the whole pipeline
+    * has an exact DuckDB oracle.
+    */
+  def annRefineTopK(t: Tables, shortlist: Int = 20): DataFrame = {
+    val e = withEmb(t)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    val short = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(quantizedCosine(col("q_emb"), col("emb")) + lit(1e-9), 4).as("q_sim"))
+      .withColumn("qrnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("q_sim"), asc("vec_id"))))
+      .filter(col("qrnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    corpus.join(broadcast(short), "vec_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
   /** Deterministic ±1 random-hyperplane weights: sign p,d is the parity
     * of the first md5 nibble of "p:d" (reproducible everywhere).
     */
@@ -218,6 +254,32 @@ object Similarity {
       .select(col("vec_id"), col("scale"), posexplode(col("emb")))
       .select(col("vec_id"), col("pos"), col("scale"),
         round(col("col") / col("scale") * 127 + lit(1e-9), 0).cast("int").as("q"))
+
+  /** S11 — `embed_project`: sign-random-projection dimensionality
+    * reduction (Johnson–Lindenstrauss sketch), 64-d → `outDims`-d with
+    * the deterministic ±1 [[hyperplane]] matrix and 1/√outDims scaling —
+    * the cheap sketch computed before shipping vectors into ANN/dedup
+    * stages whose cost is linear in dimensionality.
+    *
+    * Map-only and zero-shuffle: each output coordinate is one codegen
+    * `dot_product` against a literal hyperplane (same anti-HOF shape as
+    * [[annLshTopK]]'s signature — an interpreted aggregate(zip_with)
+    * lambda re-evaluates per element). Emitted posexploded as
+    * (vec_id, pos, proj) scalar rows like [[embedQuantize]]. The ±1
+    * matrix and 1/√16 = 0.25 scale are exact in binary doubles, so the
+    * 4-dp round (+1e-9 off the half-boundary) gives an exact DuckDB
+    * oracle.
+    */
+  def embedProject(t: Tables, outDims: Int = 16, dims: Int = 64): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val proj = array((0 until outDims).map { p =>
+      round(dotProduct(col("emb"), typedlit(hyperplane(p, dims))) * lit(scale)
+        + lit(1e-9), 4)
+    }: _*)
+    withEmb(t)
+      .select(col("vec_id"), posexplode(proj))
+      .select(col("vec_id"), col("pos"), col("col").as("proj"))
+  }
 
   def embedCentroids(t: Tables, nCells: Int = 16): DataFrame =
     embedCentroidsWith(t, centroidSeq(t, nCells))

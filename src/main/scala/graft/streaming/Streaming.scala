@@ -224,4 +224,28 @@ object Streaming {
       .agg(count(lit(1)).as("n_users"))
     drainToTable(deduped, "complete")
   }
+
+  /** X7 — `stream_anomaly`: the streaming half of the volume monitor —
+    * watermarked hourly per-type counts maintained as streaming state,
+    * drained, then scored through the SAME z-score stage as the batch
+    * [[graft.operators.EventAnalytics.eventsAnomaly]] (Structured
+    * Streaming forbids joins/windows after a streaming aggregation, so
+    * the cross-hour baseline is computed over the drained rollup — on a
+    * production monitor that scoring pass runs per micro-batch against
+    * a broadcast historical baseline instead). The hourly rollup is
+    * metadata-scale (#types × #hours) no matter the event rate, which
+    * is what makes the post-drain scoring free. Batch-equivalent to
+    * `events_anomaly` — the shared DuckDB oracle checks exactly that.
+    */
+  def streamAnomaly(t: Tables): DataFrame = {
+    val counts = eventsStream(t)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val hourly = drainToTable(counts, "complete")
+      .select(col("window.start").cast(TimestampNTZType).as("hour_ts"),
+        col("event_type"), col("n_events"))
+    graft.operators.EventAnalytics.anomalyScore(hourly)
+  }
 }
