@@ -214,4 +214,26 @@ class PlanAuditSpec extends SparkSpec {
     // bounded (union sides + window partitioning), far from a join blowup
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
+
+  test("embed_project: map-only, no exchange (codegen dot per output dim)") {
+    val p = plan(Similarity.embedProject(tables))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("ann_refine: both stages broadcast, no sort-merge join anywhere") {
+    val p = plan(Similarity.annRefineTopK(tables))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("corpus_mixture: rank and count share ONE source-keyed exchange") {
+    val p = plan(TextAnalysis.corpusMixture(tables))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected 1 source-keyed exchange, got $shuffles:\n$p")
+  }
+
+  test("events_anomaly: hourly rollup aggregates partially before its shuffle") {
+    val p = plan(EventAnalytics.eventsAnomaly(tables))
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+  }
 }
