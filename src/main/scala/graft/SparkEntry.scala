@@ -92,11 +92,13 @@ object SparkEntry {
       tokenCount = TextAnalysis.bpeTokenCount)),
     "corpus_pack"         -> q(t => TextAnalysis.corpusPackSequences(t)),
     "corpus_mixture"      -> q(t => TextAnalysis.corpusMixture(t)),
+    "text_tfidf"          -> q(t => TextAnalysis.textTfidf(t)),
     "text_surprisal"      -> q(TextAnalysis.textSurprisal),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
     "events_retention"    -> q(EventAnalytics.eventsRetention),
     "events_anomaly"      -> q(t => EventAnalytics.eventsAnomaly(t)),
+    "events_transitions"  -> q(EventAnalytics.eventsTransitions),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -510,6 +512,17 @@ object SparkEntry {
         |FROM events GROUP BY 1,2""".stripMargin,
     "events_anomaly" -> anomalySql,
     "stream_anomaly" -> anomalySql,
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |l AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_type
+        | FROM e),
+        |g AS (SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        | FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_trans,
+        | round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY prev_type) + 1e-9, 4)
+        |  AS p_next
+        |FROM g""".stripMargin,
     "text_lang_id" ->
       s"""WITH lex(slang, word) AS (VALUES
         | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),
@@ -588,6 +601,16 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR),1,1)
         |  < CASE WHEN lang = 'en' THEN '4' ELSE '8' END""".stripMargin,
+    "text_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |d AS (SELECT *, count(*) OVER (PARTITION BY term) AS df FROM tf),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (SELECT doc_id, term,
+        |  round(tf * ln(n_docs::DOUBLE / df) + 1e-9, 4) AS score FROM d, n),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, term) AS INTEGER) AS rnk FROM s)
+        |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
     "corpus_mixture" ->
       """WITH r AS (
         | SELECT doc_id, source,

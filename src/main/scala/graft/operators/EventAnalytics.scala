@@ -92,6 +92,32 @@ object EventAnalytics {
     anomalyScore(counts, zThreshold)
   }
 
+  /** E4 — `events_transitions`: the first-order Markov transition
+    * matrix of user behavior — for each (prev → next) event-type pair,
+    * how often it occurs and the conditional probability of `next`
+    * given `prev`. The path-analysis rollup behind "what do users do
+    * after X" dashboards and session-model features.
+    *
+    * Shape: one user-keyed lag window over raw events (ordered by
+    * (ts, event_type) so same-timestamp ties sequence identically on
+    * any engine), then a (prev, next) partial-agg count; the
+    * conditional share is a sum window over the #types² rollup —
+    * metadata-scale. Raw events cross exactly one shuffle.
+    */
+  def eventsTransitions(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_type"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("p_next",
+        round(col("n_trans") / sum(col("n_trans"))
+          .over(Window.partitionBy(col("prev_type"))) + lit(1e-9), 4))
+  }
+
   /** Scoring stage of [[eventsAnomaly]], factored out so the streaming
     * rollup ([[graft.streaming.Streaming.streamAnomaly]]) scores through
     * the identical plan. Input: an hourly rollup with columns

@@ -399,6 +399,38 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** T18 — `text_tfidf`: top-k characteristic terms per document by
+    * tf·idf (raw term frequency × ln(N/df)) — the classic keyword
+    * extractor run over a corpus before topic bucketing or quality
+    * triage.
+    *
+    * Shape: explode → (doc, term) partial-agg tf; df as a count window
+    * PARTITIONED BY term over the (doc, term) rollup (no re-join of the
+    * tokenize lineage — the same window-over-rollup trick as
+    * `dedup_ngram_jaccard`'s df rank); the corpus size N is a one-row
+    * aggregate broadcast in by cross join. Three keyed shuffles, each
+    * over frames no bigger than the distinct (doc, term) set — never
+    * raw token instances past the first partial agg. Ranking uses the
+    * ROUNDED score plus the term as tiebreak, so ordering is
+    * reproducible cross-engine (ln may differ in the last ulp between
+    * libms; 4-dp round +1e-9 absorbs it).
+    */
+  def textTfidf(t: Tables, topK: Int = 3): DataFrame = {
+    val tf = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val nDocs = t.documents.agg(count(lit(1)).as("n_docs"))
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs") / col("df")) + lit(1e-9), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(desc("score"), asc("term"))))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("score"), col("rnk"))
+  }
+
   /** T13 — global token-offset sharding: each doc's starting token
     * offset in corpus (doc_id) order, and the fixed-token-budget shard
     * it lands in — the layout step that packs a corpus into uniform
