@@ -93,6 +93,7 @@ object SparkEntry {
     "corpus_pack"         -> q(t => TextAnalysis.corpusPackSequences(t)),
     "corpus_mixture"      -> q(t => TextAnalysis.corpusMixture(t)),
     "text_tfidf"          -> q(t => TextAnalysis.textTfidf(t)),
+    "text_perplexity"     -> q(TextAnalysis.textPerplexity),
     "text_surprisal"      -> q(TextAnalysis.textSurprisal),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
@@ -143,6 +144,8 @@ object SparkEntry {
     "q_salted_agg"        -> q(Scale.qSaltedAgg),
     "q_salted_join"       -> q(Scale.qSaltedJoin),
     "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
+    "q_upsert_latest"     -> q(Scale.qUpsertLatest),
+    "q_skew_histogram"    -> q(Scale.qSkewHistogram),
     "q_approx_stats"      -> q(Scale.qApproxStats),
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
@@ -512,6 +515,26 @@ object SparkEntry {
         |FROM events GROUP BY 1,2""".stripMargin,
     "events_anomaly" -> anomalySql,
     "stream_anomaly" -> anomalySql,
+    "q_upsert_latest" ->
+      """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  0 AS version FROM orders),
+        |ch AS (SELECT o_orderkey, '1-URGENT' AS o_orderpriority,
+        |  round(o_totalprice * 1.1 + 1e-9, 2) AS o_totalprice, 1 AS version
+        | FROM orders WHERE o_orderkey % 10 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |  ORDER BY version DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, version
+        |FROM r WHERE rn = 1""".stripMargin,
+    "q_skew_histogram" ->
+      """WITH pk AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+        |b AS (SELECT CAST(floor(log2(n_rows)) AS BIGINT) AS count_bucket,
+        |  count(*) AS n_keys, sum(n_rows)::BIGINT AS bucket_rows,
+        |  max(n_rows) AS max_rows
+        | FROM pk GROUP BY 1)
+        |SELECT count_bucket, n_keys, bucket_rows, max_rows,
+        | round(bucket_rows::DOUBLE / sum(bucket_rows) OVER () + 1e-9, 4) AS row_share
+        |FROM b""".stripMargin,
     "events_transitions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |l AS (SELECT user_id, event_type,
@@ -601,6 +624,16 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE substr(md5(doc_id::VARCHAR),1,1)
         |  < CASE WHEN lang = 'en' THEN '4' ELSE '8' END""".stripMargin,
+    "text_perplexity" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |b AS (SELECT doc_id, toks[i] AS prev, toks[i+1] AS cur
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) g
+        |  WHERE i <= len(toks) - 1),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY prev, cur) AS n_vw,
+        |  count(*) OVER (PARTITION BY prev) AS n_v FROM b)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | round(avg(-ln(n_vw::DOUBLE / n_v)) + 1e-9, 4) AS avg_nll
+        |FROM c GROUP BY 1""".stripMargin,
     "text_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -123,4 +124,52 @@ object Scale {
         approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
+
+  /** `q_upsert_latest` — merge-on-read upsert resolution: a base table
+    * unioned with a change set, one key-window rank keeping the
+    * highest-version row per key — how an incremental ingest without a
+    * transactional table format applies updates (the compaction job
+    * materializes this view back out). The change set here is
+    * deterministic (every 10th order re-priced at version 1) so the
+    * resolution is oracle-checkable end-to-end.
+    *
+    * Shape: union is exchange-free; the rank is ONE key-partitioned
+    * window — the same single shuffle a MERGE's join would pay, but
+    * with no build side to size. At 100 TB the base side arrives
+    * bucketed by the key and only the (small) change set shuffles.
+    */
+  def qUpsertLatest(t: Tables): DataFrame = {
+    val base = t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"), lit(0).as("version"))
+    val changes = t.orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("1-URGENT").as("o_orderpriority"),
+        round(col("o_totalprice") * 1.1 + lit(1e-9), 2).as("o_totalprice"),
+        lit(1).as("version"))
+    base.unionByName(changes)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_orderkey")).orderBy(desc("version"))))
+      .filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        col("version"))
+  }
+
+  /** `q_skew_histogram` — join-key skew profile: per-key row counts
+    * bucketed on log2, with each bucket's key count, heaviest key and
+    * row share — the diagnostic run before choosing a salt factor for
+    * [[qSaltedJoin]]/[[qSaltedAgg]] or trusting AQE's skew split. Two
+    * partial-agg shuffles (key rollup, then bucket rollup over the
+    * #keys-sized frame); the row share's corpus total is a sum window
+    * over the bucket list — O(log max-count) rows.
+    */
+  def qSkewHistogram(t: Tables): DataFrame = {
+    val perKey = t.events
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+    perKey
+      .groupBy(floor(log2(col("n_rows"))).cast("long").as("count_bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("n_rows")).as("bucket_rows"),
+        max(col("n_rows")).as("max_rows"))
+      .withColumn("row_share",
+        round(col("bucket_rows") / sum(col("bucket_rows")).over(Window.partitionBy()) +
+          lit(1e-9), 4))
+  }
 }

@@ -399,6 +399,40 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** T19 — `text_perplexity`: each doc's mean negative log-likelihood
+    * under the corpus's own bigram MLE model, P(w|v) = c(v,w)/c(v·) —
+    * the next step up from [[textSurprisal]]'s unigram model and the
+    * standard shape of perplexity-based quality filtering (a doc of
+    * improbable transitions scores high; templated boilerplate scores
+    * near zero).
+    *
+    * Shape: per-doc bigrams from a doc-keyed lag window over the
+    * posexploded tokens; both model counts are count windows over the
+    * bigram-instance frame (PARTITION BY (v,w) and BY v — the §8c
+    * window-over-frame trick, no groupBy+re-join of the tokenize
+    * lineage); final score is a doc-keyed partial agg. Every shuffle
+    * is keyed (doc, bigram, prev-token); nothing is ever global.
+    */
+  def textPerplexity(t: Tables): DataFrame = {
+    val eps = lit(1e-9)
+    val big = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumn("prev", lag(col("col"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("prev").isNotNull)
+      .select(col("doc_id"), col("prev"), col("col").as("cur"))
+    big
+      .withColumn("n_vw",
+        count(lit(1)).over(Window.partitionBy(col("prev"), col("cur"))))
+      .withColumn("n_v", count(lit(1)).over(Window.partitionBy(col("prev"))))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("n_vw").cast("double") / col("n_v"))) + eps, 4)
+          .as("avg_nll"))
+  }
+
   /** T18 — `text_tfidf`: top-k characteristic terms per document by
     * tf·idf (raw term frequency × ln(N/df)) — the classic keyword
     * extractor run over a corpus before topic bucketing or quality
