@@ -132,6 +132,7 @@ object SparkEntry {
     "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
     "stream_anomaly"      -> q(graft.streaming.Streaming.streamAnomaly),
+    "stream_latest"       -> q(graft.streaming.Streaming.streamLatest),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
@@ -515,6 +516,11 @@ object SparkEntry {
         |FROM events GROUP BY 1,2""".stripMargin,
     "events_anomaly" -> anomalySql,
     "stream_anomaly" -> anomalySql,
+    "stream_latest" ->
+      """SELECT user_id, event_type,
+        | max_by(value, CAST(ts AS TIMESTAMP)) AS last_value,
+        | max(CAST(ts AS TIMESTAMP)) AS last_ts
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_upsert_latest" ->
       """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
         |  0 AS version FROM orders),

@@ -225,6 +225,32 @@ object Streaming {
     drainToTable(deduped, "complete")
   }
 
+  /** X8 — `stream_latest`: the materialized latest-state view — for
+    * each (user, event_type) key, the value and time of the NEWEST
+    * event, maintained as streaming state (`max_by` keyed agg in
+    * update mode). This is the CDC-reader half of the upsert pattern
+    * ([[graft.operators.Scale.qUpsertLatest]] is the batch
+    * compaction): state is one row per live key, sharded by key, and
+    * each micro-batch touches only the keys it carries.
+    *
+    * Update-mode memory sink appends a row per key per batch that
+    * changes it; the final state per key is selected by max event time
+    * after the drain (monotone within a key), which the batch oracle
+    * checks exactly. `max_by` ties on (key, ts) would resolve in
+    * engine order — the ns-resolution stream has none (0 duplicate
+    * (user, type, ts) triples at every SF).
+    */
+  def streamLatest(t: Tables): DataFrame = {
+    val latest = eventsStream(t)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(col("value"), col("ts")).as("last_value"),
+        max(col("ts")).as("last_ts"))
+    drainToTable(latest, "update")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(col("last_value"), col("last_ts")).as("last_value"),
+        max(col("last_ts")).as("last_ts"))
+  }
+
   /** X7 — `stream_anomaly`: the streaming half of the volume monitor —
     * watermarked hourly per-type counts maintained as streaming state,
     * drained, then scored through the SAME z-score stage as the batch
