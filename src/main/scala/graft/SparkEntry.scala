@@ -100,6 +100,7 @@ object SparkEntry {
     "events_retention"    -> q(EventAnalytics.eventsRetention),
     "events_anomaly"      -> q(t => EventAnalytics.eventsAnomaly(t)),
     "events_transitions"  -> q(EventAnalytics.eventsTransitions),
+    "events_active_users" -> q(EventAnalytics.eventsActiveUsers),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -120,6 +121,7 @@ object SparkEntry {
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
+    "ann_ivf_table"       -> q(t => Similarity.annIvfTableTopK(t)),
     "embed_quantize"      -> q(Similarity.embedQuantize),
     "embed_project"       -> q(t => Similarity.embedProject(t)),
     // §2.1 pipeline core over real data
@@ -541,6 +543,17 @@ object SparkEntry {
         |SELECT count_bucket, n_keys, bucket_rows, max_rows,
         | round(bucket_rows::DOUBLE / sum(bucket_rows) OVER () + 1e-9, 4) AS row_share
         |FROM b""".stripMargin,
+    "events_active_users" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
+        |last AS (SELECT max(day) AS last_day FROM a),
+        |w AS (SELECT user_id, unnest(generate_series(day,
+        |  least(day + INTERVAL 6 DAY, last_day), INTERVAL 1 DAY)) AS day
+        | FROM a, last),
+        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY 1)
+        |SELECT wau.day, coalesce(dau.dau, 0) AS dau, wau.wau
+        |FROM wau LEFT JOIN dau USING (day)""".stripMargin,
     "events_transitions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |l AS (SELECT user_id, event_type,
@@ -1044,25 +1057,12 @@ object SparkEntry {
         |n AS (SELECT cell, count(*) AS n_members FROM a4 GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m4 m JOIN n USING (cell)""".stripMargin,
     // IVF with the k-means quantizer: the same IVF probe/assign body
-    // as ann_ivf_topk, centered on the replayed c3 centroids
-    "ann_ivf_kmeans_topk" ->
-      s"""WITH ${kmeansChainSql(3)},
-        |cent AS (SELECT cell, cemb FROM c3),
-        |sc AS (SELECT corp.vec_id, cent.cell, list_cosine_similarity(corp.emb, cent.cemb) AS s
-        |  FROM corp CROSS JOIN cent),
-        |assign AS (SELECT vec_id, cell FROM
-        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc)
-        |  WHERE rn = 1),
-        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
-        |qs AS (SELECT q.q_id, cent.cell, list_cosine_similarity(q.qe, cent.cemb) AS s
-        |  FROM q CROSS JOIN cent),
-        |probe AS (SELECT q_id, cell FROM
-        |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell DESC) AS rn FROM qs)
-        |  WHERE rn <= 4),
-        |cand AS (SELECT p.q_id, a.vec_id, round(list_cosine_similarity(q.qe, corp.emb), 4) AS cos_sim
-        |  FROM probe p JOIN assign a USING (cell) JOIN corp ON corp.vec_id = a.vec_id JOIN q ON q.q_id = p.q_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM cand)
-        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // as ann_ivf_topk, centered on the replayed c3 centroids.
+    // ann_ivf_table persists the identical index (cell-bucketed
+    // catalog table + bucket-pruned probe) — same semantics by
+    // construction, same oracle.
+    "ann_ivf_kmeans_topk" -> ivfKmeansSql,
+    "ann_ivf_table" -> ivfKmeansSql,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |cent AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
@@ -1113,6 +1113,28 @@ object SparkEntry {
     * leaves `a{i}`/`m{i}` (assignment / rounded means of update i) in
     * scope for the caller's final select.
     */
+  /** DuckDB oracle shared by `ann_ivf_kmeans_topk` and
+    * `ann_ivf_table` (the latter persists the identical index as a
+    * cell-bucketed catalog table — semantics unchanged by design). */
+  private lazy val ivfKmeansSql =
+    s"""WITH ${kmeansChainSql(3)},
+      |cent AS (SELECT cell, cemb FROM c3),
+      |sc AS (SELECT corp.vec_id, cent.cell, list_cosine_similarity(corp.emb, cent.cemb) AS s
+      |  FROM corp CROSS JOIN cent),
+      |assign AS (SELECT vec_id, cell FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc)
+      |  WHERE rn = 1),
+      |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+      |qs AS (SELECT q.q_id, cent.cell, list_cosine_similarity(q.qe, cent.cemb) AS s
+      |  FROM q CROSS JOIN cent),
+      |probe AS (SELECT q_id, cell FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY s DESC, cell DESC) AS rn FROM qs)
+      |  WHERE rn <= 4),
+      |cand AS (SELECT p.q_id, a.vec_id, round(list_cosine_similarity(q.qe, corp.emb), 4) AS cos_sim
+      |  FROM probe p JOIN assign a USING (cell) JOIN corp ON corp.vec_id = a.vec_id JOIN q ON q.q_id = p.q_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM cand)
+      |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   private def kmeansChainSql(nUpdates: Int): String = {
     val head =
       """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -92,6 +92,37 @@ object EventAnalytics {
     anomalyScore(counts, zThreshold)
   }
 
+  /** E5 — `events_active_users`: DAU and trailing-7-day WAU per day —
+    * the engagement rollup every event pipeline publishes. Exact
+    * distinct counts, no sliding-window distinct (which Spark windows
+    * can't express): the deduped (user, day) activity set contributes
+    * each row to the 7 target days it covers via a bounded explode, so
+    * WAU(d) is a plain count-distinct per target day. Fan-out is a
+    * constant 7× of the ALREADY-DEDUPED per-day activity set (≪ raw
+    * events), then two keyed partial-agg shuffles; trailing days with
+    * no activity of their own still report WAU from the window, and
+    * days beyond the corpus's last day are clipped so every reported
+    * day is real.
+    */
+  def eventsActiveUsers(t: Tables): DataFrame = {
+    val activity = t.events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val dau = activity.groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+    val lastDay = activity.agg(max(col("day")).as("last_day"))
+    val wau = activity
+      .crossJoin(broadcast(lastDay))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(col("day") + expr("INTERVAL 6 DAYS"), col("last_day")),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    wau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+  }
+
   /** E4 — `events_transitions`: the first-order Markov transition
     * matrix of user behavior — for each (prev → next) event-type pair,
     * how often it occurs and the conditional probability of `next`

@@ -197,6 +197,47 @@ object Similarity {
       nProbe: Int = 4): DataFrame =
     annIvfWith(t, kmeansCentroids(t, k, nIters), nProbe)
 
+  /** S8 — `ann_ivf_table`: the IVF index PERSISTED — the expensive
+    * K-cosine cell-assignment pass is written ONCE as a cell-bucketed,
+    * cell-sorted catalog table, and a query batch probes the stored
+    * index: the probed-cell set is a bounded driver collect
+    * (≤ queries × nProbe ints, same budget class as the centroid
+    * seed), and the `isin` filter on the bucket column prunes the
+    * unprobed buckets at scan time — the inverted-list read of an
+    * on-disk IVF index, expressed through Spark bucketing. Amortizes
+    * the assignment across query batches exactly as a production ANN
+    * serving path does. Identical semantics (centroids, probe order,
+    * ranking) to [[annIvfKmeansTopK]], so it shares that oracle
+    * verbatim.
+    */
+  def annIvfTableTopK(t: Tables, k: Int = 16, nIters: Int = 4,
+      nProbe: Int = 4, nBuckets: Int = 8): DataFrame = {
+    import graft.sources.{Sources, SourceOps}
+    val cents = kmeansCentroids(t, k, nIters)
+    val e = withEmb(t)
+    val table = s"graft_ivf_index_${SourceOps.runId}"
+    val assigned = e.filter(col("vec_id") >= NumQueries)
+      .withColumn("cell", cellOf(col("emb"), cents))
+    Sources.writeBucketed(assigned, table, Seq("cell"), nBuckets,
+      sortCols = Seq("cell"), path = Some(SourceOps.staging("ivf_index")))
+    val index = t.spark.table(table)
+    def probeCells(emb: Column): Column =
+      transform(slice(reverse(array_sort(array(scoredCells(emb, cents): _*))), 1, nProbe),
+        s => s.getField("c"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(probeCells(col("emb"))).as("cell"))
+    val probed = queries.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ NumQueries × nProbe
+    index.filter(col("cell").isin(probed: _*))
+      .join(broadcast(queries), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
   private def annIvfWith(t: Tables, cents: Seq[(Int, Seq[Double])],
       nProbe: Int): DataFrame = {
     val e = withEmb(t)

@@ -232,6 +232,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles == 1, s"expected 1 source-keyed exchange, got $shuffles:\n$p")
   }
 
+  test("ann_ivf_table: stored-index scan is bucket-pruned (inverted-list read)") {
+    val p = plan(Similarity.annIvfTableTopK(tables))
+    // the isin(probedCells) filter must reach the bucketed scan as
+    // bucket pruning — the plan advertises SelectedBucketsCount when
+    // the pruning applies (vs a full scan of every bucket file)
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("events_anomaly: hourly rollup aggregates partially before its shuffle") {
     val p = plan(EventAnalytics.eventsAnomaly(tables))
     assert(p.contains("partial_"), s"no map-side combine:\n$p")
