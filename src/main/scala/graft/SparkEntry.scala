@@ -101,6 +101,7 @@ object SparkEntry {
     "events_anomaly"      -> q(t => EventAnalytics.eventsAnomaly(t)),
     "events_transitions"  -> q(EventAnalytics.eventsTransitions),
     "events_active_users" -> q(EventAnalytics.eventsActiveUsers),
+    "events_attribution"  -> q(EventAnalytics.eventsAttribution),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -543,6 +544,16 @@ object SparkEntry {
         |SELECT count_bucket, n_keys, bucket_rows, max_rows,
         | round(bucket_rows::DOUBLE / sum(bucket_rows) OVER () + 1e-9, 4) AS row_share
         |FROM b""".stripMargin,
+    "events_attribution" ->
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
+        | FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id AS t_user, CAST(ts AS TIMESTAMP) AS t_ts,
+        |  event_type AS touch_type
+        | FROM events WHERE event_type IN ('view', 'click'))
+        |SELECT coalesce(touch_type, 'none') AS touch_type,
+        | count(*) AS n_purchases, round(sum(p_value), 2) AS attributed_value
+        |FROM p ASOF LEFT JOIN tc ON p.user_id = tc.t_user AND p.p_ts >= tc.t_ts
+        |GROUP BY 1""".stripMargin,
     "events_active_users" ->
       """WITH a AS (SELECT DISTINCT user_id,
         |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),

@@ -415,9 +415,13 @@ object Dedup {
       .persist()
     edges.count() // eager: every round joins this index; don't race the lazy cache
 
-    def labelSum(labels: DataFrame): java.math.BigDecimal =
-      labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
+    def labelSum(labels: DataFrame): java.math.BigDecimal = {
+      val s = labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .first().getDecimal(0)
+      // sum() of zero rows is SQL NULL: an empty pair graph (nothing
+      // near-duplicated) must converge on the zero identity, not NPE
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
 
     // iterate over graph NODES only (docs in ≥1 pair) — a small
     // fraction of any real corpus; singletons join back at the end.

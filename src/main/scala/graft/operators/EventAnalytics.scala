@@ -92,6 +92,31 @@ object EventAnalytics {
     anomalyScore(counts, zThreshold)
   }
 
+  /** E6 — `events_attribution`: last-touch revenue attribution — each
+    * purchase is credited to the user's most recent view/click at or
+    * before it (none → unattributed), rolled up to purchases and value
+    * per touch type. Runs through the NATIVE as-of join
+    * ([[graft.plans.AsOfJoinOps]] — custom LogicalPlan/Strategy/Exec,
+    * single user-keyed shuffle per side, streaming merge within a
+    * partition, no range-explosion join), exercising the custom
+    * operator on a second real workload beyond `q_asof_join_native`.
+    * (user, ts) is globally unique in the ns-resolution stream, so the
+    * "last touch ≤ purchase time" row is well-defined on any engine.
+    */
+  def eventsAttribution(t: Tables): DataFrame = {
+    val e = t.events
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+        col("event_type").as("touch_type"))
+    graft.plans.AsOfJoinOps.asofJoin(purchases, touches,
+        "user_id", "p_ts", "t_user", "t_ts")
+      .groupBy(coalesce(col("touch_type"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("p_value")), 2).as("attributed_value"))
+  }
+
   /** E5 — `events_active_users`: DAU and trailing-7-day WAU per day —
     * the engagement rollup every event pipeline publishes. Exact
     * distinct counts, no sliding-window distinct (which Spark windows

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+/** Empty-input robustness: a date predicate or an aggressive quality
+  * filter can legitimately empty a whole corpus slice in production,
+  * and every operator must come back empty (or with its identity-
+  * element row), not throw. Exercised by snapshotting each table's
+  * schema into an empty parquet dir and running the operator suite's
+  * LLM-data core against it.
+  *
+  * Index-build operators that collect seed state from the corpus
+  * (IVF centroid seeding, k-means) are deliberately excluded — an
+  * index build over an empty corpus is a real configuration error and
+  * SHOULD fail loudly.
+  */
+class EmptyInputSpec extends SparkSpec {
+
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft_empty_").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+      tables.raw(tbl).limit(0).write.mode("overwrite")
+        .parquet(s"$dir/$tbl.parquet")
+    }
+    dir
+  }
+
+  private val ops = Seq(
+    "q1_pricing_summary", "q_topk", "q_sessionize",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_clusters",
+    "corpus_split", "corpus_token_shards", "corpus_pack", "corpus_mixture",
+    "text_quality", "text_tokens", "text_tfidf", "text_perplexity",
+    "events_funnel", "events_anomaly", "events_transitions",
+    "events_active_users", "events_attribution",
+    "q_upsert_latest", "q_skew_histogram")
+
+  ops.foreach { name =>
+    test(s"$name tolerates an empty corpus") {
+      val n = SparkEntry.queries(name)(spark, emptyDir).count()
+      assert(n >= 0)
+    }
+  }
+}
