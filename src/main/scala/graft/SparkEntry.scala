@@ -136,6 +136,7 @@ object SparkEntry {
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
     "stream_anomaly"      -> q(graft.streaming.Streaming.streamAnomaly),
     "stream_latest"       -> q(graft.streaming.Streaming.streamLatest),
+    "stream_multi_source" -> q(graft.streaming.Streaming.streamMultiSource),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
@@ -519,6 +520,11 @@ object SparkEntry {
         |FROM events GROUP BY 1,2""".stripMargin,
     "events_anomaly" -> anomalySql,
     "stream_anomaly" -> anomalySql,
+    "stream_multi_source" ->
+      """SELECT s.src, event_type, count(*) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events, (SELECT 'a' AS src UNION ALL SELECT 'b') s
+        |GROUP BY 1, 2""".stripMargin,
     "stream_latest" ->
       """SELECT user_id, event_type,
         | max_by(value, CAST(ts AS TIMESTAMP)) AS last_value,

@@ -225,6 +225,25 @@ object Streaming {
     drainToTable(deduped, "complete")
   }
 
+  /** X9 — `stream_multi_source`: N concurrent stream sources draining
+    * into ONE unioned pipeline — the direct Structured-Streaming
+    * mapping of the reference's concurrent collectors feeding a single
+    * process loop (`async_data_pipeline.go`'s multi-goroutine collect
+    * fan-in). Two independent file sources (each with its own source
+    * state and micro-batch read position) are unioned, tagged by
+    * source, and aggregated in one stateful operator; at scale each
+    * source scans and checkpoints independently while the union's
+    * aggregation state shards once.
+    */
+  def streamMultiSource(t: Tables): DataFrame = {
+    val a = eventsStream(t).withColumn("src", lit("a"))
+    val b = eventsStream(t).withColumn("src", lit("b"))
+    val agg = a.unionByName(b)
+      .groupBy(col("src"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    drainToTable(agg, "complete")
+  }
+
   /** X8 — `stream_latest`: the materialized latest-state view — for
     * each (user, event_type) key, the value and time of the NEWEST
     * event, maintained as streaming state (`max_by` keyed agg in
