@@ -130,9 +130,16 @@ object EventAnalytics {
     * day is real.
     */
   def eventsActiveUsers(t: Tables): DataFrame = {
+    // staging cache: DAU, the last-day scalar and the WAU explode all
+    // consume the deduped activity set — uncached, each would re-scan
+    // raw events and re-pay the distinct shuffle (a staging write on a
+    // real cluster); eager count so the three consumers don't race the
+    // lazy cache
     val activity = t.events
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
+      .persist()
+    activity.count()
     val dau = activity.groupBy(col("day"))
       .agg(count(lit(1)).as("dau"))
     val lastDay = activity.agg(max(col("day")).as("last_day"))
