@@ -156,6 +156,7 @@ object SparkEntry {
     // against the original table (catches sink/source corruption)
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
     "q_bucketed_roundtrip" -> q(graft.sources.SourceOps.bucketedRoundtrip),
+    "q_json_orc_roundtrip" -> q(graft.sources.SourceOps.jsonOrcRoundtrip),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -1105,6 +1106,10 @@ object SparkEntry {
       """WITH a AS (SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1)
         |SELECT a.*, f.fmt FROM a, (VALUES ('parquet'), ('csv')) f(fmt)""".stripMargin,
+    "q_json_orc_roundtrip" ->
+      """WITH a AS (SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1)
+        |SELECT a.*, f.fmt FROM a, (VALUES ('json'), ('orc')) f(fmt)""".stripMargin,
     // the bucketed-layout join must equal this join over the ORIGINAL tables
     "q_bucketed_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n_items,

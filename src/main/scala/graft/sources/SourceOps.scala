@@ -75,6 +75,29 @@ object SourceOps {
       .unionByName(agg(Sources.read(t.spark, csvPath, Some(csvSchema)), "csv"))
   }
 
+  /** `q_json_orc_roundtrip` — the same write → read-back → aggregate
+    * proof for the remaining two built-in formats: json (read with an
+    * explicit schema — no inference pre-scan, and doubles round-trip
+    * through shortest-repr JSON numbers exactly) and orc (the other
+    * columnar layout). The 0.01-grid sum keeps round(x,2) engine-stable,
+    * same argument as the csv leg of [[sourceRoundtrip]].
+    */
+  def jsonOrcRoundtrip(t: Tables): DataFrame = {
+    val base = stagingDir
+    val jsonPath = s"$base/orders_flat.json"
+    val orcPath = s"$base/orders_flat.orc"
+    val slim = t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    Sources.write(slim, jsonPath)
+    Sources.write(slim, orcPath)
+    def agg(df: DataFrame, fmt: String): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .withColumn("fmt", lit(fmt))
+    agg(Sources.read(t.spark, jsonPath, Some(csvSchema)), "json")
+      .unionByName(agg(Sources.read(t.spark, orcPath), "orc"))
+  }
+
   /** Bucketed-layout roundtrip: write orders and lineitem as
     * co-bucketed external tables on the join key, join them back
     * THROUGH the catalog (the join side runs with zero exchanges —
