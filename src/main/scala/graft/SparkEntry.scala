@@ -55,6 +55,7 @@ object SparkEntry {
     "q_union"             -> q(Relational.qUnion),
     "q_rollup"            -> q(Relational.qRollup),
     "q_pivot"             -> q(Relational.qPivot),
+    "q_unpivot"           -> q(Relational.qUnpivot),
     "q_case_agg"          -> q(Relational.qCaseAgg),
     "q_having"            -> q(Relational.qHaving),
     "q_scalar_subquery"   -> q(Relational.qScalarSubquery),
@@ -468,6 +469,13 @@ object SparkEntry {
         | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END),2) AS o_total,
         | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END),2) AS p_total
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT metric, count(*) AS n, round(sum(value), 2) AS sum_value FROM (
+        | SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        | UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY 1""".stripMargin,
     "q_case_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty,

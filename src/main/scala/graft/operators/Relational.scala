@@ -182,6 +182,24 @@ object Relational {
         round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("o_total"),
         round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("p_total"))
 
+  /** `q_unpivot` — melt (wide → long reshape), the inverse verb of
+    * [[qPivot]]: lineitem's four measure columns stacked into
+    * (metric, value) rows, then per-metric totals. Spark's `unpivot`
+    * is a map-only expand (no shuffle until the aggregation), so at
+    * 100 TB the melt itself adds zero exchanges — only the 4-row
+    * rollup pays a (tiny) partial-agg shuffle.
+    */
+  def qUnpivot(t: Tables): DataFrame =
+    t.lineitem
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric",
+        valueColumnName = "value")
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
   /** CASE-based conditional aggregates over lineitem. */
   def qCaseAgg(t: Tables): DataFrame =
     t.lineitem
