@@ -158,6 +158,7 @@ object SparkEntry {
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
     "q_bucketed_roundtrip" -> q(graft.sources.SourceOps.bucketedRoundtrip),
     "q_json_orc_roundtrip" -> q(graft.sources.SourceOps.jsonOrcRoundtrip),
+    "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -728,6 +729,13 @@ object SparkEntry {
         |  sum(n_toks) OVER (ORDER BY doc_id) - n_toks AS start_tok FROM t)
         |SELECT doc_id, n_toks, start_tok::BIGINT AS start_tok,
         | (start_tok // 2048)::BIGINT AS shard_id FROM c""".stripMargin,
+    "corpus_shards_roundtrip" ->
+      s"""WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n_toks FROM documents),
+        |c AS (SELECT doc_id, n_toks,
+        |  sum(n_toks) OVER (ORDER BY doc_id) - n_toks AS start_tok FROM t)
+        |SELECT (start_tok // 2048)::BIGINT AS shard_id, count(*) AS n_docs,
+        | sum(n_toks)::BIGINT AS shard_tokens, min(start_tok)::BIGINT AS first_tok
+        |FROM c GROUP BY 1""".stripMargin,
     // same layout priced in greedy-subword tokens: the tokenizer is the
     // SAME regex alternation as the Spark side (spliced from bpeRegex)
     "corpus_bpe_shards" ->

@@ -98,6 +98,31 @@ object SourceOps {
       .unionByName(agg(Sources.read(t.spark, orcPath), "orc"))
   }
 
+  /** `corpus_shards_roundtrip` — the pipeline's LAST MILE made
+    * physical: the prefix-sum shard assignment joined back onto the
+    * document payloads, written as a directory-partitioned layout (one
+    * directory per training shard — what a loader actually mounts),
+    * read back through partition discovery, and aggregated per shard.
+    * The oracle recomputes shard sizes from the original table, so a
+    * row lost or misplaced by the partitioned write/read breaks the
+    * hash — this verifies the materialized artifact, not just the
+    * assignment arithmetic. (Partition-column types are INFERRED from
+    * directory names on read — cast shard_id back to long explicitly;
+    * inference yields int for small values.)
+    */
+  def corpusShardsRoundtrip(t: Tables): DataFrame = {
+    import graft.operators.TextAnalysis
+    val path = s"$stagingDir/corpus_shards.parquet"
+    val assigned = TextAnalysis.corpusTokenShards(t)
+      .join(t.documents.select(col("doc_id"), col("text")), "doc_id")
+    Sources.write(assigned, path, partitionBy = Seq("shard_id"))
+    Sources.read(t.spark, path)
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("shard_tokens"),
+        min(col("start_tok")).as("first_tok"))
+  }
+
   /** Bucketed-layout roundtrip: write orders and lineitem as
     * co-bucketed external tables on the join key, join them back
     * THROUGH the catalog (the join side runs with zero exchanges —
