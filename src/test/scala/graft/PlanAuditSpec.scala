@@ -241,6 +241,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("text_perplexity: windows and aggregates only — no join in the plan") {
+    val p = plan(TextAnalysis.textPerplexity(tables))
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("text_tfidf: corpus N arrives broadcast; no sort-merge or cartesian") {
+    val p = plan(TextAnalysis.textTfidf(tables))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("events_active_users: last-day scalar broadcast into the bounded explode") {
+    val p = plan(EventAnalytics.eventsActiveUsers(tables))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Generate explode") || p.contains("Generate"), p)
+  }
+
+  test("q_unpivot: melt is a map-only Expand before the rollup") {
+    val p = plan(Relational.qUnpivot(tables))
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("events_anomaly: hourly rollup aggregates partially before its shuffle") {
     val p = plan(EventAnalytics.eventsAnomaly(tables))
     assert(p.contains("partial_"), s"no map-side combine:\n$p")
