@@ -56,6 +56,7 @@ object SparkEntry {
     "q_rollup"            -> q(Relational.qRollup),
     "q_pivot"             -> q(Relational.qPivot),
     "q_unpivot"           -> q(Relational.qUnpivot),
+    "q_data_quality"      -> q(Relational.qDataQuality),
     "q_case_agg"          -> q(Relational.qCaseAgg),
     "q_having"            -> q(Relational.qHaving),
     "q_scalar_subquery"   -> q(Relational.qScalarSubquery),
@@ -470,6 +471,24 @@ object SparkEntry {
         | round(sum(CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END),2) AS o_total,
         | round(sum(CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END),2) AS p_total
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_data_quality" ->
+      """WITH c AS (SELECT
+        |  sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS nonpositive_quantity,
+        |  sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END)::BIGINT AS negative_price,
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)::BIGINT AS discount_out_of_range,
+        |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_shipdate,
+        |  sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)::BIGINT AS suspect_bulk_quantity,
+        |  sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)::BIGINT AS high_discount
+        | FROM lineitem),
+        |o AS (SELECT count(*)::BIGINT AS v FROM lineitem
+        | LEFT JOIN orders ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL)
+        |SELECT 'nonpositive_quantity' AS check_name, nonpositive_quantity AS violations FROM c
+        |UNION ALL SELECT 'negative_price', negative_price FROM c
+        |UNION ALL SELECT 'discount_out_of_range', discount_out_of_range FROM c
+        |UNION ALL SELECT 'null_shipdate', null_shipdate FROM c
+        |UNION ALL SELECT 'suspect_bulk_quantity', suspect_bulk_quantity FROM c
+        |UNION ALL SELECT 'high_discount', high_discount FROM c
+        |UNION ALL SELECT 'orphan_lineitems', v FROM o""".stripMargin,
     "q_unpivot" ->
       """SELECT metric, count(*) AS n, round(sum(value), 2) AS sum_value FROM (
         | SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem

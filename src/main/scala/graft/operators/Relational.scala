@@ -182,6 +182,36 @@ object Relational {
         round(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0)), 2).as("o_total"),
         round(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0)), 2).as("p_total"))
 
+  /** `q_data_quality` — the constraint audit a pipeline runs before
+    * publishing a table (the Deequ/expectations pattern): structural
+    * checks (nulls, sign, range — expected 0 on healthy data) and
+    * rule-based profile checks (expected nonzero) computed in ONE
+    * lineitem scan as conditional partial aggregates, melted to a
+    * (check_name, violations) report, plus a referential-integrity
+    * row from an anti join against orders. Nothing here is more than
+    * one scan per fact table + one keyed anti join — the report cost
+    * does not grow with the number of checks.
+    */
+  def qDataQuality(t: Tables): DataFrame = {
+    val checks = t.lineitem.agg(
+      sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpositive_quantity"),
+      sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)).as("negative_price"),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+        .as("discount_out_of_range"),
+      sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("null_shipdate"),
+      sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("suspect_bulk_quantity"),
+      sum(when(col("l_discount") >= 0.05, 1L).otherwise(0L)).as("high_discount"))
+    val orphans = t.lineitem.select(col("l_orderkey"))
+      .join(t.orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orphan_lineitems").as("check_name"), col("violations"))
+    checks
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        variableColumnName = "check_name", valueColumnName = "violations")
+      .unionByName(orphans)
+  }
+
   /** `q_unpivot` — melt (wide → long reshape), the inverse verb of
     * [[qPivot]]: lineitem's four measure columns stacked into
     * (metric, value) rows, then per-metric totals. Spark's `unpivot`
