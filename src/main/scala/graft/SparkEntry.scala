@@ -104,6 +104,8 @@ object SparkEntry {
     "events_transitions"  -> q(EventAnalytics.eventsTransitions),
     "events_active_users" -> q(EventAnalytics.eventsActiveUsers),
     "events_attribution"  -> q(EventAnalytics.eventsAttribution),
+    "events_gap_report"   -> q(EventAnalytics.eventsGapReport),
+    "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -579,6 +581,34 @@ object SparkEntry {
         |SELECT count_bucket, n_keys, bucket_rows, max_rows,
         | round(bucket_rows::DOUBLE / sum(bucket_rows) OVER () + 1e-9, 4) AS row_share
         |FROM b""".stripMargin,
+    "events_gap_report" ->
+      """WITH h AS (SELECT event_type,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts
+        | FROM events GROUP BY 1, 2),
+        |s AS (SELECT date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS first_hour,
+        |  date_trunc('hour', max(CAST(ts AS TIMESTAMP))) AS last_hour FROM events),
+        |l AS (SELECT event_type, hour_ts,
+        |  lag(hour_ts) OVER (PARTITION BY event_type ORDER BY hour_ts) AS prev_hour
+        | FROM h)
+        |SELECT event_type, count(*) AS hours_present,
+        | (epoch_us(max(s.last_hour)) - epoch_us(max(s.first_hour))) // 3600000000
+        |   + 1 - count(*) AS hours_silent,
+        | max(coalesce((epoch_us(hour_ts) - epoch_us(prev_hour)) // 3600000000 - 1,
+        |   0)) AS longest_gap_hours
+        |FROM l, s GROUP BY 1""".stripMargin,
+    "corpus_snapshot_diff" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS h,
+        |  strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR),1,1)) - 1 AS nib
+        | FROM documents),
+        |a AS (SELECT doc_id, h AS h_a FROM base WHERE nib <= 12),
+        |b AS (SELECT doc_id,
+        |  CASE WHEN nib >= 14 THEN md5(h || 'edit') ELSE h END AS h_b
+        | FROM base WHERE nib >= 3),
+        |j AS (SELECT CASE WHEN h_a IS NULL THEN 'added'
+        |  WHEN h_b IS NULL THEN 'removed'
+        |  WHEN h_a = h_b THEN 'unchanged' ELSE 'changed' END AS status
+        | FROM a FULL OUTER JOIN b USING (doc_id))
+        |SELECT status, count(*) AS n_docs FROM j GROUP BY 1""".stripMargin,
     "events_attribution" ->
       """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
         | FROM events WHERE event_type = 'purchase'),

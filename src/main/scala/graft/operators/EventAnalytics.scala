@@ -92,6 +92,45 @@ object EventAnalytics {
     anomalyScore(counts, zThreshold)
   }
 
+  /** E7 — `events_gap_report`: ingestion-completeness monitor — per
+    * event type, how many hours of the corpus's own [min, max] hour
+    * span carry at least one event vs how many are silent, plus the
+    * longest silent run. The calendar-spine check that catches a dead
+    * collector (the complement of [[eventsAnomaly]], which only sees
+    * hours that HAVE data).
+    *
+    * Shape: one (type, hour) rollup shuffle over raw events; the spine
+    * compare runs per type over the hourly rollup (lag window keyed by
+    * type) — metadata-scale like the anomaly stats. The global span is
+    * a one-row aggregate broadcast in.
+    */
+  def eventsGapReport(t: Tables): DataFrame = {
+    val hours = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val span = t.events.agg(
+      date_trunc("hour", min(col("ts"))).as("first_hour"),
+      date_trunc("hour", max(col("ts"))).as("last_hour"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_ts"))
+    hours
+      .withColumn("prev_hour", lag(col("hour_ts"), 1).over(w))
+      .crossJoin(broadcast(span))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("hours_present"),
+        // span endpoints are broadcast one-row constants; max() is
+        // just the aggregate wrapper Spark requires for them here
+        (((unix_micros(max(col("last_hour")).cast("timestamp")) -
+            unix_micros(max(col("first_hour")).cast("timestamp")))
+          / lit(3600000000L)).cast("long")
+          + 1 - count(lit(1))).as("hours_silent"),
+        max(coalesce(
+          ((unix_micros(col("hour_ts").cast("timestamp")) -
+              unix_micros(col("prev_hour").cast("timestamp")))
+            / lit(3600000000L)).cast("long") - 1,
+          lit(0L))).as("longest_gap_hours"))
+  }
+
   /** E6 — `events_attribution`: last-touch revenue attribution — each
     * purchase is credited to the user's most recent view/click at or
     * before it (none → unattributed), rolled up to purchases and value

@@ -399,6 +399,36 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** T20 — `corpus_snapshot_diff`: release-over-release dataset diff —
+    * the audit row every corpus version bump publishes (how many docs
+    * appeared, vanished, changed content, stayed identical). Two
+    * deterministic snapshots are derived map-only from each doc's id
+    * hash nibble (A = nibbles 0–12 with original text; B = nibbles
+    * 3–15 with the e/f tail "edited" — overlap changes, disjoint adds/
+    * removes), full-outer-joined on doc_id and compared by content
+    * hash — the exact shape of diffing yesterday's release against
+    * today's at 100 TB: one key-partitioned join of (id, hash)
+    * projections, payloads never shuffle, no global ordering anywhere.
+    */
+  def corpusSnapshotDiff(t: Tables): DataFrame = {
+    val nib = conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+      .cast("int")
+    val base = t.documents
+      .select(col("doc_id"), md5(col("text")).as("h"), nib.as("nib"))
+    val a = base.filter(col("nib") <= 12)
+      .select(col("doc_id"), col("h").as("h_a"))
+    val b = base.filter(col("nib") >= 3)
+      .select(col("doc_id"),
+        when(col("nib") >= 14, md5(concat(col("h"), lit("edit"))))
+          .otherwise(col("h")).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(when(col("h_a").isNull, "added")
+        .when(col("h_b").isNull, "removed")
+        .when(col("h_a") === col("h_b"), "unchanged")
+        .otherwise("changed").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** T19 — `text_perplexity`: each doc's mean negative log-likelihood
     * under the corpus's own bigram MLE model, P(w|v) = c(v,w)/c(v·) —
     * the next step up from [[textSurprisal]]'s unigram model and the
