@@ -105,6 +105,7 @@ object SparkEntry {
     "events_active_users" -> q(EventAnalytics.eventsActiveUsers),
     "events_attribution"  -> q(EventAnalytics.eventsAttribution),
     "events_gap_report"   -> q(EventAnalytics.eventsGapReport),
+    "events_seasonal_profile" -> q(EventAnalytics.eventsSeasonalProfile),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
@@ -581,6 +582,16 @@ object SparkEntry {
         |SELECT count_bucket, n_keys, bucket_rows, max_rows,
         | round(bucket_rows::DOUBLE / sum(bucket_rows) OVER () + 1e-9, 4) AS row_share
         |FROM b""".stripMargin,
+    "events_seasonal_profile" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |  event_type, count(*) AS n_events
+        | FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        | CAST(extract(hour FROM hour_ts) AS INTEGER) AS hour_of_day,
+        | count(*) AS n_hours,
+        | round(avg(n_events) + 1e-9, 4) AS mean_events,
+        | round(stddev_pop(n_events) + 1e-9, 4) AS stddev_events
+        |FROM h GROUP BY 1, 2""".stripMargin,
     "events_gap_report" ->
       """WITH h AS (SELECT event_type,
         |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts

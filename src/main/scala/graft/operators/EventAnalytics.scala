@@ -92,6 +92,24 @@ object EventAnalytics {
     anomalyScore(counts, zThreshold)
   }
 
+  /** E8 — `events_seasonal_profile`: the seasonal baseline table a
+    * production monitor persists — per (event type, hour-of-day), how
+    * many hours contribute and the mean/stddev of hourly volume. Daily
+    * traffic has a strong hour-of-day cycle, so scoring against THIS
+    * profile (rather than [[eventsAnomaly]]'s flat per-type mean) is
+    * what keeps nightly troughs from flagging as anomalies. Same
+    * metadata-scale shape: one (type, hour) rollup shuffle over raw
+    * events, then a #types × 24 partial agg.
+    */
+  def eventsSeasonalProfile(t: Tables): DataFrame =
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("event_type"), hour(col("hour_ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(avg(col("n_events")) + lit(1e-9), 4).as("mean_events"),
+        round(stddev_pop(col("n_events")) + lit(1e-9), 4).as("stddev_events"))
+
   /** E7 — `events_gap_report`: ingestion-completeness monitor — per
     * event type, how many hours of the corpus's own [min, max] hour
     * span carry at least one event vs how many are silent, plus the
