@@ -43,4 +43,21 @@ final case class Tables(spark: SparkSession, dir: String) {
       case _ => df // already a timestamp type
     }
   }
+
+  /** All table names [[createViews]] registers. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a session temp view (events with its
+    * normalized `ts`), making the whole engine reachable from pure
+    * SQL — `spark.sql("SELECT …")` over the same names the DuckDB
+    * oracles use, with graft's native functions
+    * ([[GraftExtensions]]: `cosine_similarity`, `dot_product`, …)
+    * resolving in the same statements. Temp views are metadata only:
+    * nothing is read or copied at registration time.
+    */
+  def createViews(): Unit = names.foreach { n =>
+    val df = if (n == "events") events else raw(n)
+    df.createOrReplaceTempView(n)
+  }
 }
