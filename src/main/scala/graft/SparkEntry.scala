@@ -130,6 +130,8 @@ object SparkEntry {
     "ann_ivf_table"       -> q(t => Similarity.annIvfTableTopK(t)),
     "embed_quantize"      -> q(Similarity.embedQuantize),
     "embed_project"       -> q(t => Similarity.embedProject(t)),
+    "ann_hard_negatives"  -> q(t => Similarity.annHardNegatives(t)),
+    "embed_dim_stats"     -> q(Similarity.embedDimStats),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
     // §2.7 structured streaming
@@ -157,11 +159,13 @@ object SparkEntry {
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_skew_histogram"    -> q(Scale.qSkewHistogram),
     "q_approx_stats"      -> q(Scale.qApproxStats),
+    "q_delete_propagation" -> q(t => Governance.deletePropagation(t)),
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
     "q_bucketed_roundtrip" -> q(graft.sources.SourceOps.bucketedRoundtrip),
     "q_json_orc_roundtrip" -> q(graft.sources.SourceOps.jsonOrcRoundtrip),
+    "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
   )
 
@@ -1128,6 +1132,41 @@ object SparkEntry {
         |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM x)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // hard negatives = the refine pipeline with the cross-label filter
+    // applied before shortlisting; every stage is deterministic (exact
+    // int8 arithmetic, rounded scores, vec_id tie-breaks), so the mined
+    // set replays exactly
+    "ann_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT vec_id, label, emb,
+        |  list_aggregate(list_transform(emb, x -> abs(x)), 'max') AS scale FROM e),
+        |qv AS (SELECT vec_id, label,
+        |  list_transform(emb, x -> CAST(round(x / scale * 127 + 1e-9) AS BIGINT)) AS qe FROM s),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, qe AS qq FROM qv WHERE vec_id < 10),
+        |c AS (SELECT vec_id, label, qe FROM qv WHERE vec_id >= 10),
+        |sc AS (SELECT q_id, q_label, vec_id,
+        |  round(list_dot_product(qq, qe) /
+        |    (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qe, qe))) + 1e-9, 4) AS q_sim
+        |  FROM q, c WHERE label <> q_label),
+        |sl AS (SELECT q_id, q_label, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY q_sim DESC, vec_id) AS qrnk FROM sc)
+        |  WHERE qrnk <= 20),
+        |x AS (SELECT sl.q_id, sl.q_label, sl.vec_id, ec.label AS neg_label,
+        |  round(list_cosine_similarity(eq.emb, ec.emb), 4) AS cos_sim
+        |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM x)
+        |SELECT q_id, q_label, vec_id, neg_label, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // min/max are raw (no arithmetic — identical widened doubles on
+    // both engines); mean/std rounded with the +1e-9 tie nudge
+    "embed_dim_stats" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+        |x AS (SELECT (g.i - 1)::INT AS pos, emb[g.i] AS v
+        |  FROM e, (SELECT unnest(generate_series(1,64)) AS i) g)
+        |SELECT pos, count(*) AS n_vals,
+        | round(avg(v) + 1e-9, 4) AS mean_v,
+        | round(stddev_pop(v) + 1e-9, 4) AS std_v,
+        | min(v) AS min_v, max(v) AS max_v
+        |FROM x GROUP BY pos""".stripMargin,
     // The LSH/IVF index builds are fully deterministic (md5-derived
     // hyperplanes / first-16-corpus-vector centroids), so the oracle
     // replays the EXACT candidate-generation semantics in SQL — a
@@ -1186,6 +1225,34 @@ object SparkEntry {
       """WITH a AS (SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1)
         |SELECT a.*, f.fmt FROM a, (VALUES ('json'), ('orc')) f(fmt)""".stripMargin,
+    // the merged two-batch read must reconcile with the original table:
+    // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
+    "q_schema_evolution" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        | count(*) FILTER (WHERE o_orderkey % 2 <> 0) AS n_with_cust,
+        | round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
+    // the cascade audit's counts re-derived set-theoretically
+    "q_delete_propagation" ->
+      """WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 13 = 0),
+        |po AS (SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM tomb)),
+        |pl AS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM po))
+        |SELECT 'customer' AS table_name,
+        |  (SELECT count(*) FROM customer) AS rows_before,
+        |  (SELECT count(*) FROM tomb) AS rows_deleted,
+        |  (SELECT count(*) FROM customer) - (SELECT count(*) FROM tomb) AS rows_after
+        |UNION ALL
+        |SELECT 'orders',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM po),
+        |  (SELECT count(*) FROM orders) - (SELECT count(*) FROM po)
+        |UNION ALL
+        |SELECT 'lineitem',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM pl),
+        |  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM pl)""".stripMargin,
     // the bucketed-layout join must equal this join over the ORIGINAL tables
     "q_bucketed_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n_items,

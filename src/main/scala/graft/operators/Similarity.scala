@@ -389,4 +389,70 @@ object Similarity {
     */
   def embedKmeans(t: Tables, k: Int = 16, nIters: Int = 4): DataFrame =
     embedCentroidsWith(t, kmeansCentroids(t, k, nIters))
+
+  /** S12 — `ann_hard_negatives`: hard-negative mining for contrastive
+    * embedding training — per query, the top-k most similar corpus
+    * vectors whose LABEL differs from the query's. High-similarity
+    * cross-label neighbors are exactly the negatives a contrastive
+    * loss learns most from (easy negatives are already far away);
+    * mining them is a standing batch job in any embedding-training
+    * pipeline.
+    *
+    * Runs the [[annRefineTopK]] two-stage shape with the label
+    * exclusion applied BEFORE shortlisting: the broadcast query scan
+    * filters `label != q_label` map-side, the int8-quantized pass
+    * shortlists `shortlist` candidates per query (the shuffle carries
+    * (q_id, vec_id, score) — never vectors), and only the shortlist is
+    * re-scored in full precision on a second scan. All stages are
+    * deterministic, so the mined negatives have an exact DuckDB
+    * oracle.
+    */
+  def annHardNegatives(t: Tables, shortlist: Int = 20): DataFrame = {
+    val e = t.embeddings.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("emb"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("emb").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    val short = corpus
+      .join(broadcast(queries), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id"),
+        round(quantizedCosine(col("q_emb"), col("emb")) + lit(1e-9), 4).as("q_sim"))
+      .withColumn("qrnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("q_sim"), asc("vec_id"))))
+      .filter(col("qrnk") <= shortlist)
+      .select(col("q_id"), col("q_label"), col("vec_id"))
+    corpus.select(col("vec_id"), col("label").as("neg_label"), col("emb"))
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(queries.drop("q_label")), "q_id")
+      .select(col("q_id"), col("q_label"), col("vec_id"), col("neg_label"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
+  /** S13 — `embed_dim_stats`: per-dimension health profile of the
+    * embedding corpus — count, mean, population stddev, min, max for
+    * every coordinate. The observability pass an embedding pipeline
+    * runs before indexing: dead dimensions (std ≈ 0), mean drift after
+    * a model swap, and range blow-ups (bad normalization) all show up
+    * here, the vector-column analogue of `q_data_quality`.
+    *
+    * Shape: posexplode → ONE (pos)-keyed partial-aggregating groupBy —
+    * the shuffle carries `dims` keys of partial sums regardless of
+    * corpus size, so the profile costs one map pass at 100 TB. Mean
+    * and std are rounded (+1e-9 tie nudge) for the cross-engine
+    * compare; min/max involve no arithmetic (both engines see the
+    * identical widened doubles) and are emitted raw.
+    */
+  def embedDimStats(t: Tables): DataFrame =
+    withEmb(t)
+      .select(posexplode(col("emb")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n_vals"),
+        round(avg(col("col")) + lit(1e-9), 4).as("mean_v"),
+        round(stddev_pop(col("col")) + lit(1e-9), 4).as("std_v"),
+        min(col("col")).as("min_v"),
+        max(col("col")).as("max_v"))
 }

@@ -123,6 +123,34 @@ object SourceOps {
         min(col("start_tok")).as("first_tok"))
   }
 
+  /** `q_schema_evolution` — additive schema evolution through the
+    * parquet source: batch 1 is written with the original three
+    * columns, batch 2 (a later producer release) adds `o_custkey`, and
+    * the reader merges the footers (`mergeSchema`) into one DataFrame
+    * where pre-evolution rows carry NULL for the new column. This is
+    * how a 100 TB fact directory actually grows columns — no rewrite
+    * of historical files, the scan reconciles per-file schemas; the
+    * merged aggregate distinguishes `n_rows` from `n_with_cust`
+    * (non-null new-column rows), so a reader that dropped or mis-NULLed
+    * either era breaks the oracle, which recomputes both counts from
+    * the original table.
+    */
+  def schemaEvolution(t: Tables): DataFrame = {
+    val path = s"$stagingDir/orders_evolving.parquet"
+    val v1 = t.orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val v2 = t.orders.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice", "o_custkey")
+    Sources.write(v1, s"$path/batch=1")
+    Sources.write(v2, s"$path/batch=2")
+    t.spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/batch=1", s"$path/batch=2")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_custkey")).as("n_with_cust"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
   /** Bucketed-layout roundtrip: write orders and lineitem as
     * co-bucketed external tables on the join key, join them back
     * THROUGH the catalog (the join side runs with zero exchanges —

@@ -58,6 +58,18 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: merged read NULLs the new column for pre-evolution rows") {
+    val df = SourceOps.schemaEvolution(tables)
+    assert(df.columns.toSet == Set("o_orderpriority", "n_rows", "n_with_cust", "sum_price"))
+    val totals = df.agg(
+      org.apache.spark.sql.functions.sum(col("n_rows")),
+      org.apache.spark.sql.functions.sum(col("n_with_cust"))).head()
+    val nOrders = tables.orders.count()
+    assert(totals.getLong(0) == nOrders)          // no rows lost across batches
+    assert(totals.getLong(1) < nOrders)           // batch-1 rows carry NULL
+    assert(totals.getLong(1) > 0)                 // batch-2 rows carry values
+  }
+
   test("registered SQL function cosine_similarity resolves via extensions") {
     val r = spark.sql(
       "SELECT cosine_similarity(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c").head()
