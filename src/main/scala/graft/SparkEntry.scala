@@ -97,6 +97,9 @@ object SparkEntry {
     "text_tfidf"          -> q(t => TextAnalysis.textTfidf(t)),
     "text_perplexity"     -> q(TextAnalysis.textPerplexity),
     "text_surprisal"      -> q(TextAnalysis.textSurprisal),
+    "text_bm25_search"    -> q(t => Search.textBm25Search(t)),
+    "corpus_curriculum"   -> q(t => TextAnalysis.corpusCurriculum(t)),
+    "text_lang_confusion" -> q(TextAnalysis.textLangConfusion),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
     "events_retention"    -> q(EventAnalytics.eventsRetention),
@@ -679,6 +682,61 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, round(pr+1e-9,4) AS punct_ratio, round(sr+1e-9,4) AS stop_ratio,
         | round(0.4*coalesce(sr,0)+0.3*(1-coalesce(pr,0))+0.3*least(n_tokens/100.0,1.0)+1e-9,4) AS quality_score
         |FROM m""".stripMargin,
+    // BM25 constants written as the SAME double expressions Spark
+    // computes (1.2+1.0, not 2.2: they differ by 1 ulp); score rounded
+    // 4 dp (+1e-9) before the deterministic (bm25 desc, doc_id) cut
+    "text_bm25_search" ->
+      s"""WITH lens AS (SELECT doc_id, len($sqlToks)::DOUBLE AS dl FROM documents),
+        |stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM lens),
+        |tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tk
+        |  WHERE tok IN ('spark','table','query') GROUP BY 1, 2),
+        |wdf AS (SELECT *, (count(*) OVER (PARTITION BY tok))::DOUBLE AS df FROM tf),
+        |sc AS (SELECT w.doc_id,
+        |  ln(1.0 + (s.n_docs - w.df + 0.5) / (w.df + 0.5)) * w.tf * (1.2 + 1.0)
+        |    / (w.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS contrib
+        |  FROM wdf w JOIN lens l USING (doc_id), stats s)
+        |SELECT doc_id, round(sum(contrib) + 1e-9, 4) AS bm25, count(*) AS n_terms
+        |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+    // quality banding replays text_quality's rounded score, then the
+    // corpus_mixture quota discipline keyed by the derived band
+    "corpus_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(length(text),0) AS pr,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+        |    / nullif(len(toks),0) AS sr
+        | FROM t),
+        |qs AS (SELECT doc_id,
+        |  round(0.4*coalesce(sr,0)+0.3*(1-coalesce(pr,0))+0.3*least(n_tokens/100.0,1.0)+1e-9,4) AS qsc
+        | FROM m),
+        |bd AS (SELECT doc_id, least(CAST(floor(qsc*5) AS BIGINT), 4) AS band,
+        |  md5(doc_id::VARCHAR) AS hh FROM qs),
+        |r AS (SELECT doc_id, band,
+        |  CAST(row_number() OVER (PARTITION BY band ORDER BY hh, doc_id) AS BIGINT) AS samp_rank,
+        |  count(*) OVER (PARTITION BY band) AS n_band
+        | FROM bd)
+        |SELECT doc_id, band, samp_rank FROM r
+        |WHERE samp_rank <= (n_band * (band*3+4) + 15) // 16""".stripMargin,
+    // the lang-ID oracle joined with the gold label; shares over the
+    // gold row (window sum ::DOUBLE — DuckDB widens sum(BIGINT) to HUGEINT)
+    "text_lang_confusion" ->
+      s"""WITH lex(slang, word) AS (VALUES
+        | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),
+        | ('de','der'),('de','die'),('de','das'),('de','und'),('de','ein'),
+        | ('es','el'),('es','la'),('es','los'),('es','de'),('es','y'),
+        | ('fr','le'),('fr','les'),('fr','et'),('fr','un'),('fr','dans')),
+        |tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        |sc AS (SELECT doc_id, slang, count(*) AS n FROM tk JOIN lex ON tok=word GROUP BY 1,2),
+        |best AS (SELECT doc_id, slang FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, slang) AS rn FROM sc)
+        |  WHERE rn=1),
+        |pred AS (SELECT d.doc_id, d.lang, coalesce(b.slang,'und') AS lang_pred
+        |  FROM documents d LEFT JOIN best b USING (doc_id)),
+        |cm AS (SELECT lang, lang_pred, count(*) AS n_docs FROM pred GROUP BY 1, 2)
+        |SELECT lang, lang_pred, n_docs,
+        |  round(n_docs::DOUBLE / (sum(n_docs) OVER (PARTITION BY lang))::DOUBLE + 1e-9, 4) AS gold_share
+        |FROM cm""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x)>0))::BIGINT AS ws_tokens,

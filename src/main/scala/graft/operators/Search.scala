@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.TextAnalysis.tokens
+
+/** Keyword search over the document corpus: the retrieval half of a
+  * data platform — dedup/decontamination find what a corpus contains,
+  * search finds WHERE. BM25 is the standard lexical ranking function
+  * (Robertson/Spärck Jones probabilistic relevance framework — public
+  * literature), and its every input (tf, df, doc length, corpus
+  * averages) is a relational aggregate, so the whole ranker is plain
+  * declarative Spark.
+  */
+object Search {
+
+  /** `text_bm25_search` — top-k BM25 ranking of the corpus against a
+    * fixed conjunction-free keyword query.
+    *
+    * Scale shape, stage by stage:
+    *  - doc lengths are a MAP-ONLY projection (`size(tokens)`) — no
+    *    explode, no shuffle; a second scan of `documents`, deliberately:
+    *    deriving lengths from the exploded token stream would shuffle
+    *    every token in the corpus, while this scan shuffles nothing.
+    *  - tf explodes tokens but filters to the query terms BEFORE the
+    *    (doc, term) aggregation, so the shuffle carries only matching
+    *    occurrences — selectivity does the work, the corpus never
+    *    shuffles.
+    *  - df is a term-keyed count window OVER the tf rollup (the
+    *    count-window form that avoids re-joining the rollup's own
+    *    lineage); corpus N and avgdl ride in as a one-row broadcast.
+    *  - the final top-k is `orderBy(...).limit(k)` — Spark plans
+    *    TakeOrderedAndProject (per-partition bounded heaps + a k-row
+    *    driver merge), NOT a single-partition global sort; ranking by
+    *    the ROUNDED score with a doc_id tie-break keeps the cut
+    *    deterministic cross-engine.
+    */
+  def textBm25Search(t: Tables,
+      terms: Seq[String] = Seq("spark", "table", "query"),
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = t.documents
+      .select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+    val stats = lens.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    tf
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("tok"))).cast("double"))
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      // constants as lit(k1 + 1.0) etc.: the ORACLE computes the same
+      // (1.2+1.0) expression, so both engines hold bit-identical
+      // doubles (a decimal literal 2.2 differs from 1.2+1.0 by 1 ulp)
+      .withColumn("contrib",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")) + lit(1e-9), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(k)
+  }
+}

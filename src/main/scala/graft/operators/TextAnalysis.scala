@@ -324,6 +324,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("samp_rank"))
   }
 
+  /** T14 — `corpus_curriculum`: quality-weighted exact-quota
+    * resampling — the curriculum step that keeps high-quality docs at
+    * high rates and boilerplate at low ones while hitting every band's
+    * quota EXACTLY (the [[corpusMixture]] discipline, keyed by a
+    * DERIVED quality band instead of a stored column).
+    *
+    * Banding is a map-only fixed-threshold cut of the shared
+    * [[qualityScoreExpr]] (floor(q·nBands), top band clamped) — NOT
+    * ntile, which would be a single-partition global window; fixed
+    * thresholds keep banding embarrassingly parallel at any corpus
+    * size. Keep rate rises linearly with band: band i keeps
+    * (4 + 3i)/16 — the top band keeps everything. One band-keyed
+    * window pass ranks by md5(doc_id) for the deterministic
+    * pseudo-random cut.
+    */
+  def corpusCurriculum(t: Tables, nBands: Int = 5): DataFrame = {
+    val q = qualityScoreExpr(col("text"), tokens(col("text")))
+    val band = least(floor(q * nBands).cast("long"), lit(nBands - 1L))
+    val w = Window.partitionBy(col("band"))
+    t.documents
+      .select(col("doc_id"), band.as("band"),
+        md5(col("doc_id").cast("string")).as("hh"))
+      .withColumn("keep16", col("band") * 3 + 4)
+      .withColumn("samp_rank",
+        row_number().over(w.orderBy(col("hh"), col("doc_id"))).cast("long"))
+      .withColumn("n_band", count(lit(1)).over(w))
+      .withColumn("quota", expr("(n_band * keep16 + 15) DIV 16"))
+      .filter(col("samp_rank") <= col("quota"))
+      .select(col("doc_id"), col("band"), col("samp_rank"))
+  }
+
+  /** T15 — `text_lang_confusion`: the evaluation harness for
+    * [[textLangId]] — predicted language crossed with the corpus's
+    * stored `lang` label as a confusion matrix, with each cell's share
+    * of its gold row. Model-eval over the full corpus is itself a
+    * pipeline job (per-slice accuracy gates a release); shape is the
+    * lang-ID pass plus one doc_id-keyed join against the (doc_id,
+    * lang) projection and a #langs²-key aggregation, shares as a
+    * gold-keyed sum window over that metadata-scale rollup.
+    */
+  def textLangConfusion(t: Tables): DataFrame =
+    textLangId(t)
+      .join(t.documents.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("gold_share",
+        round(col("n_docs") / sum(col("n_docs")).over(Window.partitionBy(col("lang")))
+          + lit(1e-9), 4))
+
   /** T11 — corpus length histogram on log2 buckets: doc counts and
     * char totals per power-of-two length band — the long-tail length
     * audit run before choosing truncation/packing lengths. One
