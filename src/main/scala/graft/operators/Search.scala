@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -29,9 +28,14 @@ object Search {
     *    (doc, term) aggregation, so the shuffle carries only matching
     *    occurrences — selectivity does the work, the corpus never
     *    shuffles.
-    *  - df is a term-keyed count window OVER the tf rollup (the
-    *    count-window form that avoids re-joining the rollup's own
-    *    lineage); corpus N and avgdl ride in as a one-row broadcast.
+    *  - df aggregates the tf rollup down to one row PER TERM and
+    *    broadcast-joins it back — deliberately NOT the count-window
+    *    form used where keys are high-cardinality (grams, users):
+    *    a window partitioned by a handful of query terms would stream
+    *    every matching doc of a common term through ONE task. The
+    *    rejoin does not rescan the corpus: both branches hang off the
+    *    tf aggregation's exchange, which AQE reuses (plan-pinned).
+    *    Corpus N and avgdl ride in as a one-row broadcast.
     *  - the final top-k is `orderBy(...).limit(k)` — Spark plans
     *    TakeOrderedAndProject (per-partition bounded heaps + a k-row
     *    driver merge), NOT a single-partition global sort; ranking by
@@ -51,9 +55,10 @@ object Search {
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    val dfCounts = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("double").as("df"))
     tf
-      .withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("tok"))).cast("double"))
+      .join(broadcast(dfCounts), "tok")
       .join(lens, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf",

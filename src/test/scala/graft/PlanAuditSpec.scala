@@ -270,4 +270,31 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(EventAnalytics.eventsAnomaly(tables))
     assert(p.contains("partial_"), s"no map-side combine:\n$p")
   }
+
+  test("bm25: top-k cut is TakeOrderedAndProject; df joins broadcast off a reused exchange") {
+    val p = plan(Search.textBm25Search(tables))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    // the per-term df aggregate must NOT be a window over a handful of
+    // term keys (one task per common term at corpus scale)
+    assert(!p.contains("Window"), s"df computed via low-cardinality window:\n$p")
+  }
+
+  test("embed_dim_stats: one dims-keyed exchange, partial agg before it") {
+    val p = plan(Similarity.embedDimStats(tables))
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ann_hard_negatives: both stages broadcast, no sort-merge join") {
+    val p = plan(Similarity.annHardNegatives(tables))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_delete_propagation: first hop broadcast semi; audit rows are one-row broadcasts") {
+    val p = plan(Governance.deletePropagation(tables))
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct"), s"audit cross-joins must broadcast:\n$p")
+  }
 }
