@@ -120,6 +120,8 @@ object SparkEntry {
     "dedup_incremental"   -> q(t => Dedup.dedupIncremental(t)),
     "dedup_incremental_table" -> q(t => Dedup.dedupIncrementalTable(t)),
     "dedup_passage"       -> q(t => Dedup.dedupPassage(t)),
+    "dedup_minhash_eval"  -> q(Dedup.dedupMinhashEval),
+    "corpus_dedup_weights"-> q(Dedup.corpusDedupWeights),
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
@@ -170,6 +172,7 @@ object SparkEntry {
     "q_json_orc_roundtrip" -> q(graft.sources.SourceOps.jsonOrcRoundtrip),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
+    "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -957,6 +960,52 @@ object SparkEntry {
         |SELECT passage_hash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
         | min(doc_id) AS rep_doc_id
         |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    "dedup_minhash_eval" ->
+      s"""WITH $sqlShingles,
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+        |  FROM mh GROUP BY 1,2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id),
+        |agree AS (SELECT c.doc_id_1, c.doc_id_2,
+        |  CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+        |  FROM cand c JOIN mh ma ON ma.doc_id = c.doc_id_1
+        |  JOIN mh mb ON mb.doc_id = c.doc_id_2 AND mb.seed = ma.seed GROUP BY 1,2),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |it AS (SELECT c.doc_id_1, c.doc_id_2, count(*) AS n_inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_id_1
+        |  JOIN sh b ON b.doc_id = c.doc_id_2 AND b.shingle = a.shingle GROUP BY 1,2)
+        |SELECT g.doc_id_1, g.doc_id_2, g.n_agree,
+        | CAST(g.n_agree AS DOUBLE) / 16.0 AS est_jaccard,
+        | COALESCE(it.n_inter,0) / CAST(n1.n + n2.n - COALESCE(it.n_inter,0) AS DOUBLE) AS true_jaccard,
+        | abs(CAST(g.n_agree AS DOUBLE) / 16.0
+        |   - COALESCE(it.n_inter,0) / CAST(n1.n + n2.n - COALESCE(it.n_inter,0) AS DOUBLE)) AS abs_err
+        |FROM agree g LEFT JOIN it ON it.doc_id_1 = g.doc_id_1 AND it.doc_id_2 = g.doc_id_2
+        |JOIN sz n1 ON n1.doc_id = g.doc_id_1
+        |JOIN sz n2 ON n2.doc_id = g.doc_id_2""".stripMargin,
+    "corpus_dedup_weights" ->
+      s"""WITH RECURSIVE $sqlShingles,
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+        |  FROM mh GROUP BY 1,2),
+        |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        |  FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id),
+        |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+        |reach(doc_id, r) AS (
+        |  SELECT doc_id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b),
+        |cl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |ex AS (SELECT md5(text) AS eh, count(*) AS exact_n FROM documents GROUP BY 1),
+        |nn AS (SELECT cluster_id, count(*) AS near_n FROM cl GROUP BY 1)
+        |SELECT d.doc_id, ex.exact_n, nn.near_n,
+        | 1 / CAST(nn.near_n AS DOUBLE) AS weight
+        |FROM documents d
+        |JOIN ex ON md5(d.text) = ex.eh
+        |JOIN cl ON cl.doc_id = d.doc_id
+        |JOIN nn ON nn.cluster_id = cl.cluster_id""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $sqlShingles,
         |shc AS (SELECT doc_id, shingle, count(*) AS cnt FROM sh GROUP BY 1,2),
@@ -1311,6 +1360,13 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem),
         |  (SELECT count(*) FROM pl),
         |  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM pl)""".stripMargin,
+    // the dim join reduces to its filter semantics: keep Sunday rows
+    // (DuckDB dayofweek: 0 = Sunday; Spark dayofweek: 1 = Sunday)
+    "q_dpp" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_day,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events WHERE dayofweek(CAST(ts AS DATE)) = 0
+        |GROUP BY 1""".stripMargin,
     // the bucketed-layout join must equal this join over the ORIGINAL tables
     "q_bucketed_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n_items,

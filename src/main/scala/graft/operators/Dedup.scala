@@ -146,9 +146,31 @@ object Dedup {
     */
   def dedupMinhashLsh(t: Tables): DataFrame = minhashPairsFrom(shingleSet(t))
 
-  /** MinHash-LSH pair generation over an exploded (doc_id, shingle)
-    * frame (the body of [[dedupMinhashLsh]], reusable from a shared
-    * scan). */
+  /** 16-column MinHash signature frame (doc_id, h0..h15) over an
+    * exploded (doc_id, shingle) frame. The explode means the text is
+    * tokenized ONCE per doc (a pure array-expression form would
+    * collapse into 16 projections that each re-tokenize); each
+    * exploded row then pays exactly 16 md5s inside a partial
+    * aggregate — map-side, parallel, one shuffle of the 16-column
+    * signatures. */
+  private[operators] def minhashSignatures(sh: DataFrame): DataFrame = {
+    val minhashes = (0 until 16).map { s =>
+      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"h$s")
+    }
+    sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
+  }
+
+  /** (doc_id, band, bh) band rows from a signature frame — a cheap
+    * map-only projection of [[minhashSignatures]]. */
+  private[operators] def bandsFromSignatures(mh: DataFrame): DataFrame = {
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws("|", (0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as("bh"))
+    }
+    mh.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+  }
+
   /** MinHash LSH band index over an exploded (doc_id, shingle) frame:
     * (doc_id, band, bh) rows, persisted and eagerly populated (a
     * downstream self-join's branches would otherwise race the lazy
@@ -156,22 +178,7 @@ object Dedup {
     * the history side of this index is computed once and reused by
     * every increment. */
   private[operators] def minhashBands(sh: DataFrame, materialize: Boolean = true): DataFrame = {
-    // explode once so the text is tokenized ONCE per doc (a pure
-    // array-expression form would collapse into 16 projections that
-    // each re-tokenize); each exploded row then pays exactly 16 md5s
-    // inside a partial aggregate — map-side, parallel, one shuffle of
-    // the 16-column signatures
-    val minhashes = (0 until 16).map { s =>
-      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"h$s")
-    }
-    val mh = sh.groupBy(col("doc_id")).agg(minhashes.head, minhashes.tail: _*)
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws("|", (0 until 4).map(i => col(s"h${4 * b + i}")): _*)).as("bh"))
-    }
-    val bands = mh
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val bands = bandsFromSignatures(minhashSignatures(sh))
     // materialize only when the caller joins the index against itself
     // (both branches would race the lazy cache); single-consumer paths
     // (table write, one-sided increment join) skip the extra pass
@@ -465,5 +472,90 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
+  }
+
+  /** D8 — `dedup_minhash_eval`: sketch-quality audit. For every
+    * MinHash-LSH candidate pair, the Jaccard similarity the 16-hash
+    * signature ESTIMATES (fraction of agreeing positions) next to the
+    * EXACT shingle-set Jaccard, with the absolute error — the
+    * "measure, don't guess" check you run before trusting a sketch
+    * configuration on a 100 TB corpus, where the exact value is only
+    * computable for the candidate set the sketch itself surfaces.
+    *
+    * Shape: ONE tokenize pass — the exploded shingle frame is
+    * persisted and feeds (a) the signature aggregate, (b) per-doc set
+    * sizes, (c) the pair intersections. Signatures persist once and
+    * serve both the band self-join and the agreement count, so the
+    * expensive 16-md5 aggregate runs exactly once. Intersections
+    * join candidates by doc then by (doc, shingle) — keyed joins
+    * bounded by candidate count × shingles/doc, never all-pairs.
+    * Both divisions are exact-integer → double, bit-identical in any
+    * IEEE engine, so no rounding is needed.
+    */
+  def dedupMinhashEval(t: Tables): DataFrame = {
+    val sh = shingleSet(t).persist()
+    sh.count()
+    val sig = minhashSignatures(sh).persist()
+    sig.count()
+    val bands = bandsFromSignatures(sig)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .distinct()
+    val agree = (0 until 16)
+      .map(s => when(col(s"a.h$s") === col(s"b.h$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(sig.as("a"), col("doc_id_1") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_id_2") === col("b.doc_id"))
+      .select(col("doc_id_1"), col("doc_id_2"), agree.as("n_agree"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_id_1") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_id_2") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val trueJac = col("n_inter") / (col("n1") + col("n2") - col("n_inter"))
+    est
+      .join(inter, Seq("doc_id_1", "doc_id_2"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.withColumnRenamed("n_sh", "n1").as("z1"),
+        col("doc_id_1") === col("z1.doc_id"))
+      .join(sizes.withColumnRenamed("n_sh", "n2").as("z2"),
+        col("doc_id_2") === col("z2.doc_id"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_agree"),
+        (col("n_agree") / lit(16.0)).as("est_jaccard"),
+        trueJac.as("true_jaccard"),
+        abs(col("n_agree") / lit(16.0) - trueJac).as("abs_err"))
+  }
+
+  /** D9 — `corpus_dedup_weights`: soft-dedup training weights. Rather
+    * than dropping duplicates outright, assign every document the
+    * weight 1/|near-dup cluster| so each duplicated passage of content
+    * contributes one document's worth of gradient in total — the
+    * repetition-discounting alternative to hard removal. Reports the
+    * exact-copy count (identical text) and the near-dup component size
+    * from [[dedupClusters]]; singletons get weight 1.
+    *
+    * Shape: the exact count is a count-window keyed by the md5 digest
+    * (32-byte shuffle key, never the text); the near count is a
+    * count-window keyed by cluster label over the CC output. Two keyed
+    * shuffles beyond the cluster computation itself, no driver-side
+    * data.
+    */
+  def corpusDedupWeights(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(t)
+    val exact = t.documents
+      .select(col("doc_id"), md5(col("text")).as("eh"))
+      .withColumn("exact_n", count(lit(1)).over(Window.partitionBy(col("eh"))))
+    exact
+      .join(clusters, "doc_id")
+      .withColumn("near_n", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("exact_n"), col("near_n"),
+        (lit(1.0) / col("near_n")).as("weight"))
   }
 }

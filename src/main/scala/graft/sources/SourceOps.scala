@@ -151,6 +151,42 @@ object SourceOps {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
   }
 
+  /** `q_dpp` — dynamic partition pruning through the date-partitioned
+    * fact layout. The events fact is written directory-partitioned by
+    * event day (the 100 TB time-series layout), then joined to a
+    * filtered dim — the distinct SUNDAYS present in the data — and the
+    * scan of the fact must read ONLY the matching day directories:
+    * Spark plants a `dynamicpruning` subquery in the scan's
+    * PartitionFilters (reusing the dim's broadcast), so partitions are
+    * pruned by the VALUES the dim filter produces at runtime, which no
+    * static predicate can express. At 100 TB this is the difference
+    * between scanning 7 years and scanning the ~1/7 of directories the
+    * dim actually selects; PlanAuditSpec pins the dynamicpruning
+    * filter so a regression to a full scan fails the suite.
+    *
+    * The oracle reduces the dim join to its filter semantics (join on
+    * day with the distinct-Sundays set == keep Sunday rows), computing
+    * the same per-day rollup from the original table.
+    */
+  def qDpp(t: Tables): DataFrame = {
+    val path = s"$stagingDir/events_by_day.parquet"
+    Sources.write(
+      t.events.withColumn("event_day", to_date(col("ts"))),
+      path, partitionBy = Seq("event_day"))
+    val fact = Sources.read(t.spark, path)
+    // dim: distinct Sundays, derived at runtime from the raw table —
+    // stands in for a calendar/dim table whose filter output only
+    // exists at execution time (dayofweek: 1 = Sunday in Spark)
+    val dim = t.events.select(to_date(col("ts")).as("day")).distinct()
+      .filter(dayofweek(col("day")) === 1)
+    fact.join(dim, fact("event_day") === dim("day"))
+      .groupBy(col("event_day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(date_format(col("event_day"), "yyyy-MM-dd").as("event_day"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** Bucketed-layout roundtrip: write orders and lineitem as
     * co-bucketed external tables on the join key, join them back
     * THROUGH the catalog (the join side runs with zero exchanges —

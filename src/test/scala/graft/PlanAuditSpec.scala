@@ -297,4 +297,10 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct"), s"audit cross-joins must broadcast:\n$p")
   }
+
+  test("q_dpp: fact scan is dynamically partition-pruned by the dim values") {
+    val p = plan(graft.sources.SourceOps.qDpp(tables))
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
 }

@@ -50,4 +50,33 @@ class DedupSpec extends SparkSpec {
       assert(members.keys.min == lbl, s"cluster $lbl labelled above its min member")
     }
   }
+
+  test("dedup_minhash_eval covers exactly the LSH candidate pairs with sane errors") {
+    // sf0.01: sf0.001 has no candidate pairs
+    val t = graft.Tables(spark, "/root/testdata/sf0.01")
+    val eval = Dedup.dedupMinhashEval(t).collect()
+    assert(eval.nonEmpty, "degenerate test: no candidate pairs at sf0.01")
+    val evalPairs = eval.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = Dedup.dedupMinhashLsh(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(evalPairs == lshPairs, "eval rows must be the LSH candidate set")
+    eval.foreach { r =>
+      val (nAgree, est, tru, err) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nAgree >= 1 && nAgree <= 16) // band collision implies ≥4 agreeing, ≥1 suffices here
+      assert(est == nAgree / 16.0)
+      assert(tru >= 0.0 && tru <= 1.0)
+      assert(err == math.abs(est - tru))
+    }
+  }
+
+  test("corpus_dedup_weights: cluster weights sum to 1 per near-dup cluster") {
+    val rows = Dedup.corpusDedupWeights(tables).collect()
+    assert(rows.length == tables.documents.count())
+    rows.foreach { r =>
+      val (exactN, nearN, w) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(exactN >= 1 && nearN >= 1 && w > 0.0 && w <= 1.0)
+      assert(w == 1.0 / nearN)
+    }
+  }
 }
