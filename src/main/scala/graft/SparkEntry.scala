@@ -173,6 +173,7 @@ object SparkEntry {
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
+    "er_blocked_pairs"    -> q(Governance.erBlockedPairs),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -1360,6 +1361,16 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem),
         |  (SELECT count(*) FROM pl),
         |  (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM pl)""".stripMargin,
+    // ground truth scores ALL pairs — a blocking hole in the Spark
+    // plan (a match no block key captures) breaks the hash gate
+    "er_blocked_pairs" ->
+      """WITH s AS (SELECT a.p_partkey AS key_1, b.p_partkey AS key_2,
+        |  CAST(a.p_name = b.p_name AS INTEGER)
+        |   + CAST(a.p_type = b.p_type AS INTEGER)
+        |   + CAST(a.p_brand = b.p_brand AS INTEGER)
+        |   + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) AS score
+        | FROM part a JOIN part b ON a.p_partkey < b.p_partkey)
+        |SELECT key_1, key_2, score FROM s WHERE score >= 3""".stripMargin,
     // the dim join reduces to its filter semantics: keep Sunday rows
     // (DuckDB dayofweek: 0 = Sunday; Spark dayofweek: 1 = Sunday)
     "q_dpp" ->

@@ -51,4 +51,46 @@ object Governance {
       .unionAll(auditRow("orders", t.orders, purgedOrders))
       .unionAll(auditRow("lineitem", t.lineitem, purgedLines))
   }
+
+  /** `er_blocked_pairs` — record linkage (entity resolution) over the
+    * part master-data: find distinct part rows that describe the same
+    * product, WITHOUT comparing all pairs. Classic two-phase shape:
+    *
+    *  1. BLOCKING — candidates come only from keyed self-joins on
+    *     cheap block keys, so work is bounded by block sizes, never
+    *     n². Two passes: equal `p_name`, and equal
+    *     (`p_type`, `p_brand`).
+    *  2. SCORING — each candidate pair scores one point per agreeing
+    *     field: name, type, brand equality, size within ±2; pairs
+    *     with score ≥ 3 are matches.
+    *
+    * The two block keys are COMPLETE for this rule: a score ≥ 3 pair
+    * agrees on at least 3 of the 4 fields, of which at most one can
+    * be `size_close` — so it agrees on ≥ 2 of {name, type, brand},
+    * and any such 2-subset contains `name` or {type, brand}, i.e.
+    * every match collides in block 1 or block 2. The DuckDB oracle
+    * scores ALL pairs, so a blocking hole would fail the hash gate —
+    * the blocked plan is verified against ground truth, not trusted.
+    * At 100 TB both joins shuffle on low-cardinality-bounded keys
+    * (name frequency, type×brand buckets); skewed real-world block
+    * keys would be salted exactly like `q_salted_join`.
+    */
+  def erBlockedPairs(t: Tables): DataFrame = {
+    val p = t.part.select(
+      col("p_partkey"), col("p_name"), col("p_type"), col("p_brand"), col("p_size"))
+    def blocked(cond: org.apache.spark.sql.Column): DataFrame =
+      p.as("a").join(p.as("b"), cond && col("a.p_partkey") < col("b.p_partkey"))
+    val cands =
+      blocked(col("a.p_name") === col("b.p_name"))
+        .unionAll(blocked(
+          col("a.p_type") === col("b.p_type") && col("a.p_brand") === col("b.p_brand")))
+    cands
+      .select(col("a.p_partkey").as("key_1"), col("b.p_partkey").as("key_2"),
+        ((col("a.p_name") === col("b.p_name")).cast("int")
+          + (col("a.p_type") === col("b.p_type")).cast("int")
+          + (col("a.p_brand") === col("b.p_brand")).cast("int")
+          + (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int")).as("score"))
+      .filter(col("score") >= 3)
+      .distinct() // a pair may surface from both blocks; score is identical
+  }
 }

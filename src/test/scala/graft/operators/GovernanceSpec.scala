@@ -34,4 +34,24 @@ class GovernanceSpec extends SparkSpec {
     assert(keptOrders.join(tomb2,
       col("o_custkey") === col("tomb_key"), "left_semi").count() == 0)
   }
+
+  test("er_blocked_pairs equals the unblocked all-pairs ground truth") {
+    val t = tables
+    val blocked = Governance.erBlockedPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val p = t.part.select(col("p_partkey"), col("p_name"), col("p_type"),
+      col("p_brand"), col("p_size"))
+    val brute = p.as("a")
+      .join(p.as("b"), col("a.p_partkey") < col("b.p_partkey"))
+      .select(col("a.p_partkey").as("k1"), col("b.p_partkey").as("k2"),
+        ((col("a.p_name") === col("b.p_name")).cast("int")
+          + (col("a.p_type") === col("b.p_type")).cast("int")
+          + (col("a.p_brand") === col("b.p_brand")).cast("int")
+          + (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int")).as("score"))
+      .filter(col("score") >= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "degenerate test: no matching pairs at this SF")
+    assert(blocked == brute,
+      s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
+  }
 }
