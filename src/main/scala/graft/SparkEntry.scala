@@ -174,6 +174,7 @@ object SparkEntry {
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
     "er_blocked_pairs"    -> q(Governance.erBlockedPairs),
+    "q_compaction"        -> q(t => graft.sources.SourceOps.qCompaction(t)),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -1371,6 +1372,12 @@ object SparkEntry {
         |   + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) AS score
         | FROM part a JOIN part b ON a.p_partkey < b.p_partkey)
         |SELECT key_1, key_2, score FROM s WHERE score >= 3""".stripMargin,
+    // the compacted rewrite must preserve every row and value exactly
+    "q_compaction" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the dim join reduces to its filter semantics: keep Sunday rows
     // (DuckDB dayofweek: 0 = Sunday; Spark dayofweek: 1 = Sunday)
     "q_dpp" ->

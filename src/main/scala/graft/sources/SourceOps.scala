@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -149,6 +149,53 @@ object SourceOps {
       .agg(count(lit(1)).as("n_rows"),
         count(col("o_custkey")).as("n_with_cust"),
         round(sum(col("o_totalprice")), 2).as("sum_price"))
+  }
+
+  /** Compact a parquet directory: size-targeted rewrite to
+    * `ceil(totalBytes / targetFileBytes)` files. Returns
+    * (filesBefore, filesAfter). The directory listing is driver-side
+    * O(#files) METADATA — exactly what a table-maintenance job reads;
+    * row data never touches the driver. */
+  private[graft] def compact(spark: org.apache.spark.sql.SparkSession,
+      inPath: String, outPath: String, targetFileBytes: Long): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(inPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Array[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(new Path(p)).filter(_.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles(inPath)
+    val nOut = math.max(1,
+      math.ceil(before.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+    Sources.read(spark, inPath).repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    (before.length, parquetFiles(outPath).length)
+  }
+
+  /** `q_compaction` — the small-files maintenance job. A fragmented
+    * fact directory (64 shards of a slim lineitem projection — the
+    * debris a streaming or per-task writer leaves behind) is rewritten
+    * into size-targeted files via ONE round-robin repartition sized
+    * from the directory's actual byte count. Small files are a 100 TB
+    * scan killer: each carries task-schedule + footer-read + seek
+    * overhead, and a 10⁶-file table bottlenecks the driver's split
+    * enumeration — periodic compaction is how every production lake
+    * keeps scans at full disk bandwidth. The returned aggregate runs
+    * over the COMPACTED copy and is oracled against the ORIGINAL
+    * table, so the rewrite is proven lossless; SourcesSpec pins the
+    * file-count arithmetic.
+    */
+  def qCompaction(t: Tables, targetFileBytes: Long = 8L << 20): DataFrame = {
+    val inPath = staging("lineitem_fragmented.parquet")
+    val outPath = staging("lineitem_compacted.parquet")
+    t.lineitem
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(inPath)
+    compact(t.spark, inPath, outPath, targetFileBytes)
+    Sources.read(t.spark, outPath)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
   /** `q_dpp` — dynamic partition pruning through the date-partitioned

@@ -70,6 +70,23 @@ class SourcesSpec extends SparkSpec {
     assert(totals.getLong(1) > 0)                 // batch-2 rows carry values
   }
 
+  test("compaction rewrites the fragmented directory into fewer, size-targeted files") {
+    val t = tables
+    // drive the query once so the staged dirs exist, then re-run the
+    // compact step alone to read back its file-count arithmetic
+    SourceOps.qCompaction(t).collect()
+    val in = SourceOps.staging("lineitem_fragmented.parquet")
+    val out = SourceOps.staging("lineitem_compacted_spec.parquet")
+    val (before, after) = SourceOps.compact(t.spark, in, out, targetFileBytes = 8L << 20)
+    assert(before == 64, s"fragmented input should be 64 shards, got $before")
+    assert(after < before, s"compaction must reduce file count: $before -> $after")
+    // ceil(bytes / target) files, and never zero
+    assert(after >= 1)
+    // lossless: compacted copy has every row
+    val n = graft.sources.Sources.read(t.spark, out).count()
+    assert(n == t.lineitem.count())
+  }
+
   test("registered SQL function cosine_similarity resolves via extensions") {
     val r = spark.sql(
       "SELECT cosine_similarity(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c").head()
