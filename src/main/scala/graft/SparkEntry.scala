@@ -81,6 +81,7 @@ object SparkEntry {
     // broadcast): same oracle proves mode equivalence
     "text_contamination_shuffled" ->
       q(t => TextAnalysis.textContamination(t, maxBroadcastGrams = 0L)),
+    "text_contamination_fuzzy" -> q(t => TextAnalysis.textContaminationFuzzy(t)),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
@@ -779,6 +780,16 @@ object SparkEntry {
         |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
         |SELECT g.doc_id, count(*) AS n_hits
         |FROM g JOIN b USING (g) WHERE g.doc_id >= 10 GROUP BY 1""".stripMargin,
+    "text_contamination_fuzzy" ->
+      s"""WITH $sqlShingles,
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+        |  FROM mh GROUP BY 1,2)
+        |SELECT c.doc_id, count(DISTINCT b.doc_id) AS n_bench_matches
+        |FROM bands c JOIN bands b ON c.band = b.band AND c.bh = b.bh
+        |WHERE b.doc_id < 50 AND c.doc_id >= 50
+        |GROUP BY 1""".stripMargin,
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         |d AS (SELECT len(toks)::BIGINT AS n_toks FROM t),

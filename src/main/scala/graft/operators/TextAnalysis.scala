@@ -241,6 +241,37 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** `text_contamination_fuzzy` — NEAR-duplicate benchmark
+    * decontamination: flag corpus docs whose MinHash LSH bands collide
+    * with any "benchmark" doc (doc_id < `benchDocs`), with the count
+    * of distinct bench docs matched. Exact n-gram overlap
+    * ([[textContamination]]) misses paraphrased or partially-rewritten
+    * eval material; band collision fires on high-Jaccard neighbours
+    * too — the fuzzy half every production decontamination stage runs
+    * alongside the exact one.
+    *
+    * Shape: ONE signature pass over the whole corpus (the same
+    * map-side MinHash aggregate as `dedup_minhash_lsh`, persisted once
+    * and read by both sides), then bench bands — the EVAL SUITE's
+    * rows, tiny by nature — broadcast against the corpus bands: the
+    * corpus side never shuffles, and the probe is a hash lookup per
+    * (band, bh) row. Scales as one scan + one broadcast regardless of
+    * corpus size.
+    */
+  def textContaminationFuzzy(t: Tables, benchDocs: Int = 50): DataFrame = {
+    val docToks = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bands = Dedup.minhashBands(Dedup.shingleSetFrom(docToks))
+    val bench = bands.filter(col("doc_id") < benchDocs)
+    val corpus = bands.filter(col("doc_id") >= benchDocs)
+    corpus.as("c")
+      .join(broadcast(bench.as("b")),
+        col("c.band") === col("b.band") && col("c.bh") === col("b.bh"))
+      .groupBy(col("c.doc_id").as("doc_id"))
+      .agg(countDistinct(col("b.doc_id")).as("n_bench_matches"))
+  }
+
   /** T8 — corpus-level stats report: doc count, token totals,
     * mean/median tokens per doc, vocabulary size. Two aggregations
     * (per-doc token counts reduce to one row; distinct-token count is

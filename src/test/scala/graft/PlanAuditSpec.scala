@@ -298,6 +298,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"audit cross-joins must broadcast:\n$p")
   }
 
+  test("text_contamination_fuzzy: bench bands broadcast; corpus side never sort-merges") {
+    val p = plan(TextAnalysis.textContaminationFuzzy(tables))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the probe:\n$p")
+  }
+
   test("q_dpp: fact scan is dynamically partition-pruned by the dim values") {
     val p = plan(graft.sources.SourceOps.qDpp(tables))
     assert(p.contains("dynamicpruning"),
