@@ -69,4 +69,43 @@ class ScaleSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("AQE splits a skewed join partition at runtime (config-side complement to salting)") {
+    // q_salted_join is the EXPLICIT skew mitigation; this pins the
+    // runtime one — AQE detecting an oversized post-shuffle partition
+    // and fanning the sort-merge join out over its splits. Both must
+    // hold at 100 TB: salting for known-hot keys, AQE for the long tail.
+    val s = spark
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the SMJ
+      // 95% of the big side lands on key 7 → one hot shuffle partition
+      val big = s.range(200000)
+        .select(when(col("id") % 20 === 0, pmod(col("id"), lit(100)))
+          .otherwise(lit(7L)).as("k"), col("id").as("v"))
+      val small = s.range(100).select(col("id").as("k"), (col("id") * 10).as("w"))
+      // a global (two-stage) agg: its partial stage imposes NO
+      // distribution requirement on the join output, so AQE is free to
+      // split the hot partition (a groupBy(k) downstream would demand
+      // hashpartitioning(k) and veto the split as an extra shuffle)
+      val joined = big.join(small, "k").agg(sum(col("v") + col("w")).as("s"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("isSkewJoin=true") || plan.contains("skew=true"),
+        s"AQE did not mark the join skewed:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
 }
