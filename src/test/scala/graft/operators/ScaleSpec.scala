@@ -70,6 +70,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter from the selective dim side prunes the fact scan") {
+    // the non-partition-column analog of q_dpp's dynamic pruning: a
+    // selective filter on one join side injects a bloom filter that
+    // discards fact rows BEFORE the join's shuffle — at 100 TB this
+    // cuts the dominant exchange, not just the probe
+    val s = spark
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.getOption(k)).toMap
+    try {
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "8MB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle join: worth filtering
+      val t = tables
+      val dim = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val fact = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")).as("s"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.toLowerCase.contains("bloom"),
+        s"no runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(s.conf.unset(k))(s.conf.set(k, _))
+    }
+  }
+
   test("AQE splits a skewed join partition at runtime (config-side complement to salting)") {
     // q_salted_join is the EXPLICIT skew mitigation; this pins the
     // runtime one — AQE detecting an oversized post-shuffle partition
