@@ -82,6 +82,8 @@ object SparkEntry {
     "text_contamination_shuffled" ->
       q(t => TextAnalysis.textContamination(t, maxBroadcastGrams = 0L)),
     "text_contamination_fuzzy" -> q(t => TextAnalysis.textContaminationFuzzy(t)),
+    "corpus_filter_funnel" -> q(t => TextAnalysis.corpusFilterFunnel(t)),
+    "corpus_zipf"         -> q(t => TextAnalysis.corpusZipf(t)),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
@@ -110,6 +112,7 @@ object SparkEntry {
     "events_attribution"  -> q(EventAnalytics.eventsAttribution),
     "events_gap_report"   -> q(EventAnalytics.eventsGapReport),
     "events_seasonal_profile" -> q(EventAnalytics.eventsSeasonalProfile),
+    "events_rfm"          -> q(EventAnalytics.eventsRfm),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
@@ -595,6 +598,17 @@ object SparkEntry {
         |SELECT count_bucket, n_keys, bucket_rows, max_rows,
         | round(bucket_rows::DOUBLE / sum(bucket_rows) OVER () + 1e-9, 4) AS row_share
         |FROM b""".stripMargin,
+    "events_rfm" ->
+      """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
+        |m AS (SELECT max(day) AS max_day FROM d),
+        |u AS (SELECT user_id, max(day) AS last_day, count(*) AS frequency,
+        |  round(sum(value), 2) AS monetary FROM d GROUP BY 1)
+        |SELECT user_id, date_diff('day', last_day, max_day) AS recency_days,
+        | frequency, monetary,
+        | CASE WHEN date_diff('day', last_day, max_day) <= 2 THEN 'active'
+        |      WHEN date_diff('day', last_day, max_day) <= 7 THEN 'warm'
+        |      ELSE 'lapsed' END AS segment
+        |FROM u, m""".stripMargin,
     "events_seasonal_profile" ->
       """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
         |  event_type, count(*) AS n_events
@@ -790,6 +804,37 @@ object SparkEntry {
         |FROM bands c JOIN bands b ON c.band = b.band AND c.bh = b.bh
         |WHERE b.doc_id < 50 AND c.doc_id >= 50
         |GROUP BY 1""".stripMargin,
+    "corpus_filter_funnel" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $sqlToks AS toks FROM documents),
+        |f AS (SELECT doc_id, md5(text) AS eh,
+        |  list_contains(['en','es','fr'], lang) AS f_lang,
+        |  len(toks) >= 20 AS f_len,
+        |  round(0.4*coalesce(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE/nullif(len(toks),0),0)
+        |   + 0.3*(1-coalesce(length(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))::DOUBLE/nullif(length(text),0),0))
+        |   + 0.3*least(len(toks)/100.0,1.0) + 1e-9, 4) >= 0.45 AS f_q
+        | FROM t),
+        |g AS (SELECT *, min(doc_id) OVER (PARTITION BY eh) AS rep FROM f),
+        |a AS (SELECT count(*) AS n0,
+        |  CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |  CAST(sum(CASE WHEN f_lang AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |  CAST(sum(CASE WHEN f_lang AND f_len AND f_q THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |  CAST(sum(CASE WHEN f_lang AND f_len AND f_q AND doc_id = rep THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        | FROM g)
+        |SELECT 1 AS stage_id, 'lang_allowlist' AS stage, n0 AS docs_in,
+        |  n0 - n1 AS docs_removed, n1 AS docs_out, n1 / CAST(n0 AS DOUBLE) AS keep_rate FROM a
+        |UNION ALL SELECT 2, 'min_length', n1, n1 - n2, n2, n2 / CAST(n1 AS DOUBLE) FROM a
+        |UNION ALL SELECT 3, 'quality_threshold', n2, n2 - n3, n3, n3 / CAST(n2 AS DOUBLE) FROM a
+        |UNION ALL SELECT 4, 'exact_dedup', n3, n3 - n4, n4, n4 / CAST(n3 AS DOUBLE) FROM a""".stripMargin,
+    "corpus_zipf" ->
+      s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
+        |tf AS (SELECT term, count(*) AS freq
+        |  FROM (SELECT unnest(toks) AS term FROM t) GROUP BY 1),
+        |top AS (SELECT term, freq FROM tf ORDER BY freq DESC, term LIMIT 100),
+        |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term) AS rank FROM top)
+        |SELECT count(*) AS n_terms,
+        | round(regr_slope(ln(freq), ln(rank)) + 1e-9, 4) AS zipf_slope,
+        | round(regr_r2(ln(freq), ln(rank)) + 1e-9, 4) AS zipf_r2
+        |FROM r""".stripMargin,
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         |d AS (SELECT len(toks)::BIGINT AS n_toks FROM t),

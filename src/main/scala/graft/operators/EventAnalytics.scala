@@ -254,4 +254,34 @@ object EventAnalytics {
         round((col("n_events") - col("mu")) / col("sigma") + lit(1e-9), 4)
           .as("z_score"))
   }
+
+  /** `events_rfm` — per-user RFM profile (recency / frequency /
+    * monetary), the standard user-value segmentation: days since the
+    * user's last event relative to the corpus's max day, event count,
+    * value total, and a recency band label.
+    *
+    * Shape: ONE user-keyed aggregation over raw events (map-side
+    * partial agg), then the corpus max-day — a one-row aggregate —
+    * arrives by broadcast cross join: per-user state is O(1) and the
+    * only per-row shuffle is the keyed agg itself. Bands use fixed
+    * day thresholds, not ntile: no single-partition global sort at
+    * any user count.
+    */
+  def eventsRfm(t: Tables): DataFrame = {
+    val days = t.events.select(
+      col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val maxDay = days.agg(max(col("day")).as("max_day"))
+    days.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        round(sum(col("value")), 2).as("monetary"))
+      .crossJoin(broadcast(maxDay))
+      .withColumn("recency_days",
+        datediff(col("max_day"), col("last_day")).cast("long"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        when(col("recency_days") <= 2, "active")
+          .when(col("recency_days") <= 7, "warm")
+          .otherwise("lapsed").as("segment"))
+  }
 }

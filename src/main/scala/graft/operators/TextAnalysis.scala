@@ -272,6 +272,84 @@ object TextAnalysis {
       .agg(countDistinct(col("b.doc_id")).as("n_bench_matches"))
   }
 
+  /** `corpus_filter_funnel` — the cleaning-pipeline observability
+    * report: how many documents each successive filter stage removes
+    * (lang allowlist → min length → quality threshold → exact dedup),
+    * with per-stage keep rates. Production corpus releases ship this
+    * funnel next to the data — a stage that silently eats 40% of a
+    * source is the #1 pipeline bug this catches.
+    *
+    * Shape: ONE scan computes all per-doc flags map-side in a slim
+    * projection (digest + booleans — the text NEVER shuffles); the
+    * dedup representative is a min-window keyed by the digest; one
+    * global conditional aggregate folds the cumulative counts, and the
+    * 4 report rows are a map-only explode of that single row.
+    * keep_rate divides exact ints → bit-identical doubles cross-engine.
+    */
+  def corpusFilterFunnel(t: Tables, minTokens: Int = 20,
+      minQuality: Double = 0.45): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val slim = t.documents.select(
+      col("doc_id"),
+      md5(col("text")).as("eh"),
+      col("lang").isin("en", "es", "fr").as("f_lang"),
+      (size(toks) >= minTokens).as("f_len"),
+      (qualityScoreExpr(col("text"), toks) >= minQuality).as("f_q"))
+    val flagged = slim.withColumn("rep",
+      min(col("doc_id")).over(Window.partitionBy(col("eh"))))
+    def kept(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    val agg = flagged.agg(
+      count(lit(1)).as("n0"),
+      kept(col("f_lang")).as("n1"),
+      kept(col("f_lang") && col("f_len")).as("n2"),
+      kept(col("f_lang") && col("f_len") && col("f_q")).as("n3"),
+      kept(col("f_lang") && col("f_len") && col("f_q")
+        && col("doc_id") === col("rep")).as("n4"))
+    def stageStruct(id: Int, name: String, in: String, out: String) =
+      struct(lit(id).as("stage_id"), lit(name).as("stage"),
+        col(in).as("docs_in"), col(out).as("docs_out"))
+    agg.select(explode(array(
+        stageStruct(1, "lang_allowlist", "n0", "n1"),
+        stageStruct(2, "min_length", "n1", "n2"),
+        stageStruct(3, "quality_threshold", "n2", "n3"),
+        stageStruct(4, "exact_dedup", "n3", "n4"))).as("s"))
+      .select(col("s.stage_id").as("stage_id"), col("s.stage").as("stage"),
+        col("s.docs_in").as("docs_in"),
+        (col("s.docs_in") - col("s.docs_out")).as("docs_removed"),
+        col("s.docs_out").as("docs_out"),
+        (col("s.docs_out") / col("s.docs_in")).as("keep_rate"))
+  }
+
+  /** `corpus_zipf` — rank-frequency power-law diagnostic: OLS slope
+    * (and fit R²) of ln(frequency) against ln(rank) over the corpus's
+    * `topK` terms. Natural text tracks slope ≈ −1 (Zipf's law);
+    * machine-generated or template-heavy corpora flatten or steepen
+    * it, so releases chart this number next to the corpus card.
+    *
+    * Shape: one explode + term-keyed count (map-side partial agg —
+    * the only shuffle that sees tokens), a TakeOrdered top-K cut
+    * (never a global sort), then ranking + regression over EXACTLY
+    * `topK` rows — the single-partition window is bounded by the
+    * constant K, not the corpus. Ties rank deterministically by term.
+    */
+  def corpusZipf(t: Tables, topK: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = tf.orderBy(col("freq").desc, col("term")).limit(topK)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("term"))))
+      .agg(count(lit(1)).as("n_terms"),
+        round(regr_slope(log(col("freq")), log(col("rank"))) + lit(1e-9), 4)
+          .as("zipf_slope"),
+        round(regr_r2(log(col("freq")), log(col("rank"))) + lit(1e-9), 4)
+          .as("zipf_r2"))
+  }
+
   /** T8 — corpus-level stats report: doc count, token totals,
     * mean/median tokens per doc, vocabulary size. Two aggregations
     * (per-doc token counts reduce to one row; distinct-token count is
