@@ -136,6 +136,7 @@ object SparkEntry {
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
+    "ann_recall_eval"     -> q(t => Similarity.annRecallEval(t)),
     "ann_ivf_table"       -> q(t => Similarity.annIvfTableTopK(t)),
     "embed_quantize"      -> q(Similarity.embedQuantize),
     "embed_project"       -> q(t => Similarity.embedProject(t)),
@@ -1254,12 +1255,17 @@ object SparkEntry {
         |m AS (SELECT cell, pos, round(avg(v) + 1e-9, 4) AS m FROM x GROUP BY 1,2),
         |n AS (SELECT cell, count(*) AS n_members FROM a GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m JOIN n USING (cell)""".stripMargin,
-    "ann_bruteforce_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
-        |s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qe, e),4) AS cos_sim FROM q, c),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
-        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_bruteforce_topk" -> bruteForceSql,
+    // composed from the two existing oracles (DuckDB allows CTEs in
+    // derived tables): the recall eval is definitionally their overlap
+    "ann_recall_eval" ->
+      s"""WITH hits AS (SELECT bf.q_id, count(*) AS n_hits
+        |  FROM ($bruteForceSql) bf JOIN ($ivfKmeansSql) iv
+        |    ON bf.q_id = iv.q_id AND bf.vec_id = iv.vec_id GROUP BY 1),
+        |ks AS (SELECT q_id, count(*) AS k FROM ($bruteForceSql) GROUP BY 1)
+        |SELECT ks.q_id, ks.k, COALESCE(hits.n_hits, 0) AS n_hits,
+        | COALESCE(hits.n_hits, 0) / CAST(ks.k AS DOUBLE) AS recall
+        |FROM ks LEFT JOIN hits ON hits.q_id = ks.q_id""".stripMargin,
     // int8-quantized scoring replayed exactly: same max-abs scale and
     // round(+1e-9) mapping as embed_quantize; integer dots are exact on
     // both engines, so the reduced-precision path hash-checks too
@@ -1466,6 +1472,15 @@ object SparkEntry {
     * leaves `a{i}`/`m{i}` (assignment / rounded means of update i) in
     * scope for the caller's final select.
     */
+  /** DuckDB oracle for the exact brute-force top-k — also the
+    * ground-truth half of the composed `ann_recall_eval` oracle. */
+  private lazy val bruteForceSql =
+    """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
+      |s AS (SELECT q_id, vec_id, round(list_cosine_similarity(qe, e),4) AS cos_sim FROM q, c),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
+      |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   /** DuckDB oracle shared by `ann_ivf_kmeans_topk` and
     * `ann_ivf_table` (the latter persists the identical index as a
     * cell-bucketed catalog table — semantics unchanged by design). */

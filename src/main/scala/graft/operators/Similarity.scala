@@ -455,4 +455,30 @@ object Similarity {
         round(stddev_pop(col("col")) + lit(1e-9), 4).as("std_v"),
         min(col("col")).as("min_v"),
         max(col("col")).as("max_v"))
+
+  /** `ann_recall_eval` — index-quality eval: per-query recall@k of the
+    * k-means-seeded IVF index against the exact brute-force top-k.
+    * The ANN counterpart of `dedup_minhash_eval`: before an
+    * approximate index serves a 100 TB retrieval path, its recall is
+    * MEASURED on a query sample, not assumed from parameters. nProbe /
+    * nCells tuning reads directly off this table.
+    *
+    * Shape: both top-k frames are (queries × k) rows — metadata-scale
+    * after their own bounded computations; the overlap join, per-query
+    * counts and the recall division all run over that tiny frame. The
+    * brute-force frame persists so its scoring pass runs once for both
+    * its uses (denominator and overlap).
+    */
+  def annRecallEval(t: Tables): DataFrame = {
+    val bf = annBruteForceTopK(t).select(col("q_id"), col("vec_id")).persist()
+    bf.count()
+    val ivf = annIvfKmeansTopK(t).select(col("q_id"), col("vec_id"))
+    val hits = bf.join(ivf, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    bf.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("q_id"), col("k"), col("n_hits"),
+        (col("n_hits") / col("k")).as("recall"))
+  }
 }

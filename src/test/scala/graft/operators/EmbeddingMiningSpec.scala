@@ -45,4 +45,17 @@ class EmbeddingMiningSpec extends SparkSpec {
         .count() == 0)
     } finally stats.unpersist()
   }
+
+  test("ann_recall_eval: one row per query, hits bounded by k, recall = hits/k") {
+    val rows = Similarity.annRecallEval(tables).collect()
+    assert(rows.length == Similarity.NumQueries)
+    rows.foreach { r =>
+      val (k, hits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == 5)
+      assert(hits >= 0 && hits <= k)
+      assert(recall == hits.toDouble / k)
+    }
+    // the k-means-seeded index must retrieve SOMETHING real overall
+    assert(rows.map(_.getLong(2)).sum > 0, "zero recall across every query")
+  }
 }
