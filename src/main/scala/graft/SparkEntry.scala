@@ -180,6 +180,7 @@ object SparkEntry {
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
     "er_blocked_pairs"    -> q(Governance.erBlockedPairs),
     "q_compaction"        -> q(t => graft.sources.SourceOps.qCompaction(t)),
+    "q_incremental_rollup" -> q(t => graft.sources.SourceOps.incrementalRollup(t)),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -1434,6 +1435,11 @@ object SparkEntry {
         |   + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) AS score
         | FROM part a JOIN part b ON a.p_partkey < b.p_partkey)
         |SELECT key_1, key_2, score FROM s WHERE score >= 3""".stripMargin,
+    // merged (history rollup + increment) must equal the full recompute
+    "q_incremental_rollup" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        | count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // the compacted rewrite must preserve every row and value exactly
     "q_compaction" ->
       """SELECT l_returnflag, count(*) AS n_rows,

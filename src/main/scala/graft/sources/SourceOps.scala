@@ -198,6 +198,37 @@ object SourceOps {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
+  /** `q_incremental_rollup` — materialized-view maintenance: the daily
+    * (day × event_type) rollup is NOT recomputed from history when new
+    * days land. The historical rollup is written once (the
+    * materialized aggregate — metadata-scale rows), only the increment
+    * (days ≥ the cut) aggregates from raw events, and the published
+    * view is the union's re-aggregation — cost proportional to the
+    * INCREMENT plus the rollup's own (tiny) size, not to history. At
+    * 100 TB this is the difference between a nightly full scan and a
+    * one-day scan. The oracle recomputes the rollup from ALL raw
+    * events, so the green row proves merge == full recompute.
+    *
+    * count/sum are decomposable aggregates; `value` carries 2 decimals
+    * so partial sums sit on the 0.01 grid and round(·,2) makes each
+    * side exact — merged totals equal the full recompute bit-for-bit.
+    */
+  def incrementalRollup(t: Tables, cutDay: String = "2024-01-21"): DataFrame = {
+    val histPath = staging("events_daily_rollup.parquet")
+    def daily(df: DataFrame): DataFrame =
+      df.groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+    Sources.write(daily(t.events.filter(to_date(col("ts")) < lit(cutDay))), histPath)
+    val increment = daily(t.events.filter(to_date(col("ts")) >= lit(cutDay)))
+    Sources.read(t.spark, histPath).unionByName(increment)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        round(sum(col("sum_value")), 2).as("sum_value"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   /** `q_dpp` — dynamic partition pruning through the date-partitioned
     * fact layout. The events fact is written directory-partitioned by
     * event day (the 100 TB time-series layout), then joined to a
