@@ -113,6 +113,7 @@ object SparkEntry {
     "events_gap_report"   -> q(EventAnalytics.eventsGapReport),
     "events_seasonal_profile" -> q(EventAnalytics.eventsSeasonalProfile),
     "events_rfm"          -> q(EventAnalytics.eventsRfm),
+    "events_session_stats" -> q(EventAnalytics.eventsSessionStats),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
@@ -611,6 +612,23 @@ object SparkEntry {
         |      WHEN date_diff('day', last_day, max_day) <= 7 THEN 'warm'
         |      ELSE 'lapsed' END AS segment
         |FROM u, m""".stripMargin,
+    "events_session_stats" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        |t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  max(us) - min(us) AS duration_us FROM t GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        | round(avg(n_events) + 1e-9, 4) AS avg_events,
+        | round(quantile_cont(n_events, 0.5) + 1e-9, 4) AS med_events,
+        | round(avg(duration_us) + 1e-9, 4) AS avg_duration_us,
+        | max(duration_us) AS max_duration_us,
+        | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   / CAST(count(*) AS DOUBLE) AS bounce_rate
+        |FROM sess""".stripMargin,
     "events_seasonal_profile" ->
       """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
         |  event_type, count(*) AS n_events

@@ -267,6 +267,32 @@ object EventAnalytics {
     * day thresholds, not ntile: no single-partition global sort at
     * any user count.
     */
+  /** `events_session_stats` — the session-quality summary over
+    * [[Relational.qSessionize]]'s output: session count, events per
+    * session (mean/median), dwell time, and the single-event bounce
+    * rate — the engagement card a product team reads daily.
+    *
+    * Shape: the sessionize pass itself is the only per-event work
+    * (one user-keyed window shuffle); sessions are ≤ events rows, and
+    * the report is ONE global aggregate folding them to a single row.
+    * Divisions are exact-int → double; means/medians round at 4 dp
+    * with the +1e-9 half-tie guard both engines share.
+    */
+  def eventsSessionStats(t: Tables): DataFrame = {
+    val sessions = Relational.qSessionize(t)
+      .select(col("n_events"),
+        (unix_micros(col("end_ts").cast("timestamp"))
+          - unix_micros(col("start_ts").cast("timestamp"))).as("duration_us"))
+    sessions.agg(
+      count(lit(1)).as("n_sessions"),
+      round(avg(col("n_events")) + lit(1e-9), 4).as("avg_events"),
+      round(percentile(col("n_events"), lit(0.5)) + lit(1e-9), 4).as("med_events"),
+      round(avg(col("duration_us")) + lit(1e-9), 4).as("avg_duration_us"),
+      max(col("duration_us")).as("max_duration_us"),
+      (sum(when(col("n_events") === 1, 1L).otherwise(0L))
+        / count(lit(1))).as("bounce_rate"))
+  }
+
   def eventsRfm(t: Tables): DataFrame = {
     val days = t.events.select(
       col("user_id"), to_date(col("ts")).as("day"), col("value"))
