@@ -114,6 +114,7 @@ object SparkEntry {
     "events_seasonal_profile" -> q(EventAnalytics.eventsSeasonalProfile),
     "events_rfm"          -> q(EventAnalytics.eventsRfm),
     "events_session_stats" -> q(EventAnalytics.eventsSessionStats),
+    "events_attribution_linear" -> q(t => EventAnalytics.eventsAttributionLinear(t)),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
@@ -612,6 +613,25 @@ object SparkEntry {
         |      WHEN date_diff('day', last_day, max_day) <= 7 THEN 'warm'
         |      ELSE 'lapsed' END AS segment
         |FROM u, m""".stripMargin,
+    "events_attribution_linear" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us, value AS p_value
+        | FROM events WHERE event_type = 'purchase'),
+        |tc AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t_us,
+        |  event_type AS touch_type
+        | FROM events WHERE event_type IN ('view', 'click')),
+        |m AS (SELECT p.p_id, p.p_value, tc.touch_type
+        | FROM p JOIN tc ON p.user_id = tc.user_id
+        |  AND tc.t_us < p.p_us AND tc.t_us >= p.p_us - 604800000000),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n_t FROM m),
+        |att AS (SELECT touch_type, count(*) AS n_credits,
+        |   round(sum(p_value / n_t) + 1e-9, 2) AS attributed_value
+        |  FROM c GROUP BY 1
+        | UNION ALL
+        | SELECT 'none', count(*), round(sum(p_value) + 1e-9, 2)
+        |  FROM p WHERE p_id NOT IN (SELECT p_id FROM m))
+        |SELECT touch_type, n_credits, attributed_value FROM att
+        |WHERE n_credits > 0""".stripMargin,
     "events_session_stats" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

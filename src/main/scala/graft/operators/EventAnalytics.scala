@@ -267,6 +267,52 @@ object EventAnalytics {
     * day thresholds, not ntile: no single-partition global sort at
     * any user count.
     */
+  /** `events_attribution_linear` — linear multi-touch attribution:
+    * each purchase's value splits EQUALLY across every view/click in
+    * its trailing `windowDays` window (strictly before the purchase);
+    * purchases with no prior touch land in the `none` bucket at full
+    * value. The fractional-credit complement of the last-touch model
+    * ([[eventsAttribution]]).
+    *
+    * Shape: the time-range join is BANDED — purchases (the small
+    * side) explode to the ≤ windowDays+1 day-buckets their window
+    * spans, touches key by their own bucket, and the join runs on
+    * (user, bucket) equality with the exact range as a residual
+    * filter: always an equi-join shuffle, never a range-condition
+    * nested loop (`q_range_join_banded`'s trick applied to
+    * attribution). Per-purchase touch counts are a count window keyed
+    * by purchase id over matches only; match rows persist once for
+    * the credit and the `none` anti-join.
+    */
+  def eventsAttributionLinear(t: Tables, windowDays: Int = 7): DataFrame = {
+    val winUs = windowDays.toLong * 86400L * 1000000L
+    val bucketUs = 86400L * 1000000L
+    val p = t.events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), us.as("p_us"),
+        col("value").as("p_value"))
+    val tc = t.events.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), us.as("t_us"), col("event_type").as("touch_type"))
+      .withColumn("bucket", floor(col("t_us") / lit(bucketUs)).cast("long"))
+    val pb = p.withColumn("bucket", explode(sequence(
+      floor((col("p_us") - lit(winUs)) / lit(bucketUs)).cast("long"),
+      floor(col("p_us") / lit(bucketUs)).cast("long"))))
+    val m = pb.join(tc, Seq("user_id", "bucket"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - lit(winUs))
+      .select(col("p_id"), col("p_value"), col("touch_type"))
+      .persist()
+    m.count() // two consumers below; don't race the lazy cache
+    val credited = m.withColumn("n_t",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))))
+    val attributed = credited.groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("p_value") / col("n_t")) + lit(1e-9), 2).as("attributed_value"))
+    val none = p.join(m.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_credits"),
+        round(sum(col("p_value")) + lit(1e-9), 2).as("attributed_value"))
+      .select(lit("none").as("touch_type"), col("n_credits"), col("attributed_value"))
+    attributed.unionByName(none).filter(col("n_credits") > 0)
+  }
+
   /** `events_session_stats` — the session-quality summary over
     * [[Relational.qSessionize]]'s output: session count, events per
     * session (mean/median), dwell time, and the single-event bounce
