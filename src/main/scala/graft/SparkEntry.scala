@@ -115,6 +115,8 @@ object SparkEntry {
     "events_rfm"          -> q(EventAnalytics.eventsRfm),
     "events_session_stats" -> q(EventAnalytics.eventsSessionStats),
     "events_attribution_linear" -> q(t => EventAnalytics.eventsAttributionLinear(t)),
+    "events_forecast_eval" -> q(EventAnalytics.eventsForecastEval),
+    "events_recommend_cooccur" -> q(t => EventAnalytics.eventsRecommendCooccur(t)),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
@@ -613,6 +615,31 @@ object SparkEntry {
         |      WHEN date_diff('day', last_day, max_day) <= 7 THEN 'warm'
         |      ELSE 'lapsed' END AS segment
         |FROM u, m""".stripMargin,
+    "events_forecast_eval" ->
+      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |  event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
+        |ld AS (SELECT max(CAST(hour_ts AS DATE)) AS last_day FROM h),
+        |tr AS (SELECT event_type, extract(hour FROM hour_ts) AS hod,
+        |  avg(n_events) AS pred
+        | FROM h, ld WHERE CAST(hour_ts AS DATE) < last_day GROUP BY 1, 2),
+        |te AS (SELECT event_type, extract(hour FROM hour_ts) AS hod,
+        |  n_events AS actual
+        | FROM h, ld WHERE CAST(hour_ts AS DATE) = last_day)
+        |SELECT te.event_type, count(*) AS n_hours,
+        | round(avg(abs(pred - actual)) + 1e-9, 4) AS mae,
+        | round(avg(pred - actual) + 1e-9, 4) AS bias
+        |FROM te JOIN tr ON tr.event_type = te.event_type AND tr.hod = te.hod
+        |GROUP BY 1""".stripMargin,
+    "events_recommend_cooccur" ->
+      """WITH i AS (SELECT DISTINCT user_id,
+        |  CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
+        | FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |  count(DISTINCT a.user_id) AS n_users
+        | FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_users FROM p
+        |ORDER BY n_users DESC, item_a, item_b LIMIT 20""".stripMargin,
     "events_attribution_linear" ->
       """WITH p AS (SELECT event_id AS p_id, user_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us, value AS p_value

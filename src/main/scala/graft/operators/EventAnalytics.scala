@@ -267,6 +267,67 @@ object EventAnalytics {
     * day thresholds, not ntile: no single-partition global sort at
     * any user count.
     */
+  /** `events_forecast_eval` — backtest of the seasonal baseline: the
+    * per-(type, hour-of-day) mean hourly volume learned on every day
+    * BEFORE the corpus's last day predicts that last day's hourly
+    * counts; the report scores MAE and mean bias per type over the
+    * test day's observed hours. "Publish the baseline" (E8/
+    * [[eventsSeasonalProfile]]) is only half the job — this is the
+    * accuracy card that says whether the baseline is usable.
+    *
+    * Shape: one (type, hour)-rollup shuffle over raw events feeds
+    * BOTH train and test sides from a shared persisted frame (split
+    * by the broadcast last-day scalar); model and eval are
+    * metadata-scale aggregates (#types × 24 rows).
+    */
+  def eventsForecastEval(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .persist()
+    hourly.count() // train + test both read this rollup
+    val lastDay = hourly.agg(max(to_date(col("hour_ts"))).as("last_day"))
+    val tagged = hourly.crossJoin(broadcast(lastDay))
+    val train = tagged.filter(to_date(col("hour_ts")) < col("last_day"))
+      .groupBy(col("event_type"), hour(col("hour_ts")).as("hod"))
+      .agg(avg(col("n_events")).as("pred"))
+    val test = tagged.filter(to_date(col("hour_ts")) === col("last_day"))
+      .select(col("event_type"), hour(col("hour_ts")).as("hod"),
+        col("n_events").as("actual"))
+    test.join(train, Seq("event_type", "hod"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(avg(abs(col("pred") - col("actual"))) + lit(1e-9), 4).as("mae"),
+        round(avg(col("pred") - col("actual")) + lit(1e-9), 4).as("bias"))
+  }
+
+  /** `events_recommend_cooccur` — item-to-item co-occurrence counts
+    * (the "users who bought X also bought Y" primitive), over the
+    * integer item key in `props`: per user the DISTINCT purchased
+    * item set, all within-user pairs, counted across users, top-20.
+    *
+    * Shape: the pair explosion is the classic co-occurrence hazard —
+    * here it is bounded because the per-user DISTINCT item set is
+    * capped by the item vocabulary (≤100); production caps or samples
+    * hyperactive users before pairing for exactly this reason (noted,
+    * same guard class as salting). Distinct-set dedup and the pair
+    * count are keyed partial-agg shuffles; the final cut is
+    * TakeOrdered, never a global sort.
+    */
+  def eventsRecommendCooccur(t: Tables, topK: Int = 20): DataFrame = {
+    val items = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(countDistinct(col("a.user_id")).as("n_users"))
+      .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
   /** `events_attribution_linear` — linear multi-touch attribution:
     * each purchase's value splits EQUALLY across every view/click in
     * its trailing `windowDays` window (strictly before the purchase);
