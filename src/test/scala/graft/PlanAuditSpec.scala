@@ -304,6 +304,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"corpus side must not shuffle for the probe:\n$p")
   }
 
+  test("events_attribution_linear: banded range join stays an equi-join, never a nested loop") {
+    val p = plan(EventAnalytics.eventsAttributionLinear(tables))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("er_blocked_pairs: both blocking passes are keyed joins, no cartesian") {
+    val p = plan(Governance.erBlockedPairs(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must stay an equi-join:\n$p")
+  }
+
   test("q_dpp: fact scan is dynamically partition-pruned by the dim values") {
     val p = plan(graft.sources.SourceOps.qDpp(tables))
     assert(p.contains("dynamicpruning"),
