@@ -116,6 +116,8 @@ object SparkEntry {
     "events_session_stats" -> q(EventAnalytics.eventsSessionStats),
     "events_attribution_linear" -> q(t => EventAnalytics.eventsAttributionLinear(t)),
     "events_forecast_eval" -> q(EventAnalytics.eventsForecastEval),
+    "events_burst_windows" -> q(t => EventAnalytics.eventsBurstWindows(t)),
+    "stream_topk"         -> q(t => graft.streaming.Streaming.streamTopK(t)),
     "events_recommend_cooccur" -> q(t => EventAnalytics.eventsRecommendCooccur(t)),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
@@ -615,6 +617,22 @@ object SparkEntry {
         |      WHEN date_diff('day', last_day, max_day) <= 7 THEN 'warm'
         |      ELSE 'lapsed' END AS segment
         |FROM u, m""".stripMargin,
+    "events_burst_windows" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |x AS (SELECT user_id, us, (us // 300000000) * 300000000 AS b0 FROM e),
+        |w AS (SELECT user_id, unnest([b0, b0 - 300000000]) AS ws FROM x),
+        |c AS (SELECT user_id, ws, count(*) AS n_events FROM w GROUP BY 1, 2)
+        |SELECT user_id,
+        | strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | n_events
+        |FROM c WHERE n_events >= 2""".stripMargin,
+    // the streamed leaderboard must equal the batch top-k over the
+    // same events — stream/batch equivalence
+    "stream_topk" ->
+      """WITH i AS (SELECT CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
+        | FROM events WHERE event_type = 'purchase')
+        |SELECT item, count(*) AS n FROM i GROUP BY 1
+        |ORDER BY n DESC, item LIMIT 10""".stripMargin,
     "events_forecast_eval" ->
       """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
         |  event_type, count(*) AS n_events FROM events GROUP BY 1, 2),

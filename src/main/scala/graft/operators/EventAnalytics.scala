@@ -267,6 +267,29 @@ object EventAnalytics {
     * day thresholds, not ntile: no single-partition global sort at
     * any user count.
     */
+  /** `events_burst_windows` — rate-burst detection: (user, hopping
+    * 10-minute window) pairs whose event count reaches `minEvents` —
+    * the per-entity rate screen behind bot/abuse detection and
+    * client-retry storms. Hopping windows (5-minute hop) catch bursts
+    * that straddle a tumbling boundary.
+    *
+    * Shape: Spark's `window()` expands each event to its ≤2 covering
+    * windows map-side (constant fan-out), then ONE (user, window)
+    * keyed count with map-side partial agg — the same cost class as a
+    * tumbling rollup; the threshold filter prunes before any further
+    * consumer. The oracle replays the hop arithmetic explicitly
+    * (each event's two aligned window starts).
+    */
+  def eventsBurstWindows(t: Tables, minEvents: Int = 2): DataFrame =
+    t.events
+      .groupBy(col("user_id"),
+        window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .filter(col("n_events") >= minEvents)
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"))
+
   /** `events_forecast_eval` — backtest of the seasonal baseline: the
     * per-(type, hour-of-day) mean hourly volume learned on every day
     * BEFORE the corpus's last day predicts that last day's hourly

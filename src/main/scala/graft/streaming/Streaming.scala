@@ -293,4 +293,25 @@ object Streaming {
         col("event_type"), col("n_events"))
     graft.operators.EventAnalytics.anomalyScore(hourly)
   }
+
+  /** X8 — `stream_topk`: streaming top-k purchased items — a keyed
+    * count maintained as streaming state (update mode: only items
+    * whose count changed emit per micro-batch), drained and cut to
+    * the final leaderboard. Counts are monotone, so the last snapshot
+    * per item is its max across emitted updates; the cut is a
+    * TakeOrdered over the item vocabulary, never a raw-event sort.
+    * Oracled against the batch top-k over the same events — the
+    * stream/batch equivalence this engine pins everywhere.
+    */
+  def streamTopK(t: Tables, k: Int = 10): DataFrame = {
+    val counts = eventsStream(t)
+      .filter(col("event_type") === "purchase")
+      .withColumn("item", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n"))
+    drainToTable(counts, "update")
+      .groupBy(col("item")).agg(max(col("n")).as("n"))
+      .orderBy(col("n").desc, col("item"))
+      .limit(k)
+  }
 }
