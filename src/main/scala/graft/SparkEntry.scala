@@ -143,6 +143,7 @@ object SparkEntry {
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "ann_recall_eval"     -> q(t => Similarity.annRecallEval(t)),
+    "embed_outliers"      -> q(t => Similarity.embedOutliers(t)),
     "ann_ivf_table"       -> q(t => Similarity.annIvfTableTopK(t)),
     "embed_quantize"      -> q(Similarity.embedQuantize),
     "embed_project"       -> q(t => Similarity.embedProject(t)),
@@ -1444,6 +1445,19 @@ object SparkEntry {
       s"""WITH ${kmeansChainSql(4)},
         |n AS (SELECT cell, count(*) AS n_members FROM a4 GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m4 m JOIN n USING (cell)""".stripMargin,
+    // outliers sit ≥1.5σ below their own cell's mean similarity; the
+    // oracle replays the identical k-means chain and scores s4 (the
+    // similarities against the converged c3 centroids)
+    "embed_outliers" ->
+      s"""WITH ${kmeansChainSql(4)},
+        |b AS (SELECT vec_id, cell, round(s, 4) AS sim FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM s4)
+        |  WHERE rn = 1),
+        |st AS (SELECT *, avg(sim) OVER (PARTITION BY cell) AS mu,
+        |  stddev_pop(sim) OVER (PARTITION BY cell) AS sigma FROM b)
+        |SELECT vec_id, cell, sim,
+        | round((sim - mu) / sigma + 1e-9, 4) AS z_score
+        |FROM st WHERE sigma > 0 AND (sim - mu) / sigma <= -1.5""".stripMargin,
     // IVF with the k-means quantizer: the same IVF probe/assign body
     // as ann_ivf_topk, centered on the replayed c3 centroids.
     // ann_ivf_table persists the identical index (cell-bucketed

@@ -469,6 +469,37 @@ object Similarity {
     * brute-force frame persists so its scoring pass runs once for both
     * its uses (denominator and overlap).
     */
+  /** `embed_outliers` — embedding QC by cluster geometry: every corpus
+    * vector's cosine similarity to its ASSIGNED converged-k-means
+    * centroid, z-scored within the cell; vectors `zThreshold` standard
+    * deviations BELOW their own cell's mean are flagged. Corrupt
+    * encoder outputs, mis-embedded rows and modality mix-ups all land
+    * far from every centroid — this is the screen that catches them
+    * before they poison training or retrieval.
+    *
+    * Shape: assignment is the same map-side argmax over K literal
+    * centroids as the IVF build (zero shuffle); cell stats are
+    * windows PARTITIONED BY cell over the (vec_id, cell, sim)
+    * projection — one keyed shuffle of metadata-width rows, cost
+    * independent of vector dimensionality past the map stage.
+    */
+  def embedOutliers(t: Tables, k: Int = 16, nIters: Int = 4,
+      zThreshold: Double = 1.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = kmeansCentroids(t, k, nIters)
+    val best = greatest(scoredCells(col("emb"), cents): _*)
+    val w = Window.partitionBy(col("cell"))
+    withEmb(t).filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), best.getField("c").as("cell"),
+        round(best.getField("s"), 4).as("sim"))
+      .withColumn("mu", avg(col("sim")).over(w))
+      .withColumn("sigma", stddev_pop(col("sim")).over(w))
+      .filter(col("sigma") > 0 &&
+        (col("sim") - col("mu")) / col("sigma") <= -zThreshold)
+      .select(col("vec_id"), col("cell"), col("sim"),
+        round((col("sim") - col("mu")) / col("sigma") + lit(1e-9), 4).as("z_score"))
+  }
+
   def annRecallEval(t: Tables): DataFrame = {
     val bf = annBruteForceTopK(t).select(col("q_id"), col("vec_id")).persist()
     bf.count()
