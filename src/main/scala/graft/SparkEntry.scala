@@ -84,6 +84,8 @@ object SparkEntry {
     "text_contamination_fuzzy" -> q(t => TextAnalysis.textContaminationFuzzy(t)),
     "corpus_filter_funnel" -> q(t => TextAnalysis.corpusFilterFunnel(t)),
     "corpus_zipf"         -> q(t => TextAnalysis.corpusZipf(t)),
+    "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
+    "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
@@ -911,6 +913,40 @@ object SparkEntry {
         |UNION ALL SELECT 2, 'min_length', n1, n1 - n2, n2, n2 / CAST(n1 AS DOUBLE) FROM a
         |UNION ALL SELECT 3, 'quality_threshold', n2, n2 - n3, n3, n3 / CAST(n2 AS DOUBLE) FROM a
         |UNION ALL SELECT 4, 'exact_dedup', n3, n3 - n4, n4, n4 / CAST(n3 AS DOUBLE) FROM a""".stripMargin,
+    "corpus_source_profile" ->
+      s"""WITH t AS (SELECT source, text, $sqlToks AS toks FROM documents),
+        |m AS (SELECT source, md5(text) AS eh, len(toks)::BIGINT AS n_toks,
+        |  round(0.4*coalesce(len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE/nullif(len(toks),0),0)
+        |   + 0.3*(1-coalesce(length(regexp_replace(text,'[A-Za-z0-9\\s]','','g'))::DOUBLE/nullif(length(text),0),0))
+        |   + 0.3*least(len(toks)/100.0,1.0) + 1e-9, 4) AS q
+        | FROM t),
+        |f AS (SELECT *, count(*) OVER (PARTITION BY eh) AS n_copies FROM m),
+        |b AS (SELECT source, count(*) AS n_docs,
+        |  round(avg(q) + 1e-9, 4) AS avg_quality,
+        |  round(avg(n_toks) + 1e-9, 4) AS avg_tokens,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        | FROM f GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM b)
+        |SELECT source, n_docs, avg_quality, avg_tokens,
+        | n_dup / CAST(n_docs AS DOUBLE) AS dup_rate,
+        | n_docs / CAST(total_docs AS DOUBLE) AS corpus_share
+        |FROM b, tt""".stripMargin,
+    "events_funnel_timing" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type='click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |  WHERE event_type='purchase' AND us > c_us GROUP BY 1),
+        |d AS (SELECT (c_us - v_us) / 1000000 AS v2c_s, (p_us - c_us) / 1000000 AS c2p_s
+        |  FROM p JOIN v USING (user_id) JOIN c USING (user_id))
+        |SELECT count(*) AS n_converted,
+        | round(avg(v2c_s) + 1e-9, 4) AS avg_view_to_click_s,
+        | round(quantile_cont(v2c_s, 0.5) + 1e-9, 4) AS med_view_to_click_s,
+        | round(avg(c2p_s) + 1e-9, 4) AS avg_click_to_purchase_s,
+        | round(quantile_cont(c2p_s, 0.5) + 1e-9, 4) AS med_click_to_purchase_s
+        |FROM d""".stripMargin,
     "corpus_zipf" ->
       s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
         |tf AS (SELECT term, count(*) AS freq

@@ -267,6 +267,43 @@ object EventAnalytics {
     * day thresholds, not ntile: no single-partition global sort at
     * any user count.
     */
+  /** `events_funnel_timing` — conversion latency between funnel
+    * stages: over users who completed view → click → purchase (the
+    * [[eventsFunnel]] cohort), the mean and median seconds from first
+    * view to first qualifying click and from that click to first
+    * qualifying purchase. Counts alone say WHETHER users convert;
+    * this says HOW LONG conversion takes — the other axis every
+    * funnel dashboard plots.
+    *
+    * Shape: identical user-keyed min-aggregation chain as the funnel
+    * (co-partitioned after the first shuffle), then ONE global fold
+    * of the per-user stage latencies. Exact integer microsecond
+    * differences; means/medians round at 4 dp with the shared +1e-9
+    * tie guard.
+    */
+  def eventsFunnelTiming(t: Tables): DataFrame = {
+    val e = t.events.select(col("user_id"), col("event_type"), us.as("us"))
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val clicked = e.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val purchased = e.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    purchased
+      .join(viewed, "user_id").join(clicked, "user_id")
+      .select(((col("c_us") - col("v_us")) / lit(1000000L)).as("v2c_s"),
+        ((col("p_us") - col("c_us")) / lit(1000000L)).as("c2p_s"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(avg(col("v2c_s")) + lit(1e-9), 4).as("avg_view_to_click_s"),
+        round(percentile(col("v2c_s"), lit(0.5)) + lit(1e-9), 4).as("med_view_to_click_s"),
+        round(avg(col("c2p_s")) + lit(1e-9), 4).as("avg_click_to_purchase_s"),
+        round(percentile(col("c2p_s"), lit(0.5)) + lit(1e-9), 4).as("med_click_to_purchase_s"))
+  }
+
   /** `events_burst_windows` — rate-burst detection: (user, hopping
     * 10-minute window) pairs whose event count reaches `minEvents` —
     * the per-entity rate screen behind bot/abuse detection and

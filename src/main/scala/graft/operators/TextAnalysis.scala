@@ -321,6 +321,39 @@ object TextAnalysis {
         (col("s.docs_out") / col("s.docs_in")).as("keep_rate"))
   }
 
+  /** `corpus_source_profile` — per-source corpus health card: doc
+    * count, mean quality score, mean token length, exact-duplicate
+    * rate, and share of the corpus — the table a data-sourcing team
+    * reads to decide which feeds to keep, throttle or renegotiate.
+    *
+    * Shape: quality/length/digest are map-side column expressions; the
+    * dup flag is a digest-keyed count window (32-byte shuffle keys);
+    * then ONE source-keyed partial aggregate over flag-width rows, and
+    * the corpus share by a one-row broadcast total. Cost: two keyed
+    * shuffles, independent of per-source skew.
+    */
+  def corpusSourceProfile(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(col("text"))
+    val slim = t.documents.select(
+      col("source"), md5(col("text")).as("eh"),
+      size(toks).cast("long").as("n_toks"),
+      qualityScoreExpr(col("text"), toks).as("q"))
+    val flagged = slim.withColumn("n_copies",
+      count(lit(1)).over(Window.partitionBy(col("eh"))))
+    val bySource = flagged.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("q")) + lit(1e-9), 4).as("avg_quality"),
+        round(avg(col("n_toks")) + lit(1e-9), 4).as("avg_tokens"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_duplicated"))
+    val total = bySource.agg(sum(col("n_docs")).as("total_docs"))
+    bySource.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("avg_quality"),
+        col("avg_tokens"),
+        (col("n_duplicated") / col("n_docs")).as("dup_rate"),
+        (col("n_docs") / col("total_docs")).as("corpus_share"))
+  }
+
   /** `corpus_zipf` — rank-frequency power-law diagnostic: OLS slope
     * (and fit R²) of ln(frequency) against ln(rank) over the corpus's
     * `topK` terms. Natural text tracks slope ≈ −1 (Zipf's law);
