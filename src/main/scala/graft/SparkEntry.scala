@@ -133,6 +133,7 @@ object SparkEntry {
     "dedup_incremental_table" -> q(t => Dedup.dedupIncrementalTable(t)),
     "dedup_passage"       -> q(t => Dedup.dedupPassage(t)),
     "dedup_minhash_eval"  -> q(Dedup.dedupMinhashEval),
+    "dedup_minhash_tuning" -> q(Dedup.dedupMinhashTuning),
     "corpus_dedup_weights"-> q(Dedup.corpusDedupWeights),
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
@@ -1164,6 +1165,29 @@ object SparkEntry {
         |FROM agree g LEFT JOIN it ON it.doc_id_1 = g.doc_id_1 AND it.doc_id_2 = g.doc_id_2
         |JOIN sz n1 ON n1.doc_id = g.doc_id_1
         |JOIN sz n2 ON n2.doc_id = g.doc_id_2""".stripMargin,
+    "dedup_minhash_tuning" -> {
+      def cfg(nb: Int, r: Int) =
+        s"""SELECT $nb AS n_bands, $r AS rows_per_band, count(*) AS n_pairs,
+           | round(avg(est) + 1e-9, 4) AS mean_est_jaccard FROM (
+           |  SELECT c.d1, c.d2, CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est
+           |  FROM (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+           |    FROM (SELECT doc_id, seed // $r AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+           |          FROM mh GROUP BY 1, 2) x
+           |    JOIN (SELECT doc_id, seed // $r AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+           |          FROM mh GROUP BY 1, 2) y
+           |      ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id) c
+           |  JOIN mh ma ON ma.doc_id = c.d1
+           |  JOIN mh mb ON mb.doc_id = c.d2 AND mb.seed = ma.seed
+           |  GROUP BY 1, 2)""".stripMargin
+      s"""WITH $sqlShingles,
+        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2)
+        |${cfg(2, 8)}
+        |UNION ALL
+        |${cfg(4, 4)}
+        |UNION ALL
+        |${cfg(8, 2)}""".stripMargin
+    },
     "corpus_dedup_weights" ->
       s"""WITH RECURSIVE $sqlShingles,
         |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h

@@ -532,6 +532,55 @@ object Dedup {
         abs(col("n_agree") / lit(16.0) - trueJac).as("abs_err"))
   }
 
+  /** D10 — `dedup_minhash_tuning`: the band-configuration sweep run
+    * BEFORE committing an LSH layout at scale. For each (bands ×
+    * rows-per-band) factorization of the 16-hash signature — (2×8)
+    * strict, (4×4) production, (8×2) loose — the candidate pair count
+    * and the mean signature-estimated Jaccard of those candidates:
+    * more bands / shorter bands fire on lower similarity (more
+    * candidates, lower mean), and this table is how the threshold is
+    * picked empirically rather than from the (1/b)^(1/r) folklore
+    * curve alone.
+    *
+    * Shape: ONE shingle scan and ONE signature aggregate serve all
+    * three configs (both persisted); each config's bands are a cheap
+    * projection of the cached signatures, its candidate join is keyed
+    * by (band, bh), and its summary is a one-row fold. Work scales
+    * with candidate counts per config, never corpus².
+    */
+  def dedupMinhashTuning(t: Tables): DataFrame = {
+    val sh = shingleSet(t).persist()
+    sh.count()
+    val sig = minhashSignatures(sh).persist()
+    sig.count()
+    val agree = (0 until 16)
+      .map(s => when(col(s"a.h$s") === col(s"b.h$s"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    Seq((2, 8), (4, 4), (8, 2)).map { case (nb, r) =>
+      val bandCols = (0 until nb).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat_ws("|", (0 until r).map(i => col(s"h${r * b + i}")): _*)).as("bh"))
+      }
+      val bands = sig
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_id_1"), col("y.doc_id").as("doc_id_2"))
+        .distinct()
+      cand
+        .join(sig.as("a"), col("doc_id_1") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_id_2") === col("b.doc_id"))
+        .select((agree / lit(16.0)).as("est"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("est")) + lit(1e-9), 4).as("mean_est_jaccard"))
+        .select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
+          col("n_pairs"), col("mean_est_jaccard"))
+    }.reduce(_ unionByName _)
+  }
+
   /** D9 — `corpus_dedup_weights`: soft-dedup training weights. Rather
     * than dropping duplicates outright, assign every document the
     * weight 1/|near-dup cluster| so each duplicated passage of content
