@@ -119,6 +119,8 @@ object SparkEntry {
     "events_attribution_linear" -> q(t => EventAnalytics.eventsAttributionLinear(t)),
     "events_forecast_eval" -> q(EventAnalytics.eventsForecastEval),
     "events_burst_windows" -> q(t => EventAnalytics.eventsBurstWindows(t)),
+    "stream_burst"        -> q(t => graft.streaming.Streaming.streamBurst(t)),
+    "corpus_split_leakage" -> q(TextAnalysis.corpusSplitLeakage),
     "stream_topk"         -> q(t => graft.streaming.Streaming.streamTopK(t)),
     "events_recommend_cooccur" -> q(t => EventAnalytics.eventsRecommendCooccur(t)),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
@@ -225,6 +227,19 @@ object SparkEntry {
       |SELECT event_type, hour_ts, n_events,
       | round((n_events - mu) / sigma + 1e-9, 4) AS z_score
       |FROM st WHERE sigma > 0 AND abs(n_events - mu) > 2.0 * sigma""".stripMargin
+
+  /** DuckDB oracle shared by the batch and streaming rate-burst
+    * screens (the streamed hopping-window rollup is batch-equivalent
+    * by design); replays the hop alignment explicitly. */
+  private val burstSql =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |x AS (SELECT user_id, us, (us // 300000000) * 300000000 AS b0 FROM e),
+      |w AS (SELECT user_id, unnest([b0, b0 - 300000000]) AS ws FROM x),
+      |c AS (SELECT user_id, ws, count(*) AS n_events FROM w GROUP BY 1, 2)
+      |SELECT user_id,
+      | strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+      | n_events
+      |FROM c WHERE n_events >= 2""".stripMargin
 
   /** DuckDB oracle shared by the in-session and table-backed
     * incremental dedup paths (identical semantics by design). */
@@ -621,15 +636,21 @@ object SparkEntry {
         |      WHEN date_diff('day', last_day, max_day) <= 7 THEN 'warm'
         |      ELSE 'lapsed' END AS segment
         |FROM u, m""".stripMargin,
-    "events_burst_windows" ->
-      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |x AS (SELECT user_id, us, (us // 300000000) * 300000000 AS b0 FROM e),
-        |w AS (SELECT user_id, unnest([b0, b0 - 300000000]) AS ws FROM x),
-        |c AS (SELECT user_id, ws, count(*) AS n_events FROM w GROUP BY 1, 2)
-        |SELECT user_id,
-        | strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
-        | n_events
-        |FROM c WHERE n_events >= 2""".stripMargin,
+    // the streamed hopping-window counts must equal the batch screen
+    "stream_burst" -> burstSql,
+    "corpus_split_leakage" ->
+      """WITH g AS (SELECT md5(text) AS eh,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('0','1') THEN 0 ELSE 1 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('0','1') THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+        | FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_train) AS BIGINT) AS train_docs,
+        |  CAST(sum(n_val) AS BIGINT) AS val_docs FROM g),
+        |l AS (SELECT count(*) AS leaked_groups,
+        |  CAST(coalesce(sum(n_val), 0) AS BIGINT) AS contaminated_val_docs
+        | FROM g WHERE n_train > 0 AND n_val > 0)
+        |SELECT train_docs, val_docs, leaked_groups, contaminated_val_docs
+        |FROM l, t""".stripMargin,
+    "events_burst_windows" -> burstSql,
     // the streamed leaderboard must equal the batch top-k over the
     // same events — stream/batch equivalence
     "stream_topk" ->

@@ -410,10 +410,46 @@ object TextAnalysis {
     * so the split is reproducible on any engine, any run, any
     * partitioning — no sampled state to coordinate. Map-only.
     */
+  /** Pure-function train/val assignment from doc_id (shared by
+    * [[corpusSplit]] and [[corpusSplitLeakage]] so the two can never
+    * disagree). */
+  private def splitCol: Column =
+    when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), "val")
+      .otherwise("train")
+
   def corpusSplit(t: Tables): DataFrame =
-    t.documents.select(col("doc_id"),
-      when(substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1"), "val")
-        .otherwise("train").as("split"))
+    t.documents.select(col("doc_id"), splitCol.as("split"))
+
+  /** `corpus_split_leakage` — split-hygiene audit: [[corpusSplit]]
+    * assigns train/val by doc_id hash, so two documents with IDENTICAL
+    * TEXT can land on opposite sides — val examples the model saw
+    * verbatim in training. Reports split sizes, the number of
+    * cross-split exact-duplicate text groups, and how many val docs
+    * are contaminated — the eval-integrity number a release gates on
+    * (near-dup leakage is the same audit with the MinHash pair set).
+    *
+    * Shape: ONE digest-keyed aggregate counting each side per text
+    * group (32-byte shuffle keys, text never moves), then a one-row
+    * fold; side counts ride the same pass as broadcast one-row frames.
+    */
+  def corpusSplitLeakage(t: Tables): DataFrame = {
+    val sides = t.documents
+      .select(md5(col("text")).as("eh"), splitCol.as("split")) // map-only
+      .groupBy(col("eh"))
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+      .persist()
+    sides.count() // totals + leakage both fold this rollup
+    val totals = sides.agg(
+      sum(col("n_train")).as("train_docs"), sum(col("n_val")).as("val_docs"))
+    sides
+      .filter(col("n_train") > 0 && col("n_val") > 0)
+      .agg(count(lit(1)).as("leaked_groups"),
+        coalesce(sum(col("n_val")), lit(0L)).as("contaminated_val_docs"))
+      .crossJoin(broadcast(totals))
+      .select(col("train_docs"), col("val_docs"), col("leaked_groups"),
+        col("contaminated_val_docs"))
+  }
 
   /** T10 — stratified deterministic sampling: downsample the dominant
     * language while keeping the rest, with the keep decision a pure

@@ -303,6 +303,32 @@ object Streaming {
     * Oracled against the batch top-k over the same events — the
     * stream/batch equivalence this engine pins everywhere.
     */
+  /** X9 — `stream_burst`: the streaming half of the rate-burst screen
+    * — watermarked (user × hopping 10-minute window) counts as
+    * streaming state, drained and thresholded. State per key is one
+    * count; the watermark expires windows past their lateness bound,
+    * so state is bounded by active (user × window) pairs, not history.
+    * Shares its oracle with the batch
+    * [[graft.operators.EventAnalytics.eventsBurstWindows]] —
+    * stream/batch equivalence, pinned by the driver's hash gate.
+    */
+  def streamBurst(t: Tables, minEvents: Int = 2): DataFrame = {
+    val counts = eventsStream(t)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        window(col("ts"), "10 minutes", "5 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+    drainToTable(counts, "update")
+      .groupBy(col("user_id"), col("w"))
+      .agg(max(col("n_events")).as("n_events")) // monotone updates: last = max
+      .filter(col("n_events") >= minEvents)
+      .select(col("user_id"),
+        date_format(col("w.start").cast(TimestampNTZType), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_events"))
+  }
+
   def streamTopK(t: Tables, k: Int = 10): DataFrame = {
     val counts = eventsStream(t)
       .filter(col("event_type") === "purchase")

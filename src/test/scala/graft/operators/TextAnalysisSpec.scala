@@ -51,4 +51,32 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("fertility") < 1.0 || col("n_bpe") > col("n_chars"))
     assert(bad.count() == 0, "fertility below 1 or more subwords than characters")
   }
+
+  test("corpus_split_leakage counts a synthetic cross-split duplicate") {
+    // craft a corpus where one text duplicates across the split
+    // boundary: find a doc_id whose md5 nibble lands in 'val'
+    // (0/1) and one in 'train', give them identical text
+    val sess = spark
+    import sess.implicits._
+    def nib(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    }
+    val valId = (0L to 200L).find(i => "01".contains(nib(i))).get
+    val trainId = (0L to 200L).find(i => !"01".contains(nib(i))).get
+    val otherTrain = (0L to 200L)
+      .find(i => !"01".contains(nib(i)) && i != trainId).get
+    val dir = java.nio.file.Files.createTempDirectory("graft_leak_").toString
+    Seq(
+      (valId, "the same text twice", "en", "s0", 19L),
+      (trainId, "the same text twice", "en", "s0", 19L),
+      (otherTrain, "a different text", "en", "s0", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val row = TextAnalysis.corpusSplitLeakage(graft.Tables(spark, dir)).head()
+    assert(row.getLong(0) == 2, s"train_docs: $row")          // trainId + otherTrain
+    assert(row.getLong(1) == 1, s"val_docs: $row")
+    assert(row.getLong(2) == 1, s"leaked_groups: $row")
+    assert(row.getLong(3) == 1, s"contaminated_val_docs: $row")
+  }
 }
