@@ -86,6 +86,7 @@ object SparkEntry {
     "corpus_zipf"         -> q(t => TextAnalysis.corpusZipf(t)),
     "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
+    "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
@@ -953,6 +954,26 @@ object SparkEntry {
         | n_dup / CAST(n_docs AS DOUBLE) AS dup_rate,
         | n_docs / CAST(total_docs AS DOUBLE) AS corpus_share
         |FROM b, tt""".stripMargin,
+    "events_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted,
+        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |   THEN 'A' ELSE 'B' END AS variant
+        | FROM events GROUP BY 1, 3),
+        |f AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        | FROM u)
+        |SELECT n_a, conv_a, round(conv_a / CAST(n_a AS DOUBLE) + 1e-9, 4) AS rate_a,
+        | n_b, conv_b, round(conv_b / CAST(n_b AS DOUBLE) + 1e-9, 4) AS rate_b,
+        | round((conv_b / CAST(n_b AS DOUBLE)) / (conv_a / CAST(n_a AS DOUBLE)) - 1.0 + 1e-9, 4) AS lift,
+        | round(((conv_b / CAST(n_b AS DOUBLE)) - (conv_a / CAST(n_a AS DOUBLE)))
+        |  / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |    * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) + 1e-9, 4) AS z_score
+        |FROM f""".stripMargin,
     "events_funnel_timing" ->
       """WITH e AS (SELECT user_id, event_type,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

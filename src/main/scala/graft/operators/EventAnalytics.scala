@@ -267,6 +267,44 @@ object EventAnalytics {
     * day thresholds, not ntile: no single-partition global sort at
     * any user count.
     */
+  /** `events_ab_test` — experimentation readout: users assigned to
+    * variants by id hash (the deterministic 50/50 split an
+    * experimentation platform runs), conversion = a high-value purchase (value > 180), and
+    * the A→B readout: per-variant rates, relative lift, and the
+    * two-proportion pooled z-score that says whether the difference
+    * is noise. Here the "experiment" is a hash split of identical
+    * traffic, so the z-score SHOULD be insignificant — the A/A test a
+    * platform validates itself with.
+    *
+    * Shape: one user-keyed conversion aggregate (map-side partial),
+    * one variant fold, one-row math. Every input to the z formula is
+    * an exact integer ratio, so the doubles agree bit-for-bit
+    * cross-engine; only the final stats round.
+    */
+  def eventsAbTest(t: Tables): DataFrame = {
+    val users = t.events
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+        .otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val folded = users.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+    val pA = col("conv_a") / col("n_a")
+    val pB = col("conv_b") / col("n_b")
+    val pPool = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    folded.select(
+      col("n_a"), col("conv_a"), round(pA + lit(1e-9), 4).as("rate_a"),
+      col("n_b"), col("conv_b"), round(pB + lit(1e-9), 4).as("rate_b"),
+      round(pB / pA - lit(1.0) + lit(1e-9), 4).as("lift"),
+      round((pB - pA) / se + lit(1e-9), 4).as("z_score"))
+  }
+
   /** `events_funnel_timing` — conversion latency between funnel
     * stages: over users who completed view → click → purchase (the
     * [[eventsFunnel]] cohort), the mean and median seconds from first
