@@ -87,6 +87,7 @@ object SparkEntry {
     "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
+    "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
@@ -954,6 +955,28 @@ object SparkEntry {
         | n_dup / CAST(n_docs AS DOUBLE) AS dup_rate,
         | n_docs / CAST(total_docs AS DOUBLE) AS corpus_share
         |FROM b, tt""".stripMargin,
+    // chained-CTE replay of the 8 power iterations, each rounded to
+    // 6 dp exactly as the Spark loop rounds — identical vectors at
+    // every step on both engines
+    "events_markov_stationary" -> {
+      val chain = (1 to 8).map { k =>
+        s"""p$k AS (SELECT tr.next_type AS s, round(sum(p${k - 1}.pi * tr.p) + 1e-9, 6) AS pi
+           |  FROM p${k - 1} JOIN tr ON tr.prev_type = p${k - 1}.s GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |l AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_type
+        | FROM e),
+        |g AS (SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        | FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tr AS (SELECT prev_type, next_type,
+        |  round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY prev_type) + 1e-9, 4) AS p
+        | FROM g),
+        |st AS (SELECT DISTINCT prev_type AS s FROM tr),
+        |p0 AS (SELECT s, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM st) AS pi FROM st),
+        |$chain
+        |SELECT s AS state, pi AS stationary_p FROM p8""".stripMargin
+    },
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
         |  max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted,

@@ -238,6 +238,46 @@ object EventAnalytics {
           .over(Window.partitionBy(col("prev_type"))) + lit(1e-9), 4))
   }
 
+  /** `events_markov_stationary` — the long-run state distribution of
+    * the [[eventsTransitions]] chain by power iteration: π ← πP,
+    * `nIters` times from uniform — "where does a user journey spend
+    * its time" (the PageRank computation, on the event-type graph).
+    * Completes the engine's iterative-algorithm family: label
+    * propagation (CC), Lloyd (k-means), and now power iteration.
+    *
+    * Shape: states are EVENT TYPES — a bounded vocabulary — so the
+    * transition matrix is metadata-scale and collects once (the same
+    * bounded O(K²) driver budget as the k-means centroid collect); at
+    * web-graph scale this loop becomes `dedupClusters`' edges×rank
+    * keyed-join shape instead. Each iteration rounds to 6 dp exactly
+    * as the chained-CTE DuckDB oracle replays it, so the two engines
+    * hold identical vectors at every step (summation-order drift is
+    * killed at each round). Dangling-state mass decays identically on
+    * both sides by the same join semantics.
+    */
+  def eventsMarkovStationary(t: Tables, nIters: Int = 8): DataFrame = {
+    val pRows = eventsTransitions(t)
+      .select(col("prev_type"), col("next_type"), col("p_next"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2))
+    def rnd6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val states = pRows.map(_._1).distinct.sorted
+    var pi: Map[String, Double] =
+      states.map(_ -> 1.0 / states.length.toDouble).toMap
+    for (_ <- 1 to nIters) {
+      pi = pRows
+        .collect { case (i, j, p) if pi.contains(i) => (j, pi(i) * p) }
+        .groupBy(_._1)
+        .map { case (j, xs) => j -> rnd6(xs.map(_._2).sum) }
+    }
+    val sess = t.spark
+    import sess.implicits._
+    pi.toSeq.sortBy(_._1).toDF("state", "stationary_p")
+  }
+
   /** Scoring stage of [[eventsAnomaly]], factored out so the streaming
     * rollup ([[graft.streaming.Streaming.streamAnomaly]]) scores through
     * the identical plan. Input: an hourly rollup with columns
