@@ -88,6 +88,7 @@ object SparkEntry {
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
+    "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
@@ -955,6 +956,12 @@ object SparkEntry {
         | n_dup / CAST(n_docs AS DOUBLE) AS dup_rate,
         | n_docs / CAST(total_docs AS DOUBLE) AS corpus_share
         |FROM b, tt""".stripMargin,
+    "events_value_percentiles" ->
+      """SELECT event_type, count(*) AS n,
+        | round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+        | round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
+        | round(quantile_cont(value, 0.99) + 1e-9, 4) AS p99
+        |FROM events GROUP BY 1""".stripMargin,
     // chained-CTE replay of the 8 power iterations, each rounded to
     // 6 dp exactly as the Spark loop rounds — identical vectors at
     // every step on both engines

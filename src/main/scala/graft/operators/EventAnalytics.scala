@@ -295,6 +295,21 @@ object EventAnalytics {
           .as("z_score"))
   }
 
+  /** `events_value_percentiles` — p50/p90/p99 of event value per
+    * type: the latency/value distribution card ("means lie") every
+    * monitoring stack publishes. Exact interpolated percentiles via
+    * ONE type-keyed aggregate; at 100 TB the same query swaps
+    * `percentile` for `percentile_approx` (the t-digest path
+    * `q_approx_stats` demonstrates) — the exact form is the oracle
+    * anchor.
+    */
+  def eventsValuePercentiles(t: Tables): DataFrame =
+    t.events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(percentile(col("value"), lit(0.5)) + lit(1e-9), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)) + lit(1e-9), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)) + lit(1e-9), 4).as("p99"))
+
   /** `events_rfm` — per-user RFM profile (recency / frequency /
     * monetary), the standard user-value segmentation: days since the
     * user's last event relative to the corpus's max day, event count,
