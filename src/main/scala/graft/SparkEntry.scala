@@ -278,14 +278,14 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | round(sum(l_extendedprice*(1-l_discount)) + 1e-9, 2) AS revenue
         |FROM customer JOIN orders ON c_custkey=o_custkey
         | JOIN lineitem ON l_orderkey=o_orderkey
         |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
         | AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1,2,3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)) + 1e-9, 2) AS revenue
         |FROM customer JOIN orders ON c_custkey=o_custkey
         | JOIN lineitem ON l_orderkey=o_orderkey
         | JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
@@ -301,7 +301,7 @@ object SparkEntry {
         | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        | round(sum(l_extendedprice*(1-l_discount)) + 1e-9, 2) AS revenue
         |FROM customer JOIN orders ON c_custkey=o_custkey
         | JOIN lineitem ON l_orderkey=o_orderkey
         | JOIN nation ON c_nationkey=n_nationkey
@@ -309,7 +309,7 @@ object SparkEntry {
         | AND o_orderdate < TIMESTAMP '1996-10-01'
         |GROUP BY 1,2,3,4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q2_min_cost_supplier" ->
-      """SELECT p_partkey, p_name, s_suppkey, round(unit_price_raw, 4) AS unit_price FROM (
+      """SELECT p_partkey, p_name, s_suppkey, round(unit_price_raw + 1e-9, 4) AS unit_price FROM (
         | SELECT p.p_partkey, p.p_name, s.s_suppkey,
         |  l.l_extendedprice / l.l_quantity AS unit_price_raw,
         |  row_number() OVER (PARTITION BY p.p_partkey
@@ -720,7 +720,7 @@ object SparkEntry {
         | round(avg(duration_us) + 1e-9, 4) AS avg_duration_us,
         | max(duration_us) AS max_duration_us,
         | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |   / CAST(count(*) AS DOUBLE) AS bounce_rate
+        |   / CAST(nullif(count(*), 0) AS DOUBLE) AS bounce_rate
         |FROM sess""".stripMargin,
     "events_seasonal_profile" ->
       """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
@@ -934,10 +934,10 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN f_lang AND f_len AND f_q AND doc_id = rep THEN 1 ELSE 0 END) AS BIGINT) AS n4
         | FROM g)
         |SELECT 1 AS stage_id, 'lang_allowlist' AS stage, n0 AS docs_in,
-        |  n0 - n1 AS docs_removed, n1 AS docs_out, n1 / CAST(n0 AS DOUBLE) AS keep_rate FROM a
-        |UNION ALL SELECT 2, 'min_length', n1, n1 - n2, n2, n2 / CAST(n1 AS DOUBLE) FROM a
-        |UNION ALL SELECT 3, 'quality_threshold', n2, n2 - n3, n3, n3 / CAST(n2 AS DOUBLE) FROM a
-        |UNION ALL SELECT 4, 'exact_dedup', n3, n3 - n4, n4, n4 / CAST(n3 AS DOUBLE) FROM a""".stripMargin,
+        |  n0 - n1 AS docs_removed, n1 AS docs_out, n1 / CAST(nullif(n0, 0) AS DOUBLE) AS keep_rate FROM a
+        |UNION ALL SELECT 2, 'min_length', n1, n1 - n2, n2, n2 / CAST(nullif(n1, 0) AS DOUBLE) FROM a
+        |UNION ALL SELECT 3, 'quality_threshold', n2, n2 - n3, n3, n3 / CAST(nullif(n2, 0) AS DOUBLE) FROM a
+        |UNION ALL SELECT 4, 'exact_dedup', n3, n3 - n4, n4, n4 / CAST(nullif(n3, 0) AS DOUBLE) FROM a""".stripMargin,
     "corpus_source_profile" ->
       s"""WITH t AS (SELECT source, text, $sqlToks AS toks FROM documents),
         |m AS (SELECT source, md5(text) AS eh, len(toks)::BIGINT AS n_toks,
@@ -996,13 +996,13 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |  CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
         | FROM u)
-        |SELECT n_a, conv_a, round(conv_a / CAST(n_a AS DOUBLE) + 1e-9, 4) AS rate_a,
-        | n_b, conv_b, round(conv_b / CAST(n_b AS DOUBLE) + 1e-9, 4) AS rate_b,
-        | round((conv_b / CAST(n_b AS DOUBLE)) / (conv_a / CAST(n_a AS DOUBLE)) - 1.0 + 1e-9, 4) AS lift,
-        | round(((conv_b / CAST(n_b AS DOUBLE)) - (conv_a / CAST(n_a AS DOUBLE)))
-        |  / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
-        |    * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
-        |    * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) + 1e-9, 4) AS z_score
+        |SELECT n_a, conv_a, round(conv_a / CAST(nullif(n_a, 0) AS DOUBLE) + 1e-9, 4) AS rate_a,
+        | n_b, conv_b, round(conv_b / CAST(nullif(n_b, 0) AS DOUBLE) + 1e-9, 4) AS rate_b,
+        | round((conv_b / CAST(nullif(n_b, 0) AS DOUBLE)) / (conv_a / CAST(nullif(n_a, 0) AS DOUBLE)) - 1.0 + 1e-9, 4) AS lift,
+        | round(((conv_b / CAST(nullif(n_b, 0) AS DOUBLE)) - (conv_a / CAST(nullif(n_a, 0) AS DOUBLE)))
+        |  / nullif(sqrt(((conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE))
+        |    * (1.0 - (conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE))
+        |    * (1.0 / CAST(nullif(n_a, 0) AS DOUBLE) + 1.0 / CAST(nullif(n_b, 0) AS DOUBLE))), 0.0) + 1e-9, 4) AS z_score
         |FROM f""".stripMargin,
     "events_funnel_timing" ->
       """WITH e AS (SELECT user_id, event_type,

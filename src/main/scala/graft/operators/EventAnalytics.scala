@@ -349,10 +349,13 @@ object EventAnalytics {
       sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("conv_a"),
       sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
       sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("conv_b"))
-    val pA = col("conv_a") / col("n_a")
-    val pB = col("conv_b") / col("n_b")
-    val pPool = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
-    val se = sqrt(pPool * (lit(1.0) - pPool) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    // nullif guards: an empty or fully-converting slice must yield
+    // NULL stats, not an ANSI divide-by-zero (E27 robustness contract)
+    val pA = col("conv_a") / nullif(col("n_a"), lit(0L))
+    val pB = col("conv_b") / nullif(col("n_b"), lit(0L))
+    val pPool = (col("conv_a") + col("conv_b")) / nullif(col("n_a") + col("n_b"), lit(0L))
+    val se = nullif(sqrt(pPool * (lit(1.0) - pPool)
+      * (lit(1.0) / nullif(col("n_a"), lit(0L)) + lit(1.0) / nullif(col("n_b"), lit(0L)))), lit(0.0))
     folded.select(
       col("n_a"), col("conv_a"), round(pA + lit(1e-9), 4).as("rate_a"),
       col("n_b"), col("conv_b"), round(pB + lit(1e-9), 4).as("rate_b"),
@@ -550,7 +553,7 @@ object EventAnalytics {
       round(avg(col("duration_us")) + lit(1e-9), 4).as("avg_duration_us"),
       max(col("duration_us")).as("max_duration_us"),
       (sum(when(col("n_events") === 1, 1L).otherwise(0L))
-        / count(lit(1))).as("bounce_rate"))
+        / nullif(count(lit(1)), lit(0L))).as("bounce_rate"))
   }
 
   def eventsRfm(t: Tables): DataFrame = {

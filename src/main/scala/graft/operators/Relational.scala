@@ -45,7 +45,7 @@ object Relational {
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderdate") < ts("1998-01-01") && col("l_shipdate") > ts("1998-01-01"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
       .orderBy(desc("revenue"), asc("o_orderkey"))
       .limit(10)
 
@@ -61,7 +61,7 @@ object Relational {
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
 
   /** TPC-H Q6-ish: revenue delta from a tight scan-level filter. */
   def q6RevenueDelta(t: Tables): DataFrame =
@@ -81,7 +81,7 @@ object Relational {
       .join(t.lineitem.filter(col("l_returnflag") === "R"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
 
@@ -276,7 +276,7 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
-        round(col("unit_price_raw"), 4).as("unit_price"))
+        round(col("unit_price_raw") + lit(1e-9), 4).as("unit_price"))
   }
 
   /** TPC-H Q4-flavored: order-priority counts for orders with at least

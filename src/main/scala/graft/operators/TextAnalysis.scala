@@ -318,7 +318,7 @@ object TextAnalysis {
         col("s.docs_in").as("docs_in"),
         (col("s.docs_in") - col("s.docs_out")).as("docs_removed"),
         col("s.docs_out").as("docs_out"),
-        (col("s.docs_out") / col("s.docs_in")).as("keep_rate"))
+        (col("s.docs_out") / nullif(col("s.docs_in"), lit(0L))).as("keep_rate"))
   }
 
   /** `corpus_source_profile` — per-source corpus health card: doc

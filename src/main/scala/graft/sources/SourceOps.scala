@@ -248,10 +248,12 @@ object SourceOps {
     */
   def qDpp(t: Tables): DataFrame = {
     val path = s"$stagingDir/events_by_day.parquet"
-    Sources.write(
-      t.events.withColumn("event_day", to_date(col("ts"))),
-      path, partitionBy = Seq("event_day"))
-    val fact = Sources.read(t.spark, path)
+    val withDay = t.events.withColumn("event_day", to_date(col("ts")))
+    Sources.write(withDay, path, partitionBy = Seq("event_day"))
+    // explicit schema: an EMPTY partitioned write leaves no
+    // schema-bearing files, and a production reader declares its
+    // table schema rather than inferring per job anyway
+    val fact = Sources.read(t.spark, path, Some(withDay.schema))
     // dim: distinct Sundays, derived at runtime from the raw table —
     // stands in for a calendar/dim table whose filter output only
     // exists at execution time (dayofweek: 1 = Sunday in Spark)

@@ -33,7 +33,17 @@ class EmptyInputSpec extends SparkSpec {
     "text_quality", "text_tokens", "text_tfidf", "text_perplexity",
     "events_funnel", "events_anomaly", "events_transitions",
     "events_active_users", "events_attribution",
-    "q_upsert_latest", "q_skew_histogram")
+    "q_upsert_latest", "q_skew_histogram",
+    // round-7 additions with division/window machinery that must
+    // NULL-out, not throw, under ANSI on an empty slice
+    "corpus_filter_funnel", "corpus_dedup_weights", "corpus_split_leakage",
+    "corpus_zipf", "corpus_source_profile", "dedup_minhash_eval",
+    "dedup_minhash_tuning", "events_rfm", "events_session_stats",
+    "events_funnel_timing", "events_ab_test", "events_burst_windows",
+    "events_forecast_eval", "events_recommend_cooccur",
+    "events_attribution_linear", "events_markov_stationary",
+    "events_value_percentiles", "er_blocked_pairs",
+    "q_incremental_rollup", "q_dpp", "q_compaction")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
