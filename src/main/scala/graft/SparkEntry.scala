@@ -45,6 +45,7 @@ object SparkEntry {
     "q_window_lag"        -> q(Relational.qWindowLag),
     "q_window_range"      -> q(Relational.qWindowRange),
     "q_group_multi"       -> q(Relational.qGroupMulti),
+    "q_table_stats"       -> q(Relational.qTableStats),
     "q_window_rank"       -> q(Relational.qWindowRank),
     "q_window_running"    -> q(Relational.qWindowRunning),
     "q_topk"              -> q(Relational.qTopK),
@@ -956,6 +957,15 @@ object SparkEntry {
         | n_dup / CAST(n_docs AS DOUBLE) AS dup_rate,
         | n_docs / CAST(total_docs AS DOUBLE) AS corpus_share
         |FROM b, tt""".stripMargin,
+    "q_table_stats" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
+      "l_shipdate").map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         | count(DISTINCT $c) AS ndv,
+         | CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null,
+         | CAST(min($c) AS VARCHAR) AS min_v,
+         | CAST(max($c) AS VARCHAR) AS max_v FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
     "events_value_percentiles" ->
       """SELECT event_type, count(*) AS n,
         | round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,

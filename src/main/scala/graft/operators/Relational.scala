@@ -85,6 +85,35 @@ object Relational {
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
 
+  /** `q_table_stats` — ANALYZE-style column statistics over lineitem:
+    * per column, row count, exact distinct count, null count, and
+    * min/max (as strings for a uniform report schema) — the catalog
+    * statistics a cost-based optimizer joins-reorders and
+    * broadcast-plans from. ONE scan computes every column's stats as
+    * parallel aggregates (no per-column rescans); the report rows are
+    * a map-only explode of the single aggregate row. At 100 TB the
+    * exact `countDistinct` swaps for `approx_count_distinct`'s HLL
+    * (the `q_approx_stats` path) — the exact form is the oracle
+    * anchor.
+    */
+  def qTableStats(t: Tables): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).as(s"ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"nn_$c"),
+        min(col(c)).cast("string").as(s"mn_$c"),
+        max(col(c)).cast("string").as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = t.lineitem.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows").as("n_rows"),
+        col(s"ndv_$c").as("ndv"), col(s"nn_$c").as("n_null"),
+        col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))
+    }
+    one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+  }
+
   /** Multi-key groupBy with the full scalar-aggregate family. */
   def qGroupMulti(t: Tables): DataFrame =
     t.orders
