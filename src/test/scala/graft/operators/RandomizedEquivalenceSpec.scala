@@ -58,6 +58,68 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("banded linear attribution matches the naive range join on random events") {
+    val rnd = new scala.util.Random(101)
+    val sess = spark
+    import sess.implicits._
+    val types = Seq("view", "click", "purchase")
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val events = (1 to 400).map { i =>
+      (i.toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(20 * 86400) * 1000L),
+        rnd.nextInt(30).toLong,
+        types(rnd.nextInt(3)),
+        (rnd.nextInt(20000) + 1) / 100.0,
+        """{"k": 1}""")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_attr_").toString
+    events.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    val got = EventAnalytics.eventsAttributionLinear(graft.Tables(spark, dir))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // naive reference: full range scan per purchase, equal split
+    val winMs = 7L * 86400 * 1000
+    val purchases = events.filter(_._4 == "purchase")
+    val touches = events.filter(e => e._4 == "view" || e._4 == "click")
+    var credits = Map.empty[String, (Long, Double)].withDefaultValue((0L, 0.0))
+    purchases.foreach { p =>
+      val m = touches.filter(tc => tc._3 == p._3 &&
+        tc._2.getTime < p._2.getTime && tc._2.getTime >= p._2.getTime - winMs)
+      if (m.isEmpty) {
+        val (n, v) = credits("none"); credits += "none" -> (n + 1, v + p._5)
+      } else m.foreach { tc =>
+        val (n, v) = credits(tc._4)
+        credits += tc._4 -> (n + 1, v + p._5 / m.size)
+      }
+    }
+    assert(got.keySet == credits.keySet, s"${got.keySet} vs ${credits.keySet}")
+    credits.foreach { case (tt, (n, v)) =>
+      assert(got(tt)._1 == n, s"$tt credits: ${got(tt)._1} != $n")
+      assert(math.abs(got(tt)._2 - v) < 0.01, s"$tt value: ${got(tt)._2} != $v")
+    }
+  }
+
+  test("markov stationary vector is a near-fixpoint simplex point") {
+    val pi = EventAnalytics.eventsMarkovStationary(tables).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(pi.nonEmpty)
+    pi.values.foreach(p => assert(p >= 0.0 && p <= 1.0))
+    // mass ≈ 1 (per-iteration 4-dp matrix rounding decays it slightly)
+    val mass = pi.values.sum
+    assert(math.abs(mass - 1.0) < 0.01, s"mass=$mass")
+    // one more application of P moves the vector by < 1e-2 per state
+    val p = EventAnalytics.eventsTransitions(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3)))
+    val next = p.collect { case (i, j, pij) if pi.contains(i) => (j, pi(i) * pij) }
+      .groupBy(_._1).map { case (j, xs) => j -> xs.map(_._2).sum }
+    next.foreach { case (j, v) =>
+      assert(math.abs(v - pi.getOrElse(j, 0.0)) < 0.01,
+        s"state $j moved ${math.abs(v - pi.getOrElse(j, 0.0))}")
+    }
+  }
+
   test("greedy regex subword tokenizer matches the iterative greedy reference") {
     val rnd = new scala.util.Random(13)
     val sess = spark
