@@ -153,6 +153,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "ann_recall_eval"     -> q(t => Similarity.annRecallEval(t)),
     "embed_outliers"      -> q(t => Similarity.embedOutliers(t)),
+    "embed_pca_power"     -> q(t => Similarity.embedPcaPower(t)),
     "ann_ivf_table"       -> q(t => Similarity.annIvfTableTopK(t)),
     "embed_quantize"      -> q(Similarity.embedQuantize),
     "embed_project"       -> q(t => Similarity.embedProject(t)),
@@ -1587,6 +1588,32 @@ object SparkEntry {
       s"""WITH ${kmeansChainSql(4)},
         |n AS (SELECT cell, count(*) AS n_members FROM a4 GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m4 m JOIN n USING (cell)""".stripMargin,
+    // chained-CTE replay of the 8 power steps over the rounded
+    // covariance: normalize + 6-dp round each step, identical vectors
+    // on both engines throughout (v0 = 1/8 exactly, unit norm)
+    "embed_pca_power" -> {
+      val steps = (1 to 8).map { k =>
+        s"""u$k AS MATERIALIZED (SELECT c.i AS pos, sum(c.cv * v${k - 1}.v) AS u
+           |  FROM c JOIN v${k - 1} ON v${k - 1}.pos = c.j GROUP BY 1),
+           |n$k AS MATERIALIZED (SELECT sqrt(sum(u * u)) AS nm FROM u$k),
+           |v$k AS MATERIALIZED (SELECT pos, round(u / nm + 1e-9, 6) AS v FROM u$k, n$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |g64 AS (SELECT unnest(generate_series(1,64)) AS i),
+        |m AS (SELECT (g64.i - 1) AS pos, round(avg(emb[g64.i]) + 1e-9, 4) AS mv
+        |  FROM e, g64 GROUP BY 1),
+        |x AS (SELECT vec_id, (g64.i - 1) AS pos, emb[g64.i] AS xv FROM e, g64),
+        |c AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+        |  round(avg((a.xv - ma.mv) * (b.xv - mb.mv)) + 1e-9, 6) AS cv
+        | FROM x a JOIN x b USING (vec_id)
+        | JOIN m ma ON ma.pos = a.pos JOIN m mb ON mb.pos = b.pos
+        | GROUP BY 1, 2),
+        |v0 AS (SELECT pos, 0.125 AS v FROM m),
+        |$steps,
+        |l AS (SELECT round(sum(a.v * c.cv * b.v) + 1e-9, 6) AS eigenvalue
+        |  FROM c JOIN v8 a ON a.pos = c.i JOIN v8 b ON b.pos = c.j)
+        |SELECT v8.pos, v8.v AS loading, l.eigenvalue FROM v8, l""".stripMargin
+    },
     // outliers sit ≥1.5σ below their own cell's mean similarity; the
     // oracle replays the identical k-means chain and scores s4 (the
     // similarities against the converged c3 centroids)

@@ -456,6 +456,59 @@ object Similarity {
         min(col("col")).as("min_v"),
         max(col("col")).as("max_v"))
 
+  /** `embed_pca_power` — top principal component of the embedding
+    * cloud: distributed mean-centered covariance, then power iteration
+    * to the dominant eigenvector (the variance direction whitening,
+    * drift monitoring and anisotropy diagnostics read). Third member
+    * of the iterate-and-replay family (CC, Lloyd, Markov) — same
+    * contract: bounded driver state, per-step rounding, a chained-CTE
+    * DuckDB oracle replaying every iteration bit-for-bit.
+    *
+    * Shape: means are one dims-keyed aggregate (rounded 4 dp, the
+    * bounded O(dims) collect of `embed_dim_stats`); the covariance is
+    * computed MAP-SIDE as each row's centered outer product (dims²
+    * fan-out per row — bounded by the constant 64², with partial agg
+    * before the (i,j)-keyed shuffle; at much larger dims this becomes
+    * a block-matrix `mapPartitions` product instead, noted). The 64²
+    * rounded matrix collects (bounded), and the 8 power steps run on
+    * the driver over a 64-vector — normalizing and rounding to 6 dp
+    * each step so both engines hold identical vectors throughout.
+    */
+  def embedPcaPower(t: Tables, dims: Int = 64, nIters: Int = 8): DataFrame = {
+    val corpus = withEmb(t)
+    val means = corpus.select(posexplode(col("emb")))
+      .groupBy(col("pos")).agg(round(avg(col("col")) + lit(1e-9), 4).as("mv"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val mLit = typedlit((0 until dims).map(i => means.getOrElse(i, 0.0)))
+    val centered = corpus.select(
+      transform(col("emb"), (x, i) => x - element_at(mLit, i + 1)).as("ce"))
+    val cells = centered
+      .select(explode(flatten(transform(col("ce"), (xi, i) =>
+        transform(col("ce"), (xj, j) =>
+          struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("s"))
+      .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
+    val cov = cells.groupBy(col("i"), col("j"))
+      .agg(round(avg(col("p")) + lit(1e-9), 6).as("cv"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    def rnd6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
+    for (_ <- 1 to nIters) {
+      val u = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov.getOrElse((i, j), 0.0) * v(j)).sum)
+      val nm = math.sqrt(u.map(x => x * x).sum)
+      v = u.map(x => rnd6(x / nm))
+    }
+    val lambda = rnd6(
+      (0 until dims).flatMap(i => (0 until dims).map(j =>
+        v(i) * cov.getOrElse((i, j), 0.0) * v(j))).sum)
+    val sess = t.spark
+    import sess.implicits._
+    v.zipWithIndex.map { case (l, p) => (p, l, lambda) }.toSeq
+      .toDF("pos", "loading", "eigenvalue")
+  }
+
   /** `ann_recall_eval` — index-quality eval: per-query recall@k of the
     * k-means-seeded IVF index against the exact brute-force top-k.
     * The ANN counterpart of `dedup_minhash_eval`: before an
