@@ -90,6 +90,7 @@ object SparkEntry {
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
+    "events_new_vs_returning" -> q(EventAnalytics.eventsNewVsReturning),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
@@ -967,6 +968,16 @@ object SparkEntry {
          | CAST(min($c) AS VARCHAR) AS min_v,
          | CAST(max($c) AS VARCHAR) AS max_v FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    "events_new_vs_returning" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY 1),
+        |d AS (SELECT a.day,
+        |  CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN a.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+        | FROM a JOIN f USING (user_id) GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users, returning_users,
+        | new_users / CAST(nullif(new_users + returning_users, 0) AS DOUBLE) AS new_share
+        |FROM d""".stripMargin,
     "events_value_percentiles" ->
       """SELECT event_type, count(*) AS n,
         | round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,

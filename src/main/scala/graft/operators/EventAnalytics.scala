@@ -295,6 +295,35 @@ object EventAnalytics {
           .as("z_score"))
   }
 
+  /** `events_new_vs_returning` — daily active users split into
+    * first-ever-seen vs returning, with the share of new users — the
+    * growth-vs-retention decomposition on every product dashboard.
+    *
+    * Shape: the deduped (user, day) activity set (one distinct
+    * shuffle, bounded by active users), each user's first day as a
+    * min over it (user-keyed partial agg), one join back on user_id,
+    * and a day-keyed conditional count. No raw-event row survives the
+    * first aggregation.
+    */
+  def eventsNewVsReturning(t: Tables): DataFrame = {
+    val activity = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .persist()
+    activity.count() // first-day agg + the join both read this set
+    val firstDay = activity.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    activity.join(firstDay, "user_id")
+      .groupBy(col("day"))
+      .agg(
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("day") =!= col("first_day"), 1L).otherwise(0L)).as("returning_users"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("returning_users"),
+        (col("new_users") / nullif(col("new_users") + col("returning_users"), lit(0L)))
+          .as("new_share"))
+  }
+
   /** `events_value_percentiles` — p50/p90/p99 of event value per
     * type: the latency/value distribution card ("means lie") every
     * monitoring stack publishes. Exact interpolated percentiles via
