@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.functions.ExactAgg
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -1481,7 +1482,7 @@ object SparkEntry {
         | round(sum(emb[hp.d + 1] * hp.w) / sqrt(16.0) + 1e-9, 4) AS proj
         |FROM e, hp GROUP BY 1, 2""".stripMargin,
     "embed_centroids" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |c AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
         |corp AS (SELECT * FROM e WHERE vec_id >= 10),
         |s AS (SELECT corp.vec_id, c.cell, list_cosine_similarity(corp.emb, c.cemb) AS sc
@@ -1491,7 +1492,7 @@ object SparkEntry {
         |  WHERE rn = 1),
         |x AS (SELECT a.cell, (g.i - 1)::INT AS pos, corp.emb[g.i] AS v
         |  FROM a JOIN corp USING (vec_id), (SELECT unnest(generate_series(1,64)) AS i) g),
-        |m AS (SELECT cell, pos, round(avg(v) + 1e-9, 4) AS m FROM x GROUP BY 1,2),
+        |m AS (SELECT cell, pos, ${ExactAgg.exactMeanSql("v", 4)} AS m FROM x GROUP BY 1,2),
         |n AS (SELECT cell, count(*) AS n_members FROM a GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m JOIN n USING (cell)""".stripMargin,
     "ann_bruteforce_topk" -> bruteForceSql,
@@ -1567,14 +1568,15 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM x)
         |SELECT q_id, q_label, vec_id, neg_label, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // min/max are raw (no arithmetic — identical widened doubles on
-    // both engines); mean/std rounded with the +1e-9 tie nudge
+    // both engines); mean/std via ExactAgg's order-independent
+    // integer moments (SURVEY §6)
     "embed_dim_stats" ->
-      """WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
         |x AS (SELECT (g.i - 1)::INT AS pos, emb[g.i] AS v
         |  FROM e, (SELECT unnest(generate_series(1,64)) AS i) g)
         |SELECT pos, count(*) AS n_vals,
-        | round(avg(v) + 1e-9, 4) AS mean_v,
-        | round(stddev_pop(v) + 1e-9, 4) AS std_v,
+        | ${ExactAgg.exactMeanSql("v", 4)} AS mean_v,
+        | ${ExactAgg.exactStdSql("v", 4)} AS std_v,
         | min(v) AS min_v, max(v) AS max_v
         |FROM x GROUP BY pos""".stripMargin,
     // The LSH/IVF index builds are fully deterministic (md5-derived
@@ -1611,11 +1613,11 @@ object SparkEntry {
       }.mkString(",\n")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |g64 AS (SELECT unnest(generate_series(1,64)) AS i),
-        |m AS (SELECT (g64.i - 1) AS pos, round(avg(emb[g64.i]) + 1e-9, 4) AS mv
+        |m AS (SELECT (g64.i - 1) AS pos, ${ExactAgg.exactMeanSql("emb[g64.i]", 4)} AS mv
         |  FROM e, g64 GROUP BY 1),
         |x AS (SELECT vec_id, (g64.i - 1) AS pos, emb[g64.i] AS xv FROM e, g64),
         |c AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
-        |  round(avg((a.xv - ma.mv) * (b.xv - mb.mv)) + 1e-9, 6) AS cv
+        |  ${ExactAgg.exactMeanSql("(a.xv - ma.mv) * (b.xv - mb.mv)", 6)} AS cv
         | FROM x a JOIN x b USING (vec_id)
         | JOIN m ma ON ma.pos = a.pos JOIN m mb ON mb.pos = b.pos
         | GROUP BY 1, 2),
@@ -1749,7 +1751,9 @@ object SparkEntry {
   /** Chained-CTE replay of the deterministic Lloyd iterations
     * ([[graft.operators.Similarity.kmeansCentroids]]): defines `e`,
     * `corp`, `g64` and `c0..c{nUpdates}`, where `c{i}` are the
-    * centroids after `i` rounded (4 dp, +1e-9) mean updates with the
+    * centroids after `i` exact-integer 4-dp mean updates
+    * ([[graft.functions.ExactAgg.exactMeanSql]] — order-independent,
+    * so partial-agg ordering can never flip a half-boundary) with the
     * (score desc, cell desc) assignment tie-break and empty cells
     * carried forward — bit-for-bit the Spark loop's semantics. Also
     * leaves `a{i}`/`m{i}` (assignment / rounded means of update i) in
@@ -1798,7 +1802,7 @@ object SparkEntry {
          |a$i AS (SELECT vec_id, cell FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM s$i)
          |  WHERE rn = 1),
-         |m$i AS (SELECT a.cell, (g64.i - 1)::INT AS pos, round(avg(corp.emb[g64.i]) + 1e-9, 4) AS m
+         |m$i AS (SELECT a.cell, (g64.i - 1)::INT AS pos, ${ExactAgg.exactMeanSql("corp.emb[g64.i]", 4)} AS m
          |  FROM a$i a JOIN corp USING (vec_id), g64 GROUP BY 1, 2),
          |c$i AS (SELECT p.cell, list(coalesce(m.m, p.v) ORDER BY p.pos) AS cemb
          |  FROM (SELECT cell, (g64.i - 1)::INT AS pos, cemb[g64.i] AS v FROM c${i - 1}, g64) p

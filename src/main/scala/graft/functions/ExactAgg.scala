@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Order-independent aggregate means/stddevs over double columns,
+  * for operators whose results feed a cross-engine hash compare.
+  *
+  * `round(avg(<double>), dp)` is NOT reproducible across engines:
+  * Spark and DuckDB sum the partials in different orders, so two
+  * correctly-implemented engines legally disagree by an ulp — and an
+  * ulp is enough to flip a `.xxxx5` half-boundary at the final
+  * rounding (the `embed_kmeans` round-7 failure, and the third
+  * rounding-boundary incident overall; see SURVEY §6).
+  *
+  * The fix is to keep every inter-row reduction in EXACT integer
+  * arithmetic and never call an engine `round()` on an aggregate:
+  *
+  *  1. quantize each value map-side: `q = floor(v·10^dp + 0.5)` as
+  *     BIGINT — per-row single IEEE multiply/add/floor, identical on
+  *     any engine, no summation involved;
+  *  2. `sum(q)` / `count(*)` — exact 64-bit integer reductions,
+  *     immune to ordering;
+  *  3. recover the half-up mean with integer floor arithmetic:
+  *     `floor((2·Σq + n) / (2n)) / 10^dp`. The one division runs on
+  *     exactly-representable integer operands (all < 2^53), so both
+  *     engines produce the bit-identical IEEE quotient, floor, and
+  *     final double.
+  *
+  * The quantization redefines the operator contract to "mean of the
+  * 10^-dp-quantized values" — the bias is < 0.5·10^-dp/√n, far below
+  * the emitted precision, and determinism is what a replayable
+  * pipeline needs. Population stddev gets the same treatment and a
+  * bonus: `n·Σq² − (Σq)²` is non-negative BY CONSTRUCTION in integer
+  * arithmetic (no float cancellation below zero).
+  */
+object ExactAgg {
+
+  /** 10^dp as an exactly-parsed double (math.pow is only 1-ulp
+    * accurate by spec; a decimal parse is correctly rounded). */
+  private def pow10(dp: Int): Double = s"1e$dp".toDouble
+
+  /** Per-row ×10^dp BIGINT quantization (half-up): the only lossy
+    * step, applied before any reduction. */
+  def quantize(v: Column, dp: Int): Column =
+    floor(v * lit(pow10(dp)) + lit(0.5)).cast("long")
+
+  /** Half-up mean at `dp` decimals, exact-integer reduction. */
+  def exactMean(v: Column, dp: Int): Column = {
+    val s = sum(quantize(v, dp))
+    val n = count(lit(1))
+    floor((lit(2L) * s + n) / (lit(2L) * n)) / lit(pow10(dp))
+  }
+
+  /** Half-up population stddev at `dp` decimals, exact-integer
+    * moments: std = sqrt((n·Σq² − (Σq)²)/n²) in quantized units. */
+  def exactStd(v: Column, dp: Int): Column = {
+    val q = quantize(v, dp)
+    val s = sum(q)
+    val s2 = sum(q * q)
+    val n = count(lit(1))
+    floor(sqrt((n * s2 - s * s) / (n * n)) + lit(0.5)) / lit(pow10(dp))
+  }
+
+  /** DuckDB spellings of the same formulas, for oracle SQL. `v` is a
+    * SQL expression for the double value. Generated here so the
+    * oracle can never drift from the Spark implementation. */
+  def quantizeSql(v: String, dp: Int): String =
+    s"CAST(floor(($v) * 1e$dp + 0.5) AS BIGINT)"
+
+  def exactMeanSql(v: String, dp: Int): String =
+    s"floor((2 * sum(${quantizeSql(v, dp)}) + count(*)) / (2.0 * count(*))) / 1e$dp"
+
+  def exactStdSql(v: String, dp: Int): String = {
+    val q = quantizeSql(v, dp)
+    s"floor(sqrt((count(*) * sum(($q) * ($q)) - sum($q) * sum($q)) / (1.0 * count(*) * count(*))) + 0.5) / 1e$dp"
+  }
+}

@@ -8,6 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ExactAgg
 import graft.functions.VectorFunctions.{cosineSimilarity, dotProduct, quantizedCosine}
 
 /** Similarity-search operators over the `embeddings` table
@@ -327,7 +328,12 @@ object Similarity {
 
   /** One distributed centroid-update step under the given centroids:
     * map-side cell assignment, per-dimension means via posexplode
-    * partial agg, member counts joined back. */
+    * partial agg, member counts joined back. Means use the
+    * order-independent [[ExactAgg.exactMean]] (×10⁴ BIGINT
+    * quantization + integer half-up) so Spark and the DuckDB oracle
+    * produce bit-identical doubles regardless of partial-agg order —
+    * `round(avg(double))` here was the round-7 `embed_kmeans` hash
+    * failure (SURVEY §6). */
   private def embedCentroidsWith(t: Tables, cents: Seq[(Int, Seq[Double])]): DataFrame = {
     val assigned = withEmb(t).filter(col("vec_id") >= NumQueries)
       .withColumn("cell", cellOf(col("emb"), cents))
@@ -335,7 +341,7 @@ object Similarity {
     assigned
       .select(col("cell"), posexplode(col("emb")))
       .groupBy(col("cell"), col("pos"))
-      .agg(round(avg(col("col")) + lit(1e-9), 4).as("m"))
+      .agg(ExactAgg.exactMean(col("col"), 4).as("m"))
       .join(counts, "cell")
       .select(col("cell"), col("n_members"), col("pos"), col("m"))
   }
@@ -343,9 +349,10 @@ object Similarity {
   /** Driver-iterated Lloyd k-means over the corpus, fully
     * deterministic so a chained-CTE DuckDB oracle replays it exactly:
     * raw first-K init ([[centroidSeq]]), cosine argmax assignment with
-    * the (score desc, cell desc) tie-break, means ROUNDED to 4 dp
-    * (+1e-9 tie nudge) after every update — the rounding is what keeps
-    * the next round's argmax identical cross-engine — and empty cells
+    * the (score desc, cell desc) tie-break, means computed by the
+    * order-independent exact-integer pattern ([[ExactAgg.exactMean]],
+    * 4 dp) after every update — exactness is what keeps the next
+    * round's argmax identical cross-engine — and empty cells
     * carrying their previous centroid forward.
     *
     * Returns the centroids after `nIters - 1` updates (the caller's
@@ -368,7 +375,7 @@ object Similarity {
           .withColumn("cell", cellOf(col("emb"), cents))
           .select(col("cell"), posexplode(col("emb")))
           .groupBy(col("cell"), col("pos"))
-          .agg(round(avg(col("col")) + lit(1e-9), 4).as("m"))
+          .agg(ExactAgg.exactMean(col("col"), 4).as("m"))
           .collect() // bounded: K×dims rounded means
         val upd: Map[Int, Seq[Double]] = rows
           .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
@@ -442,17 +449,18 @@ object Similarity {
     * Shape: posexplode → ONE (pos)-keyed partial-aggregating groupBy —
     * the shuffle carries `dims` keys of partial sums regardless of
     * corpus size, so the profile costs one map pass at 100 TB. Mean
-    * and std are rounded (+1e-9 tie nudge) for the cross-engine
-    * compare; min/max involve no arithmetic (both engines see the
-    * identical widened doubles) and are emitted raw.
+    * and std run through [[ExactAgg]]'s order-independent integer
+    * moments (SURVEY §6 rounding rule); min/max involve no arithmetic
+    * (both engines see the identical widened doubles) and are
+    * emitted raw.
     */
   def embedDimStats(t: Tables): DataFrame =
     withEmb(t)
       .select(posexplode(col("emb")))
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("n_vals"),
-        round(avg(col("col")) + lit(1e-9), 4).as("mean_v"),
-        round(stddev_pop(col("col")) + lit(1e-9), 4).as("std_v"),
+        ExactAgg.exactMean(col("col"), 4).as("mean_v"),
+        ExactAgg.exactStd(col("col"), 4).as("std_v"),
         min(col("col")).as("min_v"),
         max(col("col")).as("max_v"))
 
@@ -477,7 +485,7 @@ object Similarity {
   def embedPcaPower(t: Tables, dims: Int = 64, nIters: Int = 8): DataFrame = {
     val corpus = withEmb(t)
     val means = corpus.select(posexplode(col("emb")))
-      .groupBy(col("pos")).agg(round(avg(col("col")) + lit(1e-9), 4).as("mv"))
+      .groupBy(col("pos")).agg(ExactAgg.exactMean(col("col"), 4).as("mv"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val mLit = typedlit((0 until dims).map(i => means.getOrElse(i, 0.0)))
     val centered = corpus.select(
@@ -488,7 +496,7 @@ object Similarity {
           struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("s"))
       .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
     val cov = cells.groupBy(col("i"), col("j"))
-      .agg(round(avg(col("p")) + lit(1e-9), 6).as("cv"))
+      .agg(ExactAgg.exactMean(col("p"), 6).as("cv"))
       .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
     def rnd6(x: Double): Double =
       java.math.BigDecimal.valueOf(x + 1e-9)
