@@ -680,10 +680,16 @@ object SparkEntry {
         | round(avg(pred - actual) + 1e-9, 4) AS bias
         |FROM te JOIN tr ON tr.event_type = te.event_type AND tr.hod = te.hod
         |GROUP BY 1""".stripMargin,
+    // replays the md5-rank hyperactive-user cap (64; exact below the
+    // threshold — test-data max is 25 distinct items per user)
     "events_recommend_cooccur" ->
-      """WITH i AS (SELECT DISTINCT user_id,
+      """WITH i0 AS (SELECT DISTINCT user_id,
         |  CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
         | FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id, item FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+        | WHERE rk <= 64),
         |p AS (SELECT a.item AS item_a, b.item AS item_b,
         |  count(DISTINCT a.user_id) AS n_users
         | FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item

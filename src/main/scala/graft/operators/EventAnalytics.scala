@@ -492,18 +492,36 @@ object EventAnalytics {
     * item set, all within-user pairs, counted across users, top-20.
     *
     * Shape: the pair explosion is the classic co-occurrence hazard —
-    * here it is bounded because the per-user DISTINCT item set is
-    * capped by the item vocabulary (≤100); production caps or samples
-    * hyperactive users before pairing for exactly this reason (noted,
-    * same guard class as salting). Distinct-set dedup and the pair
-    * count are keyed partial-agg shuffles; the final cut is
-    * TakeOrdered, never a global sort.
+    * the within-user self-join emits O(d²) pairs for a user with d
+    * distinct items, so ONE bot account with 10⁵ items would push
+    * 5×10⁹ pairs through a single task at 100 TB. The guard is
+    * [[cappedUserItems]]: per-user distinct items are md5-rank-capped
+    * at `maxItemsPerUser` BEFORE pairing — a deterministic unbiased
+    * sample that is EXACT below the threshold (the rank filter keeps
+    * every item of a user with ≤ cap items; test-data max is 25 vs
+    * the default cap 64). Distinct-set dedup and the pair count are
+    * keyed partial-agg shuffles; the final cut is TakeOrdered, never
+    * a global sort.
     */
-  def eventsRecommendCooccur(t: Tables, topK: Int = 20): DataFrame = {
-    val items = t.events.filter(col("event_type") === "purchase")
+  /** Per-user distinct purchased items, md5-rank-capped at
+    * `maxItemsPerUser` (hyperactive-user guard; exact when a user has
+    * ≤ cap distinct items). Deterministic, so the DuckDB oracle
+    * replays the identical sample. */
+  private[operators] def cappedUserItems(t: Tables, maxItemsPerUser: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t.events.filter(col("event_type") === "purchase")
       .select(col("user_id"),
         get_json_object(col("props"), "$.k").cast("int").as("item"))
       .distinct()
+      .withColumn("rk", row_number().over(Window.partitionBy(col("user_id"))
+        .orderBy(md5(concat_ws(":", col("user_id"), col("item"))), col("item"))))
+      .filter(col("rk") <= maxItemsPerUser)
+      .drop("rk")
+  }
+
+  def eventsRecommendCooccur(t: Tables, topK: Int = 20,
+      maxItemsPerUser: Int = 64): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser)
     items.as("a")
       .join(items.as("b"),
         col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
