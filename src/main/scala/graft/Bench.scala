@@ -76,6 +76,11 @@ object Bench {
     val nFailed = results.count(_._3.isDefined)
     val compactErrs = if (errs.length <= 600) errs else s"""{"failed_queries":$nFailed}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nerr":$nFailed,"errors":$compactErrs,"sf":"$sfDir"}""")
+    // The stdout tail only preserves the final ~3 KB, so round-over-
+    // round per-query comparison can't rely on it: ALSO write the full
+    // per-query map to a committed file (judge diffs r{N-1}→r{N}).
+    Files.writeString(Paths.get("bench_per_query.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -966,14 +966,21 @@ object SparkEntry {
         | n_dup / CAST(n_docs AS DOUBLE) AS dup_rate,
         | n_docs / CAST(total_docs AS DOUBLE) AS corpus_share
         |FROM b, tt""".stripMargin,
+    // doubles render via DECIMAL(38,4) (fixed-point on both engines;
+    // Spark's raw double→string goes scientific at 1e7, DuckDB's not)
     "q_table_stats" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_quantity", "l_extendedprice", "l_discount", "l_returnflag",
       "l_shipdate").map { c =>
+      val (mn, mx) =
+        if (Set("l_quantity", "l_extendedprice", "l_discount")(c))
+          (s"CAST(CAST(min($c) AS DECIMAL(38,4)) AS VARCHAR)",
+           s"CAST(CAST(max($c) AS DECIMAL(38,4)) AS VARCHAR)")
+        else (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
          | count(DISTINCT $c) AS ndv,
          | CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null,
-         | CAST(min($c) AS VARCHAR) AS min_v,
-         | CAST(max($c) AS VARCHAR) AS max_v FROM lineitem""".stripMargin
+         | $mn AS min_v,
+         | $mx AS max_v FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n"),
     "events_new_vs_returning" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -96,14 +96,25 @@ object Relational {
     * (the `q_approx_stats` path) — the exact form is the oracle
     * anchor.
     */
+  /** Double columns render via DECIMAL(38,4) before the string cast:
+    * Spark's CAST(double AS STRING) switches to scientific notation at
+    * 1e7 while DuckDB's never does, so relying on default double
+    * rendering would break oracle parity the first time a column
+    * exceeds that threshold. */
+  private val tableStatsDoubleCols =
+    Set("l_quantity", "l_extendedprice", "l_discount")
+
   def qTableStats(t: Tables): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
       "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+    def render(c: Column, name: String): Column =
+      if (tableStatsDoubleCols(name)) c.cast("decimal(38,4)").cast("string")
+      else c.cast("string")
     val aggs = cols.flatMap { c =>
       Seq(countDistinct(col(c)).as(s"ndv_$c"),
         count(when(col(c).isNull, 1)).as(s"nn_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+        render(min(col(c)), c).as(s"mn_$c"),
+        render(max(col(c)), c).as(s"mx_$c"))
     } :+ count(lit(1)).as("n_rows")
     val one = t.lineitem.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map { c =>

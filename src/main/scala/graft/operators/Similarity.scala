@@ -483,10 +483,17 @@ object Similarity {
     * each step so both engines hold identical vectors throughout.
     */
   def embedPcaPower(t: Tables, dims: Int = 64, nIters: Int = 8): DataFrame = {
+    val sess = t.spark
+    import sess.implicits._
     val corpus = withEmb(t)
     val means = corpus.select(posexplode(col("emb")))
       .groupBy(col("pos")).agg(ExactAgg.exactMean(col("col"), 4).as("mv"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // empty slice: no covariance → the power iterate is undefined
+    // (u = 0, ‖u‖ = 0 would NaN); come back empty like the oracle does
+    if (means.isEmpty)
+      return Seq.empty[(Int, Double, Double)]
+        .toDF("pos", "loading", "eigenvalue")
     val mLit = typedlit((0 until dims).map(i => means.getOrElse(i, 0.0)))
     val centered = corpus.select(
       transform(col("emb"), (x, i) => x - element_at(mLit, i + 1)).as("ce"))
@@ -511,8 +518,6 @@ object Similarity {
     val lambda = rnd6(
       (0 until dims).flatMap(i => (0 until dims).map(j =>
         v(i) * cov.getOrElse((i, j), 0.0) * v(j))).sum)
-    val sess = t.spark
-    import sess.implicits._
     v.zipWithIndex.map { case (l, p) => (p, l, lambda) }.toSeq
       .toDF("pos", "loading", "eigenvalue")
   }

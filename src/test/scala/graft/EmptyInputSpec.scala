@@ -10,9 +10,10 @@ import java.nio.file.Files
   * LLM-data core against it.
   *
   * Index-build operators that collect seed state from the corpus
-  * (IVF centroid seeding, k-means) are deliberately excluded — an
-  * index build over an empty corpus is a real configuration error and
-  * SHOULD fail loudly.
+  * (IVF centroid seeding, k-means — so also their consumers
+  * `embed_outliers`, `ann_recall_eval`, `ann_ivf_*`) are deliberately
+  * excluded — an index build over an empty corpus is a real
+  * configuration error and SHOULD fail loudly.
   */
 class EmptyInputSpec extends SparkSpec {
 
@@ -43,7 +44,11 @@ class EmptyInputSpec extends SparkSpec {
     "events_forecast_eval", "events_recommend_cooccur",
     "events_attribution_linear", "events_markov_stationary",
     "events_value_percentiles", "er_blocked_pairs",
-    "q_incremental_rollup", "q_dpp", "q_compaction")
+    "q_incremental_rollup", "q_dpp", "q_compaction",
+    // round-8 additions (advisor: embed_pca_power NaN'd on an empty
+    // slice before its means-empty guard)
+    "embed_pca_power", "text_contamination_fuzzy", "q_table_stats",
+    "events_new_vs_returning")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

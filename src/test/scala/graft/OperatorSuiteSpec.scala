@@ -9,6 +9,16 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestSession.get
   val sfDir = "/root/testdata/sf0.001"
   def tables: Tables = Tables(spark, sfDir)
+
+  // several operators persist() small index frames and hand back a
+  // lazy DataFrame (the caller can't unpersist); Verify/Bench clear
+  // between queries, and the shared-session test run must too or the
+  // abandoned cache blocks of one suite shrink execution memory for
+  // every suite after it
+  override def afterAll(): Unit = {
+    spark.catalog.clearCache()
+    super.afterAll()
+  }
 }
 
 object SparkTestSession {
