@@ -1369,13 +1369,14 @@ object SparkEntry {
         |b AS (SELECT doc_id, bl,
         |  16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS b0,
         |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
-        |  16*(strpos('0123456789abcdef',substr(h,5,1))-1)+(strpos('0123456789abcdef',substr(h,6,1))-1) AS b2,
-        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
+        |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4
         | FROM m)
         |SELECT doc_id,
-        | (bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33 ELSE 13 END)::BIGINT AS byte_len,
+        | (bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33
+        |    ELSE 14 + 20*(1 + b4 % 8) END)::BIGINT AS byte_len,
         | (16+b0)::INTEGER AS width, (16+b1)::INTEGER AS height,
-        | (1 + b2 % 120)::INTEGER AS n_frames,
+        | (CASE WHEN b3%3 = 2 THEN 1 + b4 % 8 ELSE 1 END)::INTEGER AS n_frames,
         | CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt
         |FROM b""".stripMargin,
     "mm_resize_plan" ->
@@ -1383,9 +1384,11 @@ object SparkEntry {
         |b AS (SELECT doc_id, bl,
         |  16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS b0,
         |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
-        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
+        |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4
         | FROM m),
-        |d AS (SELECT bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33 ELSE 13 END AS bl,
+        |d AS (SELECT bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33
+        |    ELSE 14 + 20*(1 + b4 % 8) END AS bl,
         |  16+b0 AS width, 16+b1 AS height,
         |  CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt FROM b),
         |r AS (SELECT *, greatest(width, height) * 1.0 AS mx FROM d),
@@ -1472,7 +1475,9 @@ object SparkEntry {
     "mm_frame_sample" ->
       """WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
         |f AS (SELECT doc_id, text,
-        |  1 + (16*(strpos('0123456789abcdef',substr(h,5,1))-1)+(strpos('0123456789abcdef',substr(h,6,1))-1)) % 120 AS n_frames
+        |  CASE WHEN (16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1)) % 3 = 2
+        |   THEN 1 + (16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1)) % 8
+        |   ELSE 1 END AS n_frames
         | FROM m)
         |SELECT doc_id, i::INTEGER AS frame_idx, md5(text || ':' || i) AS frame_hash
         |FROM f, (SELECT unnest(generate_series(0,200)) AS i) g

@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
@@ -26,9 +25,14 @@ import graft.Tables
   * from the GENERATOR's formulas, so generator-vs-parser is the
   * cross-check: a parser misreading any byte breaks the hash match.
   *
-  * Frame count has no still-image header field; it stays derived from
-  * the BODY's md5 (standing in for a video container's frame table —
-  * media codec libraries are absent in this environment, documented).
+  * Frame counts are REAL too: the GIF payloads are ANIMATED — the
+  * generator writes 1..8 frame blocks (Graphic Control Extension +
+  * image descriptor + minimal image data, per the public GIF89a
+  * spec), and the decode side counts them by walking the fixed-stride
+  * block markers (0x21 0xF9 0x04) as column expressions, stopping at
+  * the 0x3B trailer. PNG/JPEG are still images and honestly report 1.
+  * (True video containers would need codec libs, absent here; the GIF
+  * block walk is the same byte-level pattern a frame-table read is.)
   */
 object Multimodal {
 
@@ -69,37 +73,53 @@ object Multimodal {
   private val GifPost: Array[Byte] = Array[Byte](0, 0, 0)
   private val GifHdrLen = 13
 
+  /** One animated-GIF frame block (20 bytes, fixed): Graphic Control
+    * Extension `21 F9 04 <packed 00> <delay 4cs LE16> <no transparent>
+    * 00` (8 B) + image descriptor `2C <left 0> <top 0> <W LE16>
+    * <H LE16> <packed 00>` (10 B) + minimal image data `08 00` (LZW
+    * min code size + empty sub-block terminator, 2 B). Fixed size is
+    * what lets the parser walk frames at stride 20 from byte 13. */
+  private val GifFrameBytes = 20
+  private val GifMaxFrames = 8
+  private val GifGceHex = "21F9040004000000"
+  private val GifDescPreHex = "2C00000000"
+  private val GifImgDataHex = "0800"
+  private val GifTrailerHex = "3B"
+
   /** Real header parser over raw bytes — the JVM twin of the column
     * parser, for the typed Dataset path. One digest per partition
     * batch (the amortization the batch shape exists for).
     */
   object HeaderMediaDecoder extends MediaDecoder {
     override def decodeBatch(payloads: Iterator[Array[Byte]]): Iterator[MediaMeta] = {
-      val md = MessageDigest.getInstance("MD5")
       payloads.map { bytes =>
         def u8(i: Int): Int = bytes(i) & 0xFF
         def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
         def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
-        val (fmt, w, h, hdr) =
+        val (fmt, w, h, nf) =
           if (bytes.length >= PngHdrLen && PngPre.indices.forall(i => bytes(i) == PngPre(i)))
-            ("png", be32(16), be32(20), PngHdrLen)
+            ("png", be32(16), be32(20), 1)
           else if (bytes.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
             // scan the header region for the SOF0 marker (FF C0): the
             // 2-byte length + precision byte precede height/width
             val limit = math.min(bytes.length - 8, 64)
             val m = (2 until limit).find(i => u8(i) == 0xFF && u8(i + 1) == 0xC0)
               .getOrElse(sys.error("jpeg payload without SOF0 in header region"))
-            ("jpeg", be16(m + 7), be16(m + 5), m + 2 + be16(m + 2))
-          } else if (bytes.length >= GifHdrLen && GifPre.indices.forall(i => bytes(i) == GifPre(i)))
-            ("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8), GifHdrLen)
-          else ("unknown", 0, 0, 0)
-        md.reset()
-        val bh = md.digest(java.util.Arrays.copyOfRange(bytes, hdr, bytes.length))
-          .map("%02x".format(_)).mkString
+            ("jpeg", be16(m + 7), be16(m + 5), 1)
+          } else if (bytes.length >= GifHdrLen && GifPre.indices.forall(i => bytes(i) == GifPre(i))) {
+            // animated GIF: count fixed-stride frame blocks by their
+            // GCE signature until the 3B trailer stops the walk
+            val frames = Iterator.from(0)
+              .takeWhile { k =>
+                val o = GifHdrLen + k * GifFrameBytes
+                o + 2 < bytes.length && u8(o) == 0x21 && u8(o + 1) == 0xF9 && u8(o + 2) == 0x04
+              }.size
+            ("gif", u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8), frames)
+          } else ("unknown", 0, 0, 1)
         MediaMeta(
           byteLen = bytes.length.toLong,
           width = w, height = h,
-          nFrames = 1 + Integer.parseInt(bh.substring(4, 6), 16) % 120,
+          nFrames = nf,
           fmt = fmt)
       }
     }
@@ -126,14 +146,17 @@ object Multimodal {
 
   private def be32Col(c: Column): Column = unhex(lpad(hex(c), 8, "0"))
   private def be16Col(c: Column): Column = unhex(lpad(hex(c), 4, "0"))
-  private def le16Col(c: Column): Column = {
+  private def le16Hex(c: Column): Column = {
     val hx = lpad(hex(c), 4, "0")
-    unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+    concat(substring(hx, 3, 2), substring(hx, 1, 2))
   }
+  private def le16Col(c: Column): Column = unhex(le16Hex(c))
 
   /** The documents table viewed as a media table: each payload is a
     * real container header (format and dimensions a pure function of
-    * the text's md5) followed by the text bytes as the body. Map-only
+    * the text's md5) followed by the text bytes as the body. GIFs are
+    * ANIMATED: 1..[[GifMaxFrames]] frame blocks (count from the md5
+    * too) between the screen descriptor and the 0x3B trailer. Map-only
     * column expressions — the synthesis adds no shuffle anywhere.
     */
   def mediaTable(t: Tables): DataFrame = {
@@ -144,7 +167,14 @@ object Multimodal {
     val fmtIdx = hexByteCol(h, 6) % 3
     val pngHeader = concat(lit(PngPre), be32Col(w), be32Col(ht), lit(PngPost))
     val jpegHeader = concat(lit(JpegPre), be16Col(ht), be16Col(w), lit(JpegPost))
-    val gifHeader = concat(lit(GifPre), le16Col(w), le16Col(ht), lit(GifPost))
+    val nfGif = lit(1) + hexByteCol(h, 8) % GifMaxFrames
+    val frameHex = concat(lit(GifGceHex), lit(GifDescPreHex),
+      le16Hex(w), le16Hex(ht), lit("00"), lit(GifImgDataHex))
+    val framesBin = unhex(concat(
+      array_join(transform(sequence(lit(1), nfGif), _ => frameHex), ""),
+      lit(GifTrailerHex)))
+    val gifHeader = concat(lit(GifPre), le16Col(w), le16Col(ht), lit(GifPost),
+      framesBin)
     val header = when(fmtIdx === 0, jpegHeader)
       .when(fmtIdx === 1, pngHeader)
       .otherwise(gifHeader)
@@ -161,24 +191,49 @@ object Multimodal {
   private def isJpeg(hx: Column): Column = hx.startsWith("FFD8")
   private def isGif(hx: Column): Column = hx.startsWith("474946383961")
 
+  /** Hex of the GIF frame-block region: the 13-byte screen descriptor
+    * plus up to [[GifMaxFrames]] fixed-stride blocks and the trailer. */
+  private def gifRegionHex(payload: Column): Column =
+    hex(substring(payload, 1, GifHdrLen + GifMaxFrames * GifFrameBytes + 1))
+
+  /** REAL GIF frame count, parsed from the bytes: walk the
+    * fixed-stride frame blocks from byte 13 and count the prefix run
+    * of Graphic Control Extension signatures (21 F9 04); the byte
+    * after the last frame is the 0x3B trailer, which stops the walk
+    * at exactly the written count (body bytes are never examined —
+    * the prefix conjunction can't skip past the trailer). */
+  private def gifFramesCol(payload: Column): Column = {
+    val hx = gifRegionHex(payload)
+    val checks = (0 until GifMaxFrames).map { k =>
+      substring(hx, 2 * (GifHdrLen + k * GifFrameBytes) + 1, 6) === "21F904"
+    }
+    checks.scanLeft(lit(true))(_ && _).tail
+      .map(p => when(p, 1).otherwise(0)).reduce(_ + _)
+  }
+
   /** Parsed header length — how many leading bytes the container owns
     * (JPEG's is fixed here because the generator writes SOI+APP0+SOF0
     * back to back; the SOF0 *field* positions below are still found by
-    * scanning, not assumed). Unknown formats own no header. */
-  private def hdrLenCol(hx: Column): Column =
+    * scanning, not assumed). A GIF owns its frame blocks and trailer
+    * too, so its length rides on the parsed frame count. Unknown
+    * formats own no header. */
+  private def hdrLenCol(payload: Column): Column = {
+    val hx = headHex(payload)
     when(isPng(hx), lit(PngHdrLen))
       .when(isJpeg(hx), lit(JpegHdrLen))
-      .when(isGif(hx), lit(GifHdrLen))
+      .when(isGif(hx),
+        lit(GifHdrLen) + gifFramesCol(payload) * lit(GifFrameBytes) + lit(1))
       .otherwise(lit(0))
+  }
 
   /** The payload body (bytes past the parsed container header). */
   private def bodyCol(payload: Column): Column =
-    payload.substr(hdrLenCol(headHex(payload)) + 1, length(payload))
+    payload.substr(hdrLenCol(payload) + 1, length(payload))
 
-  /** Frame count: no still-image header carries one, so it derives
-    * from the BODY's md5 (deterministic video-frame-table stand-in). */
+  /** Frame count read from the container bytes: the GIF block walk
+    * for animations, and the honest 1 for still formats. */
   private def nFramesCol(payload: Column): Column =
-    lit(1) + hexByteCol(md5(bodyCol(payload)), 4) % 120
+    when(isGif(headHex(payload)), gifFramesCol(payload)).otherwise(lit(1))
 
   /** Metadata parsed from the payload's actual bytes. */
   private def decodeMetaCols(payload: Column): Seq[Column] = {
