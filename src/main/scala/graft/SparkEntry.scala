@@ -177,6 +177,7 @@ object SparkEntry {
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
     "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
+    "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
     "corpus_pipeline"     -> q(t => CorpusClean.corpusPipeline(t)),
@@ -1379,6 +1380,25 @@ object SparkEntry {
         | (CASE WHEN b3%3 = 2 THEN 1 + b4 % 8 ELSE 1 END)::INTEGER AS n_frames,
         | CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt
         |FROM b""".stripMargin,
+    // the audio oracle recomputes the generator's md5-derived WAV
+    // parameters; the Spark side parses them back from the RIFF bytes
+    "mm_audio_meta" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
+        |b AS (SELECT doc_id, bl,
+        |  16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS b0,
+        |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
+        |  16*(strpos('0123456789abcdef',substr(h,5,1))-1)+(strpos('0123456789abcdef',substr(h,6,1))-1) AS b2
+        | FROM m),
+        |p AS (SELECT doc_id, bl,
+        |  (1 + b0 % 2)::INTEGER AS channels,
+        |  (CASE b1 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END)::BIGINT AS sample_rate,
+        |  (8 * (1 + b2 % 2))::INTEGER AS bits_per_sample
+        | FROM b),
+        |d AS (SELECT *, floor(bl * 8 / (channels * bits_per_sample))::BIGINT AS n_samples FROM p)
+        |SELECT doc_id, (bl + 44)::BIGINT AS byte_len, channels, sample_rate,
+        | bits_per_sample, bl::BIGINT AS data_len, n_samples,
+        | floor(n_samples * 1000000 / sample_rate)::BIGINT AS duration_us
+        |FROM d""".stripMargin,
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,

@@ -151,6 +151,12 @@ object Multimodal {
     concat(substring(hx, 3, 2), substring(hx, 1, 2))
   }
   private def le16Col(c: Column): Column = unhex(le16Hex(c))
+  private def le32Hex(c: Column): Column = {
+    val hx = lpad(hex(c), 8, "0")
+    concat(substring(hx, 7, 2), substring(hx, 5, 2),
+      substring(hx, 3, 2), substring(hx, 1, 2))
+  }
+  private def le32Col(c: Column): Column = unhex(le32Hex(c))
 
   /** The documents table viewed as a media table: each payload is a
     * real container header (format and dimensions a pure function of
@@ -179,6 +185,77 @@ object Multimodal {
       .when(fmtIdx === 1, pngHeader)
       .otherwise(gifHeader)
     t.documents.select(col("doc_id"), concat(header, body).as("payload"))
+  }
+
+  // --- audio modality: WAV/RIFF (public RIFF/WAVE spec) ---
+
+  /** The documents table viewed as an AUDIO table: each payload is a
+    * real 44-byte canonical PCM WAV header — RIFF chunk size, "WAVE",
+    * a 16-byte "fmt " chunk (format 1, channels, sample rate, byte
+    * rate, block align, bits per sample — all little-endian at their
+    * spec offsets), and a "data" chunk sized to the body — followed by
+    * the text bytes as the sample data. Channels / rate / bit depth
+    * are a pure function of the text's md5, so the DuckDB oracle can
+    * recompute every field the parser reads back. Map-only.
+    */
+  def audioTable(t: Tables): DataFrame = {
+    val body = col("text").cast("binary")
+    val h = md5(body)
+    val ch = lit(1) + hexByteCol(h, 0) % 2
+    val rate = element_at(
+      typedlit(Seq(8000L, 16000L, 22050L, 44100L)), hexByteCol(h, 2) % 4 + 1)
+    val bits = lit(8) * (lit(1) + hexByteCol(h, 4) % 2)
+    val dataLen = length(body)
+    // ch·bits ∈ {8,16,32}: the division is exact, cast back to int
+    val blockAlign = (ch * bits / lit(8)).cast("int")
+    val header = concat(
+      lit("RIFF".getBytes(StandardCharsets.US_ASCII)),
+      le32Col(dataLen + lit(36)),
+      lit("WAVEfmt ".getBytes(StandardCharsets.US_ASCII)),
+      le32Col(lit(16)), le16Col(lit(1)),
+      le16Col(ch), le32Col(rate), le32Col(rate * blockAlign),
+      le16Col(blockAlign), le16Col(bits),
+      lit("data".getBytes(StandardCharsets.US_ASCII)),
+      le32Col(dataLen))
+    t.documents.select(col("doc_id"), concat(header, body).as("payload"))
+  }
+
+  /** A2 — `mm_audio_meta`: typed audio metadata parsed from the
+    * payload's actual RIFF/WAVE header bytes (little-endian u16/u32
+    * fields at their spec offsets), plus the derived sample count and
+    * duration in exact integer arithmetic. The audio twin of
+    * [[mmDecodeMeta]] — map-only column expressions, no codec, the
+    * header sniff an ingest pass runs before batching to decoders.
+    */
+  def mmAudioMeta(t: Tables): DataFrame = {
+    val payload = col("payload")
+    val hx = headHex(payload)
+    def le16At(b: Int): Column =
+      conv(concat(substring(hx, 2 * b + 3, 2), substring(hx, 2 * b + 1, 2)),
+        16, 10).cast("int")
+    def le32At(b: Int): Column =
+      conv(concat(substring(hx, 2 * b + 7, 2), substring(hx, 2 * b + 5, 2),
+        substring(hx, 2 * b + 3, 2), substring(hx, 2 * b + 1, 2)),
+        16, 10).cast("long")
+    // "RIFF" ... "WAVE" at bytes 0–3 / 8–11
+    val isWav = hx.startsWith("52494646") && substring(hx, 17, 8) === "57415645"
+    val ch = le16At(22)
+    val rate = le32At(24)
+    val bits = le16At(34)
+    val dataLen = le32At(40)
+    // exact integer-derived duration: all operands < 2^53, one IEEE
+    // division + floor on identical inputs in both engines
+    val nSamples = floor(dataLen * lit(8) / (ch * bits)).cast("long")
+    audioTable(t).select(
+      col("doc_id"),
+      length(payload).cast("long").as("byte_len"),
+      when(isWav, ch).otherwise(lit(0)).as("channels"),
+      when(isWav, rate).otherwise(lit(0L)).as("sample_rate"),
+      when(isWav, bits).otherwise(lit(0)).as("bits_per_sample"),
+      when(isWav, dataLen).otherwise(lit(0L)).as("data_len"),
+      when(isWav, nSamples).otherwise(lit(0L)).as("n_samples"),
+      when(isWav, floor(nSamples * lit(1000000L) / rate).cast("long"))
+        .otherwise(lit(0L)).as("duration_us"))
   }
 
   // --- byte-level parser (decode side), pure column expressions ---

@@ -27,6 +27,21 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
 
+  test("audio decode is map-only and reads back the generator's fields") {
+    val meta = mmAudioMeta(tables)
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // every payload is a well-formed WAV: the RIFF sniff must hold and
+    // the parsed fields stay inside the generator's palettes
+    val bad = meta.filter(
+      !col("channels").isin(1, 2) ||
+      !col("sample_rate").isin(8000L, 16000L, 22050L, 44100L) ||
+      !col("bits_per_sample").isin(8, 16) ||
+      col("byte_len") =!= col("data_len") + 44 ||
+      col("duration_us") <= 0)
+    assert(bad.count() == 0)
+  }
+
   test("frame sampling emits every 5th frame below n_frames") {
     val t = tables
     val joined = mmFrameSample(t).groupBy("doc_id")
