@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -54,6 +54,24 @@ object SourceOps {
   /** A named path inside the process-wide staging dir (Overwrite-mode
     * writers reuse it across invocations instead of leaking copies). */
   private[graft] def staging(name: String): String = s"$stagingDir/$name"
+
+  /** Close the stats→optimizer loop: write ANALYZE statistics for a
+    * catalog table where Catalyst's cost-based optimizer reads them.
+    * `q_table_stats` computes the same numbers as a REPORT; this is
+    * the feedback edge — with `spark.sql.cbo.enabled`, the row count
+    * drives join reorder and the per-column NDV/min/max drive
+    * filter-selectivity size estimates, which is what flips a
+    * filtered fact join to broadcast (pinned in PlanAuditSpec). On a
+    * 100 TB warehouse this runs as a post-load maintenance step, the
+    * same cadence as `q_compaction`. */
+  def analyzeTable(spark: SparkSession, table: String,
+      cols: Seq[String] = Nil): Unit = {
+    spark.sql(s"ANALYZE TABLE $table COMPUTE STATISTICS")
+    if (cols.nonEmpty)
+      spark.sql(
+        s"ANALYZE TABLE $table COMPUTE STATISTICS FOR COLUMNS ${cols.mkString(", ")}")
+    ()
+  }
 
   def sourceRoundtrip(t: Tables): DataFrame = {
     val base = stagingDir

@@ -321,4 +321,50 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("dynamicpruning"),
       s"no dynamic partition pruning on the fact scan:\n$p")
   }
+
+  test("ANALYZE stats feed the CBO: a selective filtered join flips to broadcast") {
+    import graft.sources.SourceOps
+    val tOrders = s"graft_cbo_orders_${SourceOps.runId}"
+    val tLines = s"graft_cbo_lineitem_${SourceOps.runId}"
+    spark.sql(s"DROP TABLE IF EXISTS $tOrders")
+    spark.sql(s"DROP TABLE IF EXISTS $tLines")
+    tables.orders.write.mode("overwrite").saveAsTable(tOrders)
+    tables.lineitem.select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").saveAsTable(tLines)
+    val key = tables.orders.agg(org.apache.spark.sql.functions.min("o_orderkey"))
+      .collect()(0).getLong(0)
+    import org.apache.spark.sql.functions.{col, lit}
+    def q = spark.table(tOrders).filter(col("o_orderkey") === lit(key))
+      .join(spark.table(tLines), col("o_orderkey") === col("l_orderkey"))
+    // stash/override confs: CBO on, broadcast threshold below the raw
+    // file-size estimate, AQE off so the pin reads the COMPILE-TIME
+    // decision (AQE would re-plan from runtime sizes and mask the
+    // stats effect)
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.adaptive.enabled", "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      // WITHOUT statistics the filter can't shrink the size estimate:
+      // both sides stay above the threshold and the join sort-merges
+      val before = q.queryExecution.sparkPlan.toString
+      assert(before.contains("SortMergeJoin"),
+        s"expected SortMergeJoin without stats:\n$before")
+      // the feedback edge: q_table_stats-class numbers into the catalog
+      SourceOps.analyzeTable(spark, tOrders, Seq("o_orderkey"))
+      val after = q.queryExecution.sparkPlan.toString
+      assert(after.contains("BroadcastHashJoin"),
+        s"ANALYZE stats did not flip the filtered join to broadcast:\n$after")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sql(s"DROP TABLE IF EXISTS $tOrders")
+      spark.sql(s"DROP TABLE IF EXISTS $tLines")
+    }
+  }
 }
