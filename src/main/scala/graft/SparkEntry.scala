@@ -267,30 +267,35 @@ object SparkEntry {
        |sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2],' ') AS shingle
        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) g WHERE i <= len(toks)-2)""".stripMargin
 
+  /** DuckDB spelling of `Relational.decRev` — the SURVEY §6 exact
+    * decimal revenue term (order-independent sums on both engines). */
+  private val decRevSql =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(6,4))"
+
   /** DuckDB-equivalent SQL per query (same column names + rounding). */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-        | round(avg(l_quantity),4) AS avg_qty,
-        | round(avg(l_extendedprice),4) AS avg_price,
-        | round(avg(l_discount),4) AS avg_disc,
+        | CAST(round(sum($decRevSql), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(round(sum($decRevSql * CAST(1 + l_tax AS DECIMAL(6,4))), 2) AS DOUBLE) AS sum_charge,
+        | ${ExactAgg.exactMeanSql("l_quantity", 4)} AS avg_qty,
+        | ${ExactAgg.exactMeanSql("l_extendedprice", 4)} AS avg_price,
+        | ${ExactAgg.exactMeanSql("l_discount", 4)} AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping_priority" ->
-      """SELECT o_orderkey, o_orderdate, o_orderpriority,
-        | round(sum(l_extendedprice*(1-l_discount)) + 1e-9, 2) AS revenue
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+        | CAST(round(sum($decRevSql), 2) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey=o_custkey
         | JOIN lineitem ON l_orderkey=o_orderkey
         |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
         | AND l_shipdate > TIMESTAMP '1998-01-01'
         |GROUP BY 1,2,3 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)) + 1e-9, 2) AS revenue
+      s"""SELECT n_name, CAST(round(sum($decRevSql), 2) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey=o_custkey
         | JOIN lineitem ON l_orderkey=o_orderkey
         | JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
@@ -300,13 +305,14 @@ object SparkEntry {
         | AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
     "q6_revenue_delta" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue, count(*) AS cnt
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+        | count(*) AS cnt
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         | AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
-      """SELECT c_custkey, c_name, c_acctbal, n_name,
-        | round(sum(l_extendedprice*(1-l_discount)) + 1e-9, 2) AS revenue
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+        | CAST(round(sum($decRevSql), 2) AS DOUBLE) AS revenue
         |FROM customer JOIN orders ON c_custkey=o_custkey
         | JOIN lineitem ON l_orderkey=o_orderkey
         | JOIN nation ON c_nationkey=n_nationkey
@@ -341,9 +347,10 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1,2,3""".stripMargin,
     "q14_promo_revenue" ->
-      """SELECT round(100.0 *
-        |  sum(CASE WHEN p_type='PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0 END) /
-        |  sum(l_extendedprice*(1-l_discount)), 4) AS promo_pct
+      s"""SELECT round(100.0 *
+        |  CAST(sum(CASE WHEN p_type='PROMO' THEN $decRevSql
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+        |  CAST(sum($decRevSql) AS DOUBLE) + 1e-9, 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey=p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin,
     "q18_large_orders" ->
@@ -354,7 +361,7 @@ object SparkEntry {
         | JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
     "q19_disjunctive" ->
-      """SELECT round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS cnt
+      s"""SELECT CAST(round(sum($decRevSql), 2) AS DOUBLE) AS revenue, count(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey=p_partkey
         |WHERE (p_brand='Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
         |   OR (p_brand='Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
@@ -417,15 +424,15 @@ object SparkEntry {
         |WHERE p_brand <> 'Brand#12'
         |GROUP BY 1,2""".stripMargin,
     "q17_small_qty" ->
-      """SELECT round(sum(l_extendedprice)/7.0 + 1e-9, 2) AS avg_yearly
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)/7.0 + 1e-9, 2) AS avg_yearly
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand = 'Brand#23'
         | AND l_quantity < (SELECT 0.2*avg(l2.l_quantity) FROM lineitem l2
         |    WHERE l2.l_partkey = p_partkey)""".stripMargin,
     "q_group_multi" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         | round(sum(o_totalprice),2) AS sum_price,
-        | round(avg(o_totalprice),4) AS avg_price,
+        | ${ExactAgg.exactMeanSql("o_totalprice", 4)} AS avg_price,
         | round(min(o_totalprice),2) AS min_price,
         | round(max(o_totalprice),2) AS max_price,
         | count(DISTINCT o_custkey) AS n_cust
@@ -551,9 +558,10 @@ object SparkEntry {
         | UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
         |GROUP BY 1""".stripMargin,
     "q_case_agg" ->
-      """SELECT l_returnflag, count(*) AS n,
+      s"""SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty,
-        | round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice*(1-l_discount) ELSE 0 END),2) AS discounted_rev
+        | CAST(round(sum(CASE WHEN l_discount > 0.05 THEN $decRevSql
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS discounted_rev
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_having" ->
       """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS total
@@ -593,9 +601,9 @@ object SparkEntry {
         | min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value),2) AS sum_value
         |FROM t GROUP BY 1,2""".stripMargin,
     "q_json_extract" ->
-      """SELECT event_type, count(*) AS n,
-        | CAST(sum(CAST(json_extract_string(props,'$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-        | round(avg(CAST(json_extract_string(props,'$.k') AS INTEGER)),4) AS avg_k
+      s"""SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props,'$$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+        | ${ExactAgg.exactMeanSql("CAST(json_extract_string(props,'$.k') AS INTEGER)", 4)} AS avg_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q_time_bucket" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
@@ -667,18 +675,18 @@ object SparkEntry {
         |SELECT item, count(*) AS n FROM i GROUP BY 1
         |ORDER BY n DESC, item LIMIT 10""".stripMargin,
     "events_forecast_eval" ->
-      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+      s"""WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
         |  event_type, count(*) AS n_events FROM events GROUP BY 1, 2),
         |ld AS (SELECT max(CAST(hour_ts AS DATE)) AS last_day FROM h),
         |tr AS (SELECT event_type, extract(hour FROM hour_ts) AS hod,
-        |  avg(n_events) AS pred
+        |  sum(n_events) / (1.0 * count(*)) AS pred
         | FROM h, ld WHERE CAST(hour_ts AS DATE) < last_day GROUP BY 1, 2),
         |te AS (SELECT event_type, extract(hour FROM hour_ts) AS hod,
         |  n_events AS actual
         | FROM h, ld WHERE CAST(hour_ts AS DATE) = last_day)
         |SELECT te.event_type, count(*) AS n_hours,
-        | round(avg(abs(pred - actual)) + 1e-9, 4) AS mae,
-        | round(avg(pred - actual) + 1e-9, 4) AS bias
+        | ${ExactAgg.exactMeanSql("abs(pred - actual)", 4)} AS mae,
+        | ${ExactAgg.exactMeanSql("pred - actual", 4)} AS bias
         |FROM te JOIN tr ON tr.event_type = te.event_type AND tr.hod = te.hod
         |GROUP BY 1""".stripMargin,
     // replays the md5-rank hyperactive-user cap (64; exact below the
@@ -717,7 +725,7 @@ object SparkEntry {
         |SELECT touch_type, n_credits, attributed_value FROM att
         |WHERE n_credits > 0""".stripMargin,
     "events_session_stats" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      s"""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
         |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
@@ -726,22 +734,22 @@ object SparkEntry {
         |sess AS (SELECT user_id, session_id, count(*) AS n_events,
         |  max(us) - min(us) AS duration_us FROM t GROUP BY 1, 2)
         |SELECT count(*) AS n_sessions,
-        | round(avg(n_events) + 1e-9, 4) AS avg_events,
+        | ${ExactAgg.exactMeanSql("n_events", 4)} AS avg_events,
         | round(quantile_cont(n_events, 0.5) + 1e-9, 4) AS med_events,
-        | round(avg(duration_us) + 1e-9, 4) AS avg_duration_us,
+        | ${ExactAgg.exactMeanSql("duration_us", 4)} AS avg_duration_us,
         | max(duration_us) AS max_duration_us,
         | CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
         |   / CAST(nullif(count(*), 0) AS DOUBLE) AS bounce_rate
         |FROM sess""".stripMargin,
     "events_seasonal_profile" ->
-      """WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+      s"""WITH h AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
         |  event_type, count(*) AS n_events
         | FROM events GROUP BY 1, 2)
         |SELECT event_type,
         | CAST(extract(hour FROM hour_ts) AS INTEGER) AS hour_of_day,
         | count(*) AS n_hours,
-        | round(avg(n_events) + 1e-9, 4) AS mean_events,
-        | round(stddev_pop(n_events) + 1e-9, 4) AS stddev_events
+        | ${ExactAgg.exactMeanSql("n_events", 4)} AS mean_events,
+        | ${ExactAgg.exactStdSql("n_events", 4)} AS stddev_events
         |FROM h GROUP BY 1, 2""".stripMargin,
     "events_gap_report" ->
       """WITH h AS (SELECT event_type,
@@ -958,8 +966,8 @@ object SparkEntry {
         | FROM t),
         |f AS (SELECT *, count(*) OVER (PARTITION BY eh) AS n_copies FROM m),
         |b AS (SELECT source, count(*) AS n_docs,
-        |  round(avg(q) + 1e-9, 4) AS avg_quality,
-        |  round(avg(n_toks) + 1e-9, 4) AS avg_tokens,
+        |  ${ExactAgg.exactMeanSql("q", 4)} AS avg_quality,
+        |  ${ExactAgg.exactMeanSql("n_toks", 4)} AS avg_tokens,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
         | FROM f GROUP BY 1),
         |tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs FROM b)
@@ -1042,7 +1050,7 @@ object SparkEntry {
         |    * (1.0 / CAST(nullif(n_a, 0) AS DOUBLE) + 1.0 / CAST(nullif(n_b, 0) AS DOUBLE))), 0.0) + 1e-9, 4) AS z_score
         |FROM f""".stripMargin,
     "events_funnel_timing" ->
-      """WITH e AS (SELECT user_id, event_type,
+      s"""WITH e AS (SELECT user_id, event_type,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type='view' GROUP BY 1),
         |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
@@ -1052,9 +1060,9 @@ object SparkEntry {
         |d AS (SELECT (c_us - v_us) / 1000000 AS v2c_s, (p_us - c_us) / 1000000 AS c2p_s
         |  FROM p JOIN v USING (user_id) JOIN c USING (user_id))
         |SELECT count(*) AS n_converted,
-        | round(avg(v2c_s) + 1e-9, 4) AS avg_view_to_click_s,
+        | ${ExactAgg.exactMeanSql("v2c_s", 4)} AS avg_view_to_click_s,
         | round(quantile_cont(v2c_s, 0.5) + 1e-9, 4) AS med_view_to_click_s,
-        | round(avg(c2p_s) + 1e-9, 4) AS avg_click_to_purchase_s,
+        | ${ExactAgg.exactMeanSql("c2p_s", 4)} AS avg_click_to_purchase_s,
         | round(quantile_cont(c2p_s, 0.5) + 1e-9, 4) AS med_click_to_purchase_s
         |FROM d""".stripMargin,
     "corpus_zipf" ->
@@ -1071,7 +1079,7 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         |d AS (SELECT len(toks)::BIGINT AS n_toks FROM t),
         |a AS (SELECT count(*) AS n_docs, sum(n_toks)::BIGINT AS total_tokens,
-        |  round(avg(n_toks)+1e-9,4) AS avg_tokens,
+        |  ${ExactAgg.exactMeanSql("n_toks", 4)} AS avg_tokens,
         |  round(quantile_cont(n_toks,0.5)+1e-9,4) AS med_tokens FROM d),
         |v AS (SELECT count(DISTINCT tok) AS vocab_size
         |  FROM (SELECT unnest(toks) AS tok FROM t))
@@ -1093,7 +1101,7 @@ object SparkEntry {
         |c AS (SELECT *, count(*) OVER (PARTITION BY prev, cur) AS n_vw,
         |  count(*) OVER (PARTITION BY prev) AS n_v FROM b)
         |SELECT doc_id, count(*) AS n_bigrams,
-        | round(avg(-ln(n_vw::DOUBLE / n_v)) + 1e-9, 4) AS avg_nll
+        | ${ExactAgg.exactMeanSql("-ln(n_vw::DOUBLE / n_v)", 4)} AS avg_nll
         |FROM c GROUP BY 1""".stripMargin,
     "text_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
@@ -1118,9 +1126,9 @@ object SparkEntry {
         |SELECT doc_id, source, samp_rank
         |FROM r WHERE samp_rank <= (n_src * rate16 + 15) // 16""".stripMargin,
     "corpus_length_histogram" ->
-      """SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS len_bucket,
+      s"""SELECT CAST(floor(log2(n_chars)) AS BIGINT) AS len_bucket,
         | count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-        | round(avg(n_chars) + 1e-9, 4) AS avg_chars
+        | ${ExactAgg.exactMeanSql("n_chars", 4)} AS avg_chars
         |FROM documents WHERE n_chars > 0 GROUP BY 1""".stripMargin,
     "text_novelty" ->
       s"""WITH $sqlShingles,
@@ -1136,7 +1144,7 @@ object SparkEntry {
         |f AS (SELECT *, count(*) OVER (PARTITION BY tok) AS tf FROM x),
         |n AS (SELECT count(*) AS corpus_toks FROM x)
         |SELECT doc_id, count(*) AS n_tokens,
-        | round(avg(-ln(tf * 1.0 / corpus_toks)) + 1e-9, 4) AS avg_surprisal
+        | ${ExactAgg.exactMeanSql("-ln(tf * 1.0 / corpus_toks)", 4)} AS avg_surprisal
         |FROM f, n GROUP BY 1""".stripMargin,
     "corpus_token_shards" ->
       s"""WITH t AS (SELECT doc_id, len($sqlToks)::BIGINT AS n_toks FROM documents),
@@ -1277,7 +1285,7 @@ object SparkEntry {
     "dedup_minhash_tuning" -> {
       def cfg(nb: Int, r: Int) =
         s"""SELECT $nb AS n_bands, $r AS rows_per_band, count(*) AS n_pairs,
-           | round(avg(est) + 1e-9, 4) AS mean_est_jaccard FROM (
+           | ${ExactAgg.exactMeanSql("est", 4)} AS mean_est_jaccard FROM (
            |  SELECT c.d1, c.d2, CAST(sum(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16.0 AS est
            |  FROM (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
            |    FROM (SELECT doc_id, seed // $r AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh

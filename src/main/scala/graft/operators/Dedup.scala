@@ -575,7 +575,7 @@ object Dedup {
         .join(sig.as("b"), col("doc_id_2") === col("b.doc_id"))
         .select((agree / lit(16.0)).as("est"))
         .agg(count(lit(1)).as("n_pairs"),
-          round(avg(col("est")) + lit(1e-9), 4).as("mean_est_jaccard"))
+          graft.functions.ExactAgg.exactMean(col("est"), 4).as("mean_est_jaccard"))
         .select(lit(nb).as("n_bands"), lit(r).as("rows_per_band"),
           col("n_pairs"), col("mean_est_jaccard"))
     }.reduce(_ unionByName _)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ExactAgg
 
 /** Product-analytics operators over the `events` stream table
   * (SURVEY.md §2.2 additions) — the funnel/retention queries every
@@ -107,8 +108,8 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"))
       .groupBy(col("event_type"), hour(col("hour_ts")).as("hour_of_day"))
       .agg(count(lit(1)).as("n_hours"),
-        round(avg(col("n_events")) + lit(1e-9), 4).as("mean_events"),
-        round(stddev_pop(col("n_events")) + lit(1e-9), 4).as("stddev_events"))
+        ExactAgg.exactMean(col("n_events"), 4).as("mean_events"),
+        ExactAgg.exactStd(col("n_events"), 4).as("stddev_events"))
 
   /** E7 — `events_gap_report`: ingestion-completeness monitor — per
     * event type, how many hours of the corpus's own [min, max] hour
@@ -423,9 +424,9 @@ object EventAnalytics {
       .select(((col("c_us") - col("v_us")) / lit(1000000L)).as("v2c_s"),
         ((col("p_us") - col("c_us")) / lit(1000000L)).as("c2p_s"))
       .agg(count(lit(1)).as("n_converted"),
-        round(avg(col("v2c_s")) + lit(1e-9), 4).as("avg_view_to_click_s"),
+        ExactAgg.exactMean(col("v2c_s"), 4).as("avg_view_to_click_s"),
         round(percentile(col("v2c_s"), lit(0.5)) + lit(1e-9), 4).as("med_view_to_click_s"),
-        round(avg(col("c2p_s")) + lit(1e-9), 4).as("avg_click_to_purchase_s"),
+        ExactAgg.exactMean(col("c2p_s"), 4).as("avg_click_to_purchase_s"),
         round(percentile(col("c2p_s"), lit(0.5)) + lit(1e-9), 4).as("med_click_to_purchase_s"))
   }
 
@@ -475,15 +476,17 @@ object EventAnalytics {
     val tagged = hourly.crossJoin(broadcast(lastDay))
     val train = tagged.filter(to_date(col("hour_ts")) < col("last_day"))
       .groupBy(col("event_type"), hour(col("hour_ts")).as("hod"))
-      .agg(avg(col("n_events")).as("pred"))
+      // exact integer sum / count: avg(double) would be summation-
+      // order-dependent and pred feeds the error metrics downstream
+      .agg((sum(col("n_events")).cast("double") / count(lit(1))).as("pred"))
     val test = tagged.filter(to_date(col("hour_ts")) === col("last_day"))
       .select(col("event_type"), hour(col("hour_ts")).as("hod"),
         col("n_events").as("actual"))
     test.join(train, Seq("event_type", "hod"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
-        round(avg(abs(col("pred") - col("actual"))) + lit(1e-9), 4).as("mae"),
-        round(avg(col("pred") - col("actual")) + lit(1e-9), 4).as("bias"))
+        ExactAgg.exactMean(abs(col("pred") - col("actual")), 4).as("mae"),
+        ExactAgg.exactMean(col("pred") - col("actual"), 4).as("bias"))
   }
 
   /** `events_recommend_cooccur` — item-to-item co-occurrence counts
@@ -595,9 +598,9 @@ object EventAnalytics {
           - unix_micros(col("start_ts").cast("timestamp"))).as("duration_us"))
     sessions.agg(
       count(lit(1)).as("n_sessions"),
-      round(avg(col("n_events")) + lit(1e-9), 4).as("avg_events"),
+      ExactAgg.exactMean(col("n_events"), 4).as("avg_events"),
       round(percentile(col("n_events"), lit(0.5)) + lit(1e-9), 4).as("med_events"),
-      round(avg(col("duration_us")) + lit(1e-9), 4).as("avg_duration_us"),
+      ExactAgg.exactMean(col("duration_us"), 4).as("avg_duration_us"),
       max(col("duration_us")).as("max_duration_us"),
       (sum(when(col("n_events") === 1, 1L).otherwise(0L))
         / nullif(count(lit(1)), lit(0L))).as("bounce_rate"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ExactAgg
 
 /** Relational / OLAP operator suite (SURVEY.md §2.2).
   *
@@ -23,7 +24,23 @@ object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp_ntz")
 
-  /** TPC-H Q1: pricing summary report. Single scan + hash aggregate. */
+  /** SURVEY §6 rounding rule — exact decimal money terms. Each factor
+    * is one deterministic double op + a decimal cast (2-dp inputs are
+    * never near the cast's half boundary); products and sums then run
+    * in EXACT decimal arithmetic, order-independent on both engines —
+    * immune to the summation-order boundary flips double sums admit.
+    * Types stay under both engines' 38-digit cap: (18,4)·(6,4) →
+    * (25,8), ·(6,4) → (32,12). */
+  private def decPrice: Column = col("l_extendedprice").cast("decimal(18,4)")
+  private def decDisc: Column = (lit(1) - col("l_discount")).cast("decimal(6,4)")
+  private def decTax: Column = (lit(1) + col("l_tax")).cast("decimal(6,4)")
+  private def decRev: Column = decPrice * decDisc
+  private def decCharge: Column = decRev * decTax
+
+  /** TPC-H Q1: pricing summary report. Single scan + hash aggregate.
+    * Money sums of 2-dp inputs are exact-by-margin (the true sum is a
+    * 2-dp decimal, never at a .005 boundary); product sums and the
+    * 4-dp means use the exact decimal / integer patterns (§6). */
   def q1PricingSummary(t: Tables): DataFrame =
     t.lineitem
       .filter(col("l_shipdate") <= ts("2001-09-02"))
@@ -31,11 +48,11 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(sum(decRev), 2).cast("double").as("sum_disc_price"),
+        round(sum(decCharge), 2).cast("double").as("sum_charge"),
+        ExactAgg.exactMean(col("l_quantity"), 4).as("avg_qty"),
+        ExactAgg.exactMean(col("l_extendedprice"), 4).as("avg_price"),
+        ExactAgg.exactMean(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3-ish: shipping priority. 3-way join + agg + top-10. */
@@ -45,7 +62,7 @@ object Relational {
       .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
       .filter(col("o_orderdate") < ts("1998-01-01") && col("l_shipdate") > ts("1998-01-01"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
+      .agg(round(sum(decRev), 2).cast("double").as("revenue"))
       .orderBy(desc("revenue"), asc("o_orderkey"))
       .limit(10)
 
@@ -61,7 +78,7 @@ object Relational {
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
+      .agg(round(sum(decRev), 2).cast("double").as("revenue"))
 
   /** TPC-H Q6-ish: revenue delta from a tight scan-level filter. */
   def q6RevenueDelta(t: Tables): DataFrame =
@@ -70,7 +87,8 @@ object Relational {
         col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01") &&
         col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
       .agg(
-        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        round(sum(decPrice * col("l_discount").cast("decimal(6,4)")), 2)
+          .cast("double").as("revenue"),
         count(lit(1)).as("cnt"))
 
   /** TPC-H Q10-ish: top returned-item customers in a quarter. */
@@ -81,7 +99,7 @@ object Relational {
       .join(t.lineitem.filter(col("l_returnflag") === "R"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))) + lit(1e-9), 2).as("revenue"))
+      .agg(round(sum(decRev), 2).cast("double").as("revenue"))
       .orderBy(desc("revenue"), asc("c_custkey"))
       .limit(20)
 
@@ -132,7 +150,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         round(sum(col("o_totalprice")), 2).as("sum_price"),
-        round(avg(col("o_totalprice")), 4).as("avg_price"),
+        ExactAgg.exactMean(col("o_totalprice"), 4).as("avg_price"),
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"),
         countDistinct(col("o_custkey")).as("n_cust"))
@@ -277,8 +295,9 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("l_quantity") > 25, 1L).otherwise(0L)).as("big_qty"),
-        round(sum(when(col("l_discount") > 0.05,
-          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)), 2).as("discounted_rev"))
+        round(sum(when(col("l_discount") > 0.05, decRev)
+          .otherwise(lit(0).cast("decimal(18,4)"))), 2)
+          .cast("double").as("discounted_rev"))
 
   /** Post-aggregation filter (HAVING). */
   def qHaving(t: Tables): DataFrame =
@@ -361,9 +380,9 @@ object Relational {
       .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) *
-          sum(when(col("p_type") === "PROMO",
-            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
-          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          sum(when(col("p_type") === "PROMO", decRev)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(decRev).cast("double") + lit(1e-9), 4)
         .as("promo_pct"))
 
   /** TPC-H Q18-flavored: large-quantity orders (HAVING subquery as a
@@ -391,7 +410,7 @@ object Relational {
         (col("p_brand") === "Brand#23" && col("l_quantity").between(10, 20) && col("p_size").between(1, 10)) ||
         (col("p_brand") === "Brand#3" && col("l_quantity").between(20, 30) && col("p_size").between(1, 15)))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        round(sum(decRev), 2).cast("double").as("revenue"),
         count(lit(1)).as("cnt"))
 
   /** TPC-H Q22-flavored: well-funded customers with no orders, per
@@ -484,7 +503,7 @@ object Relational {
       .agg(
         count(lit(1)).as("n"),
         sum(col("k")).as("sum_k"),
-        round(avg(col("k")), 4).as("avg_k"))
+        ExactAgg.exactMean(col("k"), 4).as("avg_k"))
 
   /** Tumbling time-window (hourly) aggregation over the event stream. */
   def qTimeBucket(t: Tables): DataFrame =
@@ -700,6 +719,6 @@ object Relational {
       .join(brandParts, col("l_partkey") === col("p_partkey"))
       .join(thr, col("l_partkey") === col("ap"))
       .filter(col("l_quantity") < col("thr"))
-      .agg(round(sum(col("l_extendedprice")) / 7.0 + 1e-9, 2).as("avg_yearly"))
+      .agg(round(sum(decPrice).cast("double") / 7.0 + 1e-9, 2).as("avg_yearly"))
   }
 }

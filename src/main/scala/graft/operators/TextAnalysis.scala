@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ExactAgg
 
 /** Text-analysis operator suite over the `documents` corpus
   * (SURVEY.md §2.5) — the LLM-training-data quality toolchain.
@@ -343,8 +344,8 @@ object TextAnalysis {
       count(lit(1)).over(Window.partitionBy(col("eh"))))
     val bySource = flagged.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        round(avg(col("q")) + lit(1e-9), 4).as("avg_quality"),
-        round(avg(col("n_toks")) + lit(1e-9), 4).as("avg_tokens"),
+        ExactAgg.exactMean(col("q"), 4).as("avg_quality"),
+        ExactAgg.exactMean(col("n_toks"), 4).as("avg_tokens"),
         sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_duplicated"))
     val total = bySource.agg(sum(col("n_docs")).as("total_docs"))
     bySource.crossJoin(broadcast(total))
@@ -396,7 +397,7 @@ object TextAnalysis {
     val agg = perDoc.agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_toks")).as("total_tokens"),
-      round(avg(col("n_toks")) + eps, 4).as("avg_tokens"),
+      ExactAgg.exactMean(col("n_toks"), 4).as("avg_tokens"),
       round(percentile(col("n_toks"), lit(0.5)) + eps, 4).as("med_tokens"))
     val vocab = t.documents
       .repartition(t.spark.sparkContext.defaultParallelism)
@@ -565,7 +566,7 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        round(avg(col("n_chars")) + eps, 4).as("avg_chars"))
+        ExactAgg.exactMean(col("n_chars"), 4).as("avg_chars"))
   }
 
   /** T12 — inter-document novelty: per doc, how many of its distinct
@@ -622,7 +623,12 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_tokens"),
-        round(avg(-log(col("tf").cast("double") / lit(corpusToks.toDouble))) + eps, 4)
+        // per-token −log quantizes to ×10⁴ BIGINT before the exact
+        // reduction: the only residual cross-engine hazard is a
+        // sub-ulp libm ln() difference landing exactly on a
+        // quantization edge (≈1e-12 per value) — the summation-order
+        // hazard of round(avg(double)) is gone entirely (SURVEY §6)
+        ExactAgg.exactMean(-log(col("tf").cast("double") / lit(corpusToks.toDouble)), 4)
           .as("avg_surprisal"))
   }
 
@@ -686,7 +692,7 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),
-        round(avg(-log(col("n_vw").cast("double") / col("n_v"))) + eps, 4)
+        ExactAgg.exactMean(-log(col("n_vw").cast("double") / col("n_v")), 4)
           .as("avg_nll"))
   }
 

@@ -12,6 +12,41 @@ import graft.SparkSpec
   */
 class RandomizedEquivalenceSpec extends SparkSpec {
 
+  test("exactMean/exactStd are bit-identical across partitionings at half boundaries") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.ExactAgg
+    val sess = spark
+    import sess.implicits._
+    // driver-side replication of the exact-integer formulas — the
+    // same single-IEEE-op pipeline the column expressions run
+    def refMean(vs: Seq[Double]): Double = {
+      val qs = vs.map(v => math.floor(v * 1e4 + 0.5).toLong)
+      val s = qs.sum; val n = qs.size.toLong
+      math.floor((2.0 * s + n) / (2.0 * n)) / 1e4
+    }
+    def refStd(vs: Seq[Double]): Double = {
+      val qs = vs.map(v => math.floor(v * 1e4 + 0.5).toLong)
+      val s = qs.sum; val s2 = qs.map(q => q * q).sum; val n = qs.size.toLong
+      math.floor(math.sqrt((n * s2 - s * s).toDouble / (n * n)) + 0.5) / 1e4
+    }
+    val rnd = new scala.util.Random(99)
+    // half-unit values (k/2·10⁴): group means land EXACTLY on .xxxx5
+    // half boundaries — the adversarial case where round(avg(double))
+    // flipped on summation order (embed_kmeans, round 7)
+    val vs = (1 to 1000).map(_ => rnd.nextInt(20001).toDouble / 2e4)
+    val em = refMean(vs); val es = refStd(vs)
+    for (parts <- Seq(1, 7, 32)) {
+      val row = vs.toDF("v").repartition(parts)
+        .agg(ExactAgg.exactMean(col("v"), 4).as("m"),
+          ExactAgg.exactStd(col("v"), 4).as("s")).collect()(0)
+      def bits(d: Double) = java.lang.Double.doubleToLongBits(d)
+      assert(bits(row.getDouble(0)) == bits(em),
+        s"mean drifted at parts=$parts: ${row.getDouble(0)} vs $em")
+      assert(bits(row.getDouble(1)) == bits(es),
+        s"std drifted at parts=$parts: ${row.getDouble(1)} vs $es")
+    }
+  }
+
   test("native as-of join matches the in-memory reference on random data") {
     val rnd = new scala.util.Random(42)
     val sess = spark
