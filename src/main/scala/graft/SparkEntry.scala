@@ -121,6 +121,7 @@ object SparkEntry {
     "events_gap_report"   -> q(EventAnalytics.eventsGapReport),
     "events_seasonal_profile" -> q(EventAnalytics.eventsSeasonalProfile),
     "events_rfm"          -> q(EventAnalytics.eventsRfm),
+    "events_ltv_cohort"   -> q(t => EventAnalytics.eventsLtvCohort(t)),
     "events_session_stats" -> q(EventAnalytics.eventsSessionStats),
     "events_attribution_linear" -> q(t => EventAnalytics.eventsAttributionLinear(t)),
     "events_forecast_eval" -> q(EventAnalytics.eventsForecastEval),
@@ -150,6 +151,7 @@ object SparkEntry {
     "ann_refine_topk"     -> q(t => Similarity.annRefineTopK(t)),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
+    "ann_pq_topk"         -> q(t => Similarity.annPqTopK(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
@@ -640,6 +642,24 @@ object SparkEntry {
         | FROM pk GROUP BY 1)
         |SELECT count_bucket, n_keys, bucket_rows, max_rows,
         | round(bucket_rows::DOUBLE / sum(bucket_rows) OVER () + 1e-9, 4) AS row_share
+        |FROM b""".stripMargin,
+    // day sums are 2-dp money (exact-by-margin); the cumulative sum
+    // re-adds the already-rounded day values in frame order
+    "events_ltv_cohort" ->
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1),
+        |p AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT f.cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, p.day) AS BIGINT) AS age_days,
+        |  count(DISTINCT p.user_id) AS n_buyers,
+        |  round(sum(value), 2) AS day_value
+        | FROM p JOIN f USING (user_id)
+        | WHERE date_diff('day', f.cohort_day, p.day) <= 14
+        | GROUP BY 1, 2)
+        |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day, age_days,
+        | n_buyers, day_value,
+        | round(sum(day_value) OVER (PARTITION BY cohort_day ORDER BY age_days
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_value
         |FROM b""".stripMargin,
     "events_rfm" ->
       """WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day, value FROM events),
@@ -1693,6 +1713,10 @@ object SparkEntry {
     // construction, same oracle.
     "ann_ivf_kmeans_topk" -> ivfKmeansSql,
     "ann_ivf_table" -> ivfKmeansSql,
+    // PQ: codebooks, codes and ADC tables all replay exactly — the
+    // L2² folds are generated from the same index lists as the Spark
+    // expressions, so the `+` chains associate identically
+    "ann_pq_topk" -> pqSql,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |cent AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
@@ -1835,6 +1859,46 @@ object SparkEntry {
       |  FROM probe p JOIN assign a USING (cell) JOIN corp ON corp.vec_id = a.vec_id JOIN q ON q.q_id = p.q_id),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM cand)
       |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Similarity.annPqTopK]]: per
+    * subspace, code assignment by (rounded L2², cid) argmin and the
+    * query ADC tables, joined code→table-entry and summed in the same
+    * left-associative order as the Spark fold. */
+  private lazy val pqSql: String = {
+    val m = 8; val subDims = 8
+    def l2(a: String, b: String, j: Int): String =
+      (0 until subDims).map { d =>
+        val i = j * subDims + d + 1
+        s"($a[$i]-$b[$i])*($a[$i]-$b[$i])"
+      }.mkString(" + ")
+    val codeCtes = (0 until m).map { j =>
+      s"""d$j AS (SELECT corp.vec_id, cent.cid, round(${l2("corp.emb", "cent.cemb", j)} + 1e-9, 6) AS d
+         |  FROM corp CROSS JOIN cent),
+         |k$j AS (SELECT vec_id, cid AS c$j FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$j) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val qtCtes = (0 until m).map { j =>
+      s"""qt$j AS (SELECT q.vec_id AS q_id, cent.cid, round(${l2("q.emb", "cent.cemb", j)} + 1e-9, 6) AS d
+         |  FROM q CROSS JOIN cent)""".stripMargin
+    }.mkString(",\n")
+    val codeJoins = (0 until m).map(j => s"JOIN k$j USING (vec_id)").mkString(" ")
+    val qtJoins = (1 until m)
+      .map(j => s"JOIN qt$j t$j ON t$j.cid = c.c$j AND t$j.q_id = t0.q_id")
+      .mkString("\n|  ")
+    val sumExpr = (0 until m).map(j => s"t$j.d").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cent AS (SELECT (vec_id - 10)::INT AS cid, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
+       |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+       |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+       |$codeCtes,
+       |codes AS (SELECT corp.vec_id, ${(0 until m).map(j => s"c$j").mkString(", ")} FROM corp $codeJoins),
+       |$qtCtes,
+       |sc AS (SELECT t0.q_id, c.vec_id, round($sumExpr + 1e-9, 4) AS approx_dist
+       |  FROM codes c JOIN qt0 t0 ON t0.cid = c.c0
+       |  $qtJoins),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS INTEGER) AS rnk FROM sc)
+       |SELECT q_id, vec_id, approx_dist, rnk FROM r WHERE rnk <= 5""".stripMargin
+  }
 
   private def kmeansChainSql(nUpdates: Int): String = {
     val head =

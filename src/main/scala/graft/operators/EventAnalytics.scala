@@ -623,4 +623,40 @@ object EventAnalytics {
           .when(col("recency_days") <= 7, "warm")
           .otherwise("lapsed").as("segment"))
   }
+
+  /** `events_ltv_cohort` — lifetime-value curves by signup cohort:
+    * users cohorted by their first-ever-seen day, purchase value
+    * rolled up per (cohort, days-since-signup age) with distinct
+    * buyers, then ACCUMULATED over age — the per-cohort LTV curve
+    * growth/finance teams read payback periods from, and the natural
+    * companion to [[eventsRetention]] (same cohort key, value instead
+    * of presence).
+    *
+    * Shape: the first-seen day is one user-keyed min aggregate (the
+    * `events_new_vs_returning` shape); the rollup is one
+    * (cohort, age) partial agg; accumulation is a frame-ordered
+    * running sum over the TINY rollup (≤ cohorts×maxAge rows). The
+    * day sums are 2-dp money over 2-dp inputs — exact-by-margin at
+    * the 2-dp round (§6 class 1), and the cumulative sum re-adds the
+    * already-rounded day values in frame order, identical on both
+    * engines.
+    */
+  def eventsLtvCohort(t: Tables, maxAgeDays: Int = 14): DataFrame = {
+    val firstDay = t.events.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val byAge = t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .join(firstDay, "user_id")
+      .withColumn("age_days",
+        datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("age_days") <= maxAgeDays)
+      .groupBy(col("cohort_day"), col("age_days"))
+      .agg(countDistinct(col("user_id")).as("n_buyers"),
+        round(sum(col("value")), 2).as("day_value"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(asc("age_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge.select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+      col("age_days"), col("n_buyers"), col("day_value"),
+      round(sum(col("day_value")).over(w), 2).as("cum_value"))
+  }
 }

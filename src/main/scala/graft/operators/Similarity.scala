@@ -566,6 +566,62 @@ object Similarity {
         round((col("sim") - col("mu")) / col("sigma") + lit(1e-9), 4).as("z_score"))
   }
 
+  /** S15 — `ann_pq_topk`: product-quantization ANN — the third
+    * production index family after LSH and IVF. The vector space
+    * splits into `m` subspaces of dims/m coordinates; each subspace
+    * gets a K-entry codebook (deterministic: the sub-vectors of the
+    * first K corpus vectors, the same seed rule as the IVF coarse
+    * quantizer), and every corpus vector is ENCODED as m small codes —
+    * 8 bytes instead of 256 for a 64-d float vector, the 32×
+    * compression that lets a 100 TB corpus's index live in RAM.
+    *
+    * Scoring is ADC (asymmetric distance computation): each query
+    * precomputes an m×K table of subspace L2² distances to the
+    * codebook entries (map-side, broadcast with the query), and a
+    * corpus candidate's approximate distance is m table LOOKUPS — no
+    * float math against the corpus vectors at all. Encode is map-only
+    * over the corpus; the scan never shuffles. Sub-distances round at
+    * 6 dp (+1e-9, (d asc, code asc) argmin tie-break) so the codes
+    * and lookup tables are bit-identical cross-engine, making even
+    * this approximate path exactly oracle-replayable.
+    */
+  def annPqTopK(t: Tables, m: Int = 8, nCents: Int = 16,
+      dims: Int = 64): DataFrame = {
+    val subDims = dims / m
+    val cents = centroidSeq(t, nCents)
+    // subspace L2² against a literal codebook entry: fixed left-assoc
+    // fold so the oracle's `+` chain reproduces the exact double
+    def l2sq(emb: Column, j: Int, cv: Seq[Double]): Column =
+      (0 until subDims).map { d =>
+        val x = element_at(emb, j * subDims + d + 1) - lit(cv(j * subDims + d))
+        x * x
+      }.reduce(_ + _)
+    def dRound(c: Column): Column = round(c + lit(1e-9), 6)
+    def codeOf(emb: Column, j: Int): Column =
+      least(cents.map { case (cid, cv) =>
+        struct(dRound(l2sq(emb, j, cv)).as("d"), lit(cid).as("c"))
+      }: _*).getField("c")
+    val e = withEmb(t)
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id") +:
+        (0 until m).map(j => codeOf(col("emb"), j).as(s"c$j")): _*)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id") +:
+        (0 until m).map(j => array(cents.map { case (_, cv) =>
+          dRound(l2sq(col("emb"), j, cv))
+        }: _*).as(s"dt$j")): _*)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"dt$j"), col(s"c$j") + 1))
+      .reduce(_ + _)
+    corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(approx + lit(1e-9), 4).as("approx_dist"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(asc("approx_dist"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
   def annRecallEval(t: Tables): DataFrame = {
     val bf = annBruteForceTopK(t).select(col("q_id"), col("vec_id")).persist()
     bf.count()

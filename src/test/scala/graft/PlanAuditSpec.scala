@@ -66,6 +66,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ann_pq_topk: map-only encode, ADC tables broadcast, no sort-merge") {
+    val p = plan(Similarity.annPqTopK(tables))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("mm_decode_meta: map-only, no exchange") {
     val p = plan(Multimodal.mmDecodeMeta(tables))
     assert(!p.contains("Exchange"), p)
