@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Distance, QuantizedCosine}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2SquaredDistance, QuantizedCosine}
 
 /** Session extensions registering graft's native SQL functions
   * (SURVEY.md §2.4 S3). Install with
@@ -41,6 +41,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"l2_distance expects 2 arguments, got ${children.length}")
         L2Distance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_sq_distance"),
+      new ExpressionInfo(classOf[L2SquaredDistance].getName, null,
+        "l2_sq_distance", "l2_sq_distance(a, b) - squared Euclidean distance of two array<double> vectors (the PQ/ADC kernel)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"l2_sq_distance expects 2 arguments, got ${children.length}")
+        L2SquaredDistance(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("quantized_cosine"),

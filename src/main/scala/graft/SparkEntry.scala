@@ -1872,13 +1872,13 @@ object SparkEntry {
         s"($a[$i]-$b[$i])*($a[$i]-$b[$i])"
       }.mkString(" + ")
     val codeCtes = (0 until m).map { j =>
-      s"""d$j AS (SELECT corp.vec_id, cent.cid, round(${l2("corp.emb", "cent.cemb", j)} + 1e-9, 6) AS d
+      s"""d$j AS (SELECT corp.vec_id, cent.cid, ${l2("corp.emb", "cent.cemb", j)} AS d
          |  FROM corp CROSS JOIN cent),
          |k$j AS (SELECT vec_id, cid AS c$j FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$j) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val qtCtes = (0 until m).map { j =>
-      s"""qt$j AS (SELECT q.vec_id AS q_id, cent.cid, round(${l2("q.emb", "cent.cemb", j)} + 1e-9, 6) AS d
+      s"""qt$j AS (SELECT q.vec_id AS q_id, cent.cid, ${l2("q.emb", "cent.cemb", j)} AS d
          |  FROM q CROSS JOIN cent)""".stripMargin
     }.mkString(",\n")
     val codeJoins = (0 until m).map(j => s"JOIN k$j USING (vec_id)").mkString(" ")

@@ -104,6 +104,11 @@ object VectorFunctions {
     ColumnBridge.column(L2Distance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** SQUARED Euclidean distance (codegen'd; the PQ/ADC kernel). */
+  def l2SqDistance(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SquaredDistance(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Cosine over the inline symmetric-int8 quantization of both
     * `array<double>` columns (codegen'd) — the int8 ANN scoring
     * kernel. */

@@ -104,6 +104,26 @@ case class L2Distance(left: Expression, right: Expression) extends BinaryVectorE
   override def prettyName: String = "l2_distance"
 }
 
+/** `l2_sq_distance(a, b)` — SQUARED Euclidean distance (no sqrt):
+  * the product-quantization/ADC kernel, where per-subspace squared
+  * sub-distances add across subspaces and the root is never taken.
+  * Accumulation is the same in-order `acc += d·d` loop as
+  * [[L2Distance]], so a left-associative `+` chain over the elements
+  * (the oracle's spelling) reproduces the exact double. */
+case class L2SquaredDistance(left: Expression, right: Expression) extends BinaryVectorExpression {
+  override protected def accumulate(acc: Double, x: Double, y: Double): Double = {
+    val d = x - y; acc + d * d
+  }
+  override protected def fold(acc: Double): Option[Double] = Some(acc)
+  override protected def accumulateCode(acc: String, xv: String, yv: String): String =
+    s"final double ${acc}_d = $xv - $yv; $acc += ${acc}_d * ${acc}_d;"
+  override protected def foldCode(acc: String, ev: ExprCode): String =
+    s"${ev.value} = $acc;"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SquaredDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "l2_sq_distance"
+}
+
 /** `quantized_cosine(a, b)` — cosine similarity computed over the
   * symmetric-int8 quantization of both vectors (per-vector max-abs
   * scale, `round(v/scale·127 + 1e-9)` half-away-from-zero — exactly

@@ -23,12 +23,24 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(eval(l2Distance(col("a"), col("b")), Seq(1.0, 1.0), Seq(1.0, 1.0)).get == 0.0)
   }
 
+  test("l2_sq_distance basics (the PQ/ADC kernel)") {
+    assert(eval(l2SqDistance(col("a"), col("b")), Seq(0.0, 0.0), Seq(3.0, 4.0)).get == 25.0)
+    assert(eval(l2SqDistance(col("a"), col("b")), Seq(1.0), Seq(1.0, 2.0)).isEmpty)
+    // bit-equal to the oracle's left-associative `+` chain spelling
+    val vs = Seq(0.1, -0.2, 0.3, 0.4)
+    val ws = Seq(-0.5, 0.6, 0.7, -0.8)
+    val manual = vs.zip(ws).map { case (x, y) => (x - y) * (x - y) }.reduce(_ + _)
+    assert(eval(l2SqDistance(col("a"), col("b")), vs, ws).get == manual)
+  }
+
   test("SQL registration resolves all vector functions") {
     val r = spark.sql(
       """SELECT dot_product(array(1d,2d), array(3d,4d)) AS d,
         |       l2_distance(array(0d,0d), array(3d,4d)) AS l,
+        |       l2_sq_distance(array(0d,0d), array(3d,4d)) AS l2,
         |       cosine_similarity(array(1d,0d), array(1d,0d)) AS c""".stripMargin).head()
-    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 && math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 5.0 &&
+      r.getDouble(2) == 25.0 && math.abs(r.getDouble(3) - 1.0) < 1e-12)
   }
 
   test("identity: cosine == dot / (|a| |b|) on real embeddings") {
