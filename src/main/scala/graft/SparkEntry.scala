@@ -152,6 +152,7 @@ object SparkEntry {
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "ann_pq_topk"         -> q(t => Similarity.annPqTopK(t)),
+    "ann_pq_refine_topk"  -> q(t => Similarity.annPqRefineTopK(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
@@ -1717,6 +1718,7 @@ object SparkEntry {
     // L2² folds are generated from the same index lists as the Spark
     // expressions, so the `+` chains associate identically
     "ann_pq_topk" -> pqSql,
+    "ann_pq_refine_topk" -> pqRefineSql,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |cent AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
@@ -1860,44 +1862,88 @@ object SparkEntry {
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM cand)
       |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin
 
-  /** DuckDB replay of [[graft.operators.Similarity.annPqTopK]]: per
-    * subspace, code assignment by (rounded L2², cid) argmin and the
-    * query ADC tables, joined code→table-entry and summed in the same
-    * left-associative order as the Spark fold. */
-  private lazy val pqSql: String = {
-    val m = 8; val subDims = 8
+  /** DuckDB replay of [[graft.operators.Similarity.annPqTopK]]: the
+    * per-subspace codebook TRAINING chain (Lloyd updates with
+    * exact-integer means and empty-cell carry-forward — the
+    * kmeansChainSql pattern per subspace), then code assignment by
+    * (L2², cid) argmin and the query ADC tables, joined
+    * code→table-entry and summed in the same left-associative order
+    * as the Spark fold. */
+  private lazy val pqSql: String =
+    s"""WITH $pqChainSql,
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS INTEGER) AS rnk FROM sc)
+       |SELECT q_id, vec_id, approx_dist, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  /** The PQ shortlist + exact full-precision L2² rerank — the
+    * `ann_pq_refine_topk` oracle (64-term chain in kernel order). */
+  private lazy val pqRefineSql: String = {
+    val l2full = (0 until 64).map(d =>
+      s"(eq.emb[${d + 1}]-ec.emb[${d + 1}])*(eq.emb[${d + 1}]-ec.emb[${d + 1}])").mkString(" + ")
+    s"""WITH $pqChainSql,
+       |sl AS (SELECT q_id, vec_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS qrnk FROM sc)
+       |  WHERE qrnk <= 100),
+       |x AS (SELECT sl.q_id, sl.vec_id, round($l2full + 1e-9, 4) AS l2_sq
+       |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2_sq, vec_id) AS INTEGER) AS rnk FROM x)
+       |SELECT q_id, vec_id, l2_sq, rnk FROM r WHERE rnk <= 5""".stripMargin
+  }
+
+  /** Everything through the ADC score frame `sc` (q_id, vec_id,
+    * approx_dist), incl. the per-subspace codebook-training chain;
+    * also leaves `e`/`corp`/`q` in scope. */
+  private lazy val pqChainSql: String = {
+    val m = 8; val subDims = 8; val nUpdates = 2 // nIters=3 → 2 updates
+    // L2² of corpus/query sub-vector j against an 8-dim codebook entry
     def l2(a: String, b: String, j: Int): String =
       (0 until subDims).map { d =>
-        val i = j * subDims + d + 1
-        s"($a[$i]-$b[$i])*($a[$i]-$b[$i])"
+        s"($a[${j * subDims + d + 1}]-$b[${d + 1}])*($a[${j * subDims + d + 1}]-$b[${d + 1}])"
       }.mkString(" + ")
+    val trainCtes = (0 until m).flatMap { j =>
+      val init =
+        s"""cb0x$j AS (SELECT (vec_id - 10)::INT AS cid,
+           |  emb[${j * subDims + 1}:${(j + 1) * subDims}] AS cemb
+           |  FROM e WHERE vec_id >= 10 AND vec_id < 26)""".stripMargin
+      val iters = (1 to nUpdates).map { i =>
+        s"""ts${i}x$j AS (SELECT corp.vec_id, cb.cid, ${l2("corp.emb", "cb.cemb", j)} AS d
+           |  FROM corp CROSS JOIN cb${i - 1}x$j cb),
+           |ta${i}x$j AS (SELECT vec_id, cid FROM
+           |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ts${i}x$j) WHERE rn = 1),
+           |tm${i}x$j AS (SELECT a.cid, (g8.i - 1)::INT AS pos,
+           |  ${ExactAgg.exactMeanSql(s"corp.emb[${j * subDims} + g8.i]", 4)} AS mv
+           |  FROM ta${i}x$j a JOIN corp USING (vec_id), g8 GROUP BY 1, 2),
+           |cb${i}x$j AS (SELECT p.cid, list(coalesce(tm.mv, p.v) ORDER BY p.pos) AS cemb
+           |  FROM (SELECT cid, (g8.i - 1)::INT AS pos, cemb[g8.i] AS v FROM cb${i - 1}x$j, g8) p
+           |  LEFT JOIN tm${i}x$j tm ON tm.cid = p.cid AND tm.pos = p.pos GROUP BY 1)""".stripMargin
+      }
+      init +: iters
+    }.mkString(",\n")
     val codeCtes = (0 until m).map { j =>
-      s"""d$j AS (SELECT corp.vec_id, cent.cid, ${l2("corp.emb", "cent.cemb", j)} AS d
-         |  FROM corp CROSS JOIN cent),
+      s"""d$j AS (SELECT corp.vec_id, cb.cid, ${l2("corp.emb", "cb.cemb", j)} AS d
+         |  FROM corp CROSS JOIN cb${nUpdates}x$j cb),
          |k$j AS (SELECT vec_id, cid AS c$j FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$j) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val qtCtes = (0 until m).map { j =>
-      s"""qt$j AS (SELECT q.vec_id AS q_id, cent.cid, ${l2("q.emb", "cent.cemb", j)} AS d
-         |  FROM q CROSS JOIN cent)""".stripMargin
+      s"""qt$j AS (SELECT q.vec_id AS q_id, cb.cid, ${l2("q.emb", "cb.cemb", j)} AS d
+         |  FROM q CROSS JOIN cb${nUpdates}x$j cb)""".stripMargin
     }.mkString(",\n")
     val codeJoins = (0 until m).map(j => s"JOIN k$j USING (vec_id)").mkString(" ")
     val qtJoins = (1 until m)
       .map(j => s"JOIN qt$j t$j ON t$j.cid = c.c$j AND t$j.q_id = t0.q_id")
       .mkString("\n|  ")
     val sumExpr = (0 until m).map(j => s"t$j.d").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |cent AS (SELECT (vec_id - 10)::INT AS cid, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
        |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+       |g8 AS (SELECT unnest(generate_series(1,$subDims)) AS i),
+       |$trainCtes,
        |$codeCtes,
        |codes AS (SELECT corp.vec_id, ${(0 until m).map(j => s"c$j").mkString(", ")} FROM corp $codeJoins),
        |$qtCtes,
        |sc AS (SELECT t0.q_id, c.vec_id, round($sumExpr + 1e-9, 4) AS approx_dist
        |  FROM codes c JOIN qt0 t0 ON t0.cid = c.c0
-       |  $qtJoins),
-       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS INTEGER) AS rnk FROM sc)
-       |SELECT q_id, vec_id, approx_dist, rnk FROM r WHERE rnk <= 5""".stripMargin
+       |  $qtJoins)""".stripMargin
   }
 
   private def kmeansChainSql(nUpdates: Int): String = {

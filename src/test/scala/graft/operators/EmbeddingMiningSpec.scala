@@ -32,6 +32,38 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("PQ fills top-k per query; shortlist+rerank recalls the exact L2 top-5") {
+    val pq = Similarity.annPqTopK(tables).cache()
+    try {
+      val perQuery = pq.groupBy("q_id").count().collect()
+      assert(perQuery.length == Similarity.NumQueries)
+      assert(perQuery.forall(_.getLong(1) == Similarity.TopK))
+      assert(pq.filter(col("approx_dist") < 0).count() == 0)
+    } finally pq.unpersist()
+    // quality floor on the PRODUCTION path: PQ shortlist + exact
+    // rerank must recover most of the true L2 top-5 (direct 4-bit ADC
+    // ranking alone legitimately can't split rank-5 boundaries on
+    // concentrated data — that's what the rerank stage is for)
+    import graft.functions.VectorFunctions.l2SqDistance
+    import org.apache.spark.sql.expressions.Window
+    val e = tables.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val truth = e.filter(col("vec_id") >= Similarity.NumQueries)
+      .join(broadcast(e.filter(col("vec_id") < Similarity.NumQueries)
+        .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))))
+      .select(col("q_id"), col("vec_id"),
+        l2SqDistance(col("q_emb"), col("emb")).as("d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(asc("d"), asc("vec_id"))))
+      .filter(col("rnk") <= Similarity.TopK)
+    val refined = Similarity.annPqRefineTopK(tables)
+    val hits = refined.select("q_id", "vec_id")
+      .join(truth.select("q_id", "vec_id"), Seq("q_id", "vec_id")).count()
+    val total = Similarity.NumQueries * Similarity.TopK
+    assert(hits * 10 >= total * 6, // recall@5 ≥ 0.6 (measured 0.84)
+      s"PQ refine recall too low: $hits/$total")
+  }
+
   test("dim stats profile every dimension exactly once with sane moments") {
     val stats = Similarity.embedDimStats(tables).cache()
     try {
