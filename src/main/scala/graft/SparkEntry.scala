@@ -153,6 +153,7 @@ object SparkEntry {
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "ann_pq_topk"         -> q(t => Similarity.annPqTopK(t)),
     "ann_pq_refine_topk"  -> q(t => Similarity.annPqRefineTopK(t)),
+    "ann_ivf_pq_topk"     -> q(t => Similarity.annIvfPqTopK(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
@@ -1719,6 +1720,7 @@ object SparkEntry {
     // expressions, so the `+` chains associate identically
     "ann_pq_topk" -> pqSql,
     "ann_pq_refine_topk" -> pqRefineSql,
+    "ann_ivf_pq_topk" -> ivfPqSql,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |cent AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
@@ -1874,16 +1876,52 @@ object SparkEntry {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS INTEGER) AS rnk FROM sc)
        |SELECT q_id, vec_id, approx_dist, rnk FROM r WHERE rnk <= 5""".stripMargin
 
+  /** 64-term full-vector L2² chain in the fused kernel's
+    * accumulation order. */
+  private def l2FullSql(a: String, b: String): String =
+    (0 until 64).map(d =>
+      s"($a[${d + 1}]-$b[${d + 1}])*($a[${d + 1}]-$b[${d + 1}])").mkString(" + ")
+
   /** The PQ shortlist + exact full-precision L2² rerank — the
-    * `ann_pq_refine_topk` oracle (64-term chain in kernel order). */
-  private lazy val pqRefineSql: String = {
-    val l2full = (0 until 64).map(d =>
-      s"(eq.emb[${d + 1}]-ec.emb[${d + 1}])*(eq.emb[${d + 1}]-ec.emb[${d + 1}])").mkString(" + ")
+    * `ann_pq_refine_topk` oracle. */
+  private lazy val pqRefineSql: String =
     s"""WITH $pqChainSql,
        |sl AS (SELECT q_id, vec_id FROM
        |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS qrnk FROM sc)
        |  WHERE qrnk <= 100),
-       |x AS (SELECT sl.q_id, sl.vec_id, round($l2full + 1e-9, 4) AS l2_sq
+       |x AS (SELECT sl.q_id, sl.vec_id, round(${l2FullSql("eq.emb", "ec.emb")} + 1e-9, 4) AS l2_sq
+       |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2_sq, vec_id) AS INTEGER) AS rnk FROM x)
+       |SELECT q_id, vec_id, l2_sq, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  /** IVF-PQ + rerank (`ann_ivf_pq_topk`): L2 cell assignment/probe
+    * over the raw-seed centroids, candidate ADC scores restricted to
+    * probed cells, shortlist, exact rerank — all three stages
+    * replayed on the shared PQ training chain. */
+  private lazy val ivfPqSql: String = {
+    val m = 8
+    val qtJoins = (0 until m)
+      .map(j => s"JOIN qt$j t$j ON t$j.cid = c.c$j AND t$j.q_id = prb.q_id")
+      .mkString("\n|  ")
+    val sumExpr = (0 until m).map(j => s"t$j.d").mkString(" + ")
+    s"""WITH $pqChainSql,
+       |cent AS (SELECT (vec_id - 10)::INT AS cid, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
+       |asgd AS (SELECT corp.vec_id, cent.cid, ${l2FullSql("corp.emb", "cent.cemb")} AS d
+       |  FROM corp CROSS JOIN cent),
+       |asg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM asgd) WHERE rn = 1),
+       |prbd AS (SELECT q.vec_id AS q_id, cent.cid, ${l2FullSql("q.emb", "cent.cemb")} AS d
+       |  FROM q CROSS JOIN cent),
+       |prb AS MATERIALIZED (SELECT q_id, cid AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn FROM prbd) WHERE rn <= 4),
+       |scif AS MATERIALIZED (SELECT prb.q_id, c.vec_id, round($sumExpr + 1e-9, 4) AS approx_dist
+       |  FROM codes c JOIN asg USING (vec_id)
+       |  JOIN prb ON prb.cell = asg.cell
+       |  $qtJoins),
+       |sl AS (SELECT q_id, vec_id FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS qrnk FROM scif)
+       |  WHERE qrnk <= 50),
+       |x AS (SELECT sl.q_id, sl.vec_id, round(${l2FullSql("eq.emb", "ec.emb")} + 1e-9, 4) AS l2_sq
        |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2_sq, vec_id) AS INTEGER) AS rnk FROM x)
        |SELECT q_id, vec_id, l2_sq, rnk FROM r WHERE rnk <= 5""".stripMargin
@@ -1912,7 +1950,7 @@ object SparkEntry {
            |tm${i}x$j AS (SELECT a.cid, (g8.i - 1)::INT AS pos,
            |  ${ExactAgg.exactMeanSql(s"corp.emb[${j * subDims} + g8.i]", 4)} AS mv
            |  FROM ta${i}x$j a JOIN corp USING (vec_id), g8 GROUP BY 1, 2),
-           |cb${i}x$j AS (SELECT p.cid, list(coalesce(tm.mv, p.v) ORDER BY p.pos) AS cemb
+           |cb${i}x$j AS MATERIALIZED (SELECT p.cid, list(coalesce(tm.mv, p.v) ORDER BY p.pos) AS cemb
            |  FROM (SELECT cid, (g8.i - 1)::INT AS pos, cemb[g8.i] AS v FROM cb${i - 1}x$j, g8) p
            |  LEFT JOIN tm${i}x$j tm ON tm.cid = p.cid AND tm.pos = p.pos GROUP BY 1)""".stripMargin
       }
@@ -1921,11 +1959,11 @@ object SparkEntry {
     val codeCtes = (0 until m).map { j =>
       s"""d$j AS (SELECT corp.vec_id, cb.cid, ${l2("corp.emb", "cb.cemb", j)} AS d
          |  FROM corp CROSS JOIN cb${nUpdates}x$j cb),
-         |k$j AS (SELECT vec_id, cid AS c$j FROM
+         |k$j AS MATERIALIZED (SELECT vec_id, cid AS c$j FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d$j) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     val qtCtes = (0 until m).map { j =>
-      s"""qt$j AS (SELECT q.vec_id AS q_id, cb.cid, ${l2("q.emb", "cb.cemb", j)} AS d
+      s"""qt$j AS MATERIALIZED (SELECT q.vec_id AS q_id, cb.cid, ${l2("q.emb", "cb.cemb", j)} AS d
          |  FROM q CROSS JOIN cb${nUpdates}x$j cb)""".stripMargin
     }.mkString(",\n")
     val codeJoins = (0 until m).map(j => s"JOIN k$j USING (vec_id)").mkString(" ")
@@ -1939,9 +1977,9 @@ object SparkEntry {
        |g8 AS (SELECT unnest(generate_series(1,$subDims)) AS i),
        |$trainCtes,
        |$codeCtes,
-       |codes AS (SELECT corp.vec_id, ${(0 until m).map(j => s"c$j").mkString(", ")} FROM corp $codeJoins),
+       |codes AS MATERIALIZED (SELECT corp.vec_id, ${(0 until m).map(j => s"c$j").mkString(", ")} FROM corp $codeJoins),
        |$qtCtes,
-       |sc AS (SELECT t0.q_id, c.vec_id, round($sumExpr + 1e-9, 4) AS approx_dist
+       |sc AS MATERIALIZED (SELECT t0.q_id, c.vec_id, round($sumExpr + 1e-9, 4) AS approx_dist
        |  FROM codes c JOIN qt0 t0 ON t0.cid = c.c0
        |  $qtJoins)""".stripMargin
   }

@@ -722,6 +722,79 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
+  /** S17 — `ann_ivf_pq_topk`: the flagship production ANN index —
+    * IVF-PQ + rerank, the three-stage FAISS-style serving path:
+    *
+    *  1. COARSE prune: corpus vectors assigned map-side to their
+    *     nearest (L2²) of K raw-seed centroids; queries probe their
+    *     `nProbe` best cells, so candidate generation is a cell-keyed
+    *     equi-join — the scan never scores unprobed cells.
+    *  2. FINE score: candidates score by PQ ADC lookups over the
+    *     trained per-subspace codebooks ([[pqCodebooks]]) — the
+    *     32×-compressed code table (+ cell id) is the whole index.
+    *  3. RERANK: the ADC top-`shortlist` per query pays the exact
+    *     full-precision L2² — cost independent of corpus size.
+    *
+    * Everything is deterministic (exact-integer codebook training,
+    * fixed fold orders, (d, id) tie-breaks), so all three stages
+    * replay in one DuckDB oracle.
+    */
+  def annIvfPqTopK(t: Tables, nCells: Int = 16, nProbe: Int = 4,
+      shortlist: Int = 50, m: Int = 8, dims: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions.l2SqDistance
+    val subDims = dims / m
+    val cents = centroidSeq(t, nCells)
+    val books = pqCodebooks(t, m, nCells, subDims, nIters = 3)
+    def cellDists(emb: Column): Seq[Column] =
+      cents.map { case (cid, cv) =>
+        struct(l2SqDistance(emb, typedlit(cv)).as("d"), lit(cid).as("c"))
+      }
+    val e = withEmb(t)
+    def withSubs(df: DataFrame): DataFrame =
+      df.select(col("vec_id") +: col("emb") +:
+        (0 until m).map(j => slice(col("emb"), j * subDims + 1, subDims).as(s"sub$j")): _*)
+    def codeOf(sub: Column, j: Int): Column =
+      least(books(j).map { case (cid, cv) =>
+        struct(l2SqDistance(sub, typedlit(cv)).as("d"), lit(cid).as("c"))
+      }: _*).getField("c")
+    // the IVF-PQ index: cell + m codes per vector, persisted
+    val index = withSubs(e.filter(col("vec_id") >= NumQueries))
+      .select(col("vec_id") +:
+        least(cellDists(col("emb")): _*).getField("c").as("cell") +:
+        (0 until m).map(j => codeOf(col(s"sub$j"), j).as(s"c$j")): _*)
+      .persist()
+    index.count()
+    val queries = withSubs(e.filter(col("vec_id") < NumQueries))
+      .select(col("vec_id").as("q_id") +:
+        explode(transform(
+          slice(array_sort(array(cellDists(col("emb")): _*)), 1, nProbe),
+          s => s.getField("c"))).as("cell") +:
+        (0 until m).map(j => array(books(j).map { case (_, cv) =>
+          l2SqDistance(col(s"sub$j"), typedlit(cv))
+        }: _*).as(s"dt$j")): _*)
+    val approx = (0 until m)
+      .map(j => element_at(col(s"dt$j"), col(s"c$j") + 1))
+      .reduce(_ + _)
+    val short = index.join(broadcast(queries), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        round(approx + lit(1e-9), 4).as("approx_dist"))
+      .withColumn("qrnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(asc("approx_dist"), asc("vec_id"))))
+      .filter(col("qrnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val qVecs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    e.filter(col("vec_id") >= NumQueries)
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qVecs), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(l2SqDistance(col("q_emb"), col("emb")) + lit(1e-9), 4).as("l2_sq"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(asc("l2_sq"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
   def annRecallEval(t: Tables): DataFrame = {
     val bf = annBruteForceTopK(t).select(col("q_id"), col("vec_id")).persist()
     bf.count()

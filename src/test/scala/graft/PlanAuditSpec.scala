@@ -72,6 +72,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ann_ivf_pq_topk: candidates come from a cell-keyed equi-join, never all-pairs") {
+    val p = plan(Similarity.annIvfPqTopK(tables))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("mm_decode_meta: map-only, no exchange") {
     val p = plan(Multimodal.mmDecodeMeta(tables))
     assert(!p.contains("Exchange"), p)

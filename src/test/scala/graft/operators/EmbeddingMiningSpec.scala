@@ -62,6 +62,16 @@ class EmbeddingMiningSpec extends SparkSpec {
     val total = Similarity.NumQueries * Similarity.TopK
     assert(hits * 10 >= total * 6, // recall@5 ≥ 0.6 (measured 0.84)
       s"PQ refine recall too low: $hits/$total")
+    // IVF-PQ trades recall for the cell prune (scans nProbe/nCells of
+    // the corpus): floor well below refine's but far above chance
+    val ivfPq = Similarity.annIvfPqTopK(tables)
+    val perQ = ivfPq.groupBy("q_id").count().collect()
+    assert(perQ.length == Similarity.NumQueries &&
+      perQ.forall(_.getLong(1) == Similarity.TopK))
+    val ivfHits = ivfPq.select("q_id", "vec_id")
+      .join(truth.select("q_id", "vec_id"), Seq("q_id", "vec_id")).count()
+    assert(ivfHits * 4 >= total, // recall@5 ≥ 0.25 (measured 0.38)
+      s"IVF-PQ recall too low: $ivfHits/$total")
   }
 
   test("dim stats profile every dimension exactly once with sane moments") {
