@@ -154,6 +154,7 @@ object SparkEntry {
     "ann_pq_topk"         -> q(t => Similarity.annPqTopK(t)),
     "ann_pq_refine_topk"  -> q(t => Similarity.annPqRefineTopK(t)),
     "ann_ivf_pq_topk"     -> q(t => Similarity.annIvfPqTopK(t)),
+    "ann_index_incremental" -> q(t => Similarity.annIndexIncremental(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
@@ -1721,6 +1722,9 @@ object SparkEntry {
     "ann_pq_topk" -> pqSql,
     "ann_pq_refine_topk" -> pqRefineSql,
     "ann_ivf_pq_topk" -> ivfPqSql,
+    // frozen-model incremental append: identical serving chain, every
+    // model CTE trained on the history slice only
+    "ann_index_incremental" -> annIndexIncrementalSql,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |cent AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
@@ -1894,18 +1898,25 @@ object SparkEntry {
        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY l2_sq, vec_id) AS INTEGER) AS rnk FROM x)
        |SELECT q_id, vec_id, l2_sq, rnk FROM r WHERE rnk <= 5""".stripMargin
 
-  /** IVF-PQ + rerank (`ann_ivf_pq_topk`): L2 cell assignment/probe
-    * over the raw-seed centroids, candidate ADC scores restricted to
-    * probed cells, shortlist, exact rerank — all three stages
-    * replayed on the shared PQ training chain. */
-  private lazy val ivfPqSql: String = {
+  /** IVF-PQ + rerank (`ann_ivf_pq_topk` with `train = "corp"`,
+    * `ann_index_incremental` with `train = "hist"`): the coarse
+    * quantizer is the CONVERGED cosine-k-means centroid chain
+    * (c3 — the same Lloyd replay as `ann_ivf_kmeans_topk`, trained on
+    * `train`), L2 cell assignment/probe over it, candidate ADC scores
+    * restricted to probed cells, shortlist, exact rerank — all stages
+    * replayed on the shared PQ training chain. The incremental
+    * variant trains models on the history slice only; encode and
+    * serving cover the full corpus — exactly the Spark side's
+    * frozen-model append. */
+  private def ivfPqSqlFor(train: String): String = {
     val m = 8
     val qtJoins = (0 until m)
       .map(j => s"JOIN qt$j t$j ON t$j.cid = c.c$j AND t$j.q_id = prb.q_id")
       .mkString("\n|  ")
     val sumExpr = (0 until m).map(j => s"t$j.d").mkString(" + ")
-    s"""WITH $pqChainSql,
-       |cent AS (SELECT (vec_id - 10)::INT AS cid, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),
+    s"""WITH ${pqChainSqlFor(train)},
+       |${kmeansIterCtesSql(3, train)},
+       |cent AS (SELECT cell AS cid, cemb FROM c3),
        |asgd AS (SELECT corp.vec_id, cent.cid, ${l2FullSql("corp.emb", "cent.cemb")} AS d
        |  FROM corp CROSS JOIN cent),
        |asg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM
@@ -1927,11 +1938,19 @@ object SparkEntry {
        |SELECT q_id, vec_id, l2_sq, rnk FROM r WHERE rnk <= 5""".stripMargin
   }
 
+  private lazy val ivfPqSql: String = ivfPqSqlFor("corp")
+  private lazy val annIndexIncrementalSql: String = ivfPqSqlFor("hist")
+
   /** Everything through the ADC score frame `sc` (q_id, vec_id,
     * approx_dist), incl. the per-subspace codebook-training chain;
     * also leaves `e`/`corp`/`q` in scope. */
-  private lazy val pqChainSql: String = {
+  private lazy val pqChainSql: String = pqChainSqlFor("corp")
+
+  private def pqChainSqlFor(train: String): String = {
     val m = 8; val subDims = 8; val nUpdates = 2 // nIters=3 → 2 updates
+    // the incremental variant trains every model on the HISTORY slice
+    val histCte = if (train == "corp") ""
+      else s"\n$train AS (SELECT vec_id, emb FROM corp WHERE vec_id % 5 <> 0),"
     // L2² of corpus/query sub-vector j against an 8-dim codebook entry
     def l2(a: String, b: String, j: Int): String =
       (0 until subDims).map { d =>
@@ -1939,17 +1958,18 @@ object SparkEntry {
       }.mkString(" + ")
     val trainCtes = (0 until m).flatMap { j =>
       val init =
-        s"""cb0x$j AS (SELECT (vec_id - 10)::INT AS cid,
+        s"""cb0x$j AS (SELECT (rn - 1)::INT AS cid,
            |  emb[${j * subDims + 1}:${(j + 1) * subDims}] AS cemb
-           |  FROM e WHERE vec_id >= 10 AND vec_id < 26)""".stripMargin
+           |  FROM (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn FROM $train)
+           |  WHERE rn <= 16)""".stripMargin
       val iters = (1 to nUpdates).map { i =>
-        s"""ts${i}x$j AS (SELECT corp.vec_id, cb.cid, ${l2("corp.emb", "cb.cemb", j)} AS d
-           |  FROM corp CROSS JOIN cb${i - 1}x$j cb),
+        s"""ts${i}x$j AS (SELECT $train.vec_id, cb.cid, ${l2(s"$train.emb", "cb.cemb", j)} AS d
+           |  FROM $train CROSS JOIN cb${i - 1}x$j cb),
            |ta${i}x$j AS (SELECT vec_id, cid FROM
            |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM ts${i}x$j) WHERE rn = 1),
            |tm${i}x$j AS (SELECT a.cid, (g8.i - 1)::INT AS pos,
-           |  ${ExactAgg.exactMeanSql(s"corp.emb[${j * subDims} + g8.i]", 4)} AS mv
-           |  FROM ta${i}x$j a JOIN corp USING (vec_id), g8 GROUP BY 1, 2),
+           |  ${ExactAgg.exactMeanSql(s"$train.emb[${j * subDims} + g8.i]", 4)} AS mv
+           |  FROM ta${i}x$j a JOIN $train USING (vec_id), g8 GROUP BY 1, 2),
            |cb${i}x$j AS MATERIALIZED (SELECT p.cid, list(coalesce(tm.mv, p.v) ORDER BY p.pos) AS cemb
            |  FROM (SELECT cid, (g8.i - 1)::INT AS pos, cemb[g8.i] AS v FROM cb${i - 1}x$j, g8) p
            |  LEFT JOIN tm${i}x$j tm ON tm.cid = p.cid AND tm.pos = p.pos GROUP BY 1)""".stripMargin
@@ -1972,7 +1992,7 @@ object SparkEntry {
       .mkString("\n|  ")
     val sumExpr = (0 until m).map(j => s"t$j.d").mkString(" + ")
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+       |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),$histCte
        |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
        |g8 AS (SELECT unnest(generate_series(1,$subDims)) AS i),
        |$trainCtes,
@@ -1987,17 +2007,28 @@ object SparkEntry {
   private def kmeansChainSql(nUpdates: Int): String = {
     val head =
       """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
-        |g64 AS (SELECT unnest(generate_series(1,64)) AS i),
-        |c0 AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26)""".stripMargin
+        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10)""".stripMargin
+    s"$head,\n${kmeansIterCtesSql(nUpdates, "corp")}"
+  }
+
+  /** The cosine-Lloyd iteration CTEs (g64, c0..c{n}) alone, trained
+    * on `train` — assumes `e` and `corp` (and `train`, if different)
+    * are already in scope, so the chain can compose with the PQ
+    * training CTEs without redefining shared heads. */
+  private def kmeansIterCtesSql(nUpdates: Int, train: String): String = {
+    val head =
+      s"""g64 AS (SELECT unnest(generate_series(1,64)) AS i),
+         |c0 AS (SELECT (rn - 1)::INT AS cell, emb AS cemb FROM
+         |  (SELECT emb, row_number() OVER (ORDER BY vec_id) AS rn FROM $train)
+         |  WHERE rn <= 16)""".stripMargin
     val iters = (1 to nUpdates).map { i =>
-      s"""s$i AS (SELECT corp.vec_id, c.cell, list_cosine_similarity(corp.emb, c.cemb) AS s
-         |  FROM corp CROSS JOIN c${i - 1} c),
+      s"""s$i AS (SELECT $train.vec_id, c.cell, list_cosine_similarity($train.emb, c.cemb) AS s
+         |  FROM $train CROSS JOIN c${i - 1} c),
          |a$i AS (SELECT vec_id, cell FROM
          |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM s$i)
          |  WHERE rn = 1),
-         |m$i AS (SELECT a.cell, (g64.i - 1)::INT AS pos, ${ExactAgg.exactMeanSql("corp.emb[g64.i]", 4)} AS m
-         |  FROM a$i a JOIN corp USING (vec_id), g64 GROUP BY 1, 2),
+         |m$i AS (SELECT a.cell, (g64.i - 1)::INT AS pos, ${ExactAgg.exactMeanSql(s"$train.emb[g64.i]", 4)} AS m
+         |  FROM a$i a JOIN $train USING (vec_id), g64 GROUP BY 1, 2),
          |c$i AS (SELECT p.cell, list(coalesce(m.m, p.v) ORDER BY p.pos) AS cemb
          |  FROM (SELECT cell, (g64.i - 1)::INT AS pos, cemb[g64.i] AS v FROM c${i - 1}, g64) p
          |  LEFT JOIN m$i m ON m.cell = p.cell AND m.pos = p.pos GROUP BY 1)""".stripMargin

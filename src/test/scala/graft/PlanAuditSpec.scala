@@ -253,6 +253,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("ann_ivf_pq_topk: stored code-table scan is bucket-pruned, all joins broadcast") {
+    val p = plan(Similarity.annIvfPqTopK(tables))
+    // serving reads the PERSISTED code table; the probed-cell isin
+    // filter must prune buckets (the inverted-list read), and every
+    // join in the three-stage path broadcasts the small side
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("ann_index_incremental: history-index side is exchange-free") {
+    val p = plan(Similarity.annIndexIncremental(tables))
+    // the stored history index must be read bucketed (and pruned to
+    // the probed cells); the only shuffles in the plan are the
+    // per-query ranking windows (hashpartitioning on q_id) — the
+    // index side never exchanges, so serving cost is scan + lookups
+    // at any history size
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(p.contains("Bucketed: true"), s"history index not read as bucketed:\n$p")
+    val nonWindowExchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .filterNot(_.contains("q_id")).toSeq
+    assert(nonWindowExchanges.isEmpty,
+      s"unexpected exchange on the index side: $nonWindowExchanges\n$p")
+  }
+
   test("text_perplexity: windows and aggregates only — no join in the plan") {
     val p = plan(TextAnalysis.textPerplexity(tables))
     assert(!p.contains("Join"), s"unexpected join:\n$p")
