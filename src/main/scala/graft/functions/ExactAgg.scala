@@ -45,34 +45,55 @@ object ExactAgg {
   def quantize(v: Column, dp: Int): Column =
     floor(v * lit(pow10(dp)) + lit(0.5)).cast("long")
 
-  /** Half-up mean at `dp` decimals, exact-integer reduction. */
+  /** Half-up mean at `dp` decimals, exact-integer reduction.
+    *
+    * Denominator is `count(v)` — the NON-NULL count, matching the
+    * null-skipping `avg()` these calls replace (nulls vanish from
+    * both Σq and n, so a nullable input keeps mean consistent with a
+    * null-skipping sum in the same row). An all-null group yields
+    * NULL, like `avg()`.
+    *
+    * Magnitude precondition (both engines): every |v|·10^dp must fit
+    * comfortably in int64 AND n·Σq² (for [[exactStd]]) must stay
+    * below 2^63 — Spark sums BIGINT with silent wraparound (ANSI
+    * off) while DuckDB promotes to HUGEINT, so an overflow doesn't
+    * just lose exactness, it DIVERGES the engines. With the corpus
+    * caps here (|v| ≤ ~10^6, dp ≤ 6, n ≤ ~10^8) the worst case
+    * n·Σq² ≈ 10^8·10^8·(10^12)² overshoots only for µs-scale raw
+    * values — quantize those to coarser dp or pre-scale before
+    * aggregating. The final mean recovery needs 2·Σq + n < 2^53 for
+    * the exact IEEE quotient; same caps apply.
+    */
   def exactMean(v: Column, dp: Int): Column = {
-    val s = sum(quantize(v, dp))
-    val n = count(lit(1))
+    val q = quantize(v, dp)
+    val s = sum(q)
+    val n = count(v)
     floor((lit(2L) * s + n) / (lit(2L) * n)) / lit(pow10(dp))
   }
 
   /** Half-up population stddev at `dp` decimals, exact-integer
-    * moments: std = sqrt((n·Σq² − (Σq)²)/n²) in quantized units. */
+    * moments: std = sqrt((n·Σq² − (Σq)²)/n²) in quantized units.
+    * Non-null `n` and the magnitude precondition as in [[exactMean]]. */
   def exactStd(v: Column, dp: Int): Column = {
     val q = quantize(v, dp)
     val s = sum(q)
     val s2 = sum(q * q)
-    val n = count(lit(1))
+    val n = count(v)
     floor(sqrt((n * s2 - s * s) / (n * n)) + lit(0.5)) / lit(pow10(dp))
   }
 
   /** DuckDB spellings of the same formulas, for oracle SQL. `v` is a
     * SQL expression for the double value. Generated here so the
-    * oracle can never drift from the Spark implementation. */
+    * oracle can never drift from the Spark implementation — including
+    * the non-null `count(v)` denominator. */
   def quantizeSql(v: String, dp: Int): String =
     s"CAST(floor(($v) * 1e$dp + 0.5) AS BIGINT)"
 
   def exactMeanSql(v: String, dp: Int): String =
-    s"floor((2 * sum(${quantizeSql(v, dp)}) + count(*)) / (2.0 * count(*))) / 1e$dp"
+    s"floor((2 * sum(${quantizeSql(v, dp)}) + count($v)) / (2.0 * count($v))) / 1e$dp"
 
   def exactStdSql(v: String, dp: Int): String = {
     val q = quantizeSql(v, dp)
-    s"floor(sqrt((count(*) * sum(($q) * ($q)) - sum($q) * sum($q)) / (1.0 * count(*) * count(*))) + 0.5) / 1e$dp"
+    s"floor(sqrt((count($v) * sum(($q) * ($q)) - sum($q) * sum($q)) / (1.0 * count($v) * count($v))) + 0.5) / 1e$dp"
   }
 }
