@@ -155,6 +155,7 @@ object SparkEntry {
     "ann_pq_refine_topk"  -> q(t => Similarity.annPqRefineTopK(t)),
     "ann_ivf_pq_topk"     -> q(t => Similarity.annIvfPqTopK(t)),
     "ann_index_incremental" -> q(t => Similarity.annIndexIncremental(t)),
+    "embed_pca_topk"      -> q(t => Similarity.embedPcaTopK(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
@@ -1695,6 +1696,53 @@ object SparkEntry {
         |l AS (SELECT round(sum(a.v * c.cv * b.v) + 1e-9, 6) AS eigenvalue
         |  FROM c JOIN v8 a ON a.pos = c.i JOIN v8 b ON b.pos = c.j)
         |SELECT v8.pos, v8.v AS loading, l.eigenvalue FROM v8, l""".stripMargin
+    },
+    // top-3 PCA by orthogonal iteration: the same covariance + 8
+    // power steps as embed_pca_power per component, but each multiply
+    // output first subtracts its projection onto every ALREADY-FOUND
+    // component (dots taken against the raw multiply output,
+    // subtractions left-associated) before normalize+round — the
+    // orthogonality is by construction; eigenvalues are Rayleigh
+    // quotients on the ORIGINAL matrix. Every step replays as CTEs.
+    "embed_pca_topk" -> {
+      def steps(comp: Int) = (1 to 8).map { k =>
+        val priors = 1 until comp
+        val proj = if (priors.isEmpty) "" else {
+          val joins = priors.map(p => s"JOIN v8c$p w$p ON w$p.pos = u.pos").mkString(" ")
+          val dots = priors.map(p => s"sum(u.u * w$p.v) AS d$p").mkString(", ")
+          val sub = priors.map(p => s" - d.d$p * w$p.v").mkString
+          s"""d${k}c$comp AS MATERIALIZED (SELECT $dots FROM u${k}c$comp u $joins),
+             |g${k}c$comp AS MATERIALIZED (SELECT u.pos, u.u$sub AS u
+             |  FROM u${k}c$comp u $joins CROSS JOIN d${k}c$comp d),
+             |""".stripMargin
+        }
+        val src = if (priors.isEmpty) s"u${k}c$comp" else s"g${k}c$comp"
+        s"""u${k}c$comp AS MATERIALIZED (SELECT c.i AS pos, sum(c.cv * v.v) AS u
+           |  FROM cov c JOIN v${k - 1}c$comp v ON v.pos = c.j GROUP BY 1),
+           |${proj}n${k}c$comp AS MATERIALIZED (SELECT sqrt(sum(u * u)) AS nm FROM $src),
+           |v${k}c$comp AS MATERIALIZED (SELECT pos, round(u / nm + 1e-9, 6) AS v FROM $src, n${k}c$comp)""".stripMargin
+      }.mkString(",\n")
+      def chain(comp: Int) =
+        s"""v0c$comp AS (SELECT pos, 0.125 AS v FROM m),
+           |${steps(comp)},
+           |l$comp AS MATERIALIZED (SELECT round(sum(a.v * c.cv * b.v) + 1e-9, 6) AS ev
+           |  FROM cov c JOIN v8c$comp a ON a.pos = c.i JOIN v8c$comp b ON b.pos = c.j)""".stripMargin
+      def sel(comp: Int) =
+        s"SELECT $comp AS component, v.pos, v.v AS loading, l.ev AS eigenvalue FROM v8c$comp v CROSS JOIN l$comp l"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |g64 AS (SELECT unnest(generate_series(1,64)) AS i),
+        |m AS (SELECT (g64.i - 1) AS pos, ${ExactAgg.exactMeanSql("emb[g64.i]", 4)} AS mv
+        |  FROM e, g64 GROUP BY 1),
+        |x AS (SELECT vec_id, (g64.i - 1) AS pos, emb[g64.i] AS xv FROM e, g64),
+        |cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+        |  ${ExactAgg.exactMeanSql("(a.xv - ma.mv) * (b.xv - mb.mv)", 6)} AS cv
+        | FROM x a JOIN x b USING (vec_id)
+        | JOIN m ma ON ma.pos = a.pos JOIN m mb ON mb.pos = b.pos
+        | GROUP BY 1, 2),
+        |${chain(1)},
+        |${chain(2)},
+        |${chain(3)}
+        |${sel(1)} UNION ALL ${sel(2)} UNION ALL ${sel(3)}""".stripMargin
     },
     // outliers sit ≥1.5σ below their own cell's mean similarity; the
     // oracle replays the identical k-means chain and scores s4 (the

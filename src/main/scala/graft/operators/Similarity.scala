@@ -499,15 +499,67 @@ object Similarity {
   def embedPcaPower(t: Tables, dims: Int = 64, nIters: Int = 8): DataFrame = {
     val sess = t.spark
     import sess.implicits._
+    covMatrix(t, dims) match {
+      // empty slice: no covariance → the power iterate is undefined
+      // (u = 0, ‖u‖ = 0 would NaN); come back empty like the oracle
+      case None => Seq.empty[(Int, Double, Double)]
+        .toDF("pos", "loading", "eigenvalue")
+      case Some(cov) =>
+        val (v, lambda) = powerIterate(cov, dims, nIters)
+        v.zipWithIndex.map { case (l, p) => (p, l, lambda) }.toSeq
+          .toDF("pos", "loading", "eigenvalue")
+    }
+  }
+
+  /** `embed_pca_topk` — the top `nComponents` principal components by
+    * power iteration WITH PER-STEP GRAM-SCHMIDT projection against
+    * the already-found components (orthogonal iteration, one vector
+    * at a time): every multiply step subtracts each prior component's
+    * projection before normalizing, so component c converges to the
+    * dominant direction of the orthogonal complement — orthogonal BY
+    * CONSTRUCTION even when the spectrum is nearly flat (this corpus:
+    * λ₂/λ₁ ≈ 0.99, where plain Hotelling deflation of unconverged
+    * vectors never separates the components). Embedding QC reads
+    * these directly: whitening wants the top-k basis, dead/duplicated
+    * subspace detection compares trailing eigenvalues, and anisotropy
+    * (how fast λ decays) is the standard collapse diagnostic.
+    *
+    * Scale shape is unchanged from the single-component operator: ONE
+    * distributed covariance pass (dims²-bounded collect), then all
+    * iteration arithmetic on the driver's 64² copy — per component
+    * O(dims²) driver flops, zero extra cluster passes. The DuckDB
+    * oracle replays every power step (projection dots included) and
+    * Rayleigh quotient as chained CTEs, bit-for-bit.
+    */
+  def embedPcaTopK(t: Tables, dims: Int = 64, nIters: Int = 8,
+      nComponents: Int = 3): DataFrame = {
+    val sess = t.spark
+    import sess.implicits._
+    covMatrix(t, dims) match {
+      case None => Seq.empty[(Int, Int, Double, Double)]
+        .toDF("component", "pos", "loading", "eigenvalue")
+      case Some(cov) =>
+        val priors = Seq.newBuilder[Array[Double]]
+        val out = Seq.newBuilder[(Int, Int, Double, Double)]
+        for (comp <- 1 to nComponents) {
+          val (v, lambda) = powerIterate(cov, dims, nIters, priors.result())
+          out ++= v.zipWithIndex.map { case (l, p) => (comp, p, l, lambda) }
+          priors += v
+        }
+        out.result().toDF("component", "pos", "loading", "eigenvalue")
+    }
+  }
+
+  /** The distributed mean-centered covariance collect shared by the
+    * PCA operators: map-side centered outer products (dims² fan-out
+    * per row, partial-agg before the (i,j) shuffle), 6-dp
+    * exact-integer means; None on an empty slice. */
+  private def covMatrix(t: Tables, dims: Int): Option[Map[(Int, Int), Double]] = {
     val corpus = withEmb(t)
     val means = corpus.select(posexplode(col("emb")))
       .groupBy(col("pos")).agg(ExactAgg.exactMean(col("col"), 4).as("mv"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-    // empty slice: no covariance → the power iterate is undefined
-    // (u = 0, ‖u‖ = 0 would NaN); come back empty like the oracle does
-    if (means.isEmpty)
-      return Seq.empty[(Int, Double, Double)]
-        .toDF("pos", "loading", "eigenvalue")
+    if (means.isEmpty) return None
     val mLit = typedlit((0 until dims).map(i => means.getOrElse(i, 0.0)))
     val centered = corpus.select(
       transform(col("emb"), (x, i) => x - element_at(mLit, i + 1)).as("ce"))
@@ -516,24 +568,38 @@ object Similarity {
         transform(col("ce"), (xj, j) =>
           struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("s"))
       .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
-    val cov = cells.groupBy(col("i"), col("j"))
+    Some(cells.groupBy(col("i"), col("j"))
       .agg(ExactAgg.exactMean(col("p"), 6).as("cv"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-    def rnd6(x: Double): Double =
-      java.math.BigDecimal.valueOf(x + 1e-9)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap)
+  }
+
+  private def rnd6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x + 1e-9)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Driver power iteration to the dominant eigenvector of the
+    * orthogonal complement of `priors`: `nIters` multiply → project
+    * (subtract each prior's dot, all dots taken against the raw
+    * multiply output, subtractions left-associated — the convention
+    * the oracle replays) → normalize → round(6 dp) steps from the
+    * uniform unit vector, then the 6-dp Rayleigh quotient on the
+    * ORIGINAL matrix. */
+  private def powerIterate(cov: Map[(Int, Int), Double], dims: Int,
+      nIters: Int, priors: Seq[Array[Double]] = Nil): (Array[Double], Double) = {
     var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
     for (_ <- 1 to nIters) {
       val u = Array.tabulate(dims)(i =>
         (0 until dims).map(j => cov.getOrElse((i, j), 0.0) * v(j)).sum)
-      val nm = math.sqrt(u.map(x => x * x).sum)
-      v = u.map(x => rnd6(x / nm))
+      val dots = priors.map(w => (0 until dims).map(i => u(i) * w(i)).sum)
+      val g = Array.tabulate(dims)(i =>
+        priors.indices.foldLeft(u(i))((acc, p) => acc - dots(p) * priors(p)(i)))
+      val nm = math.sqrt(g.map(x => x * x).sum)
+      v = g.map(x => rnd6(x / nm))
     }
     val lambda = rnd6(
       (0 until dims).flatMap(i => (0 until dims).map(j =>
         v(i) * cov.getOrElse((i, j), 0.0) * v(j))).sum)
-    v.zipWithIndex.map { case (l, p) => (p, l, lambda) }.toSeq
-      .toDF("pos", "loading", "eigenvalue")
+    (v, lambda)
   }
 
   /** `ann_recall_eval` — index-quality eval: per-query recall@k of the
