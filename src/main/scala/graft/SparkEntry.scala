@@ -184,6 +184,7 @@ object SparkEntry {
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
     "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
+    "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
     "corpus_pipeline"     -> q(t => CorpusClean.corpusPipeline(t)),
@@ -1430,6 +1431,27 @@ object SparkEntry {
         |SELECT doc_id, (bl + 44)::BIGINT AS byte_len, channels, sample_rate,
         | bits_per_sample, bl::BIGINT AS data_len, n_samples,
         | floor(n_samples * 1000000 / sample_rate)::BIGINT AS duration_us
+        |FROM d""".stripMargin,
+    // the video oracle recomputes the generator's md5-derived MP4
+    // movie-header fields; the Spark side walks the actual ISO-BMFF
+    // boxes (ftyp size → moov → mvhd offsets) to read them back
+    "mm_video_meta" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
+        |b AS (SELECT doc_id, bl,
+        |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
+        |  16*(strpos('0123456789abcdef',substr(h,5,1))-1)+(strpos('0123456789abcdef',substr(h,6,1))-1) AS b2,
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
+        |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4
+        | FROM m),
+        |p AS (SELECT doc_id, bl,
+        |  (CASE b1 % 4 WHEN 0 THEN 600 WHEN 1 THEN 1000 WHEN 2 THEN 30000 ELSE 90000 END)::BIGINT AS timescale,
+        |  (1 + b2 % 30) AS dur_secs, b4, (1 + b3 % 3)::INTEGER AS n_tracks
+        | FROM b),
+        |d AS (SELECT *, (timescale * dur_secs + b4)::BIGINT AS duration_ticks FROM p)
+        |SELECT doc_id, (bl + 144)::BIGINT AS byte_len, 'isom' AS brand,
+        | timescale, duration_ticks,
+        | floor(duration_ticks * 1000 / timescale)::BIGINT AS duration_ms,
+        | n_tracks, bl::BIGINT AS data_len
         |FROM d""".stripMargin,
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),

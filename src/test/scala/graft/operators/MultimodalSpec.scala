@@ -42,6 +42,27 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("video box walk is map-only and reads back the generator's mvhd fields") {
+    val meta = mmVideoMeta(tables)
+    val plan = meta.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // every payload is a well-formed ISO-BMFF chain: the ftyp sniff
+    // and the dynamic box walk must hold, and the parsed fields stay
+    // inside the generator's palettes
+    val bad = meta.filter(
+      col("brand") =!= "isom" ||
+      !col("timescale").isin(600L, 1000L, 30000L, 90000L) ||
+      !col("n_tracks").isin(1, 2, 3) ||
+      col("byte_len") =!= col("data_len") + 144 ||
+      col("duration_ticks") <= col("timescale") * 0 ||  // > 0
+      col("duration_ms") < 1000L || col("duration_ms") >= 31000L)
+    assert(bad.count() == 0)
+    // duration_ms is the exact integer floor of ticks*1000/timescale
+    val badMs = meta.filter(
+      col("duration_ms") =!= floor(col("duration_ticks") * lit(1000L) / col("timescale")).cast("long"))
+    assert(badMs.count() == 0)
+  }
+
   test("frame sampling emits every 5th frame below n_frames") {
     val t = tables
     val joined = mmFrameSample(t).groupBy("doc_id")
