@@ -414,14 +414,67 @@ object Dedup {
     * labels, monotonically decreasing; decimal so it cannot overflow
     * at any corpus size) — never row data.
     */
-  def dedupClusters(t: Tables, maxIters: Int = 50): DataFrame = {
+  def dedupClusters(t: Tables, maxIters: Int = 50): DataFrame =
+    dedupClustersWithIters(t, maxIters)._1
+
+  /** [[dedupClusters]] plus the number of rounds it took — exposed so
+    * the convergence behavior is PINNED in spec, not asserted in
+    * prose. `pathHalving = false` recovers plain min-label
+    * propagation for comparison. */
+  private[graft] def dedupClustersWithIters(t: Tables, maxIters: Int = 50,
+      pathHalving: Boolean = true): (DataFrame, Int) = {
     val pairs = minhashPairsFrom(shingleSet(t))
     val edges = pairs
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
       .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
       .persist()
     edges.count() // eager: every round joins this index; don't race the lazy cache
+    val (labels, iters) =
+      try connectedComponents(edges, maxIters,
+        halveFrom = if (pathHalving) DefaultHalveFrom else Int.MaxValue)
+      finally edges.unpersist()
+    val out = t.documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
+    (out, iters)
+  }
 
+  /** Rounds of plain propagation before path halving engages: LSH
+    * near-dup components are usually near-cliques that converge in
+    * 1–2 rounds, where the extra pointer-jump join is pure overhead —
+    * only a graph still moving at round 3 is deep enough to repay it. */
+  private val DefaultHalveFrom = 3
+
+  /** Distributed min-label connected components over a symmetric
+    * (src, dst) edge frame: every node takes the min of its own and
+    * its neighbours' labels each round — ONE keyed join + partial-agg
+    * min + ONE label update, the standard large-graph CC shape (no
+    * component ever has to fit anywhere; shuffles carry (id, label)
+    * pairs only; the driver sees a single O(1) convergence scalar per
+    * round — a decimal label sum, monotonically decreasing).
+    *
+    * From round `halveFrom` on, each update adds PATH HALVING: follow
+    * each label one pointer hop (labels are always node ids — mins
+    * over initial ids — so label(label) is a self-join of the
+    * propagated frame on its label column) and take the min. Plain
+    * neighbor-min converges in O(diameter) rounds; the compounding
+    * hop closes long chains in O(log diameter) once engaged, for one
+    * extra metadata-width keyed join per round — the large-star/
+    * small-star trade in two joins, engaged ADAPTIVELY so shallow
+    * graphs (the common near-dup case) never pay for it.
+    *
+    * Returns the converged (doc_id, cluster_id) labels — the
+    * returned frame deliberately pins the final labels cache; callers
+    * release it via clearCache/unpersist once consumed. The
+    * try/finally only guards failure paths (a thrown job or
+    * non-convergence must not leak the live labels frame into the
+    * cache for the rest of the session).
+    */
+  private[graft] def connectedComponents(edges: DataFrame, maxIters: Int = 50,
+      halveFrom: Int = DefaultHalveFrom): (DataFrame, Int) = {
     def labelSum(labels: DataFrame): java.math.BigDecimal = {
       val s = labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .first().getDecimal(0)
@@ -429,32 +482,44 @@ object Dedup {
       // near-duplicated) must converge on the zero identity, not NPE
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-
     // iterate over graph NODES only (docs in ≥1 pair) — a small
-    // fraction of any real corpus; singletons join back at the end.
-    // NOTE: the returned (lazy) DataFrame deliberately pins the FINAL
-    // labels cache — callers release it via clearCache/unpersist once
-    // consumed; the try/finally below only guards the failure paths
-    // (a thrown job or non-convergence must not leak edges + the live
-    // labels frame into the cache for the rest of the session).
+    // fraction of any real corpus; singletons join back at the end
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
     var converged = false
+    var iter = 0
     try {
       var prevSum = labelSum(labels)
-      var iter = 0
       while (!converged && iter < maxIters) {
         val nbrMin = edges.as("e")
           .join(labels.as("l"), col("e.src") === col("l.doc_id"))
           .groupBy(col("e.dst").as("doc_id"))
           .agg(min(col("l.cluster_id")).as("nbr_min"))
-        val next = labels.as("l")
+        val prop = labels.as("l")
           .join(nbrMin.as("n"), Seq("doc_id"), "left")
           .select(col("doc_id"),
             least(col("l.cluster_id"), coalesce(col("n.nbr_min"), col("l.cluster_id")))
               .as("cluster_id"))
-          .persist()
+        val halve = iter + 1 >= halveFrom
+        val nextPlan = if (!halve) prop else {
+          prop.persist()
+          prop.as("a")
+            .join(prop.select(col("doc_id").as("pid"), col("cluster_id").as("pcid")).as("b"),
+              col("a.cluster_id") === col("pid"), "left")
+            .select(col("a.doc_id").as("doc_id"),
+              least(col("a.cluster_id"), coalesce(col("pcid"), col("a.cluster_id")))
+                .as("cluster_id"))
+        }
+        // lineage hygiene: each round's plan EMBEDS the previous
+        // round's (3–4 copies of it, via nbrMin and the halving
+        // self-join), so plan size grows exponentially with rounds —
+        // persist() caches data but never truncates the logical plan.
+        // localCheckpoint each round cuts lineage to a LogicalRDD
+        // (the standard move for driver-iterated graph algorithms);
+        // its eager materialization doubles as the round's compute
+        val next = nextPlan.localCheckpoint()
         val nextSum = labelSum(next) // also populates next's cache
+        if (halve) prop.unpersist()
         labels.unpersist()
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
@@ -463,15 +528,9 @@ object Dedup {
       }
       require(converged, s"label propagation did not converge in $maxIters rounds")
     } finally {
-      edges.unpersist()
       if (!converged) labels.unpersist()
     }
-    t.documents.select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
+    (labels, iter)
   }
 
   /** D8 — `dedup_minhash_eval`: sketch-quality audit. For every

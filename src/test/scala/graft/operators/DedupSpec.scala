@@ -51,6 +51,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: adaptive path halving closes a 64-node chain in O(log d) rounds") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // the adversarial shape for min-label propagation: a pure path
+    // 0-1-2-…-63 (diameter 63), where the min label walks ONE hop per
+    // plain round
+    val chain = (0L until 63L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val (plainLabels, plainIters) =
+      Dedup.connectedComponents(chain, maxIters = 100, halveFrom = Int.MaxValue)
+    val (halvedLabels, halvedIters) =
+      Dedup.connectedComponents(chain, maxIters = 100)
+    try {
+      // both converge to the single component labelled by node 0
+      assert(plainLabels.filter(col("cluster_id") =!= 0L).count() == 0)
+      assert(halvedLabels.filter(col("cluster_id") =!= 0L).count() == 0)
+      // plain propagation pays ~diameter rounds; the compounding
+      // pointer hop collapses the tail once it engages at round 3
+      assert(plainIters >= 60, s"chain should take ~diameter rounds plain: $plainIters")
+      assert(halvedIters <= 16, s"path halving did not accelerate: $halvedIters")
+      assert(halvedIters * 3 < plainIters,
+        s"expected ≥3× fewer rounds: $halvedIters vs $plainIters")
+    } finally {
+      plainLabels.unpersist()
+      halvedLabels.unpersist()
+      ()
+    }
+  }
+
+  test("dedup_clusters: near-clique corpus graphs converge before halving engages (no overhead)") {
+    // on THIS corpus the LSH pair graph is near-clique (diameter ≤ 2):
+    // the adaptive trigger must never fire, so the accelerated
+    // operator runs the identical plan as plain propagation
+    val (df, iters) = Dedup.dedupClustersWithIters(tables)
+    assert(df.count() > 0)
+    assert(iters <= 2, s"shallow pair graph took $iters rounds — halving overhead engaged")
+    spark.catalog.clearCache() // release the pinned final-labels cache
+  }
+
   test("dedup_minhash_eval covers exactly the LSH candidate pairs with sane errors") {
     // sf0.01: sf0.001 has no candidate pairs
     val t = graft.Tables(spark, "/root/testdata/sf0.01")
