@@ -358,6 +358,70 @@ class PlanAuditSpec extends SparkSpec {
       s"no dynamic partition pruning on the fact scan:\n$p")
   }
 
+  test("CBO join reorder: stats move the selective dim join ahead of the fact join") {
+    import graft.sources.SourceOps
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.functions.{col, lit}
+    val tFact = s"graft_cbo3_lineitem_${SourceOps.runId}"
+    val tMid = s"graft_cbo3_orders_${SourceOps.runId}"
+    val tDim = s"graft_cbo3_customer_${SourceOps.runId}"
+    val all = Seq(tFact, tMid, tDim)
+    all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    tables.lineitem.select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").saveAsTable(tFact)
+    tables.orders.select("o_orderkey", "o_custkey")
+      .write.mode("overwrite").saveAsTable(tMid)
+    tables.customer.select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").saveAsTable(tDim)
+    val key = tables.customer.agg(org.apache.spark.sql.functions.min("c_custkey"))
+      .collect()(0).getLong(0)
+    // written in the WORST order: fact ⋈ mid first, the point-filtered
+    // dim last — a cost-based reorder should pull the dim join in first
+    def q = spark.table(tFact)
+      .join(spark.table(tMid), col("l_orderkey") === col("o_orderkey"))
+      .join(spark.table(tDim), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_custkey") === lit(key))
+      .groupBy(col("c_mktsegment")).count()
+    def tablesUnder(p: LogicalPlan): Set[String] = p.collectLeaves().flatMap {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.catalogTable.map(_.identifier.table)
+      case r: org.apache.spark.sql.catalyst.catalog.HiveTableRelation =>
+        Some(r.tableMeta.identifier.table)
+      case _ => None
+    }.toSet
+    // the FIRST-executed join: both subtrees join-free
+    def bottomJoin: Set[String] = q.queryExecution.optimizedPlan.collect {
+      case j: Join if j.left.collect { case jj: Join => jj }.isEmpty &&
+        j.right.collect { case jj: Join => jj }.isEmpty => tablesUnder(j)
+    }.headOption.getOrElse(Set.empty)
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled",
+      "spark.sql.adaptive.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // WITHOUT stats the reorder rule has no costs: written order
+      // survives and the first join is fact ⋈ mid
+      val before = bottomJoin
+      assert(before == Set(tFact, tMid),
+        s"expected written join order without stats, got $before")
+      all.foreach(t => SourceOps.analyzeTable(spark, t,
+        spark.table(t).columns.toSeq))
+      // WITH stats the point filter prices the dim at ~1 row: the
+      // cheapest first join is mid ⋈ dim, and the fact joins LAST
+      val after = bottomJoin
+      assert(after == Set(tMid, tDim),
+        s"ANALYZE stats did not reorder the join tree, first join: $after")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      all.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ANALYZE stats feed the CBO: a selective filtered join flips to broadcast") {
     import graft.sources.SourceOps
     val tOrders = s"graft_cbo_orders_${SourceOps.runId}"
