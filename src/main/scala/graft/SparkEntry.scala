@@ -156,10 +156,12 @@ object SparkEntry {
     "ann_ivf_pq_topk"     -> q(t => Similarity.annIvfPqTopK(t)),
     "ann_index_incremental" -> q(t => Similarity.annIndexIncremental(t)),
     "embed_pca_topk"      -> q(t => Similarity.embedPcaTopK(t)),
+    "embed_whiten"        -> q(t => Similarity.embedWhiten(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "ann_recall_eval"     -> q(t => Similarity.annRecallEval(t)),
+    "ann_pq_recall_eval"  -> q(t => Similarity.annPqRecallEval(t)),
     "embed_outliers"      -> q(t => Similarity.embedOutliers(t)),
     "embed_pca_power"     -> q(t => Similarity.embedPcaPower(t)),
     "ann_ivf_table"       -> q(t => Similarity.annIvfTableTopK(t)),
@@ -1590,6 +1592,16 @@ object SparkEntry {
     "ann_bruteforce_topk" -> bruteForceSql,
     // composed from the two existing oracles (DuckDB allows CTEs in
     // derived tables): the recall eval is definitionally their overlap
+    // PQ-family recall: the stored-index refine path replayed in full
+    // (subquery-composed), overlapped against the exact L2 top-k
+    "ann_pq_recall_eval" ->
+      s"""WITH hits AS (SELECT bf.q_id, count(*) AS n_hits
+        |  FROM ($l2BruteForceSql) bf JOIN ($pqRefineSql) srv
+        |    ON bf.q_id = srv.q_id AND bf.vec_id = srv.vec_id GROUP BY 1),
+        |ks AS (SELECT q_id, count(*) AS k FROM ($l2BruteForceSql) GROUP BY 1)
+        |SELECT ks.q_id, ks.k, COALESCE(hits.n_hits, 0) AS n_hits,
+        | COALESCE(hits.n_hits, 0) / CAST(ks.k AS DOUBLE) AS recall
+        |FROM ks LEFT JOIN hits ON hits.q_id = ks.q_id""".stripMargin,
     "ann_recall_eval" ->
       s"""WITH hits AS (SELECT bf.q_id, count(*) AS n_hits
         |  FROM ($bruteForceSql) bf JOIN ($ivfKmeansSql) iv
@@ -1727,43 +1739,28 @@ object SparkEntry {
     // orthogonality is by construction; eigenvalues are Rayleigh
     // quotients on the ORIGINAL matrix. Every step replays as CTEs.
     "embed_pca_topk" -> {
-      def steps(comp: Int) = (1 to 8).map { k =>
-        val priors = 1 until comp
-        val proj = if (priors.isEmpty) "" else {
-          val joins = priors.map(p => s"JOIN v8c$p w$p ON w$p.pos = u.pos").mkString(" ")
-          val dots = priors.map(p => s"sum(u.u * w$p.v) AS d$p").mkString(", ")
-          val sub = priors.map(p => s" - d.d$p * w$p.v").mkString
-          s"""d${k}c$comp AS MATERIALIZED (SELECT $dots FROM u${k}c$comp u $joins),
-             |g${k}c$comp AS MATERIALIZED (SELECT u.pos, u.u$sub AS u
-             |  FROM u${k}c$comp u $joins CROSS JOIN d${k}c$comp d),
-             |""".stripMargin
-        }
-        val src = if (priors.isEmpty) s"u${k}c$comp" else s"g${k}c$comp"
-        s"""u${k}c$comp AS MATERIALIZED (SELECT c.i AS pos, sum(c.cv * v.v) AS u
-           |  FROM cov c JOIN v${k - 1}c$comp v ON v.pos = c.j GROUP BY 1),
-           |${proj}n${k}c$comp AS MATERIALIZED (SELECT sqrt(sum(u * u)) AS nm FROM $src),
-           |v${k}c$comp AS MATERIALIZED (SELECT pos, round(u / nm + 1e-9, 6) AS v FROM $src, n${k}c$comp)""".stripMargin
-      }.mkString(",\n")
-      def chain(comp: Int) =
-        s"""v0c$comp AS (SELECT pos, 0.125 AS v FROM m),
-           |${steps(comp)},
-           |l$comp AS MATERIALIZED (SELECT round(sum(a.v * c.cv * b.v) + 1e-9, 6) AS ev
-           |  FROM cov c JOIN v8c$comp a ON a.pos = c.i JOIN v8c$comp b ON b.pos = c.j)""".stripMargin
       def sel(comp: Int) =
         s"SELECT $comp AS component, v.pos, v.v AS loading, l.ev AS eigenvalue FROM v8c$comp v CROSS JOIN l$comp l"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |g64 AS (SELECT unnest(generate_series(1,64)) AS i),
-        |m AS (SELECT (g64.i - 1) AS pos, ${ExactAgg.exactMeanSql("emb[g64.i]", 4)} AS mv
-        |  FROM e, g64 GROUP BY 1),
-        |x AS (SELECT vec_id, (g64.i - 1) AS pos, emb[g64.i] AS xv FROM e, g64),
-        |cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
-        |  ${ExactAgg.exactMeanSql("(a.xv - ma.mv) * (b.xv - mb.mv)", 6)} AS cv
-        | FROM x a JOIN x b USING (vec_id)
-        | JOIN m ma ON ma.pos = a.pos JOIN m mb ON mb.pos = b.pos
-        | GROUP BY 1, 2),
-        |${chain(1)},
-        |${chain(2)},
-        |${chain(3)}
+      s"""WITH $pcaChain3Sql
+        |${sel(1)} UNION ALL ${sel(2)} UNION ALL ${sel(3)}""".stripMargin
+    },
+    // whitening = the flat (x−μ)·v/√λ projection onto the replayed
+    // top-3 basis: the 64 terms fold in the same left-associated
+    // order as the Spark expression, per row — no inter-row float
+    // reduction anywhere in the projection
+    "embed_whiten" -> {
+      def sel(comp: Int) = {
+        val terms = (1 to 64).map(i => s"(e.emb[$i] - mll.ml[$i]) * wl$comp.vl[$i]")
+          .mkString(" + ")
+        s"""SELECT e.vec_id, $comp AS component,
+           |  round(($terms) / sqrt(l$comp.ev) + 1e-9, 4) AS coord
+           |FROM e CROSS JOIN mll CROSS JOIN wl$comp CROSS JOIN l$comp""".stripMargin
+      }
+      s"""WITH $pcaChain3Sql,
+        |mll AS MATERIALIZED (SELECT list(mv ORDER BY pos) AS ml FROM m),
+        |wl1 AS MATERIALIZED (SELECT list(v ORDER BY pos) AS vl FROM v8c1),
+        |wl2 AS MATERIALIZED (SELECT list(v ORDER BY pos) AS vl FROM v8c2),
+        |wl3 AS MATERIALIZED (SELECT list(v ORDER BY pos) AS vl FROM v8c3)
         |${sel(1)} UNION ALL ${sel(2)} UNION ALL ${sel(3)}""".stripMargin
     },
     // outliers sit ≥1.5σ below their own cell's mean similarity; the
@@ -1956,6 +1953,17 @@ object SparkEntry {
     (0 until 64).map(d =>
       s"($a[${d + 1}]-$b[${d + 1}])*($a[${d + 1}]-$b[${d + 1}])").mkString(" + ")
 
+  /** Exact L2² brute-force top-k ids — the ground-truth half of the
+    * composed `ann_pq_recall_eval` oracle (ranks on the raw fold, no
+    * rounding: both engines sum the identical 64-term chain). */
+  private lazy val l2BruteForceSql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+      |c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+      |s AS (SELECT q_id, c.vec_id, ${l2FullSql("qe", "c.emb")} AS d FROM q, c),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM s)
+      |SELECT q_id, vec_id FROM r WHERE rnk <= 5""".stripMargin
+
   /** The PQ shortlist + exact full-precision L2² rerank — the
     * `ann_pq_refine_topk` oracle. */
   private lazy val pqRefineSql: String =
@@ -2072,6 +2080,49 @@ object SparkEntry {
        |sc AS MATERIALIZED (SELECT t0.q_id, c.vec_id, round($sumExpr + 1e-9, 4) AS approx_dist
        |  FROM codes c JOIN qt0 t0 ON t0.cid = c.c0
        |  $qtJoins)""".stripMargin
+  }
+
+  /** The shared top-3 PCA replay (orthogonal power iteration,
+    * [[graft.operators.Similarity.embedPcaTopK]]): covariance `cov`,
+    * per-component step chains `v0c..v8c`, projection dots, and
+    * Rayleigh quotients `l1..l3` — everything both `embed_pca_topk`
+    * and `embed_whiten` build on. */
+  private lazy val pcaChain3Sql: String = {
+    def steps(comp: Int) = (1 to 8).map { k =>
+      val priors = 1 until comp
+      val proj = if (priors.isEmpty) "" else {
+        val joins = priors.map(p => s"JOIN v8c$p w$p ON w$p.pos = u.pos").mkString(" ")
+        val dots = priors.map(p => s"sum(u.u * w$p.v) AS d$p").mkString(", ")
+        val sub = priors.map(p => s" - d.d$p * w$p.v").mkString
+        s"""d${k}c$comp AS MATERIALIZED (SELECT $dots FROM u${k}c$comp u $joins),
+           |g${k}c$comp AS MATERIALIZED (SELECT u.pos, u.u$sub AS u
+           |  FROM u${k}c$comp u $joins CROSS JOIN d${k}c$comp d),
+           |""".stripMargin
+      }
+      val src = if (priors.isEmpty) s"u${k}c$comp" else s"g${k}c$comp"
+      s"""u${k}c$comp AS MATERIALIZED (SELECT c.i AS pos, sum(c.cv * v.v) AS u
+         |  FROM cov c JOIN v${k - 1}c$comp v ON v.pos = c.j GROUP BY 1),
+         |${proj}n${k}c$comp AS MATERIALIZED (SELECT sqrt(sum(u * u)) AS nm FROM $src),
+         |v${k}c$comp AS MATERIALIZED (SELECT pos, round(u / nm + 1e-9, 6) AS v FROM $src, n${k}c$comp)""".stripMargin
+    }.mkString(",\n")
+    def chain(comp: Int) =
+      s"""v0c$comp AS (SELECT pos, 0.125 AS v FROM m),
+         |${steps(comp)},
+         |l$comp AS MATERIALIZED (SELECT round(sum(a.v * c.cv * b.v) + 1e-9, 6) AS ev
+         |  FROM cov c JOIN v8c$comp a ON a.pos = c.i JOIN v8c$comp b ON b.pos = c.j)""".stripMargin
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |g64 AS (SELECT unnest(generate_series(1,64)) AS i),
+      |m AS (SELECT (g64.i - 1) AS pos, ${ExactAgg.exactMeanSql("emb[g64.i]", 4)} AS mv
+      |  FROM e, g64 GROUP BY 1),
+      |x AS (SELECT vec_id, (g64.i - 1) AS pos, emb[g64.i] AS xv FROM e, g64),
+      |cov AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+      |  ${ExactAgg.exactMeanSql("(a.xv - ma.mv) * (b.xv - mb.mv)", 6)} AS cv
+      | FROM x a JOIN x b USING (vec_id)
+      | JOIN m ma ON ma.pos = a.pos JOIN m mb ON mb.pos = b.pos
+      | GROUP BY 1, 2),
+      |${chain(1)},
+      |${chain(2)},
+      |${chain(3)}""".stripMargin
   }
 
   private def kmeansChainSql(nUpdates: Int): String = {

@@ -504,7 +504,7 @@ object Similarity {
       // (u = 0, ‖u‖ = 0 would NaN); come back empty like the oracle
       case None => Seq.empty[(Int, Double, Double)]
         .toDF("pos", "loading", "eigenvalue")
-      case Some(cov) =>
+      case Some((_, cov)) =>
         val (v, lambda) = powerIterate(cov, dims, nIters)
         v.zipWithIndex.map { case (l, p) => (p, l, lambda) }.toSeq
           .toDF("pos", "loading", "eigenvalue")
@@ -538,23 +538,76 @@ object Similarity {
     covMatrix(t, dims) match {
       case None => Seq.empty[(Int, Int, Double, Double)]
         .toDF("component", "pos", "loading", "eigenvalue")
-      case Some(cov) =>
-        val priors = Seq.newBuilder[Array[Double]]
-        val out = Seq.newBuilder[(Int, Int, Double, Double)]
-        for (comp <- 1 to nComponents) {
-          val (v, lambda) = powerIterate(cov, dims, nIters, priors.result())
-          out ++= v.zipWithIndex.map { case (l, p) => (comp, p, l, lambda) }
-          priors += v
+      case Some((_, cov)) =>
+        val out = pcaBasis(cov, dims, nIters, nComponents).zipWithIndex.flatMap {
+          case ((v, lambda), idx) =>
+            v.zipWithIndex.map { case (l, p) => (idx + 1, p, l, lambda) }
         }
-        out.result().toDF("component", "pos", "loading", "eigenvalue")
+        out.toDF("component", "pos", "loading", "eigenvalue")
+    }
+  }
+
+  /** The top `nComponents` (vector, eigenvalue) pairs by the
+    * orthogonal power iteration of [[embedPcaTopK]]. */
+  private def pcaBasis(cov: Map[(Int, Int), Double], dims: Int,
+      nIters: Int, nComponents: Int): Seq[(Array[Double], Double)] = {
+    val out = Seq.newBuilder[(Array[Double], Double)]
+    var priors = Seq.empty[Array[Double]]
+    for (_ <- 1 to nComponents) {
+      val (v, lambda) = powerIterate(cov, dims, nIters, priors)
+      out += ((v, lambda))
+      priors = priors :+ v
+    }
+    out.result()
+  }
+
+  /** `embed_whiten` — PCA whitening of the embedding cloud: every
+    * vector projected onto the top-k orthogonal components
+    * ([[embedPcaTopK]]'s basis) with each coordinate scaled by
+    * 1/√λ — the decorrelate-and-equalize transform embedding QC
+    * applies before similarity calibration, and the consumer the
+    * top-k basis exists FOR. Output is flat (vec_id, component,
+    * coord).
+    *
+    * Scale shape: training is the one dims²-bounded covariance
+    * collect + driver iteration; the projection itself is MAP-ONLY —
+    * each coordinate is a 64-term (x−μ)·v fold against literal
+    * means/loadings, a per-row scalar chain with no inter-row
+    * reduction, so it is bit-identical cross-engine (the oracle
+    * replays the identical left-associated term order) and costs one
+    * codegen pass at any corpus size.
+    */
+  def embedWhiten(t: Tables, dims: Int = 64, nIters: Int = 8,
+      nComponents: Int = 3): DataFrame = {
+    val sess = t.spark
+    import sess.implicits._
+    covMatrix(t, dims) match {
+      case None => Seq.empty[(Long, Int, Double)]
+        .toDF("vec_id", "component", "coord")
+      case Some((means, cov)) =>
+        val basis = pcaBasis(cov, dims, nIters, nComponents)
+        basis.foreach { case (_, lambda) =>
+          require(lambda > 0, s"whitening needs positive eigenvalues, got $lambda") }
+        val coordCols = basis.map { case (v, lambda) =>
+          val terms = (0 until dims).map(i =>
+            (element_at(col("emb"), i + 1) - lit(means.getOrElse(i, 0.0))) * lit(v(i)))
+            .reduce(_ + _)
+          round(terms / lit(math.sqrt(lambda)) + lit(1e-9), 4)
+        }
+        withEmb(t)
+          .select(col("vec_id"), posexplode(array(coordCols: _*)))
+          .select(col("vec_id"), (col("pos") + 1).as("component"),
+            col("col").as("coord"))
     }
   }
 
   /** The distributed mean-centered covariance collect shared by the
     * PCA operators: map-side centered outer products (dims² fan-out
     * per row, partial-agg before the (i,j) shuffle), 6-dp
-    * exact-integer means; None on an empty slice. */
-  private def covMatrix(t: Tables, dims: Int): Option[Map[(Int, Int), Double]] = {
+    * exact-integer means; returns (per-dim means, covariance), None
+    * on an empty slice. */
+  private def covMatrix(t: Tables, dims: Int)
+      : Option[(Map[Int, Double], Map[(Int, Int), Double])] = {
     val corpus = withEmb(t)
     val means = corpus.select(posexplode(col("emb")))
       .groupBy(col("pos")).agg(ExactAgg.exactMean(col("col"), 4).as("mv"))
@@ -568,9 +621,9 @@ object Similarity {
         transform(col("ce"), (xj, j) =>
           struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("s"))
       .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
-    Some(cells.groupBy(col("i"), col("j"))
+    Some((means, cells.groupBy(col("i"), col("j"))
       .agg(ExactAgg.exactMean(col("p"), 6).as("cv"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap))
   }
 
   private def rnd6(x: Double): Double =
@@ -995,6 +1048,43 @@ object Similarity {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(asc("l2_sq"), asc("vec_id"))))
       .filter(col("rnk") <= TopK)
+  }
+
+  /** `ann_pq_recall_eval` — recall@k of the PRODUCTION PQ serving
+    * path (stored-index ADC shortlist + exact rerank,
+    * [[annPqRefineTopK]]) against the exact L2 top-k. The PQ family's
+    * member of the measure-don't-guess suite ([[annRecallEval]] /
+    * `dedup_minhash_eval`): the number a deployment watches when it
+    * tunes m/K/shortlist. Ground truth is collected (queries × k
+    * rows) and re-literalized — no persist outlives the call; the
+    * serve side reads the stored code table. The DuckDB oracle
+    * composes the full serving replay with an exact top-k chain.
+    */
+  def annPqRecallEval(t: Tables): DataFrame = {
+    import graft.functions.VectorFunctions.l2SqDistance
+    val sess = t.spark
+    import sess.implicits._
+    val e = withEmb(t)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val truth = e.filter(col("vec_id") >= NumQueries)
+      .join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        l2SqDistance(col("q_emb"), col("emb")).as("d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(asc("d"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("q_id", "vec_id")
+    val served = annPqRefineTopK(t).select(col("q_id"), col("vec_id"))
+    val hits = truth.join(served, Seq("q_id", "vec_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    truth.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .select(col("q_id"), col("k"), col("n_hits"),
+        (col("n_hits") / col("k")).as("recall"))
   }
 
   def annRecallEval(t: Tables): DataFrame = {

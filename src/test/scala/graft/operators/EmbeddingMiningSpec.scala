@@ -132,6 +132,37 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(lams.values.forall(_ < 1.0), s"eigenvalue beyond plausible spectrum: $lams")
   }
 
+  test("embed_whiten: per-component coordinates are centered with ~unit variance") {
+    val rows = Similarity.embedWhiten(tables).collect()
+    val n = tables.embeddings.count()
+    assert(rows.length == 3 * n)
+    rows.groupBy(_.getInt(1)).foreach { case (comp, rs) =>
+      val xs = rs.map(_.getDouble(2))
+      val mean = xs.sum / xs.length
+      val varr = xs.map(x => (x - mean) * (x - mean)).sum / xs.length
+      // variance = vᵀΣv/λ = 1 BY CONSTRUCTION (λ is the Rayleigh
+      // quotient of v) up to the 4-dp coordinate rounding
+      assert(math.abs(mean) < 0.05, s"component $comp not centered: $mean")
+      assert(varr > 0.9 && varr < 1.1, s"component $comp variance not ~1: $varr")
+    }
+  }
+
+  test("ann_pq_recall_eval: one row per query, recall = hits/k, matches the pinned floor") {
+    val rows = Similarity.annPqRecallEval(tables).collect()
+    assert(rows.length == Similarity.NumQueries)
+    rows.foreach { r =>
+      val (k, hits, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(k == Similarity.TopK)
+      assert(hits >= 0 && hits <= k)
+      assert(recall == hits.toDouble / k)
+    }
+    // the production serving path's aggregate recall floor (the same
+    // ≥0.6 the refine spec pins, now as a WATCHABLE query)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total * 10 >= Similarity.NumQueries * Similarity.TopK * 6,
+      s"PQ refine recall below pinned floor: $total/${Similarity.NumQueries * Similarity.TopK}")
+  }
+
   test("dim stats profile every dimension exactly once with sane moments") {
     val stats = Similarity.embedDimStats(tables).cache()
     try {
