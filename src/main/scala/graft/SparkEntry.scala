@@ -86,6 +86,7 @@ object SparkEntry {
     "text_contamination_fuzzy" -> q(t => TextAnalysis.textContaminationFuzzy(t)),
     "corpus_filter_funnel" -> q(t => TextAnalysis.corpusFilterFunnel(t)),
     "corpus_zipf"         -> q(t => TextAnalysis.corpusZipf(t)),
+    "corpus_doc_embedding" -> q(t => TextAnalysis.corpusDocEmbedding(t)),
     "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
@@ -129,6 +130,7 @@ object SparkEntry {
     "stream_burst"        -> q(t => graft.streaming.Streaming.streamBurst(t)),
     "corpus_split_leakage" -> q(TextAnalysis.corpusSplitLeakage),
     "stream_topk"         -> q(t => graft.streaming.Streaming.streamTopK(t)),
+    "stream_ann_serve"    -> q(t => graft.streaming.Streaming.streamAnnServe(t)),
     "events_recommend_cooccur" -> q(t => EventAnalytics.eventsRecommendCooccur(t)),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
@@ -162,6 +164,7 @@ object SparkEntry {
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "ann_recall_eval"     -> q(t => Similarity.annRecallEval(t)),
     "ann_pq_recall_eval"  -> q(t => Similarity.annPqRecallEval(t)),
+    "ann_pq_tuning"       -> q(t => Similarity.annPqTuning(t)),
     "embed_outliers"      -> q(t => Similarity.embedOutliers(t)),
     "embed_pca_power"     -> q(t => Similarity.embedPcaPower(t)),
     "ann_ivf_table"       -> q(t => Similarity.annIvfTableTopK(t)),
@@ -1130,6 +1133,19 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         | ${ExactAgg.exactMeanSql("-ln(n_vw::DOUBLE / n_v)", 4)} AS avg_nll
         |FROM c GROUP BY 1""".stripMargin,
+    // feature-hashing doc vectors: md5 byte 0 % 64 dims, nibble-2
+    // parity sign, exact signed integer counts; cancelled-to-zero
+    // dims dropped on BOTH engines
+    "corpus_doc_embedding" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        |hx AS (SELECT doc_id,
+        |  (16*(strpos('0123456789abcdef',substr(md5(tok),1,1))-1)
+        |    + (strpos('0123456789abcdef',substr(md5(tok),2,1))-1)) % 64 AS pos,
+        |  CASE WHEN (strpos('0123456789abcdef',substr(md5(tok),3,1))-1) % 2 = 0
+        |    THEN 1 ELSE -1 END AS s
+        | FROM tk)
+        |SELECT doc_id, pos::INTEGER AS pos, sum(s)::BIGINT AS val
+        |FROM hx GROUP BY 1, 2 HAVING sum(s) <> 0""".stripMargin,
     "text_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
@@ -1602,6 +1618,37 @@ object SparkEntry {
         |SELECT ks.q_id, ks.k, COALESCE(hits.n_hits, 0) AS n_hits,
         | COALESCE(hits.n_hits, 0) / CAST(ks.k AS DOUBLE) AS recall
         |FROM ks LEFT JOIN hits ON hits.q_id = ks.q_id""".stripMargin,
+    // the nProbe sweep: candidate recall (true-top-5 in a probed
+    // cell) + admitted-candidate counts per probe depth, off the
+    // replayed k-means cells and L2 assignment — exact counting
+    "ann_pq_tuning" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+        |${kmeansIterCtesSql(3, "corp")},
+        |cent AS (SELECT cell AS cid, cemb FROM c3),
+        |asgd AS (SELECT corp.vec_id, cent.cid, ${l2FullSql("corp.emb", "cent.cemb")} AS d
+        |  FROM corp CROSS JOIN cent),
+        |asg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM asgd) WHERE rn = 1),
+        |prbd AS (SELECT q.vec_id AS q_id, cent.cid, ${l2FullSql("q.emb", "cent.cemb")} AS d
+        |  FROM q CROSS JOIN cent),
+        |prk AS MATERIALIZED (SELECT q_id, cid AS cell,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS cell_rank FROM prbd),
+        |cc AS (SELECT cell, count(*) AS n_in_cell FROM asg GROUP BY 1),
+        |lv AS (SELECT unnest([1,2,4,8]) AS n_probe),
+        |tr AS (SELECT q_id, vec_id FROM ($l2BruteForceSql)),
+        |hits AS (SELECT lv.n_probe, count(*) AS n_hits
+        |  FROM tr JOIN asg USING (vec_id)
+        |  JOIN prk ON prk.q_id = tr.q_id AND prk.cell = asg.cell
+        |  CROSS JOIN lv WHERE prk.cell_rank <= lv.n_probe GROUP BY 1),
+        |cand AS (SELECT lv.n_probe, sum(n_in_cell) AS n_candidates
+        |  FROM prk JOIN cc USING (cell) CROSS JOIN lv
+        |  WHERE prk.cell_rank <= lv.n_probe GROUP BY 1)
+        |SELECT lv.n_probe, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+        | COALESCE(h.n_hits, 0) / CAST(50 AS DOUBLE) AS recall,
+        | COALESCE(c.n_candidates, 0)::BIGINT AS n_candidates
+        |FROM lv LEFT JOIN hits h USING (n_probe) LEFT JOIN cand c USING (n_probe)""".stripMargin,
     "ann_recall_eval" ->
       s"""WITH hits AS (SELECT bf.q_id, count(*) AS n_hits
         |  FROM ($bruteForceSql) bf JOIN ($ivfKmeansSql) iv
@@ -1787,6 +1834,9 @@ object SparkEntry {
     // L2² folds are generated from the same index lists as the Spark
     // expressions, so the `+` chains associate identically
     "ann_pq_topk" -> pqSql,
+    // online serving off the same stored index — identical semantics
+    // to the batch ADC ranking, so the oracle is shared verbatim
+    "stream_ann_serve" -> pqSql,
     "ann_pq_refine_topk" -> pqRefineSql,
     "ann_ivf_pq_topk" -> ivfPqSql,
     // frozen-model incremental append: identical serving chain, every

@@ -787,7 +787,7 @@ object Similarity {
     * persisted artifacts — plus the name of the cell-bucketed code
     * table. Both model tables are O(K·dims) tiny; the code table is
     * the N×(m+1)-codes artifact. */
-  private[operators] final case class PqIndexHandle(
+  private[graft] final case class PqIndexHandle(
       books: Seq[Seq[(Int, Seq[Double])]],
       cents: Seq[(Int, Seq[Double])],
       codesTable: String)
@@ -810,7 +810,7 @@ object Similarity {
     * pay lookups only — and within one session the three PQ serving
     * queries here share one build the same way.
     */
-  private[operators] def pqIndex(t: Tables): PqIndexHandle =
+  private[graft] def pqIndex(t: Tables): PqIndexHandle =
     pqIndexCache.synchronized {
       pqIndexCache.getOrElseUpdate(
         (System.identityHashCode(t.spark), t.dir), buildPqIndex(t))
@@ -887,17 +887,24 @@ object Similarity {
     * c). Tiny (queries × m × K doubles) and broadcast with the
     * queries. */
   private def adcQueries(t: Tables, books: Seq[Seq[(Int, Seq[Double])]],
+      extraCols: Seq[Column] = Nil): DataFrame =
+    adcQueriesFrom(withEmb(t).filter(col("vec_id") < NumQueries), books, extraCols)
+
+  /** Same, over ANY (vec_id, emb) frame — including a STREAMING one:
+    * the ADC tables are per-row column expressions, so the transform
+    * is micro-batch-safe. */
+  private[graft] def adcQueriesFrom(df: DataFrame,
+      books: Seq[Seq[(Int, Seq[Double])]],
       extraCols: Seq[Column] = Nil): DataFrame = {
     import graft.functions.VectorFunctions.l2SqDistance
-    withEmb(t).filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id") +: (extraCols ++
-        (0 until PqM).map(j => array(books(j).map { case (_, cv) =>
-          l2SqDistance(slice(col("emb"), j * PqSubDims + 1, PqSubDims), typedlit(cv))
-        }: _*).as(s"dt$j"))): _*)
+    df.select(col("vec_id").as("q_id") +: (extraCols ++
+      (0 until PqM).map(j => array(books(j).map { case (_, cv) =>
+        l2SqDistance(slice(col("emb"), j * PqSubDims + 1, PqSubDims), typedlit(cv))
+      }: _*).as(s"dt$j"))): _*)
   }
 
   /** Sum of the m ADC lookups — the approximate distance. */
-  private def adcDist: Column =
+  private[graft] def adcDist: Column =
     (0 until PqM).map(j => element_at(col(s"dt$j"), col(s"c$j") + 1)).reduce(_ + _)
 
   /** The PQ ADC score frame (q_id, vec_id, approx_dist), served from
@@ -1085,6 +1092,61 @@ object Similarity {
       .na.fill(0L, Seq("n_hits"))
       .select(col("q_id"), col("k"), col("n_hits"),
         (col("n_hits") / col("k")).as("recall"))
+  }
+
+  /** `ann_pq_tuning` — the nProbe sweep over the STORED IVF-PQ index:
+    * for each probe depth, what fraction of the true L2 top-k lands
+    * in a probed cell (candidate-generation recall — the ceiling any
+    * downstream ADC/rerank can reach) and how many corpus rows the
+    * probe admits (the scan cost). The recall/cost frontier a
+    * deployment reads before fixing nProbe — `dedup_minhash_tuning`'s
+    * ANN counterpart. Everything is exact integer counting off the
+    * stored cell assignment; one division per row.
+    */
+  def annPqTuning(t: Tables, probeLevels: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import graft.functions.VectorFunctions.l2SqDistance
+    val idx = pqIndex(t)
+    val index = t.spark.table(idx.codesTable).select(col("vec_id"), col("cell"))
+    def cellDists(emb: Column): Seq[Column] =
+      idx.cents.map { case (cid, cv) =>
+        struct(l2SqDistance(emb, typedlit(cv)).as("d"), lit(cid).as("c"))
+      }
+    val e = withEmb(t)
+    // every cell's probe rank per query (1..K, (d, cid) tie-break)
+    val qRanks = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"),
+        posexplode(transform(array_sort(array(cellDists(col("emb")): _*)),
+          s => s.getField("c"))))
+      .select(col("q_id"), (col("pos") + 1).as("cell_rank"), col("col").as("cell"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val truth = e.filter(col("vec_id") >= NumQueries)
+      .join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        l2SqDistance(col("q_emb"), col("emb")).as("d"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(asc("d"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+      .select(col("q_id"), col("vec_id"))
+    val levelCol = explode(typedlit(probeLevels)).as("n_probe")
+    val hits = truth.join(index, Seq("vec_id")).join(qRanks, Seq("q_id", "cell"))
+      .select(col("cell_rank"), levelCol)
+      .filter(col("cell_rank") <= col("n_probe"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_hits"))
+    val cellCounts = index.groupBy(col("cell")).agg(count(lit(1)).as("n_in_cell"))
+    val cand = qRanks.join(cellCounts, Seq("cell"))
+      .select(col("n_in_cell"), levelCol, col("cell_rank"))
+      .filter(col("cell_rank") <= col("n_probe"))
+      .groupBy(col("n_probe")).agg(sum(col("n_in_cell")).as("n_candidates"))
+    val sess = t.spark
+    import sess.implicits._
+    probeLevels.toDF("n_probe")
+      .join(hits, Seq("n_probe"), "left")
+      .join(cand, Seq("n_probe"), "left")
+      .na.fill(0L, Seq("n_hits", "n_candidates"))
+      .select(col("n_probe"), col("n_hits"),
+        (col("n_hits") / lit((NumQueries * TopK).toDouble)).as("recall"),
+        col("n_candidates"))
   }
 
   def annRecallEval(t: Tables): DataFrame = {

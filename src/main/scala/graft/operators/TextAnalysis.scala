@@ -773,6 +773,34 @@ object TextAnalysis {
     }
   }
 
+  /** `corpus_doc_embedding` — feature-hashing (hashing-trick) document
+    * vectors: every token hashes to a dimension (md5 byte 0 mod
+    * `dims`) and a ±1 sign (md5 nibble 2 parity), and the doc's
+    * sparse vector is the signed count per dimension — the
+    * Weinberger-style text→vector bridge that turns the documents
+    * table into an embedding table with NO trained model, closing the
+    * docs → vectors → index → serve pipeline loop inside the engine.
+    * Counts are exact integers (no float anywhere), so the oracle is
+    * exact; output is the sparse flat form (doc_id, pos, val),
+    * zero-valued dims absent by construction on both engines.
+    *
+    * Shape: tokenize-explode (map-only) → one (doc, dim)-keyed
+    * partial-agg sum — cost linear in corpus tokens, shuffle carries
+    * (doc_id, pos, partial count) triples only.
+    */
+  def corpusDocEmbedding(t: Tables, dims: Int = 64): DataFrame = {
+    val h = md5(col("tok"))
+    t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(h, 1, 2), 16, 10).cast("long") % dims).cast("int").as("pos"),
+        when(conv(substring(h, 3, 1), 16, 10).cast("long") % 2 === 0, lit(1L))
+          .otherwise(lit(-1L)).as("s"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("s")).as("val"))
+      .filter(col("val") =!= 0L)
+  }
+
   def corpusTokenShards(t: Tables, tokensPerShard: Long = 2048,
       bucketSize: Long = 64, maxWindowRows: Long = 1L << 20,
       maxBroadcastRows: Long = 4L * 1000 * 1000,

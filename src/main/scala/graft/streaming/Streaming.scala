@@ -340,4 +340,39 @@ object Streaming {
       .orderBy(col("n").desc, col("item"))
       .limit(k)
   }
+
+  /** X12 — `stream_ann_serve`: ONLINE serving off the stored PQ index
+    * — query vectors arrive as a stream, each micro-batch computes its
+    * ADC lookup tables map-side (per-row column expressions over the
+    * stored codebooks) and joins the static cell-bucketed code table
+    * ([[graft.operators.Similarity.pqIndex]] — planned once, reused
+    * every batch, the stream-static shape); the scored candidates land
+    * in the sink and the per-query top-k rank runs over the drained
+    * table (rank windows aren't streamable; on a live deployment the
+    * per-batch top-k is a batch-local agg). Identical semantics to
+    * [[graft.operators.Similarity.annPqTopK]], so it shares that
+    * oracle verbatim — the proof that the OFFLINE index artifact and
+    * the ONLINE serving path agree.
+    */
+  def streamAnnServe(t: Tables): DataFrame = {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    val idx = Similarity.pqIndex(t)
+    val schema = t.raw("embeddings").schema
+    val qStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "embeddings"))
+      .filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val codes = t.spark.table(idx.codesTable)
+      .select(col("vec_id") +: (0 until Similarity.PqM).map(j => col(s"c$j")): _*)
+    val scored = Similarity.adcQueriesFrom(qStream, idx.books)
+      .crossJoin(codes)
+      .select(col("q_id"), col("vec_id"),
+        round(Similarity.adcDist + lit(1e-9), 4).as("approx_dist"))
+    drainToTable(scored, "append")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(asc("approx_dist"), asc("vec_id"))))
+      .filter(col("rnk") <= Similarity.TopK)
+  }
 }

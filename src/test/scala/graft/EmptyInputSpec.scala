@@ -48,7 +48,10 @@ class EmptyInputSpec extends SparkSpec {
     // round-8 additions (advisor: embed_pca_power NaN'd on an empty
     // slice before its means-empty guard)
     "embed_pca_power", "text_contamination_fuzzy", "q_table_stats",
-    "events_new_vs_returning", "events_ltv_cohort")
+    "events_new_vs_returning", "events_ltv_cohort",
+    // round-9 additions (PQ/whiten index builds stay excluded by the
+    // fail-loudly policy above)
+    "corpus_doc_embedding")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
