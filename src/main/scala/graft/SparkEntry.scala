@@ -207,6 +207,7 @@ object SparkEntry {
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
     "q_bucketed_roundtrip" -> q(graft.sources.SourceOps.bucketedRoundtrip),
     "q_json_orc_roundtrip" -> q(graft.sources.SourceOps.jsonOrcRoundtrip),
+    "q_zorder_roundtrip"  -> q(t => graft.sources.SourceOps.zOrderRoundtrip(t)),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
@@ -1871,6 +1872,15 @@ object SparkEntry {
       """WITH a AS (SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1)
         |SELECT a.*, f.fmt FROM a, (VALUES ('json'), ('orc')) f(fmt)""".stripMargin,
+    // the z-ordered copy must preserve every row/value: 2-D range
+    // filter + aggregate over the laid-out files vs the original
+    "q_zorder_roundtrip" ->
+      """SELECT event_type, count(*) AS n_events,
+        | round(sum(value), 2) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 29
+        |  AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 7 AND 13
+        |GROUP BY 1""".stripMargin,
     // the merged two-batch read must reconcile with the original table:
     // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
     "q_schema_evolution" ->

@@ -2,7 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -91,6 +91,59 @@ object SourceOps {
 
     agg(Sources.read(t.spark, pqPath), "parquet")
       .unionByName(agg(Sources.read(t.spark, csvPath, Some(csvSchema)), "csv"))
+  }
+
+  /** 2×`bits` Morton (Z-order) interleave of two non-negative integer
+    * columns — exact integer shifts/masks, so the key is
+    * deterministic on any engine. Bit i of `a` lands at 2i, bit i of
+    * `b` at 2i+1. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** `q_zorder_roundtrip` — MULTI-dimension data clustering, the
+    * layout technique one sort column can't give: events laid out by
+    * the Morton interleave of (user_id, day), range-partitioned and
+    * sorted on the z-value, so EVERY file covers a narrow range of
+    * BOTH dimensions at once (a user-sorted layout pins user spans
+    * but leaves each file spanning the whole month — pinned
+    * comparatively in spec). At 100 TB this is what makes a
+    * two-predicate scan (user range AND date range) prune most
+    * files/row-groups via footer min-max on either column — the
+    * Delta/Iceberg OPTIMIZE ZORDER story expressed with plain
+    * repartitionByRange. The query proves the roundtrip VALUE
+    * correctness: a 2-D range filter + aggregate over the laid-out
+    * copy, oracled against the original table.
+    */
+  def zOrderRoundtrip(t: Tables, nFiles: Int = 16): DataFrame = {
+    val path = s"$stagingDir/events_zorder.parquet"
+    writeZOrderedEvents(t, path, nFiles)
+    t.spark.read.parquet(path)
+      .filter(col("user_id").between(10, 29) && col("day").between(7, 13))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+  }
+
+  /** The z-ordered layout writer [[zOrderRoundtrip]] and its spec
+    * share: events + derived day index, clustered by z(user, day).
+    * The day index is pre-scaled (≪3) so both dimensions occupy a
+    * comparable bit width — an UNBALANCED interleave degenerates
+    * toward a single-dim sort (the wider dim's high bits dominate
+    * every z-range cut); real Z-order implementations normalize dims
+    * to equal-width ranks for the same reason. */
+  private[graft] def writeZOrderedEvents(t: Tables, path: String,
+      nFiles: Int): Unit = {
+    val ev = t.events.withColumn("day",
+      datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("2024-01-01"))))
+    ev.withColumn("zv", zValue(col("user_id").cast("int"),
+        shiftleft(col("day"), 3)))
+      .repartitionByRange(nFiles, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .drop("zv")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** `q_json_orc_roundtrip` — the same write → read-back → aggregate

@@ -58,6 +58,42 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout bounds BOTH dimensions per file; a single-dim sort leaves day unpruned") {
+    import org.apache.spark.sql.functions.{datediff, lit, max, min}
+    val base = Files.createTempDirectory("graft-sources-zorder").toString
+    val zPath = s"$base/events_z.parquet"
+    graft.sources.SourceOps.writeZOrderedEvents(tables, zPath, nFiles = 16)
+    val uPath = s"$base/events_u.parquet"
+    tables.events
+      .withColumn("day", datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("2024-01-01"))))
+      .repartitionByRange(16, col("user_id")).sortWithinPartitions(col("user_id"))
+      .write.parquet(uPath)
+    def daySpans(p: String): Seq[(Int, Int)] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getPath).agg(min(col("day")), max(col("day"))).head()
+          (r.getInt(0), r.getInt(1))
+        }
+    val zSpans = daySpans(zPath)
+    val uSpans = daySpans(uPath)
+    // the single-dim (user) sort leaves every file spanning ~the whole
+    // month: a date predicate can prune NOTHING from its footers
+    assert(uSpans.forall { case (lo, hi) => hi - lo >= 25 },
+      s"user-sorted files unexpectedly day-clustered: $uSpans")
+    // the balanced interleave bounds every file's day range (measured
+    // max span 2 of 29 at sf0.001) — date footers become selective
+    assert(zSpans.forall { case (lo, hi) => hi - lo <= 8 },
+      s"z-ordered file spans too wide: $zSpans")
+    // the concrete payoff on the roundtrip query's 7-day window:
+    // candidate files (footer day-range intersects [7,13]) must be a
+    // strict minority of the layout vs ALL of the user-sorted one
+    val zHit = zSpans.count { case (lo, hi) => hi >= 7 && lo <= 13 }
+    val uHit = uSpans.count { case (lo, hi) => hi >= 7 && lo <= 13 }
+    assert(uHit == uSpans.length, "single-dim sort should admit every file")
+    assert(zHit * 2 <= zSpans.length,
+      s"expected ≤half the z files to intersect the week: $zHit/${zSpans.length}")
+  }
+
   test("schema evolution: merged read NULLs the new column for pre-evolution rows") {
     val df = SourceOps.schemaEvolution(tables)
     assert(df.columns.toSet == Set("o_orderpriority", "n_rows", "n_with_cust", "sum_price"))
