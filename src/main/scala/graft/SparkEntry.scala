@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_incremental_table" -> q(t => Dedup.dedupIncrementalTable(t)),
     "dedup_passage"       -> q(t => Dedup.dedupPassage(t)),
     "dedup_minhash_eval"  -> q(Dedup.dedupMinhashEval),
+    "dedup_containment"   -> q(t => Dedup.dedupContainment(t)),
     "dedup_minhash_tuning" -> q(Dedup.dedupMinhashTuning),
     "corpus_dedup_weights"-> q(Dedup.corpusDedupWeights),
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
@@ -1302,6 +1303,26 @@ object SparkEntry {
         |SELECT passage_hash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
         | min(doc_id) AS rep_doc_id
         |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // inverted-index (df-capped rare shingles) candidates + exact
+    // directional containment ratios — the near-superset screen
+    "dedup_containment" ->
+      s"""WITH $sqlShingles,
+        |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        |rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN dfq USING (shingle) WHERE df <= 50),
+        |cand AS (SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+        |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |it AS (SELECT c.doc_id_1, c.doc_id_2, count(*) AS n_inter
+        |  FROM cand c JOIN sh a ON a.doc_id = c.doc_id_1
+        |  JOIN sh b ON b.doc_id = c.doc_id_2 AND b.shingle = a.shingle GROUP BY 1, 2)
+        |SELECT it.doc_id_1, it.doc_id_2, it.n_inter,
+        | it.n_inter / CAST(n1.n AS DOUBLE) AS containment_1,
+        | it.n_inter / CAST(n2.n AS DOUBLE) AS containment_2
+        |FROM it JOIN sz n1 ON n1.doc_id = it.doc_id_1
+        |JOIN sz n2 ON n2.doc_id = it.doc_id_2
+        |WHERE greatest(it.n_inter / CAST(n1.n AS DOUBLE),
+        |  it.n_inter / CAST(n2.n AS DOUBLE)) >= 0.5""".stripMargin,
     "dedup_minhash_eval" ->
       s"""WITH $sqlShingles,
         |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h

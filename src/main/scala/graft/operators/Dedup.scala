@@ -551,6 +551,56 @@ object Dedup {
     * Both divisions are exact-integer → double, bit-identical in any
     * IEEE engine, so no rounding is needed.
     */
+  /** D13 — `dedup_containment`: asymmetric near-SUPERSET detection —
+    * for candidate pairs, the shingle CONTAINMENT in each direction
+    * (|A∩B|/|A| and |A∩B|/|B|), keeping pairs where either side is
+    * mostly inside the other. Jaccard-based dedup structurally MISSES
+    * these (a short doc quoted inside a long one has low Jaccard but
+    * containment ≈ 1, and MinHash-LSH fires on Jaccard), so candidate
+    * generation here is the inverted-index route instead: pairs
+    * sharing ≥ `minShared` RARE shingles (document frequency ≤
+    * `maxDf` — the df cap that keeps boilerplate shingles from
+    * exploding the join, the standard trick at corpus scale). The
+    * boilerplate/quotation screen an LLM dedup pipeline runs beside
+    * the symmetric near-dup pass.
+    *
+    * Shape: one shingle scan feeds the df counts, the rare-shingle
+    * candidate self-join (shingle-keyed, df-capped — never all-pairs)
+    * and the exact intersections; containments are exact-integer
+    * ratios divided once.
+    */
+  def dedupContainment(t: Tables, minShared: Int = 3, maxDf: Long = 50,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = shingleSet(t).persist()
+    sh.count()
+    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfq.filter(col("df") <= maxDf), "shingle")
+    val cand = rare.as("a")
+      .join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
+      .agg(count(lit(1)).as("n_shared_rare"))
+      .filter(col("n_shared_rare") >= minShared)
+      .select(col("doc_id_1"), col("doc_id_2"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(sh.as("sa"), col("doc_id_1") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_id_2") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("doc_id_1"), col("doc_id_2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val c1 = col("n_inter") / col("n1")
+    val c2 = col("n_inter") / col("n2")
+    inter
+      .join(sizes.withColumnRenamed("n_sh", "n1").as("z1"),
+        col("doc_id_1") === col("z1.doc_id"))
+      .join(sizes.withColumnRenamed("n_sh", "n2").as("z2"),
+        col("doc_id_2") === col("z2.doc_id"))
+      .select(col("doc_id_1"), col("doc_id_2"), col("n_inter"),
+        c1.as("containment_1"), c2.as("containment_2"))
+      .filter(greatest(col("containment_1"), col("containment_2")) >= threshold)
+  }
+
   def dedupMinhashEval(t: Tables): DataFrame = {
     val sh = shingleSet(t).persist()
     sh.count()
