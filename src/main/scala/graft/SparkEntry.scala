@@ -131,6 +131,8 @@ object SparkEntry {
     "corpus_split_leakage" -> q(TextAnalysis.corpusSplitLeakage),
     "stream_topk"         -> q(t => graft.streaming.Streaming.streamTopK(t)),
     "stream_ann_serve"    -> q(t => graft.streaming.Streaming.streamAnnServe(t)),
+    "stream_index_append" -> q(t => graft.streaming.Streaming.streamIndexAppend(t)),
+    "ann_index_compaction" -> q(t => Similarity.annIndexCompaction(t)),
     "events_recommend_cooccur" -> q(t => EventAnalytics.eventsRecommendCooccur(t)),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
@@ -1864,6 +1866,11 @@ object SparkEntry {
     // frozen-model incremental append: identical serving chain, every
     // model CTE trained on the history slice only
     "ann_index_incremental" -> annIndexIncrementalSql,
+    // same frozen models + codes, different arrival/layout: the
+    // streaming append and the compacted rewrite must equal the
+    // batch incremental result exactly
+    "stream_index_append" -> annIndexIncrementalSql,
+    "ann_index_compaction" -> annIndexIncrementalSql,
     "ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |cent AS (SELECT (vec_id - 10)::INT AS cell, emb AS cemb FROM e WHERE vec_id >= 10 AND vec_id < 26),

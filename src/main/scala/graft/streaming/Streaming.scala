@@ -354,6 +354,32 @@ object Streaming {
     * oracle verbatim — the proof that the OFFLINE index artifact and
     * the ONLINE serving path agree.
     */
+  /** X13 — `stream_index_append`: the STREAMING half of incremental
+    * index maintenance — newly arriving vectors encode against the
+    * FROZEN history models as a map-only streaming transform (cell
+    * assignment + m sub-vector codes, pure column expressions, no
+    * state), the drained codes append to the stored history index,
+    * and the standard three-stage serve runs over the union. Batch
+    * twin: [[graft.operators.Similarity.annIndexIncremental]] — same
+    * split, same frozen models, same serving — so it shares that
+    * oracle verbatim: the streaming encode provably equals the batch
+    * encode.
+    */
+  def streamIndexAppend(t: Tables): DataFrame = {
+    import graft.operators.Similarity
+    val h = Similarity.historyIndex(t)
+    val schema = t.raw("embeddings").schema
+    val incStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "embeddings"))
+      .filter(col("vec_id") >= Similarity.NumQueries && col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val appended = drainToTable(
+      Similarity.pqEncode(incStream, h.cents, h.books), "append")
+    Similarity.ivfPqServe(t,
+      t.spark.table(h.codesTable).unionByName(appended), h,
+      nProbe = 4, shortlist = 50)
+  }
+
   def streamAnnServe(t: Tables): DataFrame = {
     import graft.operators.Similarity
     import org.apache.spark.sql.expressions.Window

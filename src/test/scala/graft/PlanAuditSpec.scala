@@ -277,6 +277,16 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected exchange on the index side: $nonWindowExchanges\n$p")
   }
 
+  test("ann_index_compaction: serving returns to ONE bucket-pruned scan, no union") {
+    val p = plan(Similarity.annIndexCompaction(tables))
+    // after the merge-rewrite the shortlist stage reads a single
+    // compacted bucketed table: the pre-compaction hist∪increment
+    // union is gone and bucket pruning applies to the whole index
+    assert(p.contains("SelectedBucketsCount"), p)
+    assert(!p.contains("Union"), s"compacted serve still unions:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("text_perplexity: windows and aggregates only — no join in the plan") {
     val p = plan(TextAnalysis.textPerplexity(tables))
     assert(!p.contains("Join"), s"unexpected join:\n$p")
