@@ -87,6 +87,7 @@ object SparkEntry {
     "corpus_filter_funnel" -> q(t => TextAnalysis.corpusFilterFunnel(t)),
     "corpus_zipf"         -> q(t => TextAnalysis.corpusZipf(t)),
     "corpus_doc_embedding" -> q(t => TextAnalysis.corpusDocEmbedding(t)),
+    "doc_ann_topk"        -> q(t => Search.docAnnTopK(t)),
     "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
@@ -1137,6 +1138,28 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         | ${ExactAgg.exactMeanSql("-ln(n_vw::DOUBLE / n_v)", 4)} AS avg_nll
         |FROM c GROUP BY 1""".stripMargin,
+    // doc similarity search over the hashed vectors: exact integer
+    // dots/norms on the shared vector CTE, one division + sqrt on
+    // identical operands, 4-dp round, (cos desc, doc_id) cut
+    "doc_ann_topk" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+        |hx AS (SELECT doc_id,
+        |  (16*(strpos('0123456789abcdef',substr(md5(tok),1,1))-1)
+        |    + (strpos('0123456789abcdef',substr(md5(tok),2,1))-1)) % 64 AS pos,
+        |  CASE WHEN (strpos('0123456789abcdef',substr(md5(tok),3,1))-1) % 2 = 0
+        |    THEN 1 ELSE -1 END AS s
+        | FROM tk),
+        |v AS MATERIALIZED (SELECT doc_id, pos, sum(s) AS val
+        |  FROM hx GROUP BY 1, 2 HAVING sum(s) <> 0),
+        |n AS (SELECT doc_id, sum(val*val) AS nn FROM v GROUP BY 1),
+        |dt AS (SELECT q.doc_id AS q_doc, c.doc_id AS doc_id, sum(q.val*c.val) AS dp
+        |  FROM v q JOIN v c USING (pos)
+        |  WHERE q.doc_id < 10 AND c.doc_id >= 10 GROUP BY 1, 2),
+        |sc AS (SELECT dt.q_doc, dt.doc_id,
+        |  round(CAST(dp AS DOUBLE) / sqrt(CAST(nq.nn * nc.nn AS DOUBLE)) + 1e-9, 4) AS cos_sim
+        |  FROM dt JOIN n nq ON nq.doc_id = dt.q_doc JOIN n nc ON nc.doc_id = dt.doc_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rnk FROM sc)
+        |SELECT q_doc, doc_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // feature-hashing doc vectors: md5 byte 0 % 64 dims, nibble-2
     // parity sign, exact signed integer counts; cancelled-to-zero
     // dims dropped on BOTH engines

@@ -75,4 +75,42 @@ object Search {
       .orderBy(desc("bm25"), asc("doc_id"))
       .limit(k)
   }
+
+  /** `doc_ann_topk` — document similarity SEARCH over the
+    * hashing-trick vectors ([[TextAnalysis.corpusDocEmbedding]]):
+    * per query doc (the lowest `nQueries` ids), the top-k most
+    * cosine-similar corpus docs. The semantic complement of BM25
+    * (bag-of-features similarity vs keyword relevance), and the
+    * concrete closure of the docs → vectors → search loop: the vector
+    * table an operator produced IS the index another serves from.
+    *
+    * Scale shape: the sparse-vector similarity join — the tiny query
+    * slice broadcast-joins the corpus vectors ON THE DIMENSION key,
+    * so the dot products reduce by (query, doc)-keyed partial agg;
+    * the corpus side never self-joins and vectors never shuffle
+    * whole. All dots and norms are EXACT integers (the hashed vectors
+    * are signed counts); the one division + sqrt runs on identical
+    * operands in both engines, then rounds at 4 dp.
+    */
+  def docAnnTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = TextAnalysis.corpusDocEmbedding(t)
+    val norms = vecs.groupBy(col("doc_id"))
+      .agg(sum(col("val") * col("val")).as("nn"))
+    val qv = vecs.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_doc"), col("pos"), col("val").as("q_val"))
+    val dots = vecs.filter(col("doc_id") >= nQueries)
+      .join(broadcast(qv), Seq("pos"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(sum(col("q_val") * col("val")).as("dp"))
+    dots
+      .join(broadcast(norms.select(col("doc_id").as("q_doc"), col("nn").as("qn"))), Seq("q_doc"))
+      .join(norms.withColumnRenamed("nn", "cn"), Seq("doc_id"))
+      .select(col("q_doc"), col("doc_id"),
+        round(col("dp").cast("double") /
+          sqrt((col("qn") * col("cn")).cast("double")) + lit(1e-9), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_doc")).orderBy(desc("cos_sim"), asc("doc_id"))))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -51,7 +51,8 @@ class EmptyInputSpec extends SparkSpec {
     "events_new_vs_returning", "events_ltv_cohort",
     // round-9 additions (PQ/whiten index builds stay excluded by the
     // fail-loudly policy above)
-    "corpus_doc_embedding", "dedup_containment", "q_zorder_roundtrip")
+    "corpus_doc_embedding", "dedup_containment", "q_zorder_roundtrip",
+    "doc_ann_topk")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
