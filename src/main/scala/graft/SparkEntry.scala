@@ -88,6 +88,7 @@ object SparkEntry {
     "corpus_zipf"         -> q(t => TextAnalysis.corpusZipf(t)),
     "corpus_doc_embedding" -> q(t => TextAnalysis.corpusDocEmbedding(t)),
     "doc_ann_topk"        -> q(t => Search.docAnnTopK(t)),
+    "search_hybrid_rrf"   -> q(t => Search.searchHybridRrf(t)),
     "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
@@ -1142,24 +1143,27 @@ object SparkEntry {
     // dots/norms on the shared vector CTE, one division + sqrt on
     // identical operands, 4-dp round, (cos desc, doc_id) cut
     "doc_ann_topk" ->
-      s"""WITH tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
-        |hx AS (SELECT doc_id,
-        |  (16*(strpos('0123456789abcdef',substr(md5(tok),1,1))-1)
-        |    + (strpos('0123456789abcdef',substr(md5(tok),2,1))-1)) % 64 AS pos,
-        |  CASE WHEN (strpos('0123456789abcdef',substr(md5(tok),3,1))-1) % 2 = 0
-        |    THEN 1 ELSE -1 END AS s
-        | FROM tk),
-        |v AS MATERIALIZED (SELECT doc_id, pos, sum(s) AS val
-        |  FROM hx GROUP BY 1, 2 HAVING sum(s) <> 0),
-        |n AS (SELECT doc_id, sum(val*val) AS nn FROM v GROUP BY 1),
-        |dt AS (SELECT q.doc_id AS q_doc, c.doc_id AS doc_id, sum(q.val*c.val) AS dp
-        |  FROM v q JOIN v c USING (pos)
+      s"""WITH $docAnnChainSql
+        |SELECT q_doc, doc_id, cos_sim, rnk FROM semr WHERE rnk <= 5""".stripMargin,
+    // hybrid retrieval: reciprocal-rank fusion of the lexical-overlap
+    // and hashed-vector rankings (top-20 each, K=60); RRF terms are
+    // 1/(K+rank) on identical integer ranks, summed sem-then-lex
+    "search_hybrid_rrf" ->
+      s"""WITH $docAnnChainSql,
+        |dtk AS (SELECT DISTINCT doc_id, tok FROM tk),
+        |ov AS (SELECT q.doc_id AS q_doc, c.doc_id AS doc_id, count(*) AS n_shared
+        |  FROM dtk q JOIN dtk c USING (tok)
         |  WHERE q.doc_id < 10 AND c.doc_id >= 10 GROUP BY 1, 2),
-        |sc AS (SELECT dt.q_doc, dt.doc_id,
-        |  round(CAST(dp AS DOUBLE) / sqrt(CAST(nq.nn * nc.nn AS DOUBLE)) + 1e-9, 4) AS cos_sim
-        |  FROM dt JOIN n nq ON nq.doc_id = dt.q_doc JOIN n nc ON nc.doc_id = dt.doc_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rnk FROM sc)
-        |SELECT q_doc, doc_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+        |lexr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc ORDER BY n_shared DESC, doc_id) AS INTEGER) AS lex_rnk FROM ov),
+        |sem AS (SELECT q_doc, doc_id, rnk AS sem_rnk FROM semr WHERE rnk <= 20),
+        |lex AS (SELECT q_doc, doc_id, lex_rnk FROM lexr WHERE lex_rnk <= 20),
+        |fused AS (SELECT COALESCE(sem.q_doc, lex.q_doc) AS q_doc,
+        |  COALESCE(sem.doc_id, lex.doc_id) AS doc_id,
+        |  round(COALESCE(1.0 / (60 + sem_rnk), 0) + COALESCE(1.0 / (60 + lex_rnk), 0) + 1e-9, 6) AS rrf_score
+        |  FROM sem FULL OUTER JOIN lex
+        |    ON sem.q_doc = lex.q_doc AND sem.doc_id = lex.doc_id),
+        |fr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rnk FROM fused)
+        |SELECT q_doc, doc_id, rrf_score, rnk FROM fr WHERE rnk <= 5""".stripMargin,
     // feature-hashing doc vectors: md5 byte 0 % 64 dims, nibble-2
     // parity sign, exact signed integer counts; cancelled-to-zero
     // dims dropped on BOTH engines
@@ -2063,6 +2067,28 @@ object SparkEntry {
   private def l2FullSql(a: String, b: String): String =
     (0 until 64).map(d =>
       s"($a[${d + 1}]-$b[${d + 1}])*($a[${d + 1}]-$b[${d + 1}])").mkString(" + ")
+
+  /** The hashed-doc-vector scoring chain (`tk` tokens → `hx` hashed
+    * features → `v` sparse vectors → `semr` ranked cosines) shared by
+    * `doc_ann_topk` and the hybrid-retrieval oracle. */
+  private lazy val docAnnChainSql: String =
+    s"""tk AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+      |hx AS (SELECT doc_id,
+      |  (16*(strpos('0123456789abcdef',substr(md5(tok),1,1))-1)
+      |    + (strpos('0123456789abcdef',substr(md5(tok),2,1))-1)) % 64 AS pos,
+      |  CASE WHEN (strpos('0123456789abcdef',substr(md5(tok),3,1))-1) % 2 = 0
+      |    THEN 1 ELSE -1 END AS s
+      | FROM tk),
+      |v AS MATERIALIZED (SELECT doc_id, pos, sum(s) AS val
+      |  FROM hx GROUP BY 1, 2 HAVING sum(s) <> 0),
+      |n AS (SELECT doc_id, sum(val*val) AS nn FROM v GROUP BY 1),
+      |dt AS (SELECT q.doc_id AS q_doc, c.doc_id AS doc_id, sum(q.val*c.val) AS dp
+      |  FROM v q JOIN v c USING (pos)
+      |  WHERE q.doc_id < 10 AND c.doc_id >= 10 GROUP BY 1, 2),
+      |sc AS (SELECT dt.q_doc, dt.doc_id,
+      |  round(CAST(dp AS DOUBLE) / sqrt(CAST(nq.nn * nc.nn AS DOUBLE)) + 1e-9, 4) AS cos_sim
+      |  FROM dt JOIN n nq ON nq.doc_id = dt.q_doc JOIN n nc ON nc.doc_id = dt.doc_id),
+      |semr AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_doc ORDER BY cos_sim DESC, doc_id) AS INTEGER) AS rnk FROM sc)""".stripMargin
 
   /** Exact L2² brute-force top-k ids — the ground-truth half of the
     * composed `ann_pq_recall_eval` oracle (ranks on the raw fold, no

@@ -92,7 +92,56 @@ object Search {
     * are signed counts); the one division + sqrt runs on identical
     * operands in both engines, then rounds at 4 dp.
     */
-  def docAnnTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame = {
+  def docAnnTopK(t: Tables, nQueries: Int = 10, k: Int = 5): DataFrame =
+    docAnnRanked(t, nQueries).filter(col("rnk") <= k)
+
+  /** `search_hybrid_rrf` — HYBRID retrieval: the lexical-overlap
+    * ranking and the hashed-vector cosine ranking fused by Reciprocal
+    * Rank Fusion (score = Σ 1/(K+rank), K = 60 — the parameter-free
+    * fusion every hybrid RAG stack runs, public Cormack/Clarke/
+    * Buettcher formulation). Lexical recall catches exact-term
+    * matches embeddings blur; vector recall catches paraphrase
+    * overlap lexical misses; RRF needs no score calibration because
+    * it consumes only the RANKS — which are exact integers here, so
+    * the fused scores are bit-identical cross-engine (one division
+    * per term on identical operands, fixed sem-then-lex sum order).
+    *
+    * Shape: both candidate lists are top-`perList` per query doc
+    * (bounded), the fusion is a full-outer join of two
+    * (queries × perList)-row frames — metadata-scale regardless of
+    * corpus size; the heavy work is the two underlying rankings,
+    * each already keyed/broadcast-shaped.
+    */
+  def searchHybridRrf(t: Tables, nQueries: Int = 10, perList: Int = 20,
+      k: Int = 5, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sem = docAnnRanked(t, nQueries).filter(col("rnk") <= perList)
+      .select(col("q_doc"), col("doc_id"), col("rnk").as("sem_rnk"))
+    val dtk = t.documents
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("tok"))
+    val qt = dtk.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_doc"), col("tok"))
+    val lex = dtk.filter(col("doc_id") >= nQueries)
+      .join(broadcast(qt), Seq("tok"))
+      .groupBy(col("q_doc"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("lex_rnk", row_number().over(
+        Window.partitionBy(col("q_doc")).orderBy(desc("n_shared"), asc("doc_id"))))
+      .filter(col("lex_rnk") <= perList)
+      .select(col("q_doc"), col("doc_id"), col("lex_rnk"))
+    sem.join(lex, Seq("q_doc", "doc_id"), "full_outer")
+      .select(col("q_doc"), col("doc_id"),
+        round(coalesce(lit(1.0) / (lit(rrfK) + col("sem_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)) + lit(1e-9), 6)
+          .as("rrf_score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_doc")).orderBy(desc("rrf_score"), asc("doc_id"))))
+      .filter(col("rnk") <= k)
+  }
+
+  /** The full hashed-vector cosine ranking (unbounded rnk) both
+    * search entrypoints cut from. */
+  private def docAnnRanked(t: Tables, nQueries: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vecs = TextAnalysis.corpusDocEmbedding(t)
     val norms = vecs.groupBy(col("doc_id"))
@@ -111,6 +160,5 @@ object Search {
           sqrt((col("qn") * col("cn")).cast("double")) + lit(1e-9), 4).as("cos_sim"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_doc")).orderBy(desc("cos_sim"), asc("doc_id"))))
-      .filter(col("rnk") <= k)
   }
 }
