@@ -195,6 +195,7 @@ object SparkEntry {
     "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
+    "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
     "corpus_pipeline"     -> q(t => CorpusClean.corpusPipeline(t)),
@@ -1522,6 +1523,25 @@ object SparkEntry {
         | floor(duration_ticks * 1000 / timescale)::BIGINT AS duration_ms,
         | n_tracks, bl::BIGINT AS data_len
         |FROM d""".stripMargin,
+    // the router oracle recomputes each doc's generator-assigned
+    // modality (md5 byte 10 mod 3) and its branch's exact byte count;
+    // Spark routes by SNIFFING the payload bytes instead
+    "mm_modality_router" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
+        |b AS (SELECT doc_id, bl,
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
+        |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4,
+        |  16*(strpos('0123456789abcdef',substr(h,11,1))-1)+(strpos('0123456789abcdef',substr(h,12,1))-1) AS b10
+        | FROM m),
+        |r AS (SELECT doc_id,
+        |  CASE b10 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CASE b10 % 3
+        |    WHEN 0 THEN bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33 ELSE 14 + 20*(1 + b4 % 8) END
+        |    WHEN 1 THEN bl + 44
+        |    ELSE bl + 144 END AS nbytes
+        | FROM b)
+        |SELECT modality, count(*) AS n_docs, sum(nbytes)::BIGINT AS total_bytes
+        |FROM r GROUP BY 1""".stripMargin,
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,

@@ -360,6 +360,35 @@ object Multimodal {
       when(isMp4, mdatLen).otherwise(lit(0L)).as("data_len"))
   }
 
+  /** M5 — `mm_modality_router`: the ingestion FRONT DOOR for a mixed
+    * media corpus — every payload's modality is detected from its
+    * ACTUAL BYTES (PNG/JPEG/GIF signatures → image, RIFF/WAVE →
+    * audio, `ftyp` at byte 4 → video) and the batch is routed into
+    * per-modality totals (doc counts + byte volume), the numbers that
+    * size each modality's downstream decoder fleet. The mixed table
+    * is synthesized by assigning each doc one modality from its md5
+    * (byte 5 mod 3) and taking that generator's payload — so the
+    * oracle recomputes the routing from the generator formulas while
+    * Spark routes by SNIFFING the bytes: a router misreading any
+    * signature breaks the hash. Map-only until the 3-group rollup.
+    */
+  def mmModalityRouter(t: Tables): DataFrame = {
+    val sel = t.documents.select(col("doc_id"),
+      (hexByteCol(md5(col("text").cast("binary")), 10) % 3).as("sel"))
+    val mixed = mediaTable(t).join(sel.filter(col("sel") === 0), "doc_id")
+      .unionByName(audioTable(t).join(sel.filter(col("sel") === 1), "doc_id"))
+      .unionByName(videoTable(t).join(sel.filter(col("sel") === 2), "doc_id"))
+      .select(col("doc_id"), col("payload"))
+    val hx = headHex(col("payload"))
+    val modality = when(isPng(hx) || isJpeg(hx) || isGif(hx), "image")
+      .when(hx.startsWith("52494646") && substring(hx, 17, 8) === "57415645", "audio")
+      .when(substring(hx, 9, 8) === hex(lit("ftyp")), "video")
+      .otherwise("unknown")
+    mixed.groupBy(modality.as("modality"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("payload"))).cast("long").as("total_bytes"))
+  }
+
   // --- byte-level parser (decode side), pure column expressions ---
 
   /** Uppercase hex of the payload's header region (64 bytes bounds

@@ -99,8 +99,10 @@ object SourceOps {
     * `b` at 2i+1. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column =
     (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1)), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1)), 2 * i + 1)
+      // LONG arithmetic throughout: bit 15 of `b` lands at position 31,
+      // which overflows a 32-bit shift
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
   /** `q_zorder_roundtrip` — MULTI-dimension data clustering, the

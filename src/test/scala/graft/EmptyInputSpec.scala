@@ -52,7 +52,7 @@ class EmptyInputSpec extends SparkSpec {
     // round-9 additions (PQ/whiten index builds stay excluded by the
     // fail-loudly policy above)
     "corpus_doc_embedding", "dedup_containment", "q_zorder_roundtrip",
-    "doc_ann_topk", "search_hybrid_rrf")
+    "doc_ann_topk", "search_hybrid_rrf", "mm_modality_router")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

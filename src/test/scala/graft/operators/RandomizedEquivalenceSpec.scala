@@ -47,6 +47,27 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("zValue Morton interleave matches the reference bit math on random ints") {
+    import org.apache.spark.sql.functions.col
+    val sess = spark
+    import sess.implicits._
+    def refZ(a: Int, b: Int, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((a >> i) & 1).toLong << (2 * i)) | (((b >> i) & 1).toLong << (2 * i + 1))
+      }.sum
+    val rnd = new scala.util.Random(20260813)
+    val rows = Seq.fill(500)((rnd.nextInt(1 << 16), rnd.nextInt(1 << 16)))
+    val got = rows.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.sources.SourceOps.zValue(col("a"), col("b")).as("z"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    rows.foreach { case (a, b) =>
+      assert(got((a, b)) == refZ(a, b, 16), s"zValue($a, $b)")
+    }
+    // monotone locality sanity: identical high halves ⇒ z prefixes agree
+    assert(refZ(0xAB00, 0xCD00, 16) >> 16 == refZ(0xABFF, 0xCDFF, 16) >> 16)
+  }
+
   test("native as-of join matches the in-memory reference on random data") {
     val rnd = new scala.util.Random(42)
     val sess = spark
