@@ -1905,9 +1905,10 @@ object SparkEntry {
     // L2² folds are generated from the same index lists as the Spark
     // expressions, so the `+` chains associate identically
     "ann_pq_topk" -> pqSql,
-    // online serving off the same stored index — identical semantics
-    // to the batch ADC ranking, so the oracle is shared verbatim
-    "stream_ann_serve" -> pqSql,
+    // online serving runs the full three-stage flagship path per
+    // micro-batch off the same stored index — identical semantics to
+    // the batch IVF-PQ serve, so the oracle is shared verbatim
+    "stream_ann_serve" -> ivfPqSql,
     "ann_pq_refine_topk" -> pqRefineSql,
     "ann_ivf_pq_topk" -> ivfPqSql,
     // frozen-model incremental append: identical serving chain, every

@@ -152,8 +152,15 @@ object Search {
       .join(broadcast(qv), Seq("pos"))
       .groupBy(col("q_doc"), col("doc_id"))
       .agg(sum(col("q_val") * col("val")).as("dp"))
+    // Broadcast ONLY the query slice of the norms (≤ nQueries rows) —
+    // broadcasting the full norms frame would build a corpus-sized
+    // hash relation on every executor (one row per document: the
+    // classic non-broadcastable broadcast at 100 TB). The corpus-side
+    // norms join below stays a shuffled equi-join, which is correct:
+    // that side IS corpus-sized.
     dots
-      .join(broadcast(norms.select(col("doc_id").as("q_doc"), col("nn").as("qn"))), Seq("q_doc"))
+      .join(broadcast(norms.filter(col("doc_id") < nQueries)
+        .select(col("doc_id").as("q_doc"), col("nn").as("qn"))), Seq("q_doc"))
       .join(norms.withColumnRenamed("nn", "cn"), Seq("doc_id"))
       .select(col("q_doc"), col("doc_id"),
         round(col("dp").cast("double") /

@@ -1086,9 +1086,15 @@ object Similarity {
 
   /** The shared IVF-PQ serving path: coarse probe (bucket-pruned) →
     * ADC shortlist → exact rerank, over any (vec_id, cell, c0..c7)
-    * index frame. */
+    * index frame. `queriesDf` overrides the query source with any
+    * bounded (vec_id, emb) frame — e.g. ONE micro-batch of a query
+    * stream ([[graft.streaming.Streaming.streamAnnServe]]); the
+    * default is the static query slice. Either way the probed-cell
+    * set stays a bounded driver collect (≤ queries × nProbe ints)
+    * whose `isin` prunes unprobed buckets at scan time. */
   private[graft] def ivfPqServe(t: Tables, index: DataFrame, idx: PqIndexHandle,
-      nProbe: Int, shortlist: Int): DataFrame = {
+      nProbe: Int, shortlist: Int,
+      queriesDf: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions.l2SqDistance
     def cellDists(emb: Column): Seq[Column] =
       idx.cents.map { case (cid, cv) =>
@@ -1097,7 +1103,8 @@ object Similarity {
     val probeCol = explode(transform(
       slice(array_sort(array(cellDists(col("emb")): _*)), 1, nProbe),
       s => s.getField("c"))).as("cell")
-    val queries = adcQueries(t, idx.books, extraCols = Seq(probeCol))
+    val qSrc = queriesDf.getOrElse(withEmb(t).filter(col("vec_id") < NumQueries))
+    val queries = adcQueriesFrom(qSrc, idx.books, extraCols = Seq(probeCol))
     // bounded: ≤ NumQueries × nProbe ints — drives bucket pruning
     val probed = queries.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
@@ -1111,7 +1118,7 @@ object Similarity {
       .filter(col("qrnk") <= shortlist)
       .select(col("q_id"), col("vec_id"))
     val e = withEmb(t)
-    val qVecs = e.filter(col("vec_id") < NumQueries)
+    val qVecs = qSrc
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     e.filter(col("vec_id") >= NumQueries)
       .join(broadcast(short), "vec_id")

@@ -341,19 +341,6 @@ object Streaming {
       .limit(k)
   }
 
-  /** X12 — `stream_ann_serve`: ONLINE serving off the stored PQ index
-    * — query vectors arrive as a stream, each micro-batch computes its
-    * ADC lookup tables map-side (per-row column expressions over the
-    * stored codebooks) and joins the static cell-bucketed code table
-    * ([[graft.operators.Similarity.pqIndex]] — planned once, reused
-    * every batch, the stream-static shape); the scored candidates land
-    * in the sink and the per-query top-k rank runs over the drained
-    * table (rank windows aren't streamable; on a live deployment the
-    * per-batch top-k is a batch-local agg). Identical semantics to
-    * [[graft.operators.Similarity.annPqTopK]], so it shares that
-    * oracle verbatim — the proof that the OFFLINE index artifact and
-    * the ONLINE serving path agree.
-    */
   /** X13 — `stream_index_append`: the STREAMING half of incremental
     * index maintenance — newly arriving vectors encode against the
     * FROZEN history models as a map-only streaming transform (cell
@@ -380,9 +367,31 @@ object Streaming {
       nProbe = 4, shortlist = 50)
   }
 
-  def streamAnnServe(t: Tables): DataFrame = {
+  /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
+    * index — query vectors arrive as a stream, and EACH MICRO-BATCH
+    * runs the full three-stage batch serving path
+    * ([[graft.operators.Similarity.ivfPqServe]], the `ann_ivf_pq_topk`
+    * flagship shape) over its bounded query set: coarse-probe the
+    * batch's queries against the stored centroids, collect the probed
+    * cells (≤ batch-queries × nProbe ints), scan ONLY those buckets of
+    * the cell-bucketed code table (`SelectedBucketsCount` pruning),
+    * ADC-score, exact-rerank the shortlist. A per-batch `foreachBatch`
+    * is the right streaming harness for a serve loop whose inner plan
+    * needs batch-time values (the probed-cell set drives scan pruning —
+    * impossible to express as one static stream-static join without
+    * scanning the WHOLE index every batch). Only the final top-k rows
+    * per batch (queries × k) ever reach the driver, so driver memory
+    * is bounded by the batch's query count, never by corpus size.
+    * Identical semantics to [[graft.operators.Similarity.annIvfPqTopK]]
+    * (same frozen index, same nProbe/shortlist), so it shares that
+    * oracle verbatim — the proof that the OFFLINE flagship index and
+    * the ONLINE serving path agree.
+    */
+  def streamAnnServe(t: Tables, nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
     import graft.operators.Similarity
-    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
     val idx = Similarity.pqIndex(t)
     val schema = t.raw("embeddings").schema
     val qStream = t.spark.readStream.schema(schema)
@@ -390,15 +399,27 @@ object Streaming {
       .filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val codes = t.spark.table(idx.codesTable)
-      .select(col("vec_id") +: (0 until Similarity.PqM).map(j => col(s"c$j")): _*)
-    val scored = Similarity.adcQueriesFrom(qStream, idx.books)
-      .crossJoin(codes)
-      .select(col("q_id"), col("vec_id"),
-        round(Similarity.adcDist + lit(1e-9), 4).as("approx_dist"))
-    drainToTable(scored, "append")
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(asc("approx_dist"), asc("vec_id"))))
-      .filter(col("rnk") <= Similarity.TopK)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var outSchema: StructType = null
+    val q = qStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val served = Similarity.ivfPqServe(t, codes, idx, nProbe, shortlist,
+          queriesDf = Some(batch))
+        // bounded: this batch's queries × TopK ranked rows
+        val rows = served.collect()
+        buf.synchronized { outSchema = served.schema; buf ++= rows }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val resultSchema =
+      if (outSchema != null) outSchema
+      else StructType(Seq(
+        StructField("q_id", schema("vec_id").dataType),
+        StructField("vec_id", schema("vec_id").dataType),
+        StructField("l2_sq", DoubleType),
+        StructField("rnk", IntegerType)))
+    t.spark.createDataFrame(buf.toList.asJava, resultSchema)
   }
 }

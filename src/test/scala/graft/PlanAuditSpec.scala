@@ -190,6 +190,39 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("doc_ann_topk: every broadcast side is the bounded query slice, never corpus-sized") {
+    // with auto-broadcast off, only the EXPLICIT broadcast() hints
+    // survive — exactly the frames we assert are bounded. The corpus
+    // norms join must stay shuffled: broadcasting a one-row-per-
+    // document frame is the classic OOM-at-scale non-broadcastable
+    // broadcast (round-9 finding, Search.scala docAnnRanked).
+    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val df = Search.docAnnTopK(tables)
+      df.collect()
+      val subtrees = broadcastSubtrees(df.queryExecution.executedPlan)
+      assert(subtrees.nonEmpty, "expected explicit broadcast hints in the plan")
+      subtrees.foreach { sub =>
+        assert(sub.contains("< 10") || sub.contains("LessThan(doc_id,10)"),
+          s"broadcast side not filtered to the query slice (doc_id < nQueries):\n$sub")
+      }
+    }
+  }
+
+  /** All materialized broadcast-exchange subtrees of an executed
+    * (possibly adaptive) plan, recursing through query stages. */
+  private def broadcastSubtrees(p: SparkPlan): Seq[String] = p match {
+    case a: AdaptiveSparkPlanExec => broadcastSubtrees(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      val nested = broadcastSubtrees(s.plan)
+      s match {
+        case _: org.apache.spark.sql.execution.adaptive.BroadcastQueryStageExec =>
+          s.plan.toString +: nested
+        case _ => nested
+      }
+    case other => other.children.flatMap(broadcastSubtrees)
+  }
+
   private def withConf(pairs: (String, String)*)(f: => Unit): Unit = {
     val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
