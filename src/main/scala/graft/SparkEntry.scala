@@ -144,6 +144,7 @@ object SparkEntry {
     "dedup_simhash"       -> q(Dedup.dedupSimhash),
     "dedup_embedding"     -> q(t => Dedup.dedupEmbedding(t)),
     "dedup_clusters"      -> q(t => Dedup.dedupClusters(t)),
+    "dedup_clusters_incremental" -> q(t => Dedup.dedupClustersIncremental(t)),
     "dedup_incremental"   -> q(t => Dedup.dedupIncremental(t)),
     "dedup_incremental_table" -> q(t => Dedup.dedupIncrementalTable(t)),
     "dedup_passage"       -> q(t => Dedup.dedupPassage(t)),
@@ -162,6 +163,7 @@ object SparkEntry {
     "ann_pq_refine_topk"  -> q(t => Similarity.annPqRefineTopK(t)),
     "ann_ivf_pq_topk"     -> q(t => Similarity.annIvfPqTopK(t)),
     "ann_index_incremental" -> q(t => Similarity.annIndexIncremental(t)),
+    "ann_index_drift"     -> q(t => Similarity.annIndexDrift(t)),
     "embed_pca_topk"      -> q(t => Similarity.embedPcaTopK(t)),
     "embed_whiten"        -> q(t => Similarity.embedWhiten(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
@@ -196,6 +198,7 @@ object SparkEntry {
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
     "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
+    "stream_modality_router" -> q(graft.streaming.Streaming.streamModalityRouter),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
     "corpus_pipeline"     -> q(t => CorpusClean.corpusPipeline(t)),
@@ -207,6 +210,11 @@ object SparkEntry {
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_skew_histogram"    -> q(Scale.qSkewHistogram),
     "q_approx_stats"      -> q(Scale.qApproxStats),
+    // approx twins of exact reports — the forms runnable at 100 TB;
+    // rows-only (sketches are engine-specific), error bounded in spec
+    "q_table_stats_approx" -> q(t => Relational.qTableStatsApprox(t)),
+    "events_value_percentiles_approx" ->
+      q(t => EventAnalytics.eventsValuePercentilesApprox(t)),
     "q_delete_propagation" -> q(t => Governance.deletePropagation(t)),
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
@@ -268,6 +276,26 @@ object SparkEntry {
       | n_events
       |FROM c WHERE n_events >= 2""".stripMargin
 
+  /** DuckDB oracle shared by the batch and STREAMING modality
+    * routers: recomputes the md5-arithmetic routing + synthesized
+    * payload sizes independently of the byte-sniffing Spark path. */
+  private val mmModalityRouterSql =
+    """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
+      |b AS (SELECT doc_id, bl,
+      |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
+      |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4,
+      |  16*(strpos('0123456789abcdef',substr(h,11,1))-1)+(strpos('0123456789abcdef',substr(h,12,1))-1) AS b10
+      | FROM m),
+      |r AS (SELECT doc_id,
+      |  CASE b10 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CASE b10 % 3
+      |    WHEN 0 THEN bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33 ELSE 14 + 20*(1 + b4 % 8) END
+      |    WHEN 1 THEN bl + 44
+      |    ELSE bl + 144 END AS nbytes
+      | FROM b)
+      |SELECT modality, count(*) AS n_docs, sum(nbytes)::BIGINT AS total_bytes
+      |FROM r GROUP BY 1""".stripMargin
+
   /** DuckDB oracle shared by the in-session and table-backed
     * incremental dedup paths (identical semantics by design). */
   private lazy val incrementalOracleSql =
@@ -279,6 +307,27 @@ object SparkEntry {
       |SELECT DISTINCT a.doc_id AS hist_doc, b.doc_id AS new_doc
       |FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh
       |WHERE a.doc_id < 400 AND b.doc_id >= 400""".stripMargin
+
+  /** DuckDB oracle shared by the full-recompute and incremental
+    * cluster-label paths: connected components over the complete LSH
+    * pair graph as a recursive CTE — the incremental merge must equal
+    * this full recompute exactly. */
+  private lazy val dedupClustersSql =
+    s"""WITH RECURSIVE $sqlShingles,
+      |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
+      |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
+      |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
+      |  FROM mh GROUP BY 1,2),
+      |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      |  FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      |reach(doc_id, r) AS (
+      |  SELECT doc_id, doc_id AS r FROM documents
+      |  UNION
+      |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)
+      |SELECT doc_id, min(r) AS cluster_id,
+      | CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+      |FROM reach GROUP BY 1""".stripMargin
 
   /** DuckDB CTE body: distinct word-3-gram shingles per doc. */
   private val sqlShingles =
@@ -1309,22 +1358,12 @@ object SparkEntry {
     // the table-backed form answers the SAME question through the
     // persisted index — one oracle proves both paths
     "dedup_incremental_table" -> incrementalOracleSql,
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $sqlShingles,
-        |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
-        |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
-        |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
-        |  FROM mh GROUP BY 1,2),
-        |pairs AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-        |  FROM bands a JOIN bands b ON a.band=b.band AND a.bh=b.bh AND a.doc_id<b.doc_id),
-        |edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
-        |reach(doc_id, r) AS (
-        |  SELECT doc_id, doc_id AS r FROM documents
-        |  UNION
-        |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)
-        |SELECT doc_id, min(r) AS cluster_id,
-        | CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
-        |FROM reach GROUP BY 1""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    // incremental merge == full recompute by construction (contracted
+    // super-node propagation preserves component minima), so the
+    // stored-state path is hash-checked against the same full-corpus
+    // recursive-CTE recompute
+    "dedup_clusters_incremental" -> dedupClustersSql,
     "dedup_passage" ->
       s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
         |c AS (SELECT doc_id, md5(array_to_string(toks[(k-1)*8+1:(k-1)*8+8],' ')) AS passage_hash
@@ -1526,22 +1565,10 @@ object SparkEntry {
     // the router oracle recomputes each doc's generator-assigned
     // modality (md5 byte 10 mod 3) and its branch's exact byte count;
     // Spark routes by SNIFFING the payload bytes instead
-    "mm_modality_router" ->
-      """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
-        |b AS (SELECT doc_id, bl,
-        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
-        |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4,
-        |  16*(strpos('0123456789abcdef',substr(h,11,1))-1)+(strpos('0123456789abcdef',substr(h,12,1))-1) AS b10
-        | FROM m),
-        |r AS (SELECT doc_id,
-        |  CASE b10 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |  CASE b10 % 3
-        |    WHEN 0 THEN bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33 ELSE 14 + 20*(1 + b4 % 8) END
-        |    WHEN 1 THEN bl + 44
-        |    ELSE bl + 144 END AS nbytes
-        | FROM b)
-        |SELECT modality, count(*) AS n_docs, sum(nbytes)::BIGINT AS total_bytes
-        |FROM r GROUP BY 1""".stripMargin,
+    "mm_modality_router" -> mmModalityRouterSql,
+    // the streaming front door shares the batch oracle verbatim —
+    // stream/batch equivalence pair #6
+    "stream_modality_router" -> mmModalityRouterSql,
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,
@@ -1914,6 +1941,9 @@ object SparkEntry {
     // frozen-model incremental append: identical serving chain, every
     // model CTE trained on the history slice only
     "ann_index_incremental" -> annIndexIncrementalSql,
+    // the lifecycle monitor: frozen-model serve at three increment
+    // shares vs exact truth over the same indexed slice
+    "ann_index_drift" -> annIndexDriftSql,
     // same frozen models + codes, different arrival/layout: the
     // streaming append and the compacted rewrite must equal the
     // batch incremental result exactly
@@ -2176,6 +2206,63 @@ object SparkEntry {
 
   private lazy val ivfPqSql: String = ivfPqSqlFor("corp")
   private lazy val annIndexIncrementalSql: String = ivfPqSqlFor("hist")
+
+  /** `ann_index_drift` — the frozen-model serve replayed at three
+    * increment shares (index membership filter per share), each scored
+    * against the exact top-k over the SAME indexed slice: one shared
+    * hist-trained model/probe chain, three filtered serve+truth
+    * branches, unioned. */
+  private lazy val annIndexDriftSql: String = {
+    val m = 8
+    val qtJoins = (0 until m)
+      .map(j => s"JOIN qt$j t$j ON t$j.cid = c.c$j AND t$j.q_id = prb.q_id")
+      .mkString("\n  ")
+    val sumExpr = (0 until m).map(j => s"t$j.d").mkString(" + ")
+    // membership of the indexed corpus at each increment share —
+    // MUST mirror Similarity.annIndexDrift's vec_id arithmetic
+    def blk(tag: String, cond: String => String): String =
+      s"""scif_$tag AS MATERIALIZED (SELECT prb.q_id, c.vec_id, round($sumExpr + 1e-9, 4) AS approx_dist
+         |  FROM codes c JOIN asg USING (vec_id)
+         |  JOIN prb ON prb.cell = asg.cell
+         |  $qtJoins
+         |  WHERE ${cond("c.vec_id")}),
+         |sl_$tag AS (SELECT q_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS qrnk FROM scif_$tag)
+         |  WHERE qrnk <= 50),
+         |x_$tag AS (SELECT sl.q_id, sl.vec_id, round(${l2FullSql("eq.emb", "ec.emb")} + 1e-9, 4) AS l2_sq
+         |  FROM sl_$tag sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
+         |srv_$tag AS (SELECT q_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY l2_sq, vec_id) AS rnk FROM x_$tag) WHERE rnk <= 5),
+         |trd_$tag AS (SELECT q.vec_id AS q_id, corp.vec_id, ${l2FullSql("q.emb", "corp.emb")} AS d
+         |  FROM q CROSS JOIN corp WHERE ${cond("corp.vec_id")}),
+         |tr_$tag AS (SELECT q_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM trd_$tag) WHERE rnk <= 5),
+         |hit_$tag AS (SELECT count(*) AS n_hits FROM tr_$tag t JOIN srv_$tag s ON s.q_id = t.q_id AND s.vec_id = t.vec_id)""".stripMargin
+    def out(tag: String, pct: Int): String =
+      s"""SELECT $pct AS inc_share_pct, n_hits,
+         | round(n_hits / 50.0 + 1e-9, 4) AS recall_at_k,
+         | CAST(round(n_hits / 50.0 + 1e-9, 4) < 0.35 AS INTEGER) AS rebuild_needed
+         |FROM hit_$tag""".stripMargin
+    s"""WITH ${pqChainSqlFor("hist")},
+       |${kmeansIterCtesSql(3, "hist")},
+       |cent AS (SELECT cell AS cid, cemb FROM c3),
+       |asgd AS (SELECT corp.vec_id, cent.cid, ${l2FullSql("corp.emb", "cent.cemb")} AS d
+       |  FROM corp CROSS JOIN cent),
+       |asg AS MATERIALIZED (SELECT vec_id, cid AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM asgd) WHERE rn = 1),
+       |prbd AS (SELECT q.vec_id AS q_id, cent.cid, ${l2FullSql("q.emb", "cent.cemb")} AS d
+       |  FROM q CROSS JOIN cent),
+       |prb AS MATERIALIZED (SELECT q_id, cid AS cell FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn FROM prbd) WHERE rn <= 4),
+       |${blk("s0", v => s"$v % 5 <> 0")},
+       |${blk("s50", v => s"($v % 5 <> 0 OR $v % 10 = 0)")},
+       |${blk("s100", _ => "TRUE")}
+       |${out("s0", 0)}
+       |UNION ALL
+       |${out("s50", 50)}
+       |UNION ALL
+       |${out("s100", 100)}""".stripMargin
+  }
 
   /** Everything through the ADC score frame `sc` (q_id, vec_id,
     * approx_dist), incl. the per-subspace codebook-training chain;

@@ -57,29 +57,51 @@ object ExactAgg {
     * comfortably in int64 AND n·Σq² (for [[exactStd]]) must stay
     * below 2^63 — Spark sums BIGINT with silent wraparound (ANSI
     * off) while DuckDB promotes to HUGEINT, so an overflow doesn't
-    * just lose exactness, it DIVERGES the engines. With the corpus
-    * caps here (|v| ≤ ~10^6, dp ≤ 6, n ≤ ~10^8) the worst case
-    * n·Σq² ≈ 10^8·10^8·(10^12)² overshoots only for µs-scale raw
-    * values — quantize those to coarser dp or pre-scale before
-    * aggregating. The final mean recovery needs 2·Σq + n < 2^53 for
-    * the exact IEEE quotient; same caps apply.
+    * just lose exactness, it DIVERGES the engines. The final mean
+    * recovery additionally needs 2·Σq + n < 2^53 for the exact IEEE
+    * quotient.
+    *
+    * ENFORCED, not documented: each aggregate fuses a parallel DOUBLE
+    * moment (immune to wraparound — relative error ~n·2^-52, orders
+    * of magnitude inside the ~2% safety margin on the thresholds)
+    * into the same partial-agg pass and `raise_error`s when the bound
+    * is crossed, so an out-of-range corpus fails LOUDLY on the Spark
+    * side instead of silently diverging from DuckDB's HUGEINT
+    * promotion. Coarsen `dp` or pre-scale the column when it fires.
     */
   def exactMean(v: Column, dp: Int): Column = {
     val q = quantize(v, dp)
-    val s = sum(q)
+    // try_sum: the int64 reduction must not throw (ANSI) or wrap
+    // (non-ANSI) BEFORE the guard below gets to raise the actionable
+    // error — out of bounds it returns NULL, and the guard fires first
+    val s = try_sum(q)
     val n = count(v)
-    floor((lit(2L) * s + n) / (lit(2L) * n)) / lit(pow10(dp))
+    // |2·Σq| + n ≤ 2·Σ|q| + n — checked in doubles with margin vs 2^53
+    val bound = lit(2.0) * sum(abs(q).cast("double")) + n.cast("double")
+    when(bound >= lit(9.0e15), raise_error(concat(
+      lit(s"ExactAgg.exactMean(dp=$dp): 2*sum|q|+n = "), bound.cast("string"),
+      lit(" breaches the exact-int64 bound (9.0e15 < 2^53); coarsen dp or pre-scale"))))
+      .otherwise(floor((lit(2L) * s + n) / (lit(2L) * n)) / lit(pow10(dp)))
   }
 
   /** Half-up population stddev at `dp` decimals, exact-integer
     * moments: std = sqrt((n·Σq² − (Σq)²)/n²) in quantized units.
-    * Non-null `n` and the magnitude precondition as in [[exactMean]]. */
+    * Non-null `n` as in [[exactMean]]; the n·Σq² < 2^63 precondition
+    * is ENFORCED by a fused double-moment guard ((Σq)² ≤ n·Σq² by
+    * Cauchy-Schwarz, so one check covers every int64 term). */
   def exactStd(v: Column, dp: Int): Column = {
     val q = quantize(v, dp)
-    val s = sum(q)
-    val s2 = sum(q * q)
+    // try_ forms: neither the per-row square nor the reductions may
+    // throw (ANSI) or wrap (non-ANSI) before the guard fires
+    val s = try_sum(q)
+    val s2 = try_sum(try_multiply(q, q))
     val n = count(v)
-    floor(sqrt((n * s2 - s * s) / (n * n)) + lit(0.5)) / lit(pow10(dp))
+    val qd = q.cast("double")
+    val bound = n.cast("double") * sum(qd * qd)
+    when(bound >= lit(9.0e18), raise_error(concat(
+      lit(s"ExactAgg.exactStd(dp=$dp): n*sum(q^2) = "), bound.cast("string"),
+      lit(" breaches the exact-int64 bound (9.0e18 < 2^63); coarsen dp or pre-scale"))))
+      .otherwise(floor(sqrt((n * s2 - s * s) / (n * n)) + lit(0.5)) / lit(pow10(dp)))
   }
 
   /** DuckDB spellings of the same formulas, for oracle SQL. `v` is a

@@ -466,15 +466,36 @@ object Dedup {
     * small-star trade in two joins, engaged ADAPTIVELY so shallow
     * graphs (the common near-dup case) never pay for it.
     *
-    * Returns the converged (doc_id, cluster_id) labels — the
-    * returned frame deliberately pins the final labels cache; callers
-    * release it via clearCache/unpersist once consumed. The
-    * try/finally only guards failure paths (a thrown job or
-    * non-convergence must not leak the live labels frame into the
-    * cache for the rest of the session).
+    * CHECKPOINT MODE: by default each round truncates lineage with
+    * `localCheckpoint()` — executor-local, non-replicated, right for
+    * a single-JVM rig. On a preemptible 1000-executor fleet one lost
+    * executor would kill the whole iteration, so setting the session
+    * conf `graft.cc.checkpointDir` to a reliable path (HDFS/object
+    * store) switches every round to a RELIABLE `checkpoint()`:
+    * executor loss costs one round's recompute from the last
+    * checkpoint files, not the job. Checkpoint files are cleaned by
+    * the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on (or by
+    * dir lifecycle policy) — the standard story for iterative Spark.
+    *
+    * Returns the converged (doc_id, cluster_id) labels. STORAGE
+    * CONTRACT: checkpointed RDDs live OUTSIDE the CacheManager, so
+    * `spark.catalog.clearCache()` / `df.unpersist()` can NOT release
+    * them — each superseded round's blocks are unpersisted EXPLICITLY
+    * here (via the LogicalRDD handle) as soon as the next round
+    * materializes, so at most one round's blocks are live during the
+    * loop; the FINAL frame's blocks back the returned lineage (its
+    * source lineage is truncated — releasing early would make it
+    * unrecomputable) and are freed by [[releaseLabels]] once the
+    * caller has consumed the result, or by ContextCleaner GC.
     */
   private[graft] def connectedComponents(edges: DataFrame, maxIters: Int = 50,
       halveFrom: Int = DefaultHalveFrom): (DataFrame, Int) = {
+    val sess = edges.sparkSession
+    val reliableDir = sess.conf.getOption("graft.cc.checkpointDir")
+    reliableDir.foreach(sess.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (reliableDir.isDefined) df.checkpoint() else df.localCheckpoint()
     def labelSum(labels: DataFrame): java.math.BigDecimal = {
       val s = labels.agg(sum(col("cluster_id").cast("decimal(38,0)")))
         .first().getDecimal(0)
@@ -514,13 +535,13 @@ object Dedup {
         // round's (3–4 copies of it, via nbrMin and the halving
         // self-join), so plan size grows exponentially with rounds —
         // persist() caches data but never truncates the logical plan.
-        // localCheckpoint each round cuts lineage to a LogicalRDD
-        // (the standard move for driver-iterated graph algorithms);
-        // its eager materialization doubles as the round's compute
-        val next = nextPlan.localCheckpoint()
+        // Checkpointing each round (local by default, reliable when
+        // graft.cc.checkpointDir is set) cuts lineage to a LogicalRDD;
+        // eager materialization doubles as the round's compute
+        val next = materialize(nextPlan)
         val nextSum = labelSum(next) // also populates next's cache
         if (halve) prop.unpersist()
-        labels.unpersist()
+        releaseLabels(labels) // superseded round: free its blocks NOW
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
@@ -528,9 +549,157 @@ object Dedup {
       }
       require(converged, s"label propagation did not converge in $maxIters rounds")
     } finally {
-      if (!converged) labels.unpersist()
+      if (!converged) releaseLabels(labels)
     }
     (labels, iter)
+  }
+
+  /** Release the storage behind a [[connectedComponents]] round/result
+    * frame. Checkpointed RDDs are persisted at the RDD level, OUTSIDE
+    * the CacheManager — `df.unpersist()`/`clearCache()` are no-ops for
+    * them — so the block release must go through the LogicalRDD's own
+    * RDD handle. Only call on a frame whose consumers are done: a
+    * checkpoint-truncated frame has no lineage to recompute from. */
+  private[graft] def releaseLabels(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => df.unpersist(); ()
+    }
+
+  // ---- D14: incremental connected components ------------------------
+
+  // stored near-dup cluster state: the history band index and the
+  // history CC labels, each a bucketed catalog table — built once per
+  // (session, dataset, split) like the ANN history index
+  // ([[Similarity.historyIndex]]), standing in for yesterday's
+  // scheduled cluster build
+  private val ccStateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), (String, String)]
+
+  private def historyClusterState(t: Tables, splitId: Long): (String, String) =
+    ccStateCache.synchronized {
+      import graft.sources.{SourceOps, Sources}
+      ccStateCache.getOrElseUpdate(
+        (SourceOps.sessionTag(t.spark), t.dir, splitId), {
+          val tag = s"${SourceOps.runId}_${SourceOps.dirTag(t.dir)}_$splitId"
+          val bands = minhashBands(
+            shingleSetOf(t.documents.filter(col("doc_id") < splitId)))
+          val bandTable = s"graft_cc_bands_$tag"
+          Sources.writeBucketed(bands, bandTable, Seq("band", "bh"), nBuckets = 8,
+            sortCols = Seq("band", "bh"),
+            path = Some(SourceOps.staging(s"cc_bands_$tag")))
+          val pairs = bands.as("a")
+            .join(bands.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+            .distinct()
+          val edges = pairs
+            .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+            .persist()
+          edges.count()
+          val (labels, _) =
+            try connectedComponents(edges) finally edges.unpersist()
+          val labelTable = s"graft_cc_labels_$tag"
+          Sources.writeBucketed(labels, labelTable, Seq("doc_id"), nBuckets = 8,
+            sortCols = Seq("doc_id"),
+            path = Some(SourceOps.staging(s"cc_labels_$tag")))
+          bands.unpersist()
+          (bandTable, labelTable)
+        })
+    }
+
+  /** The increment's NEW edge set (un-symmetrized), with history
+    * endpoints already CONTRACTED to their stored cluster label:
+    * increment-vs-history candidates come from the stored bucketed
+    * band index (index side exchange-free — the
+    * [[dedupIncrementalTable]] layout), increment-vs-increment from
+    * the increment's band self-join; old-vs-old is never generated.
+    * Factored out so the plan shape is pinnable in spec. */
+  private[graft] def ccIncrementEdges(t: Tables, splitId: Long): DataFrame = {
+    val (bandTable, labelTable) = historyClusterState(t, splitId)
+    val histBands = t.spark.table(bandTable)
+    val histLabels = t.spark.table(labelTable)
+    val incBands = minhashBands(
+      shingleSetOf(t.documents.filter(col("doc_id") >= splitId)))
+    val nh = histBands.as("a")
+      .join(incBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("hist_doc"), col("b.doc_id").as("new_doc"))
+      .distinct()
+    // contract: a touched history doc enters the merge graph as its
+    // stored cluster rep (singletons have no stored row — they are
+    // their own rep)
+    val reps = histLabels
+      .select(col("doc_id").as("hist_doc"), col("cluster_id").as("rep"))
+    val nhEdges = nh.join(reps, Seq("hist_doc"), "left")
+      .select(coalesce(col("rep"), col("hist_doc")).as("src"),
+        col("new_doc").as("dst"))
+    val nnEdges = incBands.as("a")
+      .join(incBands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+    nhEdges.union(nnEdges)
+  }
+
+  /** D14 — `dedup_clusters_incremental`: incremental maintenance of
+    * the near-dup CLUSTER LABELS — the [[dedupIncrementalTable]]
+    * stored-artifact pattern applied to [[dedupClusters]]'s output,
+    * closing the gap between "find today's new near-dup pairs" and
+    * "keep the canonical doc per cluster" without ever recomputing the
+    * history graph. Yesterday's state is two bucketed catalog tables
+    * (band index + cluster labels); today's run:
+    *
+    *  1. generates ONLY the new candidate pairs ([[ccIncrementEdges]])
+    *     — per-doc MinHash signatures are corpus-independent, so the
+    *     history pair set is exactly yesterday's and old-vs-old never
+    *     re-runs;
+    *  2. CONTRACTS history clusters to super-nodes (their stored
+    *     label) and propagates labels over the contracted merge graph,
+    *     whose node count is bounded by increment size + touched
+    *     clusters — never history size;
+    *  3. relabels: history docs remap through their (possibly merged)
+    *     stored rep, increment docs take their propagated label,
+    *     untouched docs keep their own id.
+    *
+    * Merge == recompute by construction: contracting a connected
+    * subgraph preserves component connectivity, stored labels are
+    * component MINIMA of the history graph, and increment ids all
+    * exceed history ids — so the contracted minimum equals the
+    * full-graph minimum. The oracle is therefore the FULL-corpus
+    * recompute, `dedup_clusters`'s recursive-CTE SQL verbatim, and
+    * the driver hash-compares the two paths end to end.
+    */
+  def dedupClustersIncremental(t: Tables, splitId: Long = 400): DataFrame = {
+    val (_, labelTable) = historyClusterState(t, splitId)
+    val histLabels = t.spark.table(labelTable)
+    val half = ccIncrementEdges(t, splitId)
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    edges.count()
+    val (merged, _) = try connectedComponents(edges) finally edges.unpersist()
+    // contracted-node labels: bounded by increment + touched clusters
+    // (metadata-scale next to the corpus), hence broadcastable
+    val nodeLabels = merged
+      .select(col("doc_id").as("node"), col("cluster_id").as("label"))
+    val docs = t.documents.select(col("doc_id"))
+    val hist = docs.filter(col("doc_id") < splitId)
+      .join(histLabels.withColumnRenamed("cluster_id", "stored0"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("stored0"), col("doc_id")).as("stored"))
+      .join(broadcast(nodeLabels), col("stored") === col("node"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("stored")).as("cluster_id"))
+    val inc = docs.filter(col("doc_id") >= splitId)
+      .join(broadcast(nodeLabels.withColumnRenamed("node", "doc_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    hist.unionByName(inc)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).cast("int").as("is_kept"))
   }
 
   /** D8 — `dedup_minhash_eval`: sketch-quality audit. For every

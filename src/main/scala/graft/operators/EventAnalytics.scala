@@ -340,6 +340,23 @@ object EventAnalytics {
         round(percentile(col("value"), lit(0.9)) + lit(1e-9), 4).as("p90"),
         round(percentile(col("value"), lit(0.99)) + lit(1e-9), 4).as("p99"))
 
+  /** `events_value_percentiles_approx` — the percentile card in its
+    * 100 TB form: `percentile_approx` (t-digest-style fixed-accuracy
+    * sketch, accuracy 10000) replaces the exact interpolated
+    * percentile, so each group reduces O(sketch) state instead of
+    * buffering every value for a sort — the swap
+    * [[eventsValuePercentiles]]'s scaladoc promises, now a first-class
+    * query. Rows-only at the driver gate (sketches are
+    * engine-specific); the spec bounds each approximate quantile
+    * against the exact twin.
+    */
+  def eventsValuePercentilesApprox(t: Tables, accuracy: Int = 10000): DataFrame =
+    t.events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"), lit(0.5), lit(accuracy)).as("p50"),
+        percentile_approx(col("value"), lit(0.9), lit(accuracy)).as("p90"),
+        percentile_approx(col("value"), lit(0.99), lit(accuracy)).as("p99"))
+
   /** `events_rfm` — per-user RFM profile (recency / frequency /
     * monetary), the standard user-value segmentation: days since the
     * user's last event relative to the corpus's max day, event count,

@@ -165,7 +165,12 @@ object Multimodal {
     * too) between the screen descriptor and the 0x3B trailer. Map-only
     * column expressions — the synthesis adds no shuffle anywhere.
     */
-  def mediaTable(t: Tables): DataFrame = {
+  def mediaTable(t: Tables): DataFrame = mediaTableOf(t.documents)
+
+  /** The same synthesis over ANY (doc_id, text) frame — map-only
+    * column expressions, so a STREAMING documents source slots in
+    * unchanged ([[graft.streaming.Streaming]]'s modality router). */
+  def mediaTableOf(docs: DataFrame): DataFrame = {
     val body = col("text").cast("binary")
     val h = md5(body)
     val w = lit(16) + hexByteCol(h, 0)
@@ -184,7 +189,7 @@ object Multimodal {
     val header = when(fmtIdx === 0, jpegHeader)
       .when(fmtIdx === 1, pngHeader)
       .otherwise(gifHeader)
-    t.documents.select(col("doc_id"), concat(header, body).as("payload"))
+    docs.select(col("doc_id"), concat(header, body).as("payload"))
   }
 
   // --- audio modality: WAV/RIFF (public RIFF/WAVE spec) ---
@@ -198,7 +203,12 @@ object Multimodal {
     * are a pure function of the text's md5, so the DuckDB oracle can
     * recompute every field the parser reads back. Map-only.
     */
-  def audioTable(t: Tables): DataFrame = {
+  def audioTable(t: Tables): DataFrame = audioTableOf(t.documents)
+
+  /** The same synthesis over ANY (doc_id, text) frame — map-only
+    * column expressions, so a STREAMING documents source slots in
+    * unchanged ([[graft.streaming.Streaming]]'s modality router). */
+  def audioTableOf(docs: DataFrame): DataFrame = {
     val body = col("text").cast("binary")
     val h = md5(body)
     val ch = lit(1) + hexByteCol(h, 0) % 2
@@ -217,7 +227,7 @@ object Multimodal {
       le16Col(blockAlign), le16Col(bits),
       lit("data".getBytes(StandardCharsets.US_ASCII)),
       le32Col(dataLen))
-    t.documents.select(col("doc_id"), concat(header, body).as("payload"))
+    docs.select(col("doc_id"), concat(header, body).as("payload"))
   }
 
   /** A2 — `mm_audio_meta`: typed audio metadata parsed from the
@@ -279,7 +289,12 @@ object Multimodal {
     * container sniff a 100 TB video-ingest pass runs before routing
     * payloads to sampled-frame decoders.
     */
-  def videoTable(t: Tables): DataFrame = {
+  def videoTable(t: Tables): DataFrame = videoTableOf(t.documents)
+
+  /** The same synthesis over ANY (doc_id, text) frame — map-only
+    * column expressions, so a STREAMING documents source slots in
+    * unchanged ([[graft.streaming.Streaming]]'s modality router). */
+  def videoTableOf(docs: DataFrame): DataFrame = {
     val body = col("text").cast("binary")
     val h = md5(body)
     val timescale = element_at(
@@ -314,7 +329,7 @@ object Multimodal {
       be32Col(length(body) + lit(8)),
       lit("mdat".getBytes(StandardCharsets.US_ASCII)),
       body)
-    t.documents.select(col("doc_id"), concat(ftyp, moov, mdat).as("payload"))
+    docs.select(col("doc_id"), concat(ftyp, moov, mdat).as("payload"))
   }
 
   /** V1 — `mm_video_meta`: typed video metadata from a REAL ISO-BMFF
@@ -372,12 +387,21 @@ object Multimodal {
     * Spark routes by SNIFFING the bytes: a router misreading any
     * signature breaks the hash. Map-only until the 3-group rollup.
     */
-  def mmModalityRouter(t: Tables): DataFrame = {
-    val sel = t.documents.select(col("doc_id"),
-      (hexByteCol(md5(col("text").cast("binary")), 10) % 3).as("sel"))
-    val mixed = mediaTable(t).join(sel.filter(col("sel") === 0), "doc_id")
-      .unionByName(audioTable(t).join(sel.filter(col("sel") === 1), "doc_id"))
-      .unionByName(videoTable(t).join(sel.filter(col("sel") === 2), "doc_id"))
+  def mmModalityRouter(t: Tables): DataFrame = modalityRouterOf(t.documents)
+
+  /** The router body over ANY (doc_id, text) docs frame — batch or
+    * STREAMING ([[graft.streaming.Streaming]]'s twin). Modality
+    * SELECTION is the per-row md5 nibble pushed into each synth branch
+    * as a filter (union of three map-only branches — no self-join, so
+    * the batch plan drops a shuffle and the streaming plan needs no
+    * stream-stream join); detection then reads the actual payload
+    * bytes, and the rollup is one bounded aggregation (≤ 4 groups).
+    */
+  def modalityRouterOf(docs: DataFrame): DataFrame = {
+    val sel = hexByteCol(md5(col("text").cast("binary")), 10) % 3
+    val mixed = mediaTableOf(docs.filter(sel === 0))
+      .unionByName(audioTableOf(docs.filter(sel === 1)))
+      .unionByName(videoTableOf(docs.filter(sel === 2)))
       .select(col("doc_id"), col("payload"))
     val hx = headHex(col("payload"))
     val modality = when(isPng(hx) || isJpeg(hx) || isGif(hx), "image")

@@ -143,6 +143,38 @@ object Relational {
     one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }
 
+  /** `q_table_stats_approx` — the [[qTableStats]] profile with the NDV
+    * column swapped to HyperLogLog++ (`approx_count_distinct`): the
+    * form actually runnable at 100 TB, where an 8-column exact
+    * distinct means eight full-width shuffles while eight HLL sketches
+    * merge in one narrow pass of O(sketch) state per column. min/max/
+    * null counts stay exact (they are already single-pass partial
+    * aggs). Rows-only at the driver gate — sketch estimates are
+    * engine-specific — with the error bounded against the exact twin
+    * in spec (HLL++ default rsd 5%; the pin allows 15%), the
+    * `q_approx_stats` pattern applied to the stats REPORT.
+    */
+  def qTableStatsApprox(t: Tables): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+    def render(c: Column, name: String): Column =
+      if (tableStatsDoubleCols(name)) c.cast("decimal(38,4)").cast("string")
+      else c.cast("string")
+    val aggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c)).as(s"ndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"nn_$c"),
+        render(min(col(c)), c).as(s"mn_$c"),
+        render(max(col(c)), c).as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = t.lineitem.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows").as("n_rows"),
+        col(s"ndv_$c").as("approx_ndv"), col(s"nn_$c").as("n_null"),
+        col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))
+    }
+    one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+  }
+
   /** Multi-key groupBy with the full scalar-aggregate family. */
   def qGroupMulti(t: Tables): DataFrame =
     t.orders

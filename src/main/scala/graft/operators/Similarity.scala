@@ -380,11 +380,11 @@ object Similarity {
   // training ⇒ a memo is semantics-free; a TrieMap race at worst
   // recomputes the same value.
   private val kmeansCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int, Int), Seq[(Int, Seq[Double])]]
+    .empty[(String, String, Int, Int), Seq[(Int, Seq[Double])]]
 
   private[operators] def kmeansCentroids(t: Tables, k: Int, nIters: Int): Seq[(Int, Seq[Double])] =
     kmeansCache.getOrElseUpdate(
-      (System.identityHashCode(t.spark), t.dir, k, nIters),
+      (graft.sources.SourceOps.sessionTag(t.spark), t.dir, k, nIters),
       kmeansCentroidsOf(corpusEmb(t), k, nIters))
 
   private[operators] def kmeansCentroidsOf(trainSet: DataFrame, k: Int,
@@ -597,18 +597,25 @@ object Similarity {
         .toDF("vec_id", "component", "coord")
       case Some((means, cov)) =>
         val basis = pcaBasis(cov, dims, nIters, nComponents)
-        basis.foreach { case (_, lambda) =>
-          require(lambda > 0, s"whitening needs positive eigenvalues, got $lambda") }
-        val coordCols = basis.map { case (v, lambda) =>
-          val terms = (0 until dims).map(i =>
-            (element_at(col("emb"), i + 1) - lit(means.getOrElse(i, 0.0))) * lit(v(i)))
-            .reduce(_ + _)
-          round(terms / lit(math.sqrt(lambda)) + lit(1e-9), 4)
+        // a degenerate spectrum (zero-variance corpus, rank < k —
+        // powerIterate signals the null space with λ = 0) cannot be
+        // whitened: degrade to the empty frame like the covMatrix
+        // None branch, never throw on data shape
+        if (basis.exists { case (_, lambda) =>
+            !java.lang.Double.isFinite(lambda) || lambda <= 0 }) {
+          Seq.empty[(Long, Int, Double)].toDF("vec_id", "component", "coord")
+        } else {
+          val coordCols = basis.map { case (v, lambda) =>
+            val terms = (0 until dims).map(i =>
+              (element_at(col("emb"), i + 1) - lit(means.getOrElse(i, 0.0))) * lit(v(i)))
+              .reduce(_ + _)
+            round(terms / lit(math.sqrt(lambda)) + lit(1e-9), 4)
+          }
+          withEmb(t)
+            .select(col("vec_id"), posexplode(array(coordCols: _*)))
+            .select(col("vec_id"), (col("pos") + 1).as("component"),
+              col("col").as("coord"))
         }
-        withEmb(t)
-          .select(col("vec_id"), posexplode(array(coordCols: _*)))
-          .select(col("vec_id"), (col("pos") + 1).as("component"),
-            col("col").as("coord"))
     }
   }
 
@@ -621,12 +628,12 @@ object Similarity {
   // embed_pca_power / embed_pca_topk / embed_whiten all read the same
   // matrix, and the dims² collect is their dominant distributed cost
   private val covCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int), Option[(Map[Int, Double], Map[(Int, Int), Double])]]
+    .empty[(String, String, Int), Option[(Map[Int, Double], Map[(Int, Int), Double])]]
 
   private def covMatrix(t: Tables, dims: Int)
       : Option[(Map[Int, Double], Map[(Int, Int), Double])] =
     covCache.getOrElseUpdate(
-      (System.identityHashCode(t.spark), t.dir, dims), covMatrixOf(t, dims))
+      (graft.sources.SourceOps.sessionTag(t.spark), t.dir, dims), covMatrixOf(t, dims))
 
   private def covMatrixOf(t: Tables, dims: Int)
       : Option[(Map[Int, Double], Map[(Int, Int), Double])] = {
@@ -662,19 +669,29 @@ object Similarity {
   private def powerIterate(cov: Map[(Int, Int), Double], dims: Int,
       nIters: Int, priors: Seq[Array[Double]] = Nil): (Array[Double], Double) = {
     var v = Array.fill(dims)(1.0 / math.sqrt(dims.toDouble))
-    for (_ <- 1 to nIters) {
+    var it = 0
+    var degenerate = false
+    while (it < nIters && !degenerate) {
       val u = Array.tabulate(dims)(i =>
         (0 until dims).map(j => cov.getOrElse((i, j), 0.0) * v(j)).sum)
       val dots = priors.map(w => (0 until dims).map(i => u(i) * w(i)).sum)
       val g = Array.tabulate(dims)(i =>
         priors.indices.foldLeft(u(i))((acc, p) => acc - dots(p) * priors(p)(i)))
       val nm = math.sqrt(g.map(x => x * x).sum)
-      v = g.map(x => rnd6(x / nm))
+      // degenerate residual (all-constant corpus, or rank < #priors):
+      // the next quotient would be NaN and rnd6(NaN) throws — signal
+      // the null space with λ = 0 instead so callers degrade cleanly
+      if (!java.lang.Double.isFinite(nm) || nm <= 0.0) degenerate = true
+      else v = g.map(x => rnd6(x / nm))
+      it += 1
     }
-    val lambda = rnd6(
-      (0 until dims).flatMap(i => (0 until dims).map(j =>
-        v(i) * cov.getOrElse((i, j), 0.0) * v(j))).sum)
-    (v, lambda)
+    if (degenerate) (v, 0.0)
+    else {
+      val lambda = rnd6(
+        (0 until dims).flatMap(i => (0 until dims).map(j =>
+          v(i) * cov.getOrElse((i, j), 0.0) * v(j))).sum)
+      (v, lambda)
+    }
   }
 
   /** `ann_recall_eval` — index-quality eval: per-query recall@k of the
@@ -817,7 +834,7 @@ object Similarity {
   // one stored index per (session, dataset): train/encode ONCE, serve
   // every PQ query in the session from the catalog tables
   private val pqIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), PqIndexHandle]
+    scala.collection.concurrent.TrieMap.empty[(String, String), PqIndexHandle]
 
   /** Build-once / serve-many PQ index (the `ann_ivf_table` pattern,
     * upgraded to the full FAISS-style artifact): converged-k-means
@@ -835,7 +852,7 @@ object Similarity {
   private[graft] def pqIndex(t: Tables): PqIndexHandle =
     pqIndexCache.synchronized {
       pqIndexCache.getOrElseUpdate(
-        (System.identityHashCode(t.spark), t.dir), buildPqIndex(t))
+        (graft.sources.SourceOps.sessionTag(t.spark), t.dir), buildPqIndex(t))
     }
 
   /** Encode a corpus slice against FROZEN centroids + codebooks:
@@ -862,7 +879,7 @@ object Similarity {
     import graft.sources.{SourceOps, Sources}
     val sess = t.spark
     import sess.implicits._
-    val dirTag = java.lang.Integer.toHexString(t.dir.hashCode & 0x7fffffff)
+    val dirTag = graft.sources.SourceOps.dirTag(t.dir)
     val suffix = s"${SourceOps.runId}_$dirTag"
     val centsTrained = kmeansCentroids(t, PqCells, nIters = 4)
     val booksTrained = pqCodebooks(t, PqM, PqCells, PqSubDims, nIters = 3)
@@ -1044,7 +1061,7 @@ object Similarity {
   def annIndexCompaction(t: Tables, nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
     import graft.sources.{SourceOps, Sources}
     val h = historyIndex(t)
-    val dirTag = java.lang.Integer.toHexString(t.dir.hashCode & 0x7fffffff)
+    val dirTag = graft.sources.SourceOps.dirTag(t.dir)
     val compacted = s"graft_pq_compacted_${SourceOps.runId}_$dirTag"
     Sources.writeBucketed(
       t.spark.table(h.codesTable)
@@ -1065,17 +1082,17 @@ object Similarity {
   // one offline job serving every incremental-lifecycle demo query —
   // built once per (session, dataset), like [[pqIndex]]
   private val historyIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), PqIndexHandle]
+    scala.collection.concurrent.TrieMap.empty[(String, String), PqIndexHandle]
 
   private[graft] def historyIndex(t: Tables): PqIndexHandle =
     historyIndexCache.synchronized {
       historyIndexCache.getOrElseUpdate(
-        (System.identityHashCode(t.spark), t.dir), {
+        (graft.sources.SourceOps.sessionTag(t.spark), t.dir), {
           import graft.sources.{SourceOps, Sources}
           val hist = historyEmb(t)
           val cents = kmeansCentroidsOf(hist, PqCells, nIters = 4)
           val books = pqCodebooksOf(hist, PqM, PqCells, PqSubDims, nIters = 3)
-          val dirTag = java.lang.Integer.toHexString(t.dir.hashCode & 0x7fffffff)
+          val dirTag = graft.sources.SourceOps.dirTag(t.dir)
           val histTable = s"graft_pq_hist_index_${SourceOps.runId}_$dirTag"
           Sources.writeBucketed(pqEncode(hist, cents, books), histTable,
             Seq("cell"), nBuckets = 8, sortCols = Seq("cell"),
@@ -1220,6 +1237,67 @@ object Similarity {
       .select(col("n_probe"), col("n_hits"),
         (col("n_hits") / lit((NumQueries * TopK).toDouble)).as("recall"),
         col("n_candidates"))
+  }
+
+  /** S22 — `ann_index_drift`: the MONITOR step that closes the
+    * incremental-index lifecycle (build → append → compact → serve →
+    * monitor). The frozen-model index ([[historyIndex]]) never
+    * retrains, so as the increment share grows the stored centroids /
+    * codebooks describe the indexed corpus less well and serving
+    * recall decays — this query MEASURES that decay and emits the
+    * rebuild decision instead of leaving "scheduled rebuilds" to
+    * folklore. For each increment share (0%, 50%, 100% of the
+    * increment slice, deterministic `vec_id`-arithmetic subsets), it
+    * serves the three-stage path over history codes + frozen-encoded
+    * subset and scores recall@k against the EXACT top-k over the same
+    * indexed corpus (so the number isolates MODEL drift, not missing
+    * rows), flagging `rebuild_needed` when the rounded recall falls
+    * under `threshold`. All inputs replay exactly in DuckDB, so the
+    * whole monitor — serve, truth, recall, flag — is oracle-checked.
+    *
+    * Scale shape: per share, one bucket-pruned serve (cost bounded by
+    * probed cells × shortlist) plus one broadcast-query exact-truth
+    * pass over the indexed slice; the per-share reduction reaching the
+    * driver is a single hit count. On a 100 TB deployment the truth
+    * pass runs over a SAMPLED query set — the eval cost is queries ×
+    * corpus dot products, independent of this query's structure.
+    */
+  def annIndexDrift(t: Tables, threshold: Double = 0.35): DataFrame = {
+    import graft.functions.VectorFunctions.l2SqDistance
+    val sess = t.spark
+    import sess.implicits._
+    val h = historyIndex(t)
+    val histCodes = t.spark.table(h.codesTable)
+    val e = withEmb(t)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    // (share pct, membership condition over the increment slice)
+    val shares: Seq[(Int, Column => Column)] = Seq(
+      (0, _ => lit(false)),
+      (50, v => v % 10 === 0), // the even half of the %5 increment
+      (100, _ => lit(true)))
+    val rows = shares.map { case (pct, subset) =>
+      val index = histCodes.unionByName(
+        pqEncode(incrementEmb(t).filter(subset(col("vec_id"))), h.cents, h.books))
+      val served = ivfPqServe(t, index, h, nProbe = 4, shortlist = 50)
+        .select(col("q_id"), col("vec_id"))
+      val indexed = (col("vec_id") % 5 =!= 0) || subset(col("vec_id"))
+      val truth = e.filter(col("vec_id") >= NumQueries && indexed)
+        .join(broadcast(queries))
+        .select(col("q_id"), col("vec_id"),
+          l2SqDistance(col("q_emb"), col("emb")).as("d"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(asc("d"), asc("vec_id"))))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("vec_id"))
+      (pct, truth.join(served, Seq("q_id", "vec_id")).count())
+    }
+    rows.toDF("inc_share_pct", "n_hits")
+      .select(col("inc_share_pct"), col("n_hits"),
+        round(col("n_hits") / lit((NumQueries * TopK).toDouble) + lit(1e-9), 4)
+          .as("recall_at_k"))
+      .withColumn("rebuild_needed",
+        (col("recall_at_k") < lit(threshold)).cast("int"))
   }
 
   def annRecallEval(t: Tables): DataFrame = {

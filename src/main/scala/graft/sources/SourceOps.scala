@@ -55,6 +55,21 @@ object SourceOps {
     * writers reuse it across invocations instead of leaking copies). */
   private[graft] def staging(name: String): String = s"$stagingDir/$name"
 
+  /** Collision-free per-dataset tag for staging paths and table names:
+    * the SANITIZED dir string, not its 31-bit hash — two dataset dirs
+    * colliding on `hashCode` would silently overwrite each other's
+    * Overwrite-mode index files while the first session's catalog
+    * entries still point at the path. */
+  private[graft] def dirTag(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_")
+
+  /** Stable per-session cache-key component: the session UUID where
+    * the runtime exposes one (identityHashCode is NOT unique across
+    * GC'd/recreated sessions — a recycled address would serve another
+    * session's cached index handles). */
+  private[graft] def sessionTag(spark: org.apache.spark.sql.SparkSession): String =
+    org.apache.spark.sql.graft.PlanBridge.sessionUUID(spark)
+
   /** Close the stats→optimizer loop: write ANALYZE statistics for a
     * catalog table where Catalyst's cost-based optimizer reads them.
     * `q_table_stats` computes the same numbers as a REPORT; this is
@@ -96,7 +111,10 @@ object SourceOps {
   /** 2×`bits` Morton (Z-order) interleave of two non-negative integer
     * columns — exact integer shifts/masks, so the key is
     * deterministic on any engine. Bit i of `a` lands at 2i, bit i of
-    * `b` at 2i+1. */
+    * `b` at 2i+1. CONTRACT: inputs must already fit in `bits` bits —
+    * higher bits are dropped, silently degrading the interleave
+    * toward single-dim/hash placement; callers normalize first
+    * (see [[writeZOrderedEvents]]'s max-scaling). */
   def zValue(a: Column, b: Column, bits: Int = 16): Column =
     (0 until bits).map { i =>
       // LONG arithmetic throughout: bit 15 of `b` lands at position 31,
@@ -131,17 +149,29 @@ object SourceOps {
 
   /** The z-ordered layout writer [[zOrderRoundtrip]] and its spec
     * share: events + derived day index, clustered by z(user, day).
-    * The day index is pre-scaled (≪3) so both dimensions occupy a
-    * comparable bit width — an UNBALANCED interleave degenerates
-    * toward a single-dim sort (the wider dim's high bits dominate
-    * every z-range cut); real Z-order implementations normalize dims
-    * to equal-width ranks for the same reason. */
+    * BOTH dimensions are max-scaled onto the full interleave width
+    * (v·(2^bits−1)/max — exact integer arithmetic, monotone per dim):
+    * an UNBALANCED interleave degenerates toward a single-dim sort
+    * (the wider dim's high bits dominate every z-range cut), and raw
+    * ids past 2^bits would silently DROP their high bits and turn the
+    * layout hash-like — max-scaling keeps the clustering benefit at
+    * any id scale (real Z-order implementations rank/normalize dims
+    * for the same reason). The two-long max agg is a one-off cost of
+    * the LAYOUT job, never of queries. (Ids must stay ≲ 2^47 so the
+    * ×(2^16−1) scale fits int64 — any realistic key does.) */
   private[graft] def writeZOrderedEvents(t: Tables, path: String,
       nFiles: Int): Unit = {
     val ev = t.events.withColumn("day",
       datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("2024-01-01"))))
-    ev.withColumn("zv", zValue(col("user_id").cast("int"),
-        shiftleft(col("day"), 3)))
+    val r = ev.agg(max(col("user_id")).cast("long"),
+      max(col("day")).cast("long")).first()
+    // max() over an EMPTY events slice is SQL NULL: lay out on z=0
+    def mxAt(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    val width = (1L << 16) - 1
+    def scaled(c: Column, mx: Long): Column =
+      if (mx <= 0) lit(0L) else (c.cast("long") * lit(width)) / lit(mx)
+    ev.withColumn("zv",
+        zValue(scaled(col("user_id"), mxAt(0)), scaled(col("day"), mxAt(1))))
       .repartitionByRange(nFiles, col("zv"))
       .sortWithinPartitions(col("zv"))
       .drop("zv")

@@ -367,6 +367,23 @@ object Streaming {
       nProbe = 4, shortlist = 50)
   }
 
+  /** X14 — `stream_modality_router`: the byte-sniffing ingestion
+    * front door (E107, [[graft.operators.Multimodal.mmModalityRouter]])
+    * as a STREAMING query — documents arrive as a file stream, the
+    * payload synthesis + signature sniff is map-only per row, and the
+    * per-modality rollup is a BOUNDED streaming aggregation (≤ 4
+    * groups of counts + byte volume) drained in complete mode. Shares
+    * the batch oracle verbatim — the established stream/batch
+    * equivalence pattern, applied to the multimodal surface.
+    */
+  def streamModalityRouter(t: Tables): DataFrame = {
+    val schema = t.raw("documents").schema
+    val docsStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    drainToTable(graft.operators.Multimodal.modalityRouterOf(docsStream),
+      "complete")
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path

@@ -19,4 +19,10 @@ object PlanBridge {
     */
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** The session's stable UUID (`sessionUUID` is `private[sql]`) —
+    * the correct per-session cache-key component: identityHashCode is
+    * not unique across GC'd/recreated sessions. */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[classic.SparkSession].sessionUUID
 }

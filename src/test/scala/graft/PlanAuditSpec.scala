@@ -88,6 +88,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("mm_modality_router: no self-join — filter-pushed synth branches + one rollup") {
+    // the router unions three map-only synth branches selected by a
+    // per-row md5 filter; the only exchange is the ≤4-group rollup's
+    val p = plan(Multimodal.mmModalityRouter(tables))
+    assert(!p.contains("Join"), s"router plan regained a join:\n$p")
+  }
+
   test("dedup_embedding: bucket-keyed candidates, no NLJ/cartesian") {
     val p = plan(Dedup.dedupEmbedding(tables))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)

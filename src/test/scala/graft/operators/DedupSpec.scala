@@ -90,6 +90,69 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache() // release the pinned final-labels cache
   }
 
+  test("connected components: reliable-checkpoint mode converges through the configured dir") {
+    // the preemptible-fleet story: graft.cc.checkpointDir switches the
+    // per-round lineage cut from executor-local localCheckpoint to a
+    // RELIABLE checkpoint(), so executor loss costs one round, not the
+    // job — this drives the whole loop through that path
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt_").toString
+    spark.conf.set("graft.cc.checkpointDir", dir)
+    try {
+      val chain = (0L until 32L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+        .toDF("src", "dst")
+      val (labels, iters) = Dedup.connectedComponents(chain, maxIters = 100)
+      assert(labels.filter(col("cluster_id") =!= 0L).count() == 0,
+        "reliable-checkpoint run did not converge to the component min")
+      assert(iters > 0)
+      def countFiles(p: java.io.File): Int =
+        Option(p.listFiles())
+          .map(_.map(f => if (f.isDirectory) countFiles(f) else 1).sum).getOrElse(0)
+      assert(countFiles(new java.io.File(dir)) > 0,
+        s"no checkpoint files landed under $dir — rounds bypassed the reliable path")
+      Dedup.releaseLabels(labels)
+    } finally spark.conf.unset("graft.cc.checkpointDir")
+  }
+
+  test("connected components: superseded rounds' blocks are released, nothing leaks") {
+    // checkpointed RDDs sit outside the CacheManager (clearCache is a
+    // no-op for them): the loop must unpersist each superseded round
+    // via the RDD handle, and releaseLabels must free the final frame
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 24L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
+      .toDF("src", "dst")
+    val (labels, _) = Dedup.connectedComponents(chain, maxIters = 100)
+    assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
+    Dedup.releaseLabels(labels)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"CC loop leaked persistent RDDs: $leaked")
+  }
+
+  test("dedup_clusters_incremental: stored-state merge equals the full recompute") {
+    // the whole point of the operator: label propagation over the
+    // contracted merge graph (stored history labels + new edges only)
+    // must land on EXACTLY the labels a full-corpus recompute produces
+    val full = Dedup.dedupClusters(tables).collect().map(_.toSeq).toSet
+    val inc = Dedup.dedupClustersIncremental(tables).collect().map(_.toSeq).toSet
+    assert(inc == full,
+      s"merge != recompute: only-inc=${(inc -- full).take(3)} " +
+        s"only-full=${(full -- inc).take(3)}")
+    spark.catalog.clearCache()
+  }
+
+  test("dedup_clusters_incremental: increment edges read the stored index bucketed, never cartesian") {
+    val df = Dedup.ccIncrementEdges(tables, 400)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both stored state tables (band index + labels) serve their
+    // bucketed layout — the history side never re-shuffles
+    assert(p.contains("Bucketed: true"), s"stored state not read bucketed:\n$p")
+  }
+
   test("dedup_minhash_eval covers exactly the LSH candidate pairs with sane errors") {
     // sf0.01: sf0.001 has no candidate pairs
     val t = graft.Tables(spark, "/root/testdata/sf0.01")

@@ -163,6 +163,40 @@ class EmbeddingMiningSpec extends SparkSpec {
       s"PQ refine recall below pinned floor: $total/${Similarity.NumQueries * Similarity.TopK}")
   }
 
+  test("ann_index_drift: one row per share, recall = hits/(q*k), flag = recall < threshold") {
+    val rows = Similarity.annIndexDrift(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 50, 100), rows.mkString(","))
+    val denom = (Similarity.NumQueries * Similarity.TopK).toDouble
+    rows.foreach { case (pct, hits, recall, flag) =>
+      assert(math.abs(recall - math.rint((hits / denom + 1e-9) * 1e4) / 1e4) < 1e-12,
+        s"share $pct: recall $recall != round($hits/$denom)")
+      assert(flag == (if (recall < 0.35) 1 else 0),
+        s"share $pct: flag $flag inconsistent with recall $recall at threshold 0.35")
+    }
+    // the flag must actually respond to the threshold: an impossible
+    // bar flags every share
+    val strict = Similarity.annIndexDrift(tables, threshold = 1.01).collect()
+    assert(strict.forall(_.getInt(3) == 1), "threshold 1.01 should flag all shares")
+  }
+
+  test("embed_whiten degrades to an empty frame on a zero-variance corpus, never throws") {
+    // all-constant embeddings: covariance is identically zero, the
+    // power iteration's residual is the null space — whitening must
+    // follow the covMatrix-None convention (empty result), not blow
+    // up in require/NaN rounding
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_const_emb_").toString
+    (0L until 40L).map(i => (i, Array.fill(64)(0.5)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = Similarity.embedWhiten(graft.Tables(spark, dir))
+    assert(out.columns.toSeq == Seq("vec_id", "component", "coord"))
+    assert(out.count() == 0, "degenerate spectrum must whiten to an empty frame")
+  }
+
   test("dim stats profile every dimension exactly once with sane moments") {
     val stats = Similarity.embedDimStats(tables).cache()
     try {

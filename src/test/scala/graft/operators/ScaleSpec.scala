@@ -33,6 +33,56 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q_table_stats_approx: HLL NDV within 15% of the exact profile, rest identical") {
+    val t = tables
+    val exact = Relational.qTableStats(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    val approx = Relational.qTableStatsApprox(t).collect()
+    assert(approx.length == exact.size, "one profile row per column")
+    approx.foreach { r =>
+      val (ndv, nNull, mn, mx) = exact(r.getString(0))
+      val est = r.getLong(2)
+      assert(math.abs(est - ndv).toDouble / math.max(ndv, 1L) < 0.15,
+        s"${r.getString(0)}: HLL NDV off by >15%: $est vs $ndv")
+      // everything that is not the sketch must stay EXACT
+      assert(r.getLong(3) == nNull && r.getString(4) == mn && r.getString(5) == mx,
+        s"${r.getString(0)}: non-sketch fields drifted")
+    }
+  }
+
+  test("events_value_percentiles_approx lands inside exact quantile brackets per type") {
+    // the right sketch eval is a RANK bound, not a value tolerance:
+    // percentile_approx returns an OBSERVED value, so on a sparse
+    // jumpy tail (a few hundred rows per type at this SF) the nearest
+    // observation can sit far from the exact INTERPOLATED quantile in
+    // value terms while being rank-perfect. Pin each estimate inside
+    // the exact bracket [q−ε, q+ε] instead.
+    val t = tables
+    val brackets = t.events.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.45)).as("lo50"),
+        percentile(col("value"), lit(0.55)).as("hi50"),
+        percentile(col("value"), lit(0.85)).as("lo90"),
+        percentile(col("value"), lit(0.95)).as("hi90"),
+        percentile(col("value"), lit(0.97)).as("lo99"),
+        max(col("value")).as("hi99"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val approx = EventAnalytics.eventsValuePercentilesApprox(t).collect()
+    assert(approx.length == brackets.size, "one row per event type")
+    approx.foreach { r =>
+      val (lo50, hi50, lo90, hi90, lo99, hi99) = brackets(r.getString(0))
+      Seq((r.getDouble(2), lo50, hi50, "p50"), (r.getDouble(3), lo90, hi90, "p90"),
+        (r.getDouble(4), lo99, hi99, "p99")).foreach { case (est, lo, hi, lbl) =>
+        assert(est >= lo && est <= hi,
+          s"${r.getString(0)} $lbl: $est outside exact bracket [$lo, $hi]")
+      }
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val t = tables
     val wh = Files.createTempDirectory("graft-warehouse").toString

@@ -68,30 +68,52 @@ class SourcesSpec extends SparkSpec {
       .withColumn("day", datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("2024-01-01"))))
       .repartitionByRange(16, col("user_id")).sortWithinPartitions(col("user_id"))
       .write.parquet(uPath)
-    def daySpans(p: String): Seq[(Int, Int)] =
+    def spans(p: String, c: String): Seq[(Long, Long)] =
       new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
         .map { f =>
-          val r = spark.read.parquet(f.getPath).agg(min(col("day")), max(col("day"))).head()
-          (r.getInt(0), r.getInt(1))
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col(c).cast("long")), max(col(c).cast("long"))).head()
+          (r.getLong(0), r.getLong(1))
         }
-    val zSpans = daySpans(zPath)
-    val uSpans = daySpans(uPath)
+    val zSpans = spans(zPath, "day").map { case (a, b) => (a.toInt, b.toInt) }
+    val uSpans = spans(uPath, "day").map { case (a, b) => (a.toInt, b.toInt) }
     // the single-dim (user) sort leaves every file spanning ~the whole
     // month: a date predicate can prune NOTHING from its footers
     assert(uSpans.forall { case (lo, hi) => hi - lo >= 25 },
       s"user-sorted files unexpectedly day-clustered: $uSpans")
-    // the balanced interleave bounds every file's day range (measured
-    // max span 2 of 29 at sf0.001) — date footers become selective
-    assert(zSpans.forall { case (lo, hi) => hi - lo <= 8 },
-      s"z-ordered file spans too wide: $zSpans")
-    // the concrete payoff on the roundtrip query's 7-day window:
-    // candidate files (footer day-range intersects [7,13]) must be a
-    // strict minority of the layout vs ALL of the user-sorted one
-    val zHit = zSpans.count { case (lo, hi) => hi >= 7 && lo <= 13 }
+    // the BALANCED max-scaled interleave bounds files in BOTH
+    // dimensions at once (16 files ≈ 4×4 z-cells). Equal-COUNT range
+    // cuts on a Morton curve can straddle a top-bit cell edge, so a
+    // straggler file may span a whole dim — the pin is on the bulk:
+    // ≥ 3/4 of files bounded to half the range in EACH dim. The old
+    // day<<3 layout pinned tighter day spans only because day
+    // dominated the top bits — a day-major sort in disguise that left
+    // user spans unbounded.
+    val dayOk = zSpans.count { case (lo, hi) => hi - lo <= 15 }
+    assert(dayOk * 4 >= zSpans.length * 3,
+      s"z-ordered day spans too wide in $dayOk/${zSpans.length} files: $zSpans")
+    val zUser = spans(zPath, "user_id")
+    val uMax = tables.events
+      .agg(max(col("user_id").cast("long"))).head().getLong(0)
+    val userOk = zUser.count { case (lo, hi) => hi - lo <= (uMax + 1) / 2 }
+    assert(userOk * 4 >= zUser.length * 3,
+      s"z-ordered user spans exceed half the id range ($uMax) in " +
+        s"${zUser.length - userOk}/${zUser.length} files: $zUser")
+    // the concrete payoff on the roundtrip query's TWO-dimension
+    // predicate (user ∈ [10,29] AND day ∈ [7,13]): a candidate file
+    // must intersect BOTH footer ranges — the balanced layout admits
+    // at most half the files, while the user-sorted layout admits
+    // every file for any day-only predicate (and the z layout still
+    // prunes some files on day alone)
+    val zHit2d = zSpans.zip(zUser).count { case ((dlo, dhi), (ulo, uhi)) =>
+      dhi >= 7 && dlo <= 13 && uhi >= 10 && ulo <= 29 }
+    val zHitDay = zSpans.count { case (lo, hi) => hi >= 7 && lo <= 13 }
     val uHit = uSpans.count { case (lo, hi) => hi >= 7 && lo <= 13 }
     assert(uHit == uSpans.length, "single-dim sort should admit every file")
-    assert(zHit * 2 <= zSpans.length,
-      s"expected ≤half the z files to intersect the week: $zHit/${zSpans.length}")
+    assert(zHit2d * 2 <= zSpans.length,
+      s"expected ≤half the z files to survive the 2-D predicate: $zHit2d/${zSpans.length}")
+    assert(zHitDay < zSpans.length,
+      s"z layout pruned nothing on the day predicate: $zHitDay/${zSpans.length}")
   }
 
   test("schema evolution: merged read NULLs the new column for pre-evolution rows") {
