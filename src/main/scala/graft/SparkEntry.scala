@@ -92,6 +92,8 @@ object SparkEntry {
     "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
+    "events_cuped"        -> q(t => EventAnalytics.eventsCuped(t)),
+    "events_pagerank"     -> q(t => EventAnalytics.eventsPagerank(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
     "events_new_vs_returning" -> q(EventAnalytics.eventsNewVsReturning),
@@ -164,6 +166,8 @@ object SparkEntry {
     "ann_ivf_pq_topk"     -> q(t => Similarity.annIvfPqTopK(t)),
     "ann_index_incremental" -> q(t => Similarity.annIndexIncremental(t)),
     "ann_index_drift"     -> q(t => Similarity.annIndexDrift(t)),
+    "ann_filtered_topk"   -> q(t => Similarity.annFilteredTopK(t)),
+    "embed_matryoshka_eval" -> q(t => Similarity.embedMatryoshkaEval(t)),
     "embed_pca_topk"      -> q(t => Similarity.embedPcaTopK(t)),
     "embed_whiten"        -> q(t => Similarity.embedWhiten(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
@@ -275,6 +279,72 @@ object SparkEntry {
       | strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
       | n_events
       |FROM c WHERE n_events >= 2""".stripMargin
+
+  /** `events_pagerank` — the integer-unit PageRank unrolled: the same
+    * capped item sets as the cooccur oracle, symmetric distinct
+    * edges, then each round as one CTE of exact floor-division
+    * arithmetic (`//` ≡ Spark's `DIV` on non-negative int64). */
+  private lazy val eventsPagerankSql: String = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (SELECT e.dst AS item, 150000 + (17 * sum(r.r // d.deg)) // 20 AS r
+         |  FROM edges e JOIN r${k - 1} r ON r.item = e.src JOIN deg d ON d.src = e.src
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i0 AS (SELECT DISTINCT user_id,
+       |  CAST(json_extract_string(props,'$$.k') AS INTEGER) AS item
+       | FROM events WHERE event_type = 'purchase'),
+       |i AS (SELECT user_id, item FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+       | WHERE rk <= 64),
+       |edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+       |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.item <> b.item),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |r0 AS (SELECT src AS item, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$iterCtes
+       |SELECT item, r AS pr_micro FROM r$iters""".stripMargin
+  }
+
+  /** `events_cuped` — the variance-reduction readout replayed on
+    * exact integer moments: per-event cents quantization, per-user
+    * pre/post sums, cross-moments in HUGEINT (DuckDB's exact 128-bit
+    * twin of the Spark side's DECIMAL(38,0) — n·Σxy − Σx·Σy exceeds
+    * int64), then the same scalar IEEE ratio chain. */
+  private val eventsCupedSql =
+    """WITH d AS (SELECT user_id,
+      |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |u AS (SELECT user_id,
+      |  CAST(sum(CASE WHEN day < 15 THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |  CAST(sum(CASE WHEN day >= 15 THEN cents ELSE 0 END) AS BIGINT) AS y,
+      |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' THEN 'A' ELSE 'B' END AS variant
+      | FROM d GROUP BY 1),
+      |f AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |  sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |  sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |  sum(CAST(y AS HUGEINT) * y) AS syy,
+      |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+      |  CAST(sum(CASE WHEN variant = 'A' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b
+      | FROM u),
+      |g AS (SELECT *,
+      |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) AS cov_xy,
+      |  CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) AS var_x,
+      |  CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE) AS var_y,
+      |  sy_b / CAST(nullif(n_b, 0) AS DOUBLE) / 100.0 - sy_a / CAST(nullif(n_a, 0) AS DOUBLE) / 100.0 AS diff_raw_v,
+      |  sx_b / CAST(nullif(n_b, 0) AS DOUBLE) / 100.0 - sx_a / CAST(nullif(n_a, 0) AS DOUBLE) / 100.0 AS diff_x_v
+      | FROM f)
+      |SELECT n AS n_users, n_a, n_b,
+      | round(cov_xy / nullif(var_x, 0) + 1e-9, 4) AS theta,
+      | round(diff_raw_v + 1e-9, 4) AS diff_raw,
+      | round(diff_raw_v - (cov_xy / nullif(var_x, 0)) * diff_x_v + 1e-9, 4) AS diff_cuped,
+      | round(cov_xy * cov_xy / nullif(var_x * var_y, 0) + 1e-9, 4) AS var_reduction
+      |FROM g""".stripMargin
 
   /** DuckDB oracle shared by the batch and STREAMING modality
     * routers: recomputes the md5-arithmetic routing + synthesized
@@ -1115,6 +1185,8 @@ object SparkEntry {
         |$chain
         |SELECT s AS state, pi AS stationary_p FROM p8""".stripMargin
     },
+    "events_cuped" -> eventsCupedSql,
+    "events_pagerank" -> eventsPagerankSql,
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
         |  max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted,
@@ -1944,6 +2016,10 @@ object SparkEntry {
     // the lifecycle monitor: frozen-model serve at three increment
     // shares vs exact truth over the same indexed slice
     "ann_index_drift" -> annIndexDriftSql,
+    // pre-filtered vector search: the same serving replay with the
+    // label predicate applied to the code table before ADC scoring
+    "ann_filtered_topk" -> annFilteredSql,
+    "embed_matryoshka_eval" -> embedMatryoshkaSql,
     // same frozen models + codes, different arrival/layout: the
     // streaming append and the compacted rewrite must equal the
     // batch incremental result exactly
@@ -2174,7 +2250,7 @@ object SparkEntry {
     * variant trains models on the history slice only; encode and
     * serving cover the full corpus — exactly the Spark side's
     * frozen-model append. */
-  private def ivfPqSqlFor(train: String): String = {
+  private def ivfPqSqlFor(train: String, indexCond: String = "TRUE"): String = {
     val m = 8
     val qtJoins = (0 until m)
       .map(j => s"JOIN qt$j t$j ON t$j.cid = c.c$j AND t$j.q_id = prb.q_id")
@@ -2194,7 +2270,8 @@ object SparkEntry {
        |scif AS MATERIALIZED (SELECT prb.q_id, c.vec_id, round($sumExpr + 1e-9, 4) AS approx_dist
        |  FROM codes c JOIN asg USING (vec_id)
        |  JOIN prb ON prb.cell = asg.cell
-       |  $qtJoins),
+       |  $qtJoins
+       |  WHERE $indexCond),
        |sl AS (SELECT q_id, vec_id FROM
        |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY approx_dist, vec_id) AS qrnk FROM scif)
        |  WHERE qrnk <= 50),
@@ -2206,6 +2283,47 @@ object SparkEntry {
 
   private lazy val ivfPqSql: String = ivfPqSqlFor("corp")
   private lazy val annIndexIncrementalSql: String = ivfPqSqlFor("hist")
+
+  /** `ann_filtered_topk` — the flagship serve with the label
+    * predicate filtering the code table BEFORE ADC scoring
+    * (pre-filtered vector search); same chain otherwise. */
+  private lazy val annFilteredSql: String =
+    ivfPqSqlFor("corp", "c.vec_id % 7 < 3")
+
+  /** `embed_matryoshka_eval` — brute-force top-k on each dimension
+    * PREFIX vs the full-dimension exact top-k, recall per prefix. */
+  private lazy val embedMatryoshkaSql: String = {
+    def l2Pre(a: String, b: String, d: Int): String =
+      (0 until d).map(i =>
+        s"($a[${i + 1}]-$b[${i + 1}])*($a[${i + 1}]-$b[${i + 1}])").mkString(" + ")
+    def topk(tag: String, d: Int): String =
+      s"""sc_$tag AS (SELECT q.vec_id AS q_id, corp.vec_id, ${l2Pre("q.emb", "corp.emb", d)} AS d
+         |  FROM q CROSS JOIN corp),
+         |tk_$tag AS MATERIALIZED (SELECT q_id, vec_id FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY d, vec_id) AS rnk FROM sc_$tag) WHERE rnk <= 5)""".stripMargin
+    def hit(tag: String): String =
+      s"hit_$tag AS (SELECT count(*) AS n_hits FROM tk_p64 t JOIN tk_$tag s ON s.q_id = t.q_id AND s.vec_id = t.vec_id)"
+    def out(tag: String, p: Int): String =
+      s"SELECT $p AS prefix_dims, n_hits, round(n_hits / 50.0 + 1e-9, 4) AS recall_at_k FROM hit_$tag"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+       |q AS (SELECT vec_id, emb FROM e WHERE vec_id < 10),
+       |${topk("p8", 8)},
+       |${topk("p16", 16)},
+       |${topk("p32", 32)},
+       |${topk("p64", 64)},
+       |${hit("p8")},
+       |${hit("p16")},
+       |${hit("p32")},
+       |${hit("p64")}
+       |${out("p8", 8)}
+       |UNION ALL
+       |${out("p16", 16)}
+       |UNION ALL
+       |${out("p32", 32)}
+       |UNION ALL
+       |${out("p64", 64)}""".stripMargin
+  }
 
   /** `ann_index_drift` — the frozen-model serve replayed at three
     * increment shares (index membership filter per share), each scored

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -357,6 +357,74 @@ object EventAnalytics {
         percentile_approx(col("value"), lit(0.9), lit(accuracy)).as("p90"),
         percentile_approx(col("value"), lit(0.99), lit(accuracy)).as("p99"))
 
+  /** `events_cuped` — CUPED variance-reduced A/B readout (public
+    * Deng/Xu/Kohavi/Walker formulation): each user's PRE-period value
+    * total is the covariate X, the POST-period total the metric Y,
+    * θ = cov(X,Y)/var(X) over all users, and the reported treatment
+    * effect is the difference of θ-adjusted means — the variance-
+    * reduction trick every large experimentation platform runs,
+    * because pre-period behavior soaks up user-level noise the
+    * randomization can't. Also emits the variance-reduction share
+    * (corr², the fraction of metric variance the covariate removes).
+    *
+    * Determinism: per-event values quantize to integer cents map-side
+    * ([[graft.functions.ExactAgg]] discipline); per-user X/Y and
+    * every moment (Σx, Σy, Σxy, Σx², Σy², per-variant sums) are then
+    * EXACT integer reductions — the cross-moments in DECIMAL(38,0)
+    * (n·Σxy − ΣxΣy exceeds int64 long before any realistic corpus
+    * bound; decimal keeps the engines exact where int64 would wrap
+    * Spark-side and HUGEINT-promote DuckDB-side). θ, means and corr²
+    * are then scalar IEEE ops on identical operands, rounded with
+    * the shared +1e-9 nudge.
+    *
+    * Shape: ONE user-keyed partial-agg pass over raw events, one
+    * global fold of the per-user frame — O(users) shuffle, O(1)
+    * result; at 100 TB both stages are the same two map-side-combine
+    * aggregations.
+    */
+  def eventsCuped(t: Tables, splitDay: Int = 15): DataFrame = {
+    val day = datediff(col("ts").cast("date"), lit(java.sql.Date.valueOf("2024-01-01")))
+    val cents = floor(col("value") * 100 + lit(0.5)).cast("long")
+    val dec = "decimal(38,0)"
+    val users = t.events
+      .select(col("user_id"), day.as("day"), cents.as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("day") < splitDay, col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= splitDay, col("cents")).otherwise(0L)).as("y"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val f = users.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "A", col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("variant") === "A", col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "B", col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("variant") === "B", col("y")).otherwise(0L)).as("sy_b"),
+      sum(col("y").cast(dec) * col("y")).as("syy"))
+    val nD = col("n").cast(dec)
+    val covXY = (nD * col("sxy") - col("sx").cast(dec) * col("sy")).cast("double")
+    val varX = (nD * col("sxx") - col("sx").cast(dec) * col("sx")).cast("double")
+    val varY = (nD * col("syy") - col("sy").cast(dec) * col("sy")).cast("double")
+    val theta = covXY / nullif(varX, lit(0.0))
+    def mean(s: Column, cnt: Column): Column =
+      s / nullif(cnt, lit(0L)) / lit(100.0) // back to currency units
+    val diffRaw = mean(col("sy_b"), col("n_b")) - mean(col("sy_a"), col("n_a"))
+    val diffCuped = diffRaw -
+      theta * (mean(col("sx_b"), col("n_b")) - mean(col("sx_a"), col("n_a")))
+    f.select(
+      col("n").as("n_users"), col("n_a"), col("n_b"),
+      round(theta + lit(1e-9), 4).as("theta"),
+      round(diffRaw + lit(1e-9), 4).as("diff_raw"),
+      round(diffCuped + lit(1e-9), 4).as("diff_cuped"),
+      round(covXY * covXY / nullif(varX * varY, lit(0.0)) + lit(1e-9), 4)
+        .as("var_reduction"))
+  }
+
   /** `events_rfm` — per-user RFM profile (recency / frequency /
     * monetary), the standard user-value segmentation: days since the
     * user's last event relative to the corpus's max day, event count,
@@ -537,6 +605,54 @@ object EventAnalytics {
         .orderBy(md5(concat_ws(":", col("user_id"), col("item"))), col("item"))))
       .filter(col("rk") <= maxItemsPerUser)
       .drop("rk")
+  }
+
+  /** `events_pagerank` — item centrality over the co-purchase graph:
+    * PageRank (public Brin/Page formulation, damping 0.85) on the
+    * symmetric item-co-occurrence graph [[eventsRecommendCooccur]]
+    * mines pairs from — the global "which items anchor the catalog"
+    * signal a per-pair count can't give (a hub connected to many
+    * mid-hubs outranks one big pair).
+    *
+    * Determinism — the iterative-float trap, solved the ExactAgg way:
+    * ranks live in INTEGER micro-units (r₀ = 10⁶) and every update is
+    * exact integer arithmetic — per-edge contribution `r DIV deg`,
+    * damped update `150000 + (17·Σ) DIV 20` (0.85 = 17/20 in floor
+    * division) — so the per-node neighbor SUM is an order-immune
+    * int64 reduction and all three engines' rounds replay bit-exact
+    * (quantization bias < 1 micro-unit per term, far under any
+    * ranking use). A float PageRank's neighbor sums would legally
+    * differ by engine/order at every iteration.
+    *
+    * Shape: edges build once from the capped per-user item sets (the
+    * cooccur fan-out guard), then each round is ONE edge-keyed join +
+    * partial-agg sum over (item, long) pairs — the [[graft.operators
+    * .Dedup.connectedComponents]] loop shape with a fixed 3-round
+    * depth (no lineage growth concern at 3; the CC checkpoint lesson
+    * applies at ~60).
+    */
+  def eventsPagerank(t: Tables, iters: Int = 3,
+      maxItemsPerUser: Int = 64): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser)
+    val edges = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
+      .select(col("a.item").as("src"), col("b.item").as("dst"))
+      .distinct().persist()
+    edges.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = deg.select(col("src").as("item"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) {
+      r = edges.join(r, edges("src") === r("item"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+        .select(col("dst").as("item"),
+          (lit(150000L) + expr("(17 * s) DIV 20")).as("pr_micro"))
+        .withColumnRenamed("pr_micro", "r")
+    }
+    edges.unpersist()
+    r.select(col("item"), col("r").as("pr_micro"))
   }
 
   def eventsRecommendCooccur(t: Tables, topK: Int = 20,

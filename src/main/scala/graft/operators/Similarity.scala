@@ -1300,6 +1300,81 @@ object Similarity {
         (col("recall_at_k") < lit(threshold)).cast("int"))
   }
 
+  /** S23 — `embed_matryoshka_eval`: prefix-dimension retrieval eval.
+    * Recall@k of brute-force L2 search run on only the FIRST d'
+    * dimensions (d' ∈ 8/16/32/64) against the full-dimension exact
+    * top-k — the measurement behind Matryoshka-style dimension
+    * truncation (public MRL literature): before shrinking a 100 TB
+    * vector corpus 8× by storing embedding PREFIXES, you measure what
+    * truncation costs at YOUR k, on YOUR corpus. The dimension-axis
+    * member of the measure-don't-guess suite (`ann_recall_eval` =
+    * index axis, `ann_pq_tuning` = probe axis, `ann_index_drift` =
+    * time axis).
+    *
+    * Shape: each prefix scan is the [[annBruteForceTopK]] broadcast
+    * shape over a NARROWER slice (the whole point — a d'=8 pass reads
+    * 1/8 the floats); the truth frame is collected once (queries × k
+    * rows) and re-literalized; each per-prefix reduction reaching the
+    * driver is one hit count. All distances are the same codegen'd
+    * left-fold the oracle replays term-by-term, ranks tie-break on
+    * (d, vec_id) — exact cross-engine.
+    */
+  def embedMatryoshkaEval(t: Tables,
+      prefixes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import graft.functions.VectorFunctions.l2SqDistance
+    val sess = t.spark
+    import sess.implicits._
+    val e = withEmb(t)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    def topk(dims: Int): DataFrame = {
+      val d =
+        if (dims >= 64) l2SqDistance(col("q_emb"), col("emb"))
+        else l2SqDistance(slice(col("q_emb"), 1, dims), slice(col("emb"), 1, dims))
+      e.filter(col("vec_id") >= NumQueries)
+        .join(broadcast(queries))
+        .select(col("q_id"), col("vec_id"), d.as("d"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(asc("d"), asc("vec_id"))))
+        .filter(col("rnk") <= TopK)
+        .select(col("q_id"), col("vec_id"))
+    }
+    val truth = topk(64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("q_id", "vec_id")
+    val rows = prefixes.map { p =>
+      (p, truth.join(topk(p), Seq("q_id", "vec_id")).count())
+    }
+    rows.toDF("prefix_dims", "n_hits")
+      .select(col("prefix_dims"), col("n_hits"),
+        round(col("n_hits") / lit((NumQueries * TopK).toDouble) + lit(1e-9), 4)
+          .as("recall_at_k"))
+  }
+
+  /** S24 — `ann_filtered_topk`: FILTERED vector search — the
+    * production retrieval shape ("nearest neighbors WHERE label
+    * matches") that pure-ANN benchmarks skip and every deployment
+    * needs. Served off the same stored IVF-PQ index as the flagship:
+    * the predicate (a deterministic label here, `vec_id % 7 < 3` —
+    * standing in for a metadata column of the index table) filters
+    * the CODE TABLE before ADC scoring, so the shortlist is built
+    * from passing candidates only (pre-filtering — the strategy that
+    * keeps recall when the filter is selective, vs post-filtering a
+    * fixed shortlist down to starvation), and the exact rerank pays
+    * only passing ids. On a real index the label is a column of the
+    * bucketed table and an equality/range predicate additionally
+    * prunes at the scan (this modulo stand-in evaluates post-scan —
+    * the plan shape is otherwise identical). Fully deterministic, so
+    * the whole filtered serve replays in the shared IVF-PQ oracle
+    * chain with the same predicate.
+    */
+  def annFilteredTopK(t: Tables, nProbe: Int = 4, shortlist: Int = 50): DataFrame = {
+    val idx = pqIndex(t)
+    ivfPqServe(t,
+      t.spark.table(idx.codesTable).filter(col("vec_id") % 7 < 3),
+      idx, nProbe, shortlist)
+  }
+
   def annRecallEval(t: Tables): DataFrame = {
     val sess = t.spark
     import sess.implicits._

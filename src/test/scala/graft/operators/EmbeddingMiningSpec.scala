@@ -181,6 +181,34 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(strict.forall(_.getInt(3) == 1), "threshold 1.01 should flag all shares")
   }
 
+  test("embed_matryoshka_eval: full prefix recalls 1.0, all recalls = hits/(q*k)") {
+    val rows = Similarity.embedMatryoshkaEval(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32, 64))
+    val denom = (Similarity.NumQueries * Similarity.TopK).toDouble
+    rows.foreach { case (p, hits, recall) =>
+      assert(hits >= 0 && hits <= denom, s"prefix $p: $hits hits out of range")
+      assert(math.abs(recall - math.rint((hits / denom + 1e-9) * 1e4) / 1e4) < 1e-12,
+        s"prefix $p: recall $recall != round($hits/$denom)")
+    }
+    // the d'=64 "prefix" IS the full vector: recall must be exactly 1
+    assert(rows.last._3 == 1.0, s"full-dim recall ${rows.last._3} != 1.0")
+  }
+
+  test("ann_filtered_topk: every hit satisfies the predicate, full k per query") {
+    val rows = Similarity.annFilteredTopK(tables).collect()
+    assert(rows.length == Similarity.NumQueries * Similarity.TopK, rows.length)
+    rows.foreach { r =>
+      val v = r.getLong(1)
+      assert(v % 7 < 3, s"vec $v violates the label predicate")
+    }
+    // pre-filtering (not post-): a query's k-th hit can be a vector a
+    // plain unfiltered shortlist would have cut — proven by the full-k
+    // assertion above under a ~43%-selective predicate with k=5,
+    // shortlist=50 (post-filtering the unfiltered top-50 to ~21 rows
+    // still fills k, so the structural proof is predicate+full-k)
+  }
+
   test("embed_whiten degrades to an empty frame on a zero-variance corpus, never throws") {
     // all-constant embeddings: covariance is identically zero, the
     // power iteration's residual is the null space — whitening must
