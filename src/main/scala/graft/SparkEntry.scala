@@ -39,6 +39,7 @@ object SparkEntry {
     "q12_late_shipments"  -> q(Relational.q12LateShipments),
     "q13_cust_distribution"-> q(Relational.q13CustDistribution),
     "q17_small_qty"       -> q(Relational.q17SmallQty),
+    "q21_waiting_suppliers" -> q(t => Relational.q21WaitingSuppliers(t)),
     "q15_top_supplier"    -> q(Relational.q15TopSupplier),
     "q16_part_suppliers"  -> q(Relational.q16PartSuppliers),
     "q_cube"              -> q(Relational.qCube),
@@ -202,6 +203,7 @@ object SparkEntry {
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
     "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
+    "mm_frame_dedup"      -> q(t => Multimodal.mmFrameDedup(t)),
     "stream_modality_router" -> q(graft.streaming.Streaming.streamModalityRouter),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
@@ -279,6 +281,19 @@ object SparkEntry {
       | strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
       | n_events
       |FROM c WHERE n_events >= 2""".stripMargin
+
+  /** The sampled-frame chain shared by `mm_frame_sample` (verbatim)
+    * and `mm_frame_dedup` (grouped by digest). */
+  private val mmFrameSampleSql =
+    """WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      |f AS (SELECT doc_id, text,
+      |  CASE WHEN (16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1)) % 3 = 2
+      |   THEN 1 + (16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1)) % 8
+      |   ELSE 1 END AS n_frames
+      | FROM m)
+      |SELECT doc_id, i::INTEGER AS frame_idx, md5(text || ':' || i) AS frame_hash
+      |FROM f, (SELECT unnest(generate_series(0,200)) AS i) g
+      |WHERE i < n_frames AND i % 5 = 0""".stripMargin
 
   /** `events_pagerank` — the integer-unit PageRank unrolled: the same
     * capped item sets as the cooccur oracle, symmetric distinct
@@ -547,6 +562,17 @@ object SparkEntry {
         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
         |  GROUP BY 1)
         |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH per AS (SELECT l_orderkey, l_suppkey,
+        |  max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        | GROUP BY 1, 2),
+        |x AS (SELECT *, count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+        |  sum(late) OVER (PARTITION BY l_orderkey) AS n_late FROM per)
+        |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM x JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late = 1 AND n_supp >= 2 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
         |   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue
@@ -1734,16 +1760,23 @@ object SparkEntry {
         | JOIN best ON d.doc_id=best.doc_id AND best.slang='en'
         | JOIN qual ON d.doc_id=qual.doc_id AND qual.quality_score >= 0.5
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dups)""".stripMargin,
-    "mm_frame_sample" ->
+    "mm_frame_sample" -> mmFrameSampleSql,
+    // frame-level CONTENT dedup: the same stride/count frame chain,
+    // hashing each frame's 64-byte body window — frames shared across
+    // >1 payload with counts + min-doc rep
+    "mm_frame_dedup" ->
       """WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
         |f AS (SELECT doc_id, text,
         |  CASE WHEN (16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1)) % 3 = 2
         |   THEN 1 + (16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1)) % 8
         |   ELSE 1 END AS n_frames
-        | FROM m)
-        |SELECT doc_id, i::INTEGER AS frame_idx, md5(text || ':' || i) AS frame_hash
-        |FROM f, (SELECT unnest(generate_series(0,200)) AS i) g
-        |WHERE i < n_frames AND i % 5 = 0""".stripMargin,
+        | FROM m),
+        |fr AS (SELECT doc_id, md5(substr(text, i*64 + 1, 64)) AS frame_hash
+        |  FROM f, (SELECT unnest(generate_series(0,200)) AS i) g
+        |  WHERE i < n_frames AND i % 5 = 0 AND len(text) >= i*64 + 64)
+        |SELECT frame_hash, count(*) AS n_occ,
+        | count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc_id
+        |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |  list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale

@@ -542,4 +542,41 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"),
         md5(concat(bodyCol(col("payload")).cast("string"), lit(":"),
           col("frame_idx").cast("string"))).as("frame_hash"))
+
+  /** M7 — `mm_frame_dedup`: frame-level CONTENT dedup ACROSS
+    * payloads — [[Dedup.dedupPassage]]'s sub-document discipline
+    * applied to the multimodal axis. Each sampled frame
+    * ([[mmFrameSample]]'s stride/count arithmetic) hashes its
+    * CONTENT — the `window`-byte body region at the frame's offset,
+    * the stand-in for decoded frame bytes — and every frame content
+    * occurring in more than one payload is reported with
+    * occurrence/document counts and the min-doc representative.
+    * Re-containered near-copies of the same footage share frame
+    * content while their container bytes (and whole-payload hashes)
+    * differ — exactly the duplication this catches before a video
+    * corpus pays decode/embedding cost per copy. (Whole-payload
+    * hashing is vacuous on this corpus — near-dup bodies, zero exact
+    * copies — which is the point: frame-level content is where the
+    * sharing lives.)
+    *
+    * Shape: map-only frame synthesis + content hash, then ONE
+    * digest-keyed partial-agg groupBy — 32-char digests shuffle,
+    * payload bytes never do (the dedup_exact/dedup_passage scale
+    * shape).
+    */
+  def mmFrameDedup(t: Tables, window: Int = 64): DataFrame =
+    mediaTable(t)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), nFramesCol(col("payload")) - 1, lit(5)))
+          .as("frame_idx"),
+        bodyCol(col("payload")).cast("string").as("body"))
+      .filter(length(col("body")) >= col("frame_idx") * window + window)
+      .select(col("doc_id"),
+        md5(col("body").substr(col("frame_idx") * window + 1, lit(window)))
+          .as("frame_hash"))
+      .groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_docs") > 1)
 }

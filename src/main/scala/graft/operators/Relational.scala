@@ -728,6 +728,47 @@ object Relational {
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
   }
 
+  /** TPC-H Q21-flavored: suppliers who kept multi-supplier orders
+    * waiting — for FINISHED orders with ≥ 2 distinct suppliers where
+    * EXACTLY ONE supplier shipped late (ship date beyond `slaDays`
+    * after the order date — this corpus ships no commit/receipt
+    * dates, so the SLA stands in for Q21's receipt>commit test), the
+    * sole late supplier takes the blame; top suppliers by wait count.
+    * The classic EXISTS + NOT-EXISTS double-correlation, expressed
+    * without self-joins:
+    *
+    * Shape: ONE orderkey join (lineitem ⋈ orders — at scale both
+    * sides bucket/shuffle on the key once), a (order, supplier)
+    * partial agg, then the correlated tests collapse into COUNT/SUM
+    * WINDOWS over the order key — the per-order "other supplier
+    * exists" / "no other late supplier" logic costs ONE window pass
+    * over the rollup instead of Q21's two correlated self-joins. The
+    * final per-supplier count is metadata-scale; the supplier dim
+    * broadcasts; the top-k is TakeOrderedAndProject.
+    */
+  def q21WaitingSuppliers(t: Tables, slaDays: Int = 90, topK: Int = 25): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+    val per = t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $slaDays DAYS"),
+        1L).otherwise(0L)).as("late"))
+    per
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .withColumn("n_late", sum(col("late")).over(w))
+      .filter(col("late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(desc("numwait"), asc("s_name"))
+      .limit(topK)
+  }
+
   /** TPC-H Q16-flavored: distinct-supplier counts per (brand, size),
     * excluding one brand — lineitem stands in for partsupp (this
     * corpus ships no partsupp table). */

@@ -52,7 +52,15 @@ class EmptyInputSpec extends SparkSpec {
     // round-9 additions (PQ/whiten index builds stay excluded by the
     // fail-loudly policy above)
     "corpus_doc_embedding", "dedup_containment", "q_zorder_roundtrip",
-    "doc_ann_topk", "search_hybrid_rrf", "mm_modality_router")
+    "doc_ann_topk", "search_hybrid_rrf", "mm_modality_router",
+    // round-10 additions: the incremental CC merge (empty history AND
+    // empty increment), the integer-moment experiment readouts, the
+    // sketch twins, and the prefix eval (whose fixed 4-row report
+    // must survive a 0-hit corpus); PQ-backed serving stays excluded
+    // by the fail-loudly policy above
+    "dedup_clusters_incremental", "events_cuped", "events_pagerank",
+    "q_table_stats_approx", "events_value_percentiles_approx",
+    "embed_matryoshka_eval", "mm_frame_dedup")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
