@@ -88,6 +88,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("ann_filtered_topk: filtered serve keeps the flagship shape — keyed joins, no all-pairs") {
+    val p = plan(Similarity.annFilteredTopK(tables))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("events_pagerank: every round is a keyed join + partial-agg sum, never cartesian") {
+    val p = plan(EventAnalytics.eventsPagerank(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_"), s"no map-side combine:\n$p")
+  }
+
+  test("q21: one orderkey rollup + windows — no correlated self-joins of lineitem") {
+    val p = plan(Relational.q21WaitingSuppliers(tables))
+    // Q21's textbook form self-joins lineitem twice (EXISTS + NOT
+    // EXISTS); the window form must scan lineitem ONCE
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("mm_modality_router: no self-join — filter-pushed synth branches + one rollup") {
     // the router unions three map-only synth branches selected by a
     // per-row md5 filter; the only exchange is the ≤4-group rollup's
