@@ -160,6 +160,7 @@ object SparkEntry {
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
     "ann_refine_topk"     -> q(t => Similarity.annRefineTopK(t)),
+    "ann_hamming_topk"    -> q(t => Similarity.annHammingTopK(t)),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "ann_pq_topk"         -> q(t => Similarity.annPqTopK(t)),
@@ -205,6 +206,7 @@ object SparkEntry {
     "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
     "mm_frame_dedup"      -> q(t => Multimodal.mmFrameDedup(t)),
     "stream_modality_router" -> q(graft.streaming.Streaming.streamModalityRouter),
+    "stream_frame_dedup"  -> q(t => graft.streaming.Streaming.streamFrameDedup(t)),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
     "corpus_pipeline"     -> q(t => CorpusClean.corpusPipeline(t)),
@@ -360,6 +362,24 @@ object SparkEntry {
       | round(diff_raw_v - (cov_xy / nullif(var_x, 0)) * diff_x_v + 1e-9, 4) AS diff_cuped,
       | round(cov_xy * cov_xy / nullif(var_x * var_y, 0) + 1e-9, 4) AS var_reduction
       |FROM g""".stripMargin
+
+  /** DuckDB oracle shared by the batch and STREAMING frame-dedup:
+    * the same stride/count frame chain, hashing each frame's 64-byte
+    * body window — frames shared across >1 payload with counts +
+    * min-doc rep. */
+  private val mmFrameDedupSql =
+    """WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
+      |f AS (SELECT doc_id, text,
+      |  CASE WHEN (16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1)) % 3 = 2
+      |   THEN 1 + (16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1)) % 8
+      |   ELSE 1 END AS n_frames
+      | FROM m),
+      |fr AS (SELECT doc_id, md5(substr(text, i*64 + 1, 64)) AS frame_hash
+      |  FROM f, (SELECT unnest(generate_series(0,200)) AS i) g
+      |  WHERE i < n_frames AND i % 5 = 0 AND len(text) >= i*64 + 64)
+      |SELECT frame_hash, count(*) AS n_occ,
+      | count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc_id
+      |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin
 
   /** DuckDB oracle shared by the batch and STREAMING modality
     * routers: recomputes the md5-arithmetic routing + synthesized
@@ -1764,19 +1784,10 @@ object SparkEntry {
     // frame-level CONTENT dedup: the same stride/count frame chain,
     // hashing each frame's 64-byte body window — frames shared across
     // >1 payload with counts + min-doc rep
-    "mm_frame_dedup" ->
-      """WITH m AS (SELECT doc_id, text, md5(text) AS h FROM documents),
-        |f AS (SELECT doc_id, text,
-        |  CASE WHEN (16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1)) % 3 = 2
-        |   THEN 1 + (16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1)) % 8
-        |   ELSE 1 END AS n_frames
-        | FROM m),
-        |fr AS (SELECT doc_id, md5(substr(text, i*64 + 1, 64)) AS frame_hash
-        |  FROM f, (SELECT unnest(generate_series(0,200)) AS i) g
-        |  WHERE i < n_frames AND i % 5 = 0 AND len(text) >= i*64 + 64)
-        |SELECT frame_hash, count(*) AS n_occ,
-        | count(DISTINCT doc_id) AS n_docs, min(doc_id) AS rep_doc_id
-        |FROM fr GROUP BY 1 HAVING count(DISTINCT doc_id) > 1""".stripMargin,
+    "mm_frame_dedup" -> mmFrameDedupSql,
+    // the streaming frame-dedup shares the batch oracle verbatim —
+    // stream/batch equivalence pair #7
+    "stream_frame_dedup" -> mmFrameDedupSql,
     "embed_quantize" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |  list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') AS scale
@@ -1876,6 +1887,27 @@ object SparkEntry {
         |    (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(qe, qe))) + 1e-9, 4) AS cos_sim
         |  FROM q, c),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM sc)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // binary-sign signatures (two 32-bit words), integer Hamming
+    // shortlist, exact cosine rerank — every stage engine-portable
+    "ann_hamming_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT vec_id,
+        |  CAST(list_sum(list_transform(range(0,32), d -> CASE WHEN emb[d+1] >= 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
+        |  CAST(list_sum(list_transform(range(0,32), d -> CASE WHEN emb[d+33] >= 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
+        | FROM e),
+        |q AS (SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi FROM s WHERE vec_id < 10),
+        |c AS (SELECT vec_id, sig_lo, sig_hi FROM s WHERE vec_id >= 10),
+        |h AS (SELECT q_id, vec_id,
+        |  CAST(bit_count(xor(sig_lo, q_lo)) + bit_count(xor(sig_hi, q_hi)) AS INTEGER) AS hamming
+        | FROM q, c),
+        |sl AS (SELECT q_id, vec_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrnk FROM h)
+        |  WHERE hrnk <= 50),
+        |x AS (SELECT sl.q_id, sl.vec_id,
+        |  round(list_cosine_similarity(eq.emb, ec.emb), 4) AS cos_sim
+        |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM x)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     "ann_refine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -565,7 +565,19 @@ object Multimodal {
     * shape).
     */
   def mmFrameDedup(t: Tables, window: Int = 64): DataFrame =
-    mediaTable(t)
+    frameContents(t.documents, window)
+      .groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** The (doc_id, frame_hash) frame behind [[mmFrameDedup]] — map-only
+    * frame synthesis + content-window hash over ANY (doc_id, text)
+    * frame, so a STREAMING documents source slots in unchanged
+    * (the [[mediaTableOf]] convention). */
+  def frameContents(docs: DataFrame, window: Int = 64): DataFrame =
+    mediaTableOf(docs)
       .select(col("doc_id"),
         explode(sequence(lit(0), nFramesCol(col("payload")) - 1, lit(5)))
           .as("frame_idx"),
@@ -574,9 +586,4 @@ object Multimodal {
       .select(col("doc_id"),
         md5(col("body").substr(col("frame_idx") * window + 1, lit(window)))
           .as("frame_hash"))
-      .groupBy(col("frame_hash"))
-      .agg(count(lit(1)).as("n_occ"),
-        countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id")).as("rep_doc_id"))
-      .filter(col("n_docs") > 1)
 }

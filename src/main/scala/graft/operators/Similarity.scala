@@ -109,6 +109,57 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
+  /** S13 — `ann_hamming_topk`: BINARY-sign quantization + Hamming
+    * shortlist + exact rerank — the 64×-compression end of the
+    * quantization spectrum ([[annQuantizedTopK]] is the 4× int8
+    * point, the PQ family the 8-32× middle). Each 64-dim vector
+    * collapses to TWO 32-bit sign words (bit d set iff emb[d] >= 0;
+    * two words keep every shift in signed-64 range on both engines),
+    * the scoring pass is `bit_count(xor)` over those words — integer,
+    * exact, and the cheapest distance a vector index can compute (2
+    * popcounts per candidate vs 64 multiply-adds) — and only the
+    * `shortlist` Hamming-nearest per query are reranked in full
+    * precision.
+    *
+    * Scale shape: signatures are map-only column arithmetic (16 bytes
+    * per vector — a 100 TB float corpus signs down to ~400 GB, the
+    * slice that actually scans per query); the shortlist shuffle
+    * carries (q_id, vec_id, int) only; rerank joins fetch just
+    * queries × shortlist full vectors by id — cost independent of
+    * corpus size, the [[annRefineTopK]] discipline. Every stage is
+    * integer or rounded-tie-broken, so the DuckDB oracle is exact.
+    */
+  def annHammingTopK(t: Tables, shortlist: Int = 50): DataFrame = {
+    val e = withEmb(t)
+    def signWord(lo: Int): Column = expr(
+      s"aggregate(sequence($lo, ${lo + 31}), 0L, (acc, d) -> " +
+      s"acc + if(element_at(emb, d + 1) >= cast(0.0 as double), " +
+      s"shiftleft(1L, d - $lo), 0L))")
+    val sig = e.select(col("vec_id"), col("emb"),
+      signWord(0).as("sig_lo"), signWord(32).as("sig_hi"))
+    val queries = sig.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("sig_lo").as("q_lo"),
+        col("sig_hi").as("q_hi"))
+    val qEmb = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = sig.filter(col("vec_id") >= NumQueries)
+    val short = corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        (expr("bit_count(sig_lo ^ q_lo)") + expr("bit_count(sig_hi ^ q_hi)"))
+          .cast("int").as("hamming"))
+      .withColumn("hrnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(asc("hamming"), asc("vec_id"))))
+      .filter(col("hrnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    corpusEmb(t).join(broadcast(short), "vec_id")
+      .join(broadcast(qEmb), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
   /** Deterministic ±1 random-hyperplane weights: sign p,d is the parity
     * of the first md5 nibble of "p:d" (reproducible everywhere).
     */

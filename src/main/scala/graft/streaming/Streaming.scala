@@ -384,6 +384,32 @@ object Streaming {
       "complete")
   }
 
+  /** X15 — `stream_frame_dedup`: frame-level content dedup
+    * ([[graft.operators.Multimodal.mmFrameDedup]]) as a STREAMING
+    * query — media payloads arrive as a file stream, the frame
+    * synthesis + content-window hash is map-only per row
+    * ([[graft.operators.Multimodal.frameContents]], shared with the
+    * batch twin), and the digest-keyed rollup is a streaming
+    * aggregation whose state is one row per distinct frame content —
+    * 32-char digests, never payload bytes, the same state-size story
+    * as the batch shuffle. `countDistinct` is unsupported over
+    * streaming state, so the doc count is `size(collect_set(doc_id))`
+    * — bounded per group by the group's true doc count, value-equal to
+    * the batch `countDistinct`. Shares the batch oracle verbatim —
+    * stream/batch equivalence pair #7.
+    */
+  def streamFrameDedup(t: Tables, window: Int = 64): DataFrame = {
+    val schema = t.raw("documents").schema
+    val docsStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    val agg = graft.operators.Multimodal.frameContents(docsStream, window)
+      .groupBy(col("frame_hash"))
+      .agg(count(lit(1)).as("n_occ"),
+        size(collect_set(col("doc_id"))).cast("long").as("n_docs"),
+        min(col("doc_id")).as("rep_doc_id"))
+    drainToTable(agg, "complete").filter(col("n_docs") > 1)
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path

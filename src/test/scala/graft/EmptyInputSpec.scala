@@ -60,7 +60,10 @@ class EmptyInputSpec extends SparkSpec {
     // by the fail-loudly policy above
     "dedup_clusters_incremental", "events_cuped", "events_pagerank",
     "q_table_stats_approx", "events_value_percentiles_approx",
-    "embed_matryoshka_eval", "mm_frame_dedup")
+    "embed_matryoshka_eval", "mm_frame_dedup",
+    // ann_hamming_topk's signatures are pure per-row arithmetic (no
+    // trained state), so the fail-loudly index exclusion doesn't apply
+    "ann_hamming_topk")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

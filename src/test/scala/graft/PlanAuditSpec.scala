@@ -110,6 +110,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("ann_hamming_topk: sign words broadcast both stages — no sort-merge, no cartesian") {
+    val p = plan(Similarity.annHammingTopK(tables))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("mm_modality_router: no self-join — filter-pushed synth branches + one rollup") {
     // the router unions three map-only synth branches selected by a
     // per-row md5 filter; the only exchange is the ≤4-group rollup's
