@@ -40,6 +40,8 @@ object SparkEntry {
     "q13_cust_distribution"-> q(Relational.q13CustDistribution),
     "q17_small_qty"       -> q(Relational.q17SmallQty),
     "q21_waiting_suppliers" -> q(t => Relational.q21WaitingSuppliers(t)),
+    "q11_important_stock" -> q(t => Relational.q11ImportantStock(t)),
+    "q20_part_promotion"  -> q(Relational.q20PartPromotion),
     "q15_top_supplier"    -> q(Relational.q15TopSupplier),
     "q16_part_suppliers"  -> q(Relational.q16PartSuppliers),
     "q_cube"              -> q(Relational.qCube),
@@ -593,6 +595,27 @@ object SparkEntry {
         |FROM x JOIN supplier ON s_suppkey = l_suppkey
         |WHERE late = 1 AND n_supp >= 2 AND n_late = 1
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin,
+    // Q11 flavor: lineitem revenue stands in for partsupp value; the
+    // >0.1%-of-total threshold compares value*1000 > total in pure
+    // DECIMAL — exact on both engines
+    "q11_important_stock" ->
+      """WITH pv AS (SELECT l_partkey AS p_partkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS dec_value
+        | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        | WHERE s_nationkey < 5 GROUP BY 1),
+        |tot AS (SELECT sum(dec_value) AS dec_total FROM pv)
+        |SELECT p_partkey, CAST(round(dec_value, 2) AS DOUBLE) AS value
+        |FROM pv, tot WHERE dec_value * 1000 > dec_total""".stripMargin,
+    // Q20 flavor: 1997 shipped quantity of 'red' parts stands in for
+    // availqty; share test qty*4 > part_total is int64, division-free
+    "q20_part_promotion" ->
+      """WITH g AS (SELECT l_suppkey, l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%' AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *, sum(qty) OVER (PARTITION BY l_partkey) AS part_total FROM g)
+        |SELECT DISTINCT s_suppkey, s_name FROM w JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty * 4 > part_total""".stripMargin,
     "q15_top_supplier" ->
       """WITH rev AS (SELECT l_suppkey,
         |   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS total_revenue

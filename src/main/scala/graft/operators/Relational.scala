@@ -769,6 +769,59 @@ object Relational {
       .limit(topK)
   }
 
+  /** TPC-H Q11-flavored: important stock identification — lineitem
+    * revenue stands in for partsupp value (no partsupp table in this
+    * corpus): per-part DECIMAL revenue supplied by the target nation
+    * group, kept when a part's value exceeds 0.1% of the group total.
+    * The total rides a one-row broadcast (the scalar-subquery shape),
+    * and the threshold compares `value * 1000 > total` in pure
+    * decimal — exact and order-immune on both engines, no
+    * double-boundary flips. Completes the 22/22 TPC-H sweep together
+    * with [[q20PartPromotion]].
+    */
+  def q11ImportantStock(t: Tables, perMille: Int = 1): DataFrame = {
+    val natSupp = t.supplier.filter(col("s_nationkey") < 5)
+      .select(col("s_suppkey"))
+    val pv = t.lineitem
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("p_partkey"))
+      .agg(sum(decRev).as("dec_value"))
+    val total = pv.agg(sum(col("dec_value")).as("dec_total"))
+    pv.join(broadcast(total))
+      .filter(col("dec_value") * lit(1000) > col("dec_total") * lit(perMille))
+      .select(col("p_partkey"),
+        round(col("dec_value"), 2).cast("double").as("value"))
+  }
+
+  /** TPC-H Q20-flavored: potential part promotion — which suppliers
+    * hold an OUTSIZED share of a part group's flow (Q20's
+    * excess-availability test re-read over shipments: no partsupp
+    * table, so a supplier's 1997 shipped quantity of 'red' parts
+    * stands in for availqty). Per (supplier, part) integer quantity
+    * rollup, part totals via one part-keyed window, qualify when the
+    * supplier moved >25% of a part's year volume — `qty * 4 >
+    * part_total` in int64, division-free and exact. Distinct
+    * qualifying suppliers join the (broadcast) dim for names.
+    */
+  def q20PartPromotion(t: Tables): DataFrame = {
+    val g = t.lineitem
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(t.part.filter(col("p_name").like("red%"))
+        .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+    g.withColumn("part_total",
+        sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("qty") * 4 > col("part_total"))
+      .select(col("l_suppkey"))
+      .distinct()
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   /** TPC-H Q16-flavored: distinct-supplier counts per (brand, size),
     * excluding one brand — lineitem stands in for partsupp (this
     * corpus ships no partsupp table). */

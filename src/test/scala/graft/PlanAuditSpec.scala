@@ -110,6 +110,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q11: nation slice + scalar total both broadcast; no sort-merge join") {
+    val p = plan(Relational.q11ImportantStock(tables))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q20: part dim + supplier dim broadcast; window keyed by partkey, never global") {
+    val p = plan(Relational.q20PartPromotion(tables))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the part-total window must carry a partition key — a global
+    // (unpartitioned) window would single-partition the year's rollup
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("ann_hamming_topk: sign words broadcast both stages — no sort-merge, no cartesian") {
     val p = plan(Similarity.annHammingTopK(tables))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
