@@ -163,6 +163,7 @@ object SparkEntry {
     "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
     "ann_refine_topk"     -> q(t => Similarity.annRefineTopK(t)),
     "ann_hamming_topk"    -> q(t => Similarity.annHammingTopK(t)),
+    "ann_hamming_recall"  -> q(Similarity.annHammingRecall),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "ann_pq_topk"         -> q(t => Similarity.annPqTopK(t)),
@@ -1913,25 +1914,17 @@ object SparkEntry {
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // binary-sign signatures (two 32-bit words), integer Hamming
     // shortlist, exact cosine rerank — every stage engine-portable
-    "ann_hamming_topk" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |s AS (SELECT vec_id,
-        |  CAST(list_sum(list_transform(range(0,32), d -> CASE WHEN emb[d+1] >= 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
-        |  CAST(list_sum(list_transform(range(0,32), d -> CASE WHEN emb[d+33] >= 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
-        | FROM e),
-        |q AS (SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi FROM s WHERE vec_id < 10),
-        |c AS (SELECT vec_id, sig_lo, sig_hi FROM s WHERE vec_id >= 10),
-        |h AS (SELECT q_id, vec_id,
-        |  CAST(bit_count(xor(sig_lo, q_lo)) + bit_count(xor(sig_hi, q_hi)) AS INTEGER) AS hamming
-        | FROM q, c),
-        |sl AS (SELECT q_id, vec_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrnk FROM h)
-        |  WHERE hrnk <= 50),
-        |x AS (SELECT sl.q_id, sl.vec_id,
-        |  round(list_cosine_similarity(eq.emb, ec.emb), 4) AS cos_sim
-        |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM x)
-        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_hamming_topk" -> hammingSql,
+    // the Hamming eval composes the two exact oracles — the same
+    // recall harness as ann_recall_eval over the binary-sign path
+    "ann_hamming_recall" ->
+      s"""WITH hits AS (SELECT bf.q_id, count(*) AS n_hits
+        |  FROM ($bruteForceSql) bf JOIN ($hammingSql) hm
+        |    ON bf.q_id = hm.q_id AND bf.vec_id = hm.vec_id GROUP BY 1),
+        |ks AS (SELECT q_id, count(*) AS k FROM ($bruteForceSql) GROUP BY 1)
+        |SELECT ks.q_id, ks.k, COALESCE(hits.n_hits, 0) AS n_hits,
+        | COALESCE(hits.n_hits, 0) / CAST(ks.k AS DOUBLE) AS recall
+        |FROM ks LEFT JOIN hits ON hits.q_id = ks.q_id""".stripMargin,
     "ann_refine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |s AS (SELECT vec_id, emb,
@@ -2236,6 +2229,30 @@ object SparkEntry {
     */
   /** DuckDB oracle for the exact brute-force top-k — also the
     * ground-truth half of the composed `ann_recall_eval` oracle. */
+  /** DuckDB oracle for `ann_hamming_topk`, composed into
+    * `ann_hamming_recall`'s eval: binary-sign signatures as two
+    * 32-bit words (signed-64-safe shifts), integer `bit_count(xor)`
+    * Hamming shortlist, exact cosine rerank. */
+  private lazy val hammingSql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |s AS (SELECT vec_id,
+      |  CAST(list_sum(list_transform(range(0,32), d -> CASE WHEN emb[d+1] >= 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS sig_lo,
+      |  CAST(list_sum(list_transform(range(0,32), d -> CASE WHEN emb[d+33] >= 0 THEN (1::BIGINT << d) ELSE 0::BIGINT END)) AS BIGINT) AS sig_hi
+      | FROM e),
+      |q AS (SELECT vec_id AS q_id, sig_lo AS q_lo, sig_hi AS q_hi FROM s WHERE vec_id < 10),
+      |c AS (SELECT vec_id, sig_lo, sig_hi FROM s WHERE vec_id >= 10),
+      |h AS (SELECT q_id, vec_id,
+      |  CAST(bit_count(xor(sig_lo, q_lo)) + bit_count(xor(sig_hi, q_hi)) AS INTEGER) AS hamming
+      | FROM q, c),
+      |sl AS (SELECT q_id, vec_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS hrnk FROM h)
+      |  WHERE hrnk <= 50),
+      |x AS (SELECT sl.q_id, sl.vec_id,
+      |  round(list_cosine_similarity(eq.emb, ec.emb), 4) AS cos_sim
+      |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM x)
+      |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+
   private lazy val bruteForceSql =
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
       |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),

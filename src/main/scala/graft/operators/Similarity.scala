@@ -1426,18 +1426,33 @@ object Similarity {
       idx, nProbe, shortlist)
   }
 
-  def annRecallEval(t: Tables): DataFrame = {
+  def annRecallEval(t: Tables): DataFrame =
+    recallVsBruteForce(t, annIvfKmeansTopK(t))
+
+  /** S14 — `ann_hamming_recall`: recall@5 of the binary-sign Hamming
+    * shortlist ([[annHammingTopK]]) against the brute-force truth —
+    * what 64× compression costs at YOUR k on YOUR corpus, the
+    * measure-don't-guess eval the quantization spectrum's cheapest
+    * point needs before anyone serves off it. Every stage of both
+    * pipelines is deterministic, so the eval composes their two exact
+    * oracles. */
+  def annHammingRecall(t: Tables): DataFrame =
+    recallVsBruteForce(t, annHammingTopK(t))
+
+  /** Shared recall@k harness: per-query hit count of `approx` against
+    * the [[annBruteForceTopK]] ground truth. The truth frame is
+    * (queries × k) rows — collect it and re-literalize instead of
+    * persist(): same single scoring pass, and no cache block outlives
+    * the call (a returned-lazy persist can never be unpersisted by
+    * the caller). */
+  private def recallVsBruteForce(t: Tables, approx: DataFrame): DataFrame = {
     val sess = t.spark
     import sess.implicits._
-    // the ground-truth frame is (queries × k) rows — collect it and
-    // re-literalize instead of persist(): same single scoring pass,
-    // and no cache block outlives the call (a returned-lazy persist
-    // can never be unpersisted by the caller)
     val bf = annBruteForceTopK(t).select(col("q_id"), col("vec_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       .toDF("q_id", "vec_id")
-    val ivf = annIvfKmeansTopK(t).select(col("q_id"), col("vec_id"))
-    val hits = bf.join(ivf, Seq("q_id", "vec_id"))
+    val hits = bf.join(approx.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
     bf.groupBy(col("q_id")).agg(count(lit(1)).as("k"))
       .join(hits, Seq("q_id"), "left")

@@ -62,9 +62,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_table_stats_approx", "events_value_percentiles_approx",
     "embed_matryoshka_eval", "mm_frame_dedup",
     "q11_important_stock", "q20_part_promotion",
-    // ann_hamming_topk's signatures are pure per-row arithmetic (no
+    // the hamming pair's signatures are pure per-row arithmetic (no
     // trained state), so the fail-loudly index exclusion doesn't apply
-    "ann_hamming_topk")
+    "ann_hamming_topk", "ann_hamming_recall")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
