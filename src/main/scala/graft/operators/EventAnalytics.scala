@@ -655,6 +655,67 @@ object EventAnalytics {
     r.select(col("item"), col("r").as("pr_micro"))
   }
 
+  /** `events_triangles` — per-item triangle participation over the
+    * co-purchase graph: how many closed item triples each catalog
+    * item sits in — the local clustering signal (bundle detection,
+    * community seeds) that pairwise co-occurrence counts
+    * ([[eventsRecommendCooccur]]) and global centrality
+    * ([[eventsPagerank]]) both miss.
+    *
+    * Shape: the Schank–Wagner FORWARD algorithm, the distributed
+    * triangle-counting standard. Each undirected edge is oriented
+    * from its (degree, id)-smaller endpoint toward the larger, so
+    * every node's out-degree is O(√m) regardless of skew — the
+    * celebrity node that would generate a degree² wedge explosion
+    * under naive enumeration instead RECEIVES edges and generates no
+    * wedges. Wedges are an out-edge self-join on the source (each
+    * triangle {a,b,c} with a ≺ b ≺ c enumerated exactly once as the
+    * wedge b←a→c), closed by ONE equi-join probing the oriented edge
+    * (b→c) — all keyed joins and partial-agg counts, nothing
+    * cartesian, no driver-side state. Degrees, orientation, and the
+    * wedge order are integer-deterministic, so the DuckDB oracle
+    * replays the identical enumeration; counts are exact int64.
+    * Zero-triangle nodes surface with 0 via a left join from the
+    * degree table (row count == graph nodes, deterministic).
+    */
+  def eventsTriangles(t: Tables, maxItemsPerUser: Int = 64): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser)
+    // canonical undirected edge set (a < b), distinct
+    val und = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("a"), col("b.item").as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient a→b iff (deg_a, a) ≺ (deg_b, b); a < b makes the tie case
+    // collapse to deg_a <= deg_b. Carry the head's degree for the
+    // wedge-order comparison below.
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dv"))
+    // wedges x←u→y with x ≺ y close iff the oriented edge x→y exists
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")),
+        Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node").as("item"),
+        coalesce(col("n"), lit(0L)).as("n_triangles"))
+      .orderBy(col("item"))
+  }
+
   def eventsRecommendCooccur(t: Tables, topK: Int = 20,
       maxItemsPerUser: Int = 64): DataFrame = {
     val items = cappedUserItems(t, maxItemsPerUser)

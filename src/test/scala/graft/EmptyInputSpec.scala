@@ -64,7 +64,7 @@ class EmptyInputSpec extends SparkSpec {
     "q11_important_stock", "q20_part_promotion",
     // the hamming pair's signatures are pure per-row arithmetic (no
     // trained state), so the fail-loudly index exclusion doesn't apply
-    "ann_hamming_topk", "ann_hamming_recall")
+    "ann_hamming_topk", "ann_hamming_recall", "events_triangles")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

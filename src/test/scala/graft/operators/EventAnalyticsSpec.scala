@@ -78,6 +78,62 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size > 5 && got.values.toSet.size > 1)
   }
 
+  test("events_triangles matches a naive all-triples re-derivation") {
+    // count triangles the O(n³)-obvious way on the collected edge set
+    // (fine at spec scale) — the forward algorithm's oriented wedge
+    // enumeration must agree node for node, proving the orientation
+    // neither drops nor double-counts any triple
+    val items = EventAnalytics.cappedUserItems(tables, 64)
+      .collect().toList.map(r => (r.getLong(0), r.getInt(1)))
+    val edges = items.groupBy(_._1).values.toList.flatMap { us =>
+      val is = us.map(_._2)
+      for (a <- is; b <- is if a < b) yield (a, b)
+    }.toSet
+    val nodes = edges.flatMap(e => Set(e._1, e._2)).toList.sorted
+    def adj(a: Int, b: Int) = edges.contains((a min b, a max b))
+    val naive = nodes.map { n =>
+      n -> (for {
+        a <- nodes; if a != n && adj(n, a)
+        b <- nodes; if b > a && b != n && adj(n, b) && adj(a, b)
+      } yield 1).size.toLong
+    }.toMap
+    val got = EventAnalytics.eventsTriangles(tables).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(got == naive,
+      s"triangle mismatch: ${(got.toSet -- naive.toSet).take(3)} vs ${(naive.toSet -- got.toSet).take(3)}")
+    assert(got.values.sum > 0, "spec corpus has no triangles — vacuous")
+    // every triangle increments exactly 3 node counters
+    assert(got.values.sum % 3 == 0)
+  }
+
+  test("triangle orientation bounds wedge fan-out by out-degree") {
+    // the forward algorithm's invariant: after (deg, id) orientation
+    // no node's OUT-degree exceeds its undirected degree, and the
+    // max out-degree is ≤ the max degree of the degree-ordered
+    // suffix — for a skewed graph the hub generates no wedges
+    val items = EventAnalytics.cappedUserItems(tables, 64)
+      .collect().toList.map(r => (r.getLong(0), r.getInt(1)))
+    val edges = items.groupBy(_._1).values.toList.flatMap { us =>
+      val is = us.map(_._2)
+      for (a <- is; b <- is if a < b) yield (a, b)
+    }.toSet
+    val deg = edges.toList.flatMap(e => List(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    def ord(n: Int) = (deg(n), n)
+    val outDeg = edges.toList
+      .map { case (a, b) =>
+        if (Ordering[(Int, Int)].lteq(ord(a), ord(b))) a else b }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    val hub = deg.maxBy(_._2)._1
+    assert(outDeg.getOrElse(hub, 0) <= deg(hub))
+    // Schank–Wagner bound: max out-degree ≤ O(√m); check the concrete
+    // constant-free form out_deg(v) ≤ √(2m) + 1 for every node
+    val bound = math.sqrt(2.0 * edges.size) + 1
+    outDeg.foreach { case (n, d) =>
+      assert(d <= bound, s"node $n out-degree $d exceeds √(2m)=$bound")
+    }
+  }
+
   test("cooccur cap bounds per-user pair fan-out") {
     val cap = 3
     val items = EventAnalytics.cappedUserItems(tables, cap)
