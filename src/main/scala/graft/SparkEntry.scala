@@ -220,6 +220,7 @@ object SparkEntry {
     "q_salted_join"       -> q(Scale.qSaltedJoin),
     "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
+    "q_scd2_history"      -> q(Scale.qScd2History),
     "q_skew_histogram"    -> q(Scale.qSkewHistogram),
     "q_approx_stats"      -> q(Scale.qApproxStats),
     // approx twins of exact reports — the forms runnable at 100 TB;
@@ -841,6 +842,29 @@ object SparkEntry {
         |  ORDER BY version DESC) AS rn FROM u)
         |SELECT o_orderkey, o_orderpriority, o_totalprice, version
         |FROM r WHERE rn = 1""".stripMargin,
+    // SCD2 gaps-and-islands: the chg/island chain is integer-exact,
+    // valid_to is the NEXT version's start (exclusive, null = open)
+    "q_scd2_history" ->
+      """WITH e AS (SELECT user_id,
+        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+        |d AS (SELECT user_id, day, event_type AS status FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+        |    ORDER BY us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+        |i AS (SELECT *, CASE WHEN lag(status) OVER
+        |   (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM status
+        |  THEN 1 ELSE 0 END AS chg FROM d),
+        |s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
+        |  ROWS UNBOUNDED PRECEDING) AS island FROM i),
+        |r AS (SELECT user_id, island, status, min(day) AS valid_from,
+        |  CAST(count(*) AS BIGINT) AS n_days_observed FROM s GROUP BY 1, 2, 3)
+        |SELECT user_id, status, CAST(valid_from AS INTEGER) AS valid_from,
+        | CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |  AS INTEGER) AS valid_to,
+        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+        |  IS NULL AS is_current,
+        | n_days_observed
+        |FROM r ORDER BY user_id, valid_from""".stripMargin,
     "q_skew_histogram" ->
       """WITH pk AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
         |b AS (SELECT CAST(floor(log2(n_rows)) AS BIGINT) AS count_bucket,

@@ -153,6 +153,57 @@ object Scale {
         col("version"))
   }
 
+  /** `q_scd2_history` — slowly-changing-dimension TYPE 2 history
+    * build, the warehouse companion to [[qUpsertLatest]]'s SCD1
+    * latest-wins: each user's daily observed status (their day's last
+    * event type, ties broken by event id — deterministic argmax) is
+    * run-length compressed into `[valid_from, valid_to)` versions via
+    * gaps-and-islands (change flag → running-sum island id → per-run
+    * rollup), with `valid_to` = the NEXT version's start (exclusive;
+    * a version stays valid across unobserved days) and the open
+    * version flagged `is_current` — the dimension-table shape every
+    * point-in-time join consumes.
+    *
+    * Shape: every window is partitioned by `user_id` (the argmax, the
+    * change flag, the island running sum, the lead) — one user-keyed
+    * shuffle then co-partitioned window passes, per-user state O(days
+    * per user); no global window anywhere, so the build scales as
+    * users do. Days are integer offsets and the change/island chain
+    * is integer-exact — bit-identical cross-engine.
+    */
+  def qScd2History(t: Tables): DataFrame = {
+    val daily = t.events
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"),
+          lit(java.sql.Date.valueOf("2024-01-01"))).as("day"),
+        col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(desc("us"), desc("event_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("event_type").as("status"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = daily
+      .withColumn("chg",
+        when(lag(col("status"), 1).over(byDay).isNull ||
+          lag(col("status"), 1).over(byDay) =!= col("status"), 1).otherwise(0))
+      .withColumn("island", sum(col("chg")).over(
+        byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"), col("status"))
+      .agg(min(col("day")).as("valid_from"),
+        count(lit(1)).as("n_days_observed"))
+    val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+      .select(col("user_id"), col("status"),
+        col("valid_from").cast("int").as("valid_from"),
+        col("valid_to").cast("int").as("valid_to"),
+        col("valid_to").isNull.as("is_current"),
+        col("n_days_observed"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
   /** `q_skew_histogram` — join-key skew profile: per-key row counts
     * bucketed on log2, with each bucket's key count, heaviest key and
     * row share — the diagnostic run before choosing a salt factor for

@@ -64,7 +64,8 @@ class EmptyInputSpec extends SparkSpec {
     "q11_important_stock", "q20_part_promotion",
     // the hamming pair's signatures are pure per-row arithmetic (no
     // trained state), so the fail-loudly index exclusion doesn't apply
-    "ann_hamming_topk", "ann_hamming_recall", "events_triangles")
+    "ann_hamming_topk", "ann_hamming_recall", "events_triangles",
+    "q_scd2_history")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -83,6 +83,39 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_history versions tile each user's timeline exactly") {
+    // SCD2 structural invariants, checked on every user of the spec
+    // corpus: versions chain (valid_to == next valid_from, exclusive),
+    // exactly one open version per user, consecutive versions always
+    // CHANGE status (a run-length compression that emits two adjacent
+    // identical statuses has failed), and observed-day counts add up
+    // to the user's distinct active days
+    val rows = Scale.qScd2History(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getBoolean(4),
+        r.getLong(5)))
+    assert(rows.nonEmpty)
+    val activeDays = tables.events
+      .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (u, vs) =>
+      val sorted = vs.toList.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Seq((_, s1, _, to1, cur1, _), (_, s2, from2, _, _, _)) =>
+          assert(to1.contains(from2), s"user $u: gap/overlap in chain")
+          assert(!cur1, s"user $u: non-terminal version marked current")
+          assert(s1 != s2, s"user $u: uncompressed adjacent runs of $s1")
+        case _ => ()
+      }
+      assert(sorted.last._4.isEmpty && sorted.last._5,
+        s"user $u: last version must be open and current")
+      assert(sorted.count(_._5) == 1, s"user $u: multiple current versions")
+      assert(sorted.map(_._6).sum == activeDays(u),
+        s"user $u: observed days don't partition active days")
+    }
+  }
+
   test("bucketed tables join without a shuffle") {
     val t = tables
     val wh = Files.createTempDirectory("graft-warehouse").toString
