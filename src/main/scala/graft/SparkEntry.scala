@@ -200,6 +200,7 @@ object SparkEntry {
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
     "stream_anomaly"      -> q(graft.streaming.Streaming.streamAnomaly),
     "stream_latest"       -> q(graft.streaming.Streaming.streamLatest),
+    "stream_upsert_latest" -> q(graft.streaming.Streaming.streamUpsertLatest),
     "stream_multi_source" -> q(graft.streaming.Streaming.streamMultiSource),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
@@ -306,6 +307,21 @@ object SparkEntry {
     * capped item sets as the cooccur oracle, symmetric distinct
     * edges, then each round as one CTE of exact floor-division
     * arithmetic (`//` ≡ Spark's `DIV` on non-negative int64). */
+  /** Shared by `q_upsert_latest` (batch MERGE) and
+    * `stream_upsert_latest` (streaming CDC upsert) — the
+    * latest-version-wins semantics both must reproduce. */
+  private val upsertLatestSql =
+    """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  0 AS version FROM orders),
+      |ch AS (SELECT o_orderkey, '1-URGENT' AS o_orderpriority,
+      |  round(o_totalprice * 1.1 + 1e-9, 2) AS o_totalprice, 1 AS version
+      | FROM orders WHERE o_orderkey % 10 = 0),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |  ORDER BY version DESC) AS rn FROM u)
+      |SELECT o_orderkey, o_orderpriority, o_totalprice, version
+      |FROM r WHERE rn = 1""".stripMargin
+
   private lazy val eventsPagerankSql: String = {
     val iters = 3
     val iterCtes = (1 to iters).map { k =>
@@ -831,17 +847,10 @@ object SparkEntry {
         | max_by(value, CAST(ts AS TIMESTAMP)) AS last_value,
         | max(CAST(ts AS TIMESTAMP)) AS last_ts
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "q_upsert_latest" ->
-      """WITH base AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
-        |  0 AS version FROM orders),
-        |ch AS (SELECT o_orderkey, '1-URGENT' AS o_orderpriority,
-        |  round(o_totalprice * 1.1 + 1e-9, 2) AS o_totalprice, 1 AS version
-        | FROM orders WHERE o_orderkey % 10 = 0),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey
-        |  ORDER BY version DESC) AS rn FROM u)
-        |SELECT o_orderkey, o_orderpriority, o_totalprice, version
-        |FROM r WHERE rn = 1""".stripMargin,
+    "q_upsert_latest" -> upsertLatestSql,
+    // the streaming CDC upsert replays the same latest-version-wins
+    // merge — stream/batch equivalence pair #8
+    "stream_upsert_latest" -> upsertLatestSql,
     // SCD2 gaps-and-islands: the chg/island chain is integer-exact,
     // valid_to is the NEXT version's start (exclusive, null = open)
     "q_scd2_history" ->

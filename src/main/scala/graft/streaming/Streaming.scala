@@ -270,6 +270,44 @@ object Streaming {
         max(col("last_ts")).as("last_ts"))
   }
 
+  /** X13 — `stream_upsert_latest`: streaming CDC upsert — the
+    * [[graft.operators.Scale.qUpsertLatest]] latest-version-wins
+    * MERGE as a continuous query. The change feed (base snapshot +
+    * version-1 updates, derived from the same orders stream the batch
+    * twin derives them from) flows through ONE keyed streaming
+    * aggregation whose per-key state is the current winning row
+    * (`max_by` on version — O(1) state per key, never a row buffer);
+    * update mode emits a key only when its winner changes, and the
+    * post-drain collapse picks each key's last emission exactly as
+    * [[streamLatest]] does. Shares the batch oracle verbatim —
+    * stream/batch equivalence pair #8, and the shape a production
+    * deploy points at a Delta/Iceberg MERGE sink instead of the
+    * verification drain: state is key-partitioned across the
+    * state-store fleet, so the upsert scales as keys do, with no
+    * driver involvement in the hot path.
+    */
+  def streamUpsertLatest(t: Tables): DataFrame = {
+    val schema = t.raw("orders").schema
+    val orders = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "orders"))
+    val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+      col("o_totalprice"), lit(0).as("version"))
+    val ch = orders.filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), lit("1-URGENT").as("o_orderpriority"),
+        round(col("o_totalprice") * 1.1 + lit(1e-9), 2).as("o_totalprice"),
+        lit(1).as("version"))
+    val upserted = base.unionByName(ch)
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(col("o_orderpriority"), col("version")).as("o_orderpriority"),
+        max_by(col("o_totalprice"), col("version")).as("o_totalprice"),
+        max(col("version")).as("version"))
+    drainToTable(upserted, "update")
+      .groupBy(col("o_orderkey"))
+      .agg(max_by(col("o_orderpriority"), col("version")).as("o_orderpriority"),
+        max_by(col("o_totalprice"), col("version")).as("o_totalprice"),
+        max(col("version")).as("version"))
+  }
+
   /** X7 — `stream_anomaly`: the streaming half of the volume monitor —
     * watermarked hourly per-type counts maintained as streaming state,
     * drained, then scored through the SAME z-score stage as the batch
