@@ -222,6 +222,7 @@ object SparkEntry {
     "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_scd2_history"      -> q(Scale.qScd2History),
+    "q_point_in_time_join" -> q(Scale.qPointInTimeJoin),
     "q_skew_histogram"    -> q(Scale.qSkewHistogram),
     "q_approx_stats"      -> q(Scale.qApproxStats),
     // approx twins of exact reports — the forms runnable at 100 TB;
@@ -307,6 +308,30 @@ object SparkEntry {
     * capped item sets as the cooccur oracle, symmetric distinct
     * edges, then each round as one CTE of exact floor-division
     * arithmetic (`//` ≡ Spark's `DIV` on non-negative int64). */
+  /** `q_scd2_history`'s full SCD2 build — also composed verbatim as
+    * the dimension side of `q_point_in_time_join`'s oracle. */
+  private val scd2Sql =
+    """WITH e AS (SELECT user_id,
+      |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day, event_type,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
+      |d AS (SELECT user_id, day, event_type AS status FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+      |    ORDER BY us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+      |i AS (SELECT *, CASE WHEN lag(status) OVER
+      |   (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM status
+      |  THEN 1 ELSE 0 END AS chg FROM d),
+      |s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
+      |  ROWS UNBOUNDED PRECEDING) AS island FROM i),
+      |r AS (SELECT user_id, island, status, min(day) AS valid_from,
+      |  CAST(count(*) AS BIGINT) AS n_days_observed FROM s GROUP BY 1, 2, 3)
+      |SELECT user_id, status, CAST(valid_from AS INTEGER) AS valid_from,
+      | CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |  AS INTEGER) AS valid_to,
+      | lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+      |  IS NULL AS is_current,
+      | n_days_observed
+      |FROM r ORDER BY user_id, valid_from""".stripMargin
+
   /** Shared by `q_upsert_latest` (batch MERGE) and
     * `stream_upsert_latest` (streaming CDC upsert) — the
     * latest-version-wins semantics both must reproduce. */
@@ -853,27 +878,18 @@ object SparkEntry {
     "stream_upsert_latest" -> upsertLatestSql,
     // SCD2 gaps-and-islands: the chg/island chain is integer-exact,
     // valid_to is the NEXT version's start (exclusive, null = open)
-    "q_scd2_history" ->
-      """WITH e AS (SELECT user_id,
-        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day, event_type,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events),
-        |d AS (SELECT user_id, day, event_type AS status FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id, day
-        |    ORDER BY us DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
-        |i AS (SELECT *, CASE WHEN lag(status) OVER
-        |   (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM status
-        |  THEN 1 ELSE 0 END AS chg FROM d),
-        |s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
-        |  ROWS UNBOUNDED PRECEDING) AS island FROM i),
-        |r AS (SELECT user_id, island, status, min(day) AS valid_from,
-        |  CAST(count(*) AS BIGINT) AS n_days_observed FROM s GROUP BY 1, 2, 3)
-        |SELECT user_id, status, CAST(valid_from AS INTEGER) AS valid_from,
-        | CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-        |  AS INTEGER) AS valid_to,
-        | lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-        |  IS NULL AS is_current,
-        | n_days_observed
-        |FROM r ORDER BY user_id, valid_from""".stripMargin,
+    "q_scd2_history" -> scd2Sql,
+    // the point-in-time consumer composes the SCD2 build verbatim
+    "q_point_in_time_join" ->
+      s"""WITH dim AS ($scd2Sql),
+        |f AS (SELECT user_id, (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT dim.status, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(f.cents) AS BIGINT) AS value_cents
+        |FROM f JOIN dim ON f.user_id = dim.user_id
+        | AND f.day >= dim.valid_from
+        | AND (dim.valid_to IS NULL OR f.day < dim.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_skew_histogram" ->
       """WITH pk AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
         |b AS (SELECT CAST(floor(log2(n_rows)) AS BIGINT) AS count_bucket,

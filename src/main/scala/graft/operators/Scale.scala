@@ -204,6 +204,39 @@ object Scale {
       .orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** `q_point_in_time_join` — the consumer [[qScd2History]] exists
+    * FOR, and the feature-store staple: each fact row joined to the
+    * dimension version that was valid AT ITS OWN TIME (`valid_from ≤
+    * day < valid_to`, open version unbounded) — the join every
+    * training-data pipeline needs to avoid feature leakage (joining
+    * today's attributes onto yesterday's examples), rolled up into a
+    * per-status readout with exact integer cents.
+    *
+    * Shape: an EQUI-join on `user_id` with the interval predicate as
+    * a residual filter — the dimension side holds O(versions per
+    * user) rows, so the per-key fan-out is bounded by version count,
+    * never corpus size; no range-join nested loop, no banding needed
+    * (versions-per-key is small by construction — the SCD2 build
+    * compressed them). Every event matches exactly ONE version
+    * (intervals tile the timeline, spec-pinned), so the rollup's
+    * row count is the status vocabulary.
+    */
+  def qPointInTimeJoin(t: Tables): DataFrame = {
+    val dim = qScd2History(t)
+      .select(col("user_id"), col("status"),
+        col("valid_from"), col("valid_to"))
+    val facts = t.events.select(col("user_id"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    facts.join(dim, Seq("user_id"))
+      .filter(col("day") >= col("valid_from") &&
+        (col("valid_to").isNull || col("day") < col("valid_to")))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("status"))
+  }
+
   /** `q_skew_histogram` — join-key skew profile: per-key row counts
     * bucketed on log2, with each bucket's key count, heaviest key and
     * row share — the diagnostic run before choosing a salt factor for

@@ -116,6 +116,23 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q_point_in_time_join matches every fact to exactly one version") {
+    // the leakage-free property point-in-time joins exist for: the
+    // per-status event counts must PARTITION the fact table — no
+    // event dropped (a gap in the interval chain) and none duplicated
+    // (overlapping versions)
+    val out = Scale.qPointInTimeJoin(tables).collect()
+    val joined = out.map(_.getLong(1)).sum
+    val total = tables.events.count()
+    assert(joined == total,
+      s"joined $joined events vs $total facts — intervals leak or overlap")
+    // exact-cents conservation: the per-status sums add to the corpus total
+    val cents = tables.events
+      .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")))
+      .collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum == cents)
+  }
+
   test("bucketed tables join without a shuffle") {
     val t = tables
     val wh = Files.createTempDirectory("graft-warehouse").toString
