@@ -100,6 +100,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_sum") || p.contains("partial_"), s"no map-side combine:\n$p")
   }
 
+  test("events_triangles: wedge + closure are keyed equi-joins, never nested-loop") {
+    // the forward algorithm's whole point is that every stage is an
+    // equi-join (wedges on the source node, closure on the (x, y)
+    // edge key) — a nested-loop/cartesian here means the orientation
+    // got lost and the plan degenerates to all-pairs at scale
+    val p = plan(EventAnalytics.eventsTriangles(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side combine on the triangle rollup:\n$p")
+  }
+
+  test("q_point_in_time_join: equi-join on user with interval residual, no range nested-loop") {
+    // the interval predicate must ride the user_id equi-join as a
+    // residual filter — a BroadcastNestedLoopJoin means Spark saw
+    // only the range condition and the join explodes at scale
+    val p = plan(Scale.qPointInTimeJoin(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q21: one orderkey rollup + windows — no correlated self-joins of lineitem") {
     val p = plan(Relational.q21WaitingSuppliers(tables))
     // Q21's textbook form self-joins lineitem twice (EXISTS + NOT
