@@ -125,6 +125,7 @@ object SparkEntry {
     "events_retention"    -> q(EventAnalytics.eventsRetention),
     "events_anomaly"      -> q(t => EventAnalytics.eventsAnomaly(t)),
     "events_transitions"  -> q(EventAnalytics.eventsTransitions),
+    "events_path_mining"  -> q(t => EventAnalytics.eventsPathMining(t)),
     "events_active_users" -> q(EventAnalytics.eventsActiveUsers),
     "events_attribution"  -> q(EventAnalytics.eventsAttribution),
     "events_gap_report"   -> q(EventAnalytics.eventsGapReport),
@@ -1087,6 +1088,19 @@ object SparkEntry {
         | round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY prev_type) + 1e-9, 4)
         |  AS p_next
         |FROM g""".stripMargin,
+    // trigram sequence: (ts, event_id) total order, exact counts,
+    // deterministic full tiebreak on the top-k cut
+    "events_path_mining" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  event_id, event_type FROM events),
+        |s AS (SELECT user_id, event_type AS step1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+        | FROM e)
+        |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n_paths,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM s WHERE step3 IS NOT NULL GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     "text_lang_id" ->
       s"""WITH lex(slang, word) AS (VALUES
         | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),

@@ -239,6 +239,35 @@ object EventAnalytics {
           .over(Window.partitionBy(col("prev_type"))) + lit(1e-9), 4))
   }
 
+  /** `events_path_mining` — top-k behavioral 3-step paths: the
+    * sequence-mining complement to [[eventsTransitions]]' single-step
+    * matrix (a first-order chain can't see that view→click→purchase
+    * and view→click→error share a prefix but diverge — the trigram
+    * table can), ranked by occurrence with per-path user reach.
+    *
+    * Shape: ONE user-keyed window pass (ordered by (ts, event_id) —
+    * event id unique, so the sequence is total-ordered and
+    * engine-identical) produces both lookahead steps; the rollup's
+    * key space is ≤ |types|³ — metadata-scale however many events
+    * flow through — and the cut is TakeOrdered with a full
+    * deterministic tiebreak, never a global sort. Raw events cross
+    * exactly one shuffle, same as the transition matrix.
+    */
+  def eventsPathMining(t: Tables, topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("step2", lead(col("event_type"), 1).over(w))
+      .withColumn("step3", lead(col("event_type"), 2).over(w))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(desc("n_paths"), col("step1"), col("step2"), col("step3"))
+      .limit(topK)
+  }
+
   /** `events_markov_stationary` — the long-run state distribution of
     * the [[eventsTransitions]] chain by power iteration: π ← πP,
     * `nIters` times from uniform — "where does a user journey spend
