@@ -98,6 +98,7 @@ object SparkEntry {
     "events_cuped"        -> q(t => EventAnalytics.eventsCuped(t)),
     "events_pagerank"     -> q(t => EventAnalytics.eventsPagerank(t)),
     "events_triangles"    -> q(t => EventAnalytics.eventsTriangles(t)),
+    "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
     "events_new_vs_returning" -> q(EventAnalytics.eventsNewVsReturning),
@@ -309,6 +310,38 @@ object SparkEntry {
     * capped item sets as the cooccur oracle, symmetric distinct
     * edges, then each round as one CTE of exact floor-division
     * arithmetic (`//` ≡ Spark's `DIV` on non-negative int64). */
+  /** Shared forward-algorithm pass: (node, deg, n_triangles) per
+    * graph node, composed by `events_triangles` and
+    * `events_clustering_coeff` — replays the Spark side's identical
+    * (degree, id) orientation and wedge order. */
+  private val triangleStatsSql =
+    """WITH i0 AS (SELECT DISTINCT user_id,
+      |  CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
+      | FROM events WHERE event_type = 'purchase'),
+      |i AS (SELECT user_id, item FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+      | WHERE rk <= 64),
+      |e AS (SELECT DISTINCT a.item AS a, b.item AS b
+      |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item),
+      |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+      |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+      |o AS (SELECT CASE WHEN da <= db THEN e.a ELSE e.b END AS u,
+      |  CASE WHEN da <= db THEN e.b ELSE e.a END AS v,
+      |  CASE WHEN da <= db THEN db ELSE da END AS dv
+      | FROM e JOIN (SELECT node AS a, deg AS da FROM deg) USING (a)
+      |  JOIN (SELECT node AS b, deg AS db FROM deg) USING (b)),
+      |w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+      | FROM o o1 JOIN o o2 ON o1.u = o2.u
+      | WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+      |tri AS (SELECT w.u, w.x, w.y FROM w
+      | JOIN o e3 ON e3.u = w.x AND e3.v = w.y),
+      |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n FROM (
+      |  SELECT u AS node FROM tri UNION ALL SELECT x AS node FROM tri
+      |  UNION ALL SELECT y AS node FROM tri) GROUP BY 1)
+      |SELECT deg.node, deg.deg, COALESCE(pn.n, 0) AS n_triangles
+      |FROM deg LEFT JOIN pn ON pn.node = deg.node""".stripMargin
+
   /** `q_scd2_history`'s full SCD2 build — also composed verbatim as
     * the dimension side of `q_point_in_time_join`'s oracle. */
   private val scd2Sql =
@@ -1325,32 +1358,17 @@ object SparkEntry {
     // identical (degree, id) orientation and wedge order, so the
     // enumeration — not just the counts — matches row for row
     "events_triangles" ->
-      """WITH i0 AS (SELECT DISTINCT user_id,
-        |  CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
-        | FROM events WHERE event_type = 'purchase'),
-        |i AS (SELECT user_id, item FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id
-        |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
-        | WHERE rk <= 64),
-        |e AS (SELECT DISTINCT a.item AS a, b.item AS b
-        |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item),
-        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
-        |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
-        |o AS (SELECT CASE WHEN da <= db THEN e.a ELSE e.b END AS u,
-        |  CASE WHEN da <= db THEN e.b ELSE e.a END AS v,
-        |  CASE WHEN da <= db THEN db ELSE da END AS dv
-        | FROM e JOIN (SELECT node AS a, deg AS da FROM deg) USING (a)
-        |  JOIN (SELECT node AS b, deg AS db FROM deg) USING (b)),
-        |w AS (SELECT o1.u, o1.v AS x, o2.v AS y
-        | FROM o o1 JOIN o o2 ON o1.u = o2.u
-        | WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
-        |tri AS (SELECT w.u, w.x, w.y FROM w
-        | JOIN o e3 ON e3.u = w.x AND e3.v = w.y),
-        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n FROM (
-        |  SELECT u AS node FROM tri UNION ALL SELECT x AS node FROM tri
-        |  UNION ALL SELECT y AS node FROM tri) GROUP BY 1)
-        |SELECT deg.node AS item, COALESCE(pn.n, 0) AS n_triangles
-        |FROM deg LEFT JOIN pn ON pn.node = deg.node ORDER BY item""".stripMargin,
+      s"""WITH ts AS ($triangleStatsSql)
+        |SELECT node AS item, n_triangles FROM ts ORDER BY item""".stripMargin,
+    // local clustering coefficient off the same forward-algorithm
+    // stats: one exact-integer division per node, §6 rounding rule
+    "events_clustering_coeff" ->
+      s"""WITH ts AS ($triangleStatsSql)
+        |SELECT node AS item, deg, n_triangles,
+        | CASE WHEN deg < 2 THEN 0.0 ELSE
+        |  round(2 * n_triangles / CAST(deg * (deg - 1) AS DOUBLE) + 1e-9, 4)
+        | END AS clustering_coeff
+        |FROM ts ORDER BY item""".stripMargin,
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
         |  max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted,

@@ -707,7 +707,33 @@ object EventAnalytics {
     * Zero-triangle nodes surface with 0 via a left join from the
     * degree table (row count == graph nodes, deterministic).
     */
-  def eventsTriangles(t: Tables, maxItemsPerUser: Int = 64): DataFrame = {
+  def eventsTriangles(t: Tables, maxItemsPerUser: Int = 64): DataFrame =
+    triangleStats(t, maxItemsPerUser)
+      .select(col("node").as("item"), col("n_triangles"))
+      .orderBy(col("item"))
+
+  /** `events_clustering_coeff` — local clustering coefficient per
+    * item: 2T / (deg·(deg−1)), the share of a node's neighbor pairs
+    * that are themselves connected — the transitivity readout that
+    * separates "hub of a clique" from "hub of a star" at equal
+    * degree, consumed directly from [[triangleStats]]' one shared
+    * pass (degree-1 nodes get 0 by convention). The division is one
+    * scalar op on two exact integers — engine-identical under the
+    * §6 rounding rule.
+    */
+  def eventsClusteringCoeff(t: Tables, maxItemsPerUser: Int = 64): DataFrame =
+    triangleStats(t, maxItemsPerUser)
+      .select(col("node").as("item"), col("deg"), col("n_triangles"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round(lit(2) * col("n_triangles") /
+            (col("deg") * (col("deg") - 1)) + lit(1e-9), 4))
+          .as("clustering_coeff"))
+      .orderBy(col("item"))
+
+  /** Shared forward-algorithm pass behind [[eventsTriangles]] and
+    * [[eventsClusteringCoeff]]: (node, deg, n_triangles) for every
+    * graph node. */
+  private def triangleStats(t: Tables, maxItemsPerUser: Int): DataFrame = {
     val items = cappedUserItems(t, maxItemsPerUser)
     // canonical undirected edge set (a < b), distinct
     val und = items.as("a")
@@ -740,9 +766,8 @@ object EventAnalytics {
       .select(explode(array(col("u"), col("x"), col("y"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n"))
     deg.join(perNode, Seq("node"), "left")
-      .select(col("node").as("item"),
+      .select(col("node"), col("deg"),
         coalesce(col("n"), lit(0L)).as("n_triangles"))
-      .orderBy(col("item"))
   }
 
   def eventsRecommendCooccur(t: Tables, topK: Int = 20,

@@ -65,7 +65,8 @@ class EmptyInputSpec extends SparkSpec {
     // the hamming pair's signatures are pure per-row arithmetic (no
     // trained state), so the fail-loudly index exclusion doesn't apply
     "ann_hamming_topk", "ann_hamming_recall", "events_triangles",
-    "q_scd2_history", "q_point_in_time_join", "events_path_mining")
+    "q_scd2_history", "q_point_in_time_join", "events_path_mining",
+    "events_clustering_coeff")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
