@@ -93,4 +93,60 @@ object Governance {
       .filter(col("score") >= 3)
       .distinct() // a pair may surface from both blocks; score is identical
   }
+
+  /** `er_resolve_clusters` — the step record linkage exists FOR: the
+    * pairwise matches ([[erBlockedPairs]]) resolved into ENTITIES via
+    * connected components, then each multi-member entity collapsed to
+    * one golden record. Pairs alone under-resolve: (a,b) and (b,c)
+    * matching without (a,c) is still ONE product seen three ways, and
+    * only the transitive closure says so.
+    *
+    * Survivorship policy (deterministic, the auditable kind a master-
+    * data pipeline wants): the minimum-key member is canonical — its
+    * name/brand survive — while size and price ranges are kept as the
+    * conflict evidence (a wide `price_max − price_min` is exactly the
+    * row a data steward reviews). Singleton entities are suppressed:
+    * the output is the duplication worklist, not a part re-listing.
+    *
+    * Scale shape: reuses [[Dedup.connectedComponents]] — min-label
+    * propagation with adaptive path halving, one keyed join + partial
+    * min per round, shuffles carry (id, label) pairs only, no
+    * component ever materializes anywhere. Matches come from the
+    * BLOCKED self-joins (bounded by block sizes, never n²); the
+    * rollup and the canonical-fields join are keyed equi-joins on the
+    * entity id. The DuckDB oracle recomputes the closure from the
+    * ALL-PAIRS match set via a recursive CTE, so both the blocking
+    * completeness AND the distributed CC are checked against ground
+    * truth every round.
+    */
+  def erResolveClusters(t: Tables): DataFrame = {
+    val matches = erBlockedPairs(t).select(col("key_1"), col("key_2"))
+    val edges = matches
+      .select(col("key_1").as("src"), col("key_2").as("dst"))
+      .union(matches.select(col("key_2").as("src"), col("key_1").as("dst")))
+      .persist()
+    edges.count() // eager: every CC round joins this frame
+    val (labels, _) =
+      try Dedup.connectedComponents(edges)
+      finally edges.unpersist()
+    val members = t.part
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+      .join(labels.select(col("doc_id").as("p_partkey"),
+        col("cluster_id").as("entity_id")), Seq("p_partkey"))
+    val entities = members.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("p_size")).as("size_min"),
+        max(col("p_size")).as("size_max"),
+        round(min(col("p_retailprice")), 2).as("price_min"),
+        round(max(col("p_retailprice")), 2).as("price_max"))
+      .filter(col("n_members") >= 2)
+    // canonical fields come from the min-key member — which IS the
+    // entity id (labels are component minima), so one keyed join
+    entities.join(t.part.select(col("p_partkey").as("entity_id"),
+        col("p_name").as("canonical_name"), col("p_brand").as("canonical_brand")),
+      Seq("entity_id"))
+      .select(col("entity_id"), col("n_members"), col("canonical_name"),
+        col("canonical_brand"), col("size_min"), col("size_max"),
+        col("price_min"), col("price_max"))
+  }
 }

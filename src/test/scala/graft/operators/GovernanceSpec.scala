@@ -54,4 +54,30 @@ class GovernanceSpec extends SparkSpec {
     assert(blocked == brute,
       s"missing=${(brute -- blocked).take(5)} extra=${(blocked -- brute).take(5)}")
   }
+
+  test("er_resolve_clusters matches a driver-side union-find of the pairs") {
+    val t = tables
+    // independent ground truth: plain union-find over the match pairs
+    val pairs = Governance.erBlockedPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .groupBy(find).map { case (_, ms) => (ms.min, ms.length) }
+      .filter(_._2 >= 2).toSet
+    val got = Governance.erResolveClusters(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    // survivorship sanity: every entity id is a real part key (the
+    // canonical join found it) and members ≥ 2 by construction
+    assert(got.forall(_._2 >= 2))
+  }
 }
