@@ -58,6 +58,15 @@ def main():
         bad = None
         for c in a.columns:
             av, bv = a[c].values, b[c].values
+            # driver parity: the driver hashes TYPED values, so an int
+            # column vs a float column (e.g. DuckDB HUGEINT -> float64)
+            # fails its gate even when every value matches numerically.
+            # Flag the dtype divergence instead of silently coercing.
+            if av.dtype.kind != bv.dtype.kind and \
+               {av.dtype.kind, bv.dtype.kind} & {"f"} and \
+               {av.dtype.kind, bv.dtype.kind} & {"i", "u"}:
+                bad = f"col {c}: DTYPE spark={av.dtype} duck={bv.dtype} (driver hashes typed values)"
+                break
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 av = av.astype(float); bv = bv.astype(float)
                 both_nan = np.isnan(av) & np.isnan(bv)

@@ -385,7 +385,8 @@ object SparkEntry {
   private lazy val eventsPagerankSql: String = {
     val iters = 3
     val iterCtes = (1 to iters).map { k =>
-      s"""r$k AS (SELECT e.dst AS item, 150000 + (17 * sum(r.r // d.deg)) // 20 AS r
+      s"""r$k AS (SELECT e.dst AS item,
+         |  CAST(150000 + (17 * sum(r.r // d.deg)) // 20 AS BIGINT) AS r
          |  FROM edges e JOIN r${k - 1} r ON r.item = e.src JOIN deg d ON d.src = e.src
          |  GROUP BY 1)""".stripMargin
     }.mkString(",\n")
@@ -401,7 +402,7 @@ object SparkEntry {
        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
        |r0 AS (SELECT src AS item, CAST(1000000 AS BIGINT) AS r FROM deg),
        |$iterCtes
-       |SELECT item, r AS pr_micro FROM r$iters""".stripMargin
+       |SELECT item, CAST(r AS BIGINT) AS pr_micro FROM r$iters""".stripMargin
   }
 
   /** `events_cuped` — the variance-reduction readout replayed on

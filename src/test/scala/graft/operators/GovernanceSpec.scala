@@ -69,15 +69,18 @@ class GovernanceSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
+    // canonical name/brand for a cluster come from its min-key member
+    val canon = t.part.select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
     val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
-      .groupBy(find).map { case (_, ms) => (ms.min, ms.length) }
+      .groupBy(find).map { case (_, ms) =>
+        val root = ms.min
+        (root, ms.length.toLong, canon(root)._1, canon(root)._2)
+      }
       .filter(_._2 >= 2).toSet
     val got = Governance.erResolveClusters(t).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
-    // survivorship sanity: every entity id is a real part key (the
-    // canonical join found it) and members ≥ 2 by construction
-    assert(got.forall(_._2 >= 2))
   }
 }
