@@ -29,7 +29,7 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timed(name: String, run: () => Unit): (String, Double, Option[String]) = {
       // operators persist small key indexes and never unpersist (their
       // result is a lazy DataFrame): drop abandoned cache blocks so
       // they can't evict each other / shrink execution memory for
@@ -39,10 +39,21 @@ object Bench {
       val t0 = System.nanoTime()
       // a failed query must surface in the JSON, not bench as "fast":
       // elapsed is recorded as -1 and the error lands in "errors"
-      val err = try { fn(spark, sfDir).count(); None }
+      val err = try { run(); None }
                 catch { case e: Throwable => Some(e.toString) }
       (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
     }
+
+    // shared stored-state builds FIRST, as their own visible entries:
+    // production runs these as scheduled jobs, so their cost must not
+    // be attributed to the first consumer query of the session
+    val results =
+      SparkEntry.stateBuilds.toSeq.sortBy(_._1).map { case (name, fn) =>
+        timed(name, () => fn(spark, sfDir))
+      } ++
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        timed(name, () => { fn(spark, sfDir).count(); () })
+      }
     // 3-decimal fixed-point timings (Locale.ROOT: a comma decimal
     // separator would corrupt the JSON) — full-precision doubles made
     // the single stdout line overflow the driver's tail capture, which

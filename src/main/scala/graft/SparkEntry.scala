@@ -224,6 +224,7 @@ object SparkEntry {
     "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_scd2_history"      -> q(Scale.qScd2History),
+    "q_scd2_merge"        -> q(t => Scale.qScd2Merge(t)),
     "q_point_in_time_join" -> q(Scale.qPointInTimeJoin),
     "q_skew_histogram"    -> q(Scale.qSkewHistogram),
     "q_approx_stats"      -> q(Scale.qApproxStats),
@@ -246,6 +247,27 @@ object SparkEntry {
     "er_resolve_clusters" -> q(Governance.erResolveClusters),
     "q_compaction"        -> q(t => graft.sources.SourceOps.qCompaction(t)),
     "q_incremental_rollup" -> q(t => graft.sources.SourceOps.incrementalRollup(t)),
+  )
+
+  /** Shared stored-state builders — the scheduled build jobs a
+    * production deployment runs separately from serving. Bench times
+    * each as its own entry (`_build_*` sorts ahead of every query) so
+    * construction cost lands here, never on whichever consumer query
+    * happens to run first alphabetically: the PQ index (three serving
+    * queries share it), the frozen history index (the incremental /
+    * compaction / drift lifecycle family), and the stored near-dup
+    * cluster state (band index + CC labels that
+    * `dedup_clusters_incremental` merges against). All are memoized
+    * per (session, dataset), so consumers pay lookups only. */
+  def stateBuilds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_pq_index" ->
+      ((s, dir) => { Similarity.pqIndex(Tables(s, dir)); () }),
+    "_build_history_index" ->
+      ((s, dir) => { Similarity.historyIndex(Tables(s, dir)); () }),
+    "_build_cc_state" ->
+      ((s, dir) => Dedup.prebuildClusterState(Tables(s, dir))),
+    "_build_scd2_state" ->
+      ((s, dir) => Scale.prebuildScd2State(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -915,6 +937,11 @@ object SparkEntry {
     // SCD2 gaps-and-islands: the chg/island chain is integer-exact,
     // valid_to is the NEXT version's start (exclusive, null = open)
     "q_scd2_history" -> scd2Sql,
+    // the incremental merge (stored dimension + one increment of
+    // events, close/extend/append) must equal the full rebuild — the
+    // oracle IS the rebuild SQL, same discipline as
+    // dedup_clusters_incremental / q_incremental_rollup
+    "q_scd2_merge" -> scd2Sql,
     // the point-in-time consumer composes the SCD2 build verbatim
     "q_point_in_time_join" ->
       s"""WITH dim AS ($scd2Sql),

@@ -577,6 +577,15 @@ object Dedup {
   private val ccStateCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Long), (String, String)]
 
+  /** Force the stored cluster state (band index + CC labels) for the
+    * bench's explicit state-build step: "yesterday's" scheduled build
+    * is a separate job in production, so its cost must be a separate
+    * bench entry, not attributed to whichever incremental query runs
+    * first. Memoized — consumers after the build pay lookups only. */
+  private[graft] def prebuildClusterState(t: Tables, splitId: Long = 400): Unit = {
+    historyClusterState(t, splitId); ()
+  }
+
   private def historyClusterState(t: Tables, splitId: Long): (String, String) =
     ccStateCache.synchronized {
       import graft.sources.{SourceOps, Sources}

@@ -126,9 +126,19 @@ object Governance {
       .union(matches.select(col("key_2").as("src"), col("key_1").as("dst")))
       .persist()
     edges.count() // eager: every CC round joins this frame
-    val (labels, _) =
+    val (ccLabels, _) =
       try Dedup.connectedComponents(edges)
       finally edges.unpersist()
+    // the entity assignment is a persisted artifact in production (the
+    // master-data crosswalk table); writing it out here doubles as the
+    // deterministic release point for the CC rounds' checkpoint blocks,
+    // which live outside the CacheManager and would otherwise linger
+    // until ContextCleaner GC (see Dedup.releaseLabels)
+    val labelPath = graft.sources.SourceOps.staging(
+      s"er_labels_${graft.sources.SourceOps.dirTag(t.dir)}")
+    ccLabels.write.mode("overwrite").parquet(labelPath)
+    Dedup.releaseLabels(ccLabels)
+    val labels = t.spark.read.parquet(labelPath)
     val members = t.part
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
       .join(labels.select(col("doc_id").as("p_partkey"),

@@ -171,20 +171,39 @@ object Scale {
     * users do. Days are integer offsets and the change/island chain
     * is integer-exact — bit-identical cross-engine.
     */
-  def qScd2History(t: Tables): DataFrame = {
-    val daily = t.events
-      .select(col("user_id"),
-        datediff(col("ts").cast("date"),
-          lit(java.sql.Date.valueOf("2024-01-01"))).as("day"),
-        col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+  def qScd2History(t: Tables): DataFrame =
+    finishDim(runsOf(dayStatus(scd2Events(t))))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** Events projected to the SCD2 build's working columns (day index,
+    * status candidate, tiebreak keys). A day-range filter between this
+    * projection and the windows is free: every window below partitions
+    * by (at least) `user_id`, and [[dayStatus]]'s argmax partitions by
+    * (user_id, day), so filtering whole days never cuts a window
+    * partition in half. */
+  private def scd2Events(t: Tables): DataFrame =
+    t.events.select(col("user_id"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).as("day"),
+      col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("us"), col("event_id"))
+
+  /** (user_id, day, status): each user's daily observed status — the
+    * day's LAST event type, event-id tiebroken (deterministic argmax). */
+  private def dayStatus(proj: DataFrame): DataFrame =
+    proj
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"), col("day"))
           .orderBy(desc("us"), desc("event_id"))))
       .filter(col("rn") === 1)
       .select(col("user_id"), col("day"), col("event_type").as("status"))
+
+  /** Gaps-and-islands run-length compression of the daily statuses:
+    * (user_id, status, valid_from, n_days_observed), one row per
+    * maximal same-status run. All windows user-partitioned. */
+  private def runsOf(daily: DataFrame): DataFrame = {
     val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
-    val runs = daily
+    daily
       .withColumn("chg",
         when(lag(col("status"), 1).over(byDay).isNull ||
           lag(col("status"), 1).over(byDay) =!= col("status"), 1).otherwise(0))
@@ -193,6 +212,13 @@ object Scale {
       .groupBy(col("user_id"), col("island"), col("status"))
       .agg(min(col("day")).as("valid_from"),
         count(lit(1)).as("n_days_observed"))
+      .select(col("user_id"), col("status"), col("valid_from"),
+        col("n_days_observed"))
+  }
+
+  /** Chain the runs into the dimension shape: `valid_to` = next
+    * version's start (exclusive), open version flagged `is_current`. */
+  private def finishDim(runs: DataFrame): DataFrame = {
     val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
     runs
       .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
@@ -201,6 +227,121 @@ object Scale {
         col("valid_to").cast("int").as("valid_to"),
         col("valid_to").isNull.as("is_current"),
         col("n_days_observed"))
+  }
+
+  // stored SCD2 dimension state: "yesterday's" scheduled dimension
+  // build as a user-bucketed catalog table, memoized per (session,
+  // dataset, split) like the ANN history index — the artifact the
+  // daily CDC merge maintains instead of rebuilding
+  private val scd2StateCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
+
+  private def scd2State(t: Tables, splitDay: Int): String =
+    scd2StateCache.synchronized {
+      import graft.sources.{SourceOps, Sources}
+      scd2StateCache.getOrElseUpdate(
+        (SourceOps.sessionTag(t.spark), t.dir, splitDay), {
+          val tag = s"${SourceOps.runId}_${SourceOps.dirTag(t.dir)}_$splitDay"
+          val table = s"graft_scd2_dim_$tag"
+          val hist = finishDim(runsOf(dayStatus(
+            scd2Events(t).filter(col("day") < splitDay))))
+          Sources.writeBucketed(hist, table, Seq("user_id"), nBuckets = 8,
+            sortCols = Seq("user_id"),
+            path = Some(SourceOps.staging(s"scd2_dim_$tag")))
+          table
+        })
+    }
+
+  /** Force the stored SCD2 dimension for the bench's explicit
+    * state-build step (the history build is a separate scheduled job
+    * in production — its cost must not land on the merge query). */
+  private[graft] def prebuildScd2State(t: Tables, splitDay: Int = 25): Unit = {
+    scd2State(t, splitDay); ()
+  }
+
+  /** `q_scd2_merge` — INCREMENTAL SCD2 maintenance, the production CDC
+    * shape [[qScd2History]]'s full rebuild stands in for: yesterday's
+    * dimension is a STORED user-bucketed catalog table, today's events
+    * (day ≥ `splitDay`) are the increment, and the merge
+    * closes / extends / appends versions without ever recomputing
+    * history — at 100 TB the daily dimension rebuild is the first job
+    * a warehouse refuses to run, while this merge's cost scales with
+    * the increment plus the touched slice of the dimension.
+    *
+    * Per touched user, only the OPEN version can change (closed
+    * versions' `[valid_from, valid_to)` chains never cross the day
+    * boundary, because every history day < `splitDay` ≤ every
+    * increment day):
+    *
+    *  - first increment run has the SAME status → the open version
+    *    EXTENDS: the run inherits its `valid_from` and adds its
+    *    observed-day count (run-length compression can't see the
+    *    boundary);
+    *  - different status → the open version CLOSES at the first run's
+    *    start and the runs append as new versions;
+    *  - users absent from the increment pass through untouched; brand
+    *    new users simply append.
+    *
+    * Merge == recompute by construction (the full rebuild's island
+    * sequence is the history islands plus the increment islands, with
+    * at most the boundary pair fused) — and the oracle is the full
+    * rebuild's SQL VERBATIM, so the equivalence is hash-checked at the
+    * gate, the same discipline as `dedup_clusters_incremental` and
+    * `q_incremental_rollup`.
+    *
+    * Shape: the increment's windows partition by user over increment
+    * rows only; the boundary decision is one user-keyed equi-join of
+    * the (daily-active-sized) first-run frame against the stored open
+    * versions; untouched history is a bucketed scan plus one
+    * broadcast anti-join on the touched-user set. Nothing scales with
+    * history size except the pass-through scan — which production
+    * writes straight back out as the new dimension. */
+  def qScd2Merge(t: Tables, splitDay: Int = 25): DataFrame = {
+    val stored = t.spark.table(scd2State(t, splitDay))
+    val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    val marked = runsOf(dayStatus(
+        scd2Events(t).filter(col("day") >= splitDay)))
+      .withColumn("rk", row_number().over(byFrom))
+    val open = stored.filter(col("is_current"))
+      .select(col("user_id"), col("status").as("open_status"),
+        col("valid_from").as("open_from"),
+        col("n_days_observed").as("open_n"))
+    val first = marked.filter(col("rk") === 1)
+      .select(col("user_id"), col("status").as("first_status"),
+        col("valid_from").as("first_from"))
+      .join(open, Seq("user_id"), "left")
+    // status changed at the boundary → close the open version there
+    val closedOpen = first
+      .filter(col("open_status").isNotNull &&
+        col("open_status") =!= col("first_status"))
+      .select(col("user_id"), col("open_status").as("status"),
+        col("open_from").as("valid_from"),
+        col("first_from").cast("int").as("valid_to"),
+        lit(false).as("is_current"), col("open_n").as("n_days_observed"))
+    // status unchanged → the first run absorbs the open version
+    val extendInfo = first
+      .filter(col("open_status").isNotNull &&
+        col("open_status") === col("first_status"))
+      .select(col("user_id"), col("open_from"), col("open_n"))
+    val newRuns = marked.join(extendInfo, Seq("user_id"), "left")
+      .select(col("user_id"), col("status"),
+        when(col("rk") === 1 && col("open_from").isNotNull, col("open_from"))
+          .otherwise(col("valid_from")).as("valid_from"),
+        (col("n_days_observed") +
+          when(col("rk") === 1 && col("open_n").isNotNull, col("open_n"))
+            .otherwise(lit(0L))).as("n_days_observed"))
+    val newPart = newRuns
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+      .select(col("user_id"), col("status"),
+        col("valid_from").cast("int").as("valid_from"),
+        col("valid_to").cast("int").as("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("n_days_observed"))
+    val touched = marked.select(col("user_id")).distinct()
+    stored.filter(!col("is_current"))
+      .unionByName(stored.filter(col("is_current"))
+        .join(broadcast(touched), Seq("user_id"), "left_anti"))
+      .unionByName(closedOpen)
+      .unionByName(newPart)
       .orderBy(col("user_id"), col("valid_from"))
   }
 

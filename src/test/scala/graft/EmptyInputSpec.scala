@@ -66,7 +66,12 @@ class EmptyInputSpec extends SparkSpec {
     // trained state), so the fail-loudly index exclusion doesn't apply
     "ann_hamming_topk", "ann_hamming_recall", "events_triangles",
     "q_scd2_history", "q_point_in_time_join", "events_path_mining",
-    "events_clustering_coeff")
+    "events_clustering_coeff",
+    // round-11 additions: the PCA family's degenerate-corpus guards
+    // (covMatrix None / zero-λ basis → empty frame, never a throw) and
+    // the ER closure over an empty match set
+    "embed_whiten", "embed_pca_topk", "er_resolve_clusters",
+    "q_scd2_merge")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -116,6 +116,33 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("q_scd2_merge equals the full rebuild and exercises both boundary paths") {
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)), r.getBoolean(4),
+        r.getLong(5))).toSet
+    val merged = asSet(Scale.qScd2Merge(tables))
+    val rebuilt = asSet(Scale.qScd2History(tables))
+    assert(merged == rebuilt,
+      s"missing=${(rebuilt -- merged).take(5)} extra=${(merged -- rebuilt).take(5)}")
+    // non-vacuousness: at this SF the increment must actually exercise
+    // the merge — users active on both sides of the day-25 boundary
+    // whose open version EXTENDED (open version starts before the
+    // boundary) and versions APPENDED (start at/after it)
+    val incUsers = tables.events
+      .filter(datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))) >= 25)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(incUsers.nonEmpty, "degenerate corpus: empty increment")
+    // a version STARTING before the boundary and still valid after it
+    // (valid_to > 25 or open) of an increment-active user can only
+    // come from the extend path
+    assert(merged.exists(v => incUsers(v._1) && v._3 < 25 && v._4.forall(_ > 25)),
+      "no open version extended across the boundary")
+    assert(merged.exists(v => incUsers(v._1) && v._3 >= 25),
+      "no version appended from the increment")
+  }
+
   test("q_point_in_time_join matches every fact to exactly one version") {
     // the leakage-free property point-in-time joins exist for: the
     // per-status event counts must PARTITION the fact table — no
