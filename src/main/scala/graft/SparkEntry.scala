@@ -121,6 +121,7 @@ object SparkEntry {
     "text_bm25_search"    -> q(t => Search.textBm25Search(t)),
     "corpus_curriculum"   -> q(t => TextAnalysis.corpusCurriculum(t)),
     "text_lang_confusion" -> q(TextAnalysis.textLangConfusion),
+    "corpus_pii_scrub"    -> q(TextAnalysis.corpusPiiScrub),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
     "events_retention"    -> q(EventAnalytics.eventsRetention),
@@ -214,6 +215,7 @@ object SparkEntry {
     "mm_frame_dedup"      -> q(t => Multimodal.mmFrameDedup(t)),
     "stream_modality_router" -> q(graft.streaming.Streaming.streamModalityRouter),
     "stream_frame_dedup"  -> q(t => graft.streaming.Streaming.streamFrameDedup(t)),
+    "stream_pii_scrub"    -> q(graft.streaming.Streaming.streamPiiScrub),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
     "corpus_pipeline"     -> q(t => CorpusClean.corpusPipeline(t)),
@@ -403,6 +405,40 @@ object SparkEntry {
       |  ORDER BY version DESC) AS rn FROM u)
       |SELECT o_orderkey, o_orderpriority, o_totalprice, version
       |FROM r WHERE rn = 1""".stripMargin
+
+  /** Shared by `corpus_pii_scrub` (batch) and `stream_pii_scrub`
+    * (map-only streaming twin): deterministic nibble-driven PII
+    * injection replayed, then the identical regex audit + redaction —
+    * `redacted_md5` makes the gate compare the post-redaction BYTES. */
+  private val piiScrubSql =
+    """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |n AS (SELECT doc_id, text,
+      |  (strpos('0123456789abcdef', substr(h,1,1))-1) AS n1,
+      |  (strpos('0123456789abcdef', substr(h,2,1))-1) AS n2,
+      |  (strpos('0123456789abcdef', substr(h,3,1))-1) AS n3,
+      |  (strpos('0123456789abcdef', substr(h,4,1))-1) AS n4,
+      |  (strpos('0123456789abcdef', substr(h,5,1))-1) AS n5,
+      |  (strpos('0123456789abcdef', substr(h,6,1))-1) AS n6,
+      |  (strpos('0123456789abcdef', substr(h,7,1))-1) AS n7
+      | FROM h),
+      |d AS (SELECT doc_id, text
+      |  || CASE WHEN n1 % 4 = 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      |  || CASE WHEN n2 % 4 = 0 THEN ' call 555-' || lpad(CAST(n3*67 % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(n4*419 % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |  || CASE WHEN n5 % 4 = 0 THEN ' from 10.' || CAST(n6*17 % 256 AS VARCHAR) || '.' || CAST(n7*29 % 256 AS VARCHAR) || '.7' ELSE '' END AS dirty
+      | FROM n),
+      |r AS (SELECT doc_id, dirty,
+      |  regexp_replace(regexp_replace(regexp_replace(dirty,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |    '555-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |    '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS redacted
+      | FROM d)
+      |SELECT doc_id,
+      | CAST(len(regexp_extract_all(dirty, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      | CAST(len(regexp_extract_all(dirty, '555-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      | CAST(len(regexp_extract_all(dirty, '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      | CAST(len(redacted) AS BIGINT) AS clean_len,
+      | md5(redacted) AS redacted_md5
+      |FROM r""".stripMargin
 
   private lazy val eventsPagerankSql: String = {
     val iters = 3
@@ -1241,6 +1277,10 @@ object SparkEntry {
         |SELECT lang, lang_pred, n_docs,
         |  round(n_docs::DOUBLE / (sum(n_docs) OVER (PARTITION BY lang))::DOUBLE + 1e-9, 4) AS gold_share
         |FROM cm""".stripMargin,
+    "corpus_pii_scrub" -> piiScrubSql,
+    // the streaming scrub is the same map-only projection drained
+    // through a file stream — stream/batch equivalence pair #9
+    "stream_pii_scrub" -> piiScrubSql,
     "text_tokens" ->
       """SELECT doc_id,
         | len(list_filter(regexp_split_to_array(text, '\s+'), x -> len(x)>0))::BIGINT AS ws_tokens,

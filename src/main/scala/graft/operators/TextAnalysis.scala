@@ -930,4 +930,60 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("bigram"))
       .limit(20)
   }
+
+  /** T24 — `corpus_pii_scrub`: the PII detection + redaction pass every
+    * training corpus runs before anything else sees the text — emails,
+    * phone numbers and IPv4 addresses are counted (the compliance
+    * audit trail) and replaced with typed placeholders (the text that
+    * flows on). The synthetic corpus carries no PII, so — the
+    * `mm_*` discipline — each doc deterministically INJECTS synthetic
+    * PII from its md5 nibbles first (~25% of docs per type), and the
+    * oracle replays injection + regex arithmetic, verifying the
+    * detector against planted ground truth rather than trusting it.
+    * `redacted_md5` hashes the full post-redaction text, so the gate
+    * proves the redacted BYTES match cross-engine, not just counts.
+    *
+    * Patterns stay in the regex subset with identical semantics in
+    * Java regex and RE2 (character classes, bounded repetition, no
+    * lookaround) — the same cross-engine rule as the tokenizer.
+    *
+    * Shape: map-only — injection, `regexp_count` and the chained
+    * `regexp_replace`s are per-row codegen expressions; ZERO exchanges
+    * at any corpus size (plan-pinned). At 100 TB this runs as a
+    * projection fused into the ingest scan, exactly like the quality
+    * score. */
+  private[graft] def piiScrubOf(docs: DataFrame): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    def nibAt(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("long")
+    val email = when(nibAt(1) % 4 === 0,
+      concat(lit(" reach me at user"), col("doc_id").cast("string"),
+        lit("@example.com"))).otherwise(lit(""))
+    val phone = when(nibAt(2) % 4 === 0,
+      concat(lit(" call 555-"),
+        lpad((nibAt(3) * 67 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((nibAt(4) * 419 % 10000).cast("string"), 4, "0")))
+      .otherwise(lit(""))
+    val ip = when(nibAt(5) % 4 === 0,
+      concat(lit(" from 10."), (nibAt(6) * 17 % 256).cast("string"),
+        lit("."), (nibAt(7) * 29 % 256).cast("string"), lit(".7")))
+      .otherwise(lit(""))
+    val dirty = concat(col("text"), email, phone, ip)
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "555-[0-9]{3}-[0-9]{4}"
+    val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(dirty, emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"),
+        ipRe, "[IP]")
+    docs.select(col("doc_id"),
+      regexp_count(dirty, lit(emailRe)).cast("long").as("n_emails"),
+      regexp_count(dirty, lit(phoneRe)).cast("long").as("n_phones"),
+      regexp_count(dirty, lit(ipRe)).cast("long").as("n_ips"),
+      length(redacted).cast("long").as("clean_len"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  def corpusPiiScrub(t: Tables): DataFrame = piiScrubOf(t.documents)
 }

@@ -448,6 +448,24 @@ object Streaming {
     drainToTable(agg, "complete").filter(col("n_docs") > 1)
   }
 
+  /** X16 — `stream_pii_scrub`: the PII detection + redaction pass
+    * ([[graft.operators.TextAnalysis.piiScrubOf]]) as a STREAMING
+    * query — documents arrive as a file stream and the whole scrub
+    * (nibble injection, `regexp_count` audit counters, chained
+    * placeholder redaction, post-redaction md5) is a stateless map-only
+    * projection per row: append mode, NO streaming state at all, the
+    * shape an ingest-time scrubber actually deploys as (scan → project
+    * → sink, back-pressure bounded). Shares the batch oracle verbatim —
+    * stream/batch equivalence pair #9.
+    */
+  def streamPiiScrub(t: Tables): DataFrame = {
+    val schema = t.raw("documents").schema
+    val docsStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    drainToTable(graft.operators.TextAnalysis.piiScrubOf(docsStream),
+      "append")
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path
