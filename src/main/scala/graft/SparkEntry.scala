@@ -122,6 +122,7 @@ object SparkEntry {
     "corpus_curriculum"   -> q(t => TextAnalysis.corpusCurriculum(t)),
     "text_lang_confusion" -> q(TextAnalysis.textLangConfusion),
     "corpus_pii_scrub"    -> q(TextAnalysis.corpusPiiScrub),
+    "text_watermark_detect" -> q(TextAnalysis.textWatermarkDetect),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
     "events_retention"    -> q(EventAnalytics.eventsRetention),
@@ -270,6 +271,8 @@ object SparkEntry {
       ((s, dir) => Dedup.prebuildClusterState(Tables(s, dir))),
     "_build_scd2_state" ->
       ((s, dir) => Scale.prebuildScd2State(Tables(s, dir))),
+    "_build_pca_cov" ->
+      ((s, dir) => Similarity.prebuildPcaCov(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -439,6 +442,34 @@ object SparkEntry {
       | CAST(len(redacted) AS BIGINT) AS clean_len,
       | md5(redacted) AS redacted_md5
       |FROM r""".stripMargin
+
+  /** `text_watermark_detect` — the injection gate, bigram green test
+    * and one-proportion z replayed; the tail constant is shared with
+    * the Spark side so both engines scrub the identical dirty text. */
+  private lazy val watermarkSql = {
+    val tail = graft.operators.TextAnalysis.watermarkTail
+    s"""WITH base AS (SELECT doc_id, text,
+      |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),8,1))-1) AS nw
+      | FROM documents),
+      |d AS (SELECT doc_id,
+      |  CASE WHEN nw % 8 = 0 THEN text || ' $tail' ELSE text END AS text FROM base),
+      |t AS (SELECT doc_id, $sqlToks AS toks FROM d),
+      |bg AS (SELECT doc_id, array_to_string(toks[i:i+1],' ') AS bigram
+      |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) g WHERE i <= len(toks)-1),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(bigram),1,1))-1) < 8
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_green
+      | FROM bg GROUP BY 1)
+      |SELECT b.doc_id, coalesce(a.n_pairs, 0) AS n_pairs,
+      | coalesce(a.n_green, 0) AS n_green,
+      | CASE WHEN coalesce(a.n_pairs, 0) > 0
+      |  THEN round((2.0*a.n_green - a.n_pairs)/sqrt(CAST(a.n_pairs AS DOUBLE)) + 1e-9, 4)
+      |  ELSE 0.0 END AS z_green,
+      | CASE WHEN coalesce(a.n_pairs, 0) > 0
+      |  THEN round((2.0*a.n_green - a.n_pairs)/sqrt(CAST(a.n_pairs AS DOUBLE)) + 1e-9, 4)
+      |  ELSE 0.0 END >= 2.0 AS flagged
+      |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
+  }
 
   private lazy val eventsPagerankSql: String = {
     val iters = 3
@@ -1278,6 +1309,7 @@ object SparkEntry {
         |  round(n_docs::DOUBLE / (sum(n_docs) OVER (PARTITION BY lang))::DOUBLE + 1e-9, 4) AS gold_share
         |FROM cm""".stripMargin,
     "corpus_pii_scrub" -> piiScrubSql,
+    "text_watermark_detect" -> watermarkSql,
     // the streaming scrub is the same map-only projection drained
     // through a file stream — stream/batch equivalence pair #9
     "stream_pii_scrub" -> piiScrubSql,

@@ -686,6 +686,14 @@ object Similarity {
     covCache.getOrElseUpdate(
       (graft.sources.SourceOps.sessionTag(t.spark), t.dir, dims), covMatrixOf(t, dims))
 
+  /** Force the shared PCA covariance (the dims²-bounded collect all
+    * three PCA-family operators read) for the bench's explicit
+    * state-build step — model training is a scheduled job, not
+    * query cost. */
+  private[graft] def prebuildPcaCov(t: Tables, dims: Int = 64): Unit = {
+    covMatrix(t, dims); ()
+  }
+
   private def covMatrixOf(t: Tables, dims: Int)
       : Option[(Map[Int, Double], Map[(Int, Int), Double])] = {
     val corpus = withEmb(t)

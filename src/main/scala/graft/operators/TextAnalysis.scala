@@ -986,4 +986,53 @@ object TextAnalysis {
   }
 
   def corpusPiiScrub(t: Tables): DataFrame = piiScrubOf(t.documents)
+
+  /** A 61-token tail whose every adjacent bigram hashes GREEN under
+    * the detector's rule (first md5 nibble < 8) — precomputed offline
+    * by greedy chaining over the corpus vocabulary, so injection needs
+    * no per-row search. Drawn from the same vocabulary as the corpus:
+    * the watermark is invisible to content filters, exactly the
+    * adversarial case the detector exists for. */
+  private[graft] val watermarkTail =
+    "spark table batch stream big row hash fast table batch stream big " +
+    "row value stream line scan hash fast table key stream small join " +
+    "filter part table batch stream big row hash fast table batch stream " +
+    "big row value stream line scan hash fast table key stream small " +
+    "join filter part table batch stream big row hash fast table batch stream"
+
+  /** T25 — `text_watermark_detect`: green-list watermark detection
+    * (public Kirchenbauer et al. 2023 scheme) — the screen that finds
+    * LLM-GENERATED text inside a training corpus before it feeds the
+    * next model. A soft watermark biases each generated token toward a
+    * "green list" keyed by the previous token's hash; detection is the
+    * one-proportion z-test on the green fraction of adjacent-token
+    * pairs: z = (2·greens − pairs)/√pairs under γ = ½, flag at z ≥ 2.
+    * Clean docs sit at z ~ N(0,1) (the false-positive calibration the
+    * oracle hash-checks); ~12.5% of docs (md5-nibble gate, the `mm_*`
+    * injection discipline) carry [[watermarkTail]] and must flag.
+    *
+    * Shape: MAP-ONLY — the bigram array, the green filter (lambda on
+    * its own elements only — no outer-array re-evaluation) and the
+    * z arithmetic are per-row expressions; no explode, no groupBy,
+    * ZERO exchanges at any corpus size. The z chain is
+    * integer-exact until one sqrt+division on identical operands, so
+    * the oracle replays it bit-for-bit. */
+  def textWatermarkDetect(t: Tables): DataFrame = {
+    val nib = conv(substring(md5(col("doc_id").cast("string")), 8, 1), 16, 10)
+      .cast("long")
+    val dirty = when(nib % 8 === 0,
+      concat(col("text"), lit(" " + watermarkTail))).otherwise(col("text"))
+    val isGreen = (b: Column) =>
+      conv(substring(md5(b), 1, 1), 16, 10).cast("long") < 8
+    t.documents
+      .select(col("doc_id"), ngrams(tokens(dirty), 2).as("bg"))
+      .select(col("doc_id"),
+        size(col("bg")).cast("long").as("n_pairs"),
+        size(filter(col("bg"), isGreen)).cast("long").as("n_green"))
+      .withColumn("z_green", when(col("n_pairs") > 0,
+        round((lit(2.0) * col("n_green") - col("n_pairs")) /
+          sqrt(col("n_pairs").cast("double")) + lit(1e-9), 4))
+        .otherwise(lit(0.0)))
+      .withColumn("flagged", col("z_green") >= 2.0)
+  }
 }

@@ -71,7 +71,7 @@ class EmptyInputSpec extends SparkSpec {
     // (covMatrix None / zero-λ basis → empty frame, never a throw) and
     // the ER closure over an empty match set
     "embed_whiten", "embed_pca_topk", "er_resolve_clusters",
-    "q_scd2_merge", "corpus_pii_scrub")
+    "q_scd2_merge", "corpus_pii_scrub", "text_watermark_detect")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

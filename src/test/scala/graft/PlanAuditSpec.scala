@@ -111,6 +111,27 @@ class PlanAuditSpec extends SparkSpec {
       s"no map-side combine on the triangle rollup:\n$p")
   }
 
+  test("corpus_pii_scrub: map-only, zero exchanges (regex scrub fuses into the scan)") {
+    val p = plan(TextAnalysis.corpusPiiScrub(tables))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("text_watermark_detect: map-only, zero exchanges (in-array z-test, no explode)") {
+    val p = plan(TextAnalysis.textWatermarkDetect(tables))
+    assert(!p.contains("Exchange") && !p.contains("Generate"), p)
+  }
+
+  test("q_scd2_merge: user-keyed windows/joins only, touched-user set broadcast") {
+    // the merge must never pay a global window or an all-pairs join:
+    // increment windows partition by user, the boundary decision is a
+    // user-keyed equi-join, and the stored open versions anti-join the
+    // (daily-active-sized) touched-user set as a BROADCAST
+    val p = plan(Scale.qScd2Merge(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"touched-user anti-join not broadcast:\n$p")
+  }
+
   test("q_point_in_time_join: equi-join on user with interval residual, no range nested-loop") {
     // the interval predicate must ride the user_id equi-join as a
     // residual filter — a BroadcastNestedLoopJoin means Spark saw

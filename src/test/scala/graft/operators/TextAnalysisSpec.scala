@@ -120,4 +120,48 @@ class TextAnalysisSpec extends SparkSpec {
     // every PII type actually fires at this SF (~25% of docs per type)
     assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0) && rows.exists(_._4 > 0))
   }
+
+  test("text_watermark_detect replays exactly and separates injected from clean") {
+    val rows = TextAnalysis.textWatermarkDetect(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toList
+    assert(rows.nonEmpty)
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val tail = " " + TextAnalysis.watermarkTail
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val injected = rows.map(_._1).filter(id =>
+      "0123456789abcdef".indexOf(md5hex(id.toString).charAt(7)) % 8 == 0).toSet
+    rows.foreach { case (id, nPairs, nGreen, z, flagged) =>
+      // full independent replay: tokenize, pair, hash, z-test
+      val text = docs(id) + (if (injected(id)) tail else "")
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val pairs = toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")).toSeq
+      val greens = pairs.count(b => "0123456789abcdef".indexOf(
+        md5hex(b).charAt(0)) < 8)
+      assert(nPairs == pairs.length.toLong, s"doc $id n_pairs")
+      assert(nGreen == greens.toLong, s"doc $id n_green")
+      if (pairs.nonEmpty) {
+        // BigDecimal of the SHORTEST string repr, matching Spark's
+        // round() (BigDecimal.valueOf), not the exact binary expansion
+        val zRef = BigDecimal(((2.0 * greens - pairs.length) /
+          math.sqrt(pairs.length.toDouble) + 1e-9).toString)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(z - zRef) < 1e-9, s"doc $id z: $z vs $zRef")
+      }
+      assert(flagged == (z >= 2.0), s"doc $id flag")
+    }
+    // discrimination: the injected 61-token green tail must push its
+    // docs far right of the clean ~N(0,1) calibration
+    val (inj, clean) = rows.partition(r => injected(r._1))
+    assert(inj.nonEmpty && clean.nonEmpty)
+    def meanZ(xs: List[(Long, Long, Long, Double, Boolean)]) =
+      xs.map(_._4).sum / xs.length
+    assert(meanZ(inj) > meanZ(clean) + 1.5,
+      s"watermark not separable: inj=${meanZ(inj)} clean=${meanZ(clean)}")
+    assert(inj.count(_._5) > 0, "no injected doc flagged")
+  }
 }
