@@ -448,6 +448,48 @@ object Dedup {
     * only a graph still moving at round 3 is deep enough to repay it. */
   private val DefaultHalveFrom = 3
 
+  /** Edge-count ceiling for the adaptive driver-local CC fallback:
+    * below it the whole component structure fits comfortably on the
+    * driver (250k edges ≈ tens of MB with map overhead), and a
+    * union-find beats paying per-round distributed-job latency on a
+    * tiny graph — the same "broadcast the small side" decision AQE
+    * makes for joins, applied to iteration (GraphFrames' CC makes the
+    * same call). Match graphs are usually MUCH smaller than their
+    * corpora (only near-dup/matched nodes appear), so small-corpus
+    * runs and incremental merge graphs take this path, while a 100 TB
+    * first-build's giant pair graph keeps the distributed loop. */
+  private[graft] val LocalCcMaxEdges: Long = 250000L
+
+  /** Driver union-find over a collected edge list, min-root union so
+    * every root is its component's MINIMUM node id — exactly the
+    * distributed loop's converged labelling. */
+  private def localCc(edges: DataFrame): DataFrame = {
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val pairs = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative find + full path compression: min-union builds trees
+    // whose depth can reach O(n) before compression, so recursion
+    // would overflow the stack near the edge ceiling
+    def find(x: Long): Long = {
+      var root = x
+      while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+      var cur = x
+      while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+      root
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-root invariant: roots only ever absorb LARGER roots, so the
+    // root of every tree is its component minimum — label parity with
+    // the distributed min-label propagation by construction
+    pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSeq.distinct
+      .map(n => (n, find(n))).toDF("doc_id", "cluster_id")
+  }
+
   /** Distributed min-label connected components over a symmetric
     * (src, dst) edge frame: every node takes the min of its own and
     * its neighbours' labels each round — ONE keyed join + partial-agg
@@ -488,10 +530,21 @@ object Dedup {
     * source lineage is truncated — releasing early would make it
     * unrecomputable) and are freed by [[releaseLabels]] once the
     * caller has consumed the result, or by ContextCleaner GC.
+    *
+    * ADAPTIVE LOCAL FALLBACK: a graph at or below `localMaxEdges`
+    * edges resolves as a driver union-find ([[localCc]], identical
+    * labelling, iters reported as 0) instead of paying per-round
+    * distributed-job latency — pass `localMaxEdges = 0` to force the
+    * distributed loop (specs pinning round counts do).
     */
   private[graft] def connectedComponents(edges: DataFrame, maxIters: Int = 50,
-      halveFrom: Int = DefaultHalveFrom): (DataFrame, Int) = {
+      halveFrom: Int = DefaultHalveFrom,
+      localMaxEdges: Long = LocalCcMaxEdges): (DataFrame, Int) = {
     val sess = edges.sparkSession
+    // ADAPTIVE: small graphs resolve on the driver (callers persist +
+    // count the edge frame already, so this count hits cache)
+    if (localMaxEdges > 0 && edges.count() <= localMaxEdges)
+      return (localCc(edges), 0)
     val reliableDir = sess.conf.getOption("graft.cc.checkpointDir")
     reliableDir.foreach(sess.sparkContext.setCheckpointDir)
     def materialize(df: DataFrame): DataFrame =

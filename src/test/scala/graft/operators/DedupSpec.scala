@@ -60,9 +60,10 @@ class DedupSpec extends SparkSpec {
     val chain = (0L until 63L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
       .toDF("src", "dst")
     val (plainLabels, plainIters) =
-      Dedup.connectedComponents(chain, maxIters = 100, halveFrom = Int.MaxValue)
+      Dedup.connectedComponents(chain, maxIters = 100, halveFrom = Int.MaxValue,
+        localMaxEdges = 0)
     val (halvedLabels, halvedIters) =
-      Dedup.connectedComponents(chain, maxIters = 100)
+      Dedup.connectedComponents(chain, maxIters = 100, localMaxEdges = 0)
     try {
       // both converge to the single component labelled by node 0
       assert(plainLabels.filter(col("cluster_id") =!= 0L).count() == 0)
@@ -90,6 +91,32 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache() // release the pinned final-labels cache
   }
 
+  test("connected components: local union-find fallback labels exactly like the distributed loop") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // seeded random graph: 300 nodes, 400 edges — components of mixed
+    // shape (chains, merged stars, singleton-free by construction)
+    val rnd = new scala.util.Random(42)
+    val half = (0 until 400).map { _ =>
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      if (a == b) (a, a + 1) else (a, b)
+    }
+    val edges = (half ++ half.map(p => (p._2, p._1))).toDF("src", "dst")
+    val (localLabels, localIters) = Dedup.connectedComponents(edges)
+    val (distLabels, distIters) =
+      Dedup.connectedComponents(edges, localMaxEdges = 0)
+    try {
+      assert(localIters == 0, "small graph did not take the local path")
+      assert(distIters > 0)
+      val l = localLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val d = distLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(l == d, s"missing=${(d -- l).take(5)} extra=${(l -- d).take(5)}")
+    } finally {
+      Dedup.releaseLabels(distLabels)
+      localLabels.unpersist(); ()
+    }
+  }
+
   test("connected components: reliable-checkpoint mode converges through the configured dir") {
     // the preemptible-fleet story: graft.cc.checkpointDir switches the
     // per-round lineage cut from executor-local localCheckpoint to a
@@ -102,7 +129,8 @@ class DedupSpec extends SparkSpec {
     try {
       val chain = (0L until 32L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
         .toDF("src", "dst")
-      val (labels, iters) = Dedup.connectedComponents(chain, maxIters = 100)
+      val (labels, iters) =
+        Dedup.connectedComponents(chain, maxIters = 100, localMaxEdges = 0)
       assert(labels.filter(col("cluster_id") =!= 0L).count() == 0,
         "reliable-checkpoint run did not converge to the component min")
       assert(iters > 0)
@@ -124,7 +152,8 @@ class DedupSpec extends SparkSpec {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val chain = (0L until 24L).flatMap(i => Seq((i, i + 1), (i + 1, i)))
       .toDF("src", "dst")
-    val (labels, _) = Dedup.connectedComponents(chain, maxIters = 100)
+    val (labels, _) =
+      Dedup.connectedComponents(chain, maxIters = 100, localMaxEdges = 0)
     assert(labels.filter(col("cluster_id") =!= 0L).count() == 0)
     Dedup.releaseLabels(labels)
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
