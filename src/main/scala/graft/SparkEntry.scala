@@ -248,6 +248,7 @@ object SparkEntry {
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
     "er_blocked_pairs"    -> q(Governance.erBlockedPairs),
     "er_resolve_clusters" -> q(Governance.erResolveClusters),
+    "er_resolve_incremental" -> q(Governance.erResolveIncremental),
     "q_compaction"        -> q(t => graft.sources.SourceOps.qCompaction(t)),
     "q_incremental_rollup" -> q(t => graft.sources.SourceOps.incrementalRollup(t)),
   )
@@ -273,6 +274,8 @@ object SparkEntry {
       ((s, dir) => Scale.prebuildScd2State(Tables(s, dir))),
     "_build_pca_cov" ->
       ((s, dir) => Similarity.prebuildPcaCov(Tables(s, dir))),
+    "_build_er_state" ->
+      ((s, dir) => Governance.prebuildErState(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -442,6 +445,33 @@ object SparkEntry {
       | CAST(len(redacted) AS BIGINT) AS clean_len,
       | md5(redacted) AS redacted_md5
       |FROM r""".stripMargin
+
+  /** `er_resolve_clusters`'s full re-resolve: ALL-PAIRS scoring +
+    * recursive-CTE transitive closure + golden-record rollup — also
+    * the oracle of `er_resolve_incremental` (merge == recompute). */
+  private val erResolveSql =
+    """WITH RECURSIVE m AS (
+      | SELECT a.p_partkey AS k1, b.p_partkey AS k2
+      | FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      | WHERE CAST(a.p_name = b.p_name AS INTEGER)
+      |    + CAST(a.p_type = b.p_type AS INTEGER)
+      |    + CAST(a.p_brand = b.p_brand AS INTEGER)
+      |    + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) >= 3),
+      |edges AS (SELECT k1 AS a, k2 AS b FROM m UNION SELECT k2 AS a, k1 AS b FROM m),
+      |reach(k, r) AS (
+      |  SELECT p_partkey AS k, p_partkey AS r FROM part
+      |  UNION
+      |  SELECT e.a AS k, reach.r FROM edges e JOIN reach ON reach.k = e.b),
+      |lab AS (SELECT k AS p_partkey, min(r) AS entity_id FROM reach GROUP BY 1),
+      |ent AS (SELECT entity_id, count(*) AS n_members,
+      |   min(p_size) AS size_min, max(p_size) AS size_max,
+      |   round(min(p_retailprice), 2) AS price_min,
+      |   round(max(p_retailprice), 2) AS price_max
+      | FROM lab JOIN part USING (p_partkey) GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT ent.entity_id, ent.n_members, p.p_name AS canonical_name,
+      | p.p_brand AS canonical_brand, ent.size_min, ent.size_max,
+      | ent.price_min, ent.price_max
+      |FROM ent JOIN part p ON p.p_partkey = ent.entity_id""".stripMargin
 
   /** `text_watermark_detect` — the injection gate, bigram green test
     * and one-proportion z replayed; the tail constant is shared with
@@ -2398,29 +2428,11 @@ object SparkEntry {
     // ground truth: transitive closure of the ALL-pairs match set as a
     // recursive CTE — checks blocking completeness AND the distributed
     // CC against first principles, plus the survivorship rollup
-    "er_resolve_clusters" ->
-      """WITH RECURSIVE m AS (
-        | SELECT a.p_partkey AS k1, b.p_partkey AS k2
-        | FROM part a JOIN part b ON a.p_partkey < b.p_partkey
-        | WHERE CAST(a.p_name = b.p_name AS INTEGER)
-        |    + CAST(a.p_type = b.p_type AS INTEGER)
-        |    + CAST(a.p_brand = b.p_brand AS INTEGER)
-        |    + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) >= 3),
-        |edges AS (SELECT k1 AS a, k2 AS b FROM m UNION SELECT k2 AS a, k1 AS b FROM m),
-        |reach(k, r) AS (
-        |  SELECT p_partkey AS k, p_partkey AS r FROM part
-        |  UNION
-        |  SELECT e.a AS k, reach.r FROM edges e JOIN reach ON reach.k = e.b),
-        |lab AS (SELECT k AS p_partkey, min(r) AS entity_id FROM reach GROUP BY 1),
-        |ent AS (SELECT entity_id, count(*) AS n_members,
-        |   min(p_size) AS size_min, max(p_size) AS size_max,
-        |   round(min(p_retailprice), 2) AS price_min,
-        |   round(max(p_retailprice), 2) AS price_max
-        | FROM lab JOIN part USING (p_partkey) GROUP BY 1 HAVING count(*) >= 2)
-        |SELECT ent.entity_id, ent.n_members, p.p_name AS canonical_name,
-        | p.p_brand AS canonical_brand, ent.size_min, ent.size_max,
-        | ent.price_min, ent.price_max
-        |FROM ent JOIN part p ON p.p_partkey = ent.entity_id""".stripMargin,
+    "er_resolve_clusters" -> erResolveSql,
+    // the incremental merge against stored ER state must equal the
+    // full re-resolve — same oracle verbatim, same discipline as
+    // dedup_clusters_incremental / q_scd2_merge
+    "er_resolve_incremental" -> erResolveSql,
     // merged (history rollup + increment) must equal the full recompute
     "q_incremental_rollup" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,

@@ -75,15 +75,17 @@ object Governance {
     * (name frequency, type×brand buckets); skewed real-world block
     * keys would be salted exactly like `q_salted_join`.
     */
-  def erBlockedPairs(t: Tables): DataFrame = {
-    val p = t.part.select(
-      col("p_partkey"), col("p_name"), col("p_type"), col("p_brand"), col("p_size"))
-    def blocked(cond: org.apache.spark.sql.Column): DataFrame =
-      p.as("a").join(p.as("b"), cond && col("a.p_partkey") < col("b.p_partkey"))
-    val cands =
-      blocked(col("a.p_name") === col("b.p_name"))
-        .unionAll(blocked(
-          col("a.p_type") === col("b.p_type") && col("a.p_brand") === col("b.p_brand")))
+  def erBlockedPairs(t: Tables): DataFrame =
+    erBlockedPairsOf(erProj(t.part))
+
+  /** The master-data projection every ER stage works over. */
+  private def erProj(part: DataFrame): DataFrame =
+    part.select(col("p_partkey"), col("p_name"), col("p_type"),
+      col("p_brand"), col("p_size"))
+
+  /** The pairwise field-agreement score + match cut, shared by every
+    * candidate generator (within-set and cross-set blocking). */
+  private def scorePairs(cands: DataFrame): DataFrame =
     cands
       .select(col("a.p_partkey").as("key_1"), col("b.p_partkey").as("key_2"),
         ((col("a.p_name") === col("b.p_name")).cast("int")
@@ -92,6 +94,14 @@ object Governance {
           + (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int")).as("score"))
       .filter(col("score") >= 3)
       .distinct() // a pair may surface from both blocks; score is identical
+
+  private def erBlockedPairsOf(p: DataFrame): DataFrame = {
+    def blocked(cond: org.apache.spark.sql.Column): DataFrame =
+      p.as("a").join(p.as("b"), cond && col("a.p_partkey") < col("b.p_partkey"))
+    scorePairs(
+      blocked(col("a.p_name") === col("b.p_name"))
+        .unionAll(blocked(
+          col("a.p_type") === col("b.p_type") && col("a.p_brand") === col("b.p_brand"))))
   }
 
   /** `er_resolve_clusters` — the step record linkage exists FOR: the
@@ -138,8 +148,15 @@ object Governance {
       s"er_labels_${graft.sources.SourceOps.dirTag(t.dir)}")
     ccLabels.write.mode("overwrite").parquet(labelPath)
     Dedup.releaseLabels(ccLabels)
-    val labels = t.spark.read.parquet(labelPath)
-    val members = t.part
+    goldenOf(t.part, t.spark.read.parquet(labelPath))
+  }
+
+  /** Golden-record rollup shared by the batch resolve and the
+    * incremental state build: per entity (= CC label = min member),
+    * member count + size/price conflict ranges, canonical name/brand
+    * from the min-key member, singletons suppressed. */
+  private def goldenOf(part: DataFrame, labels: DataFrame): DataFrame = {
+    val members = part
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
       .join(labels.select(col("doc_id").as("p_partkey"),
         col("cluster_id").as("entity_id")), Seq("p_partkey"))
@@ -152,11 +169,158 @@ object Governance {
       .filter(col("n_members") >= 2)
     // canonical fields come from the min-key member — which IS the
     // entity id (labels are component minima), so one keyed join
-    entities.join(t.part.select(col("p_partkey").as("entity_id"),
+    entities.join(part.select(col("p_partkey").as("entity_id"),
         col("p_name").as("canonical_name"), col("p_brand").as("canonical_brand")),
       Seq("entity_id"))
       .select(col("entity_id"), col("n_members"), col("canonical_name"),
         col("canonical_brand"), col("size_min"), col("size_max"),
         col("price_min"), col("price_max"))
+  }
+
+  // ---- incremental entity resolution -------------------------------
+
+  // stored master-data state: the history CC labels plus the golden
+  // records themselves (the production entity table the merge
+  // maintains), and the history projection indexed per BLOCK KEY (one
+  // bucketed table per blocking pass, so increment-vs-history
+  // candidate joins are exchange-free on the big side) — memoized per
+  // (session, dataset) like the other stored-state families
+  private val erStateCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, String, String, String, Long)]
+
+  private def erState(t: Tables): (String, String, String, String, Long) =
+    erStateCache.synchronized {
+      import graft.sources.{SourceOps, Sources}
+      erStateCache.getOrElseUpdate(
+        (SourceOps.sessionTag(t.spark), t.dir), {
+          // deterministic 80/20 split by key: increment keys all exceed
+          // history keys, so contracted minima equal full-graph minima
+          val r = t.part.agg(max(col("p_partkey"))).first()
+          val splitKey = if (r.isNullAt(0)) 0L else r.getLong(0) * 4 / 5
+          val tag = s"${SourceOps.runId}_${SourceOps.dirTag(t.dir)}"
+          val hist = erProj(t.part).filter(col("p_partkey") <= splitKey)
+          val byName = s"graft_er_byname_$tag"
+          Sources.writeBucketed(hist, byName, Seq("p_name"), nBuckets = 8,
+            sortCols = Seq("p_name"),
+            path = Some(SourceOps.staging(s"er_byname_$tag")))
+          val byType = s"graft_er_bytype_$tag"
+          Sources.writeBucketed(hist, byType, Seq("p_type", "p_brand"),
+            nBuckets = 8, sortCols = Seq("p_type", "p_brand"),
+            path = Some(SourceOps.staging(s"er_bytype_$tag")))
+          val pairs = erBlockedPairsOf(hist).select(col("key_1"), col("key_2"))
+          val edges = pairs.select(col("key_1").as("src"), col("key_2").as("dst"))
+            .union(pairs.select(col("key_2").as("src"), col("key_1").as("dst")))
+            .persist()
+          edges.count()
+          val (labels, _) =
+            try Dedup.connectedComponents(edges) finally edges.unpersist()
+          val labelTable = s"graft_er_labels_$tag"
+          Sources.writeBucketed(labels, labelTable, Seq("doc_id"), nBuckets = 8,
+            sortCols = Seq("doc_id"),
+            path = Some(SourceOps.staging(s"er_labels_hist_$tag")))
+          Dedup.releaseLabels(labels)
+          val entityTable = s"graft_er_entities_$tag"
+          Sources.writeBucketed(
+            goldenOf(t.part.filter(col("p_partkey") <= splitKey),
+              t.spark.table(labelTable)),
+            entityTable, Seq("entity_id"), nBuckets = 8,
+            sortCols = Seq("entity_id"),
+            path = Some(SourceOps.staging(s"er_entities_$tag")))
+          (labelTable, entityTable, byName, byType, splitKey)
+        })
+    }
+
+  /** Force the stored ER state for the bench's explicit state-build
+    * step (the history resolve is yesterday's scheduled job). */
+  private[graft] def prebuildErState(t: Tables): Unit = { erState(t); () }
+
+  /** `er_resolve_incremental` — incremental maintenance of the golden
+    * records: yesterday's resolve is STORED STATE (CC labels + entity
+    * table + per-block-key history indexes), today only the new parts
+    * (key > split) generate candidates, and changed entities are
+    * re-rolled from DECOMPOSABLE partial aggregates — history member
+    * rows are never re-read, let alone re-paired. The
+    * `dedup_clusters_incremental` discipline applied to master data,
+    * where a daily full re-resolve is the first job a 100 TB MDM
+    * deployment refuses to run.
+    *
+    *  1. Candidates: increment-vs-history from the stored per-block
+    *     bucketed indexes (name; type×brand — index side
+    *     exchange-free), increment-vs-increment from the blocked
+    *     self-join; old-vs-old never re-runs. Same score-≥-3 cut.
+    *  2. Contract: history endpoints enter the merge graph as their
+    *     stored entity label (singletons as themselves); the merge
+    *     graph is bounded by increment + touched entities, so its CC
+    *     takes the adaptive local path at any corpus size.
+    *  3. Re-roll: each merge-graph node carries a PARTIAL aggregate —
+    *     a history rep contributes its stored golden record (count,
+    *     size/price ranges are all decomposable), a singleton or new
+    *     part its own row — one keyed rollup per merged entity;
+    *     untouched entities pass through via one broadcast anti-join.
+    *
+    * Merge == recompute by the same contraction argument as the dedup
+    * incremental (labels are component minima; increment keys exceed
+    * history keys), and the oracle IS the full-recompute recursive-CTE
+    * SQL verbatim, so the equivalence is hash-checked at the gate.
+    */
+  def erResolveIncremental(t: Tables): DataFrame = {
+    val (labelTable, entityTable, byName, byType, splitKey) = erState(t)
+    val sess = t.spark
+    val inc = erProj(t.part).filter(col("p_partkey") > splitKey)
+    // cross blocking: history side reads its bucketed block index
+    val nhCands =
+      sess.table(byName).as("a")
+        .join(inc.as("b"), col("a.p_name") === col("b.p_name"))
+        .unionAll(sess.table(byType).as("a")
+          .join(inc.as("b"), col("a.p_type") === col("b.p_type") &&
+            col("a.p_brand") === col("b.p_brand")))
+    // history keys < increment keys, so (a, b) is already ordered
+    val nhPairs = scorePairs(nhCands).select(col("key_1"), col("key_2"))
+    val nnPairs = erBlockedPairsOf(inc).select(col("key_1"), col("key_2"))
+    val reps = sess.table(labelTable)
+      .select(col("doc_id").as("key_1"), col("cluster_id").as("rep"))
+    val half = nhPairs.join(reps, Seq("key_1"), "left")
+      .select(coalesce(col("rep"), col("key_1")).as("src"), col("key_2").as("dst"))
+      .union(nnPairs.select(col("key_1").as("src"), col("key_2").as("dst")))
+    val edges = half
+      .union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    edges.count()
+    val (merged, _) = try Dedup.connectedComponents(edges)
+      finally edges.unpersist()
+    val nodeLabels = merged
+      .select(col("doc_id").as("node"), col("cluster_id").as("label"))
+    val stored = sess.table(entityTable)
+    // per-node partial aggregates: stored golden record for a history
+    // rep, the part row itself for singletons and new parts
+    val partRows = t.part
+      .select(col("p_partkey").as("node"), col("p_size"),
+        round(col("p_retailprice"), 2).as("p_price"))
+    val nodeAggs = nodeLabels
+      .join(stored.select(col("entity_id").as("node"),
+        col("n_members").as("sn"), col("size_min").as("ss1"),
+        col("size_max").as("ss2"), col("price_min").as("sp1"),
+        col("price_max").as("sp2")), Seq("node"), "left")
+      .join(partRows, Seq("node"), "left")
+      .select(col("label").as("entity_id"),
+        coalesce(col("sn"), lit(1L)).as("pn"),
+        coalesce(col("ss1"), col("p_size")).as("ps1"),
+        coalesce(col("ss2"), col("p_size")).as("ps2"),
+        coalesce(col("sp1"), col("p_price")).as("pp1"),
+        coalesce(col("sp2"), col("p_price")).as("pp2"))
+    val mergedEntities = nodeAggs.groupBy(col("entity_id"))
+      .agg(sum(col("pn")).as("n_members"),
+        min(col("ps1")).as("size_min"), max(col("ps2")).as("size_max"),
+        min(col("pp1")).as("price_min"), max(col("pp2")).as("price_max"))
+      .filter(col("n_members") >= 2)
+      .join(t.part.select(col("p_partkey").as("entity_id"),
+        col("p_name").as("canonical_name"), col("p_brand").as("canonical_brand")),
+        Seq("entity_id"))
+      .select(col("entity_id"), col("n_members"), col("canonical_name"),
+        col("canonical_brand"), col("size_min"), col("size_max"),
+        col("price_min"), col("price_max"))
+    val touched = nodeLabels.select(col("node").as("entity_id")).distinct()
+    stored.join(broadcast(touched), Seq("entity_id"), "left_anti")
+      .unionByName(mergedEntities)
   }
 }

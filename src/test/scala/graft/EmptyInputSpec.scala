@@ -71,7 +71,8 @@ class EmptyInputSpec extends SparkSpec {
     // (covMatrix None / zero-λ basis → empty frame, never a throw) and
     // the ER closure over an empty match set
     "embed_whiten", "embed_pca_topk", "er_resolve_clusters",
-    "q_scd2_merge", "corpus_pii_scrub", "text_watermark_detect")
+    "q_scd2_merge", "corpus_pii_scrub", "text_watermark_detect",
+    "er_resolve_incremental")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -83,4 +83,24 @@ class GovernanceSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
+
+  test("er_resolve_incremental equals the full re-resolve and crosses the split") {
+    val t = tables
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4), r.getInt(5), r.getDouble(6), r.getDouble(7))).toSet
+    val full = asSet(Governance.erResolveClusters(t))
+    val inc = asSet(Governance.erResolveIncremental(t))
+    assert(inc == full,
+      s"missing=${(full -- inc).take(3)} extra=${(inc -- full).take(3)}")
+    // non-vacuousness: the 80/20 key split must actually be exercised —
+    // at least one match pair crosses it (so contraction + re-roll ran)
+    // and at least one entity lies entirely below it (pass-through ran)
+    val splitKey = t.part.agg(max(col("p_partkey"))).first().getLong(0) * 4 / 5
+    val pairs = Governance.erBlockedPairs(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.exists(p => p._1 <= splitKey && p._2 > splitKey),
+      "no match pair crosses the split — merge path untested at this SF")
+    assert(full.exists(_._1 <= splitKey), "no history-side entity")
+  }
 }
