@@ -172,6 +172,20 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("dedup_clusters_incremental is split-invariant, including degenerate splits") {
+    // the driver gate pins only splitId = 400; the contraction argument
+    // must hold at ANY split — empty history (0) and empty increment
+    // (past the 500-doc corpus) included
+    val full = Dedup.dedupClusters(tables).collect().map(_.toSeq).toSet
+    Seq(0L, 123L, 499L, 1000L).foreach { split =>
+      val inc = Dedup.dedupClustersIncremental(tables, splitId = split)
+        .collect().map(_.toSeq).toSet
+      assert(inc == full, s"splitId=$split: merge != recompute " +
+        s"(only-inc=${(inc -- full).take(3)} only-full=${(full -- inc).take(3)})")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dedup_clusters_incremental: increment edges read the stored index bucketed, never cartesian") {
     val df = Dedup.ccIncrementEdges(tables, 400)
     df.collect()

@@ -143,6 +143,20 @@ class ScaleSpec extends SparkSpec {
       "no version appended from the increment")
   }
 
+  test("q_scd2_merge is split-invariant: merge == rebuild at every boundary") {
+    // the oracle pins only the default split (day 25); the merge logic
+    // must hold at ANY boundary, including the degenerate ones — empty
+    // history (0), early/late interior days, and empty increment (31)
+    val rebuilt = Scale.qScd2History(tables).collect()
+      .map(_.toSeq).toSet
+    Seq(0, 1, 15, 29, 31).foreach { split =>
+      val merged = Scale.qScd2Merge(tables, splitDay = split).collect()
+        .map(_.toSeq).toSet
+      assert(merged == rebuilt, s"splitDay=$split: merge != rebuild " +
+        s"(missing=${(rebuilt -- merged).take(3)} extra=${(merged -- rebuilt).take(3)})")
+    }
+  }
+
   test("q_point_in_time_join matches every fact to exactly one version") {
     // the leakage-free property point-in-time joins exist for: the
     // per-status event counts must PARTITION the fact table — no
