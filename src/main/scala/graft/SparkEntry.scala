@@ -217,6 +217,7 @@ object SparkEntry {
     "stream_modality_router" -> q(graft.streaming.Streaming.streamModalityRouter),
     "stream_frame_dedup"  -> q(t => graft.streaming.Streaming.streamFrameDedup(t)),
     "stream_pii_scrub"    -> q(graft.streaming.Streaming.streamPiiScrub),
+    "stream_watermark_detect" -> q(graft.streaming.Streaming.streamWatermarkDetect),
     // composite: the flagship corpus-cleaning pipeline
     "corpus_clean"        -> q(CorpusClean.corpusClean),
     "corpus_pipeline"     -> q(t => CorpusClean.corpusPipeline(t)),
@@ -1340,6 +1341,9 @@ object SparkEntry {
         |FROM cm""".stripMargin,
     "corpus_pii_scrub" -> piiScrubSql,
     "text_watermark_detect" -> watermarkSql,
+    // ingest-time screening is the same stateless projection drained
+    // through a file stream — stream/batch equivalence pair #10
+    "stream_watermark_detect" -> watermarkSql,
     // the streaming scrub is the same map-only projection drained
     // through a file stream — stream/batch equivalence pair #9
     "stream_pii_scrub" -> piiScrubSql,

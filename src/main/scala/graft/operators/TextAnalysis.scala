@@ -1017,14 +1017,19 @@ object TextAnalysis {
     * ZERO exchanges at any corpus size. The z chain is
     * integer-exact until one sqrt+division on identical operands, so
     * the oracle replays it bit-for-bit. */
-  def textWatermarkDetect(t: Tables): DataFrame = {
+  def textWatermarkDetect(t: Tables): DataFrame =
+    watermarkDetectOf(t.documents)
+
+  /** Shared by the batch screen and its streaming twin
+    * (`stream_watermark_detect`) — stateless per-row projection. */
+  private[graft] def watermarkDetectOf(docs: DataFrame): DataFrame = {
     val nib = conv(substring(md5(col("doc_id").cast("string")), 8, 1), 16, 10)
       .cast("long")
     val dirty = when(nib % 8 === 0,
       concat(col("text"), lit(" " + watermarkTail))).otherwise(col("text"))
     val isGreen = (b: Column) =>
       conv(substring(md5(b), 1, 1), 16, 10).cast("long") < 8
-    t.documents
+    docs
       .select(col("doc_id"), ngrams(tokens(dirty), 2).as("bg"))
       .select(col("doc_id"),
         size(col("bg")).cast("long").as("n_pairs"),

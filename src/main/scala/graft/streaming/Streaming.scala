@@ -466,6 +466,22 @@ object Streaming {
       "append")
   }
 
+  /** X17 — `stream_watermark_detect`: the green-list watermark screen
+    * ([[graft.operators.TextAnalysis.textWatermarkDetect]]'s body) at
+    * INGEST time — documents as a file stream, the bigram green-count
+    * z-test a stateless map-only projection per row (append mode, no
+    * streaming state), so LLM-generated text is flagged before it ever
+    * lands in the corpus. Shares the batch oracle verbatim —
+    * stream/batch equivalence pair #10.
+    */
+  def streamWatermarkDetect(t: Tables): DataFrame = {
+    val schema = t.raw("documents").schema
+    val docsStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    drainToTable(
+      graft.operators.TextAnalysis.watermarkDetectOf(docsStream), "append")
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path
