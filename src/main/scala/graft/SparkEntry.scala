@@ -87,6 +87,7 @@ object SparkEntry {
     "text_contamination_shuffled" ->
       q(t => TextAnalysis.textContamination(t, maxBroadcastGrams = 0L)),
     "text_contamination_fuzzy" -> q(t => TextAnalysis.textContaminationFuzzy(t)),
+    "text_contamination_bloom" -> q(t => TextAnalysis.textContaminationBloom(t)),
     "corpus_filter_funnel" -> q(t => TextAnalysis.corpusFilterFunnel(t)),
     "corpus_zipf"         -> q(t => TextAnalysis.corpusZipf(t)),
     "corpus_doc_embedding" -> q(t => TextAnalysis.corpusDocEmbedding(t)),
@@ -109,6 +110,7 @@ object SparkEntry {
     "text_novelty"        -> q(TextAnalysis.textNovelty),
     "corpus_token_shards" -> q(t => TextAnalysis.corpusTokenShards(t)),
     "text_bpe_tokens"     -> q(TextAnalysis.textBpeTokens),
+    "text_bpe_train"      -> q(t => TextAnalysis.textBpeTrain(t)),
     // shard layout priced in SUBWORD tokens (what training actually
     // packs), reusing the recursive prefix-sum machinery
     "corpus_bpe_shards"   -> q(t => TextAnalysis.corpusTokenShards(t,
@@ -158,6 +160,7 @@ object SparkEntry {
     "dedup_incremental"   -> q(t => Dedup.dedupIncremental(t)),
     "dedup_incremental_table" -> q(t => Dedup.dedupIncrementalTable(t)),
     "dedup_passage"       -> q(t => Dedup.dedupPassage(t)),
+    "dedup_spans"         -> q(t => Dedup.dedupSpans(t)),
     "dedup_minhash_eval"  -> q(Dedup.dedupMinhashEval),
     "dedup_containment"   -> q(t => Dedup.dedupContainment(t)),
     "dedup_minhash_tuning" -> q(Dedup.dedupMinhashTuning),
@@ -193,6 +196,7 @@ object SparkEntry {
     "embed_project"       -> q(t => Similarity.embedProject(t)),
     "ann_hard_negatives"  -> q(t => Similarity.annHardNegatives(t)),
     "embed_dim_stats"     -> q(Similarity.embedDimStats),
+    "embed_knn_graph"     -> q(t => Similarity.embedKnnGraph(t)),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
     // §2.7 structured streaming
@@ -205,6 +209,7 @@ object SparkEntry {
     "stream_anomaly"      -> q(graft.streaming.Streaming.streamAnomaly),
     "stream_latest"       -> q(graft.streaming.Streaming.streamLatest),
     "stream_upsert_latest" -> q(graft.streaming.Streaming.streamUpsertLatest),
+    "stream_scd2_merge"   -> q(t => graft.streaming.Streaming.streamScd2Merge(t)),
     "stream_multi_source" -> q(graft.streaming.Streaming.streamMultiSource),
     // §2.6 multimodal columns (decode stubbed, plumbing real)
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
@@ -1040,6 +1045,9 @@ object SparkEntry {
     // oracle IS the rebuild SQL, same discipline as
     // dedup_clusters_incremental / q_incremental_rollup
     "q_scd2_merge" -> scd2Sql,
+    // the per-day streaming CDC fold must land on the identical
+    // dimension — stream/batch equivalence pair #11
+    "stream_scd2_merge" -> scd2Sql,
     // the point-in-time consumer composes the SCD2 build verbatim
     "q_point_in_time_join" ->
       s"""WITH dim AS ($scd2Sql),
@@ -1384,6 +1392,27 @@ object SparkEntry {
         |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
         |SELECT g.doc_id, count(*) AS n_hits
         |FROM g JOIN b USING (g) WHERE g.doc_id >= 10 GROUP BY 1""".stripMargin,
+    "text_contamination_bloom" -> {
+      // replay the Spark side's md5 Bloom geometry: hash j of a gram
+      // is the 20-bit value of md5 nibbles [5j+1, 5j+5] (same windows
+      // as TextAnalysis.bloomPos); membership = all 3 positions among
+      // the bench set's bit positions, false positives included.
+      def nib(off: String) = s"(strpos('0123456789abcdef',substr(h,$off,1))-1)"
+      val posList = (0 until TextAnalysis.BloomHashes).map { j =>
+        (1 to 5).map(i =>
+          s"${math.pow(16, 5 - i).toLong}*${nib((5 * j + i).toString)}")
+          .mkString("(", " + ", ")")
+      }.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4],' ') AS g
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) s WHERE i <= len(toks)-4),
+        |hp AS (SELECT doc_id, g, unnest($posList) AS pos
+        |  FROM (SELECT doc_id, g, md5(g) AS h FROM g)),
+        |bits AS (SELECT DISTINCT pos FROM hp WHERE doc_id < 10),
+        |f AS (SELECT hp.doc_id, hp.g FROM hp JOIN bits USING (pos)
+        |  WHERE hp.doc_id >= 10 GROUP BY 1, 2 HAVING count(*) = ${TextAnalysis.BloomHashes})
+        |SELECT doc_id, count(*)::BIGINT AS n_maybe FROM f GROUP BY 1""".stripMargin
+    },
     "text_contamination_fuzzy" ->
       s"""WITH $sqlShingles,
         |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
@@ -1702,6 +1731,12 @@ object SparkEntry {
         |  length(replace(nt, ' ', ''))::BIGINT AS n_chars FROM n)
         |SELECT doc_id, n_words, n_bpe, n_chars,
         | round(n_bpe*1.0/nullif(n_words,0)+1e-9,4) AS fertility FROM b""".stripMargin,
+    "text_bpe_train" ->
+      s"""WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> len(x)>0)) AS word FROM documents),
+        |u AS (SELECT regexp_extract_all(word, '${TextAnalysis.bpeRegex}') AS us FROM w),
+        |p AS (SELECT unnest([us[i] || ' ' || us[i+1] for i in range(1, len(us))]) AS pair FROM u)
+        |SELECT pair, count(*)::BIGINT AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
     "events_funnel" -> funnelSql,
     // the streaming funnel must converge to the batch funnel's answer
     "stream_funnel" -> funnelSql,
@@ -1761,6 +1796,24 @@ object SparkEntry {
         |SELECT passage_hash, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
         | min(doc_id) AS rep_doc_id
         |FROM c GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+    // all-offset duplicated 10-token windows coalesced into maximal
+    // per-doc spans (exact substring dedup, Lee et al. 2022 shape)
+    "dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+9],' ')) AS wh
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) s WHERE i <= len(toks)-9),
+        |d AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+        |j AS (SELECT w.doc_id, w.pos FROM w JOIN d USING (wh)),
+        |m AS (SELECT doc_id, pos, max(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM j),
+        |c AS (SELECT doc_id, pos,
+        |  CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END AS chg FROM m),
+        |isl AS (SELECT doc_id, pos, sum(chg) OVER (PARTITION BY doc_id ORDER BY pos
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM c)
+        |SELECT doc_id, min(pos)::BIGINT AS span_start,
+        | (max(pos) + 10 - min(pos))::BIGINT AS span_len,
+        | count(*)::BIGINT AS n_windows
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     // inverted-index (df-capped rare shingles) candidates + exact
     // directional containment ratios — the near-superset screen
     "dedup_containment" ->
@@ -2091,6 +2144,13 @@ object SparkEntry {
         |n AS (SELECT cell, count(*) AS n_members FROM a GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m JOIN n USING (cell)""".stripMargin,
     "ann_bruteforce_topk" -> bruteForceSql,
+    "embed_knn_graph" ->
+      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 16 = 0),
+        |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+        |  round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rnk FROM s)
+        |SELECT src, dst, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // composed from the two existing oracles (DuckDB allows CTEs in
     // derived tables): the recall eval is definitionally their overlap
     // PQ-family recall: the stored-index refine path replayed in full

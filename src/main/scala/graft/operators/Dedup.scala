@@ -397,6 +397,54 @@ object Dedup {
         min(col("doc_id")).as("rep_doc_id"))
       .filter(col("n_occ") > 1)
 
+  /** D14 — `dedup_spans`: EXACT SUBSTRING dedup in its actionable
+    * form (public Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): find every `k`-token window that
+    * appears in MORE THAN ONE document at ANY offset, then coalesce
+    * each doc's duplicated windows into MAXIMAL spans — the
+    * `[span_start, span_start+span_len)` byte ranges a dedup pass
+    * actually removes. [[dedupPassage]]'s stride-aligned chunks miss
+    * duplication that crosses chunk boundaries or starts mid-chunk;
+    * all-offset windows (the suffix-array equivalent at fixed k)
+    * catch it wherever it starts.
+    *
+    * Shape: posexplode to (doc, pos, window-hash) — 16-byte hashes
+    * shuffle, never window text; ONE hash-keyed rollup finds
+    * cross-doc hashes; windows join back on the hash (keyed shuffle,
+    * no broadcast of an unbounded dup set); per-doc interval merge is
+    * a user-partitioned running-max window + gaps-and-islands rollup,
+    * O(windows per doc) state. Every stage partitions by hash or doc
+    * — nothing scales with corpus size beyond the linear explode, the
+    * same budget the token-shard layout already pays. */
+  def dedupSpans(t: Tables, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), k)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("wh"))
+    val dup = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("wh"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dup, "wh")
+      .withColumn("prev_end",
+        max(col("pos") + k).over(byPos.rowsBetween(
+          Window.unboundedPreceding, -1)))
+      .withColumn("chg",
+        when(col("prev_end").isNull || col("pos") > col("prev_end"), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("chg")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k - min(col("pos"))).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
   /** D6 — near-dup cluster canonicalization: connected components over
     * the MinHash-LSH pair graph, labelling every doc with the minimum
     * doc_id of its component. The "keep one per duplicate cluster"

@@ -181,7 +181,7 @@ object Scale {
     * by (at least) `user_id`, and [[dayStatus]]'s argmax partitions by
     * (user_id, day), so filtering whole days never cuts a window
     * partition in half. */
-  private def scd2Events(t: Tables): DataFrame =
+  private[graft] def scd2Events(t: Tables): DataFrame =
     t.events.select(col("user_id"),
       datediff(col("ts").cast("date"),
         lit(java.sql.Date.valueOf("2024-01-01"))).as("day"),
@@ -236,7 +236,7 @@ object Scale {
   private val scd2StateCache =
     scala.collection.concurrent.TrieMap.empty[(String, String, Int), String]
 
-  private def scd2State(t: Tables, splitDay: Int): String =
+  private[graft] def scd2State(t: Tables, splitDay: Int): String =
     scd2StateCache.synchronized {
       import graft.sources.{SourceOps, Sources}
       scd2StateCache.getOrElseUpdate(
@@ -296,11 +296,19 @@ object Scale {
     * broadcast anti-join on the touched-user set. Nothing scales with
     * history size except the pass-through scan — which production
     * writes straight back out as the new dimension. */
-  def qScd2Merge(t: Tables, splitDay: Int = 25): DataFrame = {
-    val stored = t.spark.table(scd2State(t, splitDay))
+  def qScd2Merge(t: Tables, splitDay: Int = 25): DataFrame =
+    scd2MergeOf(t.spark.table(scd2State(t, splitDay)),
+        scd2Events(t).filter(col("day") >= splitDay))
+      .orderBy(col("user_id"), col("valid_from"))
+
+  /** The merge CORE: stored dimension + increment events (already in
+    * the [[scd2Events]] projection; every increment day must be ≥
+    * every `stored` day — the CDC contract) → merged dimension,
+    * unordered. Shared by the batch query and the streaming per-day
+    * CDC twin, which folds one micro-batch at a time through this. */
+  private[graft] def scd2MergeOf(stored: DataFrame, incr: DataFrame): DataFrame = {
     val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
-    val marked = runsOf(dayStatus(
-        scd2Events(t).filter(col("day") >= splitDay)))
+    val marked = runsOf(dayStatus(incr))
       .withColumn("rk", row_number().over(byFrom))
     val open = stored.filter(col("is_current"))
       .select(col("user_id"), col("status").as("open_status"),
@@ -342,7 +350,6 @@ object Scale {
         .join(broadcast(touched), Seq("user_id"), "left_anti"))
       .unionByName(closedOpen)
       .unionByName(newPart)
-      .orderBy(col("user_id"), col("valid_from"))
   }
 
   /** `q_point_in_time_join` — the consumer [[qScd2History]] exists

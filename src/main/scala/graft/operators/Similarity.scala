@@ -1468,4 +1468,35 @@ object Similarity {
       .select(col("q_id"), col("k"), col("n_hits"),
         (col("n_hits") / col("k")).as("recall"))
   }
+
+  /** S15 — `embed_knn_graph`: exact k-NN graph over an embedding
+    * node set — the structure mutual-kNN clustering, graph-based
+    * near-dup mining and UMAP-style layout all start from. Each node's
+    * k best cosine neighbors WITHIN the node set become directed
+    * edges (src, dst, cos_sim, rnk); ranking uses the rounded score +
+    * dst id so the edge set is bit-for-bit reproducible.
+    *
+    * Here the node set is a deterministic 1/16 corpus slice and the
+    * graph is built by one broadcast self-join through the fused
+    * codegen cosine kernel — map-only scoring, one window per src for
+    * the top-k. At 100 TB the same operator runs BLOCKED: the node
+    * set is cut into broadcast-sized blocks and each block scans the
+    * partitioned corpus (linear passes, no shuffle growth), or — when
+    * exactness can be traded — candidates come from the stored IVF
+    * index's cell buckets ([[ivfPqServe]]) and only candidate pairs
+    * are scored; per-query recall of exactly that trade is what
+    * [[annRecallEval]] measures.
+    */
+  def embedKnnGraph(t: Tables, k: Int = TopK): DataFrame = {
+    val nodes = withEmb(t).filter(col("vec_id") % 16 === 0)
+    val edges = nodes.select(col("vec_id").as("src"), col("emb").as("src_emb"))
+      .join(broadcast(nodes.select(col("vec_id").as("dst"), col("emb").as("dst_emb"))),
+        col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosineSimilarity(col("src_emb"), col("dst_emb")), 4).as("cos_sim"))
+    edges
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(desc("cos_sim"), asc("dst"))))
+      .filter(col("rnk") <= k)
+  }
 }

@@ -1040,4 +1040,92 @@ object TextAnalysis {
         .otherwise(lit(0.0)))
       .withColumn("flagged", col("z_green") >= 2.0)
   }
+
+  /** T26 — `text_bpe_train`: one BPE TRAINING round at corpus scale —
+    * the adjacent-pair frequency count that picks the next merge.
+    * Given the current subword vocabulary ([[bpeVocab]] via the greedy
+    * tokenizer), every word is segmented into units and each adjacent
+    * unit pair inside a word votes once; the top pairs (count desc,
+    * pair asc — deterministic) are the merge candidates. Iterating
+    * this (merge winner into vocab, recount) IS the BPE training loop
+    * of Sennrich et al. 2016; the per-round distributed shape is what
+    * matters at 100 TB, so one round is the operator and the loop is a
+    * driver-side fold over it.
+    *
+    * Shape: map + explode (one regex pass per word, pairs via the
+    * shift-zip [[ngrams]] — no O(n²) lambda re-evaluation), then ONE
+    * aggregation shuffle on the pair key with map-side partial
+    * counts — at 100 TB the partial agg collapses each task's pairs
+    * to its distinct-pair set before the exchange, and the top-k is a
+    * TakeOrderedAndProject, no global sort. Pair cardinality is
+    * bounded by |vocab|² + boundary singles, so the reduce side is
+    * tiny regardless of corpus size. */
+  def textBpeTrain(t: Tables, topN: Int = 20): DataFrame = {
+    val units = regexp_extract_all(col("word"), lit(bpeRegex), lit(0))
+    t.documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .select(explode(ngrams(units, 2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("pair"))
+      .limit(topN)
+  }
+
+  /** Bloom-filter geometry shared by [[textContaminationBloom]] and
+    * its oracle: 2^20 bits, 3 hashes, each hash a 5-nibble (20-bit)
+    * window of the gram's md5 — deterministic and replayable in any
+    * engine that has md5, unlike engine-native bloom builders. */
+  private[graft] val BloomBits = 1 << 20
+  private[graft] val BloomHashes = 3
+
+  /** Bit position of hash `j` for gram column `g` (shared geometry). */
+  private def bloomPos(g: Column, j: Int): Column =
+    conv(substring(md5(g), 1 + 5 * j, 5), 16, 10).cast("long")
+
+  /** T27 — `text_contamination_bloom`: the BROADCAST-BITSET
+    * contamination screen. [[textContamination]] ships the benchmark
+    * gram STRINGS to every task (fine for one eval suite; not for the
+    * concatenation of every holdout the lab owns — gigabytes of
+    * grams). This screen compresses the bench gram set to a 128 KiB
+    * Bloom bitset (2^20 bits, 3 md5-derived hashes) and flags each
+    * corpus doc's grams MAP-ONLY: per gram, 3 bit probes into the
+    * broadcast words array — ZERO exchanges at any corpus size, and
+    * the false-positive rate is the classic (1-e^{-kn/m})^k, ~1e-5 at
+    * the tested fill. Production runs this as the cheap first pass
+    * and confirms survivors with the exact join — the two-stage
+    * screen; the spec pins the superset contract (every exact hit is
+    * Bloom-flagged) plus the FP bound.
+    *
+    * Determinism: the filter is not a sketch here — given the bench
+    * set, membership (INCLUDING false positives) is a pure function
+    * of the md5 geometry, so the DuckDB oracle replays it exactly by
+    * joining each gram's 3 positions against the set-bit positions
+    * and requiring all 3 present. [Q], not [R].
+    *
+    * Driver state is bounded by the BITSET, never the corpus: the
+    * distinct bench positions collected are ≤ min(k·|bench grams|,
+    * 2^20); the packed words array is 16 K longs regardless of scale.
+    */
+  def textContaminationBloom(t: Tables, n: Int = 5,
+      benchDocs: Int = 10): DataFrame = {
+    val grams = array_distinct(ngrams(tokens(col("text")), n))
+    val bench = t.documents.filter(col("doc_id") < benchDocs)
+      .select(explode(grams).as("g")).distinct()
+    val setBits = bench
+      .select(explode(array((0 until BloomHashes).map(j =>
+        bloomPos(col("g"), j)): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val words = new Array[Long](BloomBits / 64)
+    setBits.foreach(p => words((p / 64).toInt) |= 1L << (p % 64).toInt)
+    val wlit = typedLit(words.toSeq)
+    def inBloom(g: Column): Column = (0 until BloomHashes).map { j =>
+      val p = bloomPos(g, j)
+      call_function("bit_get",
+        element_at(wlit, (p / 64).cast("int") + 1), (p % 64).cast("int")) === 1
+    }.reduce(_ && _)
+    t.documents.filter(col("doc_id") >= benchDocs)
+      .select(col("doc_id"),
+        size(filter(grams, inBloom(_))).cast("long").as("n_maybe"))
+      .filter(col("n_maybe") > 0)
+  }
 }

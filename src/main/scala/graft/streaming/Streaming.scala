@@ -482,6 +482,87 @@ object Streaming {
       graft.operators.TextAnalysis.watermarkDetectOf(docsStream), "append")
   }
 
+  /** Stage the SCD2 increment (projected events, day ≥ splitDay) as
+    * ONE parquet file PER DAY — the daily CDC drop a warehouse's
+    * dimension-maintenance job actually consumes — with strictly
+    * ascending modification times so the file source replays the days
+    * in calendar order. Idempotent per (sf, splitDay). */
+  private def stageScd2IncrementDaily(t: Tables, splitDay: Int): String = {
+    import graft.operators.Scale
+    import scala.jdk.CollectionConverters._
+    val safe = t.dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_$safe", s"scd2_cdc_$splitDay")
+    if (!Files.exists(dir) || !Files.list(dir).iterator().hasNext) {
+      Files.createDirectories(dir)
+      val incr = Scale.scd2Events(t).filter(col("day") >= splitDay)
+      val days = incr.select(col("day")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      days.zipWithIndex.foreach { case (d, i) =>
+        val tmp = dir.resolve(s"_tmp_$d")
+        incr.filter(col("day") === d).coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dest = dir.resolve(f"day_$d%05d.parquet")
+        Files.move(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        // scrub the leftover _SUCCESS/_tmp dir so the source sees
+        // exactly one file per day
+        Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    dir.toString
+  }
+
+  /** X18 — `stream_scd2_merge`: the SCD2 dimension maintained as a
+    * CONTINUOUS CDC consumer — `q_scd2_merge`'s close/extend/append
+    * merge applied once per arriving day. The increment is staged as
+    * one file per day (`maxFilesPerTrigger=1` → each micro-batch IS
+    * one day's CDC drop, replayed in calendar order), and every batch
+    * folds through the shared merge core against the running stored
+    * dimension, whose new version is written out and becomes the next
+    * batch's state — exactly the daily scheduled-merge cadence, so
+    * five sequential merges must reproduce the one-shot rebuild
+    * (the split-invariance the batch spec pins drives the whole
+    * design). Shares the full-rebuild oracle verbatim — stream/batch
+    * equivalence pair #11.
+    *
+    * Shape per batch: increment windows partition by user over THAT
+    * DAY's rows only; the boundary decision is one user-keyed join of
+    * the daily-active users against the stored open versions; the
+    * pass-through is a scan + broadcast anti-join. State lives in the
+    * written dimension table (a Delta/Iceberg MERGE target in
+    * production), NEVER in driver memory or streaming state stores —
+    * the merge scales with the day + touched users at any history
+    * size. */
+  def streamScd2Merge(t: Tables, splitDay: Int = 25): DataFrame = {
+    import graft.operators.Scale
+    import graft.sources.SourceOps
+    val dir = stageScd2IncrementDaily(t, splitDay)
+    var dim = t.spark.table(Scale.scd2State(t, splitDay))
+    val schema = t.spark.read.parquet(dir).schema
+    val incStream = t.spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+    val tag = s"${SourceOps.runId}_${SourceOps.dirTag(t.dir)}_$splitDay"
+    val q = incStream.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val path = SourceOps.staging(s"stream_scd2_${tag}_b$id")
+        Scale.scd2MergeOf(dim, batch)
+          .write.mode("overwrite").parquet(path)
+        dim = t.spark.read.parquet(path)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    dim.orderBy(col("user_id"), col("valid_from"))
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path

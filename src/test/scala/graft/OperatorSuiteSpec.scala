@@ -46,7 +46,8 @@ class OperatorSuiteSpec extends SparkSpec {
     "q_scalar_subquery", "q22_idle_customers", "q19_disjunctive",
     "q18_large_orders", "stream_stream_join", "text_contamination",
     "text_contamination_shuffled", "dedup_incremental", "dedup_minhash_eval",
-    "text_contamination_fuzzy", "dedup_containment")
+    "text_contamination_fuzzy", "dedup_containment",
+    "text_contamination_bloom")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

@@ -224,4 +224,35 @@ class DedupSpec extends SparkSpec {
       assert(w == 1.0 / nearN)
     }
   }
+
+  test("dedup_spans equals a naive all-offset window + interval-merge replay") {
+    val k = 10
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    val wins = docs.flatMap { case (id, toks) =>
+      toks.sliding(k).zipWithIndex.collect {
+        case (w, pos) if w.length == k => (id, pos, w.mkString(" "))
+      }
+    }
+    val dupWindows = wins.groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.length > 1).keySet
+    val expected = wins.filter(w => dupWindows(w._3))
+      .groupBy(_._1).flatMap { case (id, ws) =>
+        // merge [pos, pos+k) intervals, adjacency included
+        val spans = scala.collection.mutable.ListBuffer.empty[(Int, Int, Long)]
+        ws.map(_._2).sorted.foreach { p =>
+          spans.lastOption match {
+            case Some((s, e, n)) if p <= e =>
+              spans.update(spans.length - 1, (s, math.max(e, p + k), n + 1))
+            case _ => spans += ((p, p + k, 1L))
+          }
+        }
+        spans.map { case (s, e, n) => (id, s.toLong, (e - s).toLong, n) }
+      }.toSet
+    val actual = Dedup.dedupSpans(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(expected.nonEmpty, "degenerate corpus: no cross-doc duplicated span")
+    assert(actual == expected)
+  }
 }

@@ -251,4 +251,30 @@ class EmbeddingMiningSpec extends SparkSpec {
     // the k-means-seeded index must retrieve SOMETHING real overall
     assert(rows.map(_.getLong(2)).sum > 0, "zero recall across every query")
   }
+
+  test("embed_knn_graph equals a naive all-pairs cosine replay") {
+    val nodes = tables.embeddings
+      .filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      // same FP order as the codegen kernel: sqrt(nx)*sqrt(ny)
+      BigDecimal((d / (math.sqrt(na) * math.sqrt(nb))).toString)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = nodes.flatMap { case (src, se) =>
+      nodes.filter(_._1 != src)
+        .map { case (dst, de) => (src, dst, cos(se, de)) }
+        .sortBy { case (_, dst, s) => (-s, dst) }
+        .take(5).zipWithIndex
+        .map { case ((s, d, c), i) => (s, d, c, i + 1) }
+    }.toSet
+    val actual = Similarity.embedKnnGraph(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(nodes.length >= 2, "degenerate node slice")
+    assert(actual == expected)
+  }
 }

@@ -164,4 +164,55 @@ class TextAnalysisSpec extends SparkSpec {
       s"watermark not separable: inj=${meanZ(inj)} clean=${meanZ(clean)}")
     assert(inj.count(_._5) > 0, "no injected doc flagged")
   }
+
+  test("bpe train: pair counts equal a naive greedy-segmentation replay") {
+    // independent reference: greedy maximal-munch segmentation per
+    // word (same vocab order as the regex alternation), count adjacent
+    // unit pairs, take top-20 with the (count desc, pair asc) tiebreak
+    val vocab = TextAnalysis.bpeVocab.sortBy(u => (-u.length, u))
+    def segment(word: String): List[String] = {
+      var i = 0; val units = List.newBuilder[String]
+      while (i < word.length) {
+        val unit = vocab.find(u => word.startsWith(u, i))
+          .getOrElse(word.substring(i, i + 1))
+        units += unit; i += unit.length
+      }
+      units.result()
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    tables.documents.select(col("text")).collect().foreach { r =>
+      r.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .foreach { w =>
+          segment(w).sliding(2).filter(_.length == 2).foreach { p =>
+            val k = p.mkString(" "); counts(k) = counts.getOrElse(k, 0L) + 1
+          }
+        }
+    }
+    val expected = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    val actual = TextAnalysis.textBpeTrain(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(actual == expected)
+  }
+
+  test("bloom contamination screen: superset of exact, FP-bounded") {
+    val exact = TextAnalysis.textContamination(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = TextAnalysis.textContaminationBloom(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exact hit survives the Bloom screen,
+    // per doc and per count
+    exact.foreach { case (id, nHits) =>
+      assert(bloom.contains(id), s"doc $id exact-hit but not Bloom-flagged")
+      assert(bloom(id) >= nHits, s"doc $id bloom ${bloom(id)} < exact $nHits")
+    }
+    // false positives bounded: at the tested fill the per-gram FP rate
+    // is ~(fill)^3 << 1e-3; allow a loose 0.1% of all distinct grams
+    val totalGrams = tables.documents.filter(col("doc_id") >= 10)
+      .select(size(array_distinct(
+        TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 5))).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    val fpGrams = bloom.map { case (id, n) => n - exact.getOrElse(id, 0L) }.sum
+    assert(fpGrams <= math.max(1L, totalGrams / 1000),
+      s"$fpGrams FP grams of $totalGrams")
+  }
 }
