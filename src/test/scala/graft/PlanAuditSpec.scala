@@ -121,6 +121,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange") && !p.contains("Generate"), p)
   }
 
+  test("text_contamination_bloom: the corpus screen is map-only, zero exchanges") {
+    // the operator's whole point vs the exact join: after the (tiny)
+    // bench bitset is built, screening any corpus size is scan →
+    // project → filter with three literal-array bit probes per gram —
+    // an Exchange here means the broadcast-bitset contract broke
+    val p = plan(TextAnalysis.textContaminationBloom(tables))
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("text_bpe_train: one pair-keyed shuffle with map-side combine, top-k never global-sorts") {
+    val p = plan(TextAnalysis.textBpeTrain(tables))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected exactly 1 aggregation shuffle, got $shuffles:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side combine on the pair rollup:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 fell back to a global sort:\n$p")
+  }
+
+  test("embed_knn_graph: node self-join broadcasts, scoring never shuffles rows") {
+    // the node set is broadcast-sized by contract (blocked at scale);
+    // the only row shuffle allowed is the per-src top-k window
+    val p = plan(Similarity.embedKnnGraph(tables))
+    assert(p.contains("BroadcastExchange"), s"node side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"expected only the window shuffle, got $shuffles:\n$p")
+  }
+
+  test("dedup_spans: hash-keyed stages only, window text never joins by value") {
+    val p = plan(Dedup.dedupSpans(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"no map-side combine on the dup rollup:\n$p")
+  }
+
   test("q_scd2_merge: user-keyed windows/joins only, touched-user set broadcast") {
     // the merge must never pay a global window or an all-pairs join:
     // increment windows partition by user, the boundary decision is a
