@@ -111,6 +111,8 @@ object SparkEntry {
     "corpus_token_shards" -> q(t => TextAnalysis.corpusTokenShards(t)),
     "text_bpe_tokens"     -> q(TextAnalysis.textBpeTokens),
     "text_bpe_train"      -> q(t => TextAnalysis.textBpeTrain(t)),
+    "stream_bpe_train"    -> q(t => graft.streaming.Streaming.streamBpeTrain(t)),
+    "corpus_weighted_sample" -> q(t => TextAnalysis.corpusWeightedSample(t)),
     // shard layout priced in SUBWORD tokens (what training actually
     // packs), reusing the recursive prefix-sum machinery
     "corpus_bpe_shards"   -> q(t => TextAnalysis.corpusTokenShards(t,
@@ -161,6 +163,7 @@ object SparkEntry {
     "dedup_incremental_table" -> q(t => Dedup.dedupIncrementalTable(t)),
     "dedup_passage"       -> q(t => Dedup.dedupPassage(t)),
     "dedup_spans"         -> q(t => Dedup.dedupSpans(t)),
+    "dedup_spans_scrub"   -> q(t => Dedup.dedupSpansScrub(t)),
     "dedup_minhash_eval"  -> q(Dedup.dedupMinhashEval),
     "dedup_containment"   -> q(t => Dedup.dedupContainment(t)),
     "dedup_minhash_tuning" -> q(Dedup.dedupMinhashTuning),
@@ -1737,6 +1740,25 @@ object SparkEntry {
         |p AS (SELECT unnest([us[i] || ' ' || us[i+1] for i in range(1, len(us))]) AS pair FROM u)
         |SELECT pair, count(*)::BIGINT AS n FROM p
         |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // the streaming pair-count state drain must land on the identical
+    // top-20 — stream/batch equivalence pair #12
+    "stream_bpe_train" ->
+      s"""WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> len(x)>0)) AS word FROM documents),
+        |u AS (SELECT regexp_extract_all(word, '${TextAnalysis.bpeRegex}') AS us FROM w),
+        |p AS (SELECT unnest([us[i] || ' ' || us[i+1] for i in range(1, len(us))]) AS pair FROM u)
+        |SELECT pair, count(*)::BIGINT AS n FROM p
+        |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    "corpus_weighted_sample" -> {
+      val h = (1 to 8).map(i =>
+        s"${math.pow(16, 8 - i).toLong}*(strpos('0123456789abcdef',substr(h,$i,1))-1)")
+        .mkString("(", " + ", ")")
+      s"""WITH d AS (SELECT doc_id, len($sqlToks)::BIGINT AS weight,
+        |  md5(doc_id::VARCHAR) AS h FROM documents)
+        |SELECT doc_id, weight,
+        | ((weight * 1000000000000) // ($h + 1))::BIGINT AS priority
+        |FROM d WHERE weight > 0
+        |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin
+    },
     "events_funnel" -> funnelSql,
     // the streaming funnel must converge to the batch funnel's answer
     "stream_funnel" -> funnelSql,
@@ -1814,6 +1836,22 @@ object SparkEntry {
         | (max(pos) + 10 - min(pos))::BIGINT AS span_len,
         | count(*)::BIGINT AS n_windows
         |FROM isl GROUP BY doc_id, island""".stripMargin,
+    // keep-first span removal: clean bytes hash-compared cross-engine
+    "dedup_spans_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |w AS (SELECT doc_id, i - 1 AS pos, md5(array_to_string(toks[i:i+9],' ')) AS wh
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) s WHERE i <= len(toks)-9),
+        |f AS (SELECT wh, min(doc_id) AS first_doc FROM w GROUP BY 1),
+        |rp AS (SELECT DISTINCT w.doc_id, w.pos + g.o AS p
+        |  FROM w JOIN f USING (wh), (SELECT unnest(generate_series(0,9)) AS o) g
+        |  WHERE w.doc_id > f.first_doc),
+        |r AS (SELECT doc_id, list(p) AS rem FROM rp GROUP BY 1)
+        |SELECT t.doc_id, len(toks)::BIGINT AS n_tokens,
+        | coalesce(len(rem), 0)::BIGINT AS n_removed,
+        | (len(toks) - coalesce(len(rem), 0))::BIGINT AS n_kept,
+        | md5(coalesce(array_to_string([toks[i] for i in range(1, len(toks)+1)
+        |   if NOT list_contains(coalesce(rem, []), i - 1)], ' '), '')) AS clean_md5
+        |FROM t LEFT JOIN r USING (doc_id)""".stripMargin,
     // inverted-index (df-capped rare shingles) candidates + exact
     // directional containment ratios — the near-superset screen
     "dedup_containment" ->

@@ -445,6 +445,53 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** D15 — `dedup_spans_scrub`: the CONSUMER [[dedupSpans]] exists
+    * for — actually REMOVE the duplicated text, keep-first policy:
+    * a window occurrence is removable iff some EARLIER doc (smaller
+    * doc_id) contains the same window, so exactly one copy of every
+    * duplicated span survives corpus-wide (the Lee et al. 2022
+    * dedup step, not just its report). Each doc's removable window
+    * positions union into token ranges; the doc's clean text is its
+    * token stream minus those ranges, and the gate hash-compares the
+    * clean BYTES (md5 of the rejoined stream) cross-engine, plus the
+    * removed/kept token accounting every corpus release publishes.
+    *
+    * Shape: the window/hash explode and min-doc rollup are
+    * [[dedupSpans]]'s stages; removable positions explode k ints per
+    * removable window (bounded by duplication volume, not corpus
+    * size) and collapse per doc via collect_set; the final scrub is
+    * map-only — an index-aware `filter` lambda over the token array.
+    * Docs with nothing to remove pass through the left join with
+    * their bytes untouched. */
+  def dedupSpansScrub(t: Tables, k: Int = 10): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val wins = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), posexplode(TextAnalysis.ngrams(toks, k)))
+      .select(col("doc_id"), col("pos"), md5(col("col")).as("wh"))
+    val firstDoc = wins.groupBy(col("wh"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val removedPos = wins.join(firstDoc, "wh")
+      .filter(col("doc_id") > col("first_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("p")).as("rem"))
+    t.documents
+      .select(col("doc_id"), toks.as("toks"))
+      .join(removedPos, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        when(col("rem").isNull, lit(0)).otherwise(size(col("rem")))
+          .cast("long").as("n_removed"),
+        when(col("rem").isNull, col("toks"))
+          .otherwise(filter(col("toks"),
+            (_, i) => !array_contains(col("rem"), i))).as("clean"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        (col("n_tokens") - col("n_removed")).as("n_kept"),
+        md5(concat_ws(" ", col("clean"))).as("clean_md5"))
+  }
+
   /** D6 — near-dup cluster canonicalization: connected components over
     * the MinHash-LSH pair graph, labelling every doc with the minimum
     * doc_id of its component. The "keep one per duplicate cluster"

@@ -1071,6 +1071,35 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** T28 — `corpus_weighted_sample`: weight-proportional sampling
+    * WITHOUT replacement via priority sampling (public Duffield–
+    * Lund–Thorup 2007): each doc draws priority = w / u for a
+    * uniform u and the k highest priorities are the sample — longer
+    * docs proportionally favored, every doc still possible, and the
+    * scheme is mergeable (each partition keeps its local top-k; the
+    * union's top-k is exact — the distributed heavy-hitter shape).
+    * [[corpusSampleStratified]] samples per-stratum quotas; this is
+    * the size-biased global sample a token-budget subcorpus draw
+    * needs.
+    *
+    * Determinism: u comes from the doc's md5 (8 nibbles → h ∈
+    * [0, 2^32)), and priority is the INTEGER (w · 10^12) div (h+1) —
+    * w ≤ corpus max tokens keeps the product inside int64, so the
+    * ranking is exact integer arithmetic cross-engine, no pow/ln
+    * libm hazard. Map-only projection + one TakeOrdered cut; no
+    * shuffle beyond the top-k. */
+  def corpusWeightedSample(t: Tables, k: Int = 200): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("weight"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("priority", expr("(weight * 1000000000000L) div (h + 1)"))
+      .filter(col("weight") > 0)
+      .orderBy(desc("priority"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"), col("priority"))
+
   /** Bloom-filter geometry shared by [[textContaminationBloom]] and
     * its oracle: 2^20 bits, 3 hashes, each hash a 5-nibble (20-bit)
     * window of the gram's md5 — deterministic and replayable in any

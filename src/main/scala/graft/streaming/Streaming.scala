@@ -563,6 +563,34 @@ object Streaming {
     dim.orderBy(col("user_id"), col("valid_from"))
   }
 
+  /** X19 — `stream_bpe_train`: the BPE pair-counting round over a
+    * document STREAM — tokenizer training statistics maintained
+    * continuously as the corpus lands, instead of a scheduled batch
+    * recount: per micro-batch the word explode + greedy segmentation
+    * + pair explode stay map-only, and the pair counts are ONE keyed
+    * streaming aggregation whose state is bounded by the pair
+    * vocabulary (≤ |vocab|² + boundary singles — metadata-scale at
+    * any corpus rate). Complete-mode drain, then the same
+    * deterministic top-20 cut; shares the batch oracle verbatim —
+    * stream/batch equivalence pair #12.
+    */
+  def streamBpeTrain(t: Tables, topN: Int = 20): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = t.raw("documents").schema
+    val docsStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    val units = regexp_extract_all(col("word"),
+      lit(TextAnalysis.bpeRegex), lit(0))
+    val counts = docsStream
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .select(explode(TextAnalysis.ngrams(units, 2)).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+    drainToTable(counts, "complete")
+      .orderBy(desc("n"), asc("pair"))
+      .limit(topN)
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path

@@ -255,4 +255,38 @@ class DedupSpec extends SparkSpec {
     assert(expected.nonEmpty, "degenerate corpus: no cross-doc duplicated span")
     assert(actual == expected)
   }
+
+  test("dedup_spans_scrub: keep-first removal replays naively, bytes and counts") {
+    val k = 10
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .sortBy(_._1)
+    val wins = docs.flatMap { case (id, toks) =>
+      toks.sliding(k).zipWithIndex.collect {
+        case (w, pos) if w.length == k => (id, pos, w.mkString(" "))
+      }
+    }
+    val firstDoc = wins.groupBy(_._3).map { case (w, os) => w -> os.map(_._1).min }
+    val expected = docs.map { case (id, toks) =>
+      val removed = wins.filter(w => w._1 == id && firstDoc(w._3) < id)
+        .flatMap(w => w._2 until w._2 + k).toSet
+      val clean = toks.zipWithIndex.collect {
+        case (tok, i) if !removed(i) => tok
+      }
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (id, toks.length.toLong, removed.size.toLong,
+        (toks.length - removed.size).toLong, md5)
+    }.toSet
+    val actual = Dedup.dedupSpansScrub(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    assert(actual == expected)
+    // the scrub must actually remove something on this near-dup corpus
+    assert(expected.exists(_._3 > 0), "nothing removed — degenerate test")
+    // corpus-wide keep-first: every duplicated window survives somewhere
+    assert(expected.map(_._4).sum > 0)
+  }
 }

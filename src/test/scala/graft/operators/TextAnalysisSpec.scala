@@ -194,6 +194,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("corpus_weighted_sample: integer priorities replay, sample is size-biased") {
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val toks =
+          r.getString(1).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty)
+        r.getLong(0) -> toks.toLong
+      }.filter(_._2 > 0)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.map { case (id, w) =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16)
+      (id, w, (w * 1000000000000L) / (h + 1))
+    }.sortBy { case (id, _, p) => (-p, id) }.take(200).toSeq
+    val actual = TextAnalysis.corpusWeightedSample(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(actual == expected)
+    // size bias: the weighted sample's mean weight beats the corpus mean
+    val corpusMean = docs.map(_._2).sum.toDouble / docs.length
+    val sampleMean = actual.map(_._2).sum.toDouble / actual.length
+    assert(sampleMean > corpusMean,
+      s"no size bias: sample $sampleMean vs corpus $corpusMean")
+  }
+
+  test("stream_bpe_train equals the batch pair count exactly") {
+    val batch = TextAnalysis.textBpeTrain(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val streamed = graft.streaming.Streaming.streamBpeTrain(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(streamed == batch)
+  }
+
   test("bloom contamination screen: superset of exact, FP-bounded") {
     val exact = TextAnalysis.textContamination(tables).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
