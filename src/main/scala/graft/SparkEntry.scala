@@ -98,6 +98,7 @@ object SparkEntry {
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
     "events_cuped"        -> q(t => EventAnalytics.eventsCuped(t)),
     "events_pagerank"     -> q(t => EventAnalytics.eventsPagerank(t)),
+    "events_hits"         -> q(t => EventAnalytics.eventsHits(t)),
     "events_triangles"    -> q(t => EventAnalytics.eventsTriangles(t)),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
@@ -200,6 +201,7 @@ object SparkEntry {
     "ann_hard_negatives"  -> q(t => Similarity.annHardNegatives(t)),
     "embed_dim_stats"     -> q(Similarity.embedDimStats),
     "embed_knn_graph"     -> q(t => Similarity.embedKnnGraph(t)),
+    "embed_mutual_knn_clusters" -> q(t => Similarity.embedMutualKnnClusters(t)),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
     // §2.7 structured streaming
@@ -509,6 +511,25 @@ object SparkEntry {
       |  ELSE 0.0 END >= 2.0 AS flagged
       |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin
   }
+
+  /** HITS on the user→item bipartite graph: the same unrolled
+    * integer-iteration discipline as the PageRank oracle — every sum
+    * CAST back to BIGINT (DuckDB promotes sum(BIGINT) to HUGEINT,
+    * which would fail the typed hash). */
+  private lazy val eventsHitsSql: String =
+    s"""WITH i0 AS (SELECT DISTINCT user_id,
+       |  CAST(json_extract_string(props,'$$.k') AS INTEGER) AS item
+       | FROM events WHERE event_type = 'purchase'),
+       |ui AS (SELECT user_id, item FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+       | WHERE rk <= 64),
+       |h1 AS (SELECT user_id, CAST(count(*) * 1000 AS BIGINT) AS h1 FROM ui GROUP BY 1),
+       |a1 AS (SELECT item, CAST(sum(h1.h1) AS BIGINT) AS a1 FROM ui JOIN h1 USING (user_id) GROUP BY 1),
+       |h2 AS (SELECT user_id, CAST(sum(a1.a1) AS BIGINT) AS h2 FROM ui JOIN a1 USING (item) GROUP BY 1)
+       |SELECT item, CAST(count(*) AS BIGINT) AS n_buyers,
+       | CAST(sum(h2.h2) AS BIGINT) AS auth_micro
+       |FROM ui JOIN h2 USING (user_id) GROUP BY 1""".stripMargin
 
   private lazy val eventsPagerankSql: String = {
     val iters = 3
@@ -1521,6 +1542,7 @@ object SparkEntry {
     },
     "events_cuped" -> eventsCupedSql,
     "events_pagerank" -> eventsPagerankSql,
+    "events_hits" -> eventsHitsSql,
     // Schank–Wagner forward triangle counting: the oracle replays the
     // identical (degree, id) orientation and wedge order, so the
     // enumeration — not just the counts — matches row for row
@@ -2182,13 +2204,20 @@ object SparkEntry {
         |n AS (SELECT cell, count(*) AS n_members FROM a GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m JOIN n USING (cell)""".stripMargin,
     "ann_bruteforce_topk" -> bruteForceSql,
-    "embed_knn_graph" ->
-      """WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 16 = 0),
-        |s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-        |  round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
-        |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rnk FROM s)
-        |SELECT src, dst, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "embed_knn_graph" -> s"WITH $knnGraphChainSql\nSELECT src, dst, cos_sim, rnk FROM knn",
+    // mutual-edge filter + recursive-CTE closure over the same knn
+    // chain — the composed oracle of the graph consumer
+    "embed_mutual_knn_clusters" ->
+      s"""WITH RECURSIVE $knnGraphChainSql,
+        |mut AS (SELECT a.src, a.dst FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src),
+        |reach(k, r) AS (
+        |  SELECT vec_id AS k, vec_id AS r FROM n
+        |  UNION
+        |  SELECT m.src AS k, reach.r FROM mut m JOIN reach ON reach.k = m.dst),
+        |lab AS (SELECT k AS vec_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+        |SELECT lab.vec_id, lab.cluster_id, sz.cluster_size
+        |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
     // composed from the two existing oracles (DuckDB allows CTEs in
     // derived tables): the recall eval is definitionally their overlap
     // PQ-family recall: the stored-index refine path replayed in full
@@ -2605,6 +2634,17 @@ object SparkEntry {
       |  FROM sl JOIN e eq ON eq.vec_id = sl.q_id JOIN e ec ON ec.vec_id = sl.vec_id),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM x)
       |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin
+
+  /** Shared knn-graph chain: 1/16 node slice, all-pairs rounded
+    * cosine, per-src rank — yields CTEs `n` (nodes) and `knn`
+    * (edges with rnk ≤ 5). */
+  private lazy val knnGraphChainSql =
+    """n AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id % 16 = 0),
+      |ks AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |  round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      |kr AS (SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rnk FROM ks),
+      |knn AS (SELECT src, dst, cos_sim, rnk FROM kr WHERE rnk <= 5)""".stripMargin
 
   private lazy val bruteForceSql =
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),

@@ -636,6 +636,42 @@ object EventAnalytics {
       .drop("rk")
   }
 
+  /** `events_hits` — HITS hubs & authorities (public Kleinberg 1999)
+    * over the user→item purchase BIPARTITE graph — the
+    * mutual-reinforcement readout [[eventsPagerank]]'s item-item
+    * projection can't give: an item is authoritative because
+    * well-spread buyers (hubs) buy it, and a buyer is a hub because
+    * they buy authoritative items. Two full mutual-reinforcement
+    * rounds (a₀ → h₁ → a₁ → h₂ → a₂), reported per item with its
+    * buyer count.
+    *
+    * Solved for the iterative-float trap the [[eventsPagerank]] way:
+    * NO per-round float normalization — scores stay in integer
+    * micro-units (a₀ = 1000) and every update is an order-immune
+    * int64 SUM over a keyed join, so both rounds replay bit-exact in
+    * the oracle's unrolled CTE chain (unnormalized HITS has the same
+    * ranking as the normalized iteration at every step; the degree
+    * cap bounds the growth well inside int64). Each half-round is
+    * one keyed equi-join + partial-agg sum — the same
+    * shuffle-bounded shape as a PageRank round, state O(users +
+    * items), never materializing any neighborhood. */
+  def eventsHits(t: Tables, maxItemsPerUser: Int = 64): DataFrame = {
+    val ui = cappedUserItems(t, maxItemsPerUser).persist()
+    ui.count()
+    val h1 = ui.groupBy(col("user_id"))
+      .agg((count(lit(1)) * 1000L).as("h1"))
+    val a1 = ui.join(h1, "user_id")
+      .groupBy(col("item")).agg(sum(col("h1")).as("a1"))
+    val h2 = ui.join(a1, "item")
+      .groupBy(col("user_id")).agg(sum(col("a1")).as("h2"))
+    val a2 = ui.join(h2, "user_id")
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("n_buyers"), sum(col("h2")).as("auth_micro"))
+    val out = a2.select(col("item"), col("n_buyers"), col("auth_micro"))
+    ui.unpersist()
+    out
+  }
+
   /** `events_pagerank` — item centrality over the co-purchase graph:
     * PageRank (public Brin/Page formulation, damping 0.85) on the
     * symmetric item-co-occurrence graph [[eventsRecommendCooccur]]

@@ -1487,6 +1487,45 @@ object Similarity {
     * are scored; per-query recall of exactly that trade is what
     * [[annRecallEval]] measures.
     */
+  /** S16 — `embed_mutual_knn_clusters`: the GRAPH consumer of
+    * [[embedKnnGraph]] — mutual-kNN clustering: keep only RECIPROCAL
+    * edges (src in dst's top-k AND dst in src's top-k — the standard
+    * asymmetry filter that kills hub-induced chains), close them
+    * transitively with the shared [[Dedup.connectedComponents]]
+    * machinery, and label every node with its component minimum plus
+    * the component size. This is the embedding-space analogue of
+    * `dedup_clusters` (there: MinHash band graph; here: similarity
+    * topology), and the composition closure — one operator's output
+    * edge set IS the next one's input graph, batch-verified through
+    * one composed oracle (knn chain → mutual filter → recursive-CTE
+    * closure).
+    *
+    * Shape: the mutual filter is one self-equi-join on the (src, dst)
+    * edge key over a k·|nodes|-bounded frame; CC inherits the
+    * adaptive local/distributed split. Singletons (no reciprocal
+    * neighbor) keep their own id — every node is labelled. */
+  def embedMutualKnnClusters(t: Tables, k: Int = TopK): DataFrame = {
+    val g = embedKnnGraph(t, k).select(col("src"), col("dst"))
+    val mutual = g.as("a")
+      .join(g.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("a.dst").as("dst"))
+      .persist()
+    mutual.count() // eager: every CC round joins this frame
+    val (labels, _) =
+      try Dedup.connectedComponents(mutual) finally mutual.unpersist()
+    val nodes = withEmb(t).filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id"))
+    val lab = nodes
+      .join(labels.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+    lab.join(
+        lab.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size")),
+        "cluster_id")
+      .select(col("vec_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   def embedKnnGraph(t: Tables, k: Int = TopK): DataFrame = {
     val nodes = withEmb(t).filter(col("vec_id") % 16 === 0)
     val edges = nodes.select(col("vec_id").as("src"), col("emb").as("src_emb"))

@@ -277,4 +277,30 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(nodes.length >= 2, "degenerate node slice")
     assert(actual == expected)
   }
+
+  test("embed_mutual_knn_clusters: reciprocal filter + union-find replay") {
+    val edges = Similarity.embedKnnGraph(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mutual = edges.filter { case (s, d) => edges((d, s)) }
+    val nodes = tables.embeddings.filter(col("vec_id") % 16 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    // naive union-find with min-root labels
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x; while (parent(r) != r) r = parent(r); r
+    }
+    mutual.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val label = nodes.map(n => n -> find(n)).toMap
+    val size = label.values.groupBy(identity).map { case (c, xs) => c -> xs.size.toLong }
+    val expected = nodes.map(n => (n, label(n), size(label(n)))).toSet
+    val actual = Similarity.embedMutualKnnClusters(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(actual == expected)
+    // the reciprocal filter must really cut edges on this corpus —
+    // otherwise the test degenerates to plain kNN components
+    assert(mutual.size < edges.size, "no asymmetric edges filtered")
+  }
 }

@@ -78,6 +78,27 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size > 5 && got.values.toSet.size > 1)
   }
 
+  test("events_hits matches an independent integer re-derivation") {
+    // replay the unnormalized bipartite mutual reinforcement in plain
+    // Scala: h1 = 1000·deg(u), a1 = Σ h1, h2 = Σ a1, a2 = Σ h2 —
+    // exact integers end to end, so equality is exact
+    val ui = EventAnalytics.cappedUserItems(tables, 64)
+      .collect().toList.map(r => (r.getLong(0), r.getInt(1)))
+    val h1 = ui.groupBy(_._1).map { case (u, xs) => u -> 1000L * xs.size }
+    val a1 = ui.groupBy(_._2).map { case (i, xs) =>
+      i -> xs.map(x => h1(x._1)).sum }
+    val h2 = ui.groupBy(_._1).map { case (u, xs) =>
+      u -> xs.map(x => a1(x._2)).sum }
+    val expected = ui.groupBy(_._2).map { case (i, xs) =>
+      i -> (xs.size.toLong, xs.map(x => h2(x._1)).sum) }
+    val got = EventAnalytics.eventsHits(tables).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // authorities must differentiate — a flat score vector means the
+    // reinforcement did nothing
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
+
   test("events_triangles matches a naive all-triples re-derivation") {
     // count triangles the O(n³)-obvious way on the collected edge set
     // (fine at spec scale) — the forward algorithm's oriented wedge
