@@ -258,6 +258,7 @@ object SparkEntry {
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
     "er_blocked_pairs"    -> q(Governance.erBlockedPairs),
+    "er_blocking_eval"    -> q(Governance.erBlockingEval),
     "er_resolve_clusters" -> q(Governance.erResolveClusters),
     "er_resolve_incremental" -> q(Governance.erResolveIncremental),
     "q_compaction"        -> q(t => graft.sources.SourceOps.qCompaction(t)),
@@ -287,6 +288,8 @@ object SparkEntry {
       ((s, dir) => Similarity.prebuildPcaCov(Tables(s, dir))),
     "_build_er_state" ->
       ((s, dir) => Governance.prebuildErState(Tables(s, dir))),
+    "_build_scd2_cdc" ->
+      ((s, dir) => graft.streaming.Streaming.prebuildScd2Cdc(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -456,6 +459,36 @@ object SparkEntry {
       | CAST(len(redacted) AS BIGINT) AS clean_len,
       | md5(redacted) AS redacted_md5
       |FROM r""".stripMargin
+
+  /** Blocking-scheme eval: ALL-PAIRS scored once, schemes replayed as
+    * filters — the oracle's truth is the unblocked match set, so the
+    * Spark side's proven-complete union truth is re-checked here. */
+  private val erBlockingEvalSql =
+    """WITH p AS (SELECT p_partkey, p_name, p_type, p_brand, p_size FROM part),
+      |sc AS (SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+      |  CAST(a.p_name = b.p_name AS INTEGER)
+      |   + CAST(a.p_type = b.p_type AS INTEGER)
+      |   + CAST(a.p_brand = b.p_brand AS INTEGER)
+      |   + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) AS s,
+      |  (a.p_name = b.p_name) AS bn,
+      |  (a.p_type = b.p_type AND a.p_brand = b.p_brand) AS btb
+      |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey),
+      |stats AS (
+      | SELECT 'name' AS scheme,
+      |   (SELECT count(*) FROM sc WHERE bn)::BIGINT AS n_candidates,
+      |   (SELECT count(*) FROM sc WHERE bn AND s >= 3)::BIGINT AS n_found
+      | UNION ALL SELECT 'type_brand',
+      |   (SELECT count(*) FROM sc WHERE btb)::BIGINT,
+      |   (SELECT count(*) FROM sc WHERE btb AND s >= 3)::BIGINT
+      | UNION ALL SELECT 'union',
+      |   (SELECT count(*) FROM sc WHERE bn OR btb)::BIGINT,
+      |   (SELECT count(*) FROM sc WHERE (bn OR btb) AND s >= 3)::BIGINT),
+      |n AS (SELECT count(*)::BIGINT AS np FROM p),
+      |mt AS (SELECT count(*)::BIGINT AS m FROM sc WHERE s >= 3)
+      |SELECT scheme, n_candidates, n_found, mt.m AS n_matches_total,
+      | round(n_found * 1.0 / mt.m + 1e-9, 4) AS recall,
+      | round(1.0 - n_candidates / (np * (np - 1) / 2.0) + 1e-9, 6) AS reduction_ratio
+      |FROM stats, mt, n""".stripMargin
 
   /** `er_resolve_clusters`'s full re-resolve: ALL-PAIRS scoring +
     * recursive-CTE transitive closure + golden-record rollup — also
@@ -2556,6 +2589,7 @@ object SparkEntry {
         |   + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) AS score
         | FROM part a JOIN part b ON a.p_partkey < b.p_partkey)
         |SELECT key_1, key_2, score FROM s WHERE score >= 3""".stripMargin,
+    "er_blocking_eval" -> erBlockingEvalSql,
     // ground truth: transitive closure of the ALL-pairs match set as a
     // recursive CTE — checks blocking completeness AND the distributed
     // CC against first principles, plus the survivorship rollup

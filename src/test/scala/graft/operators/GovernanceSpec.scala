@@ -103,4 +103,44 @@ class GovernanceSpec extends SparkSpec {
       "no match pair crosses the split — merge path untested at this SF")
     assert(full.exists(_._1 <= splitKey), "no history-side entity")
   }
+
+  test("er_blocking_eval replays naively; union is complete, singles trade recall") {
+    case class P(k: Long, name: String, typ: String, brand: String, size: Int)
+    val parts = tables.part
+      .select(col("p_partkey"), col("p_name"), col("p_type"),
+        col("p_brand"), col("p_size")).collect()
+      .map(r => P(r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4)))
+    def score(a: P, b: P): Int =
+      (if (a.name == b.name) 1 else 0) + (if (a.typ == b.typ) 1 else 0) +
+      (if (a.brand == b.brand) 1 else 0) +
+      (if (math.abs(a.size - b.size) <= 2) 1 else 0)
+    val allPairs = for {
+      a <- parts; b <- parts if a.k < b.k
+    } yield (a, b)
+    val matches = allPairs.filter { case (a, b) => score(a, b) >= 3 }
+    def eval(block: (P, P) => Boolean): (Long, Long) = {
+      val cands = allPairs.filter(block.tupled)
+      (cands.length.toLong,
+        cands.count { case (a, b) => score(a, b) >= 3 }.toLong)
+    }
+    val expect = Map(
+      "name" -> eval((a, b) => a.name == b.name),
+      "type_brand" -> eval((a, b) => a.typ == b.typ && a.brand == b.brand),
+      "union" -> eval((a, b) =>
+        a.name == b.name || (a.typ == b.typ && a.brand == b.brand)))
+    val got = Governance.erBlockingEval(tables).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (s, (nc, nf)) =>
+      val (gc, gf, gm, _) = got(s)
+      assert((gc, gf) == (nc, nf), s"$s: got ($gc,$gf) want ($nc,$nf)")
+      assert(gm == matches.length.toLong)
+    }
+    // the union scheme is COMPLETE against ground truth (it found the
+    // full all-pairs match set), so its measured recall is exactly 1
+    assert(got("union")._4 == 1.0)
+    assert(got("union")._2 == matches.length.toLong)
+  }
 }
