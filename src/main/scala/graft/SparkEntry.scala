@@ -224,6 +224,7 @@ object SparkEntry {
     "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
     "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
     "mm_frame_dedup"      -> q(t => Multimodal.mmFrameDedup(t)),
+    "mm_video_scene_cut"  -> q(t => Multimodal.mmVideoSceneCut(t)),
     "stream_modality_router" -> q(graft.streaming.Streaming.streamModalityRouter),
     "stream_frame_dedup"  -> q(t => graft.streaming.Streaming.streamFrameDedup(t)),
     "stream_pii_scrub"    -> q(graft.streaming.Streaming.streamPiiScrub),
@@ -2202,6 +2203,24 @@ object SparkEntry {
     // hashing each frame's 64-byte body window — frames shared across
     // >1 payload with counts + min-doc rep
     "mm_frame_dedup" -> mmFrameDedupSql,
+    // charset-Jaccard scene segmentation: the cut decision is an exact
+    // integer rational (|∩| < ½|∪|), so every scene replays bit-exact
+    "mm_video_scene_cut" ->
+      """WITH fr AS (SELECT doc_id, i AS frame_idx,
+        |  list_distinct(regexp_extract_all(substr(text, i*32 + 1, 32), '.')) AS cs
+        |  FROM documents, (SELECT unnest(generate_series(0, 400)) AS i) g
+        |  WHERE len(text) >= (i+1)*32),
+        |l AS (SELECT doc_id, frame_idx, cs,
+        |  lag(cs) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM fr),
+        |c AS (SELECT doc_id, frame_idx,
+        |  CASE WHEN prev IS NULL THEN 1
+        |   WHEN len(list_intersect(cs, prev)) < 0.5 * len(list_distinct(list_concat(cs, prev))) THEN 1
+        |   ELSE 0 END AS cut FROM l),
+        |isl AS (SELECT doc_id, frame_idx, sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS scene_idx FROM c)
+        |SELECT doc_id, scene_idx::BIGINT AS scene_idx,
+        | min(frame_idx)::BIGINT AS scene_start, count(*)::BIGINT AS scene_len
+        |FROM isl GROUP BY doc_id, scene_idx""".stripMargin,
     // the streaming frame-dedup shares the batch oracle verbatim —
     // stream/batch equivalence pair #7
     "stream_frame_dedup" -> mmFrameDedupSql,

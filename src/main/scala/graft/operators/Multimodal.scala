@@ -572,6 +572,58 @@ object Multimodal {
         min(col("doc_id")).as("rep_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** M8 — `mm_video_scene_cut`: SCENE SEGMENTATION over each
+    * payload's decoded-frame stream — the step a video training
+    * pipeline runs between decode and frame sampling, so sampling
+    * draws per SCENE instead of per fixed stride (a 10-minute static
+    * shot shouldn't contribute 100× the frames of a 3-second cut
+    * scene). Frames are the payload body's consecutive 32-byte
+    * windows (the decode stand-in, `mm_frame_dedup`'s discipline);
+    * each frame's FEATURE is its distinct character set, consecutive
+    * frames compare by set Jaccard — an exact integer rational
+    * (|∩|/|∪|), so the cut decision replays bit-identically in the
+    * oracle, no float-threshold hazard — and a similarity below the
+    * threshold opens a new scene (gaps-and-islands over the cut
+    * flags). Output: one row per scene with its start frame and
+    * length.
+    *
+    * Shape: map-only frame explode + per-frame feature (one regex
+    * pass per frame), ONE doc-keyed shuffle for the lag/island
+    * windows, per-doc state O(frames per payload); the scene rollup
+    * is a keyed partial agg. Payload bytes never shuffle — features
+    * and 32-char windows do. */
+  def mmVideoSceneCut(t: Tables, window: Int = 32,
+      cutBelow: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byIdx = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val frames = mediaTable(t)
+      .select(col("doc_id"), bodyCol(col("payload")).cast("string").as("body"))
+      .filter(length(col("body")) >= window) // sequence(0, n-1) needs n >= 1
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          (length(col("body")) / window).cast("int") - 1)).as("frame_idx"),
+        col("body"))
+      .filter(length(col("body")) >= (col("frame_idx") + 1) * window)
+      .select(col("doc_id"), col("frame_idx"),
+        array_distinct(regexp_extract_all(
+          col("body").substr(col("frame_idx") * window + 1, lit(window)),
+          lit("."), lit(0))).as("cs"))
+    frames
+      .withColumn("prev", lag(col("cs"), 1).over(byIdx))
+      .withColumn("cut",
+        when(col("prev").isNull, 1)
+          .otherwise((size(array_intersect(col("cs"), col("prev"))) <
+            lit(cutBelow) * size(array_union(col("cs"), col("prev"))))
+            .cast("int")))
+      .withColumn("scene_idx", sum(col("cut")).over(
+        byIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).cast("long").as("scene_start"),
+        count(lit(1)).as("scene_len"))
+      .select(col("doc_id"), col("scene_idx").cast("long").as("scene_idx"),
+        col("scene_start"), col("scene_len"))
+  }
+
   /** The (doc_id, frame_hash) frame behind [[mmFrameDedup]] — map-only
     * frame synthesis + content-window hash over ANY (doc_id, text)
     * frame, so a STREAMING documents source slots in unchanged

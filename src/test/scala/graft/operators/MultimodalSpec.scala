@@ -73,4 +73,39 @@ class MultimodalSpec extends SparkSpec {
       col("n_samples") =!= ceil(col("n_frames") / 5.0).cast("long"))
     assert(bad.count() == 0)
   }
+
+  test("scene cuts replay naively: charset Jaccard, islands partition the frames") {
+    val w = 32
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expected = docs.flatMap { case (id, body) =>
+      val frames = (0 until body.length / w)
+        .map(i => body.substring(i * w, i * w + w).toSet)
+      val cuts = frames.zipWithIndex.map { case (cs, i) =>
+        if (i == 0) 1
+        else {
+          val prev = frames(i - 1)
+          if ((cs & prev).size * 2 < (cs | prev).size) 1 else 0
+        }
+      }
+      val sceneIdx = cuts.scanLeft(0)(_ + _).tail
+      frames.indices.groupBy(sceneIdx(_)).map { case (s, idxs) =>
+        (id, s.toLong, idxs.min.toLong, idxs.size.toLong)
+      }
+    }.toSet
+    val actual = mmVideoSceneCut(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(actual == expected)
+    // segmentation is non-degenerate: some payload has >1 scene and
+    // some scene spans >1 frame (cuts neither fire always nor never)
+    assert(expected.exists(_._2 > 1), "every payload is one scene")
+    assert(expected.exists(_._4 > 1), "every frame is its own scene")
+    // islands partition each payload's frame range exactly
+    docs.foreach { case (id, body) =>
+      val n = body.length / w
+      // iterator: a Set.map would collapse equal scene lengths
+      val lens = expected.iterator.filter(_._1 == id).map(_._4).sum
+      assert(lens == n.toLong, s"doc $id scenes cover $lens of $n frames")
+    }
+  }
 }
