@@ -100,6 +100,8 @@ object SparkEntry {
     "events_pagerank"     -> q(t => EventAnalytics.eventsPagerank(t)),
     "events_hits"         -> q(t => EventAnalytics.eventsHits(t)),
     "events_triangles"    -> q(t => EventAnalytics.eventsTriangles(t)),
+    "events_kcore"        -> q(t => EventAnalytics.eventsKcore(t)),
+    "events_assortativity" -> q(t => EventAnalytics.eventsAssortativity(t)),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
@@ -237,6 +239,7 @@ object SparkEntry {
     "q_salted_agg"        -> q(Scale.qSaltedAgg),
     "q_salted_join"       -> q(Scale.qSaltedJoin),
     "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
+    "q_interval_overlap"  -> q(t => Scale.qIntervalOverlap(t)),
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_scd2_history"      -> q(Scale.qScd2History),
     "q_scd2_merge"        -> q(t => Scale.qScd2Merge(t)),
@@ -564,6 +567,68 @@ object SparkEntry {
        |SELECT item, CAST(count(*) AS BIGINT) AS n_buyers,
        | CAST(sum(h2.h2) AS BIGINT) AS auth_micro
        |FROM ui JOIN h2 USING (user_id) GROUP BY 1""".stripMargin
+
+  /** `events_kcore` — the bounded-round peel unrolled: the same
+    * capped item sets and undirected distinct edges as the triangle
+    * oracle, then each round as a degree-count CTE + survivor filter
+    * + edge restriction — exact integer arithmetic throughout, so
+    * the chain replays the Spark rounds bit-exact. */
+  private lazy val eventsKcoreSql: String = {
+    val k = 5
+    val rounds = 4
+    val roundCtes = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node, count(*) AS deg FROM (
+         |  SELECT a AS node FROM e${r - 1} UNION ALL SELECT b AS node FROM e${r - 1}) GROUP BY 1),
+         |s$r AS (SELECT node FROM d$r WHERE deg >= $k),
+         |e$r AS (SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN s$r sa ON e.a = sa.node JOIN s$r sb ON e.b = sb.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i0 AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+       |  CAST(json_extract_string(props,'$$.k') AS INTEGER) AS item
+       | FROM events WHERE event_type = 'purchase'),
+       |i AS (SELECT user_id, day, item FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+       | WHERE rk <= 64),
+       |e0 AS (SELECT DISTINCT a.item AS a, b.item AS b
+       |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.day = b.day
+       |   AND a.item < b.item),
+       |n0 AS (SELECT DISTINCT node AS item FROM (
+       |  SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)),
+       |$roundCtes,
+       |df AS (SELECT node AS item, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT a AS node FROM e$rounds UNION ALL SELECT b AS node FROM e$rounds) GROUP BY 1)
+       |SELECT n0.item, COALESCE(df.core_deg, CAST(0 AS BIGINT)) AS core_deg,
+       | COALESCE(df.core_deg, 0) >= $k AS in_core
+       |FROM n0 LEFT JOIN df USING (item)""".stripMargin
+  }
+
+  /** `events_assortativity` — exact-moment Pearson over symmetric
+    * endpoint degrees, the [[eventsCupedSql]] HUGEINT discipline:
+    * integer moments in 128-bit, one IEEE ratio at the end. */
+  private lazy val eventsAssortativitySql: String =
+    s"""WITH i0 AS (SELECT DISTINCT user_id,
+       |  CAST(json_extract_string(props,'$$.k') AS INTEGER) AS item
+       | FROM events WHERE event_type = 'purchase'),
+       |i AS (SELECT user_id, item FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+       | WHERE rk <= 64),
+       |e AS (SELECT DISTINCT a.item AS a, b.item AS b
+       |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+       |sym AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b AS x, a AS y FROM e),
+       |j AS (SELECT CAST(dx.deg AS HUGEINT) AS dx, CAST(dy.deg AS HUGEINT) AS dy
+       |  FROM sym JOIN deg dx ON sym.x = dx.node JOIN deg dy ON sym.y = dy.node),
+       |f AS (SELECT CAST(count(*) AS HUGEINT) AS m, sum(dx) AS sx,
+       |  sum(dx*dy) AS sxy, sum(dx*dx) AS sxx FROM j)
+       |SELECT CAST(m // 2 AS BIGINT) AS n_edges,
+       | round(CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) + 1e-9, 4) AS mean_deg,
+       | CASE WHEN CAST(m*sxx - sx*sx AS DOUBLE) = 0.0 THEN 0.0
+       |  ELSE round(CAST(m*sxy - sx*sx AS DOUBLE) /
+       |    CAST(m*sxx - sx*sx AS DOUBLE) + 1e-9, 4) END AS r_assort
+       |FROM f""".stripMargin
 
   private lazy val eventsPagerankSql: String = {
     val iters = 3
@@ -1577,6 +1642,8 @@ object SparkEntry {
     "events_cuped" -> eventsCupedSql,
     "events_pagerank" -> eventsPagerankSql,
     "events_hits" -> eventsHitsSql,
+    "events_kcore" -> eventsKcoreSql,
+    "events_assortativity" -> eventsAssortativitySql,
     // Schank–Wagner forward triangle counting: the oracle replays the
     // identical (degree, id) orientation and wedge order, so the
     // enumeration — not just the counts — matches row for row
@@ -2166,6 +2233,18 @@ object SparkEntry {
         |SELECT a.user_id, count(*) AS n_pairs
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND b.us > a.us AND b.us - a.us <= 60000000
+        |GROUP BY 1""".stripMargin,
+    // the grid interval join must equal the plain overlap inequality join
+    "q_interval_overlap" ->
+      """WITH sp0 AS (SELECT o_orderkey AS k, o_custkey AS c,
+        |  (CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS s,
+        |  (CAST(max(l_shipdate) AS DATE) - DATE '1992-01-01') AS ls
+        | FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2, 3),
+        |sp AS (SELECT k, c, CAST(s AS BIGINT) AS s,
+        |  CAST(greatest(s, ls) AS BIGINT) AS e FROM sp0)
+        |SELECT a.c AS o_custkey, CAST(count(*) AS BIGINT) AS n_overlaps
+        |FROM sp a JOIN sp b ON a.c = b.c AND a.k < b.k
+        |  AND a.s <= b.e AND b.s <= a.e
         |GROUP BY 1""".stripMargin,
     "corpus_clean" ->
       s"""WITH lex(slang, word) AS (VALUES

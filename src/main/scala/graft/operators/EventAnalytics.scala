@@ -943,4 +943,151 @@ object EventAnalytics {
       col("age_days"), col("n_buyers"), col("day_value"),
       round(sum(col("day_value")).over(w), 2).as("cum_value"))
   }
+
+  /** Per-(user, day) distinct purchased items, md5-rank-capped —
+    * [[cappedUserItems]]' fan-out guard applied to the BASKET key, so
+    * a bot account's single giant day can't explode the same-day
+    * pairing below. */
+  private[graft] def cappedDayItems(t: Tables, maxItems: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t.events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .distinct()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(md5(concat_ws(":", col("user_id"), col("item"))), col("item"))))
+      .filter(col("rk") <= maxItems)
+      .drop("rk")
+  }
+
+  /** `events_kcore` — bounded-round k-core peel over the SAME-DAY
+    * co-purchase graph (items bought by one user within one calendar
+    * day — the basket-level association, much sparser and more
+    * structured than the all-time projection [[eventsTriangles]]
+    * uses): `rounds` synchronous rounds of "drop every node whose
+    * degree in the surviving subgraph is < k", the standard
+    * cohesive-subgraph readout (public Seidman 1983 /
+    * Batagelj–Zaveršnik formulation) that separates the densely
+    * cross-bought basket core from pendant long-tail items — a
+    * signal neither triangles (local) nor PageRank (walk-based)
+    * gives.
+    *
+    * BOUNDED iteration is the determinism contract: both engines run
+    * exactly `rounds` peel rounds (the DuckDB oracle unrolls the same
+    * chain as exact-integer CTEs), so the gate never depends on a
+    * convergence race; the fixpoint property itself is asserted in
+    * the spec (rounds and rounds+1 produce identical output on the
+    * test graph — peeling converges in O(diameter) rounds in
+    * practice).
+    *
+    * Shape: each round is one symmetric-degree partial-agg count plus
+    * two LEFT SEMI joins filtering the edge list on the survivor set
+    * — all keyed shuffles over (int, int) pairs, state O(edges),
+    * nothing collected. Because a round's plan embeds the previous
+    * round's three times (degree union + both semi-joins), each round
+    * is `localCheckpoint()`-truncated exactly like
+    * [[graft.operators.Dedup.connectedComponents]], superseded
+    * rounds' blocks released eagerly, and the final (tiny, node-level)
+    * result is staged to parquet as the deterministic release point —
+    * the stored-artifact discipline production would use anyway. */
+  def eventsKcore(t: Tables, k: Int = 5, rounds: Int = 4,
+      maxItemsPerDay: Int = 64): DataFrame = {
+    val items = cappedDayItems(t, maxItemsPerDay)
+    val und = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.item") < col("b.item"))
+      .select(col("a.item").as("a"), col("b.item").as("b"))
+      .distinct().persist()
+    und.count()
+    val allNodes = und.select(col("a").as("item"))
+      .unionAll(und.select(col("b").as("item"))).distinct()
+    var edges = und
+    var r = 0
+    while (r < rounds) {
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val surv = deg.filter(col("deg") >= k)
+      val next = edges
+        .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(surv.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint()
+      if (r > 0) Dedup.releaseLabels(edges) // superseded round; never `und`
+      edges = next
+      r += 1
+    }
+    val degF = edges.select(col("a").as("item"))
+      .unionAll(edges.select(col("b").as("item")))
+      .groupBy(col("item")).agg(count(lit(1)).as("core_deg"))
+    val out = allNodes.join(degF, Seq("item"), "left")
+      .select(col("item"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"),
+        (coalesce(col("core_deg"), lit(0L)) >= k).as("in_core"))
+    // per-invocation tag: a second call (other k/rounds, or a re-run)
+    // must not clobber files a previously returned frame still reads
+    val path = graft.sources.SourceOps.staging(
+      s"kcore_${graft.sources.SourceOps.dirTag(t.dir)}" +
+        s"_k${k}_r${rounds}_${kcoreInvocation.incrementAndGet()}")
+    out.write.mode("overwrite").parquet(path)
+    if (rounds > 0) Dedup.releaseLabels(edges)
+    und.unpersist()
+    t.spark.read.parquet(path)
+  }
+
+  private val kcoreInvocation = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** `events_assortativity` — degree assortativity (public Newman
+    * 2002): the Pearson correlation of endpoint degrees over the
+    * undirected co-purchase edge set — one scalar saying whether
+    * hub items co-sell with other hubs (assortative, r > 0) or with
+    * the long tail (disassortative, r < 0). The graph-level mixing
+    * summary that per-node stats ([[eventsTriangles]],
+    * [[eventsClusteringCoeff]]) can't give.
+    *
+    * Determinism — the exact-moments discipline of
+    * [[eventsCuped]]: each edge contributes BOTH directions (so the
+    * x- and y-marginals coincide and r reduces to
+    * (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²)), degrees and all five
+    * moments are exact int64/DECIMAL(38,0) sums (DuckDB replays them
+    * in HUGEINT — m·Σxy overflows int64 two orders of magnitude
+    * before it overflows 128-bit, even at 100 TB edge counts), and
+    * only the final scalar ratio converts to IEEE double under the
+    * §6 rounding rule. Shape: degree partial-agg + two keyed joins
+    * decorating edges with endpoint degrees + ONE global moment
+    * aggregation — no per-node state on the driver, output is a
+    * single row. */
+  def eventsAssortativity(t: Tables, maxItemsPerUser: Int = 64): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser)
+    val und = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("a"), col("b.item").as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(und.select(col("b").as("x"), col("a").as("y")))
+    val dec = deg.select(col("node"), col("deg").cast("decimal(38,0)").as("d"))
+    val moments = sym
+      .join(dec.select(col("node").as("x"), col("d").as("dx")), Seq("x"))
+      .join(dec.select(col("node").as("y"), col("d").as("dy")), Seq("y"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+    val num = (col("m").cast("decimal(38,0)") * col("sxy") -
+      col("sx") * col("sx")).cast("double")
+    val den = (col("m").cast("decimal(38,0)") * col("sxx") -
+      col("sx") * col("sx")).cast("double")
+    moments.select(
+      (col("m") / lit(2)).cast("long").as("n_edges"),
+      round(col("sx").cast("double") / col("m").cast("double") + lit(1e-9), 4)
+        .as("mean_deg"),
+      // zero degree variance (regular graph): r is undefined, report 0
+      when(den === lit(0.0), lit(0.0))
+        .otherwise(round(num / den + lit(1e-9), 4)).as("r_assort"))
+  }
 }

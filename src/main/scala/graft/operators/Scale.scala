@@ -110,6 +110,51 @@ object Scale {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** `q_interval_overlap` — interval×interval OVERLAP self-join:
+    * per customer, how many pairs of their orders were concurrently
+    * "open" (fulfillment span = order date → last line shipment, end
+    * clamped to ≥ start — the synthetic data ships some lines before
+    * the order date). The interval-overlap complement to
+    * [[qRangeJoinBanded]]'s point-in-band pairing: both endpoints
+    * range over intervals, the classic concurrency/resource-contention
+    * query.
+    *
+    * Scale shape — the GRID interval join (the standard rewrite
+    * Spark lacks natively): a raw `a.s <= b.e AND b.s <= a.e` join
+    * plans as a per-key nested loop; instead each interval is
+    * exploded to the `span/bucketDays + 1` grid cells it touches and
+    * candidates meet in an EQUI-join on (customer, cell). Every
+    * overlapping pair shares at least the cell containing the LATER
+    * start, so counting a pair only in that one cell
+    * (`cell == greatest(s_a, s_b) DIV w`) makes the grid join EXACT —
+    * no distinct pass needed. Fan-out is bounded by max-span/w + 1
+    * (≤5 at w=640d here; size w to the span distribution), candidate
+    * pairs by cell co-residency, and the per-key loop never
+    * materializes. All integer day arithmetic — deterministic
+    * cross-engine. */
+  def qIntervalOverlap(t: Tables, bucketDays: Int = 640): DataFrame = {
+    val spans = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("s"))
+      .agg(max(datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+        .cast("long")).as("ls"))
+      .select(col("o_orderkey"), col("o_custkey"), col("s"),
+        greatest(col("s"), col("ls")).as("e"))
+    val cells = spans.withColumn("bkt",
+      explode(sequence(expr(s"s DIV $bucketDays"), expr(s"e DIV $bucketDays"))))
+    val a = cells.select(col("o_custkey"), col("bkt"), col("o_orderkey").as("ka"),
+      col("s").as("sa"), col("e").as("ea"))
+    val b = cells.select(col("o_custkey"), col("bkt"), col("o_orderkey").as("kb"),
+      col("s").as("sb"), col("e").as("eb"))
+    a.join(b, Seq("o_custkey", "bkt"))
+      .filter(col("ka") < col("kb") &&
+        col("sa") <= col("eb") && col("sb") <= col("ea") &&
+        col("bkt") === expr(s"greatest(sa, sb) DIV $bucketDays"))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   /** `q_approx_stats` — sketch aggregates per event type: HyperLogLog++
     * distinct users and approximate percentiles. Fixed-size sketches
     * merge associatively, so at 100 TB these cost one narrow shuffle of

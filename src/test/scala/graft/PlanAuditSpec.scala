@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 
@@ -109,6 +110,47 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("partial_count") || p.contains("partial_"),
       s"no map-side combine on the triangle rollup:\n$p")
+  }
+
+  test("events_kcore round body: degree count + survivor semi-joins are keyed, never nested-loop") {
+    // the peel loop's per-round plan, reconstructed exactly as the
+    // operator builds it (the operator itself returns a staged
+    // parquet read-back, so the loop body is pinned here): symmetric
+    // degree partial-agg + two LEFT SEMI survivor filters — a
+    // cartesian/nested-loop means the equi-keys got lost and a round
+    // degenerates to all-pairs at scale
+    val items = EventAnalytics.cappedDayItems(tables, 64)
+    val und = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.item") < col("b.item"))
+      .select(col("a.item").as("a"), col("b.item").as("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val surv = deg.filter(col("deg") >= 5)
+    val round = und
+      .join(surv.select(col("node").as("a")), Seq("a"), "left_semi")
+      .join(surv.select(col("node").as("b")), Seq("b"), "left_semi")
+    val p = plan(round)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      s"no map-side combine on the degree count:\n$p")
+  }
+
+  test("q_interval_overlap: grid rewrite is a (customer, cell) equi-join, never nested-loop") {
+    // the whole point of the grid interval join: the raw overlap
+    // inequality would plan as a per-key nested loop; the rewrite
+    // must meet candidates in an equi-join on (customer, cell)
+    val p = plan(Scale.qIntervalOverlap(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"no map-side combine on the pair count:\n$p")
+  }
+
+  test("events_assortativity: degree decoration is keyed equi-joins + one global moment agg") {
+    val p = plan(EventAnalytics.eventsAssortativity(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
   test("corpus_pii_scrub: map-only, zero exchanges (regex scrub fuses into the scan)") {

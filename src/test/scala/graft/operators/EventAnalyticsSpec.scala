@@ -180,4 +180,84 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(capped.exceptAll(uncapped).isEmpty &&
       uncapped.exceptAll(capped).isEmpty)
   }
+
+  /** Undirected distinct co-purchase edge set replayed on the driver
+    * (all-time projection, the assortativity substrate). */
+  private def naiveEdges(): Set[(Int, Int)] = {
+    val items = EventAnalytics.cappedUserItems(tables, 64)
+      .collect().toList.map(r => (r.getLong(0), r.getInt(1)))
+    items.groupBy(_._1).values.toList.flatMap { us =>
+      val is = us.map(_._2)
+      for (a <- is; b <- is if a < b) yield (a, b)
+    }.toSet
+  }
+
+  /** Same-day basket edge set (the k-core substrate). */
+  private def naiveDayEdges(): Set[(Int, Int)] = {
+    val items = EventAnalytics.cappedDayItems(tables, 64)
+      .collect().toList.map(r => ((r.getLong(0), r.getDate(1)), r.getInt(2)))
+    items.groupBy(_._1).values.toList.flatMap { us =>
+      val is = us.map(_._2)
+      for (a <- is; b <- is if a < b) yield (a, b)
+    }.toSet
+  }
+
+  test("events_kcore equals a naive driver-side peel replay") {
+    // k=2/rounds=6 on the sf0.001 basket graph: converged AND
+    // non-trivial (some nodes peeled, some in core) — the default
+    // k=5 peels this tiny graph to nothing, which the replay also
+    // covers below via the fixpoint test at defaults
+    val k = 2; val rounds = 6
+    var edges = naiveDayEdges()
+    val allNodes = edges.flatMap(e => Set(e._1, e._2))
+    for (_ <- 1 to rounds) {
+      val deg = edges.toList.flatMap(e => List(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val surv = deg.filter(_._2 >= k).keySet
+      edges = edges.filter(e => surv(e._1) && surv(e._2))
+    }
+    val degF = edges.toList.flatMap(e => List(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val expect = allNodes.map(n =>
+      (n, degF.getOrElse(n, 0L), degF.getOrElse(n, 0L) >= k))
+    val got = EventAnalytics.eventsKcore(tables, k, rounds).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expect,
+      s"kcore mismatch: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // non-vacuous both ways: the peel must remove someone and keep someone
+    assert(expect.exists(_._3) && expect.exists(!_._3),
+      "spec graph is degenerate — peel removed everyone or no one")
+  }
+
+  test("events_kcore reaches its fixpoint within the bounded rounds") {
+    // the bounded-round contract is only honest if the test graph has
+    // actually converged: one extra round must change nothing
+    val r4 = EventAnalytics.eventsKcore(tables, rounds = 4)
+    val r5 = EventAnalytics.eventsKcore(tables, rounds = 5)
+    assert(r4.exceptAll(r5).isEmpty && r5.exceptAll(r4).isEmpty)
+  }
+
+  test("events_assortativity equals an exact BigInt moment replay") {
+    val edges = naiveEdges()
+    val deg = edges.toList.flatMap(e => List(e._1, e._2))
+      .groupBy(identity).map { case (n, xs) => n -> BigInt(xs.size) }
+    val sym = edges.toList.flatMap(e => List(e, e.swap))
+    val m = BigInt(sym.size)
+    val sx = sym.map(e => deg(e._1)).sum
+    val sxy = sym.map(e => deg(e._1) * deg(e._2)).sum
+    val sxx = sym.map(e => deg(e._1) * deg(e._1)).sum
+    val num = (m * sxy - sx * sx).toDouble
+    val den = (m * sxx - sx * sx).toDouble
+    // Spark's round(): BigDecimal.valueOf + setScale HALF_UP — matches
+    // negatives too (away from zero), unlike a floor(x·10⁴+0.5) replay
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = EventAnalytics.eventsAssortativity(tables).collect()(0)
+    assert(row.getLong(0) == edges.size.toLong)
+    assert(row.getDouble(1) == r4(sx.toDouble / m.toDouble + 1e-9))
+    val expectR = if (den == 0.0) 0.0 else r4(num / den + 1e-9)
+    assert(row.getDouble(2) == expectR,
+      s"r_assort ${row.getDouble(2)} != $expectR")
+    assert(den != 0.0, "degree variance is zero — spec graph degenerate")
+  }
 }

@@ -8,6 +8,36 @@ import graft.SparkSpec
 
 class ScaleSpec extends SparkSpec {
 
+  test("q_interval_overlap: grid join equals the naive all-pairs replay, any grid width") {
+    val t = tables
+    // driver replay: per-order fulfillment spans, then per-customer
+    // all-pairs overlap — the quadratic shape the grid join avoids
+    val spans = t.orders
+      .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01")).cast("long").as("s"))
+      .agg(max(datediff(to_date(col("l_shipdate")), lit("1992-01-01"))
+        .cast("long")).as("ls"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2),
+        math.max(r.getLong(2), r.getLong(3))))
+    val expect = spans.groupBy(_._1).map { case (cust, os) =>
+      val n = (for {
+        a <- os; b <- os
+        if a._2 < b._2 && a._3 <= b._4 && b._3 <= a._4
+      } yield 1).size.toLong
+      cust -> n
+    }.filter(_._2 > 0)
+    def got(w: Int) = Scale.qIntervalOverlap(t, bucketDays = w).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g = got(640)
+    assert(g == expect,
+      s"overlap mismatch: ${(g.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- g.toSet).take(3)}")
+    // exactness must be independent of the grid width: the later-start
+    // cell dedup makes every pair count exactly once at ANY w
+    assert(got(97) == expect && got(5000) == expect)
+    assert(expect.nonEmpty && expect.values.sum > 0, "no overlapping spans — vacuous")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val t = tables
     val salted = Scale.qSaltedAgg(t)
