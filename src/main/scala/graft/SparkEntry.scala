@@ -78,6 +78,7 @@ object SparkEntry {
     "text_lang_id"        -> q(TextAnalysis.textLangId),
     "text_quality"        -> q(TextAnalysis.textQuality),
     "text_tokens"         -> q(TextAnalysis.textTokens),
+    "text_readability"    -> q(TextAnalysis.textReadability),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
@@ -211,6 +212,7 @@ object SparkEntry {
     "stream_dedup"        -> q(graft.streaming.Streaming.streamDedup),
     "stream_static_join"  -> q(graft.streaming.Streaming.streamStaticJoin),
     "stream_sessionize"   -> q(graft.streaming.Streaming.streamSessionize),
+    "stream_session_window" -> q(t => graft.streaming.Streaming.streamSessionWindow(t)),
     "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
     "stream_anomaly"      -> q(graft.streaming.Streaming.streamAnomaly),
@@ -1135,6 +1137,34 @@ object SparkEntry {
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         | min(ts) AS start_ts, max(ts) AS end_ts, round(sum(value),2) AS sum_value
         |FROM t GROUP BY 1,2""".stripMargin,
+    // native session_window: an event at EXACTLY last+gap still MERGES
+    // (closed merge boundary, pinned empirically in SessionWindowSpec),
+    // so the islands replay breaks strictly on > gap — same break rule
+    // as q_sessionize's custom state, different window/output shape
+    "stream_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        | l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
+        | s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        | t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+        | CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM t GROUP BY user_id, sid""".stripMargin,
+    "text_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |  greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,
+        |  len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+        |  len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+        | FROM documents)
+        |SELECT doc_id, CAST(s AS BIGINT) AS n_sentences,
+        | CAST(w AS BIGINT) AS n_words, CAST(sy AS BIGINT) AS n_syllables,
+        | CASE WHEN w = 0 THEN 0.0 ELSE
+        |  round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |    - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)) + 1e-9, 4) END AS flesch,
+        | CASE WHEN w = 0 THEN 0.0 ELSE
+        |  round(0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+        |    + 11.8 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59 + 1e-9, 4) END AS fk_grade
+        |FROM c""".stripMargin,
     "q_json_extract" ->
       s"""SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract_string(props,'$$.k') AS INTEGER)) AS BIGINT) AS sum_k,

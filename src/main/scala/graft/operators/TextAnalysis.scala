@@ -152,6 +152,42 @@ object TextAnalysis {
       qualityScoreExpr(col("text"), toks).as("quality_score"))
   }
 
+  /** `text_readability` — Flesch reading ease + Flesch–Kincaid grade
+    * (public Flesch 1948 / Kincaid 1975) under the standard
+    * heuristic approximations an engine without a dictionary uses:
+    * sentences = terminal-punctuation runs, words = letter runs,
+    * syllables = vowel-group runs (`[aeiouy]+`) — the classic
+    * syllable proxy. The readability axis of the quality suite:
+    * [[textQuality]] scores surface hygiene, this scores reading
+    * difficulty, the complementary curriculum/filter signal.
+    *
+    * Determinism: the three counts are exact integers from the same
+    * regexes on both engines; the score is per-row SCALAR double
+    * arithmetic in one fixed expression shape (no aggregation, so no
+    * accumulation-order hazard — both engines evaluate the identical
+    * IEEE expression on identical integer operands), §6-rounded.
+    * Degenerate docs (no letters) report 0. Map-only, fuses into the
+    * scan. */
+  def textReadability(t: Tables): DataFrame = {
+    val low = lower(col("text"))
+    val nS = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val nW = size(regexp_extract_all(low, lit("[a-z]+"), lit(0))).cast("long")
+    val nSy = size(regexp_extract_all(low, lit("[aeiouy]+"), lit(0))).cast("long")
+    val eps = lit(1e-9)
+    t.documents.select(
+      col("doc_id"),
+      nS.as("n_sentences"), nW.as("n_words"), nSy.as("n_syllables"),
+      when(nW === 0L, lit(0.0)).otherwise(
+        round(lit(206.835) - lit(1.015) * (nW.cast("double") / nS.cast("double"))
+          - lit(84.6) * (nSy.cast("double") / nW.cast("double")) + eps, 4))
+        .as("flesch"),
+      when(nW === 0L, lit(0.0)).otherwise(
+        round(lit(0.39) * (nW.cast("double") / nS.cast("double"))
+          + lit(11.8) * (nSy.cast("double") / nW.cast("double")) - lit(15.59) + eps, 4))
+        .as("fk_grade"))
+  }
+
   /** T3 — token counting: whitespace tokens vs a BPE-ish regex
     * tokenizer (letter runs | digit runs | single symbol). Map-only.
     */

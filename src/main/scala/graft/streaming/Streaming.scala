@@ -128,6 +128,38 @@ object Streaming {
     drainToTable(enriched, "complete")
   }
 
+  /** `stream_session_window` — Spark's NATIVE session-window
+    * aggregation (`session_window(ts, gap)`): per user, dynamic
+    * merge-on-arrival windows that extend while events keep landing
+    * within `gap` of the session's end — the built-in engine path for
+    * the semantics [[streamSessionize]] implements with custom
+    * `flatMapGroupsWithState` state (two implementations, two
+    * operators: the custom one demonstrates arbitrary state, this one
+    * the engine's own merging window state store, which at scale
+    * prunes merged sessions through the watermark instead of user
+    * code). State shards by user_id; the bounded complete-mode drain
+    * emits every session.
+    *
+    * Window semantics pinned for the oracle (empirically, in
+    * SessionWindowSpec): an event arriving at EXACTLY last_ts + gap
+    * still MERGES into the session — only a strictly later one opens
+    * a new window — so the gaps-and-islands oracle breaks on
+    * `diff > gap`. Output keys on the session START (= min event
+    * ts), which the islands replay reproduces exactly. */
+  def streamSessionWindow(t: Tables, gap: String = "30 minutes"): DataFrame = {
+    val agg = eventsStream(t)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    drainToTable(agg, "complete")
+      .select(col("user_id"),
+        unix_micros(col("session_window.start").cast("timestamp"))
+          .as("session_start_us"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** X3 — `stream_sessionize`: the custom flatMapGroupsWithState
     * sessionizer ([[StatefulSessionize]]) driven end-to-end — event
     * file stream → per-user gap sessionization with carried state →

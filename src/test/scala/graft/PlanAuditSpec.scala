@@ -153,6 +153,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("text_readability: map-only, zero exchanges (regex counts fuse into the scan)") {
+    val p = plan(TextAnalysis.textReadability(tables))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("corpus_pii_scrub: map-only, zero exchanges (regex scrub fuses into the scan)") {
     val p = plan(TextAnalysis.corpusPiiScrub(tables))
     assert(!p.contains("Exchange"), p)

@@ -247,4 +247,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fpGrams <= math.max(1L, totalGrams / 1000),
       s"$fpGrams FP grams of $totalGrams")
   }
+
+  test("text_readability equals a driver-side regex + arithmetic replay for every doc") {
+    import scala.jdk.CollectionConverters._
+    def countMatches(re: String, s: String): Long =
+      re.r.findAllMatchIn(s).size.toLong
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = tables.documents.select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expect = docs.map { case (id, text) =>
+      val low = text.toLowerCase
+      val s = math.max(1L, countMatches("[.!?]+", text))
+      val w = countMatches("[a-z]+", low)
+      val sy = countMatches("[aeiouy]+", low)
+      val fl = if (w == 0) 0.0
+        else r4(206.835 - 1.015 * (w.toDouble / s.toDouble)
+          - 84.6 * (sy.toDouble / w.toDouble) + 1e-9)
+      val fk = if (w == 0) 0.0
+        else r4(0.39 * (w.toDouble / s.toDouble)
+          + 11.8 * (sy.toDouble / w.toDouble) - 15.59 + 1e-9)
+      id -> ((s, w, sy, fl, fk))
+    }
+    val got = TextAnalysis.textReadability(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == expect,
+      s"readability drift, e.g. ${got.find(kv => expect(kv._1) != kv._2).take(1)}")
+    // scores must actually vary — a constant column would pass a hash
+    // gate trivially and mean the counts degenerated
+    assert(got.values.map(_._4).toSet.size > 10, "flesch barely varies")
+  }
 }
