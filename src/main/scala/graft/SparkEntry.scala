@@ -175,6 +175,7 @@ object SparkEntry {
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
+    "ann_graph_topk"      -> q(t => Similarity.annGraphTopK(t)),
     "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
     "ann_refine_topk"     -> q(t => Similarity.annRefineTopK(t)),
     "ann_hamming_topk"    -> q(t => Similarity.annHammingTopK(t)),
@@ -2365,6 +2366,7 @@ object SparkEntry {
         |n AS (SELECT cell, count(*) AS n_members FROM a GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m JOIN n USING (cell)""".stripMargin,
     "ann_bruteforce_topk" -> bruteForceSql,
+    "ann_graph_topk" -> annGraphTopKSql,
     "embed_knn_graph" -> s"WITH $knnGraphChainSql\nSELECT src, dst, cos_sim, rnk FROM knn",
     // mutual-edge filter + recursive-CTE closure over the same knn
     // chain — the composed oracle of the graph consumer
@@ -2807,6 +2809,44 @@ object SparkEntry {
       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id),
       |kr AS (SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rnk FROM ks),
       |knn AS (SELECT src, dst, cos_sim, rnk FROM kr WHERE rnk <= 5)""".stripMargin
+
+  /** `ann_graph_topk` — the beam walk unrolled: stored kNN subgraph,
+    * entry scoring, two expand→score→cut rounds, every rank on the
+    * 4-dp-rounded cosine with vec_id tie-breaks. */
+  private lazy val annGraphTopKSql: String = {
+    def round(prev: String, i: Int, keep: Int, last: Boolean) = {
+      val sel = if (last) s"SELECT q_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk"
+        else s"SELECT q_id, vec_id"
+      s"""x$i AS (SELECT DISTINCT q_id, vec_id FROM (
+         |  SELECT $prev.q_id, knn.dst AS vec_id FROM $prev JOIN knn ON knn.src = $prev.vec_id
+         |  UNION ALL SELECT q_id, vec_id FROM $prev)),
+         |s$i AS (SELECT x$i.q_id, x$i.vec_id,
+         |  round(list_cosine_similarity(q.qe, nd.emb), 4) AS cos_sim
+         | FROM x$i JOIN nd ON nd.vec_id = x$i.vec_id JOIN q ON q.q_id = x$i.q_id),
+         |b$i AS ($sel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s$i)
+         | WHERE rnk <= $keep)""".stripMargin
+    }
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |nd AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10 AND vec_id % 4 = 0),
+       |g0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+       |   round(list_cosine_similarity(a.emb, b.emb), 4) AS g_sim
+       |  FROM nd a JOIN nd b ON a.vec_id <> b.vec_id),
+       |knn AS (SELECT src, dst FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY g_sim DESC, dst) AS rnk FROM g0)
+       | WHERE rnk <= 8),
+       |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+       |ent AS (SELECT vec_id FROM nd WHERE vec_id % 32 = 0),
+       |s0 AS (SELECT q.q_id, nd.vec_id,
+       |   round(list_cosine_similarity(q.qe, nd.emb), 4) AS cos_sim
+       |  FROM q CROSS JOIN ent JOIN nd ON nd.vec_id = ent.vec_id),
+       |b0 AS (SELECT q_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s0)
+       | WHERE rnk <= 8),
+       |${round("b0", 1, 8, last = false)},
+       |${round("b1", 2, 5, last = true)}
+       |SELECT q_id, vec_id, cos_sim, rnk FROM b2""".stripMargin
+  }
 
   private lazy val bruteForceSql =
     """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),

@@ -1538,4 +1538,68 @@ object Similarity {
         Window.partitionBy(col("src")).orderBy(desc("cos_sim"), asc("dst"))))
       .filter(col("rnk") <= k)
   }
+
+  /** `ann_graph_topk` — GRAPH-based ANN serving (the HNSW/NSW family's
+    * base-layer walk, public Malkov–Yashunin 2016): queries descend a
+    * stored k-nearest-neighbor graph by beam search — score a fixed
+    * entry set, keep the best `beam`, expand each survivor to its
+    * stored neighbors, re-score, repeat — instead of probing a
+    * partition index (IVF) or scanning codes (PQ). Completes the
+    * serving-paradigm triad: partition-pruned (IVF), code-scanned
+    * (PQ/ADC), and neighborhood-walked (this).
+    *
+    * The graph is the exact kNN graph over a deterministic corpus
+    * sample (vec_id % 4, denser than [[embedKnnGraph]]'s % 16 so the
+    * walk has real neighborhoods) — at production scale the build is
+    * NN-descent / IVF-bootstrapped and INCREMENTAL like the stored PQ
+    * catalog; the exact build here is the oracle-checkable stand-in,
+    * and the SERVE path is the operator's point: per query it touches
+    * entries + beam·k candidates — work independent of corpus size,
+    * the property that makes graph ANN the state of the art.
+    *
+    * Determinism: every stage ranks on the 4-dp-rounded cosine with
+    * vec_id tie-breaks (the family discipline), hops are a fixed
+    * 2-round unroll, and the candidate union dedups on (q_id,
+    * vec_id) — the DuckDB oracle replays the identical chain. All
+    * joins are keyed (neighbor expansion is an equi-join on the beam
+    * node id); queries broadcast; nothing all-pairs at serve time. */
+  def annGraphTopK(t: Tables, k: Int = TopK, beam: Int = 8,
+      graphK: Int = 8): DataFrame = {
+    val e = withEmb(t)
+    val nodes = e.filter(col("vec_id") >= NumQueries && col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("emb"))
+    // stored exact kNN subgraph (the index artifact)
+    val knn = nodes.select(col("vec_id").as("src"), col("emb").as("src_emb"))
+      .join(broadcast(nodes.select(col("vec_id").as("dst"), col("emb").as("dst_emb"))),
+        col("src") =!= col("dst"))
+      .select(col("src"), col("dst"),
+        round(cosineSimilarity(col("src_emb"), col("dst_emb")), 4).as("g_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(desc("g_sim"), asc("dst"))))
+      .filter(col("rnk") <= graphK)
+      .select(col("src"), col("dst"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val byVec = nodes.select(col("vec_id"), col("emb"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(byVec, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+    def cut(scored: DataFrame, n: Int): DataFrame = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= n)
+    // entry set: fixed sparse sample of graph nodes
+    val entries = nodes.filter(col("vec_id") % 32 === 0).select(col("vec_id"))
+    val b0 = cut(score(queries.select(col("q_id")).crossJoin(entries)), beam)
+      .select(col("q_id"), col("vec_id"))
+    def expand(bm: DataFrame): DataFrame = bm
+      .join(knn, bm("vec_id") === knn("src"))
+      .select(col("q_id"), col("dst").as("vec_id"))
+      .unionByName(bm.select(col("q_id"), col("vec_id")))
+      .distinct()
+    val b1 = cut(score(expand(b0)), beam).select(col("q_id"), col("vec_id"))
+    cut(score(expand(b1)), k)
+  }
 }

@@ -95,6 +95,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ann_graph_topk: neighbor expansions are keyed equi-joins, no sort-merge") {
+    // the serve path's contract: beam→neighbor expansion joins on the
+    // node id (equi), queries broadcast; the only nested-loop allowed
+    // is the bounded entry cross (queries × entry sample)
+    val p = plan(Similarity.annGraphTopK(tables))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("events_pagerank: every round is a keyed join + partial-agg sum, never cartesian") {
     val p = plan(EventAnalytics.eventsPagerank(tables))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -278,6 +278,46 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("ann_graph_topk equals a driver-side beam-walk replay and walks past its entries") {
+    val all = tables.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      BigDecimal((d / (math.sqrt(na) * math.sqrt(nb))).toString)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val nodes = all.filter { case (id, _) => id >= 10 && id % 4 == 0 }.toMap
+    val queries = all.filter(_._1 < 10).toMap
+    // stored kNN subgraph: 8 neighbors, rounded-cos rank, dst ties asc
+    val knn = nodes.keys.map { src =>
+      src -> nodes.keys.filter(_ != src).toSeq
+        .map(dst => (dst, cos(nodes(src), nodes(dst))))
+        .sortBy { case (dst, s) => (-s, dst) }.take(8).map(_._1)
+    }.toMap
+    val entries = nodes.keys.filter(_ % 32 == 0).toSeq
+    def beamCut(q: Long, cand: Set[Long], n: Int): Seq[(Long, Double)] =
+      cand.toSeq.map(v => (v, cos(queries(q), nodes(v))))
+        .sortBy { case (v, s) => (-s, v) }.take(n)
+    val expect = queries.keys.flatMap { qid =>
+      val b0 = beamCut(qid, entries.toSet, 8).map(_._1)
+      val b1 = beamCut(qid, (b0 ++ b0.flatMap(knn)).toSet, 8).map(_._1)
+      beamCut(qid, (b1 ++ b1.flatMap(knn)).toSet, 5).zipWithIndex
+        .map { case ((v, s), i) => (qid, v, s, i + 1) }
+    }.toSet
+    val got = Similarity.annGraphTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expect,
+      s"beam drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // the walk must actually use the graph: some reported neighbor is
+    // NOT an entry node (pure-entry results would mean the expansions
+    // are dead code)
+    assert(got.exists { case (_, v, _, _) => v % 32 != 0 },
+      "all results are entry nodes — beam expansion did nothing")
+  }
+
   test("embed_mutual_knn_clusters: reciprocal filter + union-find replay") {
     val edges = Similarity.embedKnnGraph(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
