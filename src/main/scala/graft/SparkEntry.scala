@@ -79,6 +79,7 @@ object SparkEntry {
     "text_quality"        -> q(TextAnalysis.textQuality),
     "text_tokens"         -> q(TextAnalysis.textTokens),
     "text_readability"    -> q(TextAnalysis.textReadability),
+    "text_boilerplate"    -> q(TextAnalysis.textBoilerplate),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
@@ -1151,6 +1152,23 @@ object SparkEntry {
         |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
         | CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
         |FROM t GROUP BY user_id, sid""".stripMargin,
+    // per-source boilerplate vocabulary: df·10 >= n_docs·8 is the
+    // exact-integer 80% document-frequency threshold
+    "text_boilerplate" ->
+      s"""WITH tk AS (SELECT source, doc_id, unnest($sqlToks) AS term FROM documents),
+        |dt AS (SELECT DISTINCT source, doc_id, term FROM tk),
+        |nd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |df AS (SELECT source, term, count(*) AS df FROM dt GROUP BY 1, 2),
+        |b AS (SELECT df.source, df.term FROM df JOIN nd USING (source)
+        |  WHERE df * 10 >= n_docs * 8),
+        |pd AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tk GROUP BY 1, 2),
+        |bc AS (SELECT tk.source, tk.doc_id, CAST(count(*) AS BIGINT) AS n_boiler
+        |  FROM tk JOIN b ON b.source = tk.source AND b.term = tk.term GROUP BY 1, 2)
+        |SELECT pd.doc_id, pd.source, pd.n_tokens,
+        | COALESCE(bc.n_boiler, CAST(0 AS BIGINT)) AS n_boiler,
+        | CASE WHEN pd.n_tokens = 0 THEN 0.0 ELSE
+        |  round(CAST(COALESCE(bc.n_boiler, 0) AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE) + 1e-9, 4) END AS boiler_ratio
+        |FROM pd LEFT JOIN bc ON bc.source = pd.source AND bc.doc_id = pd.doc_id""".stripMargin,
     "text_readability" ->
       """WITH c AS (SELECT doc_id,
         |  greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS s,

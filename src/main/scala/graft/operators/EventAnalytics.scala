@@ -992,7 +992,8 @@ object EventAnalytics {
     * result is staged to parquet as the deterministic release point —
     * the stored-artifact discipline production would use anyway. */
   def eventsKcore(t: Tables, k: Int = 5, rounds: Int = 4,
-      maxItemsPerDay: Int = 64): DataFrame = {
+      maxItemsPerDay: Int = 64,
+      localMaxEdges: Long = Dedup.LocalCcMaxEdges): DataFrame = {
     val items = cappedDayItems(t, maxItemsPerDay)
     val und = items.as("a")
       .join(items.as("b"),
@@ -1000,7 +1001,30 @@ object EventAnalytics {
           col("a.item") < col("b.item"))
       .select(col("a.item").as("a"), col("b.item").as("b"))
       .distinct().persist()
-    und.count()
+    val nEdges = und.count()
+    // ADAPTIVE LOCAL FALLBACK (the connectedComponents discipline):
+    // below the edge ceiling the whole graph fits on the driver and a
+    // local peel beats paying 4 rounds of distributed-job latency —
+    // the spec proves label parity against the distributed loop
+    if (localMaxEdges > 0 && nEdges <= localMaxEdges) {
+      val sess = und.sparkSession
+      import sess.implicits._
+      var es = und.select(col("a").cast("long"), col("b").cast("long"))
+        .as[(Long, Long)].collect().toSet
+      und.unpersist()
+      val allN = es.flatMap(e => Set(e._1, e._2))
+      for (_ <- 1 to rounds) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (n, xs) => n -> xs.size }
+        val surv = deg.filter(_._2 >= k).keySet
+        es = es.filter(e => surv(e._1) && surv(e._2))
+      }
+      val degF = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+      return allN.toSeq.sorted
+        .map(n => (n.toInt, degF.getOrElse(n, 0L), degF.getOrElse(n, 0L) >= k))
+        .toDF("item", "core_deg", "in_core")
+    }
     val allNodes = und.select(col("a").as("item"))
       .unionAll(und.select(col("b").as("item"))).distinct()
     var edges = und

@@ -152,6 +152,47 @@ object TextAnalysis {
       qualityScoreExpr(col("text"), toks).as("quality_score"))
   }
 
+  /** `text_boilerplate` — source-level boilerplate detection (the
+    * CCNet/web-pipeline discipline applied at token granularity):
+    * a term is BOILERPLATE for a source when it appears in ≥ 80% of
+    * that source's documents (template chrome, navigation residue,
+    * legal footers — whatever a crawler's extraction left behind in
+    * every page of one site), and each doc reports how much of its
+    * token stream that vocabulary accounts for — the signal a
+    * cleaning pass thresholds on before training. Per-SOURCE document
+    * frequency is the point: a term can be boilerplate on one site
+    * and content on another, which the global idf of [[textTfidf]]
+    * cannot see.
+    *
+    * Determinism: the 80% threshold compares exact integers
+    * (df·10 ≥ n_docs·8), counts are int64, one §6-rounded ratio.
+    * Shape: token explode → (source, term) partial-agg df; the
+    * boilerplate vocabulary is a per-source bounded set joined back
+    * by (source, term) equi-key; per-doc rollups are keyed counts —
+    * no all-pairs, no driver state. */
+  def textBoilerplate(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("source"), col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val docsPerSource = t.documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val df = toks.select(col("source"), col("doc_id"), col("term")).distinct()
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("df"))
+    val boiler = df.join(broadcast(docsPerSource), "source")
+      .filter(col("df") * lit(10) >= col("n_docs") * lit(8))
+      .select(col("source"), col("term"))
+    val perDoc = toks.groupBy(col("source"), col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val bCount = toks.join(boiler, Seq("source", "term"))
+      .groupBy(col("source"), col("doc_id")).agg(count(lit(1)).as("n_boiler"))
+    perDoc.join(bCount, Seq("source", "doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        when(col("n_tokens") === 0L, lit(0.0)).otherwise(
+          round(coalesce(col("n_boiler"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double") + lit(1e-9), 4))
+          .as("boiler_ratio"))
+  }
+
   /** `text_readability` — Flesch reading ease + Flesch–Kincaid grade
     * (public Flesch 1948 / Kincaid 1975) under the standard
     * heuristic approximations an engine without a dictionary uses:

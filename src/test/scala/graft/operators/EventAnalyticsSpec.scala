@@ -229,6 +229,12 @@ class EventAnalyticsSpec extends SparkSpec {
       "spec graph is degenerate — peel removed everyone or no one")
   }
 
+  test("events_kcore adaptive local peel equals the forced-distributed loop") {
+    val local = EventAnalytics.eventsKcore(tables)
+    val dist = EventAnalytics.eventsKcore(tables, localMaxEdges = 0L)
+    assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty)
+  }
+
   test("events_kcore reaches its fixpoint within the bounded rounds") {
     // the bounded-round contract is only honest if the test graph has
     // actually converged: one extra round must change nothing

@@ -248,6 +248,37 @@ class TextAnalysisSpec extends SparkSpec {
       s"$fpGrams FP grams of $totalGrams")
   }
 
+  test("text_boilerplate equals a driver-side df-threshold replay for every doc") {
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = tables.documents.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val bySource = docs.groupBy(_._2)
+    val boiler: Map[String, Set[String]] = bySource.map { case (src, ds) =>
+      val n = ds.length
+      val df = ds.flatMap(d => toks(d._3).distinct).groupBy(identity)
+        .map { case (t, xs) => t -> xs.size }
+      src -> df.filter { case (_, c) => c * 10 >= n * 8 }.keySet
+    }
+    val expect = docs.map { case (id, src, text) =>
+      val ts = toks(text)
+      val nb = ts.count(boiler(src)).toLong
+      val ratio = if (ts.isEmpty) 0.0 else r4(nb.toDouble / ts.size + 1e-9)
+      (id, src, ts.size.toLong, nb, ratio)
+    }.toSet
+    val got = TextAnalysis.textBoilerplate(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expect,
+      s"boilerplate drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // the threshold must bite both ways on the spec corpus
+    assert(boiler.values.exists(_.nonEmpty), "no boilerplate vocabulary found")
+    assert(expect.exists(_._5 < 1.0), "every doc is 100% boilerplate — degenerate")
+  }
+
   test("text_readability equals a driver-side regex + arithmetic replay for every doc") {
     import scala.jdk.CollectionConverters._
     def countMatches(re: String, s: String): Long =
