@@ -158,6 +158,7 @@ object SparkEntry {
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
+    "dedup_url_canonicalize" -> q(Dedup.dedupUrlCanonicalize),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
     "dedup_minhash_lsh"   -> q(Dedup.dedupMinhashLsh),
     "dedup_simhash"       -> q(Dedup.dedupSimhash),
@@ -1953,6 +1954,48 @@ object SparkEntry {
         |bg AS (SELECT array_to_string(toks[i:i+1],' ') AS bigram
         |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) g WHERE i <= len(toks)-1)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY 1 ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    // synthetic URLs replayed nibble-for-nibble, then the identical
+    // canonicalization chain (DuckDB backrefs are \1, Spark's $1)
+    "dedup_url_canonicalize" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |n AS (SELECT doc_id,
+        |  (strpos('0123456789abcdef', substr(h,1,1))-1) AS n1,
+        |  (strpos('0123456789abcdef', substr(h,2,1))-1) AS n2,
+        |  (strpos('0123456789abcdef', substr(h,3,1))-1) AS n3,
+        |  (strpos('0123456789abcdef', substr(h,4,1))-1) AS n4,
+        |  (strpos('0123456789abcdef', substr(h,5,1))-1) AS n5,
+        |  (strpos('0123456789abcdef', substr(h,6,1))-1) AS n6,
+        |  (strpos('0123456789abcdef', substr(h,7,1))-1) AS n7,
+        |  (strpos('0123456789abcdef', substr(h,8,1))-1) AS n8
+        | FROM h),
+        |r AS (SELECT doc_id,
+        |  (CASE WHEN n1 % 2 = 0 THEN 'http://' ELSE 'https://' END)
+        |  || (CASE WHEN n2 % 2 = 0 THEN 'www.' ELSE '' END)
+        |  || (CASE WHEN n3 % 2 = 0 THEN upper('site' || CAST(n4 % 8 AS VARCHAR))
+        |      ELSE 'site' || CAST(n4 % 8 AS VARCHAR) END)
+        |  || '.example.org'
+        |  || (CASE WHEN n5 % 2 = 0 THEN ':443' ELSE '' END)
+        |  || '/p/' || CAST(doc_id % 37 AS VARCHAR)
+        |  || (CASE WHEN n6 % 2 = 0 THEN '/' ELSE '' END)
+        |  || '?utm_source=s' || CAST(n7 % 4 AS VARCHAR)
+        |  || (CASE WHEN n8 % 4 = 0 THEN '&id=' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END)
+        |  AS raw_url FROM n),
+        |c AS (SELECT doc_id, raw_url,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(raw_url),
+        |      '^http://', 'https://'),
+        |      '^https://www\.', 'https://'),
+        |      ':(443|80)/', '/', 'g'),
+        |      ':(443|80)\?', '?', 'g'),
+        |    '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+        |    '[?&]$', ''),
+        |    '/(\?|$)', '\1') AS canonical_url
+        | FROM r)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT raw_url) AS BIGINT) AS n_variants,
+        | min(doc_id) AS keeper_doc_id
+        |FROM c GROUP BY 1""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS rep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,

@@ -67,6 +67,64 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("dup_count"))
 
+  /** `dedup_url_canonicalize` — URL canonicalization dedup, the FIRST
+    * dedup pass of every web-corpus pipeline (cheaper than any
+    * content hash: two crawls of one page dedup on the KEY, before
+    * bytes are even compared). Raw URLs differ in scheme, host case,
+    * `www.`, default ports, trailing slashes, and tracking params
+    * while naming the same resource; the canonical form — https
+    * scheme (policy: scheme-merged), lowercased host, `www.`/default
+    * port stripped, `utm_*`/`ref` params dropped, dangling `?`/`&`
+    * and trailing slash removed — is the dedup key.
+    *
+    * The corpus has no URL column, so each doc carries a
+    * DETERMINISTIC synthetic URL (the `corpus_pii_scrub` injection
+    * discipline: md5-nibble-driven noise over a small site×path
+    * space, so collisions exist by construction and the oracle
+    * replays the same bytes). Canonicalization itself is the real
+    * operator: a fixed regexp_replace chain both engines run
+    * identically. Map-only synth+normalize, ONE canonical-key
+    * shuffle; output is the duplicate-group report with min-doc
+    * keeper — `dedup_exact`'s shape on the URL axis. */
+  def dedupUrlCanonicalize(t: Tables): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    def nib(i: Int) = (instr(lit("0123456789abcdef"), substring(h, i, 1)) - 1)
+    val raw = concat(
+      when(nib(1) % 2 === 0, lit("http://")).otherwise(lit("https://")),
+      when(nib(2) % 2 === 0, lit("www.")).otherwise(lit("")),
+      when(nib(3) % 2 === 0, upper(concat(lit("site"), (nib(4) % 8).cast("string"))))
+        .otherwise(concat(lit("site"), (nib(4) % 8).cast("string"))),
+      lit(".example.org"),
+      when(nib(5) % 2 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (col("doc_id") % 37).cast("string"),
+      when(nib(6) % 2 === 0, lit("/")).otherwise(lit("")),
+      lit("?utm_source=s"), (nib(7) % 4).cast("string"),
+      when(nib(8) % 4 === 0, concat(lit("&id="), (col("doc_id") % 5).cast("string")))
+        .otherwise(lit("")))
+    val canon =
+      // force-https, lowercase, strip www. and default ports
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(raw), "^http://", "https://"),
+            "^https://www\\.", "https://"),
+          ":(443|80)/", "/"),
+        ":(443|80)\\?", "?")
+    val canon2 =
+      // drop tracking params, then dangling separators + trailing slash
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(canon, "(utm_[a-z]+|ref)=[^&]*&?", ""),
+          "[?&]$", ""),
+        "/(\\?|$)", "$1")
+    t.documents
+      .select(col("doc_id"), raw.as("raw_url"), canon2.as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_variants"),
+        min(col("doc_id")).as("keeper_doc_id"))
+  }
+
   /** D2 — n-gram Jaccard near-dup pairs (similarity ≥ 0.8), via
     * prefix-filtered AllPairs (exact).
     *

@@ -162,6 +162,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
   }
 
+  test("dedup_url_canonicalize: synth + normalize fuse into the scan, one canonical-key shuffle") {
+    val p = plan(Dedup.dedupUrlCanonicalize(tables))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 2, s"expected ≤2 exchanges (agg + countDistinct expand), got $shuffles:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("text_readability: map-only, zero exchanges (regex counts fuse into the scan)") {
     val p = plan(TextAnalysis.textReadability(tables))
     assert(!p.contains("Exchange"), p)

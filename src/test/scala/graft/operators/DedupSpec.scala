@@ -289,4 +289,45 @@ class DedupSpec extends SparkSpec {
     // corpus-wide keep-first: every duplicated window survives somewhere
     assert(expected.map(_._4).sum > 0)
   }
+
+  test("dedup_url_canonicalize equals a driver-side synth + normalize replay") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val ids = tables.documents.select("doc_id").collect().map(_.getLong(0))
+    val rows = ids.map { id =>
+      val h = md5hex(id.toString)
+      def nib(i: Int) = "0123456789abcdef".indexOf(h(i - 1))
+      val raw = (if (nib(1) % 2 == 0) "http://" else "https://") +
+        (if (nib(2) % 2 == 0) "www." else "") +
+        { val site = s"site${nib(4) % 8}"
+          if (nib(3) % 2 == 0) site.toUpperCase else site } +
+        ".example.org" +
+        (if (nib(5) % 2 == 0) ":443" else "") +
+        s"/p/${id % 37}" +
+        (if (nib(6) % 2 == 0) "/" else "") +
+        s"?utm_source=s${nib(7) % 4}" +
+        (if (nib(8) % 4 == 0) s"&id=${id % 5}" else "")
+      val canon = raw.toLowerCase
+        .replaceAll("^http://", "https://")
+        .replaceAll("^https://www\\.", "https://")
+        .replaceAll(":(443|80)/", "/")
+        .replaceAll(":(443|80)\\?", "?")
+        .replaceAll("(utm_[a-z]+|ref)=[^&]*&?", "")
+        .replaceAll("[?&]$", "")
+        .replaceAll("/(\\?|$)", "$1")
+      (id, raw, canon)
+    }
+    val expect = rows.groupBy(_._3).map { case (c, g) =>
+      c -> ((g.length.toLong, g.map(_._2).distinct.length.toLong, g.map(_._1).min))
+    }
+    val got = Dedup.dedupUrlCanonicalize(tables).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect,
+      s"canon drift: ${(got.toSet -- expect.toSet).take(3)} vs ${(expect.toSet -- got.toSet).take(3)}")
+    // the canonicalizer must actually MERGE distinct raw spellings of
+    // one resource — a group with >1 doc and >1 raw variant
+    assert(expect.values.exists(v => v._1 > 1 && v._2 > 1),
+      "no group merged distinct raw URLs — canonicalization is dead code")
+  }
 }
