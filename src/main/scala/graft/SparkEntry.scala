@@ -80,6 +80,8 @@ object SparkEntry {
     "text_tokens"         -> q(TextAnalysis.textTokens),
     "text_readability"    -> q(TextAnalysis.textReadability),
     "text_boilerplate"    -> q(TextAnalysis.textBoilerplate),
+    "stream_boilerplate"  -> q(t => graft.streaming.Streaming.streamBoilerplate(t)),
+    "corpus_temperature_sampling" -> q(t => TextAnalysis.corpusTemperatureSampling(t)),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
@@ -1153,6 +1155,26 @@ object SparkEntry {
         |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
         | CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
         |FROM t GROUP BY user_id, sid""".stripMargin,
+    // the streaming df state's batch readout: the boilerplate VOCABULARY
+    "stream_boilerplate" ->
+      s"""WITH tk AS (SELECT source, doc_id, unnest($sqlToks) AS term FROM documents),
+        |dt AS (SELECT DISTINCT source, doc_id, term FROM tk),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1),
+        |df AS (SELECT source, term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1, 2)
+        |SELECT df.source, df.term, df.df, nd.n_docs
+        |FROM df JOIN nd USING (source)
+        |WHERE df.df * 10 >= nd.n_docs * 8""".stripMargin,
+    // α=½ temperature shares: floor(sqrt(tokens)·10⁶) priorities are
+    // exact on both engines (IEEE sqrt is correctly rounded)
+    "corpus_temperature_sampling" ->
+      s"""WITH ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+        |qq AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS q FROM ps),
+        |tot AS (SELECT sum(CAST(q AS HUGEINT)) AS qs FROM qq)
+        |SELECT source, n_docs, n_tokens,
+        | round(CAST(q AS DOUBLE) / CAST(qs AS DOUBLE) + 1e-9, 6) AS share,
+        | CAST((CAST(1000000 AS HUGEINT) * q) // qs AS BIGINT) AS quota_tokens
+        |FROM qq, tot""".stripMargin,
     // per-source boilerplate vocabulary: df·10 >= n_docs·8 is the
     // exact-integer 80% document-frequency threshold
     "text_boilerplate" ->

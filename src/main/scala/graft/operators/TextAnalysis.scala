@@ -152,6 +152,40 @@ object TextAnalysis {
       qualityScoreExpr(col("text"), toks).as("quality_score"))
   }
 
+  /** `corpus_temperature_sampling` — temperature-reweighted source
+    * mixture (the multilingual/multi-source sampling rule of public
+    * LM-training recipes: share_i ∝ w_i^α with α < 1, upweighting
+    * small sources so the head doesn't drown the tail), at α = ½ —
+    * the inverse-sqrt setting chosen deliberately because IEEE sqrt
+    * is CORRECTLY ROUNDED on every engine, so where pow(w, 0.7)
+    * would be a libm last-ulp hazard, sqrt is bit-deterministic.
+    * Complements [[corpusMixture]] (per-source rate quotas given):
+    * this COMPUTES the shares from corpus statistics.
+    *
+    * Determinism: per-source token counts are exact int64; priorities
+    * quantize as floor(sqrt(w)·10⁶) — one exact sqrt, one IEEE
+    * multiply, one floor — so the share is a ratio of exact integers
+    * (§6 rule #4) and the token quota is an integral division in
+    * 128-bit/DECIMAL(38,0) (budget·q overflows int64 at petabyte
+    * token counts, not before the engines diverge). One keyed rollup
+    * + a one-row broadcast total; output is #sources rows. */
+  def corpusTemperatureSampling(t: Tables,
+      budgetTokens: Long = 1000000L): DataFrame = {
+    val perSource = t.documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      .withColumn("q",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000L)).cast("long"))
+    val tot = perSource.agg(sum(col("q")).as("qs"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("q").cast("double") / col("qs").cast("double") + lit(1e-9), 6)
+          .as("share"),
+        expr(s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * q) DIV qs AS BIGINT)")
+          .as("quota_tokens"))
+  }
+
   /** `text_boilerplate` — source-level boilerplate detection (the
     * CCNet/web-pipeline discipline applied at token granularity):
     * a term is BOILERPLATE for a source when it appears in ≥ 80% of

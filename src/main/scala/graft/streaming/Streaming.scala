@@ -631,6 +631,45 @@ object Streaming {
       .limit(topN)
   }
 
+  /** `stream_boilerplate` — the `text_boilerplate` per-source
+    * document-frequency state maintained over a document STREAM:
+    * cleaning statistics that update as the crawl lands, instead of a
+    * batch recount. Per arriving doc the distinct-term projection is
+    * MAP-ONLY (`array_distinct` before the explode — within-doc
+    * dedup never shuffles), then ONE keyed streaming aggregation
+    * whose state is bounded by per-source vocabulary (metadata-scale
+    * at any ingest rate); a sentinel term per doc carries the
+    * per-source doc count through the SAME aggregation (two streaming
+    * aggs can't join inside one streaming query — the sentinel folds
+    * both counts into one state store). The 80% threshold is a batch
+    * readout of the drained state, emitting the boilerplate
+    * VOCABULARY (source, term, df, n_docs) — the artifact the batch
+    * operator's per-doc scoring pass consumes. Shares the batch df
+    * oracle — stream/batch equivalence pair #14. */
+  def streamBoilerplate(t: Tables): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = t.raw("documents").schema
+    val docs = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    val sentinel = "\u0001" // not producible by the tokenizer ([a-z0-9]+ only)
+    val counts = docs
+      .select(col("source"),
+        explode(concat(array(lit(sentinel)),
+          array_distinct(TextAnalysis.tokens(col("text"))))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("df"))
+    val drained = drainToTable(counts, "complete")
+    // rename the key on the sentinel side: both branches read the same
+    // memory-sink view, and a bare self-join would carry conflicting
+    // `source` attributes
+    val nDocs = drained.filter(col("term") === sentinel)
+      .select(col("source").as("nd_source"), col("df").as("n_docs"))
+    val vocab = drained.filter(col("term") =!= sentinel)
+    vocab.join(broadcast(nDocs), col("source") === col("nd_source"))
+      .filter(col("df") * lit(10) >= col("n_docs") * lit(8))
+      .select(col("source"), col("term"), col("df"), col("n_docs"))
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path

@@ -248,6 +248,57 @@ class TextAnalysisSpec extends SparkSpec {
       s"$fpGrams FP grams of $totalGrams")
   }
 
+  test("stream_boilerplate vocabulary equals the batch df computation") {
+    val stream = graft.streaming.Streaming.streamBoilerplate(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val docs = tables.documents.select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(s: String): Seq[String] =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").filter(_.nonEmpty).toSeq
+    val batch = docs.groupBy(_._2).flatMap { case (src, ds) =>
+      val n = ds.length.toLong
+      ds.flatMap(d => toks(d._3).distinct).groupBy(identity)
+        .collect { case (t, xs) if xs.size * 10 >= n * 8 =>
+          (src, t, xs.size.toLong, n) }
+    }.toSet
+    assert(stream == batch,
+      s"vocab drift: ${(stream -- batch).take(3)} vs ${(batch -- stream).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("corpus_temperature_sampling equals an exact sqrt-priority replay and upweights the tail") {
+    def toks(s: String): Long =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").count(_.nonEmpty).toLong
+    def r(x: Double, dp: Int) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = tables.documents.select(col("source"), col("text"))
+      .collect().map(rw => (rw.getString(0), toks(rw.getString(1))))
+    val perSrc = docs.groupBy(_._1).map { case (s, ds) =>
+      (s, ds.length.toLong, ds.map(_._2).sum)
+    }.toSeq
+    val qs = perSrc.map { case (s, nd, nt) =>
+      (s, nd, nt, math.floor(math.sqrt(nt.toDouble) * 1000000L).toLong)
+    }
+    val qSum = qs.map(_._4).sum
+    val expect = qs.map { case (s, nd, nt, q) =>
+      (s, nd, nt, r(q.toDouble / qSum.toDouble + 1e-9, 6),
+        (BigInt(1000000L) * q / qSum).toLong)
+    }.toSet
+    val got = TextAnalysis.corpusTemperatureSampling(tables).collect()
+      .map(rw => (rw.getString(0), rw.getLong(1), rw.getLong(2),
+        rw.getDouble(3), rw.getLong(4))).toSet
+    assert(got == expect,
+      s"temp drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // α=½'s whole point: the smallest source's sampled share must
+    // exceed its raw token share, the largest's must shrink
+    val totTok = perSrc.map(_._3).sum.toDouble
+    val small = expect.minBy(_._3); val big = expect.maxBy(_._3)
+    assert(small._4 > small._3 / totTok, "tail source not upweighted")
+    assert(big._4 < big._3 / totTok, "head source not downweighted")
+  }
+
   test("text_boilerplate equals a driver-side df-threshold replay for every doc") {
     def toks(s: String): Seq[String] =
       s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
