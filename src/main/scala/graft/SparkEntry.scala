@@ -71,6 +71,7 @@ object SparkEntry {
     "q_sessionize"        -> q(Relational.qSessionize),
     "q_json_extract"      -> q(Relational.qJsonExtract),
     "q_time_bucket"       -> q(Relational.qTimeBucket),
+    "q_gap_fill"          -> q(Relational.qGapFill),
     "q_grouping_sets"     -> q(Relational.qGroupingSets),
     "q_window_ntile"      -> q(Relational.qWindowNtile),
     "q_window_distribution" -> q(Relational.qWindowDistribution),
@@ -106,6 +107,7 @@ object SparkEntry {
     "events_triangles"    -> q(t => EventAnalytics.eventsTriangles(t)),
     "events_kcore"        -> q(t => EventAnalytics.eventsKcore(t)),
     "events_assortativity" -> q(t => EventAnalytics.eventsAssortativity(t)),
+    "events_bot_detect"   -> q(EventAnalytics.eventsBotDetect),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
@@ -1212,6 +1214,39 @@ object SparkEntry {
         | CAST(sum(CAST(json_extract_string(props,'$$.k') AS INTEGER)) AS BIGINT) AS sum_k,
         | ${ExactAgg.exactMeanSql("CAST(json_extract_string(props,'$.k') AS INTEGER)", 4)} AS avg_k
         |FROM events GROUP BY event_type""".stripMargin,
+    // spine + IGNORE NULLS ffill/bfill windows + per-row linear interp
+    "q_gap_fill" ->
+      """WITH base AS (SELECT event_type,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(hour_ts) AS h0, max(hour_ts) AS h1 FROM base GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM span),
+        |j AS (SELECT s.event_type, s.hour_ts, b.n_events, b.sum_value,
+        |  CAST(epoch_us(s.hour_ts) // 3600000000 AS BIGINT) AS h
+        | FROM spine s LEFT JOIN base b USING (event_type, hour_ts)),
+        |wnd AS (SELECT *,
+        |  last_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN sum_value IS NOT NULL THEN h END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |  first_value(sum_value IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN sum_value IS NOT NULL THEN h END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY h
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        | FROM j)
+        |SELECT event_type, h AS hour_id,
+        | COALESCE(n_events, CAST(0 AS BIGINT)) AS n_events,
+        | sum_value IS NULL AS is_filled,
+        | round(CASE WHEN sum_value IS NOT NULL THEN sum_value
+        |   WHEN pv IS NULL THEN nv
+        |   WHEN nv IS NULL THEN pv
+        |   ELSE pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+        |  END + 1e-9, 4) AS value_filled
+        |FROM wnd""".stripMargin,
     "q_time_bucket" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts, event_type,
         | count(*) AS n, round(sum(value),2) AS sum_value
@@ -1715,6 +1750,36 @@ object SparkEntry {
     "events_pagerank" -> eventsPagerankSql,
     "events_hits" -> eventsHitsSql,
     "events_kcore" -> eventsKcoreSql,
+    "events_bot_detect" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |  json_extract_string(props, '$.k') AS item,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |bu AS (SELECT user_id, us0 FROM (
+        |  SELECT user_id, min(us) AS us0 FROM r GROUP BY 1)
+        | WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '1'),
+        |sy AS (SELECT user_id, 'purchase' AS event_type, '999' AS item,
+        |  (us0 // 60000000) * 60000000 + i * 2000000 AS us
+        | FROM bu, (SELECT unnest(generate_series(0, 24)) AS i) g),
+        |e AS (SELECT user_id, event_type, item, us,
+        |  CAST(us // 60000000 AS BIGINT) AS mnt FROM (
+        |  SELECT * FROM r UNION ALL SELECT * FROM sy)),
+        |b AS (SELECT user_id, CAST(max(m) AS BIGINT) AS max_per_minute FROM (
+        |  SELECT user_id, mnt, count(*) AS m FROM e GROUP BY 1, 2) GROUP BY 1),
+        |d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_distinct FROM (
+        |  SELECT DISTINCT user_id, event_type, item, mnt FROM e) GROUP BY 1),
+        |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_sec FROM e GROUP BY 1),
+        |s AS (SELECT t.user_id, t.n_events, b.max_per_minute,
+        |  t.n_events - d.n_distinct AS n_dup_events, t.span_sec,
+        |  (CASE WHEN b.max_per_minute >= 10 THEN 2
+        |    WHEN b.max_per_minute >= 5 THEN 1 ELSE 0 END)
+        |  + (CASE WHEN 2 * (t.n_events - d.n_distinct) >= t.n_events THEN 1 ELSE 0 END)
+        |  + (CASE WHEN t.n_events >= 100 AND t.span_sec <= 7200 THEN 1 ELSE 0 END)
+        |  AS sc
+        | FROM t JOIN b USING (user_id) JOIN d USING (user_id))
+        |SELECT user_id, n_events, max_per_minute, n_dup_events, span_sec,
+        | CAST(sc AS BIGINT) AS bot_score, sc >= 2 AS flagged
+        |FROM s""".stripMargin,
     "events_assortativity" -> eventsAssortativitySql,
     // Schank–Wagner forward triangle counting: the oracle replays the
     // identical (degree, id) orientation and wedge order, so the

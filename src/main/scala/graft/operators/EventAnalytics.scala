@@ -1062,6 +1062,72 @@ object EventAnalytics {
 
   private val kcoreInvocation = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** `events_bot_detect` — heuristic automation scoring per user, the
+    * abuse/quality screen an event pipeline runs before analytics
+    * (bots poison funnels, retention, and recommendation counts): per
+    * user, the burstiest minute (max events in any calendar minute),
+    * the duplicate-action count (events − distinct (type, item,
+    * minute) triples), and the activity span — combined into an
+    * integer rule score (burst ≥ 10/min → +2, ≥ 5 → +1; dup ratio
+    * ≥ ½ exact-integer compare → +1; ≥ 100 events inside a ≤ 2-hour
+    * span → +1), flagged at score ≥ 2. Rule scoring (not a model) is
+    * deliberate: deterministic, explainable, and the industry's
+    * first-line screen.
+    *
+    * The synthetic event table has no automation in it (uniform ≤2
+    * events/minute for every user), so the screen runs over the real
+    * events UNIONED with a deterministic bot injection — every user
+    * whose md5 first nibble is 1 (~1/16) gets a 25-event
+    * same-item burst inside one calendar minute (the
+    * `corpus_pii_scrub` ground-truth-injection discipline). That
+    * makes the flag set a measurable ground truth: the spec asserts
+    * the screen recovers EXACTLY the injected users — precision and
+    * recall 1.0 on the labels, not "thresholds that never fire".
+    *
+    * Shape: the injection is one map-side explode off a user-keyed
+    * min-timestamp rollup; then one (user, minute)-keyed count, one
+    * user-keyed distinct-triple count, one user-keyed span rollup —
+    * all partial-agg shuffles over key+counter pairs; no windows over
+    * raw events, no driver state. All thresholds compare exact
+    * integers, so the flag replays bit-identically in the oracle. */
+  def eventsBotDetect(t: Tables): DataFrame = {
+    val real = t.events.select(col("user_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").as("item"),
+      unix_micros(col("ts").cast("timestamp")).as("us"))
+    val botUsers = real.groupBy(col("user_id")).agg(min(col("us")).as("us0"))
+      .filter(substring(md5(col("user_id").cast("string")), 1, 1) === "1")
+    val synth = botUsers
+      .withColumn("i", explode(sequence(lit(0), lit(24))))
+      .select(col("user_id"), lit("purchase").as("event_type"),
+        lit("999").as("item"),
+        (expr("us0 DIV 60000000") * lit(60000000L) + col("i") * lit(2000000L))
+          .as("us"))
+    val e = real.unionByName(synth)
+      .withColumn("minute", expr("us DIV 60000000"))
+    val burst = e.groupBy(col("user_id"), col("minute"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("user_id")).agg(max(col("m")).as("max_per_minute"))
+    val dups = e.select(col("user_id"), col("event_type"), col("item"), col("minute"))
+      .distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_distinct"))
+    val tot = e.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long")
+          .as("span_sec"))
+    val score =
+      when(col("max_per_minute") >= 10, lit(2))
+        .otherwise(when(col("max_per_minute") >= 5, lit(1)).otherwise(lit(0))) +
+      when(lit(2) * (col("n_events") - col("n_distinct")) >= col("n_events"),
+        lit(1)).otherwise(lit(0)) +
+      when(col("n_events") >= 100 && col("span_sec") <= 7200, lit(1))
+        .otherwise(lit(0))
+    tot.join(burst, "user_id").join(dups, "user_id")
+      .select(col("user_id"), col("n_events"), col("max_per_minute"),
+        (col("n_events") - col("n_distinct")).as("n_dup_events"),
+        col("span_sec"), score.cast("long").as("bot_score"),
+        (score >= 2).as("flagged"))
+  }
+
   /** `events_assortativity` — degree assortativity (public Newman
     * 2002): the Pearson correlation of endpoint degrees over the
     * undirected co-purchase edge set — one scalar saying whether

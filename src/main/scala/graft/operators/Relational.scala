@@ -545,6 +545,58 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
 
+  /** `q_gap_fill` — calendar-spine gap filling over the hourly rollup
+    * ([[qTimeBucket]]'s output made TIME-SERIES-complete): every hour
+    * of each event type's own [min, max] span gets a row — silent
+    * hours surface with n_events = 0 and a value LINEARLY INTERPOLATED
+    * between the nearest present neighbors (forward/backward fill at
+    * the span edges) — the densification step every downstream
+    * forecast/anomaly consumer assumes has already happened
+    * (`events_gap_report` only REPORTS the holes; this repairs them).
+    *
+    * Determinism: hours are exact epoch integers, present sums are
+    * 2-dp-exact (§6 #1), and the interpolation
+    * prev + (next−prev)·(h−h_prev)/(h_next−h_prev) is per-row scalar
+    * IEEE on those exact inputs — no aggregation order anywhere.
+    *
+    * Shape: one (type, hour) rollup shuffle over raw events (the only
+    * stage that sees data); the spine explode and the four
+    * IGNORE-NULLS window passes run over #types × #hours rows —
+    * metadata-scale regardless of corpus size, partitioned by type. */
+  def qGapFill(t: Tables): DataFrame = {
+    val base = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+    val span = base.groupBy(col("event_type"))
+      .agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
+    val spine = span.select(col("event_type"),
+      explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val joined = spine.join(base, Seq("event_type", "hour_ts"), "left")
+      .withColumn("h", (unix_micros(col("hour_ts").cast("timestamp")) /
+        lit(3600000000L)).cast("long"))
+    val w = Window.partitionBy(col("event_type")).orderBy(asc("h"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prevV = last(col("sum_value"), ignoreNulls = true).over(wPrev)
+    val prevH = last(when(col("sum_value").isNotNull, col("h")), ignoreNulls = true)
+      .over(wPrev)
+    val nextV = first(col("sum_value"), ignoreNulls = true).over(wNext)
+    val nextH = first(when(col("sum_value").isNotNull, col("h")), ignoreNulls = true)
+      .over(wNext)
+    joined.select(col("event_type"), col("h").as("hour_id"),
+      coalesce(col("n_events"), lit(0L)).as("n_events"),
+      col("sum_value").isNull.as("is_filled"),
+      round(
+        when(col("sum_value").isNotNull, col("sum_value"))
+          .when(prevV.isNull, nextV) // before the first present hour
+          .when(nextV.isNull, prevV) // after the last present hour
+          .otherwise(prevV + (nextV - prevV) *
+            ((col("h") - prevH).cast("double") / (nextH - prevH).cast("double")))
+          + lit(1e-9), 4).as("value_filled"))
+  }
+
   /** INTERSECT / EXCEPT set operators over two customer key sets
     * (distinct set semantics on both engines; counted per operator so
     * the result is compact). */

@@ -169,6 +169,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_gap_fill: one raw-event rollup, spine windows run at metadata scale") {
+    // exactly one scan of the events table may appear: the (type,hour)
+    // rollup. The spine explode and the ffill/bfill windows must hang
+    // off that rollup, never re-reading raw data per window pass
+    val p = plan(Relational.qGapFill(tables))
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") || l.contains("Scan parquet"))
+    assert(scans <= 2, s"expected ≤2 events scans (rollup + span reuse), got $scans:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_bot_detect: three keyed rollups with map-side combine, no raw-event windows") {
+    val p = plan(EventAnalytics.eventsBotDetect(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"no map-side combine:\n$p")
+    assert(!p.contains("Window"), s"unexpected window over raw events:\n$p")
+  }
+
   test("text_readability: map-only, zero exchanges (regex counts fuse into the scan)") {
     val p = plan(TextAnalysis.textReadability(tables))
     assert(!p.contains("Exchange"), p)

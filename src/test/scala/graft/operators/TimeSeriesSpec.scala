@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Driver replays for the time-series densification and abuse-screen
+  * operators.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_gap_fill equals a driver-side spine + ffill/bfill/interp replay") {
+    val base = tables.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("v"))
+      .withColumn("h", (unix_micros(col("hour_ts").cast("timestamp")) /
+        lit(3600000000L)).cast("long"))
+      .collect().map(r => ((r.getString(0), r.getLong(4)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    val byType = base.keys.groupBy(_._1)
+    val expect = byType.flatMap { case (et, ks) =>
+      val hs = ks.map(_._2)
+      val (h0, h1) = (hs.min, hs.max)
+      val present = (h0 to h1).filter(h => base.contains((et, h)))
+      (h0 to h1).map { h =>
+        val cur = base.get((et, h))
+        val filled = cur match {
+          case Some((_, v)) => v
+          case None =>
+            val prev = present.filter(_ < h).lastOption
+            val next = present.find(_ > h)
+            (prev, next) match {
+              case (None, Some(n)) => base((et, n))._2
+              case (Some(p), None) => base((et, p))._2
+              case (Some(p), Some(n)) =>
+                val pv = base((et, p))._2; val nv = base((et, n))._2
+                pv + (nv - pv) * ((h - p).toDouble / (n - p).toDouble)
+              case _ => 0.0
+            }
+        }
+        (et, h, cur.map(_._1).getOrElse(0L), cur.isEmpty, r4(filled + 1e-9))
+      }
+    }.toSet
+    val got = Relational.qGapFill(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getDouble(4))).toSet
+    assert(got == expect,
+      s"gap-fill drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // the spine must actually densify: filled rows exist, and every
+    // type's hour range is contiguous in the output
+    assert(expect.exists(_._4), "no silent hours at this SF — spec is vacuous")
+    byType.foreach { case (et, _) =>
+      val hrs = expect.filter(_._1 == et).map(_._2)
+      assert(hrs.max - hrs.min + 1 == hrs.size, s"spine for $et has holes")
+    }
+  }
+
+  test("events_bot_detect recovers exactly the injected bot set (replay + labels)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+    val real = tables.events.select(col("user_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").as("item"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val botTruth = real.groupBy(_._1).keys.filter(u => md5hex(u.toString)(0) == '1').toSet
+    val injected = real.groupBy(_._1).collect {
+      case (u, es) if botTruth(u) =>
+        val us0 = es.map(_._4).min
+        (0 to 24).map(i => (u, "purchase", "999", (us0 / 60000000L) * 60000000L + i * 2000000L))
+    }.flatten
+    val rows = real ++ injected
+    val expect = rows.groupBy(_._1).map { case (u, es) =>
+      val minutes = es.map(e => e._4 / 60000000L)
+      val maxPerMin = minutes.groupBy(identity).values.map(_.size).max.toLong
+      val nDistinct = es.map(e => (e._2, e._3, e._4 / 60000000L)).distinct.size.toLong
+      val n = es.size.toLong
+      val span = (es.map(_._4).max - es.map(_._4).min) / 1000000L
+      val score = (if (maxPerMin >= 10) 2 else if (maxPerMin >= 5) 1 else 0) +
+        (if (2 * (n - nDistinct) >= n) 1 else 0) +
+        (if (n >= 100 && span <= 7200) 1 else 0)
+      (u, n, maxPerMin, n - nDistinct, span, score.toLong, score >= 2)
+    }.toSet
+    val got = EventAnalytics.eventsBotDetect(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(got == expect,
+      s"bot-score drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // the screen's labels must match the injected ground truth exactly
+    val flagged = got.filter(_._7).map(_._1)
+    assert(botTruth.nonEmpty, "injection hit no user at this SF — vacuous")
+    assert(flagged == botTruth,
+      s"precision/recall != 1.0: flagged=$flagged truth=$botTruth")
+  }
+}
