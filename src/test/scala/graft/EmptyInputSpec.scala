@@ -72,7 +72,17 @@ class EmptyInputSpec extends SparkSpec {
     // the ER closure over an empty match set
     "embed_whiten", "embed_pca_topk", "er_resolve_clusters",
     "q_scd2_merge", "corpus_pii_scrub", "text_watermark_detect",
-    "er_resolve_incremental")
+    "er_resolve_incremental",
+    // this session's additions: graph ops on an empty edge set, the
+    // interval/grid join, spine fill, readability/boilerplate maps,
+    // temperature shares (empty → zero sources, no division), the
+    // URL canonicalizer, and the injected-bot screen (no users → no
+    // injection); the kNN-graph beam serve stays excluded by the
+    // fail-loudly index policy
+    "events_kcore", "events_assortativity", "q_interval_overlap",
+    "q_gap_fill", "events_bot_detect", "text_readability",
+    "text_boilerplate", "corpus_temperature_sampling",
+    "dedup_url_canonicalize")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
