@@ -108,6 +108,7 @@ object SparkEntry {
     "events_kcore"        -> q(t => EventAnalytics.eventsKcore(t)),
     "events_assortativity" -> q(t => EventAnalytics.eventsAssortativity(t)),
     "events_bot_detect"   -> q(EventAnalytics.eventsBotDetect),
+    "events_neighbor_jaccard" -> q(t => EventAnalytics.eventsNeighborJaccard(t)),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
@@ -1750,6 +1751,41 @@ object SparkEntry {
     "events_pagerank" -> eventsPagerankSql,
     "events_hits" -> eventsHitsSql,
     "events_kcore" -> eventsKcoreSql,
+    // the triangle chain re-used per EDGE: common neighbors = the
+    // edge's triangle count, union = deg_a + deg_b − common
+    "events_neighbor_jaccard" ->
+      """WITH i0 AS (SELECT DISTINCT user_id,
+        |  CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
+        | FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id, item FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+        | WHERE rk <= 64),
+        |e AS (SELECT DISTINCT a.item AS a, b.item AS b
+        |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN da <= db THEN e.a ELSE e.b END AS u,
+        |  CASE WHEN da <= db THEN e.b ELSE e.a END AS v,
+        |  CASE WHEN da <= db THEN db ELSE da END AS dv
+        | FROM e JOIN (SELECT node AS a, deg AS da FROM deg) USING (a)
+        |  JOIN (SELECT node AS b, deg AS db FROM deg) USING (b)),
+        |w AS (SELECT o1.u, o1.v AS x, o2.v AS y
+        | FROM o o1 JOIN o o2 ON o1.u = o2.u
+        | WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)),
+        |tri AS (SELECT w.u, w.x, w.y FROM w
+        | JOIN o e3 ON e3.u = w.x AND e3.v = w.y),
+        |pe AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common FROM (
+        |  SELECT least(u, x) AS a, greatest(u, x) AS b FROM tri
+        |  UNION ALL SELECT least(u, y), greatest(u, y) FROM tri
+        |  UNION ALL SELECT least(x, y), greatest(x, y) FROM tri) GROUP BY 1, 2)
+        |SELECT e.a, e.b,
+        | COALESCE(pe.common, CAST(0 AS BIGINT)) AS common_neighbors,
+        | round(CAST(COALESCE(pe.common, 0) AS DOUBLE) /
+        |  CAST(da.deg + db.deg - COALESCE(pe.common, 0) AS DOUBLE) + 1e-9, 4) AS jaccard
+        |FROM e LEFT JOIN pe ON pe.a = e.a AND pe.b = e.b
+        |JOIN deg da ON da.node = e.a
+        |JOIN deg db ON db.node = e.b""".stripMargin,
     "events_bot_detect" ->
       """WITH r AS (SELECT user_id, event_type,
         |  json_extract_string(props, '$.k') AS item,

@@ -766,6 +766,63 @@ object EventAnalytics {
           .as("clustering_coeff"))
       .orderBy(col("item"))
 
+  /** `events_neighbor_jaccard` — neighborhood Jaccard per co-purchase
+    * EDGE: |N(a)∩N(b)| / |N(a)∪N(b)| for every connected item pair —
+    * the classic link-prediction / "how substitutable are these two
+    * items" similarity (public Liben-Nowell–Kleinberg 2003) that raw
+    * co-occurrence counts ([[eventsRecommendCooccur]]) can't give:
+    * two items bought together once by everyone score high there but
+    * low here unless their NEIGHBORHOODS agree.
+    *
+    * Shape: common neighbors of an edge = that edge's triangle
+    * count, so this rides the same degree-oriented Schank–Wagner
+    * forward pass as [[eventsTriangles]] (wedge fan-out bounded by
+    * O(√m) per node regardless of skew) — each found triangle is
+    * exploded to its THREE canonical edges and counted per edge, then
+    * one degree join finishes |union| = deg_a + deg_b − common. All
+    * exact integers until the single §6-rounded ratio. */
+  def eventsNeighborJaccard(t: Tables, maxItemsPerUser: Int = 64): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser)
+    val und = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .select(col("a.item").as("a"), col("b.item").as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da")).as("dv"))
+    val wedges = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+      .join(oriented.select(col("u"), col("v").as("y"), col("dv").as("dy")),
+        Seq("u"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+    // each triangle {u, x, y} belongs to 3 canonical (min, max) edges
+    val perEdge = tri.select(explode(array(
+        struct(least(col("u"), col("x")).as("a"), greatest(col("u"), col("x")).as("b")),
+        struct(least(col("u"), col("y")).as("a"), greatest(col("u"), col("y")).as("b")),
+        struct(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))))
+        .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    und.join(perEdge, Seq("a", "b"), "left")
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(col("a"), col("b"),
+        coalesce(col("common"), lit(0L)).as("common_neighbors"),
+        round(coalesce(col("common"), lit(0L)).cast("double") /
+          (col("da") + col("db") - coalesce(col("common"), lit(0L))).cast("double")
+          + lit(1e-9), 4).as("jaccard"))
+  }
+
   /** Shared forward-algorithm pass behind [[eventsTriangles]] and
     * [[eventsClusteringCoeff]]: (node, deg, n_triangles) for every
     * graph node. */

@@ -156,6 +156,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"no map-side combine on the pair count:\n$p")
   }
 
+  test("events_neighbor_jaccard: rides the oriented wedge pass — keyed equi-joins only") {
+    val p = plan(EventAnalytics.eventsNeighborJaccard(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"no map-side combine on the edge rollup:\n$p")
+  }
+
   test("events_assortativity: degree decoration is keyed equi-joins + one global moment agg") {
     val p = plan(EventAnalytics.eventsAssortativity(tables))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

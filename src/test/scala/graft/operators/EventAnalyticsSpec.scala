@@ -243,6 +243,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(r4.exceptAll(r5).isEmpty && r5.exceptAll(r4).isEmpty)
   }
 
+  test("events_neighbor_jaccard equals a naive adjacency-set replay") {
+    // independent algorithm: per-edge set intersection over driver
+    // adjacency maps, vs the operator's oriented-wedge enumeration
+    val edges = naiveEdges()
+    val adj = edges.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = edges.map { case (a, b) =>
+      val common = (adj(a) & adj(b)).size.toLong
+      val union = adj(a).size + adj(b).size - common
+      (a, b, common, r4(common.toDouble / union.toDouble + 1e-9))
+    }
+    val got = EventAnalytics.eventsNeighborJaccard(tables).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expect,
+      s"jaccard drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // similarity must discriminate: not all edges score alike
+    assert(expect.map(_._4).size > 1 || expect.size <= 1)
+    assert(expect.exists(_._3 > 0), "no edge has a common neighbor — vacuous")
+  }
+
   test("events_assortativity equals an exact BigInt moment replay") {
     val edges = naiveEdges()
     val deg = edges.toList.flatMap(e => List(e._1, e._2))
