@@ -15,6 +15,9 @@ import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2SquaredDista
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // grid rewrite for interval-overlap joins that would otherwise
+    // plan as nested loops (kill switch: graft.intervalJoin.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalOverlapRewrite)
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null,

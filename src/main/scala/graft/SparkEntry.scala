@@ -250,6 +250,7 @@ object SparkEntry {
     "q_salted_join"       -> q(Scale.qSaltedJoin),
     "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
     "q_interval_overlap"  -> q(t => Scale.qIntervalOverlap(t)),
+    "q_interval_overlap_auto" -> q(Scale.qIntervalOverlapAuto),
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_scd2_history"      -> q(Scale.qScd2History),
     "q_scd2_merge"        -> q(t => Scale.qScd2Merge(t)),
@@ -2448,6 +2449,19 @@ object SparkEntry {
         |SELECT a.user_id, count(*) AS n_pairs
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND b.us > a.us AND b.us - a.us <= 60000000
+        |GROUP BY 1""".stripMargin,
+    // the optimizer-rule path: the oracle IS the naive inequality join
+    "q_interval_overlap_auto" ->
+      """WITH ss AS (SELECT l_suppkey,
+        |  (CAST(min(l_shipdate) AS DATE) - DATE '1992-01-01') AS ss,
+        |  (CAST(max(l_shipdate) AS DATE) - DATE '1992-01-01') AS se
+        | FROM lineitem GROUP BY 1),
+        |cs AS (SELECT o_custkey,
+        |  (CAST(min(o_orderdate) AS DATE) - DATE '1992-01-01') AS cs,
+        |  (CAST(max(o_orderdate) AS DATE) - DATE '1992-01-01') AS ce
+        | FROM orders GROUP BY 1)
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_overlapping_customers
+        |FROM ss JOIN cs ON ss.ss <= cs.ce AND cs.cs <= ss.se
         |GROUP BY 1""".stripMargin,
     // the grid interval join must equal the plain overlap inequality join
     "q_interval_overlap" ->

@@ -155,6 +155,30 @@ object Scale {
       .agg(count(lit(1)).as("n_overlaps"))
   }
 
+  /** `q_interval_overlap_auto` — the SAME overlap-join class written
+    * the way a SQL user writes it: a bare inequality join with NO
+    * equi key (supplier activity spans × customer activity spans,
+    * "which suppliers were active while this customer was buying"),
+    * which Spark alone can only plan as a nested loop. The
+    * [[graft.plans.IntervalOverlapRewrite]] optimizer rule fires on
+    * exactly this shape and turns it into the grid equi-join
+    * [[qIntervalOverlap]] builds by hand — the operator exists to
+    * keep the RULE on the driver's correctness gate and in the bench
+    * (plan-pinned: no nested loop in the final plan). All integer day
+    * arithmetic; the oracle is the plain inequality join. */
+  def qIntervalOverlapAuto(t: Tables): DataFrame = {
+    val epoch = lit("1992-01-01")
+    val supSpan = t.lineitem.groupBy(col("l_suppkey"))
+      .agg(datediff(to_date(min(col("l_shipdate"))), epoch).cast("long").as("ss"),
+        datediff(to_date(max(col("l_shipdate"))), epoch).cast("long").as("se"))
+    val custSpan = t.orders.groupBy(col("o_custkey"))
+      .agg(datediff(to_date(min(col("o_orderdate"))), epoch).cast("long").as("cs"),
+        datediff(to_date(max(col("o_orderdate"))), epoch).cast("long").as("ce"))
+    supSpan.join(custSpan, col("ss") <= col("ce") && col("cs") <= col("se"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_overlapping_customers"))
+  }
+
   /** `q_approx_stats` — sketch aggregates per event type: HyperLogLog++
     * distinct users and approximate percentiles. Fixed-size sketches
     * merge associatively, so at 100 TB these cost one narrow shuffle of

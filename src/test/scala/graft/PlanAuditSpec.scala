@@ -175,6 +175,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_interval_overlap_auto: the optimizer rule turns the bare inequality join into a grid equi-join") {
+    val p = plan(Scale.qIntervalOverlapAuto(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"IntervalOverlapRewrite did not fire:\n$p")
+    assert(p.contains("__graft_ivl_bkt"), s"no grid-cell attribute in the plan:\n$p")
+  }
+
   test("q_gap_fill: one raw-event rollup, spine windows run at metadata scale") {
     // exactly one scan of the events table may appear: the (type,hour)
     // rollup. The spine explode and the ffill/bfill windows must hang
