@@ -2455,11 +2455,11 @@ object SparkEntry {
       """WITH ss AS (SELECT l_suppkey,
         |  (CAST(min(l_shipdate) AS DATE) - DATE '1992-01-01') AS ss,
         |  (CAST(max(l_shipdate) AS DATE) - DATE '1992-01-01') AS se
-        | FROM lineitem GROUP BY 1),
+        | FROM lineitem WHERE l_quantity >= 49 GROUP BY 1),
         |cs AS (SELECT o_custkey,
         |  (CAST(min(o_orderdate) AS DATE) - DATE '1992-01-01') AS cs,
         |  (CAST(max(o_orderdate) AS DATE) - DATE '1992-01-01') AS ce
-        | FROM orders GROUP BY 1)
+        | FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
         |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_overlapping_customers
         |FROM ss JOIN cs ON ss.ss <= cs.ce AND cs.cs <= ss.se
         |GROUP BY 1""".stripMargin,

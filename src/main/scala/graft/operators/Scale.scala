@@ -168,10 +168,15 @@ object Scale {
     * arithmetic; the oracle is the plain inequality join. */
   def qIntervalOverlapAuto(t: Tables): DataFrame = {
     val epoch = lit("1992-01-01")
-    val supSpan = t.lineitem.groupBy(col("l_suppkey"))
+    // sparse slices (max-quantity lines, urgent orders) so the spans
+    // vary — the unfiltered activity spans all cover the full horizon
+    // and every pair would overlap trivially
+    val supSpan = t.lineitem.filter(col("l_quantity") >= 49)
+      .groupBy(col("l_suppkey"))
       .agg(datediff(to_date(min(col("l_shipdate"))), epoch).cast("long").as("ss"),
         datediff(to_date(max(col("l_shipdate"))), epoch).cast("long").as("se"))
-    val custSpan = t.orders.groupBy(col("o_custkey"))
+    val custSpan = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
       .agg(datediff(to_date(min(col("o_orderdate"))), epoch).cast("long").as("cs"),
         datediff(to_date(max(col("o_orderdate"))), epoch).cast("long").as("ce"))
     supSpan.join(custSpan, col("ss") <= col("ce") && col("cs") <= col("se"))
