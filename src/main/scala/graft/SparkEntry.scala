@@ -82,6 +82,7 @@ object SparkEntry {
     "text_readability"    -> q(TextAnalysis.textReadability),
     "text_boilerplate"    -> q(TextAnalysis.textBoilerplate),
     "stream_boilerplate"  -> q(t => graft.streaming.Streaming.streamBoilerplate(t)),
+    "stream_active_users" -> q(t => graft.streaming.Streaming.streamActiveUsers(t)),
     "corpus_temperature_sampling" -> q(t => TextAnalysis.corpusTemperatureSampling(t)),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
@@ -425,6 +426,20 @@ object SparkEntry {
       |  IS NULL AS is_current,
       | n_days_observed
       |FROM r ORDER BY user_id, valid_from""".stripMargin
+
+  /** Shared by `events_active_users` (batch) and `stream_active_users`
+    * (the one-agg streaming fold) — stream/batch equivalence pair #15. */
+  private val activeUsersSql =
+    """WITH a AS (SELECT DISTINCT user_id,
+      |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
+      |last AS (SELECT max(day) AS last_day FROM a),
+      |w AS (SELECT user_id, unnest(generate_series(day,
+      |  least(day + INTERVAL 6 DAY, last_day), INTERVAL 1 DAY)) AS day
+      | FROM a, last),
+      |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY 1)
+      |SELECT wau.day, coalesce(dau.dau, 0) AS dau, wau.wau
+      |FROM wau LEFT JOIN dau USING (day)""".stripMargin
 
   /** Shared by `q_upsert_latest` (batch MERGE) and
     * `stream_upsert_latest` (streaming CDC upsert) — the
@@ -1466,17 +1481,9 @@ object SparkEntry {
         | count(*) AS n_purchases, round(sum(p_value), 2) AS attributed_value
         |FROM p ASOF LEFT JOIN tc ON p.user_id = tc.t_user AND p.p_ts >= tc.t_ts
         |GROUP BY 1""".stripMargin,
-    "events_active_users" ->
-      """WITH a AS (SELECT DISTINCT user_id,
-        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
-        |dau AS (SELECT day, count(*) AS dau FROM a GROUP BY 1),
-        |last AS (SELECT max(day) AS last_day FROM a),
-        |w AS (SELECT user_id, unnest(generate_series(day,
-        |  least(day + INTERVAL 6 DAY, last_day), INTERVAL 1 DAY)) AS day
-        | FROM a, last),
-        |wau AS (SELECT day, count(DISTINCT user_id) AS wau FROM w GROUP BY 1)
-        |SELECT wau.day, coalesce(dau.dau, 0) AS dau, wau.wau
-        |FROM wau LEFT JOIN dau USING (day)""".stripMargin,
+    "events_active_users" -> activeUsersSql,
+    // the streaming one-agg fold must reproduce the batch board exactly
+    "stream_active_users" -> activeUsersSql,
     "events_transitions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |l AS (SELECT user_id, event_type,

@@ -631,6 +631,40 @@ object Streaming {
       .limit(topN)
   }
 
+  /** `stream_active_users` — the DAU/WAU engagement board maintained
+    * as ONE streaming aggregation: each arriving event projects
+    * map-side to the 7 daily windows it contributes to (posexplode of
+    * the day sequence — the batch operator's explode trick, which
+    * needs no per-user state), and a single day-keyed agg folds BOTH
+    * readouts through one state store — `collect_set(user)` for WAU
+    * and the pos=0 subset for DAU (the sentinel-fold discipline of
+    * `stream_boilerplate`: two streaming aggs can't join, one agg
+    * with two set columns can). The batch twin caps windows at the
+    * corpus's last day; the drained state reproduces that cap as a
+    * batch readout (max day with dau > 0). State is one user set per
+    * (day, window) — bounded by WAU; a 100 TB deployment swaps the
+    * exact sets for HLL sketch state (`approx_count_distinct` — the
+    * `q_table_stats_approx` trade) with the same shape. Shares the
+    * `events_active_users` oracle verbatim — stream/batch
+    * equivalence pair #15. */
+  def streamActiveUsers(t: Tables): DataFrame = {
+    val exploded = eventsStream(t)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day0"))
+      .select(col("user_id"), posexplode(sequence(col("day0"),
+        col("day0") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY"))))
+    val agg = exploded.groupBy(col("col").as("day"))
+      .agg(
+        size(collect_set(when(col("pos") === 0, col("user_id"))))
+          .cast("long").as("dau"),
+        size(collect_set(col("user_id"))).cast("long").as("wau"))
+    val drained = drainToTable(agg, "complete")
+    val lastDay = drained.filter(col("dau") > 0)
+      .agg(max(col("day")).as("last_day"))
+    drained.crossJoin(broadcast(lastDay))
+      .filter(col("day") <= col("last_day"))
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   /** `stream_boilerplate` — the `text_boilerplate` per-source
     * document-frequency state maintained over a document STREAM:
     * cleaning statistics that update as the crawl lands, instead of a
