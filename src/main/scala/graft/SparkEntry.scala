@@ -68,6 +68,7 @@ object SparkEntry {
     "q_percentile"        -> q(Relational.qPercentile),
     "q_asof_join"         -> q(Relational.qAsofJoin),
     "q_asof_join_native"  -> q(Relational.qAsofJoinNative),
+    "q_asof_join_forward" -> q(Relational.qAsofJoinForward),
     "q_sessionize"        -> q(Relational.qSessionize),
     "q_json_extract"      -> q(Relational.qJsonExtract),
     "q_time_bucket"       -> q(Relational.qTimeBucket),
@@ -1151,6 +1152,16 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, e.ts, o.last_orderkey, o.o_orderdate AS last_orderdate
         |FROM e ASOF LEFT JOIN o1 o
         | ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+    "q_asof_join_forward" ->
+      """WITH p AS (
+        |  SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS r_ts,
+        |   max(event_id) AS next_purchase_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT e.event_id, e.user_id, e.ts,
+        | p.next_purchase_id, p.r_ts AS next_purchase_ts
+        |FROM e ASOF LEFT JOIN p
+        | ON e.user_id = p.r_user AND e.ts <= p.r_ts""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -508,6 +508,31 @@ object Relational {
         col("last_orderkey"), col("r_date").as("last_orderdate"))
   }
 
+  /** `q_asof_join_forward` — the FORWARD as-of direction through the
+    * same native operator ([[graft.plans.AsOfJoinExec]], `forward`
+    * mode): every event gains the FIRST order at or after it — the
+    * "next action" attachment (time-to-next-purchase, next-restock
+    * lookups) that backward as-of can't express and Spark's built-ins
+    * need a union+window contortion for. Identical cost model: one
+    * key shuffle per side, in-partition sort, one linear merge pass —
+    * forward just PEEKS the right cursor instead of carrying the last
+    * row, so state is O(0). Oracle: DuckDB's native forward ASOF
+    * (`l.ts <= r.t`); the window-rewrite equivalence is spec-pinned.
+    */
+  def qAsofJoinForward(t: Tables): DataFrame = {
+    // right side: purchases, unique per (user, ts) — the next-action
+    // target ("time to next purchase"); orders can't serve here, their
+    // 1992 dates all precede the 2024 event stream
+    val p = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .agg(max(col("event_id")).as("next_purchase_id"))
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOfJoinOps.asofJoin(ev, p, "user_id", "ts", "r_user", "r_ts",
+        forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("next_purchase_id"), col("r_ts").as("next_purchase_ts"))
+  }
+
   /** Sessionization: a >30-min gap starts a new session; emit per-session
     * stats. lag + running sum over one user-partitioned window. */
   def qSessionize(t: Tables): DataFrame = {

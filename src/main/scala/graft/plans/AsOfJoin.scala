@@ -29,7 +29,8 @@ import org.apache.spark.sql.graft.PlanBridge
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute) extends BinaryNode {
+    rightKey: Attribute, rightTime: Attribute,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -39,8 +40,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoin(l, r, lk, lt, rk, rt, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -48,7 +49,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Attribute, leftTime: Attribute,
-    rightKey: Attribute, rightTime: Attribute) extends BinaryExecNode {
+    rightKey: Attribute, rightTime: Attribute,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -113,6 +115,27 @@ case class AsOfJoinExec(
           } else {
             val lk = l.getLong(lkOrd)
             val lt = l.getLong(ltOrd)
+            if (forward) {
+              // FORWARD: the match is the FIRST right row with the same
+              // key and time >= left time — advance past everything
+              // strictly behind, then PEEK rNext without consuming it
+              // (the next left row may need the same right row)
+              var advancing = true
+              while (advancing && rNext != null) {
+                if (rNext.isNullAt(rkOrd) || rNext.isNullAt(rtOrd)) {
+                  rNext = advanceRight() // null keys/times never match
+                } else {
+                  val rk = rNext.getLong(rkOrd)
+                  if (rk < lk || (rk == lk && rNext.getLong(rtOrd) < lt)) {
+                    rNext = advanceRight()
+                  } else {
+                    advancing = false
+                  }
+                }
+              }
+              val hit = rNext != null && rNext.getLong(rkOrd) == lk
+              toUnsafe(joined(l, if (hit) rNext else nullRight))
+            } else {
             if (best != null && bestKey != lk) best = null
             var advancing = true
             while (advancing && rNext != null) {
@@ -132,6 +155,7 @@ case class AsOfJoinExec(
               }
             }
             toUnsafe(joined(l, if (best != null && bestKey == lk) best else nullRight))
+            }
           }
         }
       }
@@ -149,7 +173,8 @@ object AsOfJoinOps {
   def asofJoin(
       leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, leftTime: String,
-      rightKey: String, rightTime: String): DataFrame = {
+      rightKey: String, rightTime: String,
+      forward: Boolean = false): DataFrame = {
     def attr(df: DataFrame, name: String): Attribute =
       df.queryExecution.analyzed.output.find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
@@ -157,6 +182,6 @@ object AsOfJoinOps {
       AsOfJoin(
         leftDf.queryExecution.analyzed, rightDf.queryExecution.analyzed,
         attr(leftDf, leftKey), attr(leftDf, leftTime),
-        attr(rightDf, rightKey), attr(rightDf, rightTime)))
+        attr(rightDf, rightKey), attr(rightDf, rightTime), forward))
   }
 }

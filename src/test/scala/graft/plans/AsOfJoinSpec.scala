@@ -42,4 +42,56 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoinOps.asofJoin(l, r, "k", "t", "rk", "rt").select("v").head()
     assert(out.getString(0) == "x")
   }
+
+  test("forward as-of equals the union+window rewrite exactly") {
+    // independent implementation: union events (kind 0) and orders
+    // (kind 1) so an order AT the event's timestamp falls inside the
+    // [current, following] frame, then first(ignoreNulls) forward
+    val t = tables
+    val native = Relational.qAsofJoinForward(t).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) null else r.get(4))).toSet
+    import org.apache.spark.sql.expressions.Window
+    val p = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("next_purchase_id"))
+      .select(col("user_id"), col("ts").as("ats"), lit(1).as("kind"),
+        lit(null).cast("long").as("event_id"),
+        struct(col("next_purchase_id"),
+          col("ts").as("next_purchase_ts")).as("ord"))
+    val ev = t.events.select(col("user_id"), col("ts").as("ats"),
+      lit(0).as("kind"), col("event_id"),
+      lit(null).cast("struct<next_purchase_id:bigint,next_purchase_ts:timestamp_ntz>")
+        .as("ord"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ats"), asc("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rewrite = p.unionAll(ev)
+      .withColumn("nxt", first(col("ord"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 0)
+      .select(col("event_id"),
+        col("nxt.next_purchase_id").as("next_purchase_id"),
+        col("nxt.next_purchase_ts").as("next_purchase_ts"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) null else r.get(2))).toSet
+    assert(native == rewrite,
+      s"forward drift: ${(native -- rewrite).take(3)} vs ${(rewrite -- native).take(3)}")
+    // both directions must differ somewhere, or forward is dead code
+    assert(native.exists(_._2 >= 0) && native.exists(_._2 < 0),
+      "forward matches are all-hit or all-miss — vacuous")
+  }
+
+  test("forward as-of: exact-timestamp match is inclusive and peeking preserves later lefts") {
+    import spark.implicits._
+    val l = Seq((7L, 100L), (7L, 100L), (7L, 150L)).toDF("k", "t")
+    val r = Seq((7L, 100L, "x"), (7L, 200L, "y")).toDF("rk", "rt", "v")
+    val out = AsOfJoinOps.asofJoin(l, r, "k", "t", "rk", "rt", forward = true)
+      .select("t", "v").collect().map(x => (x.getLong(0), x.getString(1))).toList.sorted
+    // both t=100 lefts peek the SAME right row (the cursor must not
+    // consume it); t=150 advances to the next one
+    assert(out == List((100L, "x"), (100L, "x"), (150L, "y")), out.toString)
+  }
 }
