@@ -185,6 +185,7 @@ object SparkEntry {
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
     "ann_graph_topk"      -> q(t => Similarity.annGraphTopK(t)),
+    "ann_graph_recall_eval" -> q(t => Similarity.annGraphRecallEval(t)),
     "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
     "ann_refine_topk"     -> q(t => Similarity.annRefineTopK(t)),
     "ann_hamming_topk"    -> q(t => Similarity.annHammingTopK(t)),
@@ -2583,6 +2584,7 @@ object SparkEntry {
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m JOIN n USING (cell)""".stripMargin,
     "ann_bruteforce_topk" -> bruteForceSql,
     "ann_graph_topk" -> annGraphTopKSql,
+    "ann_graph_recall_eval" -> annGraphRecallEvalSql,
     "embed_knn_graph" -> s"WITH $knnGraphChainSql\nSELECT src, dst, cos_sim, rnk FROM knn",
     // mutual-edge filter + recursive-CTE closure over the same knn
     // chain — the composed oracle of the graph consumer
@@ -3026,42 +3028,75 @@ object SparkEntry {
       |kr AS (SELECT *, CAST(row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS INTEGER) AS rnk FROM ks),
       |knn AS (SELECT src, dst, cos_sim, rnk FROM kr WHERE rnk <= 5)""".stripMargin
 
-  /** `ann_graph_topk` — the beam walk unrolled: stored kNN subgraph,
-    * entry scoring, two expand→score→cut rounds, every rank on the
-    * 4-dp-rounded cosine with vec_id tie-breaks. */
-  private lazy val annGraphTopKSql: String = {
+  /** Shared prefix of the graph-ANN oracles: embeddings, node sample,
+    * stored kNN subgraph, queries, entry set. */
+  private val annGraphPrefixSql =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |nd AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10 AND vec_id % 4 = 0),
+      |g0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+      |   round(list_cosine_similarity(a.emb, b.emb), 4) AS g_sim
+      |  FROM nd a JOIN nd b ON a.vec_id <> b.vec_id),
+      |knn AS (SELECT src, dst FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY g_sim DESC, dst) AS rnk FROM g0)
+      | WHERE rnk <= 8),
+      |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+      |ent AS (SELECT vec_id FROM nd WHERE vec_id % 32 = 0)""".stripMargin
+
+  /** One full beam-walk chain (suffixed CTE names so multiple beams
+    * coexist in one WITH): entry scoring + two expand→score→cut
+    * rounds, every rank on the 4-dp-rounded cosine, vec_id ties. */
+  private def annGraphChainSql(beam: Int, k: Int, sfx: String): String = {
     def round(prev: String, i: Int, keep: Int, last: Boolean) = {
       val sel = if (last) s"SELECT q_id, vec_id, cos_sim, CAST(rnk AS INTEGER) AS rnk"
         else s"SELECT q_id, vec_id"
-      s"""x$i AS (SELECT DISTINCT q_id, vec_id FROM (
+      s"""x$i$sfx AS (SELECT DISTINCT q_id, vec_id FROM (
          |  SELECT $prev.q_id, knn.dst AS vec_id FROM $prev JOIN knn ON knn.src = $prev.vec_id
          |  UNION ALL SELECT q_id, vec_id FROM $prev)),
-         |s$i AS (SELECT x$i.q_id, x$i.vec_id,
+         |s$i$sfx AS (SELECT x$i$sfx.q_id, x$i$sfx.vec_id,
          |  round(list_cosine_similarity(q.qe, nd.emb), 4) AS cos_sim
-         | FROM x$i JOIN nd ON nd.vec_id = x$i.vec_id JOIN q ON q.q_id = x$i.q_id),
-         |b$i AS ($sel FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s$i)
+         | FROM x$i$sfx JOIN nd ON nd.vec_id = x$i$sfx.vec_id JOIN q ON q.q_id = x$i$sfx.q_id),
+         |b$i$sfx AS ($sel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s$i$sfx)
          | WHERE rnk <= $keep)""".stripMargin
     }
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |nd AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10 AND vec_id % 4 = 0),
-       |g0 AS (SELECT a.vec_id AS src, b.vec_id AS dst,
-       |   round(list_cosine_similarity(a.emb, b.emb), 4) AS g_sim
-       |  FROM nd a JOIN nd b ON a.vec_id <> b.vec_id),
-       |knn AS (SELECT src, dst FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY g_sim DESC, dst) AS rnk FROM g0)
-       | WHERE rnk <= 8),
-       |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
-       |ent AS (SELECT vec_id FROM nd WHERE vec_id % 32 = 0),
-       |s0 AS (SELECT q.q_id, nd.vec_id,
+    s"""s0$sfx AS (SELECT q.q_id, nd.vec_id,
        |   round(list_cosine_similarity(q.qe, nd.emb), 4) AS cos_sim
        |  FROM q CROSS JOIN ent JOIN nd ON nd.vec_id = ent.vec_id),
-       |b0 AS (SELECT q_id, vec_id FROM (
-       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s0)
-       | WHERE rnk <= 8),
-       |${round("b0", 1, 8, last = false)},
-       |${round("b1", 2, 5, last = true)}
+       |b0$sfx AS (SELECT q_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rnk FROM s0$sfx)
+       | WHERE rnk <= $beam),
+       |${round(s"b0$sfx", 1, beam, last = false)},
+       |${round(s"b1$sfx", 2, k, last = true)}""".stripMargin
+  }
+
+  /** `ann_graph_topk` — the beam walk unrolled. */
+  private lazy val annGraphTopKSql: String =
+    s"""WITH $annGraphPrefixSql,
+       |${annGraphChainSql(8, 5, "")}
        |SELECT q_id, vec_id, cos_sim, rnk FROM b2""".stripMargin
+
+  /** `ann_graph_recall_eval` — three beam chains + the exact truth
+    * over the same node sample, hit-counted per beam. */
+  private lazy val annGraphRecallEvalSql: String = {
+    val beams = Seq(4, 8, 16)
+    val chains = beams.map(b => annGraphChainSql(b, 5, s"_w$b")).mkString(",\n")
+    val unions = beams.map(b =>
+      s"SELECT $b AS beam, q_id, vec_id FROM b2_w$b").mkString("\n  UNION ALL ")
+    s"""WITH $annGraphPrefixSql,
+       |$chains,
+       |truth AS (SELECT q_id, vec_id FROM (
+       |  SELECT q.q_id, nd.vec_id,
+       |    round(list_cosine_similarity(q.qe, nd.emb), 4) AS cos_sim,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY round(list_cosine_similarity(q.qe, nd.emb), 4) DESC, nd.vec_id) AS rnk
+       |  FROM q CROSS JOIN nd)
+       | WHERE rnk <= 5),
+       |nt AS (SELECT count(*) AS n FROM truth),
+       |served AS ($unions)
+       |SELECT beam, CAST(count(*) AS BIGINT) AS n_hits,
+       | round(CAST(count(*) AS DOUBLE) / CAST(nt.n AS DOUBLE) + 1e-9, 4) AS recall
+       |FROM served JOIN truth USING (q_id, vec_id), nt
+       |GROUP BY beam, nt.n""".stripMargin
   }
 
   private lazy val bruteForceSql =

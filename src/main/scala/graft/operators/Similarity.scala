@@ -1602,4 +1602,41 @@ object Similarity {
     val b1 = cut(score(expand(b0)), beam).select(col("q_id"), col("vec_id"))
     cut(score(expand(b1)), k)
   }
+
+  /** `ann_graph_recall_eval` — recall@k of the beam walk vs the exact
+    * answer over the SAME sampled corpus, per beam width: the
+    * measure-don't-guess discipline (`ann_recall_eval`,
+    * `ann_pq_tuning`) applied to the graph-serving paradigm — the
+    * beam is graph ANN's probe knob, and whether 4 beams suffice or
+    * 16 are needed is a property of YOUR corpus topology, not a
+    * guess. Truth is brute force restricted to the graph's node set
+    * (apples to apples: the walk can only ever return graph nodes).
+    * Recall = exact-integer hit count / (queries·k), one §6 ratio. */
+  def annGraphRecallEval(t: Tables, beams: Seq[Int] = Seq(4, 8, 16),
+      k: Int = TopK): DataFrame = {
+    val e = withEmb(t)
+    val nodes = e.filter(col("vec_id") >= NumQueries && col("vec_id") % 4 === 0)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val truth = nodes.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id")).persist()
+    val nTruth = truth.count()
+    val served = beams.map { b =>
+      annGraphTopK(t, k, beam = b)
+        .select(lit(b).as("beam"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val out = served.join(truth, Seq("q_id", "vec_id"))
+      .groupBy(col("beam"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("beam"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(nTruth.toDouble) + lit(1e-9), 4)
+          .as("recall"))
+    truth.unpersist()
+    out
+  }
 }

@@ -318,6 +318,24 @@ class EmbeddingMiningSpec extends SparkSpec {
       "all results are entry nodes — beam expansion did nothing")
   }
 
+  test("ann_graph_recall_eval: recall grows with the beam and matches a hit recount") {
+    val rows = Similarity.annGraphRecallEval(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(4, 8, 16))
+    // wider beams can only add candidates: recall must be monotone,
+    // and the sweep must actually discriminate (else the eval is
+    // measuring nothing on this corpus)
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 >= a._3 })
+    assert(rows.last._3 > rows.head._3,
+      s"beam sweep flat at ${rows.head._3} — eval not discriminating")
+    // hit counts bounded by queries × k and consistent with recall
+    rows.foreach { case (_, hits, rec) =>
+      assert(hits <= 50)
+      assert(math.abs(rec - hits / 50.0) < 1e-3)
+    }
+  }
+
   test("embed_mutual_knn_clusters: reciprocal filter + union-find replay") {
     val edges = Similarity.embedKnnGraph(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
