@@ -69,6 +69,7 @@ object SparkEntry {
     "q_asof_join"         -> q(Relational.qAsofJoin),
     "q_asof_join_native"  -> q(Relational.qAsofJoinNative),
     "q_asof_join_forward" -> q(Relational.qAsofJoinForward),
+    "q_asof_nearest"      -> q(Relational.qAsofJoinNearest),
     "q_sessionize"        -> q(Relational.qSessionize),
     "q_json_extract"      -> q(Relational.qJsonExtract),
     "q_time_bucket"       -> q(Relational.qTimeBucket),
@@ -1163,6 +1164,31 @@ object SparkEntry {
         | p.next_purchase_id, p.r_ts AS next_purchase_ts
         |FROM e ASOF LEFT JOIN p
         | ON e.user_id = p.r_user AND e.ts <= p.r_ts""".stripMargin,
+    // two DuckDB ASOFs (backward + forward) + the same closer-side CASE
+    "q_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS r_ts,
+        |   max(event_id) AS p_id
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | b AS (SELECT e.event_id, e.user_id, e.ts, p.p_id AS prev_id, p.r_ts AS prev_ts
+        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.r_user AND e.ts >= p.r_ts),
+        | f AS (SELECT e.event_id, p.p_id AS next_id, p.r_ts AS next_ts
+        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.r_user AND e.ts <= p.r_ts),
+        | j AS (SELECT b.*, f.next_id, f.next_ts,
+        |  epoch_us(b.ts) - epoch_us(b.prev_ts) AS d_prev,
+        |  epoch_us(f.next_ts) - epoch_us(b.ts) AS d_next,
+        |  (b.prev_id IS NOT NULL AND (f.next_id IS NULL OR
+        |    epoch_us(b.ts) - epoch_us(b.prev_ts) <= epoch_us(f.next_ts) - epoch_us(b.ts)))
+        |   AS take_prev
+        |  FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts,
+        | CASE WHEN take_prev THEN prev_id ELSE next_id END AS nearest_purchase_id,
+        | CAST(CASE WHEN take_prev THEN d_prev
+        |   WHEN next_id IS NOT NULL THEN d_next END AS BIGINT) AS delta_us,
+        | CASE WHEN prev_id IS NULL AND next_id IS NULL THEN NULL
+        |  WHEN take_prev THEN 'prev' ELSE 'next' END AS direction
+        |FROM j""".stripMargin,
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),

@@ -533,6 +533,45 @@ object Relational {
         col("next_purchase_id"), col("r_ts").as("next_purchase_ts"))
   }
 
+  /** `q_asof_nearest` — NEAREST-in-time as-of: every event attaches
+    * the same-user purchase with the minimal |Δt|, whichever side of
+    * the event it falls on (ties go backward — the "what was the user
+    * doing around then" attachment used for context windows and label
+    * alignment). Composed from BOTH native as-of directions
+    * ([[graft.plans.AsOfJoinExec]] backward + forward — two
+    * sort-merge passes, one event-keyed join to pick the closer side,
+    * all exact integer microsecond arithmetic), which is the whole
+    * point of having both directions as operators. */
+  def qAsofJoinNearest(t: Tables): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .agg(max(col("event_id")).as("p_id"))
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    val back = graft.plans.AsOfJoinOps
+      .asofJoin(ev, p, "user_id", "ts", "r_user", "r_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("p_id").as("prev_id"), col("r_ts").as("prev_ts"))
+    val fwd = graft.plans.AsOfJoinOps
+      .asofJoin(ev, p, "user_id", "ts", "r_user", "r_ts", forward = true)
+      .select(col("event_id"), col("p_id").as("next_id"),
+        col("r_ts").as("next_ts"))
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val dPrev = us - unix_micros(col("prev_ts").cast("timestamp"))
+    val dNext = unix_micros(col("next_ts").cast("timestamp")) - us
+    val takePrev = col("prev_id").isNotNull &&
+      (col("next_id").isNull || dPrev <= dNext)
+    back.join(fwd, Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(takePrev, col("prev_id")).otherwise(col("next_id"))
+          .as("nearest_purchase_id"),
+        when(takePrev, dPrev)
+          .otherwise(when(col("next_id").isNotNull, dNext))
+          .as("delta_us"),
+        when(col("prev_id").isNull && col("next_id").isNull, lit(null))
+          .otherwise(when(takePrev, lit("prev")).otherwise(lit("next")))
+          .as("direction"))
+  }
+
   /** Sessionization: a >30-min gap starts a new session; emit per-session
     * stats. lag + running sum over one user-partitioned window. */
   def qSessionize(t: Tables): DataFrame = {

@@ -84,6 +84,42 @@ class AsOfJoinSpec extends SparkSpec {
       "forward matches are all-hit or all-miss — vacuous")
   }
 
+  test("q_asof_nearest equals a naive per-event scan with backward ties") {
+    val t = tables
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("pid"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val events = t.events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = events.map { case (eid, u, us) =>
+      val ps = purchases.getOrElse(u, Array.empty[(Long, Long, Long)])
+      val prev = ps.filter(_._2 <= us).sortBy(_._2).lastOption
+      val next = ps.filter(_._2 >= us).sortBy(_._2).headOption
+      (prev, next) match {
+        case (None, None) => (eid, -1L, -1L, "none")
+        case (Some(p), None) => (eid, p._3, us - p._2, "prev")
+        case (None, Some(n)) => (eid, n._3, n._2 - us, "next")
+        case (Some(p), Some(n)) =>
+          if (us - p._2 <= n._2 - us) (eid, p._3, us - p._2, "prev")
+          else (eid, n._3, n._2 - us, "next")
+      }
+    }.toSet
+    val got = Relational.qAsofJoinNearest(t).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) "none" else r.getString(5))).toSet
+    assert(got == expect,
+      s"nearest drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // both directions must win somewhere
+    assert(expect.exists(_._4 == "prev") && expect.exists(_._4 == "next"))
+  }
+
   test("forward as-of: exact-timestamp match is inclusive and peeking preserves later lefts") {
     import spark.implicits._
     val l = Seq((7L, 100L), (7L, 100L), (7L, 150L)).toDF("k", "t")
