@@ -255,6 +255,7 @@ object SparkEntry {
     "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
     "q_interval_overlap"  -> q(t => Scale.qIntervalOverlap(t)),
     "q_interval_overlap_auto" -> q(Scale.qIntervalOverlapAuto),
+    "q_skyline"           -> q(t => Scale.qSkyline(t)),
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_scd2_history"      -> q(Scale.qScd2History),
     "q_scd2_merge"        -> q(t => Scale.qScd2Merge(t)),
@@ -2495,6 +2496,13 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         |  AND b.us > a.us AND b.us - a.us <= 60000000
         |GROUP BY 1""".stripMargin,
+    // the O(n²) NOT-EXISTS definition — affordable at oracle SF
+    "q_skyline" ->
+      """SELECT a.p_partkey, a.p_retailprice, CAST(a.p_size AS BIGINT) AS p_size
+        |FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        |   AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
     // the optimizer-rule path: the oracle IS the naive inequality join
     "q_interval_overlap_auto" ->
       """WITH ss AS (SELECT l_suppkey,

@@ -184,6 +184,54 @@ object Scale {
       .agg(count(lit(1)).as("n_overlapping_customers"))
   }
 
+  /** `q_skyline` — the SKYLINE (Pareto frontier) operator, public
+    * Börzsönyi–Kossmann–Stocker 2001: parts no other part dominates
+    * on (price ↓, size ↑) — cheaper-and-bigger beats, the classic
+    * multi-criteria shortlist relational algebra lacks. A frontier
+    * is the "best tradeoffs" readout a top-k on any single weighted
+    * score can't give.
+    *
+    * Distributed shape — the 2-D sort-based skyline WITHOUT the
+    * single-partition global window a naive running-max needs: prices
+    * quantize to an exact integer grid (floor(p·10 + 0.5) — the data
+    * is 0.1-stepped, so the grid is a monotone bijection and
+    * dominance is unchanged), then the strict-prefix maximum of size
+    * over increasing price splits two-level exactly like the
+    * `corpus_token_shards` prefix sum: per-price partial-agg maxima,
+    * within-BUCKET prefix windows (keyed by price DIV width), and a
+    * bucket-level prefix over the per-bucket maxima — a
+    * metadata-scale frame (#buckets rows). A point survives iff no
+    * strictly-cheaper point is at least as big AND no same-price
+    * point is strictly bigger — all exact integer compares, so the
+    * DuckDB NOT-EXISTS oracle (the O(n²) definition, affordable at
+    * oracle SF) replays it bit-exact. */
+  def qSkyline(t: Tables, bucketWidth: Long = 128): DataFrame = {
+    val pts = t.part.select(col("p_partkey"), col("p_retailprice"),
+      floor(col("p_retailprice") * 10 + lit(0.5)).cast("long").as("ix"),
+      col("p_size").cast("long").as("y"))
+    val perX = pts.groupBy(col("ix")).agg(max(col("y")).as("mx"))
+      .withColumn("bkt", expr(s"ix DIV $bucketWidth"))
+    // strict-prefix max of mx over distinct prices, two-level
+    val wInBucket = Window.partitionBy(col("bkt")).orderBy(asc("ix"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inb = perX.withColumn("inb", max(col("mx")).over(wInBucket))
+    val bMax = perX.groupBy(col("bkt")).agg(max(col("mx")).as("bm"))
+    // #buckets rows (price-span / width) — metadata-scale by design,
+    // the one place a global window is the RIGHT call
+    val wBuckets = Window.orderBy(asc("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bPre = bMax.withColumn("pre", max(col("bm")).over(wBuckets))
+    val xStats = inb.join(bPre.select(col("bkt"), col("pre")), Seq("bkt"))
+      .select(col("ix"), col("mx"),
+        greatest(coalesce(col("inb"), lit(-1L)), coalesce(col("pre"), lit(-1L)))
+          .as("maxy_lt"))
+    pts.join(xStats, Seq("ix"))
+      // survive iff nothing strictly cheaper is ≥ y, and nothing at the
+      // same price is > y (mx ≥ y always, so mx ≤ y means y == mx)
+      .filter(col("maxy_lt") < col("y") && col("mx") <= col("y"))
+      .select(col("p_partkey"), col("p_retailprice"), col("y").as("p_size"))
+  }
+
   /** `q_approx_stats` — sketch aggregates per event type: HyperLogLog++
     * distinct users and approximate percentiles. Fixed-size sketches
     * merge associatively, so at 100 TB these cost one narrow shuffle of

@@ -182,6 +182,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("__graft_ivl_bkt"), s"no grid-cell attribute in the plan:\n$p")
   }
 
+  test("q_skyline: two-level prefix max, no cartesian, bucket-keyed windows") {
+    val p = plan(Scale.qSkyline(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), s"no map-side combine on the per-price maxima:\n$p")
+  }
+
   test("q_gap_fill: one raw-event rollup, spine windows run at metadata scale") {
     // exactly one scan of the events table may appear: the (type,hour)
     // rollup. The spine explode and the ffill/bfill windows must hang

@@ -38,6 +38,27 @@ class ScaleSpec extends SparkSpec {
     assert(expect.nonEmpty && expect.values.sum > 0, "no overlapping spans — vacuous")
   }
 
+  test("q_skyline equals the naive domination scan and is a complete frontier") {
+    val t = tables
+    val pts = t.part.select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    def dominates(b: (Long, Double, Int), a: (Long, Double, Int)): Boolean =
+      b._2 <= a._2 && b._3 >= a._3 && (b._2 < a._2 || b._3 > a._3)
+    val expect = pts.filter(a => !pts.exists(b => dominates(b, a)))
+      .map(p => (p._1, p._2, p._3.toLong)).toSet
+    val got = Scale.qSkyline(t).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got == expect,
+      s"skyline drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    assert(expect.nonEmpty && expect.size < pts.length, "degenerate frontier")
+    // frontier completeness: every excluded point is dominated by some
+    // skyline member (the skyline really is the full Pareto set)
+    val sky = expect.map(p => (p._1, p._2, p._3.toInt))
+    pts.filterNot(p => expect.contains((p._1, p._2, p._3.toLong))).foreach { a =>
+      assert(sky.exists(b => dominates(b, a)), s"$a not dominated by any skyline point")
+    }
+  }
+
   test("salted aggregation equals plain aggregation") {
     val t = tables
     val salted = Scale.qSaltedAgg(t)
