@@ -123,6 +123,7 @@ object SparkEntry {
     "text_novelty"        -> q(TextAnalysis.textNovelty),
     "corpus_token_shards" -> q(t => TextAnalysis.corpusTokenShards(t)),
     "text_bpe_tokens"     -> q(TextAnalysis.textBpeTokens),
+    "text_fertility_by_lang" -> q(TextAnalysis.textFertilityByLang),
     "text_bpe_train"      -> q(t => TextAnalysis.textBpeTrain(t)),
     "stream_bpe_train"    -> q(t => graft.streaming.Streaming.streamBpeTrain(t)),
     "corpus_weighted_sample" -> q(t => TextAnalysis.corpusWeightedSample(t)),
@@ -2077,6 +2078,17 @@ object SparkEntry {
         |  length(replace(nt, ' ', ''))::BIGINT AS n_chars FROM n)
         |SELECT doc_id, n_words, n_bpe, n_chars,
         | round(n_bpe*1.0/nullif(n_words,0)+1e-9,4) AS fertility FROM b""".stripMargin,
+    "text_fertility_by_lang" ->
+      s"""WITH n AS (SELECT lang, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS nt FROM documents),
+        |b AS (SELECT lang,
+        |  len(list_filter(string_split(nt,' '), x -> len(x)>0))::BIGINT AS w,
+        |  len(regexp_extract_all(nt, '${TextAnalysis.bpeRegex}'))::BIGINT AS b,
+        |  length(replace(nt, ' ', ''))::BIGINT AS c FROM n)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(b) AS BIGINT) AS n_bpe,
+        | round(CAST(sum(b) AS DOUBLE) / nullif(CAST(sum(w) AS DOUBLE), 0.0) + 1e-9, 4) AS fertility,
+        | round(CAST(sum(c) AS DOUBLE) / nullif(CAST(sum(w) AS DOUBLE), 0.0) + 1e-9, 4) AS chars_per_word
+        |FROM b GROUP BY 1""".stripMargin,
     "text_bpe_train" ->
       s"""WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> len(x)>0)) AS word FROM documents),
         |u AS (SELECT regexp_extract_all(word, '${TextAnalysis.bpeRegex}') AS us FROM w),

@@ -1027,6 +1027,34 @@ object TextAnalysis {
           nullif(col("n_words").cast("double"), lit(0.0)) + eps, 4))
   }
 
+  /** `text_fertility_by_lang` — corpus-level tokenizer fertility PER
+    * LANGUAGE: Σ subwords / Σ words over each language's docs — the
+    * grouped readout tokenizer evals actually compare (a BPE vocab
+    * trained on English routinely costs 2-3× more units per word on
+    * other scripts; per-doc fertility from [[textBpeTokens]] can't
+    * show the per-language aggregate without this rollup). Exact
+    * int64 sums per language, one §6 ratio; also reports chars/word
+    * as the vocab-independent baseline. One keyed partial-agg
+    * shuffle, #languages output rows. */
+  def textFertilityByLang(t: Tables): DataFrame = {
+    val nt = normText(col("text"))
+    val eps = lit(1e-9)
+    t.documents.select(col("lang"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        bpeTokenCount.as("b"),
+        length(regexp_replace(nt, " ", "")).cast("long").as("c"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("b")).as("n_bpe"), sum(col("c")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        round(col("n_bpe").cast("double") /
+          nullif(col("n_words").cast("double"), lit(0.0)) + eps, 4)
+          .as("fertility"),
+        round(col("n_chars").cast("double") /
+          nullif(col("n_words").cast("double"), lit(0.0)) + eps, 4)
+          .as("chars_per_word"))
+  }
+
   /** T5 — corpus-level top-20 bigram frequencies with a deterministic
     * (count desc, bigram asc) tiebreak. One aggregation shuffle on the
     * bigram key; the top-k is a TakeOrderedAndProject, no global sort.

@@ -248,6 +248,27 @@ class TextAnalysisSpec extends SparkSpec {
       s"$fpGrams FP grams of $totalGrams")
   }
 
+  test("text_fertility_by_lang equals the per-doc rollup recombined") {
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val perDoc = TextAnalysis.textBpeTokens(tables)
+      .join(tables.documents.select(col("doc_id"), col("lang")), "doc_id")
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_bpe"), r.getAs[Long]("n_chars")))
+    val expect = perDoc.groupBy(_._1).map { case (lang, ds) =>
+      val (w, b, c) = (ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+      (lang, ds.length.toLong, w, b,
+        r4(b.toDouble / w.toDouble + 1e-9), r4(c.toDouble / w.toDouble + 1e-9))
+    }.toSet
+    val got = TextAnalysis.textFertilityByLang(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    assert(got == expect,
+      s"fertility drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    assert(expect.size > 1, "single-language corpus — rollup vacuous")
+  }
+
   test("stream_boilerplate vocabulary equals the batch df computation") {
     val stream = graft.streaming.Streaming.streamBoilerplate(tables).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
