@@ -111,6 +111,8 @@ object SparkEntry {
     "events_kcore"        -> q(t => EventAnalytics.eventsKcore(t)),
     "events_assortativity" -> q(t => EventAnalytics.eventsAssortativity(t)),
     "events_bot_detect"   -> q(EventAnalytics.eventsBotDetect),
+    "events_gini"         -> q(EventAnalytics.eventsGini),
+    "events_funnel_by_variant" -> q(EventAnalytics.eventsFunnelByVariant),
     "events_neighbor_jaccard" -> q(t => EventAnalytics.eventsNeighborJaccard(t)),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
@@ -1834,6 +1836,42 @@ object SparkEntry {
         |FROM e LEFT JOIN pe ON pe.a = e.a AND pe.b = e.b
         |JOIN deg da ON da.node = e.a
         |JOIN deg db ON db.node = e.b""".stripMargin,
+    "events_funnel_by_variant" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type='click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |  WHERE event_type='purchase' AND us > c_us GROUP BY 1),
+        |va AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),1,1) < '8'
+        |   THEN 'A' ELSE 'B' END AS variant, count(*) AS n_view FROM v GROUP BY 1),
+        |ca AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),1,1) < '8'
+        |   THEN 'A' ELSE 'B' END AS variant, count(*) AS n_click FROM c GROUP BY 1),
+        |pa AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)),1,1) < '8'
+        |   THEN 'A' ELSE 'B' END AS variant, count(*) AS n_purchase FROM p GROUP BY 1)
+        |SELECT va.variant, CAST(va.n_view AS BIGINT) AS n_view,
+        | CAST(coalesce(ca.n_click, 0) AS BIGINT) AS n_click,
+        | CAST(coalesce(pa.n_purchase, 0) AS BIGINT) AS n_purchase,
+        | round(CAST(coalesce(ca.n_click, 0) AS DOUBLE) / CAST(va.n_view AS DOUBLE) + 1e-9, 4) AS click_rate,
+        | round(CAST(coalesce(pa.n_purchase, 0) AS DOUBLE) /
+        |  nullif(CAST(coalesce(ca.n_click, 0) AS DOUBLE), 0.0) + 1e-9, 4) AS purchase_rate
+        |FROM va LEFT JOIN ca USING (variant) LEFT JOIN pa USING (variant)""".stripMargin,
+    // plain row_number replay: tie order inside a volume value cannot
+    // change sum(rank*x), so the two-level Spark ranks match exactly
+    "events_gini" ->
+      """WITH x AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY x, user_id) AS BIGINT) AS rnk FROM x),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM x),
+        |a AS (SELECT CAST(sum(x) AS BIGINT) AS total,
+        |  sum(CAST(rnk AS HUGEINT) * x) AS rx FROM r),
+        |tp AS (SELECT CAST(sum(x) AS BIGINT) AS topx
+        |  FROM r, n WHERE rnk > n.n - n.n // 10)
+        |SELECT n.n AS n_users, a.total AS total_events,
+        | round(2.0 * CAST(a.rx AS DOUBLE) / (CAST(n.n AS DOUBLE) * CAST(a.total AS DOUBLE))
+        |  - CAST(n.n + 1 AS DOUBLE) / CAST(n.n AS DOUBLE) + 1e-9, 6) AS gini,
+        | round(CAST(tp.topx AS DOUBLE) / CAST(a.total AS DOUBLE) + 1e-9, 6) AS top_decile_share
+        |FROM n, a, tp""".stripMargin,
     "events_bot_detect" ->
       """WITH r AS (SELECT user_id, event_type,
         |  json_extract_string(props, '$.k') AS item,

@@ -1119,6 +1119,86 @@ object EventAnalytics {
 
   private val kcoreInvocation = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** `events_funnel_by_variant` — the ordered conversion funnel
+    * ([[eventsFunnel]]) SPLIT BY EXPERIMENT ARM (the
+    * [[eventsAbTest]] md5 assignment): per variant, users who
+    * viewed, clicked strictly after their first view, and purchased
+    * strictly after that click, with the two step-conversion rates —
+    * the per-arm funnel readout an experiment review reads next to
+    * the value-based t-test (a variant can lift revenue while
+    * leaking users at the click step; neither query alone shows it).
+    * Same keyed min-timestamp shape as the funnel, one extra
+    * variant-keyed rollup; rates are ratios of exact counts. */
+  def eventsFunnelByVariant(t: Tables): DataFrame = {
+    val e = t.events.select(col("user_id"), col("event_type"), us.as("us"))
+    val variant =
+      when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+        .otherwise("B")
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val clicked = e.filter(col("event_type") === "click")
+      .join(viewed, "user_id").filter(col("us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val purchased = e.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id").filter(col("us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    def perVariant(df: DataFrame, name: String) = df
+      .groupBy(variant.as("variant")).agg(count(lit(1)).as(name))
+    perVariant(viewed, "n_view")
+      .join(perVariant(clicked, "n_click"), Seq("variant"), "left")
+      .join(perVariant(purchased, "n_purchase"), Seq("variant"), "left")
+      .select(col("variant"), col("n_view"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        round(coalesce(col("n_click"), lit(0L)).cast("double") /
+          col("n_view").cast("double") + lit(1e-9), 4).as("click_rate"),
+        round(coalesce(col("n_purchase"), lit(0L)).cast("double") /
+          nullif(coalesce(col("n_click"), lit(0L)).cast("double"), lit(0.0))
+          + lit(1e-9), 4).as("purchase_rate"))
+  }
+
+  /** `events_gini` — activity-concentration report: the Gini
+    * coefficient of per-user event volume plus the top-decile share —
+    * "do 10% of users generate 90% of the traffic", the inequality
+    * readout capacity planning and abuse triage both start from.
+    *
+    * Exact, and WITHOUT a global rank window: the sample Gini
+    * G = 2·Σ(rankᵢ·xᵢ)/(n·Σx) − (n+1)/n needs every user's rank in
+    * the value order, which naively is one single-partition window
+    * over all users. Split two-level instead (the `q_skyline` /
+    * token-shard prefix discipline): per distinct VOLUME VALUE, a
+    * partial-agg user count; base ranks from a prefix sum over that
+    * tiny distinct-value table (metadata-scale — volumes repeat
+    * heavily); intra-value ranks from a window PARTITIONED BY the
+    * value (keyed). Tie order inside a value can't change Σ rank·x
+    * (the tie group's rank sum is fixed), so the statistic is
+    * order-immune and exact: int64/DECIMAL(38,0) sums, two §6
+    * ratios at the end, bit-identical in the oracle's plain
+    * row_number replay. */
+  def eventsGini(t: Tables): DataFrame = {
+    val x = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+    val byVal = x.groupBy(col("x")).agg(count(lit(1)).as("nv"))
+    // prefix over DISTINCT volume values — metadata-scale by design
+    val wVals = Window.orderBy(asc("x"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = byVal.withColumn("base", coalesce(sum(col("nv")).over(wVals), lit(0L)))
+    val wIntra = Window.partitionBy(col("x")).orderBy(asc("user_id"))
+    val ranked = x.join(base.select(col("x"), col("base")), Seq("x"))
+      .withColumn("rank", col("base") + row_number().over(wIntra))
+    val n = x.count()
+    val k = n / 10
+    val agg = ranked.agg(
+      sum(col("x")).as("total"),
+      sum(col("rank").cast("decimal(38,0)") * col("x")).as("rx"),
+      sum(when(col("rank") > n - k, col("x")).otherwise(lit(0L))).as("topx"))
+    agg.select(lit(n).as("n_users"), col("total").as("total_events"),
+      round(lit(2.0) * col("rx").cast("double") /
+          (lit(n.toDouble) * col("total").cast("double"))
+          - lit((n + 1).toDouble / n.toDouble) + lit(1e-9), 6).as("gini"),
+      round(col("topx").cast("double") / col("total").cast("double") + lit(1e-9), 6)
+        .as("top_decile_share"))
+  }
+
   /** `events_bot_detect` — heuristic automation scoring per user, the
     * abuse/quality screen an event pipeline runs before analytics
     * (bots poison funnels, retention, and recommendation counts): per

@@ -265,6 +265,45 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(expect.exists(_._3 > 0), "no edge has a common neighbor — vacuous")
   }
 
+  test("events_funnel_by_variant partitions the overall funnel exactly") {
+    // the two arms must sum to the unsplit funnel at every step, and
+    // the variant assignment must match the md5 rule per user
+    val overall = EventAnalytics.eventsFunnel(tables).collect()(0)
+    val arms = EventAnalytics.eventsFunnelByVariant(tables).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(arms.keySet == Set("A", "B"))
+    val sums = arms.values.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+    assert(sums == ((overall.getLong(0), overall.getLong(1), overall.getLong(2))),
+      s"arms $sums != overall $overall")
+    // rates consistent with the counts
+    EventAnalytics.eventsFunnelByVariant(tables).collect().foreach { r =>
+      assert(math.abs(r.getDouble(4) - r.getLong(2).toDouble / r.getLong(1)) < 1e-3)
+    }
+  }
+
+  test("events_gini equals a naive sorted-rank replay") {
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = tables.events.groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(p => (p._2, p._1))
+    val n = xs.length.toLong
+    val total = xs.map(_._2).sum
+    val rx = xs.zipWithIndex.map { case ((_, x), i) => BigInt(i + 1) * x }.sum
+    val k = n / 10
+    val topx = xs.drop((n - k).toInt).map(_._2).sum
+    val gini = r6(2.0 * rx.toDouble / (n.toDouble * total.toDouble)
+      - (n + 1).toDouble / n.toDouble + 1e-9)
+    val share = r6(topx.toDouble / total.toDouble + 1e-9)
+    val row = EventAnalytics.eventsGini(tables).collect()(0)
+    assert((row.getLong(0), row.getLong(1)) == ((n, total)))
+    assert(row.getDouble(2) == gini, s"gini ${row.getDouble(2)} != $gini")
+    assert(row.getDouble(3) == share, s"share ${row.getDouble(3)} != $share")
+    // the statistic must measure real inequality on the spec corpus
+    assert(gini > 0.0 && share > k.toDouble / n.toDouble)
+  }
+
   test("events_assortativity equals an exact BigInt moment replay") {
     val edges = naiveEdges()
     val deg = edges.toList.flatMap(e => List(e._1, e._2))
