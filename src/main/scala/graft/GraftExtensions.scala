@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2SquaredDistance, QuantizedCosine}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2SquaredDistance, QuantizedCosine, TopKByAgg}
 
 /** Session extensions registering graft's native SQL functions
   * (SURVEY.md §2.4 S3). Install with
@@ -53,6 +53,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2,
           s"l2_sq_distance expects 2 arguments, got ${children.length}")
         L2SquaredDistance(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("topk_by"),
+      new ExpressionInfo(classOf[TopKByAgg].getName, null,
+        "topk_by", "topk_by(score, id, k) - bounded top-k aggregate: best k (score, id) pairs, (score DESC, id ASC)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          s"topk_by expects 3 arguments, got ${children.length}")
+        TopKByAgg(children.head, children(1), children(2))
       }))
     ext.injectFunction((
       new FunctionIdentifier("quantized_cosine"),

@@ -188,6 +188,11 @@ object SparkEntry {
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
+    // same semantics through the native bounded top-k AGGREGATE
+    // (TypedImperativeAggregate → ObjectHashAggregate, ≤ k pairs per
+    // (task, query) cross the exchange); shares the window form's
+    // oracle verbatim — plan differs, result must not
+    "ann_topk_agg"        -> q(Similarity.annTopKAgg),
     "ann_graph_topk"      -> q(t => Similarity.annGraphTopK(t)),
     "ann_graph_recall_eval" -> q(t => Similarity.annGraphRecallEval(t)),
     "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
@@ -2667,6 +2672,7 @@ object SparkEntry {
         |n AS (SELECT cell, count(*) AS n_members FROM a GROUP BY 1)
         |SELECT m.cell, n.n_members, m.pos, m.m FROM m JOIN n USING (cell)""".stripMargin,
     "ann_bruteforce_topk" -> bruteForceSql,
+    "ann_topk_agg" -> bruteForceSql,
     "ann_graph_topk" -> annGraphTopKSql,
     "ann_graph_recall_eval" -> annGraphRecallEvalSql,
     "embed_knn_graph" -> s"WITH $knnGraphChainSql\nSELECT src, dst, cos_sim, rnk FROM knn",

@@ -1317,4 +1317,161 @@ object EventAnalytics {
       when(den === lit(0.0), lit(0.0))
         .otherwise(round(num / den + lit(1e-9), 4)).as("r_assort"))
   }
+
+  /** `events_communities` — synchronous label propagation (public
+    * Raghavan–Albert–Kumara 2007) over the co-purchase graph: each
+    * round every item adopts its neighbors' MOST FREQUENT current
+    * label (ties → smallest label), starting from label = own id —
+    * the linear-time community readout next to the walk (PageRank),
+    * transitivity (triangles), and cohesion (k-core) signals; unlike
+    * connected components it splits a connected graph along its
+    * density structure.
+    *
+    * Determinism = bounded iteration + a total argmax order: both
+    * engines run exactly `rounds` synchronous rounds (LPA's fixpoint
+    * oscillates on bipartite-ish graphs, so the round count IS part
+    * of the spec), and the adopted label is the lexicographic max of
+    * (count, −label) — a partial-aggregating struct-max, the
+    * `langArgmax` shape, never a per-node sort. Each round is one
+    * edge⋈label equi-join + one (node, label)-keyed count + one
+    * node-keyed struct-max — all keyed partial aggs, state O(nodes),
+    * no lineage concern at 3 rounds (the CC checkpoint lesson applies
+    * at ~60). Final labels are decorated with their community size
+    * via one label-keyed count window.
+    */
+  def eventsCommunities(t: Tables, rounds: Int = 3,
+      maxItemsPerUser: Int = 64): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser)
+    val edges = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
+      .select(col("a.item").as("src"), col("b.item").as("dst"))
+      .distinct().persist()
+    edges.count()
+    var labels = edges.select(col("src").as("item"))
+      .distinct().withColumn("lbl", col("item"))
+    for (_ <- 1 to rounds) {
+      labels = edges.join(labels, edges("src") === labels("item"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("item"), (-col("m.nl")).as("lbl"))
+    }
+    val out = labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .select(col("item"), col("lbl").as("community"), col("community_size"))
+    edges.unpersist()
+    out
+  }
+
+  /** `events_survival` — Kaplan–Meier user-retention curve (public
+    * Kaplan–Meier 1958) with right-censoring: per user, lifetime =
+    * last activity day − first activity day; users whose last day is
+    * the corpus's final day are CENSORED (still alive at the
+    * observation edge — counting them as churned is the classic
+    * retention-curve bias this estimator exists to fix), everyone
+    * else churns at their lifetime. The life table reports, per
+    * observed lifetime t: the risk set (users with lifetime ≥ t),
+    * churn and censor exits at t, and the KM survival estimate.
+    *
+    * Determinism — the iterative-float trap, solved the
+    * `events_pagerank` way: S lives in INTEGER micro-units
+    * (S₀ = 10⁶) and each event time applies S ← (S·(n−d)) DIV n —
+    * exact integer arithmetic, replayed verbatim by the oracle's
+    * RECURSIVE CTE. The fold itself runs driver-side over the
+    * COLLECTED life table — bounded by the day span of the corpus
+    * (metadata-scale at any event volume, the Markov-matrix collect
+    * budget), while the per-user rollup and the life-table
+    * construction stay distributed: one user-keyed partial agg over
+    * raw events, then windows over the tiny distinct-lifetime table.
+    */
+  def eventsSurvival(t: Tables): DataFrame = {
+    val spark = t.spark
+    val day = datediff(col("ts").cast("date"),
+      lit(java.sql.Date.valueOf("2024-01-01"))).cast("long")
+    val users = t.events.select(col("user_id"), day.as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first"), max(col("day")).as("last"))
+    val maxDay = users.agg(max(col("last"))).first().getLong(0)
+    val life = users.select(
+      when(col("last") < maxDay, col("last") - col("first"))
+        .otherwise(lit(maxDay) - col("first")).as("t"),
+      (col("last") < maxDay).cast("int").as("churn"))
+    val byT = life.groupBy(col("t"))
+      .agg(sum(col("churn")).cast("long").as("n_churned"),
+        sum(lit(1) - col("churn")).cast("long").as("n_censored"))
+    val total = life.count()
+    val wPrev = Window.orderBy(asc("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // risk set = all users minus those who exited strictly earlier —
+    // a prefix window over the DISTINCT-lifetime table (≤ day span)
+    val table = byT.withColumn("n_at_risk",
+      lit(total) - coalesce(
+        sum(col("n_churned") + col("n_censored")).over(wPrev), lit(0L)))
+      .select(col("t").as("t_days"), col("n_at_risk"),
+        col("n_churned"), col("n_censored"))
+      .orderBy(col("t_days"))
+    // bounded collect: one row per distinct lifetime (≤ corpus day span)
+    val rows = table.collect()
+    var s = 1000000L
+    val out = rows.map { r =>
+      val (tD, n, d, c) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      if (d > 0) s = s * (n - d) / n
+      (tD, n, d, c, s)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("t_days", "n_at_risk", "n_churned", "n_censored",
+      "survival_micro")
+  }
+
+  /** `events_changepoint` — CUSUM change-point detection (public Page
+    * 1954 / Taylor's cumulative-sum charts) over the hourly event
+    * volume: the hour where the cumulative deviation from the global
+    * mean rate peaks — "when did the traffic regime shift", the
+    * monitoring readout next to the z-score anomaly screen
+    * (`events_anomaly` flags hours; this locates the LEVEL SHIFT).
+    *
+    * Exact without a mean division: with P_t the prefix count through
+    * hour index i of n spine hours and T the total, the scaled CUSUM
+    * n·P_i − i·T equals n·Σ(x−x̄) — all int64 (hours are bounded by
+    * the calendar, counts by the corpus; DECIMAL(38,0) is the 100 TB
+    * swap). Silent hours count 0 via the `q_gap_fill` calendar spine.
+    * One (hour)-keyed partial agg sees raw events; the spine,
+    * prefix window, and argmax run at metadata scale (#hours). The
+    * argmax tiebreak is the earliest hour. Segment means before/at
+    * and after the split are §6 ratios of exact integers.
+    */
+  def eventsChangepoint(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("x"))
+    val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
+    val spine = span.select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+      .join(hourly, Seq("hour_ts"), "left")
+      .select(
+        (unix_micros(col("hour_ts").cast("timestamp")) / lit(3600000000L))
+          .cast("long").as("h"),
+        coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.orderBy(asc("h"))
+    val idx = spine
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("p", sum(col("x")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = idx.agg(max(col("i")).as("n"), max(col("p")).as("tt"))
+    // abs desc, then earliest hour — deterministic single winner
+    val best = idx.crossJoin(broadcast(tot))
+      .withColumn("c", col("n") * col("p") - col("i") * col("tt"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(abs(col("c")).desc, asc("h"))))
+      .filter(col("rn") === 1)
+    best.select(col("n").as("n_hours"), col("tt").as("total_events"),
+      col("h").as("split_hour"), abs(col("c")).as("max_abs_cusum"),
+      round(col("p").cast("double") / col("i").cast("double") + lit(1e-9), 4)
+        .as("mean_before"),
+      round((col("tt") - col("p")).cast("double") /
+        nullif((col("n") - col("i")).cast("double"), lit(0.0)) + lit(1e-9), 4)
+        .as("mean_after"))
+  }
 }

@@ -50,6 +50,39 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
+  /** F1 — `ann_topk_agg`: the brute-force exact top-k re-expressed
+    * through the native bounded top-k AGGREGATE
+    * ([[graft.functions.TopKByAgg]]) instead of a rank window.
+    *
+    * Same semantics and oracle as [[annBruteForceTopK]] — the point is
+    * the PLAN: the rank-window form shuffles every (query, candidate)
+    * score to the query's partition and sorts there (at 100 TB the
+    * whole corpus × queries score set crosses the wire); the aggregate
+    * form is partial-aggregating ObjectHashAggregate — each map task
+    * keeps an O(k) heap per query and the exchange carries ≤ k pairs
+    * per (task, query). Insertion order can't change the survivor set
+    * (total order (score DESC, id ASC)), so results are identical —
+    * proven by sharing the window form's oracle verbatim, and the plan
+    * shape is pinned (partial ObjectHashAggregate before the
+    * exchange, no Window operator).
+    */
+  def annTopKAgg(t: Tables): DataFrame = {
+    val e = withEmb(t)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    corpus.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.TopKByAgg.topKBy(
+        col("cos_sim"), col("vec_id"), TopK).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")))
+      .select(col("q_id"), col("col.id").as("vec_id"),
+        col("col.score").as("cos_sim"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** S9 — `ann_quantized_topk`: exact top-k under the int8-QUANTIZED
     * cosine — the reduced-precision scoring pass of a production ANN
     * index (store int8, score int8, rerank survivors in full
