@@ -112,6 +112,9 @@ object SparkEntry {
     "events_assortativity" -> q(t => EventAnalytics.eventsAssortativity(t)),
     "events_bot_detect"   -> q(EventAnalytics.eventsBotDetect),
     "events_gini"         -> q(EventAnalytics.eventsGini),
+    "events_communities"  -> q(t => EventAnalytics.eventsCommunities(t)),
+    "events_survival"     -> q(EventAnalytics.eventsSurvival),
+    "events_changepoint"  -> q(EventAnalytics.eventsChangepoint),
     "events_funnel_by_variant" -> q(EventAnalytics.eventsFunnelByVariant),
     "events_neighbor_jaccard" -> q(t => EventAnalytics.eventsNeighborJaccard(t)),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
@@ -667,6 +670,40 @@ object SparkEntry {
        |  ELSE round(CAST(m*sxy - sx*sx AS DOUBLE) /
        |    CAST(m*sxx - sx*sx AS DOUBLE) + 1e-9, 4) END AS r_assort
        |FROM f""".stripMargin
+
+  /** Unrolled synchronous label-propagation rounds over the shared
+    * co-purchase edge set: each round picks, per node, the most
+    * frequent neighbor label with (count DESC, label ASC) tiebreak —
+    * the same total order Spark's struct-max encodes as
+    * max((count, −label)). */
+  private lazy val eventsCommunitiesSql: String = {
+    val rounds = 3
+    val iterCtes = (1 to rounds).map { k =>
+      s"""l$k AS (SELECT dst AS item, lbl FROM (
+         |  SELECT e.dst, l.lbl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY e.dst
+         |      ORDER BY count(*) DESC, l.lbl ASC) AS rn
+         |  FROM edges e JOIN l${k - 1} l ON l.item = e.src
+         |  GROUP BY e.dst, l.lbl) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i0 AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+       |  CAST(json_extract_string(props,'$$.k') AS INTEGER) AS item
+       | FROM events WHERE event_type = 'purchase'),
+       |i AS (SELECT user_id, day, item FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+       | WHERE rk <= 64),
+       |und AS (SELECT DISTINCT a.item AS a, b.item AS b
+       |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.day = b.day
+       |   AND a.item < b.item),
+       |edges AS (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und),
+       |l0 AS (SELECT DISTINCT src AS item, src AS lbl FROM edges),
+       |$iterCtes
+       |SELECT item, lbl AS community,
+       | CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
+       |FROM l$rounds""".stripMargin
+  }
 
   private lazy val eventsPagerankSql: String = {
     val iters = 3
@@ -1804,6 +1841,55 @@ object SparkEntry {
     },
     "events_cuped" -> eventsCupedSql,
     "events_pagerank" -> eventsPagerankSql,
+    "events_communities" -> eventsCommunitiesSql,
+    // recursive-CTE replay of the integer-micro-unit KM fold; the
+    // life table itself is plain keyed aggregation
+    "events_survival" ->
+      """WITH RECURSIVE dd AS (SELECT user_id,
+        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM dd GROUP BY 1),
+        |mx AS (SELECT max(l) AS m FROM u),
+        |lf AS (SELECT CASE WHEN l < m THEN l - f ELSE m - f END AS t,
+        |  CASE WHEN l < m THEN 1 ELSE 0 END AS churn FROM u, mx),
+        |bt AS (SELECT t, CAST(sum(churn) AS BIGINT) AS d,
+        |  CAST(sum(1 - churn) AS BIGINT) AS c FROM lf GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lf),
+        |lt AS (SELECT t, d, c,
+        |  CAST(tot.n - coalesce(sum(d + c) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr,
+        |  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
+        | FROM bt, tot),
+        |km AS (
+        |  SELECT rn, t, nr, d, c,
+        |    CAST(CASE WHEN d > 0 THEN (1000000 * (nr - d)) // nr
+        |      ELSE 1000000 END AS BIGINT) AS s
+        |  FROM lt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT lt.rn, lt.t, lt.nr, lt.d, lt.c,
+        |    CAST(CASE WHEN lt.d > 0 THEN (km.s * (lt.nr - lt.d)) // lt.nr
+        |      ELSE km.s END AS BIGINT)
+        |  FROM lt JOIN km ON lt.rn = km.rn + 1)
+        |SELECT t AS t_days, nr AS n_at_risk, d AS n_churned,
+        | c AS n_censored, s AS survival_micro FROM km""".stripMargin,
+    "events_changepoint" ->
+      """WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+        |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM hourly),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM span),
+        |sp AS (SELECT CAST(epoch_us(CAST(s.hour_ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS h,
+        |  coalesce(x, 0) AS x FROM spine s LEFT JOIN hourly USING (hour_ts)),
+        |idx AS (SELECT h, x, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
+        |  CAST(sum(x) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+        | FROM sp),
+        |tot AS (SELECT max(i) AS n, max(p) AS tt FROM idx),
+        |sc AS (SELECT h, i, p, n, tt, n * p - i * tt AS cc FROM idx, tot),
+        |best AS (SELECT * FROM (SELECT *,
+        |  row_number() OVER (ORDER BY abs(cc) DESC, h ASC) AS rn FROM sc) WHERE rn = 1)
+        |SELECT n AS n_hours, tt AS total_events, h AS split_hour,
+        | CAST(abs(cc) AS BIGINT) AS max_abs_cusum,
+        | round(CAST(p AS DOUBLE) / CAST(i AS DOUBLE) + 1e-9, 4) AS mean_before,
+        | round(CAST(tt - p AS DOUBLE) / nullif(CAST(n - i AS DOUBLE), 0.0) + 1e-9, 4) AS mean_after
+        |FROM best""".stripMargin,
     "events_hits" -> eventsHitsSql,
     "events_kcore" -> eventsKcoreSql,
     // the triangle chain re-used per EDGE: common neighbors = the

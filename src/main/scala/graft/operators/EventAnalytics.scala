@@ -1319,7 +1319,11 @@ object EventAnalytics {
   }
 
   /** `events_communities` — synchronous label propagation (public
-    * Raghavan–Albert–Kumara 2007) over the co-purchase graph: each
+    * Raghavan–Albert–Kumara 2007) over the SAME-DAY basket
+    * co-purchase graph ([[cappedDayItems]] — the all-time projection
+    * is near-complete on this corpus, where neighbor-majority voting
+    * degenerates to one global community; basket edges carry the
+    * actual association structure, the `events_kcore` lesson): each
     * round every item adopts its neighbors' MOST FREQUENT current
     * label (ties → smallest label), starting from label = own id —
     * the linear-time community readout next to the walk (PageRank),
@@ -1340,13 +1344,17 @@ object EventAnalytics {
     * via one label-keyed count window.
     */
   def eventsCommunities(t: Tables, rounds: Int = 3,
-      maxItemsPerUser: Int = 64): DataFrame = {
-    val items = cappedUserItems(t, maxItemsPerUser)
-    val edges = items.as("a")
+      maxItemsPerDay: Int = 64): DataFrame = {
+    val items = cappedDayItems(t, maxItemsPerDay)
+    val und = items.as("a")
       .join(items.as("b"),
-        col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
-      .select(col("a.item").as("src"), col("b.item").as("dst"))
-      .distinct().persist()
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.item") < col("b.item"))
+      .select(col("a.item").as("a"), col("b.item").as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
     edges.count()
     var labels = edges.select(col("src").as("item"))
       .distinct().withColumn("lbl", col("item"))

@@ -327,4 +327,95 @@ class EventAnalyticsSpec extends SparkSpec {
       s"r_assort ${row.getDouble(2)} != $expectR")
     assert(den != 0.0, "degree variance is zero — spec graph degenerate")
   }
+
+  test("events_communities equals a synchronous LPA replay") {
+    // replay 3 synchronous rounds in plain Scala from the same capped
+    // basket item sets: labels start at own id, each round every node
+    // takes its neighbors' most frequent label (count desc, label asc)
+    // — integer-deterministic end to end, so equality is exact
+    val items = EventAnalytics.cappedDayItems(tables, 64)
+      .collect().toList.map(r => ((r.getLong(0), r.getDate(1)), r.getInt(2)))
+    val edges = items.groupBy(_._1).values.toList.flatMap { us =>
+      val is = us.map(_._2)
+      for (a <- is; b <- is if a != b) yield (a, b)
+    }.toSet
+    val in = edges.toList.groupBy(_._2) // dst -> incoming srcs
+    var lbl = edges.map(_._1).map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = in.map { case (dst, es) =>
+        val counts = es.map { case (src, _) => lbl(src) }
+          .groupBy(identity).map { case (l, xs) => (l, xs.size) }
+        dst -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val expected = lbl.map { case (n, l) => n -> ((l, sizes(l))) }
+    val got = EventAnalytics.eventsCommunities(tables).collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got == expected,
+      s"LPA mismatch: ${(got.toSet -- expected.toSet).take(3)} vs ${(expected.toSet -- got.toSet).take(3)}")
+    // the propagation must actually cluster: >1 community and at
+    // least one community with multiple members
+    assert(lbl.values.toSet.size > 1 && sizes.values.max > 1)
+  }
+
+  test("events_survival equals a driver-side Kaplan-Meier replay") {
+    import org.apache.spark.sql.functions._
+    val days = tables.events.select(col("user_id"),
+        datediff(col("ts").cast("date"),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = days.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.map(_._2).min, xs.map(_._2).max) }
+    val maxDay = byUser.map(_._3).max
+    // (lifetime, churned)
+    val lf = byUser.toList.map { case (_, f, l) =>
+      if (l < maxDay) (l - f, true) else (maxDay - f, false) }
+    val total = lf.size.toLong
+    val byT = lf.groupBy(_._1).toList.sortBy(_._1).map { case (t, xs) =>
+      (t, xs.count(_._2).toLong, xs.count(!_._2).toLong) }
+    var atRiskBefore = 0L
+    var s = 1000000L
+    val expected = byT.map { case (t, d, c) =>
+      val n = total - atRiskBefore
+      atRiskBefore += d + c
+      if (d > 0) s = s * (n - d) / n
+      (t, n, d, c, s)
+    }
+    val got = EventAnalytics.eventsSurvival(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toList.sortBy(_._1)
+    assert(got == expected, s"KM mismatch: $got vs $expected")
+    // the curve must show real churn AND real censoring (both paths)
+    assert(expected.last._5 < 1000000L, "no churn observed — vacuous")
+    assert(expected.map(_._4).sum > 0, "no censoring — the estimator is pointless")
+  }
+
+  test("events_changepoint equals a naive scaled-CUSUM replay") {
+    import org.apache.spark.sql.functions._
+    val hours = tables.events.select(
+        (unix_micros(date_trunc("hour", col("ts")).cast("timestamp")) /
+          lit(3600000000L)).cast("long").as("h"))
+      .collect().map(_.getLong(0))
+    val counts = hours.groupBy(identity).map { case (h, xs) => h -> xs.size.toLong }
+    val spine = (counts.keys.min to counts.keys.max).toList
+    val n = spine.size.toLong
+    val tt = counts.values.sum
+    var p = 0L
+    val cusum = spine.zipWithIndex.map { case (h, i0) =>
+      p += counts.getOrElse(h, 0L)
+      (h, (i0 + 1).toLong, p, n * p - (i0 + 1).toLong * tt)
+    }
+    val best = cusum.minBy { case (h, _, _, c) => (-math.abs(c), h) }
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = EventAnalytics.eventsChangepoint(tables).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((n, tt, best._1, math.abs(best._4))))
+    assert(row.getDouble(4) == r4(best._3.toDouble / best._2.toDouble + 1e-9))
+    val after = (tt - best._3).toDouble / (n - best._2).toDouble
+    if (n > best._2) assert(row.getDouble(5) == r4(after + 1e-9))
+    // the statistic must discriminate: a flat series scores 0 everywhere
+    assert(math.abs(best._4) > 0)
+  }
 }
