@@ -214,6 +214,7 @@ object SparkEntry {
     "embed_pca_topk"      -> q(t => Similarity.embedPcaTopK(t)),
     "embed_whiten"        -> q(t => Similarity.embedWhiten(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
+    "embed_semdedup"      -> q(t => Similarity.embedSemdedup(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "ann_recall_eval"     -> q(t => Similarity.annRecallEval(t)),
@@ -2927,6 +2928,24 @@ object SparkEntry {
         |  FROM q JOIN c USING (bucket)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // SemDeDup replay: converged-centroid assignment (the shared
+    // Lloyd chain), within-cell pairs only, keep-first pruning on the
+    // 4-dp rounded cosine threshold
+    "embed_semdedup" ->
+      s"""WITH ${kmeansChainSql(3)},
+        |cent AS (SELECT cell, cemb FROM c3),
+        |sc AS (SELECT corp.vec_id, cent.cell, list_cosine_similarity(corp.emb, cent.cemb) AS s
+        |  FROM corp CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sc)
+        |  WHERE rn = 1),
+        |p AS (SELECT b2.vec_id AS vec_id, b2.cell AS cell, a2.vec_id AS dup_of,
+        |  round(list_cosine_similarity(ca.emb, cb.emb), 4) AS cos
+        | FROM assign a2 JOIN assign b2 ON a2.cell = b2.cell AND a2.vec_id < b2.vec_id
+        | JOIN corp ca ON ca.vec_id = a2.vec_id
+        | JOIN corp cb ON cb.vec_id = b2.vec_id)
+        |SELECT vec_id, cell, min(dup_of) AS dup_of, max(cos) AS max_cos
+        |FROM p WHERE cos >= 0.4 GROUP BY 1, 2""".stripMargin,
     // embed_kmeans runs 4 Lloyd iterations (3 driver-collected rounded
     // updates + the distributed output step); the oracle replays the
     // identical chain and selects update 4's means + member counts

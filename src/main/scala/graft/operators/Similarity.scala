@@ -506,6 +506,47 @@ object Similarity {
   def embedKmeans(t: Tables, k: Int = 16, nIters: Int = 4): DataFrame =
     embedCentroidsWith(t, kmeansCentroids(t, k, nIters))
 
+  /** `embed_semdedup` — SEMANTIC deduplication by cluster-scoped
+    * cosine pruning (public Abbas et al. 2023, SemDeDup): assign
+    * every corpus vector to its converged-k-means cell, compare pairs
+    * ONLY within a cell, and remove every vector that has a lower-id
+    * cell-mate with cosine ≥ τ — keep-first semantics, reported with
+    * the minimum such keeper as evidence. The embedding-space
+    * complement of `dedup_embedding`: LSH candidates catch near-
+    * EXACT duplicates; SemDeDup prunes semantic redundancy around
+    * cluster centers, which is how web-scale image/text corpora are
+    * actually thinned (the paper's LAION pipeline).
+    *
+    * Cross-cell near-duplicates are invisible BY DESIGN — that is
+    * SemDeDup's documented recall trade (the cell count tunes it),
+    * not a blocking hole; the spec states it explicitly.
+    *
+    * Shape: map-side argmax cell assignment (broadcast K×dims
+    * centroids — the shared [[kmeansCentroids]] model artifact, built
+    * once per session), then a cell-keyed equi-self-join — candidate
+    * volume is Σ|cell|², bounded by the clustering, never global
+    * all-pairs (at 100 TB, oversized cells sub-shard or cap exactly
+    * like the cooccur fan-out guard). Scores ride the fused codegen
+    * cosine kernel, thresholded on the 4-dp ROUNDED value so the
+    * comparison replays bit-identically in DuckDB.
+    */
+  def embedSemdedup(t: Tables, k: Int = 16, nIters: Int = 4,
+      tau: Double = 0.4): DataFrame = {
+    val cents = kmeansCentroids(t, k, nIters)
+    val assigned = corpusEmb(t)
+      .withColumn("cell", cellOf(col("emb"), cents))
+    val pairs = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
+        col("a.vec_id").as("dup_of"),
+        round(cosineSimilarity(col("a.emb"), col("b.emb")), 4).as("cos"))
+      .filter(col("cos") >= lit(tau))
+    pairs.groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("dup_of")).as("dup_of"), max(col("cos")).as("max_cos"))
+      .select(col("vec_id"), col("cell"), col("dup_of"), col("max_cos"))
+  }
+
   /** S12 — `ann_hard_negatives`: hard-negative mining for contrastive
     * embedding training — per query, the top-k most similar corpus
     * vectors whose LABEL differs from the query's. High-similarity

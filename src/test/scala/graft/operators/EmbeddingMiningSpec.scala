@@ -278,6 +278,46 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("embed_semdedup equals a naive within-cell keep-first replay") {
+    // independent replay: collected converged centroids → per-vector
+    // argmax cell (score desc, cell desc tiebreak — the cellOf order)
+    // → all within-cell lower-id partners with rounded cos >= 0.4.
+    // Cross-cell duplicates are OUT OF SCOPE by design (SemDeDup's
+    // documented recall trade) — the replay enforces exactly that.
+    val cents = Similarity.kmeansCentroids(tables, 16, 4)
+      .map { case (c, v) => c -> v.toArray }
+    val corpus = tables.embeddings.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def rawCos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) = BigDecimal(x.toString)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cell = corpus.map { case (id, e) =>
+      id -> cents.maxBy { case (c, ce) => (rawCos(e, ce), c) }._1
+    }.toMap
+    val emb = corpus.toMap
+    val expected = corpus.flatMap { case (id, e) =>
+      val partners = corpus.filter { case (o, _) =>
+        o < id && cell(o) == cell(id) }
+        .map { case (o, oe) => (o, r4(rawCos(oe, e))) }
+        .filter(_._2 >= 0.4)
+      if (partners.isEmpty) None
+      else Some((id, cell(id), partners.map(_._1).min, partners.map(_._2).max))
+    }.toSet
+    val got = Similarity.embedSemdedup(tables).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"semdedup mismatch: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    // the screen must fire on the near-dup corpus, and keep-first
+    // means every keeper id precedes its duplicate
+    assert(expected.nonEmpty, "no semantic duplicates found — vacuous")
+    assert(expected.forall { case (id, _, keep, _) => keep < id })
+  }
+
   test("ann_graph_topk equals a driver-side beam-walk replay and walks past its entries") {
     val all = tables.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>"))
