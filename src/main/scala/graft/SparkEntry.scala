@@ -249,6 +249,7 @@ object SparkEntry {
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
     "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
+    "mm_audio_vad"        -> q(t => Multimodal.mmAudioVad(t)),
     "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
     "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
     "mm_frame_dedup"      -> q(t => Multimodal.mmFrameDedup(t)),
@@ -2548,6 +2549,32 @@ object SparkEntry {
         | bits_per_sample, bl::BIGINT AS data_len, n_samples,
         | floor(n_samples * 1000000 / sample_rate)::BIGINT AS duration_us
         |FROM d""".stripMargin,
+    // VAD replay from the generator's text (the Spark side extracts
+    // the same bytes from the payload at the spec offset): 16-char
+    // window char-code energies, strictly-above-mean activity via
+    // integer cross-multiply, gaps-and-islands segments
+    "mm_audio_vad" ->
+      """WITH a AS (SELECT doc_id, text AS body FROM documents WHERE length(text) >= 16),
+        |w AS (SELECT doc_id, i AS w, substr(body, i*16 + 1, 16) AS win
+        |  FROM a, (SELECT unnest(generate_series(0, 255)) AS i) s
+        |  WHERE i <= length(body) // 16 - 1),
+        |en AS (SELECT doc_id, w, CAST(sum(ascii(substr(win, j, 1))) AS BIGINT) AS e
+        |  FROM w, (SELECT unnest(generate_series(1, 16)) AS j) g GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS te,
+        |  CAST(count(*) AS BIGINT) AS nw FROM en GROUP BY 1),
+        |act AS (SELECT en.doc_id, en.w FROM en JOIN tot USING (doc_id)
+        |  WHERE e * nw > te),
+        |il AS (SELECT doc_id, w,
+        |  w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS isl FROM act),
+        |sg AS (SELECT doc_id, isl, count(*) AS seg_len FROM il GROUP BY 1, 2),
+        |segs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(seg_len) AS BIGINT) AS n_active,
+        |  CAST(max(seg_len) AS BIGINT) AS longest_segment FROM sg GROUP BY 1)
+        |SELECT t.doc_id, t.nw AS n_windows,
+        | CAST(coalesce(s.n_active, 0) AS BIGINT) AS n_active,
+        | CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
+        | CAST(coalesce(s.longest_segment, 0) AS BIGINT) AS longest_segment
+        |FROM tot t LEFT JOIN segs s USING (doc_id)""".stripMargin,
     // the video oracle recomputes the generator's md5-derived MP4
     // movie-header fields; the Spark side walks the actual ISO-BMFF
     // boxes (ftyp size → moov → mvhd offsets) to read them back

@@ -572,6 +572,64 @@ object Multimodal {
         min(col("doc_id")).as("rep_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** M9 — `mm_audio_vad`: energy-threshold voice-activity detection
+    * over each WAV payload's sample stream — the audio twin of
+    * `mm_video_scene_cut` (segment before sampling, so a long silent
+    * tail doesn't drown the active speech in downstream batching).
+    * Frames are the data section's consecutive 16-char windows (the
+    * decode stand-in — real PCM would sum |amplitude|; the discipline
+    * and plan shape are identical), a frame's ENERGY is the exact
+    * integer sum of its character codes, a frame is ACTIVE iff
+    * energy·n_windows > total_energy (strictly above the payload's
+    * own mean — an exact integer cross-multiply, no ratio, no float
+    * threshold), and consecutive active frames fold into segments by
+    * gaps-and-islands. Output per payload: window/active counts,
+    * segment count, longest segment.
+    *
+    * The data section is read from the PAYLOAD at its spec offset
+    * (byte 45 onward), while the oracle recomputes from the
+    * generator's text — the `mm_decode_meta` generator-vs-parser
+    * cross-check, here proving the body extraction too.
+    *
+    * Shape: map-only window explode + per-window 16-term fold, ONE
+    * doc-keyed shuffle for the island windows (O(windows/payload)
+    * state), keyed rollups after — payload bytes never shuffle.
+    */
+  def mmAudioVad(t: Tables, window: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val data = col("payload")
+      .substr(lit(45), length(col("payload")) - lit(44)).cast("string")
+    val docs = audioTable(t)
+      .select(col("doc_id"), data.as("body"))
+      .filter(length(col("body")) >= window)
+    val wins = docs.select(col("doc_id"),
+        explode(sequence(lit(0),
+          (length(col("body")) / window).cast("int") - 1)).as("w"),
+        col("body"))
+      .select(col("doc_id"), col("w"),
+        aggregate(sequence(lit(1), lit(window)), lit(0L),
+          (acc, i) => acc +
+            ascii(col("body").substr(col("w") * window + i, lit(1))))
+          .as("e"))
+    val tot = wins.groupBy(col("doc_id"))
+      .agg(sum(col("e")).as("te"), count(lit(1)).as("nw"))
+    val act = wins.join(tot, "doc_id")
+      .filter(col("e") * col("nw") > col("te"))
+    val isl = act.withColumn("isl",
+        col("w") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(asc("w"))))
+      .groupBy(col("doc_id"), col("isl")).agg(count(lit(1)).as("seg_len"))
+    val segs = isl.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("seg_len")).as("n_active"),
+        max(col("seg_len")).as("longest_segment"))
+    tot.join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nw").as("n_windows"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+  }
+
   /** M8 — `mm_video_scene_cut`: SCENE SEGMENTATION over each
     * payload's decoded-frame stream — the step a video training
     * pipeline runs between decode and frame sampling, so sampling

@@ -108,4 +108,35 @@ class MultimodalSpec extends SparkSpec {
       assert(lens == n.toLong, s"doc $id scenes cover $lens of $n frames")
     }
   }
+
+  test("audio VAD replays naively: char-code energy, mean gate, islands") {
+    val w = 16
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= w)
+    val expected = docs.map { case (id, body) =>
+      val energies = (0 until body.length / w)
+        .map(i => body.substring(i * w, i * w + w).map(_.toInt.toLong).sum)
+      val nw = energies.size.toLong
+      val te = energies.sum
+      val active = energies.zipWithIndex
+        .filter { case (e, _) => e * nw > te }.map(_._2)
+      // islands: consecutive active indices form one segment
+      val segs = active.foldLeft(List.empty[List[Int]]) {
+        case (h :: t, i) if h.head == i - 1 => (i :: h) :: t
+        case (acc, i) => List(i) :: acc
+      }
+      (id, nw, active.size.toLong, segs.size.toLong,
+        if (segs.isEmpty) 0L else segs.map(_.size).max.toLong)
+    }.toSet
+    val actual = Multimodal.mmAudioVad(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(actual == expected,
+      s"VAD mismatch: ${(actual -- expected).take(3)} vs ${(expected -- actual).take(3)}")
+    // the gate must discriminate (some frames above the mean, never
+    // all), and some payload must carry >1 segment
+    assert(expected.forall { case (_, nw, na, _, _) => na > 0 && na < nw })
+    assert(expected.exists(_._4 > 1), "no payload has multiple segments")
+  }
 }
