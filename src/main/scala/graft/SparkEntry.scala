@@ -111,6 +111,9 @@ object SparkEntry {
     "events_kcore"        -> q(t => EventAnalytics.eventsKcore(t)),
     "events_assortativity" -> q(t => EventAnalytics.eventsAssortativity(t)),
     "events_bot_detect"   -> q(EventAnalytics.eventsBotDetect),
+    // the same screen as a continuous query off the staged feed;
+    // shares the batch oracle — stream/batch equivalence pair #16
+    "stream_bot_detect"   -> q(t => graft.streaming.Streaming.streamBotDetect(t)),
     "events_gini"         -> q(EventAnalytics.eventsGini),
     "events_communities"  -> q(t => EventAnalytics.eventsCommunities(t)),
     "events_survival"     -> q(EventAnalytics.eventsSurvival),
@@ -706,6 +709,39 @@ object SparkEntry {
        | CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
        |FROM l$rounds""".stripMargin
   }
+
+  /** Shared by `events_bot_detect` and its streaming twin
+    * `stream_bot_detect` (equivalence pair #16). */
+  private lazy val eventsBotDetectSql: String =
+    """WITH r AS (SELECT user_id, event_type,
+      |  json_extract_string(props, '$.k') AS item,
+      |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      |bu AS (SELECT user_id, us0 FROM (
+      |  SELECT user_id, min(us) AS us0 FROM r GROUP BY 1)
+      | WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '1'),
+      |sy AS (SELECT user_id, 'purchase' AS event_type, '999' AS item,
+      |  (us0 // 60000000) * 60000000 + i * 2000000 AS us
+      | FROM bu, (SELECT unnest(generate_series(0, 24)) AS i) g),
+      |e AS (SELECT user_id, event_type, item, us,
+      |  CAST(us // 60000000 AS BIGINT) AS mnt FROM (
+      |  SELECT * FROM r UNION ALL SELECT * FROM sy)),
+      |b AS (SELECT user_id, CAST(max(m) AS BIGINT) AS max_per_minute FROM (
+      |  SELECT user_id, mnt, count(*) AS m FROM e GROUP BY 1, 2) GROUP BY 1),
+      |d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_distinct FROM (
+      |  SELECT DISTINCT user_id, event_type, item, mnt FROM e) GROUP BY 1),
+      |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_sec FROM e GROUP BY 1),
+      |s AS (SELECT t.user_id, t.n_events, b.max_per_minute,
+      |  t.n_events - d.n_distinct AS n_dup_events, t.span_sec,
+      |  (CASE WHEN b.max_per_minute >= 10 THEN 2
+      |    WHEN b.max_per_minute >= 5 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN 2 * (t.n_events - d.n_distinct) >= t.n_events THEN 1 ELSE 0 END)
+      |  + (CASE WHEN t.n_events >= 100 AND t.span_sec <= 7200 THEN 1 ELSE 0 END)
+      |  AS sc
+      | FROM t JOIN b USING (user_id) JOIN d USING (user_id))
+      |SELECT user_id, n_events, max_per_minute, n_dup_events, span_sec,
+      | CAST(sc AS BIGINT) AS bot_score, sc >= 2 AS flagged
+      |FROM s""".stripMargin
 
   private lazy val eventsPagerankSql: String = {
     val iters = 3
@@ -1965,36 +2001,8 @@ object SparkEntry {
         |  - CAST(n.n + 1 AS DOUBLE) / CAST(n.n AS DOUBLE) + 1e-9, 6) AS gini,
         | round(CAST(tp.topx AS DOUBLE) / CAST(a.total AS DOUBLE) + 1e-9, 6) AS top_decile_share
         |FROM n, a, tp""".stripMargin,
-    "events_bot_detect" ->
-      """WITH r AS (SELECT user_id, event_type,
-        |  json_extract_string(props, '$.k') AS item,
-        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        |bu AS (SELECT user_id, us0 FROM (
-        |  SELECT user_id, min(us) AS us0 FROM r GROUP BY 1)
-        | WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 1) = '1'),
-        |sy AS (SELECT user_id, 'purchase' AS event_type, '999' AS item,
-        |  (us0 // 60000000) * 60000000 + i * 2000000 AS us
-        | FROM bu, (SELECT unnest(generate_series(0, 24)) AS i) g),
-        |e AS (SELECT user_id, event_type, item, us,
-        |  CAST(us // 60000000 AS BIGINT) AS mnt FROM (
-        |  SELECT * FROM r UNION ALL SELECT * FROM sy)),
-        |b AS (SELECT user_id, CAST(max(m) AS BIGINT) AS max_per_minute FROM (
-        |  SELECT user_id, mnt, count(*) AS m FROM e GROUP BY 1, 2) GROUP BY 1),
-        |d AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_distinct FROM (
-        |  SELECT DISTINCT user_id, event_type, item, mnt FROM e) GROUP BY 1),
-        |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS span_sec FROM e GROUP BY 1),
-        |s AS (SELECT t.user_id, t.n_events, b.max_per_minute,
-        |  t.n_events - d.n_distinct AS n_dup_events, t.span_sec,
-        |  (CASE WHEN b.max_per_minute >= 10 THEN 2
-        |    WHEN b.max_per_minute >= 5 THEN 1 ELSE 0 END)
-        |  + (CASE WHEN 2 * (t.n_events - d.n_distinct) >= t.n_events THEN 1 ELSE 0 END)
-        |  + (CASE WHEN t.n_events >= 100 AND t.span_sec <= 7200 THEN 1 ELSE 0 END)
-        |  AS sc
-        | FROM t JOIN b USING (user_id) JOIN d USING (user_id))
-        |SELECT user_id, n_events, max_per_minute, n_dup_events, span_sec,
-        | CAST(sc AS BIGINT) AS bot_score, sc >= 2 AS flagged
-        |FROM s""".stripMargin,
+    "events_bot_detect" -> eventsBotDetectSql,
+    "stream_bot_detect" -> eventsBotDetectSql,
     "events_assortativity" -> eventsAssortativitySql,
     // Schank–Wagner forward triangle counting: the oracle replays the
     // identical (degree, id) orientation and wedge order, so the

@@ -1227,7 +1227,15 @@ object EventAnalytics {
     * all partial-agg shuffles over key+counter pairs; no windows over
     * raw events, no driver state. All thresholds compare exact
     * integers, so the flag replays bit-identically in the oracle. */
-  def eventsBotDetect(t: Tables): DataFrame = {
+  def eventsBotDetect(t: Tables): DataFrame =
+    botUserStats(botPerMinute(botFeed(t)))
+
+  /** The screen's input feed: real events projected to (user, type,
+    * item, µs) plus the deterministic bot injection — test-corpus
+    * construction, not part of the operator (a production screen
+    * consumes the raw stream; [[graft.streaming.Streaming
+    * .streamBotDetect]] stages exactly this feed as its source). */
+  private[graft] def botFeed(t: Tables): DataFrame = {
     val real = t.events.select(col("user_id"), col("event_type"),
       get_json_object(col("props"), "$.k").as("item"),
       unix_micros(col("ts").cast("timestamp")).as("us"))
@@ -1239,18 +1247,32 @@ object EventAnalytics {
         lit("999").as("item"),
         (expr("us0 DIV 60000000") * lit(60000000L) + col("i") * lit(2000000L))
           .as("us"))
-    val e = real.unionByName(synth)
-      .withColumn("minute", expr("us DIV 60000000"))
-    val burst = e.groupBy(col("user_id"), col("minute"))
-      .agg(count(lit(1)).as("m"))
-      .groupBy(col("user_id")).agg(max(col("m")).as("max_per_minute"))
-    val dups = e.select(col("user_id"), col("event_type"), col("item"), col("minute"))
-      .distinct()
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_distinct"))
-    val tot = e.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        ((max(col("us")) - min(col("us"))) / lit(1000000L)).cast("long")
-          .as("span_sec"))
+    real.unionByName(synth)
+  }
+
+  /** The per-(user, calendar-minute) rollup BOTH screens share — and
+    * exactly the state a streaming screen keeps per key: event count,
+    * distinct (type, item) count (minute is part of the dedup triple,
+    * so per-minute distincts SUM exactly to the global triple count),
+    * and the minute's µs extent. */
+  private[graft] def botPerMinute(feed: DataFrame): DataFrame =
+    feed.withColumn("minute", expr("us DIV 60000000"))
+      .groupBy(col("user_id"), col("minute"))
+      .agg(count(lit(1)).as("n"),
+        size(collect_set(struct(col("event_type"), col("item"))))
+          .cast("long").as("nd"),
+        min(col("us")).as("mn_us"), max(col("us")).as("mx_us"))
+
+  /** Fold the per-minute rollup to per-user stats + the integer rule
+    * score — decomposable aggregates only, so batch raw-event input
+    * and a drained streaming state table produce identical rows. */
+  private[graft] def botUserStats(pm: DataFrame): DataFrame = {
+    val agg = pm.groupBy(col("user_id")).agg(
+      sum(col("n")).as("n_events"),
+      max(col("n")).as("max_per_minute"),
+      sum(col("nd")).as("n_distinct"),
+      ((max(col("mx_us")) - min(col("mn_us"))) / lit(1000000L)).cast("long")
+        .as("span_sec"))
     val score =
       when(col("max_per_minute") >= 10, lit(2))
         .otherwise(when(col("max_per_minute") >= 5, lit(1)).otherwise(lit(0))) +
@@ -1258,11 +1280,10 @@ object EventAnalytics {
         lit(1)).otherwise(lit(0)) +
       when(col("n_events") >= 100 && col("span_sec") <= 7200, lit(1))
         .otherwise(lit(0))
-    tot.join(burst, "user_id").join(dups, "user_id")
-      .select(col("user_id"), col("n_events"), col("max_per_minute"),
-        (col("n_events") - col("n_distinct")).as("n_dup_events"),
-        col("span_sec"), score.cast("long").as("bot_score"),
-        (score >= 2).as("flagged"))
+    agg.select(col("user_id"), col("n_events"), col("max_per_minute"),
+      (col("n_events") - col("n_distinct")).as("n_dup_events"),
+      col("span_sec"), score.cast("long").as("bot_score"),
+      (score >= 2).as("flagged"))
   }
 
   /** `events_assortativity` — degree assortativity (public Newman

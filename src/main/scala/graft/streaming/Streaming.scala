@@ -514,6 +514,43 @@ object Streaming {
       graft.operators.TextAnalysis.watermarkDetectOf(docsStream), "append")
   }
 
+  /** Stage the bot-screen input feed (real events + the deterministic
+    * injection, [[graft.operators.EventAnalytics.botFeed]]) as a
+    * parquet dir once per sf — input-feed construction, not operator
+    * work (a production screen consumes the raw event stream).
+    * Idempotent. */
+  private def stageBotFeed(t: Tables): String = {
+    val safe = t.dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_$safe", "bot_feed")
+    if (!Files.exists(dir) || !Files.list(dir).iterator().hasNext) {
+      Files.createDirectories(dir)
+      graft.operators.EventAnalytics.botFeed(t)
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    }
+    dir.toString
+  }
+
+  /** X22 — `stream_bot_detect`: the automation screen as a CONTINUOUS
+    * query — the deployment shape an abuse filter actually runs in
+    * (flag while the traffic arrives, not in tomorrow's batch). ONE
+    * keyed streaming aggregation over (user, calendar minute) holds
+    * exactly the screen's state: event count, distinct (type, item)
+    * set, µs extent — bounded per key by the minute's distinct
+    * actions, keys bounded by ACTIVE (user, minute) pairs. The rule
+    * scoring folds over the drained state through the identical batch
+    * stage ([[graft.operators.EventAnalytics.botUserStats]] — all its
+    * aggregates are decomposable over minutes, which is WHY the
+    * per-minute rollup is the right streaming state). Shares the
+    * batch oracle verbatim — stream/batch equivalence pair #16.
+    */
+  def streamBotDetect(t: Tables): DataFrame = {
+    val schema = graft.operators.EventAnalytics.botFeed(t).schema
+    val src = t.spark.readStream.schema(schema).parquet(stageBotFeed(t))
+    val pm = graft.operators.EventAnalytics.botPerMinute(src)
+    graft.operators.EventAnalytics.botUserStats(drainToTable(pm, "complete"))
+  }
+
   /** Stage the SCD2 increment (projected events, day ≥ splitDay) as
     * ONE parquet file PER DAY — the daily CDC drop a warehouse's
     * dimension-maintenance job actually consumes — with strictly
