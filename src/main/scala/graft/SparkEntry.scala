@@ -74,6 +74,7 @@ object SparkEntry {
     "q_json_extract"      -> q(Relational.qJsonExtract),
     "q_time_bucket"       -> q(Relational.qTimeBucket),
     "q_gap_fill"          -> q(Relational.qGapFill),
+    "q_histogram_equidepth" -> q(t => Relational.qHistogramEquidepth(t)),
     "q_grouping_sets"     -> q(Relational.qGroupingSets),
     "q_window_ntile"      -> q(Relational.qWindowNtile),
     "q_window_distribution" -> q(Relational.qWindowDistribution),
@@ -87,6 +88,8 @@ object SparkEntry {
     "stream_active_users" -> q(t => graft.streaming.Streaming.streamActiveUsers(t)),
     "corpus_temperature_sampling" -> q(t => TextAnalysis.corpusTemperatureSampling(t)),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
+    "text_char_entropy"   -> q(TextAnalysis.textCharEntropy),
+    "dedup_cross_source"  -> q(t => Dedup.dedupCrossSource(t)),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
     "text_contamination"  -> q(t => TextAnalysis.textContamination(t)),
@@ -1722,6 +1725,44 @@ object SparkEntry {
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens,
         | length(text)::BIGINT AS char_len
         |FROM documents""".stripMargin,
+    // per-term ×10⁶ quantization BEFORE the sum (one libm ln + one
+    // multiply on identical operands per distinct (doc, char)), so
+    // the reduction is an order-immune integer sum on both engines
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, length(text) AS n, substr(text, j, 1) AS ch
+        |  FROM documents, (SELECT unnest(generate_series(1, 4096)) AS j) s
+        |  WHERE j <= length(text)),
+        |c AS (SELECT doc_id, n, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+        |q AS (SELECT doc_id, n,
+        |  CAST(floor(c * ln(c) * 1e6 + 0.5) AS BIGINT) AS q FROM c),
+        |a AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY 1, 2)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_chars, n_distinct_chars,
+        | round(ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) + 1e-9, 4) AS entropy_nats,
+        | round((ln(CAST(n AS DOUBLE)) - CAST(s AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)) / ln(2.0) + 1e-9, 4) AS bits_per_char
+        |FROM a""".stripMargin,
+    "dedup_cross_source" ->
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks FROM documents),
+        |w AS (SELECT DISTINCT source, md5(array_to_string(toks[i:i+9],' ')) AS wh
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) s
+        |  WHERE i <= len(toks)-9)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        | CAST(count(*) AS BIGINT) AS n_shared_windows
+        |FROM w a JOIN w b ON a.wh = b.wh AND a.source < b.source
+        |GROUP BY 1, 2""".stripMargin,
+    // plain single-window cumulative replay of the two-level rank
+    // split; boundaries via the same straddle test
+    "q_histogram_equidepth" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
+        |v AS (SELECT cents, CAST(count(*) AS BIGINT) AS nv FROM c GROUP BY 1),
+        |cum AS (SELECT cents, nv, CAST(sum(nv) OVER (ORDER BY cents
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM v),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |j AS (SELECT unnest(generate_series(1, 8)) AS bucket),
+        |b AS (SELECT j.bucket, (j.bucket * n.n) // 8 AS r FROM j, n)
+        |SELECT CAST(b.bucket AS INT) AS bucket, cum.cents / 100.0 AS ub_price,
+        | CAST(b.r AS BIGINT) AS target_rank, cum.cum AS cum_le
+        |FROM b JOIN cum ON cum.cum - cum.nv < b.r AND b.r <= cum.cum""".stripMargin,
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')) AS norm FROM documents),
         |tk AS (SELECT doc_id, min(md5(tok)) AS min_tok_hash FROM

@@ -503,6 +503,35 @@ object Dedup {
         col("n_windows"))
   }
 
+  /** `dedup_cross_source` — the cross-SOURCE content-duplication
+    * matrix: for every source pair, how many distinct 10-token
+    * windows ([[dedupSpans]]' unit) both sources carry — the
+    * governance readout that tells a corpus steward WHICH crawls
+    * mirror each other's content before any pairwise doc comparison
+    * runs (this corpus has ZERO exact cross-source doc duplicates;
+    * the sharing lives at window granularity — 939 shared windows at
+    * sf0.01 — exactly why the matrix works on content units, not doc
+    * digests).
+    *
+    * Shape: one tokenize+window explode → (source, window-hash)
+    * DISTINCT (the per-source content vocabulary, bounded by content
+    * volume) → hash-keyed self-join whose fan-out per window is ≤
+    * #sources² → a #sources²-row rollup. Text never shuffles — only
+    * 32-char hashes do.
+    */
+  def dedupCrossSource(t: Tables, k: Int = 10): DataFrame = {
+    val wins = t.documents
+      .select(col("source"),
+        explode(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), k))
+          .as("w"))
+      .select(col("source"), md5(col("w")).as("wh"))
+      .distinct()
+    wins.as("a").join(wins.as("b"),
+        col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** D15 — `dedup_spans_scrub`: the CONSUMER [[dedupSpans]] exists
     * for — actually REMOVE the duplicated text, keep-first policy:
     * a window occurrence is removable iff some EARLIER doc (smaller

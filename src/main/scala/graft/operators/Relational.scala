@@ -963,4 +963,47 @@ object Relational {
       .filter(col("l_quantity") < col("thr"))
       .agg(round(sum(decPrice).cast("double") / 7.0 + 1e-9, 2).as("avg_yearly"))
   }
+
+  /** `q_histogram_equidepth` — exact 8-bucket equi-depth histogram of
+    * `l_extendedprice`: per bucket j, the smallest value whose
+    * inclusive cumulative count reaches rank (j·n) DIV 8 — the
+    * order-statistic boundaries a cost-based optimizer stores next to
+    * `q_table_stats`' NDV/min/max (equi-WIDTH histograms mislead on
+    * skew; equi-depth is what engines actually keep).
+    *
+    * Exact order statistics WITHOUT a global rank window — the
+    * two-level prefix discipline (`q_skyline` / token shards): prices
+    * quantize to exact cents (2-dp data, §6 class 1), distinct-value
+    * counts partial-aggregate, a COARSE key (cents DIV 2^18) splits
+    * the prefix into per-group windows plus one metadata-scale
+    * coarse-prefix window, and each target rank finds its value by
+    * the straddle test cum − nv < r ≤ cum against a broadcast 8-row
+    * rank table. At 100 TB the distinct-value table is the only
+    * sizable intermediate and it shuffles once, keyed.
+    */
+  def qHistogramEquidepth(t: Tables, buckets: Int = 8): DataFrame = {
+    val cents = floor(col("l_extendedprice") * lit(100) + lit(0.5))
+      .cast("long").as("cents")
+    val vals = t.lineitem.select(cents)
+      .groupBy(col("cents")).agg(count(lit(1)).as("nv"))
+      .withColumn("g", expr("cents DIV 262144"))
+    val coarse = vals.groupBy(col("g")).agg(sum(col("nv")).as("cg"))
+      .withColumn("base", coalesce(sum(col("cg")).over(
+        Window.orderBy(asc("g")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("g"), col("base"))
+    val cum = vals.join(coarse, "g")
+      .withColumn("cum", col("base") + sum(col("nv")).over(
+        Window.partitionBy(col("g")).orderBy(asc("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val n = t.lineitem.agg(count(lit(1)).as("n"))
+    val ranks = t.spark.range(1, buckets + 1)
+      .select(col("id").cast("int").as("bucket"))
+      .crossJoin(broadcast(n))
+      .select(col("bucket"), expr(s"(bucket * n) DIV $buckets").as("r"))
+    cum.join(broadcast(ranks),
+        col("cum") - col("nv") < col("r") && col("r") <= col("cum"))
+      .select(col("bucket"), (col("cents") / lit(100.0)).as("ub_price"),
+        col("r").as("target_rank"), col("cum").as("cum_le"))
+  }
 }

@@ -1296,4 +1296,48 @@ object TextAnalysis {
         size(filter(grams, inBloom(_))).cast("long").as("n_maybe"))
       .filter(col("n_maybe") > 0)
   }
+
+  /** `text_char_entropy` — per-document character-unigram Shannon
+    * entropy, the dictionary-free compressibility screen (a
+    * gzip-ratio quality filter's deterministic stand-in — zlib output
+    * isn't reproducible cross-engine, the entropy BOUND it
+    * approximates is): garbled/binary-ish text scores high, template
+    * chrome and repeated filler score low — a quality axis
+    * `text_quality` (surface hygiene) and `text_repetition`
+    * (token-level) don't measure.
+    *
+    * Determinism — the §6 discipline applied to ln():
+    * H = ln(n) − (Σ c·ln c)/n needs a float SUM over per-char terms,
+    * and partial-agg order is engine-dependent; instead each term
+    * quantizes FIRST — floor(c·ln(c)·10⁶ + 0.5) as int64, one libm
+    * call + one multiply on identical operands per distinct (doc,
+    * char) — and the sum is an order-immune exact integer reduction.
+    * The final H is a per-row scalar IEEE chain on (n, S), §6-rounded.
+    *
+    * Shape: position explode (the VAD/window discipline — chars via
+    * substr, engine-identical) → ONE (doc, char)-keyed partial-agg
+    * count → doc-keyed integer sum; report adds bits/char (H/ln 2).
+    */
+  def textCharEntropy(t: Tables): DataFrame = {
+    val chars = t.documents
+      .select(col("doc_id"), length(col("text")).cast("long").as("n"),
+        explode(sequence(lit(1), length(col("text")))).as("j"),
+        col("text"))
+      .select(col("doc_id"), col("n"),
+        col("text").substr(col("j"), lit(1)).as("ch"))
+    val counts = chars.groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val terms = counts.select(col("doc_id"), col("n"),
+      floor(col("c").cast("double") * log(col("c").cast("double")) * lit(1e6)
+        + lit(0.5)).cast("long").as("q"))
+    terms.groupBy(col("doc_id"), col("n"))
+      .agg(count(lit(1)).as("n_distinct_chars"), sum(col("q")).as("s"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct_chars"),
+        round(log(col("n").cast("double")) -
+          col("s").cast("double") / lit(1e6) / col("n").cast("double")
+          + lit(1e-9), 4).as("entropy_nats"),
+        round((log(col("n").cast("double")) -
+          col("s").cast("double") / lit(1e6) / col("n").cast("double")) /
+          lit(math.log(2.0)) + lit(1e-9), 4).as("bits_per_char"))
+  }
 }

@@ -256,6 +256,32 @@ class DedupSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("dedup_cross_source equals a naive source-pair window intersection") {
+    val k = 10
+    val bySource = tables.documents.select("source", "text").collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(_._1)
+      .map { case (s, docs) =>
+        s -> docs.flatMap(_._2.sliding(k).collect {
+          case w if w.length == k => w.mkString(" ")
+        }).toSet
+      }
+    val sources = bySource.keys.toList.sorted
+    val expected = (for {
+      a <- sources; b <- sources if a < b
+      shared = (bySource(a) & bySource(b)).size if shared > 0
+    } yield (a, b, shared.toLong)).toSet
+    val got = Dedup.dedupCrossSource(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"matrix drift: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    // the matrix must be non-trivial: some pairs share, some don't
+    assert(expected.nonEmpty, "no cross-source sharing — vacuous")
+    assert(expected.size < sources.size * (sources.size - 1) / 2,
+      "every pair shares — the matrix discriminates nothing")
+  }
+
   test("dedup_spans_scrub: keep-first removal replays naively, bytes and counts") {
     val k = 10
     val docs = tables.documents.select("doc_id", "text").collect()

@@ -67,6 +67,29 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("q_histogram_equidepth equals a naive sorted order-statistic replay") {
+    val t = tables
+    val cents = t.lineitem.select(col("l_extendedprice")).collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong).sorted
+    val n = cents.length.toLong
+    val expect = (1 to 8).map { j =>
+      val r = (j * n) / 8
+      val v = cents(r.toInt - 1) // value at rank r (1-based)
+      val cumLe = cents.count(_ <= v).toLong
+      (j, v / 100.0, r, cumLe)
+    }.toSet
+    val got = Relational.qHistogramEquidepth(t).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"histogram drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // boundaries are monotone and the last one is the column max
+    val bounds = got.toSeq.sortBy(_._1).map(_._2)
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a <= b })
+    assert(bounds.last == cents.max / 100.0)
+    // equi-depth really discriminates: >1 distinct boundary
+    assert(bounds.distinct.size > 1, "all boundaries equal — degenerate column")
+  }
+
   test("approx sketches land near the exact answers") {
     val t = tables
     val exact = t.events.groupBy(col("event_type"))

@@ -381,4 +381,30 @@ class TextAnalysisSpec extends SparkSpec {
     // gate trivially and mean the counts degenerated
     assert(got.values.map(_._4).toSet.size > 10, "flesch barely varies")
   }
+
+  test("text_char_entropy equals a driver-side quantized-term replay") {
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val expect = docs.map { case (id, text) =>
+      val counts = text.groupBy(identity).map(_._2.length.toLong)
+      val n = text.length.toLong
+      // the operator's exact contract: per-term quantization with
+      // Math.log (Spark's log()), then an exact integer sum
+      val s = counts.map(c =>
+        math.floor(c.toDouble * math.log(c.toDouble) * 1e6 + 0.5).toLong).sum
+      val h = math.log(n.toDouble) - s.toDouble / 1e6 / n.toDouble
+      id -> ((n, counts.size.toLong, r4(h + 1e-9), r4(h / math.log(2.0) + 1e-9)))
+    }.toMap
+    val actual = TextAnalysis.textCharEntropy(tables).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(actual == expect,
+      s"entropy drift, e.g. ${actual.find(kv => expect(kv._1) != kv._2).take(1)}")
+    // the screen discriminates: entropies vary across the corpus
+    assert(actual.values.map(_._3).toSet.size > 10, "entropy barely varies")
+    // bits/char must sit in the plausible text band (not degenerate)
+    assert(actual.values.forall { case (_, _, h, b) => h > 0 && b > 0 })
+  }
 }
