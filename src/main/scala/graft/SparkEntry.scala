@@ -51,6 +51,9 @@ object SparkEntry {
     "q_group_multi"       -> q(Relational.qGroupMulti),
     "q_table_stats"       -> q(Relational.qTableStats),
     "q_window_rank"       -> q(Relational.qWindowRank),
+    // same semantics through the native bounded top-k aggregate —
+    // partial heaps instead of the rank window's full shuffle
+    "q_topn_agg"          -> q(Relational.qTopNAgg),
     "q_window_running"    -> q(Relational.qWindowRunning),
     "q_topk"              -> q(Relational.qTopK),
     "q_distinct"          -> q(Relational.qDistinct),
@@ -121,6 +124,9 @@ object SparkEntry {
     "events_communities"  -> q(t => EventAnalytics.eventsCommunities(t)),
     "events_survival"     -> q(EventAnalytics.eventsSurvival),
     "events_changepoint"  -> q(EventAnalytics.eventsChangepoint),
+    // the same monitor as a continuous query off the hourly streaming
+    // state; shares the batch oracle — equivalence pair #17
+    "stream_changepoint"  -> q(t => graft.streaming.Streaming.streamChangepoint(t)),
     "events_funnel_by_variant" -> q(EventAnalytics.eventsFunnelByVariant),
     "events_neighbor_jaccard" -> q(t => EventAnalytics.eventsNeighborJaccard(t)),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
@@ -713,6 +719,36 @@ object SparkEntry {
        |FROM l$rounds""".stripMargin
   }
 
+  /** Shared by `events_changepoint` and its streaming twin
+    * `stream_changepoint` (equivalence pair #17). */
+  private lazy val eventsChangepointSql: String =
+    """WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+      |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
+      |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM hourly),
+      |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM span),
+      |sp AS (SELECT CAST(epoch_us(CAST(s.hour_ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS h,
+      |  coalesce(x, 0) AS x FROM spine s LEFT JOIN hourly USING (hour_ts)),
+      |idx AS (SELECT h, x, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
+      |  CAST(sum(x) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+      | FROM sp),
+      |tot AS (SELECT max(i) AS n, max(p) AS tt FROM idx),
+      |sc AS (SELECT h, i, p, n, tt, n * p - i * tt AS cc FROM idx, tot),
+      |best AS (SELECT * FROM (SELECT *,
+      |  row_number() OVER (ORDER BY abs(cc) DESC, h ASC) AS rn FROM sc) WHERE rn = 1)
+      |SELECT n AS n_hours, tt AS total_events, h AS split_hour,
+      | CAST(abs(cc) AS BIGINT) AS max_abs_cusum,
+      | round(CAST(p AS DOUBLE) / CAST(i AS DOUBLE) + 1e-9, 4) AS mean_before,
+      | round(CAST(tt - p AS DOUBLE) / nullif(CAST(n - i AS DOUBLE), 0.0) + 1e-9, 4) AS mean_after
+      |FROM best""".stripMargin
+
+  /** Shared by `q_window_rank` and `q_topn_agg` (the native bounded
+    * top-k aggregate must reproduce the rank window exactly). */
+  private lazy val qWindowRankSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      | FROM orders) WHERE rnk <= 3""".stripMargin
+
   /** Shared by `events_bot_detect` and its streaming twin
     * `stream_bot_detect` (equivalence pair #16). */
   private lazy val eventsBotDetectSql: String =
@@ -1088,11 +1124,8 @@ object SparkEntry {
         | round(max(o_totalprice),2) AS max_price,
         | count(DISTINCT o_custkey) AS n_cust
         |FROM orders GROUP BY 1,2""".stripMargin,
-    "q_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
-        | SELECT o_custkey, o_orderkey, o_totalprice,
-        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
-        | FROM orders) WHERE rnk <= 3""".stripMargin,
+    "q_topn_agg" -> qWindowRankSql,
+    "q_window_rank" -> qWindowRankSql,
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -1950,25 +1983,8 @@ object SparkEntry {
         |  FROM lt JOIN km ON lt.rn = km.rn + 1)
         |SELECT t AS t_days, nr AS n_at_risk, d AS n_churned,
         | c AS n_censored, s AS survival_micro FROM km""".stripMargin,
-    "events_changepoint" ->
-      """WITH hourly AS (SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
-        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1),
-        |span AS (SELECT min(hour_ts) AS h0, max(hour_ts) AS h1 FROM hourly),
-        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM span),
-        |sp AS (SELECT CAST(epoch_us(CAST(s.hour_ts AS TIMESTAMP)) // 3600000000 AS BIGINT) AS h,
-        |  coalesce(x, 0) AS x FROM spine s LEFT JOIN hourly USING (hour_ts)),
-        |idx AS (SELECT h, x, CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS i,
-        |  CAST(sum(x) OVER (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
-        | FROM sp),
-        |tot AS (SELECT max(i) AS n, max(p) AS tt FROM idx),
-        |sc AS (SELECT h, i, p, n, tt, n * p - i * tt AS cc FROM idx, tot),
-        |best AS (SELECT * FROM (SELECT *,
-        |  row_number() OVER (ORDER BY abs(cc) DESC, h ASC) AS rn FROM sc) WHERE rn = 1)
-        |SELECT n AS n_hours, tt AS total_events, h AS split_hour,
-        | CAST(abs(cc) AS BIGINT) AS max_abs_cusum,
-        | round(CAST(p AS DOUBLE) / CAST(i AS DOUBLE) + 1e-9, 4) AS mean_before,
-        | round(CAST(tt - p AS DOUBLE) / nullif(CAST(n - i AS DOUBLE), 0.0) + 1e-9, 4) AS mean_after
-        |FROM best""".stripMargin,
+    "events_changepoint" -> eventsChangepointSql,
+    "stream_changepoint" -> eventsChangepointSql,
     "events_hits" -> eventsHitsSql,
     "events_kcore" -> eventsKcoreSql,
     // the triangle chain re-used per EDGE: common neighbors = the

@@ -1422,7 +1422,14 @@ object EventAnalytics {
     val users = t.events.select(col("user_id"), day.as("day"))
       .groupBy(col("user_id"))
       .agg(min(col("day")).as("first"), max(col("day")).as("last"))
-    val maxDay = users.agg(max(col("last"))).first().getLong(0)
+    val maxDayRow = users.agg(max(col("last"))).first()
+    if (maxDayRow.isNullAt(0)) { // empty slice: no cohort, empty table
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Long)]
+        .toDF("t_days", "n_at_risk", "n_churned", "n_censored",
+          "survival_micro")
+    }
+    val maxDay = maxDayRow.getLong(0)
     val life = users.select(
       when(col("last") < maxDay, col("last") - col("first"))
         .otherwise(lit(maxDay) - col("first")).as("t"),
@@ -1471,10 +1478,16 @@ object EventAnalytics {
     * argmax tiebreak is the earliest hour. Segment means before/at
     * and after the split are §6 ratios of exact integers.
     */
-  def eventsChangepoint(t: Tables): DataFrame = {
-    val hourly = t.events
+  def eventsChangepoint(t: Tables): DataFrame =
+    changepointScore(t.events
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(count(lit(1)).as("x"))
+      .agg(count(lit(1)).as("x")))
+
+  /** The CUSUM scoring stage over an (hour_ts, x) rollup — shared by
+    * the batch query and the streaming twin (the rollup is the
+    * streaming state; this stage runs over the drained, metadata-
+    * scale hourly table, the `stream_anomaly` pattern). */
+  private[graft] def changepointScore(hourly: DataFrame): DataFrame = {
     val span = hourly.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
     val spine = span.select(explode(sequence(col("h0"), col("h1"),
         expr("INTERVAL 1 HOUR"))).as("hour_ts"))

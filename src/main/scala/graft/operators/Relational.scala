@@ -197,6 +197,24 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
   }
 
+  /** `q_topn_agg` — top-3 orders per customer through the native
+    * bounded top-k AGGREGATE ([[graft.functions.TopKByAgg]]) instead
+    * of the rank window: `q_window_rank`'s semantics (same oracle,
+    * verbatim), the rank-window's plan cost replaced by partial O(k)
+    * heaps — at 100 TB the exchange carries ≤ 3 (price, orderkey)
+    * pairs per (task, customer) instead of every order row. The
+    * relational proof that the aggregate generalizes beyond the ANN
+    * scan it was built for. */
+  def qTopNAgg(t: Tables): DataFrame =
+    t.orders
+      .groupBy(col("o_custkey"))
+      .agg(graft.functions.TopKByAgg.topKBy(
+        col("o_totalprice"), col("o_orderkey"), 3).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        col("col.score").as("o_totalprice"),
+        (col("pos") + 1).cast("int").as("rnk"))
+
   /** Window running sum + moving average per customer over time. */
   def qWindowRunning(t: Tables): DataFrame = {
     val order = Window.partitionBy(col("o_custkey"))

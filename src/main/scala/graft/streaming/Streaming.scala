@@ -364,6 +364,27 @@ object Streaming {
     graft.operators.EventAnalytics.anomalyScore(hourly)
   }
 
+  /** X23 — `stream_changepoint`: the CUSUM level-shift monitor as a
+    * CONTINUOUS query — hourly volume maintained as ONE keyed
+    * streaming aggregation (state = one count per calendar hour,
+    * bounded by the stream's time span), the scaled-CUSUM scoring
+    * running over the drained metadata-scale rollup through the
+    * IDENTICAL batch stage ([[graft.operators.EventAnalytics
+    * .changepointScore]] — the `stream_anomaly` pattern: Structured
+    * Streaming forbids windows after a streaming agg, and the rollup
+    * is #hours rows at any event rate, so post-drain scoring is
+    * free). Shares the batch oracle verbatim — stream/batch
+    * equivalence pair #17.
+    */
+  def streamChangepoint(t: Tables): DataFrame = {
+    val hourly = eventsStream(t)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.EventAnalytics.changepointScore(
+      drainToTable(hourly, "complete")
+        .select(col("hour_ts").cast(TimestampNTZType).as("hour_ts"), col("x")))
+  }
+
   /** X8 — `stream_topk`: streaming top-k purchased items — a keyed
     * count maintained as streaming state (update mode: only items
     * whose count changed emit per micro-batch), drained and cut to

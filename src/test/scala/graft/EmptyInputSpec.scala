@@ -82,7 +82,17 @@ class EmptyInputSpec extends SparkSpec {
     "events_kcore", "events_assortativity", "q_interval_overlap",
     "q_gap_fill", "events_bot_detect", "text_readability",
     "text_boilerplate", "corpus_temperature_sampling",
-    "dedup_url_canonicalize")
+    "dedup_url_canonicalize",
+    // round-12 additions: the native top-k aggregate over zero
+    // groups, LPA/survival/CUSUM on empty event sets (survival's
+    // driver fold over an empty life table, changepoint's empty
+    // spine), the quantized-entropy screen, the window-intersection
+    // matrix, the order-statistic histogram (0 ranks → 0 rows), and
+    // the VAD islands; embed_semdedup stays excluded by the
+    // fail-loudly index policy (k-means over an empty corpus)
+    "ann_topk_agg", "events_communities", "events_survival",
+    "events_changepoint", "text_char_entropy", "dedup_cross_source",
+    "q_histogram_equidepth", "mm_audio_vad")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -689,6 +689,38 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("events_communities: every LPA round is keyed joins + partial aggs, no cartesian") {
+    val p = plan(EventAnalytics.eventsCommunities(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the argmax is a partial-aggregating struct-max, never a
+    // per-node sort: the only Sort operators belong to the final
+    // community-size window and the basket self-join
+    assert(p.contains("partial_max") || p.contains("partial_count"), p)
+  }
+
+  test("q_histogram_equidepth: the prefix split is two-level — no global window over values") {
+    val df = Relational.qHistogramEquidepth(tables)
+    val p = plan(df)
+    // the in-group cumulative runs PARTITIONED by the coarse key; the
+    // one unpartitioned window is the coarse prefix over DIV-262144
+    // groups (metadata-scale) — assert the partitioned window exists
+    // and the rank lookup broadcasts (8 rows), never sort-merges
+    assert(p.contains("Window [") || p.contains("RunningWindowFunction") ||
+      p.contains("windowspecdefinition(g#"), p.linesIterator.take(40).mkString("\n"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mm_audio_vad: payload bytes never shuffle — exchanges carry window stats only") {
+    val p = plan(Multimodal.mmAudioVad(tables))
+    // every Exchange row set is (doc_id, w, e)-shaped or smaller:
+    // neither the payload nor the extracted body appears past a scan
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toList
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(l => l.contains("payload") || l.contains("body")),
+      s"payload bytes cross an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("ANALYZE stats feed the CBO: a selective filtered join flips to broadcast") {
     import graft.sources.SourceOps
     val tOrders = s"graft_cbo_orders_${SourceOps.runId}"

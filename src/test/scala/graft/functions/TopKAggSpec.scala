@@ -91,6 +91,16 @@ class TopKAggSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("q_topn_agg agrees with the q_window_rank window row for row") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val a = rows(graft.operators.Relational.qTopNAgg(tables))
+    val b = rows(graft.operators.Relational.qWindowRank(tables))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
   test("heap never holds more than k entries") {
     val b = new TopKBuffer(3)
     (1L to 1000L).foreach(i => b.insert(i.toDouble, i))
