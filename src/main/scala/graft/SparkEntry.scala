@@ -262,6 +262,7 @@ object SparkEntry {
     "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     "mm_audio_vad"        -> q(t => Multimodal.mmAudioVad(t)),
+    "mm_phash_pairs"      -> q(t => Multimodal.mmPhashPairs(t)),
     "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
     "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
     "mm_frame_dedup"      -> q(t => Multimodal.mmFrameDedup(t)),
@@ -2640,6 +2641,29 @@ object SparkEntry {
         | CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
         | CAST(coalesce(s.longest_segment, 0) AS BIGINT) AS longest_segment
         |FROM tot t LEFT JOIN segs s USING (doc_id)""".stripMargin,
+    // ALL-PAIRS oracle (the er_blocked_pairs discipline): the Spark
+    // side generates candidates via 8-bit bands — pigeonhole-complete
+    // at Hamming <= 7 — so any blocking hole fails this hash gate
+    "mm_phash_pairs" ->
+      """WITH m AS (SELECT doc_id, text AS b, length(text) AS len
+        |  FROM documents WHERE length(text) >= 64),
+        |p AS (SELECT doc_id, ((j - 1) * 64) // len AS cell,
+        |  ascii(substr(b, j, 1)) AS v
+        |  FROM m, (SELECT unnest(generate_series(1, 4096)) AS j) s
+        |  WHERE j <= len),
+        |cs AS (SELECT doc_id, cell, CAST(sum(v) AS BIGINT) AS s FROM p GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS t FROM cs GROUP BY 1),
+        |bits AS (SELECT cs.doc_id, cell,
+        |  CASE WHEN s * 64 > t THEN 1 ELSE 0 END AS bit
+        | FROM cs JOIN tt USING (doc_id)),
+        |w AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN cell < 32 THEN bit * (1::BIGINT << cell) ELSE 0 END) AS BIGINT) AS w0,
+        |  CAST(sum(CASE WHEN cell >= 32 THEN bit * (1::BIGINT << (cell - 32)) ELSE 0 END) AS BIGINT) AS w1
+        | FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        | CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INT) AS hamming
+        |FROM w a JOIN w b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 7""".stripMargin,
     // the video oracle recomputes the generator's md5-derived MP4
     // movie-header fields; the Spark side walks the actual ISO-BMFF
     // boxes (ftyp size → moov → mvhd offsets) to read them back

@@ -572,6 +572,74 @@ object Multimodal {
         min(col("doc_id")).as("rep_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** M10 — `mm_phash_pairs`: perceptual-hash near-duplicate detection
+    * across media payloads — the aHash discipline (public
+    * average-hash pHash family): each payload's BODY "downsamples" to
+    * 64 cells (cell of position j = ((j−1)·64) DIV len — the
+    * resize-to-8×8 stand-in), a cell's bit fires iff its sum exceeds
+    * the payload average (64·cellsum > total, integer cross-multiply),
+    * the 64 bits pack into two 32-bit words (the `ann_hamming_topk`
+    * signed-safe layout), and payloads pair when their hashes differ
+    * in ≤ 7 of 64 bits. Catches re-encoded/lightly-edited copies that
+    * exact frame hashes (`mm_frame_dedup`) miss — the visual twin of
+    * SimHash.
+    *
+    * Scale: candidate generation is BANDED — 8 exact-match 8-bit
+    * bands; by pigeonhole any pair within Hamming 7 shares a clean
+    * band, so the banding is provably COMPLETE at the threshold, and
+    * the ORACLE scores ALL pairs so a blocking hole fails the hash
+    * gate (the `er_blocked_pairs` discipline). Hash computation is
+    * map-only + one (doc, cell) partial agg; the self-join is keyed
+    * on (band, value) — never all-pairs; verification pays 2
+    * popcounts per candidate.
+    */
+  def mmPhashPairs(t: Tables, tau: Int = 7): DataFrame = {
+    val cells = 64
+    val body = bodyCol(col("payload")).cast("string")
+    val docs = mediaTable(t).select(col("doc_id"), body.as("b"))
+      .filter(length(col("b")) >= cells)
+    val cellSums = docs
+      .select(col("doc_id"), length(col("b")).as("len"),
+        explode(sequence(lit(1), length(col("b")))).as("j"), col("b"))
+      .select(col("doc_id"),
+        expr(s"((j - 1) * $cells) DIV len").as("cell"),
+        ascii(col("b").substr(col("j"), lit(1))).cast("long").as("v"))
+      .groupBy(col("doc_id"), col("cell")).agg(sum(col("v")).as("s"))
+    val tot = cellSums.groupBy(col("doc_id")).agg(sum(col("s")).as("t"))
+    val words = cellSums.join(tot, "doc_id")
+      .select(col("doc_id"), col("cell"),
+        (col("s") * lit(cells) > col("t")).cast("long").as("bit"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("cell") < 32, expr("shiftleft(bit, cell)"))
+          .otherwise(lit(0L))).as("w0"),
+        sum(when(col("cell") >= 32, expr("shiftleft(bit, cell - 32)"))
+          .otherwise(lit(0L))).as("w1"))
+      .persist()
+    val banded = words
+      .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band"),
+        col("w0"), col("w1"))
+      .select(col("doc_id"), col("band"),
+        when(col("band") < 4,
+          expr("(w0 DIV shiftleft(1L, band * 8)) % 256"))
+          .otherwise(expr("(w1 DIV shiftleft(1L, (band - 4) * 8)) % 256"))
+          .as("bv"))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(words.select(col("doc_id").as("doc_a"), col("w0").as("a0"),
+        col("w1").as("a1")), "doc_a")
+      .join(words.select(col("doc_id").as("doc_b"), col("w0").as("b0"),
+        col("w1").as("b1")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST(bit_count(a0 ^ b0) + bit_count(a1 ^ b1) AS INT)")
+          .as("hamming"))
+      .filter(col("hamming") <= tau)
+  }
+
   /** M9 — `mm_audio_vad`: energy-threshold voice-activity detection
     * over each WAV payload's sample stream — the audio twin of
     * `mm_video_scene_cut` (segment before sampling, so a long silent

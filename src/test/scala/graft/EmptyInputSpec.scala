@@ -92,7 +92,8 @@ class EmptyInputSpec extends SparkSpec {
     // fail-loudly index policy (k-means over an empty corpus)
     "ann_topk_agg", "events_communities", "events_survival",
     "events_changepoint", "text_char_entropy", "dedup_cross_source",
-    "q_histogram_equidepth", "mm_audio_vad")
+    "q_histogram_equidepth", "mm_audio_vad", "mm_phash_pairs",
+    "q_topn_agg")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -109,6 +109,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("phash pairs equal a naive all-pairs hash replay (banding is complete)") {
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter(_._2.length >= 64)
+    def hash(body: String): (Long, Long) = {
+      val len = body.length
+      val sums = new Array[Long](64)
+      body.zipWithIndex.foreach { case (c, j0) =>
+        sums((j0 * 64 / len).toInt) += c.toInt.toLong
+      }
+      val total = sums.sum
+      var w0 = 0L; var w1 = 0L
+      (0 until 64).foreach { cell =>
+        if (sums(cell) * 64 > total) {
+          if (cell < 32) w0 |= 1L << cell else w1 |= 1L << (cell - 32)
+        }
+      }
+      (w0, w1)
+    }
+    val hs = docs.map { case (id, b) => id -> hash(b) }
+    val expected = (for {
+      (ia, (a0, a1)) <- hs; (ib, (b0, b1)) <- hs if ia < ib
+      d = java.lang.Long.bitCount(a0 ^ b0) + java.lang.Long.bitCount(a1 ^ b1)
+      if d <= 7
+    } yield (ia, ib, d)).toSet
+    val got = Multimodal.mmPhashPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // equality against the ALL-PAIRS replay proves the 8-band
+    // candidate generation loses nothing at the threshold (pigeonhole)
+    assert(got == expected,
+      s"phash drift: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    assert(expected.nonEmpty, "no near-dup media at spec SF — vacuous")
+    assert(expected.size < docs.length * (docs.length - 1) / 2,
+      "every pair matches — the hash discriminates nothing")
+  }
+
   test("audio VAD replays naively: char-code energy, mean gate, islands") {
     val w = 16
     val docs = tables.documents.select("doc_id", "text").collect()
