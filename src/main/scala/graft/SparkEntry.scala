@@ -122,6 +122,7 @@ object SparkEntry {
     "stream_bot_detect"   -> q(t => graft.streaming.Streaming.streamBotDetect(t)),
     "events_gini"         -> q(EventAnalytics.eventsGini),
     "events_communities"  -> q(t => EventAnalytics.eventsCommunities(t)),
+    "events_reach"        -> q(t => EventAnalytics.eventsReach(t)),
     "events_survival"     -> q(EventAnalytics.eventsSurvival),
     "events_changepoint"  -> q(EventAnalytics.eventsChangepoint),
     // the same monitor as a continuous query off the hourly streaming
@@ -336,6 +337,8 @@ object SparkEntry {
       ((s, dir) => Governance.prebuildErState(Tables(s, dir))),
     "_build_scd2_cdc" ->
       ((s, dir) => graft.streaming.Streaming.prebuildScd2Cdc(Tables(s, dir))),
+    "_build_knn_graph" ->
+      ((s, dir) => { Similarity.knnGraphEdges(Tables(s, dir), 8); () }),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -782,6 +785,38 @@ object SparkEntry {
       |SELECT user_id, n_events, max_per_minute, n_dup_events, span_sec,
       | CAST(sc AS BIGINT) AS bot_score, sc >= 2 AS flagged
       |FROM s""".stripMargin
+
+  /** Unrolled min-plus BFS relaxations from the (max-degree, min-id)
+    * hub over the shared basket edge set. */
+  private lazy val eventsReachSql: String = {
+    val rounds = 3
+    val iterCtes = (1 to rounds).map { k =>
+      s"""d$k AS (SELECT item, min(dist) AS dist FROM (
+         |  SELECT e.dst AS item, d.dist + 1 AS dist
+         |  FROM edges e JOIN d${k - 1} d ON d.item = e.src
+         |  UNION ALL SELECT item, dist FROM d${k - 1}) GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i0 AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day,
+       |  CAST(json_extract_string(props,'$$.k') AS INTEGER) AS item
+       | FROM events WHERE event_type = 'purchase'),
+       |i AS (SELECT user_id, day, item FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+       | WHERE rk <= 64),
+       |und AS (SELECT DISTINCT a.item AS a, b.item AS b
+       |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.day = b.day
+       |   AND a.item < b.item),
+       |edges AS (SELECT a AS src, b AS dst FROM und
+       |  UNION ALL SELECT b AS src, a AS dst FROM und),
+       |deg AS (SELECT src AS item, count(*) AS deg FROM edges GROUP BY 1),
+       |sd AS (SELECT item FROM (SELECT item,
+       |  row_number() OVER (ORDER BY deg DESC, item ASC) AS rn FROM deg)
+       | WHERE rn = 1),
+       |d0 AS (SELECT item, CAST(0 AS BIGINT) AS dist FROM sd),
+       |$iterCtes
+       |SELECT deg.item, CAST(coalesce(d$rounds.dist, -1) AS BIGINT) AS dist
+       |FROM deg LEFT JOIN d$rounds USING (item)""".stripMargin
+  }
 
   private lazy val eventsPagerankSql: String = {
     val iters = 3
@@ -1955,6 +1990,7 @@ object SparkEntry {
     "events_cuped" -> eventsCupedSql,
     "events_pagerank" -> eventsPagerankSql,
     "events_communities" -> eventsCommunitiesSql,
+    "events_reach" -> eventsReachSql,
     // recursive-CTE replay of the integer-micro-unit KM fold; the
     // life table itself is plain keyed aggregation
     "events_survival" ->

@@ -1394,6 +1394,55 @@ object EventAnalytics {
     out
   }
 
+  /** `events_reach` — bounded-round BFS hop distances from the
+    * catalog's HUB item (max basket degree, min-id tiebreak) over the
+    * same-day co-purchase graph: how many association hops each item
+    * sits from the best-connected product — the reachability readout
+    * (merchandising adjacency, recommendation cold-start seeds) that
+    * completes the graph family: walk (PageRank), transitivity
+    * (triangles), cohesion (k-core), community (LPA), distance
+    * (this). Items unreached within the bound report −1.
+    *
+    * Determinism = bounded iteration (exactly `rounds` min-plus
+    * relaxations, unrolled in the oracle) + the integer seed rule.
+    * Shape: the degree rollup picks the seed (ONE collected row);
+    * each round is one edge⋈dist equi-join + dst-keyed partial MIN +
+    * a union-min with the previous frontier — the
+    * `connectedComponents` loop shape with fixed depth 3, state
+    * O(nodes), all exact integers.
+    */
+  def eventsReach(t: Tables, rounds: Int = 3,
+      maxItemsPerDay: Int = 64): DataFrame = {
+    val items = cappedDayItems(t, maxItemsPerDay)
+    val und = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.day") === col("b.day") &&
+          col("a.item") < col("b.item"))
+      .select(col("a.item").as("a"), col("b.item").as("b"))
+      .distinct()
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    edges.count()
+    val deg = edges.groupBy(col("src").as("item")).agg(count(lit(1)).as("deg"))
+    // the hub: max degree, min item — one bounded collected row
+    val seed = deg.orderBy(desc("deg"), asc("item")).limit(1)
+      .collect()(0).getInt(0)
+    var dist = edges.sparkSession.range(1)
+      .select(lit(seed).as("item"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist, edges("src") === dist("item"))
+        .select(col("dst").as("item"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("item")).agg(min(col("dist")).as("dist"))
+    }
+    val out = deg.select(col("item"))
+      .join(dist, Seq("item"), "left")
+      .select(col("item"), coalesce(col("dist"), lit(-1L)).as("dist"))
+    edges.unpersist()
+    out
+  }
+
   /** `events_survival` — Kaplan–Meier user-retention curve (public
     * Kaplan–Meier 1958) with right-censoring: per user, lifetime =
     * last activity day − first activity day; users whose last day is

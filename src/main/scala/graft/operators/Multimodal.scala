@@ -596,24 +596,39 @@ object Multimodal {
   def mmPhashPairs(t: Tables, tau: Int = 7): DataFrame = {
     val cells = 64
     val body = bodyCol(col("payload")).cast("string")
+    // repartition first (the §8 small-file rule): the corpus is one
+    // parquet file and the per-row hash fold is ~300× the scan cost
     val docs = mediaTable(t).select(col("doc_id"), body.as("b"))
       .filter(length(col("b")) >= cells)
-    val cellSums = docs
-      .select(col("doc_id"), length(col("b")).as("len"),
-        explode(sequence(lit(1), length(col("b")))).as("j"), col("b"))
-      .select(col("doc_id"),
-        expr(s"((j - 1) * $cells) DIV len").as("cell"),
-        ascii(col("b").substr(col("j"), lit(1))).cast("long").as("v"))
-      .groupBy(col("doc_id"), col("cell")).agg(sum(col("v")).as("s"))
-    val tot = cellSums.groupBy(col("doc_id")).agg(sum(col("s")).as("t"))
-    val words = cellSums.join(tot, "doc_id")
-      .select(col("doc_id"), col("cell"),
-        (col("s") * lit(cells) > col("t")).cast("long").as("bit"))
-      .groupBy(col("doc_id")).agg(
-        sum(when(col("cell") < 32, expr("shiftleft(bit, cell)"))
-          .otherwise(lit(0L))).as("w0"),
-        sum(when(col("cell") >= 32, expr("shiftleft(bit, cell - 32)"))
-          .otherwise(lit(0L))).as("w1"))
+      .repartition(t.spark.sparkContext.defaultParallelism)
+    // the WHOLE hash is a per-row scalar chain — no explode, no
+    // shuffle (a first cut exploded per character and aggregated cell
+    // sums across 4 shuffle stages; at bench SF the per-stage job
+    // overhead dominated, the §8h k-core lesson). Cell i covers
+    // 0-based positions [ceil(i·len/64), ceil((i+1)·len/64)) — the
+    // interval form of cell(p) = (p·64) DIV len, proven equivalent in
+    // the scaladoc arithmetic — and each sum is a bounded fold over
+    // the row's own substring.
+    val len = length(col("b")).cast("long")
+    def cellSum(i: Column): Column = {
+      val lo = shiftright(i * len + lit(63L), 6)
+      val hi = shiftright((i + lit(1L)) * len + lit(63L), 6) // exclusive
+      aggregate(sequence(lo + lit(1L), hi), lit(0L),
+        (acc, j) => acc +
+          ascii(col("b").substr(j.cast("int"), lit(1))).cast("long"))
+    }
+    val pow = typedlit((0 until 32).map(i => 1L << i))
+    val withSums = docs.withColumn("sums",
+      transform(sequence(lit(0L), lit(63L)), i => cellSum(i)))
+    val scored = withSums
+      .withColumn("t", aggregate(col("sums"), lit(0L), _ + _))
+    def word(off: Int): Column =
+      aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, i) =>
+        acc + when(element_at(col("sums"), i + lit(1 + off)) * lit(cells)
+            > col("t"),
+          element_at(pow, i + lit(1))).otherwise(lit(0L)))
+    val words = scored
+      .select(col("doc_id"), word(0).as("w0"), word(32).as("w1"))
       .persist()
     val banded = words
       .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band"),

@@ -1637,21 +1637,49 @@ object Similarity {
     * vec_id) — the DuckDB oracle replays the identical chain. All
     * joins are keyed (neighbor expansion is an equi-join on the beam
     * node id); queries broadcast; nothing all-pairs at serve time. */
+  /** The stored exact-kNN subgraph — the graph-ANN INDEX ARTIFACT —
+    * built ONCE per (session, dataset, graphK) and staged to parquet:
+    * the E129/E86 stored-index discipline applied to graph serving.
+    * The beam-sweep recall eval walks the graph at three beam widths;
+    * before this memo each walk re-ranked the sample kNN from
+    * scratch (the §8h note predicted this split "if it ever
+    * matters"). Staged, not cached: Verify/Bench clear the cache
+    * between queries, a parquet artifact survives — and it IS what
+    * production stores. */
+  private val knnGraphCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), String]
+
+  private[graft] def knnGraphEdges(t: Tables, graphK: Int): DataFrame = {
+    val path = knnGraphCache.getOrElseUpdate(
+      (graft.sources.SourceOps.sessionTag(t.spark), t.dir, graphK), {
+        val e = withEmb(t)
+        val nodes = e
+          .filter(col("vec_id") >= NumQueries && col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("emb"))
+        val knn = nodes.select(col("vec_id").as("src"), col("emb").as("src_emb"))
+          .join(broadcast(nodes.select(col("vec_id").as("dst"),
+            col("emb").as("dst_emb"))), col("src") =!= col("dst"))
+          .select(col("src"), col("dst"),
+            round(cosineSimilarity(col("src_emb"), col("dst_emb")), 4).as("g_sim"))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("src")).orderBy(desc("g_sim"), asc("dst"))))
+          .filter(col("rnk") <= graphK)
+          .select(col("src"), col("dst"))
+        val p = graft.sources.SourceOps.staging(
+          s"knn_graph_${graft.sources.SourceOps.dirTag(t.dir)}_$graphK")
+        knn.write.mode("overwrite").parquet(p)
+        p
+      })
+    t.spark.read.parquet(path)
+  }
+
   def annGraphTopK(t: Tables, k: Int = TopK, beam: Int = 8,
       graphK: Int = 8): DataFrame = {
     val e = withEmb(t)
     val nodes = e.filter(col("vec_id") >= NumQueries && col("vec_id") % 4 === 0)
       .select(col("vec_id"), col("emb"))
-    // stored exact kNN subgraph (the index artifact)
-    val knn = nodes.select(col("vec_id").as("src"), col("emb").as("src_emb"))
-      .join(broadcast(nodes.select(col("vec_id").as("dst"), col("emb").as("dst_emb"))),
-        col("src") =!= col("dst"))
-      .select(col("src"), col("dst"),
-        round(cosineSimilarity(col("src_emb"), col("dst_emb")), 4).as("g_sim"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("src")).orderBy(desc("g_sim"), asc("dst"))))
-      .filter(col("rnk") <= graphK)
-      .select(col("src"), col("dst"))
+    // stored exact kNN subgraph (the staged index artifact above)
+    val knn = knnGraphEdges(t, graphK)
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val byVec = nodes.select(col("vec_id"), col("emb"))

@@ -359,6 +359,31 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(lbl.values.toSet.size > 1 && sizes.values.max > 1)
   }
 
+  test("events_reach equals a naive BFS replay from the hub") {
+    val items = EventAnalytics.cappedDayItems(tables, 64)
+      .collect().toList.map(r => ((r.getLong(0), r.getDate(1)), r.getInt(2)))
+    val edges = items.groupBy(_._1).values.toList.flatMap { us =>
+      val is = us.map(_._2)
+      for (a <- is; b <- is if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.toList.groupBy(_._1).map { case (n, es) => n -> es.size }
+    val seed = deg.toList.minBy { case (n, d) => (-d, n) }._1
+    var dist = Map(seed -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = edges.toList
+        .flatMap { case (s, d) => dist.get(s).map(x => d -> (x + 1)) }
+      dist = (dist.toList ++ relaxed).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    val expected = deg.keys.map(n => n -> dist.getOrElse(n, -1L)).toMap
+    val got = EventAnalytics.eventsReach(tables).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == expected,
+      s"reach drift: ${(got.toSet -- expected.toSet).take(3)} vs ${(expected.toSet -- got.toSet).take(3)}")
+    // distances must discriminate: the seed at 0 plus >1 hop level
+    assert(expected.values.toSet.size > 2, "BFS found a single hop level")
+  }
+
   test("events_survival equals a driver-side Kaplan-Meier replay") {
     import org.apache.spark.sql.functions._
     val days = tables.events.select(col("user_id"),
