@@ -124,6 +124,9 @@ object SparkEntry {
     "events_communities"  -> q(t => EventAnalytics.eventsCommunities(t)),
     "events_reach"        -> q(t => EventAnalytics.eventsReach(t)),
     "events_survival"     -> q(EventAnalytics.eventsSurvival),
+    // per-user extent state + the shared KM stage; shares the batch
+    // oracle — stream/batch equivalence pair #18
+    "stream_survival"     -> q(t => graft.streaming.Streaming.streamSurvival(t)),
     "events_changepoint"  -> q(EventAnalytics.eventsChangepoint),
     // the same monitor as a continuous query off the hourly streaming
     // state; shares the batch oracle — equivalence pair #17
@@ -228,6 +231,7 @@ object SparkEntry {
     "embed_whiten"        -> q(t => Similarity.embedWhiten(t)),
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_semdedup"      -> q(t => Similarity.embedSemdedup(t)),
+    "embed_drift_psi"     -> q(t => Similarity.embedDriftPsi(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "ann_recall_eval"     -> q(t => Similarity.annRecallEval(t)),
@@ -305,6 +309,7 @@ object SparkEntry {
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
     "er_blocked_pairs"    -> q(Governance.erBlockedPairs),
+    "er_review_queue"     -> q(Governance.erReviewQueue),
     "er_blocking_eval"    -> q(Governance.erBlockingEval),
     "er_resolve_clusters" -> q(Governance.erResolveClusters),
     "er_resolve_incremental" -> q(Governance.erResolveIncremental),
@@ -722,6 +727,36 @@ object SparkEntry {
        | CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size
        |FROM l$rounds""".stripMargin
   }
+
+  /** Shared by `events_survival` and its streaming twin
+    * `stream_survival` (equivalence pair #18). */
+  private lazy val eventsSurvivalSql: String =
+    """WITH RECURSIVE dd AS (SELECT user_id,
+        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day FROM events),
+        |u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM dd GROUP BY 1),
+        |mx AS (SELECT max(l) AS m FROM u),
+        |lf AS (SELECT CASE WHEN l < m THEN l - f ELSE m - f END AS t,
+        |  CASE WHEN l < m THEN 1 ELSE 0 END AS churn FROM u, mx),
+        |bt AS (SELECT t, CAST(sum(churn) AS BIGINT) AS d,
+        |  CAST(sum(1 - churn) AS BIGINT) AS c FROM lf GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lf),
+        |lt AS (SELECT t, d, c,
+        |  CAST(tot.n - coalesce(sum(d + c) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr,
+        |  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
+        | FROM bt, tot),
+        |km AS (
+        |  SELECT rn, t, nr, d, c,
+        |    CAST(CASE WHEN d > 0 THEN (1000000 * (nr - d)) // nr
+        |      ELSE 1000000 END AS BIGINT) AS s
+        |  FROM lt WHERE rn = 1
+        |  UNION ALL
+        |  SELECT lt.rn, lt.t, lt.nr, lt.d, lt.c,
+        |    CAST(CASE WHEN lt.d > 0 THEN (km.s * (lt.nr - lt.d)) // lt.nr
+        |      ELSE km.s END AS BIGINT)
+        |  FROM lt JOIN km ON lt.rn = km.rn + 1)
+        |SELECT t AS t_days, nr AS n_at_risk, d AS n_churned,
+        | c AS n_censored, s AS survival_micro FROM km""".stripMargin
 
   /** Shared by `events_changepoint` and its streaming twin
     * `stream_changepoint` (equivalence pair #17). */
@@ -1993,33 +2028,8 @@ object SparkEntry {
     "events_reach" -> eventsReachSql,
     // recursive-CTE replay of the integer-micro-unit KM fold; the
     // life table itself is plain keyed aggregation
-    "events_survival" ->
-      """WITH RECURSIVE dd AS (SELECT user_id,
-        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day FROM events),
-        |u AS (SELECT user_id, min(day) AS f, max(day) AS l FROM dd GROUP BY 1),
-        |mx AS (SELECT max(l) AS m FROM u),
-        |lf AS (SELECT CASE WHEN l < m THEN l - f ELSE m - f END AS t,
-        |  CASE WHEN l < m THEN 1 ELSE 0 END AS churn FROM u, mx),
-        |bt AS (SELECT t, CAST(sum(churn) AS BIGINT) AS d,
-        |  CAST(sum(1 - churn) AS BIGINT) AS c FROM lf GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lf),
-        |lt AS (SELECT t, d, c,
-        |  CAST(tot.n - coalesce(sum(d + c) OVER (ORDER BY t
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS nr,
-        |  CAST(row_number() OVER (ORDER BY t) AS BIGINT) AS rn
-        | FROM bt, tot),
-        |km AS (
-        |  SELECT rn, t, nr, d, c,
-        |    CAST(CASE WHEN d > 0 THEN (1000000 * (nr - d)) // nr
-        |      ELSE 1000000 END AS BIGINT) AS s
-        |  FROM lt WHERE rn = 1
-        |  UNION ALL
-        |  SELECT lt.rn, lt.t, lt.nr, lt.d, lt.c,
-        |    CAST(CASE WHEN lt.d > 0 THEN (km.s * (lt.nr - lt.d)) // lt.nr
-        |      ELSE km.s END AS BIGINT)
-        |  FROM lt JOIN km ON lt.rn = km.rn + 1)
-        |SELECT t AS t_days, nr AS n_at_risk, d AS n_churned,
-        | c AS n_censored, s AS survival_micro FROM km""".stripMargin,
+    "events_survival" -> eventsSurvivalSql,
+    "stream_survival" -> eventsSurvivalSql,
     "events_changepoint" -> eventsChangepointSql,
     "stream_changepoint" -> eventsChangepointSql,
     "events_hits" -> eventsHitsSql,
@@ -3080,6 +3090,33 @@ object SparkEntry {
         |  FROM q JOIN c USING (bucket)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // per-bin x1e9 quantization before the per-dim sum (the entropy
+    // discipline applied to the PSI reduction); bins replay on the
+    // identical stored floats
+    "embed_drift_psi" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 10),
+        |g64 AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |x AS (SELECT vec_id % 2 AS sl, (g64.i - 1)::INT AS pos,
+        |  emb[g64.i] + (CASE WHEN vec_id % 2 = 1 AND (g64.i - 1) % 8 = 0
+        |    THEN 0.5 ELSE 0.0 END) AS v FROM e, g64),
+        |b AS (SELECT sl, pos,
+        |  least(greatest(CAST(floor((v + 1.0) * 5) AS INT), 0), 9) AS bin,
+        |  count(*) AS c FROM x GROUP BY 1, 2, 3),
+        |n AS (SELECT CAST(sum(CASE WHEN sl = 0 THEN c ELSE 0 END) / 64 AS BIGINT) AS nr,
+        |  CAST(sum(CASE WHEN sl = 1 THEN c ELSE 0 END) / 64 AS BIGINT) AS nc FROM b),
+        |j AS (SELECT pos, bin,
+        |  coalesce(r.c, 0) AS cr, coalesce(c.c, 0) AS cc
+        | FROM (SELECT pos, bin, c FROM b WHERE sl = 0) r
+        | FULL OUTER JOIN (SELECT pos, bin, c FROM b WHERE sl = 1) c
+        |  USING (pos, bin)),
+        |q AS (SELECT pos,
+        |  CAST(floor(((cr + 1) / CAST(n.nr + 10 AS DOUBLE) - (cc + 1) / CAST(n.nc + 10 AS DOUBLE))
+        |    * ln(((cr + 1) / CAST(n.nr + 10 AS DOUBLE)) / ((cc + 1) / CAST(n.nc + 10 AS DOUBLE)))
+        |    * 1e9 + 0.5) AS BIGINT) AS q
+        | FROM j, n),
+        |s AS (SELECT pos, CAST(sum(q) AS BIGINT) AS s FROM q GROUP BY 1)
+        |SELECT pos, round(CAST(s AS DOUBLE) / 1e9 + 1e-9, 6) AS psi,
+        | s > 100000000 AS drifted FROM s""".stripMargin,
     // SemDeDup replay: converged-centroid assignment (the shared
     // Lloyd chain), within-cell pairs only, keep-first pruning on the
     // 4-dp rounded cosine threshold
@@ -3284,6 +3321,20 @@ object SparkEntry {
         |   + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) AS score
         | FROM part a JOIN part b ON a.p_partkey < b.p_partkey)
         |SELECT key_1, key_2, score FROM s WHERE score >= 3""".stripMargin,
+    // ALL-PAIRS replay of the exactly-2 review band — the three
+    // single-field blocks are pigeonhole-complete for it (≥1 of any
+    // 2 agreements is an equality field), and any hole fails here
+    "er_review_queue" ->
+      """SELECT a.p_partkey AS key_1, b.p_partkey AS key_2,
+        | CAST(a.p_name = b.p_name AS INTEGER) AS name_agree,
+        | CAST(a.p_type = b.p_type AS INTEGER) AS type_agree,
+        | CAST(a.p_brand = b.p_brand AS INTEGER) AS brand_agree,
+        | CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) AS size_close
+        |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+        |WHERE CAST(a.p_name = b.p_name AS INTEGER)
+        |   + CAST(a.p_type = b.p_type AS INTEGER)
+        |   + CAST(a.p_brand = b.p_brand AS INTEGER)
+        |   + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) = 2""".stripMargin,
     "er_blocking_eval" -> erBlockingEvalSql,
     // ground truth: transitive closure of the ALL-pairs match set as a
     // recursive CTE — checks blocking completeness AND the distributed

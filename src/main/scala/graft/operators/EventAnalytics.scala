@@ -1426,8 +1426,14 @@ object EventAnalytics {
     edges.count()
     val deg = edges.groupBy(col("src").as("item")).agg(count(lit(1)).as("deg"))
     // the hub: max degree, min item — one bounded collected row
-    val seed = deg.orderBy(desc("deg"), asc("item")).limit(1)
-      .collect()(0).getInt(0)
+    val seedRow = deg.orderBy(desc("deg"), asc("item")).limit(1).collect()
+    if (seedRow.isEmpty) { // empty slice: no graph, empty result
+      val sess = edges.sparkSession
+      import sess.implicits._
+      edges.unpersist()
+      return Seq.empty[(Int, Long)].toDF("item", "dist")
+    }
+    val seed = seedRow(0).getInt(0)
     var dist = edges.sparkSession.range(1)
       .select(lit(seed).as("item"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
@@ -1465,12 +1471,19 @@ object EventAnalytics {
     * raw events, then windows over the tiny distinct-lifetime table.
     */
   def eventsSurvival(t: Tables): DataFrame = {
-    val spark = t.spark
     val day = datediff(col("ts").cast("date"),
       lit(java.sql.Date.valueOf("2024-01-01"))).cast("long")
-    val users = t.events.select(col("user_id"), day.as("day"))
+    survivalFromUsers(t.events.select(col("user_id"), day.as("day"))
       .groupBy(col("user_id"))
-      .agg(min(col("day")).as("first"), max(col("day")).as("last"))
+      .agg(min(col("day")).as("first"), max(col("day")).as("last")))
+  }
+
+  /** The life-table + KM fold over a per-user (first, last) activity
+    * frame — shared by the batch query and the streaming twin (the
+    * per-user extent rollup IS the streaming state: one (min, max)
+    * pair per user). */
+  private[graft] def survivalFromUsers(users: DataFrame): DataFrame = {
+    val spark = users.sparkSession
     val maxDayRow = users.agg(max(col("last"))).first()
     if (maxDayRow.isNullAt(0)) { // empty slice: no cohort, empty table
       import spark.implicits._

@@ -104,6 +104,40 @@ object Governance {
           col("a.p_type") === col("b.p_type") && col("a.p_brand") === col("b.p_brand"))))
   }
 
+  /** `er_review_queue` — the CLERICAL-REVIEW band of the
+    * record-linkage decision rule (the Fellegi–Sunter three-way
+    * triage every production ER deployment runs): pairs agreeing on
+    * EXACTLY 2 of the 4 fields — too similar to auto-reject, too
+    * different to auto-match (≥ 3 links, [[erBlockedPairs]]) — with
+    * per-field agreement evidence a human reviewer reads.
+    *
+    * Blocking completeness, proven for the 2-band: a 2-agreement
+    * pair has at most one SIZE agreement, so it agrees on ≥ 1 of the
+    * three EQUALITY fields — the union of the three single-field
+    * blocks (name, type, brand) therefore surfaces EVERY such pair,
+    * and the ORACLE scores ALL pairs so any hole fails the hash gate
+    * (the `er_blocked_pairs` discipline). Single-field blocks are
+    * coarser than the match rule's (type×brand) — that is the price
+    * of completeness at the looser band; at 100 TB the coarse blocks
+    * subdivide (brand × size-band) with the same shape. */
+  def erReviewQueue(t: Tables): DataFrame = {
+    val p = erProj(t.part)
+    def blocked(cond: org.apache.spark.sql.Column): DataFrame =
+      p.as("a").join(p.as("b"), cond && col("a.p_partkey") < col("b.p_partkey"))
+    val cands = blocked(col("a.p_name") === col("b.p_name"))
+      .unionAll(blocked(col("a.p_type") === col("b.p_type")))
+      .unionAll(blocked(col("a.p_brand") === col("b.p_brand")))
+    cands
+      .select(col("a.p_partkey").as("key_1"), col("b.p_partkey").as("key_2"),
+        (col("a.p_name") === col("b.p_name")).cast("int").as("name_agree"),
+        (col("a.p_type") === col("b.p_type")).cast("int").as("type_agree"),
+        (col("a.p_brand") === col("b.p_brand")).cast("int").as("brand_agree"),
+        (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int").as("size_close"))
+      .filter(col("name_agree") + col("type_agree") + col("brand_agree")
+        + col("size_close") === 2)
+      .distinct() // a pair may surface from several blocks
+  }
+
   /** `er_blocking_eval` — the measure-don't-guess eval BLOCKING
     * choices need (public Christen 2012 survey metrics): for each
     * candidate scheme — name-only, type×brand-only, and their union

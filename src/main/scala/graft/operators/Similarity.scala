@@ -506,6 +506,65 @@ object Similarity {
   def embedKmeans(t: Tables, k: Int = 16, nIters: Int = 4): DataFrame =
     embedCentroidsWith(t, kmeansCentroids(t, k, nIters))
 
+  /** `embed_drift_psi` — per-dimension Population Stability Index
+    * between a reference and a current embedding snapshot (the
+    * standard ML-ops input-drift monitor, PSI = Σ(p−q)·ln(p/q) over
+    * value bins; > 0.1 flags investigation): WHICH dimensions moved,
+    * the question `ann_index_drift` (answer-quality) and
+    * `embed_dim_stats` (single-snapshot moments) don't answer.
+    * Snapshots are the even/odd vec_id halves; the synthetic corpus
+    * has no drift, so the current half deterministically INJECTS a
+    * +0.5 shift on every 8th dimension (the `events_bot_detect`
+    * ground-truth-injection discipline) — the spec asserts the
+    * monitor recovers exactly those dimensions.
+    *
+    * Determinism — the `text_char_entropy` discipline applied to the
+    * PSI sum: each bin's term (Laplace-smoothed (c+1)/(n+B) shares,
+    * one ln on identical operands) quantizes to floor(term·10⁹+0.5)
+    * int64 BEFORE the per-dimension sum, which is then an
+    * order-immune integer reduction. Bins are fixed [−1, 1] tenths
+    * with clamp — exact float compares on identical stored values.
+    *
+    * Shape: posexplode both halves map-side (shift applied inline) →
+    * ONE (slice, dim, bin)-keyed partial-agg count → full-outer
+    * (dim, bin) join of the two count sets (≤ dims×bins rows) →
+    * quantized terms → dim-keyed integer sum. Slice totals are two
+    * bounded scalars.
+    */
+  def embedDriftPsi(t: Tables, bins: Int = 10,
+      threshold: Double = 0.1): DataFrame = {
+    val e = corpusEmb(t)
+    def slice(cur: Boolean) = e
+      .filter(col("vec_id") % 2 === (if (cur) 1 else 0))
+      .select(posexplode(col("emb")))
+      .select(col("pos"),
+        (col("col") + when(lit(cur) && col("pos") % 8 === 0, lit(0.5))
+          .otherwise(lit(0.0))).as("v"))
+      .select(col("pos"),
+        least(greatest(floor((col("v") + lit(1.0)) * lit(bins / 2))
+          .cast("int"), lit(0)), lit(bins - 1)).as("bin"))
+      .groupBy(col("pos"), col("bin")).agg(count(lit(1)).as("c"))
+    val ref = slice(cur = false)
+    val cur = slice(cur = true)
+    val nRef = e.filter(col("vec_id") % 2 === 0).count()
+    val nCur = e.filter(col("vec_id") % 2 === 1).count()
+    val joined = ref.select(col("pos"), col("bin"), col("c").as("cr"))
+      .join(cur.select(col("pos"), col("bin"), col("c").as("cc")),
+        Seq("pos", "bin"), "full_outer")
+      .select(col("pos"), col("bin"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val pP = (col("cr") + lit(1)).cast("double") / lit((nRef + bins).toDouble)
+    val pQ = (col("cc") + lit(1)).cast("double") / lit((nCur + bins).toDouble)
+    val termQ = floor((pP - pQ) * log(pP / pQ) * lit(1e9) + lit(0.5))
+      .cast("long")
+    joined.select(col("pos"), termQ.as("q"))
+      .groupBy(col("pos")).agg(sum(col("q")).as("s"))
+      .select(col("pos"),
+        round(col("s").cast("double") / lit(1e9) + lit(1e-9), 6).as("psi"),
+        (col("s") > (threshold * 1e9).toLong).as("drifted"))
+  }
+
   /** `embed_semdedup` — SEMANTIC deduplication by cluster-scoped
     * cosine pruning (public Abbas et al. 2023, SemDeDup): assign
     * every corpus vector to its converged-k-means cell, compare pairs

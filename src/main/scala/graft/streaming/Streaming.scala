@@ -364,6 +364,27 @@ object Streaming {
     graft.operators.EventAnalytics.anomalyScore(hourly)
   }
 
+  /** X24 — `stream_survival`: the Kaplan–Meier retention curve
+    * maintained over the LIVE event stream — per-user activity
+    * extents as ONE keyed streaming aggregation (state = one
+    * (min day, max day) pair per user, the minimal sufficient
+    * statistic for right-censored lifetimes), the life table + KM
+    * fold running over the drained user frame through the IDENTICAL
+    * batch stage ([[graft.operators.EventAnalytics
+    * .survivalFromUsers]]). Shares the batch oracle verbatim —
+    * stream/batch equivalence pair #18.
+    */
+  def streamSurvival(t: Tables): DataFrame = {
+    val day = datediff(col("ts").cast("date"),
+      lit(java.sql.Date.valueOf("2024-01-01"))).cast("long")
+    val users = eventsStream(t)
+      .select(col("user_id"), day.as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("first"), max(col("day")).as("last"))
+    graft.operators.EventAnalytics.survivalFromUsers(
+      drainToTable(users, "complete"))
+  }
+
   /** X23 — `stream_changepoint`: the CUSUM level-shift monitor as a
     * CONTINUOUS query — hourly volume maintained as ONE keyed
     * streaming aggregation (state = one count per calendar hour,

@@ -278,6 +278,43 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("embed_drift_psi replays naively and recovers exactly the injected dims") {
+    val rows = tables.embeddings.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val bins = 10
+    def binOf(v: Double) =
+      math.min(math.max(math.floor((v + 1.0) * 5).toInt, 0), bins - 1)
+    val counts = scala.collection.mutable.Map
+      .empty[(Int, Int, Int), Long].withDefaultValue(0L) // (slice, dim, bin)
+    rows.foreach { case (id, emb) =>
+      val sl = (id % 2).toInt
+      emb.zipWithIndex.foreach { case (v, d) =>
+        val vv = if (sl == 1 && d % 8 == 0) v + 0.5 else v
+        counts((sl, d, binOf(vv))) += 1
+      }
+    }
+    val nRef = rows.count(_._1 % 2 == 0).toLong
+    val nCur = rows.count(_._1 % 2 == 1).toLong
+    val expected = (0 until 64).map { d =>
+      val s = (0 until bins).map { b =>
+        val cr = counts((0, d, b)); val cc = counts((1, d, b))
+        val pP = (cr + 1).toDouble / (nRef + bins).toDouble
+        val pQ = (cc + 1).toDouble / (nCur + bins).toDouble
+        math.floor((pP - pQ) * math.log(pP / pQ) * 1e9 + 0.5).toLong
+      }.sum
+      def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      d -> ((r6(s.toDouble / 1e9 + 1e-9), s > 100000000L))
+    }.toMap
+    val got = Similarity.embedDriftPsi(tables).collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got == expected,
+      s"psi drift, e.g. ${got.find(kv => expected(kv._1) != kv._2).take(1)}")
+    // the monitor recovers EXACTLY the injected dimensions
+    assert(got.filter(_._2._2).keySet == (0 until 64 by 8).toSet)
+  }
+
   test("embed_semdedup equals a naive within-cell keep-first replay") {
     // independent replay: collected converged centroids → per-vector
     // argmax cell (score desc, cell desc tiebreak — the cellOf order)

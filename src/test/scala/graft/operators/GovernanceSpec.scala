@@ -143,4 +143,32 @@ class GovernanceSpec extends SparkSpec {
     assert(got("union")._4 == 1.0)
     assert(got("union")._2 == matches.length.toLong)
   }
+
+  test("er_review_queue equals the all-pairs exactly-2 band (blocks are complete)") {
+    val parts = tables.part
+      .select("p_partkey", "p_name", "p_type", "p_brand", "p_size")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getInt(4)))
+    val expected = (for {
+      a <- parts; b <- parts if a._1 < b._1
+      na = if (a._2 == b._2) 1 else 0
+      ty = if (a._3 == b._3) 1 else 0
+      br = if (a._4 == b._4) 1 else 0
+      sz = if (math.abs(a._5 - b._5) <= 2) 1 else 0
+      if na + ty + br + sz == 2
+    } yield (a._1, b._1, na, ty, br, sz)).toSet
+    val got = Governance.erReviewQueue(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5))).toSet
+    // equality against the ALL-PAIRS replay proves the three
+    // single-field blocks surface every exactly-2 pair (pigeonhole)
+    assert(got == expected,
+      s"queue drift: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    assert(expected.nonEmpty, "empty review band — vacuous")
+    // the band is disjoint from the auto-match set
+    val matches = Governance.erBlockedPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.map(p => (p._1, p._2)).intersect(matches).isEmpty)
+  }
 }
