@@ -78,6 +78,7 @@ object SparkEntry {
     "q_time_bucket"       -> q(Relational.qTimeBucket),
     "q_gap_fill"          -> q(Relational.qGapFill),
     "q_histogram_equidepth" -> q(t => Relational.qHistogramEquidepth(t)),
+    "q_late_arriving_dim" -> q(Relational.qLateArrivingDim),
     "q_grouping_sets"     -> q(Relational.qGroupingSets),
     "q_window_ntile"      -> q(Relational.qWindowNtile),
     "q_window_distribution" -> q(Relational.qWindowDistribution),
@@ -164,6 +165,7 @@ object SparkEntry {
     "text_watermark_detect" -> q(TextAnalysis.textWatermarkDetect),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
+    "events_funnel_windowed" -> q(t => EventAnalytics.eventsFunnelWindowed(t)),
     "events_retention"    -> q(EventAnalytics.eventsRetention),
     "events_anomaly"      -> q(t => EventAnalytics.eventsAnomaly(t)),
     "events_transitions"  -> q(EventAnalytics.eventsTransitions),
@@ -2358,6 +2360,30 @@ object SparkEntry {
         |ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin
     },
     "events_funnel" -> funnelSql,
+    "events_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type='view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |  WHERE event_type='click' AND us > v_us
+        |   AND us <= v_us + 86400000000 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |  WHERE event_type='purchase' AND us > c_us
+        |   AND us <= c_us + 604800000000 GROUP BY 1)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        | (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_24h,
+        | (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_7d,
+        | round((SELECT count(*) FROM c) / nullif(CAST((SELECT count(*) FROM v) AS DOUBLE), 0.0) + 1e-9, 4) AS click_rate,
+        | round((SELECT count(*) FROM p) / nullif(CAST((SELECT count(*) FROM c) AS DOUBLE), 0.0) + 1e-9, 4) AS purchase_rate""".stripMargin,
+    "q_late_arriving_dim" ->
+      """WITH present AS (SELECT c_custkey FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) <> '1')
+        |SELECT CASE WHEN p.c_custkey IS NULL THEN 'inferred' ELSE 'present' END AS member_status,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) + 1e-9, 2) AS total_revenue
+        |FROM orders o LEFT JOIN present p ON o.o_custkey = p.c_custkey
+        |GROUP BY 1""".stripMargin,
     // the streaming funnel must converge to the batch funnel's answer
     "stream_funnel" -> funnelSql,
     "events_retention" ->

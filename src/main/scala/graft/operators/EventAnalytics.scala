@@ -47,6 +47,43 @@ object EventAnalytics {
       .crossJoin(purchased.agg(count(lit(1)).as("n_purchase")))
   }
 
+  /** `events_funnel_windowed` — the ordered funnel with CONVERSION
+    * WINDOWS: a click counts only within 24 h of the first view, a
+    * purchase only within 7 days of that click — the time-bound form
+    * every product-analytics tool actually reports (an unbounded
+    * funnel credits a purchase months after the view; attribution
+    * windows are the industry default). Same keyed min-timestamp
+    * shape as [[eventsFunnel]] with the window bound as an extra
+    * integer predicate; step rates are §6 ratios of exact counts.
+    */
+  def eventsFunnelWindowed(t: Tables,
+      clickWindowUs: Long = 24L * 3600 * 1000000,
+      purchaseWindowUs: Long = 7L * 24 * 3600 * 1000000): DataFrame = {
+    val e = t.events.select(col("user_id"), col("event_type"), us.as("us"))
+    val viewed = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+    val clicked = e.filter(col("event_type") === "click")
+      .join(viewed, "user_id")
+      .filter(col("us") > col("v_us") &&
+        col("us") <= col("v_us") + lit(clickWindowUs))
+      .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+    val purchased = e.filter(col("event_type") === "purchase")
+      .join(clicked, "user_id")
+      .filter(col("us") > col("c_us") &&
+        col("us") <= col("c_us") + lit(purchaseWindowUs))
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    viewed.agg(count(lit(1)).as("n_view"))
+      .crossJoin(clicked.agg(count(lit(1)).as("n_click_24h")))
+      .crossJoin(purchased.agg(count(lit(1)).as("n_purchase_7d")))
+      .select(col("n_view"), col("n_click_24h"), col("n_purchase_7d"),
+        round(col("n_click_24h").cast("double") /
+          nullif(col("n_view").cast("double"), lit(0.0)) + lit(1e-9), 4)
+          .as("click_rate"),
+        round(col("n_purchase_7d").cast("double") /
+          nullif(col("n_click_24h").cast("double"), lit(0.0)) + lit(1e-9), 4)
+          .as("purchase_rate"))
+  }
+
   /** E2 — retention cohorts: users are cohorted by the day of their
     * first event; each (cohort day, day offset) cell counts the
     * distinct users from that cohort active that many days later.

@@ -982,6 +982,39 @@ object Relational {
       .agg(round(sum(decPrice).cast("double") / 7.0 + 1e-9, 2).as("avg_yearly"))
   }
 
+  /** `q_late_arriving_dim` — the early-arriving-fact / INFERRED-MEMBER
+    * warehouse pattern (Kimball's late-arriving dimension): facts
+    * referencing dimension keys that haven't landed yet must not be
+    * dropped OR block the load — they join to a placeholder member
+    * and reconcile when the dimension row arrives. A deterministic
+    * ~1/16 of customers (md5 first nibble '1') stand in as
+    * "not yet arrived"; the report rolls orders up by member status
+    * (present vs inferred) with exact DECIMAL revenue — the load
+    * audit a warehouse publishes with every batch so reconciliation
+    * debt is visible, not silent.
+    *
+    * Shape: one LEFT join of facts to the thinned dim (the inferred
+    * member is the null branch made explicit), one 2-row rollup;
+    * at 100 TB this is the plain broadcast-dim fact join plus a
+    * per-batch upsert of the inferred keys into the dim table.
+    */
+  def qLateArrivingDim(t: Tables): DataFrame = {
+    val present = t.customer
+      .filter(substring(md5(col("c_custkey").cast("string")), 1, 1) =!= "1")
+      .select(col("c_custkey"), col("c_name"))
+    t.orders.join(broadcast(present), col("o_custkey") === col("c_custkey"),
+        "left")
+      .select(
+        when(col("c_custkey").isNull, lit("inferred"))
+          .otherwise(lit("present")).as("member_status"),
+        col("o_custkey"), col("o_totalprice"))
+      .groupBy(col("member_status"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          + lit(1e-9), 2).as("total_revenue"))
+  }
+
   /** `q_histogram_equidepth` — exact 8-bucket equi-depth histogram of
     * `l_extendedprice`: per bucket j, the smallest value whose
     * inclusive cumulative count reaches rank (j·n) DIV 8 — the

@@ -93,7 +93,8 @@ class EmptyInputSpec extends SparkSpec {
     "ann_topk_agg", "events_communities", "events_survival",
     "events_changepoint", "text_char_entropy", "dedup_cross_source",
     "q_histogram_equidepth", "mm_audio_vad", "mm_phash_pairs",
-    "q_topn_agg", "events_reach", "er_review_queue", "embed_drift_psi")
+    "q_topn_agg", "events_reach", "er_review_queue", "embed_drift_psi",
+    "events_funnel_windowed", "q_late_arriving_dim")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -359,6 +359,33 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(lbl.values.toSet.size > 1 && sizes.values.max > 1)
   }
 
+  test("events_funnel_windowed replays naively and the windows bite") {
+    import org.apache.spark.sql.functions._
+    val ev = tables.events.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    def firstAfter(u: Long, tpe: String, lo: Long, hi: Long): Option[Long] =
+      byUser.getOrElse(u, Array.empty)
+        .filter(e => e._2 == tpe && e._3 > lo && e._3 <= hi)
+        .map(_._3).sorted.headOption
+    val views = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == "view").map(_._3).sorted.headOption.map(u -> _) }
+    val clicks = views.flatMap { case (u, v) =>
+      firstAfter(u, "click", v, v + 86400000000L).map(u -> _) }
+    val purchases = clicks.flatMap { case (u, c) =>
+      firstAfter(u, "purchase", c, c + 604800000000L).map(u -> _) }
+    val row = EventAnalytics.eventsFunnelWindowed(tables).collect()(0)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((views.size.toLong, clicks.size.toLong, purchases.size.toLong)))
+    // the bound must actually bite vs the unbounded funnel
+    val unbounded = EventAnalytics.eventsFunnel(tables).collect()(0)
+    assert(row.getLong(1) <= unbounded.getLong(1))
+    assert(row.getLong(1) < unbounded.getLong(1) ||
+      row.getLong(2) < unbounded.getLong(2),
+      "windows never bind on the spec corpus — vacuous variant")
+  }
+
   test("events_reach equals a naive BFS replay from the hub") {
     val items = EventAnalytics.cappedDayItems(tables, 64)
       .collect().toList.map(r => ((r.getLong(0), r.getDate(1)), r.getInt(2)))

@@ -67,6 +67,23 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
   }
 
+  test("q_late_arriving_dim partitions orders exactly and flags real inferred members") {
+    val t = tables
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val lateKeys = t.customer.select("c_custkey").collect()
+      .map(_.getLong(0)).filter(k => md5hex(k.toString).startsWith("1")).toSet
+    val orders = t.orders.select("o_custkey").collect().map(_.getLong(0))
+    val expInferred = orders.count(lateKeys)
+    val got = Relational.qLateArrivingDim(t).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("inferred")._2 == expInferred.toLong)
+    assert(got("present")._2 + got("inferred")._2 == orders.length.toLong,
+      "status rollup must partition the fact table exactly")
+    assert(got("inferred")._1 > 0, "no late members at spec SF — vacuous")
+    assert(got("inferred")._1 == orders.filter(lateKeys).distinct.length.toLong)
+  }
+
   test("q_histogram_equidepth equals a naive sorted order-statistic replay") {
     val t = tables
     val cents = t.lineitem.select(col("l_extendedprice")).collect()
