@@ -93,6 +93,7 @@ object SparkEntry {
     "corpus_temperature_sampling" -> q(t => TextAnalysis.corpusTemperatureSampling(t)),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_char_entropy"   -> q(TextAnalysis.textCharEntropy),
+    "text_rake_keyphrases" -> q(t => TextAnalysis.textRakeKeyphrases(t)),
     "dedup_cross_source"  -> q(t => Dedup.dedupCrossSource(t)),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
@@ -234,6 +235,7 @@ object SparkEntry {
     "embed_centroids"     -> q(t => Similarity.embedCentroids(t)),
     "embed_semdedup"      -> q(t => Similarity.embedSemdedup(t)),
     "embed_drift_psi"     -> q(t => Similarity.embedDriftPsi(t)),
+    "embed_semdedup_incremental" -> q(t => Similarity.embedSemdedupIncremental(t)),
     "embed_kmeans"        -> q(t => Similarity.embedKmeans(t)),
     "ann_ivf_kmeans_topk" -> q(t => Similarity.annIvfKmeansTopK(t)),
     "ann_recall_eval"     -> q(t => Similarity.annRecallEval(t)),
@@ -1831,6 +1833,33 @@ object SparkEntry {
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens,
         | length(text)::BIGINT AS char_len
         |FROM documents""".stripMargin,
+    // RAKE replay: stopword-split islands, ordered string_agg phrase
+    // assembly, exact-integer (deg·1e6) DIV freq word scores
+    "text_rake_keyphrases" -> {
+      val stopList = TextAnalysis.stopwordLexicon.map(_._2).distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |x AS (SELECT doc_id, i - 1 AS pos, toks[i] AS w
+        |  FROM t, (SELECT unnest(generate_series(1, 4096)) AS i) s
+        |  WHERE i <= len(toks)),
+        |nt AS (SELECT * FROM x WHERE w NOT IN ($stopList)),
+        |isl AS (SELECT doc_id, pos, w,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM nt),
+        |ph AS (SELECT doc_id, island, string_agg(w, ' ' ORDER BY pos) AS phrase,
+        |  count(*) AS plen FROM isl GROUP BY 1, 2),
+        |ph4 AS (SELECT * FROM ph WHERE plen <= 4),
+        |occ AS (SELECT i.doc_id, i.island, p.plen, i.w
+        |  FROM isl i JOIN ph4 p USING (doc_id, island)),
+        |ws AS (SELECT w, (CAST(sum(plen) AS BIGINT) * 1000000) // count(*) AS wscore
+        |  FROM occ GROUP BY 1),
+        |sc AS (SELECT occ.doc_id, occ.island, CAST(sum(ws.wscore) AS BIGINT) AS score_micro
+        |  FROM occ JOIN ws USING (w) GROUP BY 1, 2),
+        |r AS (SELECT sc.doc_id, p.phrase, sc.score_micro,
+        |  CAST(row_number() OVER (PARTITION BY sc.doc_id
+        |    ORDER BY sc.score_micro DESC, p.phrase ASC) AS INT) AS rnk
+        | FROM sc JOIN ph4 p USING (doc_id, island))
+        |SELECT doc_id, phrase, score_micro, rnk FROM r WHERE rnk <= 3""".stripMargin
+    },
     // per-term ×10⁶ quantization BEFORE the sum (one libm ln + one
     // multiply on identical operands per distinct (doc, char)), so
     // the reduction is an order-immune integer sum on both engines
@@ -3116,6 +3145,29 @@ object SparkEntry {
         |  FROM q JOIN c USING (bucket)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    // incremental SemDeDup: HISTORY-trained Lloyd chain (frozen
+    // models), full-corpus assignment, asymmetric partner rule —
+    // history precedes every arrival, history never self-compares
+    "embed_semdedup_incremental" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |corp AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10),
+        |hist AS (SELECT vec_id, emb FROM corp WHERE vec_id % 5 <> 0),
+        |${kmeansIterCtesSql(3, "hist")},
+        |cent AS (SELECT cell, cemb FROM c3),
+        |sca AS (SELECT corp.vec_id, cent.cell, list_cosine_similarity(corp.emb, cent.cemb) AS s
+        |  FROM corp CROSS JOIN cent),
+        |assign AS (SELECT vec_id, cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell DESC) AS rn FROM sca)
+        |  WHERE rn = 1),
+        |p AS (SELECT b2.vec_id AS vec_id, b2.cell AS cell, a2.vec_id AS dup_of,
+        |  round(list_cosine_similarity(ca.emb, cb.emb), 4) AS cos
+        | FROM assign a2 JOIN assign b2 ON a2.cell = b2.cell
+        | JOIN corp ca ON ca.vec_id = a2.vec_id
+        | JOIN corp cb ON cb.vec_id = b2.vec_id
+        | WHERE b2.vec_id % 5 = 0
+        |  AND (a2.vec_id % 5 <> 0 OR a2.vec_id < b2.vec_id))
+        |SELECT vec_id, cell, min(dup_of) AS dup_of, max(cos) AS max_cos
+        |FROM p WHERE cos >= 0.4 GROUP BY 1, 2""".stripMargin,
     // per-bin x1e9 quantization before the per-dim sum (the entropy
     // discipline applied to the PSI reduction); bins replay on the
     // identical stored floats

@@ -565,6 +565,44 @@ object Similarity {
         (col("s") > (threshold * 1e9).toLong).as("drifted"))
   }
 
+  /** `embed_semdedup_incremental` — SemDeDup at INGEST time, the
+    * stored-state discipline (E88/E108) applied to semantic dedup:
+    * cluster models train on the HISTORY slice only and freeze
+    * (vec_id % 5 ≠ 0 — the `ann_index_incremental` split), arriving
+    * vectors assign map-side against the frozen centroids and
+    * compare ONLY against their cell's history members plus
+    * earlier-id increment mates — history is NEVER self-compared, so
+    * per-batch cost scales with the increment × touched cells, not
+    * the corpus. History members precede every arrival regardless of
+    * id (keep-first favors the stored corpus); within the increment,
+    * smaller id wins.
+    *
+    * Same within-cell discipline, rounding and threshold as
+    * [[embedSemdedup]]; the oracle replays the HISTORY-trained Lloyd
+    * chain, full-corpus assignment, and the asymmetric partner rule.
+    */
+  private val semdedupHistCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), Seq[(Int, Seq[Double])]]
+
+  def embedSemdedupIncremental(t: Tables, k: Int = 16, nIters: Int = 4,
+      tau: Double = 0.4): DataFrame = {
+    val cents = semdedupHistCache.getOrElseUpdate(
+      (graft.sources.SourceOps.sessionTag(t.spark), t.dir),
+      kmeansCentroidsOf(corpusEmb(t).filter(col("vec_id") % 5 =!= 0), k, nIters))
+    val assigned = corpusEmb(t)
+      .withColumn("cell", cellOf(col("emb"), cents))
+    val inc = assigned.filter(col("vec_id") % 5 === 0)
+    inc.as("b").join(assigned.as("a"),
+        col("a.cell") === col("b.cell") &&
+          (col("a.vec_id") % 5 =!= 0 || col("a.vec_id") < col("b.vec_id")))
+      .select(col("b.vec_id").as("vec_id"), col("b.cell").as("cell"),
+        col("a.vec_id").as("dup_of"),
+        round(cosineSimilarity(col("a.emb"), col("b.emb")), 4).as("cos"))
+      .filter(col("cos") >= lit(tau))
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(col("dup_of")).as("dup_of"), max(col("cos")).as("max_cos"))
+  }
+
   /** `embed_semdedup` — SEMANTIC deduplication by cluster-scoped
     * cosine pruning (public Abbas et al. 2023, SemDeDup): assign
     * every corpus vector to its converged-k-means cell, compare pairs

@@ -1297,6 +1297,65 @@ object TextAnalysis {
       .filter(col("n_maybe") > 0)
   }
 
+  /** `text_rake_keyphrases` — RAKE keyphrase extraction (public Rose
+    * et al. 2010): candidate phrases are maximal stopword-free token
+    * runs (≤ 4 words, the standard run-on guard), each word scores
+    * deg/freq over ALL candidate occurrences corpus-wide (deg = Σ of
+    * containing-phrase lengths — words that live in longer
+    * multi-word phrases outrank equally-frequent isolated words),
+    * and a phrase scores the sum of its words — the unsupervised
+    * keyphrase extractor next to `text_tfidf` (tf·idf ranks single
+    * TERMS; RAKE surfaces multi-word PHRASES without a corpus pass
+    * per query term). Top 3 per doc, (score DESC, phrase ASC)
+    * tiebreak.
+    *
+    * Exact integers END TO END: word score = (deg·10⁶) DIV freq
+    * (integer division of exact counts — no float anywhere), phrase
+    * score an int64 sum. Shape: posexplode + doc-keyed island
+    * windows (runs split at lexicon stopwords), phrase assembly via
+    * sort_array(collect_list(struct(pos, w))) — order-deterministic,
+    * never a bare collect_list — one corpus-wide word rollup, one
+    * keyed join back, one doc-keyed top-3 window.
+    */
+  def textRakeKeyphrases(t: Tables, topK: Int = 3,
+      maxLen: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stops = stopwordLexicon.map(_._2).distinct
+    val toks = t.documents
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("w"))
+      .filter(!col("w").isInCollection(stops))
+    val isl = toks.withColumn("island",
+      col("pos") - row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(asc("pos"))))
+    val phrases = isl.groupBy(col("doc_id"), col("island"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("w")))).as("ws"))
+      .select(col("doc_id"), col("island"),
+        transform(col("ws"), _.getField("w")).as("words"))
+      .filter(size(col("words")) <= maxLen)
+      .withColumn("phrase", array_join(col("words"), " "))
+      .withColumn("plen", size(col("words")))
+    val occurrences = phrases
+      .select(col("doc_id"), col("island"), col("plen"),
+        explode(col("words")).as("w"))
+    val wordScores = occurrences
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"), expr("(deg * 1000000) DIV freq").as("wscore"))
+    val scored = occurrences.join(wordScores, "w")
+      .groupBy(col("doc_id"), col("island"))
+      .agg(sum(col("wscore")).as("score_micro"))
+      .join(phrases.select(col("doc_id"), col("island"), col("phrase")),
+        Seq("doc_id", "island"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(desc("score_micro"), asc("phrase"))))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("phrase"), col("score_micro"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** `text_char_entropy` — per-document character-unigram Shannon
     * entropy, the dictionary-free compressibility screen (a
     * gzip-ratio quality filter's deterministic stand-in — zlib output

@@ -94,7 +94,8 @@ class EmptyInputSpec extends SparkSpec {
     "events_changepoint", "text_char_entropy", "dedup_cross_source",
     "q_histogram_equidepth", "mm_audio_vad", "mm_phash_pairs",
     "q_topn_agg", "events_reach", "er_review_queue", "embed_drift_psi",
-    "events_funnel_windowed", "q_late_arriving_dim")
+    "events_funnel_windowed", "q_late_arriving_dim",
+    "text_rake_keyphrases")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

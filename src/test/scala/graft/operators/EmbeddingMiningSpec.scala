@@ -315,6 +315,45 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(got.filter(_._2._2).keySet == (0 until 64 by 8).toSet)
   }
 
+  test("embed_semdedup_incremental replays the asymmetric partner rule exactly") {
+    val corpus = tables.embeddings.filter(col("vec_id") >= 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def rawCos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double) = BigDecimal(x.toString)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // history-trained frozen models, full-corpus cosine assignment
+    val sess = spark
+    import sess.implicits._
+    val histDf = tables.embeddings.filter(col("vec_id") >= 10 && col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val cents = Similarity.kmeansCentroidsOf(histDf, 16, 4)
+      .map { case (c, v) => c -> v.toArray }
+    val cell = corpus.map { case (id, e) =>
+      id -> cents.maxBy { case (c, ce) => (rawCos(e, ce), c) }._1
+    }.toMap
+    val expected = corpus.filter(_._1 % 5 == 0).flatMap { case (id, e) =>
+      val partners = corpus.filter { case (o, _) =>
+        o != id && cell(o) == cell(id) && (o % 5 != 0 || o < id) }
+        .map { case (o, oe) => (o, r4(rawCos(oe, e))) }
+        .filter(_._2 >= 0.4)
+      if (partners.isEmpty) None
+      else Some((id, cell(id), partners.map(_._1).min, partners.map(_._2).max))
+    }.toSet
+    val got = Similarity.embedSemdedupIncremental(tables).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == expected,
+      s"incr semdedup drift: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    // only increment vectors are ever removed, and a history keeper
+    // may carry ANY id (it precedes by arrival, not by id)
+    assert(got.forall(_._1 % 5 == 0))
+    assert(expected.nonEmpty, "screen never fires — vacuous")
+  }
+
   test("embed_semdedup equals a naive within-cell keep-first replay") {
     // independent replay: collected converged centroids → per-vector
     // argmax cell (score desc, cell desc tiebreak — the cellOf order)

@@ -382,6 +382,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.map(_._4).toSet.size > 10, "flesch barely varies")
   }
 
+  test("text_rake_keyphrases equals a driver-side RAKE replay") {
+    val stops = TextAnalysis.stopwordLexicon.map(_._2).distinct.toSet
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty))
+    // phrases: maximal stopword-free runs, <= 4 words
+    val phrases = docs.flatMap { case (id, toks) =>
+      val runs = scala.collection.mutable.ListBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      toks.foreach { w =>
+        if (stops(w)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = w :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs.toList.map(ws => (id, ws))
+    }.zipWithIndex.map { case ((id, ws), i) => (id, i, ws) }
+      .filter(_._3.length <= 4)
+    val occ = phrases.flatMap { case (id, i, ws) => ws.map(w => (id, i, ws.length, w)) }
+    val wscore = occ.groupBy(_._4).map { case (w, xs) =>
+      w -> (xs.map(_._3.toLong).sum * 1000000L) / xs.size }
+    val scored = phrases.map { case (id, i, ws) =>
+      (id, ws.mkString(" "), ws.map(wscore).sum) }
+    val expected = scored.groupBy(_._1).toList.flatMap { case (id, ps) =>
+      ps.sortBy { case (_, p, s) => (-s, p) }.take(3).zipWithIndex
+        .map { case ((_, p, s), r) => (id, p, s, r + 1) }.toList
+    }.toSet
+    val got = TextAnalysis.textRakeKeyphrases(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(got == expected,
+      s"rake drift: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    // the extractor surfaces real MULTI-WORD phrases, not just terms
+    assert(expected.exists(_._2.contains(" ")), "no multi-word phrase won")
+  }
+
   test("text_char_entropy equals a driver-side quantized-term replay") {
     def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
