@@ -94,6 +94,7 @@ object SparkEntry {
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_char_entropy"   -> q(TextAnalysis.textCharEntropy),
     "text_rake_keyphrases" -> q(t => TextAnalysis.textRakeKeyphrases(t)),
+    "corpus_dataset_card" -> q(TextAnalysis.corpusDatasetCard),
     "dedup_cross_source"  -> q(t => Dedup.dedupCrossSource(t)),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
@@ -1833,6 +1834,44 @@ object SparkEntry {
         | len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))::BIGINT AS re_tokens,
         | length(text)::BIGINT AS char_len
         |FROM documents""".stripMargin,
+    // the one-row datasheet composes the shared stage fragments
+    // (tokens, digest, lang argmax, quality, exact mean)
+    "corpus_dataset_card" ->
+      s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens FROM t),
+        |v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_size
+        |  FROM (SELECT unnest(toks) AS tok FROM t)),
+        |dg AS (SELECT md5(text) AS h, count(*) AS c FROM t GROUP BY 1),
+        |du AS (SELECT CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_docs FROM dg),
+        |lex(slang, word) AS (VALUES
+        | ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','in'),('en','is'),
+        | ('de','der'),('de','die'),('de','das'),('de','und'),('de','ein'),
+        | ('es','el'),('es','la'),('es','los'),('es','de'),('es','y'),
+        | ('fr','le'),('fr','les'),('fr','et'),('fr','un'),('fr','dans')),
+        |tk AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |scr AS (SELECT doc_id, slang, count(*) AS n FROM tk JOIN lex ON tok = word GROUP BY 1, 2),
+        |best AS (SELECT doc_id, slang FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, slang) AS rn FROM scr)
+        |  WHERE rn = 1),
+        |lng AS (SELECT coalesce(b.slang, 'und') AS lang FROM t d LEFT JOIN best b USING (doc_id)),
+        |lc AS (SELECT lang, count(*) AS c FROM lng GROUP BY 1),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs FROM lc),
+        |tl AS (SELECT lang AS top_lang, c AS top_c FROM
+        |  (SELECT *, row_number() OVER (ORDER BY c DESC, lang) AS rn FROM lc) WHERE rn = 1),
+        |qm AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |  length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / nullif(length(text),0) AS pr,
+        |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE
+        |    / nullif(len(toks),0) AS sr
+        | FROM t),
+        |qs AS (SELECT round(0.4*coalesce(sr,0)+0.3*(1-coalesce(pr,0))+0.3*least(n_tokens/100.0,1.0)+1e-9,4) AS q FROM qm),
+        |mq AS (SELECT ${ExactAgg.exactMeanSql("q", 4)} AS mean_quality FROM qs)
+        |SELECT st.n_docs, st.total_tokens, v.vocab_size, du.n_dup_docs,
+        | round(du.n_dup_docs / CAST(st.n_docs AS DOUBLE) + 1e-9, 4) AS dup_rate,
+        | nl.n_langs, tl.top_lang,
+        | round(tl.top_c / CAST(st.n_docs AS DOUBLE) + 1e-9, 4) AS top_lang_share,
+        | mq.mean_quality
+        |FROM st, v, du, nl, tl, mq""".stripMargin,
     // RAKE replay: stopword-split islands, ordered string_agg phrase
     // assembly, exact-integer (deg·1e6) DIV freq word scores
     "text_rake_keyphrases" -> {

@@ -1297,6 +1297,54 @@ object TextAnalysis {
       .filter(col("n_maybe") > 0)
   }
 
+  /** `corpus_dataset_card` — the one-row release DATASHEET (public
+    * "Datasheets for Datasets", Gebru et al. 2018, the numeric
+    * core): corpus size (docs, tokens, vocabulary), exact-duplicate
+    * exposure (docs in >1-member digest groups + rate), language
+    * composition (distinct predicted languages, dominant language +
+    * share), and mean quality — the header block of every corpus
+    * release note, next to `corpus_pipeline`'s stage-by-stage
+    * manifest (that audits the CLEANING; this describes the
+    * ARTIFACT).
+    *
+    * Composes the shared stages (tokens, digest rollup, lang-ID
+    * argmax, quality score, ExactAgg mean) as one-row aggregates
+    * crossJoined into the card — each §6-disciplined, so the whole
+    * row hash-replays. A handful of corpus scans is the honest cost
+    * of a release report; the per-stage queries it composes are the
+    * ones production would have materialized anyway.
+    */
+  def corpusDatasetCard(t: Tables): DataFrame = {
+    val toksDf = t.documents.select(col("doc_id"), col("text"),
+      tokens(col("text")).as("toks"))
+    val stats = toksDf.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("total_tokens"))
+    val vocab = toksDf.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab_size"))
+    val dups = toksDf.select(md5(col("text")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L))
+        .as("n_dup_docs"))
+    val langCounts = textLangId(t)
+      .groupBy(col("lang_pred")).agg(count(lit(1)).as("c"))
+    val nLangs = langCounts.agg(count(lit(1)).as("n_langs"))
+    val topLang = langCounts
+      .orderBy(desc("c"), asc("lang_pred")).limit(1)
+      .select(col("lang_pred").as("top_lang"), col("c").as("top_c"))
+    val meanQ = textQuality(t)
+      .agg(ExactAgg.exactMean(col("quality_score"), 4).as("mean_quality"))
+    stats.crossJoin(vocab).crossJoin(dups).crossJoin(nLangs)
+      .crossJoin(topLang).crossJoin(meanQ)
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        col("n_dup_docs"),
+        round(col("n_dup_docs").cast("double") /
+          col("n_docs").cast("double") + lit(1e-9), 4).as("dup_rate"),
+        col("n_langs"), col("top_lang"),
+        round(col("top_c").cast("double") /
+          col("n_docs").cast("double") + lit(1e-9), 4).as("top_lang_share"),
+        col("mean_quality"))
+  }
+
   /** `text_rake_keyphrases` — RAKE keyphrase extraction (public Rose
     * et al. 2010): candidate phrases are maximal stopword-free token
     * runs (≤ 4 words, the standard run-on guard), each word scores

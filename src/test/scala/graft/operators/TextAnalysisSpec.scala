@@ -382,6 +382,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.map(_._4).toSet.size > 10, "flesch barely varies")
   }
 
+  test("corpus_dataset_card fields recombine the component stages exactly") {
+    val card = TextAnalysis.corpusDatasetCard(tables).collect()(0)
+    // size block == corpus_stats
+    val stats = TextAnalysis.corpusStats(tables).collect()(0)
+    assert(card.getLong(0) == stats.getLong(0)) // n_docs
+    assert(card.getLong(1) == stats.getLong(1)) // total_tokens
+    assert(card.getLong(2) == stats.getLong(4)) // vocab_size
+    // duplicate block == the digest rollup
+    val texts = tables.documents.select("text").collect().map(_.getString(0))
+    val dupDocs = texts.groupBy(identity).values.filter(_.length > 1)
+      .map(_.length).sum
+    assert(card.getLong(3) == dupDocs.toLong)
+    // language block == the lang-ID query's argmax
+    val langs = TextAnalysis.textLangId(tables).collect()
+      .map(_.getString(1))
+    assert(card.getLong(5) == langs.distinct.length.toLong)
+    val top = langs.groupBy(identity).map { case (l, xs) => (l, xs.length) }
+      .toList.minBy { case (l, c) => (-c, l) }
+    assert(card.getString(6) == top._1)
+    // quality block == the exact mean over the per-doc scores
+    val qs = TextAnalysis.textQuality(tables).collect()
+      .map(r => r.getDouble(r.fieldIndex("quality_score")))
+    val q = qs.map(v => math.floor(v * 1e4 + 0.5).toLong)
+    val refMean = math.floor((2.0 * q.sum + q.length) / (2.0 * q.length)) / 1e4
+    assert(card.getDouble(8) == refMean)
+  }
+
   test("text_rake_keyphrases equals a driver-side RAKE replay") {
     val stops = TextAnalysis.stopwordLexicon.map(_._2).distinct.toSet
     val docs = tables.documents.select("doc_id", "text").collect()
