@@ -131,6 +131,7 @@ object SparkEntry {
     // oracle — stream/batch equivalence pair #18
     "stream_survival"     -> q(t => graft.streaming.Streaming.streamSurvival(t)),
     "events_changepoint"  -> q(EventAnalytics.eventsChangepoint),
+    "events_seasonality_strength" -> q(EventAnalytics.eventsSeasonalityStrength),
     // the same monitor as a continuous query off the hourly streaming
     // state; shares the batch oracle — equivalence pair #17
     "stream_changepoint"  -> q(t => graft.streaming.Streaming.streamChangepoint(t)),
@@ -2102,6 +2103,35 @@ object SparkEntry {
     "stream_survival" -> eventsSurvivalSql,
     "events_changepoint" -> eventsChangepointSql,
     "stream_changepoint" -> eventsChangepointSql,
+    // variance decomposition over the gap-filled spine: ExactAgg
+    // means, ×1e4 quantized squared deviations, one §6 ratio
+    "events_seasonality_strength" ->
+      s"""WITH hourly AS (SELECT event_type,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+        |  CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(hour_ts) AS h0, max(hour_ts) AS h1 FROM hourly GROUP BY 1),
+        |spine AS (SELECT event_type,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour_ts FROM span),
+        |sp AS (SELECT s.event_type, s.hour_ts, coalesce(x, 0) AS x,
+        |  CAST(hour(s.hour_ts) AS INT) AS h24
+        | FROM spine s LEFT JOIN hourly USING (event_type, hour_ts)),
+        |hm AS (SELECT event_type, h24, ${ExactAgg.exactMeanSql("x", 4)} AS m
+        |  FROM sp GROUP BY 1, 2),
+        |tm AS (SELECT event_type, ${ExactAgg.exactMeanSql("x", 4)} AS mu,
+        |  CAST(count(*) AS BIGINT) AS n_hours FROM sp GROUP BY 1),
+        |tr AS (SELECT sp.event_type, tm.n_hours,
+        |  CAST(floor((sp.x - hm.m) * (sp.x - hm.m) * 1e4 + 0.5) AS BIGINT) AS qr,
+        |  CAST(floor((sp.x - tm.mu) * (sp.x - tm.mu) * 1e4 + 0.5) AS BIGINT) AS qt
+        | FROM sp JOIN hm USING (event_type, h24) JOIN tm USING (event_type)),
+        |ss AS (SELECT event_type, n_hours, CAST(sum(qr) AS BIGINT) AS ssr,
+        |  CAST(sum(qt) AS BIGINT) AS sst FROM tr GROUP BY 1, 2),
+        |pk AS (SELECT event_type, h24 AS peak_hour FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY m DESC, h24 ASC) AS rn FROM hm) WHERE rn = 1)
+        |SELECT ss.event_type, ss.n_hours, pk.peak_hour,
+        | round(greatest(0.0, 1.0 - CAST(ssr AS DOUBLE) / nullif(CAST(sst AS DOUBLE), 0.0)) + 1e-9, 4)
+        |  AS seasonality_strength
+        |FROM ss JOIN pk USING (event_type)""".stripMargin,
     "events_hits" -> eventsHitsSql,
     "events_kcore" -> eventsKcoreSql,
     // the triangle chain re-used per EDGE: common neighbors = the

@@ -1431,6 +1431,65 @@ object EventAnalytics {
     out
   }
 
+  /** `events_seasonality_strength` — per event type, HOW seasonal the
+    * hourly volume actually is: the variance-decomposition strength
+    * 1 − SS_residual/SS_total (the STL-style readout, public
+    * Hyndman's forecasting-practice formulation) where the seasonal
+    * component is the hour-of-day mean over the gap-filled spine —
+    * the one-number justification for keeping `events_seasonal
+    * _profile` as a baseline at all (a type with strength ≈ 0 should
+    * be monitored against its global mean instead), plus the peak
+    * hour. Silent hours count 0 via the `q_gap_fill` spine — a
+    * nightly trough IS seasonality and must not be dropped.
+    *
+    * Determinism: hour-of-day means and the global mean are
+    * [[ExactAgg]] 4-dp exact; each squared deviation quantizes
+    * ×10⁴ to int64 BEFORE the sum (the entropy/PSI discipline —
+    * order-immune integer reductions); strength is one final scalar
+    * ratio under §6. Shape: one (type, hour) rollup sees raw events;
+    * spine, hour-of-day means (≤ 24×types rows) and the deviation
+    * sums run at metadata scale.
+    */
+  def eventsSeasonalityStrength(t: Tables): DataFrame = {
+    val hourly = t.events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("x"))
+    val span = hourly.groupBy(col("event_type"))
+      .agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
+    val spine = span.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+      .join(hourly, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), col("hour_ts"),
+        coalesce(col("x"), lit(0L)).as("x"),
+        hour(col("hour_ts")).as("h24"))
+    val hodMean = spine.groupBy(col("event_type"), col("h24"))
+      .agg(ExactAgg.exactMean(col("x"), 4).as("m"))
+    val typeMean = spine.groupBy(col("event_type"))
+      .agg(ExactAgg.exactMean(col("x"), 4).as("mu"),
+        count(lit(1)).as("n_hours"))
+    val terms = spine.join(hodMean, Seq("event_type", "h24"))
+      .join(typeMean, Seq("event_type"))
+      .select(col("event_type"), col("n_hours"),
+        floor((col("x") - col("m")) * (col("x") - col("m")) * lit(1e4)
+          + lit(0.5)).cast("long").as("qr"),
+        floor((col("x") - col("mu")) * (col("x") - col("mu")) * lit(1e4)
+          + lit(0.5)).cast("long").as("qt"))
+    val ss = terms.groupBy(col("event_type"), col("n_hours"))
+      .agg(sum(col("qr")).as("ssr"), sum(col("qt")).as("sst"))
+    val peak = hodMean
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(desc("m"), asc("h24"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("h24").as("peak_hour"))
+    ss.join(peak, "event_type")
+      .select(col("event_type"), col("n_hours"), col("peak_hour"),
+        round(greatest(lit(0.0),
+          lit(1.0) - col("ssr").cast("double") /
+            nullif(col("sst").cast("double"), lit(0.0))) + lit(1e-9), 4)
+          .as("seasonality_strength"))
+  }
+
   /** `events_reach` — bounded-round BFS hop distances from the
     * catalog's HUB item (max basket degree, min-id tiebreak) over the
     * same-day co-purchase graph: how many association hops each item

@@ -95,7 +95,8 @@ class EmptyInputSpec extends SparkSpec {
     "q_histogram_equidepth", "mm_audio_vad", "mm_phash_pairs",
     "q_topn_agg", "events_reach", "er_review_queue", "embed_drift_psi",
     "events_funnel_windowed", "q_late_arriving_dim",
-    "text_rake_keyphrases")
+    "text_rake_keyphrases", "events_seasonality_strength",
+    "corpus_dataset_card")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

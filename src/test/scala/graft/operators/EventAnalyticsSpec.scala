@@ -443,6 +443,44 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(expected.map(_._4).sum > 0, "no censoring — the estimator is pointless")
   }
 
+  test("events_seasonality_strength equals a driver-side decomposition replay") {
+    import org.apache.spark.sql.functions._
+    val rows = tables.events.select(col("event_type"),
+        (unix_micros(date_trunc("hour", col("ts")).cast("timestamp")) /
+          lit(3600000000L)).cast("long").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def exactMean(xs: Seq[Long]): Double = {
+      val q = xs.map(_ * 10000L)
+      math.floor((2.0 * q.sum + xs.length) / (2.0 * xs.length)) / 1e4
+    }
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = rows.groupBy(_._1).map { case (tpe, es) =>
+      val counts = es.groupBy(_._2).map { case (h, xs) => h -> xs.size.toLong }
+      val spine = (counts.keys.min to counts.keys.max)
+        .map(h => (h, counts.getOrElse(h, 0L)))
+      val byHod = spine.groupBy { case (h, _) => (h % 24).toInt }
+      val m = byHod.map { case (hod, xs) => hod -> exactMean(xs.map(_._2)) }
+      val mu = exactMean(spine.map(_._2))
+      val ssr = spine.map { case (h, x) =>
+        val d = x - m((h % 24).toInt); math.floor(d * d * 1e4 + 0.5).toLong }.sum
+      val sst = spine.map { case (_, x) =>
+        val d = x - mu; math.floor(d * d * 1e4 + 0.5).toLong }.sum
+      val peak = m.toList.minBy { case (hod, mm) => (-mm, hod) }._1
+      val strength =
+        if (sst == 0) 0.0
+        else r4(math.max(0.0, 1.0 - ssr.toDouble / sst.toDouble) + 1e-9)
+      tpe -> ((spine.size.toLong, peak, strength))
+    }
+    val got = EventAnalytics.eventsSeasonalityStrength(tables).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getDouble(3))))
+      .toMap
+    assert(got == expected,
+      s"strength drift, e.g. ${got.find(kv => expected(kv._1) != kv._2).take(1)}")
+    // the statistic discriminates across types
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
+
   test("events_changepoint equals a naive scaled-CUSUM replay") {
     import org.apache.spark.sql.functions._
     val hours = tables.events.select(
