@@ -274,6 +274,7 @@ object SparkEntry {
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     "mm_audio_vad"        -> q(t => Multimodal.mmAudioVad(t)),
     "mm_phash_pairs"      -> q(t => Multimodal.mmPhashPairs(t)),
+    "mm_integrity_audit"  -> q(Multimodal.mmIntegrityAudit),
     "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
     "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
     "mm_frame_dedup"      -> q(t => Multimodal.mmFrameDedup(t)),
@@ -2811,6 +2812,19 @@ object SparkEntry {
         | CAST(coalesce(s.n_segments, 0) AS BIGINT) AS n_segments,
         | CAST(coalesce(s.longest_segment, 0) AS BIGINT) AS longest_segment
         |FROM tot t LEFT JOIN segs s USING (doc_id)""".stripMargin,
+    // the oracle recomputes byte length + both size-field checks from
+    // the generator's formulas; the Spark side READS the bytes —
+    // generator-vs-parser in adversarial (injected-truncation) form
+    "mm_integrity_audit" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS bl,
+        |  substr(md5(text), 13, 1) = '0' AS inj FROM documents)
+        |SELECT doc_id,
+        | CAST(bl + 44 - (CASE WHEN inj THEN 4 ELSE 0 END) AS BIGINT) AS byte_len,
+        | TRUE AS magic_ok,
+        | NOT inj AS riff_size_ok,
+        | NOT inj AS data_size_ok,
+        | inj AS flagged
+        |FROM m""".stripMargin,
     // ALL-PAIRS oracle (the er_blocked_pairs discipline): the Spark
     // side generates candidates via 8-bit bands — pigeonhole-complete
     // at Hamming <= 7 — so any blocking hole fails this hash gate

@@ -122,8 +122,19 @@ object Governance {
     * subdivide (brand × size-band) with the same shape. */
   def erReviewQueue(t: Tables): DataFrame = {
     val p = erProj(t.part)
+    // the exactly-2 score test rides INSIDE each block join as a
+    // residual condition: a kept pair needs one more agreement beyond
+    // its block key, and evaluating the full test at the join cuts
+    // the unioned candidate set to the final band BEFORE the distinct
+    // (the brand block alone emits ~8 M raw pairs at sf0.1; carrying
+    // them to a post-union filter + distinct was ~2× the query cost)
+    val score = (col("a.p_name") === col("b.p_name")).cast("int")
+      .plus((col("a.p_type") === col("b.p_type")).cast("int"))
+      .plus((col("a.p_brand") === col("b.p_brand")).cast("int"))
+      .plus((abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int"))
     def blocked(cond: org.apache.spark.sql.Column): DataFrame =
-      p.as("a").join(p.as("b"), cond && col("a.p_partkey") < col("b.p_partkey"))
+      p.as("a").join(p.as("b"),
+        cond && col("a.p_partkey") < col("b.p_partkey") && score === 2)
     val cands = blocked(col("a.p_name") === col("b.p_name"))
       .unionAll(blocked(col("a.p_type") === col("b.p_type")))
       .unionAll(blocked(col("a.p_brand") === col("b.p_brand")))
@@ -133,8 +144,6 @@ object Governance {
         (col("a.p_type") === col("b.p_type")).cast("int").as("type_agree"),
         (col("a.p_brand") === col("b.p_brand")).cast("int").as("brand_agree"),
         (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int").as("size_close"))
-      .filter(col("name_agree") + col("type_agree") + col("brand_agree")
-        + col("size_close") === 2)
       .distinct() // a pair may surface from several blocks
   }
 

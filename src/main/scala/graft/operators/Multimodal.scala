@@ -572,6 +572,45 @@ object Multimodal {
         min(col("doc_id")).as("rep_doc_id"))
       .filter(col("n_docs") > 1)
 
+  /** M11 — `mm_integrity_audit`: CONTAINER-INTEGRITY screening — the
+    * ingest-time check that catches truncated/corrupted media before
+    * a decoder fleet wastes cycles on it (and the audit trail a
+    * compliance review reads): per WAV payload, the RIFF chunk size
+    * (bytes 4–7, must equal total − 8) and the data chunk size
+    * (bytes 40–43, must equal total − 44) are read FROM THE BYTES
+    * and cross-checked against the actual payload length, plus the
+    * RIFF/WAVE magic. The synthetic corpus is clean by construction,
+    * so a deterministic ~1/16 of payloads (md5 nibble 13 = '0')
+    * arrive TRUNCATED by 4 bytes (the injected-ground-truth
+    * discipline) — both size fields must then disagree and the spec
+    * asserts the audit flags exactly the injected set. Map-only;
+    * the oracle recomputes every field from the generator's formulas
+    * (generator-vs-parser, adversarial form).
+    */
+  def mmIntegrityAudit(t: Tables): DataFrame = {
+    val marked = t.documents.select(col("doc_id"), col("text"),
+      (substring(md5(col("text").cast("binary")), 13, 1) === "0").as("inj"))
+    val withPayload = audioTableOf(marked.select(col("doc_id"), col("text")))
+      .join(marked.select(col("doc_id"), col("inj")), "doc_id")
+    val payload = when(col("inj"),
+        col("payload").substr(lit(1), length(col("payload")) - lit(4)))
+      .otherwise(col("payload"))
+    val df = withPayload.select(col("doc_id"), payload.as("payload"))
+    val hx = headHex(col("payload"))
+    def le32At(b: Int): Column =
+      conv(concat(substring(hx, 2 * b + 7, 2), substring(hx, 2 * b + 5, 2),
+        substring(hx, 2 * b + 3, 2), substring(hx, 2 * b + 1, 2)),
+        16, 10).cast("long")
+    val len = length(col("payload")).cast("long")
+    df.select(col("doc_id"), len.as("byte_len"),
+      (hx.startsWith("52494646") &&
+        substring(hx, 17, 8) === "57415645").as("magic_ok"),
+      (le32At(4) === len - 8).as("riff_size_ok"),
+      (le32At(40) === len - 44).as("data_size_ok"))
+      .withColumn("flagged",
+        !(col("magic_ok") && col("riff_size_ok") && col("data_size_ok")))
+  }
+
   /** M10 — `mm_phash_pairs`: perceptual-hash near-duplicate detection
     * across media payloads — the aHash discipline (public
     * average-hash pHash family): each payload's BODY "downsamples" to

@@ -96,7 +96,7 @@ class EmptyInputSpec extends SparkSpec {
     "q_topn_agg", "events_reach", "er_review_queue", "embed_drift_psi",
     "events_funnel_windowed", "q_late_arriving_dim",
     "text_rake_keyphrases", "events_seasonality_strength",
-    "corpus_dataset_card")
+    "corpus_dataset_card", "mm_integrity_audit")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

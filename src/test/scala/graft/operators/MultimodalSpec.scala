@@ -109,6 +109,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("integrity audit flags exactly the injected truncations") {
+    def md5hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val injected = docs.filter { case (_, txt) =>
+      md5hex(txt.getBytes("UTF-8")).charAt(12) == '0' }.map(_._1).toSet
+    val got = Multimodal.mmIntegrityAudit(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    // parsed-from-bytes verdicts recover exactly the injected set
+    assert(got.filter(_._2._5).keySet == injected,
+      s"flag drift: ${(got.filter(_._2._5).keySet -- injected).take(3)}")
+    // on a corrupted payload BOTH size fields disagree; magic survives
+    // (truncation eats body bytes, never the 44-byte header)
+    assert(got.values.forall { case (_, magic, riff, data, fl) =>
+      magic && (riff == data) && (fl == !riff) })
+    assert(injected.nonEmpty, "no injected corruption at spec SF — vacuous")
+    // clean payloads carry internally consistent sizes: length checks
+    val bytes = docs.toMap
+    got.foreach { case (id, (bl, _, riff, _, _)) =>
+      val expected = bytes(id).getBytes("UTF-8").length + 44 -
+        (if (injected(id)) 4 else 0)
+      assert(bl == expected.toLong, s"doc $id byte_len $bl != $expected")
+    }
+  }
+
   test("phash pairs equal a naive all-pairs hash replay (banding is complete)") {
     val docs = tables.documents.select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
