@@ -260,6 +260,9 @@ object SparkEntry {
     "stream_static_join"  -> q(graft.streaming.Streaming.streamStaticJoin),
     "stream_sessionize"   -> q(graft.streaming.Streaming.streamSessionize),
     "stream_session_window" -> q(t => graft.streaming.Streaming.streamSessionWindow(t)),
+    // the native merging-window sessionizer on the BATCH axis —
+    // driver-checks pair #13 from both ends, shared oracle
+    "q_session_window_batch" -> q(t => graft.streaming.Streaming.qSessionWindowBatch(t)),
     "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
     "stream_anomaly"      -> q(graft.streaming.Streaming.streamAnomaly),
@@ -275,6 +278,9 @@ object SparkEntry {
     "mm_audio_vad"        -> q(t => Multimodal.mmAudioVad(t)),
     "mm_phash_pairs"      -> q(t => Multimodal.mmPhashPairs(t)),
     "mm_integrity_audit"  -> q(Multimodal.mmIntegrityAudit),
+    // stateless map-only screen per arriving payload; shares the
+    // batch oracle — stream/batch equivalence pair #19
+    "stream_integrity_audit" -> q(t => graft.streaming.Streaming.streamIntegrityAudit(t)),
     "mm_video_meta"       -> q(Multimodal.mmVideoMeta),
     "mm_modality_router"  -> q(Multimodal.mmModalityRouter),
     "mm_frame_dedup"      -> q(t => Multimodal.mmFrameDedup(t)),
@@ -764,6 +770,31 @@ object SparkEntry {
         |  FROM lt JOIN km ON lt.rn = km.rn + 1)
         |SELECT t AS t_days, nr AS n_at_risk, d AS n_churned,
         | c AS n_censored, s AS survival_micro FROM km""".stripMargin
+
+  /** Shared by `mm_integrity_audit` and its streaming twin
+    * `stream_integrity_audit` (equivalence pair #19). */
+  private lazy val mmIntegrityAuditSql: String =
+    """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS bl,
+        |  substr(md5(text), 13, 1) = '0' AS inj FROM documents)
+        |SELECT doc_id,
+        | CAST(bl + 44 - (CASE WHEN inj THEN 4 ELSE 0 END) AS BIGINT) AS byte_len,
+        | TRUE AS magic_ok,
+        | NOT inj AS riff_size_ok,
+        | NOT inj AS data_size_ok,
+        | inj AS flagged
+        |FROM m""".stripMargin
+
+  /** Shared by `stream_session_window` and its batch twin
+    * `q_session_window_batch` (pair #13 gated from both ends). */
+  private lazy val sessionWindowSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+        | l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
+        | s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+        | t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+        | CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM t GROUP BY user_id, sid""".stripMargin
 
   /** Shared by `events_changepoint` and its streaming twin
     * `stream_changepoint` (equivalence pair #17). */
@@ -1401,15 +1432,8 @@ object SparkEntry {
     // (closed merge boundary, pinned empirically in SessionWindowSpec),
     // so the islands replay breaks strictly on > gap — same break rule
     // as q_sessionize's custom state, different window/output shape
-    "stream_session_window" ->
-      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
-        | l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us FROM e),
-        | s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
-        | t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY us
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM s)
-        |SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
-        | CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM t GROUP BY user_id, sid""".stripMargin,
+    "stream_session_window" -> sessionWindowSql,
+    "q_session_window_batch" -> sessionWindowSql,
     // the streaming df state's batch readout: the boilerplate VOCABULARY
     "stream_boilerplate" ->
       s"""WITH tk AS (SELECT source, doc_id, unnest($sqlToks) AS term FROM documents),
@@ -2815,16 +2839,9 @@ object SparkEntry {
     // the oracle recomputes byte length + both size-field checks from
     // the generator's formulas; the Spark side READS the bytes —
     // generator-vs-parser in adversarial (injected-truncation) form
-    "mm_integrity_audit" ->
-      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS bl,
-        |  substr(md5(text), 13, 1) = '0' AS inj FROM documents)
-        |SELECT doc_id,
-        | CAST(bl + 44 - (CASE WHEN inj THEN 4 ELSE 0 END) AS BIGINT) AS byte_len,
-        | TRUE AS magic_ok,
-        | NOT inj AS riff_size_ok,
-        | NOT inj AS data_size_ok,
-        | inj AS flagged
-        |FROM m""".stripMargin,
+    "stream_integrity_audit" -> mmIntegrityAuditSql,
+    "mm_integrity_audit" -> mmIntegrityAuditSql,
+
     // ALL-PAIRS oracle (the er_blocked_pairs discipline): the Spark
     // side generates candidates via 8-bit bands — pigeonhole-complete
     // at Hamming <= 7 — so any blocking hole fails this hash gate

@@ -587,8 +587,15 @@ object Multimodal {
     * the oracle recomputes every field from the generator's formulas
     * (generator-vs-parser, adversarial form).
     */
-  def mmIntegrityAudit(t: Tables): DataFrame = {
-    val marked = t.documents.select(col("doc_id"), col("text"),
+  def mmIntegrityAudit(t: Tables): DataFrame =
+    integrityAuditOf(t.documents)
+
+  /** The same audit over ANY (doc_id, text) frame — synth, injection
+    * and byte checks are all map-only per row, so a STREAMING
+    * documents source slots in unchanged (the modality-router
+    * discipline). */
+  def integrityAuditOf(docs: DataFrame): DataFrame = {
+    val marked = docs.select(col("doc_id"), col("text"),
       (substring(md5(col("text").cast("binary")), 13, 1) === "0").as("inj"))
     val withPayload = audioTableOf(marked.select(col("doc_id"), col("text")))
       .join(marked.select(col("doc_id"), col("inj")), "doc_id")

@@ -146,6 +146,41 @@ object Streaming {
     * a new window — so the gaps-and-islands oracle breaks on
     * `diff > gap`. Output keys on the session START (= min event
     * ts), which the islands replay reproduces exactly. */
+  /** X25 — `stream_integrity_audit`: the container-integrity screen
+    * at INGEST time — a STATELESS map-only projection per arriving
+    * payload (append mode, zero streaming state — the scan → project
+    * → sink shape an ingest-time validator deploys as): payload
+    * synthesis, the deterministic truncation injection, and the
+    * byte-level size-field checks all run per row; shares the batch
+    * oracle verbatim — stream/batch equivalence pair #19.
+    */
+  def streamIntegrityAudit(t: Tables): DataFrame = {
+    val schema = t.raw("documents").schema
+    val docsStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    drainToTable(
+      graft.operators.Multimodal.integrityAuditOf(docsStream), "append")
+  }
+
+  /** `q_session_window_batch` — the SAME native merging-window
+    * aggregation on the BATCH axis: the engine's `session_window`
+    * over the static events table, proving the built-in sessionizer
+    * is one API for both execution modes (the pair-#13 spec asserts
+    * stream == batch; registering the batch side as its own gated
+    * query makes the equivalence driver-checked from BOTH ends,
+    * sharing the boundary-pinned gaps-and-islands oracle verbatim).
+    */
+  def qSessionWindowBatch(t: Tables, gap: String = "30 minutes"): DataFrame =
+    t.events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start").cast("timestamp"))
+          .as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
   def streamSessionWindow(t: Tables, gap: String = "30 minutes"): DataFrame = {
     val agg = eventsStream(t)
       .withColumn("ts", col("ts").cast("timestamp"))
