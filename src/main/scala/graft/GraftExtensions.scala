@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2SquaredDistance, QuantizedCosine, TopKByAgg}
+import graft.functions.{CosineSimilarity, DotProduct, L2Distance, L2SquaredDistance, MisraGriesAgg, QuantizedCosine, TopKByAgg}
 
 /** Session extensions registering graft's native SQL functions
   * (SURVEY.md §2.4 S3). Install with
@@ -62,6 +62,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3,
           s"topk_by expects 3 arguments, got ${children.length}")
         TopKByAgg(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, null,
+        "misra_gries", "misra_gries(key, m) - bounded frequent-items summary: struct<n, items array<struct<token, est>>>, undercount <= n/(m+1)", ""),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"misra_gries expects 2 arguments, got ${children.length}")
+        MisraGriesAgg(children.head, children(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("quantized_cosine"),

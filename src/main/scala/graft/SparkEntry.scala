@@ -97,6 +97,13 @@ object SparkEntry {
     "corpus_dataset_card" -> q(TextAnalysis.corpusDatasetCard),
     "dedup_cross_source"  -> q(t => Dedup.dedupCrossSource(t)),
     "text_ngram_freq"     -> q(TextAnalysis.textNgramFreq),
+    // exact heavy hitters via the native Misra-Gries sketch (bounded
+    // state) + exact recount of the <=m candidates — oracle is the
+    // plain GROUP BY/HAVING, proving the sketch->verify path exact
+    "text_heavy_hitters"  -> q(t => TextAnalysis.textHeavyHitters(t)),
+    // the same heavy-hitters readout as a continuous keyed streaming
+    // aggregation — stream/batch equivalence pair #20 (same oracle)
+    "stream_heavy_hitters" -> q(t => graft.streaming.Streaming.streamHeavyHitters(t)),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
     "text_contamination"  -> q(t => TextAnalysis.textContamination(t)),
     // same operator, shuffled-join mode (gram set "too big" to
@@ -363,6 +370,15 @@ object SparkEntry {
     * sync with [[graft.operators.TextAnalysis.tokens]]). */
   private val sqlToks =
     "list_filter(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' '), x -> len(x)>0)"
+
+  /** DuckDB oracle shared by the batch (sketch→verify) and streaming
+    * (keyed state) heavy-hitters paths — the plain unbounded
+    * GROUP BY/HAVING both must reproduce exactly. */
+  private val heavyHittersSql: String =
+    s"""WITH tok AS (SELECT unnest($sqlToks) AS token FROM documents),
+      |t AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
+      |SELECT token, cnt FROM t
+      |WHERE cnt * 40 >= (SELECT count(*) FROM tok)""".stripMargin
 
   /** DuckDB oracle shared by the batch and streaming funnels. */
   private val funnelSql =
@@ -2523,6 +2539,8 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'view'
         | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""".stripMargin,
+    "text_heavy_hitters" -> heavyHittersSql,
+    "stream_heavy_hitters" -> heavyHittersSql,
     "text_ngram_freq" ->
       s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
         |bg AS (SELECT array_to_string(toks[i:i+1],' ') AS bigram

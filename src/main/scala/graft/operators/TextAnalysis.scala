@@ -1070,6 +1070,47 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** T31 — `text_heavy_hitters`: exact corpus-frequency heavy hitters
+    * (every token with frequency ≥ n/`phiInv`) computed WITHOUT an
+    * unbounded aggregation — the sketch→verify pattern:
+    *
+    *  1. ONE pass folds the token stream through the native
+    *     Misra–Gries aggregate ([[graft.functions.MisraGriesAgg]],
+    *     capacity `sketchSize`): per-task state is O(sketchSize) and
+    *     the exchange carries ≤ sketchSize counters per task — no key
+    *     domain ever crosses the wire. With sketchSize ≥ phiInv the
+    *     MG bound (undercount ≤ n/(m+1) < n/phiInv) guarantees every
+    *     true heavy hitter is among the candidates.
+    *  2. A second pass recounts EXACTLY, restricted to the ≤
+    *     sketchSize candidates via broadcast semi-join, and applies
+    *     the threshold — so the output is exact (the oracle is the
+    *     plain GROUP BY/HAVING), while no stage ever held
+    *     per-distinct-key state.
+    *
+    * At 100 TB over an open token/n-gram/URL domain the plain GROUP BY
+    * keeps one hash entry per distinct key per task (spill-class);
+    * this shape is the standard two-pass remedy and both passes are
+    * bounded: sketch state O(m), recount state O(m) after the
+    * broadcast filter. */
+  def textHeavyHitters(t: Tables, phiInv: Int = 40,
+      sketchSize: Int = 64): DataFrame = {
+    require(sketchSize >= phiInv,
+      "sketch capacity must cover the threshold for the no-miss guarantee")
+    def toks0 = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(explode(tokens(col("text"))).as("token"))
+    val sk = toks0.agg(
+      graft.functions.MisraGriesAgg.misraGries(col("token"), sketchSize).as("mg"))
+    val cands = sk.select(col("mg.n").as("total"),
+        explode(col("mg.items")).as("c"))
+      .select(col("c.token").as("token"), col("total"))
+    toks0.join(broadcast(cands), Seq("token"))
+      .groupBy(col("token"), col("total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * phiInv >= col("total"))
+      .select(col("token"), col("cnt"))
+  }
+
   /** T24 — `corpus_pii_scrub`: the PII detection + redaction pass every
     * training corpus runs before anything else sees the text — emails,
     * phone numbers and IPv4 addresses are counted (the compliance

@@ -818,6 +818,36 @@ object Streaming {
       .select(col("source"), col("term"), col("df"), col("n_docs"))
   }
 
+  /** X20 — `stream_heavy_hitters`: corpus-frequency heavy hitters as
+    * a CONTINUOUS query — the live "trending tokens" readout of the
+    * batch sketch→verify operator
+    * ([[graft.operators.TextAnalysis.textHeavyHitters]]). ONE keyed
+    * streaming aggregation holds the per-token running count (state
+    * sharded by token across the state store; bounded by the ACTIVE
+    * vocabulary — for an open 100 TB domain the deploy swaps the
+    * exact keyed state for the same [[graft.functions.MisraGriesAgg]]
+    * summary per shard, which is why the batch operator ships the
+    * sketch path), and the threshold is a batch readout over the
+    * drained state with the total derived from the same counts — no
+    * second source scan. Shares the batch GROUP BY/HAVING oracle
+    * verbatim — stream/batch equivalence pair #20.
+    */
+  def streamHeavyHitters(t: Tables, phiInv: Int = 40): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = t.raw("documents").schema
+    val docs = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    val counts = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val drained = drainToTable(counts, "complete")
+    val total = drained.agg(sum(col("cnt")).as("total"))
+    drained.crossJoin(broadcast(total))
+      .filter(col("cnt") * phiInv >= col("total"))
+      .select(col("token"), col("cnt"))
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path

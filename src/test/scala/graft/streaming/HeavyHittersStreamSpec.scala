@@ -1,0 +1,21 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+
+/** Pair #20: the continuous keyed-state heavy-hitters readout must
+  * equal the batch sketch→exact-verify operator token-for-token (both
+  * share the plain GROUP BY/HAVING oracle).
+  */
+class HeavyHittersStreamSpec extends SparkSpec {
+
+  test("stream_heavy_hitters equals the batch sketch->verify operator exactly") {
+    val stream = Streaming.streamHeavyHitters(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = TextAnalysis.textHeavyHitters(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(stream == batch,
+      s"drift: ${(stream -- batch).take(3)} vs ${(batch -- stream).take(3)}")
+    assert(batch.nonEmpty)
+  }
+}
