@@ -91,6 +91,9 @@ object SparkEntry {
     "stream_boilerplate"  -> q(t => graft.streaming.Streaming.streamBoilerplate(t)),
     "stream_active_users" -> q(t => graft.streaming.Streaming.streamActiveUsers(t)),
     "corpus_temperature_sampling" -> q(t => TextAnalysis.corpusTemperatureSampling(t)),
+    // epoch/repetition plan per source: temperature quota -> implied
+    // epochs, policy cap, planned + unplaced tokens (exact DIV chains)
+    "corpus_epoch_plan"   -> q(t => TextAnalysis.corpusEpochPlan(t)),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_char_entropy"   -> q(TextAnalysis.textCharEntropy),
     "text_rake_keyphrases" -> q(t => TextAnalysis.textRakeKeyphrases(t)),
@@ -101,6 +104,11 @@ object SparkEntry {
     // state) + exact recount of the <=m candidates — oracle is the
     // plain GROUP BY/HAVING, proving the sketch->verify path exact
     "text_heavy_hitters"  -> q(t => TextAnalysis.textHeavyHitters(t)),
+    // code-vs-prose routing screen (injected ground truth, map-only)
+    "text_code_detect"    -> q(TextAnalysis.textCodeDetect),
+    // encoding-integrity screen: replacement chars + UTF-8-as-Latin-1
+    // digraphs (injected ground truth, map-only)
+    "text_mojibake"       -> q(TextAnalysis.textMojibake),
     // the same heavy-hitters readout as a continuous keyed streaming
     // aggregation — stream/batch equivalence pair #20 (same oracle)
     "stream_heavy_hitters" -> q(t => graft.streaming.Streaming.streamHeavyHitters(t)),
@@ -139,6 +147,9 @@ object SparkEntry {
     "stream_survival"     -> q(t => graft.streaming.Streaming.streamSurvival(t)),
     "events_changepoint"  -> q(EventAnalytics.eventsChangepoint),
     "events_seasonality_strength" -> q(EventAnalytics.eventsSeasonalityStrength),
+    // daily-volume autocorrelation at lags 1..7 — finds periodicity
+    // without assuming a period (exact-int Pearson terms, §6 class 4)
+    "events_acf"          -> q(t => EventAnalytics.eventsAcf(t)),
     // the same monitor as a continuous query off the hourly streaming
     // state; shares the batch oracle — equivalence pair #17
     "stream_changepoint"  -> q(t => graft.streaming.Streaming.streamChangepoint(t)),
@@ -257,6 +268,9 @@ object SparkEntry {
     "embed_project"       -> q(t => Similarity.embedProject(t)),
     "ann_hard_negatives"  -> q(t => Similarity.annHardNegatives(t)),
     "embed_dim_stats"     -> q(Similarity.embedDimStats),
+    // one-row anisotropy screen: ||mean vec||^2 / E||x||^2 over
+    // 1e4-quantized elements — exact integer sums, three §6 ratios
+    "embed_isotropy"      -> q(Similarity.embedIsotropy),
     "embed_knn_graph"     -> q(t => Similarity.embedKnnGraph(t)),
     "embed_mutual_knn_clusters" -> q(t => Similarity.embedMutualKnnClusters(t)),
     // §2.1 pipeline core over real data
@@ -1470,6 +1484,24 @@ object SparkEntry {
         | round(CAST(q AS DOUBLE) / CAST(qs AS DOUBLE) + 1e-9, 6) AS share,
         | CAST((CAST(1000000 AS HUGEINT) * q) // qs AS BIGINT) AS quota_tokens
         |FROM qq, tot""".stripMargin,
+    "corpus_epoch_plan" ->
+      s"""WITH ps AS (SELECT source,
+        |  CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+        |qq AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS q,
+        |  CAST(((strpos('0123456789abcdef', substr(md5(source),1,1))-1) % 4 + 1) * 1000 AS BIGINT) AS cap_milli
+        | FROM ps),
+        |tot AS (SELECT sum(CAST(q AS HUGEINT)) AS qs,
+        |  sum(n_tokens) AS tot_tokens FROM qq),
+        |pl AS (SELECT source, n_tokens, cap_milli,
+        |  CAST((CAST(2 AS HUGEINT) * tot_tokens * q) // qs AS BIGINT) AS quota_tokens
+        | FROM qq, tot),
+        |ep AS (SELECT *,
+        |  least(cap_milli, quota_tokens * 1000 // n_tokens) AS epochs_milli FROM pl)
+        |SELECT source, n_tokens, cap_milli, quota_tokens, epochs_milli,
+        |  n_tokens * epochs_milli // 1000 AS planned_tokens,
+        |  quota_tokens - n_tokens * epochs_milli // 1000 AS unplaced_tokens
+        |FROM ep""".stripMargin,
     // per-source boilerplate vocabulary: df·10 >= n_docs·8 is the
     // exact-integer 80% document-frequency threshold
     "text_boilerplate" ->
@@ -2143,6 +2175,18 @@ object SparkEntry {
     "events_survival" -> eventsSurvivalSql,
     "stream_survival" -> eventsSurvivalSql,
     "events_changepoint" -> eventsChangepointSql,
+    "events_acf" ->
+      """WITH d AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS dy, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT CAST(unnest(generate_series(1,7)) AS INT) AS lag),
+        |p AS (SELECT l.lag, a.c AS x, b.c AS y FROM lags l
+        |  JOIN d a ON true JOIN d b ON b.dy = a.dy + to_days(l.lag)),
+        |s AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM p GROUP BY 1)
+        |SELECT lag, n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS acf
+        |FROM s""".stripMargin,
     "stream_changepoint" -> eventsChangepointSql,
     // variance decomposition over the gap-filled spine: ExactAgg
     // means, ×1e4 quantized squared deviations, one §6 ratio
@@ -2541,6 +2585,46 @@ object SparkEntry {
         | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""".stripMargin,
     "text_heavy_hitters" -> heavyHittersSql,
     "stream_heavy_hitters" -> heavyHittersSql,
+    "text_mojibake" ->
+      """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |n AS (SELECT doc_id, text,
+        |  (strpos('0123456789abcdef', substr(h,4,1))-1) AS n4,
+        |  (strpos('0123456789abcdef', substr(h,5,1))-1) AS n5
+        | FROM h),
+        |d AS (SELECT doc_id, text
+        |  || CASE WHEN n4 % 8 = 0 THEN ' cafÃ© â€™' || repeat('�', CAST(n5 % 3 + 1 AS INT))
+        |     ELSE '' END AS dirty
+        | FROM n),
+        |s AS (SELECT doc_id,
+        |  CAST(len(dirty) - len(replace(dirty, '�', '')) AS BIGINT) AS n_replacement,
+        |  CAST(len(regexp_extract_all(dirty, 'Ã©|â€™')) AS BIGINT) AS n_mojibake,
+        |  CAST(len(dirty) - len(regexp_replace(dirty, '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS na,
+        |  CAST(len(dirty) AS BIGINT) AS ln FROM d)
+        |SELECT doc_id, n_replacement, n_mojibake,
+        |  na * 1000000 // ln AS non_ascii_ppm,
+        |  (n_replacement > 0 OR n_mojibake >= 2) AS is_corrupt
+        |FROM s""".stripMargin,
+    "text_code_detect" ->
+      """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |n AS (SELECT doc_id, text,
+        |  (strpos('0123456789abcdef', substr(h,1,1))-1) AS n1,
+        |  (strpos('0123456789abcdef', substr(h,2,1))-1) AS n2,
+        |  (strpos('0123456789abcdef', substr(h,3,1))-1) AS n3
+        | FROM h),
+        |d AS (SELECT doc_id, text
+        |  || CASE WHEN n1 % 8 = 0 THEN ' def fn' || CAST(doc_id AS VARCHAR)
+        |    || '(x) { return (x * ' || CAST(n2*31 % 100 AS VARCHAR)
+        |    || ') % 97; } var v' || CAST(doc_id AS VARCHAR)
+        |    || ' = ' || CAST(n3*13 % 50 AS VARCHAR) || ';' ELSE '' END AS dirty
+        | FROM n),
+        |s AS (SELECT doc_id,
+        |  CAST(len(dirty) - len(regexp_replace(dirty, '[{}()=;%*]', '', 'g')) AS BIGINT) AS n_symbols,
+        |  CAST(len(regexp_extract_all(dirty, '\b(def|return|var)\b')) AS BIGINT) AS n_keywords,
+        |  CAST(len(dirty) AS BIGINT) AS ln FROM d)
+        |SELECT doc_id, n_symbols, n_keywords,
+        |  n_symbols * 1000000 // ln AS symbol_ppm,
+        |  (n_keywords >= 2 AND n_symbols >= 6) AS is_code
+        |FROM s""".stripMargin,
     "text_ngram_freq" ->
       s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
         |bg AS (SELECT array_to_string(toks[i:i+1],' ') AS bigram
@@ -3239,6 +3323,20 @@ object SparkEntry {
     // min/max are raw (no arithmetic — identical widened doubles on
     // both engines); mean/std via ExactAgg's order-independent
     // integer moments (SURVEY §6)
+    "embed_isotropy" ->
+      """WITH e AS (SELECT list_transform(embedding::DOUBLE[],
+        |    x -> CAST(round(x * 10000) AS BIGINT)) AS qe FROM embeddings),
+        |r AS (SELECT qe, list_sum(list_transform(qe, x -> x * x)) AS row_q2 FROM e),
+        |x AS (SELECT (g.i - 1)::INT AS pos, qe[g.i] AS v
+        |  FROM r, (SELECT unnest(generate_series(1,64)) AS i) g),
+        |ds AS (SELECT pos, sum(v) AS s FROM x GROUP BY pos),
+        |num AS (SELECT sum(CAST(s AS HUGEINT) * s) AS ss, count(*) AS dims FROM ds),
+        |den AS (SELECT count(*) AS n, sum(row_q2) AS sq2 FROM r)
+        |SELECT n AS n_vecs, CAST(dims AS INT) AS dims,
+        | round(CAST(sq2 AS DOUBLE) / CAST(n * 100000000 AS DOUBLE), 6) AS mean_norm2,
+        | round(CAST(ss AS DOUBLE) / (CAST(n * n AS DOUBLE) * 1e8), 6) AS centroid_norm2,
+        | round(CAST(ss AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)), 6) AS anisotropy
+        |FROM den, num""".stripMargin,
     "embed_dim_stats" ->
       s"""WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
         |x AS (SELECT (g.i - 1)::INT AS pos, emb[g.i] AS v

@@ -1641,6 +1641,52 @@ object EventAnalytics {
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("x")))
 
+  /** E198 — `events_acf`: autocorrelation of the daily event-volume
+    * series at lags 1..`maxLag` — the "is there a weekly cycle / how
+    * sticky is load" readout next to `events_seasonality_strength`
+    * (that one tests an ASSUMED hour-of-day period; the ACF finds
+    * periodicity without assuming one — its lag-ℓ peaks ARE the
+    * candidate periods).
+    *
+    * §6 class-4 discipline end to end: the Pearson terms are exact
+    * int64 sums over integer day counts (n·Σxy − Σx·Σy and the two
+    * variance terms — order-immune integer reductions), and the final
+    * r = num / sqrt(d1·d2) is ONE float op chain on identical integer
+    * operands in both engines (IEEE sqrt/div are correctly rounded,
+    * so the doubles match bitwise; rounded 6 dp for display).
+    * Int64 bound: n·Σx² < 2^63 caps daily counts at ~√(2^63/365·365)
+    * ≈ 10⁸/day-years — past that, quantize counts to thousands (the
+    * ExactAgg precondition discipline).
+    *
+    * Shape: ONE day-keyed partial agg sees raw events; the lag
+    * cross-join, pairing self-join, and per-lag rollup all run on the
+    * metadata-scale daily table (#days rows). Missing days simply
+    * contribute no pair (the join is on exact date arithmetic), so a
+    * gapped series degrades to fewer pairs, never to misaligned ones.
+    */
+  def eventsAcf(t: Tables, maxLag: Int = 7): DataFrame = {
+    val d = t.events
+      .groupBy(to_date(col("ts")).as("dy"))
+      .agg(count(lit(1)).as("c"))
+    val lags = t.spark.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val pairs = broadcast(lags)
+      .crossJoin(d.select(col("dy").as("a_dy"), col("c").as("x")))
+      .join(d.select(col("dy").as("b_dy"), col("c").as("y")),
+        expr("b_dy = date_add(a_dy, lag)"))
+    pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("acf"))
+  }
+
   /** The CUSUM scoring stage over an (hour_ts, x) rollup — shared by
     * the batch query and the streaming twin (the rollup is the
     * streaming state; this stage runs over the drained, metadata-

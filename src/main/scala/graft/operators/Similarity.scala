@@ -711,6 +711,50 @@ object Similarity {
         min(col("col")).as("min_v"),
         max(col("col")).as("max_v"))
 
+  /** `embed_isotropy` — one-row isotropy diagnostics of the embedding
+    * space: mean squared norm, squared norm of the centroid, and
+    * their ratio (anisotropy ∈ [0,1] — 0 when directions cancel,
+    * →1 as the cloud collapses onto one ray). ||µ||²/E||x||² is the
+    * standard "rogue dimension / anisotropic cone" screen (the
+    * Ethayarajh 2019 / Mu & Viswanath 2018 readout): high anisotropy
+    * means cosine scores are dominated by a shared offset and ANN
+    * recall degrades — the one-number justification for running
+    * `embed_whiten` or `embed_pca_*` before indexing. Complements
+    * `embed_dim_stats` (per-dim marginals can look healthy while the
+    * MEAN VECTOR is far from the origin — this readout is exactly
+    * that cross-dim aggregate).
+    *
+    * §6 discipline: elements quantize to round(x·10⁴) int64 FIRST
+    * (one identical widen+mul+round per element both engines), then
+    * every sum is an order-immune integer reduction — per-row Σq²
+    * int64, per-dim sums S_d int64, Σ S_d² in DECIMAL(38,0)/HUGEINT
+    * (n·|x|·10⁴ squared per dim exceeds int64 at ~10⁹ rows — stated,
+    * not discovered). Three final §6 ratios, rounded 6 dp.
+    *
+    * Shape: one map pass computes q and Σq² per row; the per-dim
+    * sums are ONE (pos)-keyed partial agg (64 keys on the exchange at
+    * any corpus size); the rest is one-row crossJoins. */
+  def embedIsotropy(t: Tables): DataFrame = {
+    val q = withEmb(t).select(
+      transform(col("emb"), x => round(x * 10000).cast("long")).as("qe"))
+    val rows = q.select(col("qe"),
+      aggregate(col("qe"), lit(0L), (a, x) => a + x * x).as("row_q2"))
+    val dimSums = rows.select(posexplode(col("qe")))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"))
+    val num = dimSums.agg(
+      sum(col("s").cast("decimal(38,0)") * col("s")).as("ss"),
+      count(lit(1)).as("dims"))
+    val den = rows.agg(count(lit(1)).as("n"), sum(col("row_q2")).as("sq2"))
+    den.crossJoin(broadcast(num))
+      .select(col("n").as("n_vecs"), col("dims").cast("int").as("dims"),
+        round(col("sq2").cast("double") /
+          (col("n") * lit(100000000L)).cast("double"), 6).as("mean_norm2"),
+        round(col("ss").cast("double") /
+          ((col("n") * col("n")).cast("double") * lit(1e8)), 6).as("centroid_norm2"),
+        round(col("ss").cast("double") /
+          (col("n").cast("double") * col("sq2").cast("double")), 6).as("anisotropy"))
+  }
+
   /** `embed_pca_power` — top principal component of the embedding
     * cloud: distributed mean-centered covariance, then power iteration
     * to the dominant eigenvector (the variance direction whitening,

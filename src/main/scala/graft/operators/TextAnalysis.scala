@@ -186,6 +186,49 @@ object TextAnalysis {
           .as("quota_tokens"))
   }
 
+  /** T34 — `corpus_epoch_plan`: the repetition/epoch plan a training
+    * run derives from the mixture — `corpus_temperature_sampling`
+    * answers "how many tokens from each source"; this answers the
+    * follow-up that actually gates the run: "how many PASSES over
+    * each source is that, and where does the plan hit the repetition
+    * ceiling" (epoching past ~4 repeats measurably degrades models —
+    * the public Muennighoff et al. 2023 data-constrained scaling
+    * result — and licensing/quality policy caps sources unevenly).
+    * Per source: τ=0.5 temperature quota against a budget of
+    * `budgetFactor`× the corpus tokens, implied epochs in exact
+    * milli-units, a POLICY CAP (1–4 epochs, an md5-keyed
+    * deterministic stand-in for the per-source policy table a real
+    * run joins in), the planned token count after capping, and the
+    * unplaced remainder the run must re-mix or shorten by.
+    *
+    * Determinism: the sqrt-quantized priority is the established
+    * temperature trick (one IEEE sqrt+mul+floor on identical
+    * operands); everything after is int64/DECIMAL(38,0) DIV chains —
+    * exact at petabyte token counts. Shape: ONE keyed rollup over the
+    * token stream + a one-row broadcast total; #sources rows. */
+  def corpusEpochPlan(t: Tables, budgetFactor: Int = 2): DataFrame = {
+    val perSource = t.documents
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("n_tokens"))
+      .withColumn("q",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000000L)).cast("long"))
+      .withColumn("cap_milli",
+        ((conv(substring(md5(col("source")), 1, 1), 16, 10).cast("long")
+          % 4 + 1) * 1000).cast("long"))
+    val tot = perSource.agg(sum(col("q")).as("qs"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    perSource.crossJoin(broadcast(tot))
+      .withColumn("quota_tokens",
+        expr(s"CAST((CAST($budgetFactor AS DECIMAL(38,0)) * tot_tokens * q) DIV qs AS BIGINT)"))
+      .withColumn("epochs_milli",
+        least(col("cap_milli"), expr("quota_tokens * 1000 DIV n_tokens")))
+      .withColumn("planned_tokens", expr("n_tokens * epochs_milli DIV 1000"))
+      .select(col("source"), col("n_tokens"), col("cap_milli"),
+        col("quota_tokens"), col("epochs_milli"), col("planned_tokens"),
+        (col("quota_tokens") - col("planned_tokens")).as("unplaced_tokens"))
+  }
+
   /** `text_boilerplate` — source-level boilerplate detection (the
     * CCNet/web-pipeline discipline applied at token granularity):
     * a term is BOILERPLATE for a source when it appears in ≥ 80% of
@@ -1166,6 +1209,96 @@ object TextAnalysis {
   }
 
   def corpusPiiScrub(t: Tables): DataFrame = piiScrubOf(t.documents)
+
+  /** T32 — `text_code_detect`: code-vs-prose screening — the routing
+    * decision every mixed web crawl makes before tokenization (code
+    * wants its own tokenizer budget, dedup unit, and mixture weight;
+    * prose-trained filters mis-score it). Signals are deterministic
+    * surface statistics: symbol density (chars from the
+    * code-punctuation class per million chars — an exact integer DIV
+    * ratio) and word-boundary keyword hits; a doc routes to code at
+    * ≥ 2 keywords AND ≥ 6 symbols. The synthetic corpus is pure
+    * prose, so — the injection discipline — a deterministic ~1/8 of
+    * docs (md5-nibble gate) get a code tail synthesized from their
+    * own nibbles appended first, and the screen must recover EXACTLY
+    * that set (spec-pinned); the oracle replays injection + counting.
+    *
+    * Patterns stay in the Java-regex ∩ RE2 subset (character classes,
+    * alternation, ASCII \b) — the cross-engine rule.
+    *
+    * Shape: map-only — injection, the two regex counts and the flag
+    * are per-row codegen expressions; ZERO exchanges at any corpus
+    * size. At 100 TB this fuses into the ingest scan beside the
+    * quality score and PII scrub. */
+  private[graft] def codeDetectOf(docs: DataFrame): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    def nibAt(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("long")
+    val tail = when(nibAt(1) % 8 === 0,
+      concat(lit(" def fn"), col("doc_id").cast("string"),
+        lit("(x) { return (x * "), (nibAt(2) * 31 % 100).cast("string"),
+        lit(") % 97; } var v"), col("doc_id").cast("string"),
+        lit(" = "), (nibAt(3) * 13 % 50).cast("string"), lit(";")))
+      .otherwise(lit(""))
+    val dirty = concat(col("text"), tail)
+    val symRe = "[{}()=;%*]"
+    val kwRe = "\\b(def|return|var)\\b"
+    val nSym = (length(dirty) -
+      length(regexp_replace(dirty, symRe, ""))).cast("long")
+    val nKw = size(regexp_extract_all(dirty, lit(kwRe), lit(0))).cast("long")
+    docs.select(col("doc_id"), nSym.as("n_symbols"), nKw.as("n_keywords"),
+        length(dirty).cast("long").as("ln"))
+      .select(col("doc_id"), col("n_symbols"), col("n_keywords"),
+        expr("n_symbols * 1000000 DIV ln").as("symbol_ppm"),
+        (col("n_keywords") >= 2 && col("n_symbols") >= 6).as("is_code"))
+  }
+
+  def textCodeDetect(t: Tables): DataFrame = codeDetectOf(t.documents)
+
+  /** T33 — `text_mojibake`: encoding-integrity screening — the
+    * double-decode damage a web crawl accumulates (UTF-8 bytes read
+    * as Latin-1 → "Ã©"-class digraphs; lossy transcodes → U+FFFD
+    * replacement chars). Docs carrying it should be repaired or
+    * dropped before tokenization: the artifacts shred token
+    * statistics and survive into generations. Signals: replacement-
+    * char count (exact, via replace-and-diff — no regex needed),
+    * classic mojibake digraph count ("Ã©"/"â€™" — the UTF-8-as-
+    * Latin-1 encodings of é and ’), and non-ASCII chars per million
+    * (exact integer DIV). A doc flags at any replacement char or ≥ 2
+    * digraphs. Pure synthetic corpus ⇒ the injection discipline: a
+    * deterministic ~1/8 of docs (md5-nibble gate, a DIFFERENT nibble
+    * than the code/PII planters so the screens overlap naturally) get
+    * a mojibake tail first; the screen must recover exactly that set.
+    *
+    * Both engines count CODE POINTS (UTF8String chars / DuckDB len)
+    * and both regex engines match the literal digraphs on code
+    * points, so the arithmetic is cross-engine exact; all injected
+    * chars are BMP (no surrogate-width traps).
+    *
+    * Shape: map-only per-row expressions, ZERO exchanges — an ingest-
+    * scan projection at any corpus size. */
+  private[graft] def mojibakeOf(docs: DataFrame): DataFrame = {
+    val h = md5(col("doc_id").cast("string"))
+    def nibAt(i: Int): Column = conv(substring(h, i, 1), 16, 10).cast("long")
+    val tail = when(nibAt(4) % 8 === 0,
+      concat(lit(" cafÃ© â€™"),
+        repeat(lit("�"), (nibAt(5) % 3 + 1).cast("int"))))
+      .otherwise(lit(""))
+    val dirty = concat(col("text"), tail)
+    val nRepl = (length(dirty) -
+      length(regexp_replace(dirty, "�", ""))).cast("long")
+    val nMoji = size(regexp_extract_all(dirty,
+      lit("Ã©|â€™"), lit(0))).cast("long")
+    val nonAscii = (length(dirty) -
+      length(regexp_replace(dirty, "[^\\x00-\\x7f]", ""))).cast("long")
+    docs.select(col("doc_id"), nRepl.as("n_replacement"),
+        nMoji.as("n_mojibake"), nonAscii.as("na"),
+        length(dirty).cast("long").as("ln"))
+      .select(col("doc_id"), col("n_replacement"), col("n_mojibake"),
+        expr("na * 1000000 DIV ln").as("non_ascii_ppm"),
+        (col("n_replacement") > 0 || col("n_mojibake") >= 2).as("is_corrupt"))
+  }
+
+  def textMojibake(t: Tables): DataFrame = mojibakeOf(t.documents)
 
   /** A 61-token tail whose every adjacent bigram hashes GREEN under
     * the detector's rule (first md5 nibble < 8) — precomputed offline

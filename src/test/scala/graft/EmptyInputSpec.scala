@@ -96,7 +96,15 @@ class EmptyInputSpec extends SparkSpec {
     "q_topn_agg", "events_reach", "er_review_queue", "embed_drift_psi",
     "events_funnel_windowed", "q_late_arriving_dim",
     "text_rake_keyphrases", "events_seasonality_strength",
-    "corpus_dataset_card", "mm_integrity_audit")
+    "corpus_dataset_card", "mm_integrity_audit",
+    // round-13 additions: the MG sketch over an empty token stream
+    // (n=0, empty summary — division guarded by the empty candidate
+    // set), the ACF over an empty day spine (no pairs → no rows),
+    // the two map-only screens, the epoch plan (no sources → no
+    // rows, no DIV by zero), and the one-row isotropy readout's
+    // NULL-safe ratios
+    "text_heavy_hitters", "events_acf", "text_code_detect",
+    "text_mojibake", "corpus_epoch_plan", "embed_isotropy")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -477,4 +477,30 @@ class EmbeddingMiningSpec extends SparkSpec {
     // otherwise the test degenerates to plain kNN components
     assert(mutual.size < edges.size, "no asymmetric edges filtered")
   }
+
+  test("embed_isotropy equals an exact BigInt replay and sits in band") {
+    val vecs = tables.embeddings.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val q = vecs.map(_.map(x => BigDecimal(java.math.BigDecimal.valueOf(x * 10000))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val n = q.length.toLong
+    val dims = q.head.length
+    val sq2 = q.map(v => v.map(x => x * x).sum).sum
+    val dimSums = (0 until dims).map(d => q.map(_(d)).sum)
+    val ss = dimSums.map(s => BigInt(s) * BigInt(s)).sum
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expMean = r6(sq2.toDouble / (n * 100000000L).toDouble)
+    val expCent = r6(ss.toDouble / ((n * n).toDouble * 1e8))
+    val expAniso = r6(ss.toDouble / (n.toDouble * sq2.toDouble))
+    val row = Similarity.embedIsotropy(tables).collect().head
+    assert(row.getLong(0) == n && row.getInt(1) == dims)
+    assert(row.getDouble(2) == expMean, "mean_norm2")
+    assert(row.getDouble(3) == expCent, "centroid_norm2")
+    assert(row.getDouble(4) == expAniso, "anisotropy")
+    // a healthy random-ish cloud is NEARLY isotropic but not exactly:
+    // the statistic must be positive (the centroid is off origin) and
+    // far below the collapse regime
+    assert(row.getDouble(4) > 0.0 && row.getDouble(4) < 0.5)
+  }
 }

@@ -468,4 +468,95 @@ class TextAnalysisSpec extends SparkSpec {
     // bits/char must sit in the plausible text band (not degenerate)
     assert(actual.values.forall { case (_, _, h, b) => h > 0 && b > 0 })
   }
+
+  test("text_code_detect recovers exactly the injected code docs (replay)") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nibs(id: Long): Array[Int] =
+      md5hex(id.toString).map("0123456789abcdef".indexOf(_)).toArray
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = docs.keySet.filter(id => nibs(id)(0) % 8 == 0)
+    assert(truth.nonEmpty, "injection hit no doc at this SF — vacuous")
+    val rows = TextAnalysis.textCodeDetect(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == docs.size)
+    // label exactness vs the planted ground truth
+    assert(rows.filter(_._5).map(_._1).toSet == truth)
+    rows.foreach { case (id, nSym, nKw, ppm, _) =>
+      val n = nibs(id)
+      val dirty = docs(id) + (if (n(0) % 8 == 0)
+        s" def fn$id(x) { return (x * ${n(1) * 31 % 100}) % 97; } " +
+          s"var v$id = ${n(2) * 13 % 50};" else "")
+      val expSym = dirty.count("{}()=;%*".contains(_)).toLong
+      val expKw = "\\b(def|return|var)\\b".r.findAllIn(dirty).length.toLong
+      assert(nSym == expSym, s"doc $id symbols")
+      assert(nKw == expKw, s"doc $id keywords")
+      assert(ppm == expSym * 1000000L / dirty.length, s"doc $id ppm")
+      // clean prose carries zero signal — the flag has no gray zone here
+      if (n(0) % 8 != 0) assert(nSym == 0L && nKw == 0L)
+    }
+  }
+
+  test("corpus_epoch_plan replays exactly and the policy cap bites") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val perSource = tables.documents
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).sum }
+    val qOf = perSource.map { case (s, n) =>
+      s -> math.floor(math.sqrt(n.toDouble) * 1000000L).toLong }
+    val qs = BigInt(qOf.values.sum)
+    val tot = perSource.values.sum
+    val expect = perSource.map { case (s, n) =>
+      val cap = (("0123456789abcdef".indexOf(md5hex(s)(0)).toLong % 4) + 1) * 1000L
+      val quota = (BigInt(2) * BigInt(tot) * BigInt(qOf(s)) / qs).toLong
+      val em = math.min(cap, quota * 1000L / n)
+      (s, n, cap, quota, em, n * em / 1000L, quota - n * em / 1000L)
+    }.toSet
+    val got = TextAnalysis.corpusEpochPlan(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expect,
+      s"plan drift: ${(got -- expect).take(2)} vs ${(expect -- got).take(2)}")
+    // the cap must BITE somewhere and NOT bite somewhere else, or the
+    // readout is vacuous at this SF
+    assert(got.exists { case (_, _, cap, _, em, _, _) => em == cap })
+    assert(got.exists { case (_, _, cap, _, em, _, _) => em < cap })
+    // the plan never overspends the budget
+    assert(got.toSeq.map(_._6).sum <= 2L * tot)
+  }
+
+  test("text_mojibake recovers exactly the injected corrupt docs (replay)") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def nibs(id: Long): Array[Int] =
+      md5hex(id.toString).map("0123456789abcdef".indexOf(_)).toArray
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = docs.keySet.filter(id => nibs(id)(3) % 8 == 0)
+    assert(truth.nonEmpty, "injection hit no doc at this SF — vacuous")
+    val rows = TextAnalysis.textMojibake(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.length == docs.size)
+    assert(rows.filter(_._5).map(_._1).toSet == truth)
+    rows.foreach { case (id, nRepl, nMoji, ppm, _) =>
+      val n = nibs(id)
+      val dirty = docs(id) + (if (n(3) % 8 == 0)
+        " cafÃ© â€™" + "�" * (n(4) % 3 + 1) else "")
+      val expRepl = dirty.count(_ == '�').toLong
+      val expMoji = "Ã©|â€™".r.findAllIn(dirty).length.toLong
+      val expNa = dirty.count(_ > 0x7f).toLong
+      assert(nRepl == expRepl, s"doc $id replacement chars")
+      assert(nMoji == expMoji, s"doc $id digraphs")
+      assert(ppm == expNa * 1000000L / dirty.length, s"doc $id ppm")
+      if (n(3) % 8 != 0) assert(nRepl == 0L && nMoji == 0L && ppm == 0L)
+    }
+  }
 }

@@ -96,4 +96,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(flagged == botTruth,
       s"precision/recall != 1.0: flagged=$flagged truth=$botTruth")
   }
+
+  test("events_acf equals a driver-side exact-integer Pearson replay") {
+    val daily = tables.events
+      .groupBy(to_date(col("ts")).as("dy")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val expect = (1 to 7).flatMap { lag =>
+      val pairs = daily.toSeq.flatMap { case (d, x) =>
+        daily.get(d.plusDays(lag.toLong)).map(y => (x, y))
+      }
+      if (pairs.isEmpty) None else {
+        val n = pairs.size.toLong
+        val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val sxx = pairs.map(p => p._1 * p._1).sum
+        val syy = pairs.map(p => p._2 * p._2).sum
+        val r = (n * sxy - sx * sy).toDouble /
+          math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+        Some((lag, n, BigDecimal(java.math.BigDecimal.valueOf(r))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.toSet
+    val got = EventAnalytics.eventsAcf(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect,
+      s"acf drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // the series must actually pair at every lag on a contiguous span
+    assert(got.size == 7)
+    assert(got.forall { case (_, _, a) => a >= -1.0 && a <= 1.0 })
+  }
 }
