@@ -109,6 +109,9 @@ object SparkEntry {
     // encoding-integrity screen: replacement chars + UTF-8-as-Latin-1
     // digraphs (injected ground truth, map-only)
     "text_mojibake"       -> q(TextAnalysis.textMojibake),
+    // the same screen as a stateless ingest-time continuous query —
+    // stream/batch equivalence pair #21 (same oracle)
+    "stream_mojibake"     -> q(t => graft.streaming.Streaming.streamMojibake(t)),
     // the same heavy-hitters readout as a continuous keyed streaming
     // aggregation — stream/batch equivalence pair #20 (same oracle)
     "stream_heavy_hitters" -> q(t => graft.streaming.Streaming.streamHeavyHitters(t)),
@@ -130,6 +133,9 @@ object SparkEntry {
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
     "events_cuped"        -> q(t => EventAnalytics.eventsCuped(t)),
     "events_pagerank"     -> q(t => EventAnalytics.eventsPagerank(t)),
+    // personalized PageRank from the hub seed — proximity ranking,
+    // same integer-exact iterative discipline (oracle replays rounds)
+    "events_ppr"          -> q(t => EventAnalytics.eventsPpr(t)),
     "events_hits"         -> q(t => EventAnalytics.eventsHits(t)),
     "events_triangles"    -> q(t => EventAnalytics.eventsTriangles(t)),
     "events_kcore"        -> q(t => EventAnalytics.eventsKcore(t)),
@@ -344,6 +350,9 @@ object SparkEntry {
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
     "er_blocked_pairs"    -> q(Governance.erBlockedPairs),
     "er_review_queue"     -> q(Governance.erReviewQueue),
+    // SymSpell deletion-neighborhood fuzzy join (lev<=1), oracle
+    // scores ALL pairs so any blocking hole fails the hash gate
+    "er_fuzzy_pairs"      -> q(Governance.erFuzzyPairs),
     "er_blocking_eval"    -> q(Governance.erBlockingEval),
     "er_resolve_clusters" -> q(Governance.erResolveClusters),
     "er_resolve_incremental" -> q(Governance.erResolveIncremental),
@@ -384,6 +393,29 @@ object SparkEntry {
     * sync with [[graft.operators.TextAnalysis.tokens]]). */
   private val sqlToks =
     "list_filter(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' '), x -> len(x)>0)"
+
+  /** DuckDB oracle shared by the batch and the stateless-ingest
+    * streaming mojibake screens — injection + the three per-row
+    * counts replayed. */
+  private val mojibakeSql: String =
+    """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |n AS (SELECT doc_id, text,
+      |  (strpos('0123456789abcdef', substr(h,4,1))-1) AS n4,
+      |  (strpos('0123456789abcdef', substr(h,5,1))-1) AS n5
+      | FROM h),
+      |d AS (SELECT doc_id, text
+      |  || CASE WHEN n4 % 8 = 0 THEN ' cafÃ© â€™' || repeat('�', CAST(n5 % 3 + 1 AS INT))
+      |     ELSE '' END AS dirty
+      | FROM n),
+      |s AS (SELECT doc_id,
+      |  CAST(len(dirty) - len(replace(dirty, '�', '')) AS BIGINT) AS n_replacement,
+      |  CAST(len(regexp_extract_all(dirty, 'Ã©|â€™')) AS BIGINT) AS n_mojibake,
+      |  CAST(len(dirty) - len(regexp_replace(dirty, '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS na,
+      |  CAST(len(dirty) AS BIGINT) AS ln FROM d)
+      |SELECT doc_id, n_replacement, n_mojibake,
+      |  na * 1000000 // ln AS non_ascii_ppm,
+      |  (n_replacement > 0 OR n_mojibake >= 2) AS is_corrupt
+      |FROM s""".stripMargin
 
   /** DuckDB oracle shared by the batch (sketch→verify) and streaming
     * (keyed state) heavy-hitters paths — the plain unbounded
@@ -942,6 +974,38 @@ object SparkEntry {
        |r0 AS (SELECT src AS item, CAST(1000000 AS BIGINT) AS r FROM deg),
        |$iterCtes
        |SELECT item, CAST(r AS BIGINT) AS pr_micro FROM r$iters""".stripMargin
+  }
+
+  /** Personalized PageRank oracle: the pagerank graph/cap CTEs, the
+    * hub seed (max degree, min item), and every integer-exact round
+    * unrolled — teleport credited to the seed alone. */
+  private lazy val eventsPprSql: String = {
+    val iters = 3
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS (SELECT d.src AS item,
+         |  CAST(CASE WHEN d.src = (SELECT item FROM seed) THEN 150000 ELSE 0 END
+         |    + (17 * coalesce(s.s, 0)) // 20 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst, sum(r.r // dd.deg) AS s
+         |    FROM edges e JOIN r${k - 1} r ON r.item = e.src
+         |    JOIN deg dd ON dd.src = e.src GROUP BY 1) s ON s.dst = d.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH i0 AS (SELECT DISTINCT user_id,
+       |  CAST(json_extract_string(props,'$$.k') AS INTEGER) AS item
+       | FROM events WHERE event_type = 'purchase'),
+       |i AS (SELECT user_id, item FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+       | WHERE rk <= 64),
+       |edges AS (SELECT DISTINCT a.item AS src, b.item AS dst
+       |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.item <> b.item),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+       |seed AS (SELECT src AS item FROM deg ORDER BY deg DESC, src LIMIT 1),
+       |r0 AS (SELECT src AS item,
+       |  CAST(CASE WHEN src = (SELECT item FROM seed) THEN 1000000 ELSE 0 END AS BIGINT) AS r
+       | FROM deg),
+       |$iterCtes
+       |SELECT item, CAST(r AS BIGINT) AS ppr_micro FROM r$iters""".stripMargin
   }
 
   /** `events_cuped` — the variance-reduction readout replayed on
@@ -2168,6 +2232,7 @@ object SparkEntry {
     },
     "events_cuped" -> eventsCupedSql,
     "events_pagerank" -> eventsPagerankSql,
+    "events_ppr" -> eventsPprSql,
     "events_communities" -> eventsCommunitiesSql,
     "events_reach" -> eventsReachSql,
     // recursive-CTE replay of the integer-micro-unit KM fold; the
@@ -2585,25 +2650,8 @@ object SparkEntry {
         | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""".stripMargin,
     "text_heavy_hitters" -> heavyHittersSql,
     "stream_heavy_hitters" -> heavyHittersSql,
-    "text_mojibake" ->
-      """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-        |n AS (SELECT doc_id, text,
-        |  (strpos('0123456789abcdef', substr(h,4,1))-1) AS n4,
-        |  (strpos('0123456789abcdef', substr(h,5,1))-1) AS n5
-        | FROM h),
-        |d AS (SELECT doc_id, text
-        |  || CASE WHEN n4 % 8 = 0 THEN ' cafÃ© â€™' || repeat('�', CAST(n5 % 3 + 1 AS INT))
-        |     ELSE '' END AS dirty
-        | FROM n),
-        |s AS (SELECT doc_id,
-        |  CAST(len(dirty) - len(replace(dirty, '�', '')) AS BIGINT) AS n_replacement,
-        |  CAST(len(regexp_extract_all(dirty, 'Ã©|â€™')) AS BIGINT) AS n_mojibake,
-        |  CAST(len(dirty) - len(regexp_replace(dirty, '[^\x00-\x7f]', '', 'g')) AS BIGINT) AS na,
-        |  CAST(len(dirty) AS BIGINT) AS ln FROM d)
-        |SELECT doc_id, n_replacement, n_mojibake,
-        |  na * 1000000 // ln AS non_ascii_ppm,
-        |  (n_replacement > 0 OR n_mojibake >= 2) AS is_corrupt
-        |FROM s""".stripMargin,
+    "text_mojibake" -> mojibakeSql,
+    "stream_mojibake" -> mojibakeSql,
     "text_code_detect" ->
       """WITH h AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |n AS (SELECT doc_id, text,
@@ -3618,6 +3666,12 @@ object SparkEntry {
     // ALL-PAIRS replay of the exactly-2 review band — the three
     // single-field blocks are pigeonhole-complete for it (≥1 of any
     // 2 agreements is an equality field), and any hole fails here
+    "er_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+        | a.c_name AS a_name, b.c_name AS b_name,
+        | CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     "er_review_queue" ->
       """SELECT a.p_partkey AS key_1, b.p_partkey AS key_2,
         | CAST(a.p_name = b.p_name AS INTEGER) AS name_agree,

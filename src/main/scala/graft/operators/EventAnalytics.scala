@@ -757,6 +757,63 @@ object EventAnalytics {
     r.select(col("item"), col("r").as("pr_micro"))
   }
 
+  /** E200 — `events_ppr`: PERSONALIZED PageRank from the catalog hub
+    * (max-degree item, min-id tiebreak — `events_reach`'s seed rule)
+    * over the co-purchase graph: teleport mass returns to the SEED
+    * alone, so scores rank items by proximity to the hub's
+    * neighborhood rather than global centrality — the standard
+    * related-items / seeded-recommendation walk
+    * (`events_pagerank` answers "globally important"; this answers
+    * "important NEAR this item", and the two rankings disagree by
+    * design on any non-vertex-transitive graph).
+    *
+    * Same integer-exact iterative discipline as `events_pagerank`:
+    * micro-unit int64 scores, per-edge integral division r DIV deg,
+    * damped spread (17·Σ) DIV 20 with the 0.15 teleport (150000 µ)
+    * credited only to the seed; every round replays verbatim in the
+    * oracle's unrolled CTEs. Unreached nodes hold exact 0 (they get
+    * no teleport), so the score support traces the seed's reachable
+    * set — rounds bound the walk radius like the BFS.
+    *
+    * Shape: the seed is ONE bounded collected row; each round is one
+    * edge⋈score equi-join + dst-keyed partial-agg sum + a left join
+    * back to the node table — state O(nodes), nothing cartesian. */
+  def eventsPpr(t: Tables, iters: Int = 3,
+      maxItemsPerUser: Int = 64): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser)
+    val edges = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") =!= col("b.item"))
+      .select(col("a.item").as("src"), col("b.item").as("dst"))
+      .distinct().persist()
+    edges.count()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val seedRow = deg.orderBy(desc("deg"), asc("src")).limit(1).collect()
+    if (seedRow.isEmpty) {
+      val sess = edges.sparkSession
+      import sess.implicits._
+      edges.unpersist()
+      return Seq.empty[(Int, Long)].toDF("item", "ppr_micro")
+    }
+    val seed = seedRow(0).getInt(0)
+    var r = deg.select(col("src").as("item"),
+      when(col("src") === seed, lit(1000000L)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val spread = edges.join(r, edges("src") === r("item"))
+        .join(deg, "src")
+        .select(col("dst").as("item"), expr("r DIV deg").as("c"))
+        .groupBy(col("item")).agg(sum(col("c")).as("s"))
+      r = deg.select(col("src").as("item"))
+        .join(spread, Seq("item"), "left")
+        .select(col("item"),
+          (when(col("item") === seed, lit(150000L)).otherwise(lit(0L)) +
+            expr("(17 * coalesce(s, 0L)) DIV 20")).as("r"))
+    }
+    val out = r.select(col("item"), col("r").as("ppr_micro"))
+    edges.unpersist()
+    out
+  }
+
   /** `events_triangles` — per-item triangle participation over the
     * co-purchase graph: how many closed item triples each catalog
     * item sits in — the local clustering signal (bundle detection,

@@ -120,6 +120,42 @@ object Governance {
     * coarser than the match rule's (type×brand) — that is the price
     * of completeness at the looser band; at 100 TB the coarse blocks
     * subdivide (brand × size-band) with the same shape. */
+  /** G8 — `er_fuzzy_pairs`: edit-distance-≤1 fuzzy matching over the
+    * customer register via SymSpell DELETION-NEIGHBORHOOD blocking
+    * (the public symmetric-delete scheme): each name generates itself
+    * plus its |name| single-character-deletion variants, and any two
+    * names within Levenshtein 1 PROVABLY share a variant — equal
+    * names share the name, a substitution shares the both-sides
+    * deletion at the differing position, an insertion shares the
+    * shorter name itself. Candidates (variant-keyed equi-self-join)
+    * are then VERIFIED with the exact Levenshtein predicate, so the
+    * output is exact: the oracle scores ALL pairs — a blocking hole
+    * fails the hash gate (the `er_blocked_pairs` discipline); shared
+    * variants can also pair distance-2 names ("ab"/"ba" both delete
+    * to "a"), which the verify filter removes.
+    *
+    * The typo-matching workhorse next to the field-agreement triage
+    * (`er_review_queue` scores structured agreement; this catches the
+    * single-keystroke error inside one field). Scale: candidate
+    * volume is Σ bucket² over variant buckets (bounded by how many
+    * strings share a deletion — never all-pairs); the verify is an
+    * O(L²) scalar per candidate; both engines' `levenshtein` are the
+    * classic DP, exact on ASCII. */
+  def erFuzzyPairs(t: Tables): DataFrame = {
+    val c = t.customer.select(col("c_custkey").cast("long").as("id"),
+      col("c_name").as("name"))
+    val vars = c.withColumn("v", explode(array_union(array(col("name")),
+      expr("transform(sequence(1, length(name)), i -> " +
+        "concat(substring(name, 1, i-1), substring(name, i+1, length(name))))"))))
+    vars.as("a")
+      .join(vars.as("b"), col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.name").as("a_name"), col("b.name").as("b_name"))
+      .distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("int"))
+  }
+
   def erReviewQueue(t: Tables): DataFrame = {
     val p = erProj(t.part)
     // the exactly-2 score test rides INSIDE each block join as a

@@ -162,6 +162,21 @@ object Streaming {
       graft.operators.Multimodal.integrityAuditOf(docsStream), "append")
   }
 
+  /** X21 — `stream_mojibake`: the encoding-integrity screen at INGEST
+    * time — injection and the three per-row counts run as a STATELESS
+    * map-only projection per arriving document (append mode, zero
+    * streaming state — the `stream_integrity_audit` deployment shape:
+    * an encoding validator sits in the ingest path, not in tomorrow's
+    * batch). Shares the batch oracle verbatim — stream/batch
+    * equivalence pair #21. */
+  def streamMojibake(t: Tables): DataFrame = {
+    val schema = t.raw("documents").schema
+    val docsStream = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    drainToTable(
+      graft.operators.TextAnalysis.mojibakeOf(docsStream), "append")
+  }
+
   /** `q_session_window_batch` — the SAME native merging-window
     * aggregation on the BATCH axis: the engine's `session_window`
     * over the static events table, proving the built-in sessionizer

@@ -104,7 +104,8 @@ class EmptyInputSpec extends SparkSpec {
     // rows, no DIV by zero), and the one-row isotropy readout's
     // NULL-safe ratios
     "text_heavy_hitters", "events_acf", "text_code_detect",
-    "text_mojibake", "corpus_epoch_plan", "embed_isotropy")
+    "text_mojibake", "corpus_epoch_plan", "embed_isotropy",
+    "events_ppr", "er_fuzzy_pairs")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -78,6 +78,40 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size > 5 && got.values.toSet.size > 1)
   }
 
+  test("events_ppr matches an independent integer re-derivation") {
+    // same graph as pagerank, but mass starts at the hub seed and the
+    // teleport returns ONLY to it — replayed exactly in integers
+    val items = EventAnalytics.cappedUserItems(tables, 64)
+      .collect().toList.map(r => (r.getLong(0), r.getInt(1)))
+    val edges = items.groupBy(_._1).values.toList.flatMap { us =>
+      val is = us.map(_._2)
+      for (a <- is; b <- is if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val seed = deg.toSeq.map { case (i, d) => (-d, i) }.min._2
+    var r = deg.keys.map(i => i -> (if (i == seed) 1000000L else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.toSeq.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = deg.keys.map { n =>
+        n -> ((if (n == seed) 150000L else 0L) + (17L * in.getOrElse(n, 0L)) / 20L)
+      }.toMap
+    }
+    val got = EventAnalytics.eventsPpr(tables).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(got == r, s"ppr mismatch: ${(got.toSet -- r.toSet).take(3)} vs ${(r.toSet -- got.toSet).take(3)}")
+    // proximity vs centrality: the personalized ranking must actually
+    // differ from the global one somewhere, and differentiate
+    assert(got.size > 5 && got.values.toSet.size > 1)
+    val global = EventAnalytics.eventsPagerank(tables).collect()
+      .map(x => x.getInt(0) -> x.getLong(1)).toMap
+    def ranking(m: Map[Int, Long]) =
+      m.toSeq.sortBy { case (i, s) => (-s, i) }.map(_._1)
+    assert(ranking(got) != ranking(global),
+      "personalization is a no-op on this graph — vacuous")
+  }
+
   test("events_hits matches an independent integer re-derivation") {
     // replay the unnormalized bipartite mutual reinforcement in plain
     // Scala: h1 = 1000·deg(u), a1 = Σ h1, h2 = Σ a1, a2 = Σ h2 —

@@ -144,6 +144,33 @@ class GovernanceSpec extends SparkSpec {
     assert(got("union")._2 == matches.length.toLong)
   }
 
+  test("er_fuzzy_pairs equals all-pairs levenshtein (deletion blocking is complete)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val names = tables.customer
+      .select(org.apache.spark.sql.functions.col("c_custkey").cast("long"),
+        org.apache.spark.sql.functions.col("c_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expect = (for {
+      (ia, na) <- names; (ib, nb) <- names
+      if ia < ib && lev(na, nb) <= 1
+    } yield (ia, ib, na, nb, lev(na, nb))).toSet
+    val got = Governance.erFuzzyPairs(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4))).toSet
+    assert(got == expect,
+      s"fuzzy drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // non-vacuous, and the verify filter actually prunes shared-variant
+    // false candidates (distance-2 names sharing a deletion exist here)
+    assert(got.nonEmpty)
+  }
+
   test("er_review_queue equals the all-pairs exactly-2 band (blocks are complete)") {
     val parts = tables.part
       .select("p_partkey", "p_name", "p_type", "p_brand", "p_size")

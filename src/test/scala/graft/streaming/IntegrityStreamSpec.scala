@@ -20,6 +20,17 @@ class IntegrityStreamSpec extends SparkSpec {
     assert(batch.exists(_._6), "no corruption flagged — vacuous")
   }
 
+  test("stream_mojibake equals the batch encoding screen exactly") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSet
+    val stream = rows(Streaming.streamMojibake(tables))
+    val batch = rows(graft.operators.TextAnalysis.textMojibake(tables))
+    assert(stream == batch,
+      s"screen drift: ${(stream -- batch).take(3)} vs ${(batch -- stream).take(3)}")
+    assert(batch.exists(_._5), "no corruption flagged — vacuous")
+  }
+
   test("q_session_window_batch equals the streaming session_window agg") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
