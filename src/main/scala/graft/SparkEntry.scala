@@ -73,6 +73,9 @@ object SparkEntry {
     "q_asof_join_native"  -> q(Relational.qAsofJoinNative),
     "q_asof_join_forward" -> q(Relational.qAsofJoinForward),
     "q_asof_nearest"      -> q(Relational.qAsofJoinNearest),
+    // as-of with a staleness bound: stale state nulls out (the
+    // feature-store serving rule plain backward as-of can't express)
+    "q_asof_tolerance"    -> q(t => Relational.qAsofJoinTolerance(t)),
     "q_sessionize"        -> q(Relational.qSessionize),
     "q_json_extract"      -> q(Relational.qJsonExtract),
     "q_time_bucket"       -> q(Relational.qTimeBucket),
@@ -301,6 +304,8 @@ object SparkEntry {
     "mm_decode_meta"      -> q(Multimodal.mmDecodeMeta),
     "mm_frame_sample"     -> q(Multimodal.mmFrameSample),
     "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
+    // vision-token cost plan from header metadata alone (map-only)
+    "mm_token_budget"     -> q(t => Multimodal.mmTokenBudget(t)),
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     "mm_audio_vad"        -> q(t => Multimodal.mmAudioVad(t)),
     "mm_phash_pairs"      -> q(t => Multimodal.mmPhashPairs(t)),
@@ -1487,6 +1492,19 @@ object SparkEntry {
         | p.next_purchase_id, p.r_ts AS next_purchase_ts
         |FROM e ASOF LEFT JOIN p
         | ON e.user_id = p.r_user AND e.ts <= p.r_ts""".stripMargin,
+    "q_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT user_id AS r_user, CAST(ts AS TIMESTAMP) AS r_ts,
+        |   max(event_id) AS pid
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        | e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | j AS (SELECT e.event_id, e.user_id, e.ts, p.pid, p.r_ts,
+        |  (p.r_ts IS NOT NULL AND epoch_us(e.ts) - epoch_us(p.r_ts) <= 259200000000) AS fresh
+        |  FROM e ASOF LEFT JOIN p ON e.user_id = p.r_user AND e.ts >= p.r_ts)
+        |SELECT event_id, user_id, ts,
+        | CASE WHEN fresh THEN pid END AS prev_purchase_id,
+        | CASE WHEN fresh THEN r_ts END AS prev_purchase_ts
+        |FROM j""".stripMargin,
     // two DuckDB ASOFs (backward + forward) + the same closer-side CASE
     "q_asof_nearest" ->
       """WITH p AS (
@@ -3043,6 +3061,28 @@ object SparkEntry {
     // the streaming front door shares the batch oracle verbatim —
     // stream/batch equivalence pair #6
     "stream_modality_router" -> mmModalityRouterSql,
+    "mm_token_budget" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id,
+        |  16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS b0,
+        |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
+        |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4
+        | FROM m),
+        |d AS (SELECT doc_id, 16+b0 AS width, 16+b1 AS height,
+        |  CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt,
+        |  CASE WHEN b3%3 = 2 THEN 1 + b4 % 8 ELSE 1 END AS n_frames FROM b),
+        |r AS (SELECT *, greatest(width, height) * 1.0 AS mx FROM d),
+        |s AS (SELECT doc_id, fmt, n_frames,
+        |  floor(width * least(1.0, 224 / mx))::INT AS tw,
+        |  floor(height * least(1.0, 224 / mx))::INT AS th FROM r),
+        |g AS (SELECT doc_id, fmt, (tw + 15) // 16 AS tiles_x,
+        |  (th + 15) // 16 AS tiles_y, (n_frames - 1) // 5 + 1 AS frames_sampled
+        | FROM s)
+        |SELECT doc_id, fmt, CAST(tiles_x AS INT) AS tiles_x,
+        | CAST(tiles_y AS INT) AS tiles_y, CAST(frames_sampled AS INT) AS frames_sampled,
+        | CAST(tiles_x * tiles_y * frames_sampled AS BIGINT) AS vision_tokens
+        |FROM g""".stripMargin,
     "mm_resize_plan" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,

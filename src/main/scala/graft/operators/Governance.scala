@@ -138,9 +138,12 @@ object Governance {
     * (`er_review_queue` scores structured agreement; this catches the
     * single-keystroke error inside one field). Scale: candidate
     * volume is Σ bucket² over variant buckets (bounded by how many
-    * strings share a deletion — never all-pairs); the verify is an
-    * O(L²) scalar per candidate; both engines' `levenshtein` are the
-    * classic DP, exact on ASCII. */
+    * strings share a deletion — never all-pairs); the verify is
+    * Spark's THRESHOLD Levenshtein (banded DP that abandons a pair
+    * the moment the distance exceeds 1 — O(L) per candidate, not
+    * O(L²)), run MAP-SIDE before the dedup exchange so only true
+    * matches shuffle; the oracle's plain all-pairs DP is exact on
+    * the same ASCII and agrees on every surviving distance. */
   def erFuzzyPairs(t: Tables): DataFrame = {
     val c = t.customer.select(col("c_custkey").cast("long").as("id"),
       col("c_name").as("name"))
@@ -151,9 +154,14 @@ object Governance {
       .join(vars.as("b"), col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.name").as("a_name"), col("b.name").as("b_name"))
+      // verify FIRST (map-side, banded DP via the threshold form that
+      // abandons a row the moment the distance exceeds 1), THEN dedup:
+      // the distinct's exchange carries only true matches, not the
+      // ~bucket² candidate fan-out
+      .withColumn("dist",
+        levenshtein(col("a_name"), col("b_name"), 1).cast("int"))
+      .filter(col("dist") >= 0)
       .distinct()
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")).cast("int"))
   }
 
   def erReviewQueue(t: Tables): DataFrame = {

@@ -523,6 +523,39 @@ object Multimodal {
         sum((col("target_w") * col("target_h")).cast("long")).as("total_pixels"))
   }
 
+  /** M10 — `mm_token_budget`: the VISION-TOKEN cost plan per media
+    * row — what a vision-language training run budgets before it
+    * decodes anything: fit-to-`maxSide` downscale (the
+    * `mm_resize_plan` floor-sizing discipline — never upscaled, no
+    * round-half hazard), `patch`×`patch` ViT patching with ceil
+    * tiling, and every-`frameStride`-th frame sampling for animated
+    * payloads (the `mm_frame_sample` stride), so
+    * vision_tokens = tiles_x · tiles_y · frames_sampled. Summed over
+    * a corpus this is the token bill that decides mixture weights and
+    * shard sizing for the multimodal slice — computed entirely from
+    * header metadata, no pixel ever decoded.
+    *
+    * Exact integer arithmetic after the one floor-scale per side
+    * (identical IEEE operands both engines): ceil division via
+    * (x + p−1) DIV p, stride count (n−1) DIV s + 1. Map-only over
+    * the header scan, ZERO exchanges at any corpus size. */
+  def mmTokenBudget(t: Tables, maxSide: Int = 224, patch: Int = 16,
+      frameStride: Int = 5): DataFrame = {
+    val m = greatest(col("width"), col("height")).cast("double")
+    val scale = least(lit(1.0), lit(maxSide) / m)
+    mmDecodeMeta(t)
+      .withColumn("target_w", floor(col("width") * scale).cast("int"))
+      .withColumn("target_h", floor(col("height") * scale).cast("int"))
+      .withColumn("tiles_x", expr(s"CAST((target_w + ${patch - 1}) DIV $patch AS INT)"))
+      .withColumn("tiles_y", expr(s"CAST((target_h + ${patch - 1}) DIV $patch AS INT)"))
+      .withColumn("frames_sampled",
+        expr(s"CAST((n_frames - 1) DIV $frameStride + 1 AS INT)"))
+      .select(col("doc_id"), col("fmt"), col("tiles_x"), col("tiles_y"),
+        col("frames_sampled"),
+        (col("tiles_x").cast("long") * col("tiles_y") *
+          col("frames_sampled")).as("vision_tokens"))
+  }
+
   /** M2 — `mm_frame_sample`: every 5th frame index per media row
     * (explode of a bounded sequence — the standard frame-sampling
     * shape), with a deterministic per-frame fingerprint over the

@@ -551,6 +551,37 @@ object Relational {
         col("next_purchase_id"), col("r_ts").as("next_purchase_ts"))
   }
 
+  /** `q_asof_tolerance` — as-of join with a STALENESS BOUND: every
+    * event attaches the latest same-user purchase at or before it,
+    * but only when that purchase is within `maxStalenessDays` — older
+    * state comes back NULL. This is the feature-store serving rule
+    * (a feature computed too long before the observation is treated
+    * as missing, not silently served stale — the training/serving
+    * consistency bound), which plain backward as-of can't express:
+    * it always attaches SOMETHING.
+    *
+    * Composed as the native sort-merge as-of
+    * ([[graft.plans.AsOfJoinExec]] — one shuffle per side, linear
+    * merge) + a map-side staleness predicate that NULLs the attached
+    * columns; the bound is an exact integer microsecond compare, so
+    * the DuckDB ASOF oracle replays the edge inclusively on both
+    * engines.
+    */
+  def qAsofJoinTolerance(t: Tables, maxStalenessDays: Int = 3): DataFrame = {
+    val p = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("r_user"), col("ts").as("r_ts"))
+      .agg(max(col("event_id")).as("pid"))
+    val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+    val tolUs = maxStalenessDays * 86400000000L
+    val fresh = col("r_ts").isNotNull &&
+      (unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(col("r_ts").cast("timestamp")) <= lit(tolUs))
+    graft.plans.AsOfJoinOps.asofJoin(ev, p, "user_id", "ts", "r_user", "r_ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(fresh, col("pid")).as("prev_purchase_id"),
+        when(fresh, col("r_ts")).as("prev_purchase_ts"))
+  }
+
   /** `q_asof_nearest` — NEAREST-in-time as-of: every event attaches
     * the same-user purchase with the minimal |Δt|, whichever side of
     * the event it falls on (ties go backward — the "what was the user

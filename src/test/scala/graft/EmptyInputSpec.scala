@@ -105,7 +105,7 @@ class EmptyInputSpec extends SparkSpec {
     // NULL-safe ratios
     "text_heavy_hitters", "events_acf", "text_code_detect",
     "text_mojibake", "corpus_epoch_plan", "embed_isotropy",
-    "events_ppr", "er_fuzzy_pairs")
+    "events_ppr", "er_fuzzy_pairs", "q_asof_tolerance", "mm_token_budget")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

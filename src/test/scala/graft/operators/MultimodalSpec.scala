@@ -203,4 +203,29 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.forall { case (_, nw, na, _, _) => na > 0 && na < nw })
     assert(expected.exists(_._4 > 1), "no payload has multiple segments")
   }
+
+  test("token budget replays the tiling arithmetic from decoded headers") {
+    val meta = Multimodal.mmDecodeMeta(tables).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getString(5))) // doc_id, width, height, n_frames, fmt
+    val expected = meta.map { case (id, w, h, nf, fmt) =>
+      val mx = math.max(w, h).toDouble
+      val scale = math.min(1.0, 224.0 / mx)
+      val tw = math.floor(w * scale).toInt
+      val th = math.floor(h * scale).toInt
+      val tx = (tw + 15) / 16; val ty = (th + 15) / 16
+      val fs = (nf - 1) / 5 + 1
+      (id, fmt, tx, ty, fs, tx.toLong * ty * fs)
+    }.toSet
+    val actual = Multimodal.mmTokenBudget(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getLong(5))).toSet
+    assert(actual == expected,
+      s"budget mismatch: ${(actual -- expected).take(3)} vs ${(expected -- actual).take(3)}")
+    // the plan must discriminate: multi-frame gifs cost more, and no
+    // image exceeds the 224/16 = 14x14 patch ceiling
+    assert(expected.exists(_._5 > 1), "no animated payload sampled > 1 frame")
+    assert(expected.forall { case (_, _, tx, ty, _, _) => tx <= 14 && ty <= 14 })
+    assert(expected.map(_._6).size > 1)
+  }
 }

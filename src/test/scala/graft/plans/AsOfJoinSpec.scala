@@ -120,6 +120,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(expect.exists(_._4 == "prev") && expect.exists(_._4 == "next"))
   }
 
+  test("q_asof_tolerance equals a naive scan and the staleness bound bites") {
+    val t = tables
+    val tolUs = 3L * 86400000000L
+    val purchases = t.events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("pid"))
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("pid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val events = t.events
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = events.map { case (eid, u, us) =>
+      val prev = purchases.getOrElse(u, Array.empty[(Long, Long, Long)])
+        .filter(_._2 <= us).sortBy(_._2).lastOption
+      prev match {
+        case Some(p) if us - p._2 <= tolUs => (eid, p._3)
+        case _ => (eid, -1L) // no purchase, or stale past the bound
+      }
+    }.toSet
+    val got = Relational.qAsofJoinTolerance(t).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got == expect,
+      s"tolerance drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // the bound must NULL some matches backward as-of would serve, and
+    // keep others — otherwise the operator degenerates either way
+    val backward = events.count { case (_, u, us) =>
+      purchases.getOrElse(u, Array.empty[(Long, Long, Long)]).exists(_._2 <= us) }
+    val kept = expect.count(_._2 >= 0)
+    assert(kept > 0 && kept < backward, s"kept=$kept backward=$backward")
+  }
+
   test("forward as-of: exact-timestamp match is inclusive and peeking preserves later lefts") {
     import spark.implicits._
     val l = Seq((7L, 100L), (7L, 100L), (7L, 150L)).toDF("k", "t")
