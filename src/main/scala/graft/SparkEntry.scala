@@ -97,6 +97,9 @@ object SparkEntry {
     // epoch/repetition plan per source: temperature quota -> implied
     // epochs, policy cap, planned + unplaced tokens (exact DIV chains)
     "corpus_epoch_plan"   -> q(t => TextAnalysis.corpusEpochPlan(t)),
+    // the planner maintained continuously over the document stream —
+    // stream/batch equivalence pair #22 (same oracle)
+    "stream_epoch_plan"   -> q(t => graft.streaming.Streaming.streamEpochPlan(t)),
     "text_fingerprint"    -> q(TextAnalysis.textFingerprint),
     "text_char_entropy"   -> q(TextAnalysis.textCharEntropy),
     "text_rake_keyphrases" -> q(t => TextAnalysis.textRakeKeyphrases(t)),
@@ -159,6 +162,9 @@ object SparkEntry {
     // daily-volume autocorrelation at lags 1..7 — finds periodicity
     // without assuming a period (exact-int Pearson terms, §6 class 4)
     "events_acf"          -> q(t => EventAnalytics.eventsAcf(t)),
+    // Holt level+trend smoothing per type (floor-division integer
+    // fold, negative-safe; oracle replays via recursive CTE)
+    "events_holt_forecast" -> q(EventAnalytics.eventsHoltForecast),
     // the same monitor as a continuous query off the hourly streaming
     // state; shares the batch oracle — equivalence pair #17
     "stream_changepoint"  -> q(t => graft.streaming.Streaming.streamChangepoint(t)),
@@ -398,6 +404,28 @@ object SparkEntry {
     * sync with [[graft.operators.TextAnalysis.tokens]]). */
   private val sqlToks =
     "list_filter(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' '), x -> len(x)>0)"
+
+  /** DuckDB oracle shared by the batch and streaming epoch planners:
+    * sqrt-quantized temperature quota → capped epochs, all-integer
+    * DIV chains over the per-source token rollup. */
+  private lazy val epochPlanSql: String =
+    s"""WITH ps AS (SELECT source,
+      |  CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
+      |qq AS (SELECT *,
+      |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS q,
+      |  CAST(((strpos('0123456789abcdef', substr(md5(source),1,1))-1) % 4 + 1) * 1000 AS BIGINT) AS cap_milli
+      | FROM ps),
+      |tot AS (SELECT sum(CAST(q AS HUGEINT)) AS qs,
+      |  sum(n_tokens) AS tot_tokens FROM qq),
+      |pl AS (SELECT source, n_tokens, cap_milli,
+      |  CAST((CAST(2 AS HUGEINT) * tot_tokens * q) // qs AS BIGINT) AS quota_tokens
+      | FROM qq, tot),
+      |ep AS (SELECT *,
+      |  least(cap_milli, quota_tokens * 1000 // n_tokens) AS epochs_milli FROM pl)
+      |SELECT source, n_tokens, cap_milli, quota_tokens, epochs_milli,
+      |  n_tokens * epochs_milli // 1000 AS planned_tokens,
+      |  quota_tokens - n_tokens * epochs_milli // 1000 AS unplaced_tokens
+      |FROM ep""".stripMargin
 
   /** DuckDB oracle shared by the batch and the stateless-ingest
     * streaming mojibake screens — injection + the three per-row
@@ -1566,24 +1594,8 @@ object SparkEntry {
         | round(CAST(q AS DOUBLE) / CAST(qs AS DOUBLE) + 1e-9, 6) AS share,
         | CAST((CAST(1000000 AS HUGEINT) * q) // qs AS BIGINT) AS quota_tokens
         |FROM qq, tot""".stripMargin,
-    "corpus_epoch_plan" ->
-      s"""WITH ps AS (SELECT source,
-        |  CAST(sum(len($sqlToks)) AS BIGINT) AS n_tokens FROM documents GROUP BY 1),
-        |qq AS (SELECT *,
-        |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS q,
-        |  CAST(((strpos('0123456789abcdef', substr(md5(source),1,1))-1) % 4 + 1) * 1000 AS BIGINT) AS cap_milli
-        | FROM ps),
-        |tot AS (SELECT sum(CAST(q AS HUGEINT)) AS qs,
-        |  sum(n_tokens) AS tot_tokens FROM qq),
-        |pl AS (SELECT source, n_tokens, cap_milli,
-        |  CAST((CAST(2 AS HUGEINT) * tot_tokens * q) // qs AS BIGINT) AS quota_tokens
-        | FROM qq, tot),
-        |ep AS (SELECT *,
-        |  least(cap_milli, quota_tokens * 1000 // n_tokens) AS epochs_milli FROM pl)
-        |SELECT source, n_tokens, cap_milli, quota_tokens, epochs_milli,
-        |  n_tokens * epochs_milli // 1000 AS planned_tokens,
-        |  quota_tokens - n_tokens * epochs_milli // 1000 AS unplaced_tokens
-        |FROM ep""".stripMargin,
+    "corpus_epoch_plan" -> epochPlanSql,
+    "stream_epoch_plan" -> epochPlanSql,
     // per-source boilerplate vocabulary: df·10 >= n_docs·8 is the
     // exact-integer 80% document-frequency threshold
     "text_boilerplate" ->
@@ -2251,6 +2263,37 @@ object SparkEntry {
     "events_cuped" -> eventsCupedSql,
     "events_pagerank" -> eventsPagerankSql,
     "events_ppr" -> eventsPprSql,
+    "events_holt_forecast" ->
+      """WITH RECURSIVE dd AS (SELECT event_type AS et,
+        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day FROM events),
+        |sp AS (SELECT min(day) AS dlo, max(day) AS dhi FROM dd),
+        |ds AS (SELECT unnest(generate_series(dlo, dhi)) AS day FROM sp),
+        |ty AS (SELECT DISTINCT et FROM dd),
+        |cnt AS (SELECT t.et, d.day, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        |  FROM ty t JOIN ds d ON true
+        |  LEFT JOIN (SELECT et, day, count(*) AS x FROM dd GROUP BY 1, 2) c
+        |    ON c.et = t.et AND c.day = d.day),
+        |idx AS (SELECT et, x,
+        |  CAST(row_number() OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS rn
+        | FROM cnt),
+        |nn AS (SELECT et, max(rn) AS t FROM idx GROUP BY 1),
+        |h AS (
+        |  SELECT a.et, CAST(1 AS BIGINT) AS rn,
+        |    CAST(a.x * 1000000 AS BIGINT) AS l,
+        |    CAST(coalesce(b.x - a.x, 0) * 1000000 AS BIGINT) AS b,
+        |    CAST(0 AS BIGINT) AS err
+        |  FROM idx a LEFT JOIN idx b ON b.et = a.et AND b.rn = 2
+        |  WHERE a.rn = 1
+        |  UNION ALL
+        |  SELECT i.et, h.rn + 1,
+        |    CAST((2 * i.x * 1000000 + 8 * (h.l + h.b)) // 10 AS BIGINT),
+        |    CAST((((2 * i.x * 1000000 + 8 * (h.l + h.b)) // 10) - h.l + 9 * h.b) // 10 AS BIGINT),
+        |    CAST(h.err + abs(i.x * 1000000 - (h.l + h.b)) AS BIGINT)
+        |  FROM h JOIN idx i ON i.et = h.et AND i.rn = h.rn + 1)
+        |SELECT h.et AS event_type, nn.t AS n_days, h.l AS level_micro,
+        | h.b AS trend_micro, h.l + h.b AS forecast_micro,
+        | CASE WHEN nn.t > 1 THEN h.err // (nn.t - 1) ELSE 0 END AS mae_micro
+        |FROM h JOIN nn ON nn.et = h.et AND h.rn = nn.t""".stripMargin,
     "events_communities" -> eventsCommunitiesSql,
     "events_reach" -> eventsReachSql,
     // recursive-CTE replay of the integer-micro-unit KM fold; the

@@ -1698,6 +1698,57 @@ object EventAnalytics {
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
       .agg(count(lit(1)).as("x")))
 
+  /** E201 — `events_holt_forecast`: Holt double-exponential smoothing
+    * (public Holt 1957) per event type over the gap-filled daily
+    * spine — LEVEL + TREND state, the forecaster that follows a
+    * drifting series where `events_forecast_eval`'s seasonal-naive
+    * baseline lags by construction; reports the fitted state, the
+    * one-step-ahead forecast, and the in-sample one-step MAE (the
+    * backtest number you compare against that baseline's).
+    *
+    * Integer-exact iterative discipline, negative-safe: α=0.2/β=0.1
+    * folds run in micro-units as TRUNCATING divisions — probed, not
+    * assumed: DuckDB's `//` rounds toward zero on negatives exactly
+    * like Scala's Long `/` and Spark's DIV, so negative trends agree
+    * bit-for-bit and the oracle's RECURSIVE CTE replays every step. The fold runs driver-side over the collected
+    * (type × day) rollup — the Markov/KM collect budget: #types ×
+    * #days rows at any corpus size; the only distributed work is the
+    * one (type, day)-keyed partial agg that sees raw events. */
+  def eventsHoltForecast(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val counts = t.events
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    if (counts.isEmpty)
+      return Seq.empty[(String, Long, Long, Long, Long, Long)]
+        .toDF("event_type", "n_days", "level_micro", "trend_micro",
+          "forecast_micro", "mae_micro")
+    val days = counts.keys.map(_._2)
+    val (d0, d1) = (days.min, days.max)
+    val out = counts.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      val xs = (d0 to d1).map(d => counts.getOrElse((et, d), 0L)).toArray
+      val n = xs.length
+      var l = xs(0) * 1000000L
+      var b = if (n >= 2) (xs(1) - xs(0)) * 1000000L else 0L
+      var err = 0L
+      var i = 1
+      while (i < n) {
+        err += math.abs(xs(i) * 1000000L - (l + b))
+        val lNew = (2L * xs(i) * 1000000L + 8L * (l + b)) / 10L
+        b = ((lNew - l) + 9L * b) / 10L
+        l = lNew
+        i += 1
+      }
+      (et, n.toLong, l, b, l + b, if (n > 1) err / (n - 1L) else 0L)
+    }
+    out.toDF("event_type", "n_days", "level_micro", "trend_micro",
+      "forecast_micro", "mae_micro")
+  }
+
   /** E198 — `events_acf`: autocorrelation of the daily event-volume
     * series at lags 1..`maxLag` — the "is there a weekly cycle / how
     * sticky is load" readout next to `events_seasonality_strength`

@@ -206,11 +206,21 @@ object TextAnalysis {
     * operands); everything after is int64/DECIMAL(38,0) DIV chains —
     * exact at petabyte token counts. Shape: ONE keyed rollup over the
     * token stream + a one-row broadcast total; #sources rows. */
-  def corpusEpochPlan(t: Tables, budgetFactor: Int = 2): DataFrame = {
-    val perSource = t.documents
-      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
-      .groupBy(col("source"))
-      .agg(sum(col("n_toks")).as("n_tokens"))
+  def corpusEpochPlan(t: Tables, budgetFactor: Int = 2): DataFrame =
+    epochPlanOf(
+      t.documents
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_toks")).as("n_tokens")),
+      budgetFactor)
+
+  /** The plan-scoring stage over a (source, n_tokens) rollup — shared
+    * by the batch query and the streaming twin (the rollup IS the
+    * streaming state; this stage runs over the drained #sources-row
+    * table, the `stream_anomaly`/`changepointScore` pattern). */
+  private[graft] def epochPlanOf(perSourceTokens: DataFrame,
+      budgetFactor: Int): DataFrame = {
+    val perSource = perSourceTokens
       .withColumn("q",
         floor(sqrt(col("n_tokens").cast("double")) * lit(1000000L)).cast("long"))
       .withColumn("cap_milli",

@@ -863,6 +863,29 @@ object Streaming {
       .select(col("token"), col("cnt"))
   }
 
+  /** X22 — `stream_epoch_plan`: the epoch/repetition planner kept
+    * CURRENT while the corpus grows — per-source token totals as ONE
+    * keyed streaming aggregation (state = one int64 per source, the
+    * minimal sufficient statistic for the whole plan), with the
+    * scoring stage ([[graft.operators.TextAnalysis.epochPlanOf]],
+    * refactored shared) folding over the drained #sources-row table.
+    * Every mixture/budget decision the batch planner makes is thus
+    * available continuously at ingest time without a second corpus
+    * scan. Shares the batch oracle verbatim — stream/batch
+    * equivalence pair #22. */
+  def streamEpochPlan(t: Tables): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = t.raw("documents").schema
+    val docs = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    val rollup = docs
+      .select(col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_toks")).as("n_tokens"))
+    TextAnalysis.epochPlanOf(drainToTable(rollup, "complete"), budgetFactor = 2)
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path

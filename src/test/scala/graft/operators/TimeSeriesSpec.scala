@@ -97,6 +97,41 @@ class TimeSeriesSpec extends SparkSpec {
       s"precision/recall != 1.0: flagged=$flagged truth=$botTruth")
   }
 
+  test("events_holt_forecast equals a raw-event integer-fold replay") {
+    val raw = tables.events
+      .select(col("event_type"), to_date(col("ts")).as("d"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate))
+    val epoch = java.time.LocalDate.of(2024, 1, 1)
+    val byKey = raw.groupBy(identity).map { case (k, v) =>
+      (k._1, java.time.temporal.ChronoUnit.DAYS.between(epoch, k._2)) -> v.size.toLong
+    }
+    val days = byKey.keys.map(_._2)
+    val (d0, d1) = (days.min, days.max)
+    val expect = byKey.keys.map(_._1).toSeq.distinct.map { et =>
+      val xs = (d0 to d1).map(d => byKey.getOrElse((et, d), 0L)).toArray
+      var l = xs(0) * 1000000L
+      var b = if (xs.length >= 2) (xs(1) - xs(0)) * 1000000L else 0L
+      var err = 0L
+      for (i <- 1 until xs.length) {
+        err += math.abs(xs(i) * 1000000L - (l + b))
+        val ln = (2L * xs(i) * 1000000L + 8L * (l + b)) / 10L
+        b = ((ln - l) + 9L * b) / 10L
+        l = ln
+      }
+      (et, xs.length.toLong, l, b, l + b,
+        if (xs.length > 1) err / (xs.length - 1L) else 0L)
+    }.toSet
+    val got = EventAnalytics.eventsHoltForecast(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expect,
+      s"holt drift: ${(got -- expect).take(2)} vs ${(expect -- got).take(2)}")
+    // the state must differentiate across types, trends must be
+    // non-degenerate somewhere, and the backtest error is positive
+    assert(got.size > 1 && got.exists(_._4 != 0L))
+    assert(got.forall(_._6 >= 0L) && got.exists(_._6 > 0L))
+  }
+
   test("events_acf equals a driver-side exact-integer Pearson replay") {
     val daily = tables.events
       .groupBy(to_date(col("ts")).as("dy")).agg(count(lit(1)).as("c"))

@@ -9,6 +9,18 @@ import graft.operators.TextAnalysis
   */
 class HeavyHittersStreamSpec extends SparkSpec {
 
+  test("stream_epoch_plan equals the batch planner row-for-row") {
+    val stream = Streaming.streamEpochPlan(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val batch = TextAnalysis.corpusEpochPlan(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(stream == batch,
+      s"plan drift: ${(stream -- batch).take(3)} vs ${(batch -- stream).take(3)}")
+    assert(batch.nonEmpty)
+  }
+
   test("stream_heavy_hitters equals the batch sketch->verify operator exactly") {
     val stream = Streaming.streamHeavyHitters(tables).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
