@@ -766,4 +766,45 @@ class PlanAuditSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $tLines")
     }
   }
+
+  // --- round-13 operator pins ---
+
+  test("the ingest screens and the token budget are map-only (zero exchanges)") {
+    for (df <- Seq(TextAnalysis.textCodeDetect(tables),
+        TextAnalysis.textMojibake(tables),
+        Multimodal.mmTokenBudget(tables))) {
+      val p = plan(df)
+      assert(!p.contains("Exchange"), s"screen shuffles:\n$p")
+    }
+  }
+
+  test("text_heavy_hitters: partial MG sketch + broadcast candidate recount") {
+    val p = plan(TextAnalysis.textHeavyHitters(tables))
+    // pass 1: the sketch partial-aggregates (ObjectHashAggregate) so
+    // the exchange carries <= m counters per task, never the domain
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_misra_gries") || p.contains("misra_gries"), p)
+    // pass 2: the <= m candidates broadcast into the recount
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("events_acf: raw events hit ONE day-keyed partial agg; lags broadcast") {
+    val p = plan(EventAnalytics.eventsAcf(tables))
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    // the pairing join runs on the metadata-scale daily table — the
+    // raw scan must appear exactly once feeding an aggregate
+    assert("Scan parquet".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("er_fuzzy_pairs: variant-keyed equi-join, nothing cartesian") {
+    val p = plan(Governance.erFuzzyPairs(tables))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_asof_tolerance executes through the native as-of operator") {
+    val p = plan(Relational.qAsofJoinTolerance(tables))
+    assert(p.contains("AsOfJoin"), p)
+  }
 }
