@@ -165,6 +165,9 @@ object SparkEntry {
     // Holt level+trend smoothing per type (floor-division integer
     // fold, negative-safe; oracle replays via recursive CTE)
     "events_holt_forecast" -> q(EventAnalytics.eventsHoltForecast),
+    // the forecaster maintained continuously over the event stream —
+    // stream/batch equivalence pair #23 (same oracle)
+    "stream_holt_forecast" -> q(t => graft.streaming.Streaming.streamHoltForecast(t)),
     // the same monitor as a continuous query off the hourly streaming
     // state; shares the batch oracle — equivalence pair #17
     "stream_changepoint"  -> q(t => graft.streaming.Streaming.streamChangepoint(t)),
@@ -353,6 +356,9 @@ object SparkEntry {
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
+    // PERMISSIVE CSV ingest with corrupt-record quarantine, checked
+    // against planted malformed rows (generator-vs-parser)
+    "q_csv_malformed_audit" -> q(graft.sources.SourceOps.qCsvMalformedAudit),
     "q_bucketed_roundtrip" -> q(graft.sources.SourceOps.bucketedRoundtrip),
     "q_json_orc_roundtrip" -> q(graft.sources.SourceOps.jsonOrcRoundtrip),
     "q_zorder_roundtrip"  -> q(t => graft.sources.SourceOps.zOrderRoundtrip(t)),
@@ -404,6 +410,40 @@ object SparkEntry {
     * sync with [[graft.operators.TextAnalysis.tokens]]). */
   private val sqlToks =
     "list_filter(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' '), x -> len(x)>0)"
+
+  /** DuckDB oracle shared by the batch and streaming Holt
+    * forecasters: spine + per-type recursive integer fold. */
+  private lazy val holtForecastSql: String =
+      """WITH RECURSIVE dd AS (SELECT event_type AS et,
+        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day FROM events),
+        |sp AS (SELECT min(day) AS dlo, max(day) AS dhi FROM dd),
+        |ds AS (SELECT unnest(generate_series(dlo, dhi)) AS day FROM sp),
+        |ty AS (SELECT DISTINCT et FROM dd),
+        |cnt AS (SELECT t.et, d.day, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+        |  FROM ty t JOIN ds d ON true
+        |  LEFT JOIN (SELECT et, day, count(*) AS x FROM dd GROUP BY 1, 2) c
+        |    ON c.et = t.et AND c.day = d.day),
+        |idx AS (SELECT et, x,
+        |  CAST(row_number() OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS rn
+        | FROM cnt),
+        |nn AS (SELECT et, max(rn) AS t FROM idx GROUP BY 1),
+        |h AS (
+        |  SELECT a.et, CAST(1 AS BIGINT) AS rn,
+        |    CAST(a.x * 1000000 AS BIGINT) AS l,
+        |    CAST(coalesce(b.x - a.x, 0) * 1000000 AS BIGINT) AS b,
+        |    CAST(0 AS BIGINT) AS err
+        |  FROM idx a LEFT JOIN idx b ON b.et = a.et AND b.rn = 2
+        |  WHERE a.rn = 1
+        |  UNION ALL
+        |  SELECT i.et, h.rn + 1,
+        |    CAST((2 * i.x * 1000000 + 8 * (h.l + h.b)) // 10 AS BIGINT),
+        |    CAST((((2 * i.x * 1000000 + 8 * (h.l + h.b)) // 10) - h.l + 9 * h.b) // 10 AS BIGINT),
+        |    CAST(h.err + abs(i.x * 1000000 - (h.l + h.b)) AS BIGINT)
+        |  FROM h JOIN idx i ON i.et = h.et AND i.rn = h.rn + 1)
+        |SELECT h.et AS event_type, nn.t AS n_days, h.l AS level_micro,
+        | h.b AS trend_micro, h.l + h.b AS forecast_micro,
+        | CASE WHEN nn.t > 1 THEN h.err // (nn.t - 1) ELSE 0 END AS mae_micro
+        |FROM h JOIN nn ON nn.et = h.et AND h.rn = nn.t""".stripMargin
 
   /** DuckDB oracle shared by the batch and streaming epoch planners:
     * sqrt-quantized temperature quota → capped epochs, all-integer
@@ -2263,37 +2303,9 @@ object SparkEntry {
     "events_cuped" -> eventsCupedSql,
     "events_pagerank" -> eventsPagerankSql,
     "events_ppr" -> eventsPprSql,
-    "events_holt_forecast" ->
-      """WITH RECURSIVE dd AS (SELECT event_type AS et,
-        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day FROM events),
-        |sp AS (SELECT min(day) AS dlo, max(day) AS dhi FROM dd),
-        |ds AS (SELECT unnest(generate_series(dlo, dhi)) AS day FROM sp),
-        |ty AS (SELECT DISTINCT et FROM dd),
-        |cnt AS (SELECT t.et, d.day, CAST(coalesce(c.x, 0) AS BIGINT) AS x
-        |  FROM ty t JOIN ds d ON true
-        |  LEFT JOIN (SELECT et, day, count(*) AS x FROM dd GROUP BY 1, 2) c
-        |    ON c.et = t.et AND c.day = d.day),
-        |idx AS (SELECT et, x,
-        |  CAST(row_number() OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS rn
-        | FROM cnt),
-        |nn AS (SELECT et, max(rn) AS t FROM idx GROUP BY 1),
-        |h AS (
-        |  SELECT a.et, CAST(1 AS BIGINT) AS rn,
-        |    CAST(a.x * 1000000 AS BIGINT) AS l,
-        |    CAST(coalesce(b.x - a.x, 0) * 1000000 AS BIGINT) AS b,
-        |    CAST(0 AS BIGINT) AS err
-        |  FROM idx a LEFT JOIN idx b ON b.et = a.et AND b.rn = 2
-        |  WHERE a.rn = 1
-        |  UNION ALL
-        |  SELECT i.et, h.rn + 1,
-        |    CAST((2 * i.x * 1000000 + 8 * (h.l + h.b)) // 10 AS BIGINT),
-        |    CAST((((2 * i.x * 1000000 + 8 * (h.l + h.b)) // 10) - h.l + 9 * h.b) // 10 AS BIGINT),
-        |    CAST(h.err + abs(i.x * 1000000 - (h.l + h.b)) AS BIGINT)
-        |  FROM h JOIN idx i ON i.et = h.et AND i.rn = h.rn + 1)
-        |SELECT h.et AS event_type, nn.t AS n_days, h.l AS level_micro,
-        | h.b AS trend_micro, h.l + h.b AS forecast_micro,
-        | CASE WHEN nn.t > 1 THEN h.err // (nn.t - 1) ELSE 0 END AS mae_micro
-        |FROM h JOIN nn ON nn.et = h.et AND h.rn = nn.t""".stripMargin,
+    "events_holt_forecast" -> holtForecastSql,
+    "stream_holt_forecast" -> holtForecastSql,
+
     "events_communities" -> eventsCommunitiesSql,
     "events_reach" -> eventsReachSql,
     // recursive-CTE replay of the integer-micro-unit KM fold; the
@@ -3691,6 +3703,14 @@ object SparkEntry {
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // the roundtrip legs must equal this aggregate over the ORIGINAL
     // table — one oracle row set per written/re-read format
+    "q_csv_malformed_audit" ->
+      """WITH h AS (SELECT source, n_chars,
+        |  (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),6,1))-1) % 8 = 0 AS bad
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        | CAST(sum(CASE WHEN bad THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars
+        |FROM h GROUP BY 1""".stripMargin,
     "q_source_roundtrip" ->
       """WITH a AS (SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price FROM orders GROUP BY 1)

@@ -1714,14 +1714,20 @@ object EventAnalytics {
     * (type × day) rollup — the Markov/KM collect budget: #types ×
     * #days rows at any corpus size; the only distributed work is the
     * one (type, day)-keyed partial agg that sees raw events. */
-  def eventsHoltForecast(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    val counts = t.events
+  def eventsHoltForecast(t: Tables): DataFrame =
+    holtFromCounts(t.events
       .select(col("event_type"),
         datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
           .cast("long").as("day"))
-      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("x")))
+
+  /** The Holt fold over a (event_type, day, x) rollup — shared by the
+    * batch query and the streaming twin (the rollup IS the streaming
+    * state; the fold runs over the drained #types × #days table). */
+  private[graft] def holtFromCounts(countsDf: DataFrame): DataFrame = {
+    val spark = countsDf.sparkSession
+    import spark.implicits._
+    val counts = countsDf
       .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
     if (counts.isEmpty)
       return Seq.empty[(String, Long, Long, Long, Long, Long)]

@@ -108,6 +108,48 @@ object SourceOps {
       .unionByName(agg(Sources.read(t.spark, csvPath, Some(csvSchema)), "csv"))
   }
 
+  /** A10 — `q_csv_malformed_audit`: the PERMISSIVE-ingest robustness
+    * audit — a real interchange feed always carries some malformed
+    * rows, and the load must quarantine them with an auditable count
+    * per source, not die or silently null. A deterministic ~1/8 of
+    * rows (md5-nibble gate — the injection discipline, adversarial
+    * form: generator and parser must DISAGREE on exactly the planted
+    * set) are written with a non-numeric value in the integer column;
+    * the read-back uses an explicit schema + PERMISSIVE mode with a
+    * corrupt-record capture column, and the audit rolls up rows /
+    * quarantined rows / clean-value sums per source. The oracle
+    * replays the injection arithmetically — it never parses CSV — so
+    * the hash gate cross-checks SPARK'S CSV PARSER against planted
+    * ground truth (the generator-vs-parser rule the mm_* decoders
+    * established).
+    *
+    * Shape: one map-only text write, one schema-enforced scan (no
+    * inference pre-pass — at 100 TB an inference scan doubles ingest
+    * IO), one source-keyed partial agg. */
+  def qCsvMalformedAudit(t: Tables): DataFrame = {
+    val spark = t.spark
+    val path = staging(s"docs_malformed_${dirTag(t.dir)}")
+    val h = md5(col("doc_id").cast("string"))
+    val bad = (conv(substring(h, 6, 1), 16, 10).cast("long") % 8) === 0
+    t.documents.select(concat(
+        col("doc_id").cast("string"), lit(","), col("source"), lit(","),
+        when(bad, concat(lit("x"), col("n_chars").cast("string")))
+          .otherwise(col("n_chars").cast("string"))).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", IntegerType), StructField("_bad", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(path)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_bad").isNotNull, 0L)
+          .otherwise(col("n_chars").cast("long"))).as("sum_chars"))
+  }
+
   /** 2×`bits` Morton (Z-order) interleave of two non-negative integer
     * columns — exact integer shifts/masks, so the key is
     * deterministic on any engine. Bit i of `a` lands at 2i, bit i of

@@ -886,6 +886,27 @@ object Streaming {
     TextAnalysis.epochPlanOf(drainToTable(rollup, "complete"), budgetFactor = 2)
   }
 
+  /** X23 — `stream_holt_forecast`: the Holt level+trend forecaster
+    * maintained CONTINUOUSLY — per-(type, day) counts as ONE keyed
+    * streaming aggregation (state bounded by #types × active days;
+    * at production scale a watermark retires closed days), with the
+    * integer micro-unit fold
+    * ([[graft.operators.EventAnalytics.holtFromCounts]], refactored
+    * shared) running over the drained metadata-scale rollup — the
+    * `stream_changepoint` pattern applied to the trend-aware
+    * forecaster. Shares the batch recursive-CTE oracle verbatim —
+    * stream/batch equivalence pair #23. */
+  def streamHoltForecast(t: Tables): DataFrame = {
+    val counts = eventsStream(t)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.EventAnalytics.holtFromCounts(
+      drainToTable(counts, "complete"))
+  }
+
   /** X12 — `stream_ann_serve`: ONLINE serving off the stored IVF-PQ
     * index — query vectors arrive as a stream, and EACH MICRO-BATCH
     * runs the full three-stage batch serving path

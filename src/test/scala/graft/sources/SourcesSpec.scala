@@ -150,4 +150,26 @@ class SourcesSpec extends SparkSpec {
       "SELECT cosine_similarity(array(1.0d, 2.0d), array(1.0d, 2.0d)) AS c").head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("malformed-CSV audit quarantines exactly the planted rows") {
+    import org.apache.spark.sql.functions._
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = tables.documents.select(col("doc_id"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = docs.groupBy(_._2).map { case (src, rows) =>
+      val bad = rows.count(r => "0123456789abcdef".indexOf(md5hex(r._1.toString)(5)) % 8 == 0)
+      (src, rows.size.toLong, bad.toLong,
+        rows.filter(r => "0123456789abcdef".indexOf(md5hex(r._1.toString)(5)) % 8 != 0)
+          .map(_._3).sum)
+    }.toSet
+    val got = graft.sources.SourceOps.qCsvMalformedAudit(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect,
+      s"audit drift: ${(got -- expect).take(3)} vs ${(expect -- got).take(3)}")
+    // the injection must actually plant rows, and never all of a source
+    assert(expect.exists(_._3 > 0))
+    assert(expect.forall { case (_, n, bad, _) => bad < n })
+  }
 }
