@@ -175,6 +175,9 @@ object SparkEntry {
     "events_neighbor_jaccard" -> q(t => EventAnalytics.eventsNeighborJaccard(t)),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
+    // one-number behavior-predictability KPI off the same chain
+    // (quantized-log integer accumulation, §6 ratios)
+    "events_markov_entropy_rate" -> q(t => EventAnalytics.eventsMarkovEntropyRate(t)),
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
     "events_new_vs_returning" -> q(EventAnalytics.eventsNewVsReturning),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
@@ -2281,6 +2284,35 @@ object SparkEntry {
     // chained-CTE replay of the 8 power iterations, each rounded to
     // 6 dp exactly as the Spark loop rounds — identical vectors at
     // every step on both engines
+    "events_markov_entropy_rate" -> {
+      val chain = (1 to 8).map { k =>
+        s"""p$k AS (SELECT tr.next_type AS s, round(sum(p${k - 1}.pi * tr.p) + 1e-9, 6) AS pi
+           |  FROM p${k - 1} JOIN tr ON tr.prev_type = p${k - 1}.s GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |l AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_type
+        | FROM e),
+        |g AS (SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+        | FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tr AS (SELECT prev_type, next_type,
+        |  round(n_trans::DOUBLE / sum(n_trans) OVER (PARTITION BY prev_type) + 1e-9, 4) AS p
+        | FROM g),
+        |st AS (SELECT DISTINCT prev_type AS s FROM tr),
+        |p0 AS (SELECT s, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM st) AS pi FROM st),
+        |$chain,
+        |h AS (SELECT prev_type AS s,
+        |  CAST(sum(CAST(floor(p * ln(p) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS h9
+        | FROM tr GROUP BY 1),
+        |j AS (SELECT p8.s, CAST(round(p8.pi * 1000000) AS BIGINT) AS pi6,
+        |  coalesce(h.h9, 0) AS h9
+        | FROM p8 LEFT JOIN h ON h.s = p8.s),
+        |t AS (SELECT CAST(sum(pi6 * h9) AS BIGINT) AS acc, count(*) AS ns FROM j)
+        |SELECT CAST(ns AS INT) AS n_states,
+        | round(-CAST(acc AS DOUBLE) / 1e15 + 1e-9, 6) AS entropy_rate_nats,
+        | round(-CAST(acc AS DOUBLE) / 1e15 / ln(2) + 1e-9, 6) AS entropy_rate_bits
+        |FROM t""".stripMargin
+    },
     "events_markov_stationary" -> {
       val chain = (1 to 8).map { k =>
         s"""p$k AS (SELECT tr.next_type AS s, round(sum(p${k - 1}.pi * tr.p) + 1e-9, 6) AS pi

@@ -345,6 +345,55 @@ object EventAnalytics {
     pi.toSeq.sortBy(_._1).toDF("state", "stationary_p")
   }
 
+  /** E202 — `events_markov_entropy_rate`: the ENTROPY RATE of the
+    * behavior chain — H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ over the transition
+    * matrix and its stationary vector: how unpredictable the next
+    * action is once the chain mixes, in one number. Low rate =
+    * funnel-like deterministic behavior, high rate (near ln K) =
+    * aimless browsing — the summary that turns `events_transitions` +
+    * `events_markov_stationary` into a monitorable KPI (a rate shift
+    * means the BEHAVIOR GRAPH changed, before any single transition
+    * alarm fires).
+    *
+    * Determinism: πᵢ comes from the same 6-dp-per-step fold the
+    * stationary query pins; each pᵢⱼ·ln pᵢⱼ term quantizes to int64
+    * ×10⁹ FIRST (one libm ln on identical 4-dp operands — the
+    * char-entropy discipline), πᵢ quantizes ×10⁶ exactly, and the
+    * accumulator is an order-immune integer sum in 10⁻¹⁵ units; two
+    * final §6 ratios (nats, and /ln 2 for bits). All driver-side on
+    * the collected O(types²) matrix — the Markov collect budget. */
+  def eventsMarkovEntropyRate(t: Tables, nIters: Int = 8): DataFrame = {
+    val sess = t.spark
+    import sess.implicits._
+    val pRows = eventsTransitions(t)
+      .select(col("prev_type"), col("next_type"), col("p_next"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2))
+    if (pRows.isEmpty)
+      return Seq.empty[(Int, Double, Double)]
+        .toDF("n_states", "entropy_rate_nats", "entropy_rate_bits")
+    def rnd6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x + 1e-9)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val states = pRows.map(_._1).distinct.sorted
+    var pi: Map[String, Double] =
+      states.map(_ -> 1.0 / states.length.toDouble).toMap
+    for (_ <- 1 to nIters) {
+      pi = pRows
+        .collect { case (i, j, p) if pi.contains(i) => (j, pi(i) * p) }
+        .groupBy(_._1)
+        .map { case (j, xs) => j -> rnd6(xs.map(_._2).sum) }
+    }
+    val h9 = pRows.groupBy(_._1).map { case (i, xs) =>
+      i -> xs.map { case (_, _, p) =>
+        math.floor(p * math.log(p) * 1e9 + 0.5).toLong }.sum }
+    val acc = pi.toSeq.map { case (s, v) =>
+      math.floor(v * 1e6 + 0.5).toLong * h9.getOrElse(s, 0L) }.sum
+    Seq((pi.size, rnd6(-acc.toDouble / 1e15),
+        rnd6(-acc.toDouble / 1e15 / math.log(2.0))))
+      .toDF("n_states", "entropy_rate_nats", "entropy_rate_bits")
+  }
+
   /** Scoring stage of [[eventsAnomaly]], factored out so the streaming
     * rollup ([[graft.streaming.Streaming.streamAnomaly]]) scores through
     * the identical plan. Input: an hourly rollup with columns

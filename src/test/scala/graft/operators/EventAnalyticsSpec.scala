@@ -78,6 +78,28 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size > 5 && got.values.toSet.size > 1)
   }
 
+  test("events_markov_entropy_rate recombines from the chain's own outputs") {
+    val trans = EventAnalytics.eventsTransitions(tables)
+      .select(col("prev_type"), col("next_type"), col("p_next")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val pi = EventAnalytics.eventsMarkovStationary(tables).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val h9 = trans.groupBy(_._1).map { case (i, xs) =>
+      i -> xs.map { case (_, _, p) =>
+        math.floor(p * math.log(p) * 1e9 + 0.5).toLong }.sum }
+    val acc = pi.toSeq.map { case (s, v) =>
+      math.floor(v * 1e6 + 0.5).toLong * h9.getOrElse(s, 0L) }.sum
+    def rnd6(x: Double): Double = java.math.BigDecimal.valueOf(x + 1e-9)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val row = EventAnalytics.eventsMarkovEntropyRate(tables).collect().head
+    assert(row.getInt(0) == pi.size)
+    assert(row.getDouble(1) == rnd6(-acc.toDouble / 1e15), "nats")
+    assert(row.getDouble(2) == rnd6(-acc.toDouble / 1e15 / math.log(2.0)), "bits")
+    // the rate is positive and bounded by the uniform-chain maximum
+    assert(row.getDouble(1) > 0.0)
+    assert(row.getDouble(1) <= math.log(pi.size.toDouble) + 1e-6)
+  }
+
   test("events_ppr matches an independent integer re-derivation") {
     // same graph as pagerank, but mass starts at the hub seed and the
     // teleport returns ONLY to it — replayed exactly in integers
