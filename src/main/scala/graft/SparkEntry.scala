@@ -178,6 +178,8 @@ object SparkEntry {
     // one-number behavior-predictability KPI off the same chain
     // (quantized-log integer accumulation, §6 ratios)
     "events_markov_entropy_rate" -> q(t => EventAnalytics.eventsMarkovEntropyRate(t)),
+    // DAU / trailing-30d MAU habit board (§6 ratio of exact counts)
+    "events_stickiness"   -> q(EventAnalytics.eventsStickiness),
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
     "events_new_vs_returning" -> q(EventAnalytics.eventsNewVsReturning),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
@@ -1929,6 +1931,20 @@ object SparkEntry {
     "events_active_users" -> activeUsersSql,
     // the streaming one-agg fold must reproduce the batch board exactly
     "stream_active_users" -> activeUsersSql,
+    "events_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |  date_trunc('day', CAST(ts AS TIMESTAMP)) AS day FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM a GROUP BY 1),
+        |last AS (SELECT max(day) AS last_day FROM a),
+        |f AS (SELECT user_id, unnest(generate_series(day,
+        |  least(day + INTERVAL 29 DAY, last_day), INTERVAL 1 DAY)) AS day
+        | FROM a, last),
+        |m AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        | FROM f GROUP BY 1)
+        |SELECT m.day, coalesce(dau.dau, 0) AS dau, m.mau,
+        | round(CAST(coalesce(dau.dau, 0) AS DOUBLE) / CAST(m.mau AS DOUBLE) + 1e-9, 6)
+        |  AS stickiness
+        |FROM m LEFT JOIN dau USING (day)""".stripMargin,
     "events_transitions" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
         |l AS (SELECT user_id, event_type,

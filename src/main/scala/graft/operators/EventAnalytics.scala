@@ -345,6 +345,43 @@ object EventAnalytics {
     pi.toSeq.sortBy(_._1).toDF("state", "stationary_p")
   }
 
+  /** E203 — `events_stickiness`: the DAU/MAU stickiness board — per
+    * day, daily actives over trailing-30-day actives, the
+    * "how many of the monthly users come back today" habit metric
+    * every growth review reads next to the DAU/WAU board
+    * (`events_active_users` answers reach; this answers HABIT — a
+    * product can grow MAU while stickiness collapses).
+    *
+    * Shape: the same deduped (user, day) activity set, each activity
+    * day fanned forward over its ≤30-day visibility window (bounded
+    * explode on the metadata-scale activity table — raw events are
+    * touched once by the distinct), then one day-keyed distinct
+    * count; stickiness is a §6 ratio of the two exact counts. At
+    * 100 TB the fan-out is 30 × active (user, day) pairs — the
+    * incremental swap is a per-day HLL/state union, noted. Days
+    * beyond the corpus edge are clipped like the WAU board. */
+  def eventsStickiness(t: Tables): DataFrame = {
+    val activity = t.events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .persist()
+    activity.count()
+    val dau = activity.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val lastDay = activity.agg(max(col("day")).as("last_day"))
+    val mau = activity
+      .crossJoin(broadcast(lastDay))
+      .select(col("user_id"),
+        explode(sequence(col("day"),
+          least(col("day") + expr("INTERVAL 29 DAYS"), col("last_day")),
+          expr("INTERVAL 1 DAY"))).as("day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    mau.join(dau, Seq("day"), "left")
+      .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"),
+        round(coalesce(col("dau"), lit(0L)).cast("double") /
+          col("mau").cast("double") + lit(1e-9), 6).as("stickiness"))
+  }
+
   /** E202 — `events_markov_entropy_rate`: the ENTROPY RATE of the
     * behavior chain — H = −Σᵢ πᵢ Σⱼ pᵢⱼ ln pᵢⱼ over the transition
     * matrix and its stationary vector: how unpredictable the next

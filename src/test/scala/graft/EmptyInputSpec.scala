@@ -107,7 +107,7 @@ class EmptyInputSpec extends SparkSpec {
     "text_mojibake", "corpus_epoch_plan", "embed_isotropy",
     "events_ppr", "er_fuzzy_pairs", "q_asof_tolerance", "mm_token_budget",
     "events_holt_forecast", "q_csv_malformed_audit",
-    "events_markov_entropy_rate")
+    "events_markov_entropy_rate", "events_stickiness")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

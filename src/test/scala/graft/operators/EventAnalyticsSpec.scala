@@ -78,6 +78,39 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.size > 5 && got.values.toSet.size > 1)
   }
 
+  test("events_stickiness equals a driver-side trailing-window replay") {
+    def ldt(x: Any): java.time.LocalDateTime = x match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case d: java.time.LocalDateTime => d
+    }
+    val act = tables.events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), ldt(r.get(1))))
+    val lastDay = act.map(_._2).max
+    def r6(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x + 1e-9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dau = act.groupBy(_._2).map { case (d, xs) => d -> xs.length.toLong }
+    val expect = act.flatMap { case (u, d) =>
+      Iterator.iterate(d)(_.plusDays(1))
+        .takeWhile(x => !x.isAfter(lastDay) && !x.isAfter(d.plusDays(29)))
+        .map(x => (u, x))
+    }.distinct.groupBy(_._2).map { case (d, xs) =>
+      val mau = xs.map(_._1).distinct.length.toLong
+      val dd = dau.getOrElse(d, 0L)
+      (d, dd, mau, r6(dd.toDouble / mau.toDouble))
+    }.toSet
+    val got = EventAnalytics.eventsStickiness(tables).collect()
+      .map(r => (ldt(r.get(0)), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == expect,
+      s"stickiness drift: ${(got -- expect).take(2)} vs ${(expect -- got).take(2)}")
+    // the window must dominate the day, and the ratio must be a real
+    // fraction somewhere (not a constant-1 degenerate board)
+    assert(got.forall { case (_, dd, mau, s) => mau >= dd && s > 0 && s <= 1 })
+    assert(got.exists(_._4 < 1.0))
+  }
+
   test("events_markov_entropy_rate recombines from the chain's own outputs") {
     val trans = EventAnalytics.eventsTransitions(tables)
       .select(col("prev_type"), col("next_type"), col("p_next")).collect()
