@@ -459,7 +459,7 @@ object SparkEntry {
       |qq AS (SELECT *,
       |  CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS q,
       |  CAST(((strpos('0123456789abcdef', substr(md5(source),1,1))-1) % 4 + 1) * 1000 AS BIGINT) AS cap_milli
-      | FROM ps),
+      | FROM ps WHERE n_tokens > 0),
       |tot AS (SELECT sum(CAST(q AS HUGEINT)) AS qs,
       |  sum(n_tokens) AS tot_tokens FROM qq),
       |pl AS (SELECT source, n_tokens, cap_milli,
@@ -2327,7 +2327,7 @@ object SparkEntry {
         |SELECT CAST(ns AS INT) AS n_states,
         | round(-CAST(acc AS DOUBLE) / 1e15 + 1e-9, 6) AS entropy_rate_nats,
         | round(-CAST(acc AS DOUBLE) / 1e15 / ln(2) + 1e-9, 6) AS entropy_rate_bits
-        |FROM t""".stripMargin
+        |FROM t WHERE ns > 0""".stripMargin
     },
     "events_markov_stationary" -> {
       val chain = (1 to 8).map { k =>
@@ -2370,8 +2370,10 @@ object SparkEntry {
         |s AS (SELECT lag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
         |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy FROM p GROUP BY 1)
         |SELECT lag, n,
-        |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
-        |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6) AS acf
+        |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE) > 0
+        |    THEN round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 6)
+        |    ELSE NULL END AS acf
         |FROM s""".stripMargin,
     "stream_changepoint" -> eventsChangepointSql,
     // variance decomposition over the gap-filled spine: ExactAgg

@@ -376,10 +376,14 @@ object EventAnalytics {
           expr("INTERVAL 1 DAY"))).as("day"))
       .groupBy(col("day"))
       .agg(countDistinct(col("user_id")).as("mau"))
-    mau.join(dau, Seq("day"), "left")
+    val out = mau.join(dau, Seq("day"), "left")
       .select(col("day"), coalesce(col("dau"), lit(0L)).as("dau"), col("mau"),
         round(coalesce(col("dau"), lit(0L)).cast("double") /
           col("mau").cast("double") + lit(1e-9), 6).as("stickiness"))
+    // release the cached activity table (the eventsPpr discipline):
+    // leaving it pinned leaks cache in long-lived sessions
+    activity.unpersist()
+    out
   }
 
   /** E202 — `events_markov_entropy_rate`: the ENTROPY RATE of the
@@ -1881,9 +1885,15 @@ object EventAnalytics {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
       .select(col("lag"), col("n"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
-            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+        // a zero-variance (constant) series at some lag makes the
+        // denominator 0: Spark's x/0.0 is NaN but the oracle errors or
+        // NULLs — agree on NULL in BOTH engines (guard product computed
+        // in double: the long product can overflow at big daily counts)
+        when((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double") > 0,
+          round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6))
           .as("acf"))
   }
 

@@ -111,15 +111,35 @@ object Governance {
     * different to auto-match (≥ 3 links, [[erBlockedPairs]]) — with
     * per-field agreement evidence a human reviewer reads.
     *
-    * Blocking completeness, proven for the 2-band: a 2-agreement
-    * pair has at most one SIZE agreement, so it agrees on ≥ 1 of the
-    * three EQUALITY fields — the union of the three single-field
-    * blocks (name, type, brand) therefore surfaces EVERY such pair,
-    * and the ORACLE scores ALL pairs so any hole fails the hash gate
-    * (the `er_blocked_pairs` discipline). Single-field blocks are
-    * coarser than the match rule's (type×brand) — that is the price
-    * of completeness at the looser band; at 100 TB the coarse blocks
-    * subdivide (brand × size-band) with the same shape. */
+    * Blocking completeness, proven for the 2-band: a kept pair has
+    * EXACTLY 2 agreements, at most one of which is the SIZE band, so
+    * its agreement set is one of {name,·}, {type,brand},
+    * {brand,size}, {type,size} — and each case is surfaced by its
+    * own TWO-CONSTRAINT block: the name block (name is near-unique,
+    * any second agreement lands in it), the brand×type block, the
+    * brand×size-band block, or the type×size-band block. The ORACLE
+    * scores ALL pairs so any hole fails the hash gate (the
+    * `er_blocked_pairs` discipline), and the all-pairs spec replay
+    * re-proves it per run.
+    *
+    * Size-band scheme (the overlap-window trick that keeps the
+    * |Δsize| ≤ 2 predicate blockable): windows of width 4 at stride
+    * 2 — every part lands in exactly two windows, family 0 starting
+    * at sizes ≡ 0 (mod 4) (key ⌊size/4⌋) and family 1 starting at
+    * sizes ≡ 2 (mod 4) (key ⌊(size−2)/4⌋). Any pair with
+    * |Δsize| ≤ 2 spans an interval [m, m+δ], δ ≤ 2, which fits in
+    * the width-4 window starting at whichever of {m−1, m} is even —
+    * so the pair SHARES that window's (family, key) and the banded
+    * equi-join finds it. Exactness is untouched: band membership is
+    * only a candidate generator; the exactly-2 score test rides in
+    * the join as before.
+    *
+    * Scale: this replaces r11's bare single-field brand/type blocks
+    * (~8 M raw candidates at sf0.1 — block size ∝ corpus/25, i.e.
+    * quadratic at 100 TB part masters) with blocks keyed on TWO
+    * fields each; the largest cell is now brand×band or type×band
+    * (≈ 25×27 / 150×27 cells, each part in exactly 2 band cells), so
+    * Σ|cell|² stays subquadratic as the master grows. */
   /** G8 — `er_fuzzy_pairs`: edit-distance-≤1 fuzzy matching over the
     * customer register via SymSpell DELETION-NEIGHBORHOOD blocking
     * (the public symmetric-delete scheme): each name generates itself
@@ -164,31 +184,64 @@ object Governance {
       .distinct()
   }
 
+  /** The two overlap-2 size-band keys of a part (width-4 windows at
+    * stride 2; see [[erReviewQueue]]'s scaladoc for the cover proof).
+    * Shared with the spec so the exhaustive band-cover check and the
+    * shipped query can never drift apart. */
+  private[graft] def sizeBands(size: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    array(
+      struct(lit(0).as("fam"), floor(size / 4).cast("long").as("w")),
+      struct(lit(1).as("fam"), floor((size - 2) / 4).cast("long").as("w")))
+
   def erReviewQueue(t: Tables): DataFrame = {
     val p = erProj(t.part)
     // the exactly-2 score test rides INSIDE each block join as a
     // residual condition: a kept pair needs one more agreement beyond
-    // its block key, and evaluating the full test at the join cuts
+    // its block keys, and evaluating the full test at the join cuts
     // the unioned candidate set to the final band BEFORE the distinct
-    // (the brand block alone emits ~8 M raw pairs at sf0.1; carrying
-    // them to a post-union filter + distinct was ~2× the query cost)
     val score = (col("a.p_name") === col("b.p_name")).cast("int")
       .plus((col("a.p_type") === col("b.p_type")).cast("int"))
       .plus((col("a.p_brand") === col("b.p_brand")).cast("int"))
       .plus((abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int"))
-    def blocked(cond: org.apache.spark.sql.Column): DataFrame =
-      p.as("a").join(p.as("b"),
+    // project each block to the band's output columns AT the join (the
+    // banded sides carry their window key, which must not reach the
+    // union)
+    def blocked(side: DataFrame,
+        cond: org.apache.spark.sql.Column): DataFrame =
+      side.as("a").join(side.as("b"),
         cond && col("a.p_partkey") < col("b.p_partkey") && score === 2)
-    val cands = blocked(col("a.p_name") === col("b.p_name"))
-      .unionAll(blocked(col("a.p_type") === col("b.p_type")))
-      .unionAll(blocked(col("a.p_brand") === col("b.p_brand")))
-    cands
-      .select(col("a.p_partkey").as("key_1"), col("b.p_partkey").as("key_2"),
-        (col("a.p_name") === col("b.p_name")).cast("int").as("name_agree"),
-        (col("a.p_type") === col("b.p_type")).cast("int").as("type_agree"),
-        (col("a.p_brand") === col("b.p_brand")).cast("int").as("brand_agree"),
-        (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int").as("size_close"))
-      .distinct() // a pair may surface from several blocks
+        .select(col("a.p_partkey").as("key_1"), col("b.p_partkey").as("key_2"),
+          (col("a.p_name") === col("b.p_name")).cast("int").as("name_agree"),
+          (col("a.p_type") === col("b.p_type")).cast("int").as("type_agree"),
+          (col("a.p_brand") === col("b.p_brand")).cast("int").as("brand_agree"),
+          (abs(col("a.p_size") - col("b.p_size")) <= 2).cast("int").as("size_close"))
+    // size-banded projection: each part lands in exactly 2 band cells
+    val banded = p.withColumn("band", explode(sizeBands(col("p_size"))))
+    val bandEq = col("a.band") === col("b.band")
+    val sizeClose = abs(col("a.p_size") - col("b.p_size")) <= 2
+    // a fam-1 window match only counts when the pair does NOT already
+    // share a fam-0 window — each |Δsize| ≤ 2 pair then emits from
+    // exactly ONE window, so the banded blocks never duplicate
+    val famOnce = col("a.band.fam") === 0 ||
+      floor(col("a.p_size") / 4) =!= floor(col("b.p_size") / 4)
+    // The four blocks PARTITION the exactly-2 band by agreement
+    // pattern — {name,·} / {brand,type} / {brand,size} / {type,size}
+    // — and each emits its pairs exactly once (single-key joins emit
+    // once; the banded joins once via famOnce), so the union needs NO
+    // distinct: the 2×|band| dedup exchange this query used to pay is
+    // gone. Disjointness is forced by the residuals: a size_close
+    // residual on the banded blocks pins their pattern to
+    // {brand,size} / {type,size} (anything more would score 3), and
+    // score === 2 excludes name/type agreement from the brand×type
+    // block.
+    blocked(p, col("a.p_name") === col("b.p_name"))
+      .unionAll(blocked(p, col("a.p_brand") === col("b.p_brand") &&
+        col("a.p_type") === col("b.p_type")))
+      .unionAll(blocked(banded, col("a.p_brand") === col("b.p_brand") &&
+        bandEq && sizeClose && famOnce))
+      .unionAll(blocked(banded, col("a.p_type") === col("b.p_type") &&
+        bandEq && sizeClose && famOnce))
   }
 
   /** `er_blocking_eval` — the measure-don't-guess eval BLOCKING

@@ -220,7 +220,12 @@ object TextAnalysis {
     * table, the `stream_anomaly`/`changepointScore` pattern). */
   private[graft] def epochPlanOf(perSourceTokens: DataFrame,
       budgetFactor: Int): DataFrame = {
+    // a source whose documents tokenize to zero tokens has no quota to
+    // place and would make the epochs_milli DIV divide by zero (NULL in
+    // Spark, an ERROR in the DuckDB oracle — a silent divergence edge);
+    // the same n_tokens > 0 guard rides in the oracle SQL
     val perSource = perSourceTokens
+      .filter(col("n_tokens") > 0)
       .withColumn("q",
         floor(sqrt(col("n_tokens").cast("double")) * lit(1000000L)).cast("long"))
       .withColumn("cap_milli",

@@ -171,6 +171,37 @@ class GovernanceSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("size-band windows cover every |Δsize| ≤ 2 pair (exhaustive 1..50)") {
+    // the overlap-2 band scheme's cover proof, replayed exhaustively
+    // over the full TPC-H size domain THROUGH THE SHIPPED COLUMN
+    // EXPRESSION (Governance.sizeBands), so the query and the proof
+    // can never drift: any two sizes within 2 share a (family, window)
+    // key; any two sizes further than 3 apart never do (the band join
+    // can't silently degrade toward all-pairs)
+    val sess = tables.part.sparkSession
+    import sess.implicits._
+    val keys = (1 to 50).toDF("size")
+      .select(col("size"), explode(Governance.sizeBands(col("size"))).as("b"))
+      .select(col("size"), col("b.fam"), col("b.w"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    for (x <- 1 to 50; y <- 1 to 50) {
+      val shared = keys(x).intersect(keys(y)).nonEmpty
+      if (math.abs(x - y) <= 2)
+        assert(shared, s"band hole: $x vs $y share no window")
+      if (math.abs(x - y) > 3)
+        assert(!shared, s"band too coarse: $x vs $y share ${keys(x).intersect(keys(y))}")
+    }
+    // each size sits in exactly its two family windows (fan-out bound)
+    keys.values.foreach(ks => assert(ks.size == 2, ks))
+  }
+
+  test("er_review_queue plan: every block is an equi-join (no cartesian)") {
+    val p = Governance.erReviewQueue(tables).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("er_review_queue equals the all-pairs exactly-2 band (blocks are complete)") {
     val parts = tables.part
       .select("p_partkey", "p_name", "p_type", "p_brand", "p_size")
@@ -185,9 +216,15 @@ class GovernanceSpec extends SparkSpec {
       sz = if (math.abs(a._5 - b._5) <= 2) 1 else 0
       if na + ty + br + sz == 2
     } yield (a._1, b._1, na, ty, br, sz)).toSet
-    val got = Governance.erReviewQueue(tables).collect()
+    val gotRows = Governance.erReviewQueue(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
-        r.getInt(4), r.getInt(5))).toSet
+        r.getInt(4), r.getInt(5)))
+    val got = gotRows.toSet
+    // the four blocks partition the band by agreement pattern and the
+    // famOnce residual de-duplicates the window fan-out, so the query
+    // ships NO distinct — each pair must therefore emit EXACTLY once
+    assert(gotRows.length == got.size,
+      s"duplicate emission: ${gotRows.length} rows, ${got.size} distinct")
     // equality against the ALL-PAIRS replay proves the three
     // single-field blocks surface every exactly-2 pair (pigeonhole)
     assert(got == expected,
