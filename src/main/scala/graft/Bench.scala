@@ -29,7 +29,7 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
-    def timed(name: String, run: () => Unit): (String, Double, Option[String]) = {
+    def once(run: () => Unit): (Double, Option[String]) = {
       // operators persist small key indexes and never unpersist (their
       // result is a lazy DataFrame): drop abandoned cache blocks so
       // they can't evict each other / shrink execution memory for
@@ -41,7 +41,22 @@ object Bench {
       // elapsed is recorded as -1 and the error lands in "errors"
       val err = try { run(); None }
                 catch { case e: Throwable => Some(e.toString) }
-      (name, if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+      (if (err.isEmpty) (System.nanoTime() - t0) / 1e9 else -1.0, err)
+    }
+
+    // (name, firstRun, bestRun, err): single-shot timing misgrades
+    // exactly the many-stage iterative queries whenever the machine is
+    // loaded (r11 charged 27 s to a query that probes at 4-5 s idle),
+    // so entries slower than 3 s get ONE re-run and the per-query map
+    // reports the min; the total keeps the first-run sum for
+    // round-over-round continuity.
+    def timed(name: String, run: () => Unit): (String, Double, Double, Option[String]) = {
+      val (first, err) = once(run)
+      if (err.isEmpty && first > 3.0) {
+        val (second, err2) = once(run)
+        val best = if (err2.isEmpty) math.min(first, second) else first
+        (name, first, best, None)
+      } else (name, first, first, err)
     }
 
     // shared stored-state builds FIRST, as their own visible entries:
@@ -49,7 +64,10 @@ object Bench {
     // be attributed to the first consumer query of the session
     val results =
       SparkEntry.stateBuilds.toSeq.sortBy(_._1).map { case (name, fn) =>
-        timed(name, () => fn(spark, sfDir))
+        // builds are memoized behind their staged artifact: a re-run
+        // would time the cache hit, not the build — single-shot only
+        val (first, err) = once(() => fn(spark, sfDir))
+        (name, first, first, err)
       } ++
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         timed(name, () => { fn(spark, sfDir).count(); () })
@@ -63,9 +81,11 @@ object Bench {
     def fmt(v: Double): String =
       if (v.isNaN || v.isInfinite) "-1.000"
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    // per-query map carries the BEST (min-of-≤2) timing — the honest
+    // per-plan cost; the total stays the FIRST-run sum for continuity
+    val qs = results.map { case (k, _, best, _) => "\"" + k + "\":" + fmt(best) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(m)) =>
+    val errs = results.collect { case (k, _, _, Some(m)) =>
       // strip EVERY control char + quote/backslash: one bad byte makes
       // the whole stdout JSON line unparseable to the driver
       // 200 chars keeps the exception class + message (Spark class
@@ -75,7 +95,7 @@ object Bench {
     }.mkString("{", ",", "}")
     // failed queries carry the -1 sentinel: exclude them from the
     // total rather than letting failures subtract from it
-    val total = results.collect { case (_, v, None) => v }.sum
+    val total = results.collect { case (_, first, _, None) => first }.sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // The driver captures only the last ~3 KB of stdout; at 93+ queries
     // the per-query line above is ~3.5 KB, so its opening brace falls
@@ -84,7 +104,7 @@ object Bench {
     // COMPACT summary line (<300 B, no per-query map): inside the tail
     // window it is the only line that STARTS with '{', so the driver
     // parses it regardless of how much of the full line survives.
-    val nFailed = results.count(_._3.isDefined)
+    val nFailed = results.count(_._4.isDefined)
     val compactErrs = if (errs.length <= 600) errs else s"""{"failed_queries":$nFailed}"""
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nerr":$nFailed,"errors":$compactErrs,"sf":"$sfDir"}""")
     // The stdout tail only preserves the final ~3 KB, so round-over-
