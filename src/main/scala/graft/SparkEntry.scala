@@ -191,6 +191,7 @@ object SparkEntry {
     "text_bpe_tokens"     -> q(TextAnalysis.textBpeTokens),
     "text_fertility_by_lang" -> q(TextAnalysis.textFertilityByLang),
     "text_bpe_train"      -> q(t => TextAnalysis.textBpeTrain(t)),
+    "text_bpe_train_loop" -> q(t => TextAnalysis.textBpeTrainLoop(t)),
     "stream_bpe_train"    -> q(t => graft.streaming.Streaming.streamBpeTrain(t)),
     "corpus_weighted_sample" -> q(t => TextAnalysis.corpusWeightedSample(t)),
     // shard layout priced in SUBWORD tokens (what training actually
@@ -2711,6 +2712,29 @@ object SparkEntry {
         |p AS (SELECT unnest([us[i] || ' ' || us[i+1] for i in range(1, len(us))]) AS pair FROM u)
         |SELECT pair, count(*)::BIGINT AS n FROM p
         |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // the merge→recount loop unrolled: each round counts weighted
+    // adjacent pairs over the delimited symbol strings, picks the
+    // argmax, and replays the identical left-to-right replace — the
+    // events_pagerank unrolled-CTE discipline applied to vocab state
+    "text_bpe_train_loop" -> {
+      val rounds = (1 to 8).map { r =>
+        s"""p$r AS (SELECT pair, CAST(sum(n_word) AS BIGINT) AS n FROM (
+           |  SELECT unnest([us[i] || ' ' || us[i+1] for i in range(1, len(us))]) AS pair, n_word
+           |  FROM (SELECT string_split(trim(sym), '  ') AS us, n_word FROM s${r - 1})) GROUP BY 1),
+           |b$r AS (SELECT $r AS round, pair, split_part(pair, ' ', 1) AS a,
+           |  split_part(pair, ' ', 2) AS b, n FROM p$r ORDER BY n DESC, pair LIMIT 1),
+           |s$r AS (SELECT replace(sym, ' ' || a || '  ' || b || ' ', ' ' || a || b || ' ') AS sym, n_word
+           |  FROM s${r - 1}, b$r)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to 8).map(r =>
+        s"SELECT round, pair, a || b AS merged, n FROM b$r").mkString("\nUNION ALL ")
+      s"""WITH w AS (SELECT word, CAST(count(*) AS BIGINT) AS n_word FROM (
+         |  SELECT unnest(list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> len(x)>0)) AS word
+         |  FROM documents) GROUP BY 1),
+         |s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(word, '${TextAnalysis.bpeRegex}'), '  ') || ' ' AS sym, n_word FROM w),
+         |$rounds
+         |$unions""".stripMargin
+    },
     // the streaming pair-count state drain must land on the identical
     // top-20 — stream/batch equivalence pair #12
     "stream_bpe_train" ->

@@ -1399,6 +1399,70 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** T31 — `text_bpe_train_loop`: the BPE training loop ITERATED to a
+    * bounded vocabulary — the merge→recount cycle that IS tokenizer
+    * training (Sennrich et al. 2016), not just one round's candidate
+    * list ([[textBpeTrain]]). Eight rounds: count adjacent unit pairs
+    * weighted by word frequency, pick the argmax (count desc, pair
+    * asc — deterministic), merge every left-to-right non-overlapping
+    * occurrence into one unit, recount. Output is the merge TABLE —
+    * (round, pair, merged, n) — the artifact a tokenizer ships.
+    *
+    * Word state is kept as a delimited symbol string — each unit
+    * wrapped in single spaces, so adjacent units are separated by two
+    * (`" l  o  w "`): the pattern `" a  b "` then consumes BOTH units'
+    * delimiters, occurrences can never share a character, and a plain
+    * left-to-right `replace` performs exactly the classical
+    * non-overlapping merge in ONE codegen'd string pass — no
+    * higher-order lambda over arrays, and the DuckDB oracle replays
+    * the identical replace. (`"x x x"` with merge (x,x) → `"xx x"`:
+    * the first occurrence wins, the overlapped second does not fire —
+    * the textbook scan semantics.)
+    *
+    * Scale shape: the corpus collapses ONCE to the (word, n_word)
+    * rollup — metadata-scale next to 100 TB of raw text (type count,
+    * not token count) — and each round is one explode + pair-keyed
+    * aggregation with map-side partials over that rollup plus a
+    * map-only broadcast replace. Driver state is the argmax row per
+    * round (8 rows total) — the merge table itself, bounded by the
+    * target vocab, exactly what production BPE trainers hold. The
+    * per-round state is persisted and the previous round released, so
+    * lineage stays one round deep. */
+  def textBpeTrainLoop(t: Tables, merges: Int = 8): DataFrame = {
+    val sess = t.spark
+    import sess.implicits._
+    val units = regexp_extract_all(col("word"), lit(bpeRegex), lit(0))
+    var syms = t.documents
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
+      .select(concat(lit(" "), array_join(units, "  "), lit(" ")).as("sym"),
+        col("n_word"))
+      .persist()
+    syms.count()
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to merges) {
+      val best = syms
+        .select(explode(ngrams(split(trim(col("sym")), "  "), 2)).as("pair"),
+          col("n_word"))
+        .groupBy(col("pair")).agg(sum(col("n_word")).as("n"))
+        .orderBy(desc("n"), asc("pair"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val (pair, n) = (best(0).getString(0), best(0).getLong(1))
+        val Array(a, b) = pair.split(" ", 2)
+        merged += ((r, pair, a + b, n))
+        val next = syms.select(
+          replace(col("sym"), lit(s" $a  $b "), lit(s" $a$b ")).as("sym"),
+          col("n_word")).persist()
+        next.count()
+        syms.unpersist()
+        syms = next
+      }
+    }
+    syms.unpersist()
+    merged.toSeq.toDF("round", "pair", "merged", "n")
+  }
+
   /** T28 — `corpus_weighted_sample`: weight-proportional sampling
     * WITHOUT replacement via priority sampling (public Duffield–
     * Lund–Thorup 2007): each doc draws priority = w / u for a

@@ -107,7 +107,10 @@ class EmptyInputSpec extends SparkSpec {
     "text_mojibake", "corpus_epoch_plan", "embed_isotropy",
     "events_ppr", "er_fuzzy_pairs", "q_asof_tolerance", "mm_token_budget",
     "events_holt_forecast", "q_csv_malformed_audit",
-    "events_markov_entropy_rate", "events_stickiness")
+    "events_markov_entropy_rate", "events_stickiness",
+    // round-14: the BPE loop's per-round argmax collect over an empty
+    // word rollup (no pairs → no merge rows, loop degrades to 0 rows)
+    "text_bpe_train_loop")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -194,6 +194,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(actual == expected)
   }
 
+  test("bpe train loop: 8 merge rounds equal a naive array-merge replay") {
+    // independent reference: NO string-replace trick — words stay as
+    // unit ARRAYS; each round counts weighted adjacent pairs, picks
+    // the (count desc, pair asc) argmax, and merges left-to-right
+    // non-overlapping occurrences by index walk. If the shipped
+    // double-delimiter replace ever diverged from classical BPE scan
+    // semantics (overlap handling, partial-unit matches), this drifts.
+    val vocab = TextAnalysis.bpeVocab.sortBy(u => (-u.length, u))
+    def segment(word: String): Vector[String] = {
+      var i = 0; val units = Vector.newBuilder[String]
+      while (i < word.length) {
+        val unit = vocab.find(u => word.startsWith(u, i))
+          .getOrElse(word.substring(i, i + 1))
+        units += unit; i += unit.length
+      }
+      units.result()
+    }
+    var words = scala.collection.mutable.Map.empty[Vector[String], Long]
+    tables.documents.select(col("text")).collect().foreach { r =>
+      r.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .foreach { w =>
+          val s = segment(w); words(s) = words.getOrElse(s, 0L) + 1
+        }
+    }
+    def mergeOnce(us: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]; var i = 0
+      while (i < us.length) {
+        if (i + 1 < us.length && us(i) == a && us(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += us(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to 8).flatMap { r =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (us, n) =>
+        us.sliding(2).filter(_.length == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+        }
+      }
+      if (counts.isEmpty) Nil
+      else {
+        val ((a, b), n) = counts.minBy { case ((x, y), c) => (-c, s"$x $y") }
+        words = words.groupMapReduce { case (us, _) => mergeOnce(us, a, b) }(_._2)(_ + _)
+          .to(scala.collection.mutable.Map)
+        Seq((r, s"$a $b", a + b, n))
+      }
+    }
+    val actual = TextAnalysis.textBpeTrainLoop(tables).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(actual == expected, s"merge-table drift:\n$actual\nvs\n$expected")
+    assert(actual.length == 8, "fewer than 8 merges at this SF — vacuous")
+  }
+
   test("corpus_weighted_sample: integer priorities replay, sample is size-biased") {
     val docs = tables.documents.select(col("doc_id"), col("text")).collect()
       .map { r =>
