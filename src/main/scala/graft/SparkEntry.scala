@@ -261,6 +261,7 @@ object SparkEntry {
     "ann_topk_agg"        -> q(Similarity.annTopKAgg),
     "ann_graph_topk"      -> q(t => Similarity.annGraphTopK(t)),
     "ann_graph_recall_eval" -> q(t => Similarity.annGraphRecallEval(t)),
+    "ann_nndescent_build" -> q(t => Similarity.annNnDescentBuild(t)),
     "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
     "ann_refine_topk"     -> q(t => Similarity.annRefineTopK(t)),
     "ann_hamming_topk"    -> q(t => Similarity.annHammingTopK(t)),
@@ -3398,6 +3399,54 @@ object SparkEntry {
     "ann_topk_agg" -> bruteForceSql,
     "ann_graph_topk" -> annGraphTopKSql,
     "ann_graph_recall_eval" -> annGraphRecallEvalSql,
+    // NN-descent build unrolled: LSH-bucket init, two two-hop
+    // expand→re-rank rounds, recall vs the exact all-pairs truth
+    "ann_nndescent_build" -> {
+      def rank(src: String, out: String) =
+        s"""$out AS (SELECT src, dst FROM (
+           |  SELECT p.src, p.dst, row_number() OVER (PARTITION BY p.src
+           |    ORDER BY round(list_cosine_similarity(sa.emb, sb.emb), 4) DESC, p.dst) AS rnk
+           |  FROM $src p JOIN nd sa ON sa.vec_id = p.src JOIN nd sb ON sb.vec_id = p.dst)
+           | WHERE rnk <= 8)""".stripMargin
+      def hop(g: String, u: String, c: String) =
+        s"""$u AS (SELECT src, dst FROM $g UNION SELECT dst, src FROM $g),
+           |$c AS (SELECT DISTINCT src, dst FROM (
+           |  SELECT x.src AS src, y.dst AS dst FROM $u x JOIN $u y ON x.dst = y.src
+           |   WHERE x.src <> y.dst
+           |  UNION ALL SELECT src, dst FROM $g))""".stripMargin
+      def bits(band: Int) = (0 until 4).map(p =>
+        s"(CASE WHEN list_dot_product(emb, ${hyperplaneLit(4 * band + p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |nd AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10 AND vec_id % 4 = 0),
+         |sig AS (SELECT vec_id, ${bits(0)} AS bucket0, ${bits(1)} AS bucket1 FROM nd),
+         |init AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |   FROM sig a JOIN sig b ON a.bucket0 = b.bucket0 AND a.vec_id <> b.vec_id
+         |  UNION ALL
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |   FROM sig a JOIN sig b ON a.bucket1 = b.bucket1 AND a.vec_id <> b.vec_id)),
+         |${rank("init", "g0")},
+         |${hop("g0", "u1", "c1")},
+         |${rank("c1", "g1")},
+         |${hop("g1", "u2", "c2")},
+         |${rank("c2", "g2")},
+         |truth AS (SELECT src, dst FROM (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id
+         |    ORDER BY round(list_cosine_similarity(a.emb, b.emb), 4) DESC, b.vec_id) AS rnk
+         |  FROM nd a JOIN nd b ON a.vec_id <> b.vec_id)
+         | WHERE rnk <= 8),
+         |all_r AS (SELECT 0 AS round, src, dst FROM g0
+         |  UNION ALL SELECT 1, src, dst FROM g1
+         |  UNION ALL SELECT 2, src, dst FROM g2),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
+         |ed AS (SELECT round, CAST(count(*) AS BIGINT) AS n_edges FROM all_r GROUP BY 1),
+         |ht AS (SELECT round, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM all_r JOIN truth USING (src, dst) GROUP BY 1)
+         |SELECT ed.round, n_edges, coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |  round(coalesce(n_hits, CAST(0 AS BIGINT)) / CAST(n_truth AS DOUBLE) + 1e-9, 4) AS recall
+         |FROM ed LEFT JOIN ht USING (round), tt""".stripMargin
+    },
     "embed_knn_graph" -> s"WITH $knnGraphChainSql\nSELECT src, dst, cos_sim, rnk FROM knn",
     // mutual-edge filter + recursive-CTE closure over the same knn
     // chain — the composed oracle of the graph consumer

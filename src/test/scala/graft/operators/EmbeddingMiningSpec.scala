@@ -452,6 +452,30 @@ class EmbeddingMiningSpec extends SparkSpec {
     }
   }
 
+  test("ann_nndescent_build: recall strictly improves per round, never trapped") {
+    val rows = Similarity.annNnDescentBuild(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    // the descent must actually DESCEND: each two-hop round finds
+    // strictly more true neighbors than the last (a flat curve is the
+    // single-band component trap this operator exists to avoid)
+    assert(rows.sliding(2).forall { case Array(a, b) => b._3 > a._3 },
+      s"descent stalled: ${rows.map(_._3).toSeq}")
+    // ...and converge toward the exact build: the 2-round graph must
+    // recover a majority of the exact edges on this corpus
+    assert(rows.last._4 > 0.5,
+      s"round-2 recall ${rows.last._4} — init too sparse to converge")
+    // per-node degree bound holds every round: ≤ graphK per source,
+    // and hits can never exceed edges
+    val nNodes = tables.embeddings
+      .filter(col("vec_id") >= 10 && col("vec_id") % 4 === 0).count()
+    rows.foreach { case (_, edges, hits, _) =>
+      assert(edges <= nNodes * 8, s"degree bound broken: $edges")
+      assert(hits <= edges)
+    }
+  }
+
   test("embed_mutual_knn_clusters: reciprocal filter + union-find replay") {
     val edges = Similarity.embedKnnGraph(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
