@@ -702,8 +702,11 @@ object Streaming {
     * DAY's rows only; the boundary decision is one user-keyed join of
     * the daily-active users against the stored open versions; the
     * pass-through is a scan + broadcast anti-join. State lives in the
-    * written dimension table (a Delta/Iceberg MERGE target in
-    * production), NEVER in driver memory or streaming state stores —
+    * written dimension table behind [[graft.sources.MergeTarget]] — a
+    * real MERGE-capable versioned sink (atomic pointer commit,
+    * snapshot-isolated readers, per-batch txn idempotence; Delta /
+    * Iceberg in a production deploy, whose jars this offline build
+    * cannot add) — NEVER in driver memory or streaming state stores:
     * the merge scales with the day + touched users at any history
     * size. */
   /** Force the per-day CDC file staging for the bench's explicit
@@ -718,24 +721,28 @@ object Streaming {
     import graft.operators.Scale
     import graft.sources.SourceOps
     val dir = stageScd2IncrementDaily(t, splitDay)
-    var dim = t.spark.table(Scale.scd2State(t, splitDay))
+    val dim = t.spark.table(Scale.scd2State(t, splitDay))
     val schema = t.spark.read.parquet(dir).schema
     val incStream = t.spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir)
     val tag = s"${SourceOps.runId}_${SourceOps.dirTag(t.dir)}_$splitDay"
+    // the running dimension lives in an actual MERGE-capable target
+    // ([[graft.sources.MergeTarget]]: versioned snapshots, atomic
+    // pointer commit, per-batch txn idempotence) — the r11 "a
+    // Delta/Iceberg MERGE target in production" claim as tested code
+    // instead of a comment; each micro-batch is one MERGE INTO
+    val target = graft.sources.MergeTarget.create(t.spark,
+      SourceOps.staging(s"stream_scd2_target_$tag"), dim)
     val q = incStream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val path = SourceOps.staging(s"stream_scd2_${tag}_b$id")
-        Scale.scd2MergeOf(dim, batch)
-          .write.mode("overwrite").parquet(path)
-        dim = t.spark.read.parquet(path)
+        target.merge(id)(Scale.scd2MergeOf)(batch)
         ()
       }
       .start()
     q.awaitTermination()
-    dim.orderBy(col("user_id"), col("valid_from"))
+    target.read().orderBy(col("user_id"), col("valid_from"))
   }
 
   /** X19 — `stream_bpe_train`: the BPE pair-counting round over a

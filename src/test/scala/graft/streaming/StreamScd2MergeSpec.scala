@@ -27,13 +27,20 @@ class StreamScd2MergeSpec extends SparkSpec {
     val batch = dimSet(Scale.qScd2Merge(tables))
     assert(streamed == batch)
 
-    // the per-batch dimension versions written by the foreachBatch
-    // fold: at least batches 0 and 1 must exist (5 increment days →
-    // 5 sequential merges at one file per trigger)
+    // the running dimension lives in the MergeTarget: each of the 5
+    // per-day micro-batches must have committed its own version on
+    // top of the v=0 seed (if maxFilesPerTrigger were ignored, one
+    // big batch would leave only v=0 and v=1), and the pointer must
+    // resolve to the last of them
     val tag = s"${SourceOps.runId}_${SourceOps.dirTag(tables.dir)}_25"
-    (0 to 1).foreach { id =>
-      val p = new java.io.File(SourceOps.staging(s"stream_scd2_${tag}_b$id"))
-      assert(p.exists, s"micro-batch $id dimension version missing at $p")
-    }
+    val root = new java.io.File(SourceOps.staging(s"stream_scd2_target_$tag"))
+    val versions = root.listFiles().map(_.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
+    assert(versions.toSeq == (0L to 5L),
+      s"expected v=0..v=5 (seed + 5 daily merges), got ${versions.toSeq}")
+    val pointer = new String(java.nio.file.Files.readAllBytes(
+      root.toPath.resolve("_latest"))).trim
+    assert(pointer == "5 4", // version 5, last applied batch id 4
+      s"pointer '$pointer' does not resolve to the final daily merge")
   }
 }
