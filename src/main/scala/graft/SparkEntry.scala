@@ -192,6 +192,7 @@ object SparkEntry {
     "text_fertility_by_lang" -> q(TextAnalysis.textFertilityByLang),
     "text_bpe_train"      -> q(t => TextAnalysis.textBpeTrain(t)),
     "text_bpe_train_loop" -> q(t => TextAnalysis.textBpeTrainLoop(t)),
+    "text_heaps_law"      -> q(t => TextAnalysis.textHeapsLaw(t)),
     "stream_bpe_train"    -> q(t => graft.streaming.Streaming.streamBpeTrain(t)),
     "corpus_weighted_sample" -> q(t => TextAnalysis.corpusWeightedSample(t)),
     // shard layout priced in SUBWORD tokens (what training actually
@@ -2713,6 +2714,32 @@ object SparkEntry {
         |p AS (SELECT unnest([us[i] || ' ' || us[i+1] for i in range(1, len(us))]) AS pair FROM u)
         |SELECT pair, count(*)::BIGINT AS n FROM p
         |GROUP BY 1 ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+    // vocab-growth curve over 20 ordered corpus prefixes + log-log
+    // OLS β, ln quantized ×1e6 int64 before any sum
+    "text_heaps_law" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  unnest(list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> len(x)>0)) AS tok
+         | FROM documents),
+         |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types FROM (
+         |  SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY 1) GROUP BY 1),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks FROM toks GROUP BY 1),
+         |j AS (SELECT pd.doc_id, n_toks, coalesce(new_types, CAST(0 AS BIGINT)) AS new_types
+         | FROM pd LEFT JOIN nt USING (doc_id)),
+         |bk AS (SELECT *, CAST(ntile(20) OVER (ORDER BY doc_id) AS INT) AS bucket FROM j),
+         |pb AS (SELECT bucket, sum(n_toks) AS b_toks, sum(new_types) AS b_types FROM bk GROUP BY 1),
+         |cm AS (SELECT bucket,
+         |  CAST(sum(b_toks) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |  CAST(sum(b_types) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+         | FROM pb),
+         |pt AS (SELECT bucket, cum_tokens, cum_vocab,
+         |  CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+         |  CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+         | FROM cm),
+         |ft AS (SELECT CAST(count(*) AS BIGINT) AS b, sum(x) AS sx, sum(y) AS sy,
+         |  sum(x*y) AS sxy, sum(x*x) AS sxx FROM pt)
+         |SELECT bucket, cum_tokens, cum_vocab,
+         |  round(CAST(b*sxy - sx*sy AS DOUBLE) / CAST(b*sxx - sx*sx AS DOUBLE) + 1e-9, 6) AS heaps_beta
+         |FROM cm, ft""".stripMargin,
     // the merge→recount loop unrolled: each round counts weighted
     // adjacent pairs over the delimited symbol strings, picks the
     // argmax, and replays the identical left-to-right replace — the

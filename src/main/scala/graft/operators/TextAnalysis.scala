@@ -1678,6 +1678,70 @@ object TextAnalysis {
     * substr, engine-identical) → ONE (doc, char)-keyed partial-agg
     * count → doc-keyed integer sum; report adds bits/char (H/ln 2).
     */
+  /** T35 — `text_heaps_law`: the vocabulary-growth curve and its
+    * fitted Heaps exponent (V(n) ≈ K·n^β, Heaps 1978) — the corpus
+    * diagnostic that says whether new data still brings new language:
+    * β near the reference ~0.5 means healthy lexical growth, β
+    * collapsing toward 0 means the crawl is re-reading itself
+    * (template/boilerplate saturation — the signal that triggers the
+    * dedup pipeline BEFORE token counts look wrong), β near 1 means
+    * ID-like noise inflating the vocab. Output: 20 ordered corpus
+    * prefixes (cumulative tokens, cumulative vocabulary) + the log-log
+    * OLS β — the curve a data-mix review plots, with the one-number
+    * summary attached.
+    *
+    * Exactness: a token's first occurrence is min(doc_id) — one keyed
+    * agg over the token stream; per-doc new-type and token counts roll
+    * up; prefixes are ntile(20) over doc order. The fit quantizes
+    * ln(·) to ×10⁶ int64 FIRST (the char-entropy discipline: a last-
+    * ulp libm divergence cannot straddle the +0.5 floor boundary),
+    * then β = (B·Σxy − ΣxΣy)/(B·Σxx − (Σx)²) is exact int64 arithmetic
+    * (magnitudes ≤ ~1.6e17) and ONE final §6 ratio.
+    *
+    * Scale: the token stream is touched once (explode + two keyed
+    * aggs with map-side partials); everything after runs on the
+    * #docs-row rollup (metadata-scale next to the corpus — the events-
+    * board argument), and the ntile/cum windows on the 20-row bucket
+    * table are trivial. Nothing collects; the fit is a one-row agg
+    * broadcast back onto the curve. */
+  def textHeapsLaw(t: Tables, buckets: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = t.documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val newTypes = toks.groupBy(col("tok"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("new_types"))
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"))
+      .join(newTypes, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val perBucket = perDoc
+      .withColumn("bucket", ntile(buckets).over(Window.orderBy(col("doc_id"))))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n_toks")).as("b_toks"), sum(col("new_types")).as("b_types"))
+    val cum = perBucket
+      .withColumn("cum_tokens", sum(col("b_toks")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_vocab", sum(col("b_types")).over(
+        Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bucket"), col("cum_tokens"), col("cum_vocab"),
+        floor(log(col("cum_tokens").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("x"),
+        floor(log(col("cum_vocab").cast("double")) * 1e6 + 0.5)
+          .cast("long").as("y"))
+    val fit = cum.agg(count(lit(1)).as("b"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(round((col("b") * col("sxy") - col("sx") * col("sy"))
+          .cast("double") /
+        (col("b") * col("sxx") - col("sx") * col("sx")).cast("double")
+          + lit(1e-9), 6).as("heaps_beta"))
+    cum.select(col("bucket"), col("cum_tokens"), col("cum_vocab"))
+      .crossJoin(broadcast(fit))
+  }
+
   def textCharEntropy(t: Tables): DataFrame = {
     val chars = t.documents
       .select(col("doc_id"), length(col("text")).cast("long").as("n"),

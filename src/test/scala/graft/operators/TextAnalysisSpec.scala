@@ -249,6 +249,73 @@ class TextAnalysisSpec extends SparkSpec {
     assert(actual.length == 8, "fewer than 8 merges at this SF — vacuous")
   }
 
+  test("text_heaps_law: curve equals a naive replay; β discriminates corpora") {
+    // 1) exact replay on the real corpus: first occurrences by doc
+    //    order, SQL-ntile bucketing, integer-quantized log-log OLS
+    val docs = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val perDoc = docs.flatMap { case (id, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      if (toks.isEmpty) None
+      else {
+        val fresh = toks.count(seen.add)
+        Some((id, toks.length.toLong, fresh.toLong))
+      }
+    }
+    // SQL ntile: first (n % 20) buckets get one extra row
+    val n = perDoc.length; val base = n / 20; val extra = n % 20
+    val bucketOf = perDoc.indices.map { i =>
+      val cut = extra * (base + 1)
+      if (i < cut) i / (base + 1) + 1 else (i - cut) / base + extra + 1
+    }
+    val byBucket = perDoc.zip(bucketOf).groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (b, xs) => (b, xs.map(_._1._2).sum, xs.map(_._1._3).sum) }
+    var (ct, cv) = (0L, 0L)
+    val expCurve = byBucket.map { case (b, bt, bv) =>
+      ct += bt; cv += bv; (b, ct, cv)
+    }
+    val pts = expCurve.map { case (_, t, v) =>
+      (math.floor(math.log(t.toDouble) * 1e6 + 0.5).toLong,
+        math.floor(math.log(v.toDouble) * 1e6 + 0.5).toLong)
+    }
+    val (b, sx, sy) = (pts.length.toLong, pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expBeta = BigDecimal((b * sxy - sx * sy).toDouble /
+      (b * sxx - sx * sx).toDouble + 1e-9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = TextAnalysis.textHeapsLaw(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq == expCurve,
+      "curve drift vs naive replay")
+    rows.foreach(r => assert(r._4 == expBeta, s"β ${r._4} vs $expBeta"))
+    // the synthetic template corpus saturates its 31-token vocabulary
+    // in the first prefix — β ≈ 0 is the CORRECT "re-reading itself"
+    // reading, and the curve must be monotone with vocab ≤ tokens
+    assert(rows.sliding(2).forall { case Array(a, c) =>
+      c._2 > a._2 && c._3 >= a._3 })
+    rows.foreach(r => assert(r._3 <= r._2))
+
+    // 2) discrimination: a corpus of all-fresh tokens must fit β ≈ 1
+    //    (vocab grows with every token), far from the template's ~0
+    val dir = java.nio.file.Files.createTempDirectory("graft_heaps_")
+    val sess = spark
+    import sess.implicits._
+    (0 until 200).map { i =>
+      (i.toLong, s"w${4 * i} w${4 * i + 1} w${4 * i + 2} w${4 * i + 3}", "s")
+    }.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val diverse = TextAnalysis
+      .textHeapsLaw(graft.Tables(spark, dir.toString))
+      .select(col("heaps_beta")).head().getDouble(0)
+    assert(diverse > 0.95 && diverse <= 1.001,
+      s"all-fresh corpus should fit β≈1, got $diverse")
+    assert(rows.head._4 < 0.1,
+      s"template corpus should fit β≈0, got ${rows.head._4}")
+  }
+
   test("corpus_weighted_sample: integer priorities replay, sample is size-biased") {
     val docs = tables.documents.select(col("doc_id"), col("text")).collect()
       .map { r =>
