@@ -352,6 +352,7 @@ object SparkEntry {
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_scd2_history"      -> q(Scale.qScd2History),
     "q_scd2_merge"        -> q(t => Scale.qScd2Merge(t)),
+    "q_dim_time_travel"   -> q(t => Scale.qDimTimeTravel(t)),
     "q_point_in_time_join" -> q(Scale.qPointInTimeJoin),
     "q_skew_histogram"    -> q(Scale.qSkewHistogram),
     "q_approx_stats"      -> q(Scale.qApproxStats),
@@ -1742,6 +1743,40 @@ object SparkEntry {
     // oracle IS the rebuild SQL, same discipline as
     // dedup_clusters_incremental / q_incremental_rollup
     "q_scd2_merge" -> scd2Sql,
+    // version-0 vs head snapshot diff: both snapshots rebuilt from raw
+    // events (truncated + full SCD2 chains), identical CASE order
+    "q_dim_time_travel" -> {
+      def chain(p: String, where: String) =
+        s"""${p}e AS (SELECT user_id,
+           |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day, event_type,
+           |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events$where),
+           |${p}d AS (SELECT user_id, day, event_type AS status FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+           |    ORDER BY us DESC, event_id DESC) AS rn FROM ${p}e) WHERE rn = 1),
+           |${p}i AS (SELECT *, CASE WHEN lag(status) OVER
+           |   (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM status
+           |  THEN 1 ELSE 0 END AS chg FROM ${p}d),
+           |${p}s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
+           |  ROWS UNBOUNDED PRECEDING) AS island FROM ${p}i),
+           |${p}r AS (SELECT user_id, island, status, min(day) AS valid_from,
+           |  CAST(count(*) AS BIGINT) AS n_days_observed FROM ${p}s GROUP BY 1, 2, 3),
+           |${p}dim AS (SELECT user_id, CAST(valid_from AS INTEGER) AS valid_from,
+           |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
+           |  n_days_observed FROM ${p}r)""".stripMargin
+      s"""WITH ${chain("a_", " WHERE (CAST(ts AS DATE) - DATE '2024-01-01') < 25")},
+         |${chain("b_", "")},
+         |v0 AS (SELECT user_id, valid_from, is_current AS was_current,
+         |  n_days_observed AS was_n FROM a_dim),
+         |hd AS (SELECT user_id, valid_from, is_current, n_days_observed FROM b_dim),
+         |fj AS (SELECT * FROM hd FULL OUTER JOIN v0 USING (user_id, valid_from)),
+         |cls AS (SELECT CASE WHEN was_current IS NULL THEN 'added'
+         |  WHEN was_current AND NOT is_current THEN 'closed'
+         |  WHEN was_current AND is_current AND was_n <> n_days_observed THEN 'extended'
+         |  ELSE 'unchanged' END AS change, user_id FROM fj)
+         |SELECT change, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM cls GROUP BY 1""".stripMargin
+    },
     // the per-day streaming CDC fold must land on the identical
     // dimension — stream/batch equivalence pair #11
     "stream_scd2_merge" -> scd2Sql,

@@ -474,6 +474,59 @@ object Scale {
       .unionByName(newPart)
   }
 
+  /** E205 — `q_dim_time_travel`: snapshot-to-snapshot dimension AUDIT
+    * through [[graft.sources.MergeTarget]]'s versioned reads — the
+    * time-travel consumer the MERGE sink exists for (Delta's
+    * `VERSION AS OF` shape): seed the target with the stored pre-CDC
+    * dimension (version 0), MERGE the increment (version 1), then
+    * read BOTH versions and classify every dimension row by what the
+    * CDC day did to it — `added` (new version row), `closed` (the
+    * open version got its `valid_to`), `extended` (still open, more
+    * observed days), `unchanged`. The per-class row/user counts are
+    * the audit a warehouse review reads after every merge window —
+    * and the readout is impossible without versioned snapshots, which
+    * is the point: the bare-parquet fold this target replaced
+    * overwrote its own history.
+    *
+    * Classification order matters (an open version can both extend
+    * and later close inside one increment — `closed` wins, both
+    * engines evaluate the same CASE order). A version row can never
+    * DISAPPEAR across the merge (history days < split ≤ increment
+    * days ⇒ every stored `valid_from` survives), so the diff is a
+    * left-complete full-outer join on (user, valid_from) — spec-
+    * pinned by the no-vanished-rows assertion.
+    *
+    * Shape: one CDC merge (the `q_scd2_merge` plan verbatim), two
+    * pinned version scans, one user-keyed full-outer join on the
+    * metadata-scale dimension, one 4-row rollup. The oracle rebuilds
+    * both snapshots from raw events (truncated and full SCD2 chains)
+    * and replays the identical classification — so the TARGET's
+    * version semantics, not just the merge math, are hash-checked. */
+  def qDimTimeTravel(t: Tables, splitDay: Int = 25): DataFrame = {
+    import graft.sources.{MergeTarget, SourceOps}
+    val tag = s"${SourceOps.runId}_${SourceOps.dirTag(t.dir)}_$splitDay"
+    val target = MergeTarget.create(t.spark,
+      SourceOps.staging(s"dim_time_travel_$tag"),
+      t.spark.table(scd2State(t, splitDay)))
+    target.merge(0L)(scd2MergeOf)(
+      scd2Events(t).filter(col("day") >= splitDay))
+    val v0 = target.readVersion(0L).select(col("user_id"),
+      col("valid_from"), col("is_current").as("was_current"),
+      col("n_days_observed").as("was_n"))
+    val head = target.read().select(col("user_id"), col("valid_from"),
+      col("is_current"), col("n_days_observed"))
+    val change = when(col("was_current").isNull, lit("added"))
+      .when(col("was_current") && !col("is_current"), lit("closed"))
+      .when(col("was_current") && col("is_current") &&
+        col("was_n") =!= col("n_days_observed"), lit("extended"))
+      .otherwise(lit("unchanged"))
+    head.join(v0, Seq("user_id", "valid_from"), "full_outer")
+      .select(change.as("change"), col("user_id"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** `q_point_in_time_join` — the consumer [[qScd2History]] exists
     * FOR, and the feature-store staple: each fact row joined to the
     * dimension version that was valid AT ITS OWN TIME (`valid_from ≤

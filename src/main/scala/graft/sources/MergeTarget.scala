@@ -56,6 +56,16 @@ final class MergeTarget private (val spark: SparkSession, root: Path) {
   /** The current snapshot, pinned to its version directory. */
   def read(): DataFrame = spark.read.parquet(versionDir(version).toString)
 
+  /** TIME TRAVEL: any committed snapshot by version number — versions
+    * are immutable directories, so an old read is just a pinned scan
+    * (the Delta `VERSION AS OF` shape). Orphan directories beyond the
+    * pointer are uncommitted and refused. */
+  def readVersion(v: Long): DataFrame = {
+    require(v >= 0 && v <= version,
+      s"version $v not committed (head is $version)")
+    spark.read.parquet(versionDir(v).toString)
+  }
+
   /** Commit `(version, batchId)` by atomic pointer rename. */
   private def flip(v: Long, batchId: Long): Unit = {
     val tmp = root.resolve(s"_latest.tmp.${SourceOps.runId}")

@@ -234,6 +234,50 @@ class ScaleSpec extends SparkSpec {
       "no version appended from the increment")
   }
 
+  test("q_dim_time_travel classifies the version diff exactly (driver replay)") {
+    // independent replay: pull both snapshots directly (the stored
+    // pre-CDC dimension and the full merge), classify each
+    // (user, valid_from) row driver-side with the same closed-wins
+    // order, and match the audit counts
+    def dimMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getBoolean(4), r.getLong(5))).toMap
+    val v0 = dimMap(spark.table(Scale.scd2State(tables, 25)))
+    val head = dimMap(Scale.qScd2Merge(tables))
+    // the invariant the full-outer diff leans on: no stored version
+    // row ever vanishes across a CDC merge
+    assert(v0.keySet.subsetOf(head.keySet),
+      s"vanished rows: ${(v0.keySet -- head.keySet).take(3)}")
+    val expected = head.toSeq.map { case (k, (cur, n)) =>
+      v0.get(k) match {
+        case None => "added"
+        case Some((true, _)) if !cur => "closed"
+        case Some((true, n0)) if cur && n0 != n => "extended"
+        case _ => "unchanged"
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expectedUsers = head.toSeq.map { case (k @ (u, _), (cur, n)) =>
+      val c = v0.get(k) match {
+        case None => "added"
+        case Some((true, _)) if !cur => "closed"
+        case Some((true, n0)) if cur && n0 != n => "extended"
+        case _ => "unchanged"
+      }
+      (c, u)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size.toLong).toMap
+    val got = Scale.qDimTimeTravel(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.view.mapValues(_._1).toMap == expected,
+      s"row counts drift: $got vs $expected")
+    assert(got.view.mapValues(_._2).toMap == expectedUsers,
+      s"user counts drift: $got vs $expectedUsers")
+    // the audit must partition the head dimension completely
+    assert(got.values.map(_._1).sum == head.size.toLong)
+    // non-vacuous: the CDC day must have actually changed something
+    assert(got.contains("added") || got.contains("closed") ||
+      got.contains("extended"), "degenerate diff — nothing changed")
+  }
+
   test("q_scd2_merge is split-invariant: merge == rebuild at every boundary") {
     // the oracle pins only the default split (day 25); the merge logic
     // must hold at ANY boundary, including the degenerate ones — empty
