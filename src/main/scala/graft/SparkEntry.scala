@@ -371,6 +371,7 @@ object SparkEntry {
     "q_bucketed_roundtrip" -> q(graft.sources.SourceOps.bucketedRoundtrip),
     "q_json_orc_roundtrip" -> q(graft.sources.SourceOps.jsonOrcRoundtrip),
     "q_zorder_roundtrip"  -> q(t => graft.sources.SourceOps.zOrderRoundtrip(t)),
+    "q_bloom_file_skip"   -> q(t => graft.sources.SourceOps.qBloomFileSkip(t)),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
@@ -413,6 +414,9 @@ object SparkEntry {
       ((s, dir) => graft.streaming.Streaming.prebuildScd2Cdc(Tables(s, dir))),
     "_build_knn_graph" ->
       ((s, dir) => { Similarity.knnGraphEdges(Tables(s, dir), 8); () }),
+    "_build_bloom_file_index" ->
+      ((s, dir) =>
+        graft.sources.SourceOps.prebuildBloomFileIndex(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -3913,6 +3917,13 @@ object SparkEntry {
         |WHERE user_id BETWEEN 10 AND 29
         |  AND date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 7 AND 13
         |GROUP BY 1""".stripMargin,
+    // Bloom file-skipping never drops a true match (no false
+    // negatives) and the exact filter kills false positives, so the
+    // oracle is the plain full-table point-lookup filter
+    "q_bloom_file_skip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 1000 = 0 AND o_orderkey BETWEEN 1000 AND 600000""".stripMargin,
     // the merged two-batch read must reconcile with the original table:
     // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
     "q_schema_evolution" ->

@@ -165,6 +165,107 @@ object SourceOps {
         shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** B19 — per-file BLOOM index + the build behind `q_bloom_file_skip`:
+    * value-level data skipping for POINT LOOKUPS on a column the
+    * layout does not cluster — the gap min-max footer stats
+    * (`q_zorder_roundtrip`) cannot close: orders laid out by DATE (the
+    * natural warehouse layout) spread `o_orderkey` across every file's
+    * full key range, so every min-max interval contains every probe
+    * key and nothing prunes. A 2¹⁶-bit / 3-hash Bloom bitset PER FILE
+    * (the `text_contamination_bloom` md5 geometry, 4-nibble windows —
+    * deterministic and replayable in any engine) answers "might this
+    * file contain key k" in 3 bit probes: false negatives impossible
+    * (pruning is always CORRECT), false positives only cost a read the
+    * exact filter then discards (~(1−e^(−3n/m))³ ≈ 1e-7 per file at
+    * ~1k keys/file). This is Parquet's column bloom filter / Delta's
+    * bloom index re-expressed as a first-class stored index table:
+    * (file, word_idx, word) — 16 files × ≤1024 int64 words, KB-scale
+    * metadata at any corpus size, exactly what a driver consults to
+    * plan a scan.
+    *
+    * Built once per (session, dataset) and staged (the E129 stored-
+    * index discipline; `_build_bloom_file_index` makes the cost its
+    * own bench entry). The build is one map pass over the laid-out
+    * files (3 md5 probes per row) + one (file, word)-keyed `bit_or`
+    * rollup — no shuffle beyond the KB-scale index itself. */
+  private val bloomIdxCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, String)]
+
+  /** md5-window bit position `j` (0..2) of an order key: 4 hex nibbles
+    * → 16 bits → word ⌊pos/64⌋, bit pos%64. Shared by build + probe. */
+  private def bloomPos(key: Column, j: Int): Column =
+    conv(substring(md5(key.cast("string")), 1 + 4 * j, 4), 16, 10)
+      .cast("long")
+
+  private[graft] def bloomFileIndex(t: Tables): (String, String) =
+    bloomIdxCache.getOrElseUpdate((sessionTag(t.spark), t.dir), {
+      val dataPath = staging(s"orders_bydate_${dirTag(t.dir)}")
+      t.orders.repartitionByRange(16, col("o_orderdate"))
+        .write.mode("overwrite").parquet(dataPath)
+      val idxPath = staging(s"orders_bloom_idx_${dirTag(t.dir)}")
+      val rows = t.spark.read.parquet(dataPath)
+        .select(col("_metadata.file_path").as("file"), col("o_orderkey"))
+      (0 until 3).map { j =>
+        rows.select(col("file"), bloomPos(col("o_orderkey"), j).as("pos"))
+      }.reduce(_ unionByName _)
+        .select(col("file"), expr("pos DIV 64").as("word_idx"),
+          expr("shiftleft(1L, cast(pos % 64 AS INT))").as("mask"))
+        .groupBy(col("file"), col("word_idx"))
+        .agg(bit_or(col("mask")).as("word"))
+        .write.mode("overwrite").parquet(idxPath)
+      (dataPath, idxPath)
+    })
+
+  private[graft] def prebuildBloomFileIndex(t: Tables): Unit = {
+    bloomFileIndex(t); ()
+  }
+
+  /** The files the Bloom index admits for a probe-key set: a key is a
+    * candidate for a file iff ALL 3 of its bit probes are set in that
+    * file's bitset. Returns the distinct candidate file list — the
+    * bounded (≤ #files) driver-side scan plan every file-skipping
+    * reader produces. Exposed to the spec so pruning is PINNED, not
+    * assumed. */
+  private[graft] def bloomCandidateFiles(t: Tables,
+      keys: DataFrame): Array[String] = {
+    val (_, idxPath) = bloomFileIndex(t)
+    val idx = t.spark.read.parquet(idxPath)
+    val probes = (0 until 3).map { j =>
+      keys.select(col("k"), lit(j).as("j"),
+        bloomPos(col("k"), j).as("pos"))
+    }.reduce(_ unionByName _)
+      .select(col("k"), col("j"), expr("pos DIV 64").as("word_idx"),
+        expr("shiftleft(1L, cast(pos % 64 AS INT))").as("mask"))
+    probes.join(idx, Seq("word_idx"))
+      .filter(col("word").bitwiseAND(col("mask")) =!= 0)
+      .groupBy(col("k"), col("file"))
+      .agg(countDistinct(col("j")).as("hits"))
+      .filter(col("hits") === 3)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).sorted
+  }
+
+  /** `q_bloom_file_skip` — the point-lookup scan THROUGH the index:
+    * 600 fixed probe keys (1000·i — a parameter list in production),
+    * Bloom-select the candidate files, read ONLY those, then apply the
+    * exact predicate (false positives die here, so the result is exact
+    * and the oracle is the plain full-table filter). The candidate
+    * collect is the ≤ #files scan-plan list, never data. */
+  def qBloomFileSkip(t: Tables): DataFrame = {
+    val sess = t.spark
+    val (dataPath, _) = bloomFileIndex(t)
+    val keys = sess.range(1, 601)
+      .select((col("id") * 1000).as("k"))
+    val files = bloomCandidateFiles(t, keys)
+    val matched =
+      if (files.isEmpty) sess.read.parquet(dataPath).limit(0)
+      else sess.read.parquet(files.toIndexedSeq: _*)
+    matched
+      .filter(col("o_orderkey") % 1000 === 0 &&
+        col("o_orderkey").between(1000, 600000))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+  }
+
   /** `q_zorder_roundtrip` — MULTI-dimension data clustering, the
     * layout technique one sort column can't give: events laid out by
     * the Morton interleave of (user_id, day), range-partitioned and

@@ -151,6 +151,38 @@ class SourcesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("bloom file-skip: exact result, real pruning, no false negatives") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.SourceOps
+    // value correctness: the index path must equal the plain filter
+    val got = SourceOps.qBloomFileSkip(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val want = tables.orders
+      .filter(col("o_orderkey") % 1000 === 0 &&
+        col("o_orderkey").between(1000, 600000))
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == want,
+      s"skip drift: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+    assert(want.nonEmpty, "no probe key present — vacuous")
+    // pruning is PINNED, not assumed: the index must admit strictly
+    // fewer than the 16 laid-out files for the probe set...
+    val keys = spark.range(1, 601).select((col("id") * 1000).as("k"))
+    val cands = SourceOps.bloomCandidateFiles(tables, keys)
+    assert(cands.length < 16,
+      s"no pruning: ${cands.length}/16 files admitted")
+    // ...and no false negative: every file that truly holds a probe
+    // key must be admitted (bloom's one-sided guarantee)
+    val (dataPath, _) = SourceOps.bloomFileIndex(tables)
+    val trueFiles = spark.read.parquet(dataPath)
+      .filter(col("o_orderkey") % 1000 === 0 &&
+        col("o_orderkey").between(1000, 600000))
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(trueFiles.subsetOf(cands.toSet),
+      s"FALSE NEGATIVE: ${(trueFiles -- cands.toSet).take(2)}")
+  }
+
   test("malformed-CSV audit quarantines exactly the planted rows") {
     import org.apache.spark.sql.functions._
     def md5hex(s: String): String = java.security.MessageDigest
