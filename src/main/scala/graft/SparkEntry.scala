@@ -137,6 +137,8 @@ object SparkEntry {
     "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
+    "events_srm"          -> q(t => EventAnalytics.eventsSrm(t)),
+    "events_did"          -> q(t => EventAnalytics.eventsDid(t)),
     "events_cuped"        -> q(t => EventAnalytics.eventsCuped(t)),
     "events_pagerank"     -> q(t => EventAnalytics.eventsPagerank(t)),
     // personalized PageRank from the hub seed — proximity ranking,
@@ -2538,6 +2540,42 @@ object SparkEntry {
         |  round(2 * n_triangles / CAST(deg * (deg - 1) AS DOUBLE) + 1e-9, 4)
         | END AS clustering_coeff
         |FROM ts ORDER BY item""".stripMargin,
+    // 50/50-design chi-square: exact integer numerator/denominator,
+    // flag decided on the ROUNDED statistic in both engines
+    "events_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |   THEN 'A' ELSE 'B' END AS variant FROM u),
+        |f AS (SELECT
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM v)
+        |SELECT n_a, n_b,
+        | round((n_a - n_b) * (n_a - n_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) + 1e-9, 4) AS chi2,
+        | round((n_a - n_b) * (n_a - n_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) + 1e-9, 4) > 3.841 AS srm_detected
+        |FROM f""".stripMargin,
+    // four ExactAgg cell means (bit-identical doubles), DiD combined
+    // in the same association order, one final rounding
+    "events_did" -> {
+      def m(v: String, p: String) = graft.functions.ExactAgg.exactMeanSql(
+        s"CASE WHEN variant = '$v' AND period = '$p' THEN value END", 4)
+      def n(v: String, p: String) =
+        s"CAST(sum(CASE WHEN variant = '$v' AND period = '$p' THEN 1 ELSE 0 END) AS BIGINT)"
+      s"""WITH e AS (SELECT
+         |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+         |   THEN 'A' ELSE 'B' END AS variant,
+         |  CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') < 15
+         |   THEN 'pre' ELSE 'post' END AS period,
+         |  value FROM events),
+         |f AS (SELECT
+         |  ${n("A", "pre")} AS n_a_pre, ${n("A", "post")} AS n_a_post,
+         |  ${n("B", "pre")} AS n_b_pre, ${n("B", "post")} AS n_b_post,
+         |  ${m("A", "pre")} AS mean_a_pre, ${m("A", "post")} AS mean_a_post,
+         |  ${m("B", "pre")} AS mean_b_pre, ${m("B", "post")} AS mean_b_post
+         | FROM e)
+         |SELECT *, round((mean_b_post - mean_b_pre) - (mean_a_post - mean_a_pre) + 1e-9, 4) AS did
+         |FROM f""".stripMargin
+    },
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
         |  max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted,

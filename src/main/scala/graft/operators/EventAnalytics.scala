@@ -634,6 +634,79 @@ object EventAnalytics {
       round((pB - pA) / se + lit(1e-9), 4).as("z_score"))
   }
 
+  /** E206 — `events_srm`: the SAMPLE-RATIO-MISMATCH guard every
+    * experimentation platform runs BEFORE reading a test
+    * ([[eventsAbTest]], [[eventsCuped]]): if the realized assignment
+    * split deviates from the designed 50/50 beyond chance, the
+    * randomization itself is broken (bot filtering, logging loss,
+    * redirect bugs) and every downstream metric is invalid — the
+    * classic silent killer of A/B programs (public Fabijan et al.
+    * 2019 diagnosis). One-df chi-square against the designed split:
+    * for 50/50 the statistic collapses to (n_A − n_B)²/(n_A + n_B) —
+    * exact integer numerator/denominator, ONE §6 ratio, flagged at
+    * the 3.841 critical value (95%). The flag compares the ROUNDED
+    * statistic so both engines decide identically.
+    *
+    * Shape: one distinct + one conditional-sum fold over assigned
+    * users — the same two-exchange shape as the test readout it
+    * guards. */
+  def eventsSrm(t: Tables): DataFrame = {
+    val users = t.events.select(col("user_id")).distinct()
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val chi2 = round((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+      / nullif((col("n_a") + col("n_b")).cast("double"), lit(0.0))
+      + lit(1e-9), 4)
+    users.agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"), chi2.as("chi2"),
+        (chi2 > 3.841).as("srm_detected"))
+  }
+
+  /** E207 — `events_did`: DIFFERENCE-IN-DIFFERENCES over the
+    * variant assignment — the quasi-experimental estimator for when
+    * the treatment toggles at a known TIME (day 15) rather than per
+    * user: the B-group's pre→post metric shift minus the A-group's
+    * shift nets out the seasonal/global drift both groups share
+    * (public Card–Krueger design). Complements [[eventsAbTest]]
+    * (between-group at one time) and [[eventsCuped]] (variance
+    * reduction): this is the panel-over-time reading.
+    *
+    * Exactness: each of the four cell means is an
+    * [[graft.functions.ExactAgg.exactMean]] (×10⁴ int64 quantization
+    * before any reduction — order-immune), so all four are
+    * bit-identical doubles cross-engine; the DiD combination
+    * subtracts them in one fixed association order mirrored by the
+    * oracle, then the single §6 rounding. Shape: ONE conditional
+    * fold over raw events — four fused conditional aggregates, zero
+    * joins, one exchange. */
+  def eventsDid(t: Tables, boundaryDay: Int = 15): DataFrame = {
+    import graft.functions.ExactAgg
+    val base = t.events.select(
+      when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+        .otherwise("B").as("variant"),
+      when(datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))) < boundaryDay, "pre")
+        .otherwise("post").as("period"),
+      col("value"))
+    def cellVal(v: String, p: String): Column =
+      when(col("variant") === v && col("period") === p, col("value"))
+    def cellN(v: String, p: String): Column =
+      sum(when(col("variant") === v && col("period") === p, 1L).otherwise(0L))
+    base.agg(
+        cellN("A", "pre").as("n_a_pre"), cellN("A", "post").as("n_a_post"),
+        cellN("B", "pre").as("n_b_pre"), cellN("B", "post").as("n_b_post"),
+        ExactAgg.exactMean(cellVal("A", "pre"), 4).as("mean_a_pre"),
+        ExactAgg.exactMean(cellVal("A", "post"), 4).as("mean_a_post"),
+        ExactAgg.exactMean(cellVal("B", "pre"), 4).as("mean_b_pre"),
+        ExactAgg.exactMean(cellVal("B", "post"), 4).as("mean_b_post"))
+      .withColumn("did", round(
+        (col("mean_b_post") - col("mean_b_pre"))
+          - (col("mean_a_post") - col("mean_a_pre")) + lit(1e-9), 4))
+  }
+
   /** `events_funnel_timing` — conversion latency between funnel
     * stages: over users who completed view → click → purchase (the
     * [[eventsFunnel]] cohort), the mean and median seconds from first

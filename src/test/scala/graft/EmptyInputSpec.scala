@@ -109,8 +109,10 @@ class EmptyInputSpec extends SparkSpec {
     "events_holt_forecast", "q_csv_malformed_audit",
     "events_markov_entropy_rate", "events_stickiness",
     // round-14: the BPE loop's per-round argmax collect over an empty
-    // word rollup (no pairs → no merge rows, loop degrades to 0 rows)
-    "text_bpe_train_loop")
+    // word rollup (no pairs → no merge rows, loop degrades to 0 rows),
+    // the SRM chi-square (0/0 → NULL statistic, no ANSI throw), and
+    // the DiD panel (all four ExactAgg cells NULL on empty input)
+    "text_bpe_train_loop", "events_srm", "events_did")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
