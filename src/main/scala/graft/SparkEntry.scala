@@ -265,6 +265,7 @@ object SparkEntry {
     "ann_graph_topk"      -> q(t => Similarity.annGraphTopK(t)),
     "ann_graph_recall_eval" -> q(t => Similarity.annGraphRecallEval(t)),
     "ann_nndescent_build" -> q(t => Similarity.annNnDescentBuild(t)),
+    "ann_nndescent_incremental" -> q(t => Similarity.annNnDescentIncremental(t)),
     "ann_quantized_topk"  -> q(Similarity.annQuantizedTopK),
     "ann_refine_topk"     -> q(t => Similarity.annRefineTopK(t)),
     "ann_hamming_topk"    -> q(t => Similarity.annHammingTopK(t)),
@@ -3503,6 +3504,55 @@ object SparkEntry {
     "ann_topk_agg" -> bruteForceSql,
     "ann_graph_topk" -> annGraphTopKSql,
     "ann_graph_recall_eval" -> annGraphRecallEvalSql,
+    // graph-index append unrolled: band entries + one hop through the
+    // stored history graph for arrivals, reverse band update for
+    // history, per-segment recall vs the full exact truth
+    "ann_nndescent_incremental" -> {
+      def rank(src: String, out: String) =
+        s"""$out AS (SELECT src, dst FROM (
+           |  SELECT p.src, p.dst, row_number() OVER (PARTITION BY p.src
+           |    ORDER BY round(list_cosine_similarity(sa.emb, sb.emb), 4) DESC, p.dst) AS rnk
+           |  FROM $src p JOIN nd sa ON sa.vec_id = p.src JOIN nd sb ON sb.vec_id = p.dst)
+           | WHERE rnk <= 8)""".stripMargin
+      def bits(band: Int) = (0 until 4).map(p =>
+        s"(CASE WHEN list_dot_product(emb, ${hyperplaneLit(4 * band + p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |nd AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10 AND vec_id % 4 = 0),
+         |sg AS (SELECT vec_id, ${bits(0)} AS b0, ${bits(1)} AS b1 FROM nd),
+         |hp AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM nd a JOIN nd b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 <> 0),
+         |${rank("hp", "hg")},
+         |sh AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+         |  FROM sg a JOIN sg b ON (a.b0 = b.b0 OR a.b1 = b.b1) AND a.vec_id <> b.vec_id),
+         |sh_wh AS (SELECT src, dst FROM sh WHERE src % 5 = 0 AND dst % 5 <> 0),
+         |sh_ww AS (SELECT src, dst FROM sh WHERE src % 5 = 0 AND dst % 5 = 0),
+         |sh_hw AS (SELECT src, dst FROM sh WHERE src % 5 <> 0 AND dst % 5 = 0),
+         |cn AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM sh_wh
+         |  UNION ALL SELECT s.src, g.dst FROM sh_wh s JOIN hg g ON g.src = s.dst
+         |  UNION ALL SELECT src, dst FROM sh_ww) WHERE src <> dst),
+         |${rank("cn", "gn")},
+         |ch AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM hg UNION ALL SELECT src, dst FROM sh_hw)),
+         |${rank("ch", "gh")},
+         |tp AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM nd a JOIN nd b ON a.vec_id <> b.vec_id),
+         |${rank("tp", "truth")},
+         |ts AS (SELECT CASE WHEN src % 5 = 0 THEN 'new' ELSE 'history' END AS segment,
+         |  src, dst FROM truth),
+         |g AS (SELECT 'new' AS segment, src, dst FROM gn
+         |  UNION ALL SELECT 'history', src, dst FROM gh),
+         |tt AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_truth FROM ts GROUP BY 1),
+         |ht AS (SELECT g.segment, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM g JOIN ts ON ts.segment = g.segment AND ts.src = g.src AND ts.dst = g.dst
+         |  GROUP BY 1),
+         |ed AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_edges FROM g GROUP BY 1)
+         |SELECT ed.segment, n_edges, coalesce(n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         |  round(coalesce(n_hits, CAST(0 AS BIGINT)) / CAST(n_truth AS DOUBLE) + 1e-9, 4) AS recall
+         |FROM ed LEFT JOIN ht USING (segment) JOIN tt USING (segment)""".stripMargin
+    },
     // NN-descent build unrolled: LSH-bucket init, two two-hop
     // expand→re-rank rounds, recall vs the exact all-pairs truth
     "ann_nndescent_build" -> {

@@ -1883,6 +1883,102 @@ object Similarity {
     out
   }
 
+  /** S32 — `ann_nndescent_incremental`: the APPEND path of the graph
+    * index — closing the lifecycle the IVF/PQ catalog already has
+    * (build → append → compact → serve): new vectors join a stored
+    * kNN graph WITHOUT a rebuild. Arrivals (the `% 5` increment
+    * slice, the [[annIndexIncremental]] convention) get their lists
+    * from band-matched graph nodes (the S31 two-band LSH entries) +
+    * ONE hop through those entries' stored neighborhoods + band-
+    * matched fellow arrivals; touched history nodes RE-RANK their
+    * stored list against the band-matched arrivals (the reverse
+    * update real NN-descent appenders do — without it history lists
+    * go stale and recall decays as the corpus grows). Output is the
+    * measured per-segment recall vs the exact graph over the FULL
+    * post-append node set — appended quality and history staleness
+    * both read off one table.
+    *
+    * The history graph here is the exact build over the history slice
+    * (the oracle-checkable stand-in, as [[knnGraphEdges]]); at scale
+    * it IS the S31 NN-descent artifact. Per-arrival work: band
+    * buckets + k·(bands hit) one-hop expansions — independent of
+    * corpus size; history updates touch only band-matched nodes.
+    * Every stage keyed; nothing all-pairs at append time. */
+  def annNnDescentIncremental(t: Tables, graphK: Int = 8,
+      initBits: Int = 4): DataFrame = {
+    val e = withEmb(t)
+    val nodes = e
+      .filter(col("vec_id") >= NumQueries && col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("emb"))
+    val hist = nodes.filter(col("vec_id") % 5 =!= 0)
+    val arrivals = nodes.filter(col("vec_id") % 5 === 0)
+    def bandSig(band: Int, emb: Column): Column =
+      (0 until initBits).map { p =>
+        when(dotProduct(emb,
+            typedlit(hyperplane(initBits * band + p, 64))) > 0, lit(1 << p))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    def withBands(df: DataFrame): DataFrame = df.select(col("vec_id"),
+      bandSig(0, col("emb")).as("b0"), bandSig(1, col("emb")).as("b1"))
+    def rank(cands: DataFrame): DataFrame = cands
+      .join(nodes.select(col("vec_id").as("src"), col("emb").as("src_emb")),
+        "src")
+      .join(nodes.select(col("vec_id").as("dst"), col("emb").as("dst_emb")),
+        "dst")
+      .select(col("src"), col("dst"),
+        round(cosineSimilarity(col("src_emb"), col("dst_emb")), 4).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(desc("sim"), asc("dst"))))
+      .filter(col("rnk") <= graphK)
+      .select(col("src"), col("dst"))
+    // band-share join: either band family matches (distinct'd — a pair
+    // sharing both bands must not double-candidate)
+    def bandShare(a: DataFrame, b: DataFrame): DataFrame = {
+      val (ab, bb) = (withBands(a).as("a"), withBands(b).as("b"))
+      ab.join(bb, (col("a.b0") === col("b.b0") ||
+          col("a.b1") === col("b.b1")) &&
+        col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+        .distinct()
+    }
+    // stored history graph: exact over the history slice, persisted
+    // for the multi-consumer plan below
+    val histGraph = rank(
+      hist.as("a").join(hist.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst")))
+      .persist()
+    val entries = bandShare(arrivals, hist)
+    val candNew = entries
+      .unionByName(entries.join(histGraph
+          .select(col("src").as("dst"), col("dst").as("hop")),
+        Seq("dst"))
+        .select(col("src"), col("hop").as("dst")))
+      .unionByName(bandShare(arrivals, arrivals))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val newEdges = rank(candNew)
+    val histEdges = rank(
+      histGraph.unionByName(bandShare(hist, arrivals)).distinct())
+    val truth = knnGraphEdges(t, graphK) // exact over the full node set
+    val graph = newEdges.select(lit("new").as("segment"), col("src"), col("dst"))
+      .unionByName(histEdges
+        .select(lit("history").as("segment"), col("src"), col("dst")))
+    val truthSeg = truth.select(
+      when(col("src") % 5 === 0, lit("new")).otherwise(lit("history"))
+        .as("segment"), col("src"), col("dst"))
+    val tTot = truthSeg.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_truth"))
+    val hits = graph.join(truthSeg, Seq("segment", "src", "dst"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n_hits"))
+    graph.groupBy(col("segment")).agg(count(lit(1)).as("n_edges"))
+      .join(hits, Seq("segment"), "left")
+      .join(tTot, Seq("segment"))
+      .select(col("segment"), col("n_edges"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_truth").cast("double") + lit(1e-9), 4).as("recall"))
+  }
+
   /** S31 — `ann_nndescent_build`: the PRODUCTION approximate build of
     * the kNN graph that [[annGraphTopK]] serves from — closing the
     * r11 caveat that the stored graph was exact-only. NN-descent

@@ -476,6 +476,52 @@ class EmbeddingMiningSpec extends SparkSpec {
     }
   }
 
+  test("ann_nndescent_incremental: reverse update beats the stale graph") {
+    val rows = Similarity.annNnDescentIncremental(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap2
+    assert(rows.keySet == Set("new", "history"))
+    rows.values.foreach { case (edges, hits, rec) =>
+      assert(hits <= edges); assert(rec > 0.0 && rec <= 1.0)
+    }
+    // the reverse update is WHY history lists don't go stale: the
+    // stale exact-history graph (which cannot contain any arrival)
+    // must score strictly worse against the post-append truth than
+    // the updated history lists do
+    val emb = tables.embeddings
+      .filter(col("vec_id") >= 10 && col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var (d, na, nb) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.round(d / math.sqrt(na * nb) * 1e4) / 1e4
+    }
+    def topk(ids: Seq[Long], of: Seq[Long]): Map[Long, Seq[Long]] =
+      ids.map { s =>
+        s -> of.filter(_ != s)
+          .map(d => (cos(emb.toMap.apply(s), emb.toMap.apply(d)), d))
+          .sortBy { case (c, d) => (-c, d) }.take(8).map(_._2)
+      }.toMap
+    val all = emb.map(_._1).toSeq
+    val hist = all.filter(_ % 5 != 0)
+    val truthHist = topk(hist, all) // post-append truth for history srcs
+    val stale = topk(hist, hist)    // the pre-append stored graph
+    val staleHits = hist.map(s =>
+      stale(s).toSet.intersect(truthHist(s).toSet).size).sum
+    val staleRecall = staleHits.toDouble / (hist.size * 8)
+    assert(rows("history")._3 > staleRecall,
+      s"reverse update useless: ${rows("history")._3} vs stale $staleRecall")
+  }
+
+  private implicit class RowsOps(
+      val rs: Array[(String, Long, Long, Double)]) {
+    def toMap2: Map[String, (Long, Long, Double)] =
+      rs.map(r => r._1 -> (r._2, r._3, r._4)).toMap
+  }
+
   test("embed_mutual_knn_clusters: reciprocal filter + union-find replay") {
     val edges = Similarity.embedKnnGraph(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
