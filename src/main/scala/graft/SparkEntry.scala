@@ -365,6 +365,7 @@ object SparkEntry {
     "events_value_percentiles_approx" ->
       q(t => EventAnalytics.eventsValuePercentilesApprox(t)),
     "q_delete_propagation" -> q(t => Governance.deletePropagation(t)),
+    "q_data_masking"      -> q(t => Governance.qDataMasking(t)),
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
@@ -4050,6 +4051,23 @@ object SparkEntry {
         |   + CAST(abs(a.p_size - b.p_size) <= 2 AS INTEGER) AS score
         | FROM part a JOIN part b ON a.p_partkey < b.p_partkey)
         |SELECT key_1, key_2, score FROM s WHERE score >= 3""".stripMargin,
+    // pseudonymization + k-anonymity audit: md5 nibble-digit tokens,
+    // $1000 bands, region generalization — pure replayable arithmetic
+    "q_data_masking" -> {
+      val digits = (1 to 9).map(i =>
+        s"CAST((strpos('0123456789abcdef', substr(md5(c_name), $i, 1)) - 1) % 10 AS VARCHAR)")
+        .mkString(" || ")
+      s"""WITH m AS (SELECT r.r_name AS region,
+         |  CAST(floor(c_acctbal / 1000) AS BIGINT) * 1000 AS acct_band,
+         |  c_mktsegment, 'Customer#' || $digits AS name_token
+         | FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+         |SELECT region, acct_band, c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS k,
+         |  CAST(count(DISTINCT name_token) AS BIGINT) AS n_tokens,
+         |  count(*) < 5 AS risky
+         |FROM m GROUP BY 1, 2, 3""".stripMargin
+    },
     // ALL-PAIRS replay of the exactly-2 review band — the three
     // single-field blocks are pigeonhole-complete for it (≥1 of any
     // 2 agreements is an equality field), and any hole fails here

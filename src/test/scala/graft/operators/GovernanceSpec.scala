@@ -171,6 +171,48 @@ class GovernanceSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_data_masking: token replay, format preserved, audit partitions") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def token(name: String): String =
+      "Customer#" + md5hex(name).take(9)
+        .map(c => ("0123456789abcdef".indexOf(c) % 10).toString).mkString
+    val cust = tables.customer
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getDouble(3),
+        r.getString(4)))
+    val nat = tables.nation.select(col("n_nationkey"), col("n_regionkey"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val reg = tables.region.select(col("r_regionkey"), col("r_name"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expected = cust
+      .map { case (_, name, nk, bal, seg) =>
+        ((reg(nat(nk)), math.floor(bal / 1000).toLong * 1000, seg),
+          token(name))
+      }
+      .groupBy(_._1).map { case (k, xs) =>
+        (k._1, k._2, k._3, xs.length.toLong,
+          xs.map(_._2).distinct.length.toLong, xs.length < 5)
+      }.toSet
+    val got = Governance.qDataMasking(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    assert(got == expected,
+      s"audit drift: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    // format preserved AND deterministic-injective on this register:
+    // distinct tokens == distinct names (a collision would silently
+    // merge two identities in the release)
+    val tokens = cust.map(c => token(c._2))
+    tokens.foreach(t => assert(t.matches("Customer#\\d{9}"), t))
+    assert(tokens.distinct.length == cust.map(_._2).distinct.length,
+      "token collision on the register")
+    // the audit partitions the register completely
+    assert(got.toSeq.map(_._4).sum == cust.length.toLong)
+  }
+
   test("size-band windows cover every |Δsize| ≤ 2 pair (exhaustive 1..50)") {
     // the overlap-2 band scheme's cover proof, replayed exhaustively
     // over the full TPC-H size domain THROUGH THE SHIPPED COLUMN
