@@ -59,11 +59,31 @@ final class MergeTarget private (val spark: SparkSession, root: Path) {
   /** TIME TRAVEL: any committed snapshot by version number — versions
     * are immutable directories, so an old read is just a pinned scan
     * (the Delta `VERSION AS OF` shape). Orphan directories beyond the
-    * pointer are uncommitted and refused. */
+    * pointer are uncommitted and refused; vacuumed versions fail
+    * loudly rather than returning a partial scan. */
   def readVersion(v: Long): DataFrame = {
     require(v >= 0 && v <= version,
       s"version $v not committed (head is $version)")
+    require(Files.exists(versionDir(v)),
+      s"version $v was vacuumed (retained: last versions up to $version)")
     spark.read.parquet(versionDir(v).toString)
+  }
+
+  /** RETENTION: drop all version directories older than the newest
+    * `keep` (the Delta VACUUM contract): time travel to a dropped
+    * version then fails loudly via [[readVersion]]'s existence check,
+    * the pointer and the newest `keep` snapshots are never touched,
+    * and the head read is unaffected. Returns the dropped versions. */
+  def vacuum(keep: Int): Seq[Long] = {
+    require(keep >= 1, s"must keep at least the head (keep=$keep)")
+    import scala.jdk.CollectionConverters._
+    val cutoff = version - keep + 1
+    val dropped = (0L until cutoff).filter(v => Files.exists(versionDir(v)))
+    dropped.foreach { v =>
+      Files.walk(versionDir(v)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    }
+    dropped
   }
 
   /** Commit `(version, batchId)` by atomic pointer rename. */

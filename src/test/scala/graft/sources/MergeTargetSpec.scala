@@ -79,6 +79,27 @@ class MergeTargetSpec extends SparkSpec {
       Set((1L, 10L), (2L, 21L)))
   }
 
+  test("vacuum drops old versions, keeps the retained window readable") {
+    val sess = spark
+    import sess.implicits._
+    val (t, _) = mkTarget("mt_vacuum")
+    (0 to 2).foreach { b =>
+      t.merge(b.toLong)(upsert)(Seq((1L, 100L + b)).toDF("k", "v"))
+    }
+    assert(t.version == 3L)
+    assert(t.vacuum(keep = 2) == Seq(0L, 1L))
+    // head and the retained snapshot still read; dropped versions
+    // fail LOUDLY (never a partial scan)
+    assert(t.read().collect().map(_.getLong(1)).max == 102L)
+    assert(t.readVersion(2L).collect().map(_.getLong(1)).max == 101L)
+    intercept[IllegalArgumentException](t.readVersion(1L))
+    // idempotent: nothing left to drop
+    assert(t.vacuum(keep = 2).isEmpty)
+    // a later merge still commits cleanly on the vacuumed table
+    assert(t.merge(3L)(upsert)(Seq((9L, 9L)).toDF("k", "v")))
+    assert(t.version == 4L)
+  }
+
   test("pointer flip is a same-directory atomic rename, not a rewrite") {
     val (t, _) = mkTarget("mt_pointer")
     t.merge(0L)(upsert)(t.read())
