@@ -139,6 +139,8 @@ object SparkEntry {
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
     "events_srm"          -> q(t => EventAnalytics.eventsSrm(t)),
     "events_did"          -> q(t => EventAnalytics.eventsDid(t)),
+    "stream_srm"          -> q(t => graft.streaming.Streaming.streamSrm(t)),
+    "stream_did"          -> q(t => graft.streaming.Streaming.streamDid(t)),
     "events_cuped"        -> q(t => EventAnalytics.eventsCuped(t)),
     "events_pagerank"     -> q(t => EventAnalytics.eventsPagerank(t)),
     // personalized PageRank from the hub seed — proximity ranking,
@@ -605,6 +607,44 @@ object SparkEntry {
       |  UNION ALL SELECT y AS node FROM tri) GROUP BY 1)
       |SELECT deg.node, deg.deg, COALESCE(pn.n, 0) AS n_triangles
       |FROM deg LEFT JOIN pn ON pn.node = deg.node""".stripMargin
+
+  /** 50/50-design chi-square, shared by `events_srm` and the
+    * streaming monitor `stream_srm` (equivalence pair #21). */
+  private lazy val srmSql: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+      |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |   THEN 'A' ELSE 'B' END AS variant FROM u),
+      |f AS (SELECT
+      |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      | FROM v)
+      |SELECT n_a, n_b,
+      | round((n_a - n_b) * (n_a - n_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) + 1e-9, 4) AS chi2,
+      | round((n_a - n_b) * (n_a - n_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) + 1e-9, 4) > 3.841 AS srm_detected
+      |FROM f""".stripMargin
+
+  /** Four ExactAgg cell means + the DiD combination, shared by
+    * `events_did` and `stream_did` (equivalence pair #22). */
+  private lazy val didSql: String = {
+    def m(v: String, p: String) = graft.functions.ExactAgg.exactMeanSql(
+      s"CASE WHEN variant = '$v' AND period = '$p' THEN value END", 4)
+    def n(v: String, p: String) =
+      s"CAST(sum(CASE WHEN variant = '$v' AND period = '$p' THEN 1 ELSE 0 END) AS BIGINT)"
+    s"""WITH e AS (SELECT
+       |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+       |   THEN 'A' ELSE 'B' END AS variant,
+       |  CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') < 15
+       |   THEN 'pre' ELSE 'post' END AS period,
+       |  value FROM events),
+       |f AS (SELECT
+       |  ${n("A", "pre")} AS n_a_pre, ${n("A", "post")} AS n_a_post,
+       |  ${n("B", "pre")} AS n_b_pre, ${n("B", "post")} AS n_b_post,
+       |  ${m("A", "pre")} AS mean_a_pre, ${m("A", "post")} AS mean_a_post,
+       |  ${m("B", "pre")} AS mean_b_pre, ${m("B", "post")} AS mean_b_post
+       | FROM e)
+       |SELECT *, round((mean_b_post - mean_b_pre) - (mean_a_post - mean_a_pre) + 1e-9, 4) AS did
+       |FROM f""".stripMargin
+  }
 
   /** `q_scd2_history`'s full SCD2 build — also composed verbatim as
     * the dimension side of `q_point_in_time_join`'s oracle. */
@@ -2543,41 +2583,14 @@ object SparkEntry {
         | END AS clustering_coeff
         |FROM ts ORDER BY item""".stripMargin,
     // 50/50-design chi-square: exact integer numerator/denominator,
-    // flag decided on the ROUNDED statistic in both engines
-    "events_srm" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |v AS (SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-        |   THEN 'A' ELSE 'B' END AS variant FROM u),
-        |f AS (SELECT
-        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-        | FROM v)
-        |SELECT n_a, n_b,
-        | round((n_a - n_b) * (n_a - n_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) + 1e-9, 4) AS chi2,
-        | round((n_a - n_b) * (n_a - n_b) / nullif(CAST(n_a + n_b AS DOUBLE), 0.0) + 1e-9, 4) > 3.841 AS srm_detected
-        |FROM f""".stripMargin,
-    // four ExactAgg cell means (bit-identical doubles), DiD combined
-    // in the same association order, one final rounding
-    "events_did" -> {
-      def m(v: String, p: String) = graft.functions.ExactAgg.exactMeanSql(
-        s"CASE WHEN variant = '$v' AND period = '$p' THEN value END", 4)
-      def n(v: String, p: String) =
-        s"CAST(sum(CASE WHEN variant = '$v' AND period = '$p' THEN 1 ELSE 0 END) AS BIGINT)"
-      s"""WITH e AS (SELECT
-         |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-         |   THEN 'A' ELSE 'B' END AS variant,
-         |  CASE WHEN (CAST(ts AS DATE) - DATE '2024-01-01') < 15
-         |   THEN 'pre' ELSE 'post' END AS period,
-         |  value FROM events),
-         |f AS (SELECT
-         |  ${n("A", "pre")} AS n_a_pre, ${n("A", "post")} AS n_a_post,
-         |  ${n("B", "pre")} AS n_b_pre, ${n("B", "post")} AS n_b_post,
-         |  ${m("A", "pre")} AS mean_a_pre, ${m("A", "post")} AS mean_a_post,
-         |  ${m("B", "pre")} AS mean_b_pre, ${m("B", "post")} AS mean_b_post
-         | FROM e)
-         |SELECT *, round((mean_b_post - mean_b_pre) - (mean_a_post - mean_a_pre) + 1e-9, 4) AS did
-         |FROM f""".stripMargin
-    },
+    // flag decided on the ROUNDED statistic in both engines; the
+    // dedup-state streaming monitor shares it verbatim (pair #21)
+    "events_srm" -> srmSql,
+    "stream_srm" -> srmSql,
+    // four ExactAgg cell means; the streaming (Σq, n) cell-state fold
+    // recovers the identical integer means (pair #22)
+    "events_did" -> didSql,
+    "stream_did" -> didSql,
     "events_ab_test" ->
       """WITH u AS (SELECT user_id,
         |  max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS converted,

@@ -860,6 +860,75 @@ object Streaming {
     * second source scan. Shares the batch GROUP BY/HAVING oracle
     * verbatim — stream/batch equivalence pair #20.
     */
+  /** X25 — `stream_srm`: the sample-ratio-mismatch guard as a LIVE
+    * monitor — the deployment shape an experimentation platform runs
+    * it in (catch a broken randomizer within the hour, not at
+    * readout): streaming `dropDuplicates` on user (state = one row
+    * per ASSIGNED user, exactly the population the test reads) feeds
+    * a variant-keyed streaming count — two chained stateful
+    * operators, the Spark-4 multi-stateful pipeline — and the
+    * chi-square scores the drained 2-row state through arithmetic
+    * identical to the batch guard. Shares `events_srm`'s oracle
+    * verbatim — stream/batch equivalence pair #21. */
+  def streamSrm(t: Tables): DataFrame = {
+    val users = eventsStream(t).select(col("user_id"))
+      .dropDuplicates("user_id")
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val counts = users.groupBy(col("variant")).agg(count(lit(1)).as("n"))
+    val drained = drainToTable(counts, "complete")
+    val chi2 = round((col("n_a") - col("n_b")) * (col("n_a") - col("n_b"))
+      / nullif((col("n_a") + col("n_b")).cast("double"), lit(0.0))
+      + lit(1e-9), 4)
+    drained.agg(
+        sum(when(col("variant") === "A", col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", col("n")).otherwise(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"), chi2.as("chi2"),
+        (chi2 > 3.841).as("srm_detected"))
+  }
+
+  /** X26 — `stream_did`: difference-in-differences maintained over
+    * the live stream — per (variant, period) cell state is the
+    * (Σ quantized value, n) pair, the minimal sufficient statistic
+    * for the ExactAgg mean (4 keys, O(1) state), and the drained
+    * cells recover the means with the IDENTICAL integer formula
+    * `⌊(2Σq + n)/(2n)⌋ / 10⁴`, so the streaming readout is
+    * bit-identical to the batch estimator. Shares `events_did`'s
+    * oracle verbatim — stream/batch equivalence pair #22. */
+  def streamDid(t: Tables, boundaryDay: Int = 15): DataFrame = {
+    import graft.functions.ExactAgg
+    val base = eventsStream(t).select(
+      when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+        .otherwise("B").as("variant"),
+      when(datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))) < boundaryDay, "pre")
+        .otherwise("post").as("period"),
+      ExactAgg.quantize(col("value"), 4).as("q"))
+    val cells = base.groupBy(col("variant"), col("period"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+    val drained = drainToTable(cells, "complete")
+    def cellN(v: String, p: String) =
+      sum(when(col("variant") === v && col("period") === p, col("n"))
+        .otherwise(0L))
+    // the exactMean integer recovery over the drained (Σq, n) state
+    def cellMean(v: String, p: String) = {
+      val s = sum(when(col("variant") === v && col("period") === p, col("sq")))
+      val n = sum(when(col("variant") === v && col("period") === p, col("n")))
+      floor((lit(2L) * s + n) / (lit(2L) * n)) / lit(1e4)
+    }
+    drained.agg(
+        cellN("A", "pre").as("n_a_pre"), cellN("A", "post").as("n_a_post"),
+        cellN("B", "pre").as("n_b_pre"), cellN("B", "post").as("n_b_post"),
+        cellMean("A", "pre").as("mean_a_pre"),
+        cellMean("A", "post").as("mean_a_post"),
+        cellMean("B", "pre").as("mean_b_pre"),
+        cellMean("B", "post").as("mean_b_post"))
+      .withColumn("did", round(
+        (col("mean_b_post") - col("mean_b_pre"))
+          - (col("mean_a_post") - col("mean_a_pre")) + lit(1e-9), 4))
+  }
+
   def streamHeavyHitters(t: Tables, phiInv: Int = 40): DataFrame = {
     import graft.operators.TextAnalysis
     val schema = t.raw("documents").schema
