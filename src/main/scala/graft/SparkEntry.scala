@@ -246,6 +246,7 @@ object SparkEntry {
     "dedup_simhash"       -> q(Dedup.dedupSimhash),
     "dedup_embedding"     -> q(t => Dedup.dedupEmbedding(t)),
     "dedup_clusters"      -> q(t => Dedup.dedupClusters(t)),
+    "dedup_survivorship"  -> q(t => Dedup.dedupSurvivorship(t)),
     "dedup_clusters_incremental" -> q(t => Dedup.dedupClustersIncremental(t)),
     "dedup_incremental"   -> q(t => Dedup.dedupIncremental(t)),
     "dedup_incremental_table" -> q(t => Dedup.dedupIncrementalTable(t)),
@@ -1232,8 +1233,11 @@ object SparkEntry {
     * cluster-label paths: connected components over the complete LSH
     * pair graph as a recursive CTE — the incremental merge must equal
     * this full recompute exactly. */
-  private lazy val dedupClustersSql =
-    s"""WITH RECURSIVE $sqlShingles,
+  /** The MinHash-LSH → transitive-closure label chain (CTEs through
+    * `lbl`), shared by `dedup_clusters` and the survivorship
+    * consumer. */
+  private lazy val dedupClustersChainSql =
+    s"""$sqlShingles,
       |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
       |  FROM sh, (SELECT unnest(generate_series(0,15)) AS seed) s GROUP BY 1,2),
       |bands AS (SELECT doc_id, seed//4 AS band, md5(string_agg(h,'|' ORDER BY seed)) AS bh
@@ -1244,10 +1248,30 @@ object SparkEntry {
       |reach(doc_id, r) AS (
       |  SELECT doc_id, doc_id AS r FROM documents
       |  UNION
-      |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b)
-      |SELECT doc_id, min(r) AS cluster_id,
-      | CAST(CASE WHEN min(r) = doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
-      |FROM reach GROUP BY 1""".stripMargin
+      |  SELECT e.a AS doc_id, reach.r FROM edges e JOIN reach ON reach.doc_id = e.b),
+      |lbl AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)""".stripMargin
+
+  private lazy val dedupClustersSql =
+    s"""WITH RECURSIVE $dedupClustersChainSql
+      |SELECT doc_id, cluster_id,
+      | CAST(CASE WHEN cluster_id = doc_id THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+      |FROM lbl""".stripMargin
+
+  /** `dedup_survivorship` — the cluster chain + keep-the-longest
+    * argmax (chars desc, doc_id asc) over multi-member clusters. */
+  private lazy val dedupSurvivorshipSql =
+    s"""WITH RECURSIVE $dedupClustersChainSql,
+      |m AS (SELECT l.doc_id, l.cluster_id, d.n_chars
+      |  FROM lbl l JOIN documents d ON d.doc_id = l.doc_id),
+      |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars_total
+      | FROM m GROUP BY 1 HAVING count(*) >= 2),
+      |kp AS (SELECT cluster_id, doc_id AS kept_doc, n_chars AS kept_chars FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+      |    ORDER BY n_chars DESC, doc_id) AS rn FROM m) WHERE rn = 1)
+      |SELECT sz.cluster_id, kept_doc, n_members, chars_total,
+      | chars_total - kept_chars AS chars_saved
+      |FROM sz JOIN kp ON kp.cluster_id = sz.cluster_id""".stripMargin
 
   /** DuckDB CTE body: distinct word-3-gram shingles per doc. */
   private val sqlShingles =
@@ -3011,6 +3035,7 @@ object SparkEntry {
     // persisted index — one oracle proves both paths
     "dedup_incremental_table" -> incrementalOracleSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_survivorship" -> dedupSurvivorshipSql,
     // incremental merge == full recompute by construction (contracted
     // super-node propagation preserves component minima), so the
     // stored-state path is hash-checked against the same full-corpus

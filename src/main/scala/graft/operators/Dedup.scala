@@ -599,6 +599,44 @@ object Dedup {
   def dedupClusters(t: Tables, maxIters: Int = 50): DataFrame =
     dedupClustersWithIters(t, maxIters)._1
 
+  /** D10 — `dedup_survivorship`: WHICH COPY TO KEEP — the decision a
+    * dedup pipeline actually has to make after clustering
+    * ([[dedupClusters]] labels duplicates; this picks the survivor
+    * and prices the cut). Policy: the most COMPLETE member survives —
+    * max `n_chars`, doc-id tie-break — the keep-the-longest heuristic
+    * web-dedup pipelines default to (truncated mirrors and paywalled
+    * stubs lose to the full copy), deliberately NOT the min-id label
+    * the CC algorithm happens to produce: the survivor is a POLICY
+    * choice layered on the clustering, and the two differ on this
+    * corpus (spec-pinned). Output per multi-member cluster: survivor,
+    * member count, total chars, and chars saved by dropping the rest
+    * — the corpus-reduction receipt a dedup review reads.
+    *
+    * Shape: the shared cluster labels (one CC run), one keyed join to
+    * the per-doc char counts, one cluster-keyed rollup + one
+    * rank-1-per-cluster window over the metadata-scale label table.
+    * The oracle composes the `dedup_clusters` recursive-CTE chain
+    * verbatim and replays the argmax. */
+  def dedupSurvivorship(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = dedupClusters(t).select(col("doc_id"), col("cluster_id"))
+      .join(t.documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val sized = m.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("chars_total"))
+      .filter(col("n_members") >= 2)
+    val kept = m.withColumn("rn", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(desc("n_chars"), asc("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("n_chars").as("kept_chars"))
+    sized.join(kept, Seq("cluster_id"))
+      .select(col("cluster_id"), col("kept_doc"), col("n_members"),
+        col("chars_total"),
+        (col("chars_total") - col("kept_chars")).as("chars_saved"))
+  }
+
   /** [[dedupClusters]] plus the number of rounds it took — exposed so
     * the convergence behavior is PINNED in spec, not asserted in
     * prose. `pathHalving = false` recovers plain min-label

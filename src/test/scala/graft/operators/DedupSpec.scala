@@ -316,6 +316,38 @@ class DedupSpec extends SparkSpec {
     assert(expected.map(_._4).sum > 0)
   }
 
+  test("dedup_survivorship keeps the longest member, not the CC label") {
+    val labels = Dedup.dedupClusters(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = tables.documents
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = labels.toSeq.groupBy(_._2)
+      .filter(_._2.length >= 2)
+      .map { case (c, ms) =>
+        val docs = ms.map(_._1)
+        val kept = docs.minBy(d => (-chars(d), d))
+        (c, kept, docs.length.toLong, docs.map(chars).sum,
+          docs.map(chars).sum - chars(kept))
+      }.toSet
+    val got = Dedup.dedupSurvivorship(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected,
+      s"survivor drift: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    assert(expected.nonEmpty, "no multi-member cluster — vacuous")
+    // the POLICY must differ from the CC's min-id label somewhere on
+    // this corpus, or the operator is just re-reporting cluster_id
+    assert(got.exists { case (c, kept, _, _, _) => kept != c },
+      "keep-longest never disagreed with min-id — policy untested")
+    // dropping survivors costs nothing: saved < total, and saved = 0
+    // only if all members tie on the kept length
+    got.foreach { case (_, _, _, total, saved) =>
+      assert(saved >= 0 && saved < total)
+    }
+  }
+
   test("dedup_url_canonicalize equals a driver-side synth + normalize replay") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
