@@ -138,6 +138,8 @@ object SparkEntry {
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
     "events_srm"          -> q(t => EventAnalytics.eventsSrm(t)),
+    "events_audience_overlap" -> q(t => EventAnalytics.eventsAudienceOverlap(t)),
+    "q_fk_discovery"      -> q(t => Relational.qFkDiscovery(t)),
     "events_did"          -> q(t => EventAnalytics.eventsDid(t)),
     "stream_srm"          -> q(t => graft.streaming.Streaming.streamSrm(t)),
     "stream_did"          -> q(t => graft.streaming.Streaming.streamDid(t)),
@@ -2606,6 +2608,49 @@ object SparkEntry {
         |  round(2 * n_triangles / CAST(deg * (deg - 1) AS DOUBLE) + 1e-9, 4)
         | END AS clustering_coeff
         |FROM ts ORDER BY item""".stripMargin,
+    // deduped (type, user) set, user-keyed intersection, §6 Jaccard
+    "events_audience_overlap" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        | FROM s a JOIN s b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        | GROUP BY 1, 2)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+        | round(n_both / CAST(sa.n + sb.n - n_both AS DOUBLE) + 1e-9, 4) AS jaccard
+        |FROM i JOIN sz sa ON sa.event_type = i.type_a
+        | JOIN sz sb ON sb.event_type = i.type_b""".stripMargin,
+    // per candidate pair: distinct counts + shared-value count over
+    // the DISTINCT sets; FK verdict on the integer identity
+    "q_fk_discovery" -> {
+      def block(name: String, ct: String, cc: String, pt: String,
+          pc: String) =
+        s"""SELECT '$name' AS candidate,
+           | c.n AS n_child_distinct, p.n AS n_parent_distinct, s.n AS n_shared,
+           | round(s.n / CAST(c.n AS DOUBLE) + 1e-9, 4) AS inclusion,
+           | s.n = c.n AS is_fk
+           |FROM (SELECT CAST(count(DISTINCT $cc) AS BIGINT) AS n FROM $ct) c,
+           |  (SELECT CAST(count(DISTINCT $pc) AS BIGINT) AS n FROM $pt) p,
+           |  (SELECT CAST(count(*) AS BIGINT) AS n FROM
+           |    (SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct) x
+           |    JOIN (SELECT DISTINCT CAST($pc AS BIGINT) AS v FROM $pt) y USING (v)) s""".stripMargin
+      Seq(
+        block("orders.o_custkey -> customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        block("lineitem.l_orderkey -> orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        block("lineitem.l_partkey -> part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        block("lineitem.l_suppkey -> supplier.s_suppkey",
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        block("customer.c_nationkey -> nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey"),
+        block("part.p_size -> nation.n_nationkey",
+          "part", "p_size", "nation", "n_nationkey"),
+        block("orders.o_orderkey -> customer.c_custkey",
+          "orders", "o_orderkey", "customer", "c_custkey"),
+      ).mkString("\nUNION ALL\n")
+    },
     // 50/50-design chi-square: exact integer numerator/denominator,
     // flag decided on the ROUNDED statistic in both engines; the
     // dedup-state streaming monitor shares it verbatim (pair #21)

@@ -634,6 +634,40 @@ object EventAnalytics {
       round((pB - pA) / se + lit(1e-9), 4).as("z_score"))
   }
 
+  /** E209 — `events_audience_overlap`: the pairwise AUDIENCE-OVERLAP
+    * matrix over event types — exact Jaccard of the user sets behind
+    * every pair of behaviors (who views also clicks; do purchasers
+    * share users with refunders) — the audience-planning board next
+    * to the per-type reach counts ([[eventsActiveUsers]] answers
+    * WHEN, this answers WHO-ALSO). Type count is a small vocabulary,
+    * so the full matrix is exact and cheap: the deduped (type, user)
+    * set self-joins USER-KEYED (per-user fan-out ≤ types², never
+    * all-users-pairs), per-type sizes broadcast back, Jaccard =
+    * |A∩B| / (|A| + |B| − |A∩B|) as one §6 ratio. At 100 TB the
+    * exact sets swap for per-type HLL sketches with the same shape
+    * (the `stream_active_users` trade, noted). */
+  def eventsAudienceOverlap(t: Tables): DataFrame = {
+    val sets = t.events.select(col("event_type"), col("user_id")).distinct()
+    val sizes = sets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val inter = sets.as("a")
+      .join(sets.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double")
+          + lit(1e-9), 4).as("jaccard"))
+  }
+
   /** E206 — `events_srm`: the SAMPLE-RATIO-MISMATCH guard every
     * experimentation platform runs BEFORE reading a test
     * ([[eventsAbTest]], [[eventsCuped]]): if the realized assignment

@@ -300,6 +300,55 @@ object Relational {
     * one scan per fact table + one keyed anti join — the report cost
     * does not grow with the number of checks.
     */
+  /** E208 — `q_fk_discovery`: INCLUSION-DEPENDENCY profiling — the
+    * data-discovery pass that infers foreign keys from VALUES when a
+    * lake's schemas don't declare them (the public Metanome/IND
+    * literature, reduced to the unary case a warehouse catalog
+    * actually wants): for each candidate (child, parent) column pair,
+    * distinct counts, the shared-value count, the inclusion
+    * coefficient |C∩P|/|C|, and the FK verdict — decided on the
+    * INTEGER identity `n_shared == n_child_distinct` (never a
+    * float == 1.0 compare). The candidate list mixes the five true
+    * TPC-H FKs with two value-overlapping NON-keys (`p_size` vs
+    * `n_nationkey`; `o_orderkey` vs `c_custkey`), so the profiler's
+    * discrimination is visible in the output, not assumed.
+    *
+    * Shape per pair: two partial distinct aggregations + one keyed
+    * semi-join count over the DISTINCT value sets (never raw rows) —
+    * the candidate list is metadata (columns²-bounded, pruned by type
+    * compatibility in production), and each check shuffles value
+    * sets, not tables. */
+  def qFkDiscovery(t: Tables): DataFrame = {
+    def col1(df: DataFrame, c: String): DataFrame =
+      df.select(col(c).cast("long").as("v")).distinct()
+    val pairs: Seq[(String, DataFrame, DataFrame)] = Seq(
+      ("orders.o_custkey -> customer.c_custkey",
+        col1(t.orders, "o_custkey"), col1(t.customer, "c_custkey")),
+      ("lineitem.l_orderkey -> orders.o_orderkey",
+        col1(t.lineitem, "l_orderkey"), col1(t.orders, "o_orderkey")),
+      ("lineitem.l_partkey -> part.p_partkey",
+        col1(t.lineitem, "l_partkey"), col1(t.part, "p_partkey")),
+      ("lineitem.l_suppkey -> supplier.s_suppkey",
+        col1(t.lineitem, "l_suppkey"), col1(t.supplier, "s_suppkey")),
+      ("customer.c_nationkey -> nation.n_nationkey",
+        col1(t.customer, "c_nationkey"), col1(t.nation, "n_nationkey")),
+      ("part.p_size -> nation.n_nationkey",
+        col1(t.part, "p_size"), col1(t.nation, "n_nationkey")),
+      ("orders.o_orderkey -> customer.c_custkey",
+        col1(t.orders, "o_orderkey"), col1(t.customer, "c_custkey")))
+    pairs.map { case (name, c, p) =>
+      val shared = c.join(p, Seq("v"), "left_semi")
+      c.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(p.agg(count(lit(1)).as("n_parent_distinct")))
+        .crossJoin(shared.agg(count(lit(1)).as("n_shared")))
+        .select(lit(name).as("candidate"),
+          col("n_child_distinct"), col("n_parent_distinct"), col("n_shared"),
+          round(col("n_shared") / col("n_child_distinct").cast("double")
+            + lit(1e-9), 4).as("inclusion"),
+          (col("n_shared") === col("n_child_distinct")).as("is_fk"))
+    }.reduce(_ unionByName _)
+  }
+
   def qDataQuality(t: Tables): DataFrame = {
     val checks = t.lineitem.agg(
       sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpositive_quantity"),

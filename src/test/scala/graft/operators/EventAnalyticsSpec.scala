@@ -598,6 +598,47 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(best._4) > 0)
   }
 
+  test("events_audience_overlap: exact Jaccard matrix replays driver-side") {
+    val sets = tables.events.select(col("event_type"), col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def r4(x: Double) = BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val types = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+      both = sets(a).intersect(sets(b)).size.toLong if both > 0
+    } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, both,
+      r4(both.toDouble / (sets(a).size + sets(b).size - both) + 1e-9))).toSet
+    val got = EventAnalytics.eventsAudienceOverlap(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(got == expected,
+      s"overlap drift: ${(got -- expected).take(3)} vs ${(expected -- got).take(3)}")
+    // non-degenerate: overlapping audiences exist and no pair is
+    // identical (jaccard strictly inside (0, 1))
+    assert(expected.nonEmpty)
+    got.foreach { case (_, _, _, _, _, j) => assert(j > 0.0 && j <= 1.0) }
+  }
+
+  test("q_fk_discovery: exactly the five declared FKs are flagged") {
+    val rows = graft.operators.Relational.qFkDiscovery(tables).collect()
+      .map(r => (r.getString(0), r.getDouble(4), r.getBoolean(5)))
+    val flagged = rows.filter(_._3).map(_._1).toSet
+    assert(flagged == Set(
+      "orders.o_custkey -> customer.c_custkey",
+      "lineitem.l_orderkey -> orders.o_orderkey",
+      "lineitem.l_partkey -> part.p_partkey",
+      "lineitem.l_suppkey -> supplier.s_suppkey",
+      "customer.c_nationkey -> nation.n_nationkey"), flagged)
+    // the planted non-keys must show PARTIAL inclusion — the profiler
+    // discriminates by measured values, not by the candidate list
+    rows.filter(!_._3).foreach { case (n, inc, _) =>
+      assert(inc > 0.0 && inc < 1.0, s"$n inclusion $inc not partial")
+    }
+  }
+
   test("events_srm: chi-square replays; a forced imbalance must trip the flag") {
     def md5hex(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
