@@ -807,4 +807,52 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan(Relational.qAsofJoinTolerance(tables))
     assert(p.contains("AsOfJoin"), p)
   }
+
+  // ---- round-14 pins ----------------------------------------------
+
+  test("ann_nndescent_build: band/two-hop joins are keyed, never cartesian") {
+    val p = plan(Similarity.annNnDescentBuild(tables))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("ann_nndescent_incremental: append path keyed, never cartesian") {
+    val p = plan(Similarity.annNnDescentIncremental(tables))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_data_masking: both hierarchy dims broadcast, one partial rollup") {
+    val p = plan(Governance.qDataMasking(tables))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("events_srm: one exchange — partial conditional sums before it") {
+    val p = plan(EventAnalytics.eventsSrm(tables))
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("events_did: ONE fold over raw events, zero joins") {
+    val p = plan(EventAnalytics.eventsDid(tables))
+    assert(!p.contains("Join"), s"DiD should be join-free:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("events_audience_overlap: user-keyed intersection, sizes broadcast") {
+    val p = plan(EventAnalytics.eventsAudienceOverlap(tables))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("dedup_survivorship: label join keyed; no cartesian anywhere") {
+    val p = plan(graft.operators.Dedup.dedupSurvivorship(tables))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_heaps_law: token stream feeds exactly two keyed partial aggs") {
+    val p = plan(TextAnalysis.textHeapsLaw(tables))
+    assert(p.contains("partial_"), p)
+    // the raw documents scan must not be re-read per bucket/fit stage
+    assert("Scan parquet".r.findAllIn(p).size <= 3, p)
+  }
 }
