@@ -112,7 +112,13 @@ class EmptyInputSpec extends SparkSpec {
     // word rollup (no pairs → no merge rows, loop degrades to 0 rows),
     // the SRM chi-square (0/0 → NULL statistic, no ANSI throw), and
     // the DiD panel (all four ExactAgg cells NULL on empty input)
-    "text_bpe_train_loop", "events_srm", "events_did")
+    "text_bpe_train_loop", "events_srm", "events_did",
+    // Heaps fit over an empty prefix table (one NULL fit row crossed
+    // into zero curve rows), masking/overlap/survivorship on empty
+    // joins, FK discovery's 0-distinct inclusion (0/0 → NULL, no
+    // ANSI throw)
+    "text_heaps_law", "q_data_masking", "events_audience_overlap",
+    "q_fk_discovery", "dedup_survivorship")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
