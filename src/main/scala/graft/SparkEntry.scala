@@ -361,6 +361,7 @@ object SparkEntry {
     "q_scd2_history"      -> q(Scale.qScd2History),
     "q_scd2_merge"        -> q(t => Scale.qScd2Merge(t)),
     "q_dim_time_travel"   -> q(t => Scale.qDimTimeTravel(t)),
+    "q_join_view_maintenance" -> q(t => Scale.qJoinViewMaintenance(t)),
     "q_point_in_time_join" -> q(Scale.qPointInTimeJoin),
     "q_skew_histogram"    -> q(Scale.qSkewHistogram),
     "q_approx_stats"      -> q(Scale.qApproxStats),
@@ -426,6 +427,8 @@ object SparkEntry {
     "_build_bloom_file_index" ->
       ((s, dir) =>
         graft.sources.SourceOps.prebuildBloomFileIndex(Tables(s, dir))),
+    "_build_join_view" ->
+      ((s, dir) => Scale.prebuildJoinView(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -1817,6 +1820,14 @@ object SparkEntry {
     // oracle IS the rebuild SQL, same discipline as
     // dedup_clusters_incremental / q_incremental_rollup
     "q_scd2_merge" -> scd2Sql,
+    // the IVM identity is WHAT the gate proves: the oracle recomputes
+    // the full join from scratch; the query merges stored state + the
+    // three delta terms
+    "q_join_view_maintenance" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        | round(sum(l_extendedprice), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
     // version-0 vs head snapshot diff: both snapshots rebuilt from raw
     // events (truncated + full SCD2 chains), identical CASE order
     "q_dim_time_travel" -> {

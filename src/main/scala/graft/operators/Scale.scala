@@ -474,6 +474,80 @@ object Scale {
       .unionByName(newPart)
   }
 
+  /** E210 — `q_join_view_maintenance`: incremental maintenance of a
+    * JOIN view — the classic IVM delta identity (Blakeley–Larson–
+    * Tompa / the Griffin–Libkin algebra every materialized-view
+    * engine implements):
+    * Δ(O ⋈ L) = ΔO ⋈ L_old  ∪  O_old ⋈ ΔL  ∪  ΔO ⋈ ΔL,
+    * so a stored join-aggregate view updates from the DELTAS without
+    * re-joining history — the join-view sibling of
+    * `q_incremental_rollup` (additive aggregates) and `q_scd2_merge`
+    * (dimension state). The deltas deliberately CUT ACROSS each
+    * other (new orders, plus late-arriving lineitems of OLD orders —
+    * the case that breaks naive "just aggregate the new facts"
+    * maintenance and forces all three identity terms), and the
+    * group-level state is additive (count + sum), so the merge is
+    * one keyed rollup over the stored view + three delta terms.
+    *
+    * The ORACLE is the full join recomputed from scratch — the IVM
+    * identity itself is what the hash gate proves, the
+    * `q_scd2_merge` merge==recompute discipline applied to joins.
+    * Money sums round ONCE after the final merge (cent-grid sums
+    * dwarf double noise — §6).
+    *
+    * Shape: the stored view is a #priorities-row table; query-time
+    * work is three keyed joins whose sides are each delta-sized on
+    * at least one input (ΔO⋈L_old and O_old⋈ΔL are delta × filtered
+    * history on the join key; ΔO⋈ΔL is delta × delta) — at 100 TB
+    * the history is touched only through the key-pruned join, never
+    * re-aggregated. */
+  private val joinViewCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  private def jvOrders(t: Tables): DataFrame =
+    t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+      (col("o_orderkey") % 7 === 0).as("d_o"))
+
+  private def jvLineitem(t: Tables): DataFrame =
+    t.lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+      ((col("l_orderkey") + col("l_linenumber")) % 5 === 0).as("d_l"))
+
+  private def jvTerm(o: DataFrame, l: DataFrame): DataFrame =
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("s"))
+
+  /** The stored pre-increment view state — aggregated OLD ⋈ OLD,
+    * staged once per (session, dataset) (the scd2State discipline);
+    * `_build_join_view` exposes its cost as a bench entry. */
+  private[graft] def joinViewState(t: Tables): String =
+    joinViewCache.getOrElseUpdate(
+      (graft.sources.SourceOps.sessionTag(t.spark), t.dir), {
+        val p = graft.sources.SourceOps.staging(
+          s"join_view_${graft.sources.SourceOps.dirTag(t.dir)}")
+        jvTerm(jvOrders(t).filter(!col("d_o")),
+            jvLineitem(t).filter(!col("d_l")))
+          .write.mode("overwrite").parquet(p)
+        p
+      })
+
+  private[graft] def prebuildJoinView(t: Tables): Unit = {
+    joinViewState(t); ()
+  }
+
+  def qJoinViewMaintenance(t: Tables): DataFrame = {
+    val v0 = t.spark.read.parquet(joinViewState(t))
+    val (o, l) = (jvOrders(t), jvLineitem(t))
+    val (oOld, oNew) = (o.filter(!col("d_o")), o.filter(col("d_o")))
+    val (lOld, lNew) = (l.filter(!col("d_l")), l.filter(col("d_l")))
+    v0.unionByName(jvTerm(oNew, lOld))
+      .unionByName(jvTerm(oOld, lNew))
+      .unionByName(jvTerm(oNew, lNew))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_items"),
+        round(sum(col("s")), 2).as("revenue"))
+  }
+
   /** E205 — `q_dim_time_travel`: snapshot-to-snapshot dimension AUDIT
     * through [[graft.sources.MergeTarget]]'s versioned reads — the
     * time-travel consumer the MERGE sink exists for (Delta's

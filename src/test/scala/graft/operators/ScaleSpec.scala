@@ -234,6 +234,30 @@ class ScaleSpec extends SparkSpec {
       "no version appended from the increment")
   }
 
+  test("q_join_view_maintenance: IVM identity holds; all three terms fire") {
+    // maintained view == full recompute (the identity itself)
+    val maintained = Scale.qJoinViewMaintenance(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = tables.orders
+      .join(tables.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(maintained == full,
+      s"IVM drift: ${(maintained -- full).take(3)} vs ${(full -- maintained).take(3)}")
+    // the delta design must exercise all three identity terms: new
+    // orders with old lines, old orders with late lines, and
+    // new-with-new — otherwise the test degrades to a plain rollup
+    val dO = col("o_orderkey") % 7 === 0
+    val dL = (col("l_orderkey") + col("l_linenumber")) % 5 === 0
+    val j = tables.orders.join(tables.lineitem,
+      col("o_orderkey") === col("l_orderkey"))
+    assert(j.filter(dO && !dL).count() > 0, "ΔO ⋈ L_old term empty")
+    assert(j.filter(!dO && dL).count() > 0, "O_old ⋈ ΔL term empty")
+    assert(j.filter(dO && dL).count() > 0, "ΔO ⋈ ΔL term empty")
+  }
+
   test("q_dim_time_travel classifies the version diff exactly (driver replay)") {
     // independent replay: pull both snapshots directly (the stored
     // pre-CDC dimension and the full merge), classify each
