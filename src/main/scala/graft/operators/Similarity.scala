@@ -2060,8 +2060,11 @@ object Similarity {
     var g = rank(init).persist()
     var perRound = g.select(lit(0).as("round"), col("src"), col("dst"))
     for (r <- 1 to rounds) {
+      // no distinct here: a reciprocal edge duplicates a few two-hop
+      // candidate rows, and the candidate set distincts below anyway —
+      // the dedup exchange per round bought nothing
       val undir = g.unionByName(
-        g.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        g.select(col("dst").as("src"), col("src").as("dst")))
       val cands = undir.as("x")
         .join(undir.as("y"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("src"), col("y.dst").as("dst"))
