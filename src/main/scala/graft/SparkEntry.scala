@@ -331,6 +331,7 @@ object SparkEntry {
     "mm_resize_plan"      -> q(t => Multimodal.mmResizePlan(t)),
     // vision-token cost plan from header metadata alone (map-only)
     "mm_token_budget"     -> q(t => Multimodal.mmTokenBudget(t)),
+    "mm_caption_pairs"    -> q(t => Multimodal.mmCaptionPairs(t)),
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     "mm_audio_vad"        -> q(t => Multimodal.mmAudioVad(t)),
     "mm_phash_pairs"      -> q(t => Multimodal.mmPhashPairs(t)),
@@ -3391,6 +3392,34 @@ object SparkEntry {
     // the streaming front door shares the batch oracle verbatim —
     // stream/batch equivalence pair #6
     "stream_modality_router" -> mmModalityRouterSql,
+    // the vision-token chain joined doc-keyed with caption token
+    // counts; per-fmt conditional rollup of the curation flags
+    "mm_caption_pairs" ->
+      s"""WITH m AS (SELECT doc_id, md5(text) AS h,
+        |  CAST(len($sqlToks) AS BIGINT) AS caption_tokens FROM documents),
+        |b AS (SELECT doc_id, caption_tokens,
+        |  16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS b0,
+        |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
+        |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4
+        | FROM m),
+        |d AS (SELECT doc_id, caption_tokens, 16+b0 AS width, 16+b1 AS height,
+        |  CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt,
+        |  CASE WHEN b3%3 = 2 THEN 1 + b4 % 8 ELSE 1 END AS n_frames FROM b),
+        |r AS (SELECT *, greatest(width, height) * 1.0 AS mx FROM d),
+        |s AS (SELECT doc_id, fmt, n_frames, caption_tokens,
+        |  floor(width * least(1.0, 224 / mx))::INT AS tw,
+        |  floor(height * least(1.0, 224 / mx))::INT AS th FROM r),
+        |g AS (SELECT fmt, caption_tokens,
+        |  CAST(((tw + 15) // 16) * ((th + 15) // 16) * ((n_frames - 1) // 5 + 1) AS BIGINT) AS vision_tokens
+        | FROM s)
+        |SELECT fmt, CAST(count(*) AS BIGINT) AS n_pairs,
+        | CAST(sum(CASE WHEN caption_tokens < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        | CAST(sum(CASE WHEN caption_tokens > 77 THEN 1 ELSE 0 END) AS BIGINT) AS n_overlong,
+        | CAST(sum(CASE WHEN vision_tokens > caption_tokens * 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_undercaptioned,
+        | CAST(sum(vision_tokens) AS BIGINT) AS total_vision_tokens,
+        | CAST(sum(caption_tokens) AS BIGINT) AS total_caption_tokens
+        |FROM g GROUP BY 1""".stripMargin,
     "mm_token_budget" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
         |b AS (SELECT doc_id,

@@ -556,6 +556,43 @@ object Multimodal {
           col("frames_sampled")).as("vision_tokens"))
   }
 
+  /** M11 — `mm_caption_pairs`: the IMAGE-TEXT PAIR curation screen —
+    * the filtering stage every public multimodal corpus build runs
+    * (the LAION/DataComp discipline) before pairs reach training:
+    * each media payload pairs with its document text as the caption,
+    * and the screen rolls up, per format, the pairs that fail the
+    * standard caption heuristics — SHORT (< 4 tokens: alt-text
+    * stubs), OVERLONG (> 77 tokens: the CLIP text-encoder truncation
+    * limit — silently losing caption tail at train time), and
+    * UNDER-CAPTIONED (vision tokens > 64× caption tokens: a dense
+    * image described by near-nothing — the pair teaches noise) —
+    * next to the total vision/caption token bill the mixture planner
+    * reads ([[mmTokenBudget]] prices the vision side; this prices
+    * the PAIR).
+    *
+    * Shape: the header-metadata token plan joins the caption token
+    * counts doc-keyed — BOTH sides are metadata-scale projections
+    * (the binary corpus never shuffles; the M2 lesson), then ONE
+    * fmt-keyed rollup with conditional counts. All flags integer
+    * comparisons; zero float hazards. */
+  def mmCaptionPairs(t: Tables): DataFrame = {
+    val cap = t.documents.select(col("doc_id"),
+      size(graft.operators.TextAnalysis.tokens(col("text"))).cast("long")
+        .as("caption_tokens"))
+    mmTokenBudget(t)
+      .select(col("doc_id"), col("fmt"), col("vision_tokens"))
+      .join(cap, Seq("doc_id"))
+      .groupBy(col("fmt"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("caption_tokens") < 4, 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("caption_tokens") > 77, 1L).otherwise(0L))
+          .as("n_overlong"),
+        sum(when(col("vision_tokens") > col("caption_tokens") * 64, 1L)
+          .otherwise(0L)).as("n_undercaptioned"),
+        sum(col("vision_tokens")).as("total_vision_tokens"),
+        sum(col("caption_tokens")).as("total_caption_tokens"))
+  }
+
   /** M2 — `mm_frame_sample`: every 5th frame index per media row
     * (explode of a bounded sequence — the standard frame-sampling
     * shape), with a deterministic per-frame fingerprint over the

@@ -228,4 +228,51 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.forall { case (_, _, tx, ty, _, _) => tx <= 14 && ty <= 14 })
     assert(expected.map(_._6).size > 1)
   }
+
+  test("mm_caption_pairs: rollup replays; every flag can fire") {
+    import org.apache.spark.sql.functions._
+    // 1) exact replay on the real corpus from the token-budget rows +
+    //    caption token counts
+    val vis = Multimodal.mmTokenBudget(tables).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(5))).toMap
+    val caps = tables.documents.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").count(_.nonEmpty).toLong)
+      .toMap
+    val expected = vis.toSeq.map { case (id, (fmt, v)) => (fmt, v, caps(id)) }
+      .groupBy(_._1).map { case (fmt, xs) =>
+        (fmt, xs.size.toLong,
+          xs.count(_._3 < 4).toLong, xs.count(_._3 > 77).toLong,
+          xs.count(x => x._2 > x._3 * 64).toLong,
+          xs.map(_._2).sum, xs.map(_._3).sum)
+      }.toSet
+    val got = Multimodal.mmCaptionPairs(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == expected,
+      s"pair screen drift: ${(got -- expected).take(2)} vs ${(expected -- got).take(2)}")
+    // the overlong screen fires on this corpus; short/undercaptioned
+    // legitimately read zero here (captions are prose, not alt-text)
+    assert(got.exists(_._4 > 0), "overlong flag dead on the gate corpus")
+
+    // 2) discrimination: a crafted corpus must trip short AND
+    //    undercaptioned (a 2-token caption on any image is both)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cap_")
+    val sess = spark
+    import sess.implicits._
+    // ten distinct 2-token captions: at least one draws a payload
+    // with > 128 vision tokens (flag threshold for a 2-token caption)
+    ((0 until 10).map(i => (i.toLong, s"a b$i", "s")) :+
+        (10L, ("w " * 100).trim, "s"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val crafted = Multimodal.mmCaptionPairs(graft.Tables(spark, dir.toString))
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(crafted.map(_._1).sum >= 1, "short flag never fires")
+    assert(crafted.map(_._2).sum >= 1, "overlong flag never fires")
+    assert(crafted.map(_._3).sum >= 1, "undercaptioned flag never fires")
+  }
 }
