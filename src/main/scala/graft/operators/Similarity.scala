@@ -1765,12 +1765,15 @@ object Similarity {
     *
     * The graph is the exact kNN graph over a deterministic corpus
     * sample (vec_id % 4, denser than [[embedKnnGraph]]'s % 16 so the
-    * walk has real neighborhoods) — at production scale the build is
-    * NN-descent / IVF-bootstrapped and INCREMENTAL like the stored PQ
-    * catalog; the exact build here is the oracle-checkable stand-in,
-    * and the SERVE path is the operator's point: per query it touches
-    * entries + beam·k candidates — work independent of corpus size,
-    * the property that makes graph ANN the state of the art.
+    * walk has real neighborhoods) — the oracle-checkable TRUTH
+    * artifact. The production-scale approximate build and its append
+    * path are now implemented and recall-measured beside it:
+    * [[annNnDescentBuild]] (S31 — the NN-descent iteration, 19→73%
+    * recall over two rounds) and [[annNnDescentIncremental]] (S32 —
+    * band-entry append + reverse history update); the SERVE path
+    * here is the operator's point: per query it touches entries +
+    * beam·k candidates — work independent of corpus size, the
+    * property that makes graph ANN the state of the art.
     *
     * Determinism: every stage ranks on the 4-dp-rounded cosine with
     * vec_id tie-breaks (the family discipline), hops are a fixed
