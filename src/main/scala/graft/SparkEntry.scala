@@ -281,6 +281,7 @@ object SparkEntry {
     "ann_pq_refine_topk"  -> q(t => Similarity.annPqRefineTopK(t)),
     "ann_ivf_pq_topk"     -> q(t => Similarity.annIvfPqTopK(t)),
     "ann_index_incremental" -> q(t => Similarity.annIndexIncremental(t)),
+    "ann_index_delete"    -> q(t => Similarity.annIndexDelete(t)),
     "ann_index_drift"     -> q(t => Similarity.annIndexDrift(t)),
     "ann_filtered_topk"   -> q(t => Similarity.annFilteredTopK(t)),
     "embed_matryoshka_eval" -> q(t => Similarity.embedMatryoshkaEval(t)),
@@ -4071,6 +4072,9 @@ object SparkEntry {
     // frozen-model incremental append: identical serving chain, every
     // model CTE trained on the history slice only
     "ann_index_incremental" -> annIndexIncrementalSql,
+    // same serve chain with the tombstone predicate on the code
+    // table: deleted means unservable, hash-checked
+    "ann_index_delete" -> ivfPqSqlFor("hist", "c.vec_id % 9 <> 0"),
     // the lifecycle monitor: frozen-model serve at three increment
     // shares vs exact truth over the same indexed slice
     "ann_index_drift" -> annIndexDriftSql,

@@ -1649,6 +1649,34 @@ object Similarity {
       idx, nProbe, shortlist)
   }
 
+  /** S33 — `ann_index_delete`: the DELETE operation of the stored
+    * index lifecycle — the CRUD leg build → append → compact were
+    * still missing: a tombstone set (the `% 9` slice — in production
+    * the GDPR/right-to-erasure or content-takedown feed) masks the
+    * HISTORY+INCREMENT code table by an anti-join BEFORE ADC
+    * scoring, so deleted vectors can never be served, re-ranked, or
+    * leak through the shortlist — without re-encoding or re-training
+    * anything (frozen models untouched — exactly how Lucene/FAISS
+    * deployments tombstone: deletes are a filter at read time until
+    * the next [[annIndexCompaction]] rewrite physically drops them).
+    * The oracle replays the identical serve with the tombstone
+    * predicate on the code table, so "deleted means unservable" is
+    * hash-checked, not claimed.
+    *
+    * Shape: identical to [[annIndexIncremental]] plus ONE keyed
+    * anti-join of the code table against the KB-scale tombstone id
+    * set — cost independent of corpus size. */
+  def annIndexDelete(t: Tables, nProbe: Int = 4,
+      shortlist: Int = 50): DataFrame = {
+    val h = historyIndex(t)
+    val index = t.spark.table(h.codesTable)
+      .unionByName(pqEncode(incrementEmb(t), h.cents, h.books))
+    val tombstones = index.select(col("vec_id"))
+      .filter(col("vec_id") % 9 === 0)
+    ivfPqServe(t, index.join(tombstones, Seq("vec_id"), "left_anti"),
+      h, nProbe, shortlist)
+  }
+
   def annRecallEval(t: Tables): DataFrame =
     recallVsBruteForce(t, annIvfKmeansTopK(t))
 

@@ -476,6 +476,24 @@ class EmbeddingMiningSpec extends SparkSpec {
     }
   }
 
+  test("ann_index_delete: tombstoned vectors are unservable, deletes visible") {
+    val served = Similarity.annIndexDelete(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the one-sided guarantee: no deleted id can appear in ANY result
+    served.foreach { case (_, v) =>
+      assert(v % 9 != 0, s"tombstoned vec $v served")
+    }
+    // and the delete must actually CHANGE results (the live serve
+    // returns tombstoned ids somewhere, else the spec is vacuous)
+    val live = Similarity.annIndexIncremental(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(live.exists { case (_, v) => v % 9 == 0 },
+      "no tombstoned id in the live top-k — delete untested")
+    assert(served != live)
+    // every query still gets a full page: survivors fill the slots
+    assert(served.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("ann_nndescent_incremental: reverse update beats the stale graph") {
     val rows = Similarity.annNnDescentIncremental(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
