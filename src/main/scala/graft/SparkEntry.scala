@@ -139,6 +139,7 @@ object SparkEntry {
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
     "events_srm"          -> q(t => EventAnalytics.eventsSrm(t)),
     "events_audience_overlap" -> q(t => EventAnalytics.eventsAudienceOverlap(t)),
+    "events_ooo_audit"    -> q(t => EventAnalytics.eventsOooAudit(t)),
     "q_fk_discovery"      -> q(t => Relational.qFkDiscovery(t)),
     "events_did"          -> q(t => EventAnalytics.eventsDid(t)),
     "stream_srm"          -> q(t => graft.streaming.Streaming.streamSrm(t)),
@@ -2621,6 +2622,20 @@ object SparkEntry {
         |  round(2 * n_triangles / CAST(deg * (deg - 1) AS DOUBLE) + 1e-9, 4)
         | END AS clustering_coeff
         |FROM ts ORDER BY item""".stripMargin,
+    // arrival order = event_id; lateness vs the running per-user max
+    // event time, all integer µs; ppm by integer DIV
+    "events_ooo_audit" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT event_type,
+        |  greatest(coalesce(max(us) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us, 0), 0) AS late_us
+        | FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ooo,
+        | CAST(max(late_us) // 1000000 AS BIGINT) AS max_late_s,
+        | CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS ooo_ppm
+        |FROM l GROUP BY 1""".stripMargin,
     // deduped (type, user) set, user-keyed intersection, §6 Jaccard
     "events_audience_overlap" ->
       """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),

@@ -634,6 +634,39 @@ object EventAnalytics {
       round((pB - pA) / se + lit(1e-9), 4).as("z_score"))
   }
 
+  /** E211 — `events_ooo_audit`: the OUT-OF-ORDER-ARRIVAL audit every
+    * CDC/stream consumer needs before trusting event-time logic —
+    * how often does an event arrive AFTER a later-timestamped event
+    * of the same key, and by how much: the measured distribution
+    * that justifies (or indicts) a watermark setting
+    * (`stream_window_agg`'s 1-hour bound is a CLAIM until this
+    * measures the tail). Arrival order is the event-id sequence (the
+    * corpus's ingestion order); an event is out-of-order when its
+    * event time trails the running per-user maximum of everything
+    * that arrived before it. Per event type: events, OOO count, the
+    * worst lateness in seconds, and an exact integer ppm rate.
+    *
+    * Exactness: microsecond integers end to end; the lateness is a
+    * window max over prior arrivals minus the row's own µs; ppm is
+    * an integer DIV. Shape: ONE user-partitioned window pass over
+    * raw events (arrival windows shard by the natural key — the
+    * sessionize shape) + one type-keyed rollup. */
+  def eventsOooAudit(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("late_us",
+        greatest(coalesce(max(col("us")).over(w) - col("us"), lit(0L)),
+          lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_ooo"),
+        expr("CAST(max(late_us) DIV 1000000 AS BIGINT)").as("max_late_s"))
+      .withColumn("ooo_ppm", expr("n_ooo * 1000000 DIV n_events"))
+  }
+
   /** E209 — `events_audience_overlap`: the pairwise AUDIENCE-OVERLAP
     * matrix over event types — exact Jaccard of the user sets behind
     * every pair of behaviors (who views also clicks; do purchasers

@@ -598,6 +598,53 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(best._4) > 0)
   }
 
+  test("events_ooo_audit: replays driver-side; detects a crafted late arrival") {
+    // 1) replay on the gate corpus (which is perfectly ordered —
+    //    event-id sequence == event-time order, so the audit must
+    //    read EXACTLY zero everywhere, not just "small")
+    val rows = tables.events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(_._2)
+      var runMax = Long.MinValue
+      sorted.map { e =>
+        val late = math.max(if (runMax > e._4) runMax - e._4 else 0L, 0L)
+        runMax = math.max(runMax, e._4)
+        (e._3, late)
+      }
+    }.groupBy(_._1).map { case (t2, xs) =>
+      (t2, xs.size.toLong, xs.count(_._2 > 0).toLong,
+        xs.map(_._2).max / 1000000L,
+        xs.count(_._2 > 0).toLong * 1000000L / xs.size)
+    }.toSet
+    val got = EventAnalytics.eventsOooAudit(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.forall(_._3 == 0), "gate corpus should be in-order")
+
+    // 2) the audit must DETECT: a crafted feed where event 2 arrives
+    //    carrying an event time an hour before event 1's
+    val dir = java.nio.file.Files.createTempDirectory("graft_ooo_")
+    val sess = spark
+    import sess.implicits._
+    Seq(
+      (1L, 1L, "click", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, 2L, "click", java.sql.Timestamp.valueOf("2024-01-01 09:00:00"), 1.0),
+      (2L, 3L, "view", java.sql.Timestamp.valueOf("2024-01-01 08:00:00"), 1.0))
+      .toDF("user_id", "event_id", "event_type", "ts", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val crafted = EventAnalytics
+      .eventsOooAudit(graft.Tables(spark, dir.toString)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(crafted("click") == ((2L, 1L, 3600L, 500000L)), crafted)
+    assert(crafted("view") == ((1L, 0L, 0L, 0L)), crafted)
+  }
+
   test("events_audience_overlap: exact Jaccard matrix replays driver-side") {
     val sets = tables.events.select(col("event_type"), col("user_id"))
       .distinct().collect()
