@@ -855,4 +855,30 @@ class PlanAuditSpec extends SparkSpec {
     // the raw documents scan must not be re-read per bucket/fit stage
     assert("Scan parquet".r.findAllIn(p).size <= 3, p)
   }
+
+  test("events_ooo_audit: one keyed window pass, partial type rollup") {
+    val p = plan(EventAnalytics.eventsOooAudit(tables))
+    assert(p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("mm_caption_pairs: metadata join keyed, never cartesian") {
+    val p = plan(Multimodal.mmCaptionPairs(tables))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q_join_view_maintenance: all three delta terms join keyed") {
+    val p = plan(Scale.qJoinViewMaintenance(tables))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("ann_index_delete: tombstones filter via an anti-join pre-scoring") {
+    val p = plan(Similarity.annIndexDelete(tables))
+    assert(p.contains("LeftAnti"), s"no anti-join in the delete path:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
