@@ -240,6 +240,7 @@ object SparkEntry {
     "stream_index_append" -> q(t => graft.streaming.Streaming.streamIndexAppend(t)),
     "ann_index_compaction" -> q(t => Similarity.annIndexCompaction(t)),
     "events_recommend_cooccur" -> q(t => EventAnalytics.eventsRecommendCooccur(t)),
+    "events_basket_lift"  -> q(t => EventAnalytics.eventsBasketLift(t)),
     "corpus_snapshot_diff" -> q(TextAnalysis.corpusSnapshotDiff),
     // §2.3 deduplication
     "dedup_exact"         -> q(Dedup.dedupExact),
@@ -1970,6 +1971,28 @@ object SparkEntry {
         | GROUP BY 1, 2)
         |SELECT item_a, item_b, n_users FROM p
         |ORDER BY n_users DESC, item_a, item_b LIMIT 20""".stripMargin,
+    // same capped basket chain; support/confidence ×1e6 and lift
+    // ×1e3 as integer DIVs — no float ratio crosses the engines
+    "events_basket_lift" ->
+      """WITH i0 AS (SELECT DISTINCT user_id,
+        |  CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
+        | FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id, item FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+        | WHERE rk <= 64),
+        |nb AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_baskets FROM i),
+        |it AS (SELECT item, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY 1),
+        |co AS (SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(*) AS BIGINT) AS n_both
+        | FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item
+        | GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT item_a, item_b, ia.n AS n_a, ib.n AS n_b, n_both,
+        | CAST(n_both * 1000000 // n_baskets AS BIGINT) AS support_ppm,
+        | CAST(n_both * 1000000 // ia.n AS BIGINT) AS conf_ab_ppm,
+        | CAST((n_both * n_baskets * 1000) // (ia.n * ib.n) AS BIGINT) AS lift_milli
+        |FROM co JOIN it ia ON ia.item = co.item_a
+        | JOIN it ib ON ib.item = co.item_b, nb""".stripMargin,
     "events_attribution_linear" ->
       """WITH p AS (SELECT event_id AS p_id, user_id,
         |  epoch_us(CAST(ts AS TIMESTAMP)) AS p_us, value AS p_value

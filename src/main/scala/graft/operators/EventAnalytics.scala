@@ -903,6 +903,50 @@ object EventAnalytics {
       .drop("rk")
   }
 
+  /** E212 — `events_basket_lift`: ASSOCIATION RULES over the purchase
+    * baskets — support, confidence, and LIFT per co-purchased item
+    * pair (the Agrawal–Srikant market-basket classics):
+    * [[eventsRecommendCooccur]] ranks raw co-counts, but a co-count
+    * is popularity-confounded — two best-sellers co-occur by chance;
+    * lift = P(a,b)/(P(a)·P(b)) is the measure that separates genuine
+    * affinity (> 1) from shelf-traffic coincidence (≈ 1), and
+    * confidence is the rule strength a recommender thresholds on.
+    * Pairs below `minCo` support are cut (the classic min-support
+    * prune — at 100 TB this is WHY the computation is tractable:
+    * candidate pairs are generated user-keyed and pruned before any
+    * downstream join).
+    *
+    * Exactness: everything is exact integers — support/confidence as
+    * ×10⁶ integer-DIV ppm, lift as ×10³ integer-DIV milli-units
+    * (n_both·n_baskets·1000 stays far inside int64 at any realistic
+    * basket count) — no float ratio ever crosses the engine
+    * boundary. Shape: the capped basket set ([[cappedUserItems]] —
+    * the cooccur hyperactive-user cap), ONE user-keyed self-join,
+    * broadcast item totals + one-row basket total. */
+  def eventsBasketLift(t: Tables, minCo: Int = 3,
+      maxItemsPerUser: Int = 64): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser)
+    val nBaskets = items.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemN = items.groupBy(col("item")).agg(count(lit(1)).as("n"))
+    items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .filter(col("n_both") >= minCo)
+      .join(broadcast(itemN.select(col("item").as("item_a"),
+        col("n").as("n_a"))), Seq("item_a"))
+      .join(broadcast(itemN.select(col("item").as("item_b"),
+        col("n").as("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        expr("n_both * 1000000 DIV n_baskets").as("support_ppm"),
+        expr("n_both * 1000000 DIV n_a").as("conf_ab_ppm"),
+        expr("(n_both * n_baskets * 1000) DIV (n_a * n_b)").as("lift_milli"))
+  }
+
   /** `events_hits` — HITS hubs & authorities (public Kleinberg 1999)
     * over the user→item purchase BIPARTITE graph — the
     * mutual-reinforcement readout [[eventsPagerank]]'s item-item

@@ -598,6 +598,41 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(math.abs(best._4) > 0)
   }
 
+  test("events_basket_lift: rules replay exactly; lift discriminates") {
+    val baskets = tables.events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("item"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val byUser = baskets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nB = byUser.size.toLong
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val co = scala.collection.mutable.Map.empty[(Int, Int), Long]
+    byUser.values.foreach { is =>
+      val s = is.toSeq.sorted
+      for (i <- s.indices; j <- i + 1 until s.length)
+        co((s(i), s(j))) = co.getOrElse((s(i), s(j)), 0L) + 1
+    }
+    val expected = co.filter(_._2 >= 3).map { case ((a, b), n) =>
+      (a, b, itemN(a), itemN(b), n, n * 1000000L / nB,
+        n * 1000000L / itemN(a), n * nB * 1000L / (itemN(a) * itemN(b)))
+    }.toSet
+    val got = EventAnalytics.eventsBasketLift(tables).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSet
+    assert(got == expected,
+      s"rule drift: ${(got -- expected).take(2)} vs ${(expected -- got).take(2)}")
+    assert(expected.nonEmpty, "no rule survives min-support — vacuous")
+    // the measure must DISCRIMINATE: a real spread between the
+    // strongest and weakest surviving rule (at the 15-basket spec
+    // corpus every co≥3 rule is high-lift — the SPREAD is the
+    // corpus-independent signal, not an absolute ≈1 floor)
+    val lifts = got.map(_._8)
+    assert(lifts.max >= 2 * lifts.min,
+      s"lift flat: ${lifts.min}..${lifts.max}")
+  }
+
   test("events_ooo_audit: replays driver-side; detects a crafted late arrival") {
     // 1) replay on the gate corpus (which is perfectly ordered —
     //    event-id sequence == event-time order, so the audit must
