@@ -18,6 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // grid rewrite for interval-overlap joins that would otherwise
     // plan as nested loops (kill switch: graft.intervalJoin.enabled)
     ext.injectOptimizerRule(_ => graft.plans.IntervalOverlapRewrite)
+    // banded equi-join rewrite for abs-difference joins (kill switch:
+    // graft.absBandJoin.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.AbsBandJoinRewrite)
     ext.injectFunction((
       new FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, null,

@@ -360,6 +360,7 @@ object SparkEntry {
     "q_range_join_banded" -> q(t => Scale.qRangeJoinBanded(t)),
     "q_interval_overlap"  -> q(t => Scale.qIntervalOverlap(t)),
     "q_interval_overlap_auto" -> q(Scale.qIntervalOverlapAuto),
+    "q_abs_band_auto"     -> q(t => Scale.qAbsBandAuto(t)),
     "q_skyline"           -> q(t => Scale.qSkyline(t)),
     "q_upsert_latest"     -> q(Scale.qUpsertLatest),
     "q_scd2_history"      -> q(Scale.qScd2History),
@@ -3550,6 +3551,17 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM part b
         |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
         |   AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))""".stripMargin,
+    // the abs-band optimizer-rule path: the oracle IS the naive
+    // abs-difference join — the rewrite's exactness is its proof
+    // obligation
+    "q_abs_band_auto" ->
+      """WITH s AS (SELECT s_suppkey,
+        |  CAST(round(s_acctbal * 100) AS BIGINT) AS s_cents FROM supplier),
+        |c AS (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS c_cents FROM customer)
+        |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_close_customers,
+        | CAST(min(abs(s_cents - c_cents)) AS BIGINT) AS closest_cents
+        |FROM s JOIN c ON abs(s_cents - c_cents) <= 500
+        |GROUP BY 1""".stripMargin,
     // the optimizer-rule path: the oracle IS the naive inequality join
     "q_interval_overlap_auto" ->
       """WITH ss AS (SELECT l_suppkey,

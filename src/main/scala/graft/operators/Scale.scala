@@ -184,6 +184,29 @@ object Scale {
       .agg(count(lit(1)).as("n_overlapping_customers"))
   }
 
+  /** E213b — `q_abs_band_auto`: the consumer of
+    * [[graft.plans.AbsBandJoinRewrite]] — writes the NAIVE
+    * `abs(a − b) <= c` join (the way a SQL analyst would) and relies
+    * on the OPTIMIZER to band it: close-in-value supplier/customer
+    * account-balance pairs across the two ledgers (the fuzzy
+    * reconciliation probe a finance review runs — who on each side
+    * carries a near-identical balance). Cents cast to exact int64;
+    * no other cross-side predicate, so without the rule this is a
+    * nested loop over suppliers × customers — the plan-pin spec
+    * asserts the banded equi-join fired. The oracle states the
+    * plain predicate; the rewrite's exactness is its proof
+    * obligation (the `q_interval_overlap_auto` discipline). */
+  def qAbsBandAuto(t: Tables, bandCents: Int = 500): DataFrame = {
+    val sup = t.supplier.select(col("s_suppkey"),
+      round(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    val cust = t.customer.select(col("c_custkey"),
+      round(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    sup.join(cust, abs(col("s_cents") - col("c_cents")) <= bandCents)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_close_customers"),
+        min(abs(col("s_cents") - col("c_cents"))).as("closest_cents"))
+  }
+
   /** `q_skyline` — the SKYLINE (Pareto frontier) operator, public
     * Börzsönyi–Kossmann–Stocker 2001: parts no other part dominates
     * on (price ↓, size ↑) — cheaper-and-bigger beats, the classic

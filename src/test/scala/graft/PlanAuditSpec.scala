@@ -876,6 +876,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), p)
   }
 
+  test("q_abs_band_auto: the naive abs join planned as a banded equi-join") {
+    val p = plan(Scale.qAbsBandAuto(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"AbsBandJoinRewrite did not fire:\n$p")
+    assert(p.contains("Generate"), s"no band explode in the plan:\n$p")
+  }
+
   test("ann_index_delete: tombstones filter via an anti-join pre-scoring") {
     val p = plan(Similarity.annIndexDelete(tables))
     assert(p.contains("LeftAnti"), s"no anti-join in the delete path:\n$p")
