@@ -118,7 +118,10 @@ class EmptyInputSpec extends SparkSpec {
     // joins, FK discovery's 0-distinct inclusion (0/0 → NULL, no
     // ANSI throw)
     "text_heaps_law", "q_data_masking", "events_audience_overlap",
-    "q_fk_discovery", "dedup_survivorship")
+    "q_fk_discovery", "dedup_survivorship",
+    // the banded-rewrite consumer (empty sides → empty equi join),
+    // basket rules and the ooo audit over empty event sets
+    "q_abs_band_auto", "events_basket_lift", "events_ooo_audit")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
