@@ -85,6 +85,11 @@ object SparkEntry {
     "q_grouping_sets"     -> q(Relational.qGroupingSets),
     "q_window_ntile"      -> q(Relational.qWindowNtile),
     "q_window_distribution" -> q(Relational.qWindowDistribution),
+    // transitive closure by pointer doubling (O(log depth) shuffles);
+    // the oracle is a genuine recursive CTE
+    "q_bom_explode"       -> q(t => Relational.qBomExplode(t)),
+    // several COUNT(DISTINCT)s in ONE Expand-based pass (plan-pinned)
+    "q_multi_distinct"    -> q(Relational.qMultiDistinct),
     // §2.5 text analysis
     "text_lang_id"        -> q(TextAnalysis.textLangId),
     "text_quality"        -> q(TextAnalysis.textQuality),
@@ -181,6 +186,9 @@ object SparkEntry {
     "events_funnel_by_variant" -> q(EventAnalytics.eventsFunnelByVariant),
     "events_neighbor_jaccard" -> q(t => EventAnalytics.eventsNeighborJaccard(t)),
     "events_clustering_coeff" -> q(t => EventAnalytics.eventsClusteringCoeff(t)),
+    // multi-source frontier BFS (hop distance to nearest seed item);
+    // recursive-CTE oracle with min-dist semantics
+    "events_shortest_paths" -> q(t => EventAnalytics.eventsShortestPaths(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     // one-number behavior-predictability KPI off the same chain
     // (quantized-log integer accumulation, §6 ratios)
@@ -216,6 +224,14 @@ object SparkEntry {
     "text_lang_confusion" -> q(TextAnalysis.textLangConfusion),
     "corpus_pii_scrub"    -> q(TextAnalysis.corpusPiiScrub),
     "text_watermark_detect" -> q(TextAnalysis.textWatermarkDetect),
+    // multinomial Naive Bayes over injected class markers: the model
+    // table (micro-nat fixed point, exact int64 reductions) ...
+    "text_nb_train"       -> q(t => TextAnalysis.textNbTrain(t)),
+    // ... its held-out confusion matrix ...
+    "text_nb_eval"        -> q(t => TextAnalysis.textNbEval(t)),
+    // ... and the model serving over the held-out doc stream —
+    // stream/batch equivalence pair #23 (same oracle)
+    "stream_nb_classify"  -> q(t => graft.streaming.Streaming.streamNbClassify(t)),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
     "events_funnel_windowed" -> q(t => EventAnalytics.eventsFunnelWindowed(t)),
@@ -377,6 +393,9 @@ object SparkEntry {
       q(t => EventAnalytics.eventsValuePercentilesApprox(t)),
     "q_delete_propagation" -> q(t => Governance.deletePropagation(t)),
     "q_data_masking"      -> q(t => Governance.qDataMasking(t)),
+    // ε-DP composition release via the integer-exact discrete-Laplace
+    // (two-sided geometric) mechanism — no ln, no float, no rounding
+    "corpus_dp_release"   -> q(t => Governance.corpusDpRelease(t)),
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
@@ -387,6 +406,10 @@ object SparkEntry {
     "q_json_orc_roundtrip" -> q(graft.sources.SourceOps.jsonOrcRoundtrip),
     "q_zorder_roundtrip"  -> q(t => graft.sources.SourceOps.zOrderRoundtrip(t)),
     "q_bloom_file_skip"   -> q(t => graft.sources.SourceOps.qBloomFileSkip(t)),
+    // a selective scan through the engine's own DataSource-V2
+    // connector: manifest schema, zone-map file skipping, byte-level
+    // column pruning — the whole read contract hash-gated end to end
+    "q_shard_scan"        -> q(t => graft.sources.SourceOps.qShardScan(t)),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
@@ -434,12 +457,56 @@ object SparkEntry {
         graft.sources.SourceOps.prebuildBloomFileIndex(Tables(s, dir))),
     "_build_join_view" ->
       ((s, dir) => Scale.prebuildJoinView(Tables(s, dir))),
+    "_build_shard_table" ->
+      ((s, dir) =>
+        graft.sources.SourceOps.prebuildShardTable(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
     * sync with [[graft.operators.TextAnalysis.tokens]]). */
   private val sqlToks =
     "list_filter(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' '), x -> len(x)>0)"
+
+  /** Shared Naive-Bayes CTE chain (marker injection, 80/20 split,
+    * smoothed vocab × class model in integer micro-nats) — kept in
+    * exact sync with [[graft.operators.TextAnalysis.nbModel]]; the
+    * train, eval, and streaming-twin oracles all build on it. */
+  private lazy val nbModelSql: String =
+    s"""inj AS (SELECT doc_id, lang, text || repeat(' mk' || lang,
+      |   (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),1,1))-1) % 3) AS text
+      |  FROM documents),
+      |tr AS (SELECT * FROM inj WHERE doc_id % 10 < 8),
+      |tok AS (SELECT lang, unnest($sqlToks) AS word FROM tr),
+      |cnts AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1, 2),
+      |vocab AS (SELECT DISTINCT word FROM cnts),
+      |vs AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM vocab),
+      |tots AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot FROM cnts GROUP BY 1),
+      |model AS (SELECT t.lang, v.word, COALESCE(c.cnt, 0) AS cnt,
+      |  ${graft.functions.ExactAgg.quantizeSql(
+           "ln(CAST(COALESCE(c.cnt, 0) + 1 AS DOUBLE) / CAST(t.tot + vs.v_size AS DOUBLE))", 6)} AS logp_micro
+      | FROM vocab v CROSS JOIN tots t CROSS JOIN vs
+      | LEFT JOIN cnts c ON c.lang = t.lang AND c.word = v.word)""".stripMargin
+
+  /** Held-out classification + confusion rollup over [[nbModelSql]] —
+    * shared verbatim by `text_nb_eval` and `stream_nb_classify`
+    * (equivalence pair #23). */
+  private lazy val nbEvalSql: String =
+    s"""WITH $nbModelSql,
+      |ev AS (SELECT * FROM inj WHERE doc_id % 10 >= 8),
+      |etok AS (SELECT doc_id, lang AS lang_true, unnest($sqlToks) AS word FROM ev),
+      |sc AS (SELECT e.doc_id, e.lang_true, m.lang,
+      |  CAST(sum(m.logp_micro) AS BIGINT) AS ll
+      | FROM etok e JOIN model m ON m.word = e.word GROUP BY 1, 2, 3),
+      |pri AS (SELECT d.lang, ${graft.functions.ExactAgg.quantizeSql(
+           "ln(CAST(d.n_docs AS DOUBLE) / CAST(n.n_train AS DOUBLE))", 6)} AS prior_micro
+      | FROM (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM tr GROUP BY 1) d
+      | CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_train FROM tr) n),
+      |ranked AS (SELECT doc_id, lang_true, sc.lang,
+      |  row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY (ll + prior_micro) DESC, sc.lang ASC) AS rn
+      | FROM sc JOIN pri ON pri.lang = sc.lang)
+      |SELECT lang_true, lang AS lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+      |FROM ranked WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** DuckDB oracle shared by the batch and streaming Holt
     * forecasters: spine + per-type recursive integer fold. */
@@ -1544,6 +1611,23 @@ object SparkEntry {
         | first_value(event_id) OVER w AS min_value_event
         |FROM events
         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
+    // genuine recursive CTE vs the engine's pointer-doubling closure:
+    // same 7-ary derived forest, same (root, depth) per part
+    "q_bom_explode" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS part, p_partkey AS node, CAST(0 AS BIGINT) AS depth FROM part
+        |  UNION ALL
+        |  SELECT part, node // 7, depth + 1 FROM anc WHERE node >= 7)
+        |SELECT part AS p_partkey, node AS root_key, depth
+        |FROM anc WHERE node < 7""".stripMargin,
+    "q_multi_distinct" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+        | CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nd_orders,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_window_ntile" ->
       """WITH d AS (SELECT event_type, value,
         |  ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
@@ -2199,6 +2283,15 @@ object SparkEntry {
         |FROM cm""".stripMargin,
     "corpus_pii_scrub" -> piiScrubSql,
     "text_watermark_detect" -> watermarkSql,
+    // NB model cells: exact counts + per-cell micro-nat quantization
+    "text_nb_train" ->
+      s"""WITH $nbModelSql
+        |SELECT lang, word, cnt, logp_micro FROM model ORDER BY 1, 2""".stripMargin,
+    // held-out confusion matrix — integer scores, (score desc, lang)
+    // argmax replayed by window rank
+    "text_nb_eval" -> nbEvalSql,
+    // the stream twin shares the batch oracle verbatim (pair #23)
+    "stream_nb_classify" -> nbEvalSql,
     // ingest-time screening is the same stateless projection drained
     // through a file stream — stream/batch equivalence pair #10
     "stream_watermark_detect" -> watermarkSql,
@@ -2646,6 +2739,29 @@ object SparkEntry {
         |  round(2 * n_triangles / CAST(deg * (deg - 1) AS DOUBLE) + 1e-9, 4)
         | END AS clustering_coeff
         |FROM ts ORDER BY item""".stripMargin,
+    // recursive-CTE BFS with min-dist semantics over the same capped
+    // co-purchase edges; the UNION-dedup bounds the walk at dist<=4
+    "events_shortest_paths" ->
+      """WITH RECURSIVE i0 AS (SELECT DISTINCT user_id,
+        |  CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
+        | FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id, item FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+        | WHERE rk <= 64),
+        |u AS (SELECT greatest(2, count(DISTINCT user_id) // 50) AS ms FROM i),
+        |e AS (SELECT a.item AS a, b.item AS b
+        |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item, u
+        |  GROUP BY 1, 2, u.ms HAVING count(*) >= u.ms),
+        |sym AS (SELECT a AS src, b AS dst FROM e
+        |  UNION ALL SELECT b AS src, a AS dst FROM e),
+        |bfs AS (
+        |  SELECT DISTINCT src AS item, 0 AS dist FROM sym WHERE src % 17 = 0
+        |  UNION
+        |  SELECT s.dst AS item, b.dist + 1 AS dist FROM bfs b
+        |   JOIN sym s ON s.src = b.item WHERE b.dist < 4)
+        |SELECT item, CAST(min(dist) AS INTEGER) AS dist
+        |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
     // arrival order = event_id; lateness vs the running per-user max
     // event time, all integer µs; ppm by integer DIV
     "events_ooo_audit" ->
@@ -4190,6 +4306,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders
         |WHERE o_orderkey % 1000 = 0 AND o_orderkey BETWEEN 1000 AND 600000""".stripMargin,
+    // plain-table replay of the DSv2 connector scan: same integer
+    // projections, same corpus-relative threshold (max user DIV 4)
+    "q_shard_scan" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT max(user_id) // 4 AS thr FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e, m WHERE user_id < thr GROUP BY 1 ORDER BY 1""".stripMargin,
     // the merged two-batch read must reconcile with the original table:
     // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
     "q_schema_evolution" ->
@@ -4230,6 +4355,24 @@ object SparkEntry {
         |SELECT key_1, key_2, score FROM s WHERE score >= 3""".stripMargin,
     // pseudonymization + k-anonymity audit: md5 nibble-digit tokens,
     // $1000 bands, region generalization — pure replayable arithmetic
+    // the 48-bit md5 word parses nibble-by-nibble (16^11 < 2^53, all
+    // terms exact); trailing-ones of each 24-bit half via the
+    // bit_count(x XOR x+1) identity — discrete-Laplace noise in pure
+    // integer arithmetic, engine-identical by construction
+    "corpus_dp_release" -> {
+      val h48 = "(SELECT CAST(sum((strpos('0123456789abcdef', " +
+        "substr(md5('dp:' || source || ':' || lang), i, 1)) - 1) * " +
+        "CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) " +
+        "FROM generate_series(1, 12) AS t(i))"
+      s"""WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1, 2),
+         |h AS (SELECT source, lang, n, $h48 AS h48 FROM c)
+         |SELECT source, lang,
+         | greatest(n + (bit_count(xor(h48 % 16777216, h48 % 16777216 + 1)) - 1)
+         |            - (bit_count(xor(h48 // 16777216, h48 // 16777216 + 1)) - 1),
+         |   CAST(0 AS BIGINT)) AS n_released
+         |FROM h ORDER BY 1, 2""".stripMargin
+    },
     "q_data_masking" -> {
       val digits = (1 to 9).map(i =>
         s"CAST((strpos('0123456789abcdef', substr(md5(c_name), $i, 1)) - 1) % 10 AS VARCHAR)")

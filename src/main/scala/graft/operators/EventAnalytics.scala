@@ -2114,4 +2114,73 @@ object EventAnalytics {
         nullif((col("n") - col("i")).cast("double"), lit(0.0)) + lit(1e-9), 4)
         .as("mean_after"))
   }
+
+  /** `events_shortest_paths` — multi-source BFS over the co-purchase
+    * item graph: every item's hop distance to the nearest SEED item
+    * (`item % 17 = 0` — think "items under recall", "catalog anchors"),
+    * cut at `maxDist` hops. Together with components
+    * ([[eventsCommunities]]), centrality ([[eventsPagerank]]) and
+    * triangles this completes the graph-primitive set: reachability
+    * WITH distances, which none of the others expose.
+    *
+    * Shape: textbook frontier BFS — the Pregel/GraphX pattern
+    * expressed in DataFrames. Each level is ONE keyed equi-join of
+    * the current frontier against the symmetric edge list plus an
+    * anti-join against the settled set; a node therefore enters the
+    * result at exactly its minimum distance and is never re-expanded,
+    * so total work is O(Σ_level |frontier|·avg-degree) — edges touched
+    * at most once per direction over the whole run, never |V|·|E|.
+    * `maxDist` bounds the rounds (the analytics question is "within k
+    * hops"; unbounded BFS on a 100 TB graph is a different product).
+    * The edge list builds once behind the same hyperactive-user cap
+    * as every other graph query ([[cappedUserItems]]) and persists
+    * for the ≤ maxDist probes; frontiers materialize per level so the
+    * anti-join reads a computed set, not a growing lineage. The
+    * DuckDB oracle replays the walk as a recursive CTE with min-dist
+    * semantics — same seeds, same edges, same cut.
+    *
+    * Edges carry a SIGNIFICANCE FLOOR: a pair must co-occur in at
+    * least `max(2, distinct_users/50)` baskets. Without it the raw
+    * co-purchase graph saturates (every popular pair connects and the
+    * whole catalog sits at hop 1 — measured at every test SF), which
+    * both voids the analytics and is the scale hazard: raw
+    * co-occurrence edge count grows ~quadratically in catalog
+    * popularity while SUPPORTED edge count tracks genuine structure.
+    * The floor is corpus-relative so the graph stays comparable
+    * across SFs; items whose every edge falls below it simply don't
+    * appear (disconnected under the significance lens). */
+  def eventsShortestPaths(t: Tables, maxItemsPerUser: Int = 64,
+      maxDist: Int = 4): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser).persist()
+    val minSup = items.agg(
+      greatest(lit(2L), expr("count(DISTINCT user_id) DIV 50")).as("ms"))
+    val und = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(minSup))
+      .filter(col("sup") >= col("ms"))
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+      .persist()
+    edges.count()
+    val seeds = edges.select(col("src").as("item")).distinct()
+      .filter(col("item") % 17 === 0)
+    var settled = seeds.select(col("item"), lit(0).as("dist")).persist()
+    var frontier = seeds.select(col("item"))
+    for (d <- 1 to maxDist) {
+      val next = frontier.join(edges, frontier("item") === edges("src"))
+        .select(col("dst").as("item")).distinct()
+        .join(settled, Seq("item"), "left_anti")
+        .persist()
+      next.count() // materialize: the next anti-join reads a set, not lineage
+      settled = settled.unionAll(next.select(col("item"), lit(d).as("dist")))
+        .persist()
+      frontier = next
+    }
+    items.unpersist()
+    edges.unpersist()
+    settled.select(col("item"), col("dist")).orderBy(col("item"))
+  }
 }

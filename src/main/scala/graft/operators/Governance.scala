@@ -555,4 +555,45 @@ object Governance {
     stored.join(broadcast(touched), Seq("entity_id"), "left_anti")
       .unionByName(mergedEntities)
   }
+
+  /** G11 — `corpus_dp_release`: a differentially-private public
+    * release of the per-(source, lang) corpus composition — the table
+    * a dataset card publishes when the raw per-slice counts are
+    * themselves sensitive (tiny slices can identify a contributor).
+    *
+    * Mechanism: the DISCRETE LAPLACE (two-sided geometric) mechanism
+    * of Ghosh–Roughgarden–Sundararajan, which is ε-DP for counting
+    * queries (sensitivity 1) at ε = ln 2 here — and, unlike
+    * continuous Laplace, needs NO transcendental sampling: the noise
+    * is `g₁ − g₂` with g᷈ᵢ iid Geometric(½), and a Geometric(½) draw
+    * is simply the number of trailing one-bits of a uniform word. The
+    * two 24-bit halves of a 48-bit md5-derived value give two
+    * independent uniforms, so the whole release is EXACT integer
+    * arithmetic — bit-identical in Spark and the DuckDB oracle, no
+    * ln(), no float, no rounding rule. (Seeded = replayable for the
+    * gate; a production release derives the digest from a secret
+    * release nonce instead of a public tag. Trailing-ones caps at 24;
+    * P = 2⁻²⁴ per draw, immaterial.)
+    *
+    * Shape: one partial-agg count shuffle to the (source, lang)
+    * grain, then map-only noise on the metadata-scale release rows —
+    * the corpus is read once regardless of scale. Negative noisy
+    * counts clamp to 0 (the standard post-processing step; DP is
+    * closed under post-processing). */
+  def corpusDpRelease(t: Tables): DataFrame = {
+    val counts = t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("h48", expr(
+        "CAST(conv(substring(md5(concat('dp:', source, ':', lang)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("g1", expr(
+        "bit_count((h48 % 16777216) ^ ((h48 % 16777216) + 1)) - 1"))
+      .withColumn("g2", expr(
+        "bit_count((h48 DIV 16777216) ^ ((h48 DIV 16777216) + 1)) - 1"))
+      // release ONLY the noisy count: emitting the noise (or the true
+      // count) beside it would undo the privacy the mechanism buys
+      .select(col("source"), col("lang"),
+        greatest(col("n") + col("g1") - col("g2"), lit(0L)).as("n_released"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

@@ -1137,4 +1137,57 @@ object Relational {
       .select(col("bucket"), (col("cents") / lit(100.0)).as("ub_price"),
         col("r").as("target_rank"), col("cum").as("cum_le"))
   }
+
+  /** `q_bom_explode` — transitive closure over a part hierarchy (the
+    * bill-of-materials explode, the one relational shape SQL needs
+    * `WITH RECURSIVE` for and the DataFrame API has no operator for):
+    * every part resolved to its ROOT assembly plus its exact depth.
+    * The hierarchy is derived deterministically from the catalog key
+    * (`parent(p) = p DIV 7`, roots at `p < 7` — a 7-ary forest,
+    * depth ⌈log₇ N⌉), so the DuckDB oracle replays it with a genuine
+    * recursive CTE while the engine side demonstrates the DISTRIBUTED
+    * evaluation strategy.
+    *
+    * Shape: POINTER DOUBLING, not per-level climbing — the state
+    * `(node, anc, d)` maps each part to the ancestor reached after at
+    * most 2^k climbs (sticking at the root), and each round composes
+    * the map with itself via ONE keyed equi-join, squaring the reach:
+    * `rounds` iterations resolve any depth ≤ 2^rounds. The default 4
+    * covers depth 16 = a 7-ary catalog of 7^16 ≈ 3×10¹³ parts — at
+    * 100 TB this is 4 shuffles total where naive climbing pays one
+    * per LEVEL, the same log-vs-linear argument as the dedup CC
+    * path-halving (`Dedup.scala`). Self-joins are on the ancestor
+    * key: hash-partitioned, no skew (7-ary fan-in), no cartesian. */
+  def qBomExplode(t: Tables, rounds: Int = 4): DataFrame = {
+    // anc after ≤1 climb; roots self-loop with 0 so composition is total
+    var f = t.part.select(col("p_partkey").as("node"),
+      when(col("p_partkey") >= 7, expr("p_partkey DIV 7"))
+        .otherwise(col("p_partkey")).as("anc"),
+      when(col("p_partkey") >= 7, lit(1L)).otherwise(lit(0L)).as("d"))
+    for (_ <- 1 to rounds) {
+      f = f.as("a").join(f.as("b"), col("a.anc") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.anc").as("anc"),
+          (col("a.d") + col("b.d")).as("d"))
+    }
+    f.select(col("node").as("p_partkey"), col("anc").as("root_key"),
+      col("d").as("depth"))
+  }
+
+  /** `q_multi_distinct` — several exact COUNT(DISTINCT) measures over
+    * DIFFERENT keys in one aggregation: the classic data-profiling
+    * rollup (distinct parts / suppliers / orders per flag, plus plain
+    * measures). Catalyst plans all three through ONE Expand-based
+    * pass (each input row fans out once per distinct group, then two
+    * partial-agg stages) — no per-measure rescan of the fact table,
+    * which is the difference between 1× and measures× input IO at
+    * 100 TB. Plan-pinned in PlanAuditSpec. */
+  def qMultiDistinct(t: Tables): DataFrame =
+    t.lineitem.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+        countDistinct(col("l_suppkey")).as("nd_supps"),
+        countDistinct(col("l_orderkey")).as("nd_orders"),
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long"))
+          .as("price_cents"))
+      .orderBy(col("l_returnflag"))
 }

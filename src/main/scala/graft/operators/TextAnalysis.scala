@@ -1764,4 +1764,127 @@ object TextAnalysis {
           col("s").cast("double") / lit(1e6) / col("n").cast("double")) /
           lit(math.log(2.0)) + lit(1e-9), 4).as("bits_per_char"))
   }
+
+  // ── T36/T37: multinomial Naive Bayes language classifier ─────────
+
+  /** The synthetic corpus draws every document from ONE shared
+    * vocabulary regardless of its `lang` label (verified at sf0.01:
+    * the per-label top-word lists are identical), so a classifier
+    * trained on the raw text could only ever read at chance — which
+    * would exercise nothing. Following the house injected-ground-truth
+    * discipline ([[textCodeDetect]], [[textMojibake]], the PII scrub):
+    * a deterministic per-label marker token `mk<lang>` is appended
+    * `md5(doc_id) nibble-1 mod 3` times BEFORE the train/eval split —
+    * ~2/3 of docs carry 1–2 markers the model can learn, ~1/3 carry
+    * none and are decidable only by the (uninformative) base
+    * vocabulary, so the confusion matrix has honest off-diagonal mass.
+    * Injection, split, and every count replay bit-identically in the
+    * DuckDB oracle. */
+  private[graft] def nbInjectOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"), expr(
+        "repeat(concat(' mk', lang), " +
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS INT) % 3)"))
+        .as("text"))
+
+  private def nbDocs(t: Tables): DataFrame = nbInjectOf(t.documents)
+
+  /** 80/20 split on the stable key — train side. */
+  private def nbTrainDocs(t: Tables): DataFrame =
+    nbDocs(t).filter(col("doc_id") % 10 < 8)
+
+  /** Held-out side, used by [[textNbEval]] and the streaming twin. */
+  private[graft] def nbEvalDocs(t: Tables): DataFrame =
+    nbDocs(t).filter(col("doc_id") % 10 >= 8)
+
+  /** Laplace-smoothed class-conditional model over the FULL
+    * train-vocab × class grid: `(lang, word, cnt, logp_micro)` with
+    * `logp_micro = ⌊10⁶·ln((cnt+1)/(tot_lang+V))⌉` — the per-cell log
+    * probability quantized MAP-SIDE to integer micro-nats
+    * ([[ExactAgg.quantize]]), so every downstream reduction is an
+    * exact int64 sum, immune to float summation order on either
+    * engine. Zero-count cells are materialized (the smoothing floor
+    * is part of the model, and scoring needs it). Scale: the grid is
+    * |vocab| × |classes| — classes are a handful, so the grid is
+    * vocab-sized, built from two partial-agg shuffles and a
+    * broadcast of the per-class totals. */
+  private[graft] def nbModel(t: Tables): DataFrame = {
+    val tok = nbTrainDocs(t)
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+    val counts = tok.groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = counts.select(col("word")).distinct()
+    val v = vocab.agg(count(lit(1)).as("v_size"))
+    val tot = counts.groupBy(col("lang")).agg(sum(col("cnt")).as("tot"))
+    vocab.crossJoin(broadcast(tot))
+      .join(counts, Seq("lang", "word"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(v))
+      .select(col("lang"), col("word"), col("cnt"),
+        ExactAgg.quantize(log((col("cnt") + lit(1)).cast("double") /
+          (col("tot") + col("v_size")).cast("double")), 6).as("logp_micro"))
+  }
+
+  /** Class priors in the same integer micro-nat fixed point. */
+  private[graft] def nbPriors(t: Tables): DataFrame = {
+    val d = nbTrainDocs(t).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val n = nbTrainDocs(t).agg(count(lit(1)).as("n_train"))
+    d.crossJoin(broadcast(n)).select(col("lang"),
+      ExactAgg.quantize(log(col("n_docs").cast("double") /
+        col("n_train").cast("double")), 6).as("prior_micro"))
+  }
+
+  /** Shared scorer (batch eval + streaming twin): per doc and class,
+    * `score = prior_micro + Σ_w n_w·logp_micro(class, w)` — all int64
+    * — and the argmax with the (score desc, lang asc) tie-break as
+    * `min(struct(-score, lang))`, a partial-aggregating reduction
+    * instead of a per-doc window sort. Out-of-train-vocab tokens drop
+    * at the model join on BOTH engines (the standard ignore-unknowns
+    * NB convention — they would add the same constant to every class
+    * score anyway whenever the floor term is class-independent).
+    * The model/prior frames are broadcast: classification is one
+    * map-side join + two keyed partial aggs, nothing corpus×corpus. */
+  /** Per-(doc, class) log-likelihood scores: explode token
+    * OCCURRENCES, stream-static-joinable broadcast model lookup, ONE
+    * keyed integer sum (`Σ_occurrences logp ≡ Σ_w n_w·logp` — no
+    * separate count stage, which is what lets the streaming twin hold
+    * this as its single stateful operator). */
+  private[graft] def nbScoresOf(docs: DataFrame, model: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        explode(tokens(col("text"))).as("word"))
+      .join(broadcast(model.select(col("word"), col("lang"),
+        col("logp_micro"))), Seq("word"))
+      .groupBy(col("doc_id"), col("lang_true"), col("lang"))
+      .agg(sum(col("logp_micro")).as("ll_micro"))
+
+  /** Batch readout over (doc_id, lang_true, lang, ll_micro) scores:
+    * add the prior, take the argmax, roll up the confusion matrix. */
+  private[graft] def nbConfusionOf(scores: DataFrame,
+      priors: DataFrame): DataFrame =
+    scores
+      .join(broadcast(priors), Seq("lang"))
+      .select(col("doc_id"), col("lang_true"),
+        struct((-(col("ll_micro") + col("prior_micro"))).as("ns"),
+          col("lang").as("lang")).as("s"))
+      .groupBy(col("doc_id"), col("lang_true"))
+      .agg(min(col("s")).as("m"))
+      .groupBy(col("lang_true"), col("m.lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** T36 — `text_nb_train`: the trained model table itself (counts +
+    * micro-nat log probabilities over the vocab × class grid), the
+    * artifact a serving path broadcasts. Hash-gated cell by cell. */
+  def textNbTrain(t: Tables): DataFrame =
+    nbModel(t).orderBy(col("lang"), col("word"))
+
+  /** T37 — `text_nb_eval`: held-out confusion matrix of the
+    * classifier — exact integer doc counts per (true, predicted)
+    * label pair. The marker injection makes accuracy well above
+    * chance (spec-asserted), the marker-free third keeps the
+    * off-diagonal honest. */
+  def textNbEval(t: Tables): DataFrame =
+    nbConfusionOf(nbScoresOf(nbEvalDocs(t), nbModel(t)), nbPriors(t))
+      .orderBy(col("lang_true"), col("lang_pred"))
 }

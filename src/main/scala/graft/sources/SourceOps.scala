@@ -540,4 +540,53 @@ object SourceOps {
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
+
+  // ── B20: the gshard DSv2 connector's staged table + consumer ─────
+
+  /** Stage events as a 16-shard `gshard` table range-clustered on
+    * `user_id` (columns: user_id, event_type, day, cents — the exact
+    * integer projections every events consumer uses). Memoized per
+    * (process, sf) behind the manifest file, like every other layout
+    * build; the build cost is a visible `_build_shard_table` bench
+    * entry. Returns the table dir. */
+  private[graft] def shardTable(t: Tables): String = {
+    val dir = staging(s"gshard_${dirTag(t.dir)}")
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_manifest.gshard"))) {
+      val df = t.events.select(col("user_id"),
+        col("event_type"),
+        datediff(col("ts").cast("date"),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      graft.sources.shard.ShardFormat.write(df, dir, "user_id", 16)
+    }
+    dir
+  }
+
+  private[graft] def prebuildShardTable(t: Tables): Unit = { shardTable(t); () }
+
+  /** `q_shard_scan` — a selective scan THROUGH the DSv2 connector:
+    * `spark.read.format("gshard")` with a user-range predicate that
+    * the scan builder pushes into zone-map file skipping (the plan
+    * shows `gshard … files=k/16, PushedFilters: [LessThan(user_id…`
+    * — pinned in PlanAuditSpec) and a 2-column-plus-key projection
+    * the reader prunes at the byte level. The threshold is
+    * corpus-relative (max user DIV 4, read from the manifest's zone
+    * maps — a metadata lookup, not a data scan) so the query stays
+    * selective at every SF. Oracled against the plain events table
+    * with the identical scalar-subquery threshold — so the whole
+    * connector path (write → manifest → skip → decode → residual
+    * filter) is hash-checked end to end. */
+  def qShardScan(t: Tables): DataFrame = {
+    val dir = shardTable(t)
+    val maxUser = graft.sources.shard.ShardFormat.readManifest(dir)
+      .entries.map(_.zMax.getOrElse("user_id", Long.MinValue))
+      .foldLeft(Long.MinValue)(math.max)
+    val threshold = if (maxUser == Long.MinValue) 0L else maxUser / 4
+    t.spark.read.format("gshard").load(dir)
+      .filter(col("user_id") < threshold)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -1,0 +1,198 @@
+package graft.sources.shard
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
+  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** B20 — the `gshard` DataSource-V2 READ connector: the full public
+  * `org.apache.spark.sql.connector` contract over the engine-owned
+  * columnar format ([[ShardFormat]]).
+  *
+  *  - '''Schema inference''' from the manifest sidecar
+  *    (`spark.read.format("gshard").load(dir)` — also registered
+  *    under the `gshard` short name via `DataSourceRegister`).
+  *  - '''Column pruning''' (`SupportsPushDownRequiredColumns`): the
+  *    partition reader materializes exactly the pruned schema and
+  *    SKIPS the other column blocks' bytes on disk — a 2-column
+  *    projection of a 4-column table reads ~half the bytes, which at
+  *    100 TB is the difference between a scan and a non-starter.
+  *  - '''Filter pushdown''' (`SupportsPushDownFilters`): comparison
+  *    and IN predicates over zone-mapped long columns prune whole
+  *    shard files at PLANNING time (`planInputPartitions` returns only
+  *    survivors — visible as fewer scan partitions). Every filter is
+  *    also returned as a residual, so Spark re-evaluates exactly and
+  *    the zone maps only ever need to be false-negative-free, which
+  *    they are by construction.
+  *  - '''Partition planning''': one `InputPartition` per surviving
+  *    shard file — the natural parallelism unit; a 1000-executor
+  *    cluster schedules surviving shards round-robin with locality
+  *    delegated to the store.
+  *
+  * Read-only by design: writes go through [[ShardFormat.write]]'s
+  * deterministic range-clustered writer (the engine treats layout as
+  * a build step, like its z-order and bucketed writers).
+  */
+class ShardDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+
+  override def shortName(): String = "gshard"
+
+  private def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "gshard: .load(<dir>) path is required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardFormat.readManifest(dir(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val d = properties.get("path")
+    new ShardTable(d, ShardFormat.readManifest(d))
+  }
+}
+
+private[shard] class ShardTable(dir: String, manifest: ShardFormat.Manifest)
+    extends Table with SupportsRead {
+  override def name(): String = s"gshard.`$dir`"
+  override def schema(): StructType = manifest.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ShardScanBuilder(dir, manifest)
+}
+
+private[shard] class ShardScanBuilder(dir: String,
+    manifest: ShardFormat.Manifest) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = manifest.schema
+  private var pushed: Array[Filter] = Array.empty
+
+  /** A filter is usable for zone-map skipping iff it constrains one
+    * long column the manifest carries min/max for. */
+  private def usable(f: Filter): Boolean = {
+    val zCols = manifest.entries.headOption
+      .map(_.zMin.keySet).getOrElse(Set.empty)
+    def isZ(c: String) = zCols.contains(c)
+    f match {
+      case EqualTo(c, v: Long) => isZ(c) && v.isInstanceOf[Long]
+      case GreaterThan(c, _: Long) => isZ(c)
+      case GreaterThanOrEqual(c, _: Long) => isZ(c)
+      case LessThan(c, _: Long) => isZ(c)
+      case LessThanOrEqual(c, _: Long) => isZ(c)
+      case In(c, vs) => isZ(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[Long])
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(usable)
+    filters // everything stays residual: skipping is an IO optimization
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ShardScan(dir, manifest, required, pushed)
+}
+
+private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  /** Zone-map test: may `entry` contain a row satisfying ALL pushed
+    * conjuncts? Sound (never drops a possible match); the residual
+    * evaluation keeps it exact. */
+  private def survives(e: ShardFormat.ShardEntry): Boolean =
+    pushed.forall {
+      case EqualTo(c, v: Long) => e.zMin(c) <= v && v <= e.zMax(c)
+      case GreaterThan(c, v: Long) => e.zMax(c) > v
+      case GreaterThanOrEqual(c, v: Long) => e.zMax(c) >= v
+      case LessThan(c, v: Long) => e.zMin(c) < v
+      case LessThanOrEqual(c, v: Long) => e.zMin(c) <= v
+      case In(c, vs) => vs.exists { case v: Long =>
+        e.zMin(c) <= v && v <= e.zMax(c) }
+      case _ => true
+    }
+
+  private def survivors: Seq[ShardFormat.ShardEntry] =
+    manifest.entries.filter(survives)
+
+  override def planInputPartitions(): Array[InputPartition] =
+    survivors.map(e => ShardInputPartition(s"$dir/${e.file}",
+      manifest.schema.fields.map(f => (f.name, f.dataType.typeName)),
+      required.fieldNames)).toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory
+
+  // surfaced in explain(): pruning and pushdown are auditable from the
+  // plan text, the same way parquet scans surface PushedFilters
+  override def description(): String = {
+    val n = survivors.size
+    s"gshard $dir files=$n/${manifest.entries.size} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+  }
+}
+
+/** Serializable task payload: one shard file + the full file schema
+  * (name, typeName) + the columns to materialize. */
+private[shard] final case class ShardInputPartition(path: String,
+    fileSchema: Array[(String, String)], required: Array[String])
+  extends InputPartition
+
+private[shard] class ShardReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new ShardPartitionReader(p.asInstanceOf[ShardInputPartition])
+}
+
+private[shard] class ShardPartitionReader(p: ShardInputPartition)
+    extends PartitionReader[InternalRow] {
+
+  private val schema = StructType(p.fileSchema.toIndexedSeq.map {
+    case (n, t) => org.apache.spark.sql.types.StructField(n,
+      ShardFormat.dataTypeOf(t))
+  })
+  private val (nRows, cols) =
+    ShardFormat.readShardFile(p.path, schema, p.required.toIndexedSeq)
+  private val isString: Array[Boolean] = p.required.map(n =>
+    schema(n).dataType == StringType)
+  private var i = -1
+
+  override def next(): Boolean = { i += 1; i < nRows }
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](p.required.length)
+    var c = 0
+    while (c < values.length) {
+      values(c) =
+        if (isString(c))
+          UTF8String.fromBytes(cols(c)(i).asInstanceOf[Array[Byte]])
+        else cols(c)(i)
+      c += 1
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  override def close(): Unit = ()
+}

@@ -1044,4 +1044,29 @@ object Streaming {
         StructField("rnk", IntegerType)))
     t.spark.createDataFrame(buf.toList.asJava, resultSchema)
   }
+
+  /** X27 — `stream_nb_classify`: the trained Naive-Bayes language
+    * model ([[graft.operators.TextAnalysis.nbModel]], a static batch
+    * frame) SERVING over the held-out document stream — the
+    * model-in-the-ingest-path deployment shape: each arriving doc's
+    * marker injection and token explosion are stateless per row, the
+    * broadcast model lookup is a stream-static join, and the per-
+    * (doc, class) integer log-likelihood sum is the query's ONE
+    * stateful operator (state = 5 rows per scored doc — for an
+    * unbounded deploy the readout windowing bounds it; here the drain
+    * is the bounded backfill shape every [Q] stream uses). Argmax and
+    * the confusion rollup are a batch readout of the drained scores.
+    * Shares `text_nb_eval`'s oracle verbatim — stream/batch
+    * equivalence pair #23. */
+  def streamNbClassify(t: Tables): DataFrame = {
+    import graft.operators.TextAnalysis
+    val schema = t.raw("documents").schema
+    val docs = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    val eval = TextAnalysis.nbInjectOf(docs).filter(col("doc_id") % 10 >= 8)
+    val scores = TextAnalysis.nbScoresOf(eval, TextAnalysis.nbModel(t))
+    val drained = drainToTable(scores, "complete")
+    TextAnalysis.nbConfusionOf(drained, TextAnalysis.nbPriors(t))
+      .orderBy(col("lang_true"), col("lang_pred"))
+  }
 }

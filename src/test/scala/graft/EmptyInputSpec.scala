@@ -121,7 +121,15 @@ class EmptyInputSpec extends SparkSpec {
     "q_fk_discovery", "dedup_survivorship",
     // the banded-rewrite consumer (empty sides → empty equi join),
     // basket rules and the ooo audit over empty event sets
-    "q_abs_band_auto", "events_basket_lift", "events_ooo_audit")
+    "q_abs_band_auto", "events_basket_lift", "events_ooo_audit",
+    // round-15: the recursive-closure pair (empty forest / empty
+    // frontier), the NB train+eval chain (empty vocab grid), the DP
+    // release, and the profiling rollup
+    "q_bom_explode", "q_multi_distinct", "events_shortest_paths",
+    "text_nb_train", "text_nb_eval", "corpus_dp_release",
+    // the DSv2 connector path: empty corpus -> zero-file manifest ->
+    // empty scan (threshold degenerates to 0)
+    "q_shard_scan")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -47,7 +47,11 @@ class OperatorSuiteSpec extends SparkSpec {
     "q18_large_orders", "stream_stream_join", "text_contamination",
     "text_contamination_shuffled", "dedup_incremental", "dedup_minhash_eval",
     "text_contamination_fuzzy", "dedup_containment",
-    "text_contamination_bloom")
+    "text_contamination_bloom",
+    // ±500-cent band over 10 suppliers × 15 customers: the sf0.001
+    // acctbal space is sparse enough that zero pairs is the honest
+    // answer (76 suppliers match at sf0.01)
+    "q_abs_band_auto")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"query $name runs at sf0.001") {

@@ -888,4 +888,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), s"no anti-join in the delete path:\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+  test("q_multi_distinct: all three distincts in ONE Expand pass over one scan") {
+    val p = plan(Relational.qMultiDistinct(tables))
+    assert(p.contains("Expand"), s"no Expand-based multi-distinct:\n$p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"fact table scanned $scans times:\n$p")
+  }
+
+  test("q_bom_explode: doubling rounds are keyed equi-joins, no nested loop") {
+    val p = plan(Relational.qBomExplode(tables))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"closure fell back to a nested loop:\n$p")
+  }
+
+  test("events_shortest_paths: frontier probes are keyed joins, no nested loop") {
+    val p = plan(EventAnalytics.eventsShortestPaths(tables))
+    // the only permissible nested loop is the ONE-ROW broadcast of the
+    // significance floor (the house one-row-crossJoin convention);
+    // nothing may plan a shuffled cartesian
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("nb classify: model and prior lookups broadcast; scores partial-agg") {
+    import graft.operators.TextAnalysis
+    val t = tables
+    val df = TextAnalysis.nbConfusionOf(
+      TextAnalysis.nbScoresOf(TextAnalysis.nbEvalDocs(t), TextAnalysis.nbModel(t)),
+      TextAnalysis.nbPriors(t))
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"model join not broadcast:\n$p")
+    assert(p.contains("partial_"), s"score sum not map-side combined:\n$p")
+  }
+
+  test("corpus_dp_release: noise is map-only after the one count shuffle") {
+    val p = plan(Governance.corpusDpRelease(tables))
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    // one partial-agg shuffle to the release grain + the final sort's
+    // range exchange — the noise arithmetic itself adds none
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+  }
+
+  test("q_shard_scan: DSv2 scan shows pushed filters and pruned files") {
+    val p = plan(graft.sources.SourceOps.qShardScan(tables))
+    assert(p.contains("gshard"), s"not reading through the connector:\n$p")
+    assert(p.contains("PushedFilters: [LessThan(user_id"), s"filter not pushed:\n$p")
+    val desc = p.linesIterator.find(_.contains("files=")).getOrElse("")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"no pruning readout in scan description:\n$p")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"zone maps pruned nothing: $desc")
+  }
+
 }

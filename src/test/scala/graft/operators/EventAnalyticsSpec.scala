@@ -781,4 +781,40 @@ class EventAnalyticsSpec extends SparkSpec {
     // every cell populated — the panel design is non-degenerate here
     assert(Seq(napre, napo, nbpre, nbpo).forall(_ > 0))
   }
+  test("events_shortest_paths equals a driver-side BFS replay") {
+    val t = tables
+    val got = EventAnalytics.eventsShortestPaths(t).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+    // independent ground truth: rebuild the supported edge set with
+    // plain DataFrame ops, then BFS with a Scala queue
+    val items = EventAnalytics.cappedUserItems(t, 64).persist()
+    val nUsers = items.select(col("user_id")).distinct().count()
+    val minSup = math.max(2L, nUsers / 50)
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item"), col("b.item")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSup)
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    items.unpersist()
+    val adj = scala.collection.mutable.Map.empty[Int, List[Int]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = scala.collection.mutable.Map.empty[Int, Int]
+    var frontier = nodes.filter(_ % 17 == 0).toList
+    frontier.foreach(n => want(n) = 0)
+    for (d <- 1 to 4) {
+      frontier = frontier.flatMap(adj).distinct.filterNot(want.contains)
+      frontier.foreach(n => want(n) = d)
+    }
+    assert(got == want.toMap,
+      s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+    // non-degenerate at this SF: real multi-hop structure, and the
+    // significance floor actually removed saturating edges
+    assert(got.values.exists(_ >= 2), s"graph saturated: ${got.values.toSeq.distinct}")
+    assert(got.nonEmpty && got.values.exists(_ == 0))
+  }
+
 }

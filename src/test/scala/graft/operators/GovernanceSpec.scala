@@ -277,4 +277,26 @@ class GovernanceSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.map(p => (p._1, p._2)).intersect(matches).isEmpty)
   }
+  test("corpus_dp_release: clamped, deterministic, noise inside the geometric tail") {
+    val t = tables
+    val rel = Governance.corpusDpRelease(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val truth = t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rel.keySet == truth.keySet) // post-processing never drops a group
+    assert(rel.values.forall(_ >= 0L)) // clamp holds
+    // each draw is g1 - g2 with gi ~ Geometric(1/2) capped at 24
+    val noise = rel.map { case (k, v) => v - truth(k) }
+    assert(noise.forall(n => math.abs(n) <= 48))
+    // Σ|noise| concentrates: E|g1-g2| = 4/3, so 3× mean is a lax bound
+    // that still catches a broken bit-trick (which skews magnitudes)
+    assert(noise.map(math.abs).sum <= 4L * rel.size,
+      s"total |noise| ${noise.map(math.abs).sum} over ${rel.size} groups")
+    // replay-deterministic (seeded mechanism): second run identical
+    val again = Governance.corpusDpRelease(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == rel)
+  }
+
 }

@@ -441,4 +441,44 @@ class ScaleSpec extends SparkSpec {
       v.fold(s.conf.unset(k))(s.conf.set(k, _))
     }
   }
+  test("q_bom_explode equals a driver-side parent-chain climb") {
+    val t = tables
+    val got = Relational.qBomExplode(t).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = t.part.select(col("p_partkey")).collect().map(_.getLong(0))
+      .map { k =>
+        var node = k; var d = 0L
+        while (node >= 7) { node /= 7; d += 1 }
+        k -> ((node, d))
+      }.toMap
+    assert(got == want)
+    assert(got.values.forall(_._1 < 7), "a non-root survived the closure")
+    // non-vacuous: real depth that needs more than one doubling round
+    assert(got.values.map(_._2).max >= 2L)
+  }
+
+  test("q_bom_explode: 2 doubling rounds already cover depth 4") {
+    // pointer doubling resolves depth <= 2^rounds: the sf's max depth
+    // fits in 2 rounds, so rounds=2 must give the identical closure
+    val full = Relational.qBomExplode(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val two = Relational.qBomExplode(tables, rounds = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == two)
+  }
+
+  test("q_multi_distinct matches independently recomputed measures") {
+    val t = tables
+    val got = Relational.qMultiDistinct(t).collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    got.foreach { case (flag, (ndp, nds, ndo, n)) =>
+      val slice = t.lineitem.filter(col("l_returnflag") === flag)
+      assert(ndp == slice.select(col("l_partkey")).distinct().count())
+      assert(nds == slice.select(col("l_suppkey")).distinct().count())
+      assert(ndo == slice.select(col("l_orderkey")).distinct().count())
+      assert(n == slice.count())
+    }
+    assert(got.nonEmpty)
+  }
+
 }

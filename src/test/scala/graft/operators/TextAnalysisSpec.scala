@@ -681,4 +681,63 @@ class TextAnalysisSpec extends SparkSpec {
       if (n(3) % 8 != 0) assert(nRepl == 0L && nMoji == 0L && ppm == 0L)
     }
   }
+  test("nb model: every class marker carries its own class's top log-odds") {
+    val t = tables
+    val model = TextAnalysis.nbModel(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val langs = model.keySet.map(_._1)
+    assert(langs.size >= 2)
+    // the injected marker mk<L> must be MORE likely under class L than
+    // under any other class — the signal the classifier learns from
+    for (l <- langs; w = "mk" + l; if model.contains((l, w)); o <- langs if o != l)
+      assert(model((l, w)) > model.getOrElse((o, w), Long.MinValue),
+        s"marker $w not discriminative: P(|$l) <= P(|$o)")
+    // smoothing floor materialized: zero-count grid cells exist and
+    // carry the minimum per-class log-probability
+    val zeroCells = TextAnalysis.nbModel(t).filter(col("cnt") === 0).count()
+    assert(zeroCells > 0, "full vocab x class grid not materialized")
+  }
+
+  test("nb eval: rows conserve and accuracy beats the majority class") {
+    val t = tables
+    val conf = TextAnalysis.textNbEval(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val total = conf.map(_._3).sum
+    assert(total == TextAnalysis.nbEvalDocs(t).count(),
+      "every held-out doc classified exactly once")
+    val correct = conf.collect { case (a, b, n) if a == b => n }.sum
+    // majority-class guessing reads ~40% here (en-heavy corpus); the
+    // marker injection must lift the classifier well past it
+    val acc = correct.toDouble / total
+    assert(acc > 0.5, s"accuracy $acc not above majority baseline")
+    // but not perfect: ~1/3 of docs carry no marker, so honest
+    // off-diagonal mass must exist
+    assert(conf.exists { case (a, b, _) => a != b }, "confusion suspiciously clean")
+  }
+
+  test("nb scores are exact integers: argmax replay from the model table") {
+    val t = tables
+    // replay classification for every eval doc driver-side from the
+    // collected model + priors, in pure integer arithmetic
+    val model = TextAnalysis.nbModel(t).collect()
+      .map(r => (r.getString(1), r.getString(0)) -> r.getLong(3)).toMap // (word, lang)
+    val priors = TextAnalysis.nbPriors(t).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val langs = priors.keys.toSeq.sorted
+    val evalDocs = TextAnalysis.nbEvalDocs(t)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+    val want = evalDocs.map { r =>
+      val toks = r.getString(2).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val scores = langs.map { l =>
+        val s = priors(l) + toks.flatMap(w => model.get((w, l))).sum
+        (-s, l)
+      }
+      (r.getLong(0), r.getString(1), scores.min._2)
+    }
+    val wantConf = want.groupBy(x => (x._2, x._3)).view.mapValues(_.size.toLong).toMap
+    val gotConf = TextAnalysis.textNbEval(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotConf == wantConf, s"got=$gotConf want=$wantConf")
+  }
+
 }

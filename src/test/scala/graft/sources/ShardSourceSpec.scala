@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkSpec
+import graft.sources.shard.ShardFormat
+
+/** B20 — the gshard DSv2 connector: byte-level roundtrip, zone-map
+  * file skipping (soundness AND effectiveness), column pruning, and
+  * the empty-table edge. */
+class ShardSourceSpec extends SparkSpec {
+
+  private lazy val dir: String = {
+    val d = Files.createTempDirectory("graft_gshard_spec_").toString
+    ShardFormat.write(eventsProjected, d, "user_id", 8)
+    d
+  }
+
+  private def eventsProjected: DataFrame =
+    tables.events.select(col("user_id"), col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+
+  private def viaShard: DataFrame = spark.read.format("gshard").load(dir)
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("full roundtrip: every row and byte survives write -> DSv2 read") {
+    assert(rowsOf(viaShard.select(col("user_id"), col("event_type"),
+      col("cents"))) == rowsOf(eventsProjected))
+  }
+
+  test("manifest zone maps cover exactly the file contents") {
+    val m = ShardFormat.readManifest(dir)
+    assert(m.entries.nonEmpty)
+    m.entries.foreach { e =>
+      assert(e.zMin("user_id") <= e.zMax("user_id"))
+      assert(e.rows > 0)
+    }
+    // zone maps PARTITION the range space (range-clustered writer):
+    // consecutive files never overlap on the cluster column
+    val sorted = m.entries.sortBy(_.zMin("user_id"))
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.zMax("user_id") < b.zMin("user_id"))
+      case _ => ()
+    }
+    val total = m.entries.map(_.rows).sum
+    assert(total == eventsProjected.count())
+  }
+
+  test("zone-map skipping plans only the surviving shard files") {
+    val m = ShardFormat.readManifest(dir)
+    val thr = m.entries.map(_.zMax("user_id")).max / 4
+    val filtered = viaShard.filter(col("user_id") < thr)
+    val expected = m.entries.count(_.zMin("user_id") < thr)
+    assert(expected < m.entries.size,
+      "degenerate test: the threshold prunes nothing at this SF")
+    assert(filtered.rdd.getNumPartitions == expected,
+      s"planned ${filtered.rdd.getNumPartitions} partitions, " +
+        s"zone maps admit $expected of ${m.entries.size}")
+  }
+
+  test("skipping is sound for every comparison shape (vs parquet truth)") {
+    val truth = eventsProjected
+    val m = ShardFormat.readManifest(dir)
+    val mid = m.entries.map(_.zMax("user_id")).max / 2
+    val cases = Seq[(DataFrame => DataFrame, String)](
+      (df => df.filter(col("user_id") < mid), "lt"),
+      (df => df.filter(col("user_id") <= mid), "le"),
+      (df => df.filter(col("user_id") > mid), "gt"),
+      (df => df.filter(col("user_id") >= mid), "ge"),
+      (df => df.filter(col("user_id") === mid), "eq"),
+      (df => df.filter(col("user_id").isin(0L, mid, mid * 2)), "in"),
+      (df => df.filter(col("user_id") < mid && col("cents") > 0), "conj"))
+    cases.foreach { case (f, tag) =>
+      assert(rowsOf(f(viaShard).select(col("user_id"), col("event_type"),
+        col("cents"))) == rowsOf(f(truth)), s"case $tag diverged")
+    }
+  }
+
+  test("pushdown and pruning are visible in the executed plan") {
+    val df = viaShard.filter(col("user_id") < 5)
+      .select(col("user_id"), col("cents"))
+    df.collect()
+    val p = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }).toString
+    assert(p.contains("gshard"), p)
+    assert(p.contains("LessThan(user_id,5)"), s"filter not pushed:\n$p")
+    assert(p.contains("files="), p)
+    // pruned read schema: the string column must not be materialized
+    assert(!p.contains("event_type"), s"column not pruned:\n$p")
+  }
+
+  test("column pruning decodes only the requested columns") {
+    // a projection that drops the (largest) string column must still
+    // be value-correct — the reader skipped those bytes entirely
+    val got = viaShard.select(col("cents")).agg(sum(col("cents"))).head.getLong(0)
+    val want = eventsProjected.agg(sum(col("cents"))).head.getLong(0)
+    assert(got == want)
+    // count(*) pushes an EMPTY required schema: rows still enumerate
+    assert(viaShard.count() == eventsProjected.count())
+  }
+
+  test("an empty table writes a valid zero-file manifest and reads back empty") {
+    val d = Files.createTempDirectory("graft_gshard_empty_").toString
+    ShardFormat.write(eventsProjected.limit(0), d, "user_id", 8)
+    val back = spark.read.format("gshard").load(d)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("user_id", "event_type", "cents"))
+    assert(back.count() == 0)
+  }
+
+  test("deterministic bytes: writing twice yields identical manifests") {
+    val d2 = Files.createTempDirectory("graft_gshard_det_").toString
+    ShardFormat.write(eventsProjected, d2, "user_id", 8)
+    assert(ShardFormat.readManifest(d2) == ShardFormat.readManifest(dir))
+  }
+}
