@@ -410,6 +410,10 @@ object SparkEntry {
     // connector: manifest schema, zone-map file skipping, byte-level
     // column pruning — the whole read contract hash-gated end to end
     "q_shard_scan"        -> q(t => graft.sources.SourceOps.qShardScan(t)),
+    // the connector's WRITE half: Spark plans the range exchange from
+    // the write's RequiresDistributionAndOrdering contract, tasks
+    // commit disjoint zone-mapped shards, manifest publishes last
+    "q_shard_write_roundtrip" -> q(t => graft.sources.SourceOps.qShardWriteRoundtrip(t)),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
@@ -4315,6 +4319,15 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(cents) AS BIGINT) AS value_cents
         |FROM e, m WHERE user_id < thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // write-path twin: same projections, top-quartile threshold
+    "q_shard_write_roundtrip" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT max(user_id) - max(user_id) // 4 AS thr FROM e)
+        |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e, m WHERE user_id > thr GROUP BY 1 ORDER BY 1""".stripMargin,
     // the merged two-batch read must reconcile with the original table:
     // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
     "q_schema_evolution" ->

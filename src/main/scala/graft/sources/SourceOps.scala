@@ -553,12 +553,8 @@ object SourceOps {
     val dir = staging(s"gshard_${dirTag(t.dir)}")
     if (!java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "_manifest.gshard"))) {
-      val df = t.events.select(col("user_id"),
-        col("event_type"),
-        datediff(col("ts").cast("date"),
-          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      graft.sources.shard.ShardFormat.write(df, dir, "user_id", 16)
+      graft.sources.shard.ShardFormat.write(
+        shardProjection(t), dir, "user_id", 16)
     }
     dir
   }
@@ -588,5 +584,41 @@ object SourceOps {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
       .orderBy(col("event_type"))
+  }
+
+  /** The events projection both shard-table paths stage. */
+  private def shardProjection(t: Tables): DataFrame =
+    t.events.select(col("user_id"), col("event_type"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+
+  /** `q_shard_write_roundtrip` — the DSv2 WRITE path end to end:
+    * `df.write.format("gshard")` in overwrite mode, where the
+    * connector's `RequiresDistributionAndOrdering` makes SPARK plan
+    * the range exchange + sort on `user_id` (no hand shuffling), each
+    * task commits one disjoint shard with its zone maps, and the
+    * manifest publishes last (reader-never-sees-partials, the B18
+    * pointer-flip discipline). The read-back probes the TOP user
+    * quartile — so file skipping must fire against the freshly
+    * written maps — and the per-day rollup is oracled against the raw
+    * events table: write → commit → skip → decode, all hash-checked.
+    * The write runs inside the query on purpose: its cost IS the
+    * benchmark entry (idempotent overwrite, per-process staging). */
+  def qShardWriteRoundtrip(t: Tables): DataFrame = {
+    import graft.sources.shard.ShardFormat
+    val dir = staging(s"gshard_w_${dirTag(t.dir)}")
+    shardProjection(t).write.format("gshard")
+      .option("rangecol", "user_id").option("shards", 16)
+      .mode("overwrite").save(dir)
+    val maxUser = ShardFormat.readManifest(dir)
+      .entries.map(_.zMax.getOrElse("user_id", Long.MinValue))
+      .foldLeft(Long.MinValue)(math.max)
+    val threshold = if (maxUser == Long.MinValue) 0L else maxUser - maxUser / 4
+    t.spark.read.format("gshard").load(dir)
+      .filter(col("user_id") > threshold)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("day"))
   }
 }

@@ -5,15 +5,23 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
+  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution,
+  Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
+  DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo,
+  RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder,
+  WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
+  StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -59,21 +67,172 @@ class ShardDataSource extends TableProvider
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     ShardFormat.readManifest(dir(options)).schema
 
+  // writes to a FRESH table have no manifest: accept the frame's schema
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val d = properties.get("path")
-    new ShardTable(d, ShardFormat.readManifest(d))
+    new ShardTable(d, schema)
   }
 }
 
-private[shard] class ShardTable(dir: String, manifest: ShardFormat.Manifest)
-    extends Table with SupportsRead {
+private[shard] class ShardTable(dir: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"gshard.`$dir`"
-  override def schema(): StructType = manifest.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardScanBuilder(dir, manifest)
+    new ShardScanBuilder(dir, ShardFormat.readManifest(dir))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new ShardWriteBuilder(dir, info)
+}
+
+/** The DSv2 WRITE path: `df.write.format("gshard").save(dir)`.
+  *
+  * The layout contract lives in [[RequiresDistributionAndOrdering]]:
+  * the write REQUIRES an ordered (range) distribution plus in-
+  * partition ordering on the cluster column (`rangeCol` option,
+  * default `user_id`), so SPARK plans the range exchange and sort —
+  * the connector never shuffles by hand, and every task receives one
+  * disjoint key range, which is exactly what makes the emitted zone
+  * maps selective. `mode("overwrite")` routes through
+  * [[SupportsTruncate]]; append merges manifest entries. Commit is
+  * manifest-last: data files land first, the manifest write publishes
+  * them (a reader never sees uncommitted files — same discipline as
+  * [[graft.sources.MergeTarget]]'s pointer flip). */
+private[shard] class ShardWriteBuilder(dir: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val rangeCol = Option(info.options.get("rangecol")).getOrElse("user_id")
+    require(info.schema().fieldNames.contains(rangeCol),
+      s"gshard: rangeCol $rangeCol not in ${info.schema().fieldNames.mkString(",")}")
+    val shards = Option(info.options.get("shards")).map(_.toInt).getOrElse(0)
+    new ShardWrite(dir, info.schema(), rangeCol, shards,
+      truncateFirst, info.queryId())
+  }
+}
+
+private[shard] class ShardWrite(dir: String, schema: StructType,
+    rangeCol: String, shards: Int, truncateFirst: Boolean, queryId: String)
+    extends Write with RequiresDistributionAndOrdering {
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(
+      Expressions.sort(Expressions.column(rangeCol), SortDirection.ASCENDING)))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column(rangeCol), SortDirection.ASCENDING))
+  override def requiredNumPartitions(): Int = shards
+
+  override def description(): String =
+    s"gshard write $dir rangeCol=$rangeCol"
+
+  override def toBatch: BatchWrite = new ShardBatchWrite(dir, schema,
+    truncateFirst, queryId)
+}
+
+private[shard] final case class ShardCommitMessage(file: String, rows: Long,
+    mins: Map[String, Long], maxs: Map[String, Long])
+  extends WriterCommitMessage
+
+private[shard] class ShardBatchWrite(dir: String, schema: StructType,
+    truncateFirst: Boolean, queryId: String) extends BatchWrite {
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    ShardWriterFactory(dir,
+      schema.fields.map(f => (f.name, f.dataType.typeName)),
+      queryId.take(8))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val fresh = messages.collect {
+      case m: ShardCommitMessage if m.rows > 0 => // empty partitions emit no file
+        ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs)
+    }.sortBy(_.file).toSeq
+    if (ShardFormat.hasManifest(dir)) {
+      val existing = ShardFormat.readManifest(dir).schema
+      require(existing == schema,
+        s"gshard schema mismatch: table=$existing write=$schema")
+    }
+    val prior =
+      if (!truncateFirst && ShardFormat.hasManifest(dir))
+        ShardFormat.readManifest(dir)
+      else ShardFormat.Manifest(schema, Seq.empty)
+    if (truncateFirst && ShardFormat.hasManifest(dir)) {
+      // drop the replaced generation's files AFTER staging the new one
+      val keep = fresh.map(_.file).toSet
+      ShardFormat.readManifest(dir).entries
+        .filterNot(e => keep(e.file))
+        .foreach(e => java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, e.file)))
+    }
+    ShardFormat.writeManifest(dir,
+      ShardFormat.Manifest(schema, prior.entries ++ fresh))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: ShardCommitMessage =>
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, m.file))
+    }
+}
+
+private[shard] final case class ShardWriterFactory(dir: String,
+    fileSchema: Array[(String, String)], writeTag: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new ShardDataWriter(dir, fileSchema, writeTag, partitionId)
+}
+
+/** Buffers its (range-disjoint) partition column-wise, writes the
+  * shard file at task commit, and reports the zone maps upward.
+  * Spark's commit coordinator guarantees one winner per partition. */
+private[shard] class ShardDataWriter(dir: String,
+    fileSchema: Array[(String, String)], writeTag: String, partitionId: Int)
+    extends DataWriter[InternalRow] {
+
+  private val schema = StructType(fileSchema.toIndexedSeq.map { case (n, t) =>
+    org.apache.spark.sql.types.StructField(n, ShardFormat.dataTypeOf(t)) })
+  private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+
+  override def write(row: InternalRow): Unit = {
+    val values = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      values(i) = schema(i).dataType match {
+        case LongType => row.getLong(i)
+        case DoubleType => row.getDouble(i)
+        case StringType => row.getUTF8String(i).getBytes
+        case other => throw new IllegalStateException(other.toString)
+      }
+      i += 1
+    }
+    buf += values
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val file = f"part-$writeTag-$partitionId%05d.gshard"
+    if (buf.isEmpty) return ShardCommitMessage("", 0L, Map.empty, Map.empty)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    ShardFormat.writeShardValues(s"$dir/$file", schema, buf.length,
+      (r, c) => buf(r)(c))
+    val longCols = schema.fields.zipWithIndex
+      .collect { case (f, i) if f.dataType == LongType => (f.name, i) }
+    val mins = longCols.map { case (n, i) =>
+      n -> buf.iterator.map(_(i).asInstanceOf[Long]).min }.toMap
+    val maxs = longCols.map { case (n, i) =>
+      n -> buf.iterator.map(_(i).asInstanceOf[Long]).max }.toMap
+    ShardCommitMessage(file, buf.length.toLong, mins, maxs)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = buf.clear()
 }
 
 private[shard] class ShardScanBuilder(dir: String,

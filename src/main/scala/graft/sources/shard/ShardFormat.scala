@@ -167,25 +167,41 @@ object ShardFormat {
   }
 
   private def writeShardFile(path: String, schema: StructType,
-      rows: mutable.ArrayBuffer[Row]): Unit = {
+      rows: mutable.ArrayBuffer[Row]): Unit =
+    writeShardValues(path, schema, rows.length,
+      (r, i) => schema(i).dataType match {
+        case LongType => rows(r).getLong(i)
+        case DoubleType => rows(r).getDouble(i)
+        case StringType =>
+          rows(r).getString(i).getBytes(StandardCharsets.UTF_8)
+        case other => throw new IllegalStateException(other.toString)
+      })
+
+  /** Shared block encoder (the manual writer and the DSv2 DataWriter
+    * both stream through it): `value(row, col)` yields Long / Double /
+    * UTF-8 Array[Byte] per the schema. */
+  private[shard] def writeShardValues(path: String, schema: StructType,
+      nRows: Int, value: (Int, Int) => Any): Unit = {
     val dos = new DataOutputStream(
       new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
     try {
       dos.writeInt(Magic); dos.writeInt(Version)
-      dos.writeInt(rows.length); dos.writeInt(schema.length)
+      dos.writeInt(nRows); dos.writeInt(schema.length)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         f.dataType match {
           case LongType =>
-            dos.writeLong(8L * rows.length)
-            rows.foreach(r => dos.writeLong(r.getLong(i)))
+            dos.writeLong(8L * nRows)
+            var r = 0
+            while (r < nRows) { dos.writeLong(value(r, i).asInstanceOf[Long]); r += 1 }
           case DoubleType =>
-            dos.writeLong(8L * rows.length)
-            rows.foreach(r => dos.writeDouble(r.getDouble(i)))
+            dos.writeLong(8L * nRows)
+            var r = 0
+            while (r < nRows) { dos.writeDouble(value(r, i).asInstanceOf[Double]); r += 1 }
           case StringType =>
-            val bytes = rows.map(r =>
-              r.getString(i).getBytes(StandardCharsets.UTF_8))
+            val bytes = (0 until nRows).map(r =>
+              value(r, i).asInstanceOf[Array[Byte]])
             val total = bytes.iterator.map(_.length.toLong).sum
-            dos.writeLong(4L * (rows.length + 1) + total)
+            dos.writeLong(4L * (nRows + 1) + total)
             var off = 0
             dos.writeInt(0)
             bytes.foreach { b => off += b.length; dos.writeInt(off) }
@@ -196,7 +212,10 @@ object ShardFormat {
     } finally dos.close()
   }
 
-  private def writeManifest(dir: String, m: Manifest): Unit = {
+  private[shard] def hasManifest(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "_manifest.gshard"))
+
+  private[shard] def writeManifest(dir: String, m: Manifest): Unit = {
     val sb = new StringBuilder
     sb.append("gshard v1\n")
     sb.append("schema ").append(m.schema.fields

@@ -121,4 +121,64 @@ class ShardSourceSpec extends SparkSpec {
     ShardFormat.write(eventsProjected, d2, "user_id", 8)
     assert(ShardFormat.readManifest(d2) == ShardFormat.readManifest(dir))
   }
+  // ── DSv2 WRITE path ────────────────────────────────────────────────
+
+  private def writeVia(df: DataFrame, d: String, mode: String): Unit =
+    df.write.format("gshard").option("rangecol", "user_id")
+      .option("shards", 8).mode(mode).save(d)
+
+  test("DSv2 write roundtrip: Spark-planned range exchange, values exact") {
+    val d = Files.createTempDirectory("graft_gshard_w_").toString
+    writeVia(eventsProjected, d, "overwrite")
+    assert(rowsOf(spark.read.format("gshard").load(d)
+      .select(col("user_id"), col("event_type"), col("cents")))
+      == rowsOf(eventsProjected))
+  }
+
+  test("DSv2-written zone maps are range-disjoint (the required distribution held)") {
+    val d = Files.createTempDirectory("graft_gshard_wz_").toString
+    writeVia(eventsProjected, d, "overwrite")
+    val m = ShardFormat.readManifest(d)
+    assert(m.entries.size > 1, "degenerate: one shard")
+    val sorted = m.entries.sortBy(_.zMin("user_id"))
+    sorted.sliding(2).foreach {
+      case Seq(a, b) => assert(a.zMax("user_id") < b.zMin("user_id"),
+        s"overlapping shards: $a / $b — range distribution not enforced")
+      case _ => ()
+    }
+  }
+
+  test("append mode merges manifests; overwrite truncates the old generation") {
+    val d = Files.createTempDirectory("graft_gshard_am_").toString
+    val lo = eventsProjected.filter(col("user_id") % 2 === 0)
+    val hi = eventsProjected.filter(col("user_id") % 2 === 1)
+    writeVia(lo, d, "append")
+    writeVia(hi, d, "append")
+    assert(rowsOf(spark.read.format("gshard").load(d)
+      .select(col("user_id"), col("event_type"), col("cents")))
+      == rowsOf(eventsProjected))
+    // overwrite with the small half: result replaced, old files swept
+    writeVia(hi, d, "overwrite")
+    assert(rowsOf(spark.read.format("gshard").load(d)
+      .select(col("user_id"), col("event_type"), col("cents")))
+      == rowsOf(hi))
+    val m = ShardFormat.readManifest(d)
+    val onDisk = new java.io.File(d).list().count(_.endsWith(".gshard"))
+    assert(onDisk - 1 == m.entries.size, // manifest itself is .gshard
+      s"orphan files survive overwrite: disk=$onDisk manifest=${m.entries.size}")
+  }
+
+  test("the freshly written table serves skipping scans like the manual one") {
+    val d = Files.createTempDirectory("graft_gshard_ws_").toString
+    writeVia(eventsProjected, d, "overwrite")
+    val m = ShardFormat.readManifest(d)
+    val thr = m.entries.map(_.zMax("user_id")).max / 2
+    val scan = spark.read.format("gshard").load(d)
+      .filter(col("user_id") < thr)
+    assert(scan.rdd.getNumPartitions < m.entries.size,
+      "zone maps of the DSv2 writer prune nothing")
+    assert(rowsOf(scan.select(col("user_id"), col("event_type"), col("cents")))
+      == rowsOf(eventsProjected.filter(col("user_id") < thr)))
+  }
+
 }
