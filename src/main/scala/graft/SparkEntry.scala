@@ -382,6 +382,9 @@ object SparkEntry {
     "q_scd2_history"      -> q(Scale.qScd2History),
     "q_scd2_merge"        -> q(t => Scale.qScd2Merge(t)),
     "q_dim_time_travel"   -> q(t => Scale.qDimTimeTravel(t)),
+    // row-level CDF between committed versions (the Delta
+    // readChangeData shape); spec proves v0 + feed reconstructs head
+    "q_merge_cdf"         -> q(t => Scale.qMergeCdf(t)),
     "q_join_view_maintenance" -> q(t => Scale.qJoinViewMaintenance(t)),
     "q_point_in_time_join" -> q(Scale.qPointInTimeJoin),
     "q_skew_histogram"    -> q(Scale.qSkewHistogram),
@@ -470,6 +473,31 @@ object SparkEntry {
     * sync with [[graft.operators.TextAnalysis.tokens]]). */
   private val sqlToks =
     "list_filter(string_split(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),' '), x -> len(x)>0)"
+
+  /** One SCD2 snapshot rebuilt from raw events as a CTE chain under
+    * prefix `p` (daily argmax status → gaps-and-islands runs →
+    * chained dimension `{p}dim`) — shared by the `q_dim_time_travel`
+    * and `q_merge_cdf` oracles, which diff a truncated chain (the
+    * stored v0) against the full one (the merged head). */
+  private def scd2ChainSql(p: String, where: String): String =
+    s"""${p}e AS (SELECT user_id,
+       |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day, event_type,
+       |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events$where),
+       |${p}d AS (SELECT user_id, day, event_type AS status FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id, day
+       |    ORDER BY us DESC, event_id DESC) AS rn FROM ${p}e) WHERE rn = 1),
+       |${p}i AS (SELECT *, CASE WHEN lag(status) OVER
+       |   (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM status
+       |  THEN 1 ELSE 0 END AS chg FROM ${p}d),
+       |${p}s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
+       |  ROWS UNBOUNDED PRECEDING) AS island FROM ${p}i),
+       |${p}r AS (SELECT user_id, island, status, min(day) AS valid_from,
+       |  CAST(count(*) AS BIGINT) AS n_days_observed FROM ${p}s GROUP BY 1, 2, 3),
+       |${p}dim AS (SELECT user_id, status,
+       |  CAST(valid_from AS INTEGER) AS valid_from,
+       |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS INTEGER) AS valid_to,
+       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
+       |  n_days_observed FROM ${p}r)""".stripMargin
 
   /** Shared Naive-Bayes CTE chain (marker injection, 80/20 split,
     * smoothed vocab × class model in integer micro-nats) — kept in
@@ -1923,26 +1951,9 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // version-0 vs head snapshot diff: both snapshots rebuilt from raw
     // events (truncated + full SCD2 chains), identical CASE order
-    "q_dim_time_travel" -> {
-      def chain(p: String, where: String) =
-        s"""${p}e AS (SELECT user_id,
-           |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day, event_type,
-           |  epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id FROM events$where),
-           |${p}d AS (SELECT user_id, day, event_type AS status FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY user_id, day
-           |    ORDER BY us DESC, event_id DESC) AS rn FROM ${p}e) WHERE rn = 1),
-           |${p}i AS (SELECT *, CASE WHEN lag(status) OVER
-           |   (PARTITION BY user_id ORDER BY day) IS DISTINCT FROM status
-           |  THEN 1 ELSE 0 END AS chg FROM ${p}d),
-           |${p}s AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY day
-           |  ROWS UNBOUNDED PRECEDING) AS island FROM ${p}i),
-           |${p}r AS (SELECT user_id, island, status, min(day) AS valid_from,
-           |  CAST(count(*) AS BIGINT) AS n_days_observed FROM ${p}s GROUP BY 1, 2, 3),
-           |${p}dim AS (SELECT user_id, CAST(valid_from AS INTEGER) AS valid_from,
-           |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
-           |  n_days_observed FROM ${p}r)""".stripMargin
-      s"""WITH ${chain("a_", " WHERE (CAST(ts AS DATE) - DATE '2024-01-01') < 25")},
-         |${chain("b_", "")},
+    "q_dim_time_travel" ->
+      s"""WITH ${scd2ChainSql("a_", " WHERE (CAST(ts AS DATE) - DATE '2024-01-01') < 25")},
+         |${scd2ChainSql("b_", "")},
          |v0 AS (SELECT user_id, valid_from, is_current AS was_current,
          |  n_days_observed AS was_n FROM a_dim),
          |hd AS (SELECT user_id, valid_from, is_current, n_days_observed FROM b_dim),
@@ -1953,8 +1964,33 @@ object SparkEntry {
          |  ELSE 'unchanged' END AS change, user_id FROM fj)
          |SELECT change, CAST(count(*) AS BIGINT) AS n_rows,
          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-         |FROM cls GROUP BY 1""".stripMargin
-    },
+         |FROM cls GROUP BY 1""".stripMargin,
+    // row-level change feed v0 -> head: inserts + pre/post image
+    // pairs off one full-outer snapshot join (SCD2 rows never vanish
+    // across the merge, so the feed carries no deletes by design)
+    "q_merge_cdf" ->
+      s"""WITH ${scd2ChainSql("a_", " WHERE (CAST(ts AS DATE) - DATE '2024-01-01') < 25")},
+         |${scd2ChainSql("b_", "")},
+         |j AS (SELECT coalesce(b.user_id, a.user_id) AS user_id,
+         |  coalesce(b.valid_from, a.valid_from) AS valid_from,
+         |  a.status AS o_status, a.valid_to AS o_vt,
+         |  a.is_current AS o_cur, a.n_days_observed AS o_n,
+         |  b.status AS n_status, b.valid_to AS n_vt,
+         |  b.is_current AS n_cur, b.n_days_observed AS n_n
+         | FROM b_dim b FULL OUTER JOIN a_dim a
+         |  ON a.user_id = b.user_id AND a.valid_from = b.valid_from),
+         |chg AS (SELECT * FROM j WHERE o_status IS NOT NULL AND
+         |  (o_vt IS DISTINCT FROM n_vt OR o_cur <> n_cur OR o_n <> n_n))
+         |SELECT user_id, valid_from, n_status AS status, n_vt AS valid_to,
+         |  n_cur AS is_current, n_n AS n_days_observed,
+         |  'insert' AS _change_type FROM j WHERE o_status IS NULL
+         |UNION ALL
+         |SELECT user_id, valid_from, o_status, o_vt, o_cur, o_n,
+         |  'update_preimage' FROM chg
+         |UNION ALL
+         |SELECT user_id, valid_from, n_status, n_vt, n_cur, n_n,
+         |  'update_postimage' FROM chg
+         |ORDER BY 1, 2, 7""".stripMargin,
     // the per-day streaming CDC fold must land on the identical
     // dimension — stream/batch equivalence pair #11
     "stream_scd2_merge" -> scd2Sql,

@@ -624,6 +624,60 @@ object Scale {
         countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** E213 — `q_merge_cdf`: the CHANGE DATA FEED between two committed
+    * versions of the MERGE target — the row-level artifact (Delta
+    * Lake's CDF / `readChangeData` shape) that downstream INCREMENTAL
+    * consumers subscribe to instead of diffing snapshots themselves:
+    * every inserted version row surfaces as `insert`, every modified
+    * one as an `update_preimage`/`update_postimage` pair (SCD2 rows
+    * never vanish across a merge — history days < split ≤ increment
+    * days — so the feed legitimately carries no deletes), and
+    * untouched rows don't appear at all — which is the scale point:
+    * the feed is sized by the CHANGE, not the dimension.
+    *
+    * Complements `q_dim_time_travel` (a 4-row classification rollup
+    * for the warehouse review) with the machine-consumable row-level
+    * feed; the spec proves the APPLY CLOSURE — v0 + feed reconstructs
+    * v1 exactly — which is the property a CDF subscriber relies on.
+    *
+    * Shape: one CDC merge, two pinned version scans, one user-keyed
+    * full-outer join on the metadata-scale dimension; the feed's
+    * pre/post pairs come from the same joined frame (no second diff
+    * pass). The oracle rebuilds both snapshots from raw events and
+    * emits the identical three-way feed. */
+  def qMergeCdf(t: Tables, splitDay: Int = 25): DataFrame = {
+    import graft.sources.{MergeTarget, SourceOps}
+    val tag = s"${SourceOps.runId}_${SourceOps.dirTag(t.dir)}_$splitDay"
+    val target = MergeTarget.create(t.spark,
+      SourceOps.staging(s"merge_cdf_$tag"),
+      t.spark.table(scd2State(t, splitDay)))
+    target.merge(0L)(scd2MergeOf)(
+      scd2Events(t).filter(col("day") >= splitDay))
+    val v0 = target.readVersion(0L).select(col("user_id"),
+      col("valid_from"), col("status").as("o_status"),
+      col("valid_to").as("o_vt"), col("is_current").as("o_cur"),
+      col("n_days_observed").as("o_n"))
+    val v1 = target.read().select(col("user_id"), col("valid_from"),
+      col("status").as("n_status"), col("valid_to").as("n_vt"),
+      col("is_current").as("n_cur"), col("n_days_observed").as("n_n"))
+    val j = v1.join(v0, Seq("user_id", "valid_from"), "full_outer")
+    val changed = col("o_status").isNotNull &&
+      (!(col("o_vt") <=> col("n_vt")) || col("o_cur") =!= col("n_cur") ||
+        col("o_n") =!= col("n_n"))
+    def feed(status: Column, vt: Column, cur: Column, n: Column,
+        cond: Column, tag: String) =
+      j.filter(cond).select(col("user_id"), col("valid_from"),
+        status.as("status"), vt.as("valid_to"), cur.as("is_current"),
+        n.as("n_days_observed"), lit(tag).as("_change_type"))
+    feed(col("n_status"), col("n_vt"), col("n_cur"), col("n_n"),
+        col("o_status").isNull, "insert")
+      .unionByName(feed(col("o_status"), col("o_vt"), col("o_cur"),
+        col("o_n"), changed, "update_preimage"))
+      .unionByName(feed(col("n_status"), col("n_vt"), col("n_cur"),
+        col("n_n"), changed, "update_postimage"))
+      .orderBy(col("user_id"), col("valid_from"), col("_change_type"))
+  }
+
   /** `q_point_in_time_join` — the consumer [[qScd2History]] exists
     * FOR, and the feature-store staple: each fact row joined to the
     * dimension version that was valid AT ITS OWN TIME (`valid_from ≤

@@ -129,7 +129,9 @@ class EmptyInputSpec extends SparkSpec {
     "text_nb_train", "text_nb_eval", "corpus_dp_release",
     // the DSv2 connector path: empty corpus -> zero-file manifest ->
     // empty scan (threshold degenerates to 0)
-    "q_shard_scan")
+    "q_shard_scan",
+    // CDF over an empty corpus: empty v0, empty merge, empty feed
+    "q_merge_cdf")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -481,4 +481,40 @@ class ScaleSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q_merge_cdf: v0 + feed reconstructs the merged head (apply closure)") {
+    val t = tables
+    type DimRow = (Long, Int, String, Option[Int], Boolean, Long)
+    def dimRow(r: org.apache.spark.sql.Row, iU: Int, iF: Int, iS: Int,
+        iT: Int, iC: Int, iN: Int): DimRow =
+      (r.getLong(iU), r.getInt(iF), r.getString(iS),
+        if (r.isNullAt(iT)) None else Some(r.getInt(iT)),
+        r.getBoolean(iC), r.getLong(iN))
+    val feed = Scale.qMergeCdf(t).collect()
+      .map(r => (dimRow(r, 0, 1, 2, 3, 4, 5), r.getString(6)))
+    assert(Set("insert", "update_preimage", "update_postimage")
+      .subsetOf(feed.map(_._2).toSet), s"missing change types at this SF")
+    val v0 = t.spark.table(Scale.scd2State(t, 25)).collect()
+      .map(r => dimRow(r,
+        r.fieldIndex("user_id"), r.fieldIndex("valid_from"),
+        r.fieldIndex("status"), r.fieldIndex("valid_to"),
+        r.fieldIndex("is_current"), r.fieldIndex("n_days_observed"))).toSet
+    val head = Scale.qScd2Merge(t).collect()
+      .map(r => dimRow(r,
+        r.fieldIndex("user_id"), r.fieldIndex("valid_from"),
+        r.fieldIndex("status"), r.fieldIndex("valid_to"),
+        r.fieldIndex("is_current"), r.fieldIndex("n_days_observed"))).toSet
+    val pre = feed.collect { case (row, "update_preimage") => row }.toSet
+    val post = feed.collect { case (row, "update_postimage") => row }.toSet
+    val ins = feed.collect { case (row, "insert") => row }.toSet
+    // the subscriber's apply rule: drop preimages, add postimages+inserts
+    val reconstructed = (v0 -- pre) ++ post ++ ins
+    assert(reconstructed == head,
+      s"missing=${(head -- reconstructed).take(3)} extra=${(reconstructed -- head).take(3)}")
+    // preimages must come FROM v0 and never survive to the head verbatim
+    assert(pre.subsetOf(v0), "preimage not a v0 row")
+    assert(pre.intersect(head).isEmpty, "stale preimage still in head")
+    // untouched rows stay out of the feed: feed is change-sized
+    assert(feed.length < v0.size + head.size)
+  }
+
 }
