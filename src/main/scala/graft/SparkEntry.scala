@@ -399,6 +399,9 @@ object SparkEntry {
     // ε-DP composition release via the integer-exact discrete-Laplace
     // (two-sided geometric) mechanism — no ln, no float, no rounding
     "corpus_dp_release"   -> q(t => Governance.corpusDpRelease(t)),
+    // the same mechanism as a continuous privacy monitor (one keyed
+    // streaming count + map-only noise readout) — equivalence pair #25
+    "stream_dp_release"   -> q(t => graft.streaming.Streaming.streamDpRelease(t)),
     // §2.8 sources/sinks: write → read-back → aggregate, oracled
     // against the original table (catches sink/source corruption)
     "q_source_roundtrip"  -> q(graft.sources.SourceOps.sourceRoundtrip),
@@ -417,6 +420,12 @@ object SparkEntry {
     // the write's RequiresDistributionAndOrdering contract, tasks
     // commit disjoint zone-mapped shards, manifest publishes last
     "q_shard_write_roundtrip" -> q(t => graft.sources.SourceOps.qShardWriteRoundtrip(t)),
+    // append-fragmented table -> connector-roundtrip compaction (the
+    // OPTIMIZE shape); spec pins file-count drop + restored disjointness
+    "q_shard_compact"     -> q(t => graft.sources.SourceOps.qShardCompact(t)),
+    // the connector as a streaming sink (foreachBatch append per
+    // micro-batch) — stream/batch equivalence pair #24
+    "stream_shard_sink"   -> q(t => graft.streaming.Streaming.streamShardSink(t)),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
@@ -498,6 +507,23 @@ object SparkEntry {
        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS INTEGER) AS valid_to,
        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
        |  n_days_observed FROM ${p}r)""".stripMargin
+
+  /** Discrete-Laplace DP release oracle — shared verbatim by the
+    * batch release and the streaming monitor (pair #25). */
+  private lazy val dpReleaseSql: String = {
+    val h48 = "(SELECT CAST(sum((strpos('0123456789abcdef', " +
+      "substr(md5('dp:' || source || ':' || lang), i, 1)) - 1) * " +
+      "CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) " +
+      "FROM generate_series(1, 12) AS t(i))"
+    s"""WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |h AS (SELECT source, lang, n, $h48 AS h48 FROM c)
+       |SELECT source, lang,
+       | greatest(n + (bit_count(xor(h48 % 16777216, h48 % 16777216 + 1)) - 1)
+       |            - (bit_count(xor(h48 // 16777216, h48 // 16777216 + 1)) - 1),
+       |   CAST(0 AS BIGINT)) AS n_released
+       |FROM h ORDER BY 1, 2""".stripMargin
+  }
 
   /** Shared Naive-Bayes CTE chain (marker injection, 80/20 split,
     * smoothed vocab × class model in integer micro-nats) — kept in
@@ -4364,6 +4390,22 @@ object SparkEntry {
         |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(cents) AS BIGINT) AS value_cents
         |FROM e, m WHERE user_id > thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // compaction must lose nothing: full-table rollup vs raw events
+    "q_shard_compact" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the streaming-sink twin: every micro-batch appended through the
+    // connector must land the identical table (pair #24)
+    "stream_shard_sink" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the merged two-batch read must reconcile with the original table:
     // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
     "q_schema_evolution" ->
@@ -4408,20 +4450,9 @@ object SparkEntry {
     // terms exact); trailing-ones of each 24-bit half via the
     // bit_count(x XOR x+1) identity — discrete-Laplace noise in pure
     // integer arithmetic, engine-identical by construction
-    "corpus_dp_release" -> {
-      val h48 = "(SELECT CAST(sum((strpos('0123456789abcdef', " +
-        "substr(md5('dp:' || source || ':' || lang), i, 1)) - 1) * " +
-        "CAST(power(16, 12 - i) AS BIGINT)) AS BIGINT) " +
-        "FROM generate_series(1, 12) AS t(i))"
-      s"""WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n
-         |  FROM documents GROUP BY 1, 2),
-         |h AS (SELECT source, lang, n, $h48 AS h48 FROM c)
-         |SELECT source, lang,
-         | greatest(n + (bit_count(xor(h48 % 16777216, h48 % 16777216 + 1)) - 1)
-         |            - (bit_count(xor(h48 // 16777216, h48 // 16777216 + 1)) - 1),
-         |   CAST(0 AS BIGINT)) AS n_released
-         |FROM h ORDER BY 1, 2""".stripMargin
-    },
+    "corpus_dp_release" -> dpReleaseSql,
+    // the continuous monitor shares the batch oracle verbatim (#25)
+    "stream_dp_release" -> dpReleaseSql,
     "q_data_masking" -> {
       val digits = (1 to 9).map(i =>
         s"CAST((strpos('0123456789abcdef', substr(md5(c_name), $i, 1)) - 1) % 10 AS VARCHAR)")

@@ -580,9 +580,14 @@ object Governance {
     * the corpus is read once regardless of scale. Negative noisy
     * counts clamp to 0 (the standard post-processing step; DP is
     * closed under post-processing). */
-  def corpusDpRelease(t: Tables): DataFrame = {
-    val counts = t.documents.groupBy(col("source"), col("lang"))
-      .agg(count(lit(1)).as("n"))
+  def corpusDpRelease(t: Tables): DataFrame =
+    dpNoiseOf(t.documents.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n")))
+
+  /** The mechanism itself over a (source, lang, n) count frame —
+    * shared by the batch release and the continuous monitor
+    * `stream_dp_release` (pair #25): pure post-processing, map-only. */
+  private[graft] def dpNoiseOf(counts: DataFrame): DataFrame =
     counts
       .withColumn("h48", expr(
         "CAST(conv(substring(md5(concat('dp:', source, ':', lang)), 1, 12), 16, 10) AS BIGINT)"))
@@ -595,5 +600,4 @@ object Governance {
       .select(col("source"), col("lang"),
         greatest(col("n") + col("g1") - col("g2"), lit(0L)).as("n_released"))
       .orderBy(col("source"), col("lang"))
-  }
 }

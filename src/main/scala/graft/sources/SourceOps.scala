@@ -621,4 +621,41 @@ object SourceOps {
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
       .orderBy(col("day"))
   }
+
+  /** `q_shard_compact` — small-file COMPACTION of a gshard table, the
+    * maintenance job every append-heavy layout needs (the Delta
+    * OPTIMIZE shape): appends leave many small shard files with
+    * OVERLAPPING zone maps (each append generation range-partitions
+    * independently), which decays file skipping toward full scans;
+    * compaction reads the table through the connector and rewrites it
+    * through the connector's overwrite path, restoring few files and
+    * RANGE-DISJOINT maps (spec-pinned: file count drops, disjointness
+    * returns, skipping selectivity recovers). The gate hash-checks
+    * the post-compaction table against the raw events oracle — so
+    * compaction provably loses nothing. Old-generation files sweep at
+    * manifest commit, after the rewrite's tasks finished reading
+    * them. */
+  def qShardCompact(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_c_${dirTag(t.dir)}")
+    // fragment: two independently-ranged append generations
+    val proj = shardProjection(t)
+    def gen(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("gshard").option("rangecol", "user_id")
+        .option("shards", 8).mode("append").save(dir)
+    // fresh table per call: overwrite the dir with generation 1, then
+    // append generation 2 (overwrite first = idempotent re-runs)
+    proj.filter(col("user_id") % 2 === 0).write.format("gshard")
+      .option("rangecol", "user_id").option("shards", 8)
+      .mode("overwrite").save(dir)
+    gen(proj.filter(col("user_id") % 2 === 1))
+    // compact: connector read -> connector overwrite, same dir
+    t.spark.read.format("gshard").load(dir)
+      .write.format("gshard").option("rangecol", "user_id")
+      .option("shards", 8).mode("overwrite").save(dir)
+    t.spark.read.format("gshard").load(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
 }

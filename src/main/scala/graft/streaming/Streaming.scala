@@ -1069,4 +1069,55 @@ object Streaming {
     TextAnalysis.nbConfusionOf(drained, TextAnalysis.nbPriors(t))
       .orderBy(col("lang_true"), col("lang_pred"))
   }
+
+  /** X28 — `stream_shard_sink`: the gshard DSv2 connector as a
+    * STREAMING SINK target — each micro-batch lands through the
+    * connector's append path inside `foreachBatch` (Spark plans the
+    * range exchange per batch from the write's required distribution;
+    * the manifest merge publishes each batch atomically, and the
+    * batch-id idempotence a restart needs comes from `foreachBatch`'s
+    * replay contract plus overwrite-on-first-batch). The readout
+    * scans the finished table back through the connector. Shares the
+    * raw-events rollup oracle with the batch path — stream/batch
+    * equivalence pair #24. */
+  def streamShardSink(t: Tables): DataFrame = {
+    import graft.sources.SourceOps
+    val dir = SourceOps.staging(
+      s"gshard_sink_${SourceOps.dirTag(t.dir)}_${runSeq.getAndIncrement()}")
+    val ev = eventsStream(t).select(col("user_id"), col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val q = ev.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.format("gshard").option("rangecol", "user_id")
+          .option("shards", 8)
+          .mode(if (batchId == 0L) "overwrite" else "append").save(dir)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    t.spark.read.format("gshard").load(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** X29 — `stream_dp_release`: the differentially-private
+    * composition release maintained CONTINUOUSLY — the deployment
+    * shape of a privacy dashboard (counts update live; the noise is a
+    * pure post-processing map over the drained state, so the
+    * mechanism and its ε are identical to the batch release). ONE
+    * keyed streaming aggregation holds the (source, lang) counts;
+    * the discrete-Laplace noise and clamp run at readout. Shares
+    * `corpus_dp_release`'s oracle verbatim — stream/batch
+    * equivalence pair #25. */
+  def streamDpRelease(t: Tables): DataFrame = {
+    val schema = t.raw("documents").schema
+    val docs = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    val counts = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    val drained = drainToTable(counts, "complete")
+    graft.operators.Governance.dpNoiseOf(drained)
+  }
 }

@@ -131,7 +131,10 @@ class EmptyInputSpec extends SparkSpec {
     // empty scan (threshold degenerates to 0)
     "q_shard_scan",
     // CDF over an empty corpus: empty v0, empty merge, empty feed
-    "q_merge_cdf")
+    "q_merge_cdf",
+    // empty generations -> zero-file manifests through the whole
+    // append/compact lifecycle
+    "q_shard_compact")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

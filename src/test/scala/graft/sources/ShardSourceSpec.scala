@@ -181,4 +181,35 @@ class ShardSourceSpec extends SparkSpec {
       == rowsOf(eventsProjected.filter(col("user_id") < thr)))
   }
 
+  test("compaction: fragmented appends -> fewer files, disjoint maps, same bytes") {
+    val d = Files.createTempDirectory("graft_gshard_cm_").toString
+    // two independently-ranged generations: overlapping maps by design
+    writeVia(eventsProjected.filter(col("user_id") % 2 === 0), d, "overwrite")
+    writeVia(eventsProjected.filter(col("user_id") % 2 === 1), d, "append")
+    val before = ShardFormat.readManifest(d)
+    val overlapping = before.entries.sortBy(_.zMin("user_id")).sliding(2).exists {
+      case Seq(a, b) => a.zMax("user_id") >= b.zMin("user_id")
+      case _ => false
+    }
+    assert(overlapping, "degenerate: appends did not fragment the range space")
+    // compact: connector read -> connector overwrite, same dir
+    spark.read.format("gshard").load(d).write.format("gshard")
+      .option("rangecol", "user_id").option("shards", 4)
+      .mode("overwrite").save(d)
+    val after = ShardFormat.readManifest(d)
+    assert(after.entries.size < before.entries.size,
+      s"no file-count drop: ${before.entries.size} -> ${after.entries.size}")
+    after.entries.sortBy(_.zMin("user_id")).sliding(2).foreach {
+      case Seq(a, b) => assert(a.zMax("user_id") < b.zMin("user_id"),
+        "compaction did not restore range disjointness")
+      case _ => ()
+    }
+    assert(rowsOf(spark.read.format("gshard").load(d)
+      .select(col("user_id"), col("event_type"), col("cents")))
+      == rowsOf(eventsProjected))
+    // no orphan files from either old generation
+    val onDisk = new java.io.File(d).list().count(_.endsWith(".gshard"))
+    assert(onDisk - 1 == after.entries.size)
+  }
+
 }
