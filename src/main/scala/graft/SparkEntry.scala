@@ -230,7 +230,7 @@ object SparkEntry {
     // ... its held-out confusion matrix ...
     "text_nb_eval"        -> q(t => TextAnalysis.textNbEval(t)),
     // ... and the model serving over the held-out doc stream —
-    // stream/batch equivalence pair #23 (same oracle)
+    // stream/batch equivalence pair #26 (same oracle)
     "stream_nb_classify"  -> q(t => graft.streaming.Streaming.streamNbClassify(t)),
     // §2.2 event analytics
     "events_funnel"       -> q(EventAnalytics.eventsFunnel),
@@ -547,7 +547,7 @@ object SparkEntry {
 
   /** Held-out classification + confusion rollup over [[nbModelSql]] —
     * shared verbatim by `text_nb_eval` and `stream_nb_classify`
-    * (equivalence pair #23). */
+    * (equivalence pair #26). */
   private lazy val nbEvalSql: String =
     s"""WITH $nbModelSql,
       |ev AS (SELECT * FROM inj WHERE doc_id % 10 >= 8),
@@ -2356,7 +2356,7 @@ object SparkEntry {
     // held-out confusion matrix — integer scores, (score desc, lang)
     // argmax replayed by window rank
     "text_nb_eval" -> nbEvalSql,
-    // the stream twin shares the batch oracle verbatim (pair #23)
+    // the stream twin shares the batch oracle verbatim (pair #26)
     "stream_nb_classify" -> nbEvalSql,
     // ingest-time screening is the same stateless projection drained
     // through a file stream — stream/batch equivalence pair #10

@@ -1057,7 +1057,7 @@ object Streaming {
     * is the bounded backfill shape every [Q] stream uses). Argmax and
     * the confusion rollup are a batch readout of the drained scores.
     * Shares `text_nb_eval`'s oracle verbatim — stream/batch
-    * equivalence pair #23. */
+    * equivalence pair #26. */
   def streamNbClassify(t: Tables): DataFrame = {
     import graft.operators.TextAnalysis
     val schema = t.raw("documents").schema
@@ -1080,12 +1080,41 @@ object Streaming {
     * scans the finished table back through the connector. Shares the
     * raw-events rollup oracle with the batch path — stream/batch
     * equivalence pair #24. */
+  /** Stage events as ONE parquet file per week-of-month bucket so the
+    * file stream genuinely delivers MULTIPLE micro-batches (a single
+    * staged file would drain in one batch and never exercise the
+    * sink's append/manifest-merge path). Idempotent per sf. */
+  private def stageEventsWeekly(t: Tables): String = {
+    val safe = t.dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_$safe", "events_weekly")
+    if (!Files.exists(dir) || !Files.list(dir).iterator().hasNext) {
+      Files.createDirectories(dir)
+      val ev = t.events.select(col("user_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        (datediff(col("ts").cast("date"),
+          lit(java.sql.Date.valueOf("2024-01-01"))) / 7).cast("int").as("wk"))
+      val weeks = ev.select(col("wk")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded: weeks in the corpus
+      weeks.foreach { w =>
+        // no `=` in the subdir name: a wk=N path would be inferred as
+        // a partition column and pollute the stream schema
+        ev.filter(col("wk") === w).drop("wk").coalesce(1)
+          .write.mode("overwrite").parquet(s"$dir/w$w")
+      }
+    }
+    dir.toString
+  }
+
   def streamShardSink(t: Tables): DataFrame = {
     import graft.sources.SourceOps
     val dir = SourceOps.staging(
       s"gshard_sink_${SourceOps.dirTag(t.dir)}_${runSeq.getAndIncrement()}")
-    val ev = eventsStream(t).select(col("user_id"), col("event_type"),
-      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val staged = stageEventsWeekly(t)
+    val schema = t.spark.read.parquet(s"$staged/w*").schema
+    val ev = t.spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1") // one weekly drop per micro-batch
+      .parquet(s"$staged/w*")
     val q = ev.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
