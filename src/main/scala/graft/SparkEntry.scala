@@ -88,6 +88,8 @@ object SparkEntry {
     // transitive closure by pointer doubling (O(log depth) shuffles);
     // the oracle is a genuine recursive CTE
     "q_bom_explode"       -> q(t => Relational.qBomExplode(t)),
+    // the closure consumed: per-root subtree count/depth/cost rollup
+    "q_bom_rollup"        -> q(Relational.qBomRollup),
     // several COUNT(DISTINCT)s in ONE Expand-based pass (plan-pinned)
     "q_multi_distinct"    -> q(Relational.qMultiDistinct),
     // §2.5 text analysis
@@ -1678,6 +1680,17 @@ object SparkEntry {
         |  SELECT part, node // 7, depth + 1 FROM anc WHERE node >= 7)
         |SELECT part AS p_partkey, node AS root_key, depth
         |FROM anc WHERE node < 7""".stripMargin,
+    "q_bom_rollup" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS part, p_partkey AS node, CAST(0 AS BIGINT) AS depth FROM part
+        |  UNION ALL
+        |  SELECT part, node // 7, depth + 1 FROM anc WHERE node >= 7),
+        |cl AS (SELECT part, node AS root_key, depth FROM anc WHERE node < 7)
+        |SELECT root_key, CAST(count(*) AS BIGINT) AS n_parts,
+        | CAST(max(depth) AS BIGINT) AS max_depth,
+        | CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS retail_cents
+        |FROM cl JOIN part ON part.p_partkey = cl.part
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_multi_distinct" ->
       """SELECT l_returnflag,
         | CAST(count(DISTINCT l_partkey) AS BIGINT) AS nd_parts,

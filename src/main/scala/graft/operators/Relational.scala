@@ -1173,6 +1173,22 @@ object Relational {
       col("d").as("depth"))
   }
 
+  /** `q_bom_rollup` — the closure CONSUMED: subtree aggregates per
+    * root assembly (component count, deepest level, total exact
+    * retail cents) — the "cost of the whole assembly" readout a BOM
+    * exists for. One broadcast-free keyed join of the closure against
+    * the part attributes and one partial-agg rollup to root grain;
+    * the closure itself is [[qBomExplode]]'s O(log depth) build. */
+  def qBomRollup(t: Tables): DataFrame =
+    qBomExplode(t)
+      .join(t.part.select(col("p_partkey"), col("p_retailprice")),
+        Seq("p_partkey"))
+      .groupBy(col("root_key"))
+      .agg(count(lit(1)).as("n_parts"), max(col("depth")).as("max_depth"),
+        sum(floor(col("p_retailprice") * lit(100) + lit(0.5)).cast("long"))
+          .as("retail_cents"))
+      .orderBy(col("root_key"))
+
   /** `q_multi_distinct` — several exact COUNT(DISTINCT) measures over
     * DIFFERENT keys in one aggregation: the classic data-profiling
     * rollup (distinct parts / suppliers / orders per flag, plus plain

@@ -1,0 +1,109 @@
+package graft.sources.shard
+
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException,
+  TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** B23 — a DataSource-V2 `TableCatalog` over a gshard warehouse
+  * directory, making the connector reachable from PURE SQL:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.gshard",
+  *     "graft.sources.shard.ShardCatalog")
+  *   spark.conf.set("spark.sql.catalog.gshard.warehouse", "/path")
+  *
+  *   CREATE TABLE gshard.main.t AS SELECT ...   -- CTAS
+  *   INSERT INTO gshard.main.t SELECT ...       -- appends (range write)
+  *   SELECT ... FROM gshard.main.t WHERE ...    -- pruned, pushed scan
+  *   DROP TABLE gshard.main.t
+  * }}}
+  *
+  * Identifiers map to `warehouse/<namespace...>/<table>` directories;
+  * a table EXISTS iff its manifest does (the manifest is the commit
+  * marker everywhere in the format). `createTable` materializes an
+  * empty-entry manifest carrying the schema, so the non-atomic CTAS
+  * path (create, then AppendData through [[ShardWriteBuilder]] — the
+  * same range-distributed write as the path API) and plain INSERT
+  * INTO both flow through the one write implementation. Table
+  * evolution (`ALTER`) is deliberately unsupported: the format's
+  * schema lives in the manifest and evolves by rewrite, like the
+  * layout builds everywhere else in the engine. */
+class ShardCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null,
+      s"spark.sql.catalog.$name.warehouse must point at a directory")
+    warehouse = Paths.get(w)
+  }
+
+  override def name(): String = catalogName
+
+  private def dirOf(ident: Identifier): Path =
+    ident.namespace.foldLeft(warehouse)(_ resolve _).resolve(ident.name)
+
+  override def tableExists(ident: Identifier): Boolean =
+    ShardFormat.hasManifest(dirOf(ident).toString)
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident).toString
+    new ShardTable(dir, ShardFormat.readManifest(dir).schema)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "gshard tables cluster by the write's rangeCol, not partition transforms")
+    val dir = dirOf(ident)
+    Files.createDirectories(dir)
+    ShardFormat.writeManifest(dir.toString,
+      ShardFormat.Manifest(schema, Seq.empty))
+    new ShardTable(dir.toString, schema)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) false
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dirOf(ident)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+      true
+    }
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = namespace.foldLeft(warehouse)(_ resolve _)
+    if (!Files.isDirectory(ns)) Array.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(ns).iterator().asScala
+        .filter(p => ShardFormat.hasManifest(p.toString))
+        .map(p => Identifier.of(namespace, p.getFileName.toString))
+        .toArray
+    }
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "gshard schema evolves by rewrite, not ALTER")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("gshard rename unsupported")
+}

@@ -108,7 +108,12 @@ private[shard] class ShardWriteBuilder(dir: String, info: LogicalWriteInfo)
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = {
-    val rangeCol = Option(info.options.get("rangecol")).getOrElse("user_id")
+    // default cluster column: the schema's first long column (catalog
+    // writes — INSERT INTO / CTAS — carry no reader options)
+    val rangeCol = Option(info.options.get("rangecol")).getOrElse(
+      info.schema().fields.find(_.dataType == LongType).map(_.name)
+        .getOrElse(throw new IllegalArgumentException(
+          "gshard: no long column to range-cluster on; set rangeCol")))
     require(info.schema().fieldNames.contains(rangeCol),
       s"gshard: rangeCol $rangeCol not in ${info.schema().fieldNames.mkString(",")}")
     val shards = Option(info.options.get("shards")).map(_.toInt).getOrElse(0)

@@ -212,7 +212,7 @@ object ShardFormat {
     } finally dos.close()
   }
 
-  private[shard] def hasManifest(dir: String): Boolean =
+  private[graft] def hasManifest(dir: String): Boolean =
     Files.exists(Paths.get(dir, "_manifest.gshard"))
 
   private[shard] def writeManifest(dir: String, m: Manifest): Unit = {

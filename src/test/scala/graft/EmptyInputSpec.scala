@@ -134,7 +134,7 @@ class EmptyInputSpec extends SparkSpec {
     "q_merge_cdf",
     // empty generations -> zero-file manifests through the whole
     // append/compact lifecycle
-    "q_shard_compact")
+    "q_shard_compact", "q_bom_rollup")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
