@@ -428,6 +428,9 @@ object SparkEntry {
     // the connector as a streaming sink (foreachBatch append per
     // micro-batch) — stream/batch equivalence pair #24
     "stream_shard_sink"   -> q(t => graft.streaming.Streaming.streamShardSink(t)),
+    // ... and as a streaming SOURCE (MicroBatchStream over the
+    // append-ordered manifest, admission-controlled) — pair #27
+    "stream_shard_source" -> q(t => graft.streaming.Streaming.streamShardSource(t)),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
@@ -509,6 +512,15 @@ object SparkEntry {
        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS INTEGER) AS valid_to,
        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
        |  n_days_observed FROM ${p}r)""".stripMargin
+
+  /** Raw-events rollup shared by the connector's streaming SINK and
+    * SOURCE twins (pairs #24/#27). */
+  private lazy val shardRollupSql: String =
+    """WITH e AS (SELECT user_id, event_type,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      | CAST(sum(cents) AS BIGINT) AS value_cents
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Discrete-Laplace DP release oracle — shared verbatim by the
     * batch release and the streaming monitor (pair #25). */
@@ -4413,12 +4425,10 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streaming-sink twin: every micro-batch appended through the
     // connector must land the identical table (pair #24)
-    "stream_shard_sink" ->
-      """WITH e AS (SELECT user_id, event_type,
-        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
-        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        | CAST(sum(cents) AS BIGINT) AS value_cents
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_shard_sink" -> shardRollupSql,
+    // the streaming-SOURCE twin tails the same table back out through
+    // the connector's MicroBatchStream (pair #27) — same oracle
+    "stream_shard_source" -> shardRollupSql,
     // the merged two-batch read must reconcile with the original table:
     // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
     "q_schema_evolution" ->

@@ -83,9 +83,10 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardScanBuilder(dir, ShardFormat.readManifest(dir))
+    new ShardScanBuilder(dir, ShardFormat.readManifest(dir), options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ShardWriteBuilder(dir, info)
 }
@@ -241,7 +242,9 @@ private[shard] class ShardDataWriter(dir: String,
 }
 
 private[shard] class ShardScanBuilder(dir: String,
-    manifest: ShardFormat.Manifest) extends ScanBuilder
+    manifest: ShardFormat.Manifest,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = manifest.schema
@@ -274,14 +277,32 @@ private[shard] class ShardScanBuilder(dir: String,
     required = requiredSchema
 
   override def build(): Scan =
-    new ShardScan(dir, manifest, required, pushed)
+    new ShardScan(dir, manifest, required, pushed,
+      Option(options.get("maxfilespertrigger")).map(_.toInt),
+      Option(options.get("columnar")).forall(_.toBoolean))
 }
 
 private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int] = None,
+    columnar: Boolean = true) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** STREAMING read path: the manifest is an append-ordered log
+    * (appends merge `prior ++ fresh`, so an entry's index is stable),
+    * which makes "number of committed entries" a valid monotonic
+    * offset — `readStream.format("gshard")` tails the table and each
+    * micro-batch reads exactly the newly appended shard files, with
+    * admission control (`maxFilesPerTrigger`) honored through
+    * `SupportsAdmissionControl`. Compaction rewrites the log
+    * (truncate), invalidating open streams — the same caveat file
+    * streams and Delta-without-CDF carry. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ShardMicroBatchStream(dir, manifest.schema, required, pushed,
+      maxFilesPerTrigger)
 
   /** Zone-map test: may `entry` contain a row satisfying ALL pushed
     * conjuncts? Sound (never drops a possible match); the residual
@@ -307,7 +328,7 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
       required.fieldNames)).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ShardReaderFactory
+    new ShardReaderFactory(columnar)
 
   // surfaced in explain(): pruning and pushdown are auditable from the
   // plan text, the same way parquet scans surface PushedFilters
@@ -319,15 +340,146 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
   }
 }
 
+private[shard] final case class ShardOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = n.toString
+}
+
+/** The gshard MicroBatchStream: offsets index into the append-ordered
+  * manifest; zone-map skipping still applies inside each batch slice
+  * (sound — every pushed filter stays residual). */
+private[shard] class ShardMicroBatchStream(dir: String,
+    fileSchema: StructType, required: StructType, pushed: Array[Filter],
+    maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset,
+    ReadLimit, ReadMaxFiles}
+
+  private def entryCount: Int = ShardFormat.readManifest(dir).entries.size
+
+  // AvailableNow contract: freeze the drain target at query start so
+  // the bounded run still RESPECTS the per-trigger read limit
+  // (without this Spark falls back to one unpaced batch)
+  private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(entryCount)
+
+  override def initialOffset(): SOffset = ShardOffset(0)
+  override def deserializeOffset(json: String): SOffset =
+    ShardOffset(json.trim.toInt)
+  override def latestOffset(): SOffset = ShardOffset(entryCount)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val from = start.asInstanceOf[ShardOffset].n
+    val total = availableNowCap.getOrElse(entryCount)
+    limit match {
+      case f: ReadMaxFiles => ShardOffset(math.min(from + f.maxFiles, total))
+      case _ => ShardOffset(total)
+    }
+  }
+
+  override def planInputPartitions(start: SOffset,
+      end: SOffset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[ShardOffset].n,
+      end.asInstanceOf[ShardOffset].n)
+    val scan = new ShardScan(dir,
+      ShardFormat.Manifest(fileSchema,
+        ShardFormat.readManifest(dir).entries.slice(a, b)),
+      required, pushed)
+    scan.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
 /** Serializable task payload: one shard file + the full file schema
   * (name, typeName) + the columns to materialize. */
 private[shard] final case class ShardInputPartition(path: String,
     fileSchema: Array[(String, String)], required: Array[String])
   extends InputPartition
 
-private[shard] class ShardReaderFactory extends PartitionReaderFactory {
+private[shard] class ShardReaderFactory(columnar: Boolean = true)
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new ShardPartitionReader(p.asInstanceOf[ShardInputPartition])
+  // VECTORIZED path: the columnar file layout decodes straight into
+  // column vectors — the row reader exists as the escape hatch
+  // (option columnar=false) and for exotic consumers
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new ShardColumnarReader(p.asInstanceOf[ShardInputPartition])
+}
+
+/** Columnar reader: the decoded column arrays refill a fixed set of
+  * 4096-row on-heap vectors chunk by chunk — downstream operators
+  * consume `ColumnarBatch`es and Spark inserts the one
+  * `ColumnarToRow` transition where rows are genuinely needed,
+  * instead of this reader materializing per-row `InternalRow`s. */
+private[shard] class ShardColumnarReader(p: ShardInputPartition)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  private val fileSchema = StructType(p.fileSchema.toIndexedSeq.map {
+    case (n, t) => org.apache.spark.sql.types.StructField(n,
+      ShardFormat.dataTypeOf(t)) })
+  private val required = StructType(p.required.toIndexedSeq
+    .map(n => fileSchema(n)))
+  private val (nRows, cols) =
+    ShardFormat.readShardFile(p.path, fileSchema, p.required.toIndexedSeq)
+
+  private val ChunkRows = 4096
+  private val vectors = required.fields
+    .map(f => new OnHeapColumnVector(ChunkRows, f.dataType))
+  private val batch = new ColumnarBatch(
+    vectors.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+  private var pos = 0
+
+  override def next(): Boolean = {
+    if (pos >= nRows) return false
+    val n = math.min(ChunkRows, nRows - pos)
+    var c = 0
+    while (c < vectors.length) {
+      val v = vectors(c)
+      v.reset()
+      required(c).dataType match {
+        case LongType =>
+          var i = 0
+          while (i < n) {
+            v.putLong(i, cols(c)(pos + i).asInstanceOf[Long]); i += 1 }
+        case DoubleType =>
+          var i = 0
+          while (i < n) {
+            v.putDouble(i, cols(c)(pos + i).asInstanceOf[Double]); i += 1 }
+        case StringType =>
+          var i = 0
+          while (i < n) {
+            val b = cols(c)(pos + i).asInstanceOf[Array[Byte]]
+            v.putByteArray(i, b, 0, b.length); i += 1 }
+        case other => throw new IllegalStateException(other.toString)
+      }
+      c += 1
+    }
+    batch.setNumRows(n)
+    pos += n
+    true
+  }
+
+  override def get(): ColumnarBatch = batch
+  override def close(): Unit = batch.close()
 }
 
 private[shard] class ShardPartitionReader(p: ShardInputPartition)

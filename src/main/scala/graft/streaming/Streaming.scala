@@ -1131,6 +1131,26 @@ object Streaming {
       .orderBy(col("event_type"))
   }
 
+  /** X30 — `stream_shard_source`: the gshard connector as a STREAMING
+    * SOURCE — `readStream.format("gshard")` tails the staged shard
+    * table through the connector's `MicroBatchStream` (offsets index
+    * the append-ordered manifest; `maxFilesPerTrigger` honored via
+    * `SupportsAdmissionControl`, so the 16-file table genuinely
+    * drains in 4 micro-batches here), one keyed streaming rollup,
+    * bounded AvailableNow drain. Shares the raw-events rollup oracle
+    * with the sink twin — stream/batch equivalence pair #27, and
+    * together with X28 closes the loop: the connector serves BOTH
+    * ends of a streaming pipeline. */
+  def streamShardSource(t: Tables): DataFrame = {
+    val dir = graft.sources.SourceOps.shardTable(t)
+    val src = t.spark.readStream.format("gshard")
+      .option("maxfilespertrigger", "4").load(dir)
+    val agg = src.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+    drainToTable(agg, "complete")
+      .orderBy(col("event_type"))
+  }
+
   /** X29 — `stream_dp_release`: the differentially-private
     * composition release maintained CONTINUOUSLY — the deployment
     * shape of a privacy dashboard (counts update live; the noise is a

@@ -212,4 +212,85 @@ class ShardSourceSpec extends SparkSpec {
     assert(onDisk - 1 == after.entries.size)
   }
 
+  // ── streaming SOURCE path ──────────────────────────────────────────
+
+  test("streaming source: admission control paces batches; offsets resume across appends") {
+    val d = Files.createTempDirectory("graft_gshard_src_").toString
+    val cp = Files.createTempDirectory("graft_gshard_srccp_").toString
+    val gen1 = eventsProjected.filter(col("user_id") % 2 === 0)
+    val gen2 = eventsProjected.filter(col("user_id") % 2 === 1)
+    writeVia(gen1, d, "overwrite")
+    val nFiles1 = ShardFormat.readManifest(d).entries.size
+    assert(nFiles1 >= 4, s"degenerate: only $nFiles1 files staged")
+
+    // foreachBatch sink: the memory sink refuses checkpoint recovery,
+    // and the resume-over-appends half of this test needs it
+    def drain(): (Long, Int) = {
+      val rows = new java.util.concurrent.atomic.AtomicLong(0)
+      val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+      val q = spark.readStream.format("gshard")
+        .option("maxfilespertrigger", "2").load(d)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", cp)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) { rows.addAndGet(n); batches.incrementAndGet() }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      (rows.get(), batches.get())
+    }
+
+    val (rows1, batches1) = drain()
+    assert(batches1 >= nFiles1 / 2,
+      s"admission control ignored: $batches1 batches for $nFiles1 files at max 2/trigger")
+    assert(rows1 == gen1.count())
+
+    // append a second generation; a NEW run on the SAME checkpoint
+    // must read ONLY the appended files (offset resume over the log)
+    writeVia(gen2, d, "append")
+    val (rows2, _) = drain()
+    assert(rows2 == gen2.count(),
+      "resumed stream re-read or missed the appended generation")
+  }
+
+  // ── columnar (vectorized) read path ────────────────────────────────
+
+  test("columnar scan is active by default and byte-equal to the row path") {
+    val colDf = viaShard.select(col("user_id"), col("event_type"), col("cents"))
+    colDf.collect()
+    val p = colDf.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"),
+      s"vectorized path not active (no ColumnarToRow transition):\n$p")
+    val rowDf = spark.read.format("gshard").option("columnar", "false")
+      .load(dir).select(col("user_id"), col("event_type"), col("cents"))
+    rowDf.collect()
+    val p2 = rowDf.queryExecution.executedPlan.toString
+    assert(!p2.contains("ColumnarToRow"),
+      s"columnar=false escape hatch ignored:\n$p2")
+    assert(rowsOf(colDf) == rowsOf(rowDf))
+    // chunking boundary: the per-file row counts here exceed one 4096
+    // chunk at this SF? If not, the equality above still covers the
+    // single-chunk path; count() exercises the empty-projection batch
+    assert(viaShard.count() ==
+      spark.read.format("gshard").option("columnar", "false").load(dir).count())
+  }
+
+  test("columnar chunking: a file larger than one 4096-row batch survives") {
+    val d = Files.createTempDirectory("graft_gshard_chunk_").toString
+    // lineitem (~6k rows at this SF) into ONE file crosses the 4096 boundary
+    val li = tables.lineitem.select(col("l_orderkey"), col("l_returnflag"),
+      floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("cents"))
+    ShardFormat.write(li, d, "l_orderkey", 1)
+    val m = ShardFormat.readManifest(d)
+    assert(m.entries.size == 1 && m.entries.head.rows > 4096,
+      s"degenerate: ${m.entries} does not cross the chunk boundary")
+    val back = spark.read.format("gshard").load(d)
+    assert(back.count() == li.count())
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+      == li.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted)
+  }
+
 }
