@@ -335,6 +335,9 @@ object SparkEntry {
     "stream_dedup"        -> q(graft.streaming.Streaming.streamDedup),
     "stream_static_join"  -> q(graft.streaming.Streaming.streamStaticJoin),
     "stream_sessionize"   -> q(graft.streaming.Streaming.streamSessionize),
+    // the same semantics on Spark 4's NEW arbitrary-state API
+    // (transformWithState + RocksDB store) — equivalence pair #28
+    "stream_tws_sessionize" -> q(t => graft.streaming.Streaming.streamTwsSessionize(t)),
     "stream_session_window" -> q(t => graft.streaming.Streaming.streamSessionWindow(t)),
     // the native merging-window sessionizer on the BATCH axis —
     // driver-checks pair #13 from both ends, shared oracle
@@ -512,6 +515,20 @@ object SparkEntry {
        |  CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS INTEGER) AS valid_to,
        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
        |  n_days_observed FROM ${p}r)""".stripMargin
+
+  /** Gaps-and-islands sessionization oracle shared by the legacy
+    * flatMapGroupsWithState operator and its transformWithState twin
+    * (equivalence pair #28). */
+  private lazy val statefulSessionizeSql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+      | l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+      | s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
+      | t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s)
+      |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+      | round(sum(value),2) AS sum_value
+      |FROM t GROUP BY 1,2""".stripMargin
 
   /** Raw-events rollup shared by the connector's streaming SINK and
     * SOURCE twins (pairs #24/#27). */
@@ -3508,16 +3525,9 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n, round(sum(value),2) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1""".stripMargin,
-    "stream_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        | l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
-        | s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_new FROM l),
-        | t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s)
-        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
-        | round(sum(value),2) AS sum_value
-        |FROM t GROUP BY 1,2""".stripMargin,
+    "stream_sessionize" -> statefulSessionizeSql,
+    // the transformWithState twin shares it verbatim (pair #28)
+    "stream_tws_sessionize" -> statefulSessionizeSql,
     // the oracle recomputes the metadata from the GENERATOR's formulas
     // (dims/format from the text md5, byte_len = body + header length);
     // the Spark side PARSES the same values back out of the payload's

@@ -68,7 +68,8 @@ object Streaming {
     * the caller's conf is never mutated — batch queries on other
     * threads cannot observe a transient setting.
     */
-  private def drainToTable(df: DataFrame, mode: String): DataFrame = {
+  private def drainToTable(df: DataFrame, mode: String,
+      extraConf: Map[String, String] = Map.empty): DataFrame = {
     val parent = df.sparkSession
     val name = s"graft_stream_${runSeq.getAndIncrement()}"
     val stateParts = parent.conf.getOption("graft.streaming.statePartitions")
@@ -81,6 +82,7 @@ object Streaming {
       try child.conf.set(k, v) catch { case _: Exception => () }
     }
     child.conf.set("spark.sql.shuffle.partitions", stateParts)
+    extraConf.foreach { case (k, v) => child.conf.set(k, v) }
     val q = PlanBridge.ofRows(child, PlanBridge.logicalPlan(df))
       .writeStream
       .trigger(Trigger.AvailableNow())
@@ -1129,6 +1131,34 @@ object Streaming {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
       .orderBy(col("event_type"))
+  }
+
+  /** X31 — `stream_tws_sessionize`: the custom sessionizer on Spark
+    * 4's NEW arbitrary-state API (`transformWithState` — typed named
+    * state handles, native TTL, event timers; see
+    * [[StatefulSessionizeTws]]), run against the SAME readout and the
+    * SAME oracle as the legacy `flatMapGroupsWithState` operator —
+    * equivalence pair #28 proves two generations of the extension
+    * point agree bit for bit. The new API requires the RocksDB state
+    * store; the conf scopes to this query's child session only. */
+  def streamTwsSessionize(t: Tables): DataFrame = {
+    import StatefulSessionize.Ev
+    val spark = t.spark
+    import spark.implicits._
+    val typed = eventsStream(t)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("value"))
+      .as[Ev]
+    val sess = StatefulSessionizeTws.sessionize(typed, gapUs = 1800000000L)
+    drainToTable(sess.toDF(), "update", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(struct(col("n_events"), col("sum_value"))).as("fin"))
+      .select(col("user_id"), col("session_id"),
+        col("fin.n_events").as("n_events"),
+        round(col("fin.sum_value"), 2).as("sum_value"))
   }
 
   /** X30 — `stream_shard_source`: the gshard connector as a STREAMING
