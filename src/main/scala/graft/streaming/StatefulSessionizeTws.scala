@@ -77,4 +77,78 @@ object StatefulSessionizeTws {
       .transformWithState(new SessProcessor(gapUs),
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** An event-time value row for the timer-driven closer. */
+  final case class TimedEv(user_id: Long, ts: java.sql.Timestamp,
+      value: Double)
+
+  /** State for the timer-driven closer: the open session plus its
+    * currently registered timer (so re-arming can delete the old one
+    * — the store keys timers by expiry timestamp). */
+  final case class TimedState(lastMs: Long, nEvents: Long,
+      sumValue: Double, timerMs: Long)
+
+  /** The piece the LEGACY API only approximates via
+    * `GroupStateTimeout`: an idle-session closer driven by EVENT-TIME
+    * TIMERS — each arrival re-arms a timer at `last event + gap`, and
+    * when the WATERMARK passes it, [[StatefulProcessor.handleExpiredTimer]]
+    * emits the closed session and clears the key's state — the
+    * session closes because time passed, not because the next event
+    * happened to arrive. This is how a 100 TB deploy keeps abandoned
+    * keys out of the state store deterministically (watermark-driven,
+    * replayable), rather than by wall-clock timeouts. */
+  private final class IdleSessionCloser(gapMs: Long)
+      extends StatefulProcessor[Long, TimedEv, SessRow] {
+
+    @transient private var state: ValueState[TimedState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TimedState]("timed_session",
+        Encoders.product[TimedState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[TimedEv],
+        timerValues: TimerValues): Iterator[SessRow] = {
+      val evs = rows.toIndexedSeq.sortBy(_.ts.getTime)
+      var st =
+        if (state.exists()) state.get()
+        else TimedState(Long.MinValue, 0L, 0.0, Long.MinValue)
+      evs.foreach { e =>
+        val ms = e.ts.getTime
+        st =
+          if (st.lastMs == Long.MinValue)
+            TimedState(ms, 1L, e.value, st.timerMs)
+          else TimedState(ms, st.nEvents + 1, st.sumValue + e.value,
+            st.timerMs)
+      }
+      if (st.lastMs != Long.MinValue) {
+        // re-arm: one live timer per key, at last-event + gap
+        if (st.timerMs != Long.MinValue) getHandle.deleteTimer(st.timerMs)
+        val expiry = st.lastMs + gapMs
+        getHandle.registerTimer(expiry)
+        state.update(st.copy(timerMs = expiry))
+      }
+      Iterator.empty // closed sessions are emitted by the TIMER only
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessRow] = {
+      val st = state.get()
+      state.clear()
+      Iterator.single(SessRow(uid, 1L, st.nEvents, st.sumValue))
+    }
+  }
+
+  /** Timer-closed sessions: rows arrive with an event-time watermark,
+    * sessions are EMITTED (and their state dropped) only when the
+    * watermark passes `last event + gapMs`. */
+  def sessionizeWithTimers(events: Dataset[TimedEv],
+      gapMs: Long): Dataset[SessRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new IdleSessionCloser(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -98,4 +98,41 @@ class StatefulSessionizeTwsSpec extends SparkSpec {
     assert(tws == batch,
       s"onlyTws=${(tws -- batch).take(5)} onlyBatch=${(batch -- tws).take(5)}")
   }
+  test("event-time timers close idle sessions when the watermark passes") {
+    import spark.implicits._
+    import StatefulSessionizeTws.TimedEv
+    withRocksDb {
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[TimedEv]
+      def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+      val q = StatefulSessionizeTws
+        .sessionizeWithTimers(input.toDS(), gapMs = 30000L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_timers").start()
+      // batch 1: user 1 has two events; nothing may emit yet (the
+      // watermark has not passed last + gap)
+      input.addData(Seq(TimedEv(1L, ts(10), 1.0), TimedEv(1L, ts(20), 2.0)))
+      q.processAllAvailable()
+      assert(spark.table("tws_timers").count() == 0,
+        "session closed before the watermark allowed it")
+      // batch 2: a far-future event on ANOTHER key advances the
+      // watermark past user 1's last+gap -> the TIMER must close it
+      input.addData(Seq(TimedEv(2L, ts(1000), 5.0)))
+      q.processAllAvailable()
+      // one more empty-ish advance so the expired timer's emission
+      // lands in the sink
+      input.addData(Seq(TimedEv(2L, ts(2000), 1.0)))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_timers").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains((1L, 2L, 3.0)),
+        s"timer did not close user 1's idle session: ${rows.mkString(",")}")
+      // user 2's session stays OPEN (watermark never passed its gap)
+      assert(!rows.exists(_._1 == 2L),
+        s"user 2 closed without its timer expiring: ${rows.mkString(",")}")
+    }
+  }
+
 }
