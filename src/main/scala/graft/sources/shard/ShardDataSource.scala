@@ -245,10 +245,54 @@ private[shard] class ShardScanBuilder(dir: String,
     manifest: ShardFormat.Manifest,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+    CountStar, Max, Min}
 
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedAgg: Option[Aggregation] = None
+
+  /** METADATA-ONLY aggregates: an unfiltered, ungrouped COUNT(*) /
+    * MIN / MAX over zone-mapped long columns is answerable from the
+    * manifest alone — zero data files read, the Delta/Iceberg
+    * "stats-only query" optimization. Filters disqualify (every
+    * filter here is residual, so a filtered count must scan), as does
+    * any grouping or other aggregate. */
+  private def zCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      val c = nr.fieldNames()(0)
+      val zoned = manifest.entries.headOption
+        .map(_.zMin.keySet).getOrElse(Set.empty)
+      // an EMPTY table has no per-file maps but min/max are still
+      // answerable (NULL) for any long column of the schema
+      val ok = if (manifest.entries.isEmpty)
+        manifest.schema.fields.exists(f => f.name == c && f.dataType == LongType)
+      else zoned.contains(c)
+      if (ok) Some(c) else None
+    case _ => None
+  }
+
+  private def canPush(agg: Aggregation): Boolean =
+    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => zCol(m.column).isDefined
+        case m: Max => zCol(m.column).isDefined
+        case _ => false
+      }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    canPush(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (!canPush(agg)) false
+    else { pushedAgg = Some(agg); true }
 
   /** A filter is usable for zone-map skipping iff it constrains one
     * long column the manifest carries min/max for. */
@@ -276,10 +320,69 @@ private[shard] class ShardScanBuilder(dir: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new ShardScan(dir, manifest, required, pushed,
-      Option(options.get("maxfilespertrigger")).map(_.toInt),
-      Option(options.get("columnar")).forall(_.toBoolean))
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) =>
+      // answer from the manifest at PLANNING time: one row, no files
+      val values: Array[Any] = agg.aggregateExpressions.map[Any] {
+        case _: CountStar => java.lang.Long.valueOf(
+          manifest.entries.map(_.rows).sum)
+        case m: Min =>
+          val c = zCol(m.column).get
+          if (manifest.entries.isEmpty) null
+          else java.lang.Long.valueOf(manifest.entries.map(_.zMin(c)).min)
+        case m: Max =>
+          val c = zCol(m.column).get
+          if (manifest.entries.isEmpty) null
+          else java.lang.Long.valueOf(manifest.entries.map(_.zMax(c)).max)
+        case other => throw new IllegalStateException(other.toString)
+      }
+      new ShardAggScan(dir, manifest, agg.aggregateExpressions.length, values)
+    case None =>
+      new ShardScan(dir, manifest, required, pushed,
+        Option(options.get("maxfilespertrigger")).map(_.toInt),
+        Option(options.get("columnar")).forall(_.toBoolean))
+  }
+}
+
+/** The metadata-only scan: one single-row partition carrying the
+  * manifest-derived aggregate values; no shard file is ever opened. */
+private[shard] class ShardAggScan(dir: String,
+    manifest: ShardFormat.Manifest, nAggs: Int,
+    values: Array[Any]) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    (0 until nAggs).map(i => org.apache.spark.sql.types.StructField(
+      s"agg_$i", LongType, nullable = true)))
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ShardAggPartition(values.map {
+      case null => java.lang.Long.valueOf(Long.MinValue)
+      case v: java.lang.Long => v
+    }, values.map(_ == null)))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardAggReaderFactory
+
+  override def description(): String =
+    s"gshard $dir metadata-only aggregate " +
+      s"(files=0/${manifest.entries.size} read)"
+}
+
+private[shard] final case class ShardAggPartition(values: Array[java.lang.Long],
+    nulls: Array[Boolean]) extends InputPartition
+
+private[shard] class ShardAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val part = p.asInstanceOf[ShardAggPartition]
+      private var done = false
+      override def next(): Boolean = if (done) false else { done = true; true }
+      override def get(): InternalRow = InternalRow.fromSeq(
+        part.values.zip(part.nulls).map { case (v, isNull) =>
+          if (isNull) null else v.longValue() }.toIndexedSeq)
+      override def close(): Unit = ()
+    }
 }
 
 private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,

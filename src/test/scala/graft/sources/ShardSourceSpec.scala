@@ -293,4 +293,52 @@ class ShardSourceSpec extends SparkSpec {
       == li.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted)
   }
 
+  // ── aggregate pushdown (metadata-only queries) ─────────────────────
+
+  test("count/min/max answer from the manifest without opening a file") {
+    val agg = viaShard.agg(count(lit(1)).as("n"),
+      min(col("user_id")).as("lo"), max(col("user_id")).as("hi"))
+    val row = agg.head
+    val m = ShardFormat.readManifest(dir)
+    assert(row.getLong(0) == m.entries.map(_.rows).sum)
+    assert(row.getLong(1) == m.entries.map(_.zMin("user_id")).min)
+    assert(row.getLong(2) == m.entries.map(_.zMax("user_id")).max)
+    // truth check against the raw data too
+    val t = eventsProjected.agg(count(lit(1)), min(col("user_id")),
+      max(col("user_id"))).head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      ((t.getLong(0), t.getLong(1), t.getLong(2))))
+    // metadata-only: the plan carries the marker and ONE partition
+    agg.collect()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("metadata-only"), s"aggregate not pushed:\n$p")
+  }
+
+  test("filters, grouping, or other aggregates disable the pushdown") {
+    // a filtered count must scan (filters are residual here): values
+    // still exact, no metadata-only marker
+    val filtered = viaShard.filter(col("user_id") < 5).agg(count(lit(1)))
+    assert(filtered.head.getLong(0) ==
+      eventsProjected.filter(col("user_id") < 5).count())
+    filtered.collect()
+    assert(!filtered.queryExecution.executedPlan.toString.contains("metadata-only"))
+    // grouped aggregation: normal scan path
+    val grouped = viaShard.groupBy(col("event_type")).agg(count(lit(1)))
+    grouped.collect()
+    assert(!grouped.queryExecution.executedPlan.toString.contains("metadata-only"))
+    // sum is not manifest-answerable
+    val summed = viaShard.agg(sum(col("cents")))
+    assert(summed.head.getLong(0) ==
+      eventsProjected.agg(sum(col("cents"))).head.getLong(0))
+  }
+
+  test("metadata-only aggregates on an empty table: count 0, null min/max") {
+    val d = Files.createTempDirectory("graft_gshard_aggempty_").toString
+    ShardFormat.write(eventsProjected.limit(0), d, "user_id", 4)
+    val row = spark.read.format("gshard").load(d)
+      .agg(count(lit(1)), min(col("user_id")), max(col("user_id"))).head
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(1) && row.isNullAt(2))
+  }
+
 }
