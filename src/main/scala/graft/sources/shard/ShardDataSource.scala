@@ -388,10 +388,57 @@ private[shard] class ShardAggReaderFactory extends PartitionReaderFactory {
 private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    columnar: Boolean = true) extends Scan with Batch {
+    columnar: Boolean = true) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** RUNTIME file skipping (the DSv2 dynamic-pruning hook): when this
+    * table is the probe side of a join whose build side is selective,
+    * Spark materializes the build-side join keys and hands them here
+    * as an IN filter AFTER planning — [[survivors]] then re-prunes
+    * the shard list against the zone maps before execution, so files
+    * holding none of the joined keys are never opened. Static
+    * pushdown covers literal predicates; this covers predicates only
+    * a join can reveal — both sound for the same reason (residual
+    * re-evaluation + false-negative-free maps). */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val zoned = manifest.entries.headOption
+      .map(_.zMin.keySet).getOrElse(Set.empty)
+    // only columns the (pruned) scan OUTPUT carries: Spark resolves
+    // these refs against the scan's output attributes
+    zoned.intersect(required.fieldNames.toSet).toArray.sorted.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
+  /** POST-SKIPPING stats from the manifest, so the join planner sees
+    * the table's real size — a small gshard dimension broadcasts
+    * instead of defaulting to the worst-case size estimate (which
+    * plans a sort-merge join). Bytes are estimated from on-disk file
+    * sizes of the SURVIVING shards, rows from their manifest counts —
+    * both reflect the pushed filters, which is exactly the number the
+    * planner wants. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val surviving = survivors
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(surviving.map(_.rows).sum)
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(surviving.map { e =>
+          val f = java.nio.file.Paths.get(dir, e.file)
+          if (java.nio.file.Files.exists(f)) java.nio.file.Files.size(f)
+          else 0L
+        }.sum)
+    }
 
   /** STREAMING read path: the manifest is an append-ordered log
     * (appends merge `prior ++ fresh`, so an entry's index is stable),
@@ -408,17 +455,25 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
       maxFilesPerTrigger)
 
   /** Zone-map test: may `entry` contain a row satisfying ALL pushed
-    * conjuncts? Sound (never drops a possible match); the residual
-    * evaluation keeps it exact. */
+    * conjuncts (static AND runtime)? Sound (never drops a possible
+    * match); the residual evaluation keeps it exact. */
   private def survives(e: ShardFormat.ShardEntry): Boolean =
-    pushed.forall {
-      case EqualTo(c, v: Long) => e.zMin(c) <= v && v <= e.zMax(c)
-      case GreaterThan(c, v: Long) => e.zMax(c) > v
-      case GreaterThanOrEqual(c, v: Long) => e.zMax(c) >= v
-      case LessThan(c, v: Long) => e.zMin(c) < v
-      case LessThanOrEqual(c, v: Long) => e.zMin(c) <= v
-      case In(c, vs) => vs.exists { case v: Long =>
-        e.zMin(c) <= v && v <= e.zMax(c) }
+    (pushed ++ runtimeFilters).forall {
+      // runtime filters arrive unvalidated (unlike pushFilters'
+      // usable() gate): guard every column/value shape and keep
+      // anything unrecognized — sound, since all filters are residual
+      case EqualTo(c, v: Long) if e.zMin.contains(c) =>
+        e.zMin(c) <= v && v <= e.zMax(c)
+      case GreaterThan(c, v: Long) if e.zMin.contains(c) => e.zMax(c) > v
+      case GreaterThanOrEqual(c, v: Long) if e.zMin.contains(c) =>
+        e.zMax(c) >= v
+      case LessThan(c, v: Long) if e.zMin.contains(c) => e.zMin(c) < v
+      case LessThanOrEqual(c, v: Long) if e.zMin.contains(c) =>
+        e.zMin(c) <= v
+      case In(c, vs) if e.zMin.contains(c) => vs.exists {
+        case v: Long => e.zMin(c) <= v && v <= e.zMax(c)
+        case _ => true
+      }
       case _ => true
     }
 

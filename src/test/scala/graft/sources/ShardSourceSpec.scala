@@ -341,4 +341,54 @@ class ShardSourceSpec extends SparkSpec {
     assert(row.isNullAt(1) && row.isNullAt(2))
   }
 
+  test("reported statistics drive broadcast join selection") {
+    // a small gshard dimension joined to the parquet fact: without
+    // SupportsReportStatistics the DSv2 scan defaults to the
+    // worst-case size and the planner picks sort-merge; with the
+    // manifest stats it broadcasts
+    val d = Files.createTempDirectory("graft_gshard_stats_").toString
+    val dim = tables.events.select(col("user_id")).distinct()
+      .withColumn("seg", (col("user_id") % 5).cast("long"))
+    ShardFormat.write(dim, d, "user_id", 2)
+    val joined = tables.events
+      .join(spark.read.format("gshard").load(d), Seq("user_id"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"manifest stats did not flip the join to broadcast:\n$p")
+    // and the values are right
+    val got = joined.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = tables.events.withColumn("seg", (col("user_id") % 5).cast("long"))
+      .groupBy(col("seg")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("runtime filtering: join-key sets prune shard files after planning") {
+    // fact side: the gshard table; build side: a SELECTIVE dim whose
+    // user set lives in the low shards only -> Spark materializes the
+    // dim keys and the scan must re-prune before execution
+    val m = ShardFormat.readManifest(dir)
+    val loMax = m.entries.map(_.zMax("user_id")).min // smallest shard's max
+    val dim = tables.events.select(col("user_id")).distinct()
+      .filter(col("user_id") <= loMax)
+      .withColumn("tag", lit("keep"))
+    val joined = viaShard
+      .join(dim.hint("broadcast"), Seq("user_id"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    val got = joined.collect()
+    // values first: runtime pruning must lose nothing
+    val want = tables.events.select(col("user_id"), col("event_type"))
+      .join(dim, Seq("user_id")).count()
+    assert(got.map(_.getLong(1)).sum == want)
+    // the scan declares runtime-filter attributes and the plan carries
+    // the dynamic pruning expression on the DSv2 scan
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("RuntimeFilters"), s"no runtime filter slot:\n$p")
+    assert(p.contains("dynamicpruning") || p.contains("DynamicPruning") ||
+      p.contains("RuntimeFilters: [i"), // in-filter rendering
+      s"runtime filter never planned:\n$p")
+  }
+
 }
