@@ -428,6 +428,9 @@ object SparkEntry {
     // append-fragmented table -> connector-roundtrip compaction (the
     // OPTIMIZE shape); spec pins file-count drop + restored disjointness
     "q_shard_compact"     -> q(t => graft.sources.SourceOps.qShardCompact(t)),
+    // metadata-only COUNT/MIN/MAX answered from the manifest (B25),
+    // hash-checked against the raw table — the manifest tells the truth
+    "q_shard_stats"       -> q(t => graft.sources.SourceOps.qShardStats(t)),
     // the connector as a streaming sink (foreachBatch append per
     // micro-batch) — stream/batch equivalence pair #24
     "stream_shard_sink"   -> q(t => graft.streaming.Streaming.streamShardSink(t)),
@@ -4425,6 +4428,15 @@ object SparkEntry {
         |SELECT day, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(cents) AS BIGINT) AS value_cents
         |FROM e, m WHERE user_id > thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the stats the manifest answers, recomputed from raw events
+    "q_shard_stats" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+        | FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | min(user_id) AS user_min, max(user_id) AS user_max,
+        | min(day) AS day_min, max(day) AS day_max
+        |FROM e""".stripMargin,
     // compaction must lose nothing: full-table rollup vs raw events
     "q_shard_compact" ->
       """WITH e AS (SELECT user_id, event_type,

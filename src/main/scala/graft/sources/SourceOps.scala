@@ -586,6 +586,22 @@ object SourceOps {
       .orderBy(col("event_type"))
   }
 
+  /** `q_shard_stats` — the metadata-only aggregate path under the
+    * driver gate: COUNT(*)/MIN/MAX over the staged shard table route
+    * through the connector's aggregate pushdown (B25) and are
+    * answered from the manifest — zero shard files opened — while the
+    * oracle recomputes the same statistics from the raw events table,
+    * so "the manifest tells the truth" is itself hash-checked. */
+  def qShardStats(t: Tables): DataFrame = {
+    val dir = shardTable(t)
+    t.spark.read.format("gshard").load(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("user_id")).as("user_min"),
+        max(col("user_id")).as("user_max"),
+        min(col("day")).as("day_min"),
+        max(col("day")).as("day_max"))
+  }
+
   /** The events projection both shard-table paths stage. */
   private def shardProjection(t: Tables): DataFrame =
     t.events.select(col("user_id"), col("event_type"),

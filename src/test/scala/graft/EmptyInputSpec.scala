@@ -134,7 +134,10 @@ class EmptyInputSpec extends SparkSpec {
     "q_merge_cdf",
     // empty generations -> zero-file manifests through the whole
     // append/compact lifecycle
-    "q_shard_compact", "q_bom_rollup")
+    "q_shard_compact", "q_bom_rollup",
+    // metadata-only aggregates over a zero-file manifest: count 0,
+    // NULL min/max — one row either way
+    "q_shard_stats")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

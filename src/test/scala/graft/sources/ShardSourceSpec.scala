@@ -391,4 +391,29 @@ class ShardSourceSpec extends SparkSpec {
       s"runtime filter never planned:\n$p")
   }
 
+  test("randomized predicate sweep: skipping is sound for 60 seeded filters") {
+    // the hand-picked shapes above catch the classic edges; this sweep
+    // drives thresholds OUTSIDE the data range, on shard boundaries,
+    // and in random interiors — seeded, so failures replay
+    val truth = eventsProjected
+    val m = ShardFormat.readManifest(dir)
+    val hi = m.entries.map(_.zMax("user_id")).max
+    val rnd = new scala.util.Random(42)
+    (1 to 60).foreach { i =>
+      val v = rnd.nextLong(2 * hi + 5) - 2 // in [-2, 2*hi+2]
+      val (f, tag): (DataFrame => DataFrame, String) = rnd.nextInt(6) match {
+        case 0 => (df => df.filter(col("user_id") < v), s"lt $v")
+        case 1 => (df => df.filter(col("user_id") <= v), s"le $v")
+        case 2 => (df => df.filter(col("user_id") > v), s"gt $v")
+        case 3 => (df => df.filter(col("user_id") >= v), s"ge $v")
+        case 4 => (df => df.filter(col("user_id") === v), s"eq $v")
+        case _ =>
+          val vs = Seq.fill(3)(rnd.nextLong(2 * hi + 5) - 2)
+          (df => df.filter(col("user_id").isin(vs: _*)), s"in $vs")
+      }
+      assert(rowsOf(f(viaShard).select(col("user_id"), col("event_type"),
+        col("cents"))) == rowsOf(f(truth)), s"case #$i: $tag diverged")
+    }
+  }
+
 }
