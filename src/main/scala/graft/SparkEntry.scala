@@ -431,6 +431,9 @@ object SparkEntry {
     // metadata-only COUNT/MIN/MAX answered from the manifest (B25),
     // hash-checked against the raw table — the manifest tells the truth
     "q_shard_stats"       -> q(t => graft.sources.SourceOps.qShardStats(t)),
+    // the TableCatalog path from pure SQL: CTAS into the catalog,
+    // catalog-qualified SELECT back out (B23), oracle = raw events
+    "q_catalog_sql_roundtrip" -> q(t => graft.sources.SourceOps.qCatalogSqlRoundtrip(t)),
     // the connector as a streaming sink (foreachBatch append per
     // micro-batch) — stream/batch equivalence pair #24
     "stream_shard_sink"   -> q(t => graft.streaming.Streaming.streamShardSink(t)),
@@ -4445,6 +4448,8 @@ object SparkEntry {
         | CAST(sum(cents) AS BIGINT) AS value_cents,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the catalog CTAS + SELECT lands the same rollup
+    "q_catalog_sql_roundtrip" -> shardRollupSql,
     // the streaming-sink twin: every micro-batch appended through the
     // connector must land the identical table (pair #24)
     "stream_shard_sink" -> shardRollupSql,

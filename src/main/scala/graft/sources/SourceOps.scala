@@ -602,6 +602,31 @@ object SourceOps {
         max(col("day")).as("day_max"))
   }
 
+  /** `q_catalog_sql_roundtrip` — the TableCatalog path under the
+    * driver gate: register a gshard catalog over a per-process
+    * warehouse, CTAS the events projection into it from PURE SQL,
+    * then read the rollup back with a catalog-qualified SELECT — so
+    * the catalog's create/write/read statements (B23), not just the
+    * path-based API, are hash-checked against the raw events oracle.
+    * Catalog conf keys are per-name and set-once per process;
+    * re-runs drop and recreate the table (idempotent). */
+  def qCatalogSqlRoundtrip(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val view = s"gshard_src_$runId"
+    shardProjection(t).createOrReplaceTempView(view)
+    val tbl = s"gshard_cat.main.events_${dirTag(t.dir)}"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl AS SELECT * FROM $view")
+    spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(cents) AS BIGINT) AS value_cents
+         |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** The events projection both shard-table paths stage. */
   private def shardProjection(t: Tables): DataFrame =
     t.events.select(col("user_id"), col("event_type"),

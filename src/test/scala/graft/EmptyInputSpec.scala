@@ -137,7 +137,9 @@ class EmptyInputSpec extends SparkSpec {
     "q_shard_compact", "q_bom_rollup",
     // metadata-only aggregates over a zero-file manifest: count 0,
     // NULL min/max — one row either way
-    "q_shard_stats")
+    "q_shard_stats",
+    // CTAS of an empty projection -> schema-only table, empty rollup
+    "q_catalog_sql_roundtrip")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -940,4 +940,10 @@ class PlanAuditSpec extends SparkSpec {
       s"zone maps pruned nothing: $desc")
   }
 
+  test("q_shard_stats: aggregates answer metadata-only, zero files read") {
+    val p = plan(graft.sources.SourceOps.qShardStats(tables))
+    assert(p.contains("metadata-only"), s"stats query scanned data:\n$p")
+    assert(p.contains("files=0/"), s"a shard file was planned:\n$p")
+  }
+
 }
