@@ -431,6 +431,12 @@ object SparkEntry {
     // metadata-only COUNT/MIN/MAX answered from the manifest (B25),
     // hash-checked against the raw table — the manifest tells the truth
     "q_shard_stats"       -> q(t => graft.sources.SourceOps.qShardStats(t)),
+    // STRING zone maps: base64 bounds in the manifest, unsigned-byte
+    // pruning on a tag predicate, plan-pinned files=k/n (v2 format)
+    "q_shard_scan_string" -> q(t => graft.sources.SourceOps.qShardScanString(t)),
+    // NULL bitmaps end to end: DSv2 write with nulls in string+long
+    // columns, vectorized read-back, count(*) vs count(col) vs sum
+    "q_shard_null_roundtrip" -> q(t => graft.sources.SourceOps.qShardNullRoundtrip(t)),
     // the TableCatalog path from pure SQL: CTAS into the catalog,
     // catalog-qualified SELECT back out (B23), oracle = raw events
     "q_catalog_sql_roundtrip" -> q(t => graft.sources.SourceOps.qCatalogSqlRoundtrip(t)),
@@ -4440,6 +4446,31 @@ object SparkEntry {
         | min(user_id) AS user_min, max(user_id) AS user_max,
         | min(day) AS day_min, max(day) AS day_max
         |FROM e""".stripMargin,
+    // string-tag twin of q_shard_scan: zero-padded tag, corpus-relative
+    // lexicographic threshold (u + max user DIV 2) — ASCII-only tags,
+    // so DuckDB and UTF8String binary order agree
+    "q_shard_scan_string" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  printf('u%06d', user_id) AS user_tag,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT printf('u%06d', max(user_id) // 2) AS thr FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e, m WHERE user_tag < thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // nulls planted by modulo gates must survive the format's null
+    // bitmaps bit for bit: count(*) keeps null rows, count(cents)
+    // drops exactly the planted ones, sum sees only non-null values
+    "q_shard_null_roundtrip" ->
+      """WITH e AS (SELECT
+        |  CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END AS event_type,
+        |  CASE WHEN event_id % 7 = 0 THEN NULL
+        |       ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cents
+        | FROM events)
+        |SELECT coalesce(event_type, '(null)') AS etype,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(cents) AS BIGINT) AS n_cents,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // compaction must lose nothing: full-table rollup vs raw events
     "q_shard_compact" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -699,4 +699,62 @@ object SourceOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy(col("event_type"))
   }
+
+  /** `q_shard_scan_string` — STRING zone-map file skipping under the
+    * driver gate: the staged table carries a zero-padded user tag
+    * (`u%06d` — lexicographic order == numeric order, so the tag
+    * genuinely clusters with the range column and the per-file string
+    * bounds separate), and the scan filters on the TAG, not the long
+    * key — the pushdown the manifest's base64 string bounds exist
+    * for. The threshold is corpus-relative (`u` + max user DIV 2,
+    * read from the manifest's long maps — a metadata lookup), the
+    * pruning is plan-pinned in PlanAuditSpec (`files=k/n`), and the
+    * oracle replays the identical predicate over raw events — string
+    * write → string maps → unsigned-byte prune → residual, all
+    * hash-checked. */
+  def qShardScanString(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_str_${dirTag(t.dir)}")
+    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+      graft.sources.shard.ShardFormat.write(
+        shardProjection(t).withColumn("user_tag",
+          format_string("u%06d", col("user_id"))),
+        dir, "user_id", 12)
+    }
+    val maxUser = graft.sources.shard.ShardFormat.readManifest(dir)
+      .entries.map(_.zMax.getOrElse("user_id", Long.MinValue))
+      .foldLeft(Long.MinValue)(math.max)
+    val thr = "u%06d".format(if (maxUser == Long.MinValue) 0L else maxUser / 2)
+    t.spark.read.format("gshard").load(dir)
+      .filter(col("user_tag") < thr)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** `q_shard_null_roundtrip` — NULLs through the connector's write
+    * AND read halves under the driver gate: a projection with
+    * deterministic nulls in a string and a long column (md5-free
+    * modulo gates on `event_id`) writes through the DSv2 path (null
+    * bitmaps in every chunk), reads back through the vectorized
+    * reader, and the readout splits per event-type class into total
+    * rows vs non-null cents (`count(col)`) plus the non-null sum — so
+    * a null dropped, invented, or flattened to 0 anywhere in the
+    * format breaks the hash. The null GROUP key itself rides as a
+    * coalesced tag (engines disagree on null ordering, not on
+    * values). */
+  def qShardNullRoundtrip(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_n_${dirTag(t.dir)}")
+    t.events.select(col("user_id"),
+        when(col("event_id") % 5 =!= 0, col("event_type")).as("event_type"),
+        when(col("event_id") % 7 =!= 0,
+          floor(col("value") * 100 + lit(0.5)).cast("long")).as("cents"))
+      .write.format("gshard").option("rangecol", "user_id")
+      .option("shards", 8).mode("overwrite").save(dir)
+    t.spark.read.format("gshard").load(dir)
+      .groupBy(coalesce(col("event_type"), lit("(null)")).as("etype"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("cents")).as("n_cents"),
+        sum(col("cents")).as("value_cents"))
+      .orderBy(col("etype"))
+  }
 }

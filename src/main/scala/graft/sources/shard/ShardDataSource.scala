@@ -38,20 +38,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    projection of a 4-column table reads ~half the bytes, which at
   *    100 TB is the difference between a scan and a non-starter.
   *  - '''Filter pushdown''' (`SupportsPushDownFilters`): comparison
-  *    and IN predicates over zone-mapped long columns prune whole
-  *    shard files at PLANNING time (`planInputPartitions` returns only
-  *    survivors — visible as fewer scan partitions). Every filter is
-  *    also returned as a residual, so Spark re-evaluates exactly and
-  *    the zone maps only ever need to be false-negative-free, which
-  *    they are by construction.
+  *    and IN predicates over zone-mapped LONG and STRING columns
+  *    prune whole shard files at PLANNING time (`planInputPartitions`
+  *    returns only survivors — visible as fewer scan partitions), and
+  *    the surviving files' readers skip CHUNKS the per-chunk maps
+  *    refute. Every filter is also returned as a residual, so Spark
+  *    re-evaluates exactly and the zone maps only ever need to be
+  *    false-negative-free, which they are by construction.
   *  - '''Partition planning''': one `InputPartition` per surviving
   *    shard file — the natural parallelism unit; a 1000-executor
   *    cluster schedules surviving shards round-robin with locality
   *    delegated to the store.
-  *
-  * Read-only by design: writes go through [[ShardFormat.write]]'s
-  * deterministic range-clustered writer (the engine treats layout as
-  * a build step, like its z-order and bucketed writers).
   */
 class ShardDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -96,14 +93,22 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType)
   * The layout contract lives in [[RequiresDistributionAndOrdering]]:
   * the write REQUIRES an ordered (range) distribution plus in-
   * partition ordering on the cluster column (`rangeCol` option,
-  * default `user_id`), so SPARK plans the range exchange and sort —
-  * the connector never shuffles by hand, and every task receives one
-  * disjoint key range, which is exactly what makes the emitted zone
-  * maps selective. `mode("overwrite")` routes through
+  * default the first long column), so SPARK plans the range exchange
+  * and sort — the connector never shuffles by hand, and every task
+  * receives one disjoint key range, which is exactly what makes the
+  * emitted zone maps selective. `mode("overwrite")` routes through
   * [[SupportsTruncate]]; append merges manifest entries. Commit is
-  * manifest-last: data files land first, the manifest write publishes
-  * them (a reader never sees uncommitted files — same discipline as
-  * [[graft.sources.MergeTarget]]'s pointer flip). */
+  * manifest-last for appends (data files land, the manifest write
+  * publishes them — a reader never sees uncommitted files) and
+  * manifest-FIRST for truncation (the new manifest publishes the new
+  * generation atomically; only then are the replaced generation's
+  * files swept — a crash between the two steps leaves sweepable
+  * orphans, never a manifest pointing at deleted data). An optional
+  * `txnid` option makes appends REPLAY-IDEMPOTENT: the manifest
+  * records the last applied id (the Delta txnAppId/txnVersion
+  * pattern), and a replayed commit with an already-applied id is a
+  * no-op that deletes its staged files instead of double-appending —
+  * the property `foreachBatch` restarts rely on. */
 private[shard] class ShardWriteBuilder(dir: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
@@ -118,13 +123,17 @@ private[shard] class ShardWriteBuilder(dir: String, info: LogicalWriteInfo)
     require(info.schema().fieldNames.contains(rangeCol),
       s"gshard: rangeCol $rangeCol not in ${info.schema().fieldNames.mkString(",")}")
     val shards = Option(info.options.get("shards")).map(_.toInt).getOrElse(0)
+    val chunkRows = Option(info.options.get("chunkrows")).map(_.toInt)
+      .getOrElse(ShardFormat.DefaultChunkRows)
+    val txnId = Option(info.options.get("txnid")).map(_.toLong).getOrElse(-1L)
     new ShardWrite(dir, info.schema(), rangeCol, shards,
-      truncateFirst, info.queryId())
+      truncateFirst, info.queryId(), chunkRows, txnId)
   }
 }
 
 private[shard] class ShardWrite(dir: String, schema: StructType,
-    rangeCol: String, shards: Int, truncateFirst: Boolean, queryId: String)
+    rangeCol: String, shards: Int, truncateFirst: Boolean, queryId: String,
+    chunkRows: Int, txnId: Long)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -138,47 +147,69 @@ private[shard] class ShardWrite(dir: String, schema: StructType,
     s"gshard write $dir rangeCol=$rangeCol"
 
   override def toBatch: BatchWrite = new ShardBatchWrite(dir, schema,
-    truncateFirst, queryId)
+    truncateFirst, queryId, chunkRows, txnId)
 }
 
 private[shard] final case class ShardCommitMessage(file: String, rows: Long,
-    mins: Map[String, Long], maxs: Map[String, Long])
+    mins: Map[String, Long], maxs: Map[String, Long],
+    sMins: Map[String, String], sMaxs: Map[String, String])
   extends WriterCommitMessage
 
 private[shard] class ShardBatchWrite(dir: String, schema: StructType,
-    truncateFirst: Boolean, queryId: String) extends BatchWrite {
+    truncateFirst: Boolean, queryId: String, chunkRows: Int, txnId: Long)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     ShardWriterFactory(dir,
       schema.fields.map(f => (f.name, f.dataType.typeName)),
-      queryId.take(8))
+      queryId.take(8), chunkRows)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val fresh = messages.collect {
       case m: ShardCommitMessage if m.rows > 0 => // empty partitions emit no file
-        ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs)
+        ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs,
+          m.sMins, m.sMaxs)
     }.sortBy(_.file).toSeq
-    if (ShardFormat.hasManifest(dir)) {
-      val existing = ShardFormat.readManifest(dir).schema
-      require(existing == schema,
-        s"gshard schema mismatch: table=$existing write=$schema")
+    val existing =
+      if (ShardFormat.hasManifest(dir)) Some(ShardFormat.readManifest(dir))
+      else None
+    // TXN idempotence: a replayed micro-batch (same txnid) must not
+    // double-append — drop its staged files and leave the manifest be
+    if (txnId >= 0 && existing.exists(_.lastTxn >= txnId)) {
+      fresh.foreach(e => java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(dir, e.file)))
+      return
+    }
+    // schema check by NAME:TYPE only — the manifest round-trips
+    // neither nullability nor metadata, so full StructType equality
+    // would spuriously reject appends of non-nullable frames
+    // (spark.range, count(*), literals); truncation may legitimately
+    // replace the schema
+    existing.filter(_ => !truncateFirst).foreach { m =>
+      val a = m.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      val b = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      require(a == b,
+        s"gshard schema mismatch: table=${m.schema.catalogString} " +
+          s"write=${schema.catalogString}")
     }
     val prior =
-      if (!truncateFirst && ShardFormat.hasManifest(dir))
-        ShardFormat.readManifest(dir)
-      else ShardFormat.Manifest(schema, Seq.empty)
-    if (truncateFirst && ShardFormat.hasManifest(dir)) {
-      // drop the replaced generation's files AFTER staging the new one
+      if (!truncateFirst) existing.map(_.entries).getOrElse(Seq.empty)
+      else Seq.empty
+    val nextTxn = math.max(txnId, existing.map(_.lastTxn).getOrElse(-1L))
+    // manifest FIRST: the write below atomically publishes the new
+    // generation; only then sweep the files it replaced (a crash in
+    // between leaves orphans for the next overwrite, never a manifest
+    // pointing at deleted files)
+    ShardFormat.writeManifest(dir,
+      ShardFormat.Manifest(schema, prior ++ fresh, nextTxn))
+    if (truncateFirst) existing.foreach { m =>
       val keep = fresh.map(_.file).toSet
-      ShardFormat.readManifest(dir).entries
-        .filterNot(e => keep(e.file))
+      m.entries.filterNot(e => keep(e.file))
         .foreach(e => java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(dir, e.file)))
     }
-    ShardFormat.writeManifest(dir,
-      ShardFormat.Manifest(schema, prior.entries ++ fresh))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -189,56 +220,62 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
 }
 
 private[shard] final case class ShardWriterFactory(dir: String,
-    fileSchema: Array[(String, String)], writeTag: String)
+    fileSchema: Array[(String, String)], writeTag: String, chunkRows: Int)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new ShardDataWriter(dir, fileSchema, writeTag, partitionId)
+    new ShardDataWriter(dir, fileSchema, writeTag, partitionId, chunkRows)
 }
 
-/** Buffers its (range-disjoint) partition column-wise, writes the
-  * shard file at task commit, and reports the zone maps upward.
-  * Spark's commit coordinator guarantees one winner per partition. */
+/** Streams its (range-disjoint) partition through the chunked file
+  * writer — peak memory is ONE CHUNK, not the whole shard — and
+  * reports the zone maps upward at task commit. Spark's commit
+  * coordinator guarantees one winner per partition. NULL fields
+  * roundtrip through the format's null bitmaps. */
 private[shard] class ShardDataWriter(dir: String,
-    fileSchema: Array[(String, String)], writeTag: String, partitionId: Int)
+    fileSchema: Array[(String, String)], writeTag: String, partitionId: Int,
+    chunkRows: Int)
     extends DataWriter[InternalRow] {
 
   private val schema = StructType(fileSchema.toIndexedSeq.map { case (n, t) =>
     org.apache.spark.sql.types.StructField(n, ShardFormat.dataTypeOf(t)) })
-  private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+  private val file = f"part-$writeTag-$partitionId%05d.gshard"
+  private var writer: ShardFormat.ShardFileWriter = null
 
   override def write(row: InternalRow): Unit = {
+    if (writer == null) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      writer = new ShardFormat.ShardFileWriter(s"$dir/$file", schema,
+        chunkRows)
+    }
     val values = new Array[Any](schema.length)
     var i = 0
     while (i < schema.length) {
-      values(i) = schema(i).dataType match {
-        case LongType => row.getLong(i)
-        case DoubleType => row.getDouble(i)
-        case StringType => row.getUTF8String(i).getBytes
-        case other => throw new IllegalStateException(other.toString)
-      }
+      values(i) =
+        if (row.isNullAt(i)) null
+        else schema(i).dataType match {
+          case LongType => row.getLong(i)
+          case DoubleType => row.getDouble(i)
+          case StringType => row.getUTF8String(i).getBytes
+          case other => throw new IllegalStateException(other.toString)
+        }
       i += 1
     }
-    buf += values
+    writer.add(values)
   }
 
   override def commit(): WriterCommitMessage = {
-    val file = f"part-$writeTag-$partitionId%05d.gshard"
-    if (buf.isEmpty) return ShardCommitMessage("", 0L, Map.empty, Map.empty)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-    ShardFormat.writeShardValues(s"$dir/$file", schema, buf.length,
-      (r, c) => buf(r)(c))
-    val longCols = schema.fields.zipWithIndex
-      .collect { case (f, i) if f.dataType == LongType => (f.name, i) }
-    val mins = longCols.map { case (n, i) =>
-      n -> buf.iterator.map(_(i).asInstanceOf[Long]).min }.toMap
-    val maxs = longCols.map { case (n, i) =>
-      n -> buf.iterator.map(_(i).asInstanceOf[Long]).max }.toMap
-    ShardCommitMessage(file, buf.length.toLong, mins, maxs)
+    if (writer == null)
+      return ShardCommitMessage("", 0L, Map.empty, Map.empty,
+        Map.empty, Map.empty)
+    val stats = writer.close()
+    writer = null
+    ShardCommitMessage(file, stats.rows, stats.zMin, stats.zMax,
+      stats.sMin, stats.sMax)
   }
 
   override def abort(): Unit = ()
-  override def close(): Unit = buf.clear()
+  override def close(): Unit = ()
 }
 
 private[shard] class ShardScanBuilder(dir: String,
@@ -257,22 +294,20 @@ private[shard] class ShardScanBuilder(dir: String,
   private var pushedAgg: Option[Aggregation] = None
 
   /** METADATA-ONLY aggregates: an unfiltered, ungrouped COUNT(*) /
-    * MIN / MAX over zone-mapped long columns is answerable from the
-    * manifest alone — zero data files read, the Delta/Iceberg
-    * "stats-only query" optimization. Filters disqualify (every
-    * filter here is residual, so a filtered count must scan), as does
-    * any grouping or other aggregate. */
+    * MIN / MAX over long columns is answerable from the manifest
+    * alone — zero data files read, the Delta/Iceberg "stats-only
+    * query" optimization. Any long column of the schema qualifies:
+    * files whose entry lacks the column held only NULLs there and
+    * legitimately contribute nothing to a null-ignoring MIN/MAX.
+    * Filters disqualify (every filter here is residual, so a
+    * filtered count must scan), as does any grouping or other
+    * aggregate. */
   private def zCol(e: org.apache.spark.sql.connector.expressions.Expression)
       : Option[String] = e match {
     case nr: NamedReference if nr.fieldNames.length == 1 =>
       val c = nr.fieldNames()(0)
-      val zoned = manifest.entries.headOption
-        .map(_.zMin.keySet).getOrElse(Set.empty)
-      // an EMPTY table has no per-file maps but min/max are still
-      // answerable (NULL) for any long column of the schema
-      val ok = if (manifest.entries.isEmpty)
-        manifest.schema.fields.exists(f => f.name == c && f.dataType == LongType)
-      else zoned.contains(c)
+      val ok = manifest.schema.fields
+        .exists(f => f.name == c && f.dataType == LongType)
       if (ok) Some(c) else None
     case _ => None
   }
@@ -295,18 +330,24 @@ private[shard] class ShardScanBuilder(dir: String,
     else { pushedAgg = Some(agg); true }
 
   /** A filter is usable for zone-map skipping iff it constrains one
-    * long column the manifest carries min/max for. */
+    * long or string column of the schema with a matching literal
+    * type; files whose maps lack the column are always kept, so the
+    * type gate here is the only admission check needed. */
   private def usable(f: Filter): Boolean = {
-    val zCols = manifest.entries.headOption
-      .map(_.zMin.keySet).getOrElse(Set.empty)
-    def isZ(c: String) = zCols.contains(c)
+    def typ(c: String) = manifest.schema.fields
+      .find(_.name == c).map(_.dataType)
+    def ok(c: String, v: Any) = v match {
+      case _: Long => typ(c).contains(LongType)
+      case _: String => typ(c).contains(StringType)
+      case _ => false
+    }
     f match {
-      case EqualTo(c, v: Long) => isZ(c) && v.isInstanceOf[Long]
-      case GreaterThan(c, _: Long) => isZ(c)
-      case GreaterThanOrEqual(c, _: Long) => isZ(c)
-      case LessThan(c, _: Long) => isZ(c)
-      case LessThanOrEqual(c, _: Long) => isZ(c)
-      case In(c, vs) => isZ(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[Long])
+      case EqualTo(c, v) => ok(c, v)
+      case GreaterThan(c, v) => ok(c, v)
+      case GreaterThanOrEqual(c, v) => ok(c, v)
+      case LessThan(c, v) => ok(c, v)
+      case LessThanOrEqual(c, v) => ok(c, v)
+      case In(c, vs) => vs.nonEmpty && vs.forall(ok(c, _))
       case _ => false
     }
   }
@@ -328,12 +369,12 @@ private[shard] class ShardScanBuilder(dir: String,
           manifest.entries.map(_.rows).sum)
         case m: Min =>
           val c = zCol(m.column).get
-          if (manifest.entries.isEmpty) null
-          else java.lang.Long.valueOf(manifest.entries.map(_.zMin(c)).min)
+          val vs = manifest.entries.flatMap(_.zMin.get(c))
+          if (vs.isEmpty) null else java.lang.Long.valueOf(vs.min)
         case m: Max =>
           val c = zCol(m.column).get
-          if (manifest.entries.isEmpty) null
-          else java.lang.Long.valueOf(manifest.entries.map(_.zMax(c)).max)
+          val vs = manifest.entries.flatMap(_.zMax.get(c))
+          if (vs.isEmpty) null else java.lang.Long.valueOf(vs.max)
         case other => throw new IllegalStateException(other.toString)
       }
       new ShardAggScan(dir, manifest, agg.aggregateExpressions.length, values)
@@ -408,11 +449,12 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    val zoned = manifest.entries.headOption
-      .map(_.zMin.keySet).getOrElse(Set.empty)
+    val mappable = manifest.schema.fields
+      .collect { case f if f.dataType == LongType ||
+        f.dataType == StringType => f.name }.toSet
     // only columns the (pruned) scan OUTPUT carries: Spark resolves
     // these refs against the scan's output attributes
-    zoned.intersect(required.fieldNames.toSet).toArray.sorted.map(
+    mappable.intersect(required.fieldNames.toSet).toArray.sorted.map(
       org.apache.spark.sql.connector.expressions.Expressions.column)
   }
 
@@ -456,26 +498,16 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
 
   /** Zone-map test: may `entry` contain a row satisfying ALL pushed
     * conjuncts (static AND runtime)? Sound (never drops a possible
-    * match); the residual evaluation keeps it exact. */
-  private def survives(e: ShardFormat.ShardEntry): Boolean =
-    (pushed ++ runtimeFilters).forall {
-      // runtime filters arrive unvalidated (unlike pushFilters'
-      // usable() gate): guard every column/value shape and keep
-      // anything unrecognized — sound, since all filters are residual
-      case EqualTo(c, v: Long) if e.zMin.contains(c) =>
-        e.zMin(c) <= v && v <= e.zMax(c)
-      case GreaterThan(c, v: Long) if e.zMin.contains(c) => e.zMax(c) > v
-      case GreaterThanOrEqual(c, v: Long) if e.zMin.contains(c) =>
-        e.zMax(c) >= v
-      case LessThan(c, v: Long) if e.zMin.contains(c) => e.zMin(c) < v
-      case LessThanOrEqual(c, v: Long) if e.zMin.contains(c) =>
-        e.zMin(c) <= v
-      case In(c, vs) if e.zMin.contains(c) => vs.exists {
-        case v: Long => e.zMin(c) <= v && v <= e.zMax(c)
-        case _ => true
-      }
-      case _ => true
-    }
+    * match); the residual evaluation keeps it exact. Runtime filters
+    * arrive unvalidated (unlike pushFilters' usable() gate), but the
+    * zone testers guard every column/value shape and keep anything
+    * unrecognized. */
+  private def survives(e: ShardFormat.ShardEntry): Boolean = {
+    val fs = (pushed ++ runtimeFilters).toSeq
+    ShardFormat.longZoneAdmits(fs, e.zMin.contains, e.zMin(_), e.zMax(_)) &&
+      ShardFormat.stringZoneAdmits(fs, e.sMin.contains,
+        c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c)))
+  }
 
   private def survivors: Seq[ShardFormat.ShardEntry] =
     manifest.entries.filter(survives)
@@ -483,7 +515,8 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
   override def planInputPartitions(): Array[InputPartition] =
     survivors.map(e => ShardInputPartition(s"$dir/${e.file}",
       manifest.schema.fields.map(f => (f.name, f.dataType.typeName)),
-      required.fieldNames)).toArray[InputPartition]
+      required.fieldNames,
+      pushed ++ runtimeFilters)).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardReaderFactory(columnar)
@@ -505,7 +538,11 @@ private[shard] final case class ShardOffset(n: Int)
 
 /** The gshard MicroBatchStream: offsets index into the append-ordered
   * manifest; zone-map skipping still applies inside each batch slice
-  * (sound — every pushed filter stays residual). */
+  * (sound — every pushed filter stays residual). The manifest is read
+  * ONCE per trigger: `latestOffset` refreshes a cached copy and
+  * `planInputPartitions` plans against it (re-reading only if its
+  * range somehow exceeds the cache — a restart replaying offsets
+  * committed by an earlier process). */
 private[shard] class ShardMicroBatchStream(dir: String,
     fileSchema: StructType, required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int])
@@ -516,19 +553,25 @@ private[shard] class ShardMicroBatchStream(dir: String,
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset,
     ReadLimit, ReadMaxFiles}
 
-  private def entryCount: Int = ShardFormat.readManifest(dir).entries.size
+  @volatile private var cached: ShardFormat.Manifest = null
+
+  private def refresh(): ShardFormat.Manifest = {
+    val m = ShardFormat.readManifest(dir)
+    cached = m
+    m
+  }
 
   // AvailableNow contract: freeze the drain target at query start so
   // the bounded run still RESPECTS the per-trigger read limit
   // (without this Spark falls back to one unpaced batch)
   private var availableNowCap: Option[Int] = None
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(entryCount)
+    availableNowCap = Some(refresh().entries.size)
 
   override def initialOffset(): SOffset = ShardOffset(0)
   override def deserializeOffset(json: String): SOffset =
     ShardOffset(json.trim.toInt)
-  override def latestOffset(): SOffset = ShardOffset(entryCount)
+  override def latestOffset(): SOffset = ShardOffset(refresh().entries.size)
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles)
@@ -536,7 +579,7 @@ private[shard] class ShardMicroBatchStream(dir: String,
 
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
     val from = start.asInstanceOf[ShardOffset].n
-    val total = availableNowCap.getOrElse(entryCount)
+    val total = availableNowCap.getOrElse(refresh().entries.size)
     limit match {
       case f: ReadMaxFiles => ShardOffset(math.min(from + f.maxFiles, total))
       case _ => ShardOffset(total)
@@ -547,9 +590,16 @@ private[shard] class ShardMicroBatchStream(dir: String,
       end: SOffset): Array[InputPartition] = {
     val (a, b) = (start.asInstanceOf[ShardOffset].n,
       end.asInstanceOf[ShardOffset].n)
+    // one manifest read per trigger: latestOffset already cached a
+    // copy covering this batch's slice; only a restart replaying an
+    // offset range beyond the cache (committed by a previous process)
+    // forces a re-read
+    val m = cached match {
+      case c if c != null && c.entries.size >= b => c
+      case _ => refresh()
+    }
     val scan = new ShardScan(dir,
-      ShardFormat.Manifest(fileSchema,
-        ShardFormat.readManifest(dir).entries.slice(a, b)),
+      ShardFormat.Manifest(fileSchema, m.entries.slice(a, b)),
       required, pushed)
     scan.planInputPartitions()
   }
@@ -562,9 +612,12 @@ private[shard] class ShardMicroBatchStream(dir: String,
 }
 
 /** Serializable task payload: one shard file + the full file schema
-  * (name, typeName) + the columns to materialize. */
+  * (name, typeName) + the columns to materialize + the pushed
+  * conjuncts the reader may use for CHUNK skipping (sound: residual
+  * re-evaluation backs every skip). */
 private[shard] final case class ShardInputPartition(path: String,
-    fileSchema: Array[(String, String)], required: Array[String])
+    fileSchema: Array[(String, String)], required: Array[String],
+    filters: Array[Filter] = Array.empty)
   extends InputPartition
 
 private[shard] class ShardReaderFactory(columnar: Boolean = true)
@@ -581,10 +634,11 @@ private[shard] class ShardReaderFactory(columnar: Boolean = true)
 }
 
 /** Columnar reader: the decoded column arrays refill a fixed set of
-  * 4096-row on-heap vectors chunk by chunk — downstream operators
+  * 4096-row on-heap vectors batch by batch — downstream operators
   * consume `ColumnarBatch`es and Spark inserts the one
   * `ColumnarToRow` transition where rows are genuinely needed,
-  * instead of this reader materializing per-row `InternalRow`s. */
+  * instead of this reader materializing per-row `InternalRow`s.
+  * NULL slots surface through the vectors' null bits. */
 private[shard] class ShardColumnarReader(p: ShardInputPartition)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
@@ -596,8 +650,11 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
       ShardFormat.dataTypeOf(t)) })
   private val required = StructType(p.required.toIndexedSeq
     .map(n => fileSchema(n)))
-  private val (nRows, cols) =
-    ShardFormat.readShardFile(p.path, fileSchema, p.required.toIndexedSeq)
+  private val decoded =
+    ShardFormat.readShardFile(p.path, fileSchema, p.required.toIndexedSeq,
+      p.filters.toIndexedSeq)
+  private val nRows = decoded.nRows
+  private val cols = decoded.cols
 
   private val ChunkRows = 4096
   private val vectors = required.fields
@@ -617,16 +674,32 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
         case LongType =>
           var i = 0
           while (i < n) {
-            v.putLong(i, cols(c)(pos + i).asInstanceOf[Long]); i += 1 }
+            cols(c)(pos + i) match {
+              case null => v.putNull(i)
+              case x => v.putLong(i, x.asInstanceOf[Long])
+            }
+            i += 1
+          }
         case DoubleType =>
           var i = 0
           while (i < n) {
-            v.putDouble(i, cols(c)(pos + i).asInstanceOf[Double]); i += 1 }
+            cols(c)(pos + i) match {
+              case null => v.putNull(i)
+              case x => v.putDouble(i, x.asInstanceOf[Double])
+            }
+            i += 1
+          }
         case StringType =>
           var i = 0
           while (i < n) {
-            val b = cols(c)(pos + i).asInstanceOf[Array[Byte]]
-            v.putByteArray(i, b, 0, b.length); i += 1 }
+            cols(c)(pos + i) match {
+              case null => v.putNull(i)
+              case x =>
+                val b = x.asInstanceOf[Array[Byte]]
+                v.putByteArray(i, b, 0, b.length)
+            }
+            i += 1
+          }
         case other => throw new IllegalStateException(other.toString)
       }
       c += 1
@@ -647,8 +720,11 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
     case (n, t) => org.apache.spark.sql.types.StructField(n,
       ShardFormat.dataTypeOf(t))
   })
-  private val (nRows, cols) =
-    ShardFormat.readShardFile(p.path, schema, p.required.toIndexedSeq)
+  private val decoded =
+    ShardFormat.readShardFile(p.path, schema, p.required.toIndexedSeq,
+      p.filters.toIndexedSeq)
+  private val nRows = decoded.nRows
+  private val cols = decoded.cols
   private val isString: Array[Boolean] = p.required.map(n =>
     schema(n).dataType == StringType)
   private var i = -1
@@ -659,10 +735,12 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
     val values = new Array[Any](p.required.length)
     var c = 0
     while (c < values.length) {
-      values(c) =
-        if (isString(c))
-          UTF8String.fromBytes(cols(c)(i).asInstanceOf[Array[Byte]])
-        else cols(c)(i)
+      values(c) = cols(c)(i) match {
+        case null => null
+        case v if isString(c) =>
+          UTF8String.fromBytes(v.asInstanceOf[Array[Byte]])
+        case v => v
+      }
       c += 1
     }
     InternalRow.fromSeq(values.toIndexedSeq)

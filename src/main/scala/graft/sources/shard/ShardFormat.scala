@@ -1,14 +1,17 @@
 package graft.sources.shard
 
-import java.io.{BufferedOutputStream, DataInputStream, DataOutputStream,
-  FileInputStream, FileOutputStream}
+import java.io.{BufferedOutputStream, ByteArrayOutputStream, DataInputStream,
+  DataOutputStream, EOFException, FileInputStream, FileOutputStream}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
+import java.util.Base64
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 
 /** B20 — the `gshard` COLUMNAR shard format: the storage half of the
@@ -21,43 +24,70 @@ import org.apache.spark.sql.types._
   * disk, FILTER-pushdown file skipping over zone maps, partition
   * planning) against storage the engine owns end to end.
   *
-  * File layout (`part-<shard>.gshard`):
+  * File layout v2 (`part-<shard>.gshard`) — CHUNKED row groups, the
+  * parquet/ORC shape: the writer never holds more than one chunk
+  * (default 64k rows) in memory, and a selective reader skips whole
+  * chunks off their zone maps without decoding a byte of them:
   * {{{
-  *   magic "GSHD" | version INT | nRows INT | nCols INT
-  *   per column, in schema order:
-  *     byteLen LONG | encoded block
-  *       long / double : nRows × 8 bytes, big-endian
-  *       string        : (nRows+1) offset INTs, then UTF-8 bytes
+  *   magic "GSHD" | version INT | nCols INT
+  *   chunk*, until EOF:
+  *     nRows INT | restLen LONG      (restLen = zone header + columns)
+  *     zone header, one slot per LONG column in schema order:
+  *       hasValues BYTE | min LONG | max LONG   (non-null values only)
+  *     per column, in schema order:
+  *       byteLen LONG | encoded block:
+  *         null bitmap: ceil(nRows/8) bytes, bit set = NULL
+  *         long / double : nRows × 8 bytes (null slots carry 0)
+  *         string        : (nRows+1) offset INTs, then UTF-8 bytes
+  *                         (a null string is a zero-width slice)
   * }}}
   * Every column block is length-prefixed, so a reader materializes
-  * exactly the requested columns and `skipBytes` past the rest —
-  * column pruning as real IO savings, not a post-read projection.
+  * exactly the requested columns and skips past the rest — column
+  * pruning as real IO savings, not a post-read projection. Chunks are
+  * self-delimiting (clean EOF at a chunk boundary ends the file; EOF
+  * anywhere else is corruption and fails loudly — skips go through
+  * [[skipFully]], which can never spin on a truncated file).
   *
   * Sidecar `_manifest.gshard` (line-oriented, our own format so the
   * reader needs no JSON dependency):
   * {{{
-  *   gshard v1
+  *   gshard v2
   *   schema <name>:<long|double|string>,...
-  *   file <name> <rows> <col>=<min>:<max>;...   (long columns only)
+  *   txn <lastAppliedTxnId>                  (optional; append idempotence)
+  *   file <name> <rows> <zones>
+  *     zones ;-joined:  <col>=<min>:<max>        long, decimal
+  *                      <col>#<b64min>:<b64max>  string, base64(UTF-8)
   * }}}
   * The per-file min/max entries are the ZONE MAPS the scan builder
   * prunes with — false-negative-free by construction (a file's map
-  * covers every value it holds), so skipping is always sound and the
-  * residual filter Spark re-applies keeps results exact.
+  * covers every NON-NULL value it holds; a filter comparison against
+  * NULL is never true, so null rows can never be the reason a file
+  * must survive), so skipping is always sound and the residual filter
+  * Spark re-applies keeps results exact. String bounds use UNSIGNED
+  * BYTE order — the same order `UTF8String.compareTo` gives Spark's
+  * string comparisons, so the pruning decision and the residual
+  * evaluation agree on ordering by construction.
   *
   * Shards are RANGE-assigned on a caller-named cluster column
   * (deterministic width from the driver-side min/max — one
   * metadata-scale agg), so selective predicates on that column prune
   * most files; rows sort within shard for deterministic bytes. At
   * 100 TB the writer shape holds: one range shuffle, each task
-  * streams its shard out; only the ≤ nShards stat rows return to the
-  * driver. (Local-FS writes here; a production deploy swaps the
-  * stream target for an object store and a commit protocol.)
+  * streams its shard out chunk by chunk (peak memory = one chunk, not
+  * one shard); only the ≤ nShards stat rows return to the driver.
+  * (Local-FS writes here; a production deploy swaps the stream target
+  * for an object store and a commit protocol.)
   */
 object ShardFormat {
 
   val Magic = 0x47534844 // "GSHD"
-  val Version = 1
+  val Version = 2
+  val DefaultChunkRows = 65536
+
+  /** Manifest parses this process performed — the observability hook
+    * the per-trigger-caching spec counts (a streaming source must not
+    * re-read the manifest once per planning call). */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def typeTag(dt: DataType): String = dt match {
     case LongType => "long"
@@ -73,16 +103,34 @@ object ShardFormat {
     case "string" => StringType
   }
 
-  /** One manifest entry: a shard file plus its long-column zone maps. */
-  final case class ShardEntry(file: String, rows: Long,
-      zMin: Map[String, Long], zMax: Map[String, Long])
+  private[graft] def b64(bytes: Array[Byte]): String =
+    Base64.getEncoder.encodeToString(bytes)
+  private[graft] def unb64(s: String): Array[Byte] =
+    Base64.getDecoder.decode(s)
 
-  final case class Manifest(schema: StructType, entries: Seq[ShardEntry])
+  /** One manifest entry: a shard file plus its zone maps — long
+    * columns as (min, max) longs, string columns as base64(UTF-8)
+    * bounds in unsigned-byte order. A column ABSENT from the maps
+    * held no non-null value in the file (or predates the map);
+    * pruning keeps such files. */
+  final case class ShardEntry(file: String, rows: Long,
+      zMin: Map[String, Long], zMax: Map[String, Long],
+      sMin: Map[String, String] = Map.empty,
+      sMax: Map[String, String] = Map.empty)
+
+  final case class Manifest(schema: StructType, entries: Seq[ShardEntry],
+      lastTxn: Long = -1L)
+
+  /** Per-file writer stats, reported from tasks to the manifest. */
+  final case class ShardStats(rows: Long,
+      zMin: Map[String, Long], zMax: Map[String, Long],
+      sMin: Map[String, String], sMax: Map[String, String])
 
   /** Write `df` as `nShards` range-clustered shard files + manifest.
-    * `rangeCol` must be a long column; all columns long/double/string. */
+    * `rangeCol` must be a non-null long column; all columns
+    * long/double/string (nullable — nulls roundtrip exactly). */
   def write(df: DataFrame, dir: String, rangeCol: String,
-      nShards: Int): Manifest = {
+      nShards: Int, chunkRows: Int = DefaultChunkRows): Manifest = {
     val schema = df.schema
     schema.fields.foreach(f => typeTag(f.dataType)) // validate early
     require(schema(rangeCol).dataType == LongType,
@@ -105,8 +153,6 @@ object ShardFormat {
     val width = math.max(1L, (hi - lo) / nShards + 1)
 
     val names = schema.fieldNames.toSeq
-    val spark = df.sparkSession
-    import spark.implicits._
     val statRows = df
       // integer DIV, not double division: a double quotient loses
       // exactness past 2^53 and would misassign shards at key scale
@@ -115,12 +161,13 @@ object ShardFormat {
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard") +: names.map(col): _*)
       .mapPartitions { it =>
-        writeTaskShards(it, dir, schema)
+        writeTaskShards(it, dir, schema, chunkRows)
       }(Encoders.stats)
       .collect()
 
-    val entries = statRows.sortBy(_._1).map { case (file, rows, mins, maxs) =>
-      ShardEntry(file, rows, mins, maxs)
+    val entries = statRows.sortBy(_._1).map {
+      case (file, rows, mins, maxs, smins, smaxs) =>
+        ShardEntry(file, rows, mins, maxs, smins, smaxs)
     }.toSeq
     val manifest = Manifest(schema, entries)
     writeManifest(dir, manifest)
@@ -130,86 +177,247 @@ object ShardFormat {
   private object Encoders {
     import org.apache.spark.sql.Encoder
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    implicit val stats: Encoder[(String, Long, Map[String, Long], Map[String, Long])] =
+    implicit val stats: Encoder[(String, Long, Map[String, Long],
+        Map[String, Long], Map[String, String], Map[String, String])] =
       ExpressionEncoder()
   }
 
   /** Executor side: stream this task's rows (sorted by `__shard`) into
-    * one file per shard id, building zone maps on the fly. */
+    * one file per shard id through the chunked writer — peak memory is
+    * one chunk, regardless of shard size. */
   private def writeTaskShards(
-      it: Iterator[Row], dir: String, schema: StructType)
-      : Iterator[(String, Long, Map[String, Long], Map[String, Long])] = {
+      it: Iterator[Row], dir: String, schema: StructType, chunkRows: Int)
+      : Iterator[(String, Long, Map[String, Long], Map[String, Long],
+        Map[String, String], Map[String, String])] = {
     val nCols = schema.length
-    val longCols = schema.fields.zipWithIndex
-      .collect { case (f, i) if f.dataType == LongType => (f.name, i) }
-    val out = mutable.ArrayBuffer
-      .empty[(String, Long, Map[String, Long], Map[String, Long])]
+    val out = mutable.ArrayBuffer.empty[(String, Long, Map[String, Long],
+      Map[String, Long], Map[String, String], Map[String, String])]
 
     var shard = -1
-    var rows = mutable.ArrayBuffer.empty[Row]
-    def flush(): Unit = if (shard >= 0 && rows.nonEmpty) {
-      val file = f"part-$shard%05d.gshard"
-      writeShardFile(s"$dir/$file", schema, rows)
-      val mins = longCols.map { case (n, i) =>
-        n -> rows.iterator.map(_.getLong(i)).min }.toMap
-      val maxs = longCols.map { case (n, i) =>
-        n -> rows.iterator.map(_.getLong(i)).max }.toMap
-      out += ((file, rows.length.toLong, mins, maxs))
-      rows = mutable.ArrayBuffer.empty[Row]
+    var writer: ShardFileWriter = null
+    var file: String = null
+    def flush(): Unit = if (writer != null) {
+      val stats = writer.close()
+      if (stats.rows > 0)
+        out += ((file, stats.rows, stats.zMin, stats.zMax,
+          stats.sMin, stats.sMax))
+      writer = null
     }
     it.foreach { r =>
+      require(!r.isNullAt(nCols),
+        "gshard: range column must be non-null")
       val s = r.getInt(nCols) // trailing __shard column
-      if (s != shard) { flush(); shard = s }
-      rows += r
+      if (s != shard) {
+        flush(); shard = s
+        file = f"part-$shard%05d.gshard"
+        writer = new ShardFileWriter(s"$dir/$file", schema, chunkRows)
+      }
+      val values = new Array[Any](nCols)
+      var i = 0
+      while (i < nCols) {
+        values(i) =
+          if (r.isNullAt(i)) null
+          else schema(i).dataType match {
+            case LongType => r.getLong(i)
+            case DoubleType => r.getDouble(i)
+            case StringType => r.getString(i).getBytes(StandardCharsets.UTF_8)
+            case other => throw new IllegalStateException(other.toString)
+          }
+        i += 1
+      }
+      writer.add(values)
     }
     flush()
     out.iterator
   }
 
-  private def writeShardFile(path: String, schema: StructType,
-      rows: mutable.ArrayBuffer[Row]): Unit =
-    writeShardValues(path, schema, rows.length,
-      (r, i) => schema(i).dataType match {
-        case LongType => rows(r).getLong(i)
-        case DoubleType => rows(r).getDouble(i)
-        case StringType =>
-          rows(r).getString(i).getBytes(StandardCharsets.UTF_8)
-        case other => throw new IllegalStateException(other.toString)
-      })
+  /** Streaming chunked shard-file writer: callers [[add]] one row at a
+    * time as `Array[Any]` (Long / Double / UTF-8 `Array[Byte]` / null
+    * per the schema); a chunk flushes to disk every `chunkRows` rows,
+    * so writer memory is bounded by the chunk, not the shard — the
+    * property that lets a DSv2 write task emit an arbitrarily large
+    * range partition. [[close]] returns the file-level zone maps
+    * (non-null values only; an all-null column is absent from them).
+    */
+  private[shard] final class ShardFileWriter(path: String,
+      schema: StructType, chunkRows: Int = DefaultChunkRows) {
+    require(chunkRows > 0, s"chunkRows must be positive: $chunkRows")
 
-  /** Shared block encoder (the manual writer and the DSv2 DataWriter
-    * both stream through it): `value(row, col)` yields Long / Double /
-    * UTF-8 Array[Byte] per the schema. */
-  private[shard] def writeShardValues(path: String, schema: StructType,
-      nRows: Int, value: (Int, Int) => Any): Unit = {
-    val dos = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
-    try {
-      dos.writeInt(Magic); dos.writeInt(Version)
-      dos.writeInt(nRows); dos.writeInt(schema.length)
-      schema.fields.zipWithIndex.foreach { case (f, i) =>
-        f.dataType match {
+    private val nCols = schema.length
+    private val longIdx = schema.fields.zipWithIndex
+      .collect { case (f, i) if f.dataType == LongType => i }
+    private val strIdx = schema.fields.zipWithIndex
+      .collect { case (f, i) if f.dataType == StringType => i }
+
+    // file-level zone state, folded over chunks
+    private val fLongHas = new Array[Boolean](longIdx.length)
+    private val fLongMin = new Array[Long](longIdx.length)
+    private val fLongMax = new Array[Long](longIdx.length)
+    private val fStrHas = new Array[Boolean](strIdx.length)
+    private val fStrMin = new Array[Array[Byte]](strIdx.length)
+    private val fStrMax = new Array[Array[Byte]](strIdx.length)
+
+    private var totalRows = 0L
+    private val buf = new mutable.ArrayBuffer[Array[Any]](chunkRows)
+    private var dos: DataOutputStream = null
+
+    def add(values: Array[Any]): Unit = {
+      buf += values
+      if (buf.length >= chunkRows) flushChunk()
+    }
+
+    private def open(): Unit = if (dos == null) {
+      dos = new DataOutputStream(
+        new BufferedOutputStream(new FileOutputStream(path), 1 << 16))
+      dos.writeInt(Magic); dos.writeInt(Version); dos.writeInt(nCols)
+    }
+
+    private def flushChunk(): Unit = {
+      if (buf.isEmpty) return
+      open()
+      val n = buf.length
+      val body = new ByteArrayOutputStream(1 << 16)
+      val bdos = new DataOutputStream(body)
+      // zone header: one slot per long column, non-null values only
+      longIdx.foreach { i =>
+        var mn = Long.MaxValue; var mx = Long.MinValue; var has = false
+        var r = 0
+        while (r < n) {
+          val v = buf(r)(i)
+          if (v != null) {
+            val l = v.asInstanceOf[Long]
+            if (!has || l < mn) mn = l
+            if (!has || l > mx) mx = l
+            has = true
+          }
+          r += 1
+        }
+        bdos.writeByte(if (has) 1 else 0)
+        bdos.writeLong(if (has) mn else 0L)
+        bdos.writeLong(if (has) mx else 0L)
+      }
+      // column blocks: null bitmap + values
+      var c = 0
+      while (c < nCols) {
+        val bitmap = new Array[Byte]((n + 7) / 8)
+        var r = 0
+        while (r < n) {
+          if (buf(r)(c) == null)
+            bitmap(r >> 3) = (bitmap(r >> 3) | (1 << (r & 7))).toByte
+          r += 1
+        }
+        schema(c).dataType match {
           case LongType =>
-            dos.writeLong(8L * nRows)
-            var r = 0
-            while (r < nRows) { dos.writeLong(value(r, i).asInstanceOf[Long]); r += 1 }
+            bdos.writeLong(bitmap.length + 8L * n)
+            bdos.write(bitmap)
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              bdos.writeLong(if (v == null) 0L else v.asInstanceOf[Long])
+              r += 1
+            }
           case DoubleType =>
-            dos.writeLong(8L * nRows)
-            var r = 0
-            while (r < nRows) { dos.writeDouble(value(r, i).asInstanceOf[Double]); r += 1 }
+            bdos.writeLong(bitmap.length + 8L * n)
+            bdos.write(bitmap)
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              bdos.writeDouble(if (v == null) 0.0 else v.asInstanceOf[Double])
+              r += 1
+            }
           case StringType =>
-            val bytes = (0 until nRows).map(r =>
-              value(r, i).asInstanceOf[Array[Byte]])
-            val total = bytes.iterator.map(_.length.toLong).sum
-            dos.writeLong(4L * (nRows + 1) + total)
+            var total = 0L
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              if (v != null) total += v.asInstanceOf[Array[Byte]].length
+              r += 1
+            }
+            bdos.writeLong(bitmap.length + 4L * (n + 1) + total)
+            bdos.write(bitmap)
             var off = 0
-            dos.writeInt(0)
-            bytes.foreach { b => off += b.length; dos.writeInt(off) }
-            bytes.foreach(dos.write)
+            bdos.writeInt(0)
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              if (v != null) off += v.asInstanceOf[Array[Byte]].length
+              bdos.writeInt(off)
+              r += 1
+            }
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              if (v != null) bdos.write(v.asInstanceOf[Array[Byte]])
+              r += 1
+            }
           case other => throw new IllegalStateException(other.toString)
         }
+        c += 1
       }
-    } finally dos.close()
+      bdos.flush()
+      dos.writeInt(n)
+      dos.writeLong(body.size().toLong)
+      body.writeTo(dos)
+      // fold this chunk into the file-level zone maps
+      var li = 0
+      while (li < longIdx.length) {
+        val i = longIdx(li)
+        var r = 0
+        while (r < n) {
+          val v = buf(r)(i)
+          if (v != null) {
+            val l = v.asInstanceOf[Long]
+            if (!fLongHas(li) || l < fLongMin(li)) fLongMin(li) = l
+            if (!fLongHas(li) || l > fLongMax(li)) fLongMax(li) = l
+            fLongHas(li) = true
+          }
+          r += 1
+        }
+        li += 1
+      }
+      var si = 0
+      while (si < strIdx.length) {
+        val i = strIdx(si)
+        var r = 0
+        while (r < n) {
+          val v = buf(r)(i)
+          if (v != null) {
+            val b = v.asInstanceOf[Array[Byte]]
+            if (!fStrHas(si) ||
+                java.util.Arrays.compareUnsigned(b, fStrMin(si)) < 0)
+              fStrMin(si) = b
+            if (!fStrHas(si) ||
+                java.util.Arrays.compareUnsigned(b, fStrMax(si)) > 0)
+              fStrMax(si) = b
+            fStrHas(si) = true
+          }
+          r += 1
+        }
+        si += 1
+      }
+      totalRows += n
+      buf.clear()
+    }
+
+    /** Flush the tail chunk and return the file's stats. A writer that
+      * never saw a row leaves NO file behind (rows=0). */
+    def close(): ShardStats = {
+      flushChunk()
+      if (dos != null) dos.close()
+      val zMin = longIdx.indices.collect {
+        case li if fLongHas(li) => schema(longIdx(li)).name -> fLongMin(li)
+      }.toMap
+      val zMax = longIdx.indices.collect {
+        case li if fLongHas(li) => schema(longIdx(li)).name -> fLongMax(li)
+      }.toMap
+      val sMin = strIdx.indices.collect {
+        case si if fStrHas(si) => schema(strIdx(si)).name -> b64(fStrMin(si))
+      }.toMap
+      val sMax = strIdx.indices.collect {
+        case si if fStrHas(si) => schema(strIdx(si)).name -> b64(fStrMax(si))
+      }.toMap
+      ShardStats(totalRows, zMin, zMax, sMin, sMax)
+    }
   }
 
   private[graft] def hasManifest(dir: String): Boolean =
@@ -217,92 +425,236 @@ object ShardFormat {
 
   private[shard] def writeManifest(dir: String, m: Manifest): Unit = {
     val sb = new StringBuilder
-    sb.append("gshard v1\n")
+    sb.append("gshard v2\n")
     sb.append("schema ").append(m.schema.fields
       .map(f => s"${f.name}:${typeTag(f.dataType)}").mkString(",")).append('\n')
+    if (m.lastTxn >= 0L) sb.append(s"txn ${m.lastTxn}\n")
     m.entries.foreach { e =>
-      val z = e.zMin.keys.toSeq.sorted
-        .map(c => s"$c=${e.zMin(c)}:${e.zMax(c)}").mkString(";")
-      sb.append(s"file ${e.file} ${e.rows} $z\n")
+      val longs = e.zMin.keys.toSeq.sorted
+        .map(c => s"$c=${e.zMin(c)}:${e.zMax(c)}")
+      val strs = e.sMin.keys.toSeq.sorted
+        .map(c => s"$c#${e.sMin(c)}:${e.sMax(c)}")
+      sb.append(s"file ${e.file} ${e.rows} ${(longs ++ strs).mkString(";")}\n")
     }
     Files.write(Paths.get(dir, "_manifest.gshard"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
   }
 
   def readManifest(dir: String): Manifest = {
+    manifestReads.incrementAndGet()
     val lines = Files.readAllLines(Paths.get(dir, "_manifest.gshard"))
-    require(lines.get(0) == "gshard v1", s"bad manifest header: ${lines.get(0)}")
+    require(lines.get(0) == "gshard v2" || lines.get(0) == "gshard v1",
+      s"bad manifest header: ${lines.get(0)}")
     val schema = StructType(lines.get(1).stripPrefix("schema ").split(",")
       .filter(_.nonEmpty).toIndexedSeq.map { s =>
         val Array(n, t) = s.split(":")
         StructField(n, dataTypeOf(t))
       })
     import scala.jdk.CollectionConverters._
-    val entries = lines.asScala.drop(2).filter(_.startsWith("file ")).map { l =>
+    val rest = lines.asScala.drop(2)
+    val lastTxn = rest.find(_.startsWith("txn "))
+      .map(_.stripPrefix("txn ").trim.toLong).getOrElse(-1L)
+    val entries = rest.filter(_.startsWith("file ")).map { l =>
       val parts = l.split(" ")
       val (file, rows) = (parts(1), parts(2).toLong)
-      val zs = if (parts.length > 3 && parts(3).nonEmpty)
-        parts(3).split(";").toSeq.map { kv =>
-          val Array(c, mm) = kv.split("=")
-          val Array(mn, mx) = mm.split(":")
-          (c, mn.toLong, mx.toLong)
-        } else Seq.empty
-      ShardEntry(file, rows,
-        zs.map(z => z._1 -> z._2).toMap, zs.map(z => z._1 -> z._3).toMap)
+      var zMin = Map.empty[String, Long]; var zMax = Map.empty[String, Long]
+      var sMin = Map.empty[String, String]; var sMax = Map.empty[String, String]
+      if (parts.length > 3 && parts(3).nonEmpty)
+        parts(3).split(";").foreach { kv =>
+          val eq = kv.indexOf('='); val hs = kv.indexOf('#')
+          if (eq >= 0 && (hs < 0 || eq < hs)) {
+            val c = kv.substring(0, eq)
+            val Array(mn, mx) = kv.substring(eq + 1).split(":")
+            zMin += c -> mn.toLong; zMax += c -> mx.toLong
+          } else {
+            val c = kv.substring(0, hs)
+            // base64 never contains ':', so the first split is exact
+            val Array(mn, mx) = kv.substring(hs + 1).split(":", 2)
+            sMin += c -> mn; sMax += c -> mx
+          }
+        }
+      ShardEntry(file, rows, zMin, zMax, sMin, sMax)
     }.toSeq
-    Manifest(schema, entries)
+    Manifest(schema, entries, lastTxn)
+  }
+
+  /** EOF-safe skip: `InputStream.skip` may legally return 0 forever
+    * (and does at EOF), so a truncated or corrupt file must FAIL, not
+    * hang — any shortfall falls back to `read()` and a -1 there is a
+    * loud EOFException. */
+  private def skipFully(dis: DataInputStream, n: Long): Unit = {
+    var toSkip = n
+    while (toSkip > 0) {
+      val s = dis.skip(toSkip)
+      if (s > 0) toSkip -= s
+      else if (dis.read() == -1)
+        throw new EOFException(s"gshard: truncated file ($toSkip bytes missing)")
+      else toSkip -= 1
+    }
+  }
+
+  /** Decoded shard columns plus the chunk-skipping audit trail. */
+  final case class Decoded(nRows: Int, cols: Array[Array[Any]],
+      chunksRead: Int, chunksTotal: Int)
+
+  /** Sound zone test shared by file- and chunk-level pruning: may a
+    * region with these LONG bounds contain a row satisfying ALL the
+    * conjuncts? Columns without bounds (all-null or unknown) and
+    * unrecognized filter shapes always admit — every filter is
+    * residual, so admitting too much only costs IO. NULL semantics
+    * make ignoring null rows sound: a comparison to NULL is never
+    * true, so nulls can't be the reason a region must survive. */
+  private[shard] def longZoneAdmits(filters: Seq[Filter],
+      has: String => Boolean, lo: String => Long, hi: String => Long)
+      : Boolean =
+    filters.forall {
+      case EqualTo(c, v: Long) if has(c) => lo(c) <= v && v <= hi(c)
+      case GreaterThan(c, v: Long) if has(c) => hi(c) > v
+      case GreaterThanOrEqual(c, v: Long) if has(c) => hi(c) >= v
+      case LessThan(c, v: Long) if has(c) => lo(c) < v
+      case LessThanOrEqual(c, v: Long) if has(c) => lo(c) <= v
+      case In(c, vs) if has(c) && vs.nonEmpty => vs.exists {
+        case v: Long => lo(c) <= v && v <= hi(c)
+        case _ => true
+      }
+      case _ => true
+    }
+
+  /** The string twin of [[longZoneAdmits]], over unsigned-byte bounds
+    * (the `UTF8String` comparison order Spark itself evaluates string
+    * predicates in — pruning and residual agree by construction). */
+  private[shard] def stringZoneAdmits(filters: Seq[Filter],
+      has: String => Boolean, lo: String => Array[Byte],
+      hi: String => Array[Byte]): Boolean = {
+    def bytes(v: String) = v.getBytes(StandardCharsets.UTF_8)
+    def cmp(a: Array[Byte], b: Array[Byte]) =
+      java.util.Arrays.compareUnsigned(a, b)
+    filters.forall {
+      case EqualTo(c, v: String) if has(c) =>
+        cmp(lo(c), bytes(v)) <= 0 && cmp(bytes(v), hi(c)) <= 0
+      case GreaterThan(c, v: String) if has(c) => cmp(hi(c), bytes(v)) > 0
+      case GreaterThanOrEqual(c, v: String) if has(c) =>
+        cmp(hi(c), bytes(v)) >= 0
+      case LessThan(c, v: String) if has(c) => cmp(lo(c), bytes(v)) < 0
+      case LessThanOrEqual(c, v: String) if has(c) =>
+        cmp(lo(c), bytes(v)) <= 0
+      case In(c, vs) if has(c) && vs.nonEmpty => vs.exists {
+        case v: String =>
+          cmp(lo(c), bytes(v)) <= 0 && cmp(bytes(v), hi(c)) <= 0
+        case _ => true
+      }
+      case _ => true
+    }
   }
 
   /** Decode one shard file, materializing ONLY `required` columns
-    * (others are skipped via their length prefix). Returns columns in
-    * `required` order as value arrays; strings come back as raw UTF-8
-    * byte arrays so the caller can wrap them zero-copy. */
+    * (others are skipped via their length prefix) from only the
+    * chunks whose zone maps admit `filters` (chunk skipping — the
+    * intra-file analog of manifest file skipping; sound because every
+    * filter is residual). Returns columns in `required` order as
+    * value arrays; strings come back as raw UTF-8 byte arrays so the
+    * caller can wrap them zero-copy; NULL slots are `null`. */
   def readShardFile(path: String, schema: StructType,
-      required: Seq[String]): (Int, Array[Array[Any]]) = {
+      required: Seq[String], filters: Seq[Filter] = Nil): Decoded = {
     val want = required.zipWithIndex.toMap
-    val cols = new Array[Array[Any]](required.length)
+    val longNames = schema.fields.filter(_.dataType == LongType).map(_.name)
+    val chunks = mutable.ArrayBuffer.empty[(Int, Array[Array[Any]])]
+    var chunksTotal = 0
     val dis = new DataInputStream(
       new java.io.BufferedInputStream(new FileInputStream(path), 1 << 16))
     try {
       require(dis.readInt() == Magic, s"bad magic in $path")
       require(dis.readInt() == Version, s"bad version in $path")
-      val nRows = dis.readInt()
       val nCols = dis.readInt()
       require(nCols == schema.length,
         s"file/schema column count mismatch in $path")
-      schema.fields.foreach { f =>
-        val len = dis.readLong()
-        want.get(f.name) match {
-          case None =>
-            var toSkip = len
-            while (toSkip > 0) toSkip -= dis.skip(toSkip)
-          case Some(outIdx) =>
-            val arr = new Array[Any](nRows)
-            f.dataType match {
-              case LongType =>
-                var i = 0
-                while (i < nRows) { arr(i) = dis.readLong(); i += 1 }
-              case DoubleType =>
-                var i = 0
-                while (i < nRows) { arr(i) = dis.readDouble(); i += 1 }
-              case StringType =>
-                val offs = new Array[Int](nRows + 1)
-                var i = 0
-                while (i <= nRows) { offs(i) = dis.readInt(); i += 1 }
-                val bytes = new Array[Byte](offs(nRows))
-                dis.readFully(bytes)
-                i = 0
-                while (i < nRows) {
-                  arr(i) = java.util.Arrays
-                    .copyOfRange(bytes, offs(i), offs(i + 1))
-                  i += 1
-                }
-              case other => throw new IllegalStateException(other.toString)
+      val zoneLen = 17L * longNames.length
+      var done = false
+      while (!done) {
+        // chunks are self-delimiting: clean EOF on the first header
+        // byte ends the file; EOF anywhere inside a chunk is corruption
+        val b0 = dis.read()
+        if (b0 == -1) done = true
+        else {
+          val nRows = (b0 << 24) | (dis.readUnsignedByte() << 16) |
+            (dis.readUnsignedByte() << 8) | dis.readUnsignedByte()
+          val restLen = dis.readLong()
+          chunksTotal += 1
+          val zHas = mutable.Map.empty[String, (Long, Long)]
+          longNames.foreach { n =>
+            val has = dis.readByte() != 0
+            val mn = dis.readLong(); val mx = dis.readLong()
+            if (has) zHas(n) = (mn, mx)
+          }
+          val admit = longZoneAdmits(filters.toSeq,
+            zHas.contains, zHas(_)._1, zHas(_)._2)
+          if (!admit) skipFully(dis, restLen - zoneLen)
+          else {
+            val cols = new Array[Array[Any]](required.length)
+            val bitmapLen = (nRows + 7) / 8
+            schema.fields.foreach { f =>
+              val len = dis.readLong()
+              want.get(f.name) match {
+                case None => skipFully(dis, len)
+                case Some(outIdx) =>
+                  val bitmap = new Array[Byte](bitmapLen)
+                  dis.readFully(bitmap)
+                  def isNull(r: Int): Boolean =
+                    (bitmap(r >> 3) & (1 << (r & 7))) != 0
+                  val arr = new Array[Any](nRows)
+                  f.dataType match {
+                    case LongType =>
+                      var i = 0
+                      while (i < nRows) {
+                        val v = dis.readLong()
+                        arr(i) = if (isNull(i)) null else v
+                        i += 1
+                      }
+                    case DoubleType =>
+                      var i = 0
+                      while (i < nRows) {
+                        val v = dis.readDouble()
+                        arr(i) = if (isNull(i)) null else v
+                        i += 1
+                      }
+                    case StringType =>
+                      val offs = new Array[Int](nRows + 1)
+                      var i = 0
+                      while (i <= nRows) { offs(i) = dis.readInt(); i += 1 }
+                      val bytes = new Array[Byte](offs(nRows))
+                      dis.readFully(bytes)
+                      i = 0
+                      while (i < nRows) {
+                        arr(i) =
+                          if (isNull(i)) null
+                          else java.util.Arrays
+                            .copyOfRange(bytes, offs(i), offs(i + 1))
+                        i += 1
+                      }
+                    case other =>
+                      throw new IllegalStateException(other.toString)
+                  }
+                  cols(outIdx) = arr
+              }
             }
-            cols(outIdx) = arr
+            chunks += ((nRows, cols))
+          }
         }
       }
-      (nRows, cols)
     } finally dis.close()
+    // concatenate surviving chunks into the flat column arrays
+    val total = chunks.iterator.map(_._1).sum
+    val out = new Array[Array[Any]](required.length)
+    var c = 0
+    while (c < required.length) {
+      val arr = new Array[Any](total)
+      var pos = 0
+      chunks.foreach { case (n, cols) =>
+        System.arraycopy(cols(c), 0, arr, pos, n); pos += n
+      }
+      out(c) = arr
+      c += 1
+    }
+    Decoded(total, out, chunks.length, chunksTotal)
   }
 }

@@ -1077,8 +1077,11 @@ object Streaming {
     * connector's append path inside `foreachBatch` (Spark plans the
     * range exchange per batch from the write's required distribution;
     * the manifest merge publishes each batch atomically, and the
-    * batch-id idempotence a restart needs comes from `foreachBatch`'s
-    * replay contract plus overwrite-on-first-batch). The readout
+    * batch-id idempotence a restart needs is REAL: the batch id rides
+    * the write as its `txnid`, the manifest records the last applied
+    * id, and a replayed append commit no-ops instead of
+    * double-appending — the Delta txnAppId/txnVersion pattern at the
+    * connector's commit point). The readout
     * scans the finished table back through the connector. Shares the
     * raw-events rollup oracle with the batch path — stream/batch
     * equivalence pair #24. */
@@ -1121,7 +1124,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.format("gshard").option("rangecol", "user_id")
-          .option("shards", 8)
+          .option("shards", 8).option("txnid", batchId)
           .mode(if (batchId == 0L) "overwrite" else "append").save(dir)
         ()
       }

@@ -946,4 +946,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("files=0/"), s"a shard file was planned:\n$p")
   }
 
+  test("q_shard_scan_string: STRING zone maps prune files at planning time") {
+    val p = plan(graft.sources.SourceOps.qShardScanString(tables))
+    assert(p.contains("gshard"), s"not reading through the connector:\n$p")
+    assert(p.contains("PushedFilters: [LessThan(user_tag"),
+      s"string filter not pushed:\n$p")
+    val desc = p.linesIterator.find(_.contains("files=")).getOrElse("")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"no pruning readout in scan description:\n$p")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"string zone maps pruned nothing: $desc")
+  }
+
 }
