@@ -734,8 +734,12 @@ object Streaming {
     // pointer commit, per-batch txn idempotence) — the r11 "a
     // Delta/Iceberg MERGE target in production" claim as tested code
     // instead of a comment; each micro-batch is one MERGE INTO
+    // BUCKETED on the merge key (8 sub-tables): each daily merge
+    // rewrites only the buckets whose users the CDC day touched, so
+    // commit bytes scale with the change, not the dimension — the
+    // Delta/Iceberg data-skipping-merge shape (spec-pinned)
     val target = graft.sources.MergeTarget.create(t.spark,
-      SourceOps.staging(s"stream_scd2_target_$tag"), dim)
+      SourceOps.staging(s"stream_scd2_target_$tag"), dim, "user_id", 8)
     val q = incStream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>

@@ -100,6 +100,98 @@ class MergeTargetSpec extends SparkSpec {
     assert(t.version == 4L)
   }
 
+  // ── bucketed targets: commit cost scales with the touched buckets ──
+
+  private def mkBucketed(name: String, nBuckets: Int): MergeTarget = {
+    val sess = spark
+    import sess.implicits._
+    // keys 0..63 spread over the hash buckets
+    val init = (0L until 64L).map(k => (k, k * 10L)).toDF("k", "v")
+    MergeTarget.create(spark, SourceOps.staging(name), init, "k", nBuckets)
+  }
+
+  private def bucketFiles(name: String): Map[String, Set[String]] = {
+    val root = new java.io.File(SourceOps.staging(name))
+    root.listFiles().filter(_.getName.startsWith("b=")).flatMap { b =>
+      b.listFiles().filter(_.getName.startsWith("v=")).map { v =>
+        s"${b.getName}/${v.getName}" ->
+          Option(v.listFiles()).map(_.map(_.getName).toSet)
+            .getOrElse(Set.empty[String])
+      }
+    }.toMap
+  }
+
+  test("bucketed merge rewrites ONLY the touched buckets' directories") {
+    val sess = spark
+    import sess.implicits._
+    val t = mkBucketed("mt_buck", 4)
+    val before = bucketFiles("mt_buck")
+    assert(before.keySet == (0 until 4).map(b => s"b=$b/v=0").toSet)
+    // one source key -> exactly one touched bucket
+    assert(t.merge(0L)(upsert)(Seq((7L, 777L)).toDF("k", "v")))
+    val after = bucketFiles("mt_buck")
+    val newDirs = after.keySet -- before.keySet
+    assert(newDirs.size == 1, s"expected ONE new bucket version: $newDirs")
+    // untouched buckets: directories byte-identical (same file lists,
+    // nothing rewritten) — commit bytes scaled with the change
+    before.keySet.foreach { d =>
+      assert(after(d) == before(d), s"untouched dir $d was rewritten")
+    }
+    // and the table is still value-exact
+    val got = t.read().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got(7L) == 777L && got(8L) == 80L && got.size == 64)
+  }
+
+  test("bucketed merges reproduce the unbucketed result key for key") {
+    val sess = spark
+    import sess.implicits._
+    val t1 = mkBucketed("mt_buck_eq", 4)
+    val init = (0L until 64L).map(k => (k, k * 10L)).toDF("k", "v")
+    val t0 = MergeTarget.create(spark, SourceOps.staging("mt_flat_eq"), init)
+    val batches = Seq(
+      Seq((3L, 1000L), (17L, 1001L)),
+      Seq((3L, 1002L), (64L, 1003L)), // 64 = brand-new key
+      Seq((40L, 1004L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val src = b.toDF("k", "v")
+      assert(t1.merge(i.toLong)(upsert)(src))
+      assert(t0.merge(i.toLong)(upsert)(src))
+    }
+    def rows(t: MergeTarget) =
+      t.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(t1) == rows(t0))
+    assert(t1.version == t0.version)
+  }
+
+  test("bucketed time travel pins every committed snapshot exactly") {
+    val sess = spark
+    import sess.implicits._
+    val t = mkBucketed("mt_buck_tt", 4)
+    assert(t.merge(0L)(upsert)(Seq((1L, 111L)).toDF("k", "v")))
+    assert(t.merge(1L)(upsert)(Seq((2L, 222L)).toDF("k", "v")))
+    def at(v: Long) = t.readVersion(v).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(at(0L)(1L) == 10L && at(0L)(2L) == 20L)
+    assert(at(1L)(1L) == 111L && at(1L)(2L) == 20L)
+    assert(at(2L)(1L) == 111L && at(2L)(2L) == 222L)
+    // vacuum keeps shared directories a retained snapshot still needs
+    assert(t.vacuum(keep = 2) == Seq(0L))
+    intercept[IllegalArgumentException](t.readVersion(0L))
+    assert(at(1L)(1L) == 111L && at(2L)(2L) == 222L)
+  }
+
+  test("bucketed replayed batch ids are no-ops") {
+    val sess = spark
+    import sess.implicits._
+    val t = mkBucketed("mt_buck_idem", 4)
+    assert(t.merge(0L)(upsert)(Seq((5L, 555L)).toDF("k", "v")))
+    val v1 = t.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!t.merge(0L)(upsert)(Seq((5L, 999L)).toDF("k", "v")))
+    assert(t.version == 1L)
+    assert(t.read().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == v1)
+  }
+
   test("pointer flip is a same-directory atomic rename, not a rewrite") {
     val (t, _) = mkTarget("mt_pointer")
     t.merge(0L)(upsert)(t.read())

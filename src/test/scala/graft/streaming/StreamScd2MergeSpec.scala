@@ -27,20 +27,38 @@ class StreamScd2MergeSpec extends SparkSpec {
     val batch = dimSet(Scale.qScd2Merge(tables))
     assert(streamed == batch)
 
-    // the running dimension lives in the MergeTarget: each of the 5
-    // per-day micro-batches must have committed its own version on
-    // top of the v=0 seed (if maxFilesPerTrigger were ignored, one
-    // big batch would leave only v=0 and v=1), and the pointer must
-    // resolve to the last of them
+    // the running dimension lives in the BUCKETED MergeTarget: each
+    // of the 5 per-day micro-batches must have committed its own
+    // version on top of the v=0 seed (if maxFilesPerTrigger were
+    // ignored, one big batch would leave only versions 0 and 1), the
+    // pointer's HEAD line must resolve to the final daily merge, and
+    // the layout must be the 8-bucket one whose commit bytes scale
+    // with the touched buckets
     val tag = s"${SourceOps.runId}_${SourceOps.dirTag(tables.dir)}_25"
     val root = new java.io.File(SourceOps.staging(s"stream_scd2_target_$tag"))
-    val versions = root.listFiles().map(_.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).sorted
-    assert(versions.toSeq == (0L to 5L),
-      s"expected v=0..v=5 (seed + 5 daily merges), got ${versions.toSeq}")
-    val pointer = new String(java.nio.file.Files.readAllBytes(
-      root.toPath.resolve("_latest"))).trim
-    assert(pointer == "5 4", // version 5, last applied batch id 4
-      s"pointer '$pointer' does not resolve to the final daily merge")
+    val buckets = root.listFiles().map(_.getName)
+      .filter(_.startsWith("b=")).sorted
+    assert(buckets.toSeq == (0 until 8).map(b => s"b=$b"),
+      s"expected 8 bucket dirs, got ${buckets.toSeq}")
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      root.toPath.resolve("_latest"))).trim.split("\n").toSeq
+    assert(lines.head == "buckets 8 user_id", lines.head)
+    assert(lines.size == 7, // header + seed + 5 daily commits
+      s"expected 6 committed versions, got:\n${lines.mkString("\n")}")
+    val head = lines.last.split(" ")
+    assert(head(0) == "5" && head(1) == "4", // version 5, last batch id 4
+      s"head line '${lines.last}' does not resolve to the final daily merge")
+    // only TOUCHED buckets gained versions: each bucket's on-disk
+    // version dirs are exactly the distinct versions its pointer
+    // column went through (untouched days share the prior directory)
+    val perBucket = lines.drop(1).map(_.split(" ").drop(2).map(_.toLong))
+    (0 until 8).foreach { b =>
+      val expect = perBucket.map(_(b)).distinct.sorted
+      val onDisk = new java.io.File(root, s"b=$b").listFiles()
+        .map(_.getName).filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong).sorted.toSeq
+      assert(onDisk == expect,
+        s"bucket $b: dirs $onDisk != pointer history ${expect}")
+    }
   }
 }
