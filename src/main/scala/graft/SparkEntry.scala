@@ -191,6 +191,10 @@ object SparkEntry {
     // multi-source frontier BFS (hop distance to nearest seed item);
     // recursive-CTE oracle with min-dist semantics
     "events_shortest_paths" -> q(t => EventAnalytics.eventsShortestPaths(t)),
+    // WEIGHTED min-cost paths over the same significance-floored
+    // graph: integer support-derived costs, bounded Bellman-Ford
+    // rounds (budget/min-cost), recursive-CTE min-dist oracle
+    "events_weighted_paths" -> q(t => EventAnalytics.eventsWeightedPaths(t)),
     "events_markov_stationary" -> q(t => EventAnalytics.eventsMarkovStationary(t)),
     // one-number behavior-predictability KPI off the same chain
     // (quantized-log integer accumulation, §6 ratios)
@@ -344,6 +348,9 @@ object SparkEntry {
     "q_session_window_batch" -> q(t => graft.streaming.Streaming.qSessionWindowBatch(t)),
     "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
+    // the funnel on the NEW state API (transformWithState + RocksDB),
+    // second API-generation equivalence pair (#29)
+    "stream_tws_funnel"   -> q(t => graft.streaming.Streaming.streamTwsFunnel(t)),
     "stream_anomaly"      -> q(graft.streaming.Streaming.streamAnomaly),
     "stream_latest"       -> q(graft.streaming.Streaming.streamLatest),
     "stream_upsert_latest" -> q(graft.streaming.Streaming.streamUpsertLatest),
@@ -2882,6 +2889,33 @@ object SparkEntry {
         |   JOIN sym s ON s.src = b.item WHERE b.dist < 4)
         |SELECT item, CAST(min(dist) AS INTEGER) AS dist
         |FROM bfs GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the weighted twin: same capped items / significance floor /
+    // symmetric edges, integer cost 2 + sup % 3, UNION-deduped
+    // recursive min-dist walk under the same budget cut — every
+    // in-budget path's prefixes are in budget (costs positive), so
+    // the enumeration reaches every optimal distance
+    "events_weighted_paths" ->
+      """WITH RECURSIVE i0 AS (SELECT DISTINCT user_id,
+        |  CAST(json_extract_string(props,'$.k') AS INTEGER) AS item
+        | FROM events WHERE event_type = 'purchase'),
+        |i AS (SELECT user_id, item FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY md5(user_id || ':' || item), item) AS rk FROM i0)
+        | WHERE rk <= 64),
+        |u AS (SELECT greatest(2, count(DISTINCT user_id) // 50) AS ms FROM i),
+        |e AS (SELECT a.item AS a, b.item AS b, count(*) AS sup
+        |  FROM i a JOIN i b ON a.user_id = b.user_id AND a.item < b.item, u
+        |  GROUP BY 1, 2, u.ms HAVING count(*) >= u.ms),
+        |w AS (SELECT a, b, 2 + sup % 3 AS cost FROM e),
+        |sym AS (SELECT a AS src, b AS dst, cost FROM w
+        |  UNION ALL SELECT b AS src, a AS dst, cost FROM w),
+        |walk AS (
+        |  SELECT DISTINCT src AS item, 0 AS dist FROM sym WHERE src % 17 = 0
+        |  UNION
+        |  SELECT s.dst AS item, wk.dist + s.cost AS dist FROM walk wk
+        |   JOIN sym s ON s.src = wk.item WHERE wk.dist + s.cost <= 9)
+        |SELECT item, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
     // arrival order = event_id; lateness vs the running per-user max
     // event time, all integer µs; ppm by integer DIV
     "events_ooo_audit" ->
@@ -3258,6 +3292,8 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
     // the streaming funnel must converge to the batch funnel's answer
     "stream_funnel" -> funnelSql,
+    // the transformWithState twin shares it verbatim (pair #29)
+    "stream_tws_funnel" -> funnelSql,
     "events_retention" ->
       """WITH d AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)

@@ -2191,4 +2191,74 @@ object EventAnalytics {
     edges.unpersist()
     settled.select(col("item"), col("dist")).orderBy(col("item"))
   }
+
+  /** `events_weighted_paths` — WEIGHTED shortest paths over the
+    * co-purchase item graph: every item's minimum total COST to the
+    * nearest seed item (`item % 17 = 0`), within a cost budget — the
+    * weighted companion to [[eventsShortestPaths]] (hop counts treat
+    * a barely-significant edge and a massively co-bought one as
+    * equal; routing over edge STRENGTH is the question distribution
+    * analytics actually ask). Edge cost is support-derived and
+    * integer-exact — `2 + sup % 3` ∈ {2,3,4} — so both engines
+    * relax identical integers and the oracle needs no float
+    * tolerance.
+    *
+    * Shape: bounded delta-stepping-style relaxation — the
+    * Meyer–Sanders (2003) observation reduced to its Spark-friendly
+    * core: with integer costs ≥ 2 and budget B, no in-budget
+    * shortest path has more than B/2 edges, so ⌈B/2⌉ synchronous
+    * Bellman-Ford rounds ARE the fixpoint (no convergence probe, no
+    * driver round-trip per test). Each round is one keyed equi-join
+    * of the IMPROVED frontier against the symmetric weighted edge
+    * list, a budget cut, and a min-merge into the settled
+    * distances; a node re-expands only when its distance improves,
+    * so total work is O(Σ rounds |improved|·avg-degree). Per-round
+    * frontiers `localCheckpoint` — the BFS lineage discipline
+    * ([[eventsShortestPaths]]); the same significance-floored edge
+    * build backs both walks. The DuckDB oracle replays the walk as
+    * a recursive CTE over the identical weighted edges with
+    * min-dist semantics and the same budget cut (UNION-deduped, so
+    * the enumeration converges on (item, dist) pairs). */
+  def eventsWeightedPaths(t: Tables, maxItemsPerUser: Int = 64,
+      budget: Long = 9L): DataFrame = {
+    val items = cappedUserItems(t, maxItemsPerUser).persist()
+    val minSup = items.agg(
+      greatest(lit(2L), expr("count(DISTINCT user_id) DIV 50")).as("ms"))
+    val und = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("a"), col("b.item").as("b"))
+      .agg(count(lit(1)).as("sup"))
+      .crossJoin(broadcast(minSup))
+      .filter(col("sup") >= col("ms"))
+      .withColumn("cost", lit(2L) + col("sup") % 3)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"), col("cost"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("cost")))
+      .persist()
+    edges.count()
+    val seeds = edges.select(col("src").as("item")).distinct()
+      .filter(col("item") % 17 === 0)
+    var dist = seeds.select(col("item"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    val rounds = (budget / 2L).toInt // min edge cost 2 bounds path length
+    for (_ <- 1 to rounds) {
+      val cand = frontier.join(edges, frontier("item") === edges("src"))
+        .select(col("dst").as("item"), (col("dist") + col("cost")).as("dist"))
+        .filter(col("dist") <= budget)
+        .groupBy(col("item")).agg(min(col("dist")).as("dist"))
+      val merged = dist.unionAll(cand)
+        .groupBy(col("item")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      frontier = merged.as("m")
+        .join(dist.select(col("item"), col("dist").as("old")).as("o"),
+          Seq("item"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select(col("item"), col("dist"))
+        .localCheckpoint()
+      dist = merged
+    }
+    items.unpersist()
+    edges.unpersist()
+    dist.select(col("item"), col("dist")).orderBy(col("item"))
+  }
 }

@@ -296,6 +296,36 @@ object Streaming {
       count(when(col("p") >= 0, 1)).as("n_purchase"))
   }
 
+  /** X32 — `stream_tws_funnel`: the conversion funnel on Spark 4's
+    * NEW arbitrary-state API (`transformWithState` — typed named
+    * state, native TTL, event timers; see [[StatefulFunnelTws]]),
+    * run against the SAME readout and the SAME oracle as the legacy
+    * `flatMapGroupsWithState` operator — the second API-generation
+    * equivalence pair (#29, after the sessionizer's #28), so BOTH
+    * stateful families prove the two extension points agree. The new
+    * API requires the RocksDB state store; the conf scopes to this
+    * query's child session only. */
+  def streamTwsFunnel(t: Tables): DataFrame = {
+    import StatefulFunnel.Ev
+    val spark = t.spark
+    import spark.implicits._
+    val typed = eventsStream(t)
+      .select(col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"))
+      .as[Ev]
+    val fin = drainToTable(StatefulFunnelTws.funnel(typed).toDF(), "update",
+      Map("spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+      .groupBy(col("user_id"))
+      .agg(max(col("v_us")).as("v"), max(col("c_us")).as("c"),
+        max(col("p_us")).as("p"))
+    fin.agg(
+      count(when(col("v") >= 0, 1)).as("n_view"),
+      count(when(col("c") >= 0, 1)).as("n_click"),
+      count(when(col("p") >= 0, 1)).as("n_purchase"))
+  }
+
   /** X2 — `stream_dedup`: streaming dropDuplicates on
     * (user_id, event_type) — first event per user/type survives — then
     * a per-type distinct-user count over the deduped stream. State is

@@ -817,4 +817,59 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.nonEmpty && got.values.exists(_ == 0))
   }
 
+  test("events_weighted_paths equals a driver-side Dijkstra replay") {
+    val t = tables
+    val budget = 9L
+    val got = EventAnalytics.eventsWeightedPaths(t).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    // independent ground truth: rebuild the weighted edge set with
+    // plain DataFrame ops, then multi-source Dijkstra with a Scala
+    // priority queue and the same budget cut
+    val items = EventAnalytics.cappedUserItems(t, 64).persist()
+    val nUsers = items.select(col("user_id")).distinct().count()
+    val minSup = math.max(2L, nUsers / 50)
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item"), col("b.item")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= minSup)
+      .collect().map(r => (r.getInt(0), r.getInt(1), 2L + r.getLong(2) % 3L))
+    items.unpersist()
+    val adj = scala.collection.mutable.Map.empty[Int, List[(Int, Long)]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b, c) =>
+      adj(a) = (b, c) :: adj(a); adj(b) = (a, c) :: adj(b) }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = scala.collection.mutable.Map.empty[Int, Long]
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Long, Int)](Ordering.by[(Long, Int), Long](_._1).reverse)
+    nodes.filter(_ % 17 == 0).foreach(n => pq.enqueue((0L, n)))
+    while (pq.nonEmpty) {
+      val (d, n) = pq.dequeue()
+      if (!want.contains(n) && d <= budget) {
+        want(n) = d
+        adj(n).foreach { case (m, c) =>
+          if (!want.contains(m) && d + c <= budget) pq.enqueue((d + c, m)) }
+      }
+    }
+    assert(got == want.toMap,
+      s"missing=${(want.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- want.keySet).take(5)} " +
+        s"diff=${want.collect { case (k, v) if got.get(k).exists(_ != v) =>
+          (k, v, got(k)) }.take(5)}")
+    // non-degenerate: weights genuinely reroute at least one node —
+    // its min COST path differs from 2×(hop distance), i.e. a longer
+    // hop path with cheaper edges won, or an expensive direct edge
+    // pushed the cost above 2 hops' worth
+    val hops = EventAnalytics.eventsShortestPaths(t).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(got.exists { case (n, d) =>
+      hops.get(n).exists(h => d != 2L * h && d != 3L * h && d != 4L * h) } ||
+      got.exists { case (n, d) => hops.get(n).exists(h => h >= 2 && d < 4L * h) },
+      "degenerate: costs are a constant multiple of hops everywhere")
+    assert(got.nonEmpty && got.values.exists(_ == 0L))
+    assert(got.values.exists(_ >= 4L), s"${got.values.toSeq.distinct.sorted}")
+  }
+
 }
