@@ -139,7 +139,12 @@ class EmptyInputSpec extends SparkSpec {
     // NULL min/max — one row either way
     "q_shard_stats",
     // CTAS of an empty projection -> schema-only table, empty rollup
-    "q_catalog_sql_roundtrip")
+    "q_catalog_sql_roundtrip",
+    // the weighted walk (empty edges -> empty seeds -> empty rounds),
+    // the v2-format gates: empty string-tagged table (string maps
+    // absent), empty nullable write (zero-file manifest, empty rollup)
+    "events_weighted_paths", "q_shard_scan_string",
+    "q_shard_null_roundtrip")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
