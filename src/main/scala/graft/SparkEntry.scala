@@ -92,6 +92,28 @@ object SparkEntry {
     "q_bom_rollup"        -> q(Relational.qBomRollup),
     // several COUNT(DISTINCT)s in ONE Expand-based pass (plan-pinned)
     "q_multi_distinct"    -> q(Relational.qMultiDistinct),
+    // gaps-and-islands: longest consecutive-day streak per user
+    "q_streaks"           -> q(Relational.qStreaks),
+    // users-to-date per day via first-seen dates — no quadratic rescan
+    "q_cumulative_distinct" -> q(Relational.qCumulativeDistinct),
+    // first-digit distribution vs the fixed Benford ppm table
+    "q_benford_audit"     -> q(Relational.qBenfordAudit),
+    // weekly new/retained/resurrected/churned decomposition
+    "events_growth_accounting" -> q(EventAnalytics.eventsGrowthAccounting),
+    // per-type daily-volume trend via native regr_* aggregates
+    "events_ols_trend"    -> q(EventAnalytics.eventsOlsTrend),
+    // DSIR-style hashed-ngram importance weighting (integer-exact)
+    "corpus_dsir_importance" -> q(t => TextAnalysis.corpusDsirImportance(t)),
+    // distributed dense-id assignment (two-level rank; oracle is the
+    // naive single-partition global window it decomposes)
+    "q_surrogate_keys"    -> q(t => Relational.qSurrogateKeys(t)),
+    // integer-exact interpolated Kneser-Ney bigram LM
+    "text_kn_bigram"      -> q(t => TextAnalysis.textKnBigram(t)),
+    // per-user interval UNION via running-max islands
+    "events_interval_union" -> q(t => EventAnalytics.eventsIntervalUnion(t)),
+    // the growth decomposition maintained continuously — stream/batch
+    // equivalence pair #30 (same oracle)
+    "stream_growth_accounting" -> q(t => graft.streaming.Streaming.streamGrowthAccounting(t)),
     // §2.5 text analysis
     "text_lang_id"        -> q(TextAnalysis.textLangId),
     "text_quality"        -> q(TextAnalysis.textQuality),
@@ -128,6 +150,9 @@ object SparkEntry {
     // the same heavy-hitters readout as a continuous keyed streaming
     // aggregation — stream/batch equivalence pair #20 (same oracle)
     "stream_heavy_hitters" -> q(t => graft.streaming.Streaming.streamHeavyHitters(t)),
+    // the BOUNDED-state twin: per-shard Misra-Gries in a
+    // transformWithState MapState + exact recount (same oracle)
+    "stream_tws_heavy_hitters" -> q(t => graft.streaming.Streaming.streamTwsHeavyHitters(t)),
     "text_repetition"     -> q(TextAnalysis.textRepetition),
     "text_contamination"  -> q(t => TextAnalysis.textContamination(t)),
     // same operator, shuffled-join mode (gram set "too big" to
@@ -300,6 +325,9 @@ object SparkEntry {
     "ann_hamming_topk"    -> q(t => Similarity.annHammingTopK(t)),
     "ann_hamming_recall"  -> q(Similarity.annHammingRecall),
     "ann_lsh_topk"        -> q(t => Similarity.annLshTopK(t)),
+    // Lv et al. multi-probe: query-side bucket expansion, ×(nBits+1)
+    // candidates for Hamming-1 recall — corpus side untouched
+    "ann_lsh_multiprobe_topk" -> q(t => Similarity.annLshMultiprobeTopK(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "ann_pq_topk"         -> q(t => Similarity.annPqTopK(t)),
     "ann_pq_refine_topk"  -> q(t => Similarity.annPqRefineTopK(t)),
@@ -703,6 +731,30 @@ object SparkEntry {
       |t AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
       |SELECT token, cnt FROM t
       |WHERE cnt * 40 >= (SELECT count(*) FROM tok)""".stripMargin
+
+  /** DuckDB oracle shared by the batch and streaming weekly
+    * growth-accounting decompositions (equivalence pair #30). */
+  private val growthSql: String =
+    """WITH wk AS (SELECT DISTINCT user_id,
+      |   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week FROM events),
+      |sq AS (SELECT *,
+      |  lag(week) OVER (PARTITION BY user_id ORDER BY week) AS prev_week,
+      |  lead(week) OVER (PARTITION BY user_id ORDER BY week) AS next_week FROM wk),
+      |act AS (SELECT week,
+      |  sum(CASE WHEN prev_week IS NULL THEN 1 ELSE 0 END) AS n_new,
+      |  sum(CASE WHEN week - prev_week = 7 THEN 1 ELSE 0 END) AS n_retained,
+      |  sum(CASE WHEN prev_week IS NOT NULL AND week - prev_week > 7 THEN 1 ELSE 0 END) AS n_resurrected
+      | FROM sq GROUP BY 1),
+      |mx AS (SELECT max(week) AS max_week FROM wk),
+      |ch AS (SELECT week + 7 AS week, count(*) AS n_churned FROM sq, mx
+      |  WHERE (next_week IS NULL OR next_week - week > 7) AND week + 7 <= max_week
+      |  GROUP BY 1)
+      |SELECT CAST(week AS TIMESTAMP) AS week,
+      | CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+      | CAST(COALESCE(n_retained, 0) AS BIGINT) AS n_retained,
+      | CAST(COALESCE(n_resurrected, 0) AS BIGINT) AS n_resurrected,
+      | CAST(COALESCE(n_churned, 0) AS BIGINT) AS n_churned
+      |FROM act FULL JOIN ch USING (week)""".stripMargin
 
   /** DuckDB oracle shared by the batch and streaming funnels. */
   private val funnelSql =
@@ -1747,6 +1799,92 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
+        |g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp,
+        |  count(*) AS len, min(day) AS start_day
+        |  FROM r GROUP BY 1, 2),
+        |s AS (SELECT *, sum(len) OVER (PARTITION BY user_id) AS active_days,
+        |  count(*) OVER (PARTITION BY user_id) AS n_streaks,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS srnk
+        | FROM g)
+        |SELECT user_id, CAST(active_days AS BIGINT) AS active_days,
+        | CAST(n_streaks AS BIGINT) AS n_streaks,
+        | CAST(len AS BIGINT) AS longest_streak,
+        | CAST(start_day AS TIMESTAMP) AS streak_start
+        |FROM s WHERE srnk = 1""".stripMargin,
+    "q_cumulative_distinct" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |a AS (SELECT day, count(*) AS daily_users FROM d GROUP BY 1),
+        |f AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+        |n AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT CAST(day AS TIMESTAMP) AS day, a.daily_users,
+        | CAST(COALESCE(n.new_users, 0) AS BIGINT) AS new_users,
+        | CAST(sum(COALESCE(n.new_users, 0)) OVER (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM a LEFT JOIN n USING (day)""".stripMargin,
+    "q_benford_audit" ->
+      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |   FROM lineitem),
+        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM c),
+        |g AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1 GROUP BY 1),
+        |t AS (SELECT sum(n) AS total FROM g),
+        |e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT g.digit, g.n,
+        | CAST(g.n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+        | CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        | CAST(g.n * 1000000 // t.total - e.exp_ppm AS BIGINT) AS dev_ppm
+        |FROM g, t, e WHERE g.digit = e.digit""".stripMargin,
+    "events_growth_accounting" -> growthSql,
+    "stream_growth_accounting" -> growthSql,
+    "events_ols_trend" ->
+      """WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |   count(*) AS n FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+        |  CAST(day - min(day) OVER (PARTITION BY event_type) AS DOUBLE) AS x FROM d)
+        |SELECT event_type, count(*) AS n_days,
+        | round(regr_slope(y, x) + 1e-9, 4) AS slope,
+        | round(regr_intercept(y, x) + 1e-9, 4) AS intercept,
+        | round(regr_r2(y, x) + 1e-9, 4) AS r2
+        |FROM b GROUP BY 1""".stripMargin,
+    "q_surrogate_keys" ->
+      """SELECT o_orderkey,
+        | CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS sk
+        |FROM orders""".stripMargin,
+    "text_kn_bigram" ->
+      s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
+        |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) g
+        |  WHERE i <= len(toks)-1),
+        |c AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |a AS (SELECT w1, sum(c12) AS c1, count(*) AS n_after FROM c GROUP BY 1),
+        |b AS (SELECT w2, count(*) AS n_before FROM c GROUP BY 1),
+        |n AS (SELECT count(*) AS nbt FROM c)
+        |SELECT w1, w2, c12,
+        | CAST((greatest(4*c12 - 3, 0) * nbt + 3 * n_after * n_before) * 1000000
+        |   // (4 * c1 * nbt) AS BIGINT) AS kn_ppm
+        |FROM c JOIN a USING (w1) JOIN b USING (w2), n
+        |WHERE c12 >= 3""".stripMargin,
+    "events_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) + 300000000 AS e FROM events),
+        |m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e FROM iv),
+        |n AS (SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+        |  THEN 1 ELSE 0 END AS is_new FROM m),
+        |i AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM n),
+        |g AS (SELECT user_id, island, min(s) AS start_us, max(e) AS end_us
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_intervals,
+        | CAST(sum(end_us - start_us) AS BIGINT) AS covered_us,
+        | CAST(max(end_us - start_us) AS BIGINT) AS longest_us
+        |FROM g GROUP BY 1""".stripMargin,
     "q_window_ntile" ->
       """WITH d AS (SELECT event_type, value,
         |  ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
@@ -3104,6 +3242,23 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |  ORDER BY score DESC, term) AS INTEGER) AS rnk FROM s)
         |SELECT doc_id, term, score, rnk FROM r WHERE rnk <= 3""".stripMargin,
+    "corpus_dsir_importance" ->
+      s"""WITH tk AS (SELECT doc_id, lang, n_chars, unnest($sqlToks) AS term FROM documents),
+        |h AS (SELECT *, CAST((strpos('0123456789abcdef', substr(md5(term),1,1))-1)*256
+        |  + (strpos('0123456789abcdef', substr(md5(term),2,1))-1)*16
+        |  + (strpos('0123456789abcdef', substr(md5(term),3,1))-1) AS BIGINT) AS b FROM tk),
+        |raw AS (SELECT b, count(*) AS c_raw FROM h GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS c_tgt FROM h
+        |  WHERE lang = 'en' AND n_chars >= 250 GROUP BY 1),
+        |w AS (SELECT b, CAST((COALESCE(c_tgt, 0) + 1) * 1000000 // (c_raw + 1) AS BIGINT) AS w_ppm
+        |  FROM raw LEFT JOIN tgt USING (b)),
+        |sc AS (SELECT doc_id, count(*) AS n_tokens, sum(w_ppm) AS w_sum
+        |  FROM h JOIN w USING (b) GROUP BY 1),
+        |s2 AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(w_sum // n_tokens AS BIGINT) AS score_ppm FROM sc),
+        |m AS (SELECT CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_ppm FROM s2)
+        |SELECT doc_id, n_tokens, score_ppm, score_ppm > mean_ppm AS selected
+        |FROM s2, m""".stripMargin,
     "corpus_mixture" ->
       """WITH r AS (
         | SELECT doc_id, source,
@@ -3310,6 +3465,7 @@ object SparkEntry {
         | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""".stripMargin,
     "text_heavy_hitters" -> heavyHittersSql,
     "stream_heavy_hitters" -> heavyHittersSql,
+    "stream_tws_heavy_hitters" -> heavyHittersSql,
     "text_mojibake" -> mojibakeSql,
     "stream_mojibake" -> mojibakeSql,
     "text_code_detect" ->
@@ -4219,6 +4375,19 @@ object SparkEntry {
         |c AS (SELECT vec_id, emb, bucket FROM b WHERE vec_id >= 10),
         |s AS (SELECT q_id, c.vec_id, round(list_cosine_similarity(qe, c.emb), 4) AS cos_sim
         |  FROM q JOIN c USING (bucket)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
+        |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_lsh_multiprobe_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |b AS (SELECT vec_id, emb, ${(0 until 8).map(p =>
+             s"(CASE WHEN list_dot_product(emb, ${hyperplaneLit(p)}) > 0 THEN ${1 << p} ELSE 0 END)")
+             .mkString(" + ")} AS bucket FROM e),
+        |q AS (SELECT vec_id AS q_id, emb AS qe, bucket FROM b WHERE vec_id < 10),
+        |p AS (SELECT q_id, qe, xor(CAST(bucket AS BIGINT), CAST(pr AS BIGINT)) AS bucket
+        |  FROM q, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) AS probes(pr)),
+        |c AS (SELECT vec_id, emb, bucket FROM b WHERE vec_id >= 10),
+        |s AS (SELECT q_id, c.vec_id, round(list_cosine_similarity(qe, c.emb), 4) AS cos_sim
+        |  FROM p JOIN c ON p.bucket = c.bucket),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
     // incremental SemDeDup: HISTORY-trained Lloyd chain (frozen

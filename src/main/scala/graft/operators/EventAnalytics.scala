@@ -2261,4 +2261,122 @@ object EventAnalytics {
     edges.unpersist()
     dist.select(col("item"), col("dist")).orderBy(col("item"))
   }
+
+  /** `events_growth_accounting` — the weekly growth-accounting
+    * decomposition (new / retained / resurrected / churned users),
+    * the standard operator product-analytics engines derive MAU
+    * health from: every WAU delta must be explained by
+    * `new + resurrected − churned`.
+    *
+    * One shuffle by user builds the distinct (user, week) spine with
+    * lag/lead; classification is then map-side (new = no prior week,
+    * retained = active exactly 7 days ago, resurrected = returned
+    * after a gap) and churn is attributed to `week+7` when the next
+    * active week is more than one week away — truncated at the
+    * corpus's last observed week (a one-row broadcast) so the final
+    * partial week never reports phantom churn. The week-grain rollup
+    * is metadata-scale; the user-partitioned windows hold at any
+    * corpus size. */
+  def eventsGrowthAccounting(t: Tables): DataFrame =
+    growthFromActivity(t.events
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .distinct())
+
+  /** The growth decomposition over a deduped (user_id, week DATE)
+    * activity frame — shared by the batch operator and its streaming
+    * twin (`stream_growth_accounting`, which maintains the activity
+    * set as one keyed streaming aggregation and classifies the
+    * drained state here). */
+  def growthFromActivity(weeks: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("week"))
+    val spine = weeks
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("next_week", lead(col("week"), 1).over(w))
+    val active = spine.groupBy(col("week")).agg(
+      sum(when(col("prev_week").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(datediff(col("week"), col("prev_week")) === 7, 1L)
+        .otherwise(0L)).as("n_retained"),
+      sum(when(col("prev_week").isNotNull &&
+        datediff(col("week"), col("prev_week")) > 7, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val maxWeek = weeks.agg(max(col("week")).as("max_week"))
+    val churned = spine
+      .filter(col("next_week").isNull ||
+        datediff(col("next_week"), col("week")) > 7)
+      .withColumn("churn_week", date_add(col("week"), 7))
+      .crossJoin(broadcast(maxWeek))
+      .filter(col("churn_week") <= col("max_week"))
+      .groupBy(col("churn_week").as("week"))
+      .agg(count(lit(1)).as("n_churned"))
+    active.join(churned, Seq("week"), "full")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+      .select(col("week").cast("timestamp_ntz").as("week"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"))
+  }
+
+  /** `events_interval_union` — merge each user's overlapping presence
+    * intervals (event ± a fixed horizon) into disjoint islands: the
+    * interval-UNION primitive behind "total engaged time" and
+    * overlap-free billing windows, complementing `q_interval_overlap`
+    * (which JOINS intervals) and `q_sessionize` (which merges by GAP,
+    * not by span arithmetic).
+    *
+    * Classic running-max island construction, fully keyed: within a
+    * user (one shuffle), an interval starts a new island iff its
+    * start exceeds the running max END of all earlier intervals —
+    * `max() OVER (..., UNBOUNDED PRECEDING, -1)` — so chained
+    * overlaps (a∪b∪c where a∩c = ∅) merge correctly, which the naive
+    * "compare to previous row" gets wrong. All integer microseconds;
+    * islands then roll up per user. */
+  def eventsIntervalUnion(t: Tables, horizonUs: Long = 300000000L)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(asc("s"), asc("event_id"))
+    val iv = t.events.select(col("user_id"), col("event_id"),
+      us.as("s"), (us + lit(horizonUs)).as("e"))
+    val islands = iv
+      .withColumn("prev_max_e",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("start_us"), max(col("e")).as("end_us"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("end_us") - col("start_us")).as("covered_us"),
+        max(col("end_us") - col("start_us")).as("longest_us"))
+  }
+
+  /** `events_ols_trend` — per-type linear trend of daily event volume
+    * by closed-form least squares: slope/intercept/R² of
+    * count ~ days-since-first-day, the metric-drift screen behind
+    * every "is this event type growing or decaying" dashboard.
+    *
+    * The regression runs through Spark's native `regr_slope` /
+    * `regr_intercept` / `regr_r2` aggregates (codegen'd partial
+    * sums — Σx, Σy, Σxy, Σx², one pass, map-side combine), NOT a
+    * driver-side fit; x is centered on each type's first active day
+    * via a user-partitioned window so intercepts read as "fitted
+    * volume at day 0". Group cardinality = #event types; daily
+    * rollup = types × days — both metadata-scale. Doubles are
+    * rounded at 4 dp on both engines (the corpus_zipf discipline). */
+  def eventsOlsTrend(t: Tables): DataFrame = {
+    val daily = t.events
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val based = daily.withColumn("x",
+      datediff(col("day"),
+        min(col("day")).over(Window.partitionBy(col("event_type"))))
+        .cast("double"))
+      .withColumn("y", col("n").cast("double"))
+    based.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      round(expr("regr_slope(y, x)") + lit(1e-9), 4).as("slope"),
+      round(expr("regr_intercept(y, x)") + lit(1e-9), 4).as("intercept"),
+      round(expr("regr_r2(y, x)") + lit(1e-9), 4).as("r2"))
+  }
 }

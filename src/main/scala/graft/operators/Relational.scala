@@ -1206,4 +1206,125 @@ object Relational {
         sum(floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long"))
           .as("price_cents"))
       .orderBy(col("l_returnflag"))
+
+  /** `q_streaks` — gaps-and-islands: the longest run of CONSECUTIVE
+    * active days per user, plus total active days and streak count —
+    * the classic engagement-streak rollup SQL engines express with
+    * the `day − row_number()` island trick.
+    *
+    * One shuffle by `user_id` carries everything: the distinct
+    * (user, day) grid, the island id (`date_sub(day, rn)` — constant
+    * within a consecutive run, jumps across a gap), the per-island
+    * rollup, and the final per-user pick (longest island, earliest
+    * start on ties — deterministic). Partitions are per-user, so the
+    * plan holds at any corpus size; no global window anywhere. */
+  def qStreaks(t: Tables): DataFrame = {
+    val days = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val byUser = Window.partitionBy(col("user_id"))
+    val streaks = days
+      .withColumn("rn", row_number().over(byUser.orderBy(asc("day"))))
+      .withColumn("grp", date_sub(col("day"), col("rn")))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+    streaks
+      .withColumn("active_days", sum(col("len")).over(byUser))
+      .withColumn("n_streaks", count(lit(1)).over(byUser))
+      .withColumn("srnk", row_number().over(
+        byUser.orderBy(desc("len"), asc("start_day"))))
+      .filter(col("srnk") === 1)
+      .select(col("user_id"), col("active_days"), col("n_streaks"),
+        col("len").as("longest_streak"),
+        col("start_day").cast("timestamp_ntz").as("streak_start"))
+  }
+
+  /** `q_cumulative_distinct` — users-to-date per day WITHOUT a
+    * quadratic rescan: cumulative COUNT(DISTINCT) is the textbook
+    * trap (per-day distinct over an ever-growing prefix re-reads the
+    * fact table once per day). The scalable identity: a user joins
+    * the cumulative set exactly once, on their FIRST active day — so
+    * users-to-date(d) = Σ_{d'≤d} new_users(d'), one pass for
+    * first-seen dates + a prefix sum over the #days-row rollup. The
+    * only ordered window runs over that metadata-scale day list (the
+    * two-level distributed prefix sum in [[TextAnalysis]] T13 is the
+    * recipe if even the day grid outgrew one partition). */
+  def qCumulativeDistinct(t: Tables): DataFrame = {
+    val perDay = t.events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val daily = perDay.groupBy(col("day")).agg(count(lit(1)).as("daily_users"))
+    val firstSeen = perDay.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    daily.join(firstSeen, Seq("day"), "left")
+      .na.fill(0L, Seq("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(
+        Window.orderBy(asc("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("daily_users"), col("new_users"), col("cum_users"))
+  }
+
+  /** `q_benford_audit` — first-significant-digit distribution of a
+    * monetary column vs Benford's law, the standard fraud/data-quality
+    * screen for "does this measure look organically generated".
+    *
+    * Integer-exact end to end: prices become exact cents (the §6
+    * rounding rule), the leading digit comes from the BIGINT's decimal
+    * rendering (engine-stable, no log10 on doubles near a power of
+    * ten), observed mass is integer ppm, and the expected Benford
+    * masses are a fixed 9-entry table (log10(1+1/d) pre-rounded to
+    * ppm; sums to exactly 1e6) rather than runtime libm calls — so
+    * both engines compare literally identical integers. Map-side
+    * digit extraction + a 9-group aggregate: one pass at any scale. */
+  def qBenfordAudit(t: Tables): DataFrame = {
+    val cents = floor(col("l_extendedprice") * lit(100) + lit(0.5)).cast("long")
+    val digits = t.lineitem
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = benfordPpm.foldLeft(lit(0L)) { case (acc, (d, ppm)) =>
+      when(col("digit") === d, lit(ppm)).otherwise(acc)
+    }
+    val total = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("(n * 1000000) div total"))
+      .withColumn("exp_ppm", expected)
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"))
+  }
+
+  /** log10(1+1/d) rounded half-up to ppm; the nine masses sum to
+    * exactly 1,000,000. Shared verbatim with the DuckDB oracle. */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** `q_surrogate_keys` — dense 1..N surrogate-key assignment in
+    * natural-key order, the dimension-load step every warehouse runs.
+    *
+    * The naive `row_number() OVER (ORDER BY key)` is a SINGLE global
+    * sort partition — the one window shape that cannot scale. This is
+    * the distributed two-level form (the T13 prefix-sum recipe applied
+    * to ranks): rows bucket by `key div bucketSize`; ranks within a
+    * bucket are ordinary partitioned windows; each bucket's global
+    * offset comes from ONE ordered window over the #buckets-row count
+    * rollup (metadata-scale, broadcast back). Buckets are ranges of
+    * the key, so bucket order == key order and `offset + local rank`
+    * is exactly the global row_number — the oracle IS the naive
+    * global window, proving the decomposition. */
+  def qSurrogateKeys(t: Tables, bucketSize: Long = 4096L): DataFrame = {
+    val bucketed = t.orders.select(col("o_orderkey"))
+      .withColumn("bkt", expr(s"o_orderkey div $bucketSize"))
+    val local = bucketed.withColumn("lrank",
+      row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(asc("o_orderkey")))
+        .cast("long"))
+    val offsets = bucketed.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("offset", coalesce(
+        sum(col("n")).over(Window.orderBy(asc("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt"), col("offset"))
+    local.join(broadcast(offsets), Seq("bkt"))
+      .select(col("o_orderkey"), (col("offset") + col("lrank")).as("sk"))
+  }
 }

@@ -238,6 +238,44 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
+  /** S2b — `ann_lsh_multiprobe_topk`: multi-probe LSH (Lv et al.
+    * 2007) — each query probes its own bucket PLUS the `nBits`
+    * buckets at Hamming distance 1 (one hyperplane sign flipped),
+    * recovering most of the recall lost to near-boundary vectors
+    * without touching the index layout or adding tables.
+    *
+    * Cost model vs [[annLshTopK]]: candidate volume grows ×(nBits+1)
+    * per query while the corpus side is untouched — the probe
+    * expansion happens on the (tiny, broadcast) QUERY side as an
+    * explode over `bucket XOR (1<<p)`, so the join stays keyed by
+    * bucket id and map-side. Each (query, candidate) pair appears at
+    * most once (probed buckets are distinct; a corpus vector lives in
+    * exactly one). The recall gain over single-probe is measured in
+    * spec against the brute-force truth. */
+  def annLshMultiprobeTopK(t: Tables, nBits: Int = 8,
+      dims: Int = 64): DataFrame = {
+    val e = withEmb(t)
+    def signature(emb: Column): Column =
+      (0 until nBits).map { p =>
+        when(dotProduct(emb, typedlit(hyperplane(p, dims))) > 0, lit(1 << p))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    val bucketed = e.withColumn("bucket", signature(col("emb")))
+    val probes = typedlit(0 +: (0 until nBits).map(p => 1 << p))
+    val queries = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(probes).as("flip"), col("bucket"))
+      .select(col("q_id"), col("q_emb"),
+        col("bucket").bitwiseXOR(col("flip")).as("bucket"))
+    val corpus = bucketed.filter(col("vec_id") >= NumQueries)
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
   /** S4 — IVF(-Flat) approximate top-k: the other classic ANN scale
     * path, complementing the LSH variant.
     *

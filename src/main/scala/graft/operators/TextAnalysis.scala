@@ -1887,4 +1887,90 @@ object TextAnalysis {
   def textNbEval(t: Tables): DataFrame =
     nbConfusionOf(nbScoresOf(nbEvalDocs(t), nbModel(t)), nbPriors(t))
       .orderBy(col("lang_true"), col("lang_pred"))
+
+  /** T39 — `text_kn_bigram`: interpolated Kneser-Ney bigram language
+    * model (Kneser & Ney 1995; Chen & Goodman 1998's benchmark
+    * smoother) — the LM the corpus-quality stack perplexity-scores
+    * with before neural models enter the picture.
+    *
+    * Integer-exact: with discount D = 3/4, multiply
+    * P(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/Nbt
+    * through by the common denominator 4·c1·Nbt:
+    * kn_ppm = (max(4·c12−3,0)·Nbt + 3·N1+(w1·)·N1+(·w2)) · 1e6
+    * div (4·c1·Nbt) — every factor an exact count, one integer
+    * division, no floating log anywhere, so both engines emit
+    * identical integers. The continuation count N1+(·w2) (how many
+    * DISTINCT contexts precede w2) is KN's signature: "francisco" is
+    * frequent but follows only "san", so its unigram backoff mass is
+    * tiny — a plain Katz/additive smoother gets this wrong.
+    *
+    * Scale shape: bigram assembly is map-side (the zipped-slices
+    * ngram); everything else derives from the (w1,w2) count table by
+    * keyed aggregations — no joins against the corpus, no all-pairs.
+    * Spec proves ROW-normalization with BigInt rationals:
+    * Σ_w2 P(w2|w1) == 1 exactly per context. */
+  def textKnBigram(t: Tables, minCount: Long = 3L): DataFrame = {
+    val pairs = t.documents
+      .select(explode(ngrams(tokens(col("text")), 2)).as("bg"))
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val byW1 = c12.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n_after"))
+    val byW2 = c12.groupBy(col("w2")).agg(count(lit(1)).as("n_before"))
+    val nbt = c12.agg(count(lit(1)).as("nbt"))
+    c12.join(byW1, Seq("w1")).join(byW2, Seq("w2"))
+      .crossJoin(broadcast(nbt))
+      .withColumn("kn_ppm", expr(
+        "(greatest(4 * c12 - 3, 0) * nbt + 3 * n_after * n_before)" +
+          " * 1000000 div (4 * c1 * nbt)"))
+      .filter(col("c12") >= minCount)
+      .select(col("w1"), col("w2"), col("c12"), col("kn_ppm"))
+  }
+
+  /** T38 — `corpus_dsir_importance`: data selection by hashed-ngram
+    * importance weighting (the DSIR recipe — Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how much its token distribution
+    * looks like a TARGET slice (here: long-form English), using
+    * hashed unigram features so the feature space is fixed-size
+    * regardless of vocabulary.
+    *
+    * Integer-exact variant: tokens hash into 4096 buckets via the
+    * first 3 md5 nibbles (engine-identical on both sides); each
+    * bucket's importance weight is the add-one-smoothed target/raw
+    * count ratio in ppm (`(c_tgt+1)·1e6 div (c_raw+1)` — the
+    * likelihood-ratio shape of DSIR without floating logs); a doc's
+    * score is its mean token weight (integer div), and `selected`
+    * marks docs above the corpus mean score — the importance-sampled
+    * keep set.
+    *
+    * Scale shape: one tokenize pass; the weight table is ≤4096 rows
+    * (broadcast); scoring is a map-side broadcast join + one keyed
+    * aggregate by doc. Nothing driver-side, no all-pairs. */
+  def corpusDsirImportance(t: Tables, minChars: Int = 250): DataFrame = {
+    val feat = t.documents
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        explode(tokens(col("text"))).as("term"))
+      .withColumn("b", conv(substring(md5(col("term")), 1, 3), 16, 10)
+        .cast("long"))
+    val rawCnt = feat.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+    val tgtCnt = feat
+      .filter(col("lang") === "en" && col("n_chars") >= minChars)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+    val weights = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("c_tgt"))
+      .withColumn("w_ppm", expr("((c_tgt + 1) * 1000000) div (c_raw + 1)"))
+      .select(col("b"), col("w_ppm"))
+    val scored = feat.join(broadcast(weights), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_ppm")).as("w_sum"))
+      .withColumn("score_ppm", expr("w_sum div n_tokens"))
+    val mean = scored.agg(
+      expr("sum(score_ppm) div count(1)").as("mean_ppm"))
+    scored.crossJoin(broadcast(mean))
+      .select(col("doc_id"), col("n_tokens"), col("score_ppm"),
+        (col("score_ppm") > col("mean_ppm")).as("selected"))
+  }
 }

@@ -843,6 +843,26 @@ object Streaming {
       .select(col("day"), col("dau"), col("wau"))
   }
 
+  /** X34 — `stream_growth_accounting`: the weekly growth-accounting
+    * decomposition maintained CONTINUOUSLY — the deduped (user, week)
+    * activity set as ONE keyed streaming aggregation (state = one row
+    * per active user-week, the minimal sufficient statistic; a
+    * production deploy watermarks `week` to retire closed weeks), with
+    * the lag/lead classification
+    * ([[graft.operators.EventAnalytics.growthFromActivity]],
+    * refactored shared) running as a batch readout over the drained
+    * metadata-scale state. Shares `events_growth_accounting`'s oracle
+    * verbatim — stream/batch equivalence pair #30. */
+  def streamGrowthAccounting(t: Tables): DataFrame = {
+    val weeks = eventsStream(t)
+      .select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.EventAnalytics.growthFromActivity(
+      drainToTable(weeks, "complete").select(col("user_id"), col("week")))
+  }
+
   /** `stream_boilerplate` — the `text_boilerplate` per-source
     * document-frequency state maintained over a document STREAM:
     * cleaning statistics that update as the crawl lands, instead of a
@@ -977,6 +997,57 @@ object Streaming {
     val drained = drainToTable(counts, "complete")
     val total = drained.agg(sum(col("cnt")).as("total"))
     drained.crossJoin(broadcast(total))
+      .filter(col("cnt") * phiInv >= col("total"))
+      .select(col("token"), col("cnt"))
+  }
+
+  /** X32 — `stream_tws_heavy_hitters`: the SAME φ-heavy-hitters
+    * contract as [[streamHeavyHitters]], but with BOUNDED state — a
+    * per-shard Misra-Gries sketch in a `transformWithState` MapState
+    * ([[StatefulHeavyHittersTws]]) instead of one state row per
+    * distinct token. The exact twin's state grows with vocabulary;
+    * this one is 16 shards × ≤64 counters forever, which is the shape
+    * an unbounded 100 TB token stream actually needs.
+    *
+    * The sketch emits per-batch candidate generations; the reader
+    * keeps each shard's LAST generation (candidates are evictable, so
+    * no union over time), then an exact recount of the ≤ shards×m
+    * survivors over the corpus + the φ filter makes the output exact
+    * (the `text_heavy_hitters` sketch→verify discipline). Shares the
+    * heavy-hitters oracle verbatim — the driver gate proves the
+    * bounded-state path loses nothing. */
+  def streamTwsHeavyHitters(t: Tables, phiInv: Int = 40,
+      m: Int = 64): DataFrame = {
+    require(m >= phiInv,
+      "sketch capacity must cover the threshold for the no-miss guarantee")
+    import graft.operators.TextAnalysis
+    import StatefulHeavyHittersTws.Tok
+    val spark = t.spark
+    import spark.implicits._
+    val schema = t.raw("documents").schema
+    val docs = spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    val toks = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .select(conv(substring(md5(col("token")), 1, 1), 16, 10)
+        .cast("int").as("shard"), col("token"))
+      .as[Tok]
+    val cands = StatefulHeavyHittersTws.heavyHitters(toks, m)
+    val drained = drainToTable(cands.toDF(), "update", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    val byShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+    val survivors = drained
+      .withColumn("last_gen", max(col("gen")).over(byShard))
+      .filter(col("gen") === col("last_gen"))
+      .select(col("token"))
+    val toks0 = t.documents
+      .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val total = toks0.agg(count(lit(1)).as("total"))
+    toks0.join(broadcast(survivors), Seq("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
       .filter(col("cnt") * phiInv >= col("total"))
       .select(col("token"), col("cnt"))
   }

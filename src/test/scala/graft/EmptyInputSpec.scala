@@ -144,7 +144,22 @@ class EmptyInputSpec extends SparkSpec {
     // the v2-format gates: empty string-tagged table (string maps
     // absent), empty nullable write (zero-file manifest, empty rollup)
     "events_weighted_paths", "q_shard_scan_string",
-    "q_shard_null_roundtrip")
+    "q_shard_null_roundtrip",
+    // this round: gaps-and-islands and the first-seen prefix sum over
+    // an empty day grid, the growth decomposition (empty spine → no
+    // weeks, the max-week broadcast is NULL but never consulted), the
+    // per-type OLS (regr_* over zero rows → no groups), the Benford
+    // screen (no digits → no rows; the ppm table never divides by the
+    // empty total), the DSIR weighting (empty weight table → empty
+    // scores → mean DIV guarded by zero groups), and the multi-probe
+    // LSH (empty bucket sides → empty keyed join)
+    "q_streaks", "q_cumulative_distinct", "events_growth_accounting",
+    "events_ols_trend", "q_benford_audit", "corpus_dsir_importance",
+    "ann_lsh_multiprobe_topk",
+    // the two-level rank over zero buckets, the interval union over an
+    // empty island set, and the KN grid over zero bigram types (the
+    // Nbt cross join is empty → no division ever evaluates)
+    "q_surrogate_keys", "events_interval_union", "text_kn_bigram")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

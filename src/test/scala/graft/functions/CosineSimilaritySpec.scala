@@ -90,6 +90,25 @@ class AnnLshRecallSpec extends SparkSpec {
     assert(recall > 0.1, s"recall $recall unexpectedly low")
   }
 
+  test("multi-probe lsh recall dominates single-probe at the same bits") {
+    val t = tables
+    val exact = Similarity.annBruteForceTopK(t)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val s = df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect s).size.toDouble / exact.size
+    }
+    // at the default 8 bits (256 buckets over ~500 vectors) single-probe
+    // buckets are tiny — exactly the regime multi-probe exists for
+    val single = recallOf(Similarity.annLshTopK(t))
+    val multi = recallOf(Similarity.annLshMultiprobeTopK(t))
+    assert(multi >= single, s"multi $multi < single $single")
+    assert(multi >= 0.12, s"multi-probe recall $multi below floor")
+    assert(multi > single, // strict at this corpus: Hamming-1 finds more
+      s"multi-probe added nothing over single-probe ($single -> $multi)")
+  }
+
   test("ivf top-k recall over brute force is reasonable at 16 cells / 4 probes") {
     val t = tables
     val exact = Similarity.annBruteForceTopK(t)

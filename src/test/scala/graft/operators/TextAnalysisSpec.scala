@@ -740,4 +740,101 @@ class TextAnalysisSpec extends SparkSpec {
     assert(gotConf == wantConf, s"got=$gotConf want=$wantConf")
   }
 
+  test("text_kn_bigram: exact-rational row normalization and the " +
+      "continuation-count signature") {
+    val t = tables
+    // rebuild ALL counts driver-side from the corpus
+    val bigrams = t.documents.select(col("text")).collect().flatMap { r =>
+      val ws = r.getString(0).toLowerCase.split("[^a-z0-9]+")
+        .filter(_.nonEmpty)
+      ws.zip(ws.drop(1))
+    }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c12.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nAfter = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nBefore = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nbt = BigInt(c12.size)
+    // Σ_w2 P_KN(w2|w1) == 1 EXACTLY for every context, in rationals:
+    // numerator sum over observed w2 of max(4c12−3,0)·Nbt plus the
+    // backoff mass 3·N1+(w1·)·Σ_all_w2 N1+(·w2) must equal 4·c1·Nbt
+    val sumNBefore = nBefore.values.map(BigInt(_)).sum // == Nbt
+    assert(sumNBefore == nbt)
+    c1.keys.foreach { w1 =>
+      val obs = c12.collect { case ((`w1`, _), c) => c }
+      val discounted = obs.map(c => BigInt(0).max(BigInt(4 * c - 3))).sum
+      val lhs = discounted * nbt + 3 * BigInt(nAfter(w1)) * sumNBefore
+      assert(lhs == 4 * BigInt(c1(w1)) * nbt, s"context '$w1' not normalized")
+    }
+    // operator rows equal the integer formula on the replayed counts
+    val got = TextAnalysis.textKnBigram(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = c12.filter(_._2 >= 3).map { case ((w1, w2), c) =>
+      val num = (BigInt(0).max(BigInt(4 * c - 3)) * nbt +
+        3 * BigInt(nAfter(w1)) * BigInt(nBefore(w2))) * 1000000
+      (w1, w2) -> (c, (num / (4 * BigInt(c1(w1)) * nbt)).toLong)
+    }
+    assert(got == want,
+      s"onlyGot=${(got.toSet -- want.toSet).take(3)} " +
+        s"onlyWant=${(want.toSet -- got.toSet).take(3)}")
+    assert(got.nonEmpty)
+    // KN's reason to exist: the continuation count N1+(·w2) — how many
+    // DISTINCT contexts precede w2 — varies across the vocabulary (the
+    // "francisco" effect), and the exact-equality check above proves
+    // the formula consumes it
+    assert(nBefore.values.toSet.size > 1,
+      "continuation counts constant — degenerate corpus")
+  }
+
+  test("corpus_dsir_importance equals an integer-exact driver replay " +
+      "and separates the target slice") {
+    val t = tables
+    val docs = t.documents
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    def toks(s: String) =
+      s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    def bucket(w: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val hex = h.take(2).map(b => f"$b%02x").mkString.take(3)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val all = docs.flatMap { case (id, lang, nc, text) =>
+      toks(text).map(w => (id, lang, nc, bucket(w)))
+    }
+    val cRaw = all.groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val cTgt = all.filter(r => r._2 == "en" && r._3 >= 250)
+      .groupBy(_._4).view.mapValues(_.size.toLong).toMap
+    val wPpm = cRaw.map { case (b, cr) =>
+      b -> (cTgt.getOrElse(b, 0L) + 1L) * 1000000L / (cr + 1L)
+    }
+    val scores = all.groupBy(_._1).map { case (id, rows) =>
+      id -> (rows.size.toLong, rows.map(r => wPpm(r._4)).sum / rows.size)
+    }
+    val meanPpm = scores.valuesIterator.map(_._2).sum / scores.size
+    val got = TextAnalysis.corpusDsirImportance(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(got.size == scores.size)
+    scores.foreach { case (id, (n, s)) =>
+      val (gn, gs, sel) = got(id)
+      assert(gn == n && gs == s, s"doc $id: got ($gn,$gs) want ($n,$s)")
+      assert(sel == (s > meanPpm))
+    }
+    // the importance weighting must actually rank the target slice up:
+    // mean score of target docs strictly above the rest, and the keep
+    // set is a nonempty proper subset
+    val isTarget = docs.map(d => d._1 -> (d._2 == "en" && d._3 >= 250)).toMap
+    def meanOf(ids: Iterable[Long]) =
+      ids.map(got(_)._2).sum.toDouble / ids.size
+    val tgtIds = docs.filter(d => isTarget(d._1)).map(_._1)
+    val restIds = docs.filterNot(d => isTarget(d._1)).map(_._1)
+    assert(tgtIds.nonEmpty && restIds.nonEmpty)
+    assert(meanOf(tgtIds) > meanOf(restIds),
+      s"target mean ${meanOf(tgtIds)} !> rest mean ${meanOf(restIds)}")
+    val kept = got.valuesIterator.count(_._3)
+    assert(kept > 0 && kept < got.size, s"degenerate keep set: $kept")
+  }
 }
