@@ -109,11 +109,18 @@ object SparkEntry {
     "q_surrogate_keys"    -> q(t => Relational.qSurrogateKeys(t)),
     // integer-exact interpolated Kneser-Ney bigram LM
     "text_kn_bigram"      -> q(t => TextAnalysis.textKnBigram(t)),
+    // metadata-only DELETE: manifest classification, zero files read
+    "q_shard_delete"      -> q(t => graft.sources.SourceOps.qShardDelete(t)),
+    // byte-level EXIF/tEXt/comment scrub with in-query roundtrip proof
+    "mm_exif_strip"       -> q(Multimodal.mmExifStrip),
     // per-user interval UNION via running-max islands
     "events_interval_union" -> q(t => EventAnalytics.eventsIntervalUnion(t)),
     // the growth decomposition maintained continuously — stream/batch
     // equivalence pair #30 (same oracle)
     "stream_growth_accounting" -> q(t => graft.streaming.Streaming.streamGrowthAccounting(t)),
+    // the Benford audit as a continuous 9-integer-state stream —
+    // stream/batch equivalence pair #31 (same oracle)
+    "stream_benford"      -> q(t => graft.streaming.Streaming.streamBenford(t)),
     // §2.5 text analysis
     "text_lang_id"        -> q(TextAnalysis.textLangId),
     "text_quality"        -> q(TextAnalysis.textQuality),
@@ -731,6 +738,22 @@ object SparkEntry {
       |t AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
       |SELECT token, cnt FROM t
       |WHERE cnt * 40 >= (SELECT count(*) FROM tok)""".stripMargin
+
+  /** DuckDB oracle shared by the batch and streaming Benford audits
+    * (equivalence pair #31). */
+  private val benfordSql: String =
+    """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |   FROM lineitem),
+      |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM c),
+      |g AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1 GROUP BY 1),
+      |t AS (SELECT sum(n) AS total FROM g),
+      |e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+      |SELECT g.digit, g.n,
+      | CAST(g.n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+      | CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+      | CAST(g.n * 1000000 // t.total - e.exp_ppm AS BIGINT) AS dev_ppm
+      |FROM g, t, e WHERE g.digit = e.digit""".stripMargin
 
   /** DuckDB oracle shared by the batch and streaming weekly
     * growth-accounting decompositions (equivalence pair #30). */
@@ -1826,19 +1849,8 @@ object SparkEntry {
         | CAST(sum(COALESCE(n.new_users, 0)) OVER (ORDER BY day
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
         |FROM a LEFT JOIN n USING (day)""".stripMargin,
-    "q_benford_audit" ->
-      """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
-        |   FROM lineitem),
-        |d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM c),
-        |g AS (SELECT digit, count(*) AS n FROM d WHERE digit >= 1 GROUP BY 1),
-        |t AS (SELECT sum(n) AS total FROM g),
-        |e(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
-        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
-        |SELECT g.digit, g.n,
-        | CAST(g.n * 1000000 // t.total AS BIGINT) AS obs_ppm,
-        | CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
-        | CAST(g.n * 1000000 // t.total - e.exp_ppm AS BIGINT) AS dev_ppm
-        |FROM g, t, e WHERE g.digit = e.digit""".stripMargin,
+    "q_benford_audit" -> benfordSql,
+    "stream_benford" -> benfordSql,
     "events_growth_accounting" -> growthSql,
     "stream_growth_accounting" -> growthSql,
     "events_ols_trend" ->
@@ -1855,6 +1867,13 @@ object SparkEntry {
       """SELECT o_orderkey,
         | CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS sk
         |FROM orders""".stripMargin,
+    "q_shard_delete" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |th AS (SELECT max(user_id) // 2 AS thr FROM p)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM p, th WHERE user_id >= thr GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_kn_bigram" ->
       s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
         |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2
@@ -3736,6 +3755,29 @@ object SparkEntry {
     // (dims/format from the text md5, byte_len = body + header length);
     // the Spark side PARSES the same values back out of the payload's
     // actual header bytes — generator vs parser is the cross-check
+    "mm_exif_strip" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h,
+        |   octet_length(encode(text)) AS bl,
+        |   len(CAST(doc_id AS VARCHAR)) AS idl FROM documents),
+        |b AS (SELECT doc_id, bl, idl,
+        |  16*(strpos('0123456789abcdef',substr(h,7,1))-1)+(strpos('0123456789abcdef',substr(h,8,1))-1) AS b3,
+        |  16*(strpos('0123456789abcdef',substr(h,9,1))-1)+(strpos('0123456789abcdef',substr(h,10,1))-1) AS b4,
+        |  16*(strpos('0123456789abcdef',substr(h,11,1))-1)+(strpos('0123456789abcdef',substr(h,12,1))-1) AS b5
+        | FROM m),
+        |c AS (SELECT doc_id,
+        |  CASE b3%3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'gif' END AS fmt,
+        |  b5 % 2 = 0 AS had_meta,
+        |  CAST(bl + CASE b3%3 WHEN 0 THEN 39 WHEN 1 THEN 33
+        |    ELSE 14 + 20*(1 + b4 % 8) END AS BIGINT) AS clean_len,
+        |  CASE b3%3 WHEN 0 THEN 14 + idl WHEN 1 THEN 23 + idl
+        |    ELSE 8 + idl END AS seg
+        | FROM b)
+        |SELECT doc_id, fmt, had_meta,
+        | CAST(clean_len + CASE WHEN had_meta THEN seg ELSE 0 END AS BIGINT) AS orig_len,
+        | CAST(CASE WHEN had_meta THEN seg ELSE 0 END AS BIGINT) AS meta_len,
+        | clean_len AS stripped_len,
+        | TRUE AS roundtrip_ok
+        |FROM c""".stripMargin,
     "mm_decode_meta" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,

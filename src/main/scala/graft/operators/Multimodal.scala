@@ -170,8 +170,15 @@ object Multimodal {
   /** The same synthesis over ANY (doc_id, text) frame — map-only
     * column expressions, so a STREAMING documents source slots in
     * unchanged ([[graft.streaming.Streaming]]'s modality router). */
-  def mediaTableOf(docs: DataFrame): DataFrame = {
-    val body = col("text").cast("binary")
+  def mediaTableOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), mediaPayloadOf(col("text")).as("payload"))
+
+  /** The synthesized container bytes for a text column — shared by
+    * [[mediaTableOf]] and the dirty-corpus builder in
+    * [[mmExifStripFrame]] (which compares its scrub output against this
+    * clean synthesis md5-to-md5). */
+  private def mediaPayloadOf(text: Column): Column = {
+    val body = text.cast("binary")
     val h = md5(body)
     val w = lit(16) + hexByteCol(h, 0)
     val ht = lit(16) + hexByteCol(h, 2)
@@ -189,7 +196,112 @@ object Multimodal {
     val header = when(fmtIdx === 0, jpegHeader)
       .when(fmtIdx === 1, pngHeader)
       .otherwise(gifHeader)
-    docs.select(col("doc_id"), concat(header, body).as("payload"))
+    concat(header, body)
+  }
+
+  /** M14 — `mm_exif_strip`: metadata-segment PII scrubbing over the
+    * container bytes — the image-side twin of `corpus_pii_scrub`:
+    * embedded EXIF/text metadata (GPS coordinates, author tags,
+    * comments) is the classic PII leak in scraped image corpora, and
+    * the scrub must happen at the BYTE level before any decode.
+    *
+    * The dirty corpus injects a spec-correct metadata segment into
+    * half the payloads (md5-nibble rule), one per format: a JPEG APP1
+    * `Exif\0\0` segment after SOI, a PNG `tEXt` chunk after IHDR, a
+    * GIF Comment Extension after the screen descriptor. The STRIPPER
+    * never consults the injection rule — it walks the container
+    * structure exactly as the specs define it (marker + BE16 length /
+    * chunk length + type / extension introducer + sub-block length)
+    * and excises what it finds, as pure column expressions over the
+    * bytes: map-only, no shuffle, no UDF. (One metadata segment per
+    * file at the canonical first position — the corpus contract here;
+    * a general multi-segment walk is this same step iterated.)
+    *
+    * `roundtrip_ok` compares the stripped bytes against the clean
+    * synthesis md5-to-md5 INSIDE the query — the scrub provably
+    * restores the original container, not just something shorter. */
+  def mmExifStrip(t: Tables): DataFrame =
+    mmExifStripFrame(t.documents).drop("clean", "dirty", "stripped",
+      "restripped")
+
+  /** The full byte-level frame behind [[mmExifStrip]] — the spec
+    * compares `stripped` to `clean` byte-for-byte and checks the
+    * scrub's idempotence via `restripped`. */
+  private[graft] def mmExifStripFrame(docs: DataFrame): DataFrame = {
+    val body = col("text").cast("binary")
+    val h = md5(body)
+    val fmtIdx = hexByteCol(h, 6) % 3
+    val fmt = when(fmtIdx === 0, "jpeg").when(fmtIdx === 1, "png")
+      .otherwise("gif")
+    val inject = hexByteCol(h, 10) % 2 === 0
+    val idStr = col("doc_id").cast("string").cast("binary")
+
+    // spec-correct metadata segments, one per format (real NULs where
+    // the specs put them)
+    val exifData = concat(
+      lit("Exif\u0000\u0000GPS:".getBytes("ISO-8859-1")),
+      idStr) // JPEG APP1: FF E1 <len BE16 incl itself> <data>
+    val app1 = concat(lit(Array(0xFF.toByte, 0xE1.toByte)),
+      be16Col(length(exifData) + lit(2)), exifData)
+    val textData = concat(
+      lit("Author\u0000user".getBytes("ISO-8859-1")),
+      idStr) // PNG chunk: <len BE32> 'tEXt' <data> <crc>
+    val tExt = concat(be32Col(length(textData)),
+      lit("tEXt".getBytes("ISO-8859-1")), textData,
+      lit(Array[Byte](0, 0, 0, 0)))
+    val comData = concat(lit("user".getBytes("ISO-8859-1")), idStr)
+    val gifCom = concat(lit(Array(0x21.toByte, 0xFE.toByte)),
+      unhex(lpad(hex(length(comData)), 2, "0")), comData,
+      lit(Array[Byte](0))) // 21 FE <len u8> <data> <terminator>
+
+    def dirtyOf(clean: Column): Column = when(!inject, clean)
+      .when(fmtIdx === 0, concat(substring(clean, 1, 2), app1,
+        substring(clean, 3, Int.MaxValue)))
+      .when(fmtIdx === 1, concat(substring(clean, 1, PngHdrLen), tExt,
+        substring(clean, PngHdrLen + 1, Int.MaxValue)))
+      .otherwise(concat(substring(clean, 1, GifHdrLen), gifCom,
+        substring(clean, GifHdrLen + 1, Int.MaxValue)))
+
+    // THE OPERATOR: walk the container structure and excise metadata
+    def be16At(p: Column, off1: Int) =
+      conv(hex(substring(p, off1, 2)), 16, 10).cast("int")
+    def be32At(p: Column, off1: Int) =
+      conv(hex(substring(p, off1, 4)), 16, 10).cast("int")
+    def u8At(p: Column, off1: Int) =
+      conv(hex(substring(p, off1, 1)), 16, 10).cast("int")
+    def stripOf(p: Column): Column = {
+      val isApp1 = substring(p, 3, 2) ===
+        lit(Array(0xFF.toByte, 0xE1.toByte))
+      val app1Len = be16At(p, 5) // includes its own 2 bytes
+      val jpegOut = when(isApp1, concat(substring(p, 1, 2),
+        p.substr(app1Len + lit(5), length(p)))).otherwise(p)
+      val isTExt = substring(p, PngHdrLen + 5, 4) ===
+        lit("tEXt".getBytes("ISO-8859-1"))
+      val tExtLen = be32At(p, PngHdrLen + 1) + 12 // len+type+data+crc
+      val pngOut = when(isTExt, concat(substring(p, 1, PngHdrLen),
+        p.substr(tExtLen + lit(PngHdrLen + 1), length(p)))).otherwise(p)
+      val isCom = substring(p, GifHdrLen + 1, 2) ===
+        lit(Array(0x21.toByte, 0xFE.toByte))
+      val comLen = u8At(p, GifHdrLen + 3) + 4 // intro+sublen+data+term
+      val gifOut = when(isCom, concat(substring(p, 1, GifHdrLen),
+        p.substr(comLen + lit(GifHdrLen + 1), length(p)))).otherwise(p)
+      when(fmtIdx === 0, jpegOut).when(fmtIdx === 1, pngOut)
+        .otherwise(gifOut)
+    }
+
+    // clean synthesis inline — ONE map-only projection, no self-join
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("clean", mediaPayloadOf(col("text")))
+      .withColumn("dirty", dirtyOf(col("clean")))
+      .withColumn("stripped", stripOf(col("dirty")))
+      .withColumn("restripped", stripOf(stripOf(col("dirty"))))
+      .select(col("doc_id"), fmt.as("fmt"), inject.as("had_meta"),
+        length(col("dirty")).cast("long").as("orig_len"),
+        (length(col("dirty")) - length(col("stripped"))).cast("long")
+          .as("meta_len"),
+        length(col("stripped")).cast("long").as("stripped_len"),
+        (md5(col("stripped")) === md5(col("clean"))).as("roundtrip_ok"),
+        col("clean"), col("dirty"), col("stripped"), col("restripped"))
   }
 
   // --- audio modality: WAV/RIFF (public RIFF/WAVE spec) ---

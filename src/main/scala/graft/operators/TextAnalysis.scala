@@ -1950,11 +1950,18 @@ object TextAnalysis {
     * (broadcast); scoring is a map-side broadcast join + one keyed
     * aggregate by doc. Nothing driver-side, no all-pairs. */
   def corpusDsirImportance(t: Tables, minChars: Int = 250): DataFrame = {
+    // staging cache: the hashed token projection feeds THREE consumers
+    // (raw counts, target counts, the scoring join) — uncached, each
+    // would re-pay the tokenize+md5 explode over the corpus (a staging
+    // write on a real cluster); eager count so consumers don't race
+    // the lazy cache
     val feat = t.documents
       .select(col("doc_id"), col("lang"), col("n_chars"),
         explode(tokens(col("text"))).as("term"))
       .withColumn("b", conv(substring(md5(col("term")), 1, 3), 16, 10)
         .cast("long"))
+      .persist()
+    feat.count()
     val rawCnt = feat.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
     val tgtCnt = feat
       .filter(col("lang") === "en" && col("n_chars") >= minChars)

@@ -628,6 +628,43 @@ object SourceOps {
   }
 
   /** The events projection both shard-table paths stage. */
+  /** `q_shard_delete` — B32: METADATA-ONLY `DELETE FROM … WHERE` end
+    * to end through the SQL surface. The table is built as two appends
+    * split at the delete boundary (max user div 2), so every shard
+    * file lies entirely on one side of the predicate and the delete is
+    * file-decidable from the manifest alone: `SupportsDelete`
+    * classifies each entry as provably-disjoint (keep) or
+    * provably-covered (bounds inside the range AND null-free by the
+    * manifest's per-column null counts — drop), rewrites the manifest
+    * first, then sweeps the dropped files. ZERO data files are read or
+    * rewritten by the delete — the Iceberg/Delta metadata-delete
+    * contract; a predicate straddling a file would REJECT loudly
+    * (spec-pinned) rather than silently rewrite. The read-back rollup
+    * is oracled against raw events with the same threshold. */
+  def qShardDelete(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val bounds = shardProjection(t).agg(max(col("user_id"))).head
+    val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
+    val view = s"gshard_del_src_$runId"
+    shardProjection(t).filter(col("user_id") < thr)
+      .createOrReplaceTempView(s"${view}_lo")
+    shardProjection(t).filter(col("user_id") >= thr)
+      .createOrReplaceTempView(s"${view}_hi")
+    val tbl = s"gshard_cat.main.events_del_${dirTag(t.dir)}"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl AS SELECT * FROM ${view}_lo")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM ${view}_hi")
+    spark.sql(s"DELETE FROM $tbl WHERE user_id < $thr")
+    spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(cents) AS BIGINT) AS value_cents
+         |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   private def shardProjection(t: Tables): DataFrame =
     t.events.select(col("user_id"), col("event_type"),
       datediff(col("ts").cast("date"),

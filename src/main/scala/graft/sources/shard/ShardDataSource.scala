@@ -5,8 +5,8 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite,
-  Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead,
+  SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution,
   Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions,
@@ -19,7 +19,7 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   RequiresDistributionAndOrdering, SupportsTruncate, Write, WriteBuilder,
   WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
   StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,7 +75,7 @@ class ShardDataSource extends TableProvider
 }
 
 private[shard] class ShardTable(dir: String, tableSchema: StructType)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   override def name(): String = s"gshard.`$dir`"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
@@ -86,6 +86,87 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType)
     new ShardScanBuilder(dir, ShardFormat.readManifest(dir), options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new ShardWriteBuilder(dir, info)
+
+  // ---- METADATA-ONLY DELETE (B32) ------------------------------------
+  // `DELETE FROM t WHERE p` is accepted iff EVERY manifest entry is
+  // decidable from its stats alone: provably DISJOINT from p (the zone
+  // maps refute the conjunction — the same sound test the scan prunes
+  // with) or provably FULLY COVERED by p (every conjunct holds on every
+  // row: bounds inside the predicate range AND the column null-free by
+  // the manifest's null counts — one null row breaks coverage because a
+  // comparison on NULL is never true). Anything undecidable (a file
+  // straddling the predicate boundary, an unsupported shape, a
+  // pre-nullcount manifest) rejects the whole DELETE, and Spark reports
+  // it — the Iceberg/Delta metadata-delete contract; a row-level
+  // rewrite is MERGE's job ([[graft.sources.MergeTarget]]).
+  // Commit is manifest-FIRST: the new manifest (without the dropped
+  // entries) publishes atomically, then the dropped files are swept —
+  // a crash in between leaves orphans, never a manifest naming deleted
+  // data.
+
+  /** All rows of `e` provably satisfy `f`. False = unknown. */
+  private def covers(e: ShardFormat.ShardEntry, f: Filter): Boolean = {
+    def nullFree(c: String) = e.nullCnt.get(c).contains(0L)
+    def z(c: String) = e.zMin.contains(c)
+    def s(c: String) = e.sMin.contains(c)
+    def lo(c: String) = ShardFormat.unb64(e.sMin(c))
+    def hi(c: String) = ShardFormat.unb64(e.sMax(c))
+    def cmp(a: Array[Byte], b: Array[Byte]) =
+      java.util.Arrays.compareUnsigned(a, b)
+    def bytes(v: String) = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    f match {
+      case EqualTo(c, v: Long) => nullFree(c) && z(c) &&
+        e.zMin(c) == v && e.zMax(c) == v
+      case GreaterThan(c, v: Long) => nullFree(c) && z(c) && e.zMin(c) > v
+      case GreaterThanOrEqual(c, v: Long) =>
+        nullFree(c) && z(c) && e.zMin(c) >= v
+      case LessThan(c, v: Long) => nullFree(c) && z(c) && e.zMax(c) < v
+      case LessThanOrEqual(c, v: Long) =>
+        nullFree(c) && z(c) && e.zMax(c) <= v
+      case EqualTo(c, v: String) => nullFree(c) && s(c) &&
+        cmp(lo(c), bytes(v)) == 0 && cmp(hi(c), bytes(v)) == 0
+      case GreaterThan(c, v: String) =>
+        nullFree(c) && s(c) && cmp(lo(c), bytes(v)) > 0
+      case GreaterThanOrEqual(c, v: String) =>
+        nullFree(c) && s(c) && cmp(lo(c), bytes(v)) >= 0
+      case LessThan(c, v: String) =>
+        nullFree(c) && s(c) && cmp(hi(c), bytes(v)) < 0
+      case LessThanOrEqual(c, v: String) =>
+        nullFree(c) && s(c) && cmp(hi(c), bytes(v)) <= 0
+      case IsNotNull(c) => nullFree(c)
+      case IsNull(c) => e.nullCnt.get(c).contains(e.rows)
+      // an unconditional DELETE plans as the [TRUE] predicate
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    }
+  }
+
+  /** No row of `e` can satisfy the conjunction (the scan's prune test). */
+  private def disjoint(e: ShardFormat.ShardEntry,
+      filters: Array[Filter]): Boolean =
+    filters.exists(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysFalse]) ||
+    !(ShardFormat.longZoneAdmits(filters.toSeq,
+        e.zMin.contains, e.zMin(_), e.zMax(_)) &&
+      ShardFormat.stringZoneAdmits(filters.toSeq, e.sMin.contains,
+        c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))))
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    ShardFormat.readManifest(dir).entries.forall { e =>
+      disjoint(e, filters) || filters.forall(covers(e, _))
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val m = ShardFormat.readManifest(dir)
+    val (drop, keep) = m.entries.partition { e =>
+      !disjoint(e, filters) && filters.forall(covers(e, _))
+    }
+    require(m.entries.forall { e =>
+      disjoint(e, filters) || filters.forall(covers(e, _))
+    }, s"gshard: DELETE not decidable from metadata for ${name()}")
+    ShardFormat.writeManifest(dir, m.copy(entries = keep))
+    drop.foreach(e => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, e.file)))
+  }
 }
 
 /** The DSv2 WRITE path: `df.write.format("gshard").save(dir)`.
@@ -152,7 +233,8 @@ private[shard] class ShardWrite(dir: String, schema: StructType,
 
 private[shard] final case class ShardCommitMessage(file: String, rows: Long,
     mins: Map[String, Long], maxs: Map[String, Long],
-    sMins: Map[String, String], sMaxs: Map[String, String])
+    sMins: Map[String, String], sMaxs: Map[String, String],
+    nulls: Map[String, Long])
   extends WriterCommitMessage
 
 private[shard] class ShardBatchWrite(dir: String, schema: StructType,
@@ -170,7 +252,7 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     val fresh = messages.collect {
       case m: ShardCommitMessage if m.rows > 0 => // empty partitions emit no file
         ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs,
-          m.sMins, m.sMaxs)
+          m.sMins, m.sMaxs, m.nulls)
     }.sortBy(_.file).toSeq
     val existing =
       if (ShardFormat.hasManifest(dir)) Some(ShardFormat.readManifest(dir))
@@ -267,11 +349,11 @@ private[shard] class ShardDataWriter(dir: String,
   override def commit(): WriterCommitMessage = {
     if (writer == null)
       return ShardCommitMessage("", 0L, Map.empty, Map.empty,
-        Map.empty, Map.empty)
+        Map.empty, Map.empty, Map.empty)
     val stats = writer.close()
     writer = null
     ShardCommitMessage(file, stats.rows, stats.zMin, stats.zMax,
-      stats.sMin, stats.sMax)
+      stats.sMin, stats.sMax, stats.nullCnt)
   }
 
   override def abort(): Unit = ()

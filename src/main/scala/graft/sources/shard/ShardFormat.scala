@@ -116,15 +116,20 @@ object ShardFormat {
   final case class ShardEntry(file: String, rows: Long,
       zMin: Map[String, Long], zMax: Map[String, Long],
       sMin: Map[String, String] = Map.empty,
-      sMax: Map[String, String] = Map.empty)
+      sMax: Map[String, String] = Map.empty,
+      nullCnt: Map[String, Long] = Map.empty)
 
   final case class Manifest(schema: StructType, entries: Seq[ShardEntry],
       lastTxn: Long = -1L)
 
-  /** Per-file writer stats, reported from tasks to the manifest. */
+  /** Per-file writer stats, reported from tasks to the manifest.
+    * `nullCnt` carries EVERY column (zero included): a column absent
+    * from an entry's map means the count is UNKNOWN (a pre-nullcount
+    * manifest), which delete coverage treats as not-provably-null-free. */
   final case class ShardStats(rows: Long,
       zMin: Map[String, Long], zMax: Map[String, Long],
-      sMin: Map[String, String], sMax: Map[String, String])
+      sMin: Map[String, String], sMax: Map[String, String],
+      nullCnt: Map[String, Long])
 
   /** Write `df` as `nShards` range-clustered shard files + manifest.
     * `rangeCol` must be a non-null long column; all columns
@@ -166,8 +171,8 @@ object ShardFormat {
       .collect()
 
     val entries = statRows.sortBy(_._1).map {
-      case (file, rows, mins, maxs, smins, smaxs) =>
-        ShardEntry(file, rows, mins, maxs, smins, smaxs)
+      case (file, rows, mins, maxs, smins, smaxs, nulls) =>
+        ShardEntry(file, rows, mins, maxs, smins, smaxs, nulls)
     }.toSeq
     val manifest = Manifest(schema, entries)
     writeManifest(dir, manifest)
@@ -178,7 +183,8 @@ object ShardFormat {
     import org.apache.spark.sql.Encoder
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val stats: Encoder[(String, Long, Map[String, Long],
-        Map[String, Long], Map[String, String], Map[String, String])] =
+        Map[String, Long], Map[String, String], Map[String, String],
+        Map[String, Long])] =
       ExpressionEncoder()
   }
 
@@ -188,10 +194,11 @@ object ShardFormat {
   private def writeTaskShards(
       it: Iterator[Row], dir: String, schema: StructType, chunkRows: Int)
       : Iterator[(String, Long, Map[String, Long], Map[String, Long],
-        Map[String, String], Map[String, String])] = {
+        Map[String, String], Map[String, String], Map[String, Long])] = {
     val nCols = schema.length
     val out = mutable.ArrayBuffer.empty[(String, Long, Map[String, Long],
-      Map[String, Long], Map[String, String], Map[String, String])]
+      Map[String, Long], Map[String, String], Map[String, String],
+      Map[String, Long])]
 
     var shard = -1
     var writer: ShardFileWriter = null
@@ -200,7 +207,7 @@ object ShardFormat {
       val stats = writer.close()
       if (stats.rows > 0)
         out += ((file, stats.rows, stats.zMin, stats.zMax,
-          stats.sMin, stats.sMax))
+          stats.sMin, stats.sMax, stats.nullCnt))
       writer = null
     }
     it.foreach { r =>
@@ -250,6 +257,7 @@ object ShardFormat {
       .collect { case (f, i) if f.dataType == StringType => i }
 
     // file-level zone state, folded over chunks
+    private val fNulls = new Array[Long](nCols)
     private val fLongHas = new Array[Boolean](longIdx.length)
     private val fLongMin = new Array[Long](longIdx.length)
     private val fLongMax = new Array[Long](longIdx.length)
@@ -302,8 +310,10 @@ object ShardFormat {
         val bitmap = new Array[Byte]((n + 7) / 8)
         var r = 0
         while (r < n) {
-          if (buf(r)(c) == null)
+          if (buf(r)(c) == null) {
             bitmap(r >> 3) = (bitmap(r >> 3) | (1 << (r & 7))).toByte
+            fNulls(c) += 1
+          }
           r += 1
         }
         schema(c).dataType match {
@@ -416,14 +426,16 @@ object ShardFormat {
       val sMax = strIdx.indices.collect {
         case si if fStrHas(si) => schema(strIdx(si)).name -> b64(fStrMax(si))
       }.toMap
-      ShardStats(totalRows, zMin, zMax, sMin, sMax)
+      val nulls = schema.fields.indices
+        .map(c => schema(c).name -> fNulls(c)).toMap
+      ShardStats(totalRows, zMin, zMax, sMin, sMax, nulls)
     }
   }
 
   private[graft] def hasManifest(dir: String): Boolean =
     Files.exists(Paths.get(dir, "_manifest.gshard"))
 
-  private[shard] def writeManifest(dir: String, m: Manifest): Unit = {
+  private[graft] def writeManifest(dir: String, m: Manifest): Unit = {
     val sb = new StringBuilder
     sb.append("gshard v2\n")
     sb.append("schema ").append(m.schema.fields
@@ -434,7 +446,10 @@ object ShardFormat {
         .map(c => s"$c=${e.zMin(c)}:${e.zMax(c)}")
       val strs = e.sMin.keys.toSeq.sorted
         .map(c => s"$c#${e.sMin(c)}:${e.sMax(c)}")
-      sb.append(s"file ${e.file} ${e.rows} ${(longs ++ strs).mkString(";")}\n")
+      val nulls = e.nullCnt.keys.toSeq.sorted
+        .map(c => s"$c!${e.nullCnt(c)}")
+      sb.append(s"file ${e.file} ${e.rows} " +
+        s"${(longs ++ strs ++ nulls).mkString(";")}\n")
     }
     Files.write(Paths.get(dir, "_manifest.gshard"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -459,10 +474,19 @@ object ShardFormat {
       val (file, rows) = (parts(1), parts(2).toLong)
       var zMin = Map.empty[String, Long]; var zMax = Map.empty[String, Long]
       var sMin = Map.empty[String, String]; var sMax = Map.empty[String, String]
+      var nulls = Map.empty[String, Long]
       if (parts.length > 3 && parts(3).nonEmpty)
         parts(3).split(";").foreach { kv =>
+          // the column name contains none of the three markers, so the
+          // EARLIEST marker in the segment is the one that tags it
+          // ('=' long bounds, '#' base64 string bounds, '!' null count
+          // — base64 can contain '=' but the '#' always precedes it)
           val eq = kv.indexOf('='); val hs = kv.indexOf('#')
-          if (eq >= 0 && (hs < 0 || eq < hs)) {
+          val bg = kv.indexOf('!')
+          def before(a: Int, b: Int) = a >= 0 && (b < 0 || a < b)
+          if (before(bg, eq) && before(bg, hs)) {
+            nulls += kv.substring(0, bg) -> kv.substring(bg + 1).toLong
+          } else if (before(eq, hs)) {
             val c = kv.substring(0, eq)
             val Array(mn, mx) = kv.substring(eq + 1).split(":")
             zMin += c -> mn.toLong; zMax += c -> mx.toLong
@@ -473,7 +497,7 @@ object ShardFormat {
             sMin += c -> mn; sMax += c -> mx
           }
         }
-      ShardEntry(file, rows, zMin, zMax, sMin, sMax)
+      ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls)
     }.toSeq
     Manifest(schema, entries, lastTxn)
   }

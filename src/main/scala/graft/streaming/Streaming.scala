@@ -863,6 +863,40 @@ object Streaming {
       drainToTable(weeks, "complete").select(col("user_id"), col("week")))
   }
 
+  /** X35 — `stream_benford`: the Benford first-digit audit maintained
+    * CONTINUOUSLY over the fact stream — per-digit counts as ONE keyed
+    * streaming aggregation whose state is NINE integers total (the
+    * smallest sufficient statistic in the whole engine), with the
+    * fixed expected-mass table and the ppm arithmetic applied as a
+    * batch readout over the drained 9-row state. The fraud screen
+    * this implements is exactly the alerting shape a production
+    * deploy wants: state O(1), every trigger refreshes the full
+    * audit. Shares `q_benford_audit`'s oracle verbatim — stream/batch
+    * equivalence pair #31. */
+  def streamBenford(t: Tables): DataFrame = {
+    val schema = t.raw("lineitem").schema
+    val li = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "lineitem"))
+    val cents = floor(col("l_extendedprice") * lit(100) + lit(0.5))
+      .cast("long")
+    val digits = li
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit") >= 1)
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val drained = drainToTable(digits, "complete")
+    val expected = graft.operators.Relational.benfordPpm
+      .foldLeft(lit(0L)) { case (acc, (d, ppm)) =>
+        when(col("digit") === d, lit(ppm)).otherwise(acc)
+      }
+    val total = drained.agg(sum(col("n")).as("total"))
+    drained.crossJoin(broadcast(total))
+      .withColumn("obs_ppm", expr("(n * 1000000) div total"))
+      .withColumn("exp_ppm", expected)
+      .withColumn("dev_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        col("dev_ppm"))
+  }
+
   /** `stream_boilerplate` — the `text_boilerplate` per-source
     * document-frequency state maintained over a document STREAM:
     * cleaning statistics that update as the crawl lands, instead of a

@@ -159,7 +159,11 @@ class EmptyInputSpec extends SparkSpec {
     // the two-level rank over zero buckets, the interval union over an
     // empty island set, and the KN grid over zero bigram types (the
     // Nbt cross join is empty → no division ever evaluates)
-    "q_surrogate_keys", "events_interval_union", "text_kn_bigram")
+    "q_surrogate_keys", "events_interval_union", "text_kn_bigram",
+    // metadata delete over an empty table: zero entries, all decidable
+    "q_shard_delete",
+    // the byte scrubber is map-only: empty docs -> zero rows
+    "mm_exif_strip")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -275,4 +275,58 @@ class MultimodalSpec extends SparkSpec {
     assert(crafted.map(_._2).sum >= 1, "overlong flag never fires")
     assert(crafted.map(_._3).sum >= 1, "undercaptioned flag never fires")
   }
+
+  test("mm_exif_strip restores the clean container bytes exactly") {
+    val rows = Multimodal.mmExifStripFrame(tables.documents).collect()
+    assert(rows.nonEmpty)
+    var injected = 0
+    rows.foreach { r =>
+      val fmt = r.getString(1); val hadMeta = r.getBoolean(2)
+      val clean = r.getAs[Array[Byte]]("clean")
+      val dirty = r.getAs[Array[Byte]]("dirty")
+      val stripped = r.getAs[Array[Byte]]("stripped")
+      val restripped = r.getAs[Array[Byte]]("restripped")
+      // the scrub restores the original container BYTE FOR BYTE — not
+      // just something shorter with a matching digest
+      assert(java.util.Arrays.equals(stripped, clean),
+        s"doc ${r.getLong(0)} ($fmt, meta=$hadMeta): bytes differ")
+      // idempotent: stripping a clean container is the identity
+      assert(java.util.Arrays.equals(restripped, stripped))
+      if (hadMeta) {
+        injected += 1
+        assert(dirty.length > clean.length, "meta never injected")
+        // the dirty container carries the PII marker; the scrub output
+        // must not — search for the NUL-bearing tag bytes, which the
+        // plain-text body can never contain (GIF's comment has no NUL
+        // marker, so its proof is the byte-exact restore above)
+        def has(b: Array[Byte], tag: String): Boolean =
+          b.sliding(tag.length).exists(_.sameElements(tag.getBytes("ISO-8859-1")))
+        val tag = fmt match {
+          case "jpeg" => "Exif  GPS:"
+          case "png" => "Author user"
+          case _ => ""
+        }
+        if (tag.nonEmpty) {
+          assert(has(dirty, tag), s"$fmt dirty payload lacks the PII tag")
+          assert(!has(stripped, tag), s"$fmt scrub left the PII tag behind")
+        }
+      } else assert(java.util.Arrays.equals(dirty, clean))
+    }
+    // both branches exercised, all three formats seen with metadata
+    assert(injected > 0 && injected < rows.length)
+    assert(rows.filter(_.getBoolean(2)).map(_.getString(1)).toSet ==
+      Set("jpeg", "png", "gif"))
+    // dirty JPEG/PNG containers still parse with the original dims —
+    // metadata segments are transparent to a spec-correct reader
+    rows.filter(r => r.getBoolean(2) && r.getString(1) != "gif")
+      .foreach { r =>
+        val dirtyMeta = Multimodal.HeaderMediaDecoder
+          .decodeBatch(Iterator(r.getAs[Array[Byte]]("dirty"))).next()
+        val cleanMeta = Multimodal.HeaderMediaDecoder
+          .decodeBatch(Iterator(r.getAs[Array[Byte]]("clean"))).next()
+        assert(dirtyMeta.fmt == cleanMeta.fmt)
+        assert(dirtyMeta.width == cleanMeta.width &&
+          dirtyMeta.height == cleanMeta.height)
+      }
+  }
 }
