@@ -102,6 +102,11 @@ object SparkEntry {
     "events_growth_accounting" -> q(EventAnalytics.eventsGrowthAccounting),
     // per-type daily-volume trend via native regr_* aggregates
     "events_ols_trend"    -> q(EventAnalytics.eventsOlsTrend),
+    // the trend fit maintained continuously — stream/batch
+    // equivalence pair #32 (same oracle)
+    "stream_ols_trend"    -> q(t => graft.streaming.Streaming.streamOlsTrend(t)),
+    // robust MAD outlier screen, 4-dp-quantized before the compare
+    "events_mad_outliers" -> q(EventAnalytics.eventsMadOutliers),
     // DSIR-style hashed-ngram importance weighting (integer-exact)
     "corpus_dsir_importance" -> q(t => TextAnalysis.corpusDsirImportance(t)),
     // distributed dense-id assignment (two-level rank; oracle is the
@@ -738,6 +743,19 @@ object SparkEntry {
       |t AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1)
       |SELECT token, cnt FROM t
       |WHERE cnt * 40 >= (SELECT count(*) FROM tok)""".stripMargin
+
+  /** DuckDB oracle shared by the batch and streaming per-type trend
+    * regressions (equivalence pair #32). */
+  private val olsTrendSql: String =
+    """WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |   count(*) AS n FROM events GROUP BY 1, 2),
+      |b AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
+      |  CAST(day - min(day) OVER (PARTITION BY event_type) AS DOUBLE) AS x FROM d)
+      |SELECT event_type, count(*) AS n_days,
+      | round(regr_slope(y, x) + 1e-9, 4) AS slope,
+      | round(regr_intercept(y, x) + 1e-9, 4) AS intercept,
+      | round(regr_r2(y, x) + 1e-9, 4) AS r2
+      |FROM b GROUP BY 1""".stripMargin
 
   /** DuckDB oracle shared by the batch and streaming Benford audits
     * (equivalence pair #31). */
@@ -1853,16 +1871,23 @@ object SparkEntry {
     "stream_benford" -> benfordSql,
     "events_growth_accounting" -> growthSql,
     "stream_growth_accounting" -> growthSql,
-    "events_ols_trend" ->
-      """WITH d AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-        |   count(*) AS n FROM events GROUP BY 1, 2),
-        |b AS (SELECT event_type, CAST(n AS DOUBLE) AS y,
-        |  CAST(day - min(day) OVER (PARTITION BY event_type) AS DOUBLE) AS x FROM d)
-        |SELECT event_type, count(*) AS n_days,
-        | round(regr_slope(y, x) + 1e-9, 4) AS slope,
-        | round(regr_intercept(y, x) + 1e-9, 4) AS intercept,
-        | round(regr_r2(y, x) + 1e-9, 4) AS r2
-        |FROM b GROUP BY 1""".stripMargin,
+    "events_ols_trend" -> olsTrendSql,
+    "stream_ols_trend" -> olsTrendSql,
+    "events_mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |   round(quantile_cont(value, 0.5) + 1e-9, 4) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, e.value, med.med,
+        |   abs(e.value - med.med) AS adev
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |   round(quantile_cont(adev, 0.5) + 1e-9, 4) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, count(*) AS n, min(d.med) AS med,
+        | min(m.mad) AS mad,
+        | CAST(sum(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_outliers
+        |FROM dev d JOIN mad m USING (event_type) GROUP BY 1""".stripMargin,
     "q_surrogate_keys" ->
       """SELECT o_orderkey,
         | CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS sk

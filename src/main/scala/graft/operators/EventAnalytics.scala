@@ -2315,6 +2315,38 @@ object EventAnalytics {
         col("n_retained"), col("n_resurrected"), col("n_churned"))
   }
 
+  /** `events_mad_outliers` — robust outlier screening by median
+    * absolute deviation: the data-quality rule z-scores get wrong on
+    * heavy-tailed metrics (one whale inflates the stddev until nothing
+    * is an outlier; the median and MAD barely move). Flags values with
+    * |v − median| > 3·MAD per event type.
+    *
+    * Determinism across engines: the median and MAD quantize to 4 dp
+    * (the shared percentile discipline — Spark's exact `percentile`
+    * and DuckDB's `quantile_cont` interpolate identically, and the
+    * rounding absorbs summation-free last-ulp drift) BEFORE the
+    * outlier comparison, so both engines compare bit-identical
+    * doubles. The two quantile passes reduce per-type; the medians
+    * table is #types rows and broadcast back — no per-row state
+    * beyond the exact percentile buffer (the approx twin of which is
+    * `events_value_percentiles_approx`'s t-digest swap). */
+  def eventsMadOutliers(t: Tables): DataFrame = {
+    val med = t.events.groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)) + lit(1e-9), 4)
+        .as("med"))
+    val dev = t.events.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(percentile(col("adev"), lit(0.5)) + lit(1e-9), 4)
+        .as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** `events_interval_union` — merge each user's overlapping presence
     * intervals (event ± a fixed horizon) into disjoint islands: the
     * interval-UNION primitive behind "total engaged time" and
@@ -2364,10 +2396,16 @@ object EventAnalytics {
     * volume at day 0". Group cardinality = #event types; daily
     * rollup = types × days — both metadata-scale. Doubles are
     * rounded at 4 dp on both engines (the corpus_zipf discipline). */
-  def eventsOlsTrend(t: Tables): DataFrame = {
-    val daily = t.events
+  def eventsOlsTrend(t: Tables): DataFrame =
+    olsTrendFromDaily(t.events
       .select(col("event_type"), to_date(col("ts")).as("day"))
-      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n")))
+
+  /** The regression readout over a (event_type, day DATE, n) rollup —
+    * shared by the batch operator and its streaming twin
+    * (`stream_ols_trend`, which maintains the rollup as one keyed
+    * streaming aggregation and fits over the drained state). */
+  def olsTrendFromDaily(daily: DataFrame): DataFrame = {
     val based = daily.withColumn("x",
       datediff(col("day"),
         min(col("day")).over(Window.partitionBy(col("event_type"))))

@@ -863,6 +863,25 @@ object Streaming {
       drainToTable(weeks, "complete").select(col("user_id"), col("week")))
   }
 
+  /** X36 — `stream_ols_trend`: the per-type volume-trend regression
+    * maintained CONTINUOUSLY — the (type, day) daily counts as ONE
+    * keyed streaming aggregation (state = types × active days, the
+    * metadata-scale sufficient statistic; production watermarks the
+    * day), with the shared native-`regr_*` fit
+    * ([[graft.operators.EventAnalytics.olsTrendFromDaily]], refactored
+    * shared) running over the drained rollup. Trend drift becomes a
+    * per-trigger readout instead of a batch recount. Shares
+    * `events_ols_trend`'s oracle verbatim — stream/batch equivalence
+    * pair #32. */
+  def streamOlsTrend(t: Tables): DataFrame = {
+    val daily = eventsStream(t)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    graft.operators.EventAnalytics.olsTrendFromDaily(
+      drainToTable(daily, "complete"))
+  }
+
   /** X35 — `stream_benford`: the Benford first-digit audit maintained
     * CONTINUOUSLY over the fact stream — per-digit counts as ONE keyed
     * streaming aggregation whose state is NINE integers total (the

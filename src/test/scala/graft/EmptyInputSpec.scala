@@ -163,7 +163,9 @@ class EmptyInputSpec extends SparkSpec {
     // metadata delete over an empty table: zero entries, all decidable
     "q_shard_delete",
     // the byte scrubber is map-only: empty docs -> zero rows
-    "mm_exif_strip")
+    "mm_exif_strip",
+    // MAD screen over zero groups: no medians, no joins, no rows
+    "events_mad_outliers")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -171,6 +171,44 @@ class EngagementAnalyticsSpec extends SparkSpec {
     assert(got.exists(_._3 > horizon), "no interval ever merged")
   }
 
+  test("events_mad_outliers equals a driver-side quantized replay " +
+      "and resists the whale that breaks z-scores") {
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.size
+      val m = if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+      math.rint((m + 1e-9) * 1e4) / 1e4 // the shared 4-dp quantization
+    }
+    val vals = tables.events.select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val expected = vals.groupBy(_._1).map { case (et, rows) =>
+      val xs = rows.map(_._2).toSeq
+      val m = med(xs)
+      val devs = xs.map(v => math.abs(v - m))
+      val mad = med(devs)
+      (et, xs.size.toLong, m, mad, devs.count(_ > 3.0 * mad).toLong)
+    }.toSet
+    val got = EventAnalytics.eventsMadOutliers(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    assert(got == expected,
+      s"onlyGot=${(got -- expected).take(3)} onlyExp=${(expected -- got).take(3)}")
+    // robustness: injecting one whale leaves median/MAD (and thus the
+    // outlier threshold) unchanged while the naive 3σ rule collapses
+    val (et0, xs0) = vals.groupBy(_._1).head match {
+      case (k, rows) => (k, rows.map(_._2).toSeq)
+    }
+    val whale = xs0 :+ 1e9
+    val mBefore = med(xs0); val mAfter = med(whale)
+    assert(math.abs(mAfter - mBefore) < 1.0, "median moved by the whale")
+    val mean = whale.sum / whale.size
+    val sd = math.sqrt(whale.map(v => (v - mean) * (v - mean)).sum / whale.size)
+    val zOut = whale.count(v => math.abs(v - mean) > 3 * sd)
+    val madW = med(whale.map(v => math.abs(v - mAfter)))
+    val madOut = whale.count(v => math.abs(v - mAfter) > 3 * madW)
+    assert(madOut > zOut, s"MAD ($madOut) should flag more than 3σ ($zOut)")
+    assert(et0.nonEmpty)
+  }
+
   test("q_benford_audit: exact masses, full coverage, fixed table") {
     val rows = Relational.qBenfordAudit(tables).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -8,6 +8,16 @@ import graft.SparkSpec
   * at the driver gate; this pins the equality locally too). */
 class GrowthAccountingStreamSpec extends SparkSpec {
 
+  test("stream_ols_trend == events_ols_trend") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val stream = rows(Streaming.streamOlsTrend(tables))
+    val batch = rows(graft.operators.EventAnalytics.eventsOlsTrend(tables))
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("stream_growth_accounting == events_growth_accounting") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[java.time.LocalDateTime](0),
