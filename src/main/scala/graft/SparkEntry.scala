@@ -219,6 +219,11 @@ object SparkEntry {
     // the forecaster maintained continuously over the event stream —
     // stream/batch equivalence pair #23 (same oracle)
     "stream_holt_forecast" -> q(t => graft.streaming.Streaming.streamHoltForecast(t)),
+    // triple exponential smoothing: the weekly cycle as LEARNED state
+    "events_holt_winters" -> q(EventAnalytics.eventsHoltWinters),
+    // the seasonal forecaster maintained continuously — stream/batch
+    // equivalence pair #33 (same oracle)
+    "stream_holt_winters" -> q(t => graft.streaming.Streaming.streamHoltWinters(t)),
     // the same monitor as a continuous query off the hourly streaming
     // state; shares the batch oracle — equivalence pair #17
     "stream_changepoint"  -> q(t => graft.streaming.Streaming.streamChangepoint(t)),
@@ -689,6 +694,53 @@ object SparkEntry {
         | h.b AS trend_micro, h.l + h.b AS forecast_micro,
         | CASE WHEN nn.t > 1 THEN h.err // (nn.t - 1) ELSE 0 END AS mae_micro
         |FROM h JOIN nn ON nn.et = h.et AND h.rn = nn.t""".stripMargin
+
+  /** DuckDB oracle shared by the batch and streaming Holt-Winters
+    * forecasters (equivalence pair #33): the Holt spine + a recursive
+    * integer fold carrying the 7-slot seasonal ring as columns
+    * (s1 = the component applying to the NEXT step; each step shifts
+    * the ring left and appends the freshly smoothed component). */
+  private lazy val holtWintersSql: String = {
+    // l′ appears in three update terms; splice the expression once
+    val lNew = "(2 * (i.x * 1000000 - h.s1) + 8 * (h.l + h.b)) // 10"
+    s"""WITH RECURSIVE dd AS (SELECT event_type AS et,
+      |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day FROM events),
+      |sp AS (SELECT min(day) AS dlo, max(day) AS dhi FROM dd),
+      |ds AS (SELECT unnest(generate_series(dlo, dhi)) AS day FROM sp),
+      |ty AS (SELECT DISTINCT et FROM dd),
+      |cnt AS (SELECT t.et, d.day, CAST(coalesce(c.x, 0) AS BIGINT) AS x
+      |  FROM ty t JOIN ds d ON true
+      |  LEFT JOIN (SELECT et, day, count(*) AS x FROM dd GROUP BY 1, 2) c
+      |    ON c.et = t.et AND c.day = d.day),
+      |idx AS (SELECT et, x,
+      |  CAST(row_number() OVER (PARTITION BY et ORDER BY day) AS BIGINT) AS rn
+      | FROM cnt),
+      |nn AS (SELECT et, max(rn) AS t FROM idx GROUP BY 1),
+      |h AS (
+      |  SELECT a.et, CAST(1 AS BIGINT) AS rn,
+      |    CAST(a.x * 1000000 AS BIGINT) AS l,
+      |    CAST(coalesce(b.x - a.x, 0) * 1000000 AS BIGINT) AS b,
+      |    CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2,
+      |    CAST(0 AS BIGINT) AS s3, CAST(0 AS BIGINT) AS s4,
+      |    CAST(0 AS BIGINT) AS s5, CAST(0 AS BIGINT) AS s6,
+      |    CAST(0 AS BIGINT) AS s7,
+      |    CAST(0 AS BIGINT) AS err
+      |  FROM idx a LEFT JOIN idx b ON b.et = a.et AND b.rn = 2
+      |  WHERE a.rn = 1
+      |  UNION ALL
+      |  SELECT i.et, h.rn + 1,
+      |    CAST($lNew AS BIGINT),
+      |    CAST((($lNew) - h.l + 9 * h.b) // 10 AS BIGINT),
+      |    h.s2, h.s3, h.s4, h.s5, h.s6, h.s7,
+      |    CAST((i.x * 1000000 - ($lNew) + 9 * h.s1) // 10 AS BIGINT),
+      |    CAST(h.err + abs(i.x * 1000000 - (h.l + h.b + h.s1)) AS BIGINT)
+      |  FROM h JOIN idx i ON i.et = h.et AND i.rn = h.rn + 1)
+      |SELECT h.et AS event_type, nn.t AS n_days, h.l AS level_micro,
+      | h.b AS trend_micro, h.s1 AS season_next_micro,
+      | h.l + h.b + h.s1 AS forecast_micro,
+      | CASE WHEN nn.t > 1 THEN h.err // (nn.t - 1) ELSE 0 END AS mae_micro
+      |FROM h JOIN nn ON nn.et = h.et AND h.rn = nn.t""".stripMargin
+  }
 
   /** DuckDB oracle shared by the batch and streaming epoch planners:
     * sqrt-quantized temperature quota → capped epochs, all-integer
@@ -2905,6 +2957,8 @@ object SparkEntry {
     "events_ppr" -> eventsPprSql,
     "events_holt_forecast" -> holtForecastSql,
     "stream_holt_forecast" -> holtForecastSql,
+    "events_holt_winters" -> holtWintersSql,
+    "stream_holt_winters" -> holtWintersSql,
 
     "events_communities" -> eventsCommunitiesSql,
     "events_reach" -> eventsReachSql,

@@ -863,6 +863,24 @@ object Streaming {
       drainToTable(weeks, "complete").select(col("user_id"), col("week")))
   }
 
+  /** X37 — `stream_holt_winters`: the seasonal forecaster maintained
+    * CONTINUOUSLY — the same (type, day) keyed streaming rollup as
+    * [[streamHoltForecast]], with the shared Holt-Winters integer fold
+    * ([[graft.operators.EventAnalytics.holtWintersFromCounts]])
+    * running over the drained state: the weekly-cycle-aware forecast
+    * refreshes every trigger. Shares `events_holt_winters`' recursive-
+    * CTE oracle verbatim — stream/batch equivalence pair #33. */
+  def streamHoltWinters(t: Tables): DataFrame = {
+    val counts = eventsStream(t)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("x"))
+    graft.operators.EventAnalytics.holtWintersFromCounts(
+      drainToTable(counts, "complete"))
+  }
+
   /** X36 — `stream_ols_trend`: the per-type volume-trend regression
     * maintained CONTINUOUSLY — the (type, day) daily counts as ONE
     * keyed streaming aggregation (state = types × active days, the

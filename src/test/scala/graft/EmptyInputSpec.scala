@@ -165,7 +165,9 @@ class EmptyInputSpec extends SparkSpec {
     // the byte scrubber is map-only: empty docs -> zero rows
     "mm_exif_strip",
     // MAD screen over zero groups: no medians, no joins, no rows
-    "events_mad_outliers")
+    "events_mad_outliers",
+    // the HW fold's empty-rollup early return (typed empty frame)
+    "events_holt_winters")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -958,4 +958,45 @@ class PlanAuditSpec extends SparkSpec {
       s"string zone maps pruned nothing: $desc")
   }
 
+  test("mm_exif_strip: byte surgery is map-only, zero exchanges") {
+    val p = plan(Multimodal.mmExifStrip(tables))
+    assert(!p.contains("Exchange"), s"the scrub shuffled:\n$p")
+  }
+
+  test("ann_lsh_multiprobe: probe expansion stays on the broadcast side") {
+    val p = plan(Similarity.annLshMultiprobeTopK(tables))
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"probe join degenerated:\n$p")
+  }
+
+  test("q_surrogate_keys: no single-partition pass over the FACT rows") {
+    // the one global window runs over the #buckets-row rollup; the
+    // fact-side rank is partitioned by bucket and the offsets come
+    // back via broadcast — pin that every SinglePartition exchange
+    // sits above an aggregate, never directly above the scan
+    val df = Relational.qSurrogateKeys(tables)
+    df.collect()
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val singles = root.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    singles.foreach { e =>
+      val feedsFromAgg = e.child.collectFirst {
+        case a if a.nodeName.contains("Aggregate") => a
+      }.isDefined
+      assert(feedsFromAgg,
+        s"single-partition exchange over non-aggregated rows:\n$e")
+    }
+    val p = root.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") ||
+      p.contains("BroadcastExchange"), s"offsets not broadcast back:\n$p")
+  }
 }
