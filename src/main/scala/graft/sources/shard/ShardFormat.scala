@@ -336,29 +336,76 @@ object ShardFormat {
               r += 1
             }
           case StringType =>
+            // per-row byte slices (null → zero-width, bitmap carries it)
+            val slices = new Array[Array[Byte]](n)
             var total = 0L
             r = 0
             while (r < n) {
               val v = buf(r)(c)
-              if (v != null) total += v.asInstanceOf[Array[Byte]].length
+              slices(r) =
+                if (v == null) Array.emptyByteArray
+                else v.asInstanceOf[Array[Byte]]
+              total += slices(r).length
               r += 1
             }
-            bdos.writeLong(bitmap.length + 4L * (n + 1) + total)
-            bdos.write(bitmap)
-            var off = 0
-            bdos.writeInt(0)
+            // DICTIONARY probe: low-cardinality chunks encode as a
+            // ≤255-entry dictionary + one index byte per row (the
+            // parquet/ORC dictionary-page idea at chunk grain) —
+            // chosen by MEASURED size, never by heuristic, so the
+            // format is never larger than plain. First-seen order
+            // keeps the bytes deterministic.
+            val dict = mutable.LinkedHashMap.empty[String, Int]
+            var dictBytes = 0L
+            var tooMany = false
             r = 0
-            while (r < n) {
-              val v = buf(r)(c)
-              if (v != null) off += v.asInstanceOf[Array[Byte]].length
-              bdos.writeInt(off)
+            while (r < n && !tooMany) {
+              if (!((bitmap(r >> 3) & (1 << (r & 7))) != 0)) {
+                val key = new String(slices(r), "ISO-8859-1")
+                if (!dict.contains(key)) {
+                  if (dict.size >= 255) tooMany = true
+                  else { dict.put(key, dict.size); dictBytes += slices(r).length }
+                }
+              }
               r += 1
             }
-            r = 0
-            while (r < n) {
-              val v = buf(r)(c)
-              if (v != null) bdos.write(v.asInstanceOf[Array[Byte]])
-              r += 1
+            val d = dict.size
+            // payload sizes EXCLUDING bitmap and the 1-byte tag (the
+            // tag is common to both, so the comparison ignores it)
+            val plainLen = 4L * (n + 1) + total
+            val dictLen = 1L + 4L * (d + 1) + dictBytes + n
+            if (!tooMany && dictLen < plainLen) {
+              bdos.writeLong(bitmap.length + 1L + dictLen)
+              bdos.write(bitmap)
+              bdos.writeByte(1) // encoding tag: dictionary
+              bdos.writeByte(d)
+              var off = 0
+              bdos.writeInt(0)
+              dict.keysIterator.foreach { k =>
+                off += k.length; bdos.writeInt(off)
+              }
+              dict.keysIterator.foreach(k => bdos.write(k.getBytes("ISO-8859-1")))
+              r = 0
+              while (r < n) {
+                val isNull = (bitmap(r >> 3) & (1 << (r & 7))) != 0
+                bdos.writeByte(
+                  if (isNull) 0
+                  else dict(new String(slices(r), "ISO-8859-1")))
+                r += 1
+              }
+            } else {
+              bdos.writeLong(bitmap.length + 1L + plainLen)
+              bdos.write(bitmap)
+              bdos.writeByte(0) // encoding tag: plain offsets+bytes
+              var off = 0
+              bdos.writeInt(0)
+              r = 0
+              while (r < n) {
+                off += slices(r).length
+                bdos.writeInt(off)
+                r += 1
+              }
+              r = 0
+              while (r < n) { bdos.write(slices(r)); r += 1 }
             }
           case other => throw new IllegalStateException(other.toString)
         }
@@ -641,20 +688,45 @@ object ShardFormat {
                         arr(i) = if (isNull(i)) null else v
                         i += 1
                       }
-                    case StringType =>
-                      val offs = new Array[Int](nRows + 1)
-                      var i = 0
-                      while (i <= nRows) { offs(i) = dis.readInt(); i += 1 }
-                      val bytes = new Array[Byte](offs(nRows))
-                      dis.readFully(bytes)
-                      i = 0
-                      while (i < nRows) {
-                        arr(i) =
-                          if (isNull(i)) null
-                          else java.util.Arrays
-                            .copyOfRange(bytes, offs(i), offs(i + 1))
-                        i += 1
-                      }
+                    case StringType => dis.readByte() match {
+                      case 0 => // plain: offsets + bytes
+                        val offs = new Array[Int](nRows + 1)
+                        var i = 0
+                        while (i <= nRows) { offs(i) = dis.readInt(); i += 1 }
+                        val bytes = new Array[Byte](offs(nRows))
+                        dis.readFully(bytes)
+                        i = 0
+                        while (i < nRows) {
+                          arr(i) =
+                            if (isNull(i)) null
+                            else java.util.Arrays
+                              .copyOfRange(bytes, offs(i), offs(i + 1))
+                          i += 1
+                        }
+                      case 1 => // dictionary: entries once, u8 indices
+                        val d = dis.readUnsignedByte()
+                        val offs = new Array[Int](d + 1)
+                        var i = 0
+                        while (i <= d) { offs(i) = dis.readInt(); i += 1 }
+                        val dictBytes = new Array[Byte](offs(d))
+                        dis.readFully(dictBytes)
+                        // entries are shared read-only slices: equal
+                        // rows reference ONE array, the dictionary win
+                        val entries = Array.tabulate(d)(k =>
+                          java.util.Arrays.copyOfRange(
+                            dictBytes, offs(k), offs(k + 1)))
+                        val idx = new Array[Byte](nRows)
+                        dis.readFully(idx)
+                        i = 0
+                        while (i < nRows) {
+                          arr(i) =
+                            if (isNull(i)) null
+                            else entries(idx(i) & 0xFF)
+                          i += 1
+                        }
+                      case other => throw new IllegalStateException(
+                        s"gshard: unknown string encoding tag $other")
+                    }
                     case other =>
                       throw new IllegalStateException(other.toString)
                   }

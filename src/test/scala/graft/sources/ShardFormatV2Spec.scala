@@ -308,4 +308,53 @@ class ShardFormatV2Spec extends SparkSpec {
     assert(e.isInstanceOf[java.io.EOFException] ||
       e.getMessage != null, s"unexpected: $e")
   }
+
+  // ── string dictionary encoding ─────────────────────────────────────
+
+  test("low-cardinality string chunks dictionary-encode; exact roundtrip " +
+      "through both reader paths; high-cardinality stays plain") {
+    val dir = Files.createTempDirectory("gshard_dict_").toString
+    // 30-byte tags from a 5-value set over the events slice: a plain
+    // chunk costs ≥30 B/row, the dictionary costs ~1 B/row + 150 B once
+    val src = tables.events.select(col("user_id"),
+      rpad(col("event_type"), 30, "x").as("tag"),
+      when(col("event_id") % 9 === 0, lit(null).cast("string"))
+        .otherwise(col("event_type")).as("nullable_tag"))
+    src.write.format("gshard").option("rangecol", "user_id")
+      .option("shards", 2).mode("overwrite").save(dir)
+    val n = src.count()
+    var total = 0L
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".gshard"))
+      .filterNot(_.getFileName.toString.startsWith("_"))
+      .foreach(p => total += Files.size(p))
+    // plain encoding of `tag` alone would cost ≥ 30n bytes; the whole
+    // file (user_id longs + both string columns + headers) must come
+    // in well under that — only the dictionary can achieve it
+    assert(total < 30L * n,
+      s"dictionary never engaged: $total bytes for $n rows")
+    // value-exact roundtrip, vectorized AND row paths
+    def read(columnar: Boolean) = spark.read.format("gshard")
+      .option("columnar", columnar.toString).load(dir)
+      .select(col("user_id"), col("tag"), col("nullable_tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)))).toSet
+    val want = src.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getString(2)))).toSet
+    assert(read(columnar = true) == want)
+    assert(read(columnar = false) == want)
+    // high-cardinality strings must NOT pay the dictionary probe's
+    // failure: md5 tags (all distinct) still roundtrip exactly
+    val dir2 = Files.createTempDirectory("gshard_plain_").toString
+    val hi = tables.events.select(col("user_id"),
+      md5(col("event_id").cast("string")).as("tag"))
+    hi.write.format("gshard").option("rangecol", "user_id")
+      .option("shards", 2).mode("overwrite").save(dir2)
+    val got2 = spark.read.format("gshard").load(dir2)
+      .select(col("user_id"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == hi.collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet)
+  }
 }
