@@ -345,6 +345,8 @@ object SparkEntry {
     // Lv et al. multi-probe: query-side bucket expansion, ×(nBits+1)
     // candidates for Hamming-1 recall — corpus side untouched
     "ann_lsh_multiprobe_topk" -> q(t => Similarity.annLshMultiprobeTopK(t)),
+    // radius contract: ALL neighbors with cos >= tau, size data-driven
+    "ann_range_search"    -> q(t => Similarity.annRangeSearch(t)),
     "ann_ivf_topk"        -> q(t => Similarity.annIvfTopK(t)),
     "ann_pq_topk"         -> q(t => Similarity.annPqTopK(t)),
     "ann_pq_refine_topk"  -> q(t => Similarity.annPqRefineTopK(t)),
@@ -4498,6 +4500,13 @@ object SparkEntry {
         |  FROM q JOIN c USING (bucket)),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rnk FROM s)
         |SELECT q_id, vec_id, cos_sim, rnk FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_range_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb FROM e WHERE vec_id >= 10)
+        |SELECT q_id, c.vec_id,
+        | round(list_cosine_similarity(qe, c.emb), 4) AS cos_sim
+        |FROM q, c WHERE round(list_cosine_similarity(qe, c.emb), 4) >= 0.3""".stripMargin,
     "ann_lsh_multiprobe_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |b AS (SELECT vec_id, emb, ${(0 until 8).map(p =>

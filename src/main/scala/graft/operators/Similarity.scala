@@ -276,6 +276,27 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
+  /** S12 — `ann_range_search`: ALL neighbors within a similarity
+    * RADIUS (cos ≥ τ) per query — the contract top-k cannot express
+    * (dedup candidate generation, "everything this similar" audits:
+    * the result size is data-driven, zero included). Exact: the tiny
+    * query set broadcasts against the corpus, map-only, and every
+    * candidate pays one codegen cosine + the threshold — no window,
+    * no shuffle, no k. At 100 TB the same contract runs through the
+    * IVF cells (probe then threshold) exactly as the top-k serving
+    * path does; the exact form here is the truth its recall would be
+    * measured against. */
+  def annRangeSearch(t: Tables, tau: Double = 0.3): DataFrame = {
+    val e = withEmb(t)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    corpusEmb(t).join(broadcast(queries))
+      .withColumn("cos_sim",
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4))
+      .filter(col("cos_sim") >= tau)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+  }
+
   /** S4 — IVF(-Flat) approximate top-k: the other classic ANN scale
     * path, complementing the LSH variant.
     *

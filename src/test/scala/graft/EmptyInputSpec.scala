@@ -167,7 +167,9 @@ class EmptyInputSpec extends SparkSpec {
     // MAD screen over zero groups: no medians, no joins, no rows
     "events_mad_outliers",
     // the HW fold's empty-rollup early return (typed empty frame)
-    "events_holt_winters")
+    "events_holt_winters",
+    // radius search over an empty corpus: empty broadcast, zero rows
+    "ann_range_search")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
