@@ -394,6 +394,10 @@ object SparkEntry {
     // driver-checks pair #13 from both ends, shared oracle
     "q_session_window_batch" -> q(t => graft.streaming.Streaming.qSessionWindowBatch(t)),
     "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
+    // OUTER stream-stream join: null rows emitted by watermark proof
+    "stream_stream_left_join" -> q(t => graft.streaming.Streaming.streamStreamLeftJoin(t)),
+    // bounded-state exactly-once dedup over an at-least-once replay
+    "stream_dedup_watermarked" -> q(t => graft.streaming.Streaming.streamDedupWatermarked(t)),
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
     // the funnel on the NEW state API (transformWithState + RocksDB),
     // second API-generation equivalence pair (#29)
@@ -3563,6 +3567,22 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.user_id = b.user_id
         | AND a.event_type = 'click' AND b.event_type = 'view'
         | AND b.ts >= a.ts - INTERVAL 1 HOUR AND b.ts <= a.ts""".stripMargin,
+    "stream_stream_left_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_type FROM events),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM e
+        |  WHERE event_type = 'click'
+        |    AND ts <= (SELECT max(ts) - INTERVAL 2 HOUR FROM e)),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts FROM e
+        |  WHERE event_type = 'view')
+        |SELECT c.user_id, c.click_id, v.view_id, c.click_ts, v.view_ts
+        |FROM c LEFT JOIN v ON v.user_id = c.user_id
+        | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+        | AND v.view_ts <= c.click_ts""".stripMargin,
+    "stream_dedup_watermarked" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_heavy_hitters" -> heavyHittersSql,
     "stream_heavy_hitters" -> heavyHittersSql,
     "stream_tws_heavy_hitters" -> heavyHittersSql,

@@ -269,6 +269,74 @@ object Streaming {
         col("view_ts").cast(TimestampNTZType).as("view_ts"))
   }
 
+  /** X38 — `stream_stream_left_join`: the OUTER stream-stream join —
+    * the capability the inner join ([[streamStreamJoin]]) doesn't
+    * exercise: an unmatched left row emits its null-padded result only
+    * when the WATERMARK proves no matching right row can still arrive
+    * (view_ts ≤ click_ts here, so a click closes once the watermark
+    * passes it) — the state-eviction semantics that keep an unbounded
+    * stream-stream join's buffers finite.
+    *
+    * Determinism at the drain boundary: rows near the stream's end may
+    * still be open when the bounded drain stops (their no-match proof
+    * needs a watermark the finite corpus never reaches), so BOTH
+    * engines restrict the readout to clicks at least 2 hours before
+    * the corpus max — inside that region every null row has provably
+    * emitted (watermark delay 0 s + 1 h join horizon < 2 h). */
+  def streamStreamLeftJoin(t: Tables): DataFrame = {
+    def side(evType: String, idAs: String, tsAs: String) =
+      eventsStream(t)
+        .filter(col("event_type") === evType)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id").as(s"${evType}_user"),
+          col("event_id").as(idAs), col("ts").as(tsAs))
+    val clicks = side("click", "click_id", "click_ts")
+    val views = side("view", "view_id", "view_ts")
+    val joined = clicks.join(views,
+      col("click_user") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"),
+      "leftOuter")
+    val horizon = t.events
+      .agg((max(col("ts").cast("timestamp")) - expr("INTERVAL 2 HOURS"))
+        .as("cutoff"))
+    drainToTable(joined, "append")
+      .crossJoin(broadcast(horizon))
+      .filter(col("click_ts") <= col("cutoff"))
+      .select(col("click_user").as("user_id"), col("click_id"),
+        col("view_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"))
+  }
+
+  /** X39 — `stream_dedup_watermarked`: exactly-once semantics over an
+    * at-least-once feed via `dropDuplicatesWithinWatermark` — the
+    * Spark 3.5+ API whose state RETIRES when the watermark passes,
+    * unlike plain `dropDuplicates` ([[streamDedup]]) whose key set
+    * grows forever. The feed is made genuinely at-least-once by
+    * unioning a 5-minute-delayed replay of every event (same
+    * event_id, later event time — the redelivery pattern); a
+    * 30-minute watermark horizon covers the redelivery gap, so the
+    * dedup is EXACT here while the state stays bounded by the horizon
+    * at any stream length. The readout aggregates only columns the
+    * replay preserves (which arrival wins is not deterministic, its
+    * payload is), and the oracle is the plain per-type rollup over
+    * the original events — proving the duplicates all died. */
+  def streamDedupWatermarked(t: Tables): DataFrame = {
+    val base = eventsStream(t).withColumn("ts", col("ts").cast("timestamp"))
+    val replay = base.withColumn("ts", col("ts") + expr("INTERVAL 5 MINUTES"))
+    val deduped = base.unionByName(replay)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    drainToTable(deduped, "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** X5 — `stream_funnel`: the stateful streaming conversion funnel
     * ([[StatefulFunnel]]) driven end-to-end — event file stream →
     * per-user write-once stage state → update-mode sink. Re-emissions
