@@ -116,6 +116,9 @@ object SparkEntry {
     "text_kn_bigram"      -> q(t => TextAnalysis.textKnBigram(t)),
     // metadata-only DELETE: manifest classification, zero files read
     "q_shard_delete"      -> q(t => graft.sources.SourceOps.qShardDelete(t)),
+    // bloom file skipping where zone maps can't prune (mid-range point
+    // lookup on a non-clustered column)
+    "q_shard_bloom_skip"  -> q(t => graft.sources.SourceOps.qShardBloomSkip(t)),
     // byte-level EXIF/tEXt/comment scrub with in-query roundtrip proof
     "mm_exif_strip"       -> q(Multimodal.mmExifStrip),
     // per-user interval UNION via running-max islands
@@ -1950,6 +1953,14 @@ object SparkEntry {
       """SELECT o_orderkey,
         | CAST(row_number() OVER (ORDER BY o_orderkey) AS BIGINT) AS sk
         |FROM orders""".stripMargin,
+    "q_shard_bloom_skip" ->
+      """WITH p AS (SELECT event_id, event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |tgt AS (SELECT event_id AS t FROM p ORDER BY event_id
+        |  LIMIT 1 OFFSET (SELECT count(*) // 2 FROM p))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM p, tgt WHERE event_id = t GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_shard_delete" ->
       """WITH p AS (SELECT user_id, event_type,
         |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),

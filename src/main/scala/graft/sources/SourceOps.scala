@@ -628,6 +628,39 @@ object SourceOps {
   }
 
   /** The events projection both shard-table paths stage. */
+  /** `q_shard_bloom_skip` — B34: per-file BLOOM filters for point
+    * lookups on a column the range clustering does NOT order. The
+    * table range-clusters on `user_id`, so every file's
+    * `event_id` [min,max] spans nearly the whole domain — zone maps
+    * prune NOTHING for a mid-range id — but the `bloomcol=event_id`
+    * write gives each file a bloom over its ids, and a miss PROVES
+    * absence (no false negatives; Parquet's column-index blooms,
+    * here in the manifest). The probe key is the corpus's median
+    * event id (deterministic, guaranteed present, guaranteed
+    * mid-range so the zone maps genuinely can't help); the readout
+    * rolls up the matching row and is oracled against raw events.
+    * Pruning is plan-pinned (`files=k/n`, k ≪ n) in PlanAuditSpec. */
+  def qShardBloomSkip(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_bloom_${dirTag(t.dir)}")
+    val proj = t.events.select(col("user_id"), col("event_id"),
+      col("event_type"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    proj.write.format("gshard")
+      .option("rangecol", "user_id").option("shards", 16)
+      .option("bloomcol", "event_id")
+      .mode("overwrite").save(dir)
+    val n = proj.count()
+    val target = // empty corpus: probe an impossible id, empty rollup
+      if (n == 0) -1L
+      else proj.select(col("event_id")).orderBy(col("event_id"))
+        .offset((n / 2).toInt).limit(1).head.getLong(0)
+    t.spark.read.format("gshard").load(dir)
+      .filter(col("event_id") === target)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** `q_shard_delete` — B32: METADATA-ONLY `DELETE FROM … WHERE` end
     * to end through the SQL surface. The table is built as two appends
     * split at the delete boundary (max user div 2), so every shard

@@ -207,14 +207,19 @@ private[shard] class ShardWriteBuilder(dir: String, info: LogicalWriteInfo)
     val chunkRows = Option(info.options.get("chunkrows")).map(_.toInt)
       .getOrElse(ShardFormat.DefaultChunkRows)
     val txnId = Option(info.options.get("txnid")).map(_.toLong).getOrElse(-1L)
+    val bloomCols = Option(info.options.get("bloomcol"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    bloomCols.foreach(c => require(info.schema().fieldNames.contains(c),
+      s"gshard: bloomcol $c not in ${info.schema().fieldNames.mkString(",")}"))
     new ShardWrite(dir, info.schema(), rangeCol, shards,
-      truncateFirst, info.queryId(), chunkRows, txnId)
+      truncateFirst, info.queryId(), chunkRows, txnId, bloomCols)
   }
 }
 
 private[shard] class ShardWrite(dir: String, schema: StructType,
     rangeCol: String, shards: Int, truncateFirst: Boolean, queryId: String,
-    chunkRows: Int, txnId: Long)
+    chunkRows: Int, txnId: Long, bloomCols: Set[String] = Set.empty)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -228,31 +233,32 @@ private[shard] class ShardWrite(dir: String, schema: StructType,
     s"gshard write $dir rangeCol=$rangeCol"
 
   override def toBatch: BatchWrite = new ShardBatchWrite(dir, schema,
-    truncateFirst, queryId, chunkRows, txnId)
+    truncateFirst, queryId, chunkRows, txnId, bloomCols)
 }
 
 private[shard] final case class ShardCommitMessage(file: String, rows: Long,
     mins: Map[String, Long], maxs: Map[String, Long],
     sMins: Map[String, String], sMaxs: Map[String, String],
-    nulls: Map[String, Long])
+    nulls: Map[String, Long], blooms: Map[String, String] = Map.empty)
   extends WriterCommitMessage
 
 private[shard] class ShardBatchWrite(dir: String, schema: StructType,
-    truncateFirst: Boolean, queryId: String, chunkRows: Int, txnId: Long)
+    truncateFirst: Boolean, queryId: String, chunkRows: Int, txnId: Long,
+    bloomCols: Set[String] = Set.empty)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     ShardWriterFactory(dir,
       schema.fields.map(f => (f.name, f.dataType.typeName)),
-      queryId.take(8), chunkRows)
+      queryId.take(8), chunkRows, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val fresh = messages.collect {
       case m: ShardCommitMessage if m.rows > 0 => // empty partitions emit no file
         ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs,
-          m.sMins, m.sMaxs, m.nulls)
+          m.sMins, m.sMaxs, m.nulls, m.blooms)
     }.sortBy(_.file).toSeq
     val existing =
       if (ShardFormat.hasManifest(dir)) Some(ShardFormat.readManifest(dir))
@@ -302,11 +308,13 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
 }
 
 private[shard] final case class ShardWriterFactory(dir: String,
-    fileSchema: Array[(String, String)], writeTag: String, chunkRows: Int)
+    fileSchema: Array[(String, String)], writeTag: String, chunkRows: Int,
+    bloomCols: Set[String] = Set.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new ShardDataWriter(dir, fileSchema, writeTag, partitionId, chunkRows)
+    new ShardDataWriter(dir, fileSchema, writeTag, partitionId, chunkRows,
+      bloomCols)
 }
 
 /** Streams its (range-disjoint) partition through the chunked file
@@ -316,7 +324,7 @@ private[shard] final case class ShardWriterFactory(dir: String,
   * roundtrip through the format's null bitmaps. */
 private[shard] class ShardDataWriter(dir: String,
     fileSchema: Array[(String, String)], writeTag: String, partitionId: Int,
-    chunkRows: Int)
+    chunkRows: Int, bloomCols: Set[String] = Set.empty)
     extends DataWriter[InternalRow] {
 
   private val schema = StructType(fileSchema.toIndexedSeq.map { case (n, t) =>
@@ -328,7 +336,7 @@ private[shard] class ShardDataWriter(dir: String,
     if (writer == null) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
       writer = new ShardFormat.ShardFileWriter(s"$dir/$file", schema,
-        chunkRows)
+        chunkRows, bloomCols)
     }
     val values = new Array[Any](schema.length)
     var i = 0
@@ -353,7 +361,7 @@ private[shard] class ShardDataWriter(dir: String,
     val stats = writer.close()
     writer = null
     ShardCommitMessage(file, stats.rows, stats.zMin, stats.zMax,
-      stats.sMin, stats.sMax, stats.nullCnt)
+      stats.sMin, stats.sMax, stats.nullCnt, stats.bloom)
   }
 
   override def abort(): Unit = ()
@@ -588,7 +596,36 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     val fs = (pushed ++ runtimeFilters).toSeq
     ShardFormat.longZoneAdmits(fs, e.zMin.contains, e.zMin(_), e.zMax(_)) &&
       ShardFormat.stringZoneAdmits(fs, e.sMin.contains,
-        c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c)))
+        c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))) &&
+      bloomAdmits(fs, e)
+  }
+
+  /** BLOOM skipping for point predicates on non-range-clustered
+    * columns (written with the `bloomcol` option): zone maps can't
+    * prune when every file's [min,max] spans the domain, but a bloom
+    * miss PROVES absence — no false negatives, so skipping stays
+    * sound; residual re-evaluation keeps results exact. Files without
+    * a bloom for the column always admit. */
+  private def bloomAdmits(fs: Seq[Filter],
+      e: ShardFormat.ShardEntry): Boolean = {
+    import ShardFormat.Bloom
+    lazy val bits = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    def bloomOf(c: String): Option[Array[Byte]] =
+      e.bloom.get(c).map(b => bits.getOrElseUpdate(c, ShardFormat.unb64(b)))
+    def hit(c: String, v: Any): Boolean = bloomOf(c) match {
+      case None => true
+      case Some(b) => v match {
+        case l: Long => Bloom.mightContain(b, Bloom.hash64(Bloom.longBytes(l)))
+        case s: String => Bloom.mightContain(b, Bloom.hash64(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        case _ => true
+      }
+    }
+    fs.forall {
+      case EqualTo(c, v) => hit(c, v)
+      case In(c, vs) if vs.nonEmpty => vs.exists(hit(c, _))
+      case _ => true
+    }
   }
 
   private def survivors: Seq[ShardFormat.ShardEntry] =

@@ -117,7 +117,8 @@ object ShardFormat {
       zMin: Map[String, Long], zMax: Map[String, Long],
       sMin: Map[String, String] = Map.empty,
       sMax: Map[String, String] = Map.empty,
-      nullCnt: Map[String, Long] = Map.empty)
+      nullCnt: Map[String, Long] = Map.empty,
+      bloom: Map[String, String] = Map.empty)
 
   final case class Manifest(schema: StructType, entries: Seq[ShardEntry],
       lastTxn: Long = -1L)
@@ -129,7 +130,53 @@ object ShardFormat {
   final case class ShardStats(rows: Long,
       zMin: Map[String, Long], zMax: Map[String, Long],
       sMin: Map[String, String], sMax: Map[String, String],
-      nullCnt: Map[String, Long])
+      nullCnt: Map[String, Long],
+      bloom: Map[String, String] = Map.empty)
+
+  /** Per-file BLOOM filters for point lookups on columns the range
+    * clustering does NOT order — where zone maps cannot prune because
+    * every file's [min,max] spans the domain (Parquet solves the same
+    * gap with column-index bloom filters). No false negatives by
+    * construction; k=4 double hashing over an FNV-1a 64 of the value
+    * bytes; sized at close to ~16 bits per distinct-ish value (the
+    * writer buffers 8-byte hashes, never values). */
+  private[graft] object Bloom {
+    val K = 4
+    def hash64(bytes: Array[Byte]): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < bytes.length) {
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      h
+    }
+    def longBytes(v: Long): Array[Byte] = {
+      val b = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { b(i) = (v >>> (56 - 8 * i)).toByte; i += 1 }
+      b
+    }
+    def build(hashes: Iterable[Long]): Array[Byte] = {
+      val n = hashes.size.max(1)
+      var mBits = java.lang.Long.highestOneBit(16L * n) << 1
+      mBits = math.max(1024L, math.min(mBits, 1L << 23))
+      val bits = new Array[Byte]((mBits / 8).toInt)
+      hashes.foreach { h => set(bits, h) }
+      bits
+    }
+    private def positions(bits: Array[Byte], h: Long): Seq[Int] = {
+      val m = bits.length * 8
+      val h1 = (h & 0xffffffffL).toInt
+      val h2 = ((h >>> 32) | 1L).toInt // odd step
+      (0 until K).map(i => math.floorMod(h1.toLong + i.toLong * h2, m).toInt)
+    }
+    def set(bits: Array[Byte], h: Long): Unit =
+      positions(bits, h).foreach { p =>
+        bits(p >> 3) = (bits(p >> 3) | (1 << (p & 7))).toByte
+      }
+    def mightContain(bits: Array[Byte], h: Long): Boolean =
+      positions(bits, h).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
+  }
 
   /** Write `df` as `nShards` range-clustered shard files + manifest.
     * `rangeCol` must be a non-null long column; all columns
@@ -247,10 +294,18 @@ object ShardFormat {
     * (non-null values only; an all-null column is absent from them).
     */
   private[shard] final class ShardFileWriter(path: String,
-      schema: StructType, chunkRows: Int = DefaultChunkRows) {
+      schema: StructType, chunkRows: Int = DefaultChunkRows,
+      bloomCols: Set[String] = Set.empty) {
     require(chunkRows > 0, s"chunkRows must be positive: $chunkRows")
 
     private val nCols = schema.length
+    // bloom state: 8-byte hashes only, never buffered values
+    private val bloomIdx = schema.fields.zipWithIndex.collect {
+      case (f, i) if bloomCols(f.name) &&
+        (f.dataType == LongType || f.dataType == StringType) => i
+    }
+    private val bloomHashes: Map[Int, mutable.ArrayBuffer[Long]] =
+      bloomIdx.map(i => i -> mutable.ArrayBuffer.empty[Long]).toMap
     private val longIdx = schema.fields.zipWithIndex
       .collect { case (f, i) if f.dataType == LongType => i }
     private val strIdx = schema.fields.zipWithIndex
@@ -452,6 +507,19 @@ object ShardFormat {
         }
         si += 1
       }
+      // fold this chunk's values into the per-column bloom hash logs
+      bloomIdx.foreach { i =>
+        val log = bloomHashes(i)
+        val isStr = schema(i).dataType == StringType
+        var r = 0
+        while (r < n) {
+          val v = buf(r)(i)
+          if (v != null) log += Bloom.hash64(
+            if (isStr) v.asInstanceOf[Array[Byte]]
+            else Bloom.longBytes(v.asInstanceOf[Long]))
+          r += 1
+        }
+      }
       totalRows += n
       buf.clear()
     }
@@ -475,7 +543,12 @@ object ShardFormat {
       }.toMap
       val nulls = schema.fields.indices
         .map(c => schema(c).name -> fNulls(c)).toMap
-      ShardStats(totalRows, zMin, zMax, sMin, sMax, nulls)
+      val blooms = bloomIdx.flatMap { i =>
+        val log = bloomHashes(i)
+        if (log.isEmpty) None
+        else Some(schema(i).name -> b64(Bloom.build(log)))
+      }.toMap
+      ShardStats(totalRows, zMin, zMax, sMin, sMax, nulls, blooms)
     }
   }
 
@@ -495,8 +568,10 @@ object ShardFormat {
         .map(c => s"$c#${e.sMin(c)}:${e.sMax(c)}")
       val nulls = e.nullCnt.keys.toSeq.sorted
         .map(c => s"$c!${e.nullCnt(c)}")
+      val blooms = e.bloom.keys.toSeq.sorted
+        .map(c => s"$c?${e.bloom(c)}")
       sb.append(s"file ${e.file} ${e.rows} " +
-        s"${(longs ++ strs ++ nulls).mkString(";")}\n")
+        s"${(longs ++ strs ++ nulls ++ blooms).mkString(";")}\n")
     }
     Files.write(Paths.get(dir, "_manifest.gshard"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -522,16 +597,20 @@ object ShardFormat {
       var zMin = Map.empty[String, Long]; var zMax = Map.empty[String, Long]
       var sMin = Map.empty[String, String]; var sMax = Map.empty[String, String]
       var nulls = Map.empty[String, Long]
+      var blooms = Map.empty[String, String]
       if (parts.length > 3 && parts(3).nonEmpty)
         parts(3).split(";").foreach { kv =>
-          // the column name contains none of the three markers, so the
+          // the column name contains none of the four markers, so the
           // EARLIEST marker in the segment is the one that tags it
-          // ('=' long bounds, '#' base64 string bounds, '!' null count
-          // — base64 can contain '=' but the '#' always precedes it)
+          // ('=' long bounds, '#' base64 string bounds, '!' null count,
+          // '?' base64 bloom — base64 can contain '=' but the tag
+          // marker always precedes it)
           val eq = kv.indexOf('='); val hs = kv.indexOf('#')
-          val bg = kv.indexOf('!')
+          val bg = kv.indexOf('!'); val qm = kv.indexOf('?')
           def before(a: Int, b: Int) = a >= 0 && (b < 0 || a < b)
-          if (before(bg, eq) && before(bg, hs)) {
+          if (before(qm, eq) && before(qm, hs) && before(qm, bg)) {
+            blooms += kv.substring(0, qm) -> kv.substring(qm + 1)
+          } else if (before(bg, eq) && before(bg, hs)) {
             nulls += kv.substring(0, bg) -> kv.substring(bg + 1).toLong
           } else if (before(eq, hs)) {
             val c = kv.substring(0, eq)
@@ -544,7 +623,7 @@ object ShardFormat {
             sMin += c -> mn; sMax += c -> mx
           }
         }
-      ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls)
+      ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms)
     }.toSeq
     Manifest(schema, entries, lastTxn)
   }

@@ -169,7 +169,9 @@ class EmptyInputSpec extends SparkSpec {
     // the HW fold's empty-rollup early return (typed empty frame)
     "events_holt_winters",
     // radius search over an empty corpus: empty broadcast, zero rows
-    "ann_range_search")
+    "ann_range_search",
+    // bloom probe over a zero-file manifest: sentinel id, empty rollup
+    "q_shard_bloom_skip")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

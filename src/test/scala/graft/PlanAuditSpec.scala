@@ -958,6 +958,19 @@ class PlanAuditSpec extends SparkSpec {
       s"string zone maps pruned nothing: $desc")
   }
 
+  test("q_shard_bloom_skip: blooms prune where zone maps cannot") {
+    val p = plan(graft.sources.SourceOps.qShardBloomSkip(tables))
+    val desc = p.linesIterator.find(_.contains("files=")).getOrElse("")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"no pruning readout:\n$p")
+    val (k, n) = (m.get.group(1).toInt, m.get.group(2).toInt)
+    // the probe id lives in exactly one file; allow a couple of bloom
+    // false positives but the mid-range point lookup must not scan
+    // the table (zone maps alone would read ALL n files here)
+    assert(k <= math.max(3, n / 4) && k < n,
+      s"bloom pruned nothing: $desc")
+  }
+
   test("mm_exif_strip: byte surgery is map-only, zero exchanges") {
     val p = plan(Multimodal.mmExifStrip(tables))
     assert(!p.contains("Exchange"), s"the scrub shuffled:\n$p")

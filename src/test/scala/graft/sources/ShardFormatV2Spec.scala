@@ -309,6 +309,43 @@ class ShardFormatV2Spec extends SparkSpec {
       e.getMessage != null, s"unexpected: $e")
   }
 
+  // ── bloom filters ──────────────────────────────────────────────────
+
+  test("blooms have NO false negatives and genuinely prune mid-range ids") {
+    val dir = Files.createTempDirectory("gshard_bloom_spec_").toString
+    val proj = tables.events.select(col("user_id"), col("event_id"))
+    proj.write.format("gshard").option("rangecol", "user_id")
+      .option("shards", 8).option("bloomcol", "event_id")
+      .mode("overwrite").save(dir)
+    val m = ShardFormat.readManifest(dir)
+    assert(m.entries.forall(_.bloom.contains("event_id")),
+      "a file is missing its bloom")
+    // soundness: every id present in a file MUST hit that file's bloom
+    import ShardFormat.Bloom
+    val perFile = m.entries.map { e =>
+      val ids = ShardFormat
+        .readShardFile(s"$dir/${e.file}", m.schema, Seq("event_id"))
+        .cols(0).map(_.asInstanceOf[Long])
+      val bits = ShardFormat.unb64(e.bloom("event_id"))
+      ids.foreach { id =>
+        assert(Bloom.mightContain(bits, Bloom.hash64(Bloom.longBytes(id))),
+          s"FALSE NEGATIVE: id $id missing from ${e.file}'s bloom")
+      }
+      (e.file, ids.toSet, bits)
+    }
+    // effectiveness: each id admits few files (its own + rare FPs),
+    // though its event_id zone range spans nearly every file
+    val all = perFile.flatMap(_._2)
+    val sample = all.toSeq.sorted
+      .grouped(math.max(1, all.size / 64)).map(_.head).toSeq
+    val admitted = sample.map { id =>
+      perFile.count { case (_, _, bits) =>
+        Bloom.mightContain(bits, Bloom.hash64(Bloom.longBytes(id))) }
+    }
+    assert(admitted.sum.toDouble / admitted.size < 2.0,
+      s"blooms admit too many files on average: ${admitted.sum}/${admitted.size}")
+  }
+
   // ── string dictionary encoding ─────────────────────────────────────
 
   test("low-cardinality string chunks dictionary-encode; exact roundtrip " +
