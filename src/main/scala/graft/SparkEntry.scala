@@ -381,6 +381,8 @@ object SparkEntry {
     // 1e4-quantized elements — exact integer sums, three §6 ratios
     "embed_isotropy"      -> q(Similarity.embedIsotropy),
     "embed_knn_graph"     -> q(t => Similarity.embedKnnGraph(t)),
+    // k-occurrence hub/anti-hub histogram over the stored kNN graph
+    "embed_hubness"       -> q(t => Similarity.embedHubness(t)),
     "embed_mutual_knn_clusters" -> q(t => Similarity.embedMutualKnnClusters(t)),
     // §2.1 pipeline core over real data
     "pipeline_ingest"     -> q(graft.pipeline.PipelineOps.pipelineIngest),
@@ -4352,6 +4354,12 @@ object SparkEntry {
          |FROM ed LEFT JOIN ht USING (round), tt""".stripMargin
     },
     "embed_knn_graph" -> s"WITH $knnGraphChainSql\nSELECT src, dst, cos_sim, rnk FROM knn",
+    "embed_hubness" ->
+      s"""WITH $knnGraphChainSql,
+        |occ AS (SELECT n.vec_id, CAST(count(k.dst) AS BIGINT) AS k_occ
+        |  FROM n LEFT JOIN knn k ON k.dst = n.vec_id GROUP BY 1)
+        |SELECT k_occ, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM occ GROUP BY 1""".stripMargin,
     // mutual-edge filter + recursive-CTE closure over the same knn
     // chain — the composed oracle of the graph consumer
     "embed_mutual_knn_clusters" ->

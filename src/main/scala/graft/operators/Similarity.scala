@@ -1841,6 +1841,26 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** `embed_hubness` — the k-occurrence distribution over the kNN
+    * graph (Radovanović et al. 2010): how many nodes list each vector
+    * among their k nearest. High-dimensional spaces grow HUBS (a few
+    * vectors appear in everyone's neighbor lists) and anti-hubs
+    * (vectors nobody retrieves) — the diagnostic that predicts ANN
+    * recall trouble and embedding-space pathologies before serving
+    * does. One keyed count over the stored graph's edge list + a left
+    * join from the node set so anti-hubs (k-occurrence 0) are counted
+    * rather than silently absent; output is the metadata-scale
+    * histogram. Spec pins the mass identity Σ k_occ·n_nodes = k·|V|. */
+  def embedHubness(t: Tables, k: Int = TopK): DataFrame = {
+    val nodes = withEmb(t).filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id"))
+    val occ = embedKnnGraph(t, k)
+      .groupBy(col("dst").as("vec_id")).agg(count(lit(1)).as("k_occ"))
+    nodes.join(occ, Seq("vec_id"), "left")
+      .na.fill(0L, Seq("k_occ"))
+      .groupBy(col("k_occ")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** `ann_graph_topk` — GRAPH-based ANN serving (the HNSW/NSW family's
     * base-layer walk, public Malkov–Yashunin 2016): queries descend a
     * stored k-nearest-neighbor graph by beam search — score a fixed

@@ -171,7 +171,9 @@ class EmptyInputSpec extends SparkSpec {
     // radius search over an empty corpus: empty broadcast, zero rows
     "ann_range_search",
     // bloom probe over a zero-file manifest: sentinel id, empty rollup
-    "q_shard_bloom_skip")
+    "q_shard_bloom_skip",
+    // hubness over an empty node set: empty histogram, no division
+    "embed_hubness")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

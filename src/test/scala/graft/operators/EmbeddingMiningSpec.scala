@@ -252,6 +252,22 @@ class EmbeddingMiningSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum > 0, "zero recall across every query")
   }
 
+  test("embed_hubness: mass identity and anti-hub accounting") {
+    val hist = Similarity.embedHubness(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nNodes = tables.embeddings.filter(col("vec_id") % 16 === 0).count()
+    // every node is counted exactly once across the histogram
+    assert(hist.map(_._2).sum == nNodes)
+    // each node emits k=5 outgoing edges, so the k-occurrence mass is
+    // exactly k·|V| — the identity that breaks if anti-hubs (k_occ 0)
+    // were dropped or an edge double-counted
+    assert(hist.map { case (occ, n) => occ * n }.sum == 5L * nNodes,
+      s"mass != 5*$nNodes in ${hist.toSeq.sorted}")
+    // the distribution is non-degenerate: not everyone is retrieved
+    // equally often (hubness exists even at this scale)
+    assert(hist.length > 1)
+  }
+
   test("embed_knn_graph equals a naive all-pairs cosine replay") {
     val nodes = tables.embeddings
       .filter(col("vec_id") % 16 === 0)
