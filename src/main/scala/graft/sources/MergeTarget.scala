@@ -169,6 +169,17 @@ final class MergeTarget private (val spark: SparkSession, root: Path,
     val h = history
     val (v, applied, bvs) = h.last
     if (batchId <= applied) return false
+    // the batch is consumed twice (bucket probe + the merge itself):
+    // stage it once rather than re-running its lineage per pass
+    val src = if (nBuckets == 1) source else source.persist()
+    try mergeStaged(batchId, mergeFn, src, h, v, bvs)
+    finally if (nBuckets > 1) src.unpersist()
+  }
+
+  private def mergeStaged(batchId: Long,
+      mergeFn: (DataFrame, DataFrame) => DataFrame, source: DataFrame,
+      h: Seq[(Long, Long, IndexedSeq[Long])], v: Long,
+      bvs: IndexedSeq[Long]): Boolean = {
     val touched: Seq[Int] =
       if (nBuckets == 1) Seq(0)
       else source.select(bucketExpr.as("__b")).distinct()
