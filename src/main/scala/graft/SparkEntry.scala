@@ -107,6 +107,10 @@ object SparkEntry {
     "stream_ols_trend"    -> q(t => graft.streaming.Streaming.streamOlsTrend(t)),
     // robust MAD outlier screen, 4-dp-quantized before the compare
     "events_mad_outliers" -> q(EventAnalytics.eventsMadOutliers),
+    // time-weighted average value per user (integer cents x gap-secs)
+    "q_time_weighted_avg" -> q(EventAnalytics.qTimeWeightedAvg),
+    // single-event sessions / sessions per day, exact ppm
+    "events_bounce_rate"  -> q(EventAnalytics.eventsBounceRate),
     // DSIR-style hashed-ngram importance weighting (integer-exact)
     "corpus_dsir_importance" -> q(t => TextAnalysis.corpusDsirImportance(t)),
     // distributed dense-id assignment (two-level rank; oracle is the
@@ -1936,6 +1940,39 @@ object SparkEntry {
     "stream_growth_accounting" -> growthSql,
     "events_ols_trend" -> olsTrendSql,
     "stream_ols_trend" -> olsTrendSql,
+    "q_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT *, lead(us) OVER (PARTITION BY user_id
+        |  ORDER BY us, event_id) AS next_us FROM e),
+        |g AS (SELECT user_id, cents, (next_us - us) // 1000000 AS gap_s
+        |  FROM l WHERE next_us IS NOT NULL),
+        |a AS (SELECT user_id, count(*) AS n_gaps,
+        |  CAST(sum(gap_s) AS BIGINT) AS span_s,
+        |  CAST(sum(cents * gap_s) AS BIGINT) AS weighted
+        | FROM g GROUP BY 1)
+        |SELECT user_id, n_gaps, span_s,
+        | CAST(weighted // span_s AS BIGINT) AS twap_cents
+        |FROM a WHERE span_s > 0""".stripMargin,
+    "events_bounce_rate" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id) AS prev_us FROM e),
+        |s AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+        |  THEN 1 ELSE 0 END AS is_new FROM l),
+        |t AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+        |  ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM s),
+        |sess AS (SELECT user_id, session_id, count(*) AS n_events,
+        |  CAST(CAST(min(ts) AS DATE) AS TIMESTAMP) AS day FROM t GROUP BY 1, 2),
+        |d AS (SELECT day, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces
+        | FROM sess GROUP BY 1)
+        |SELECT day, n_sessions, n_bounces,
+        | CAST(n_bounces * 1000000 // n_sessions AS BIGINT) AS bounce_ppm
+        |FROM d""".stripMargin,
     "events_mad_outliers" ->
       """WITH med AS (SELECT event_type,
         |   round(quantile_cont(value, 0.5) + 1e-9, 4) AS med

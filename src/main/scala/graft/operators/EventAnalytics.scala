@@ -2379,6 +2379,61 @@ object EventAnalytics {
         col("n_retained"), col("n_resurrected"), col("n_churned"))
   }
 
+  /** `q_time_weighted_avg` — the time-weighted average value per user
+    * (TWAP): each observation weighted by how LONG it was current
+    * (gap to the next event), the correct average for sampled state
+    * (balances, prices, gauge metrics) where the arithmetic mean
+    * over-weights bursts. Integer-exact: §6 cents × gap SECONDS
+    * (microsecond gaps would overflow int64 at realistic horizons —
+    * documented bound: cents·Σgap_s < 2^63), one integer division at
+    * the end; single-event users and zero-span users have no weighted
+    * support and are excluded identically on both engines. One
+    * user-partitioned window + one keyed aggregate. */
+  def qTimeWeightedAvg(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(asc("us"), asc("event_id"))
+    t.events
+      .select(col("user_id"), col("event_id"), us.as("us"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_s", expr("(next_us - us) div 1000000"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("gap_s")).as("span_s"),
+        sum(col("cents") * col("gap_s")).as("weighted"))
+      .filter(col("span_s") > 0)
+      .withColumn("twap_cents", expr("weighted div span_s"))
+      .select(col("user_id"), col("n_gaps"), col("span_s"),
+        col("twap_cents"))
+  }
+
+  /** `events_bounce_rate` — single-event sessions over total sessions
+    * per day, the standard engagement-quality metric the sessionizer
+    * feeds: a traffic source can grow DAU while every added visit
+    * bounces. Reuses the 30-minute-gap sessionization shape (one
+    * user-keyed window chain), rolls sessions to their START day, and
+    * reports exact integer ppm. */
+  def eventsBounceRate(t: Tables): DataFrame = {
+    val order = Window.partitionBy(col("user_id"))
+      .orderBy(asc("ts"), asc("event_id"))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = t.events
+      .withColumn("us", us)
+      .withColumn("prev_us", lag(col("us"), 1).over(order))
+      .withColumn("is_new",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        to_date(min(col("ts"))).as("day"))
+    sessions.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounces"))
+      .withColumn("bounce_ppm", expr("(n_bounces * 1000000) div n_sessions"))
+      .select(col("day").cast("timestamp_ntz").as("day"), col("n_sessions"),
+        col("n_bounces"), col("bounce_ppm"))
+  }
+
   /** `events_mad_outliers` — robust outlier screening by median
     * absolute deviation: the data-quality rule z-scores get wrong on
     * heavy-tailed metrics (one whale inflates the stddev until nothing

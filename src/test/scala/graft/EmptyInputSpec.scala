@@ -173,7 +173,10 @@ class EmptyInputSpec extends SparkSpec {
     // bloom probe over a zero-file manifest: sentinel id, empty rollup
     "q_shard_bloom_skip",
     // hubness over an empty node set: empty histogram, no division
-    "embed_hubness")
+    "embed_hubness",
+    // TWAP over zero gaps and bounce ppm over zero sessions: empty
+    // frames, the guarded DIVs never evaluate
+    "q_time_weighted_avg", "events_bounce_rate")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

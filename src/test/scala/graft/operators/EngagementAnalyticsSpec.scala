@@ -209,6 +209,53 @@ class EngagementAnalyticsSpec extends SparkSpec {
     assert(et0.nonEmpty)
   }
 
+  test("q_time_weighted_avg equals an integer driver replay and " +
+      "diverges from the arithmetic mean") {
+    val evs = tables.events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+      val s = rows.sortBy(r => (r._3, r._2))
+      val gaps = s.zip(s.drop(1)).map { case (a, b) =>
+        (a._4, (b._3 - a._3) / 1000000L) }
+      val span = gaps.map(_._2).sum
+      if (gaps.isEmpty || span <= 0) None
+      else Some((u, gaps.size.toLong, span,
+        gaps.map { case (c, g) => c * g }.sum / span))
+    }.toSet
+    val got = EventAnalytics.qTimeWeightedAvg(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"onlyGot=${(got -- expected).take(3)} onlyExp=${(expected -- got).take(3)}")
+    assert(got.nonEmpty)
+    // the weighting must matter: somewhere TWAP differs from the plain
+    // mean by more than rounding
+    val means = evs.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._4).sum / rs.size).toMap
+    assert(got.exists { case (u, _, _, tw) =>
+      math.abs(tw - means(u)) > 1 }, "TWAP never diverged from the mean")
+  }
+
+  test("events_bounce_rate: session accounting identities") {
+    val rows = EventAnalytics.eventsBounceRate(tables).collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // bounces never exceed sessions; ppm is the exact integer ratio
+    rows.foreach { case (_, s, b, ppm) =>
+      assert(b <= s); assert(ppm == b * 1000000L / s)
+    }
+    // total sessions across days == the sessionizer's session count
+    val totalSessions = Relational.qSessionize(tables).count()
+    assert(rows.map(_._2).sum == totalSessions,
+      s"${rows.map(_._2).sum} != $totalSessions")
+    // non-degenerate: the corpus has bounces somewhere
+    assert(rows.map(_._3).sum > 0, "no single-event session at this SF")
+  }
+
   test("q_benford_audit: exact masses, full coverage, fixed table") {
     val rows = Relational.qBenfordAudit(tables).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
