@@ -2379,6 +2379,30 @@ object EventAnalytics {
         col("n_retained"), col("n_resurrected"), col("n_churned"))
   }
 
+  /** `events_wow_change` — week-over-week volume deltas per event
+    * type: the reporting primitive every metrics board ships (abs
+    * delta + exact integer ppm change vs the prior week), over the
+    * metadata-scale (type × week) rollup with one type-partitioned
+    * lag. First weeks emit NULL change (no prior), division guards on
+    * prior > 0 — identical NULL semantics on both engines. */
+  def eventsWowChange(t: Tables): DataFrame = {
+    val weekly = t.events
+      .select(col("event_type"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n"))
+    weekly
+      .withColumn("prev_n", lag(col("n"), 1).over(
+        Window.partitionBy(col("event_type")).orderBy(asc("week"))))
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("change_ppm",
+        when(col("prev_n") > 0,
+          expr("((n - prev_n) * 1000000) div prev_n")))
+      .select(col("event_type"),
+        col("week").cast("timestamp_ntz").as("week"),
+        col("n"), col("prev_n"), col("delta"), col("change_ppm"))
+  }
+
   /** `q_time_weighted_avg` — the time-weighted average value per user
     * (TWAP): each observation weighted by how LONG it was current
     * (gap to the next event), the correct average for sampled state

@@ -176,7 +176,9 @@ class EmptyInputSpec extends SparkSpec {
     "embed_hubness",
     // TWAP over zero gaps and bounce ppm over zero sessions: empty
     // frames, the guarded DIVs never evaluate
-    "q_time_weighted_avg", "events_bounce_rate")
+    "q_time_weighted_avg", "events_bounce_rate",
+    // WoW over an empty weekly rollup: no windows, no rows
+    "events_wow_change")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
