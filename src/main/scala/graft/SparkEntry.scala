@@ -113,6 +113,9 @@ object SparkEntry {
     "events_bounce_rate"  -> q(EventAnalytics.eventsBounceRate),
     // week-over-week deltas with exact ppm change per type
     "events_wow_change"   -> q(EventAnalytics.eventsWowChange),
+    // the WoW report maintained continuously — stream/batch
+    // equivalence pair #34 (same oracle)
+    "stream_wow_change"   -> q(t => graft.streaming.Streaming.streamWowChange(t)),
     // DSIR-style hashed-ngram importance weighting (integer-exact)
     "corpus_dsir_importance" -> q(t => TextAnalysis.corpusDsirImportance(t)),
     // distributed dense-id assignment (two-level rank; oracle is the
@@ -825,6 +828,21 @@ object SparkEntry {
       | round(regr_intercept(y, x) + 1e-9, 4) AS intercept,
       | round(regr_r2(y, x) + 1e-9, 4) AS r2
       |FROM b GROUP BY 1""".stripMargin
+
+  /** DuckDB oracle shared by the batch and streaming week-over-week
+    * reports (equivalence pair #34). */
+  private val wowSql: String =
+    """WITH w AS (SELECT event_type,
+      |   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+      |   count(*) AS n FROM events GROUP BY 1, 2),
+      |l AS (SELECT *, lag(n) OVER (PARTITION BY event_type
+      |  ORDER BY week) AS prev_n FROM w)
+      |SELECT event_type, CAST(week AS TIMESTAMP) AS week,
+      | CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
+      | CAST(n - prev_n AS BIGINT) AS delta,
+      | CAST(CASE WHEN prev_n > 0
+      |   THEN ((n - prev_n) * 1000000) // prev_n END AS BIGINT) AS change_ppm
+      |FROM l""".stripMargin
 
   /** DuckDB oracle shared by the batch and streaming Benford audits
     * (equivalence pair #31). */
@@ -1942,18 +1960,8 @@ object SparkEntry {
     "stream_growth_accounting" -> growthSql,
     "events_ols_trend" -> olsTrendSql,
     "stream_ols_trend" -> olsTrendSql,
-    "events_wow_change" ->
-      """WITH w AS (SELECT event_type,
-        |   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
-        |   count(*) AS n FROM events GROUP BY 1, 2),
-        |l AS (SELECT *, lag(n) OVER (PARTITION BY event_type
-        |  ORDER BY week) AS prev_n FROM w)
-        |SELECT event_type, CAST(week AS TIMESTAMP) AS week,
-        | CAST(n AS BIGINT) AS n, CAST(prev_n AS BIGINT) AS prev_n,
-        | CAST(n - prev_n AS BIGINT) AS delta,
-        | CAST(CASE WHEN prev_n > 0
-        |   THEN ((n - prev_n) * 1000000) // prev_n END AS BIGINT) AS change_ppm
-        |FROM l""".stripMargin,
+    "events_wow_change" -> wowSql,
+    "stream_wow_change" -> wowSql,
     "q_time_weighted_avg" ->
       """WITH e AS (SELECT user_id, event_id,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us,

@@ -931,6 +931,31 @@ object Streaming {
       drainToTable(weeks, "complete").select(col("user_id"), col("week")))
   }
 
+  /** X40 — `stream_wow_change`: the week-over-week report maintained
+    * CONTINUOUSLY — (type, week) counts as ONE keyed streaming
+    * aggregation (metadata-scale state; production watermarks the
+    * week), the lag/ppm readout over the drained rollup. Shares
+    * `events_wow_change`'s oracle verbatim — stream/batch equivalence
+    * pair #34. */
+  def streamWowChange(t: Tables): DataFrame = {
+    val weekly = eventsStream(t)
+      .select(col("event_type"),
+        to_date(date_trunc("week", col("ts"))).as("week"))
+      .groupBy(col("event_type"), col("week"))
+      .agg(count(lit(1)).as("n"))
+    drainToTable(weekly, "complete")
+      .withColumn("prev_n", lag(col("n"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(asc("week"))))
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("change_ppm",
+        when(col("prev_n") > 0,
+          expr("((n - prev_n) * 1000000) div prev_n")))
+      .select(col("event_type"),
+        col("week").cast("timestamp_ntz").as("week"),
+        col("n"), col("prev_n"), col("delta"), col("change_ppm"))
+  }
+
   /** X37 — `stream_holt_winters`: the seasonal forecaster maintained
     * CONTINUOUSLY — the same (type, day) keyed streaming rollup as
     * [[streamHoltForecast]], with the shared Holt-Winters integer fold
