@@ -812,6 +812,55 @@ object SourceOps {
     * format breaks the hash. The null GROUP key itself rides as a
     * coalesced tag (engines disagree on null ordering, not on
     * values). */
+  /** `q_shard_types_roundtrip` — the WIDENED TYPE SURFACE (format v3)
+    * end to end: timestamp_ntz / date / int / boolean columns CTAS'd
+    * into a gshard table from PURE SQL — the exact path that used to
+    * die at `typeTag` on the first `ts` column a user wrote — then
+    * read back through BOTH reader paths (vectorized + row) under a
+    * TIMESTAMP predicate the scan normalizes to micros for zone-map
+    * skipping. All four logical types ride the physically-long block
+    * (micros / days / int / 0-1 — the parquet logical-type idea), so
+    * zone maps, delta encoding, blooms, and metadata stats apply to
+    * them unchanged. The typed per-day rollup is oracled against raw
+    * events; timestamp file pruning is plan-pinned in PlanAuditSpec. */
+  def qShardTypesRoundtrip(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val view = s"gshard_typed_src_$runId"
+    t.events.select(
+        col("event_id"),
+        col("ts"),
+        col("ts").cast("date").as("day"),
+        hour(col("ts")).as("hh"),
+        (col("event_type") === lit("click")).as("is_click"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .createOrReplaceTempView(view)
+    val tblName = s"events_typed_${dirTag(t.dir)}"
+    val tbl = s"gshard_cat.main.$tblName"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl AS SELECT * FROM $view")
+    // timestamp cutoff: min(ts) + 7 days (one metadata-scale agg) —
+    // selective enough that the micros zone maps prune early files
+    val minTs = t.events.agg(min(col("ts"))).head
+    val cutoff =
+      if (minTs.isNullAt(0)) java.time.LocalDateTime.of(2024, 1, 1, 0, 0)
+      else minTs.getAs[java.time.LocalDateTime](0).plusDays(7)
+    def roll(columnar: Boolean, fmt: String) = spark.read.format("gshard")
+      .option("columnar", columnar.toString).load(s"$wh/main/$tblName")
+      .filter(col("ts") >= lit(cutoff))
+      .groupBy(col("day").cast("timestamp").as("day"), col("is_click"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("cents")).as("value_cents"),
+        min(col("ts")).as("ts_min"),
+        max(col("hh")).cast("long").as("hh_max"))
+      .withColumn("fmt", lit(fmt))
+    roll(columnar = true, "columnar")
+      .unionByName(roll(columnar = false, "row"))
+  }
+
   def qShardNullRoundtrip(t: Tables): DataFrame = {
     val dir = staging(s"gshard_n_${dirTag(t.dir)}")
     t.events.select(col("user_id"),

@@ -20,8 +20,9 @@ import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter,
   WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType,
-  StructType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType,
+  IntegerType, LongType, StringType, StructType, TimestampNTZType,
+  TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -141,6 +142,19 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType)
     }
   }
 
+  /** Per-filter normalization for DELETE: each conjunct normalizes
+    * independently or stays AS-IS (never dropped — a dropped conjunct
+    * would let the remaining ones "cover" a file the full predicate
+    * does not, i.e. over-delete). An un-normalized conjunct is simply
+    * undecidable: covers() returns false for it (the whole DELETE
+    * rejects) and the zone testers admit past it (disjointness via the
+    * OTHER conjuncts stays sound). */
+  private def normalizedForDelete(schema: StructType,
+      filters: Array[Filter]): Array[Filter] =
+    filters.map { f =>
+      ShardFormat.normalizeFilters(schema, Seq(f)).headOption.getOrElse(f)
+    }
+
   /** No row of `e` can satisfy the conjunction (the scan's prune test). */
   private def disjoint(e: ShardFormat.ShardEntry,
       filters: Array[Filter]): Boolean =
@@ -150,13 +164,17 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType)
       ShardFormat.stringZoneAdmits(filters.toSeq, e.sMin.contains,
         c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))))
 
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    ShardFormat.readManifest(dir).entries.forall { e =>
+  override def canDeleteWhere(rawFilters: Array[Filter]): Boolean = {
+    val m = ShardFormat.readManifest(dir)
+    val filters = normalizedForDelete(m.schema, rawFilters)
+    m.entries.forall { e =>
       disjoint(e, filters) || filters.forall(covers(e, _))
     }
+  }
 
-  override def deleteWhere(filters: Array[Filter]): Unit = {
+  override def deleteWhere(rawFilters: Array[Filter]): Unit = {
     val m = ShardFormat.readManifest(dir)
+    val filters = normalizedForDelete(m.schema, rawFilters)
     val (drop, keep) = m.entries.partition { e =>
       !disjoint(e, filters) && filters.forall(covers(e, _))
     }
@@ -195,31 +213,40 @@ private[shard] class ShardWriteBuilder(dir: String, info: LogicalWriteInfo)
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = {
-    // default cluster column: the schema's first long column (catalog
-    // writes — INSERT INTO / CTAS — carry no reader options)
+    // default cluster column: the schema's first long column, else the
+    // first physically-long one — timestamp/date/int cluster just as
+    // well (catalog writes — INSERT INTO / CTAS — carry no options)
     val rangeCol = Option(info.options.get("rangecol")).getOrElse(
-      info.schema().fields.find(_.dataType == LongType).map(_.name)
+      info.schema().fields.find(_.dataType == LongType)
+        .orElse(info.schema().fields
+          .find(f => ShardFormat.physicallyLong(f.dataType)))
+        .map(_.name)
         .getOrElse(throw new IllegalArgumentException(
-          "gshard: no long column to range-cluster on; set rangeCol")))
+          "gshard: no orderable long-encoded column to range-cluster on; " +
+            "set rangeCol")))
     require(info.schema().fieldNames.contains(rangeCol),
       s"gshard: rangeCol $rangeCol not in ${info.schema().fieldNames.mkString(",")}")
     val shards = Option(info.options.get("shards")).map(_.toInt).getOrElse(0)
     val chunkRows = Option(info.options.get("chunkrows")).map(_.toInt)
       .getOrElse(ShardFormat.DefaultChunkRows)
     val txnId = Option(info.options.get("txnid")).map(_.toLong).getOrElse(-1L)
+    // optional txn NAMESPACE (Delta's txnAppId): writers with
+    // independent txnid sequences must not dedupe each other
+    val txnApp = Option(info.options.get("txnappid")).filter(_.nonEmpty)
     val bloomCols = Option(info.options.get("bloomcol"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
     bloomCols.foreach(c => require(info.schema().fieldNames.contains(c),
       s"gshard: bloomcol $c not in ${info.schema().fieldNames.mkString(",")}"))
     new ShardWrite(dir, info.schema(), rangeCol, shards,
-      truncateFirst, info.queryId(), chunkRows, txnId, bloomCols)
+      truncateFirst, info.queryId(), chunkRows, txnId, bloomCols, txnApp)
   }
 }
 
 private[shard] class ShardWrite(dir: String, schema: StructType,
     rangeCol: String, shards: Int, truncateFirst: Boolean, queryId: String,
-    chunkRows: Int, txnId: Long, bloomCols: Set[String] = Set.empty)
+    chunkRows: Int, txnId: Long, bloomCols: Set[String] = Set.empty,
+    txnApp: Option[String] = None)
     extends Write with RequiresDistributionAndOrdering {
 
   override def requiredDistribution(): Distribution =
@@ -233,18 +260,19 @@ private[shard] class ShardWrite(dir: String, schema: StructType,
     s"gshard write $dir rangeCol=$rangeCol"
 
   override def toBatch: BatchWrite = new ShardBatchWrite(dir, schema,
-    truncateFirst, queryId, chunkRows, txnId, bloomCols)
+    truncateFirst, queryId, chunkRows, txnId, bloomCols, txnApp)
 }
 
 private[shard] final case class ShardCommitMessage(file: String, rows: Long,
     mins: Map[String, Long], maxs: Map[String, Long],
     sMins: Map[String, String], sMaxs: Map[String, String],
-    nulls: Map[String, Long], blooms: Map[String, String] = Map.empty)
+    nulls: Map[String, Long], blooms: Map[String, String] = Map.empty,
+    bloomBpv: Map[String, Long] = Map.empty)
   extends WriterCommitMessage
 
 private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     truncateFirst: Boolean, queryId: String, chunkRows: Int, txnId: Long,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty, txnApp: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(
@@ -258,14 +286,23 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     val fresh = messages.collect {
       case m: ShardCommitMessage if m.rows > 0 => // empty partitions emit no file
         ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs,
-          m.sMins, m.sMaxs, m.nulls, m.blooms)
+          m.sMins, m.sMaxs, m.nulls, m.blooms, m.bloomBpv)
     }.sortBy(_.file).toSeq
     val existing =
       if (ShardFormat.hasManifest(dir)) Some(ShardFormat.readManifest(dir))
       else None
-    // TXN idempotence: a replayed micro-batch (same txnid) must not
-    // double-append — drop its staged files and leave the manifest be
-    if (txnId >= 0 && existing.exists(_.lastTxn >= txnId)) {
+    // TXN idempotence, NAMESPACED by app id when one is given (the
+    // Delta txnAppId/txnVersion pattern): a replayed micro-batch
+    // (same app, same txnid) must not double-append — drop its staged
+    // files and leave the manifest be. A TRUNCATING write is never
+    // the replay no-op: a fresh streaming query reusing the directory
+    // restarts its batch ids at 0 with overwrite semantics, and
+    // silently dropping ITS data in favor of the stale table would
+    // invert the contract.
+    val appliedBefore = txnId >= 0 && !truncateFirst && existing.exists { m =>
+      txnApp.map(a => m.txns.getOrElse(a, -1L)).getOrElse(m.lastTxn) >= txnId
+    }
+    if (appliedBefore) {
       fresh.foreach(e => java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(dir, e.file)))
       return
@@ -285,13 +322,30 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     val prior =
       if (!truncateFirst) existing.map(_.entries).getOrElse(Seq.empty)
       else Seq.empty
-    val nextTxn = math.max(txnId, existing.map(_.lastTxn).getOrElse(-1L))
+    // advance this writer's txn slot; a TRUNCATE resets it (fresh
+    // query, ids restart at 0) instead of max-ing against stale state.
+    // Other apps' slots carry forward untouched either way.
+    val oldLast = existing.map(_.lastTxn).getOrElse(-1L)
+    val oldTxns = existing.map(_.txns).getOrElse(Map.empty[String, Long])
+    val (nextLast, nextTxns) = txnApp match {
+      case None =>
+        val v = if (txnId < 0) oldLast
+          else if (truncateFirst) txnId else math.max(txnId, oldLast)
+        (v, oldTxns)
+      case Some(app) =>
+        if (txnId < 0) (oldLast, oldTxns)
+        else {
+          val v = if (truncateFirst) txnId
+            else math.max(txnId, oldTxns.getOrElse(app, -1L))
+          (oldLast, oldTxns + (app -> v))
+        }
+    }
     // manifest FIRST: the write below atomically publishes the new
     // generation; only then sweep the files it replaced (a crash in
     // between leaves orphans for the next overwrite, never a manifest
     // pointing at deleted files)
     ShardFormat.writeManifest(dir,
-      ShardFormat.Manifest(schema, prior ++ fresh, nextTxn))
+      ShardFormat.Manifest(schema, prior ++ fresh, nextLast, nextTxns))
     if (truncateFirst) existing.foreach { m =>
       val keep = fresh.map(_.file).toSet
       m.entries.filterNot(e => keep(e.file))
@@ -347,6 +401,13 @@ private[shard] class ShardDataWriter(dir: String,
           case LongType => row.getLong(i)
           case DoubleType => row.getDouble(i)
           case StringType => row.getUTF8String(i).getBytes
+          // logical types ride the long block in their CATALYST
+          // internal encodings (micros / days / int / 0-1) — exactly
+          // what InternalRow already holds, so no conversion cost
+          case TimestampType | TimestampNTZType => row.getLong(i)
+          case DateType => row.getInt(i).toLong
+          case IntegerType => row.getInt(i).toLong
+          case BooleanType => if (row.getBoolean(i)) 1L else 0L
           case other => throw new IllegalStateException(other.toString)
         }
       i += 1
@@ -361,7 +422,7 @@ private[shard] class ShardDataWriter(dir: String,
     val stats = writer.close()
     writer = null
     ShardCommitMessage(file, stats.rows, stats.zMin, stats.zMax,
-      stats.sMin, stats.sMax, stats.nullCnt, stats.bloom)
+      stats.sMin, stats.sMax, stats.nullCnt, stats.bloom, stats.bloomBpv)
   }
 
   override def abort(): Unit = ()
@@ -420,16 +481,16 @@ private[shard] class ShardScanBuilder(dir: String,
     else { pushedAgg = Some(agg); true }
 
   /** A filter is usable for zone-map skipping iff it constrains one
-    * long or string column of the schema with a matching literal
-    * type; files whose maps lack the column are always kept, so the
-    * type gate here is the only admission check needed. */
+    * physically-long (long/timestamp/date/int/boolean) or string
+    * column of the schema with a literal the storage domain can
+    * normalize; files whose maps lack the column are always kept, so
+    * the type gate here is the only admission check needed. */
   private def usable(f: Filter): Boolean = {
     def typ(c: String) = manifest.schema.fields
       .find(_.name == c).map(_.dataType)
-    def ok(c: String, v: Any) = v match {
-      case _: Long => typ(c).contains(LongType)
-      case _: String => typ(c).contains(StringType)
-      case _ => false
+    def ok(c: String, v: Any) = typ(c).exists {
+      case StringType => v.isInstanceOf[String]
+      case dt => ShardFormat.toPhysLong(dt, v).isDefined
     }
     f match {
       case EqualTo(c, v) => ok(c, v)
@@ -540,7 +601,7 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val mappable = manifest.schema.fields
-      .collect { case f if f.dataType == LongType ||
+      .collect { case f if ShardFormat.physicallyLong(f.dataType) ||
         f.dataType == StringType => f.name }.toSet
     // only columns the (pruned) scan OUTPUT carries: Spark resolves
     // these refs against the scan's output attributes
@@ -592,8 +653,16 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     * arrive unvalidated (unlike pushFilters' usable() gate), but the
     * zone testers guard every column/value shape and keep anything
     * unrecognized. */
+  /** Pushed + runtime filters rewritten into the storage domain
+    * (timestamp→micros, date→days, int/boolean→long); anything not
+    * normalizable is dropped from the SKIPPING set only — it stays in
+    * Spark's residual, so admission just widens. */
+  private def skipFilters: Seq[Filter] =
+    ShardFormat.normalizeFilters(manifest.schema,
+      (pushed ++ runtimeFilters).toSeq)
+
   private def survives(e: ShardFormat.ShardEntry): Boolean = {
-    val fs = (pushed ++ runtimeFilters).toSeq
+    val fs = skipFilters
     ShardFormat.longZoneAdmits(fs, e.zMin.contains, e.zMin(_), e.zMax(_)) &&
       ShardFormat.stringZoneAdmits(fs, e.sMin.contains,
         c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))) &&
@@ -635,18 +704,33 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     survivors.map(e => ShardInputPartition(s"$dir/${e.file}",
       manifest.schema.fields.map(f => (f.name, f.dataType.typeName)),
       required.fieldNames,
-      pushed ++ runtimeFilters)).toArray[InputPartition]
+      skipFilters.toArray)).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardReaderFactory(columnar)
 
   // surfaced in explain(): pruning and pushdown are auditable from the
-  // plan text, the same way parquet scans surface PushedFilters
+  // plan text, the same way parquet scans surface PushedFilters; bloom
+  // sizing (bits-per-value → expected FP) is reported HONESTLY, with a
+  // loud CAPPED flag when build-time sizing hit the 1 MB ceiling and
+  // the filter admits more than designed
   override def description(): String = {
     val n = survivors.size
+    val bloomAudit = {
+      val cols = manifest.entries.flatMap(_.bloomBpv.keys).distinct.sorted
+      if (cols.isEmpty) ""
+      else cols.map { c =>
+        val bpv = manifest.entries.flatMap(_.bloomBpv.get(c)).min
+        val fp = math.pow(1.0 -
+          math.exp(-ShardFormat.Bloom.K.toDouble / bpv.toDouble),
+          ShardFormat.Bloom.K.toDouble)
+        val capped = if (bpv < 8) " CAPPED" else ""
+        f"$c bpv=$bpv fp~${fp * 100}%.2f%%$capped"
+      }.mkString(", Blooms: [", "; ", "]")
+    }
     s"gshard $dir files=$n/${manifest.entries.size} " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.catalogString}"
+      s"ReadSchema: ${required.catalogString}" + bloomAudit
   }
 }
 
@@ -790,12 +874,32 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
       val v = vectors(c)
       v.reset()
       required(c).dataType match {
-        case LongType =>
+        // timestamps share the long vector path: the stored micros ARE
+        // the catalyst internal encoding
+        case LongType | TimestampType | TimestampNTZType =>
           var i = 0
           while (i < n) {
             cols(c)(pos + i) match {
               case null => v.putNull(i)
               case x => v.putLong(i, x.asInstanceOf[Long])
+            }
+            i += 1
+          }
+        case DateType | IntegerType =>
+          var i = 0
+          while (i < n) {
+            cols(c)(pos + i) match {
+              case null => v.putNull(i)
+              case x => v.putInt(i, x.asInstanceOf[Long].toInt)
+            }
+            i += 1
+          }
+        case BooleanType =>
+          var i = 0
+          while (i < n) {
+            cols(c)(pos + i) match {
+              case null => v.putNull(i)
+              case x => v.putBoolean(i, x.asInstanceOf[Long] != 0L)
             }
             i += 1
           }
@@ -844,8 +948,15 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
       p.filters.toIndexedSeq)
   private val nRows = decoded.nRows
   private val cols = decoded.cols
-  private val isString: Array[Boolean] = p.required.map(n =>
-    schema(n).dataType == StringType)
+  // per-column decode kind: 0 pass-through (long/timestamp/double),
+  // 1 string bytes → UTF8String, 2 long → int (date/int), 3 boolean
+  private val kind: Array[Int] = p.required.map(n =>
+    schema(n).dataType match {
+      case StringType => 1
+      case DateType | IntegerType => 2
+      case BooleanType => 3
+      case _ => 0
+    })
   private var i = -1
 
   override def next(): Boolean = { i += 1; i < nRows }
@@ -856,9 +967,12 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
     while (c < values.length) {
       values(c) = cols(c)(i) match {
         case null => null
-        case v if isString(c) =>
-          UTF8String.fromBytes(v.asInstanceOf[Array[Byte]])
-        case v => v
+        case v => kind(c) match {
+          case 0 => v
+          case 1 => UTF8String.fromBytes(v.asInstanceOf[Array[Byte]])
+          case 2 => v.asInstanceOf[Long].toInt
+          case 3 => v.asInstanceOf[Long] != 0L
+        }
       }
       c += 1
     }

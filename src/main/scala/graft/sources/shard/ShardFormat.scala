@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   * disk, FILTER-pushdown file skipping over zone maps, partition
   * planning) against storage the engine owns end to end.
   *
-  * File layout v2 (`part-<shard>.gshard`) — CHUNKED row groups, the
+  * File layout v3 (`part-<shard>.gshard`) — CHUNKED row groups, the
   * parquet/ORC shape: the writer never holds more than one chunk
   * (default 64k rows) in memory, and a selective reader skips whole
   * chunks off their zone maps without decoding a byte of them:
@@ -32,15 +32,34 @@ import org.apache.spark.sql.types._
   *   magic "GSHD" | version INT | nCols INT
   *   chunk*, until EOF:
   *     nRows INT | restLen LONG      (restLen = zone header + columns)
-  *     zone header, one slot per LONG column in schema order:
-  *       hasValues BYTE | min LONG | max LONG   (non-null values only)
+  *     zone header:
+  *       one slot per PHYSICALLY-LONG column in schema order:
+  *         hasValues BYTE | min LONG | max LONG  (non-null values only)
+  *       one slot per STRING column in schema order:
+  *         hasValues BYTE
+  *         [minLen INT | min bytes | maxLen INT | max bytes]
+  *         (slots with either bound over 64 bytes write hasValues=0 —
+  *          a missing bound only widens admission, never unsound)
   *     per column, in schema order:
   *       byteLen LONG | encoded block:
   *         null bitmap: ceil(nRows/8) bytes, bit set = NULL
-  *         long / double : nRows × 8 bytes (null slots carry 0)
-  *         string        : (nRows+1) offset INTs, then UTF-8 bytes
-  *                         (a null string is a zero-width slice)
+  *         physically-long: tag BYTE —
+  *           0 plain        : nRows × 8 bytes (null slots carry 0)
+  *           1 delta-varint : zigzag varints of deltas (null slots
+  *                            repeat the previous value, delta 0);
+  *                            chosen by MEASURED size, so a sorted
+  *                            cluster column lands ≪ 8 bytes/row
+  *         double : nRows × 8 bytes (no tag; IEEE bits don't delta)
+  *         string : tag BYTE — 0 plain offsets+bytes / 1 dictionary
   * }}}
+  *
+  * LOGICAL TYPES ride the long block: timestamp / timestamp_ntz
+  * (epoch micros — Catalyst's own internal encoding), date (epoch
+  * days), int, and boolean (0/1) all encode as physically-long
+  * columns, tagged logically in the manifest schema line — the
+  * parquet logical-type idea. Zone maps, delta encoding, blooms, and
+  * metadata DELETE coverage all apply unchanged because micros/days
+  * order exactly as their logical values do.
   * Every column block is length-prefixed, so a reader materializes
   * exactly the requested columns and skips past the rest — column
   * pruning as real IO savings, not a post-read projection. Chunks are
@@ -51,13 +70,28 @@ import org.apache.spark.sql.types._
   * Sidecar `_manifest.gshard` (line-oriented, our own format so the
   * reader needs no JSON dependency):
   * {{{
-  *   gshard v2
-  *   schema <name>:<long|double|string>,...
-  *   txn <lastAppliedTxnId>                  (optional; append idempotence)
+  *   gshard v3
+  *   schema <name>:<tag>,...   tag ∈ long|double|string|timestamp|
+  *                                   timestampntz|date|int|boolean
+  *   txn <lastAppliedTxnId>            (optional; append idempotence,
+  *                                      the default/anonymous writer)
+  *   txnapp <appId> <version>          (optional, repeated; per-app
+  *                                      idempotence — Delta's
+  *                                      txnAppId/txnVersion shape, so
+  *                                      two writers with independent
+  *                                      id sequences never dedupe
+  *                                      each other)
   *   file <name> <rows> <zones>
-  *     zones ;-joined:  <col>=<min>:<max>        long, decimal
+  *     zones ;-joined:  <col>=<min>:<max>        physically-long
   *                      <col>#<b64min>:<b64max>  string, base64(UTF-8)
+  *                      <col>!<nullCount>
+  *                      <col>?<b64bloom>
+  *                      <col>^<bitsPerValue>     bloom sizing audit
   * }}}
+  * Older manifest generations (v1/v2) are REJECTED up front with a
+  * rewrite-required error — the chunk layout changed, so a partial
+  * "plans fine, dies mid-scan" acceptance would be worse than the
+  * loud refusal.
   * The per-file min/max entries are the ZONE MAPS the scan builder
   * prunes with — false-negative-free by construction (a file's map
   * covers every NON-NULL value it holds; a filter comparison against
@@ -81,7 +115,7 @@ import org.apache.spark.sql.types._
 object ShardFormat {
 
   val Magic = 0x47534844 // "GSHD"
-  val Version = 2
+  val Version = 3
   val DefaultChunkRows = 65536
 
   /** Manifest parses this process performed — the observability hook
@@ -89,18 +123,103 @@ object ShardFormat {
     * re-read the manifest once per planning call). */
   val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def typeTag(dt: DataType): String = dt match {
+  private[shard] def typeTag(dt: DataType): String = dt match {
     case LongType => "long"
     case DoubleType => "double"
     case StringType => "string"
+    case TimestampType => "timestamp"
+    case TimestampNTZType => "timestampntz"
+    case DateType => "date"
+    case IntegerType => "int"
+    case BooleanType => "boolean"
     case other => throw new IllegalArgumentException(
-      s"gshard supports long/double/string, got $other")
+      "gshard supports long/double/string/timestamp/timestamp_ntz/" +
+        s"date/int/boolean, got $other")
   }
 
+  /** Tag → type; accepts both the manifest tags and Spark's
+    * `DataType.typeName` spellings (the task payloads serialize the
+    * latter). */
   private[shard] def dataTypeOf(tag: String): DataType = tag match {
     case "long" => LongType
     case "double" => DoubleType
     case "string" => StringType
+    case "timestamp" => TimestampType
+    case "timestampntz" | "timestamp_ntz" => TimestampNTZType
+    case "date" => DateType
+    case "int" | "integer" => IntegerType
+    case "boolean" => BooleanType
+  }
+
+  /** Types that ride the physically-long block (and therefore get
+    * zone maps, delta encoding, blooms, and metadata-DELETE coverage
+    * for free — their long encodings order exactly as the logical
+    * values do). */
+  private[shard] def physicallyLong(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType | DateType |
+         IntegerType | BooleanType => true
+    case _ => false
+  }
+
+  /** Normalize a FILTER VALUE on a physically-long column into the
+    * long domain the zone maps / blooms live in. Pushed-down filter
+    * literals arrive as external JVM types (`java.sql.Timestamp` /
+    * `Instant` / `LocalDateTime` / `Date` / `LocalDate` / boxed
+    * Int/Boolean, depending on the session's java8 datetime setting);
+    * anything unrecognized returns None and the filter simply isn't
+    * used for skipping — sound, because every filter stays residual. */
+  private[shard] def toPhysLong(dt: DataType, v: Any): Option[Long] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    (dt, v) match {
+      case (LongType, l: Long) => Some(l)
+      case (LongType, l: java.lang.Long) => Some(l.longValue())
+      case (TimestampType, t: java.sql.Timestamp) =>
+        Some(DateTimeUtils.fromJavaTimestamp(t))
+      case (TimestampType, i: java.time.Instant) =>
+        Some(DateTimeUtils.instantToMicros(i))
+      case (TimestampNTZType, l: java.time.LocalDateTime) =>
+        Some(DateTimeUtils.localDateTimeToMicros(l))
+      case (DateType, d: java.sql.Date) =>
+        Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case (DateType, d: java.time.LocalDate) => Some(d.toEpochDay)
+      case (IntegerType, i: java.lang.Integer) => Some(i.longValue())
+      case (BooleanType, b: java.lang.Boolean) =>
+        Some(if (b.booleanValue()) 1L else 0L)
+      case _ => None
+    }
+  }
+
+  /** Rewrite pushed filters into the storage domain: comparisons on
+    * physically-long columns get Long literals (via [[toPhysLong]]),
+    * strings pass through, and any filter whose value can't be
+    * normalized is DROPPED from the skipping set (never from the
+    * residual Spark evaluates — dropping only widens admission). */
+  private[shard] def normalizeFilters(schema: StructType,
+      filters: Seq[Filter]): Seq[Filter] = {
+    def typ(c: String): Option[DataType] =
+      schema.fields.find(_.name == c).map(_.dataType)
+    def norm(c: String, v: Any): Option[Any] = typ(c) match {
+      case Some(StringType) => v match {
+        case s: String => Some(s)
+        case _ => None
+      }
+      case Some(dt) if physicallyLong(dt) => toPhysLong(dt, v)
+      case _ => None
+    }
+    filters.flatMap {
+      case EqualTo(c, v) => norm(c, v).map(EqualTo(c, _))
+      case GreaterThan(c, v) => norm(c, v).map(GreaterThan(c, _))
+      case GreaterThanOrEqual(c, v) =>
+        norm(c, v).map(GreaterThanOrEqual(c, _))
+      case LessThan(c, v) => norm(c, v).map(LessThan(c, _))
+      case LessThanOrEqual(c, v) => norm(c, v).map(LessThanOrEqual(c, _))
+      case In(c, vs) if vs.nonEmpty =>
+        val nv = vs.map(norm(c, _))
+        if (nv.forall(_.isDefined)) Some(In(c, nv.map(_.get)))
+        else None
+      case f => Some(f) // IsNull etc. — zone testers keep what they
+                        // don't recognize, so passing through is sound
+    }
   }
 
   private[graft] def b64(bytes: Array[Byte]): String =
@@ -118,20 +237,29 @@ object ShardFormat {
       sMin: Map[String, String] = Map.empty,
       sMax: Map[String, String] = Map.empty,
       nullCnt: Map[String, Long] = Map.empty,
-      bloom: Map[String, String] = Map.empty)
+      bloom: Map[String, String] = Map.empty,
+      bloomBpv: Map[String, Long] = Map.empty)
 
+  /** `lastTxn` is the DEFAULT (anonymous) writer's last applied txn
+    * id; `txns` namespaces per-app versions (Delta's
+    * txnAppId/txnVersion), so independent writers never dedupe each
+    * other's ids. */
   final case class Manifest(schema: StructType, entries: Seq[ShardEntry],
-      lastTxn: Long = -1L)
+      lastTxn: Long = -1L, txns: Map[String, Long] = Map.empty)
 
   /** Per-file writer stats, reported from tasks to the manifest.
     * `nullCnt` carries EVERY column (zero included): a column absent
     * from an entry's map means the count is UNKNOWN (a pre-nullcount
-    * manifest), which delete coverage treats as not-provably-null-free. */
+    * manifest), which delete coverage treats as not-provably-null-free.
+    * `bloomBpv` records each bloom's ACHIEVED bits-per-value — the
+    * sizing audit that makes a capped (degraded-FP) bloom visible in
+    * the manifest instead of silently admitting everything. */
   final case class ShardStats(rows: Long,
       zMin: Map[String, Long], zMax: Map[String, Long],
       sMin: Map[String, String], sMax: Map[String, String],
       nullCnt: Map[String, Long],
-      bloom: Map[String, String] = Map.empty)
+      bloom: Map[String, String] = Map.empty,
+      bloomBpv: Map[String, Long] = Map.empty)
 
   /** Per-file BLOOM filters for point lookups on columns the range
     * clustering does NOT order — where zone maps cannot prune because
@@ -177,6 +305,33 @@ object ShardFormat {
     def mightContain(bits: Array[Byte], h: Long): Boolean =
       positions(bits, h).forall(p => (bits(p >> 3) & (1 << (p & 7))) != 0)
   }
+
+  // ── varint / zigzag (the delta long-block encoding) ────────────────
+  private[shard] def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
+  private[shard] def unzigzag(u: Long): Long = (u >>> 1) ^ -(u & 1L)
+  private[shard] def varintLen(u: Long): Int =
+    (63 - java.lang.Long.numberOfLeadingZeros(u | 1L)) / 7 + 1
+  private[shard] def writeVarint(out: DataOutputStream, u0: Long): Unit = {
+    var u = u0
+    while ((u & ~0x7FL) != 0L) {
+      out.writeByte(((u & 0x7FL) | 0x80L).toInt); u >>>= 7
+    }
+    out.writeByte(u.toInt)
+  }
+  private[shard] def readVarint(in: DataInputStream): Long = {
+    var u = 0L; var shift = 0
+    var b = in.readUnsignedByte()
+    while ((b & 0x80) != 0) {
+      u |= (b & 0x7FL) << shift; shift += 7; b = in.readUnsignedByte()
+    }
+    u | (b.toLong << shift)
+  }
+
+  /** Chunk-header string zone bounds are capped at this length: a
+    * chunk whose min or max exceeds it writes an empty slot (admit
+    * always) rather than truncated bounds — missing bounds are sound,
+    * truncated upper bounds would not be. */
+  private[shard] val MaxChunkStringBound = 64
 
   /** Write `df` as `nShards` range-clustered shard files + manifest.
     * `rangeCol` must be a non-null long column; all columns
@@ -275,6 +430,9 @@ object ShardFormat {
             case LongType => r.getLong(i)
             case DoubleType => r.getDouble(i)
             case StringType => r.getString(i).getBytes(StandardCharsets.UTF_8)
+            case dt if physicallyLong(dt) =>
+              toPhysLong(dt, r.get(i)).getOrElse(throw new IllegalStateException(
+                s"gshard: can't encode ${r.get(i)} as $dt"))
             case other => throw new IllegalStateException(other.toString)
           }
         i += 1
@@ -302,12 +460,12 @@ object ShardFormat {
     // bloom state: 8-byte hashes only, never buffered values
     private val bloomIdx = schema.fields.zipWithIndex.collect {
       case (f, i) if bloomCols(f.name) &&
-        (f.dataType == LongType || f.dataType == StringType) => i
+        (physicallyLong(f.dataType) || f.dataType == StringType) => i
     }
     private val bloomHashes: Map[Int, mutable.ArrayBuffer[Long]] =
       bloomIdx.map(i => i -> mutable.ArrayBuffer.empty[Long]).toMap
     private val longIdx = schema.fields.zipWithIndex
-      .collect { case (f, i) if f.dataType == LongType => i }
+      .collect { case (f, i) if physicallyLong(f.dataType) => i }
     private val strIdx = schema.fields.zipWithIndex
       .collect { case (f, i) if f.dataType == StringType => i }
 
@@ -341,7 +499,8 @@ object ShardFormat {
       val n = buf.length
       val body = new ByteArrayOutputStream(1 << 16)
       val bdos = new DataOutputStream(body)
-      // zone header: one slot per long column, non-null values only
+      // zone header: one slot per physically-long column, non-null
+      // values only
       longIdx.foreach { i =>
         var mn = Long.MaxValue; var mx = Long.MinValue; var has = false
         var r = 0
@@ -359,6 +518,31 @@ object ShardFormat {
         bdos.writeLong(if (has) mn else 0L)
         bdos.writeLong(if (has) mx else 0L)
       }
+      // then one slot per string column (unsigned-byte bounds, the
+      // order Spark's own string comparisons use); oversized bounds
+      // degrade to an empty slot — admit-always, still sound
+      strIdx.foreach { i =>
+        var mn: Array[Byte] = null; var mx: Array[Byte] = null
+        var r = 0
+        while (r < n) {
+          val v = buf(r)(i)
+          if (v != null) {
+            val b = v.asInstanceOf[Array[Byte]]
+            if (mn == null || java.util.Arrays.compareUnsigned(b, mn) < 0)
+              mn = b
+            if (mx == null || java.util.Arrays.compareUnsigned(b, mx) > 0)
+              mx = b
+          }
+          r += 1
+        }
+        val fits = mn != null && mn.length <= MaxChunkStringBound &&
+          mx.length <= MaxChunkStringBound
+        bdos.writeByte(if (fits) 1 else 0)
+        if (fits) {
+          bdos.writeInt(mn.length); bdos.write(mn)
+          bdos.writeInt(mx.length); bdos.write(mx)
+        }
+      }
       // column blocks: null bitmap + values
       var c = 0
       while (c < nCols) {
@@ -372,14 +556,45 @@ object ShardFormat {
           r += 1
         }
         schema(c).dataType match {
-          case LongType =>
-            bdos.writeLong(bitmap.length + 8L * n)
-            bdos.write(bitmap)
+          case dt if physicallyLong(dt) =>
+            // MEASURED choice between plain 8-byte values and
+            // zigzag-delta varints (null slots repeat the previous
+            // value, delta 0, so nulls never blow up the deltas) —
+            // a sorted cluster column lands ≪ 8 bytes/row, a
+            // high-entropy column stays plain, never worse
+            var deltaLen = 0L
+            var prev = 0L
             r = 0
             while (r < n) {
               val v = buf(r)(c)
-              bdos.writeLong(if (v == null) 0L else v.asInstanceOf[Long])
+              val l = if (v == null) prev else v.asInstanceOf[Long]
+              deltaLen += varintLen(zigzag(l - prev))
+              prev = l
               r += 1
+            }
+            if (deltaLen < 8L * n) {
+              bdos.writeLong(bitmap.length + 1L + deltaLen)
+              bdos.write(bitmap)
+              bdos.writeByte(1) // encoding tag: delta-varint
+              prev = 0L
+              r = 0
+              while (r < n) {
+                val v = buf(r)(c)
+                val l = if (v == null) prev else v.asInstanceOf[Long]
+                writeVarint(bdos, zigzag(l - prev))
+                prev = l
+                r += 1
+              }
+            } else {
+              bdos.writeLong(bitmap.length + 1L + 8L * n)
+              bdos.write(bitmap)
+              bdos.writeByte(0) // encoding tag: plain
+              r = 0
+              while (r < n) {
+                val v = buf(r)(c)
+                bdos.writeLong(if (v == null) 0L else v.asInstanceOf[Long])
+                r += 1
+              }
             }
           case DoubleType =>
             bdos.writeLong(bitmap.length + 8L * n)
@@ -543,12 +758,20 @@ object ShardFormat {
       }.toMap
       val nulls = schema.fields.indices
         .map(c => schema(c).name -> fNulls(c)).toMap
-      val blooms = bloomIdx.flatMap { i =>
+      val built = bloomIdx.flatMap { i =>
         val log = bloomHashes(i)
         if (log.isEmpty) None
-        else Some(schema(i).name -> b64(Bloom.build(log)))
-      }.toMap
-      ShardStats(totalRows, zMin, zMax, sMin, sMax, nulls, blooms)
+        else {
+          val bits = Bloom.build(log)
+          // achieved bits-per-value: the sizing audit — a capped
+          // bloom (giant file) surfaces as a LOW bpv in the manifest
+          // instead of silently degrading toward admit-everything
+          Some((schema(i).name, b64(bits), 8L * bits.length / log.size))
+        }
+      }
+      ShardStats(totalRows, zMin, zMax, sMin, sMax, nulls,
+        built.map(t => t._1 -> t._2).toMap,
+        built.map(t => t._1 -> t._3).toMap)
     }
   }
 
@@ -557,10 +780,15 @@ object ShardFormat {
 
   private[graft] def writeManifest(dir: String, m: Manifest): Unit = {
     val sb = new StringBuilder
-    sb.append("gshard v2\n")
+    sb.append("gshard v3\n")
     sb.append("schema ").append(m.schema.fields
       .map(f => s"${f.name}:${typeTag(f.dataType)}").mkString(",")).append('\n')
     if (m.lastTxn >= 0L) sb.append(s"txn ${m.lastTxn}\n")
+    m.txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
+      require(app.nonEmpty && !app.exists(ch => ch == ' ' || ch == '\n'),
+        s"gshard: bad txn app id '$app'")
+      sb.append(s"txnapp $app $v\n")
+    }
     m.entries.foreach { e =>
       val longs = e.zMin.keys.toSeq.sorted
         .map(c => s"$c=${e.zMin(c)}:${e.zMax(c)}")
@@ -570,8 +798,10 @@ object ShardFormat {
         .map(c => s"$c!${e.nullCnt(c)}")
       val blooms = e.bloom.keys.toSeq.sorted
         .map(c => s"$c?${e.bloom(c)}")
+      val bpvs = e.bloomBpv.keys.toSeq.sorted
+        .map(c => s"$c^${e.bloomBpv(c)}")
       sb.append(s"file ${e.file} ${e.rows} " +
-        s"${(longs ++ strs ++ nulls ++ blooms).mkString(";")}\n")
+        s"${(longs ++ strs ++ nulls ++ blooms ++ bpvs).mkString(";")}\n")
     }
     Files.write(Paths.get(dir, "_manifest.gshard"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -580,7 +810,13 @@ object ShardFormat {
   def readManifest(dir: String): Manifest = {
     manifestReads.incrementAndGet()
     val lines = Files.readAllLines(Paths.get(dir, "_manifest.gshard"))
-    require(lines.get(0) == "gshard v2" || lines.get(0) == "gshard v1",
+    // older generations are rejected UP FRONT with the honest error —
+    // the chunk layout changed, so accepting the manifest and dying
+    // mid-scan would be misleading partial compatibility
+    require(lines.get(0) != "gshard v1" && lines.get(0) != "gshard v2",
+      s"gshard: ${lines.get(0)} table predates the v3 chunk layout — " +
+        "rewrite required (read nothing, re-save with the current writer)")
+    require(lines.get(0) == "gshard v3",
       s"bad manifest header: ${lines.get(0)}")
     val schema = StructType(lines.get(1).stripPrefix("schema ").split(",")
       .filter(_.nonEmpty).toIndexedSeq.map { s =>
@@ -591,6 +827,10 @@ object ShardFormat {
     val rest = lines.asScala.drop(2)
     val lastTxn = rest.find(_.startsWith("txn "))
       .map(_.stripPrefix("txn ").trim.toLong).getOrElse(-1L)
+    val txns = rest.filter(_.startsWith("txnapp ")).map { l =>
+      val p = l.split(" ")
+      p(1) -> p(2).toLong
+    }.toMap
     val entries = rest.filter(_.startsWith("file ")).map { l =>
       val parts = l.split(" ")
       val (file, rows) = (parts(1), parts(2).toLong)
@@ -598,19 +838,24 @@ object ShardFormat {
       var sMin = Map.empty[String, String]; var sMax = Map.empty[String, String]
       var nulls = Map.empty[String, Long]
       var blooms = Map.empty[String, String]
+      var bpvs = Map.empty[String, Long]
       if (parts.length > 3 && parts(3).nonEmpty)
         parts(3).split(";").foreach { kv =>
-          // the column name contains none of the four markers, so the
+          // the column name contains none of the five markers, so the
           // EARLIEST marker in the segment is the one that tags it
           // ('=' long bounds, '#' base64 string bounds, '!' null count,
-          // '?' base64 bloom — base64 can contain '=' but the tag
-          // marker always precedes it)
+          // '?' base64 bloom, '^' bloom bits-per-value — base64 can
+          // contain '=' but the tag marker always precedes it)
           val eq = kv.indexOf('='); val hs = kv.indexOf('#')
           val bg = kv.indexOf('!'); val qm = kv.indexOf('?')
+          val ct = kv.indexOf('^')
           def before(a: Int, b: Int) = a >= 0 && (b < 0 || a < b)
-          if (before(qm, eq) && before(qm, hs) && before(qm, bg)) {
+          def first(a: Int, rest: Int*) = rest.forall(before(a, _))
+          if (first(ct, eq, hs, bg, qm)) {
+            bpvs += kv.substring(0, ct) -> kv.substring(ct + 1).toLong
+          } else if (first(qm, eq, hs, bg)) {
             blooms += kv.substring(0, qm) -> kv.substring(qm + 1)
-          } else if (before(bg, eq) && before(bg, hs)) {
+          } else if (first(bg, eq, hs)) {
             nulls += kv.substring(0, bg) -> kv.substring(bg + 1).toLong
           } else if (before(eq, hs)) {
             val c = kv.substring(0, eq)
@@ -623,9 +868,9 @@ object ShardFormat {
             sMin += c -> mn; sMax += c -> mx
           }
         }
-      ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms)
+      ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms, bpvs)
     }.toSeq
-    Manifest(schema, entries, lastTxn)
+    Manifest(schema, entries, lastTxn, txns)
   }
 
   /** EOF-safe skip: `InputStream.skip` may legally return 0 forever
@@ -707,7 +952,9 @@ object ShardFormat {
   def readShardFile(path: String, schema: StructType,
       required: Seq[String], filters: Seq[Filter] = Nil): Decoded = {
     val want = required.zipWithIndex.toMap
-    val longNames = schema.fields.filter(_.dataType == LongType).map(_.name)
+    val longNames = schema.fields.filter(f => physicallyLong(f.dataType))
+      .map(_.name)
+    val strNames = schema.fields.filter(_.dataType == StringType).map(_.name)
     val chunks = mutable.ArrayBuffer.empty[(Int, Array[Array[Any]])]
     var chunksTotal = 0
     val dis = new DataInputStream(
@@ -718,7 +965,6 @@ object ShardFormat {
       val nCols = dis.readInt()
       require(nCols == schema.length,
         s"file/schema column count mismatch in $path")
-      val zoneLen = 17L * longNames.length
       var done = false
       while (!done) {
         // chunks are self-delimiting: clean EOF on the first header
@@ -730,14 +976,29 @@ object ShardFormat {
             (dis.readUnsignedByte() << 8) | dis.readUnsignedByte()
           val restLen = dis.readLong()
           chunksTotal += 1
+          var zoneLen = 0L
           val zHas = mutable.Map.empty[String, (Long, Long)]
           longNames.foreach { n =>
             val has = dis.readByte() != 0
             val mn = dis.readLong(); val mx = dis.readLong()
+            zoneLen += 17L
             if (has) zHas(n) = (mn, mx)
           }
+          val sHas = mutable.Map.empty[String, (Array[Byte], Array[Byte])]
+          strNames.foreach { n =>
+            val has = dis.readByte() != 0
+            zoneLen += 1L
+            if (has) {
+              val mn = new Array[Byte](dis.readInt()); dis.readFully(mn)
+              val mx = new Array[Byte](dis.readInt()); dis.readFully(mx)
+              zoneLen += 8L + mn.length + mx.length
+              sHas(n) = (mn, mx)
+            }
+          }
           val admit = longZoneAdmits(filters.toSeq,
-            zHas.contains, zHas(_)._1, zHas(_)._2)
+              zHas.contains, zHas(_)._1, zHas(_)._2) &&
+            stringZoneAdmits(filters.toSeq,
+              sHas.contains, sHas(_)._1, sHas(_)._2)
           if (!admit) skipFully(dis, restLen - zoneLen)
           else {
             val cols = new Array[Array[Any]](required.length)
@@ -753,13 +1014,25 @@ object ShardFormat {
                     (bitmap(r >> 3) & (1 << (r & 7))) != 0
                   val arr = new Array[Any](nRows)
                   f.dataType match {
-                    case LongType =>
-                      var i = 0
-                      while (i < nRows) {
-                        val v = dis.readLong()
-                        arr(i) = if (isNull(i)) null else v
-                        i += 1
-                      }
+                    case dt if physicallyLong(dt) => dis.readByte() match {
+                      case 0 => // plain 8-byte values
+                        var i = 0
+                        while (i < nRows) {
+                          val v = dis.readLong()
+                          arr(i) = if (isNull(i)) null else v
+                          i += 1
+                        }
+                      case 1 => // zigzag-delta varints
+                        var prev = 0L
+                        var i = 0
+                        while (i < nRows) {
+                          prev += unzigzag(readVarint(dis))
+                          arr(i) = if (isNull(i)) null else prev
+                          i += 1
+                        }
+                      case other => throw new IllegalStateException(
+                        s"gshard: unknown long encoding tag $other")
+                    }
                     case DoubleType =>
                       var i = 0
                       while (i < nRows) {

@@ -946,6 +946,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("files=0/"), s"a shard file was planned:\n$p")
   }
 
+  test("q_shard_types_roundtrip: the TIMESTAMP predicate pushes down " +
+      "into the scan (typed ReadSchema, normalized filter)") {
+    val p = plan(graft.sources.SourceOps.qShardTypesRoundtrip(tables))
+    assert(p.contains("gshard"), s"not reading through the connector:\n$p")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      s"timestamp filter not pushed:\n$p")
+    assert(p.contains("ts:timestamp_ntz") && p.contains("day:date") &&
+      p.contains("hh:int") && p.contains("is_click:boolean"),
+      s"typed ReadSchema missing:\n$p")
+  }
+
+  test("timestamp zone maps prune shard files at planning time (files=k/n)") {
+    import org.apache.spark.sql.functions.{floor, min, sum}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ts_prune_").toString
+    tables.events.select(col("event_id"), col("ts"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .write.format("gshard").option("rangecol", "event_id")
+      .option("shards", 8).mode("overwrite").save(dir)
+    val cut = tables.events.agg(min(col("ts"))).head
+      .getAs[java.time.LocalDateTime](0).plusDays(20)
+    val p = plan(spark.read.format("gshard").load(dir)
+      .filter(col("ts") >= lit(cut))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents")))
+    val desc = p.linesIterator.find(_.contains("files=")).getOrElse("")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(m.isDefined, s"no pruning readout in scan description:\n$p")
+    assert(m.get.group(2).toInt >= 8, s"degenerate table: $desc")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"timestamp zone maps pruned nothing: $desc")
+  }
+
   test("q_shard_scan_string: STRING zone maps prune files at planning time") {
     val p = plan(graft.sources.SourceOps.qShardScanString(tables))
     assert(p.contains("gshard"), s"not reading through the connector:\n$p")
