@@ -53,19 +53,27 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   * rename — history is one short line per version, metadata-scale):
   * {{{
   *   buckets <n> <bucketCol>
+  *   schema <ddl>                                       (table schema)
   *   <version> <batchId> <bv_0> <bv_1> ... <bv_{n-1}>   (one per commit)
   * }}}
   * The LAST line is the head; line `v` (0-based after the header)
   * pins snapshot `v` for time travel. Layout: one bucket stores at
   * `root/v=N` (the unbucketed shape); `n > 1` at `root/b=<i>/v=<N>`.
+  * The pointer CARRIES THE SCHEMA so every read plans with
+  * `spark.read.schema(...)` — bucket version directories can be
+  * legitimately EMPTY (a bucket the key space never hit, or one a
+  * merge emptied), and schema inference over an all-empty read set
+  * would otherwise throw instead of returning the empty frame.
   *
-  * Single sequential writer by design — exactly the streaming
-  * `foreachBatch` caller's shape; concurrent writers need the
-  * compare-and-swap the real formats provide, which a filesystem
-  * rename cannot express portably.
+  * Single sequential writer by design — a filesystem rename cannot
+  * express compare-and-swap, so concurrency is DETECTED, not
+  * prevented: [[merge]] re-reads the pointer around the flip and a
+  * writer that lost the race fails LOUDLY (the table stays at the
+  * winner's commit) instead of silently clobbering it.
   */
 final class MergeTarget private (val spark: SparkSession, root: Path,
-    val nBuckets: Int, bucketCol: String) {
+    val nBuckets: Int, bucketCol: String,
+    tableSchema: org.apache.spark.sql.types.StructType) {
 
   private def pointer: Path = root.resolve("_latest")
   private def bucketDir(b: Int): Path =
@@ -76,13 +84,19 @@ final class MergeTarget private (val spark: SparkSession, root: Path,
   private def bucketExpr: Column =
     if (nBuckets == 1) lit(0) else pmod(hash(col(bucketCol)), lit(nBuckets))
 
+  private def wipe(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(q => Files.deleteIfExists(q))
+  }
+
   /** All committed history lines: (version, batchId, per-bucket versions). */
   private def history: Seq[(Long, Long, IndexedSeq[Long])] = {
     val lines = new String(Files.readAllBytes(pointer),
       StandardCharsets.UTF_8).trim.split("\n").toIndexedSeq
     require(lines.head.startsWith("buckets "),
       s"bad pointer header: ${lines.head}")
-    lines.drop(1).map { l =>
+    lines.drop(1).filterNot(_.startsWith("schema ")).map { l =>
       val p = l.trim.split(" ")
       (p(0).toLong, p(1).toLong, p.drop(2).map(_.toLong).toIndexedSeq)
     }
@@ -96,9 +110,11 @@ final class MergeTarget private (val spark: SparkSession, root: Path,
   private def dirsOf(bvs: IndexedSeq[Long]): Seq[String] =
     bvs.zipWithIndex.map { case (bv, b) => versionDir(b, bv).toString }
 
-  /** The current snapshot, pinned to its per-bucket version dirs. */
+  /** The current snapshot, pinned to its per-bucket version dirs.
+    * EXPLICIT schema: empty bucket directories read as empty frames,
+    * never as an inference failure. */
   def read(): DataFrame =
-    spark.read.parquet(dirsOf(head._3): _*)
+    spark.read.schema(tableSchema).parquet(dirsOf(head._3): _*)
 
   /** TIME TRAVEL: any committed snapshot by version number — bucket
     * versions are immutable directories, so an old read is just a
@@ -113,7 +129,7 @@ final class MergeTarget private (val spark: SparkSession, root: Path,
     val dirs = dirsOf(h(v.toInt)._3)
     require(dirs.forall(d => Files.exists(Paths.get(d))),
       s"version $v was vacuumed (retained: newest snapshots only)")
-    spark.read.parquet(dirs: _*)
+    spark.read.schema(tableSchema).parquet(dirs: _*)
   }
 
   /** RETENTION: drop bucket-version directories referenced ONLY by
@@ -125,106 +141,173 @@ final class MergeTarget private (val spark: SparkSession, root: Path,
     * unaffected. Returns the dropped versions. */
   def vacuum(keep: Int): Seq[Long] = {
     require(keep >= 1, s"must keep at least the head (keep=$keep)")
-    import scala.jdk.CollectionConverters._
     val h = history
     val cutoff = h.length - keep
     val retained = h.drop(cutoff).flatMap(e => e._3.zipWithIndex.map {
       case (bv, b) => (b, bv) }).toSet
+    // dirs this vacuum will ACTUALLY delete: pre-cutoff references
+    // minus anything a retained snapshot still shares, minus anything
+    // a previous vacuum already removed
+    val deletable = (0 until cutoff)
+      .flatMap(v => h(v)._3.zipWithIndex.map { case (bv, b) => (b, bv) })
+      .toSet.diff(retained)
+      .filter { case (b, bv) => Files.exists(versionDir(b, bv)) }
+    // a version is REPORTED dropped only if this pass deletes at least
+    // one of its directories (readVersion on it newly fails) — never
+    // for versions whose dirs all survive via sharing, and never
+    // re-reported for versions an earlier vacuum already dropped
     val dropped = (0 until cutoff).filter { v =>
-      val dirs = dirsOf(h(v)._3)
-      dirs.forall(d => Files.exists(Paths.get(d)))
+      h(v)._3.zipWithIndex.exists { case (bv, b) => deletable((b, bv)) }
     }.map(_.toLong)
-    (0 until cutoff).foreach { v =>
-      h(v)._3.zipWithIndex.foreach { case (bv, b) =>
-        if (!retained((b, bv)) && Files.exists(versionDir(b, bv)))
-          Files.walk(versionDir(b, bv)).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-      }
-    }
+    deletable.foreach { case (b, bv) => wipe(versionDir(b, bv)) }
     dropped
   }
 
-  /** Commit by atomic pointer rename: rewrite the (metadata-scale)
-    * history with the new head line appended. */
-  private def flip(v: Long, batchId: Long, bvs: IndexedSeq[Long],
+  /** The pointer must still read exactly as the history this merge
+    * was based on — otherwise a concurrent writer committed in
+    * between and THIS writer must abort before touching any slot the
+    * winner's pointer names. */
+  private def assertUnchanged(
       prior: Seq[(Long, Long, IndexedSeq[Long])]): Unit = {
+    val now = new String(Files.readAllBytes(pointer),
+      StandardCharsets.UTF_8)
+    if (now != render(prior))
+      throw new IllegalStateException(
+        s"concurrent writer detected at $root: the pointer advanced " +
+          s"past the snapshot this merge was based on (expected head " +
+          s"${prior.last._1}); this commit is ABANDONED — the other " +
+          "writer's commit stands")
+  }
+
+  private def render(lines: Seq[(Long, Long, IndexedSeq[Long])]): String = {
     val sb = new StringBuilder
     sb.append(s"buckets $nBuckets ${if (nBuckets == 1) "-" else bucketCol}\n")
-    prior.foreach { case (pv, pb, pbvs) =>
+    sb.append(s"schema ${tableSchema.toDDL}\n")
+    lines.foreach { case (pv, pb, pbvs) =>
       sb.append(s"$pv $pb ${pbvs.mkString(" ")}\n") }
-    sb.append(s"$v $batchId ${bvs.mkString(" ")}\n")
+    sb.toString
+  }
+
+  /** Commit by atomic pointer rename: rewrite the (metadata-scale)
+    * history with the new head line appended.
+    *
+    * LOST-RACE DETECTION (not prevention — the honest contract a
+    * filesystem rename can give): the pointer is re-read immediately
+    * before AND after the rename, and a mismatch raises a
+    * concurrent-writer error. The loser of an interleaving fails
+    * loudly with the winner's commit intact, instead of silently
+    * clobbering it; true prevention needs the compare-and-swap the
+    * production formats get from their log stores. */
+  private def flip(v: Long, batchId: Long, bvs: IndexedSeq[Long],
+      prior: Seq[(Long, Long, IndexedSeq[Long])]): Unit = {
+    if (prior.nonEmpty) assertUnchanged(prior)
+    val content = render(prior) + s"$v $batchId ${bvs.mkString(" ")}\n"
     val tmp = root.resolve(s"_latest.tmp.${SourceOps.runId}")
-    Files.write(tmp, sb.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    val after = new String(Files.readAllBytes(pointer),
+      StandardCharsets.UTF_8)
+    if (after != content)
+      throw new IllegalStateException(
+        s"concurrent writer detected at $root: another pointer landed " +
+          s"over this commit (version $v, batch $batchId) — the table " +
+          "reflects the LAST rename; treat this batch as not applied")
   }
 
   /** MERGE `source` into the table through `mergeFn(target, source)`,
     * rewriting only the buckets `source` touches. Returns true if the
     * batch was applied, false if `batchId` was already committed (the
-    * replayed-micro-batch no-op). */
+    * replayed-micro-batch no-op).
+    *
+    * Bucketed cost shape, PER COMMIT: (1) ONE job stages the source
+    * partitioned by bucket — the source lineage runs exactly once;
+    * (2) the touched-bucket set falls out of the staged `__b=*`
+    * directory listing for FREE (no separate distinct-collect probe
+    * job, no persist); (3) ONE job merges the touched buckets'
+    * snapshots with the staged source and writes the output
+    * partitioned by bucket; (4) directory moves + the pointer flip.
+    * Two jobs total, both proportional to the CHANGE. */
   def merge(batchId: Long)(
       mergeFn: (DataFrame, DataFrame) => DataFrame)(
       source: DataFrame): Boolean = {
     val h = history
     val (v, applied, bvs) = h.last
     if (batchId <= applied) return false
-    // the batch is consumed twice (bucket probe + the merge itself):
-    // stage it once rather than re-running its lineage per pass
-    val src = if (nBuckets == 1) source else source.persist()
-    try mergeStaged(batchId, mergeFn, src, h, v, bvs)
-    finally if (nBuckets > 1) src.unpersist()
-  }
-
-  private def mergeStaged(batchId: Long,
-      mergeFn: (DataFrame, DataFrame) => DataFrame, source: DataFrame,
-      h: Seq[(Long, Long, IndexedSeq[Long])], v: Long,
-      bvs: IndexedSeq[Long]): Boolean = {
-    val touched: Seq[Int] =
-      if (nBuckets == 1) Seq(0)
-      else source.select(bucketExpr.as("__b")).distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq
     val newBvs =
-      if (touched.isEmpty) bvs // empty batch: commit, rewrite nothing
-      else {
-        // the touched buckets' CURRENT snapshots are the merge target;
-        // untouched buckets are never read (mergeFn is key-local and
-        // pass-through on keys absent from the source)
-        val target = spark.read.parquet(
-          touched.map(b => versionDir(b, bvs(b)).toString): _*)
-        val merged = mergeFn(target, source)
-        if (nBuckets == 1) {
-          // single bucket: the unbucketed fast path (one write, no move)
-          val dst = versionDir(0, bvs(0) + 1)
-          merged.write.mode("overwrite").parquet(dst.toString)
-          bvs.updated(0, bvs(0) + 1)
-        } else {
-          // ONE Spark job for all touched buckets: partition the merge
-          // output by bucket into a staging dir, then move each bucket
-          // subdir into its next version slot (a crash mid-move leaves
-          // only orphans — the pointer still names the old dirs)
+      if (nBuckets == 1) {
+        // single bucket: stage the merge output, VERIFY the pointer
+        // hasn't moved (a concurrent winner's committed version dir
+        // must never be clobbered by the loser's data write), then
+        // move into the next version slot; explicit schema — the
+        // current version dir may be empty
+        val target = spark.read.schema(tableSchema)
+          .parquet(versionDir(0, bvs(0)).toString)
+        val tmp = root.resolve(s"_stage.${SourceOps.runId}.$batchId")
+        wipe(tmp)
+        mergeFn(target, source).write.mode("overwrite").parquet(tmp.toString)
+        assertUnchanged(h)
+        val dst = versionDir(0, bvs(0) + 1)
+        wipe(dst) // orphan from a pre-flip crash
+        Files.move(tmp, dst)
+        bvs.updated(0, bvs(0) + 1)
+      } else {
+        // STAGE FIRST: one job writes the source partitioned by bucket
+        val srcTmp = root.resolve(s"_src.${SourceOps.runId}.$batchId")
+        wipe(srcTmp)
+        source.withColumn("__b", bucketExpr)
+          .write.partitionBy("__b").mode("overwrite").parquet(srcTmp.toString)
+        // touched buckets = the staged partition directories (free)
+        val touched: Seq[Int] = {
           import scala.jdk.CollectionConverters._
-          val tmp = root.resolve(s"_stage.${SourceOps.runId}.$batchId")
-          if (Files.exists(tmp))
-            Files.walk(tmp).iterator().asScala.toSeq.reverse
-              .foreach(p => Files.deleteIfExists(p))
-          merged.withColumn("__b", bucketExpr)
-            .write.partitionBy("__b").mode("overwrite").parquet(tmp.toString)
-          val next = touched.foldLeft(bvs) { (acc, b) =>
-            acc.updated(b, acc(b) + 1) }
-          touched.foreach { b =>
-            val dst = versionDir(b, next(b))
-            if (Files.exists(dst)) // orphan from a pre-flip crash
-              Files.walk(dst).iterator().asScala.toSeq.reverse
-                .foreach(p => Files.deleteIfExists(p))
-            val src = tmp.resolve(s"__b=$b")
-            if (Files.exists(src)) Files.move(src, dst)
-            else Files.createDirectories(dst) // bucket merged to empty
-          }
-          Files.walk(tmp).iterator().asScala.toSeq.reverse
-            .foreach(p => Files.deleteIfExists(p))
-          next
+          Files.list(srcTmp).iterator().asScala
+            .map(_.getFileName.toString)
+            .filter(_.startsWith("__b="))
+            .map(_.stripPrefix("__b=").toInt).toSeq.sorted
         }
+        val next =
+          if (touched.isEmpty) { // empty batch: commit, rewrite nothing
+            wipe(srcTmp)
+            bvs
+          } else {
+            // the touched buckets' CURRENT snapshots are the merge
+            // target; untouched buckets are never read (mergeFn is
+            // key-local and pass-through on keys absent from the
+            // source). Both reads carry explicit schemas: target
+            // version dirs can be legitimately empty, and the staged
+            // leaf dirs are read without partition discovery.
+            val target = spark.read.schema(tableSchema).parquet(
+              touched.map(b => versionDir(b, bvs(b)).toString): _*)
+            val stagedSrc = spark.read.schema(source.schema).parquet(
+              touched.map(b => srcTmp.resolve(s"__b=$b").toString): _*)
+            val merged = mergeFn(target, stagedSrc)
+            // ONE job for all touched buckets: partition the merge
+            // output by bucket, then move each bucket subdir into its
+            // next version slot (a crash mid-move leaves only orphans
+            // — the pointer still names the old dirs)
+            val tmp = root.resolve(s"_stage.${SourceOps.runId}.$batchId")
+            wipe(tmp)
+            merged.withColumn("__b", bucketExpr)
+              .write.partitionBy("__b").mode("overwrite")
+              .parquet(tmp.toString)
+            // VERIFY before touching any committed slot: a concurrent
+            // winner's version dirs must never be clobbered by the
+            // loser's moves (everything above only wrote staging)
+            assertUnchanged(h)
+            val nx = touched.foldLeft(bvs) { (acc, b) =>
+              acc.updated(b, acc(b) + 1) }
+            touched.foreach { b =>
+              val dst = versionDir(b, nx(b))
+              wipe(dst) // orphan from a pre-flip crash
+              val src = tmp.resolve(s"__b=$b")
+              if (Files.exists(src)) Files.move(src, dst)
+              else Files.createDirectories(dst) // bucket merged to empty
+            }
+            wipe(tmp)
+            wipe(srcTmp)
+            nx
+          }
+        next
       }
     flip(v + 1, batchId, newBvs, h)
     true
@@ -232,6 +315,28 @@ final class MergeTarget private (val spark: SparkSession, root: Path,
 }
 
 object MergeTarget {
+
+  /** Attach a writer/reader to an EXISTING table from its pointer
+    * alone — bucketing and the table schema both ride in the header,
+    * so a second process (or the two-writer race spec) needs no
+    * side-channel metadata. Does NOT wipe anything. */
+  def attach(spark: SparkSession, root: String): MergeTarget = {
+    val rootPath = Paths.get(root)
+    val lines = new String(
+      Files.readAllBytes(rootPath.resolve("_latest")),
+      StandardCharsets.UTF_8).trim.split("\n").toIndexedSeq
+    require(lines.head.startsWith("buckets "),
+      s"bad pointer header: ${lines.head}")
+    val hp = lines.head.split(" ")
+    val n = hp(1).toInt
+    val bcol = if (hp(2) == "-") null else hp(2)
+    val ddl = lines.find(_.startsWith("schema "))
+      .map(_.stripPrefix("schema "))
+      .getOrElse(throw new IllegalStateException(
+        s"$root: pointer predates the schema header — rewrite the table"))
+    new MergeTarget(spark, rootPath, n, bcol,
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+  }
 
   /** Initialize an UNBUCKETED target at `root` with `initial` as
     * version 0 — the shape for metadata-scale dimensions where every
@@ -257,7 +362,8 @@ object MergeTarget {
         .foreach(p => Files.deleteIfExists(p))
     }
     Files.createDirectories(rootPath)
-    val t = new MergeTarget(spark, rootPath, nBuckets, bucketCol)
+    val t = new MergeTarget(spark, rootPath, nBuckets, bucketCol,
+      initial.schema)
     if (nBuckets == 1) {
       initial.write.mode("overwrite").parquet(t.versionDir(0, 0L).toString)
     } else {

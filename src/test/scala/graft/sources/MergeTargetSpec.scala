@@ -192,6 +192,88 @@ class MergeTargetSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet == v1)
   }
 
+  test("TWO WRITERS interleaved: the loser fails LOUDLY at its flip, " +
+      "the winner's commit stands, and a retry applies cleanly") {
+    val sess = spark
+    import sess.implicits._
+    val init = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val root = SourceOps.staging("mt_race")
+    val a = MergeTarget.create(spark, root, init)
+    val b = MergeTarget.attach(spark, root) // second, independent writer
+    // the exact lost-update interleaving: A reads the head, then —
+    // inside A's merge, between its history read and its flip — B
+    // commits. A filesystem rename can't PREVENT this; the contract
+    // is that A detects it and aborts instead of clobbering B.
+    val e = intercept[IllegalStateException] {
+      a.merge(0L) { (target, source) =>
+        assert(b.merge(0L)(upsert)(Seq((9L, 90L)).toDF("k", "v")),
+          "the interleaved winner failed to commit")
+        upsert(target, source)
+      }(Seq((3L, 30L)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("concurrent writer"),
+      s"wrong error: ${e.getMessage}")
+    // the table is CONSISTENT at the winner's commit — A's data never
+    // reached the pointer
+    val got = a.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 20L), (9L, 90L)),
+      s"loser corrupted the table: $got")
+    assert(a.version == 1L && a.lastBatchId == 0L)
+    // the loser retries against the NEW head and lands
+    assert(a.merge(1L)(upsert)(Seq((3L, 30L)).toDF("k", "v")))
+    assert(a.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L), (9L, 90L), (3L, 30L)))
+  }
+
+  test("attach() rebuilds a writer from the pointer alone (schema, " +
+      "buckets); reads over EMPTY bucket dirs return empty, not an " +
+      "inference failure") {
+    val sess = spark
+    import sess.implicits._
+    // 16 buckets over 2 keys: most bucket dirs are EMPTY from birth
+    val init = Seq((1L, 10L), (2L, 20L)).toDF("k", "v")
+    val t = MergeTarget.create(spark, SourceOps.staging("mt_empty"),
+      init, "k", 16)
+    val t2 = MergeTarget.attach(spark, SourceOps.staging("mt_empty"))
+    assert(t2.nBuckets == 16)
+    // the read plans with the pointer's schema: empty dirs contribute
+    // empty frames instead of throwing 'Unable to infer schema'
+    assert(t2.read().collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // a merge whose key hashes to a PREVIOUSLY-EMPTY bucket works too
+    assert(t2.merge(0L)(upsert)(Seq((7L, 70L)).toDF("k", "v")))
+    assert(t2.read().count() == 3L)
+    // and a table created EMPTY reads back empty through the schema
+    val e = MergeTarget.create(spark, SourceOps.staging("mt_empty0"),
+      init.limit(0), "k", 4)
+    assert(e.read().collect().isEmpty)
+    assert(e.read().schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
+  test("vacuum reports ONLY versions whose directories it actually " +
+      "deleted — shared-dir survivors are not overstated") {
+    val sess = spark
+    import sess.implicits._
+    val t = mkBucketed("mt_vac_share", 4)
+    // v1 touches one bucket; v2 and v3 are EMPTY commits (no rewrite:
+    // every v1 dir is still shared by the retained head)
+    assert(t.merge(0L)(upsert)(Seq((7L, 777L)).toDF("k", "v")))
+    assert(t.merge(1L)(upsert)(spark.emptyDataset[(Long, Long)]
+      .toDF("k", "v")))
+    assert(t.merge(2L)(upsert)(spark.emptyDataset[(Long, Long)]
+      .toDF("k", "v")))
+    assert(t.version == 3L)
+    // keep=2 retains v2,v3 whose dirs == v1's dirs == all shared;
+    // only v0's replaced bucket dir is deletable -> dropped = [0]
+    val dropped = t.vacuum(keep = 2)
+    assert(dropped == Seq(0L),
+      s"overstated vacuum: $dropped (v1 shares every dir with the head)")
+    // v1 must still read exactly (nothing of it was deleted)
+    assert(t.readVersion(1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap.apply(7L) == 777L)
+    intercept[IllegalArgumentException](t.readVersion(0L))
+  }
+
   test("pointer flip is a same-directory atomic rename, not a rewrite") {
     val (t, _) = mkTarget("mt_pointer")
     t.merge(0L)(upsert)(t.read())

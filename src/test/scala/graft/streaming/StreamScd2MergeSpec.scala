@@ -40,9 +40,14 @@ class StreamScd2MergeSpec extends SparkSpec {
       .filter(_.startsWith("b=")).sorted
     assert(buckets.toSeq == (0 until 8).map(b => s"b=$b"),
       s"expected 8 bucket dirs, got ${buckets.toSeq}")
-    val lines = new String(java.nio.file.Files.readAllBytes(
+    val allLines = new String(java.nio.file.Files.readAllBytes(
       root.toPath.resolve("_latest"))).trim.split("\n").toSeq
-    assert(lines.head == "buckets 8 user_id", lines.head)
+    assert(allLines.head == "buckets 8 user_id", allLines.head)
+    // the pointer carries the table schema (empty-bucket reads plan
+    // with it instead of failing inference)
+    assert(allLines.exists(_.startsWith("schema ")),
+      s"pointer lacks the schema header:\n${allLines.mkString("\n")}")
+    val lines = allLines.filterNot(_.startsWith("schema "))
     assert(lines.size == 7, // header + seed + 5 daily commits
       s"expected 6 committed versions, got:\n${lines.mkString("\n")}")
     val head = lines.last.split(" ")
