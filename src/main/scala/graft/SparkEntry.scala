@@ -98,6 +98,20 @@ object SparkEntry {
     "q_cumulative_distinct" -> q(Relational.qCumulativeDistinct),
     // first-digit distribution vs the fixed Benford ppm table
     "q_benford_audit"     -> q(Relational.qBenfordAudit),
+    // deterministic MODE per group (max count, min value tiebreak)
+    "q_mode_per_group"    -> q(Relational.qModePerGroup),
+    // deterministic LISTAGG: sorted '|'-joined group lists
+    "q_string_agg"        -> q(Relational.qStringAgg),
+    // two-sample Kolmogorov–Smirnov over the value grid, integer ppm
+    "events_ks_test"      -> q(EventAnalytics.eventsKsTest),
+    // the KS drift test maintained continuously — pair #35
+    "stream_ks_test"      -> q(t => graft.streaming.Streaming.streamKsTest(t)),
+    // Mann–Whitney rank-sum U via the tie-exact 2U grid identity
+    "events_mann_whitney" -> q(EventAnalytics.eventsMannWhitney),
+    // per-user behavioral entropy of the event-type distribution
+    "events_type_entropy" -> q(EventAnalytics.eventsTypeEntropy),
+    // Hill MLE tail exponent of per-user activity (skew sizing)
+    "events_powerlaw_alpha" -> q(t => EventAnalytics.eventsPowerlawAlpha(t)),
     // weekly new/retained/resurrected/churned decomposition
     "events_growth_accounting" -> q(EventAnalytics.eventsGrowthAccounting),
     // per-type daily-volume trend via native regr_* aggregates
@@ -141,6 +155,11 @@ object SparkEntry {
     // §2.5 text analysis
     "text_lang_id"        -> q(TextAnalysis.textLangId),
     "text_quality"        -> q(TextAnalysis.textQuality),
+    // the Gopher heuristic filter rules, integer-exact, with an
+    // auditable first-failed-rule reject reason
+    "text_gopher_rules"   -> q(TextAnalysis.textGopherRules),
+    // the same rules as a stateless ingest-time screen — pair #36
+    "stream_gopher_rules" -> q(t => graft.streaming.Streaming.streamGopherRules(t)),
     "text_tokens"         -> q(TextAnalysis.textTokens),
     "text_readability"    -> q(TextAnalysis.textReadability),
     "text_boilerplate"    -> q(TextAnalysis.textBoilerplate),
@@ -410,6 +429,9 @@ object SparkEntry {
     "stream_stream_join"  -> q(graft.streaming.Streaming.streamStreamJoin),
     // OUTER stream-stream join: null rows emitted by watermark proof
     "stream_stream_left_join" -> q(t => graft.streaming.Streaming.streamStreamLeftJoin(t)),
+    // FULL-outer stream-stream join: BOTH sides' null rows, the
+    // mirrored watermark proof (completes the join surface)
+    "stream_stream_full_join" -> q(t => graft.streaming.Streaming.streamStreamFullJoin(t)),
     // bounded-state exactly-once dedup over an at-least-once replay
     "stream_dedup_watermarked" -> q(t => graft.streaming.Streaming.streamDedupWatermarked(t)),
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
@@ -430,6 +452,12 @@ object SparkEntry {
     "mm_caption_pairs"    -> q(t => Multimodal.mmCaptionPairs(t)),
     "mm_audio_meta"       -> q(Multimodal.mmAudioMeta),
     "mm_audio_vad"        -> q(t => Multimodal.mmAudioVad(t)),
+    // SDXL-style aspect-ratio bucket assignment, integer cross-mult
+    "mm_aspect_buckets"   -> q(Multimodal.mmAspectBuckets),
+    // Whisper-style overlapped chunk plan from header durations
+    // (ms-scale windows: the synthetic payloads are sub-second)
+    "mm_audio_chunk_plan" -> q(t =>
+      Multimodal.mmAudioChunkPlan(t, winUs = 20000L, overlapUs = 5000L)),
     "mm_phash_pairs"      -> q(t => Multimodal.mmPhashPairs(t)),
     "mm_integrity_audit"  -> q(Multimodal.mmIntegrityAudit),
     // stateless map-only screen per arriving payload; shares the
@@ -512,6 +540,9 @@ object SparkEntry {
     // the TableCatalog path from pure SQL: CTAS into the catalog,
     // catalog-qualified SELECT back out (B23), oracle = raw events
     "q_catalog_sql_roundtrip" -> q(t => graft.sources.SourceOps.qCatalogSqlRoundtrip(t)),
+    // the WIDENED type surface (v3): timestamp/date/int/boolean CTAS
+    // through the catalog, both reader paths, micros zone pruning
+    "q_shard_types_roundtrip" -> q(t => graft.sources.SourceOps.qShardTypesRoundtrip(t)),
     // the connector as a streaming sink (foreachBatch append per
     // micro-batch) — stream/batch equivalence pair #24
     "stream_shard_sink"   -> q(t => graft.streaming.Streaming.streamShardSink(t)),
@@ -846,6 +877,56 @@ object SparkEntry {
 
   /** DuckDB oracle shared by the batch and streaming Benford audits
     * (equivalence pair #31). */
+  /** Shared by `text_gopher_rules` and its stateless streaming twin:
+    * the integer-exact Gopher rule ladder with the first-failed-rule
+    * reject reason. */
+  private lazy val gopherSql: String =
+    s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
+      |m AS (SELECT doc_id,
+      |  len(toks)::BIGINT AS n_words,
+      |  coalesce(list_sum(list_transform(toks, x -> len(x))), 0)::BIGINT AS tok_chars,
+      |  (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+      |  ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+      |  len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS alpha_words,
+      |  len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))::BIGINT AS n_stop
+      | FROM t),
+      |r AS (SELECT *,
+      |  (CASE WHEN n_words > 0 THEN (tok_chars * 100) // n_words ELSE 0 END)::BIGINT AS mean_len_x100,
+      |  n_hash + n_ellipsis AS n_sym FROM m),
+      |f AS (SELECT *,
+      |  CASE WHEN n_words < 50 OR n_words > 100000 THEN 'word_count'
+      |    WHEN mean_len_x100 < 300 OR mean_len_x100 > 1000 THEN 'mean_word_len'
+      |    WHEN n_sym * 10 > n_words THEN 'symbol_ratio'
+      |    WHEN alpha_words * 5 < n_words * 4 THEN 'alpha_ratio'
+      |    WHEN n_stop < 2 THEN 'stopwords'
+      |    ELSE 'pass' END AS fail_reason FROM r)
+      |SELECT doc_id, n_words, mean_len_x100, n_sym, alpha_words, n_stop,
+      | fail_reason = 'pass' AS passes, fail_reason
+      |FROM f""".stripMargin
+
+  /** Shared by `events_ks_test` and its streaming twin: the
+    * two-sample KS distance over the exact cents grid, CDFs as prefix
+    * sums, D in truncating integer ppm, argmax tie to smallest
+    * value. */
+  private val ksSql: String =
+    """WITH e AS (SELECT event_type,
+      |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+      | WHERE event_type IN ('purchase', 'view')),
+      |g AS (SELECT cents,
+      |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS na,
+      |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS nb
+      | FROM e GROUP BY 1),
+      |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+      |  CAST(sum(nb) AS BIGINT) AS n_b FROM g),
+      |c AS (SELECT cents,
+      |  CAST(sum(na) OVER (ORDER BY cents) AS BIGINT) AS ca,
+      |  CAST(sum(nb) OVER (ORDER BY cents) AS BIGINT) AS cb
+      | FROM g),
+      |d AS (SELECT cents, abs((ca * 1000000) // n_a - (cb * 1000000) // n_b)
+      |   AS d_ppm FROM c, t)
+      |SELECT t.n_a, t.n_b, d.d_ppm, d.cents AS at_cents
+      |FROM d, t ORDER BY d.d_ppm DESC, d.cents LIMIT 1""".stripMargin
+
   private val benfordSql: String =
     """WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
       |   FROM lineitem),
@@ -1956,6 +2037,44 @@ object SparkEntry {
         |FROM a LEFT JOIN n USING (day)""".stripMargin,
     "q_benford_audit" -> benfordSql,
     "stream_benford" -> benfordSql,
+    // deterministic mode: max count, then smallest priority
+    "q_mode_per_group" ->
+      """WITH c AS (SELECT c_mktsegment, o_orderpriority, count(*) AS n
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY 1, 2)
+        |SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+        |  ORDER BY n DESC, o_orderpriority) = 1""".stripMargin,
+    // deterministic listagg: sorted before joining on both engines
+    "q_string_agg" ->
+      """SELECT r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        | string_agg(n_name, '|' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+    "events_ks_test" -> ksSql,
+    "stream_ks_test" -> ksSql,
+    // tie-exact 2U over the same grid: 2R_a = Σ a_v(2C_<v + t_v + 1)
+    "events_mann_whitney" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+        | WHERE event_type IN ('purchase', 'view')),
+        |g AS (SELECT cents,
+        |  CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS na,
+        |  CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS nb
+        | FROM e GROUP BY 1),
+        |w AS (SELECT *, na + nb AS tv,
+        |  CAST(coalesce(sum(na + nb) OVER (ORDER BY cents
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS cbelow
+        | FROM g),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |  CAST(sum(nb) AS BIGINT) AS n_b,
+        |  CAST(sum(na * (2 * cbelow + tv + 1)) AS BIGINT) AS r2a FROM w)
+        |SELECT n_a, n_b, (r2a - n_a * (n_a + 1)) AS u2,
+        | ((r2a - n_a * (n_a + 1)) * 1000000) // (n_a * n_b) - 1000000
+        |   AS rb_ppm
+        |FROM t""".stripMargin,
     "events_growth_accounting" -> growthSql,
     "stream_growth_accounting" -> growthSql,
     "events_ols_trend" -> olsTrendSql,
@@ -2655,6 +2774,28 @@ object SparkEntry {
         |  WHERE rn=1)
         |SELECT d.doc_id, coalesce(b.slang,'und') AS lang_pred, coalesce(b.n, 0) AS n_hits
         |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
+    // Gopher rules, integer-exact; first-failed-rule reject reason
+    "text_gopher_rules" -> gopherSql,
+    // the stateless ingest-time twin lands the identical screen
+    "stream_gopher_rules" -> gopherSql,
+    // per-user Shannon entropy: H = ln N − (Σ c ln c)/N, 4 dp
+    "events_type_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS c
+        | FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        | CAST(count(*) AS BIGINT) AS n_types,
+        | round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)
+        |   AS entropy_nats
+        |FROM c GROUP BY 1""".stripMargin,
+    // Hill tail exponent: α = 1 + n / Σ ln(x/xmin), x ≥ xmin = 5
+    "events_powerlaw_alpha" ->
+      """WITH u AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tail,
+        |  sum(ln(x / 5.0)) AS s FROM u WHERE x >= 5)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_users,
+        | n_tail, CAST(5 AS BIGINT) AS xmin,
+        | round(1.0 + n_tail / s + 1e-9, 4) AS alpha
+        |FROM t""".stripMargin,
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $sqlToks AS toks FROM documents),
         |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
@@ -3651,6 +3792,21 @@ object SparkEntry {
         |FROM c LEFT JOIN v ON v.user_id = c.user_id
         | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
         | AND v.view_ts <= c.click_ts""".stripMargin,
+    // full outer: both sides pre-restricted to the provable region
+    // (≤ max-2h) in BOTH engines, then the identical full join
+    "stream_stream_full_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_type FROM events),
+        |cut AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM e),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM e, cut WHERE event_type = 'click' AND ts <= cutoff),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM e, cut WHERE event_type = 'view' AND ts <= cutoff)
+        |SELECT COALESCE(c.user_id, v.user_id) AS user_id,
+        | c.click_id, v.view_id, c.click_ts, v.view_ts
+        |FROM c FULL JOIN v ON v.user_id = c.user_id
+        | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+        | AND v.view_ts <= c.click_ts""".stripMargin,
     "stream_dedup_watermarked" ->
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
@@ -3968,6 +4124,57 @@ object SparkEntry {
         |FROM b""".stripMargin,
     // the audio oracle recomputes the generator's md5-derived WAV
     // parameters; the Spark side parses them back from the RIFF bytes
+    // aspect bucketing: argmin over the fixed ladder by exact
+    // cross-multiplied distortion, ties to the first (squarest) bucket
+    "mm_aspect_buckets" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id,
+        |  16 + 16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS width,
+        |  16 + 16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS height
+        | FROM m),
+        |k AS (SELECT * FROM (VALUES (0,1024,1024),(1,1152,896),(2,896,1152),
+        |  (3,1216,832),(4,832,1216),(5,1344,768),(6,768,1344),
+        |  (7,1536,640),(8,640,1536)) AS t(i, bw, bh)),
+        |sc AS (SELECT doc_id, width, height, i, bw, bh,
+        |  (abs(CAST(width AS BIGINT) * bh - CAST(height AS BIGINT) * bw)
+        |    * 1000000) // (CAST(bw AS BIGINT) * bh) AS score
+        | FROM b CROSS JOIN k),
+        |best AS (SELECT doc_id, width, height, bw, bh FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score, i) = 1)
+        |SELECT bw AS bucket_w, bh AS bucket_h,
+        | CAST(count(*) AS BIGINT) AS n_images,
+        | CAST(min((CAST(width AS BIGINT) * 1000000) // height) AS BIGINT)
+        |   AS min_aspect_ppm,
+        | CAST(max((CAST(width AS BIGINT) * 1000000) // height) AS BIGINT)
+        |   AS max_aspect_ppm
+        |FROM best GROUP BY 1, 2""".stripMargin,
+    // chunk plan from the md5-derived WAV duration (ms-scale windows:
+    // win 20ms, overlap 5ms, stride 15ms — the synthetic payloads are
+    // sub-second; the arithmetic is scale-free)
+    "mm_audio_chunk_plan" ->
+      """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
+        |b AS (SELECT doc_id, bl,
+        |  16*(strpos('0123456789abcdef',substr(h,1,1))-1)+(strpos('0123456789abcdef',substr(h,2,1))-1) AS b0,
+        |  16*(strpos('0123456789abcdef',substr(h,3,1))-1)+(strpos('0123456789abcdef',substr(h,4,1))-1) AS b1,
+        |  16*(strpos('0123456789abcdef',substr(h,5,1))-1)+(strpos('0123456789abcdef',substr(h,6,1))-1) AS b2
+        | FROM m),
+        |p AS (SELECT doc_id, bl,
+        |  (1 + b0 % 2)::INTEGER AS channels,
+        |  (CASE b1 % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END)::BIGINT AS sample_rate,
+        |  (8 * (1 + b2 % 2))::INTEGER AS bits_per_sample
+        | FROM b),
+        |d AS (SELECT doc_id,
+        |  floor(floor(bl * 8 / (channels * bits_per_sample)) * 1000000
+        |    / sample_rate)::BIGINT AS duration_us FROM p),
+        |f AS (SELECT doc_id, duration_us,
+        |  (CASE WHEN duration_us <= 20000 THEN 1
+        |    ELSE 1 + (duration_us - 20000 + 15000 - 1) // 15000
+        |   END)::BIGINT AS n_chunks
+        | FROM d WHERE duration_us > 0)
+        |SELECT doc_id, duration_us, n_chunks,
+        | ((n_chunks - 1) * 15000 + 20000 - duration_us)::BIGINT AS padded_us
+        |FROM f""".stripMargin,
     "mm_audio_meta" ->
       """WITH m AS (SELECT doc_id, md5(text) AS h, octet_length(encode(text)) AS bl FROM documents),
         |b AS (SELECT doc_id, bl,
@@ -4914,6 +5121,28 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog CTAS + SELECT lands the same rollup
     "q_catalog_sql_roundtrip" -> shardRollupSql,
+    // the widened type surface: timestamp/date/int/boolean roundtrip
+    // through the v3 long block — both reader paths must land the
+    // identical typed rollup under the timestamp cutoff
+    "q_shard_types_roundtrip" ->
+      """WITH p AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+        |  CAST(ts AS DATE) AS day,
+        |  EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hh,
+        |  event_type = 'click' AS is_click,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        | FROM events),
+        |f AS (SELECT * FROM p WHERE ts >=
+        |  (SELECT MIN(CAST(ts AS TIMESTAMP)) + INTERVAL 7 DAY FROM events)),
+        |r AS (SELECT CAST(day AS TIMESTAMP) AS day, is_click,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS value_cents,
+        |  MIN(ts) AS ts_min, CAST(MAX(hh) AS BIGINT) AS hh_max
+        | FROM f GROUP BY 1, 2)
+        |SELECT day, is_click, n_events, value_cents, ts_min, hh_max,
+        | 'columnar' AS fmt FROM r
+        |UNION ALL
+        |SELECT day, is_click, n_events, value_cents, ts_min, hh_max,
+        | 'row' AS fmt FROM r""".stripMargin,
     // the streaming-sink twin: every micro-batch appended through the
     // connector must land the identical table (pair #24)
     "stream_shard_sink" -> shardRollupSql,

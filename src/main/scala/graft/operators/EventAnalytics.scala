@@ -2560,4 +2560,133 @@ object EventAnalytics {
       round(expr("regr_intercept(y, x)") + lit(1e-9), 4).as("intercept"),
       round(expr("regr_r2(y, x)") + lit(1e-9), 4).as("r2"))
   }
+
+  /** `events_ks_test` — the two-sample Kolmogorov–Smirnov distance
+    * between the purchase and view value distributions: the standard
+    * nonparametric "did the metric distribution shift" test behind
+    * experiment guardrails and drift monitors (mean-based screens
+    * miss shape changes; KS is the max CDF gap).
+    *
+    * Scale decomposition: the naive form sorts BOTH samples globally.
+    * Here values reduce to exact cents, ONE keyed rollup counts each
+    * (cents, group), and the CDFs are prefix sums over the DISTINCT
+    * value grid — a window over metadata-scale rows (the value
+    * domain, not the event count; the T13 two-level split is the
+    * recipe if even the grid outgrew a partition).
+    *
+    * Determinism: D is computed in ppm as
+    * `|cum_a·10⁶ div n_a − cum_b·10⁶ div n_b|` — truncating integer
+    * division on exact integers, identical on both engines (§6); the
+    * argmax location ties break toward the smallest cents value. */
+  def eventsKsTest(t: Tables): DataFrame =
+    ksFromCounts(t.events
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("na"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nb")))
+
+  /** The KS readout over a (cents, na, nb) grid rollup — shared by
+    * the batch operator and its streaming twin (`stream_ks_test`,
+    * which maintains the grid as one keyed streaming aggregation). */
+  def ksFromCounts(grid: DataFrame): DataFrame = {
+    val w = Window.orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    grid
+      .withColumn("ca", sum(col("na")).over(w))
+      .withColumn("cb", sum(col("nb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("d_ppm",
+        abs(expr("(ca * 1000000) div n_a") - expr("(cb * 1000000) div n_b")))
+      .orderBy(desc("d_ppm"), asc("cents"))
+      .limit(1)
+      .select(col("n_a"), col("n_b"), col("d_ppm"),
+        col("cents").as("at_cents"))
+  }
+
+  /** `events_type_entropy` — per-user Shannon entropy of the
+    * event-type distribution: the behavioral-diversity feature
+    * (near-zero entropy = single-action accounts, scripted traffic;
+    * the profile-level complement to the sequence-level
+    * [[eventsMarkovEntropyRate]]). H = ln N − (Σ c·ln c)/N from ONE
+    * (user, type) keyed count + one user-keyed fold — two map-side-
+    * combinable aggregations, no window, no state beyond users×types.
+    * 4-dp rounding with the +1e-9 nudge (§6, the corpus_zipf
+    * discipline) makes the ≤ types-many-term float sum cross-engine
+    * stable. */
+  def eventsTypeEntropy(t: Tables): DataFrame =
+    t.events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(log(col("n_events").cast("double")) -
+          col("s") / col("n_events").cast("double") + lit(1e-9), 4)
+          .as("entropy_nats"))
+
+  /** `events_powerlaw_alpha` — the Hill maximum-likelihood exponent
+    * of the per-user activity distribution's tail:
+    * α = 1 + n / Σ ln(xᵢ/xmin) over users with xᵢ ≥ xmin — the
+    * standard "how heavy is the heavy tail" estimate (Clauset et al.
+    * 2009) that sizes skew mitigation: α near 2 means the top user
+    * dominates any per-user shuffle and salting is mandatory, α > 3
+    * means the tail is benign. One keyed count + one map-side fold;
+    * the output is a single row. 4-dp ln-sum rounding per §6. */
+  def eventsPowerlawAlpha(t: Tables, xmin: Long = 5L): DataFrame = {
+    val perUser = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    val tail = perUser.filter(col("x") >= xmin)
+    perUser.agg(count(lit(1)).as("n_users")).crossJoin(broadcast(
+      tail.agg(count(lit(1)).as("n_tail"),
+        sum(log(col("x").cast("double") / lit(xmin.toDouble)))
+          .as("s"))))
+      .select(col("n_users"), col("n_tail"), lit(xmin).as("xmin"),
+        round(lit(1.0) + col("n_tail").cast("double") / col("s") +
+          lit(1e-9), 4).as("alpha"))
+  }
+
+  /** `events_mann_whitney` — the Mann–Whitney/Wilcoxon rank-sum U
+    * between the purchase and view value distributions: the
+    * location-shift companion to [[eventsKsTest]]'s shape test (the
+    * robust "is one variant's metric stochastically larger" check
+    * that survives the heavy tails that break the t-test).
+    *
+    * Same grid decomposition — no global rank window over fact rows:
+    * from per-value counts (a_v, t_v) and the cumulative total below
+    * v, group A's tie-averaged rank sum DOUBLED is
+    * Σ a_v · (2·C_{<v} + t_v + 1) — exact integers throughout (the
+    * ×2 absorbs the .5 tie-average), so U is carried as 2U and the
+    * rank-biserial effect size as an exact integer cross-multiplied
+    * ppm. One rollup + one metadata-scale window. */
+  def eventsMannWhitney(t: Tables): DataFrame = {
+    val grid = t.events
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("na"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nb"))
+      .withColumn("tv", col("na") + col("nb"))
+    val below = Window.orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = grid.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+    grid
+      .withColumn("cbelow", coalesce(sum(col("tv")).over(below), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum(col("na") * (lit(2) * col("cbelow") + col("tv") + lit(1)))
+          .as("r2a"))
+      // 2U = 2R_a − n_a(n_a+1); rank-biserial r = 2U/(n_a n_b) − 1,
+      // in ppm via exact integer cross-multiplication
+      .withColumn("u2", col("r2a") - col("n_a") * (col("n_a") + lit(1)))
+      .withColumn("rb_ppm",
+        expr("(u2 * 1000000) div (n_a * n_b)") - lit(1000000L))
+      .select(col("n_a"), col("n_b"), col("u2"), col("rb_ppm"))
+  }
 }

@@ -635,6 +635,78 @@ object Multimodal {
         sum((col("target_w") * col("target_h")).cast("long")).as("total_pixels"))
   }
 
+  /** M15 — `mm_aspect_buckets`: ASPECT-RATIO bucketing — the batch
+    * assignment every resolution-bucketed image-training run performs
+    * (images batch with same-shaped peers to avoid destructive
+    * center-crops; the SDXL-style fixed bucket ladder): each image
+    * goes to the bucket minimizing aspect distortion. Selection is
+    * EXACT integer cross-multiplication — bucket (bw, bh) vs image
+    * (w, h) scores `|w·bh − h·bw|` scaled to a common denominator,
+    * so no float aspect ratio ever compares (the cross-engine
+    * half-way hazard); ties break to the squarest (first) bucket.
+    * Header-metadata only, map-side bucket pick (a 9-entry CASE
+    * ladder, no join), ONE metadata-scale rollup keyed by bucket. */
+  val aspectBuckets: Seq[(Int, Int)] = Seq(
+    (1024, 1024), (1152, 896), (896, 1152), (1216, 832), (832, 1216),
+    (1344, 768), (768, 1344), (1536, 640), (640, 1536))
+
+  def mmAspectBuckets(t: Tables): DataFrame = {
+    // score_i = |w·bh_i − h·bw_i| · Π_{j≠i} … — avoided: compare
+    // pairwise with cross-multiplied fractions brought to the SAME
+    // denominator per comparison: |w·bh_a − h·bw_a| · (bw_b·bh_b)
+    // vs … is overkill for a FIXED ladder; simpler and still exact:
+    // minimize |w·bh − h·bw| · 10⁶ div (bw·bh) — all integers, the
+    // per-bucket normalizer constant-folds
+    val best = aspectBuckets.zipWithIndex.foldLeft(
+      (lit(Long.MaxValue), lit(-1))) { case ((bestScore, bestIdx), ((bw, bh), i)) =>
+      val score = expr(
+        s"(abs(CAST(width AS BIGINT) * $bh - CAST(height AS BIGINT) * $bw)" +
+          s" * 1000000) div ${bw.toLong * bh}")
+      val better = score < bestScore
+      (when(better, score).otherwise(bestScore),
+        when(better, lit(i)).otherwise(bestIdx))
+    }
+    val bwOf = aspectBuckets.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, ((bw, _), i)) => when(col("bkt") === i, lit(bw)).otherwise(acc) }
+    val bhOf = aspectBuckets.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, ((_, bh), i)) => when(col("bkt") === i, lit(bh)).otherwise(acc) }
+    mmDecodeMeta(t)
+      .withColumn("bkt", best._2)
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n_images"),
+        min(expr("(CAST(width AS BIGINT) * 1000000) div height"))
+          .as("min_aspect_ppm"),
+        max(expr("(CAST(width AS BIGINT) * 1000000) div height"))
+          .as("max_aspect_ppm"))
+      .select(bwOf.as("bucket_w"), bhOf.as("bucket_h"),
+        col("n_images"), col("min_aspect_ppm"), col("max_aspect_ppm"))
+  }
+
+  /** M16 — `mm_audio_chunk_plan`: the fixed-window CHUNKING plan for
+    * long audio (the Whisper-style ≤30 s windows with 1 s overlap
+    * every ASR/captioning ingest batches by): per payload, how many
+    * chunks, the stride arithmetic in EXACT integer microseconds —
+    * n_chunks = 1 + ceil((dur − win) / stride) for dur > win via
+    * `(x + s − 1) div s`, last-chunk padding = n·stride + win − dur.
+    * Planned entirely from the RIFF header duration ([[mmAudioMeta]])
+    * — no sample ever decoded; map-only, ZERO exchanges at any
+    * corpus size; the per-file plan is what a scheduler packs into
+    * same-cost decode batches. */
+  def mmAudioChunkPlan(t: Tables, winUs: Long = 30000000L,
+      overlapUs: Long = 1000000L): DataFrame = {
+    val stride = winUs - overlapUs
+    mmAudioMeta(t)
+      .filter(col("duration_us") > 0L)
+      .withColumn("n_chunks",
+        when(col("duration_us") <= winUs, lit(1L))
+          .otherwise(lit(1L) +
+            expr(s"(duration_us - ${winUs}L + ${stride}L - 1) div ${stride}L")))
+      .withColumn("padded_us",
+        (col("n_chunks") - 1) * lit(stride) + lit(winUs) - col("duration_us"))
+      .select(col("doc_id"), col("duration_us"), col("n_chunks"),
+        col("padded_us"))
+  }
+
   /** M10 — `mm_token_budget`: the VISION-TOKEN cost plan per media
     * row — what a vision-language training run budgets before it
     * decodes anything: fit-to-`maxSide` downscale (the

@@ -1312,6 +1312,46 @@ object Relational {
     * the key, so bucket order == key order and `offset + local rank`
     * is exactly the global row_number — the oracle IS the naive
     * global window, proving the decomposition. */
+  /** `q_mode_per_group` — the statistical MODE per group with a total
+    * deterministic tiebreak (highest count, then smallest value): the
+    * categorical summary SQL's `mode()` gives nondeterministically on
+    * ties, pinned down. Per market segment, the modal order priority.
+    * Shape: one fact-keyed join (customer broadcast by CBO at this
+    * SF; hash join at 100 TB), ONE map-side-combinable (group, value)
+    * count, then a window over the #groups×#values rollup —
+    * metadata-scale. */
+  def qModePerGroup(t: Tables): DataFrame = {
+    val counts = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("c_mktsegment"))
+          .orderBy(desc("n"), asc("o_orderpriority"))))
+      .filter(col("rk") === 1)
+      .select(col("c_mktsegment"),
+        col("o_orderpriority").as("mode_priority"), col("n"))
+  }
+
+  /** `q_string_agg` — deterministic LISTAGG: per region, the sorted
+    * '|'-joined nation list plus the count. String aggregation is
+    * order-sensitive and engines disagree on default order, so the
+    * list is SORTED before joining on both sides — the only portable
+    * listagg contract. Group payloads here are dimension-bounded
+    * (≤ nations/region); a fact-scale listagg would cap the slice
+    * per group first (the q_topn_agg discipline) because an unbounded
+    * concatenated string is a driver-killer, not an operator. */
+  def qStringAgg(t: Tables): DataFrame =
+    t.nation
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), "|")
+          .as("nations"))
+      .select(col("r_name"), col("n_nations"), col("nations"))
+
   def qSurrogateKeys(t: Tables, bucketSize: Long = 4096L): DataFrame = {
     val bucketed = t.orders.select(col("o_orderkey"))
       .withColumn("bkt", expr(s"o_orderkey div $bucketSize"))

@@ -152,6 +152,57 @@ object TextAnalysis {
       qualityScoreExpr(col("text"), toks).as("quality_score"))
   }
 
+  /** `text_gopher_rules` — the Gopher repetition-free quality rules
+    * (Rae et al. 2021, Table A1 — the public heuristic filter set
+    * most open LM-data pipelines start from), integer-exact: word
+    * count ∈ [50, 100 000]; mean word length ∈ [3, 10] (carried as
+    * chars×100 div words — no float ratio); symbol-to-word ratio
+    * ('#' or '…' per word) ≤ 0.1 via the cross-multiplied form
+    * `10·symbols ≤ words`; ≥ 80 % of words contain an alphabetic
+    * character (`5·alpha ≥ 4·words`); and ≥ 2 stopwords (the
+    * gibberish screen). The verdict is a boolean plus the FIRST
+    * failed rule by fixed precedence — an auditable reject reason,
+    * not just a bit. Map-only single pass; every comparison is exact
+    * integer arithmetic shared verbatim with the oracle. */
+  def textGopherRules(t: Tables): DataFrame =
+    textGopherRulesOf(t.documents)
+
+  /** The same rules over ANY (doc_id, text) frame — map-only column
+    * expressions (spec drives injected edge docs through it). */
+  private[graft] def textGopherRulesOf(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val base = docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      aggregate(toks, lit(0L), (a, x) => a + length(x)).as("tok_chars"),
+      (length(col("text")) -
+        length(expr("replace(text, '#', '')"))).cast("long").as("n_hash"),
+      ((length(col("text")) -
+        length(expr("replace(text, '...', '')"))) / lit(3))
+        .cast("long").as("n_ellipsis"),
+      size(filter(toks, x => x.rlike("[a-z]"))).cast("long")
+        .as("alpha_words"),
+      size(filter(toks, x => x.isin(enStopwords: _*))).cast("long")
+        .as("n_stop"))
+    base
+      .withColumn("mean_len_x100",
+        when(col("n_words") > 0,
+          expr("(tok_chars * 100) div n_words")).otherwise(lit(0L)))
+      .withColumn("n_sym", col("n_hash") + col("n_ellipsis"))
+      .withColumn("fail_reason",
+        when(col("n_words") < 50 || col("n_words") > 100000L,
+          lit("word_count"))
+          .when(col("mean_len_x100") < 300 || col("mean_len_x100") > 1000,
+            lit("mean_word_len"))
+          .when(col("n_sym") * 10 > col("n_words"), lit("symbol_ratio"))
+          .when(col("alpha_words") * 5 < col("n_words") * 4,
+            lit("alpha_ratio"))
+          .when(col("n_stop") < 2, lit("stopwords"))
+          .otherwise(lit("pass")))
+      .select(col("doc_id"), col("n_words"), col("mean_len_x100"),
+        col("n_sym"), col("alpha_words"), col("n_stop"),
+        (col("fail_reason") === "pass").as("passes"), col("fail_reason"))
+  }
+
   /** `corpus_temperature_sampling` — temperature-reweighted source
     * mixture (the multilingual/multi-source sampling rule of public
     * LM-training recipes: share_i ∝ w_i^α with α < 1, upweighting

@@ -310,6 +310,51 @@ object Streaming {
         col("view_ts").cast(TimestampNTZType).as("view_ts"))
   }
 
+  /** X42 — `stream_stream_full_join`: the FULL-OUTER stream-stream
+    * join — the last join semantics the streaming surface lacked
+    * (inner X4, left-outer X38): BOTH sides' unmatched rows emit
+    * null-padded once the watermark proves no partner can still
+    * arrive — a right-side view closes when the watermark passes the
+    * end of its 1-hour click window (the mirrored argument of X38's
+    * left side).
+    *
+    * Determinism at the drain boundary: both sides are restricted to
+    * events at least 2 hours before the corpus max BEFORE the join —
+    * applied AFTER `withWatermark`, so the watermark still advances
+    * to the corpus max and every surviving row's match/no-match proof
+    * completes inside the bounded drain (watermark delay 0 s + 1 h
+    * join horizon < 2 h). The batch oracle replays the identical
+    * restricted full join. */
+  def streamStreamFullJoin(t: Tables): DataFrame = {
+    // collected external type depends on the session's java8 datetime
+    // setting; lit() accepts either representation
+    val cutoff = t.events
+      .agg((max(col("ts").cast("timestamp")) - expr("INTERVAL 2 HOURS"))
+        .as("cutoff")).head.get(0)
+    def side(evType: String, idAs: String, tsAs: String) =
+      eventsStream(t)
+        .filter(col("event_type") === evType)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+        // restrict AFTER the watermark node: excluded rows still
+        // advance the clock that closes the survivors' windows
+        .filter(col("ts") <= lit(cutoff))
+        .select(col("user_id").as(s"${evType}_user"),
+          col("event_id").as(idAs), col("ts").as(tsAs))
+    val clicks = side("click", "click_id", "click_ts")
+    val views = side("view", "view_id", "view_ts")
+    val joined = clicks.join(views,
+      col("click_user") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"),
+      "fullOuter")
+    drainToTable(joined, "append")
+      .select(coalesce(col("click_user"), col("view_user")).as("user_id"),
+        col("click_id"), col("view_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"))
+  }
+
   /** X39 — `stream_dedup_watermarked`: exactly-once semantics over an
     * at-least-once feed via `dropDuplicatesWithinWatermark` — the
     * Spark 3.5+ API whose state RETIRES when the watermark passes,
@@ -919,7 +964,10 @@ object Streaming {
     * the lag/lead classification
     * ([[graft.operators.EventAnalytics.growthFromActivity]],
     * refactored shared) running as a batch readout over the drained
-    * metadata-scale state. Shares `events_growth_accounting`'s oracle
+    * metadata-scale state. The week-retirement claim is EXERCISED in
+    * [[growthWeeksRetired]] (append mode + watermark: closed weeks
+    * emit once and their state rows retire; spec-counted against the
+    * state-store metrics). Shares `events_growth_accounting`'s oracle
     * verbatim — stream/batch equivalence pair #30. */
   def streamGrowthAccounting(t: Tables): DataFrame = {
     val weeks = eventsStream(t)
@@ -929,6 +977,72 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
     graft.operators.EventAnalytics.growthFromActivity(
       drainToTable(weeks, "complete").select(col("user_id"), col("week")))
+  }
+
+  /** Result of the week-retirement run: the append-mode emissions
+    * (one row per CLOSED (user, week)), the per-trigger state-store
+    * row counts, and the final count (the OPEN groups still buffered
+    * when the drain stopped). */
+  final case class RetiredWeeks(emitted: DataFrame, stateRows: Seq[Long],
+      finalStateRows: Long)
+
+  /** X41 — WEEK RETIREMENT for the growth-accounting state, exercised:
+    * the production shape X34's scaladoc promises. The (user, week)
+    * activity set runs in APPEND mode with a 7-day watermark on the
+    * week timestamp over a day-ordered feed: a group EMITS exactly
+    * once — when the watermark proves its week can receive no more
+    * events — and its state row is RETIRED at that moment, so the
+    * store holds only the OPEN horizon (users × ~2 weeks) instead of
+    * the full history (users × all weeks), at any stream length. The
+    * emissions partition the exact activity set: closed weeks emitted,
+    * open weeks still in state — nothing lost, spec-pinned against
+    * the state-store metrics AND a batch recompute. */
+  def growthWeeksRetired(t: Tables): RetiredWeeks = {
+    import scala.jdk.CollectionConverters._
+    // day-ordered feed: one file per day with ascending mod times, so
+    // the watermark advances in calendar order (the CDC-drop shape)
+    val safe = t.dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val dir = Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_stream_$safe",
+      s"growth_feed_${graft.sources.SourceOps.runId}")
+    val proj = t.events.select(col("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      to_date(col("ts")).as("d"))
+    if (!Files.exists(dir) || !Files.list(dir).iterator().hasNext) {
+      Files.createDirectories(dir)
+      val days = proj.select(col("d")).distinct()
+        .collect().map(_.getDate(0).toString).sorted
+      days.zipWithIndex.foreach { case (d, i) =>
+        val tmp = dir.resolve(s"_tmp_$i")
+        proj.filter(col("d") === lit(d)).drop("d").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dest = dir.resolve(f"day_$i%05d.parquet")
+        Files.move(part, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime
+            .fromMillis(1000000000000L + i * 60000L))
+        Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+    val schema = proj.drop("d").schema
+    val weeks = t.spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 5).parquet(dir.toString)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .withWatermark("week", "7 days")
+      .groupBy(col("user_id"), col("week"))
+      .agg(count(lit(1)).as("n"))
+    val table = s"growth_retired_${graft.sources.SourceOps.runId}_$safe"
+    val q = weeks.writeStream.trigger(Trigger.AvailableNow())
+      .outputMode("append").format("memory").queryName(table).start()
+    q.awaitTermination()
+    val state = q.recentProgress.toSeq
+      .flatMap(p => p.stateOperators.headOption.map(_.numRowsTotal))
+    RetiredWeeks(t.spark.table(table),
+      state, state.lastOption.getOrElse(-1L))
   }
 
   /** X40 — `stream_wow_change`: the week-over-week report maintained
@@ -991,6 +1105,43 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
     graft.operators.EventAnalytics.olsTrendFromDaily(
       drainToTable(daily, "complete"))
+  }
+
+  /** X44 — `stream_gopher_rules`: the Gopher heuristic filter as a
+    * STATELESS map-only screen over the arriving document stream —
+    * quality filtering at ingest time instead of a batch pass (the
+    * shape a 100 TB crawl consumer actually runs: reject-with-reason
+    * per document as it lands, zero state, append mode). Shares
+    * `text_gopher_rules`' integer-exact rules and oracle verbatim —
+    * stream/batch equivalence pair #36. */
+  def streamGopherRules(t: Tables): DataFrame = {
+    val schema = t.raw("documents").schema
+    val docs = t.spark.readStream.schema(schema)
+      .parquet(stageDir(t.dir, "documents"))
+    drainToTable(
+      graft.operators.TextAnalysis.textGopherRulesOf(docs), "append")
+  }
+
+  /** X43 — `stream_ks_test`: the two-sample KS drift test maintained
+    * CONTINUOUSLY — the (cents, group-counts) value grid as ONE keyed
+    * streaming aggregation (state = the DISTINCT value domain, not
+    * the event count — the same metadata-scale sufficient statistic
+    * the batch decomposition rides), with the shared integer-ppm CDF
+    * readout ([[graft.operators.EventAnalytics.ksFromCounts]]) over
+    * the drained grid: distribution-shift alerting per trigger
+    * instead of a batch recount. Shares `events_ks_test`'s oracle
+    * verbatim — stream/batch equivalence pair #35. */
+  def streamKsTest(t: Tables): DataFrame = {
+    val grid = eventsStream(t)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("na"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("nb"))
+    graft.operators.EventAnalytics.ksFromCounts(
+      drainToTable(grid, "complete"))
   }
 
   /** X35 — `stream_benford`: the Benford first-digit audit maintained

@@ -329,4 +329,55 @@ class MultimodalSpec extends SparkSpec {
           dirtyMeta.height == cleanMeta.height)
       }
   }
+
+  test("mm_aspect_buckets assigns every image to its cross-multiplied " +
+      "argmin bucket, first-bucket tiebreak") {
+    import org.apache.spark.sql.functions.col
+    val dims = Multimodal.mmDecodeMeta(tables)
+      .select(col("width"), col("height"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toIndexedSeq
+    def bucketOf(w: Int, h: Int): (Int, Int) =
+      Multimodal.aspectBuckets.minBy { case (bw, bh) =>
+        math.abs(w.toLong * bh - h.toLong * bw) * 1000000L /
+          (bw.toLong * bh) // stable minBy keeps the FIRST at ties
+      }
+    val expected = dims.groupBy { case (w, h) => bucketOf(w, h) }
+      .map { case ((bw, bh), vs) =>
+        val ppm = vs.map { case (w, h) => w.toLong * 1000000L / h }
+        ((bw, bh), (vs.size.toLong, ppm.min, ppm.max))
+      }
+    val got = Multimodal.mmAspectBuckets(tables).collect().map { r =>
+      ((r.getInt(0), r.getInt(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))
+    }.toMap
+    assert(got == expected,
+      s"onlyGot=${(got.toSet -- expected.toSet).take(2)} " +
+        s"onlyExp=${(expected.toSet -- got.toSet).take(2)}")
+    // complete partition: counts sum to the corpus
+    assert(got.values.map(_._1).sum == dims.size.toLong)
+  }
+
+  test("mm_audio_chunk_plan: replayed arithmetic + coverage identity") {
+    import org.apache.spark.sql.functions.col
+    val win = 20000L; val stride = 15000L
+    val got = Multimodal.mmAudioChunkPlan(tables, winUs = win,
+      overlapUs = win - stride).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (dur, n, pad) =>
+      val expectN =
+        if (dur <= win) 1L else 1L + (dur - win + stride - 1) / stride
+      assert(n == expectN, s"dur=$dur: n=$n expected=$expectN")
+      // coverage: the chunks span past the audio by pad < stride
+      // (except the single-chunk case, where pad < win)
+      assert(pad == (n - 1) * stride + win - dur)
+      assert(pad >= 0L && pad < (if (n == 1) win else stride),
+        s"dur=$dur n=$n pad=$pad")
+      // minimality: one fewer chunk would leave a gap
+      if (n > 1) assert((n - 2) * stride + win < dur,
+        s"dur=$dur: $n chunks is not minimal")
+    }
+    // the synthetic corpus genuinely exercises the multi-chunk branch
+    assert(got.exists(_._2 > 1) && got.exists(_._2 == 1))
+  }
 }

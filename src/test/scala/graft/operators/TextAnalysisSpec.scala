@@ -837,4 +837,66 @@ class TextAnalysisSpec extends SparkSpec {
     val kept = got.valuesIterator.count(_._3)
     assert(kept > 0 && kept < got.size, s"degenerate keep set: $kept")
   }
+
+  test("text_gopher_rules: full integer replay on the corpus + " +
+      "injected edge docs hit every reject reason") {
+    import org.apache.spark.sql.functions.col
+    val stops = TextAnalysis.enStopwords.toSet
+    def replay(text: String): (Long, Long, Long, Long, Long, String) = {
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      val nWords = toks.length.toLong
+      val tokChars = toks.map(_.length.toLong).sum
+      val nHash = text.count(_ == '#').toLong
+      val nEll = (text.length - text.replace("...", "").length).toLong / 3
+      val alpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nStop = toks.count(stops).toLong
+      val mean = if (nWords > 0) tokChars * 100 / nWords else 0L
+      val sym = nHash + nEll
+      val reason =
+        if (nWords < 50 || nWords > 100000L) "word_count"
+        else if (mean < 300 || mean > 1000) "mean_word_len"
+        else if (sym * 10 > nWords) "symbol_ratio"
+        else if (alpha * 5 < nWords * 4) "alpha_ratio"
+        else if (nStop < 2) "stopwords"
+        else "pass"
+      (nWords, mean, sym, alpha, nStop, reason)
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getString(7)), r.getBoolean(6))).toMap
+    // corpus replay, doc for doc
+    val texts = tables.documents.select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = run(TextAnalysis.textGopherRules(tables))
+    assert(got.keySet == texts.keySet)
+    texts.foreach { case (id, text) =>
+      val exp = replay(text)
+      assert(got(id)._1 == exp, s"doc $id: got ${got(id)._1}, replay $exp")
+      assert(got(id)._2 == (exp._6 == "pass"))
+    }
+    // engineered docs drive each reject branch (precedence order)
+    val sess = spark
+    import sess.implicits._
+    // 96 words, mean length 44·8·100/96 = 366, six stopword kinds
+    val filler =
+      ("these words and those items of the corpus to in is done " * 8).trim
+    val edge = Seq(
+      1L -> "too short",
+      2L -> Seq.fill(60)("ab").mkString(" "),   // mean len 200 < 300
+      3L -> (filler + " " + "#" * 30),          // 30 symbols vs 96 words
+      4L -> (Seq.fill(40)("wordy") ++           // mean 400, but half the
+        (100 to 139).map(_.toString))           // words are pure digits
+        .mkString(" "),
+      5L -> (1 to 80).map(i => s"word$i").mkString(" "), // no stopwords
+      6L -> filler)
+      .toDF("doc_id", "text")
+    val er = run(TextAnalysis.textGopherRulesOf(edge))
+    assert(er(1L)._1._6 == "word_count")
+    assert(er(2L)._1._6 == "mean_word_len")
+    assert(er(3L)._1._6 == "symbol_ratio")
+    assert(er(4L)._1._6 == "alpha_ratio")
+    assert(er(5L)._1._6 == "stopwords")
+    assert(er(6L)._1._6 == "pass" && er(6L)._2)
+  }
 }

@@ -18,6 +18,48 @@ class GrowthAccountingStreamSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("append + watermark RETIRES closed weeks from the state store: " +
+      "state rows ≈ open weeks, emissions ∪ state = the exact activity set") {
+    import org.apache.spark.sql.functions._
+    val run = Streaming.growthWeeksRetired(tables)
+    // collected external datetime type depends on the session's java8
+    // setting — normalize to Instant either way
+    def inst(v: Any): java.time.Instant = v match {
+      case t: java.sql.Timestamp => t.toInstant
+      case i: java.time.Instant => i
+    }
+    implicit val instOrd: Ordering[java.time.Instant] =
+      Ordering.by(_.toEpochMilli)
+    // batch truth: the exact (user, week) activity set
+    val uw = tables.events.select(col("user_id"),
+        date_trunc("week", col("ts").cast("timestamp")).as("week"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), inst(r.get(1)))).toSet
+    val wLast = uw.map(_._2).max
+    // a week W closes once the watermark (max week seen - 7d) reaches
+    // it: W ≤ wLast - 7d (eviction fires at watermark ≥ group time)
+    val horizon = java.time.Duration.ofDays(7)
+    val closed = uw.filter { case (_, w) =>
+      !w.isAfter(wLast.minus(horizon)) }
+    val open = uw -- closed
+    assert(closed.nonEmpty && open.nonEmpty, "degenerate week split")
+    val emitted = run.emitted.collect()
+      .map(r => (r.getLong(0), inst(r.get(1)))).toSet
+    // emissions are EXACTLY the closed weeks (nothing early, nothing
+    // dropped as late — the day-ordered feed never regresses)
+    assert(emitted == closed,
+      s"onlyEmitted=${(emitted -- closed).take(3)} " +
+        s"missing=${(closed -- emitted).take(3)}")
+    // the store ends holding ONLY the open groups — closed weeks
+    // RETIRED, state bounded by the horizon, not the stream length
+    assert(run.finalStateRows == open.size.toLong,
+      s"state held ${run.finalStateRows} rows, open groups = ${open.size}")
+    assert(run.finalStateRows < uw.size.toLong,
+      "nothing retired: state = full history")
+    // and the state trajectory never exceeded activity-to-date
+    assert(run.stateRows.nonEmpty && run.stateRows.max <= uw.size.toLong)
+  }
+
   test("stream_growth_accounting == events_growth_accounting") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[java.time.LocalDateTime](0),
