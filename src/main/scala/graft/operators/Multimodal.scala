@@ -651,27 +651,26 @@ object Multimodal {
     (1344, 768), (768, 1344), (1536, 640), (640, 1536))
 
   def mmAspectBuckets(t: Tables): DataFrame = {
-    // score_i = |w·bh_i − h·bw_i| · Π_{j≠i} … — avoided: compare
-    // pairwise with cross-multiplied fractions brought to the SAME
-    // denominator per comparison: |w·bh_a − h·bw_a| · (bw_b·bh_b)
-    // vs … is overkill for a FIXED ladder; simpler and still exact:
-    // minimize |w·bh − h·bw| · 10⁶ div (bw·bh) — all integers, the
-    // per-bucket normalizer constant-folds
-    val best = aspectBuckets.zipWithIndex.foldLeft(
-      (lit(Long.MaxValue), lit(-1))) { case ((bestScore, bestIdx), ((bw, bh), i)) =>
-      val score = expr(
+    // score_i = |w·bh_i − h·bw_i| · 10⁶ div (bw_i·bh_i) — all exact
+    // integers, the per-bucket normalizer constant-folds. The argmin
+    // is array_position(scores, array_min(scores)) — LINEAR-size
+    // expressions (a running-min when-chain would reference itself
+    // twice per step and blow up 2^9 in codegen); array_position
+    // returns the FIRST index of the min, which IS the squarest-
+    // bucket tiebreak because the ladder is ordered that way.
+    val scores = array(aspectBuckets.map { case (bw, bh) =>
+      expr(
         s"(abs(CAST(width AS BIGINT) * $bh - CAST(height AS BIGINT) * $bw)" +
           s" * 1000000) div ${bw.toLong * bh}")
-      val better = score < bestScore
-      (when(better, score).otherwise(bestScore),
-        when(better, lit(i)).otherwise(bestIdx))
-    }
+    }: _*)
     val bwOf = aspectBuckets.zipWithIndex.foldLeft(lit(0)) {
       case (acc, ((bw, _), i)) => when(col("bkt") === i, lit(bw)).otherwise(acc) }
     val bhOf = aspectBuckets.zipWithIndex.foldLeft(lit(0)) {
       case (acc, ((_, bh), i)) => when(col("bkt") === i, lit(bh)).otherwise(acc) }
     mmDecodeMeta(t)
-      .withColumn("bkt", best._2)
+      .withColumn("sc", scores)
+      .withColumn("bkt",
+        (array_position(col("sc"), array_min(col("sc"))) - 1).cast("int"))
       .groupBy(col("bkt"))
       .agg(count(lit(1)).as("n_images"),
         min(expr("(CAST(width AS BIGINT) * 1000000) div height"))

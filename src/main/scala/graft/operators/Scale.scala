@@ -453,6 +453,10 @@ object Scale {
     * CDC twin, which folds one micro-batch at a time through this. */
   private[graft] def scd2MergeOf(stored: DataFrame, incr: DataFrame): DataFrame = {
     val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    // `marked` feeds three consumers below, but its repeated subtree
+    // is shuffle-rooted and Catalyst's ReusedExchange already dedupes
+    // it inside the one write job (measured: an explicit persist +
+    // eager count ADDS a job per commit and reads slower)
     val marked = runsOf(dayStatus(incr))
       .withColumn("rk", row_number().over(byFrom))
     val open = stored.filter(col("is_current"))
@@ -476,7 +480,11 @@ object Scale {
       .filter(col("open_status").isNotNull &&
         col("open_status") === col("first_status"))
       .select(col("user_id"), col("open_from"), col("open_n"))
-    val newRuns = marked.join(extendInfo, Seq("user_id"), "left")
+    // extendInfo is CHANGE-sized (a subset of the batch's users):
+    // broadcast it so `marked` keeps its window partitioning instead
+    // of reshuffling for the join — sound at any table size because
+    // the bound is the CDC day, not the dimension
+    val newRuns = marked.join(broadcast(extendInfo), Seq("user_id"), "left")
       .select(col("user_id"), col("status"),
         when(col("rk") === 1 && col("open_from").isNotNull, col("open_from"))
           .otherwise(col("valid_from")).as("valid_from"),

@@ -252,10 +252,16 @@ final class MergeTarget private (val spark: SparkSession, root: Path,
         Files.move(tmp, dst)
         bvs.updated(0, bvs(0) + 1)
       } else {
-        // STAGE FIRST: one job writes the source partitioned by bucket
+        // STAGE FIRST: one job writes the source partitioned by
+        // bucket. The repartition matters: partitionBy WITHOUT it has
+        // every input task write one file per bucket it holds (tasks ×
+        // buckets small files, and the next read pays the scheduling);
+        // clustering by the bucket expr first lands ONE file per
+        // touched bucket — the shuffle is proportional to the batch
         val srcTmp = root.resolve(s"_src.${SourceOps.runId}.$batchId")
         wipe(srcTmp)
         source.withColumn("__b", bucketExpr)
+          .repartition(nBuckets, col("__b"))
           .write.partitionBy("__b").mode("overwrite").parquet(srcTmp.toString)
         // touched buckets = the staged partition directories (free)
         val touched: Seq[Int] = {
@@ -288,6 +294,7 @@ final class MergeTarget private (val spark: SparkSession, root: Path,
             val tmp = root.resolve(s"_stage.${SourceOps.runId}.$batchId")
             wipe(tmp)
             merged.withColumn("__b", bucketExpr)
+              .repartition(nBuckets, col("__b")) // one file per bucket
               .write.partitionBy("__b").mode("overwrite")
               .parquet(tmp.toString)
             // VERIFY before touching any committed slot: a concurrent
@@ -369,6 +376,7 @@ object MergeTarget {
     } else {
       val tmp = rootPath.resolve(s"_stage.${SourceOps.runId}.init")
       initial.withColumn("__b", t.bucketExpr)
+        .repartition(nBuckets, col("__b")) // one file per bucket
         .write.partitionBy("__b").mode("overwrite").parquet(tmp.toString)
       (0 until nBuckets).foreach { b =>
         val dst = t.versionDir(b, 0L)

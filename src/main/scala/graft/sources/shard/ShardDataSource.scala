@@ -408,6 +408,8 @@ private[shard] class ShardDataWriter(dir: String,
           case DateType => row.getInt(i).toLong
           case IntegerType => row.getInt(i).toLong
           case BooleanType => if (row.getBoolean(i)) 1L else 0L
+          case d: org.apache.spark.sql.types.DecimalType =>
+            row.getDecimal(i, d.precision, d.scale).toUnscaledLong
           case other => throw new IllegalStateException(other.toString)
         }
       i += 1
@@ -903,6 +905,17 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
             }
             i += 1
           }
+        case d: org.apache.spark.sql.types.DecimalType =>
+          var i = 0
+          while (i < n) {
+            cols(c)(pos + i) match {
+              case null => v.putNull(i)
+              case x => v.putDecimal(i,
+                org.apache.spark.sql.types.Decimal(
+                  x.asInstanceOf[Long], d.precision, d.scale), d.precision)
+            }
+            i += 1
+          }
         case DoubleType =>
           var i = 0
           while (i < n) {
@@ -949,13 +962,20 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
   private val nRows = decoded.nRows
   private val cols = decoded.cols
   // per-column decode kind: 0 pass-through (long/timestamp/double),
-  // 1 string bytes → UTF8String, 2 long → int (date/int), 3 boolean
+  // 1 string bytes → UTF8String, 2 long → int (date/int), 3 boolean,
+  // 4 unscaled long → Decimal
   private val kind: Array[Int] = p.required.map(n =>
     schema(n).dataType match {
       case StringType => 1
       case DateType | IntegerType => 2
       case BooleanType => 3
+      case _: org.apache.spark.sql.types.DecimalType => 4
       case _ => 0
+    })
+  private val decOf: Array[org.apache.spark.sql.types.DecimalType] =
+    p.required.map(n => schema(n).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType => d
+      case _ => null
     })
   private var i = -1
 
@@ -972,6 +992,8 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
           case 1 => UTF8String.fromBytes(v.asInstanceOf[Array[Byte]])
           case 2 => v.asInstanceOf[Long].toInt
           case 3 => v.asInstanceOf[Long] != 0L
+          case 4 => org.apache.spark.sql.types.Decimal(
+            v.asInstanceOf[Long], decOf(c).precision, decOf(c).scale)
         }
       }
       c += 1

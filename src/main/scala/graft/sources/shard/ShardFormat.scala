@@ -132,10 +132,21 @@ object ShardFormat {
     case DateType => "date"
     case IntegerType => "int"
     case BooleanType => "boolean"
+    // long-backed decimals only (p ≤ 18): the unscaled value rides
+    // the long block and ORDERS exactly as the decimal does (fixed
+    // scale), so zone maps and delta encoding apply unchanged; the
+    // tag carries neither ':' nor ',' (the manifest schema line's
+    // field and name/tag separators)
+    case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
+      s"decimal_${d.precision}_${d.scale}"
     case other => throw new IllegalArgumentException(
       "gshard supports long/double/string/timestamp/timestamp_ntz/" +
-        s"date/int/boolean, got $other")
+        s"date/int/boolean/decimal(<=18,s), got $other")
   }
+
+  private val DecimalTag = """decimal_(\d+)_(\d+)""".r
+  // Spark's DataType.typeName spelling (task payloads serialize it)
+  private val DecimalTypeName = """decimal\((\d+),(\d+)\)""".r
 
   /** Tag → type; accepts both the manifest tags and Spark's
     * `DataType.typeName` spellings (the task payloads serialize the
@@ -149,6 +160,8 @@ object ShardFormat {
     case "date" => DateType
     case "int" | "integer" => IntegerType
     case "boolean" => BooleanType
+    case DecimalTag(p, s) => DecimalType(p.toInt, s.toInt)
+    case DecimalTypeName(p, s) => DecimalType(p.toInt, s.toInt)
   }
 
   /** Types that ride the physically-long block (and therefore get
@@ -158,6 +171,7 @@ object ShardFormat {
   private[shard] def physicallyLong(dt: DataType): Boolean = dt match {
     case LongType | TimestampType | TimestampNTZType | DateType |
          IntegerType | BooleanType => true
+    case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
     case _ => false
   }
 
@@ -185,6 +199,17 @@ object ShardFormat {
       case (IntegerType, i: java.lang.Integer) => Some(i.longValue())
       case (BooleanType, b: java.lang.Boolean) =>
         Some(if (b.booleanValue()) 1L else 0L)
+      case (d: DecimalType, v: java.math.BigDecimal)
+          if d.precision <= Decimal.MAX_LONG_DIGITS =>
+        // bring the literal to the COLUMN's scale; a literal needing
+        // more fractional digits cannot equal any stored value, but
+        // range-pruning with a rounded bound would be UNSOUND — so
+        // normalize only exact rescales, else skip the filter
+        try Some(v.setScale(d.scale).unscaledValue().longValueExact())
+        catch { case _: ArithmeticException => None }
+      case (d: DecimalType, v: Decimal)
+          if d.precision <= Decimal.MAX_LONG_DIGITS =>
+        toPhysLong(d, v.toJavaBigDecimal)
       case _ => None
     }
   }

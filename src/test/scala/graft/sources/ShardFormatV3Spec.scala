@@ -100,6 +100,42 @@ class ShardFormatV3Spec extends SparkSpec {
         .filter(col("hh") === 3 && col("is_click"))))
   }
 
+  test("DECIMAL(p≤18, s) rides the long block: exact roundtrip with " +
+      "nulls, both reader paths, zone pruning, filter normalization") {
+    val d = Files.createTempDirectory("gshard_dec_").toString
+    // exact cents → DECIMAL(12,2): unscaled = the cents themselves
+    val src = tables.events.select(col("event_id"),
+      when(col("event_id") % 6 =!= 0,
+        (floor(col("value") * 100 + lit(0.5)) / 100)
+          .cast(DecimalType(12, 2))).as("price"))
+    src.write.format("gshard").option("rangecol", "event_id")
+      .option("shards", 6).mode("overwrite").save(d)
+    val m = ShardFormat.readManifest(d)
+    assert(m.schema("price").dataType == DecimalType(12, 2))
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), Option(r.getDecimal(1)).map(_.toPlainString))).toSet
+    val want = rows(src)
+    assert(want.exists(_._2.isEmpty), "degenerate: no nulls planted")
+    for (columnar <- Seq(true, false)) {
+      val got = rows(spark.read.format("gshard")
+        .option("columnar", columnar.toString).load(d))
+      assert(got == want, s"columnar=$columnar diverged")
+    }
+    // a decimal predicate normalizes to the unscaled-long domain and
+    // stays value-exact; unscaled zone maps exist in the manifest
+    assert(m.entries.exists(_.zMin.contains("price")))
+    val thr = new java.math.BigDecimal("50.00")
+    assert(rows(spark.read.format("gshard").load(d)
+        .filter(col("price") >= lit(thr))) ==
+      rows(src.filter(col("price") >= lit(thr))))
+    // a literal with MORE fractional digits than the scale cannot be
+    // normalized; skipping must degrade (admit) rather than misprune
+    val odd = new java.math.BigDecimal("50.005")
+    assert(rows(spark.read.format("gshard").load(d)
+        .filter(col("price") > lit(odd))) ==
+      rows(src.filter(col("price") > lit(odd))))
+  }
+
   // ── chunk-level string zone maps ───────────────────────────────────
 
   test("a string predicate skips CHUNKS inside a surviving file, exact") {
