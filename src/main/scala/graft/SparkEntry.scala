@@ -110,6 +110,11 @@ object SparkEntry {
     "events_mann_whitney" -> q(EventAnalytics.eventsMannWhitney),
     // per-user behavioral entropy of the event-type distribution
     "events_type_entropy" -> q(EventAnalytics.eventsTypeEntropy),
+    // the entropy screen maintained continuously — pair #37
+    "stream_type_entropy" -> q(t => graft.streaming.Streaming.streamTypeEntropy(t)),
+    // grid-exact winsorized mean: order statistics + clamp on the
+    // value grid, never a sort of fact rows
+    "events_winsorized_mean" -> q(EventAnalytics.eventsWinsorizedMean),
     // Hill MLE tail exponent of per-user activity (skew sizing)
     "events_powerlaw_alpha" -> q(t => EventAnalytics.eventsPowerlawAlpha(t)),
     // weekly new/retained/resurrected/churned decomposition
@@ -543,6 +548,9 @@ object SparkEntry {
     // the WIDENED type surface (v3): timestamp/date/int/boolean CTAS
     // through the catalog, both reader paths, micros zone pruning
     "q_shard_types_roundtrip" -> q(t => graft.sources.SourceOps.qShardTypesRoundtrip(t)),
+    // TYPED metadata-only stats: min/max of timestamp/date/int answer
+    // from the manifest zone maps, zero files read (plan-pinned)
+    "q_shard_stats_typed" -> q(t => graft.sources.SourceOps.qShardStatsTyped(t)),
     // the connector as a streaming sink (foreachBatch append per
     // micro-batch) — stream/batch equivalence pair #24
     "stream_shard_sink"   -> q(t => graft.streaming.Streaming.streamShardSink(t)),
@@ -877,6 +885,17 @@ object SparkEntry {
 
   /** DuckDB oracle shared by the batch and streaming Benford audits
     * (equivalence pair #31). */
+  /** Shared by `events_type_entropy` and its streaming twin: per-user
+    * Shannon entropy H = ln N − (Σ c ln c)/N at 4 dp. */
+  private val entropySql: String =
+    """WITH c AS (SELECT user_id, event_type, count(*) AS c
+      | FROM events GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      | CAST(count(*) AS BIGINT) AS n_types,
+      | round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)
+      |   AS entropy_nats
+      |FROM c GROUP BY 1""".stripMargin
+
   /** Shared by `text_gopher_rules` and its stateless streaming twin:
     * the integer-exact Gopher rule ladder with the first-failed-rule
     * reject reason. */
@@ -2778,15 +2797,30 @@ object SparkEntry {
     "text_gopher_rules" -> gopherSql,
     // the stateless ingest-time twin lands the identical screen
     "stream_gopher_rules" -> gopherSql,
+    // grid-exact winsorization: p05/p95 order statistics via integer
+    // cumulative counts, clamp folded over the grid, milli-cent mean
+    "events_winsorized_mean" ->
+      """WITH g AS (SELECT event_type,
+        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |c AS (SELECT *,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        | FROM g),
+        |b AS (SELECT event_type, max(n) AS n,
+        |  min(CASE WHEN cum * 100 >= n * 5 THEN cents END) AS p05_cents,
+        |  min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS p95_cents
+        | FROM c GROUP BY 1)
+        |SELECT g.event_type, CAST(max(b.n) AS BIGINT) AS n,
+        | max(b.p05_cents) AS p05_cents, max(b.p95_cents) AS p95_cents,
+        | CAST((sum(least(greatest(g.cents, b.p05_cents), b.p95_cents)
+        |    * g.cnt) * 1000) // max(b.n) AS BIGINT) AS win_mean_millicents
+        |FROM g JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-user Shannon entropy: H = ln N − (Σ c ln c)/N, 4 dp
-    "events_type_entropy" ->
-      """WITH c AS (SELECT user_id, event_type, count(*) AS c
-        | FROM events GROUP BY 1, 2)
-        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
-        | CAST(count(*) AS BIGINT) AS n_types,
-        | round(ln(sum(c)) - sum(c * ln(c)) / sum(c) + 1e-9, 4)
-        |   AS entropy_nats
-        |FROM c GROUP BY 1""".stripMargin,
+    "events_type_entropy" -> entropySql,
+    "stream_type_entropy" -> entropySql,
     // Hill tail exponent: α = 1 + n / Σ ln(x/xmin), x ≥ xmin = 5
     "events_powerlaw_alpha" ->
       """WITH u AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
@@ -5121,6 +5155,16 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog CTAS + SELECT lands the same rollup
     "q_catalog_sql_roundtrip" -> shardRollupSql,
+    // typed metadata-only stats recomputed from raw events
+    "q_shard_stats_typed" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | MIN(CAST(ts AS TIMESTAMP)) AS ts_min,
+        | MAX(CAST(ts AS TIMESTAMP)) AS ts_max,
+        | CAST(MIN(CAST(ts AS DATE)) AS TIMESTAMP) AS day_min,
+        | CAST(MAX(CAST(ts AS DATE)) AS TIMESTAMP) AS day_max,
+        | CAST(MIN(EXTRACT(hour FROM CAST(ts AS TIMESTAMP))) AS BIGINT) AS hh_min,
+        | CAST(MAX(EXTRACT(hour FROM CAST(ts AS TIMESTAMP))) AS BIGINT) AS hh_max
+        |FROM events""".stripMargin,
     // the widened type surface: timestamp/date/int/boolean roundtrip
     // through the v3 long block — both reader paths must land the
     // identical typed rollup under the timestamp cutoff

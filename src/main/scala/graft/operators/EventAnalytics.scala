@@ -2618,9 +2618,15 @@ object EventAnalytics {
     * discipline) makes the ≤ types-many-term float sum cross-engine
     * stable. */
   def eventsTypeEntropy(t: Tables): DataFrame =
-    t.events.groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("user_id"))
+    entropyFromCounts(t.events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The entropy readout over a (user_id, event_type, c) rollup —
+    * shared by the batch operator and its streaming twin
+    * (`stream_type_entropy`, which maintains the rollup as one keyed
+    * streaming aggregation whose state is the distinct key set). */
+  def entropyFromCounts(counts: DataFrame): DataFrame =
+    counts.groupBy(col("user_id"))
       .agg(sum(col("c")).as("n_events"),
         count(lit(1)).as("n_types"),
         sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
@@ -2628,6 +2634,50 @@ object EventAnalytics {
         round(log(col("n_events").cast("double")) -
           col("s") / col("n_events").cast("double") + lit(1e-9), 4)
           .as("entropy_nats"))
+
+  /** `events_winsorized_mean` — the winsorized per-type mean: clamp
+    * values at the p05/p95 ORDER STATISTICS before averaging — the
+    * robust central-tendency readout that survives the fat tails and
+    * fliers a plain mean drowns in (and the standard pre-aggregation
+    * step for metrics fed to anomaly detection).
+    *
+    * Everything INTEGER-EXACT, no interpolated percentile ever
+    * compared: on the exact-cents value grid (one keyed rollup —
+    * never a sort of fact rows), the p-th order statistic is the
+    * smallest value whose cumulative count reaches ceil(p·n) (a
+    * metadata-scale window per type), the clamp happens ON THE GRID
+    * (Σ cnt·clamp(v) — no second fact pass), and the mean is an
+    * integer division to milli-cents. Both engines run literally the
+    * same integer arithmetic. */
+  def eventsWinsorizedMean(t: Tables): DataFrame = {
+    val grid = t.events
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(asc("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(col("event_type"))))
+    val bounds = cum
+      .groupBy(col("event_type")).agg(
+        max(col("n")).as("n"),
+        min(when(col("cum") * 100 >= col("n") * 5, col("cents")))
+          .as("p05_cents"),
+        min(when(col("cum") * 100 >= col("n") * 95, col("cents")))
+          .as("p95_cents"))
+    grid.join(bounds, Seq("event_type"))
+      .withColumn("clamped",
+        least(greatest(col("cents"), col("p05_cents")), col("p95_cents")))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        max(col("p05_cents")).as("p05_cents"),
+        max(col("p95_cents")).as("p95_cents"),
+        expr("(sum(clamped * cnt) * 1000) div max(n)")
+          .as("win_mean_millicents"))
+      .orderBy(col("event_type"))
+  }
 
   /** `events_powerlaw_alpha` — the Hill maximum-likelihood exponent
     * of the per-user activity distribution's tail:

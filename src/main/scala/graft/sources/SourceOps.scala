@@ -861,6 +861,33 @@ object SourceOps {
       .unionByName(roll(columnar = false, "row"))
   }
 
+  /** `q_shard_stats_typed` — the metadata-only aggregate path over
+    * the WIDENED types: COUNT(*) / MIN / MAX on timestamp, date, and
+    * int columns answer from the manifest's long-domain zone maps and
+    * come back TYPED (micros/days/int are the catalyst internal
+    * encodings, so the stored bounds ARE the answers) — zero shard
+    * files opened, plan-pinned. Oracle recomputes from raw events. */
+  def qShardStatsTyped(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_typed_${dirTag(t.dir)}")
+    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+      t.events.select(
+          col("event_id"),
+          col("ts"),
+          col("ts").cast("date").as("day"),
+          hour(col("ts")).as("hh"))
+        .write.format("gshard").option("rangecol", "event_id")
+        .option("shards", 8).mode("overwrite").save(dir)
+    }
+    t.spark.read.format("gshard").load(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"),
+        min(col("day")).cast("timestamp_ntz").as("day_min"),
+        max(col("day")).cast("timestamp_ntz").as("day_max"),
+        min(col("hh")).cast("long").as("hh_min"),
+        max(col("hh")).cast("long").as("hh_max"))
+  }
+
   def qShardNullRoundtrip(t: Tables): DataFrame = {
     val dir = staging(s"gshard_n_${dirTag(t.dir)}")
     t.events.select(col("user_id"),

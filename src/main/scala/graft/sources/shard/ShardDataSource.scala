@@ -447,21 +447,26 @@ private[shard] class ShardScanBuilder(dir: String,
   private var pushedAgg: Option[Aggregation] = None
 
   /** METADATA-ONLY aggregates: an unfiltered, ungrouped COUNT(*) /
-    * MIN / MAX over long columns is answerable from the manifest
-    * alone — zero data files read, the Delta/Iceberg "stats-only
-    * query" optimization. Any long column of the schema qualifies:
-    * files whose entry lacks the column held only NULLs there and
-    * legitimately contribute nothing to a null-ignoring MIN/MAX.
-    * Filters disqualify (every filter here is residual, so a
-    * filtered count must scan), as does any grouping or other
-    * aggregate. */
+    * MIN / MAX over zone-mapped columns is answerable from the
+    * manifest alone — zero data files read, the Delta/Iceberg
+    * "stats-only query" optimization. Any physically-long ORDERED
+    * column qualifies (long / timestamp / timestamp_ntz / date /
+    * int — the stored long bounds ARE the catalyst-internal min/max;
+    * boolean and decimal are excluded: min(bool) is not a Spark agg
+    * shape and decimals would need object results). Files whose
+    * entry lacks the column held only NULLs there and legitimately
+    * contribute nothing to a null-ignoring MIN/MAX. Filters
+    * disqualify (every filter here is residual, so a filtered count
+    * must scan), as does any grouping or other aggregate. */
   private def zCol(e: org.apache.spark.sql.connector.expressions.Expression)
-      : Option[String] = e match {
+      : Option[(String, org.apache.spark.sql.types.DataType)] = e match {
     case nr: NamedReference if nr.fieldNames.length == 1 =>
       val c = nr.fieldNames()(0)
-      val ok = manifest.schema.fields
-        .exists(f => f.name == c && f.dataType == LongType)
-      if (ok) Some(c) else None
+      manifest.schema.fields.find(_.name == c).collectFirst {
+        case f if f.dataType == LongType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType || f.dataType == DateType ||
+          f.dataType == IntegerType => (c, f.dataType)
+      }
     case _ => None
   }
 
@@ -501,6 +506,10 @@ private[shard] class ShardScanBuilder(dir: String,
       case LessThan(c, v) => ok(c, v)
       case LessThanOrEqual(c, v) => ok(c, v)
       case In(c, vs) => vs.nonEmpty && vs.forall(ok(c, _))
+      // null predicates skip off the manifest's per-column null
+      // counts (the parquet null_count statistic)
+      case IsNull(c) => typ(c).isDefined
+      case IsNotNull(c) => typ(c).isDefined
       case _ => false
     }
   }
@@ -516,21 +525,24 @@ private[shard] class ShardScanBuilder(dir: String,
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) =>
-      // answer from the manifest at PLANNING time: one row, no files
-      val values: Array[Any] = agg.aggregateExpressions.map[Any] {
-        case _: CountStar => java.lang.Long.valueOf(
-          manifest.entries.map(_.rows).sum)
-        case m: Min =>
-          val c = zCol(m.column).get
-          val vs = manifest.entries.flatMap(_.zMin.get(c))
-          if (vs.isEmpty) null else java.lang.Long.valueOf(vs.min)
-        case m: Max =>
-          val c = zCol(m.column).get
-          val vs = manifest.entries.flatMap(_.zMax.get(c))
-          if (vs.isEmpty) null else java.lang.Long.valueOf(vs.max)
-        case other => throw new IllegalStateException(other.toString)
-      }
-      new ShardAggScan(dir, manifest, agg.aggregateExpressions.length, values)
+      // answer from the manifest at PLANNING time: one row, no files;
+      // each answer carries its LOGICAL type (timestamp/date/int
+      // min/max come back typed, not as raw longs)
+      val answers: Array[(Any, org.apache.spark.sql.types.DataType)] =
+        agg.aggregateExpressions.map {
+          case _: CountStar => (java.lang.Long.valueOf(
+            manifest.entries.map(_.rows).sum), LongType)
+          case m: Min =>
+            val (c, dt) = zCol(m.column).get
+            val vs = manifest.entries.flatMap(_.zMin.get(c))
+            (if (vs.isEmpty) null else java.lang.Long.valueOf(vs.min), dt)
+          case m: Max =>
+            val (c, dt) = zCol(m.column).get
+            val vs = manifest.entries.flatMap(_.zMax.get(c))
+            (if (vs.isEmpty) null else java.lang.Long.valueOf(vs.max), dt)
+          case other => throw new IllegalStateException(other.toString)
+        }
+      new ShardAggScan(dir, manifest, answers)
     case None =>
       new ShardScan(dir, manifest, required, pushed,
         Option(options.get("maxfilespertrigger")).map(_.toInt),
@@ -539,21 +551,28 @@ private[shard] class ShardScanBuilder(dir: String,
 }
 
 /** The metadata-only scan: one single-row partition carrying the
-  * manifest-derived aggregate values; no shard file is ever opened. */
+  * manifest-derived aggregate values (typed — timestamp/date/int
+  * min/max surface in their logical types); no shard file is ever
+  * opened. */
 private[shard] class ShardAggScan(dir: String,
-    manifest: ShardFormat.Manifest, nAggs: Int,
-    values: Array[Any]) extends Scan with Batch {
+    manifest: ShardFormat.Manifest,
+    answers: Array[(Any, org.apache.spark.sql.types.DataType)])
+    extends Scan with Batch {
 
   override def readSchema(): StructType = StructType(
-    (0 until nAggs).map(i => org.apache.spark.sql.types.StructField(
-      s"agg_$i", LongType, nullable = true)))
+    answers.zipWithIndex.map { case ((_, dt), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable = true)
+    }.toIndexedSeq)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(ShardAggPartition(values.map {
-      case null => java.lang.Long.valueOf(Long.MinValue)
-      case v: java.lang.Long => v
-    }, values.map(_ == null)))
+    Array(ShardAggPartition(
+      answers.map {
+        case (null, _) => Long.MinValue
+        case (v: java.lang.Long, _) => v.longValue()
+      },
+      answers.map(_._1 == null),
+      answers.map(_._2.typeName)))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardAggReaderFactory
@@ -563,8 +582,8 @@ private[shard] class ShardAggScan(dir: String,
       s"(files=0/${manifest.entries.size} read)"
 }
 
-private[shard] final case class ShardAggPartition(values: Array[java.lang.Long],
-    nulls: Array[Boolean]) extends InputPartition
+private[shard] final case class ShardAggPartition(values: Array[Long],
+    nulls: Array[Boolean], types: Array[String]) extends InputPartition
 
 private[shard] class ShardAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -573,8 +592,14 @@ private[shard] class ShardAggReaderFactory extends PartitionReaderFactory {
       private var done = false
       override def next(): Boolean = if (done) false else { done = true; true }
       override def get(): InternalRow = InternalRow.fromSeq(
-        part.values.zip(part.nulls).map { case (v, isNull) =>
-          if (isNull) null else v.longValue() }.toIndexedSeq)
+        part.values.indices.map { i =>
+          if (part.nulls(i)) null
+          else ShardFormat.dataTypeOf(part.types(i)) match {
+            // date/int are int-typed internally; timestamps ARE micros
+            case DateType | IntegerType => part.values(i).toInt
+            case _ => part.values(i)
+          }
+        })
       override def close(): Unit = ()
     }
 }
@@ -668,6 +693,7 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     ShardFormat.longZoneAdmits(fs, e.zMin.contains, e.zMin(_), e.zMax(_)) &&
       ShardFormat.stringZoneAdmits(fs, e.sMin.contains,
         c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))) &&
+      ShardFormat.nullCountAdmits(fs, e.nullCnt.get, e.rows) &&
       bloomAdmits(fs, e)
   }
 

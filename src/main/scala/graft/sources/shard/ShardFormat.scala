@@ -940,6 +940,22 @@ object ShardFormat {
       case _ => true
     }
 
+  /** NULL-predicate admission from the manifest's per-column null
+    * counts (the parquet null_count statistic): `IsNull(c)` cannot
+    * match a file with ZERO nulls in c; `IsNotNull(c)` cannot match a
+    * file where EVERY row is null in c. Files without a recorded
+    * count (pre-nullcount manifests) always admit — sound, because
+    * every filter stays residual. */
+  private[shard] def nullCountAdmits(filters: Seq[Filter],
+      nullCnt: String => Option[Long], rows: Long): Boolean =
+    filters.forall {
+      case org.apache.spark.sql.sources.IsNull(c) =>
+        !nullCnt(c).contains(0L)
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        nullCnt(c).forall(_ < rows)
+      case _ => true
+    }
+
   /** The string twin of [[longZoneAdmits]], over unsigned-byte bounds
     * (the `UTF8String` comparison order Spark itself evaluates string
     * predicates in — pruning and residual agree by construction). */

@@ -1119,6 +1119,24 @@ object Streaming {
       drainToTable(daily, "complete"))
   }
 
+  /** X45 — `stream_type_entropy`: the per-user behavioral-entropy
+    * screen maintained CONTINUOUSLY — the (user, type) counts as ONE
+    * keyed streaming aggregation (state = the distinct key set,
+    * users × #types — the minimal sufficient statistic; production
+    * would TTL idle users via the X32 transformWithState shape), with
+    * the shared entropy readout
+    * ([[graft.operators.EventAnalytics.entropyFromCounts]]) over the
+    * drained rollup: scripted-traffic alerting per trigger. Shares
+    * `events_type_entropy`'s oracle verbatim — stream/batch
+    * equivalence pair #37. */
+  def streamTypeEntropy(t: Tables): DataFrame = {
+    val counts = eventsStream(t)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    graft.operators.EventAnalytics.entropyFromCounts(
+      drainToTable(counts, "complete"))
+  }
+
   /** X44 — `stream_gopher_rules`: the Gopher heuristic filter as a
     * STATELESS map-only screen over the arriving document stream —
     * quality filtering at ingest time instead of a batch pass (the

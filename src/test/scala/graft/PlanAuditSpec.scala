@@ -978,6 +978,12 @@ class PlanAuditSpec extends SparkSpec {
       s"timestamp zone maps pruned nothing: $desc")
   }
 
+  test("q_shard_stats_typed: typed aggregates answer metadata-only") {
+    val p = plan(graft.sources.SourceOps.qShardStatsTyped(tables))
+    assert(p.contains("metadata-only"), s"typed stats scanned data:\n$p")
+    assert(p.contains("files=0/"), s"a shard file was planned:\n$p")
+  }
+
   test("q_shard_scan_string: STRING zone maps prune files at planning time") {
     val p = plan(graft.sources.SourceOps.qShardScanString(tables))
     assert(p.contains("gshard"), s"not reading through the connector:\n$p")

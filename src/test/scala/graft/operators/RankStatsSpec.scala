@@ -111,6 +111,44 @@ class RankStatsSpec extends SparkSpec {
     assert(all.distinct.length == all.length)
   }
 
+  test("events_winsorized_mean equals the order-statistic replay") {
+    val rows = tables.events
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
+    val expected = rows.groupBy(_._1).map { case (et, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.size.toLong
+      // p-th order statistic: smallest v whose 1-based cumulative
+      // count reaches ceil(p·n) — i.e. sorted(ceil(p·n) − 1)
+      def os(p: Int) = sorted(((n * p + 99) / 100 - 1).toInt)
+      val (lo, hi) = (os(5), os(95))
+      val winSum = sorted.map(v => math.min(math.max(v, lo), hi)).sum
+      (et, (n, lo, hi, winSum * 1000 / n))
+    }
+    val got = EventAnalytics.eventsWinsorizedMean(tables).collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected,
+      s"onlyGot=${(got.toSet -- expected.toSet).take(2)} " +
+        s"onlyExp=${(expected.toSet -- got.toSet).take(2)}")
+    // clamping is real: the winsorized mean sits strictly inside the
+    // clamp bounds, and the bounds are genuine data values
+    got.foreach { case (et, (n, lo, hi, m)) =>
+      assert(lo <= hi && n > 0)
+      assert(m >= lo * 1000 && m <= hi * 1000, s"$et: mean outside clamp")
+    }
+  }
+
+  test("stream_type_entropy == events_type_entropy (pair #37)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val b = rows(EventAnalytics.eventsTypeEntropy(tables))
+    assert(rows(graft.streaming.Streaming.streamTypeEntropy(tables)) == b)
+    assert(b.nonEmpty)
+  }
+
   test("stream_ks_test == events_ks_test (equivalence pair #35)") {
     val b = EventAnalytics.eventsKsTest(tables).head()
     val s = graft.streaming.Streaming.streamKsTest(tables).head()

@@ -136,6 +136,62 @@ class ShardFormatV3Spec extends SparkSpec {
       rows(src.filter(col("price") > lit(odd))))
   }
 
+  test("IsNull/IsNotNull prune files off the manifest null counts") {
+    val d = Files.createTempDirectory("gshard_nullskip_").toString
+    // cluster on event_id so null-ness of `v` SEPARATES by file: the
+    // low event range is all-null, the high range null-free
+    val src = tables.events.select(col("event_id"),
+      when(col("event_id") > tables.events
+          .agg(max(col("event_id"))).head.getLong(0) / 2,
+        col("user_id")).as("v"))
+    src.write.format("gshard").option("rangecol", "event_id")
+      .option("shards", 8).mode("overwrite").save(d)
+    val m = ShardFormat.readManifest(d)
+    assert(m.entries.size >= 8)
+    def parts(f: DataFrame => DataFrame): Int =
+      f(spark.read.format("gshard").load(d)).rdd.getNumPartitions
+    val nullParts = parts(_.filter(col("v").isNull))
+    val notNullParts = parts(_.filter(col("v").isNotNull))
+    assert(nullParts < m.entries.size,
+      s"IsNull pruned nothing: $nullParts/${m.entries.size}")
+    assert(notNullParts < m.entries.size,
+      s"IsNotNull pruned nothing: $notNullParts/${m.entries.size}")
+    // values stay exact through the skipping
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(rows(spark.read.format("gshard").load(d)
+      .filter(col("v").isNull)) == rows(src.filter(col("v").isNull)))
+    assert(rows(spark.read.format("gshard").load(d)
+      .filter(col("v").isNotNull)) == rows(src.filter(col("v").isNotNull)))
+  }
+
+  test("typed metadata-only min/max: timestamp/date/int answers come " +
+      "back in their logical types, zero files read") {
+    val d = Files.createTempDirectory("gshard_typedagg_").toString
+    tables.events.select(col("event_id"), col("ts"),
+        col("ts").cast("date").as("day"), hour(col("ts")).as("hh"))
+      .write.format("gshard").option("rangecol", "event_id")
+      .option("shards", 4).mode("overwrite").save(d)
+    val df = spark.read.format("gshard").load(d)
+      .agg(count(lit(1)), min(col("ts")), max(col("ts")),
+        min(col("day")), max(col("hh")))
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("metadata-only") && plan.contains("files=0/"),
+      s"typed aggregate was not answered from the manifest:\n$plan")
+    val r = df.head()
+    val truth = tables.events.agg(count(lit(1)), min(col("ts")),
+      max(col("ts")), min(col("ts").cast("date")),
+      max(hour(col("ts")))).head()
+    assert(r.getLong(0) == truth.getLong(0))
+    assert(r.getAs[java.time.LocalDateTime](1) ==
+      truth.getAs[java.time.LocalDateTime](1))
+    assert(r.getAs[java.time.LocalDateTime](2) ==
+      truth.getAs[java.time.LocalDateTime](2))
+    assert(r.getDate(3) == truth.getDate(3))
+    assert(r.getInt(4) == truth.getInt(4))
+  }
+
   // ── chunk-level string zone maps ───────────────────────────────────
 
   test("a string predicate skips CHUNKS inside a surviving file, exact") {
