@@ -115,6 +115,10 @@ object SparkEntry {
     // grid-exact winsorized mean: order statistics + clamp on the
     // value grid, never a sort of fact rows
     "events_winsorized_mean" -> q(EventAnalytics.eventsWinsorizedMean),
+    // the winsorized readout maintained continuously — pair #38
+    "stream_winsorized_mean" -> q(t => graft.streaming.Streaming.streamWinsorizedMean(t)),
+    // per-type user reach with a Wilson 95% interval
+    "events_rate_ci" -> q(EventAnalytics.eventsRateCi),
     // Hill MLE tail exponent of per-user activity (skew sizing)
     "events_powerlaw_alpha" -> q(t => EventAnalytics.eventsPowerlawAlpha(t)),
     // weekly new/retained/resurrected/churned decomposition
@@ -885,6 +889,29 @@ object SparkEntry {
 
   /** DuckDB oracle shared by the batch and streaming Benford audits
     * (equivalence pair #31). */
+  /** Shared by `events_winsorized_mean` and its streaming twin:
+    * grid-exact winsorization — p05/p95 order statistics via integer
+    * cumulative counts, clamp folded over the grid, milli-cent mean. */
+  private val winsorizeSql: String =
+    """WITH g AS (SELECT event_type,
+      |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+      |   CAST(count(*) AS BIGINT) AS cnt
+      | FROM events GROUP BY 1, 2),
+      |c AS (SELECT *,
+      |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum,
+      |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      | FROM g),
+      |b AS (SELECT event_type, max(n) AS n,
+      |  min(CASE WHEN cum * 100 >= n * 5 THEN cents END) AS p05_cents,
+      |  min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS p95_cents
+      | FROM c GROUP BY 1)
+      |SELECT g.event_type, CAST(max(b.n) AS BIGINT) AS n,
+      | max(b.p05_cents) AS p05_cents, max(b.p95_cents) AS p95_cents,
+      | CAST((sum(least(greatest(g.cents, b.p05_cents), b.p95_cents)
+      |    * g.cnt) * 1000) // max(b.n) AS BIGINT) AS win_mean_millicents
+      |FROM g JOIN b USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Shared by `events_type_entropy` and its streaming twin: per-user
     * Shannon entropy H = ln N − (Σ c ln c)/N at 4 dp. */
   private val entropySql: String =
@@ -2799,25 +2826,26 @@ object SparkEntry {
     "stream_gopher_rules" -> gopherSql,
     // grid-exact winsorization: p05/p95 order statistics via integer
     // cumulative counts, clamp folded over the grid, milli-cent mean
-    "events_winsorized_mean" ->
-      """WITH g AS (SELECT event_type,
-        |   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
-        |   CAST(count(*) AS BIGINT) AS cnt
-        | FROM events GROUP BY 1, 2),
-        |c AS (SELECT *,
-        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS BIGINT) AS cum,
-        |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
-        | FROM g),
-        |b AS (SELECT event_type, max(n) AS n,
-        |  min(CASE WHEN cum * 100 >= n * 5 THEN cents END) AS p05_cents,
-        |  min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS p95_cents
-        | FROM c GROUP BY 1)
-        |SELECT g.event_type, CAST(max(b.n) AS BIGINT) AS n,
-        | max(b.p05_cents) AS p05_cents, max(b.p95_cents) AS p95_cents,
-        | CAST((sum(least(greatest(g.cents, b.p05_cents), b.p95_cents)
-        |    * g.cnt) * 1000) // max(b.n) AS BIGINT) AS win_mean_millicents
-        |FROM g JOIN b USING (event_type)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_winsorized_mean" -> winsorizeSql,
+    "stream_winsorized_mean" -> winsorizeSql,
+    // Wilson 95% CI on per-type user reach (one correctly-rounded
+    // sqrt; 6-dp rounding)
+    "events_rate_ci" ->
+      """WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+        |  FROM events),
+        |r AS (SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS k FROM events
+        | GROUP BY 1),
+        |s AS (SELECT event_type, k, n, k * 1.0 / n AS p,
+        |  (k * 1.0 / n + 3.8416 / (2 * n)) / (1 + 3.8416 / n) AS center,
+        |  1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+        |    + 3.8416 / (4.0 * n * n)) / (1 + 3.8416 / n) AS half
+        | FROM r, u)
+        |SELECT event_type, k AS n_users_reached, n AS n_users,
+        | round(p + 1e-9, 6) AS rate,
+        | round(center - half + 1e-9, 6) AS ci_lo,
+        | round(center + half + 1e-9, 6) AS ci_hi
+        |FROM s ORDER BY 1""".stripMargin,
     // per-user Shannon entropy: H = ln N − (Σ c ln c)/N, 4 dp
     "events_type_entropy" -> entropySql,
     "stream_type_entropy" -> entropySql,

@@ -2649,25 +2649,34 @@ object EventAnalytics {
     * (Σ cnt·clamp(v) — no second fact pass), and the mean is an
     * integer division to milli-cents. Both engines run literally the
     * same integer arithmetic. */
-  def eventsWinsorizedMean(t: Tables): DataFrame = {
-    val grid = t.events
+  def eventsWinsorizedMean(t: Tables): DataFrame =
+    winsorizedFromGrid(t.events
       .select(col("event_type"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
       .groupBy(col("event_type"), col("cents"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("event_type")).orderBy(asc("cents"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The winsorized readout over a (event_type, cents, cnt) grid —
+    * shared by the batch operator and its streaming twin
+    * (`stream_winsorized_mean`, which maintains the grid as one keyed
+    * streaming aggregation — the same value-domain state as the KS
+    * twin). */
+  def winsorizedFromGrid(grid: DataFrame): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(asc("cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = grid.withColumn("cum", sum(col("cnt")).over(w))
-      .withColumn("n", sum(col("cnt")).over(
-        Window.partitionBy(col("event_type"))))
-    val bounds = cum
-      .groupBy(col("event_type")).agg(
-        max(col("n")).as("n"),
+    // bounds as WINDOW aggregates over the same type partition — no
+    // self-join of the grid (one partition pass carries cum, n, and
+    // both order statistics; also keeps the streaming twin's
+    // memory-sink view free of self-join reference conflicts)
+    grid.withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(byType))
+      .withColumn("p05_cents",
         min(when(col("cum") * 100 >= col("n") * 5, col("cents")))
-          .as("p05_cents"),
+          .over(byType))
+      .withColumn("p95_cents",
         min(when(col("cum") * 100 >= col("n") * 95, col("cents")))
-          .as("p95_cents"))
-    grid.join(bounds, Seq("event_type"))
+          .over(byType))
       .withColumn("clamped",
         least(greatest(col("cents"), col("p05_cents")), col("p95_cents")))
       .groupBy(col("event_type"))
@@ -2676,6 +2685,43 @@ object EventAnalytics {
         max(col("p95_cents")).as("p95_cents"),
         expr("(sum(clamped * cnt) * 1000) div max(n)")
           .as("win_mean_millicents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** `events_rate_ci` — per-type user-reach rate with a WILSON 95 %
+    * interval: the binomial CI that stays honest at extreme rates and
+    * small n (the Wald interval's failure mode), the readout every
+    * feature-adoption / reach dashboard needs next to the point
+    * estimate. p̂ = users-with-type / all-users; Wilson bounds
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) at fixed
+    * z = 1.96. Determinism: p̂ enters as an exact integer ratio, the
+    * one sqrt is IEEE-correctly-rounded on every engine (§6, the
+    * temperature-sampling argument), and the bounds round to 6 dp.
+    * Two keyed distinct-rollups + a one-row broadcast. */
+  def eventsRateCi(t: Tables): DataFrame = {
+    val users = t.events.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val reach = t.events.select(col("event_type"), col("user_id"))
+      .distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("k"))
+    // z² as the PARSED literal 3.8416, not 1.96*1.96 computed — the
+    // product differs from the parsed constant in the last ulp, and
+    // both engines must start from bit-identical operands (§6)
+    val z2 = 3.8416
+    reach.crossJoin(broadcast(users))
+      .withColumn("p", col("k").cast("double") / col("n").cast("double"))
+      .withColumn("center",
+        (col("p") + lit(z2) / (lit(2.0) * col("n"))) /
+          (lit(1.0) + lit(z2) / col("n")))
+      .withColumn("half",
+        lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+          lit(z2) / (lit(4.0) * col("n") * col("n"))) /
+          (lit(1.0) + lit(z2) / col("n")))
+      .select(col("event_type"), col("k").as("n_users_reached"),
+        col("n").as("n_users"),
+        round(col("p") + lit(1e-9), 6).as("rate"),
+        round(col("center") - col("half") + lit(1e-9), 6).as("ci_lo"),
+        round(col("center") + col("half") + lit(1e-9), 6).as("ci_hi"))
       .orderBy(col("event_type"))
   }
 

@@ -1119,6 +1119,23 @@ object Streaming {
       drainToTable(daily, "complete"))
   }
 
+  /** X46 — `stream_winsorized_mean`: the grid-exact winsorized mean
+    * maintained CONTINUOUSLY — the (type, cents) value grid as ONE
+    * keyed streaming aggregation (the same value-domain state shape
+    * as [[streamKsTest]]), with the shared order-statistic + clamp
+    * readout ([[graft.operators.EventAnalytics.winsorizedFromGrid]])
+    * over the drained grid. Shares `events_winsorized_mean`'s oracle
+    * verbatim — stream/batch equivalence pair #38. */
+  def streamWinsorizedMean(t: Tables): DataFrame = {
+    val grid = eventsStream(t)
+      .select(col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.operators.EventAnalytics.winsorizedFromGrid(
+      drainToTable(grid, "complete"))
+  }
+
   /** X45 — `stream_type_entropy`: the per-user behavioral-entropy
     * screen maintained CONTINUOUSLY — the (user, type) counts as ONE
     * keyed streaming aggregation (state = the distinct key set,
