@@ -555,6 +555,9 @@ object SparkEntry {
     // TYPED metadata-only stats: min/max of timestamp/date/int answer
     // from the manifest zone maps, zero files read (plan-pinned)
     "q_shard_stats_typed" -> q(t => graft.sources.SourceOps.qShardStatsTyped(t)),
+    // TOP-N pushdown: ORDER BY range-col LIMIT k plans only the files
+    // at the sorted end (manifest-proven order; plan-pinned)
+    "q_shard_topn" -> q(t => graft.sources.SourceOps.qShardTopn(t)),
     // the connector as a streaming sink (foreachBatch append per
     // micro-batch) — stream/batch equivalence pair #24
     "stream_shard_sink"   -> q(t => graft.streaming.Streaming.streamShardSink(t)),
@@ -5183,6 +5186,11 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog CTAS + SELECT lands the same rollup
     "q_catalog_sql_roundtrip" -> shardRollupSql,
+    // the pushed top-N replays as a plain ORDER BY ... LIMIT
+    "q_shard_topn" ->
+      """SELECT event_id,
+        | CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |FROM events ORDER BY event_id DESC LIMIT 500""".stripMargin,
     // typed metadata-only stats recomputed from raw events
     "q_shard_stats_typed" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -888,6 +888,26 @@ object SourceOps {
         max(col("hh")).cast("long").as("hh_max"))
   }
 
+  /** `q_shard_topn` — TOP-N pushdown under the driver gate: the
+    * latest 500 events by id from a range-clustered table plan as the
+    * few files at the sorted end of the manifest (the scan proves the
+    * order from disjoint zone ranges + zero null counts and refuses
+    * otherwise — spec-pinned both ways), Spark's own sort+limit runs
+    * over just those rows, and the oracle replays the identical
+    * ORDER BY ... LIMIT over raw events. Unique ids make the row set
+    * deterministic. */
+  def qShardTopn(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_topn_${dirTag(t.dir)}")
+    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+      t.events.select(col("event_id"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+        .write.format("gshard").option("rangecol", "event_id")
+        .option("shards", 16).mode("overwrite").save(dir)
+    }
+    t.spark.read.format("gshard").load(dir)
+      .orderBy(desc("event_id")).limit(500)
+  }
+
   def qShardNullRoundtrip(t: Tables): DataFrame = {
     val dir = staging(s"gshard_n_${dirTag(t.dir)}")
     t.events.select(col("user_id"),

@@ -436,7 +436,9 @@ private[shard] class ShardScanBuilder(dir: String,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
@@ -445,6 +447,62 @@ private[shard] class ShardScanBuilder(dir: String,
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(String, Boolean, Int)] = None
+
+  /** LIMIT pushdown at FILE grain: the scan plans only a prefix of
+    * the manifest whose row counts reach the limit — a `LIMIT 10`
+    * over a million-file table opens one file. PARTIAL (Spark keeps
+    * its own Limit; any N rows are a correct un-ordered limit).
+    * Refused when filters are pushed: all our filters are residual,
+    * so a pre-filter file cap could starve the post-filter limit. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty || limit <= 0) false
+    else { pushedLimit = Some(limit); true }
+  }
+
+  /** TOP-N pushdown at FILE grain — accepted ONLY when the manifest
+    * PROVES the ordering: a single sort key on an ordered
+    * physically-long column, every file null-free in it (null
+    * placement can't matter), and the files' [min,max] ranges
+    * pairwise DISJOINT (the range-clustered layout guarantees it; an
+    * overlapping append generation refuses). Then the k files at the
+    * sorted end whose rows reach N provably contain the global
+    * top-N. PARTIAL: Spark still sorts + limits the reduced rows. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    if (pushed.nonEmpty || limit <= 0 || orders.length != 1) return false
+    val o = orders(0)
+    val colName = o.expression() match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val ok = colName.exists { c =>
+      val orderedLong = manifest.schema.fields.exists(f => f.name == c &&
+        (f.dataType == LongType || f.dataType == TimestampType ||
+          f.dataType == TimestampNTZType || f.dataType == DateType ||
+          f.dataType == IntegerType))
+      val nullFree = manifest.entries.forall(_.nullCnt.get(c).contains(0L))
+      val bounded = manifest.entries.forall(e => e.zMin.contains(c))
+      def disjoint = manifest.entries.map(e => (e.zMin(c), e.zMax(c)))
+        .sortBy(_._1).sliding(2).forall {
+          case Seq((_, aMax), (bMin, _)) => bMin > aMax
+          case _ => true
+        }
+      orderedLong && nullFree && bounded && disjoint
+    }
+    if (!ok) false
+    else {
+      pushedTopN = Some((colName.get,
+        o.direction() == SortDirection.ASCENDING, limit))
+      true
+    }
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** METADATA-ONLY aggregates: an unfiltered, ungrouped COUNT(*) /
     * MIN / MAX over zone-mapped columns is answerable from the
@@ -546,7 +604,8 @@ private[shard] class ShardScanBuilder(dir: String,
     case None =>
       new ShardScan(dir, manifest, required, pushed,
         Option(options.get("maxfilespertrigger")).map(_.toInt),
-        Option(options.get("columnar")).forall(_.toBoolean))
+        Option(options.get("columnar")).forall(_.toBoolean),
+        pushedLimit, pushedTopN)
   }
 }
 
@@ -607,7 +666,9 @@ private[shard] class ShardAggReaderFactory extends PartitionReaderFactory {
 private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     required: StructType, pushed: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
-    columnar: Boolean = true) extends Scan with Batch
+    columnar: Boolean = true,
+    limitRows: Option[Int] = None,
+    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -728,8 +789,36 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
   private def survivors: Seq[ShardFormat.ShardEntry] =
     manifest.entries.filter(survives)
 
+  /** Take entries (already ordered as desired) until their row
+    * counts reach `n` — the file-grain limit/top-N cap. */
+  private def prefixByRows(es: Seq[ShardFormat.ShardEntry],
+      n: Int): Seq[ShardFormat.ShardEntry] = {
+    var acc = 0L
+    es.takeWhile { e => val keep = acc < n; acc += e.rows; keep }
+  }
+
+  /** Survivors with the pushed LIMIT / TOP-N file cap applied. Both
+    * caps were accepted only with no pushed filters, and runtime
+    * filters (a join's late key set) disable them — a post-filter cap
+    * over pre-filter row counts could starve the limit. */
+  private def cappedSurvivors: Seq[ShardFormat.ShardEntry] = {
+    val base = survivors
+    if (runtimeFilters.nonEmpty) base
+    else topN match {
+      case Some((c, asc, n)) =>
+        val sorted =
+          if (asc) base.sortBy(e => e.zMin(c))
+          else base.sortBy(e => -e.zMax(c))
+        prefixByRows(sorted, n)
+      case None => limitRows match {
+        case Some(n) => prefixByRows(base, n)
+        case None => base
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    survivors.map(e => ShardInputPartition(s"$dir/${e.file}",
+    cappedSurvivors.map(e => ShardInputPartition(s"$dir/${e.file}",
       manifest.schema.fields.map(f => (f.name, f.dataType.typeName)),
       required.fieldNames,
       skipFilters.toArray)).toArray[InputPartition]
@@ -743,8 +832,11 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
   // loud CAPPED flag when build-time sizing hit the 1 MB ceiling and
   // the filter admits more than designed
   override def description(): String = {
-    val n = survivors.size
-    val bloomAudit = {
+    val n = cappedSurvivors.size
+    val capNote = topN.map { case (c, asc, k) =>
+      s", TopN: [$c ${if (asc) "ASC" else "DESC"} limit $k]"
+    }.orElse(limitRows.map(k => s", Limit: [$k]")).getOrElse("")
+    val bloomAudit = capNote + {
       val cols = manifest.entries.flatMap(_.bloomBpv.keys).distinct.sorted
       if (cols.isEmpty) ""
       else cols.map { c =>

@@ -978,6 +978,17 @@ class PlanAuditSpec extends SparkSpec {
       s"timestamp zone maps pruned nothing: $desc")
   }
 
+  test("q_shard_topn: ORDER BY range-col LIMIT plans only the sorted " +
+      "end of the manifest") {
+    val p = plan(graft.sources.SourceOps.qShardTopn(tables))
+    assert(p.contains("TopN: [event_id DESC limit 500]"),
+      s"top-N not pushed:\n$p")
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(
+      p.linesIterator.find(_.contains("files=")).getOrElse(""))
+    assert(m.isDefined && m.get.group(1).toInt < m.get.group(2).toInt,
+      s"top-N pruned nothing:\n$p")
+  }
+
   test("q_shard_stats_typed: typed aggregates answer metadata-only") {
     val p = plan(graft.sources.SourceOps.qShardStatsTyped(tables))
     assert(p.contains("metadata-only"), s"typed stats scanned data:\n$p")

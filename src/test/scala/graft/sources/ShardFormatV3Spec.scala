@@ -372,6 +372,79 @@ class ShardFormatV3Spec extends SparkSpec {
     assert(spark.read.format("gshard").load(d).count() == after)
   }
 
+  // ── limit / top-N pushdown ─────────────────────────────────────────
+
+  test("LIMIT plans a file prefix; TOP-N on the range column plans the " +
+      "sorted end; both exact") {
+    val d = Files.createTempDirectory("gshard_topn_").toString
+    val src = tables.events.select(col("event_id"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    src.write.format("gshard").option("rangecol", "event_id")
+      .option("shards", 8).mode("overwrite").save(d)
+    val m = ShardFormat.readManifest(d)
+    assert(m.entries.size >= 8)
+    def load = spark.read.format("gshard").load(d)
+    // LIMIT: fewer files planned, row count honored
+    val lim = load.limit(10)
+    assert(lim.rdd.getNumPartitions < m.entries.size,
+      "LIMIT planned every file")
+    assert(lim.count() == 10)
+    // TOP-N ascending: exact versus the parquet truth
+    val bottom = load.orderBy(asc("event_id")).limit(25)
+    val pAsc = bottom.queryExecution.executedPlan.toString()
+    assert(pAsc.contains("TopN: [event_id ASC limit 25]"),
+      s"top-N not pushed:\n$pAsc")
+    assert("files=(\\d+)/(\\d+)".r.findFirstMatchIn(pAsc)
+      .exists(x => x.group(1).toInt < x.group(2).toInt),
+      s"top-N pruned nothing:\n$pAsc")
+    assert(bottom.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      src.orderBy(asc("event_id")).limit(25).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // ... and descending mirrors off zMax
+    val top = load.orderBy(desc("event_id")).limit(25)
+    assert(top.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      src.orderBy(desc("event_id")).limit(25).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  test("TOP-N REFUSES when the manifest can't prove the order: " +
+      "overlapping append generations, nullable or unmapped sort keys") {
+    val sess = spark
+    import sess.implicits._
+    // overlapping generations: two appends each spanning the full key
+    // range -> files overlap -> the file prefix can't bound the top-N
+    val d = Files.createTempDirectory("gshard_topn_ref_").toString
+    val ev = tables.events.select(col("event_id"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    ev.filter(col("event_id") % 2 === 0).write.format("gshard")
+      .option("rangecol", "event_id").option("shards", 4)
+      .mode("overwrite").save(d)
+    ev.filter(col("event_id") % 2 === 1).write.format("gshard")
+      .option("rangecol", "event_id").option("shards", 4)
+      .mode("append").save(d)
+    val p = spark.read.format("gshard").load(d)
+      .orderBy(asc("event_id")).limit(10)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("TopN: ["),
+      s"top-N accepted over overlapping files:\n$p")
+    // values still exact (Spark's own sort+limit does the work)
+    assert(spark.read.format("gshard").load(d)
+      .orderBy(asc("event_id")).limit(10).collect().map(_.getLong(0)).toSeq ==
+      ev.orderBy(asc("event_id")).limit(10).collect()
+        .map(_.getLong(0)).toSeq)
+    // nullable sort key: refuse (null ordering can't be proven)
+    val d2 = Files.createTempDirectory("gshard_topn_null_").toString
+    tables.events.select(col("event_id"),
+        when(col("event_id") % 7 =!= 0, col("user_id")).as("v"))
+      .write.format("gshard").option("rangecol", "event_id")
+      .option("shards", 4).mode("overwrite").save(d2)
+    val p2 = spark.read.format("gshard").load(d2)
+      .orderBy(asc("v")).limit(10)
+      .queryExecution.executedPlan.toString()
+    assert(!p2.contains("TopN: ["),
+      s"top-N accepted on a nullable key:\n$p2")
+  }
+
   // ── old-generation rejection ───────────────────────────────────────
 
   test("v1/v2 manifests are rejected up front with a rewrite-required " +
