@@ -178,7 +178,22 @@ class EmptyInputSpec extends SparkSpec {
     // frames, the guarded DIVs never evaluate
     "q_time_weighted_avg", "events_bounce_rate",
     // WoW over an empty weekly rollup: no windows, no rows
-    "events_wow_change")
+    "events_wow_change",
+    // round-17: the rank statistics over an empty value grid (KS's
+    // limit(1) of nothing, MW's all-NULL single agg row — the DIVs
+    // see NULL, never throw), entropy/Hill/Wilson over zero users
+    // (the alpha crossJoin carries NULL s; Wilson has zero reach
+    // rows), the winsorized readout over an empty grid, mode/listagg
+    // over empty joins, the Gopher ladder map-only, the two mm plans
+    // (empty media/audio tables), and the typed-gshard trio: CTAS of
+    // an empty typed projection (NULL min-ts guard picks the fixed
+    // cutoff), typed metadata aggregates over a zero-file manifest
+    // (count 0, NULL typed min/max), and top-N over zero files
+    "events_ks_test", "events_mann_whitney", "events_type_entropy",
+    "events_powerlaw_alpha", "events_winsorized_mean", "events_rate_ci",
+    "q_mode_per_group", "q_string_agg", "text_gopher_rules",
+    "mm_aspect_buckets", "mm_audio_chunk_plan",
+    "q_shard_types_roundtrip", "q_shard_stats_typed", "q_shard_topn")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
