@@ -119,6 +119,8 @@ object SparkEntry {
     "stream_winsorized_mean" -> q(t => graft.streaming.Streaming.streamWinsorizedMean(t)),
     // per-type user reach with a Wilson 95% interval
     "events_rate_ci" -> q(EventAnalytics.eventsRateCi),
+    // the reach CI maintained continuously — pair #39
+    "stream_rate_ci" -> q(t => graft.streaming.Streaming.streamRateCi(t)),
     // Hill MLE tail exponent of per-user activity (skew sizing)
     "events_powerlaw_alpha" -> q(t => EventAnalytics.eventsPowerlawAlpha(t)),
     // weekly new/retained/resurrected/churned decomposition
@@ -892,6 +894,26 @@ object SparkEntry {
 
   /** DuckDB oracle shared by the batch and streaming Benford audits
     * (equivalence pair #31). */
+  /** Shared by `events_rate_ci` and its streaming twin: Wilson 95 %
+    * bounds on per-type user reach (one correctly-rounded sqrt; z²
+    * as the parsed literal on both engines; 6-dp rounding). */
+  private val rateCiSql: String =
+    """WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      |  FROM events),
+      |r AS (SELECT event_type,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS k FROM events
+      | GROUP BY 1),
+      |s AS (SELECT event_type, k, n, k * 1.0 / n AS p,
+      |  (k * 1.0 / n + 3.8416 / (2 * n)) / (1 + 3.8416 / n) AS center,
+      |  1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+      |    + 3.8416 / (4.0 * n * n)) / (1 + 3.8416 / n) AS half
+      | FROM r, u)
+      |SELECT event_type, k AS n_users_reached, n AS n_users,
+      | round(p + 1e-9, 6) AS rate,
+      | round(center - half + 1e-9, 6) AS ci_lo,
+      | round(center + half + 1e-9, 6) AS ci_hi
+      |FROM s ORDER BY 1""".stripMargin
+
   /** Shared by `events_winsorized_mean` and its streaming twin:
     * grid-exact winsorization — p05/p95 order statistics via integer
     * cumulative counts, clamp folded over the grid, milli-cent mean. */
@@ -2833,22 +2855,8 @@ object SparkEntry {
     "stream_winsorized_mean" -> winsorizeSql,
     // Wilson 95% CI on per-type user reach (one correctly-rounded
     // sqrt; 6-dp rounding)
-    "events_rate_ci" ->
-      """WITH u AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n
-        |  FROM events),
-        |r AS (SELECT event_type,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS k FROM events
-        | GROUP BY 1),
-        |s AS (SELECT event_type, k, n, k * 1.0 / n AS p,
-        |  (k * 1.0 / n + 3.8416 / (2 * n)) / (1 + 3.8416 / n) AS center,
-        |  1.96 * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
-        |    + 3.8416 / (4.0 * n * n)) / (1 + 3.8416 / n) AS half
-        | FROM r, u)
-        |SELECT event_type, k AS n_users_reached, n AS n_users,
-        | round(p + 1e-9, 6) AS rate,
-        | round(center - half + 1e-9, 6) AS ci_lo,
-        | round(center + half + 1e-9, 6) AS ci_hi
-        |FROM s ORDER BY 1""".stripMargin,
+    "events_rate_ci" -> rateCiSql,
+    "stream_rate_ci" -> rateCiSql,
     // per-user Shannon entropy: H = ln N − (Σ c ln c)/N, 4 dp
     "events_type_entropy" -> entropySql,
     "stream_type_entropy" -> entropySql,

@@ -2698,10 +2698,18 @@ object EventAnalytics {
     * one sqrt is IEEE-correctly-rounded on every engine (§6, the
     * temperature-sampling argument), and the bounds round to 6 dp.
     * Two keyed distinct-rollups + a one-row broadcast. */
-  def eventsRateCi(t: Tables): DataFrame = {
-    val users = t.events.select(col("user_id")).distinct()
+  def eventsRateCi(t: Tables): DataFrame =
+    rateCiFromPairs(t.events.select(col("event_type"), col("user_id"))
+      .distinct())
+
+  /** The Wilson readout over a distinct (event_type, user_id [, ...])
+    * key set — shared by the batch operator and its streaming twin
+    * (`stream_rate_ci`, which maintains the key set as one keyed
+    * streaming aggregation). */
+  def rateCiFromPairs(pairs: DataFrame): DataFrame = {
+    val users = pairs.select(col("user_id")).distinct()
       .agg(count(lit(1)).as("n"))
-    val reach = t.events.select(col("event_type"), col("user_id"))
+    val reach = pairs.select(col("event_type"), col("user_id"))
       .distinct()
       .groupBy(col("event_type")).agg(count(lit(1)).as("k"))
     // z² as the PARSED literal 3.8416, not 1.96*1.96 computed — the

@@ -1119,6 +1119,21 @@ object Streaming {
       drainToTable(daily, "complete"))
   }
 
+  /** X47 — `stream_rate_ci`: per-type user reach with its Wilson 95 %
+    * interval, maintained CONTINUOUSLY — the (type, user) key set as
+    * ONE keyed streaming aggregation (the same distinct-key state as
+    * the entropy twin), the shared Wilson readout over the drained
+    * set: adoption/reach with honest uncertainty per trigger. Shares
+    * `events_rate_ci`'s oracle verbatim — stream/batch equivalence
+    * pair #39. */
+  def streamRateCi(t: Tables): DataFrame = {
+    val pairs = eventsStream(t)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    graft.operators.EventAnalytics.rateCiFromPairs(
+      drainToTable(pairs, "complete"))
+  }
+
   /** X46 — `stream_winsorized_mean`: the grid-exact winsorized mean
     * maintained CONTINUOUSLY — the (type, cents) value grid as ONE
     * keyed streaming aggregation (the same value-domain state shape

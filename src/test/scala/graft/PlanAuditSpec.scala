@@ -978,6 +978,33 @@ class PlanAuditSpec extends SparkSpec {
       s"timestamp zone maps pruned nothing: $desc")
   }
 
+  test("rank statistics run their windows over the AGGREGATED value " +
+      "grid, never over raw fact rows") {
+    // the scale claim of events_ks_test / events_mann_whitney /
+    // events_winsorized_mean: fact rows reduce to (key, cents) counts
+    // FIRST; every ordered window sits above that aggregate, so the
+    // sorted data is the value DOMAIN, not the event count
+    def auditWindows(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val plan = df.queryExecution.optimizedPlan
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+      val windows = plan.collect { case w: Window => w }
+      assert(windows.nonEmpty, s"$tag: expected a window over the grid")
+      windows.foreach { w =>
+        val aggBelow = w.child.collectFirst { case a: Aggregate => a }
+        assert(aggBelow.isDefined,
+          s"$tag: a window runs over raw fact rows:\n${w.treeString}")
+      }
+    }
+    auditWindows(graft.operators.EventAnalytics.eventsKsTest(tables),
+      "events_ks_test")
+    auditWindows(graft.operators.EventAnalytics.eventsMannWhitney(tables),
+      "events_mann_whitney")
+    auditWindows(graft.operators.EventAnalytics.eventsWinsorizedMean(tables),
+      "events_winsorized_mean")
+    auditWindows(graft.operators.Relational.qModePerGroup(tables),
+      "q_mode_per_group")
+  }
+
   test("q_shard_topn: ORDER BY range-col LIMIT plans only the sorted " +
       "end of the manifest") {
     val p = plan(graft.sources.SourceOps.qShardTopn(tables))
