@@ -372,6 +372,45 @@ class ShardFormatV3Spec extends SparkSpec {
     assert(spark.read.format("gshard").load(d).count() == after)
   }
 
+  test("randomized TYPED predicate sweep: 48 seeded timestamp/date/int/" +
+      "boolean filters stay value-exact through normalization + skipping") {
+    val d = Files.createTempDirectory("gshard_typed_sweep_").toString
+    val src = typed.filter(col("ts").isNotNull)
+    src.write.format("gshard").option("rangecol", "event_id")
+      .option("shards", 8).mode("overwrite").save(d)
+    val via = spark.read.format("gshard").load(d)
+    val tsLo = tables.events.agg(min(col("ts"))).head
+      .getAs[java.time.LocalDateTime](0)
+    val rnd = new scala.util.Random(1714)
+    (1 to 48).foreach { i =>
+      // random instants straddle the corpus (including out-of-range),
+      // random days, random hours incl. impossible ones
+      val (f, tag): (DataFrame => DataFrame, String) = rnd.nextInt(6) match {
+        case 0 =>
+          val cut = tsLo.plusMinutes(rnd.between(-1440L, 46 * 1440L))
+          (df => df.filter(col("ts") >= lit(cut)), s"ts ge $cut")
+        case 1 =>
+          val cut = tsLo.plusMinutes(rnd.between(-1440L, 46 * 1440L))
+          (df => df.filter(col("ts") < lit(cut)), s"ts lt $cut")
+        case 2 =>
+          val day = java.sql.Date.valueOf(
+            tsLo.toLocalDate.plusDays(rnd.between(-2L, 40L)))
+          (df => df.filter(col("day") === lit(day)), s"day eq $day")
+        case 3 =>
+          val day = java.sql.Date.valueOf(
+            tsLo.toLocalDate.plusDays(rnd.between(-2L, 40L)))
+          (df => df.filter(col("day") > lit(day)), s"day gt $day")
+        case 4 =>
+          val h = rnd.between(-3, 30)
+          (df => df.filter(col("hh") <= h), s"hh le $h")
+        case _ =>
+          val b = rnd.nextBoolean()
+          (df => df.filter(col("is_click") === b), s"click eq $b")
+      }
+      assert(rowsOf(f(via)) == rowsOf(f(src)), s"case #$i: $tag diverged")
+    }
+  }
+
   // ── limit / top-N pushdown ─────────────────────────────────────────
 
   test("LIMIT plans a file prefix; TOP-N on the range column plans the " +
