@@ -121,6 +121,11 @@ object SparkEntry {
     "events_rate_ci" -> q(EventAnalytics.eventsRateCi),
     // the reach CI maintained continuously — pair #39
     "stream_rate_ci" -> q(t => graft.streaming.Streaming.streamRateCi(t)),
+    // peak concurrent users per day via the endpoint sweep over the
+    // (day, instant) grid — starts-before-ends at shared instants
+    "events_peak_concurrency" -> q(EventAnalytics.eventsPeakConcurrency),
+    // the capacity readout maintained continuously — pair #40
+    "stream_peak_concurrency" -> q(t => graft.streaming.Streaming.streamPeakConcurrency(t)),
     // Hill MLE tail exponent of per-user activity (skew sizing)
     "events_powerlaw_alpha" -> q(t => EventAnalytics.eventsPowerlawAlpha(t)),
     // weekly new/retained/resurrected/churned decomposition
@@ -894,6 +899,32 @@ object SparkEntry {
 
   /** DuckDB oracle shared by the batch and streaming Benford audits
     * (equivalence pair #31). */
+  /** Shared by `events_peak_concurrency` and its streaming twin: the
+    * endpoint sweep with starts-before-ends at shared instants
+    * (peak(t) = cum(<t) + starts(t)); earliest peak instant reports. */
+  private val peakConcurrencySql: String =
+    """WITH iv AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+      |   user_id,
+      |   min(epoch_us(CAST(ts AS TIMESTAMP))) AS s,
+      |   max(epoch_us(CAST(ts AS TIMESTAMP))) AS e
+      | FROM events GROUP BY 1, 2),
+      |ep AS (SELECT day, ts,
+      |  CAST(sum(st) AS BIGINT) AS st, CAST(sum(en) AS BIGINT) AS en
+      | FROM (SELECT day, s AS ts, 1 AS st, 0 AS en FROM iv
+      |       UNION ALL SELECT day, e AS ts, 0 AS st, 1 AS en FROM iv)
+      | GROUP BY 1, 2),
+      |c AS (SELECT day, ts, st,
+      |  CAST(coalesce(sum(st - en) OVER (PARTITION BY day ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |    AS cum_before
+      | FROM ep),
+      |k AS (SELECT day, ts, cum_before + st AS conc FROM c),
+      |p AS (SELECT day, max(conc) AS peak FROM k GROUP BY 1)
+      |SELECT CAST(k.day AS TIMESTAMP) AS day, p.peak,
+      | min(k.ts) AS at_us
+      |FROM k JOIN p ON k.day = p.day AND k.conc = p.peak
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** Shared by `events_rate_ci` and its streaming twin: Wilson 95 %
     * bounds on per-type user reach (one correctly-rounded sqrt; z²
     * as the parsed literal on both engines; 6-dp rounding). */
@@ -2857,6 +2888,9 @@ object SparkEntry {
     // sqrt; 6-dp rounding)
     "events_rate_ci" -> rateCiSql,
     "stream_rate_ci" -> rateCiSql,
+    // endpoint sweep: starts-before-ends arithmetic, earliest peak
+    "events_peak_concurrency" -> peakConcurrencySql,
+    "stream_peak_concurrency" -> peakConcurrencySql,
     // per-user Shannon entropy: H = ln N − (Σ c ln c)/N, 4 dp
     "events_type_entropy" -> entropySql,
     "stream_type_entropy" -> entropySql,

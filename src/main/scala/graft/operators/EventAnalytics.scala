@@ -2688,6 +2688,58 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
+  /** `events_peak_concurrency` — the maximum number of SIMULTANEOUSLY
+    * active users per day, from the classic endpoint sweep: each
+    * user-day contributes a CLOSED activity interval [first event,
+    * last event]; +1/−1 endpoints roll up by (day, instant) and one
+    * ordered pass carries the running count — the capacity-planning
+    * readout (peak concurrent load and when it happened) behind
+    * sizing decisions.
+    *
+    * Determinism at shared instants: all starts at an instant apply
+    * BEFORE any ends (a user whose interval closes at t is still
+    * concurrent with one opening at t — closed intervals), expressed
+    * arithmetically as peak(t) = cum(<t) + starts(t), so both engines
+    * compute identical integers; the earliest instant achieving the
+    * peak reports. Scale: endpoints group to DISTINCT (day, instant)
+    * rows before any window — the ordered pass runs over the endpoint
+    * GRID, day-partitioned (≤ 2·user-days rows; the T13 two-level
+    * prefix split is the recipe if a single day's grid outgrew a
+    * partition). */
+  def eventsPeakConcurrency(t: Tables): DataFrame =
+    peakFromIntervals(t.events
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e")))
+
+  /** The sweep readout over (day, user_id, s, e) intervals — shared by
+    * the batch operator and its streaming twin (`stream_peak_concurrency`,
+    * which maintains the per-user-day interval bounds as one keyed
+    * streaming aggregation). */
+  def peakFromIntervals(iv: DataFrame): DataFrame = {
+    val endpoints = iv.select(col("day"), col("s").as("ts"),
+        lit(1L).as("st"), lit(0L).as("en"))
+      .unionByName(iv.select(col("day"), col("e").as("ts"),
+        lit(0L).as("st"), lit(1L).as("en")))
+      .groupBy(col("day"), col("ts"))
+      .agg(sum(col("st")).as("st"), sum(col("en")).as("en"))
+    val before = Window.partitionBy(col("day")).orderBy(asc("ts"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    endpoints
+      .withColumn("cum_before",
+        coalesce(sum(col("st") - col("en")).over(before), lit(0L)))
+      .withColumn("conc", col("cum_before") + col("st"))
+      .withColumn("day_peak",
+        max(col("conc")).over(Window.partitionBy(col("day"))))
+      .groupBy(col("day"))
+      .agg(max(col("conc")).as("peak"),
+        min(when(col("conc") === col("day_peak"), col("ts"))).as("at_us"))
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("peak"), col("at_us"))
+      .orderBy(col("day"))
+  }
+
   /** `events_rate_ci` — per-type user-reach rate with a WILSON 95 %
     * interval: the binomial CI that stays honest at extreme rates and
     * small n (the Wald interval's failure mode), the readout every

@@ -1119,6 +1119,24 @@ object Streaming {
       drainToTable(daily, "complete"))
   }
 
+  /** X48 — `stream_peak_concurrency`: the capacity readout maintained
+    * CONTINUOUSLY — per-(day, user) interval bounds (min/max event
+    * instant) as ONE keyed streaming aggregation (state = one row per
+    * user-day, the minimal sufficient statistic; production
+    * watermarks the day), the shared endpoint sweep over the drained
+    * bounds: peak concurrent load per trigger. Shares
+    * `events_peak_concurrency`'s oracle verbatim — stream/batch
+    * equivalence pair #40. */
+  def streamPeakConcurrency(t: Tables): DataFrame = {
+    val bounds = eventsStream(t)
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .groupBy(col("day"), col("user_id"))
+      .agg(min(col("us")).as("s"), max(col("us")).as("e"))
+    graft.operators.EventAnalytics.peakFromIntervals(
+      drainToTable(bounds, "complete"))
+  }
+
   /** X47 — `stream_rate_ci`: per-type user reach with its Wilson 95 %
     * interval, maintained CONTINUOUSLY — the (type, user) key set as
     * ONE keyed streaming aggregation (the same distinct-key state as

@@ -149,6 +149,43 @@ class RankStatsSpec extends SparkSpec {
     assert(b.nonEmpty)
   }
 
+  test("events_peak_concurrency equals a driver-side interval sweep, " +
+      "and the stream twin matches (pair #40)") {
+    val iv = tables.events
+      .select(to_date(col("ts")).as("day"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect()
+      .map(r => ((r.getDate(0).toString, r.getLong(1)), r.getLong(2)))
+      .groupBy(_._1).map { case ((day, u), xs) =>
+        (day, u, xs.map(_._2).min, xs.map(_._2).max) }.toSeq
+    val expected = iv.groupBy(_._1).map { case (day, vs) =>
+      // sweep: at each instant apply all starts, then take the max,
+      // then apply ends — closed intervals, starts-before-ends
+      val events = vs.flatMap { case (_, _, s, e) =>
+        Seq((s, 1), (e, -1)) }
+      val byTs = events.groupBy(_._1).toSeq.sortBy(_._1)
+      var cur = 0L; var peak = -1L; var at = 0L
+      byTs.foreach { case (ts, es) =>
+        val starts = es.count(_._2 == 1).toLong
+        val ends = es.count(_._2 == -1).toLong
+        val conc = cur + starts
+        if (conc > peak) { peak = conc; at = ts }
+        cur = cur + starts - ends
+      }
+      assert(cur == 0L, s"$day: sweep did not return to zero")
+      day -> (peak, at)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getAs[java.time.LocalDateTime](0).toLocalDate.toString ->
+        ((r.getLong(1), r.getLong(2)))
+    }.toMap
+    val got = rows(EventAnalytics.eventsPeakConcurrency(tables))
+    assert(got == expected,
+      s"diff=${(got.toSet -- expected.toSet).take(3)}")
+    assert(rows(graft.streaming.Streaming.streamPeakConcurrency(tables))
+      == expected)
+  }
+
   test("stream_ks_test == events_ks_test (equivalence pair #35)") {
     val b = EventAnalytics.eventsKsTest(tables).head()
     val s = graft.streaming.Streaming.streamKsTest(tables).head()
