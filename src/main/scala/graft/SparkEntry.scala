@@ -108,6 +108,16 @@ object SparkEntry {
     "stream_ks_test"      -> q(t => graft.streaming.Streaming.streamKsTest(t)),
     // Mann–Whitney rank-sum U via the tie-exact 2U grid identity
     "events_mann_whitney" -> q(EventAnalytics.eventsMannWhitney),
+    // Welch's t on the continuous per-user metric (integer moments,
+    // fixed double tree — the mean companion to the ab_test z)
+    "events_welch_ttest"  -> q(EventAnalytics.eventsWelchTtest),
+    // the Welch readout maintained continuously — pair #41
+    "stream_welch_ttest"  -> q(t => graft.streaming.Streaming.streamWelchTtest(t)),
+    // chi-square independence over type × variant, integer-summed
+    "events_chisq"        -> q(EventAnalytics.eventsChisq),
+    // Theil–Sen robust slope: lower-median of pairwise ppm slopes
+    // over the aggregated daily series
+    "events_theilsen"     -> q(EventAnalytics.eventsTheilSen),
     // per-user behavioral entropy of the event-type distribution
     "events_type_entropy" -> q(EventAnalytics.eventsTypeEntropy),
     // the entropy screen maintained continuously — pair #37
@@ -372,6 +382,9 @@ object SparkEntry {
     "dedup_containment"   -> q(t => Dedup.dedupContainment(t)),
     "dedup_minhash_tuning" -> q(Dedup.dedupMinhashTuning),
     "corpus_dedup_weights"-> q(Dedup.corpusDedupWeights),
+    // source-pair n-gram Jaccard matrix: the corpus-level
+    // contamination diagnostic (hash-keyed, fan-out ≤ #sources)
+    "corpus_source_overlap" -> q(t => Dedup.corpusSourceOverlap(t)),
     // §2.4 similarity search (all oracle-checked: LSH/IVF indexes are
     // deterministic, so their semantics replay exactly in DuckDB)
     "ann_bruteforce_topk" -> q(Similarity.annBruteForceTopK),
@@ -550,6 +563,9 @@ object SparkEntry {
     // STRING zone maps: base64 bounds in the manifest, unsigned-byte
     // pruning on a tag predicate, plan-pinned files=k/n (v2 format)
     "q_shard_scan_string" -> q(t => graft.sources.SourceOps.qShardScanString(t)),
+    // double-predicate twin over the v4 double zone maps: metric
+    // columns get file skipping too (plan-pinned files=k/n)
+    "q_shard_scan_double" -> q(t => graft.sources.SourceOps.qShardScanDouble(t)),
     // NULL bitmaps end to end: DSv2 write with nulls in string+long
     // columns, vectorized read-back, count(*) vs count(col) vs sum
     "q_shard_null_roundtrip" -> q(t => graft.sources.SourceOps.qShardNullRoundtrip(t)),
@@ -944,6 +960,45 @@ object SparkEntry {
       | round(center - half + 1e-9, 6) AS ci_lo,
       | round(center + half + 1e-9, 6) AS ci_hi
       |FROM s ORDER BY 1""".stripMargin
+
+  /** Shared by `events_welch_ttest` and its streaming twin (pair
+    * #41): Welch's t over exact integer cents moments per md5
+    * variant — the SAME double expression tree as the Spark side
+    * (operand order pinned; one correctly-rounded sqrt; 4/2-dp
+    * rounding with the 1e-9 nudge). */
+  private val welchTtestSql: String =
+    """WITH u AS (SELECT user_id,
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      | FROM events GROUP BY 1),
+      |v AS (SELECT *,
+      |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |   THEN 'A' ELSE 'B' END AS variant FROM u),
+      |m AS (SELECT
+      |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+      |  CAST(sum(CASE WHEN variant = 'A' THEN x * x ELSE 0 END) AS BIGINT) AS sxx_a,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN x * x ELSE 0 END) AS BIGINT) AS sxx_b
+      | FROM v),
+      |s AS (SELECT *,
+      |  CAST(sx_a AS DOUBLE) / nullif(n_a, 0) AS mean_a_raw,
+      |  CAST(sx_b AS DOUBLE) / nullif(n_b, 0) AS mean_b_raw FROM m),
+      |w AS (SELECT *,
+      |  (CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * mean_a_raw)
+      |    / nullif(n_a - 1, 0) AS var_a,
+      |  (CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * mean_b_raw)
+      |    / nullif(n_b - 1, 0) AS var_b FROM s),
+      |z AS (SELECT *, var_a / n_a AS qa, var_b / n_b AS qb FROM w)
+      |SELECT n_a, n_b,
+      | round(mean_a_raw + 1e-9, 4) AS mean_a,
+      | round(mean_b_raw + 1e-9, 4) AS mean_b,
+      | round((mean_b_raw - mean_a_raw) / nullif(sqrt(qa + qb), 0) + 1e-9, 4)
+      |   AS t_stat,
+      | round((qa + qb) * (qa + qb)
+      |   / nullif(qa * qa / (n_a - 1) + qb * qb / (n_b - 1), 0) + 1e-9, 2)
+      |   AS df
+      |FROM z""".stripMargin
 
   /** Shared by `events_winsorized_mean` and its streaming twin:
     * grid-exact winsorization — p05/p95 order statistics via integer
@@ -2177,6 +2232,56 @@ object SparkEntry {
         | ((r2a - n_a * (n_a + 1)) * 1000000) // (n_a * n_b) - 1000000
         |   AS rb_ppm
         |FROM t""".stripMargin,
+    "events_welch_ttest" -> welchTtestSql,
+    "stream_welch_ttest" -> welchTtestSql,
+    // chi-square independence: integer cells, per-row double trees,
+    // the TOTAL summed in ×10⁴ integer units (order-independent)
+    "events_chisq" ->
+      """WITH v AS (SELECT event_type,
+        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |   THEN 'A' ELSE 'B' END AS variant FROM events),
+        |c AS (SELECT event_type,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        | FROM v GROUP BY 1),
+        |w AS (SELECT *, CAST(sum(n_a) OVER () AS BIGINT) AS tot_a,
+        |  CAST(sum(n_b) OVER () AS BIGINT) AS tot_b,
+        |  CAST(count(*) OVER () AS BIGINT) AS k FROM c),
+        |e AS (SELECT *,
+        |  CAST((n_a + n_b) * tot_a AS DOUBLE) / (tot_a + tot_b) AS e_a,
+        |  CAST((n_a + n_b) * tot_b AS DOUBLE) / (tot_a + tot_b) AS e_b
+        | FROM w),
+        |x AS (SELECT *,
+        |  CAST(floor(((n_a - e_a) * (n_a - e_a) / e_a
+        |    + (n_b - e_b) * (n_b - e_b) / e_b) * 10000.0 + 0.5) AS BIGINT)
+        |    AS chi_x10k FROM e)
+        |SELECT event_type, n_a, n_b, round(e_a + 1e-9, 4) AS exp_a,
+        | chi_x10k, CAST(sum(chi_x10k) OVER () AS BIGINT) AS chi2_x10k,
+        | k - 1 AS df
+        |FROM x ORDER BY 1""".stripMargin,
+    // Theil–Sen: truncating integer ppm slopes over the daily series,
+    // lower median by rank (both engines' // truncates toward zero)
+    "events_theilsen" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |    - DATE '2024-01-01' AS BIGINT) AS d,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |  ((b.c - a.c) * 1000000) // (b.d - a.d) AS slope_ppm
+        | FROM daily a JOIN daily b
+        |   ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY slope_ppm)
+        |    AS rn,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        | FROM p),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        | FROM daily GROUP BY 1)
+        |SELECT r.event_type, n.n_days, r.m AS n_pairs,
+        | CAST(r.slope_ppm AS BIGINT) AS slope_ppm
+        |FROM r JOIN n ON n.event_type = r.event_type
+        |WHERE rn = (m + 1) // 2 ORDER BY 1""".stripMargin,
     "events_growth_accounting" -> growthSql,
     "stream_growth_accounting" -> growthSql,
     "events_ols_trend" -> olsTrendSql,
@@ -4130,6 +4235,25 @@ object SparkEntry {
         |UNION ALL
         |${cfg(8, 2)}""".stripMargin
     },
+    // source-pair overlap: true string intersections (the Spark side
+    // joins 64-bit shingle hashes — the dedup_ngram_jaccard collision
+    // argument), truncating integer ppm
+    "corpus_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $sqlToks AS toks FROM documents),
+        |sh AS (SELECT DISTINCT source, array_to_string(toks[i:i+2],' ') AS shingle
+        |  FROM t, (SELECT unnest(generate_series(1,4096)) AS i) g
+        |  WHERE i <= len(toks)-2),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS ns FROM sh GROUP BY 1),
+        |c AS (SELECT a.source AS source_1, b.source AS source_2,
+        |   CAST(count(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b
+        |    ON a.shingle = b.shingle AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_1, source_2, na.ns AS n_1, nb.ns AS n_2, common,
+        | CAST(common * 1000000 // (na.ns + nb.ns - common) AS BIGINT)
+        |   AS jaccard_ppm
+        |FROM c JOIN n na ON na.source = c.source_1
+        |JOIN n nb ON nb.source = c.source_2
+        |ORDER BY 1, 2""".stripMargin,
     "corpus_dedup_weights" ->
       s"""WITH RECURSIVE $sqlShingles,
         |mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || shingle)) AS h
@@ -5204,6 +5328,16 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(cents) AS BIGINT) AS value_cents
         |FROM e, m WHERE user_tag < thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // double-predicate twin: corpus-relative double threshold — one
+    // exact long→double conversion + one correctly-rounded division
+    // on both engines, then identical double comparisons
+    "q_shard_scan_double" ->
+      """WITH e AS (SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |  value, event_type FROM events),
+        |m AS (SELECT CAST(max(cents) // 2 AS DOUBLE) / 100.0 AS thr FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e, m WHERE value < thr GROUP BY 1 ORDER BY 1""".stripMargin,
     // nulls planted by modulo gates must survive the format's null
     // bitmaps bit for bit: count(*) keeps null rows, count(cents)
     // drops exactly the planted ones, sum sees only non-null values

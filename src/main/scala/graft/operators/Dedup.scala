@@ -1167,4 +1167,45 @@ object Dedup {
       .select(col("doc_id"), col("exact_n"), col("near_n"),
         (lit(1.0) / col("near_n")).as("weight"))
   }
+
+  /** D19 — `corpus_source_overlap`: the SOURCE-pair n-gram overlap
+    * matrix — exact Jaccard between every two sources' distinct
+    * 3-gram sets, the corpus-level contamination diagnostic that
+    * tells a mixture designer which sources share content BEFORE
+    * per-document dedup decides what to drop (dedup_cross_source
+    * finds the duplicated documents; this measures the aggregate
+    * overlap even when no single document crosses a dup threshold).
+    *
+    * Shape: distinct (source, shingle-hash) pairs — shuffles carry
+    * 8-byte xxhash64 keys, never ~30-char shingle strings (same
+    * collision argument as [[dedupNgramJaccard]]: the oracle
+    * recomputes true string intersections; an in-corpus 64-bit
+    * collision is ~2⁻⁵²) — then a hash-keyed self-join whose fan-out
+    * per key is bounded by #sources (each source contributes a key at
+    * most once after the distinct), and a #source²-row rollup.
+    * Jaccard reports in truncating integer ppm: exact on both
+    * engines. */
+  def corpusSourceOverlap(t: Tables): DataFrame = {
+    val sh = t.documents
+      .repartition(t.spark.sparkContext.defaultParallelism)
+      .select(col("source"),
+        explode(array_distinct(TextAnalysis.ngrams(
+          TextAnalysis.tokens(col("text")), 3))).as("shingle"))
+      .select(col("source"), xxhash64(col("shingle")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_1"),
+        col("b.source").as("source_2"))
+      .agg(count(lit(1)).as("common"))
+      .join(broadcast(sizes.select(col("source").as("source_1"),
+        col("ns").as("n_1"))), Seq("source_1"))
+      .join(broadcast(sizes.select(col("source").as("source_2"),
+        col("ns").as("n_2"))), Seq("source_2"))
+      .select(col("source_1"), col("source_2"), col("n_1"), col("n_2"),
+        col("common"),
+        expr("common * 1000000 div (n_1 + n_2 - common)").as("jaccard_ppm"))
+      .orderBy(col("source_1"), col("source_2"))
+  }
 }

@@ -2845,4 +2845,146 @@ object EventAnalytics {
         expr("(u2 * 1000000) div (n_a * n_b)") - lit(1000000L))
       .select(col("n_a"), col("n_b"), col("u2"), col("rb_ppm"))
   }
+
+  /** `events_welch_ttest` — Welch's unequal-variance t-test on the
+    * continuous per-user spend metric between the md5 A/B split:
+    * [[eventsAbTest]] z-tests the conversion PROPORTION; this tests
+    * the metric MEAN, the other half of every experiment readout (and
+    * the one that needs Welch, because variant value variances are
+    * never equal in practice). The metric enters as EXACT integer
+    * cents moments per variant — n, Σx, Σx² from one keyed user
+    * rollup, never a sort of fact rows — and the t statistic and
+    * Welch–Satterthwaite df are a FIXED double expression tree over
+    * those integers (identical operand order in the oracle — the §6
+    * determinism argument; one correctly-rounded sqrt), rounded at
+    * 4 dp. Scale: user rollup shuffle + a 1-row fold. Σx² of per-user
+    * cents totals stays well inside long range to ~1e9 users. */
+  def eventsWelchTtest(t: Tables): DataFrame =
+    welchFromUserCents(t.events
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("x")))
+
+  /** The Welch readout over final per-user totals (user_id, x) —
+    * shared by the batch operator and `stream_welch_ttest`
+    * (equivalence pair #41), which maintains the totals as one keyed
+    * streaming aggregation. nullif guards keep degenerate slices
+    * (empty variant, single user) NULL instead of an ANSI error. */
+  def welchFromUserCents(userX: DataFrame): DataFrame = {
+    val m = userX
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+      .agg(
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "A", col("x")).otherwise(0L)).as("sx_a"),
+        sum(when(col("variant") === "A", col("x") * col("x"))
+          .otherwise(0L)).as("sxx_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === "B", col("x")).otherwise(0L)).as("sx_b"),
+        sum(when(col("variant") === "B", col("x") * col("x"))
+          .otherwise(0L)).as("sxx_b"))
+    val meanA = col("sx_a").cast("double") / nullif(col("n_a"), lit(0L))
+    val meanB = col("sx_b").cast("double") / nullif(col("n_b"), lit(0L))
+    val varA = (col("sxx_a").cast("double") -
+      col("sx_a").cast("double") * col("mean_a_raw")) /
+      nullif(col("n_a") - lit(1L), lit(0L))
+    val varB = (col("sxx_b").cast("double") -
+      col("sx_b").cast("double") * col("mean_b_raw")) /
+      nullif(col("n_b") - lit(1L), lit(0L))
+    m.withColumn("mean_a_raw", meanA)
+      .withColumn("mean_b_raw", meanB)
+      .withColumn("qa", varA / col("n_a"))
+      .withColumn("qb", varB / col("n_b"))
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a_raw") + lit(1e-9), 4).as("mean_a"),
+        round(col("mean_b_raw") + lit(1e-9), 4).as("mean_b"),
+        round((col("mean_b_raw") - col("mean_a_raw")) /
+          nullif(sqrt(col("qa") + col("qb")), lit(0.0)) + lit(1e-9), 4)
+          .as("t_stat"),
+        round((col("qa") + col("qb")) * (col("qa") + col("qb")) /
+          nullif(col("qa") * col("qa") / (col("n_a") - lit(1L)) +
+            col("qb") * col("qb") / (col("n_b") - lit(1L)), lit(0.0)) +
+          lit(1e-9), 2).as("df"))
+  }
+
+  /** `events_chisq` — the chi-square INDEPENDENCE test over the
+    * event_type × variant contingency table (is traffic composition
+    * the same in both arms — the categorical companion to
+    * [[eventsSrm]]'s two-cell ratio check). Cell counts are exact
+    * integers from one keyed rollup; expected counts and per-cell
+    * contributions are fixed per-row double trees over those
+    * integers; the TOTAL statistic is summed in ×10⁴ INTEGER units so
+    * it is order-independent (a double window sum would drift with
+    * partitioning — §6). The windows run over the ≤ #types aggregate
+    * rows, never fact rows. */
+  def eventsChisq(t: Tables): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val cells = t.events
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+    val eA = ((col("n_a") + col("n_b")) * col("tot_a")).cast("double") /
+      (col("tot_a") + col("tot_b"))
+    val eB = ((col("n_a") + col("n_b")) * col("tot_b")).cast("double") /
+      (col("tot_a") + col("tot_b"))
+    cells
+      .withColumn("tot_a", sum(col("n_a")).over(all))
+      .withColumn("tot_b", sum(col("n_b")).over(all))
+      .withColumn("k", count(lit(1)).over(all))
+      .withColumn("e_a", eA)
+      .withColumn("e_b", eB)
+      .withColumn("chi_x10k",
+        floor(((col("n_a") - col("e_a")) * (col("n_a") - col("e_a")) /
+          col("e_a") +
+          (col("n_b") - col("e_b")) * (col("n_b") - col("e_b")) /
+            col("e_b")) * lit(10000.0) + lit(0.5)).cast("long"))
+      .withColumn("chi2_x10k", sum(col("chi_x10k")).over(all))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("e_a") + lit(1e-9), 4).as("exp_a"),
+        col("chi_x10k"), col("chi2_x10k"),
+        (col("k") - lit(1L)).as("df"))
+      .orderBy(col("event_type"))
+  }
+
+  /** `events_theilsen` — the Theil–Sen ROBUST trend slope per event
+    * type: the median of all pairwise slopes over the daily-count
+    * series, the estimator that shrugs off the outlier days that drag
+    * [[eventsOlsTrend]]'s least-squares line around (up to ~29%
+    * contamination). Slopes are integer ppm/day via truncating
+    * integer division — both engines truncate toward zero — and the
+    * median is the LOWER median (the rank-⌈m/2⌉ order statistic), so
+    * every value is exact. Scale: the pair join runs over the
+    * AGGREGATED (type, day) series — ≤ days² pairs per type, a
+    * metadata-scale domain — never over fact rows; the T13 two-level
+    * split is the recipe if a series ever outgrew a partition. */
+  def eventsTheilSen(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val nDays = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.d") < col("b.d"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.c") - col("a.c")) * lit(1000000L)).as("num"),
+        (col("b.d") - col("a.d")).as("den"))
+      .withColumn("slope_ppm", expr("num div den"))
+    val byType = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(byType.orderBy(asc("slope_ppm"))))
+      .withColumn("m", count(lit(1)).over(byType))
+      .filter(col("rn").cast("long") === expr("(m + 1) div 2"))
+      .join(nDays, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("m").as("n_pairs"),
+        col("slope_ppm"))
+      .orderBy(col("event_type"))
+  }
 }

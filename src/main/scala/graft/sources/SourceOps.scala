@@ -586,6 +586,38 @@ object SourceOps {
       .orderBy(col("event_type"))
   }
 
+  /** `q_shard_scan_double` — the DOUBLE-predicate twin of
+    * [[qShardScan]] over the v4 format's double zone maps: the table
+    * range-clusters on the cents grid so the raw `value` column's
+    * per-file [min,max] bounds are selective, and the pushed
+    * `value < thr` prunes files at planning time (files=k/n in the
+    * scan description — the first pruning path metric columns get;
+    * before v4 a double predicate was dropped from the skipping set
+    * entirely). The threshold is corpus-relative ((max cents DIV 2)
+    * / 100.0 — one exact long→double conversion and one
+    * correctly-rounded division on both engines), and the readout
+    * aggregates to exact integers. */
+  def qShardScanDouble(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_dbl_${dirTag(t.dir)}")
+    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+      graft.sources.shard.ShardFormat.write(
+        t.events.select(
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("value"), col("event_type")),
+        dir, "cents", 12)
+    }
+    val maxCents = graft.sources.shard.ShardFormat.readManifest(dir)
+      .entries.map(_.zMax.getOrElse("cents", Long.MinValue))
+      .foldLeft(Long.MinValue)(math.max)
+    val thr =
+      (if (maxCents == Long.MinValue) 0L else maxCents / 2).toDouble / 100.0
+    t.spark.read.format("gshard").load(dir)
+      .filter(col("value") < thr)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** `q_shard_stats` — the metadata-only aggregate path under the
     * driver gate: COUNT(*)/MIN/MAX over the staged shard table route
     * through the connector's aggregate pushdown (B25) and are

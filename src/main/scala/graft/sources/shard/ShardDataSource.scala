@@ -124,6 +124,21 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType)
       case LessThan(c, v: Long) => nullFree(c) && z(c) && e.zMax(c) < v
       case LessThanOrEqual(c, v: Long) =>
         nullFree(c) && z(c) && e.zMax(c) <= v
+      // double coverage is sound because bounds EXIST only for
+      // NaN-free files (the writer suppresses them otherwise) — so
+      // primitive comparisons here agree with Spark's evaluation; a
+      // NaN literal matches no case below → undecidable → the DELETE
+      // rejects loudly
+      case EqualTo(c, v: Double) => nullFree(c) && e.dMin.contains(c) &&
+        v == v && e.dMin(c) == v && e.dMax(c) == v
+      case GreaterThan(c, v: Double) =>
+        nullFree(c) && e.dMin.contains(c) && e.dMin(c) > v
+      case GreaterThanOrEqual(c, v: Double) =>
+        nullFree(c) && e.dMin.contains(c) && e.dMin(c) >= v
+      case LessThan(c, v: Double) =>
+        nullFree(c) && e.dMin.contains(c) && e.dMax(c) < v
+      case LessThanOrEqual(c, v: Double) =>
+        nullFree(c) && e.dMin.contains(c) && e.dMax(c) <= v
       case EqualTo(c, v: String) => nullFree(c) && s(c) &&
         cmp(lo(c), bytes(v)) == 0 && cmp(hi(c), bytes(v)) == 0
       case GreaterThan(c, v: String) =>
@@ -162,7 +177,9 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType)
     !(ShardFormat.longZoneAdmits(filters.toSeq,
         e.zMin.contains, e.zMin(_), e.zMax(_)) &&
       ShardFormat.stringZoneAdmits(filters.toSeq, e.sMin.contains,
-        c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))))
+        c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))) &&
+      ShardFormat.doubleZoneAdmits(filters.toSeq, e.dMin.contains,
+        e.dMin(_), e.dMax(_)))
 
   override def canDeleteWhere(rawFilters: Array[Filter]): Boolean = {
     val m = ShardFormat.readManifest(dir)
@@ -267,7 +284,9 @@ private[shard] final case class ShardCommitMessage(file: String, rows: Long,
     mins: Map[String, Long], maxs: Map[String, Long],
     sMins: Map[String, String], sMaxs: Map[String, String],
     nulls: Map[String, Long], blooms: Map[String, String] = Map.empty,
-    bloomBpv: Map[String, Long] = Map.empty)
+    bloomBpv: Map[String, Long] = Map.empty,
+    dMins: Map[String, Double] = Map.empty,
+    dMaxs: Map[String, Double] = Map.empty)
   extends WriterCommitMessage
 
 private[shard] class ShardBatchWrite(dir: String, schema: StructType,
@@ -286,7 +305,8 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     val fresh = messages.collect {
       case m: ShardCommitMessage if m.rows > 0 => // empty partitions emit no file
         ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs,
-          m.sMins, m.sMaxs, m.nulls, m.blooms, m.bloomBpv)
+          m.sMins, m.sMaxs, m.nulls, m.blooms, m.bloomBpv,
+          m.dMins, m.dMaxs)
     }.sortBy(_.file).toSeq
     val existing =
       if (ShardFormat.hasManifest(dir)) Some(ShardFormat.readManifest(dir))
@@ -424,7 +444,8 @@ private[shard] class ShardDataWriter(dir: String,
     val stats = writer.close()
     writer = null
     ShardCommitMessage(file, stats.rows, stats.zMin, stats.zMax,
-      stats.sMin, stats.sMax, stats.nullCnt, stats.bloom, stats.bloomBpv)
+      stats.sMin, stats.sMax, stats.nullCnt, stats.bloom, stats.bloomBpv,
+      stats.dMin, stats.dMax)
   }
 
   override def abort(): Unit = ()
@@ -555,6 +576,7 @@ private[shard] class ShardScanBuilder(dir: String,
       .find(_.name == c).map(_.dataType)
     def ok(c: String, v: Any) = typ(c).exists {
       case StringType => v.isInstanceOf[String]
+      case DoubleType => v.isInstanceOf[Double]
       case dt => ShardFormat.toPhysLong(dt, v).isDefined
     }
     f match {
@@ -690,7 +712,7 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     val mappable = manifest.schema.fields
       .collect { case f if ShardFormat.physicallyLong(f.dataType) ||
-        f.dataType == StringType => f.name }.toSet
+        f.dataType == StringType || f.dataType == DoubleType => f.name }.toSet
     // only columns the (pruned) scan OUTPUT carries: Spark resolves
     // these refs against the scan's output attributes
     mappable.intersect(required.fieldNames.toSet).toArray.sorted.map(
@@ -754,6 +776,8 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     ShardFormat.longZoneAdmits(fs, e.zMin.contains, e.zMin(_), e.zMax(_)) &&
       ShardFormat.stringZoneAdmits(fs, e.sMin.contains,
         c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))) &&
+      ShardFormat.doubleZoneAdmits(fs, e.dMin.contains,
+        e.dMin(_), e.dMax(_)) &&
       ShardFormat.nullCountAdmits(fs, e.nullCnt.get, e.rows) &&
       bloomAdmits(fs, e)
   }

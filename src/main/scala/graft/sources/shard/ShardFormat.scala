@@ -24,7 +24,7 @@ import org.apache.spark.sql.types._
   * disk, FILTER-pushdown file skipping over zone maps, partition
   * planning) against storage the engine owns end to end.
   *
-  * File layout v3 (`part-<shard>.gshard`) — CHUNKED row groups, the
+  * File layout v4 (`part-<shard>.gshard`) — CHUNKED row groups, the
   * parquet/ORC shape: the writer never holds more than one chunk
   * (default 64k rows) in memory, and a selective reader skips whole
   * chunks off their zone maps without decoding a byte of them:
@@ -40,6 +40,13 @@ import org.apache.spark.sql.types._
   *         [minLen INT | min bytes | maxLen INT | max bytes]
   *         (slots with either bound over 64 bytes write hasValues=0 —
   *          a missing bound only widens admission, never unsound)
+  *       one slot per DOUBLE column in schema order:
+  *         hasValues BYTE | min DOUBLE | max DOUBLE
+  *         (a chunk holding ANY NaN writes hasValues=0 — NaN orders
+  *          specially in Spark (largest, NaN = NaN true), so bounds
+  *          that ignored it would prune unsoundly; a missing bound
+  *          only admits. -0.0/0.0 compare equal on both sides, so
+  *          primitive bounds agree with Spark's evaluation.)
   *     per column, in schema order:
   *       byteLen LONG | encoded block:
   *         null bitmap: ceil(nRows/8) bytes, bit set = NULL
@@ -49,6 +56,14 @@ import org.apache.spark.sql.types._
   *                            repeat the previous value, delta 0);
   *                            chosen by MEASURED size, so a sorted
   *                            cluster column lands ≪ 8 bytes/row
+  *           2 FOR-bitpack  : base LONG | width BYTE (≤ 56) | values
+  *                            re-based to the chunk min and packed at
+  *                            the minimal bit width, LSB-first (null
+  *                            slots pack 0 = base); the parquet
+  *                            RLE/bit-packing idea — a BOOLEAN column
+  *                            lands at ~1 BIT/row, a constant column
+  *                            at ~0; chosen by MEASURED size against
+  *                            plain and delta, never worse
   *         double : nRows × 8 bytes (no tag; IEEE bits don't delta)
   *         string : tag BYTE — 0 plain offsets+bytes / 1 dictionary
   * }}}
@@ -84,11 +99,18 @@ import org.apache.spark.sql.types._
   *   file <name> <rows> <zones>
   *     zones ;-joined:  <col>=<min>:<max>        physically-long
   *                      <col>#<b64min>:<b64max>  string, base64(UTF-8)
+  *                      <col>~<bitsMin>:<bitsMax> double bounds as RAW
+  *                                               IEEE bits (decimal
+  *                                               long — exact
+  *                                               roundtrip, no
+  *                                               parse/print drift);
+  *                                               absent when the file
+  *                                               holds any NaN
   *                      <col>!<nullCount>
   *                      <col>?<b64bloom>
   *                      <col>^<bitsPerValue>     bloom sizing audit
   * }}}
-  * Older manifest generations (v1/v2) are REJECTED up front with a
+  * Older manifest generations (v1/v2/v3) are REJECTED up front with a
   * rewrite-required error — the chunk layout changed, so a partial
   * "plans fine, dies mid-scan" acceptance would be worse than the
   * loud refusal.
@@ -115,7 +137,7 @@ import org.apache.spark.sql.types._
 object ShardFormat {
 
   val Magic = 0x47534844 // "GSHD"
-  val Version = 3
+  val Version = 4
   val DefaultChunkRows = 65536
 
   /** Manifest parses this process performed — the observability hook
@@ -228,6 +250,12 @@ object ShardFormat {
         case s: String => Some(s)
         case _ => None
       }
+      // doubles need no rewrite — the literal already lives in the
+      // storage domain; doubleZoneAdmits handles NaN specially
+      case Some(DoubleType) => v match {
+        case d: Double => Some(d)
+        case _ => None
+      }
       case Some(dt) if physicallyLong(dt) => toPhysLong(dt, v)
       case _ => None
     }
@@ -263,7 +291,9 @@ object ShardFormat {
       sMax: Map[String, String] = Map.empty,
       nullCnt: Map[String, Long] = Map.empty,
       bloom: Map[String, String] = Map.empty,
-      bloomBpv: Map[String, Long] = Map.empty)
+      bloomBpv: Map[String, Long] = Map.empty,
+      dMin: Map[String, Double] = Map.empty,
+      dMax: Map[String, Double] = Map.empty)
 
   /** `lastTxn` is the DEFAULT (anonymous) writer's last applied txn
     * id; `txns` namespaces per-app versions (Delta's
@@ -284,7 +314,9 @@ object ShardFormat {
       sMin: Map[String, String], sMax: Map[String, String],
       nullCnt: Map[String, Long],
       bloom: Map[String, String] = Map.empty,
-      bloomBpv: Map[String, Long] = Map.empty)
+      bloomBpv: Map[String, Long] = Map.empty,
+      dMin: Map[String, Double] = Map.empty,
+      dMax: Map[String, Double] = Map.empty)
 
   /** Per-file BLOOM filters for point lookups on columns the range
     * clustering does NOT order — where zone maps cannot prune because
@@ -398,8 +430,9 @@ object ShardFormat {
       .collect()
 
     val entries = statRows.sortBy(_._1).map {
-      case (file, rows, mins, maxs, smins, smaxs, nulls) =>
-        ShardEntry(file, rows, mins, maxs, smins, smaxs, nulls)
+      case (file, rows, mins, maxs, smins, smaxs, nulls, dmins, dmaxs) =>
+        ShardEntry(file, rows, mins, maxs, smins, smaxs, nulls,
+          dMin = dmins, dMax = dmaxs)
     }.toSeq
     val manifest = Manifest(schema, entries)
     writeManifest(dir, manifest)
@@ -411,7 +444,7 @@ object ShardFormat {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val stats: Encoder[(String, Long, Map[String, Long],
         Map[String, Long], Map[String, String], Map[String, String],
-        Map[String, Long])] =
+        Map[String, Long], Map[String, Double], Map[String, Double])] =
       ExpressionEncoder()
   }
 
@@ -421,11 +454,12 @@ object ShardFormat {
   private def writeTaskShards(
       it: Iterator[Row], dir: String, schema: StructType, chunkRows: Int)
       : Iterator[(String, Long, Map[String, Long], Map[String, Long],
-        Map[String, String], Map[String, String], Map[String, Long])] = {
+        Map[String, String], Map[String, String], Map[String, Long],
+        Map[String, Double], Map[String, Double])] = {
     val nCols = schema.length
     val out = mutable.ArrayBuffer.empty[(String, Long, Map[String, Long],
       Map[String, Long], Map[String, String], Map[String, String],
-      Map[String, Long])]
+      Map[String, Long], Map[String, Double], Map[String, Double])]
 
     var shard = -1
     var writer: ShardFileWriter = null
@@ -434,7 +468,7 @@ object ShardFormat {
       val stats = writer.close()
       if (stats.rows > 0)
         out += ((file, stats.rows, stats.zMin, stats.zMax,
-          stats.sMin, stats.sMax, stats.nullCnt))
+          stats.sMin, stats.sMax, stats.nullCnt, stats.dMin, stats.dMax))
       writer = null
     }
     it.foreach { r =>
@@ -493,6 +527,8 @@ object ShardFormat {
       .collect { case (f, i) if physicallyLong(f.dataType) => i }
     private val strIdx = schema.fields.zipWithIndex
       .collect { case (f, i) if f.dataType == StringType => i }
+    private val dblIdx = schema.fields.zipWithIndex
+      .collect { case (f, i) if f.dataType == DoubleType => i }
 
     // file-level zone state, folded over chunks
     private val fNulls = new Array[Long](nCols)
@@ -502,6 +538,12 @@ object ShardFormat {
     private val fStrHas = new Array[Boolean](strIdx.length)
     private val fStrMin = new Array[Array[Byte]](strIdx.length)
     private val fStrMax = new Array[Array[Byte]](strIdx.length)
+    // a NaN anywhere in the file poisons that column's FILE bounds
+    // (sticky) — clean chunks still carry their own chunk-grain slots
+    private val fDblHas = new Array[Boolean](dblIdx.length)
+    private val fDblNaN = new Array[Boolean](dblIdx.length)
+    private val fDblMin = new Array[Double](dblIdx.length)
+    private val fDblMax = new Array[Double](dblIdx.length)
 
     private var totalRows = 0L
     private val buf = new mutable.ArrayBuffer[Array[Any]](chunkRows)
@@ -568,6 +610,30 @@ object ShardFormat {
           bdos.writeInt(mx.length); bdos.write(mx)
         }
       }
+      // then one slot per double column — NaN-free chunks only (NaN
+      // orders specially in Spark; a bound ignoring it would be
+      // unsound, a missing bound only admits)
+      dblIdx.foreach { i =>
+        var mn = 0.0; var mx = 0.0; var has = false; var sawNaN = false
+        var r = 0
+        while (r < n) {
+          val v = buf(r)(i)
+          if (v != null) {
+            val d = v.asInstanceOf[Double]
+            if (d != d) sawNaN = true
+            else {
+              if (!has || d < mn) mn = d
+              if (!has || d > mx) mx = d
+              has = true
+            }
+          }
+          r += 1
+        }
+        val ok = has && !sawNaN
+        bdos.writeByte(if (ok) 1 else 0)
+        bdos.writeDouble(if (ok) mn else 0.0)
+        bdos.writeDouble(if (ok) mx else 0.0)
+      }
       // column blocks: null bitmap + values
       var c = 0
       while (c < nCols) {
@@ -582,22 +648,63 @@ object ShardFormat {
         }
         schema(c).dataType match {
           case dt if physicallyLong(dt) =>
-            // MEASURED choice between plain 8-byte values and
-            // zigzag-delta varints (null slots repeat the previous
-            // value, delta 0, so nulls never blow up the deltas) —
-            // a sorted cluster column lands ≪ 8 bytes/row, a
-            // high-entropy column stays plain, never worse
+            // MEASURED choice among plain 8-byte values, zigzag-delta
+            // varints (null slots repeat the previous value, delta 0,
+            // so nulls never blow up the deltas), and FOR-bitpack
+            // (values re-based to the chunk min at the minimal bit
+            // width; null slots pack 0) — a sorted cluster column
+            // delta-encodes ≪ 8 bytes/row, a BOOLEAN column bitpacks
+            // to ~1 BIT/row, a constant column to ~0, and a
+            // high-entropy column stays plain; never worse than plain
             var deltaLen = 0L
             var prev = 0L
+            var vMin = 0L; var vMax = 0L; var hasV = false
             r = 0
             while (r < n) {
               val v = buf(r)(c)
               val l = if (v == null) prev else v.asInstanceOf[Long]
               deltaLen += varintLen(zigzag(l - prev))
               prev = l
+              if (v != null) {
+                val lv = v.asInstanceOf[Long]
+                if (!hasV || lv < vMin) vMin = lv
+                if (!hasV || lv > vMax) vMax = lv
+                hasV = true
+              }
               r += 1
             }
-            if (deltaLen < 8L * n) {
+            if (!hasV) { vMin = 0L; vMax = 0L }
+            val range = vMax - vMin
+            // width > 56 (or an overflowing range) never picks FOR:
+            // the gain over plain is < 1 byte/row there, and ≤ 56
+            // keeps the packer's 64-bit accumulator spill-free
+            val width =
+              if (range == 0L) 0
+              else if (range < 0L) 64
+              else 64 - java.lang.Long.numberOfLeadingZeros(range)
+            val forLen =
+              if (width > 56) Long.MaxValue
+              else 9L + (n.toLong * width + 7) / 8
+            if (forLen < 8L * n && forLen <= deltaLen) {
+              bdos.writeLong(bitmap.length + 1L + forLen)
+              bdos.write(bitmap)
+              bdos.writeByte(2) // encoding tag: FOR-bitpack
+              bdos.writeLong(vMin)
+              bdos.writeByte(width)
+              var acc = 0L; var nb = 0
+              r = 0
+              while (r < n) {
+                val v = buf(r)(c)
+                val off = if (v == null) 0L else v.asInstanceOf[Long] - vMin
+                acc |= off << nb // nb ≤ 7 here, width ≤ 56: no spill
+                nb += width
+                while (nb >= 8) {
+                  bdos.writeByte((acc & 0xFFL).toInt); acc >>>= 8; nb -= 8
+                }
+                r += 1
+              }
+              if (nb > 0) bdos.writeByte((acc & 0xFFL).toInt)
+            } else if (deltaLen < 8L * n) {
               bdos.writeLong(bitmap.length + 1L + deltaLen)
               bdos.write(bitmap)
               bdos.writeByte(1) // encoding tag: delta-varint
@@ -747,6 +854,25 @@ object ShardFormat {
         }
         si += 1
       }
+      var di = 0
+      while (di < dblIdx.length) {
+        val i = dblIdx(di)
+        var r = 0
+        while (r < n) {
+          val v = buf(r)(i)
+          if (v != null) {
+            val d = v.asInstanceOf[Double]
+            if (d != d) fDblNaN(di) = true
+            else {
+              if (!fDblHas(di) || d < fDblMin(di)) fDblMin(di) = d
+              if (!fDblHas(di) || d > fDblMax(di)) fDblMax(di) = d
+              fDblHas(di) = true
+            }
+          }
+          r += 1
+        }
+        di += 1
+      }
       // fold this chunk's values into the per-column bloom hash logs
       bloomIdx.foreach { i =>
         val log = bloomHashes(i)
@@ -781,6 +907,14 @@ object ShardFormat {
       val sMax = strIdx.indices.collect {
         case si if fStrHas(si) => schema(strIdx(si)).name -> b64(fStrMax(si))
       }.toMap
+      val dMin = dblIdx.indices.collect {
+        case di if fDblHas(di) && !fDblNaN(di) =>
+          schema(dblIdx(di)).name -> fDblMin(di)
+      }.toMap
+      val dMax = dblIdx.indices.collect {
+        case di if fDblHas(di) && !fDblNaN(di) =>
+          schema(dblIdx(di)).name -> fDblMax(di)
+      }.toMap
       val nulls = schema.fields.indices
         .map(c => schema(c).name -> fNulls(c)).toMap
       val built = bloomIdx.flatMap { i =>
@@ -796,7 +930,8 @@ object ShardFormat {
       }
       ShardStats(totalRows, zMin, zMax, sMin, sMax, nulls,
         built.map(t => t._1 -> t._2).toMap,
-        built.map(t => t._1 -> t._3).toMap)
+        built.map(t => t._1 -> t._3).toMap,
+        dMin, dMax)
     }
   }
 
@@ -805,7 +940,7 @@ object ShardFormat {
 
   private[graft] def writeManifest(dir: String, m: Manifest): Unit = {
     val sb = new StringBuilder
-    sb.append("gshard v3\n")
+    sb.append("gshard v4\n")
     sb.append("schema ").append(m.schema.fields
       .map(f => s"${f.name}:${typeTag(f.dataType)}").mkString(",")).append('\n')
     if (m.lastTxn >= 0L) sb.append(s"txn ${m.lastTxn}\n")
@@ -819,6 +954,13 @@ object ShardFormat {
         .map(c => s"$c=${e.zMin(c)}:${e.zMax(c)}")
       val strs = e.sMin.keys.toSeq.sorted
         .map(c => s"$c#${e.sMin(c)}:${e.sMax(c)}")
+      // double bounds as RAW IEEE bits (decimal long): exact
+      // roundtrip with no parse/print drift; NaN-holding files have
+      // no entry here by construction
+      val dbls = e.dMin.keys.toSeq.sorted.map { c =>
+        s"$c~${java.lang.Double.doubleToRawLongBits(e.dMin(c))}:" +
+          s"${java.lang.Double.doubleToRawLongBits(e.dMax(c))}"
+      }
       val nulls = e.nullCnt.keys.toSeq.sorted
         .map(c => s"$c!${e.nullCnt(c)}")
       val blooms = e.bloom.keys.toSeq.sorted
@@ -826,7 +968,7 @@ object ShardFormat {
       val bpvs = e.bloomBpv.keys.toSeq.sorted
         .map(c => s"$c^${e.bloomBpv(c)}")
       sb.append(s"file ${e.file} ${e.rows} " +
-        s"${(longs ++ strs ++ nulls ++ blooms ++ bpvs).mkString(";")}\n")
+        s"${(longs ++ strs ++ dbls ++ nulls ++ blooms ++ bpvs).mkString(";")}\n")
     }
     Files.write(Paths.get(dir, "_manifest.gshard"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -838,10 +980,11 @@ object ShardFormat {
     // older generations are rejected UP FRONT with the honest error —
     // the chunk layout changed, so accepting the manifest and dying
     // mid-scan would be misleading partial compatibility
-    require(lines.get(0) != "gshard v1" && lines.get(0) != "gshard v2",
-      s"gshard: ${lines.get(0)} table predates the v3 chunk layout — " +
+    require(lines.get(0) != "gshard v1" && lines.get(0) != "gshard v2" &&
+        lines.get(0) != "gshard v3",
+      s"gshard: ${lines.get(0)} table predates the v4 chunk layout — " +
         "rewrite required (read nothing, re-save with the current writer)")
-    require(lines.get(0) == "gshard v3",
+    require(lines.get(0) == "gshard v4",
       s"bad manifest header: ${lines.get(0)}")
     val schema = StructType(lines.get(1).stripPrefix("schema ").split(",")
       .filter(_.nonEmpty).toIndexedSeq.map { s =>
@@ -864,19 +1007,26 @@ object ShardFormat {
       var nulls = Map.empty[String, Long]
       var blooms = Map.empty[String, String]
       var bpvs = Map.empty[String, Long]
+      var dMin = Map.empty[String, Double]; var dMax = Map.empty[String, Double]
       if (parts.length > 3 && parts(3).nonEmpty)
         parts(3).split(";").foreach { kv =>
-          // the column name contains none of the five markers, so the
+          // the column name contains none of the six markers, so the
           // EARLIEST marker in the segment is the one that tags it
-          // ('=' long bounds, '#' base64 string bounds, '!' null count,
-          // '?' base64 bloom, '^' bloom bits-per-value — base64 can
-          // contain '=' but the tag marker always precedes it)
+          // ('=' long bounds, '#' base64 string bounds, '~' double
+          // bounds as raw IEEE bits, '!' null count, '?' base64 bloom,
+          // '^' bloom bits-per-value — base64 can contain '=' but the
+          // tag marker always precedes it)
           val eq = kv.indexOf('='); val hs = kv.indexOf('#')
           val bg = kv.indexOf('!'); val qm = kv.indexOf('?')
-          val ct = kv.indexOf('^')
+          val ct = kv.indexOf('^'); val td = kv.indexOf('~')
           def before(a: Int, b: Int) = a >= 0 && (b < 0 || a < b)
           def first(a: Int, rest: Int*) = rest.forall(before(a, _))
-          if (first(ct, eq, hs, bg, qm)) {
+          if (first(td, eq, hs, bg, qm, ct)) {
+            val c = kv.substring(0, td)
+            val Array(mn, mx) = kv.substring(td + 1).split(":")
+            dMin += c -> java.lang.Double.longBitsToDouble(mn.toLong)
+            dMax += c -> java.lang.Double.longBitsToDouble(mx.toLong)
+          } else if (first(ct, eq, hs, bg, qm)) {
             bpvs += kv.substring(0, ct) -> kv.substring(ct + 1).toLong
           } else if (first(qm, eq, hs, bg)) {
             blooms += kv.substring(0, qm) -> kv.substring(qm + 1)
@@ -893,7 +1043,8 @@ object ShardFormat {
             sMin += c -> mn; sMax += c -> mx
           }
         }
-      ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms, bpvs)
+      ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms, bpvs,
+        dMin, dMax)
     }.toSeq
     Manifest(schema, entries, lastTxn, txns)
   }
@@ -983,6 +1134,34 @@ object ShardFormat {
     }
   }
 
+  /** The DOUBLE twin of [[longZoneAdmits]]. Bounds exist only for
+    * NaN-FREE regions (the writer suppresses the slot otherwise), so
+    * inside a bounded region Java's primitive comparisons agree with
+    * Spark's evaluation (-0.0 == 0.0 on both; no NaN present). A NaN
+    * LITERAL always admits: Spark orders NaN largest and NaN = NaN
+    * true — e.g. `x < NaN` holds for every non-NaN x, so a primitive
+    * test against it would prune wrongly; admitting costs only IO. */
+  private[shard] def doubleZoneAdmits(filters: Seq[Filter],
+      has: String => Boolean, lo: String => Double, hi: String => Double)
+      : Boolean = {
+    def isNaN(v: Double) = v != v
+    filters.forall {
+      case EqualTo(c, v: Double) if has(c) =>
+        isNaN(v) || (lo(c) <= v && v <= hi(c))
+      case GreaterThan(c, v: Double) if has(c) => isNaN(v) || hi(c) > v
+      case GreaterThanOrEqual(c, v: Double) if has(c) =>
+        isNaN(v) || hi(c) >= v
+      case LessThan(c, v: Double) if has(c) => isNaN(v) || lo(c) < v
+      case LessThanOrEqual(c, v: Double) if has(c) =>
+        isNaN(v) || lo(c) <= v
+      case In(c, vs) if has(c) && vs.nonEmpty => vs.exists {
+        case v: Double => isNaN(v) || (lo(c) <= v && v <= hi(c))
+        case _ => true
+      }
+      case _ => true
+    }
+  }
+
   /** Decode one shard file, materializing ONLY `required` columns
     * (others are skipped via their length prefix) from only the
     * chunks whose zone maps admit `filters` (chunk skipping — the
@@ -996,6 +1175,7 @@ object ShardFormat {
     val longNames = schema.fields.filter(f => physicallyLong(f.dataType))
       .map(_.name)
     val strNames = schema.fields.filter(_.dataType == StringType).map(_.name)
+    val dblNames = schema.fields.filter(_.dataType == DoubleType).map(_.name)
     val chunks = mutable.ArrayBuffer.empty[(Int, Array[Array[Any]])]
     var chunksTotal = 0
     val dis = new DataInputStream(
@@ -1036,10 +1216,19 @@ object ShardFormat {
               sHas(n) = (mn, mx)
             }
           }
+          val dHas = mutable.Map.empty[String, (Double, Double)]
+          dblNames.foreach { n =>
+            val has = dis.readByte() != 0
+            val mn = dis.readDouble(); val mx = dis.readDouble()
+            zoneLen += 17L
+            if (has) dHas(n) = (mn, mx)
+          }
           val admit = longZoneAdmits(filters.toSeq,
               zHas.contains, zHas(_)._1, zHas(_)._2) &&
             stringZoneAdmits(filters.toSeq,
-              sHas.contains, sHas(_)._1, sHas(_)._2)
+              sHas.contains, sHas(_)._1, sHas(_)._2) &&
+            doubleZoneAdmits(filters.toSeq,
+              dHas.contains, dHas(_)._1, dHas(_)._2)
           if (!admit) skipFully(dis, restLen - zoneLen)
           else {
             val cols = new Array[Array[Any]](required.length)
@@ -1069,6 +1258,25 @@ object ShardFormat {
                         while (i < nRows) {
                           prev += unzigzag(readVarint(dis))
                           arr(i) = if (isNull(i)) null else prev
+                          i += 1
+                        }
+                      case 2 => // FOR-bitpack: base + width + packed
+                        val base = dis.readLong()
+                        val width = dis.readUnsignedByte()
+                        val packed =
+                          new Array[Byte](((nRows.toLong * width + 7) / 8).toInt)
+                        dis.readFully(packed)
+                        val mask = if (width == 0) 0L else (1L << width) - 1L
+                        var acc = 0L; var nb = 0; var bp = 0
+                        var i = 0
+                        while (i < nRows) {
+                          while (nb < width) {
+                            acc |= (packed(bp) & 0xFFL) << nb
+                            bp += 1; nb += 8
+                          }
+                          val v = base + (acc & mask)
+                          acc >>>= width; nb -= width
+                          arr(i) = if (isNull(i)) null else v
                           i += 1
                         }
                       case other => throw new IllegalStateException(

@@ -1152,6 +1152,24 @@ object Streaming {
       drainToTable(pairs, "complete"))
   }
 
+  /** X47 — `stream_welch_ttest`: the continuous-metric experiment
+    * readout maintained CONTINUOUSLY — per-user cents totals as ONE
+    * keyed streaming aggregation (state = users × one long, the
+    * minimal sufficient statistic for the Welch moments), with the
+    * shared fixed-tree readout
+    * ([[graft.operators.EventAnalytics.welchFromUserCents]]) over the
+    * drained totals. Shares `events_welch_ttest`'s oracle verbatim —
+    * stream/batch equivalence pair #41. */
+  def streamWelchTtest(t: Tables): DataFrame = {
+    val totals = eventsStream(t)
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("x"))
+    graft.operators.EventAnalytics.welchFromUserCents(
+      drainToTable(totals, "complete"))
+  }
+
   /** X46 — `stream_winsorized_mean`: the grid-exact winsorized mean
     * maintained CONTINUOUSLY — the (type, cents) value grid as ONE
     * keyed streaming aggregation (the same value-domain state shape

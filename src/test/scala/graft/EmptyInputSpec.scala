@@ -193,7 +193,15 @@ class EmptyInputSpec extends SparkSpec {
     "events_powerlaw_alpha", "events_winsorized_mean", "events_rate_ci",
     "q_mode_per_group", "q_string_agg", "text_gopher_rules",
     "mm_aspect_buckets", "mm_audio_chunk_plan",
-    "q_shard_types_roundtrip", "q_shard_stats_typed", "q_shard_topn")
+    "q_shard_types_roundtrip", "q_shard_stats_typed", "q_shard_topn",
+    // this session: the Welch moments (all-NULL single agg row, the
+    // nullif-guarded tree never throws), the chi-square windows over
+    // zero type rows, Theil–Sen over an empty daily series (no
+    // pairs), the source-overlap matrix (empty shingle sets → empty
+    // self-join), and the double-predicate gshard scan (zero-file
+    // manifest, threshold degenerates to 0.0)
+    "events_welch_ttest", "events_chisq", "events_theilsen",
+    "corpus_source_overlap", "q_shard_scan_double")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

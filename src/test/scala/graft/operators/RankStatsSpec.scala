@@ -192,4 +192,121 @@ class RankStatsSpec extends SparkSpec {
     assert((b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3)) ==
       (s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3)))
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("events_welch_ttest equals the scalar Welch replay over " +
+      "per-user totals") {
+    val perUser = tables.events
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toIndexedSeq
+    val (a, b) = perUser.partition { case (u, _) =>
+      md5Hex(u.toString).head < '8' }
+    def mom(xs: Seq[Long]) = {
+      val n = xs.size.toDouble
+      val mean = xs.map(_.toDouble).sum / n
+      val v = xs.map(x => (x - mean) * (x - mean)).sum / (n - 1)
+      (n, mean, v)
+    }
+    val (na, ma, va) = mom(a.map(_._2)); val (nb, mb, vb) = mom(b.map(_._2))
+    val t = (mb - ma) / math.sqrt(va / na + vb / nb)
+    val q = va / na + vb / nb
+    val df = q * q / (va / na * (va / na) / (na - 1) +
+      vb / nb * (vb / nb) / (nb - 1))
+    val r = EventAnalytics.eventsWelchTtest(tables).head()
+    assert((r.getLong(0), r.getLong(1)) == (a.size.toLong, b.size.toLong))
+    // the replay computes variances via the centered two-pass formula
+    // (a DIFFERENT evaluation order than the operator's moment tree —
+    // agreement proves the identity), so compare at tolerance
+    assert(math.abs(r.getDouble(2) - ma) < 1e-3, s"mean_a ${r.getDouble(2)} vs $ma")
+    assert(math.abs(r.getDouble(3) - mb) < 1e-3)
+    assert(math.abs(r.getDouble(4) - t) < 1e-3, s"t ${r.getDouble(4)} vs $t")
+    assert(math.abs(r.getDouble(5) - df) < 0.05, s"df ${r.getDouble(5)} vs $df")
+  }
+
+  test("stream_welch_ttest == events_welch_ttest (equivalence pair #41)") {
+    val b = EventAnalytics.eventsWelchTtest(tables).head()
+    val s = graft.streaming.Streaming.streamWelchTtest(tables).head()
+    assert(b.toSeq == s.toSeq)
+  }
+
+  test("events_chisq: cells replay exactly, the total is the integer " +
+      "sum of the cells, and independence of a constant split is ~0") {
+    val cells = tables.events
+      .select(col("event_type"), col("user_id"))
+      .collect().map(r => (r.getString(0),
+        if (md5Hex(r.getLong(1).toString).head < '8') "A" else "B"))
+    val byType = cells.groupBy(_._1).view.mapValues { vs =>
+      (vs.count(_._2 == "A").toLong, vs.count(_._2 == "B").toLong)
+    }.toMap
+    val totA = byType.values.map(_._1).sum
+    val totB = byType.values.map(_._2).sum
+    val rows = EventAnalytics.eventsChisq(tables).collect()
+    assert(rows.map(_.getString(0)).toSet == byType.keySet)
+    var cellSum = 0L
+    rows.foreach { r =>
+      val (ea, eb) = byType(r.getString(0))
+      assert((r.getLong(1), r.getLong(2)) == (ea, eb), r.getString(0))
+      // replay the per-cell contribution in the operator's own tree
+      val eA = ((ea + eb) * totA).toDouble / (totA + totB)
+      val eB = ((ea + eb) * totB).toDouble / (totA + totB)
+      val chi = (ea - eA) * (ea - eA) / eA + (eb - eB) * (eb - eB) / eB
+      assert(math.abs(r.getLong(4) - math.floor(chi * 10000.0 + 0.5).toLong)
+        <= 1L, s"${r.getString(0)}: ${r.getLong(4)} vs $chi")
+      cellSum += r.getLong(4)
+      assert(r.getLong(6) == byType.size.toLong - 1L) // df = k−1
+    }
+    // the total is an ORDER-INDEPENDENT integer sum of the cells
+    assert(rows.forall(_.getLong(5) == cellSum))
+  }
+
+  test("events_theilsen equals the exact pairwise-slope replay " +
+      "(truncating ppm, lower median)") {
+    val daily = tables.events
+      .select(col("event_type"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).collect {
+      case (tpe, ds) if ds.length > 1 =>
+        val pts = ds.map(x => (x._2, x._3)).sortBy(_._1)
+        val slopes = (for {
+          i <- pts.indices; j <- (i + 1) until pts.length
+        } yield ((pts(j)._2 - pts(i)._2) * 1000000L) / (pts(j)._1 - pts(i)._1))
+          .sorted // Scala / on Long truncates toward zero, like DIV
+        tpe -> ((ds.length.toLong, slopes.size.toLong,
+          slopes((slopes.size + 1) / 2 - 1)))
+    }.toMap
+    val got = EventAnalytics.eventsTheilSen(tables).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"diff=${(got.toSet -- expected.toSet).take(3)}")
+  }
+
+  test("corpus_source_overlap: the matrix is internally consistent " +
+      "(complete upper triangle, bounded intersections, exact ppm)") {
+    val rows = graft.operators.Dedup.corpusSourceOverlap(tables).collect()
+    val sources = rows.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.sorted
+    rows.foreach { r =>
+      val (s1, s2) = (r.getString(0), r.getString(1))
+      val (n1, n2, common) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(s1 < s2, s"not canonical: $s1 $s2")
+      assert(common >= 1L && common <= math.min(n1, n2),
+        s"$s1/$s2: impossible intersection $common of $n1/$n2")
+      assert(r.getLong(5) == common * 1000000L / (n1 + n2 - common),
+        s"$s1/$s2: ppm drifted")
+    }
+    // at this corpus every source pair shares at least one 3-gram, so
+    // the upper triangle is complete
+    assert(rows.length == sources.length * (sources.length - 1) / 2,
+      s"${rows.length} pairs over ${sources.length} sources")
+  }
 }

@@ -1,0 +1,227 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.sources.shard.ShardFormat
+
+/** The gshard v4 format contract on top of v3's (ShardFormatV3Spec):
+  * DOUBLE zone maps at both grains (file-level manifest bounds as raw
+  * IEEE bits, per-chunk slots) with NaN-safe admission — a region
+  * holding any NaN carries NO bounds, because Spark orders NaN above
+  * every double and evaluates NaN = NaN as true, so bounds that
+  * ignored it would prune unsoundly — and FOR-BITPACKED long blocks
+  * (values re-based to the chunk min at the minimal bit width, the
+  * parquet RLE/bit-packing idea): a boolean column lands at ~1
+  * BIT/row, a constant column at ~0 bytes, both chosen by MEASURED
+  * size against plain and delta-varint. Older manifest generations
+  * (now including v3) reject up front. */
+class ShardFormatV4Spec extends SparkSpec {
+
+  // ── double zone maps: file-level pruning ───────────────────────────
+
+  /** value correlated with the range column (cents = round(v*100)), so
+    * range clustering makes the per-file double bounds selective. */
+  private def priced: DataFrame =
+    tables.events.select(
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+      col("value").as("v"), col("event_type"))
+
+  test("double zone maps prune shard files at planning time and the " +
+      "filtered read stays exact") {
+    val d = Files.createTempDirectory("gshard_dbl_prune_").toString
+    priced.write.format("gshard").option("rangecol", "cents")
+      .option("shards", 8).mode("overwrite").save(d)
+    val m = ShardFormat.readManifest(d)
+    assert(m.entries.size >= 8, s"degenerate table: ${m.entries.size} files")
+    // every file carries double bounds (no NaN in the corpus)
+    assert(m.entries.forall(e => e.dMin.contains("v") && e.dMax.contains("v")),
+      "manifest lost the double bounds")
+    val thr = priced.agg(expr("percentile(v, 0.25)")).head.getDouble(0)
+    val q = spark.read.format("gshard").load(d).filter(col("v") < thr)
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * 100 + lit(0.5)).cast("long")).as("cents"))
+    val p = q.queryExecution.executedPlan.toString()
+    val desc = p.linesIterator.find(_.contains("files=")).getOrElse("")
+    val fm = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    assert(fm.isDefined, s"no pruning readout:\n$p")
+    assert(fm.get.group(1).toInt < fm.get.group(2).toInt,
+      s"double zone maps pruned nothing: $desc")
+    assert(p.contains("LessThan(v"), s"double filter not pushed:\n$p")
+    // values exact vs the parquet source under the same filter
+    val want = priced.filter(col("v") < thr)
+      .agg(count(lit(1)), sum(floor(col("v") * 100 + lit(0.5)).cast("long")))
+      .head
+    val got = q.head
+    assert((got.getLong(0), got.getLong(1)) ==
+      (want.getLong(0), want.getLong(1)))
+  }
+
+  // ── double zone maps: chunk-level skipping + NaN soundness ─────────
+
+  test("double predicates skip chunks inside surviving files; NaN " +
+      "chunks and NaN literals always admit; NaN/null rows roundtrip") {
+    val sess = spark
+    import sess.implicits._
+    val n = 40000
+    // v == k exactly, so chunk bounds are exact; chunk 2 (rows
+    // 16384..24575) gets NaN planted, chunk 4 nulls
+    val df = spark.range(n.toLong).select(col("id").as("k"),
+      when(col("id") === (2L * 8192 + 17), lit(Double.NaN))
+        .when(col("id") === (4L * 8192 + 23), lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("v"))
+    val d = Files.createTempDirectory("gshard_dbl_chunk_").toString
+    ShardFormat.write(df, d, "k", 1, chunkRows = 8192)
+    val m = ShardFormat.readManifest(d)
+    // the NaN poisons the FILE bounds (sound: no entry, always admit)
+    assert(!m.entries.head.dMin.contains("v"),
+      "file-level double bounds survived a NaN")
+    val schema = m.schema
+    val path = s"$d/${m.entries.head.file}"
+    // a selective predicate reads only the matching chunks — the NaN
+    // chunk admits too (its slot is empty), everything else skips
+    val dec = ShardFormat.readShardFile(path, schema, Seq("k", "v"),
+      Seq(org.apache.spark.sql.sources.GreaterThan("v", (n - 100).toDouble)))
+    assert(dec.chunksTotal == (n + 8191) / 8192)
+    // surviving: the last chunk (matches) + the NaN chunk (no bounds)
+    assert(dec.chunksRead == 2,
+      s"expected last+NaN chunks, read ${dec.chunksRead}/${dec.chunksTotal}")
+    // through the DataFrame: NaN and null rows both roundtrip, and a
+    // NaN equality literal finds its row (Spark: NaN = NaN is true)
+    val back = spark.read.format("gshard").load(d)
+    assert(back.filter(col("v").isNaN).select(col("k")).head.getLong(0) ==
+      2L * 8192 + 17)
+    assert(back.filter(col("v") === lit(Double.NaN)).count() == 1L)
+    assert(back.filter(col("v").isNull).select(col("k")).head.getLong(0) ==
+      4L * 8192 + 23)
+    assert(back.count() == n.toLong)
+    // and the selective filter stays exact despite all the skipping
+    assert(back.filter(col("v") > (n - 100).toDouble).count() ==
+      df.filter(col("v") > (n - 100).toDouble).count())
+  }
+
+  test("manifest double bounds roundtrip exact raw bits (subnormals, " +
+      "-0.0, extremes)") {
+    val schema = StructType(Seq(StructField("v", DoubleType)))
+    val tricky = Seq(-0.0, 4.9e-324, 1e-308, Double.MaxValue,
+      -Double.MaxValue, 0.1 + 0.2)
+    val entries = tricky.zipWithIndex.map { case (x, i) =>
+      ShardFormat.ShardEntry(f"part-$i%05d.gshard", 1L,
+        Map.empty, Map.empty, dMin = Map("v" -> x), dMax = Map("v" -> x))
+    }
+    val d = Files.createTempDirectory("gshard_dbl_bits_").toString
+    ShardFormat.writeManifest(d, ShardFormat.Manifest(schema, entries))
+    val back = ShardFormat.readManifest(d)
+    tricky.zipWithIndex.foreach { case (x, i) =>
+      val e = back.entries(i)
+      assert(java.lang.Double.doubleToRawLongBits(e.dMin("v")) ==
+        java.lang.Double.doubleToRawLongBits(x), s"bit drift at $x")
+    }
+  }
+
+  // ── FOR-bitpacked long blocks ──────────────────────────────────────
+
+  test("boolean columns bitpack to ~1 bit/row and constant columns " +
+      "to ~0; values (with nulls) roundtrip through both readers") {
+    val n = 50000
+    val df = spark.range(n.toLong).select(col("id").as("k"),
+      when(col("id") % 11 =!= 0, col("id") % 3 === 0).as("flag"),
+      lit(42L).as("konst"))
+    val d = Files.createTempDirectory("gshard_bitpack_").toString
+    ShardFormat.write(df, d, "k", 1, chunkRows = 8192)
+    val m = ShardFormat.readManifest(d)
+    val fileBytes = Files.size(Paths.get(d, m.entries.head.file))
+    // plain would cost 24 B/row. Budget: k delta-varints at 1 B/row,
+    // flag bitpacks at 1 BIT/row, konst at ~0, three null bitmaps at
+    // 3 bits/row — ~1.5 B/row plus chunk headers. Well under 2 B/row
+    // proves both bitpack engagements; well over 1 B/row proves no
+    // lossy trick.
+    assert(fileBytes < 2L * n,
+      s"bitpack never engaged: $fileBytes bytes for $n rows")
+    assert(fileBytes > 1L * n, s"impossible: $fileBytes bytes for $n rows")
+    def rows(x: DataFrame) = x.collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getBoolean(1)),
+        r.getLong(2))
+    }.toSet
+    val want = rows(df)
+    assert(want.exists(_._2.isEmpty), "degenerate: no nulls planted")
+    for (columnar <- Seq(true, false)) {
+      val got = rows(spark.read.format("gshard")
+        .option("columnar", columnar.toString).load(d))
+      assert(got == want, s"columnar=$columnar diverged")
+    }
+  }
+
+  test("bitpack handles wide offsets, negative bases, and all-null " +
+      "columns; width > 56 falls back") {
+    val sess = spark
+    import sess.implicits._
+    // base negative, range just under 2^20; plus an all-null column
+    val df = (0 until 2000).map { i =>
+      (i.toLong, -1000000L + (i.toLong * 524L) % 1048575L,
+        Option.empty[Long])
+    }.toDF("k", "v", "allnull")
+    val d = Files.createTempDirectory("gshard_bitpack_wide_").toString
+    ShardFormat.write(df, d, "k", 1)
+    val back = spark.read.format("gshard").load(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet
+    assert(back == df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.isNullAt(2))).toSet)
+    // full-range longs (width 64) must stay plain-sized, not corrupt
+    val d2 = Files.createTempDirectory("gshard_bitpack_full_").toString
+    val df2 = Seq((0L, Long.MinValue), (1L, Long.MaxValue), (2L, 0L))
+      .toDF("k", "v")
+    ShardFormat.write(df2, d2, "k", 1)
+    assert(spark.read.format("gshard").load(d2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, Long.MinValue), (1L, Long.MaxValue), (2L, 0L)))
+  }
+
+  // ── double metadata DELETE + old-generation rejection ──────────────
+
+  test("a v3 manifest rejects up front with the rewrite-required error") {
+    val d = Files.createTempDirectory("gshard_v3_reject_").toString
+    Files.write(Paths.get(d, "_manifest.gshard"),
+      "gshard v3\nschema k:long\nfile part-00000.gshard 10 k=0:9\n"
+        .getBytes("UTF-8"))
+    val ex = intercept[IllegalArgumentException] {
+      ShardFormat.readManifest(d)
+    }
+    assert(ex.getMessage.contains("rewrite required"), ex.getMessage)
+  }
+
+  test("randomized double predicates never diverge from the parquet " +
+      "truth (seeded sweep over pruned scans)") {
+    val d = Files.createTempDirectory("gshard_dbl_sweep_").toString
+    priced.write.format("gshard").option("rangecol", "cents")
+      .option("shards", 8).mode("overwrite").save(d)
+    val via = spark.read.format("gshard").load(d)
+    val src = priced
+    val (lo, hi) = {
+      val r = src.agg(min(col("v")), max(col("v"))).head
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val rnd = new scala.util.Random(0xD0B1E5L)
+    def agg(x: DataFrame) = {
+      val r = x.agg(count(lit(1)).as("n"),
+        sum(floor(col("v") * 1000 + lit(0.5)).cast("long")).as("s")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    (0 until 24).foreach { i =>
+      // straddle and EXCEED the corpus range on both sides
+      val t = lo + (hi - lo) * (rnd.nextDouble() * 1.6 - 0.3)
+      val f: DataFrame => DataFrame = rnd.nextInt(4) match {
+        case 0 => _.filter(col("v") < t)
+        case 1 => _.filter(col("v") >= t)
+        case 2 => _.filter(col("v") > t && col("v") <= t + (hi - lo) / 7)
+        case _ => _.filter(col("v") <= t || col("v") > hi - (hi - lo) / 9)
+      }
+      assert(agg(f(via)) == agg(f(src)), s"case #$i diverged at t=$t")
+    }
+  }
+}
