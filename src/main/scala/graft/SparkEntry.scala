@@ -115,6 +115,8 @@ object SparkEntry {
     "stream_welch_ttest"  -> q(t => graft.streaming.Streaming.streamWelchTtest(t)),
     // chi-square independence over type × variant, integer-summed
     "events_chisq"        -> q(EventAnalytics.eventsChisq),
+    // the independence test maintained continuously — pair #42
+    "stream_chisq"        -> q(t => graft.streaming.Streaming.streamChisq(t)),
     // Theil–Sen robust slope: lower-median of pairwise ppm slopes
     // over the aggregated daily series
     "events_theilsen"     -> q(EventAnalytics.eventsTheilSen),
@@ -184,6 +186,9 @@ object SparkEntry {
     // the Gopher heuristic filter rules, integer-exact, with an
     // auditable first-failed-rule reject reason
     "text_gopher_rules"   -> q(TextAnalysis.textGopherRules),
+    // RAG retrieval chunker: 64-token windows, 16-token overlap,
+    // md5 content proof per chunk — map-side only
+    "text_chunk_plan"     -> q(t => TextAnalysis.textChunkPlan(t)),
     // the same rules as a stateless ingest-time screen — pair #36
     "stream_gopher_rules" -> q(t => graft.streaming.Streaming.streamGopherRules(t)),
     "text_tokens"         -> q(TextAnalysis.textTokens),
@@ -238,6 +243,9 @@ object SparkEntry {
     "corpus_source_profile" -> q(TextAnalysis.corpusSourceProfile),
     "events_funnel_timing" -> q(EventAnalytics.eventsFunnelTiming),
     "events_ab_test"      -> q(EventAnalytics.eventsAbTest),
+    // the experiment monitored SEQUENTIALLY: cumulative daily z with
+    // an O'Brien–Fleming-style guard band against peeking
+    "events_sequential_ab" -> q(EventAnalytics.eventsSequentialAb),
     "events_srm"          -> q(t => EventAnalytics.eventsSrm(t)),
     "events_audience_overlap" -> q(t => EventAnalytics.eventsAudienceOverlap(t)),
     "events_ooo_audit"    -> q(t => EventAnalytics.eventsOooAudit(t)),
@@ -999,6 +1007,33 @@ object SparkEntry {
       |   / nullif(qa * qa / (n_a - 1) + qb * qb / (n_b - 1), 0) + 1e-9, 2)
       |   AS df
       |FROM z""".stripMargin
+
+  /** Shared by `events_chisq` and its streaming twin (pair #42):
+    * chi-square independence — integer cells, per-row double trees,
+    * the TOTAL summed in ×10⁴ integer units (order-independent). */
+  private val chisqSql: String =
+    """WITH v AS (SELECT event_type,
+      |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+      |   THEN 'A' ELSE 'B' END AS variant FROM events),
+      |c AS (SELECT event_type,
+      |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      | FROM v GROUP BY 1),
+      |w AS (SELECT *, CAST(sum(n_a) OVER () AS BIGINT) AS tot_a,
+      |  CAST(sum(n_b) OVER () AS BIGINT) AS tot_b,
+      |  CAST(count(*) OVER () AS BIGINT) AS k FROM c),
+      |e AS (SELECT *,
+      |  CAST((n_a + n_b) * tot_a AS DOUBLE) / (tot_a + tot_b) AS e_a,
+      |  CAST((n_a + n_b) * tot_b AS DOUBLE) / (tot_a + tot_b) AS e_b
+      | FROM w),
+      |x AS (SELECT *,
+      |  CAST(floor(((n_a - e_a) * (n_a - e_a) / e_a
+      |    + (n_b - e_b) * (n_b - e_b) / e_b) * 10000.0 + 0.5) AS BIGINT)
+      |    AS chi_x10k FROM e)
+      |SELECT event_type, n_a, n_b, round(e_a + 1e-9, 4) AS exp_a,
+      | chi_x10k, CAST(sum(chi_x10k) OVER () AS BIGINT) AS chi2_x10k,
+      | k - 1 AS df
+      |FROM x ORDER BY 1""".stripMargin
 
   /** Shared by `events_winsorized_mean` and its streaming twin:
     * grid-exact winsorization — p05/p95 order statistics via integer
@@ -2234,31 +2269,43 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "events_welch_ttest" -> welchTtestSql,
     "stream_welch_ttest" -> welchTtestSql,
-    // chi-square independence: integer cells, per-row double trees,
-    // the TOTAL summed in ×10⁴ integer units (order-independent)
-    "events_chisq" ->
-      """WITH v AS (SELECT event_type,
+    "events_chisq" -> chisqSql,
+    "stream_chisq" -> chisqSql,
+    // the experiment monitored sequentially: cumulative daily panel
+    // counts, the ab_test z tree per day, |z| ≥ 2.797 guard band
+    "events_sequential_ab" ->
+      """WITH p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  max(CASE WHEN event_type = 'purchase' AND value > 180
+        |   THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1, 2),
+        |v AS (SELECT *,
         |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-        |   THEN 'A' ELSE 'B' END AS variant FROM events),
-        |c AS (SELECT event_type,
-        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |   THEN 'A' ELSE 'B' END AS variant FROM p),
+        |d AS (SELECT day,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS eb,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS cb
         | FROM v GROUP BY 1),
-        |w AS (SELECT *, CAST(sum(n_a) OVER () AS BIGINT) AS tot_a,
-        |  CAST(sum(n_b) OVER () AS BIGINT) AS tot_b,
-        |  CAST(count(*) OVER () AS BIGINT) AS k FROM c),
-        |e AS (SELECT *,
-        |  CAST((n_a + n_b) * tot_a AS DOUBLE) / (tot_a + tot_b) AS e_a,
-        |  CAST((n_a + n_b) * tot_b AS DOUBLE) / (tot_a + tot_b) AS e_b
-        | FROM w),
-        |x AS (SELECT *,
-        |  CAST(floor(((n_a - e_a) * (n_a - e_a) / e_a
-        |    + (n_b - e_b) * (n_b - e_b) / e_b) * 10000.0 + 0.5) AS BIGINT)
-        |    AS chi_x10k FROM e)
-        |SELECT event_type, n_a, n_b, round(e_a + 1e-9, 4) AS exp_a,
-        | chi_x10k, CAST(sum(chi_x10k) OVER () AS BIGINT) AS chi2_x10k,
-        | k - 1 AS df
-        |FROM x ORDER BY 1""".stripMargin,
+        |c AS (SELECT day,
+        |  CAST(sum(ea) OVER w AS BIGINT) AS n_a,
+        |  CAST(sum(ca) OVER w AS BIGINT) AS conv_a,
+        |  CAST(sum(eb) OVER w AS BIGINT) AS n_b,
+        |  CAST(sum(cb) OVER w AS BIGINT) AS conv_b
+        | FROM d WINDOW w AS (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT *,
+        |  (conv_b / CAST(nullif(n_b, 0) AS DOUBLE)
+        |    - conv_a / CAST(nullif(n_a, 0) AS DOUBLE))
+        |  / nullif(sqrt(((conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE))
+        |    * (1.0 - (conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE))
+        |    * (1.0 / CAST(nullif(n_a, 0) AS DOUBLE)
+        |      + 1.0 / CAST(nullif(n_b, 0) AS DOUBLE))), 0.0) AS z_raw
+        | FROM c)
+        |SELECT CAST(day AS TIMESTAMP) AS day, n_a, conv_a, n_b, conv_b,
+        | round(z_raw + 1e-9, 4) AS z,
+        | coalesce(abs(z_raw) >= 2.797, false) AS crossed
+        |FROM z ORDER BY 1""".stripMargin,
     // Theil–Sen: truncating integer ppm slopes over the daily series,
     // lower median by rank (both engines' // truncates toward zero)
     "events_theilsen" ->
@@ -2983,6 +3030,24 @@ object SparkEntry {
         |FROM documents d LEFT JOIN best b USING (doc_id)""".stripMargin,
     // Gopher rules, integer-exact; first-failed-rule reject reason
     "text_gopher_rules" -> gopherSql,
+    // RAG chunker: same tokenizer, same ceil arithmetic, 1-based
+    // inclusive list slices == Spark's slice(toks, start+1, len)
+    "text_chunk_plan" ->
+      s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+        |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+        |  FROM t WHERE len(toks) > 0),
+        |m AS (SELECT *, CASE WHEN n <= 64 THEN 1
+        |  ELSE 1 + (n - 64 + 47) // 48 END AS m FROM d),
+        |c AS (SELECT doc_id, toks, n, CAST(i AS BIGINT) AS chunk_id
+        |  FROM m, (SELECT unnest(generate_series(0, 4096)) AS i) g
+        |  WHERE i < m),
+        |s AS (SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |  least(chunk_id * 48 + 64, n) AS end_tok, toks FROM c)
+        |SELECT doc_id, chunk_id, start_tok, end_tok,
+        | end_tok - start_tok AS n_tokens,
+        | md5(array_to_string(toks[(start_tok + 1):end_tok], ' '))
+        |   AS chunk_md5
+        |FROM s ORDER BY 1, 2""".stripMargin,
     // the stateless ingest-time twin lands the identical screen
     "stream_gopher_rules" -> gopherSql,
     // grid-exact winsorization: p05/p95 order statistics via integer

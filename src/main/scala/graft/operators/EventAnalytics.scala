@@ -2919,15 +2919,25 @@ object EventAnalytics {
     * it is order-independent (a double window sum would drift with
     * partitioning — §6). The windows run over the ≤ #types aggregate
     * rows, never fact rows. */
-  def eventsChisq(t: Tables): DataFrame = {
-    val all = Window.partitionBy(lit(1))
-    val cells = t.events
+  def eventsChisq(t: Tables): DataFrame =
+    chisqFromCounts(t.events
       .withColumn("variant",
         when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
           .otherwise("B"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The chi-square readout over final (event_type, variant, c) cell
+    * counts — shared by the batch operator and `stream_chisq`
+    * (equivalence pair #42), which maintains the counts as one keyed
+    * streaming aggregation. */
+  def chisqFromCounts(counts: DataFrame): DataFrame = {
+    val all = Window.partitionBy(lit(1))
+    val cells = counts
       .groupBy(col("event_type"))
-      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+      .agg(sum(when(col("variant") === "A", col("c")).otherwise(0L))
+          .as("n_a"),
+        sum(when(col("variant") === "B", col("c")).otherwise(0L)).as("n_b"))
     val eA = ((col("n_a") + col("n_b")) * col("tot_a")).cast("double") /
       (col("tot_a") + col("tot_b"))
     val eB = ((col("n_a") + col("n_b")) * col("tot_b")).cast("double") /
@@ -2986,5 +2996,52 @@ object EventAnalytics {
       .select(col("event_type"), col("n_days"), col("m").as("n_pairs"),
         col("slope_ppm"))
       .orderBy(col("event_type"))
+  }
+
+  /** `events_sequential_ab` — the SEQUENTIAL experiment monitor: the
+    * cumulative two-proportion z replayed at every day boundary with
+    * a fixed O'Brien–Fleming-style guard band (|z| ≥ 2.797 — wider
+    * than the fixed-horizon 1.96 exactly because the statistic is
+    * examined repeatedly; the peeking problem [[eventsAbTest]]'s
+    * one-shot readout cannot see). Panel semantics: a user counts as
+    * exposed each ACTIVE day and converted on days with a qualifying
+    * purchase — the daily-cohort monitoring view. All counts are
+    * exact integers; the z tree mirrors the ab_test oracle's operand
+    * order; the cumulative window runs over the per-day aggregate
+    * rows (≤ days — metadata scale), never fact rows. */
+  def eventsSequentialAb(t: Tables): DataFrame = {
+    val panel = t.events
+      .withColumn("day", to_date(col("ts")))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 180,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val daily = panel.groupBy(col("day"))
+      .agg(sum(when(col("variant") === "A", 1L).otherwise(0L)).as("ea"),
+        sum(when(col("variant") === "A", col("conv")).otherwise(0L)).as("ca"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("eb"),
+        sum(when(col("variant") === "B", col("conv")).otherwise(0L)).as("cb"))
+    val cum = Window.orderBy(asc("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = daily
+      .withColumn("n_a", sum(col("ea")).over(cum))
+      .withColumn("conv_a", sum(col("ca")).over(cum))
+      .withColumn("n_b", sum(col("eb")).over(cum))
+      .withColumn("conv_b", sum(col("cb")).over(cum))
+    val pA = col("conv_a") / nullif(col("n_a"), lit(0L)).cast("double")
+    val pB = col("conv_b") / nullif(col("n_b"), lit(0L)).cast("double")
+    val pPool = (col("conv_a") + col("conv_b")) /
+      nullif(col("n_a") + col("n_b"), lit(0L)).cast("double")
+    val se = nullif(sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / nullif(col("n_a"), lit(0L)).cast("double") +
+        lit(1.0) / nullif(col("n_b"), lit(0L)).cast("double"))), lit(0.0))
+    c.withColumn("z_raw", (pB - pA) / se)
+      .select(col("day").cast("timestamp_ntz").as("day"),
+        col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        round(col("z_raw") + lit(1e-9), 4).as("z"),
+        coalesce(abs(col("z_raw")) >= lit(2.797), lit(false)).as("crossed"))
+      .orderBy(col("day"))
   }
 }

@@ -2031,4 +2031,43 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("score_ppm"),
         (col("score_ppm") > col("mean_ppm")).as("selected"))
   }
+
+  /** `text_chunk_plan` — the RAG retrieval CHUNKER: split every
+    * document into fixed-width token windows (64 tokens) with a
+    * 16-token overlap (stride 48), the shape embedding-based
+    * retrieval indexes ingest — where [[graft.operators.Dedup]]'s
+    * passage machinery and `corpus_pack` build TRAINING windows, this
+    * plans the retrieval-side chunks, boundaries included. Chunk
+    * count for n tokens: 1 for n ≤ 64, else 1 + ⌈(n−64)/48⌉ — the
+    * last chunk always starts inside the document and ends at n, so
+    * no token is dropped and no chunk is empty. Each chunk carries an
+    * md5 of its joined tokens — the content proof the driver gate
+    * hash-checks. Map-side only: tokenize once, explode a computed
+    * index range; no shuffle at all until the (deterministic) output
+    * sort. */
+  def textChunkPlan(t: Tables, width: Int = 64, stride: Int = 48)
+      : DataFrame = {
+    val toked = t.documents
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      // m = 1 for n ≤ width, else 1 + ceil((n-width)/stride), with
+      // ceil(a/b) = (a + b - 1) DIV b spelled in exact integer ops
+      .withColumn("m",
+        when(col("n") <= width, 1L).otherwise(
+          expr(s"1 + (n - $width + $stride - 1) div $stride")))
+    toked
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0L), col("m") - lit(1L))).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * lit(stride.toLong))
+      .withColumn("end_tok", least(col("start_tok") + lit(width.toLong),
+        col("n")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        col("end_tok"), (col("end_tok") - col("start_tok")).as("n_tokens"),
+        md5(array_join(slice(col("toks"),
+          (col("start_tok") + lit(1L)).cast("int"),
+          (col("end_tok") - col("start_tok")).cast("int")), " "))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
 }

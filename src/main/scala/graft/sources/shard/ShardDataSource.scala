@@ -549,13 +549,34 @@ private[shard] class ShardScanBuilder(dir: String,
     case _ => None
   }
 
+  /** DOUBLE metadata min/max needs a STRICTER gate than the long
+    * path: a missing double bound is ambiguous (all-null OR NaN
+    * present — the writer suppresses bounds for NaN-holding files,
+    * and under Spark's ordering max would then BE NaN), so the column
+    * qualifies only when every file either carries bounds (provably
+    * NaN-free) or is provably all-null in it by the manifest's null
+    * count. Anything else scans. */
+  private def dCol(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      val c = nr.fieldNames()(0)
+      manifest.schema.fields.find(_.name == c) match {
+        case Some(f) if f.dataType == DoubleType &&
+          manifest.entries.forall(en =>
+            en.dMin.contains(c) || en.nullCnt.get(c).contains(en.rows)) =>
+          Some(c)
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def canPush(agg: Aggregation): Boolean =
     pushed.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall {
         case _: CountStar => true
-        case m: Min => zCol(m.column).isDefined
-        case m: Max => zCol(m.column).isDefined
+        case m: Min => zCol(m.column).isDefined || dCol(m.column).isDefined
+        case m: Max => zCol(m.column).isDefined || dCol(m.column).isDefined
         case _ => false
       }
 
@@ -612,14 +633,24 @@ private[shard] class ShardScanBuilder(dir: String,
         agg.aggregateExpressions.map {
           case _: CountStar => (java.lang.Long.valueOf(
             manifest.entries.map(_.rows).sum), LongType)
-          case m: Min =>
+          case m: Min if zCol(m.column).isDefined =>
             val (c, dt) = zCol(m.column).get
             val vs = manifest.entries.flatMap(_.zMin.get(c))
             (if (vs.isEmpty) null else java.lang.Long.valueOf(vs.min), dt)
-          case m: Max =>
+          case m: Max if zCol(m.column).isDefined =>
             val (c, dt) = zCol(m.column).get
             val vs = manifest.entries.flatMap(_.zMax.get(c))
             (if (vs.isEmpty) null else java.lang.Long.valueOf(vs.max), dt)
+          case m: Min =>
+            val c = dCol(m.column).get
+            val vs = manifest.entries.flatMap(_.dMin.get(c))
+            (if (vs.isEmpty) null
+             else java.lang.Double.valueOf(vs.reduce[Double](math.min)), DoubleType)
+          case m: Max =>
+            val c = dCol(m.column).get
+            val vs = manifest.entries.flatMap(_.dMax.get(c))
+            (if (vs.isEmpty) null
+             else java.lang.Double.valueOf(vs.reduce[Double](math.max)), DoubleType)
           case other => throw new IllegalStateException(other.toString)
         }
       new ShardAggScan(dir, manifest, answers)
@@ -651,6 +682,9 @@ private[shard] class ShardAggScan(dir: String,
       answers.map {
         case (null, _) => Long.MinValue
         case (v: java.lang.Long, _) => v.longValue()
+        // doubles travel as raw IEEE bits in the long slot
+        case (v: java.lang.Double, _) =>
+          java.lang.Double.doubleToRawLongBits(v.doubleValue())
       },
       answers.map(_._1 == null),
       answers.map(_._2.typeName)))
@@ -678,6 +712,8 @@ private[shard] class ShardAggReaderFactory extends PartitionReaderFactory {
           else ShardFormat.dataTypeOf(part.types(i)) match {
             // date/int are int-typed internally; timestamps ARE micros
             case DateType | IntegerType => part.values(i).toInt
+            case DoubleType =>
+              java.lang.Double.longBitsToDouble(part.values(i))
             case _ => part.values(i)
           }
         })

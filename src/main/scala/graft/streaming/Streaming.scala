@@ -1170,6 +1170,24 @@ object Streaming {
       drainToTable(totals, "complete"))
   }
 
+  /** X50 — `stream_chisq`: the traffic-composition independence test
+    * maintained CONTINUOUSLY — (event_type, variant) cell counts as
+    * ONE keyed streaming aggregation (state = 2 × #types longs, the
+    * whole sufficient statistic), with the shared integer-summed
+    * readout ([[graft.operators.EventAnalytics.chisqFromCounts]])
+    * over the drained cells. Shares `events_chisq`'s oracle verbatim
+    * — stream/batch equivalence pair #42. */
+  def streamChisq(t: Tables): DataFrame = {
+    val cells = eventsStream(t)
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+      .groupBy(col("event_type"), col("variant"))
+      .agg(count(lit(1)).as("c"))
+    graft.operators.EventAnalytics.chisqFromCounts(
+      drainToTable(cells, "complete"))
+  }
+
   /** X46 — `stream_winsorized_mean`: the grid-exact winsorized mean
     * maintained CONTINUOUSLY — the (type, cents) value grid as ONE
     * keyed streaming aggregation (the same value-domain state shape

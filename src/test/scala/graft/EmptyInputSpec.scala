@@ -201,7 +201,10 @@ class EmptyInputSpec extends SparkSpec {
     // self-join), and the double-predicate gshard scan (zero-file
     // manifest, threshold degenerates to 0.0)
     "events_welch_ttest", "events_chisq", "events_theilsen",
-    "corpus_source_overlap", "q_shard_scan_double")
+    "corpus_source_overlap", "q_shard_scan_double",
+    // the sequential monitor over an empty day spine (no panel rows →
+    // no days) and the chunker over an empty corpus (no docs)
+    "events_sequential_ab", "text_chunk_plan")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

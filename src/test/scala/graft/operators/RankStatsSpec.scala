@@ -290,6 +290,78 @@ class RankStatsSpec extends SparkSpec {
       s"diff=${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("stream_chisq == events_chisq (equivalence pair #42)") {
+    val b = EventAnalytics.eventsChisq(tables).collect().map(_.toSeq)
+    val s = graft.streaming.Streaming.streamChisq(tables)
+      .collect().map(_.toSeq)
+    assert(b.toSeq == s.toSeq)
+  }
+
+  test("events_sequential_ab: cumulative counts are monotone, the " +
+      "final day matches the full-horizon panel, and z replays") {
+    val rows = EventAnalytics.eventsSequentialAb(tables).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(p, q) =>
+        assert(q.getLong(1) >= p.getLong(1) && q.getLong(2) >= p.getLong(2)
+          && q.getLong(3) >= p.getLong(3) && q.getLong(4) >= p.getLong(4),
+          s"cumulative counts regressed at ${q.get(0)}")
+      case _ => ()
+    }
+    // full-horizon panel replay of the last day's cumulative counts
+    val panel = tables.events
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        (col("event_type") === "purchase" && col("value") > 180).as("hit"))
+      .collect().groupBy(r => (r.getLong(0), r.getDate(1)))
+      .toSeq.map { case ((u, _), es) =>
+        (md5Hex(u.toString).head < '8', es.exists(_.getBoolean(2))) }
+    val last = rows.last
+    assert(last.getLong(1) == panel.count(_._1).toLong)
+    assert(last.getLong(2) == panel.count(p => p._1 && p._2).toLong)
+    assert(last.getLong(3) == panel.count(!_._1).toLong)
+    assert(last.getLong(4) == panel.count(p => !p._1 && p._2).toLong)
+    // the z at the final day replays the pooled two-proportion formula
+    val (na, ca2) = (last.getLong(1).toDouble, last.getLong(2).toDouble)
+    val (nb, cb2) = (last.getLong(3).toDouble, last.getLong(4).toDouble)
+    val pp = (ca2 + cb2) / (na + nb)
+    val z = (cb2 / nb - ca2 / na) /
+      math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    assert(math.abs(last.getDouble(5) - z) < 1e-3,
+      s"z ${last.getDouble(5)} vs $z")
+    assert(last.getBoolean(6) == (math.abs(z) >= 2.797))
+  }
+
+  test("text_chunk_plan tiles every document: stride-48 starts, " +
+      "64-token windows, full coverage, md5 content proof") {
+    val chunks = TextAnalysis.textChunkPlan(tables).collect()
+      .groupBy(_.getLong(0))
+    val docs = tables.documents
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    docs.foreach { case (id, toks) =>
+      val cs = chunks.getOrElse(id,
+        { assert(toks.isEmpty, s"doc $id lost"); Array.empty })
+        .sortBy(_.getLong(1))
+      if (toks.nonEmpty) {
+        assert(cs.head.getLong(2) == 0L, s"doc $id: first chunk not at 0")
+        assert(cs.last.getLong(3) == toks.size.toLong,
+          s"doc $id: tail tokens dropped")
+        cs.zipWithIndex.foreach { case (c, k) =>
+          assert(c.getLong(1) == k.toLong)
+          assert(c.getLong(2) == 48L * k)
+          assert(c.getLong(3) == math.min(48L * k + 64L, toks.size.toLong))
+          assert(c.getLong(4) == c.getLong(3) - c.getLong(2))
+          assert(c.getLong(4) >= 1L && c.getLong(4) <= 64L)
+          val want = toks.slice(c.getLong(2).toInt, c.getLong(3).toInt)
+            .mkString(" ")
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(want.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          assert(c.getString(5) == md, s"doc $id chunk $k content drifted")
+        }
+      }
+    }
+  }
+
   test("corpus_source_overlap: the matrix is internally consistent " +
       "(complete upper triangle, bounded intersections, exact ppm)") {
     val rows = graft.operators.Dedup.corpusSourceOverlap(tables).collect()

@@ -195,6 +195,42 @@ class ShardFormatV4Spec extends SparkSpec {
     assert(ex.getMessage.contains("rewrite required"), ex.getMessage)
   }
 
+  test("double MIN/MAX answer metadata-only when every file is " +
+      "provably NaN-free; a NaN anywhere forces the scan and keeps " +
+      "Spark's NaN-max semantics") {
+    // clean table: every file carries double bounds -> pushdown fires
+    val d1 = Files.createTempDirectory("gshard_dbl_agg_").toString
+    priced.write.format("gshard").option("rangecol", "cents")
+      .option("shards", 6).mode("overwrite").save(d1)
+    val q1 = spark.read.format("gshard").load(d1)
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+    val p1 = q1.queryExecution.executedPlan.toString()
+    assert(p1.contains("metadata-only") && p1.contains("files=0/"),
+      s"double aggregate not answered from the manifest:\n$p1")
+    val want = priced.agg(count(lit(1)), min(col("v")), max(col("v"))).head
+    val got = q1.head
+    assert(got.getLong(0) == want.getLong(0))
+    assert(java.lang.Double.doubleToRawLongBits(got.getDouble(1)) ==
+      java.lang.Double.doubleToRawLongBits(want.getDouble(1)))
+    assert(got.getDouble(2) == want.getDouble(2))
+    // poisoned table: one NaN -> that file has NO bounds and is not
+    // provably all-null -> the aggregate must SCAN (refusing is what
+    // keeps max = NaN under Spark's ordering)
+    val d2 = Files.createTempDirectory("gshard_dbl_agg_nan_").toString
+    ShardFormat.write(
+      spark.range(1000).select(col("id").as("k"),
+        when(col("id") === 500, lit(Double.NaN))
+          .otherwise(col("id").cast("double")).as("v")),
+      d2, "k", 2)
+    val q2 = spark.read.format("gshard").load(d2)
+      .agg(max(col("v")).as("hi"))
+    val p2 = q2.queryExecution.executedPlan.toString()
+    assert(!p2.contains("metadata-only"),
+      s"NaN-ambiguous aggregate answered from metadata:\n$p2")
+    assert(q2.head.getDouble(0).isNaN, "Spark orders NaN largest")
+  }
+
   test("randomized double predicates never diverge from the parquet " +
       "truth (seeded sweep over pruned scans)") {
     val d = Files.createTempDirectory("gshard_dbl_sweep_").toString
