@@ -246,6 +246,9 @@ object SparkEntry {
     // the experiment monitored SEQUENTIALLY: cumulative daily z with
     // an O'Brien–Fleming-style guard band against peeking
     "events_sequential_ab" -> q(EventAnalytics.eventsSequentialAb),
+    // deterministic POISSON bootstrap: integer md5 weights, exact
+    // order-statistic CI bounds, map-side-combined replicate grid
+    "events_bootstrap_ci" -> q(t => EventAnalytics.eventsBootstrapCi(t)),
     "events_srm"          -> q(t => EventAnalytics.eventsSrm(t)),
     "events_audience_overlap" -> q(t => EventAnalytics.eventsAudienceOverlap(t)),
     "events_ooo_audit"    -> q(t => EventAnalytics.eventsOooAudit(t)),
@@ -574,6 +577,8 @@ object SparkEntry {
     // double-predicate twin over the v4 double zone maps: metric
     // columns get file skipping too (plan-pinned files=k/n)
     "q_shard_scan_double" -> q(t => graft.sources.SourceOps.qShardScanDouble(t)),
+    // metadata-only SUM off the manifest's exact per-file sums
+    "q_shard_sum" -> q(t => graft.sources.SourceOps.qShardSum(t)),
     // NULL bitmaps end to end: DSv2 write with nulls in string+long
     // columns, vectorized read-back, count(*) vs count(col) vs sum
     "q_shard_null_roundtrip" -> q(t => graft.sources.SourceOps.qShardNullRoundtrip(t)),
@@ -2269,6 +2274,33 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "events_welch_ttest" -> welchTtestSql,
     "stream_welch_ttest" -> welchTtestSql,
+    // Poisson bootstrap: identical md5-derived integer weights, same
+    // truncating millicent means, same (m, b) rank order statistics
+    "events_bootstrap_ci" ->
+      """WITH u AS (SELECT user_id,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |reps AS (SELECT unnest(generate_series(0, 199)) AS b),
+        |g AS (SELECT u.user_id, u.x, reps.b,
+        |  CAST(concat('0x', substr(md5(concat(u.user_id, ':', reps.b)), 1, 5))
+        |    AS BIGINT) AS h
+        | FROM u, reps),
+        |w AS (SELECT b, x,
+        |  CASE WHEN h < 385749 THEN 0 WHEN h < 771499 THEN 1
+        |   WHEN h < 964373 THEN 2 WHEN h < 1028665 THEN 3
+        |   WHEN h < 1044738 THEN 4 WHEN h < 1047952 THEN 5
+        |   ELSE 6 END AS w FROM g),
+        |m AS (SELECT b,
+        |  CAST((sum(w * x) * 1000) // nullif(sum(w), 0) AS BIGINT) AS m
+        | FROM w GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY m, b) AS rn
+        | FROM m WHERE m IS NOT NULL),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST((sum(x) * 1000) // count(*) AS BIGINT) AS mean_mcents FROM u)
+        |SELECT base.n_users, CAST(200 AS BIGINT) AS n_reps,
+        | base.mean_mcents, lo.m AS lo_mcents, hi.m AS hi_mcents
+        |FROM base, (SELECT m FROM r WHERE rn = 5) lo,
+        | (SELECT m FROM r WHERE rn = 196) hi""".stripMargin,
     "events_chisq" -> chisqSql,
     "stream_chisq" -> chisqSql,
     // the experiment monitored sequentially: cumulative daily panel
@@ -5393,6 +5425,15 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(cents) AS BIGINT) AS value_cents
         |FROM e, m WHERE user_tag < thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the SUM half of the metadata path, recomputed from raw events
+    "q_shard_sum" ->
+      """WITH e AS (SELECT
+        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(cents) AS BIGINT) AS cents_total,
+        | CAST(sum(day) AS BIGINT) AS day_total
+        |FROM e""".stripMargin,
     // double-predicate twin: corpus-relative double threshold — one
     // exact long→double conversion + one correctly-rounded division
     // on both engines, then identical double comparisons

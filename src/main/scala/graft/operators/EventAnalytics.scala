@@ -3009,6 +3009,51 @@ object EventAnalytics {
     * exact integers; the z tree mirrors the ab_test oracle's operand
     * order; the cumulative window runs over the per-day aggregate
     * rows (≤ days — metadata scale), never fact rows. */
+  /** `events_bootstrap_ci` — a 95 % bootstrap interval on the mean
+    * per-user spend, via the POISSON bootstrap: instead of resampling
+    * rows (a shuffle per replicate — unrunnable at scale), every user
+    * gets an independent Poisson(1) weight per replicate, which
+    * approximates multinomial resampling exactly as n grows (the
+    * streaming/map-reduce bootstrap in the literature). Weights are
+    * DETERMINISTIC: a 20-bit md5 slice of (user, replicate) compared
+    * against the Poisson(1) CDF scaled to 2²⁰ as exact INTEGER
+    * thresholds — both engines compute identical weights, so the 200
+    * replicate means are exact integers (millicents, truncating DIV)
+    * and the CI bounds are order statistics (ranks 5 and 196 — 2.5 %
+    * either side), not approximations. Scale: the users × 200 grid
+    * partially aggregates map-side to 200 keys per task — the shuffle
+    * carries ~200 rows per partition, never the grid. */
+  def eventsBootstrapCi(t: Tables, reps: Int = 200): DataFrame = {
+    val perUser = t.events.select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("x"))
+    val u = conv(substring(md5(concat_ws(":", col("user_id"), col("b"))),
+      1, 5), 16, 10).cast("long")
+    // Poisson(1) CDF at k=0..5, scaled by 2^20 and floored — the
+    // exact integer thresholds both engines compare against
+    val w = when(u < 385749L, 0L).when(u < 771499L, 1L)
+      .when(u < 964373L, 2L).when(u < 1028665L, 3L)
+      .when(u < 1044738L, 4L).when(u < 1047952L, 5L).otherwise(6L)
+    val means = perUser
+      .select(col("user_id"), col("x"),
+        explode(sequence(lit(0), lit(reps - 1))).as("b"))
+      .withColumn("w", w)
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("ne"), sum(col("w") * col("x")).as("s"))
+      .select(col("b"), expr("(s * 1000) div nullif(ne, 0)").as("m"))
+      .filter(col("m").isNotNull) // NULL ordering differs per engine
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(asc("m"), asc("b"))))
+    val lo = ranked.filter(col("rn") === 5).select(col("m").as("lo_mcents"))
+    val hi = ranked.filter(col("rn") === (reps - 4))
+      .select(col("m").as("hi_mcents"))
+    perUser.agg(count(lit(1)).as("n_users"),
+        expr("(sum(x) * 1000) div count(1)").as("mean_mcents"))
+      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n_users"), lit(reps.toLong).as("n_reps"),
+        col("mean_mcents"), col("lo_mcents"), col("hi_mcents"))
+  }
+
   def eventsSequentialAb(t: Tables): DataFrame = {
     val panel = t.events
       .withColumn("day", to_date(col("ts")))

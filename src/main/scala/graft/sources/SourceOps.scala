@@ -634,6 +634,20 @@ object SourceOps {
         max(col("day")).as("day_max"))
   }
 
+  /** `q_shard_sum` — the SUM half of the metadata-only aggregate path
+    * under the driver gate: COUNT(*) + SUM(cents) + SUM(day) over the
+    * staged shard table answer from the manifest's exact per-file
+    * sums (B46) — zero shard files opened, plan-pinned in spec —
+    * while the oracle recomputes the same totals from raw events, so
+    * "the manifest's sums tell the truth" is itself hash-checked. */
+  def qShardSum(t: Tables): DataFrame = {
+    val dir = shardTable(t)
+    t.spark.read.format("gshard").load(dir)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents")).as("cents_total"),
+        sum(col("day")).as("day_total"))
+  }
+
   /** `q_catalog_sql_roundtrip` — the TableCatalog path under the
     * driver gate: register a gshard catalog over a per-process
     * warehouse, CTAS the events projection into it from PURE SQL,

@@ -286,7 +286,8 @@ private[shard] final case class ShardCommitMessage(file: String, rows: Long,
     nulls: Map[String, Long], blooms: Map[String, String] = Map.empty,
     bloomBpv: Map[String, Long] = Map.empty,
     dMins: Map[String, Double] = Map.empty,
-    dMaxs: Map[String, Double] = Map.empty)
+    dMaxs: Map[String, Double] = Map.empty,
+    sums: Map[String, Long] = Map.empty)
   extends WriterCommitMessage
 
 private[shard] class ShardBatchWrite(dir: String, schema: StructType,
@@ -306,7 +307,7 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
       case m: ShardCommitMessage if m.rows > 0 => // empty partitions emit no file
         ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs,
           m.sMins, m.sMaxs, m.nulls, m.blooms, m.bloomBpv,
-          m.dMins, m.dMaxs)
+          m.dMins, m.dMaxs, m.sums)
     }.sortBy(_.file).toSeq
     val existing =
       if (ShardFormat.hasManifest(dir)) Some(ShardFormat.readManifest(dir))
@@ -445,7 +446,7 @@ private[shard] class ShardDataWriter(dir: String,
     writer = null
     ShardCommitMessage(file, stats.rows, stats.zMin, stats.zMax,
       stats.sMin, stats.sMax, stats.nullCnt, stats.bloom, stats.bloomBpv,
-      stats.dMin, stats.dMax)
+      stats.dMin, stats.dMax, stats.sums)
   }
 
   override def abort(): Unit = ()
@@ -463,7 +464,7 @@ private[shard] class ShardScanBuilder(dir: String,
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
-    CountStar, Max, Min}
+    CountStar, Max, Min, Sum}
 
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
@@ -570,6 +571,37 @@ private[shard] class ShardScanBuilder(dir: String,
     case _ => None
   }
 
+  /** SUM answered from the manifest's exact per-file sums: the column
+    * must be long/int (Spark's Sum result type is LongType for both),
+    * EVERY file must carry both the sum (absent = write-time
+    * overflow) and the null count (to distinguish "all rows null →
+    * SQL NULL" from "sums to zero"), and the planning-time fold must
+    * not overflow (ANSI would have thrown on the scan, so a wrapped
+    * metadata answer would be a silent lie — refuse and scan, the
+    * scan then throws honestly). DISTINCT sums never qualify. */
+  private def sumAnswer(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Any] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      val c = nr.fieldNames()(0)
+      manifest.schema.fields.find(_.name == c) match {
+        case Some(f) if (f.dataType == LongType ||
+            f.dataType == IntegerType) &&
+          manifest.entries.forall(en =>
+            en.sums.contains(c) && en.nullCnt.contains(c)) =>
+          val nonNull = manifest.entries
+            .map(en => en.rows - en.nullCnt(c)).sum
+          if (nonNull == 0L) Some(null)
+          else try {
+            var t = 0L
+            manifest.entries.foreach(en =>
+              t = Math.addExact(t, en.sums(c)))
+            Some(java.lang.Long.valueOf(t))
+          } catch { case _: ArithmeticException => None }
+        case _ => None
+      }
+    case _ => None
+  }
+
   private def canPush(agg: Aggregation): Boolean =
     pushed.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
@@ -577,6 +609,7 @@ private[shard] class ShardScanBuilder(dir: String,
         case _: CountStar => true
         case m: Min => zCol(m.column).isDefined || dCol(m.column).isDefined
         case m: Max => zCol(m.column).isDefined || dCol(m.column).isDefined
+        case s: Sum => !s.isDistinct && sumAnswer(s.column).isDefined
         case _ => false
       }
 
@@ -651,6 +684,7 @@ private[shard] class ShardScanBuilder(dir: String,
             val vs = manifest.entries.flatMap(_.dMax.get(c))
             (if (vs.isEmpty) null
              else java.lang.Double.valueOf(vs.reduce[Double](math.max)), DoubleType)
+          case s: Sum => (sumAnswer(s.column).get, LongType)
           case other => throw new IllegalStateException(other.toString)
         }
       new ShardAggScan(dir, manifest, answers)

@@ -107,6 +107,12 @@ import org.apache.spark.sql.types._
   *                                               absent when the file
   *                                               holds any NaN
   *                      <col>!<nullCount>
+  *                      <col>*<sum>              exact per-file SUM of
+  *                                               non-null long-domain
+  *                                               values; absent when
+  *                                               the sum overflowed at
+  *                                               write time (the sum
+  *                                               pushdown then scans)
   *                      <col>?<b64bloom>
   *                      <col>^<bitsPerValue>     bloom sizing audit
   * }}}
@@ -293,7 +299,8 @@ object ShardFormat {
       bloom: Map[String, String] = Map.empty,
       bloomBpv: Map[String, Long] = Map.empty,
       dMin: Map[String, Double] = Map.empty,
-      dMax: Map[String, Double] = Map.empty)
+      dMax: Map[String, Double] = Map.empty,
+      sums: Map[String, Long] = Map.empty)
 
   /** `lastTxn` is the DEFAULT (anonymous) writer's last applied txn
     * id; `txns` namespaces per-app versions (Delta's
@@ -316,7 +323,8 @@ object ShardFormat {
       bloom: Map[String, String] = Map.empty,
       bloomBpv: Map[String, Long] = Map.empty,
       dMin: Map[String, Double] = Map.empty,
-      dMax: Map[String, Double] = Map.empty)
+      dMax: Map[String, Double] = Map.empty,
+      sums: Map[String, Long] = Map.empty)
 
   /** Per-file BLOOM filters for point lookups on columns the range
     * clustering does NOT order — where zone maps cannot prune because
@@ -430,9 +438,10 @@ object ShardFormat {
       .collect()
 
     val entries = statRows.sortBy(_._1).map {
-      case (file, rows, mins, maxs, smins, smaxs, nulls, dmins, dmaxs) =>
+      case (file, rows, mins, maxs, smins, smaxs, nulls, dmins, dmaxs,
+          sums) =>
         ShardEntry(file, rows, mins, maxs, smins, smaxs, nulls,
-          dMin = dmins, dMax = dmaxs)
+          dMin = dmins, dMax = dmaxs, sums = sums)
     }.toSeq
     val manifest = Manifest(schema, entries)
     writeManifest(dir, manifest)
@@ -444,7 +453,8 @@ object ShardFormat {
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     implicit val stats: Encoder[(String, Long, Map[String, Long],
         Map[String, Long], Map[String, String], Map[String, String],
-        Map[String, Long], Map[String, Double], Map[String, Double])] =
+        Map[String, Long], Map[String, Double], Map[String, Double],
+        Map[String, Long])] =
       ExpressionEncoder()
   }
 
@@ -455,11 +465,12 @@ object ShardFormat {
       it: Iterator[Row], dir: String, schema: StructType, chunkRows: Int)
       : Iterator[(String, Long, Map[String, Long], Map[String, Long],
         Map[String, String], Map[String, String], Map[String, Long],
-        Map[String, Double], Map[String, Double])] = {
+        Map[String, Double], Map[String, Double], Map[String, Long])] = {
     val nCols = schema.length
     val out = mutable.ArrayBuffer.empty[(String, Long, Map[String, Long],
       Map[String, Long], Map[String, String], Map[String, String],
-      Map[String, Long], Map[String, Double], Map[String, Double])]
+      Map[String, Long], Map[String, Double], Map[String, Double],
+      Map[String, Long])]
 
     var shard = -1
     var writer: ShardFileWriter = null
@@ -468,7 +479,8 @@ object ShardFormat {
       val stats = writer.close()
       if (stats.rows > 0)
         out += ((file, stats.rows, stats.zMin, stats.zMax,
-          stats.sMin, stats.sMax, stats.nullCnt, stats.dMin, stats.dMax))
+          stats.sMin, stats.sMax, stats.nullCnt, stats.dMin, stats.dMax,
+          stats.sums))
       writer = null
     }
     it.foreach { r =>
@@ -535,6 +547,11 @@ object ShardFormat {
     private val fLongHas = new Array[Boolean](longIdx.length)
     private val fLongMin = new Array[Long](longIdx.length)
     private val fLongMax = new Array[Long](longIdx.length)
+    // per-column exact SUM of non-null long-domain values; one
+    // overflow poisons the stat (absent from the manifest → the sum
+    // pushdown refuses and scans — never a silently wrapped answer)
+    private val fSum = new Array[Long](longIdx.length)
+    private val fSumOk = Array.fill(longIdx.length)(true)
     private val fStrHas = new Array[Boolean](strIdx.length)
     private val fStrMin = new Array[Array[Byte]](strIdx.length)
     private val fStrMax = new Array[Array[Byte]](strIdx.length)
@@ -829,6 +846,10 @@ object ShardFormat {
             if (!fLongHas(li) || l < fLongMin(li)) fLongMin(li) = l
             if (!fLongHas(li) || l > fLongMax(li)) fLongMax(li) = l
             fLongHas(li) = true
+            if (fSumOk(li)) {
+              try fSum(li) = Math.addExact(fSum(li), l)
+              catch { case _: ArithmeticException => fSumOk(li) = false }
+            }
           }
           r += 1
         }
@@ -917,6 +938,9 @@ object ShardFormat {
       }.toMap
       val nulls = schema.fields.indices
         .map(c => schema(c).name -> fNulls(c)).toMap
+      val sums = longIdx.indices.collect {
+        case li if fSumOk(li) => schema(longIdx(li)).name -> fSum(li)
+      }.toMap
       val built = bloomIdx.flatMap { i =>
         val log = bloomHashes(i)
         if (log.isEmpty) None
@@ -931,7 +955,7 @@ object ShardFormat {
       ShardStats(totalRows, zMin, zMax, sMin, sMax, nulls,
         built.map(t => t._1 -> t._2).toMap,
         built.map(t => t._1 -> t._3).toMap,
-        dMin, dMax)
+        dMin, dMax, sums)
     }
   }
 
@@ -963,12 +987,18 @@ object ShardFormat {
       }
       val nulls = e.nullCnt.keys.toSeq.sorted
         .map(c => s"$c!${e.nullCnt(c)}")
+      // exact per-file SUMs of non-null long-domain values ('*' is
+      // outside the base64 alphabet and never in a column name);
+      // columns whose sum overflowed at write time are simply absent
+      val sums = e.sums.keys.toSeq.sorted
+        .map(c => s"$c*${e.sums(c)}")
       val blooms = e.bloom.keys.toSeq.sorted
         .map(c => s"$c?${e.bloom(c)}")
       val bpvs = e.bloomBpv.keys.toSeq.sorted
         .map(c => s"$c^${e.bloomBpv(c)}")
       sb.append(s"file ${e.file} ${e.rows} " +
-        s"${(longs ++ strs ++ dbls ++ nulls ++ blooms ++ bpvs).mkString(";")}\n")
+        s"${(longs ++ strs ++ dbls ++ nulls ++ sums ++ blooms ++ bpvs)
+          .mkString(";")}\n")
     }
     Files.write(Paths.get(dir, "_manifest.gshard"),
       sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -1008,20 +1038,24 @@ object ShardFormat {
       var blooms = Map.empty[String, String]
       var bpvs = Map.empty[String, Long]
       var dMin = Map.empty[String, Double]; var dMax = Map.empty[String, Double]
+      var sums = Map.empty[String, Long]
       if (parts.length > 3 && parts(3).nonEmpty)
         parts(3).split(";").foreach { kv =>
-          // the column name contains none of the six markers, so the
+          // the column name contains none of the seven markers, so the
           // EARLIEST marker in the segment is the one that tags it
           // ('=' long bounds, '#' base64 string bounds, '~' double
-          // bounds as raw IEEE bits, '!' null count, '?' base64 bloom,
-          // '^' bloom bits-per-value — base64 can contain '=' but the
-          // tag marker always precedes it)
+          // bounds as raw IEEE bits, '!' null count, '*' column sum,
+          // '?' base64 bloom, '^' bloom bits-per-value — base64 can
+          // contain '=' but the tag marker always precedes it)
           val eq = kv.indexOf('='); val hs = kv.indexOf('#')
           val bg = kv.indexOf('!'); val qm = kv.indexOf('?')
           val ct = kv.indexOf('^'); val td = kv.indexOf('~')
+          val st = kv.indexOf('*')
           def before(a: Int, b: Int) = a >= 0 && (b < 0 || a < b)
           def first(a: Int, rest: Int*) = rest.forall(before(a, _))
-          if (first(td, eq, hs, bg, qm, ct)) {
+          if (first(st, eq, hs, bg, qm, ct, td)) {
+            sums += kv.substring(0, st) -> kv.substring(st + 1).toLong
+          } else if (first(td, eq, hs, bg, qm, ct)) {
             val c = kv.substring(0, td)
             val Array(mn, mx) = kv.substring(td + 1).split(":")
             dMin += c -> java.lang.Double.longBitsToDouble(mn.toLong)
@@ -1044,7 +1078,7 @@ object ShardFormat {
           }
         }
       ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms, bpvs,
-        dMin, dMax)
+        dMin, dMax, sums)
     }.toSeq
     Manifest(schema, entries, lastTxn, txns)
   }

@@ -204,7 +204,11 @@ class EmptyInputSpec extends SparkSpec {
     "corpus_source_overlap", "q_shard_scan_double",
     // the sequential monitor over an empty day spine (no panel rows →
     // no days) and the chunker over an empty corpus (no docs)
-    "events_sequential_ab", "text_chunk_plan")
+    "events_sequential_ab", "text_chunk_plan",
+    // the bootstrap over zero users (empty replicate grid → empty CI
+    // sides → zero rows) and metadata SUM over a zero-file manifest
+    // (count 0, NULL sums — one row)
+    "events_bootstrap_ci", "q_shard_sum")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -231,6 +231,40 @@ class ShardFormatV4Spec extends SparkSpec {
     assert(q2.head.getDouble(0).isNaN, "Spark orders NaN largest")
   }
 
+  test("SUM answers metadata-only from exact per-file sums; all-null " +
+      "columns answer SQL NULL; negatives fold exactly") {
+    val sess = spark
+    import sess.implicits._
+    val n = 20000
+    val df = spark.range(n.toLong).select(col("id").as("k"),
+      (col("id") * -3 + lit(7)).as("v"),
+      when(col("id") % 2 === 0, col("id") * 2).as("half"),
+      lit(null).cast("long").as("dead"))
+    val d = Files.createTempDirectory("gshard_sum_").toString
+    df.write.format("gshard").option("rangecol", "k")
+      .option("shards", 4).mode("overwrite").save(d)
+    val q = spark.read.format("gshard").load(d)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("half")).as("sh"), sum(col("dead")).as("sd"))
+    val p = q.queryExecution.executedPlan.toString()
+    assert(p.contains("metadata-only") && p.contains("files=0/"),
+      s"SUM not answered from the manifest:\n$p")
+    val want = df.agg(count(lit(1)), sum(col("v")), sum(col("half")),
+      sum(col("dead"))).head
+    val got = q.head
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1), "negative sums drifted")
+    assert(got.getLong(2) == want.getLong(2), "null-skipping sums drifted")
+    assert(got.isNullAt(3) && want.isNullAt(3),
+      "an all-null column must sum to SQL NULL, not 0")
+    // DISTINCT sums never ride the metadata path
+    val pd = spark.read.format("gshard").load(d)
+      .agg(sum_distinct(col("half")).as("sdh"))
+      .queryExecution.executedPlan.toString()
+    assert(!pd.contains("metadata-only"),
+      s"DISTINCT sum answered from metadata:\n$pd")
+  }
+
   test("randomized double predicates never diverge from the parquet " +
       "truth (seeded sweep over pruned scans)") {
     val d = Files.createTempDirectory("gshard_dbl_sweep_").toString
