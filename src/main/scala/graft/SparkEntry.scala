@@ -120,6 +120,10 @@ object SparkEntry {
     // Theil–Sen robust slope: lower-median of pairwise ppm slopes
     // over the aggregated daily series
     "events_theilsen"     -> q(EventAnalytics.eventsTheilSen),
+    // the robust slope maintained continuously — pair #43
+    "stream_theilsen"     -> q(t => graft.streaming.Streaming.streamTheilSen(t)),
+    // the bootstrap CI maintained continuously — pair #44
+    "stream_bootstrap_ci" -> q(t => graft.streaming.Streaming.streamBootstrapCi(t)),
     // per-user behavioral entropy of the event-type distribution
     "events_type_entropy" -> q(EventAnalytics.eventsTypeEntropy),
     // the entropy screen maintained continuously — pair #37
@@ -1012,6 +1016,62 @@ object SparkEntry {
       |   / nullif(qa * qa / (n_a - 1) + qb * qb / (n_b - 1), 0) + 1e-9, 2)
       |   AS df
       |FROM z""".stripMargin
+
+  /** Shared by `events_bootstrap_ci` and its streaming twin (pair
+    * #44): the deterministic Poisson bootstrap — identical md5
+    * integer weights, truncating millicent means, (m, b) rank order
+    * statistics. */
+  private val bootstrapCiSql: String =
+      """WITH u AS (SELECT user_id,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        | FROM events GROUP BY 1),
+        |reps AS (SELECT unnest(generate_series(0, 199)) AS b),
+        |g AS (SELECT u.user_id, u.x, reps.b,
+        |  CAST(concat('0x', substr(md5(concat(u.user_id, ':', reps.b)), 1, 5))
+        |    AS BIGINT) AS h
+        | FROM u, reps),
+        |w AS (SELECT b, x,
+        |  CASE WHEN h < 385749 THEN 0 WHEN h < 771499 THEN 1
+        |   WHEN h < 964373 THEN 2 WHEN h < 1028665 THEN 3
+        |   WHEN h < 1044738 THEN 4 WHEN h < 1047952 THEN 5
+        |   ELSE 6 END AS w FROM g),
+        |m AS (SELECT b,
+        |  CAST((sum(w * x) * 1000) // nullif(sum(w), 0) AS BIGINT) AS m
+        | FROM w GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY m, b) AS rn
+        | FROM m WHERE m IS NOT NULL),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST((sum(x) * 1000) // count(*) AS BIGINT) AS mean_mcents FROM u)
+        |SELECT base.n_users, CAST(200 AS BIGINT) AS n_reps,
+        | base.mean_mcents, lo.m AS lo_mcents, hi.m AS hi_mcents
+        |FROM base, (SELECT m FROM r WHERE rn = 5) lo,
+        | (SELECT m FROM r WHERE rn = 196) hi""".stripMargin
+
+  /** Shared by `events_theilsen` and its streaming twin (pair #43):
+    * truncating integer ppm slopes over the daily series, lower
+    * median by rank (both engines' integer division truncates toward
+    * zero). */
+  private val theilSenSql: String =
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |    - DATE '2024-01-01' AS BIGINT) AS d,
+        |  CAST(count(*) AS BIGINT) AS c
+        | FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |  ((b.c - a.c) * 1000000) // (b.d - a.d) AS slope_ppm
+        | FROM daily a JOIN daily b
+        |   ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (SELECT *,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY slope_ppm)
+        |    AS rn,
+        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+        | FROM p),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        | FROM daily GROUP BY 1)
+        |SELECT r.event_type, n.n_days, r.m AS n_pairs,
+        | CAST(r.slope_ppm AS BIGINT) AS slope_ppm
+        |FROM r JOIN n ON n.event_type = r.event_type
+        |WHERE rn = (m + 1) // 2 ORDER BY 1""".stripMargin
 
   /** Shared by `events_chisq` and its streaming twin (pair #42):
     * chi-square independence — integer cells, per-row double trees,
@@ -2276,31 +2336,10 @@ object SparkEntry {
     "stream_welch_ttest" -> welchTtestSql,
     // Poisson bootstrap: identical md5-derived integer weights, same
     // truncating millicent means, same (m, b) rank order statistics
-    "events_bootstrap_ci" ->
-      """WITH u AS (SELECT user_id,
-        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
-        | FROM events GROUP BY 1),
-        |reps AS (SELECT unnest(generate_series(0, 199)) AS b),
-        |g AS (SELECT u.user_id, u.x, reps.b,
-        |  CAST(concat('0x', substr(md5(concat(u.user_id, ':', reps.b)), 1, 5))
-        |    AS BIGINT) AS h
-        | FROM u, reps),
-        |w AS (SELECT b, x,
-        |  CASE WHEN h < 385749 THEN 0 WHEN h < 771499 THEN 1
-        |   WHEN h < 964373 THEN 2 WHEN h < 1028665 THEN 3
-        |   WHEN h < 1044738 THEN 4 WHEN h < 1047952 THEN 5
-        |   ELSE 6 END AS w FROM g),
-        |m AS (SELECT b,
-        |  CAST((sum(w * x) * 1000) // nullif(sum(w), 0) AS BIGINT) AS m
-        | FROM w GROUP BY 1),
-        |r AS (SELECT *, row_number() OVER (ORDER BY m, b) AS rn
-        | FROM m WHERE m IS NOT NULL),
-        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
-        |  CAST((sum(x) * 1000) // count(*) AS BIGINT) AS mean_mcents FROM u)
-        |SELECT base.n_users, CAST(200 AS BIGINT) AS n_reps,
-        | base.mean_mcents, lo.m AS lo_mcents, hi.m AS hi_mcents
-        |FROM base, (SELECT m FROM r WHERE rn = 5) lo,
-        | (SELECT m FROM r WHERE rn = 196) hi""".stripMargin,
+    "events_bootstrap_ci" -> bootstrapCiSql,
+    "stream_bootstrap_ci" -> bootstrapCiSql,
+    "events_theilsen" -> theilSenSql,
+    "stream_theilsen" -> theilSenSql,
     "events_chisq" -> chisqSql,
     "stream_chisq" -> chisqSql,
     // the experiment monitored sequentially: cumulative daily panel
@@ -2338,29 +2377,6 @@ object SparkEntry {
         | round(z_raw + 1e-9, 4) AS z,
         | coalesce(abs(z_raw) >= 2.797, false) AS crossed
         |FROM z ORDER BY 1""".stripMargin,
-    // Theil–Sen: truncating integer ppm slopes over the daily series,
-    // lower median by rank (both engines' // truncates toward zero)
-    "events_theilsen" ->
-      """WITH daily AS (SELECT event_type,
-        |  CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE)
-        |    - DATE '2024-01-01' AS BIGINT) AS d,
-        |  CAST(count(*) AS BIGINT) AS c
-        | FROM events GROUP BY 1, 2),
-        |p AS (SELECT a.event_type,
-        |  ((b.c - a.c) * 1000000) // (b.d - a.d) AS slope_ppm
-        | FROM daily a JOIN daily b
-        |   ON a.event_type = b.event_type AND a.d < b.d),
-        |r AS (SELECT *,
-        |  row_number() OVER (PARTITION BY event_type ORDER BY slope_ppm)
-        |    AS rn,
-        |  CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
-        | FROM p),
-        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
-        | FROM daily GROUP BY 1)
-        |SELECT r.event_type, n.n_days, r.m AS n_pairs,
-        | CAST(r.slope_ppm AS BIGINT) AS slope_ppm
-        |FROM r JOIN n ON n.event_type = r.event_type
-        |WHERE rn = (m + 1) // 2 ORDER BY 1""".stripMargin,
     "events_growth_accounting" -> growthSql,
     "stream_growth_accounting" -> growthSql,
     "events_ols_trend" -> olsTrendSql,

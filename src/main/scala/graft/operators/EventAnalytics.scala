@@ -2972,27 +2972,37 @@ object EventAnalytics {
     * AGGREGATED (type, day) series — ≤ days² pairs per type, a
     * metadata-scale domain — never over fact rows; the T13 two-level
     * split is the recipe if a series ever outgrew a partition. */
-  def eventsTheilSen(t: Tables): DataFrame = {
-    val daily = t.events
+  def eventsTheilSen(t: Tables): DataFrame =
+    theilSenFromDaily(t.events
       .groupBy(col("event_type"),
         datediff(to_date(col("ts")),
           lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("d"))
-      .agg(count(lit(1)).as("c"))
-    val nDays = daily.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days"))
-    val pairs = daily.as("a").join(daily.as("b"),
-        col("a.event_type") === col("b.event_type") &&
-          col("a.d") < col("b.d"))
-      .select(col("a.event_type").as("event_type"),
-        ((col("b.c") - col("a.c")) * lit(1000000L)).as("num"),
-        (col("b.d") - col("a.d")).as("den"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The Theil–Sen readout over a final (event_type, d, c) daily
+    * series — shared by the batch operator and `stream_theilsen`
+    * (equivalence pair #43), which maintains the series as one keyed
+    * streaming aggregation. */
+  def theilSenFromDaily(daily: DataFrame): DataFrame = {
+    val nDays = daily.select(col("event_type").as("et3"))
+      .groupBy(col("et3")).agg(count(lit(1)).as("n_days"))
+    // renamed right side (not .as aliases): a drained-table relation
+    // self-joined under two aliases trips Spark's ambiguous-self-join
+    // resolution; distinct column names never can
+    val later = daily.select(col("event_type").as("et2"),
+      col("d").as("d2"), col("c").as("c2"))
+    val pairs = daily.join(later,
+        col("event_type") === col("et2") && col("d") < col("d2"))
+      .select(col("event_type"),
+        ((col("c2") - col("c")) * lit(1000000L)).as("num"),
+        (col("d2") - col("d")).as("den"))
       .withColumn("slope_ppm", expr("num div den"))
     val byType = Window.partitionBy(col("event_type"))
     pairs
       .withColumn("rn", row_number().over(byType.orderBy(asc("slope_ppm"))))
       .withColumn("m", count(lit(1)).over(byType))
       .filter(col("rn").cast("long") === expr("(m + 1) div 2"))
-      .join(nDays, Seq("event_type"))
+      .join(nDays, col("event_type") === col("et3"))
       .select(col("event_type"), col("n_days"), col("m").as("n_pairs"),
         col("slope_ppm"))
       .orderBy(col("event_type"))
@@ -3023,10 +3033,17 @@ object EventAnalytics {
     * either side), not approximations. Scale: the users × 200 grid
     * partially aggregates map-side to 200 keys per task — the shuffle
     * carries ~200 rows per partition, never the grid. */
-  def eventsBootstrapCi(t: Tables, reps: Int = 200): DataFrame = {
-    val perUser = t.events.select(col("user_id"),
+  def eventsBootstrapCi(t: Tables, reps: Int = 200): DataFrame =
+    bootstrapFromUserTotals(t.events.select(col("user_id"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      .groupBy(col("user_id")).agg(sum(col("cents")).as("x"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("x")), reps)
+
+  /** The bootstrap readout over final per-user totals (user_id, x) —
+    * shared by the batch operator and `stream_bootstrap_ci`
+    * (equivalence pair #44), which maintains the totals as one keyed
+    * streaming aggregation. */
+  def bootstrapFromUserTotals(perUser: DataFrame, reps: Int = 200)
+      : DataFrame = {
     val u = conv(substring(md5(concat_ws(":", col("user_id"), col("b"))),
       1, 5), 16, 10).cast("long")
     // Poisson(1) CDF at k=0..5, scaled by 2^20 and floored — the

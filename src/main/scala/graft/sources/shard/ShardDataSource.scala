@@ -464,7 +464,7 @@ private[shard] class ShardScanBuilder(dir: String,
 
   import org.apache.spark.sql.connector.expressions.NamedReference
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
-    CountStar, Max, Min, Sum}
+    Count, CountStar, Max, Min, Sum}
 
   private var required: StructType = manifest.schema
   private var pushed: Array[Filter] = Array.empty
@@ -602,6 +602,23 @@ private[shard] class ShardScanBuilder(dir: String,
     case _ => None
   }
 
+  /** COUNT(col) — the NON-NULL count — answers from the manifest's
+    * per-column null counts for ANY column type; every file must
+    * carry the count (pre-nullcount manifests scan). DISTINCT never
+    * qualifies. */
+  private def countAnswer(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[java.lang.Long] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      val c = nr.fieldNames()(0)
+      if (manifest.schema.fieldNames.contains(c) &&
+          manifest.entries.forall(_.nullCnt.contains(c)))
+        Some(java.lang.Long.valueOf(
+          manifest.entries.map(en => en.rows - en.nullCnt(c)).sum))
+      else None
+    case _ => None
+  }
+
   private def canPush(agg: Aggregation): Boolean =
     pushed.isEmpty && agg.groupByExpressions.isEmpty &&
       agg.aggregateExpressions.nonEmpty &&
@@ -610,6 +627,7 @@ private[shard] class ShardScanBuilder(dir: String,
         case m: Min => zCol(m.column).isDefined || dCol(m.column).isDefined
         case m: Max => zCol(m.column).isDefined || dCol(m.column).isDefined
         case s: Sum => !s.isDistinct && sumAnswer(s.column).isDefined
+        case c: Count => !c.isDistinct && countAnswer(c.column).isDefined
         case _ => false
       }
 
@@ -685,6 +703,7 @@ private[shard] class ShardScanBuilder(dir: String,
             (if (vs.isEmpty) null
              else java.lang.Double.valueOf(vs.reduce[Double](math.max)), DoubleType)
           case s: Sum => (sumAnswer(s.column).get, LongType)
+          case c: Count => (countAnswer(c.column).get, LongType)
           case other => throw new IllegalStateException(other.toString)
         }
       new ShardAggScan(dir, manifest, answers)

@@ -1177,6 +1177,42 @@ object Streaming {
     * readout ([[graft.operators.EventAnalytics.chisqFromCounts]])
     * over the drained cells. Shares `events_chisq`'s oracle verbatim
     * — stream/batch equivalence pair #42. */
+  /** X51 — `stream_theilsen`: the robust trend slope maintained
+    * CONTINUOUSLY — the per-(type, day) counts as ONE keyed streaming
+    * aggregation (state ≤ types × days rows — the aggregated series,
+    * the minimal sufficient statistic), with the shared
+    * pairwise-slope lower-median readout
+    * ([[graft.operators.EventAnalytics.theilSenFromDaily]]) over the
+    * drained series. Shares `events_theilsen`'s oracle verbatim —
+    * stream/batch equivalence pair #43. */
+  def streamTheilSen(t: Tables): DataFrame = {
+    val daily = eventsStream(t)
+      .select(col("event_type"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("c"))
+    graft.operators.EventAnalytics.theilSenFromDaily(
+      drainToTable(daily, "complete"))
+  }
+
+  /** X52 — `stream_bootstrap_ci`: the Poisson-bootstrap CI maintained
+    * CONTINUOUSLY — per-user cents totals as ONE keyed streaming
+    * aggregation (the same sufficient statistic the Welch twin keeps),
+    * with the shared deterministic-weight readout
+    * ([[graft.operators.EventAnalytics.bootstrapFromUserTotals]])
+    * over the drained totals. Shares `events_bootstrap_ci`'s oracle
+    * verbatim — stream/batch equivalence pair #44. */
+  def streamBootstrapCi(t: Tables): DataFrame = {
+    val totals = eventsStream(t)
+      .select(col("user_id"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("cents")).as("x"))
+    graft.operators.EventAnalytics.bootstrapFromUserTotals(
+      drainToTable(totals, "complete"))
+  }
+
   def streamChisq(t: Tables): DataFrame = {
     val cells = eventsStream(t)
       .withColumn("variant",

@@ -208,7 +208,9 @@ class EmptyInputSpec extends SparkSpec {
     // the bootstrap over zero users (empty replicate grid → empty CI
     // sides → zero rows) and metadata SUM over a zero-file manifest
     // (count 0, NULL sums — one row)
-    "events_bootstrap_ci", "q_shard_sum")
+    "events_bootstrap_ci", "q_shard_sum",
+    // the streaming twins' empty drains share the batch readouts
+    "stream_theilsen", "stream_bootstrap_ci")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -290,6 +290,22 @@ class RankStatsSpec extends SparkSpec {
       s"diff=${(got.toSet -- expected.toSet).take(3)}")
   }
 
+  test("stream_theilsen == events_theilsen (equivalence pair #43)") {
+    val b = EventAnalytics.eventsTheilSen(tables).collect().map(_.toSeq)
+    val s = graft.streaming.Streaming.streamTheilSen(tables)
+      .collect().map(_.toSeq)
+    assert(b.toSeq == s.toSeq)
+  }
+
+  test("stream_bootstrap_ci == events_bootstrap_ci (equivalence " +
+      "pair #44), and the CI brackets the point estimate") {
+    val b = EventAnalytics.eventsBootstrapCi(tables).head()
+    val s = graft.streaming.Streaming.streamBootstrapCi(tables).head()
+    assert(b.toSeq == s.toSeq)
+    assert(b.getLong(3) <= b.getLong(2) && b.getLong(2) <= b.getLong(4),
+      s"CI [${b.getLong(3)}, ${b.getLong(4)}] misses the mean ${b.getLong(2)}")
+  }
+
   test("stream_chisq == events_chisq (equivalence pair #42)") {
     val b = EventAnalytics.eventsChisq(tables).collect().map(_.toSeq)
     val s = graft.streaming.Streaming.streamChisq(tables)

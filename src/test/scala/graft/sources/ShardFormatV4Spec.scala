@@ -245,18 +245,21 @@ class ShardFormatV4Spec extends SparkSpec {
       .option("shards", 4).mode("overwrite").save(d)
     val q = spark.read.format("gshard").load(d)
       .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-        sum(col("half")).as("sh"), sum(col("dead")).as("sd"))
+        sum(col("half")).as("sh"), sum(col("dead")).as("sd"),
+        count(col("half")).as("nh"))
     val p = q.queryExecution.executedPlan.toString()
     assert(p.contains("metadata-only") && p.contains("files=0/"),
-      s"SUM not answered from the manifest:\n$p")
+      s"SUM/COUNT(col) not answered from the manifest:\n$p")
     val want = df.agg(count(lit(1)), sum(col("v")), sum(col("half")),
-      sum(col("dead"))).head
+      sum(col("dead")), count(col("half"))).head
     val got = q.head
     assert(got.getLong(0) == want.getLong(0))
     assert(got.getLong(1) == want.getLong(1), "negative sums drifted")
     assert(got.getLong(2) == want.getLong(2), "null-skipping sums drifted")
     assert(got.isNullAt(3) && want.isNullAt(3),
       "an all-null column must sum to SQL NULL, not 0")
+    assert(got.getLong(4) == want.getLong(4),
+      "COUNT(col) must count exactly the non-null rows")
     // DISTINCT sums never ride the metadata path
     val pd = spark.read.format("gshard").load(d)
       .agg(sum_distinct(col("half")).as("sdh"))
