@@ -2860,11 +2860,7 @@ object EventAnalytics {
     * 4 dp. Scale: user rollup shuffle + a 1-row fold. Σx² of per-user
     * cents totals stays well inside long range to ~1e9 users. */
   def eventsWelchTtest(t: Tables): DataFrame =
-    welchFromUserCents(t.events
-      .select(col("user_id"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("cents")).as("x")))
+    welchFromUserCents(userCentsTotals(t.events))
 
   /** The Welch readout over final per-user totals (user_id, x) —
     * shared by the batch operator and `stream_welch_ttest`
@@ -3008,17 +3004,6 @@ object EventAnalytics {
       .orderBy(col("event_type"))
   }
 
-  /** `events_sequential_ab` — the SEQUENTIAL experiment monitor: the
-    * cumulative two-proportion z replayed at every day boundary with
-    * a fixed O'Brien–Fleming-style guard band (|z| ≥ 2.797 — wider
-    * than the fixed-horizon 1.96 exactly because the statistic is
-    * examined repeatedly; the peeking problem [[eventsAbTest]]'s
-    * one-shot readout cannot see). Panel semantics: a user counts as
-    * exposed each ACTIVE day and converted on days with a qualifying
-    * purchase — the daily-cohort monitoring view. All counts are
-    * exact integers; the z tree mirrors the ab_test oracle's operand
-    * order; the cumulative window runs over the per-day aggregate
-    * rows (≤ days — metadata scale), never fact rows. */
   /** `events_bootstrap_ci` — a 95 % bootstrap interval on the mean
     * per-user spend, via the POISSON bootstrap: instead of resampling
     * rows (a shuffle per replicate — unrunnable at scale), every user
@@ -3034,9 +3019,16 @@ object EventAnalytics {
     * partially aggregates map-side to 200 keys per task — the shuffle
     * carries ~200 rows per partition, never the grid. */
   def eventsBootstrapCi(t: Tables, reps: Int = 200): DataFrame =
-    bootstrapFromUserTotals(t.events.select(col("user_id"),
+    bootstrapFromUserTotals(userCentsTotals(t.events), reps)
+
+  /** Per-user exact cents totals — THE sufficient statistic the
+    * Welch and bootstrap pairs (#41/#44) share; defined once so the
+    * batch/stream twins can never drift on the rounding. Works on
+    * batch and streaming frames alike (pure transformations). */
+  def userCentsTotals(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
         floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      .groupBy(col("user_id")).agg(sum(col("cents")).as("x")), reps)
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("x"))
 
   /** The bootstrap readout over final per-user totals (user_id, x) —
     * shared by the batch operator and `stream_bootstrap_ci`
@@ -3061,8 +3053,13 @@ object EventAnalytics {
       .filter(col("m").isNotNull) // NULL ordering differs per engine
     val ranked = means.withColumn("rn",
       row_number().over(Window.orderBy(asc("m"), asc("b"))))
-    val lo = ranked.filter(col("rn") === 5).select(col("m").as("lo_mcents"))
-    val hi = ranked.filter(col("rn") === (reps - 4))
+    // 95 % bounds as order statistics: rank ⌈0.025·reps⌉ either side
+    // (5 and 196 at the default reps = 200, which is what the oracle
+    // hard-codes — a different reps keeps the coverage, not the gate)
+    val loRank = math.max(1, math.ceil(reps * 0.025).toInt)
+    val lo = ranked.filter(col("rn") === loRank)
+      .select(col("m").as("lo_mcents"))
+    val hi = ranked.filter(col("rn") === (reps - loRank + 1))
       .select(col("m").as("hi_mcents"))
     perUser.agg(count(lit(1)).as("n_users"),
         expr("(sum(x) * 1000) div count(1)").as("mean_mcents"))
@@ -3071,6 +3068,17 @@ object EventAnalytics {
         col("mean_mcents"), col("lo_mcents"), col("hi_mcents"))
   }
 
+  /** `events_sequential_ab` — the SEQUENTIAL experiment monitor: the
+    * cumulative two-proportion z replayed at every day boundary with
+    * a fixed O'Brien–Fleming-style guard band (|z| ≥ 2.797 — wider
+    * than the fixed-horizon 1.96 exactly because the statistic is
+    * examined repeatedly; the peeking problem [[eventsAbTest]]'s
+    * one-shot readout cannot see). Panel semantics: a user counts as
+    * exposed each ACTIVE day and converted on days with a qualifying
+    * purchase — the daily-cohort monitoring view. All counts are
+    * exact integers; the z tree mirrors the ab_test oracle's operand
+    * order; the cumulative window runs over the per-day aggregate
+    * rows (≤ days — metadata scale), never fact rows. */
   def eventsSequentialAb(t: Tables): DataFrame = {
     val panel = t.events
       .withColumn("day", to_date(col("ts")))

@@ -619,17 +619,65 @@ private[shard] class ShardScanBuilder(dir: String,
     case _ => None
   }
 
+  /** MIN/MAX from the zone maps — the typed long-domain path first,
+    * then the NaN-gated double path. None = not answerable. */
+  private def minMaxAnswer(
+      e: org.apache.spark.sql.connector.expressions.Expression,
+      isMin: Boolean)
+      : Option[(Any, org.apache.spark.sql.types.DataType)] =
+    zCol(e).map { case (c, dt) =>
+      val vs = manifest.entries
+        .flatMap(en => if (isMin) en.zMin.get(c) else en.zMax.get(c))
+      ((if (vs.isEmpty) null
+        else java.lang.Long.valueOf(if (isMin) vs.min else vs.max)): Any,
+        dt)
+    }.orElse(dCol(e).map { c =>
+      val vs = manifest.entries
+        .flatMap(en => if (isMin) en.dMin.get(c) else en.dMax.get(c))
+      ((if (vs.isEmpty) null
+        else java.lang.Double.valueOf(
+          if (isMin) vs.reduce[Double](math.min)
+          else vs.reduce[Double](math.max))): Any,
+        DoubleType: org.apache.spark.sql.types.DataType)
+    })
+
+  /** The full metadata answer vector for `agg`, or None if any
+    * expression is unanswerable — MEMOIZED per Aggregation instance,
+    * so the manifest folds run ONCE per query instead of once per
+    * planner callback (supportCompletePushDown, pushAggregation, and
+    * build all consult this). */
+  private var aggCache
+      : (Aggregation, Option[Array[(Any, org.apache.spark.sql.types.DataType)]]) = null
+  private def answersFor(agg: Aggregation)
+      : Option[Array[(Any, org.apache.spark.sql.types.DataType)]] = {
+    if (aggCache != null && (aggCache._1 eq agg)) aggCache._2
+    else {
+      val r: Option[Array[(Any, org.apache.spark.sql.types.DataType)]] =
+        if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+            agg.aggregateExpressions.isEmpty) None
+        else {
+          val opts = agg.aggregateExpressions.map {
+            case _: CountStar => Some((java.lang.Long.valueOf(
+              manifest.entries.map(_.rows).sum): Any,
+              LongType: org.apache.spark.sql.types.DataType))
+            case m: Min => minMaxAnswer(m.column, isMin = true)
+            case m: Max => minMaxAnswer(m.column, isMin = false)
+            case s: Sum if !s.isDistinct => sumAnswer(s.column)
+              .map(v => (v, LongType: org.apache.spark.sql.types.DataType))
+            case c: Count if !c.isDistinct => countAnswer(c.column)
+              .map(v => (v: Any,
+                LongType: org.apache.spark.sql.types.DataType))
+            case _ => None
+          }
+          if (opts.forall(_.isDefined)) Some(opts.map(_.get)) else None
+        }
+      aggCache = (agg, r)
+      r
+    }
+  }
+
   private def canPush(agg: Aggregation): Boolean =
-    pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall {
-        case _: CountStar => true
-        case m: Min => zCol(m.column).isDefined || dCol(m.column).isDefined
-        case m: Max => zCol(m.column).isDefined || dCol(m.column).isDefined
-        case s: Sum => !s.isDistinct && sumAnswer(s.column).isDefined
-        case c: Count => !c.isDistinct && countAnswer(c.column).isDefined
-        case _ => false
-      }
+    answersFor(agg).isDefined
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     canPush(agg)
@@ -679,34 +727,9 @@ private[shard] class ShardScanBuilder(dir: String,
     case Some(agg) =>
       // answer from the manifest at PLANNING time: one row, no files;
       // each answer carries its LOGICAL type (timestamp/date/int
-      // min/max come back typed, not as raw longs)
-      val answers: Array[(Any, org.apache.spark.sql.types.DataType)] =
-        agg.aggregateExpressions.map {
-          case _: CountStar => (java.lang.Long.valueOf(
-            manifest.entries.map(_.rows).sum), LongType)
-          case m: Min if zCol(m.column).isDefined =>
-            val (c, dt) = zCol(m.column).get
-            val vs = manifest.entries.flatMap(_.zMin.get(c))
-            (if (vs.isEmpty) null else java.lang.Long.valueOf(vs.min), dt)
-          case m: Max if zCol(m.column).isDefined =>
-            val (c, dt) = zCol(m.column).get
-            val vs = manifest.entries.flatMap(_.zMax.get(c))
-            (if (vs.isEmpty) null else java.lang.Long.valueOf(vs.max), dt)
-          case m: Min =>
-            val c = dCol(m.column).get
-            val vs = manifest.entries.flatMap(_.dMin.get(c))
-            (if (vs.isEmpty) null
-             else java.lang.Double.valueOf(vs.reduce[Double](math.min)), DoubleType)
-          case m: Max =>
-            val c = dCol(m.column).get
-            val vs = manifest.entries.flatMap(_.dMax.get(c))
-            (if (vs.isEmpty) null
-             else java.lang.Double.valueOf(vs.reduce[Double](math.max)), DoubleType)
-          case s: Sum => (sumAnswer(s.column).get, LongType)
-          case c: Count => (countAnswer(c.column).get, LongType)
-          case other => throw new IllegalStateException(other.toString)
-        }
-      new ShardAggScan(dir, manifest, answers)
+      // min/max come back typed, not as raw longs) — memoized, so
+      // this re-reads the cached vector, never re-folds the manifest
+      new ShardAggScan(dir, manifest, answersFor(agg).get)
     case None =>
       new ShardScan(dir, manifest, required, pushed,
         Option(options.get("maxfilespertrigger")).map(_.toInt),

@@ -584,7 +584,12 @@ object ShardFormat {
       val body = new ByteArrayOutputStream(1 << 16)
       val bdos = new DataOutputStream(body)
       // zone header: one slot per physically-long column, non-null
-      // values only
+      // values only; the bounds are kept (indexed by schema position)
+      // so the FOR-bitpack probe below reuses them instead of
+      // rescanning the chunk
+      val chHas = new Array[Boolean](nCols)
+      val chMin = new Array[Long](nCols)
+      val chMax = new Array[Long](nCols)
       longIdx.foreach { i =>
         var mn = Long.MaxValue; var mx = Long.MinValue; var has = false
         var r = 0
@@ -598,6 +603,7 @@ object ShardFormat {
           }
           r += 1
         }
+        chHas(i) = has; chMin(i) = mn; chMax(i) = mx
         bdos.writeByte(if (has) 1 else 0)
         bdos.writeLong(if (has) mn else 0L)
         bdos.writeLong(if (has) mx else 0L)
@@ -675,22 +681,17 @@ object ShardFormat {
             // high-entropy column stays plain; never worse than plain
             var deltaLen = 0L
             var prev = 0L
-            var vMin = 0L; var vMax = 0L; var hasV = false
             r = 0
             while (r < n) {
               val v = buf(r)(c)
               val l = if (v == null) prev else v.asInstanceOf[Long]
               deltaLen += varintLen(zigzag(l - prev))
               prev = l
-              if (v != null) {
-                val lv = v.asInstanceOf[Long]
-                if (!hasV || lv < vMin) vMin = lv
-                if (!hasV || lv > vMax) vMax = lv
-                hasV = true
-              }
               r += 1
             }
-            if (!hasV) { vMin = 0L; vMax = 0L }
+            // chunk bounds come from the zone-slot pass above
+            val vMin = if (chHas(c)) chMin(c) else 0L
+            val vMax = if (chHas(c)) chMax(c) else 0L
             val range = vMax - vMin
             // width > 56 (or an overflowing range) never picks FOR:
             // the gain over plain is < 1 byte/row there, and ≤ 56

@@ -1152,7 +1152,7 @@ object Streaming {
       drainToTable(pairs, "complete"))
   }
 
-  /** X47 — `stream_welch_ttest`: the continuous-metric experiment
+  /** X49 — `stream_welch_ttest`: the continuous-metric experiment
     * readout maintained CONTINUOUSLY — per-user cents totals as ONE
     * keyed streaming aggregation (state = users × one long, the
     * minimal sufficient statistic for the Welch moments), with the
@@ -1160,23 +1160,11 @@ object Streaming {
     * ([[graft.operators.EventAnalytics.welchFromUserCents]]) over the
     * drained totals. Shares `events_welch_ttest`'s oracle verbatim —
     * stream/batch equivalence pair #41. */
-  def streamWelchTtest(t: Tables): DataFrame = {
-    val totals = eventsStream(t)
-      .select(col("user_id"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("cents")).as("x"))
-    graft.operators.EventAnalytics.welchFromUserCents(
-      drainToTable(totals, "complete"))
-  }
+  def streamWelchTtest(t: Tables): DataFrame =
+    graft.operators.EventAnalytics.welchFromUserCents(drainToTable(
+      graft.operators.EventAnalytics.userCentsTotals(eventsStream(t)),
+      "complete"))
 
-  /** X50 — `stream_chisq`: the traffic-composition independence test
-    * maintained CONTINUOUSLY — (event_type, variant) cell counts as
-    * ONE keyed streaming aggregation (state = 2 × #types longs, the
-    * whole sufficient statistic), with the shared integer-summed
-    * readout ([[graft.operators.EventAnalytics.chisqFromCounts]])
-    * over the drained cells. Shares `events_chisq`'s oracle verbatim
-    * — stream/batch equivalence pair #42. */
   /** X51 — `stream_theilsen`: the robust trend slope maintained
     * CONTINUOUSLY — the per-(type, day) counts as ONE keyed streaming
     * aggregation (state ≤ types × days rows — the aggregated series,
@@ -1203,16 +1191,18 @@ object Streaming {
     * ([[graft.operators.EventAnalytics.bootstrapFromUserTotals]])
     * over the drained totals. Shares `events_bootstrap_ci`'s oracle
     * verbatim — stream/batch equivalence pair #44. */
-  def streamBootstrapCi(t: Tables): DataFrame = {
-    val totals = eventsStream(t)
-      .select(col("user_id"),
-        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
-      .groupBy(col("user_id"))
-      .agg(sum(col("cents")).as("x"))
-    graft.operators.EventAnalytics.bootstrapFromUserTotals(
-      drainToTable(totals, "complete"))
-  }
+  def streamBootstrapCi(t: Tables): DataFrame =
+    graft.operators.EventAnalytics.bootstrapFromUserTotals(drainToTable(
+      graft.operators.EventAnalytics.userCentsTotals(eventsStream(t)),
+      "complete"))
 
+  /** X50 — `stream_chisq`: the traffic-composition independence test
+    * maintained CONTINUOUSLY — (event_type, variant) cell counts as
+    * ONE keyed streaming aggregation (state = 2 × #types longs, the
+    * whole sufficient statistic), with the shared integer-summed
+    * readout ([[graft.operators.EventAnalytics.chisqFromCounts]])
+    * over the drained cells. Shares `events_chisq`'s oracle verbatim
+    * — stream/batch equivalence pair #42. */
   def streamChisq(t: Tables): DataFrame = {
     val cells = eventsStream(t)
       .withColumn("variant",

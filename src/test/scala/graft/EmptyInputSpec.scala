@@ -210,7 +210,8 @@ class EmptyInputSpec extends SparkSpec {
     // (count 0, NULL sums — one row)
     "events_bootstrap_ci", "q_shard_sum",
     // the streaming twins' empty drains share the batch readouts
-    "stream_theilsen", "stream_bootstrap_ci")
+    "stream_theilsen", "stream_bootstrap_ci",
+    "stream_welch_ttest", "stream_chisq")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {
