@@ -250,6 +250,8 @@ object SparkEntry {
     // the experiment monitored SEQUENTIALLY: cumulative daily z with
     // an O'Brien–Fleming-style guard band against peeking
     "events_sequential_ab" -> q(EventAnalytics.eventsSequentialAb),
+    // the monitor maintained continuously (its natural home) — #45
+    "stream_sequential_ab" -> q(t => graft.streaming.Streaming.streamSequentialAb(t)),
     // deterministic POISSON bootstrap: integer md5 weights, exact
     // order-statistic CI bounds, map-side-combined replicate grid
     "events_bootstrap_ci" -> q(t => EventAnalytics.eventsBootstrapCi(t)),
@@ -1072,6 +1074,43 @@ object SparkEntry {
         | CAST(r.slope_ppm AS BIGINT) AS slope_ppm
         |FROM r JOIN n ON n.event_type = r.event_type
         |WHERE rn = (m + 1) // 2 ORDER BY 1""".stripMargin
+
+  /** Shared by `events_sequential_ab` and its streaming twin (pair
+    * #45): cumulative daily panel counts, the ab_test z tree per
+    * day, the |z| ≥ 2.797 guard band. */
+  private val seqAbSql: String =
+      """WITH p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  max(CASE WHEN event_type = 'purchase' AND value > 180
+        |   THEN 1 ELSE 0 END) AS conv
+        | FROM events GROUP BY 1, 2),
+        |v AS (SELECT *,
+        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |   THEN 'A' ELSE 'B' END AS variant FROM p),
+        |d AS (SELECT day,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ea,
+        |  CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS eb,
+        |  CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS cb
+        | FROM v GROUP BY 1),
+        |c AS (SELECT day,
+        |  CAST(sum(ea) OVER w AS BIGINT) AS n_a,
+        |  CAST(sum(ca) OVER w AS BIGINT) AS conv_a,
+        |  CAST(sum(eb) OVER w AS BIGINT) AS n_b,
+        |  CAST(sum(cb) OVER w AS BIGINT) AS conv_b
+        | FROM d WINDOW w AS (ORDER BY day
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT *,
+        |  (conv_b / CAST(nullif(n_b, 0) AS DOUBLE)
+        |    - conv_a / CAST(nullif(n_a, 0) AS DOUBLE))
+        |  / nullif(sqrt(((conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE))
+        |    * (1.0 - (conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE))
+        |    * (1.0 / CAST(nullif(n_a, 0) AS DOUBLE)
+        |      + 1.0 / CAST(nullif(n_b, 0) AS DOUBLE))), 0.0) AS z_raw
+        | FROM c)
+        |SELECT CAST(day AS TIMESTAMP) AS day, n_a, conv_a, n_b, conv_b,
+        | round(z_raw + 1e-9, 4) AS z,
+        | coalesce(abs(z_raw) >= 2.797, false) AS crossed
+        |FROM z ORDER BY 1""".stripMargin
 
   /** Shared by `events_chisq` and its streaming twin (pair #42):
     * chi-square independence — integer cells, per-row double trees,
@@ -2342,41 +2381,8 @@ object SparkEntry {
     "stream_theilsen" -> theilSenSql,
     "events_chisq" -> chisqSql,
     "stream_chisq" -> chisqSql,
-    // the experiment monitored sequentially: cumulative daily panel
-    // counts, the ab_test z tree per day, |z| ≥ 2.797 guard band
-    "events_sequential_ab" ->
-      """WITH p AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
-        |  max(CASE WHEN event_type = 'purchase' AND value > 180
-        |   THEN 1 ELSE 0 END) AS conv
-        | FROM events GROUP BY 1, 2),
-        |v AS (SELECT *,
-        |  CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
-        |   THEN 'A' ELSE 'B' END AS variant FROM p),
-        |d AS (SELECT day,
-        |  CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ea,
-        |  CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0 END) AS BIGINT) AS ca,
-        |  CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS eb,
-        |  CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0 END) AS BIGINT) AS cb
-        | FROM v GROUP BY 1),
-        |c AS (SELECT day,
-        |  CAST(sum(ea) OVER w AS BIGINT) AS n_a,
-        |  CAST(sum(ca) OVER w AS BIGINT) AS conv_a,
-        |  CAST(sum(eb) OVER w AS BIGINT) AS n_b,
-        |  CAST(sum(cb) OVER w AS BIGINT) AS conv_b
-        | FROM d WINDOW w AS (ORDER BY day
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |z AS (SELECT *,
-        |  (conv_b / CAST(nullif(n_b, 0) AS DOUBLE)
-        |    - conv_a / CAST(nullif(n_a, 0) AS DOUBLE))
-        |  / nullif(sqrt(((conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE))
-        |    * (1.0 - (conv_a + conv_b) / CAST(nullif(n_a + n_b, 0) AS DOUBLE))
-        |    * (1.0 / CAST(nullif(n_a, 0) AS DOUBLE)
-        |      + 1.0 / CAST(nullif(n_b, 0) AS DOUBLE))), 0.0) AS z_raw
-        | FROM c)
-        |SELECT CAST(day AS TIMESTAMP) AS day, n_a, conv_a, n_b, conv_b,
-        | round(z_raw + 1e-9, 4) AS z,
-        | coalesce(abs(z_raw) >= 2.797, false) AS crossed
-        |FROM z ORDER BY 1""".stripMargin,
+    "events_sequential_ab" -> seqAbSql,
+    "stream_sequential_ab" -> seqAbSql,
     "events_growth_accounting" -> growthSql,
     "stream_growth_accounting" -> growthSql,
     "events_ols_trend" -> olsTrendSql,

@@ -3079,12 +3079,20 @@ object EventAnalytics {
     * exact integers; the z tree mirrors the ab_test oracle's operand
     * order; the cumulative window runs over the per-day aggregate
     * rows (≤ days — metadata scale), never fact rows. */
-  def eventsSequentialAb(t: Tables): DataFrame = {
-    val panel = t.events
+  def eventsSequentialAb(t: Tables): DataFrame =
+    seqAbFromPanel(t.events
       .withColumn("day", to_date(col("ts")))
       .groupBy(col("user_id"), col("day"))
       .agg(max(when(col("event_type") === "purchase" && col("value") > 180,
-        1L).otherwise(0L)).as("conv"))
+        1L).otherwise(0L)).as("conv")))
+
+  /** The sequential readout over a final (user_id, day, conv) panel —
+    * shared by the batch operator and `stream_sequential_ab`
+    * (equivalence pair #45), which maintains the panel as one keyed
+    * streaming aggregation (the natural home for a monitor that is
+    * BY DEFINITION consulted continuously). */
+  def seqAbFromPanel(rawPanel: DataFrame): DataFrame = {
+    val panel = rawPanel
       .withColumn("variant",
         when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
           .otherwise("B"))

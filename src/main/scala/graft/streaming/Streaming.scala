@@ -1196,6 +1196,24 @@ object Streaming {
       graft.operators.EventAnalytics.userCentsTotals(eventsStream(t)),
       "complete"))
 
+  /** X53 — `stream_sequential_ab`: the sequential experiment monitor
+    * living where it belongs — maintained CONTINUOUSLY. The
+    * per-(user, day) conversion panel is ONE keyed streaming
+    * aggregation (state = user-day rows; production watermarks the
+    * day), and the shared cumulative-z readout
+    * ([[graft.operators.EventAnalytics.seqAbFromPanel]]) replays the
+    * whole boundary sequence over the drained panel each trigger.
+    * Shares `events_sequential_ab`'s oracle verbatim — stream/batch
+    * equivalence pair #45. */
+  def streamSequentialAb(t: Tables): DataFrame =
+    graft.operators.EventAnalytics.seqAbFromPanel(drainToTable(
+      eventsStream(t)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("user_id"), col("day"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 180, 1L).otherwise(0L)).as("conv")),
+      "complete"))
+
   /** X50 — `stream_chisq`: the traffic-composition independence test
     * maintained CONTINUOUSLY — (event_type, variant) cell counts as
     * ONE keyed streaming aggregation (state = 2 × #types longs, the

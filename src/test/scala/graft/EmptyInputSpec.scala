@@ -211,7 +211,7 @@ class EmptyInputSpec extends SparkSpec {
     "events_bootstrap_ci", "q_shard_sum",
     // the streaming twins' empty drains share the batch readouts
     "stream_theilsen", "stream_bootstrap_ci",
-    "stream_welch_ttest", "stream_chisq")
+    "stream_welch_ttest", "stream_chisq", "stream_sequential_ab")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -306,6 +306,14 @@ class RankStatsSpec extends SparkSpec {
       s"CI [${b.getLong(3)}, ${b.getLong(4)}] misses the mean ${b.getLong(2)}")
   }
 
+  test("stream_sequential_ab == events_sequential_ab (equivalence " +
+      "pair #45)") {
+    val b = EventAnalytics.eventsSequentialAb(tables).collect().map(_.toSeq)
+    val s = graft.streaming.Streaming.streamSequentialAb(tables)
+      .collect().map(_.toSeq)
+    assert(b.toSeq == s.toSeq)
+  }
+
   test("stream_chisq == events_chisq (equivalence pair #42)") {
     val b = EventAnalytics.eventsChisq(tables).collect().map(_.toSeq)
     val s = graft.streaming.Streaming.streamChisq(tables)

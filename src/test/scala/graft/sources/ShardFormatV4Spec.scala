@@ -184,6 +184,48 @@ class ShardFormatV4Spec extends SparkSpec {
 
   // ── double metadata DELETE + old-generation rejection ──────────────
 
+  test("metadata DELETE decides double predicates from the double " +
+      "bounds: file-aligned drops, straddling rejects") {
+    val cat = "gshard_v4del"
+    val wh = Files.createTempDirectory("gshard_v4del_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // v == k exactly, so each inserted quartile lands as (at least)
+    // one file with contiguous, file-aligned double bounds
+    spark.range(1000).select(col("id").as("k"),
+        col("id").cast("double").as("v"))
+      .createOrReplaceTempView("v4del_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.td")
+    spark.sql(s"CREATE TABLE $cat.main.td AS " +
+      "SELECT * FROM v4del_src WHERE k < 250")
+    Seq("k >= 250 AND k < 500", "k >= 500 AND k < 750", "k >= 750")
+      .foreach(p => spark.sql(
+        s"INSERT INTO $cat.main.td SELECT * FROM v4del_src WHERE $p"))
+    val tdir = s"$wh/main/td"
+    val before = ShardFormat.readManifest(tdir)
+    assert(before.entries.size > 1, "degenerate: one file")
+    // threshold = some file's exact dMin: files strictly below are
+    // COVERED, the boundary file and above are DISJOINT
+    val thr = before.entries.flatMap(_.dMin.get("v")).sorted.drop(1).head
+    val dropped = before.entries
+      .filter(e => e.dMax.get("v").exists(_ < thr)).map(_.file)
+    assert(dropped.nonEmpty, "no file lies entirely below the threshold")
+    spark.sql(s"DELETE FROM $cat.main.td WHERE v < $thr")
+    val after = ShardFormat.readManifest(tdir)
+    assert(after.entries.map(_.file).toSet ==
+      before.entries.map(_.file).toSet -- dropped)
+    assert(spark.table(s"$cat.main.td").count() == 1000L -
+      before.entries.filter(e => dropped.contains(e.file)).map(_.rows).sum)
+    // a threshold strictly inside a surviving file straddles → reject
+    val ex = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.main.td WHERE v < ${thr + 0.5}")
+    }
+    assert(ex.getMessage != null)
+    assert(ShardFormat.readManifest(tdir).entries.map(_.file) ==
+      after.entries.map(_.file))
+  }
+
   test("a v3 manifest rejects up front with the rewrite-required error") {
     val d = Files.createTempDirectory("gshard_v3_reject_").toString
     Files.write(Paths.get(d, "_manifest.gshard"),
