@@ -310,6 +310,44 @@ class ShardFormatV4Spec extends SparkSpec {
       s"DISTINCT sum answered from metadata:\n$pd")
   }
 
+  test("randomized long-block shapes roundtrip byte-exact through " +
+      "every encoding (seeded sweep: constant/boolean/narrow/sorted/" +
+      "wide/negative × null densities × chunk sizes)") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(0xB17B0C5L)
+    (0 until 12).foreach { i =>
+      val n = 500 + rnd.nextInt(4000)
+      val shape = rnd.nextInt(6)
+      val nullDen = rnd.nextInt(4) // 0 = no nulls .. 3 = dense nulls
+      val base = rnd.nextLong() % 1000000L
+      val vals: IndexedSeq[Option[Long]] = (0 until n).map { r =>
+        if (nullDen > 0 && rnd.nextInt(4) < nullDen) None
+        else Some(shape match {
+          case 0 => 42L                       // constant
+          case 1 => rnd.nextInt(2).toLong     // boolean-domain
+          case 2 => base + rnd.nextInt(1000)  // narrow FOR window
+          case 3 => r.toLong * 3              // sorted (delta)
+          case 4 => rnd.nextLong()            // full width (plain)
+          case _ => -5000000000L + rnd.nextInt(1 << 20) // negative base
+        })
+      }
+      val df = vals.zipWithIndex
+        .map { case (v, k) => (k.toLong, v) }.toDF("k", "v")
+      val d = Files.createTempDirectory(s"gshard_encsweep_$i").toString
+      ShardFormat.write(df, d, "k", 1, chunkRows = 256 + rnd.nextInt(2048))
+      val want = vals.zipWithIndex.map { case (v, k) => (k.toLong, v) }.toSet
+      for (columnar <- Seq(true, false)) {
+        val got = spark.read.format("gshard")
+          .option("columnar", columnar.toString).load(d)
+          .collect().map(r => (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+        assert(got == want,
+          s"case #$i shape=$shape nulls=$nullDen columnar=$columnar diverged")
+      }
+    }
+  }
+
   test("randomized double predicates never diverge from the parquet " +
       "truth (seeded sweep over pruned scans)") {
     val d = Files.createTempDirectory("gshard_dbl_sweep_").toString
