@@ -585,6 +585,10 @@ object SparkEntry {
     "q_shard_scan_double" -> q(t => graft.sources.SourceOps.qShardScanDouble(t)),
     // metadata-only SUM off the manifest's exact per-file sums
     "q_shard_sum" -> q(t => graft.sources.SourceOps.qShardSum(t)),
+    // ALTER TABLE ADD COLUMN with zero data rewrite: old files read
+    // the new column as NULL (their header column count rules)
+    "q_shard_schema_evolution" ->
+      q(t => graft.sources.SourceOps.qShardSchemaEvolution(t)),
     // NULL bitmaps end to end: DSv2 write with nulls in string+long
     // columns, vectorized read-back, count(*) vs count(col) vs sum
     "q_shard_null_roundtrip" -> q(t => graft.sources.SourceOps.qShardNullRoundtrip(t)),
@@ -5447,6 +5451,22 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(cents) AS BIGINT) AS value_cents
         |FROM e, m WHERE user_tag < thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the generational split replayed with a CASE NULL: rows below
+    // the threshold predate the ADD COLUMN, so their day is NULL
+    "q_shard_schema_evolution" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+        |  CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day
+        | FROM events),
+        |m AS (SELECT max(user_id) // 2 AS thr FROM e),
+        |t AS (SELECT user_id, event_type, cents,
+        |  CASE WHEN user_id < thr THEN NULL ELSE day END AS day
+        | FROM e, m)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(day) AS BIGINT) AS n_with_day,
+        | CAST(sum(cents) AS BIGINT) AS value_cents,
+        | CAST(sum(day) AS BIGINT) AS day_total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
     // the SUM half of the metadata path, recomputed from raw events
     "q_shard_sum" ->
       """WITH e AS (SELECT

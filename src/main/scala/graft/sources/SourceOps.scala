@@ -673,6 +673,43 @@ object SourceOps {
          |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** `q_shard_schema_evolution` — B48: ALTER TABLE ADD COLUMN with
+    * ZERO data rewrite. Generation 1 commits the narrow schema, the
+    * ALTER widens the MANIFEST only (old files keep their own column
+    * count — their header is authoritative), generation 2 appends
+    * with the widened schema, and one scan reads both: the old
+    * files' new column comes back NULL (count(day) counts exactly
+    * the new generation), while every stat that would need the old
+    * files' missing metadata refuses to answer from the manifest and
+    * scans — sound by the same absent-stat rule as everywhere else.
+    * The oracle replays the generational split with a CASE NULL. */
+  def qShardSchemaEvolution(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val view = s"gshard_evo_src_$runId"
+    t.events.select(col("user_id"), col("event_type"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
+      .createOrReplaceTempView(view)
+    val tbl = s"gshard_cat.main.evo_${dirTag(t.dir)}"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl AS SELECT user_id, event_type, cents " +
+      s"FROM $view WHERE user_id < (SELECT max(user_id) DIV 2 FROM $view)")
+    spark.sql(s"ALTER TABLE $tbl ADD COLUMN day BIGINT")
+    spark.sql(s"INSERT INTO $tbl SELECT user_id, event_type, cents, day " +
+      s"FROM $view WHERE user_id >= (SELECT max(user_id) DIV 2 FROM $view)")
+    spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(count(day) AS BIGINT) AS n_with_day,
+         | CAST(sum(cents) AS BIGINT) AS value_cents,
+         | CAST(sum(day) AS BIGINT) AS day_total
+         |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** The events projection both shard-table paths stage. */
   /** `q_shard_bloom_skip` — B34: per-file BLOOM filters for point
     * lookups on a column the range clustering does NOT order. The

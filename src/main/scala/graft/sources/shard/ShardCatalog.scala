@@ -98,10 +98,42 @@ class ShardCatalog extends TableCatalog {
     }
   }
 
+  /** SCHEMA EVOLUTION, the append-only kind: `ALTER TABLE … ADD
+    * COLUMN` appends nullable top-level columns to the manifest
+    * schema WITHOUT rewriting a byte of data — existing files carry
+    * fewer columns (their header count is authoritative) and read
+    * the new columns as NULL; the stats machinery is already sound
+    * for them (absent zone/null-count/sum stats admit scans and
+    * refuse metadata answers). Everything else — drops, renames,
+    * type changes, positioned or nested adds, NOT NULL — rejects:
+    * each would need a rewrite or a null-violating backfill. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "gshard schema evolves by rewrite, not ALTER")
+      changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident).toString
+    val m = ShardFormat.readManifest(dir)
+    val schema = changes.foldLeft(m.schema) { (s, ch) =>
+      ch match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames.length == 1,
+            "gshard: only top-level ADD COLUMN is supported")
+          require(add.position == null,
+            "gshard ADD COLUMN appends at the end; positions need a rewrite")
+          require(add.isNullable,
+            "gshard ADD COLUMN must be nullable: existing rows read NULL")
+          val name = add.fieldNames()(0)
+          require(!s.fieldNames.contains(name),
+            s"gshard: column $name already exists")
+          ShardFormat.typeTag(add.dataType) // validate supported type
+          StructType(s.fields :+
+            org.apache.spark.sql.types.StructField(name, add.dataType))
+        case other => throw new UnsupportedOperationException(
+          s"gshard supports only appending nullable columns, not $other")
+      }
+    }
+    ShardFormat.writeManifest(dir, m.copy(schema = schema))
+    new ShardTable(dir, schema)
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =

@@ -1207,10 +1207,6 @@ object ShardFormat {
   def readShardFile(path: String, schema: StructType,
       required: Seq[String], filters: Seq[Filter] = Nil): Decoded = {
     val want = required.zipWithIndex.toMap
-    val longNames = schema.fields.filter(f => physicallyLong(f.dataType))
-      .map(_.name)
-    val strNames = schema.fields.filter(_.dataType == StringType).map(_.name)
-    val dblNames = schema.fields.filter(_.dataType == DoubleType).map(_.name)
     val chunks = mutable.ArrayBuffer.empty[(Int, Array[Array[Any]])]
     var chunksTotal = 0
     val dis = new DataInputStream(
@@ -1219,8 +1215,23 @@ object ShardFormat {
       require(dis.readInt() == Magic, s"bad magic in $path")
       require(dis.readInt() == Version, s"bad version in $path")
       val nCols = dis.readInt()
-      require(nCols == schema.length,
+      // SCHEMA EVOLUTION: a file may predate trailing ADD COLUMNs —
+      // its chunks carry slots and blocks only for its own column
+      // PREFIX of the (append-only) table schema; the columns it
+      // doesn't know read back as all-NULL. More columns than the
+      // schema is corruption, not evolution.
+      require(nCols <= schema.length,
         s"file/schema column count mismatch in $path")
+      val fileFields = StructType(schema.fields.take(nCols))
+      val longNames = fileFields.fields
+        .filter(f => physicallyLong(f.dataType)).map(_.name)
+      val strNames = fileFields.fields
+        .filter(_.dataType == StringType).map(_.name)
+      val dblNames = fileFields.fields
+        .filter(_.dataType == DoubleType).map(_.name)
+      // required columns the file predates: all-NULL per chunk
+      val missing = required.zipWithIndex
+        .filterNot { case (n, _) => fileFields.fieldNames.contains(n) }
       var done = false
       while (!done) {
         // chunks are self-delimiting: clean EOF on the first header
@@ -1268,7 +1279,7 @@ object ShardFormat {
           else {
             val cols = new Array[Array[Any]](required.length)
             val bitmapLen = (nRows + 7) / 8
-            schema.fields.foreach { f =>
+            fileFields.fields.foreach { f =>
               val len = dis.readLong()
               want.get(f.name) match {
                 case None => skipFully(dis, len)
@@ -1368,6 +1379,9 @@ object ShardFormat {
                   }
                   cols(outIdx) = arr
               }
+            }
+            missing.foreach { case (_, outIdx) =>
+              cols(outIdx) = new Array[Any](nRows) // all NULL
             }
             chunks += ((nRows, cols))
           }

@@ -211,7 +211,10 @@ class EmptyInputSpec extends SparkSpec {
     "events_bootstrap_ci", "q_shard_sum",
     // the streaming twins' empty drains share the batch readouts
     "stream_theilsen", "stream_bootstrap_ci",
-    "stream_welch_ttest", "stream_chisq", "stream_sequential_ab")
+    "stream_welch_ttest", "stream_chisq", "stream_sequential_ab",
+    // evolution over an empty corpus: empty narrow CTAS (NULL
+    // threshold matches nothing), manifest-only ALTER, empty INSERT
+    "q_shard_schema_evolution")
 
   ops.foreach { name =>
     test(s"$name tolerates an empty corpus") {

@@ -226,6 +226,111 @@ class ShardFormatV4Spec extends SparkSpec {
       after.entries.map(_.file))
   }
 
+  test("ADD COLUMN widens the manifest without touching data: old " +
+      "files read NULL through both readers, pruning still fires, " +
+      "and every non-appendable ALTER rejects") {
+    val cat = "gshard_v4evo"
+    val wh = Files.createTempDirectory("gshard_v4evo_").toString
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.range(1000).select(col("id").as("k"),
+        (col("id") % 7).as("g"))
+      .createOrReplaceTempView("v4evo_src")
+    spark.sql(s"DROP TABLE IF EXISTS $cat.main.te")
+    spark.sql(s"CREATE TABLE $cat.main.te AS " +
+      "SELECT * FROM v4evo_src WHERE k < 500")
+    val tdir = s"$wh/main/te"
+    val gen1Files = ShardFormat.readManifest(tdir).entries.map(_.file).toSet
+    val gen1Bytes = gen1Files.map(f => f -> Files.size(Paths.get(tdir, f)))
+    spark.sql(s"ALTER TABLE $cat.main.te ADD COLUMN extra BIGINT")
+    // ZERO rewrite: the same files, byte for byte
+    assert(gen1Bytes.forall { case (f, sz) =>
+      Files.size(Paths.get(tdir, f)) == sz })
+    spark.sql(s"INSERT INTO $cat.main.te " +
+      "SELECT k, g, k * 10 AS extra FROM v4evo_src WHERE k >= 500")
+    for (columnar <- Seq(true, false)) {
+      val back = spark.read.format("gshard")
+        .option("columnar", columnar.toString).load(tdir)
+      assert(back.count() == 1000L)
+      // the old generation reads NULL, the new one its values
+      assert(back.filter(col("extra").isNull).count() == 500L,
+        s"columnar=$columnar")
+      assert(back.filter(col("extra") === col("k") * 10).count() == 500L)
+    }
+    // zone pruning on the ORIGINAL column still fires across mixed
+    // generations
+    val q = spark.table(s"$cat.main.te").filter(col("k") < 100)
+      .agg(count(lit(1)))
+    val p = q.queryExecution.executedPlan.toString()
+    val fm = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(
+      p.linesIterator.find(_.contains("files=")).getOrElse(""))
+    assert(fm.exists(x => x.group(1).toInt < x.group(2).toInt),
+      s"mixed-generation pruning died:\n$p")
+    assert(q.head.getLong(0) == 100L)
+    // count(extra) must SCAN (old files lack the null count) and
+    // still be exact
+    val qc = spark.table(s"$cat.main.te").agg(count(col("extra")))
+    assert(!qc.queryExecution.executedPlan.toString()
+      .contains("metadata-only"),
+      "evolved-column count answered from incomplete metadata")
+    assert(qc.head.getLong(0) == 500L)
+    // the non-appendable ALTERs all reject, loudly
+    Seq(s"ALTER TABLE $cat.main.te DROP COLUMN g",
+      s"ALTER TABLE $cat.main.te RENAME COLUMN g TO h",
+      s"ALTER TABLE $cat.main.te ALTER COLUMN g TYPE STRING",
+      s"ALTER TABLE $cat.main.te ADD COLUMN bad BIGINT NOT NULL")
+      .foreach { ddl =>
+        val ex = intercept[Exception] { spark.sql(ddl) }
+        assert(ex.getMessage != null, ddl)
+      }
+    // ...and the schema is still the evolved 3-column one
+    assert(spark.table(s"$cat.main.te").columns.toSeq ==
+      Seq("k", "g", "extra"))
+  }
+
+  test("compaction heals an evolved table: the rewrite materializes " +
+      "the NULLs, every file carries the full schema, and the " +
+      "metadata COUNT answers again") {
+    val d = Files.createTempDirectory("gshard_evo_heal_").toString
+    val sess = spark
+    import sess.implicits._
+    // generation 1: narrow (written via the path API, schema k only)
+    spark.range(400).select(col("id").as("k"))
+      .write.format("gshard").option("rangecol", "k")
+      .option("shards", 2).mode("overwrite").save(d)
+    // widen the manifest the way the catalog ALTER does
+    val m = ShardFormat.readManifest(d)
+    ShardFormat.writeManifest(d, m.copy(schema =
+      org.apache.spark.sql.types.StructType(m.schema.fields :+
+        org.apache.spark.sql.types.StructField("extra", LongType))))
+    // generation 2: widened append
+    spark.range(400, 600).select(col("id").as("k"),
+        (col("id") * 2).as("extra"))
+      .write.format("gshard").option("rangecol", "k")
+      .option("shards", 2).mode("append").save(d)
+    // pre-heal: COUNT(extra) must scan (old files lack the stat)
+    def countExtra = spark.read.format("gshard").load(d)
+      .agg(count(col("extra")).as("n"))
+    assert(!countExtra.queryExecution.executedPlan.toString()
+      .contains("metadata-only"))
+    assert(countExtra.head.getLong(0) == 200L)
+    // HEAL: connector read -> connector overwrite (the q_shard_compact
+    // maintenance shape) materializes the NULLs into real columns
+    spark.read.format("gshard").load(d)
+      .write.format("gshard").option("rangecol", "k")
+      .option("shards", 2).mode("overwrite").save(d)
+    val healed = ShardFormat.readManifest(d)
+    assert(healed.entries.forall(_.nullCnt.contains("extra")),
+      "healed files still missing the evolved column's stats")
+    val q2 = countExtra
+    assert(q2.queryExecution.executedPlan.toString()
+      .contains("metadata-only"),
+      "healed table still refuses the metadata count")
+    assert(q2.head.getLong(0) == 200L)
+    assert(spark.read.format("gshard").load(d).count() == 600L)
+  }
+
   test("a v3 manifest rejects up front with the rewrite-required error") {
     val d = Files.createTempDirectory("gshard_v3_reject_").toString
     Files.write(Paths.get(d, "_manifest.gshard"),
