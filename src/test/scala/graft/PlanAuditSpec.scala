@@ -1089,4 +1089,44 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop") ||
       p.contains("BroadcastExchange"), s"offsets not broadcast back:\n$p")
   }
+
+  test("corpus_source_overlap joins on the 8-byte shingle hash — a " +
+      "keyed equi-join, never a cartesian") {
+    val df = graft.operators.Dedup.corpusSourceOverlap(tables)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty, "expected the pair join")
+    // every join either carries an equi condition or is one of the
+    // broadcast size-lookups; NONE may be an unconditioned cross
+    joins.foreach { j =>
+      assert(j.condition.isDefined, s"cartesian join:\n${j.treeString}")
+    }
+    val p = this.plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the overlap matrix planned a non-keyed join:\n$p")
+  }
+
+  test("events_bootstrap_ci combines map-side: the replicate grid " +
+      "partially aggregates below the exchange") {
+    val p = plan(graft.operators.EventAnalytics.eventsBootstrapCi(tables))
+    // the users x 200 grid must reduce to per-(b) partial sums INSIDE
+    // each task; the shuffle then carries ~200 rows per partition
+    assert(p.contains("partial_sum") || p.contains("Partial"),
+      s"no map-side combine on the replicate grid:\n$p")
+  }
+
+  test("events_theilsen pairs the AGGREGATED daily series, never " +
+      "fact rows (windows sit above aggregates)") {
+    val df = graft.operators.EventAnalytics.eventsTheilSen(tables)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    val windows = plan.collect { case w: Window => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.isDefined,
+        s"a window runs over raw fact rows:\n${w.treeString}")
+    }
+  }
 }
