@@ -5460,7 +5460,7 @@ object SparkEntry {
         | FROM events),
         |m AS (SELECT max(user_id) // 2 AS thr FROM e),
         |t AS (SELECT user_id, event_type, cents,
-        |  CASE WHEN user_id < thr THEN NULL ELSE day END AS day
+        |  CASE WHEN user_id >= thr THEN day ELSE NULL END AS day
         | FROM e, m)
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(count(day) AS BIGINT) AS n_with_day,

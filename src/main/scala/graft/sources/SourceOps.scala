@@ -697,8 +697,12 @@ object SourceOps {
       .createOrReplaceTempView(view)
     val tbl = s"gshard_cat.main.evo_${dirTag(t.dir)}"
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // NULL-safe split: a NULL user_id (none in this corpus, but the
+    // partition must be total) lands in generation 1, matching the
+    // oracle's "day survives only when user_id >= thr" replay
     spark.sql(s"CREATE TABLE $tbl AS SELECT user_id, event_type, cents " +
-      s"FROM $view WHERE user_id < (SELECT max(user_id) DIV 2 FROM $view)")
+      s"FROM $view WHERE NOT (user_id >= " +
+      s"(SELECT max(user_id) DIV 2 FROM $view)) OR user_id IS NULL")
     spark.sql(s"ALTER TABLE $tbl ADD COLUMN day BIGINT")
     spark.sql(s"INSERT INTO $tbl SELECT user_id, event_type, cents, day " +
       s"FROM $view WHERE user_id >= (SELECT max(user_id) DIV 2 FROM $view)")

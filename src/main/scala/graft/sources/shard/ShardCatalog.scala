@@ -32,9 +32,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * path (create, then AppendData through [[ShardWriteBuilder]] — the
   * same range-distributed write as the path API) and plain INSERT
   * INTO both flow through the one write implementation. Table
-  * evolution (`ALTER`) is deliberately unsupported: the format's
-  * schema lives in the manifest and evolves by rewrite, like the
-  * layout builds everywhere else in the engine. */
+  * evolution supports exactly the zero-rewrite kind — `ALTER TABLE
+  * … ADD COLUMN` of nullable trailing columns (see [[alterTable]]);
+  * anything needing a data rewrite (drop/rename/retype/reposition)
+  * rejects, like the layout rebuilds everywhere else in the
+  * engine. */
 class ShardCatalog extends TableCatalog {
 
   private var catalogName: String = _

@@ -1097,11 +1097,10 @@ class PlanAuditSpec extends SparkSpec {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val joins = plan.collect { case j: Join => j }
     assert(joins.nonEmpty, "expected the pair join")
-    // every join either carries an equi condition or is one of the
-    // broadcast size-lookups; NONE may be an unconditioned cross
-    joins.foreach { j =>
-      assert(j.condition.isDefined, s"cartesian join:\n${j.treeString}")
-    }
+    // THE pair join must key on the 8-byte shingle hash column
+    assert(joins.exists(_.condition.exists(
+        _.references.exists(_.name == "h"))),
+      s"no hash-keyed pair join:\n${plan.treeString}")
     val p = this.plan(df)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
@@ -1110,11 +1109,36 @@ class PlanAuditSpec extends SparkSpec {
 
   test("events_bootstrap_ci combines map-side: the replicate grid " +
       "partially aggregates below the exchange") {
-    val p = plan(graft.operators.EventAnalytics.eventsBootstrapCi(tables))
     // the users x 200 grid must reduce to per-(b) partial sums INSIDE
-    // each task; the shuffle then carries ~200 rows per partition
-    assert(p.contains("partial_sum") || p.contains("Partial"),
-      s"no map-side combine on the replicate grid:\n$p")
+    // each task (the shuffle then carries ~200 rows per partition) —
+    // so SOME physical aggregate keyed by b must run in PARTIAL mode;
+    // a generic contains("partial_sum") would be vacuously true of
+    // the query's unrelated 1-row fold
+    val df = graft.operators.EventAnalytics.eventsBootstrapCi(tables)
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def aggs(p: SparkPlan): Seq[BaseAggregateExec] = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => aggs(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          aggs(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          aggs(r.child)
+        case b: BaseAggregateExec => Seq(b)
+        case _ => Seq.empty
+      }
+      self ++ p.children.flatMap(aggs) ++
+        p.subqueries.flatMap(aggs)
+    }
+    val gridPartials = aggs(df.queryExecution.executedPlan).filter { a =>
+      a.groupingExpressions.exists(_.references.exists(_.name == "b")) &&
+        a.aggregateExpressions.exists(_.mode ==
+          org.apache.spark.sql.catalyst.expressions.aggregate.Partial)
+    }
+    assert(gridPartials.nonEmpty,
+      s"no PARTIAL aggregate keyed by b:\n${plan(df)}")
   }
 
   test("events_theilsen pairs the AGGREGATED daily series, never " +
