@@ -12,7 +12,16 @@ import java.nio.file.{Files, Paths}
   * be charged several seconds of JVM warmup.
   */
 object Bench {
+  /** 1-minute system load average — recorded at bench start and end so
+    * a verdict can separate machine-load wobble from a real regression
+    * mechanically (two same-HEAD runs at r13/r14 disagreed by a
+    * UNIFORM 1.08–1.17× purely from background load). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder("graft-bench")
@@ -96,7 +105,8 @@ object Bench {
     // failed queries carry the -1 sentinel: exclude them from the
     // total rather than letting failures subtract from it
     val total = results.collect { case (_, first, _, None) => first }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val load = s""""loadavg_start":${fmt(loadStart)},"loadavg_end":${fmt(loadAvg())}"""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     // The driver captures only the last ~3 KB of stdout; at 93+ queries
     // the per-query line above is ~3.5 KB, so its opening brace falls
     // outside the capture and the line can't be parsed (BENCH_r{4,6}
@@ -106,12 +116,12 @@ object Bench {
     // parses it regardless of how much of the full line survives.
     val nFailed = results.count(_._4.isDefined)
     val compactErrs = if (errs.length <= 600) errs else s"""{"failed_queries":$nFailed}"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nq":${results.size},"nerr":$nFailed,"errors":$compactErrs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"nq":${results.size},"nerr":$nFailed,"errors":$compactErrs,"sf":"$sfDir"}""")
     // The stdout tail only preserves the final ~3 KB, so round-over-
     // round per-query comparison can't rely on it: ALSO write the full
     // per-query map to a committed file (judge diffs r{N-1}→r{N}).
     Files.writeString(Paths.get("bench_per_query.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$load,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

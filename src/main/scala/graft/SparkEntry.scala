@@ -320,6 +320,9 @@ object SparkEntry {
     "events_value_percentiles" -> q(EventAnalytics.eventsValuePercentiles),
     "events_new_vs_returning" -> q(EventAnalytics.eventsNewVsReturning),
     "corpus_stats"        -> q(TextAnalysis.corpusStats),
+    // tripwire for the oracle-side 4096-shingle-series convention:
+    // fails loudly (named) the day a document outgrows it
+    "corpus_len_guard"    -> q(TextAnalysis.corpusLenGuard),
     "corpus_split"        -> q(TextAnalysis.corpusSplit),
     "corpus_sample_stratified" -> q(TextAnalysis.corpusSampleStratified),
     "corpus_length_histogram"  -> q(TextAnalysis.corpusLengthHistogram),
@@ -1135,9 +1138,9 @@ object SparkEntry {
       |  CAST((n_a + n_b) * tot_b AS DOUBLE) / (tot_a + tot_b) AS e_b
       | FROM w),
       |x AS (SELECT *,
-      |  CAST(floor(((n_a - e_a) * (n_a - e_a) / e_a
-      |    + (n_b - e_b) * (n_b - e_b) / e_b) * 10000.0 + 0.5) AS BIGINT)
-      |    AS chi_x10k FROM e)
+      |  CAST(floor(((n_a - e_a) * (n_a - e_a) / nullif(e_a, 0)
+      |    + (n_b - e_b) * (n_b - e_b) / nullif(e_b, 0)) * 10000.0 + 0.5)
+      |    AS BIGINT) AS chi_x10k FROM e)
       |SELECT event_type, n_a, n_b, round(e_a + 1e-9, 4) AS exp_a,
       | chi_x10k, CAST(sum(chi_x10k) OVER () AS BIGINT) AS chi2_x10k,
       | k - 1 AS df
@@ -3827,6 +3830,13 @@ object SparkEntry {
         |v AS (SELECT count(DISTINCT tok) AS vocab_size
         |  FROM (SELECT unnest(toks) AS tok FROM t))
         |SELECT * FROM a, v""".stripMargin,
+    // the oracle ASSERTS 'ok' (it does not recompute the CASE): a
+    // corpus outgrowing the 4096 convention diverges HERE, by name,
+    // instead of hash-mismatching a random shingle query
+    "corpus_len_guard" ->
+      s"""WITH t AS (SELECT $sqlToks AS toks FROM documents)
+        |SELECT 'ok' AS status, CAST(max(len(toks)) AS BIGINT) AS max_toks
+        |FROM t""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,
         | CASE WHEN substr(md5(doc_id::VARCHAR),1,1) IN ('0','1')

@@ -2944,11 +2944,17 @@ object EventAnalytics {
       .withColumn("k", count(lit(1)).over(all))
       .withColumn("e_a", eA)
       .withColumn("e_b", eB)
+      // nullif guards the degenerate zero-exposure arm (tot_a=0 →
+      // e_a=0): without it the cell term is 0/0=NaN, which Spark
+      // (ANSI off) casts to 0L while DuckDB errors on
+      // CAST(NaN AS BIGINT) — the engines must agree the slice is
+      // NULL, not diverge between a silent 0 and a loud error
       .withColumn("chi_x10k",
         floor(((col("n_a") - col("e_a")) * (col("n_a") - col("e_a")) /
-          col("e_a") +
+          nullif(col("e_a"), lit(0.0)) +
           (col("n_b") - col("e_b")) * (col("n_b") - col("e_b")) /
-            col("e_b")) * lit(10000.0) + lit(0.5)).cast("long"))
+            nullif(col("e_b"), lit(0.0))) * lit(10000.0) + lit(0.5))
+          .cast("long"))
       .withColumn("chi2_x10k", sum(col("chi_x10k")).over(all))
       .select(col("event_type"), col("n_a"), col("n_b"),
         round(col("e_a") + lit(1e-9), 4).as("exp_a"),

@@ -626,6 +626,25 @@ object TextAnalysis {
     agg.crossJoin(vocab)
   }
 
+  /** `corpus_len_guard` — the 4096-shingle-convention tripwire. The
+    * DuckDB oracles for every shingle/chunk query cap their
+    * `generate_series` start positions at 4096 while the Spark side is
+    * uncapped, so a document longer than ~4K tokens would make those
+    * queries silently diverge from the oracle. This guard makes the
+    * outgrowth LOUD instead: the Spark side emits "ok" only while the
+    * corpus is inside the convention (max tokens ≤ 4094 — room for the
+    * widest 5-gram window), and the oracle asserts the literal "ok",
+    * so the first oversized document fails THIS named entry with the
+    * offending length in `max_toks` rather than hash-mismatching a
+    * random shingle query. One scan, one scalar agg. */
+  def corpusLenGuard(t: Tables): DataFrame =
+    t.documents
+      .agg(max(size(tokens(col("text")))).cast("long").as("max_toks"))
+      .select(
+        when(col("max_toks") <= 4094L, lit("ok"))
+          .otherwise(concat(lit("OVERFLOW:"), col("max_toks"))).as("status"),
+        col("max_toks"))
+
   /** T9 — deterministic train/validation split: assignment is a pure
     * function of doc_id (first md5 hex nibble ∈ {0,1} → ~12.5% "val"),
     * so the split is reproducible on any engine, any run, any

@@ -230,6 +230,13 @@ private[shard] class ShardWriteBuilder(dir: String, info: LogicalWriteInfo)
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
   override def build(): Write = {
+    // fail FAST, before Spark plans the range exchange: unsupported
+    // types and manifest-reserved characters in column names reject at
+    // write-build time, not mid-shuffle or (worse) at read time
+    info.schema().fields.foreach { f =>
+      ShardFormat.validateFieldName(f.name)
+      ShardFormat.typeTag(f.dataType)
+    }
     // default cluster column: the schema's first long column, else the
     // first physically-long one — timestamp/date/int cluster just as
     // well (catalog writes — INSERT INTO / CTAS — carry no options)

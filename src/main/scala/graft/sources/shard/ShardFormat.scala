@@ -151,6 +151,24 @@ object ShardFormat {
     * re-read the manifest once per planning call). */
   val manifestReads = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Characters with reserved meaning in the manifest's line format:
+    * the seven per-file stat markers ('=' '#' '~' '!' '*' '?' '^'),
+    * the stat separators (';' ':'), the schema-line separators
+    * (',' ':'), and the token separators (space, newline). The stat
+    * parser relies on field names containing NONE of these — enforce
+    * the invariant at write time instead of assuming it, so a column
+    * named `a*b` is rejected loudly rather than mis-parsed on read. */
+  private val ManifestReserved = "=#~!*?^:;, \n\r\t".toSet
+
+  private[shard] def validateFieldName(name: String): Unit = {
+    require(name.nonEmpty, "gshard: empty column name")
+    val bad = name.filter(ManifestReserved)
+    require(bad.isEmpty,
+      s"gshard: column name '$name' contains manifest-reserved " +
+        s"character(s) ${bad.distinct.map(c => s"'$c'").mkString(" ")} — " +
+        "rename the column (reserved: = # ~ ! * ? ^ : ; , whitespace)")
+  }
+
   private[shard] def typeTag(dt: DataType): String = dt match {
     case LongType => "long"
     case DoubleType => "double"
@@ -404,7 +422,9 @@ object ShardFormat {
   def write(df: DataFrame, dir: String, rangeCol: String,
       nShards: Int, chunkRows: Int = DefaultChunkRows): Manifest = {
     val schema = df.schema
-    schema.fields.foreach(f => typeTag(f.dataType)) // validate early
+    schema.fields.foreach { f => // validate early, before any shuffle
+      validateFieldName(f.name); typeTag(f.dataType)
+    }
     require(schema(rangeCol).dataType == LongType,
       s"range column $rangeCol must be long")
     val path = Paths.get(dir)
@@ -964,6 +984,10 @@ object ShardFormat {
     Files.exists(Paths.get(dir, "_manifest.gshard"))
 
   private[graft] def writeManifest(dir: String, m: Manifest): Unit = {
+    // the single chokepoint every write path (batch, streaming,
+    // truncate, delete, merge) flows through — the parser's
+    // no-marker-in-names invariant is enforced here, not assumed
+    m.schema.fieldNames.foreach(validateFieldName)
     val sb = new StringBuilder
     sb.append("gshard v4\n")
     sb.append("schema ").append(m.schema.fields
