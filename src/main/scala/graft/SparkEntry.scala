@@ -598,6 +598,11 @@ object SparkEntry {
     // the TableCatalog path from pure SQL: CTAS into the catalog,
     // catalog-qualified SELECT back out (B23), oracle = raw events
     "q_catalog_sql_roundtrip" -> q(t => graft.sources.SourceOps.qCatalogSqlRoundtrip(t)),
+    // VECTOR columns in the flagship connector: embeddings CTAS'd
+    // into the catalog, every ELEMENT hash-checked against raw
+    // parquet (float→double widening is exact)
+    "q_shard_embed_roundtrip" ->
+      q(t => graft.sources.SourceOps.qShardEmbedRoundtrip(t)),
     // the WIDENED type surface (v3): timestamp/date/int/boolean CTAS
     // through the catalog, both reader paths, micros zone pruning
     "q_shard_types_roundtrip" -> q(t => graft.sources.SourceOps.qShardTypesRoundtrip(t)),
@@ -663,6 +668,9 @@ object SparkEntry {
     "_build_shard_table" ->
       ((s, dir) =>
         graft.sources.SourceOps.prebuildShardTable(Tables(s, dir))),
+    "_build_shard_embed" ->
+      ((s, dir) =>
+        graft.sources.SourceOps.prebuildShardEmbed(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -5520,6 +5528,15 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog CTAS + SELECT lands the same rollup
     "q_catalog_sql_roundtrip" -> shardRollupSql,
+    // every embedding element read back from the gshard catalog table
+    // equals the raw parquet truth exactly (1-indexed in DuckDB; the
+    // 4096 series cap is safe — dims are ≤ 4096 by corpus_len_guard's
+    // much tighter corpus convention, and embeddings are dim 64)
+    "q_shard_embed_roundtrip" ->
+      """SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        | CAST(embedding[i] AS DOUBLE) AS val
+        |FROM embeddings, (SELECT unnest(generate_series(1, 4096)) AS i) g
+        |WHERE i <= len(embedding)""".stripMargin,
     // the pushed top-N replays as a plain ORDER BY ... LIMIT
     "q_shard_topn" ->
       """SELECT event_id,

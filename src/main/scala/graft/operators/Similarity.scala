@@ -37,7 +37,15 @@ object Similarity {
     * the ordering is bit-for-bit reproducible across engines.
     */
   def annBruteForceTopK(t: Tables): DataFrame = {
-    val e = withEmb(t)
+    // the embeddings are served THROUGH the gshard catalog table
+    // (CTAS'd once per (process, sf) by `_build_shard_embed`,
+    // memoized behind its manifest): the flagship connector stores
+    // the engine's own vector workload, and this query's UNCHANGED
+    // oracle — raw parquet — hash-checks the vector roundtrip inside
+    // a real ANN consumer, not just in a dedicated roundtrip query
+    val e = graft.sources.SourceOps.shardEmbeddings(t)
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
     val corpus = e.filter(col("vec_id") >= NumQueries)

@@ -305,7 +305,10 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     ShardWriterFactory(dir,
-      schema.fields.map(f => (f.name, f.dataType.typeName)),
+      // typeTag, not typeName: ArrayType.typeName is just "array"
+      // (element type lost); the tag is the format's canonical
+      // spelling and dataTypeOf accepts both
+      schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
       queryId.take(8), chunkRows, bloomCols)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -341,8 +344,14 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     // (spark.range, count(*), literals); truncation may legitimately
     // replace the schema
     existing.filter(_ => !truncateFirst).foreach { m =>
-      val a = m.schema.fields.map(f => (f.name, f.dataType)).toSeq
-      val b = schema.fields.map(f => (f.name, f.dataType)).toSeq
+      // compare STORAGE tags, not DataTypes: the tag collapses array
+      // containsNull (both spellings name the same storage — null
+      // elements are rejected at write either way), and the manifest
+      // round-trips neither nullability nor metadata anyway
+      val a = m.schema.fields
+        .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
+      val b = schema.fields
+        .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
       require(a == b,
         s"gshard schema mismatch: table=${m.schema.catalogString} " +
           s"write=${schema.catalogString}")
@@ -438,6 +447,31 @@ private[shard] class ShardDataWriter(dir: String,
           case BooleanType => if (row.getBoolean(i)) 1L else 0L
           case d: org.apache.spark.sql.types.DecimalType =>
             row.getDecimal(i, d.precision, d.scale).toUnscaledLong
+          // vectors: copy out to a primitive array (the ArrayData may
+          // be an UnsafeArrayData view into a reused row buffer);
+          // null ELEMENTS reject loudly — the format stores none
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType, _) =>
+            val ad = row.getArray(i)
+            val m = ad.numElements()
+            val a = new Array[Float](m)
+            var j = 0
+            while (j < m) {
+              require(!ad.isNullAt(j), "gshard: null vector element")
+              a(j) = ad.getFloat(j); j += 1
+            }
+            a
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, _) =>
+            val ad = row.getArray(i)
+            val m = ad.numElements()
+            val a = new Array[Double](m)
+            var j = 0
+            while (j < m) {
+              require(!ad.isNullAt(j), "gshard: null vector element")
+              a(j) = ad.getDouble(j); j += 1
+            }
+            a
           case other => throw new IllegalStateException(other.toString)
         }
       i += 1
@@ -962,7 +996,8 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
 
   override def planInputPartitions(): Array[InputPartition] =
     cappedSurvivors.map(e => ShardInputPartition(s"$dir/${e.file}",
-      manifest.schema.fields.map(f => (f.name, f.dataType.typeName)),
+      // typeTag (canonical): typeName loses array element types
+      manifest.schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
       required.fieldNames,
       skipFilters.toArray)).toArray[InputPartition]
 
@@ -1197,6 +1232,36 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
             }
             i += 1
           }
+        // vector columns: elements land in the array vector's CHILD
+        // (reset() above cleared it with the parent), each row's slot
+        // is (offset, length) into that child — the arrow-style
+        // columnar array layout, zero per-row boxing
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          val child = v.arrayData()
+          var off = 0
+          var i = 0
+          while (i < n) {
+            cols(c)(pos + i) match {
+              case null => v.putNull(i)
+              case a: Array[Float] =>
+                child.reserve(off + a.length)
+                var j = 0
+                while (j < a.length) {
+                  child.putFloat(off + j, a(j)); j += 1
+                }
+                v.putArray(i, off, a.length)
+                off += a.length
+              case a: Array[Double] =>
+                child.reserve(off + a.length)
+                var j = 0
+                while (j < a.length) {
+                  child.putDouble(off + j, a(j)); j += 1
+                }
+                v.putArray(i, off, a.length)
+                off += a.length
+            }
+            i += 1
+          }
         case other => throw new IllegalStateException(other.toString)
       }
       c += 1
@@ -1224,13 +1289,14 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
   private val cols = decoded.cols
   // per-column decode kind: 0 pass-through (long/timestamp/double),
   // 1 string bytes → UTF8String, 2 long → int (date/int), 3 boolean,
-  // 4 unscaled long → Decimal
+  // 4 unscaled long → Decimal, 5 primitive array → GenericArrayData
   private val kind: Array[Int] = p.required.map(n =>
     schema(n).dataType match {
       case StringType => 1
       case DateType | IntegerType => 2
       case BooleanType => 3
       case _: org.apache.spark.sql.types.DecimalType => 4
+      case _: org.apache.spark.sql.types.ArrayType => 5
       case _ => 0
     })
   private val decOf: Array[org.apache.spark.sql.types.DecimalType] =
@@ -1255,6 +1321,12 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
           case 3 => v.asInstanceOf[Long] != 0L
           case 4 => org.apache.spark.sql.types.Decimal(
             v.asInstanceOf[Long], decOf(c).precision, decOf(c).scale)
+          case 5 => v match { // primitive-array overloads: no boxing
+            case a: Array[Float] =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+            case a: Array[Double] =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+          }
         }
       }
       c += 1

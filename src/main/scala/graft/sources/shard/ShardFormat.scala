@@ -66,6 +66,14 @@ import org.apache.spark.sql.types._
   *                            plain and delta, never worse
   *         double : nRows × 8 bytes (no tag; IEEE bits don't delta)
   *         string : tag BYTE — 0 plain offsets+bytes / 1 dictionary
+  *         vector : tag BYTE — 0 fixed-dim: dim INT | nRows×dim elems
+  *                             1 variable : (nRows+1)×INT elem offsets
+  *                                          | elems
+  *                  elems are RAW IEEE bits (4 B float / 8 B double —
+  *                  exact roundtrip); fixed-dim null rows hold dim
+  *                  zero elements (implicit addressing), variable null
+  *                  rows an empty slot; NULL ELEMENTS are rejected at
+  *                  write, so blocks need no per-element bitmaps
   * }}}
   *
   * LOGICAL TYPES ride the long block: timestamp / timestamp_ntz
@@ -185,9 +193,21 @@ object ShardFormat {
     // field and name/tag separators)
     case d: DecimalType if d.precision <= Decimal.MAX_LONG_DIGITS =>
       s"decimal_${d.precision}_${d.scale}"
+    // VECTOR columns — the embedding type the LLM mandate centers on:
+    // float/double element arrays, raw IEEE bits on disk (exact
+    // roundtrip), null bitmap at ROW grain as for every other column,
+    // no zone maps (no meaningful order), NO null elements (enforced
+    // at write — an embedding with null dimensions is malformed, and
+    // rejecting them keeps the block layout offset-only). containsNull
+    // deliberately collapses in the tag: the data either has null
+    // elements (rejected loudly) or doesn't, so both type spellings
+    // name the same storage.
+    case ArrayType(FloatType, _) => "vecf"
+    case ArrayType(DoubleType, _) => "vecd"
     case other => throw new IllegalArgumentException(
       "gshard supports long/double/string/timestamp/timestamp_ntz/" +
-        s"date/int/boolean/decimal(<=18,s), got $other")
+        "date/int/boolean/decimal(<=18,s)/array<float>/array<double>, " +
+        s"got $other")
   }
 
   private val DecimalTag = """decimal_(\d+)_(\d+)""".r
@@ -208,6 +228,16 @@ object ShardFormat {
     case "boolean" => BooleanType
     case DecimalTag(p, s) => DecimalType(p.toInt, s.toInt)
     case DecimalTypeName(p, s) => DecimalType(p.toInt, s.toInt)
+    // write-time enforcement of no-null-elements makes containsNull =
+    // false the honest read schema (tighter codegen downstream)
+    case "vecf" => ArrayType(FloatType, containsNull = false)
+    case "vecd" => ArrayType(DoubleType, containsNull = false)
+  }
+
+  /** Vector (embedding) columns: float/double element arrays. */
+  private[shard] def isVector(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
   }
 
   /** Types that ride the physically-long block (and therefore get
@@ -521,6 +551,24 @@ object ShardFormat {
             case LongType => r.getLong(i)
             case DoubleType => r.getDouble(i)
             case StringType => r.getString(i).getBytes(StandardCharsets.UTF_8)
+            case ArrayType(FloatType, _) =>
+              val s = r.getSeq[Any](i)
+              val a = new Array[Float](s.length)
+              var j = 0
+              s.foreach { e =>
+                require(e != null, "gshard: null vector element")
+                a(j) = e.asInstanceOf[Float]; j += 1
+              }
+              a
+            case ArrayType(DoubleType, _) =>
+              val s = r.getSeq[Any](i)
+              val a = new Array[Double](s.length)
+              var j = 0
+              s.foreach { e =>
+                require(e != null, "gshard: null vector element")
+                a(j) = e.asInstanceOf[Double]; j += 1
+              }
+              a
             case dt if physicallyLong(dt) =>
               toPhysLong(dt, r.get(i)).getOrElse(throw new IllegalStateException(
                 s"gshard: can't encode ${r.get(i)} as $dt"))
@@ -846,6 +894,82 @@ object ShardFormat {
               }
               r = 0
               while (r < n) { bdos.write(slices(r)); r += 1 }
+            }
+          case ArrayType(et, _) =>
+            // vector block: raw IEEE bits, FIXED-DIM when every
+            // non-null row agrees on length (the embedding case —
+            // zero per-row overhead, implicit addressing) else
+            // VARIABLE with an element-offset table; MEASURED choice
+            // is unnecessary — fixed is never larger than variable
+            // unless null rows dominate, and even then only by
+            // dim×esz per null row
+            val esz = if (et == FloatType) 4 else 8
+            def lenOf(v: Any): Int = v match {
+              case null => 0
+              case a: Array[Float] => a.length
+              case a: Array[Double] => a.length
+            }
+            var dim = -1; var fixed = true; var totalElems = 0L
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              if (v != null) {
+                val l = lenOf(v)
+                totalElems += l
+                if (dim == -1) dim = l else if (l != dim) fixed = false
+              }
+              r += 1
+            }
+            // the variable layout's element offsets are INTs: 2^31
+            // elements per chunk ≈ 32k-wide rows at the default 64k
+            // chunk — shrink chunkRows for wider rows, don't wrap
+            require(totalElems <= Int.MaxValue,
+              s"gshard: vector chunk holds $totalElems elements " +
+                "(> Int.MaxValue) — reduce chunkRows")
+            if (dim == -1) { dim = 0 } // all-null chunk: 0-dim fixed
+            def writeElems(v: Any, pad: Int): Unit = v match {
+              case null =>
+                var j = 0
+                while (j < pad) {
+                  if (esz == 4) bdos.writeInt(0) else bdos.writeLong(0L)
+                  j += 1
+                }
+              case a: Array[Float] =>
+                var j = 0
+                while (j < a.length) {
+                  bdos.writeInt(java.lang.Float.floatToRawIntBits(a(j)))
+                  j += 1
+                }
+              case a: Array[Double] =>
+                var j = 0
+                while (j < a.length) {
+                  bdos.writeLong(java.lang.Double.doubleToRawLongBits(a(j)))
+                  j += 1
+                }
+            }
+            if (fixed) {
+              bdos.writeLong(bitmap.length + 1L + 4L +
+                n.toLong * dim * esz)
+              bdos.write(bitmap)
+              bdos.writeByte(0) // encoding tag: fixed-dim
+              bdos.writeInt(dim)
+              r = 0
+              while (r < n) { writeElems(buf(r)(c), dim); r += 1 }
+            } else {
+              bdos.writeLong(bitmap.length + 1L + 4L * (n + 1) +
+                totalElems * esz)
+              bdos.write(bitmap)
+              bdos.writeByte(1) // encoding tag: variable
+              var off = 0L
+              bdos.writeInt(0)
+              r = 0
+              while (r < n) {
+                off += lenOf(buf(r)(c))
+                bdos.writeInt(off.toInt)
+                r += 1
+              }
+              r = 0
+              while (r < n) { writeElems(buf(r)(c), 0); r += 1 }
             }
           case other => throw new IllegalStateException(other.toString)
         }
@@ -1398,6 +1522,51 @@ object ShardFormat {
                       case other => throw new IllegalStateException(
                         s"gshard: unknown string encoding tag $other")
                     }
+                    case ArrayType(et, _) =>
+                      // one bulk read of the element payload, then
+                      // per-row slices — raw IEEE bits roundtrip
+                      // exactly (the writer used raw bits too)
+                      val isF = et == FloatType
+                      val esz = if (isF) 4 else 8
+                      val offs: Array[Int] = dis.readByte() match {
+                        case 0 => // fixed-dim: implicit addressing
+                          val dim = dis.readInt()
+                          Array.tabulate(nRows + 1)(_ * dim)
+                        case 1 => // variable: explicit element offsets
+                          val o = new Array[Int](nRows + 1)
+                          var i = 0
+                          while (i <= nRows) { o(i) = dis.readInt(); i += 1 }
+                          o
+                        case other => throw new IllegalStateException(
+                          s"gshard: unknown vector encoding tag $other")
+                      }
+                      val total = offs(nRows).toLong
+                      val raw = new Array[Byte]((total * esz).toInt)
+                      dis.readFully(raw)
+                      val bb = java.nio.ByteBuffer.wrap(raw) // big-endian
+                      if (isF) {
+                        val fb = bb.asFloatBuffer()
+                        var i = 0
+                        while (i < nRows) {
+                          if (!isNull(i)) {
+                            val out = new Array[Float](offs(i + 1) - offs(i))
+                            fb.position(offs(i)); fb.get(out)
+                            arr(i) = out
+                          }
+                          i += 1
+                        }
+                      } else {
+                        val db = bb.asDoubleBuffer()
+                        var i = 0
+                        while (i < nRows) {
+                          if (!isNull(i)) {
+                            val out = new Array[Double](offs(i + 1) - offs(i))
+                            db.position(offs(i)); db.get(out)
+                            arr(i) = out
+                          }
+                          i += 1
+                        }
+                      }
                     case other =>
                       throw new IllegalStateException(other.toString)
                   }

@@ -67,6 +67,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ann brute force reads embeddings THROUGH the gshard catalog " +
+      "(vector columns live in the flagship connector)") {
+    val p = plan(Similarity.annBruteForceTopK(tables))
+    assert(p.contains("gshard"), s"expected a gshard scan:\n$p")
+  }
+
+  test("q_shard_embed_roundtrip: map-only explode (no exchange), " +
+      "label pruned from the vector scan") {
+    val p = plan(graft.sources.SourceOps.qShardEmbedRoundtrip(tables))
+    assert(!p.contains("Exchange"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(!readSchema.contains("label"),
+      s"label not pruned from the vector scan: $readSchema")
+    assert(readSchema.contains("embedding"), readSchema)
+  }
+
   test("ann_pq_topk: map-only encode, ADC tables broadcast, no sort-merge") {
     val p = plan(Similarity.annPqTopK(tables))
     assert(!p.contains("SortMergeJoin"), p)
