@@ -5765,7 +5765,9 @@ object SparkEntry {
       |  SELECT *, row_number() OVER (PARTITION BY src ORDER BY g_sim DESC, dst) AS rnk FROM g0)
       | WHERE rnk <= 8),
       |q AS (SELECT vec_id AS q_id, emb AS qe FROM e WHERE vec_id < 10),
-      |ent AS (SELECT vec_id FROM nd WHERE vec_id % 32 = 0)""".stripMargin
+      |ent AS (SELECT dst AS vec_id FROM (
+      |  SELECT dst, count(*) AS deg FROM knn GROUP BY dst
+      |  ORDER BY deg DESC, dst LIMIT 64))""".stripMargin
 
   /** One full beam-walk chain (suffixed CTE names so multiple beams
     * coexist in one WITH): entry scoring + two expand→score→cut

@@ -1932,6 +1932,33 @@ object Similarity {
     t.spark.read.parquet(path)
   }
 
+  /** FIXED-CARDINALITY entry set persisted beside the graph artifact:
+    * the 64 highest IN-DEGREE graph nodes (hubs — the nodes most
+    * reachable paths route through, deterministic by (deg DESC, id
+    * ASC)). Seeding scores O(Q·64) candidates REGARDLESS of corpus
+    * size; the previous 1/32 stride sample made the seed stage a
+    * constant-factor brute force (O(Q·N/128)) that would dominate at
+    * 100× and defeat the point of the graph index. Derived from the
+    * staged edges (one metadata-scale agg), staged once, memoized. */
+  private val knnEntriesCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), String]
+
+  private[graft] def knnGraphEntries(t: Tables, graphK: Int,
+      nEntries: Int = 64): DataFrame = {
+    val path = knnEntriesCache.getOrElseUpdate(
+      (graft.sources.SourceOps.sessionTag(t.spark), t.dir, graphK), {
+        val ent = knnGraphEdges(t, graphK)
+          .groupBy(col("dst")).agg(count(lit(1)).as("deg"))
+          .orderBy(desc("deg"), asc("dst")).limit(nEntries)
+          .select(col("dst").as("vec_id"))
+        val p = graft.sources.SourceOps.staging(
+          s"knn_entries_${graft.sources.SourceOps.dirTag(t.dir)}_$graphK")
+        ent.write.mode("overwrite").parquet(p)
+        p
+      })
+    t.spark.read.parquet(path)
+  }
+
   def annGraphTopK(t: Tables, k: Int = TopK, beam: Int = 8,
       graphK: Int = 8): DataFrame = {
     val e = withEmb(t)
@@ -1951,9 +1978,12 @@ object Similarity {
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
       .filter(col("rnk") <= n)
-    // entry set: fixed sparse sample of graph nodes
-    val entries = nodes.filter(col("vec_id") % 32 === 0).select(col("vec_id"))
-    val b0 = cut(score(queries.select(col("q_id")).crossJoin(entries)), beam)
+    // entry set: the staged fixed-cardinality hub set — seed work is
+    // O(Q·64), independent of corpus size (was a 1/32 stride sample,
+    // i.e. a shrunken brute force that grew linearly with the corpus)
+    val entries = knnGraphEntries(t, graphK).select(col("vec_id"))
+    val b0 = cut(score(queries.select(col("q_id"))
+        .crossJoin(broadcast(entries))), beam)
       .select(col("q_id"), col("vec_id"))
     def expand(bm: DataFrame): DataFrame = bm
       .join(knn, bm("vec_id") === knn("src"))

@@ -84,6 +84,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.contains("embedding"), readSchema)
   }
 
+  test("ann_graph_topk: seed stage crossJoins a FIXED-cardinality " +
+      "staged entry set (knn_entries hubs, ≤64 rows) — seeding is " +
+      "O(Q·64) regardless of corpus size, not a stride-sample brute force") {
+    val ents = Similarity.knnGraphEntries(tables, 8)
+    assert(ents.count() <= 64, "entry set not bounded")
+    val p = plan(Similarity.annGraphTopK(tables))
+    assert(p.contains("knn_entries"),
+      s"seed stage not reading the staged bounded entry artifact:\n$p")
+  }
+
   test("ann_pq_topk: map-only encode, ADC tables broadcast, no sort-merge") {
     val p = plan(Similarity.annPqTopK(tables))
     assert(!p.contains("SortMergeJoin"), p)
