@@ -603,6 +603,14 @@ object SparkEntry {
     // parquet (float→double widening is exact)
     "q_shard_embed_roundtrip" ->
       q(t => graft.sources.SourceOps.qShardEmbedRoundtrip(t)),
+    // row-level MERGE (upsert) riding the manifest txn machinery:
+    // matched keys replace, unmatched insert, untouched files stay
+    // physically untouched; replay-idempotent
+    "q_shard_merge" -> q(t => graft.sources.SourceOps.qShardMerge(t)),
+    // generational VERSION AS OF reads (archive-on-publish); vacuum
+    // retention spec'd in ShardMergeSpec
+    "q_shard_time_travel" ->
+      q(t => graft.sources.SourceOps.qShardTimeTravel(t)),
     // the WIDENED type surface (v3): timestamp/date/int/boolean CTAS
     // through the catalog, both reader paths, micros zone pruning
     "q_shard_types_roundtrip" -> q(t => graft.sources.SourceOps.qShardTypesRoundtrip(t)),
@@ -5528,6 +5536,35 @@ object SparkEntry {
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     // the catalog CTAS + SELECT lands the same rollup
     "q_catalog_sql_roundtrip" -> shardRollupSql,
+    // MERGE replayed as late ∪ (early ∖ late-keys) over the same
+    // day split the Spark side upserts with
+    "q_shard_merge" ->
+      """WITH e AS (SELECT user_id,
+        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT max(day) // 2 AS thr FROM e),
+        |early AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        | FROM e, t WHERE day < thr GROUP BY 1),
+        |late AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        | FROM e, t WHERE day >= thr GROUP BY 1)
+        |SELECT * FROM late
+        |UNION ALL
+        |SELECT * FROM early WHERE NOT EXISTS
+        | (SELECT 1 FROM late WHERE late.user_id = early.user_id)
+        |ORDER BY user_id""".stripMargin,
+    // both generations recomputed from raw events under the same
+    // day split: v0 = early slice, head = everything
+    "q_shard_time_travel" ->
+      """WITH e AS (SELECT event_type,
+        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day FROM events),
+        |t AS (SELECT max(day) // 2 AS thr FROM e)
+        |SELECT event_type,
+        | CAST(sum(CASE WHEN day < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
+        | CAST(count(*) AS BIGINT) AS n_head,
+        | CAST(sum(CASE WHEN day >= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_added
+        |FROM e, t GROUP BY 1 ORDER BY 1""".stripMargin,
     // every embedding element read back from the gshard catalog table
     // equals the raw parquet truth exactly (1-indexed in DuckDB; the
     // 4096 series cap is safe — dims are ≤ 4096 by corpus_len_guard's

@@ -785,6 +785,84 @@ object SourceOps {
          |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** `q_shard_merge` — row-level MERGE (upsert) through the gshard
+    * connector ([[graft.sources.shard.ShardOps.upsert]]): the base
+    * table holds per-user stats over the EARLY half of the corpus
+    * (day < max/2, key-clustered on user_id), the update set holds
+    * per-user stats over the LATE half — users active late get their
+    * rows REPLACED (matched update), users first seen late INSERT,
+    * early-only users stay physically untouched (their files' key
+    * ranges admit no update key — metadata-first touched-file
+    * discovery). Replay-idempotent via the txn slot, so re-running
+    * the query re-merges as a no-op and the result is stable. The
+    * oracle replays MERGE semantics as late ∪ (early ∖ late-keys). */
+  def qShardMerge(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_upsert_${dirTag(t.dir)}")
+    val e = t.events.select(col("user_id"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val bounds = e.agg(max(col("day"))).head
+    val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
+    def stats(f: DataFrame): DataFrame = f.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+      graft.sources.shard.ShardFormat.write(
+        stats(e.filter(col("day") < thr)), dir, "user_id", 8)
+    }
+    // replay-idempotent: the second run's merge no-ops on the txn slot
+    graft.sources.shard.ShardOps.upsert(t.spark, dir,
+      stats(e.filter(col("day") >= thr)), "user_id",
+      txnId = 1L, txnApp = Some("merge_gate"))
+    t.spark.read.format("gshard").load(dir)
+      .orderBy(col("user_id"))
+  }
+
+  /** `q_shard_time_travel` — generational reads through the catalog:
+    * CTAS the early slice (one generation), append the late slice
+    * (the next), then read `VERSION AS OF` the pre-append generation
+    * and the head in ONE query — per-type counts of both plus the
+    * delta. Vacuum honoring retention is spec'd in ShardMergeSpec;
+    * here the gate checks the VERSIONS READ THE TRUTH: the oracle
+    * recomputes both generations from raw events with the same day
+    * split. */
+  def qShardTimeTravel(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val tbl = s"tt_${dirTag(t.dir)}"
+    val dir = s"$wh/main/$tbl"
+    val e = t.events.select(col("user_id"), col("event_type"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
+    val bounds = e.agg(max(col("day"))).head
+    val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
+    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+      val view = s"gshard_tt_src_$runId"
+      e.filter(col("day") < thr).createOrReplaceTempView(s"${view}_lo")
+      e.filter(col("day") >= thr).createOrReplaceTempView(s"${view}_hi")
+      spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS " +
+        s"SELECT * FROM ${view}_lo")
+      spark.sql(s"INSERT INTO gshard_cat.main.$tbl " +
+        s"SELECT * FROM ${view}_hi")
+    }
+    val headGen =
+      graft.sources.shard.ShardFormat.readManifest(dir).gen
+    val early = spark.sql(s"SELECT event_type, " +
+      s"CAST(count(*) AS BIGINT) AS n_v0 " +
+      s"FROM gshard_cat.main.$tbl VERSION AS OF ${headGen - 1} GROUP BY 1")
+    val head = spark.sql(s"SELECT event_type, " +
+      s"CAST(count(*) AS BIGINT) AS n_head " +
+      s"FROM gshard_cat.main.$tbl GROUP BY 1")
+    head.join(early, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_v0"))
+      .select(col("event_type"), col("n_v0"), col("n_head"),
+        (col("n_head") - col("n_v0")).as("n_added"))
+      .orderBy(col("event_type"))
+  }
+
   /** The embeddings table served THROUGH the gshard catalog: CTAS'd
     * once per (process, sf) via pure SQL (memoized behind the
     * manifest, like every staged layout), then read back as a catalog

@@ -65,6 +65,19 @@ class ShardCatalog extends TableCatalog {
     new ShardTable(dir, ShardFormat.readManifest(dir).schema)
   }
 
+  /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF <gen>`
+    * resolves here — the returned table is PINNED to that retained
+    * generation (its schema too: a pre-ALTER read shows the narrow
+    * schema); writes and DELETEs against it reject. A vacuumed or
+    * never-committed version fails loudly in readManifestVersion. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirOf(ident).toString
+    val v = version.toLong
+    new ShardTable(dir,
+      ShardFormat.readManifestVersion(dir, Some(v)).schema, Some(v))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String])
       : Table = {
@@ -133,7 +146,9 @@ class ShardCatalog extends TableCatalog {
           s"gshard supports only appending nullable columns, not $other")
       }
     }
-    ShardFormat.writeManifest(dir, m.copy(schema = schema))
+    // a schema change is a table GENERATION like any other mutation:
+    // archive the old head so VERSION AS OF reads the narrow schema
+    ShardFormat.publishManifest(dir, m.copy(schema = schema))
     new ShardTable(dir, schema)
   }
 

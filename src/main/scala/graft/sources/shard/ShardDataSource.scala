@@ -63,7 +63,8 @@ class ShardDataSource extends TableProvider
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ShardFormat.readManifest(dir(options)).schema
+    ShardFormat.readManifestVersion(dir(options),
+      Option(options.get("versionasof")).map(_.toLong)).schema
 
   // writes to a FRESH table have no manifest: accept the frame's schema
   override def supportsExternalMetadata(): Boolean = true
@@ -71,22 +72,43 @@ class ShardDataSource extends TableProvider
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val d = properties.get("path")
-    new ShardTable(d, schema)
+    new ShardTable(d, schema,
+      Option(properties.get("versionasof")).map(_.toLong))
   }
 }
 
-private[shard] class ShardTable(dir: String, tableSchema: StructType)
+private[shard] class ShardTable(dir: String, tableSchema: StructType,
+    pinnedVersion: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete {
-  override def name(): String = s"gshard.`$dir`"
+  override def name(): String = pinnedVersion match {
+    case Some(v) => s"gshard.`$dir` VERSION AS OF $v"
+    case None => s"gshard.`$dir`"
+  }
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardScanBuilder(dir, ShardFormat.readManifest(dir), options)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val version = pinnedVersion
+      .orElse(Option(options.get("versionasof")).map(_.toLong))
+    val m = ShardFormat.readManifestVersion(dir, version)
+    // `files` option: restrict the scan to a named entry subset — the
+    // internal handle ShardOps.upsert uses to read EXACTLY the files
+    // it will rewrite through the normal pruned/pushed scan path
+    val restricted = Option(options.get("files")) match {
+      case None => m
+      case Some(fs) =>
+        val want = fs.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        m.copy(entries = m.entries.filter(e => want(e.file)))
+    }
+    new ShardScanBuilder(dir, restricted, options)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"gshard: cannot write to ${name()} — time-travel reads are frozen")
     new ShardWriteBuilder(dir, info)
+  }
 
   // ---- METADATA-ONLY DELETE (B32) ------------------------------------
   // `DELETE FROM t WHERE p` is accepted iff EVERY manifest entry is
@@ -190,17 +212,21 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType)
   }
 
   override def deleteWhere(rawFilters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"gshard: cannot DELETE from ${name()} — time-travel reads are frozen")
     val m = ShardFormat.readManifest(dir)
     val filters = normalizedForDelete(m.schema, rawFilters)
-    val (drop, keep) = m.entries.partition { e =>
-      !disjoint(e, filters) && filters.forall(covers(e, _))
+    val keep = m.entries.filter { e =>
+      disjoint(e, filters) || !filters.forall(covers(e, _))
     }
     require(m.entries.forall { e =>
       disjoint(e, filters) || filters.forall(covers(e, _))
     }, s"gshard: DELETE not decidable from metadata for ${name()}")
-    ShardFormat.writeManifest(dir, m.copy(entries = keep))
-    drop.foreach(e => java.nio.file.Files.deleteIfExists(
-      java.nio.file.Paths.get(dir, e.file)))
+    // publish-with-archive, NO physical sweep: the dropped files stay
+    // referenced by the archived generation (VERSION AS OF reads it);
+    // bytes are reclaimed by ShardFormat.vacuum under its retention —
+    // the Delta DELETE-then-VACUUM split
+    ShardFormat.publishManifest(dir, m.copy(entries = keep))
   }
 }
 
@@ -377,18 +403,13 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
           (oldLast, oldTxns + (app -> v))
         }
     }
-    // manifest FIRST: the write below atomically publishes the new
-    // generation; only then sweep the files it replaced (a crash in
-    // between leaves orphans for the next overwrite, never a manifest
-    // pointing at deleted files)
-    ShardFormat.writeManifest(dir,
+    // publish-with-archive: the previous head manifest is retained as
+    // `_manifest.v<gen>.gshard` and the new generation publishes
+    // atomically. Replaced files are NOT swept here — the archived
+    // generation still references them (time travel); reclamation is
+    // ShardFormat.vacuum's job under its retention window
+    ShardFormat.publishManifest(dir,
       ShardFormat.Manifest(schema, prior ++ fresh, nextLast, nextTxns))
-    if (truncateFirst) existing.foreach { m =>
-      val keep = fresh.map(_.file).toSet
-      m.entries.filterNot(e => keep(e.file))
-        .foreach(e => java.nio.file.Files.deleteIfExists(
-          java.nio.file.Paths.get(dir, e.file)))
-    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

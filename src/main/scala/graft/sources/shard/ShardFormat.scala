@@ -353,9 +353,14 @@ object ShardFormat {
   /** `lastTxn` is the DEFAULT (anonymous) writer's last applied txn
     * id; `txns` namespaces per-app versions (Delta's
     * txnAppId/txnVersion), so independent writers never dedupe each
-    * other's ids. */
+    * other's ids. `gen` is the table GENERATION (commit version):
+    * every mutating publish archives the previous head manifest as
+    * `_manifest.v<gen>.gshard` and writes gen+1 — the retained chain
+    * is what `VERSION AS OF` reads and what vacuum's retention
+    * protects. */
   final case class Manifest(schema: StructType, entries: Seq[ShardEntry],
-      lastTxn: Long = -1L, txns: Map[String, Long] = Map.empty)
+      lastTxn: Long = -1L, txns: Map[String, Long] = Map.empty,
+      gen: Long = 0L)
 
   /** Per-file writer stats, reported from tasks to the manifest.
     * `nullCnt` carries EVERY column (zero included): a column absent
@@ -465,12 +470,24 @@ object ShardFormat {
     }
     Files.createDirectories(path)
 
+    val entries = writeData(df, dir, rangeCol, nShards, chunkRows)
+    val manifest = Manifest(schema, entries)
+    writeManifest(dir, manifest)
+    manifest
+  }
+
+  /** The range-clustered DATA write alone — shard files land in `dir`
+    * (named `part-<prefix><shard>.gshard`) and their manifest entries
+    * return to the caller, who decides how to publish them (fresh
+    * manifest for [[write]], entry merge for [[ShardOps.upsert]]).
+    * Nothing is visible to readers until a manifest names the files. */
+  private[shard] def writeData(df: DataFrame, dir: String, rangeCol: String,
+      nShards: Int, chunkRows: Int = DefaultChunkRows,
+      prefix: String = ""): Seq[ShardEntry] = {
+    val schema = df.schema
     val bounds = df.agg(min(col(rangeCol)), max(col(rangeCol))).head()
-    // empty input: a valid table of zero shard files
-    if (bounds.isNullAt(0)) {
-      writeManifest(dir, Manifest(schema, Seq.empty))
-      return Manifest(schema, Seq.empty)
-    }
+    // empty input: zero shard files
+    if (bounds.isNullAt(0)) return Seq.empty
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / nShards + 1)
 
@@ -483,19 +500,16 @@ object ShardFormat {
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard") +: names.map(col): _*)
       .mapPartitions { it =>
-        writeTaskShards(it, dir, schema, chunkRows)
+        writeTaskShards(it, dir, schema, chunkRows, prefix)
       }(Encoders.stats)
       .collect()
 
-    val entries = statRows.sortBy(_._1).map {
+    statRows.sortBy(_._1).map {
       case (file, rows, mins, maxs, smins, smaxs, nulls, dmins, dmaxs,
           sums) =>
         ShardEntry(file, rows, mins, maxs, smins, smaxs, nulls,
           dMin = dmins, dMax = dmaxs, sums = sums)
     }.toSeq
-    val manifest = Manifest(schema, entries)
-    writeManifest(dir, manifest)
-    manifest
   }
 
   private object Encoders {
@@ -512,7 +526,8 @@ object ShardFormat {
     * one file per shard id through the chunked writer — peak memory is
     * one chunk, regardless of shard size. */
   private def writeTaskShards(
-      it: Iterator[Row], dir: String, schema: StructType, chunkRows: Int)
+      it: Iterator[Row], dir: String, schema: StructType, chunkRows: Int,
+      prefix: String = "")
       : Iterator[(String, Long, Map[String, Long], Map[String, Long],
         Map[String, String], Map[String, String], Map[String, Long],
         Map[String, Double], Map[String, Double], Map[String, Long])] = {
@@ -539,7 +554,7 @@ object ShardFormat {
       val s = r.getInt(nCols) // trailing __shard column
       if (s != shard) {
         flush(); shard = s
-        file = f"part-$shard%05d.gshard"
+        file = f"part-$prefix$shard%05d.gshard"
         writer = new ShardFileWriter(s"$dir/$file", schema, chunkRows)
       }
       val values = new Array[Any](nCols)
@@ -1116,6 +1131,7 @@ object ShardFormat {
     sb.append("gshard v4\n")
     sb.append("schema ").append(m.schema.fields
       .map(f => s"${f.name}:${typeTag(f.dataType)}").mkString(",")).append('\n')
+    if (m.gen > 0L) sb.append(s"gen ${m.gen}\n")
     if (m.lastTxn >= 0L) sb.append(s"txn ${m.lastTxn}\n")
     m.txns.toSeq.sortBy(_._1).foreach { case (app, v) =>
       require(app.nonEmpty && !app.exists(ch => ch == ' ' || ch == '\n'),
@@ -1155,7 +1171,10 @@ object ShardFormat {
 
   def readManifest(dir: String): Manifest = {
     manifestReads.incrementAndGet()
-    val lines = Files.readAllLines(Paths.get(dir, "_manifest.gshard"))
+    readManifestLines(Files.readAllLines(Paths.get(dir, "_manifest.gshard")))
+  }
+
+  private def readManifestLines(lines: java.util.List[String]): Manifest = {
     // older generations are rejected UP FRONT with the honest error —
     // the chunk layout changed, so accepting the manifest and dying
     // mid-scan would be misleading partial compatibility
@@ -1172,6 +1191,8 @@ object ShardFormat {
       })
     import scala.jdk.CollectionConverters._
     val rest = lines.asScala.drop(2)
+    val gen = rest.find(_.startsWith("gen "))
+      .map(_.stripPrefix("gen ").trim.toLong).getOrElse(0L)
     val lastTxn = rest.find(_.startsWith("txn "))
       .map(_.stripPrefix("txn ").trim.toLong).getOrElse(-1L)
     val txns = rest.filter(_.startsWith("txnapp ")).map { l =>
@@ -1229,7 +1250,93 @@ object ShardFormat {
       ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms, bpvs,
         dMin, dMax, sums)
     }.toSeq
-    Manifest(schema, entries, lastTxn, txns)
+    Manifest(schema, entries, lastTxn, txns, gen)
+  }
+
+  // ── GENERATIONS: archive-on-publish, VERSION AS OF, vacuum ─────────
+
+  private def archiveName(gen: Long) = s"_manifest.v$gen.gshard"
+
+  /** MUTATING publish: archive the current head manifest (if any) as
+    * `_manifest.v<gen>.gshard`, then write `m` as the new head at
+    * gen+1. Archive-first is crash-safe: a crash in between leaves the
+    * old head both live and archived — the next publish simply
+    * re-archives the same generation (idempotent overwrite), and no
+    * reader ever sees a missing manifest. Returns the published
+    * manifest (with its assigned generation). */
+  private[graft] def publishManifest(dir: String, m: Manifest): Manifest = {
+    val next =
+      if (!hasManifest(dir)) m.copy(gen = 0L)
+      else {
+        val head = readManifest(dir)
+        java.nio.file.Files.copy(
+          Paths.get(dir, "_manifest.gshard"),
+          Paths.get(dir, archiveName(head.gen)),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        m.copy(gen = head.gen + 1)
+      }
+    writeManifest(dir, next)
+    next
+  }
+
+  /** Archived generation numbers present on disk (ascending). */
+  private[graft] def archivedGens(dir: String): Seq[Long] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) return Seq.empty
+    import scala.jdk.CollectionConverters._
+    val Pat = """_manifest\.v(\d+)\.gshard""".r
+    Files.list(d).iterator().asScala.flatMap(p =>
+      p.getFileName.toString match {
+        case Pat(g) => Some(g.toLong)
+        case _ => None
+      }).toSeq.sorted
+  }
+
+  /** `VERSION AS OF v`: the head when v is the head generation, else
+    * the retained archive — a version beyond head fails as
+    * not-committed, a missing archive as vacuumed (the MergeTarget /
+    * Delta contract: loud, never a partial read). */
+  def readManifestVersion(dir: String, version: Option[Long]): Manifest = {
+    val head = readManifest(dir)
+    version match {
+      case None => head
+      case Some(v) if v == head.gen => head
+      case Some(v) =>
+        require(v >= 0 && v < head.gen,
+          s"gshard: version $v not committed (head is ${head.gen})")
+        val p = Paths.get(dir, archiveName(v))
+        require(Files.exists(p),
+          s"gshard: version $v was vacuumed (retained: " +
+            s"${archivedGens(dir).mkString(",")} + head ${head.gen})")
+        manifestReads.incrementAndGet()
+        readManifestLines(Files.readAllLines(p))
+    }
+  }
+
+  /** VACUUM with retention: drop archived manifests older than the
+    * newest `keepVersions`, then sweep data files referenced by NO
+    * retained manifest (head + surviving archives). Time travel to a
+    * vacuumed generation then fails loudly ([[readManifestVersion]]);
+    * the head read is never affected. Returns the swept data files.
+    * Manifests are deleted FIRST: a crash mid-sweep leaves orphan
+    * data files (re-sweepable), never a retained manifest naming
+    * deleted data. */
+  def vacuum(dir: String, keepVersions: Int = 0): Seq[String] = {
+    require(keepVersions >= 0, "keepVersions must be >= 0")
+    val drop = archivedGens(dir).dropRight(keepVersions)
+    drop.foreach(g => Files.deleteIfExists(Paths.get(dir, archiveName(g))))
+    val retained = (readManifest(dir) +:
+      archivedGens(dir).map(g =>
+        readManifestLines(Files.readAllLines(Paths.get(dir, archiveName(g))))))
+      .flatMap(_.entries.map(_.file)).toSet
+    import scala.jdk.CollectionConverters._
+    val swept = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.startsWith("part-") && f.endsWith(".gshard") &&
+        !retained(f))
+      .toSeq.sorted
+    swept.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
+    swept
   }
 
   /** EOF-safe skip: `InputStream.skip` may legally return 0 forever

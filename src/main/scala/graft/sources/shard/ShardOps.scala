@@ -1,0 +1,135 @@
+package graft.sources.shard
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level MERGE (UPSERT) through the gshard catalog — the mutation
+  * DELETE-only metadata surgery can't express: `MERGE INTO t USING u
+  * ON t.key = u.key WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED
+  * THEN INSERT *`, the CDC apply shape.
+  *
+  * Scale shape (the Delta/Iceberg copy-on-write MERGE):
+  *  1. TOUCHED-FILE discovery is metadata-first: the manifest's
+  *     per-file key zone maps (≤ #files rows, broadcast) range-join
+  *     the update keys — a file is rewritten only if SOME update key
+  *     falls inside its [min,max]; everything else is untouched
+  *     (zero read, zero write). A key-clustered table localizes a
+  *     key-local update burst to a few files.
+  *  2. Touched files are read back through the NORMAL connector scan
+  *     (a `files`-restricted read — pruning, projection, residuals
+  *     all apply), anti-joined against the update keys (survivors),
+  *     unioned with ALL updates, and rewritten as fresh range-
+  *     clustered shards on the key.
+  *  3. Publish is generational: archive head, publish
+  *     untouched ++ fresh (VERSION AS OF still reads the pre-merge
+  *     table); replaced bytes reclaim at [[ShardFormat.vacuum]].
+  *  4. REPLAY-IDEMPOTENT via the manifest txn slots (Delta's
+  *     txnAppId/txnVersion): a replayed merge with an already-applied
+  *     id is a no-op — the property restarting CDC appliers rely on.
+  *
+  * Source cardinality is ENFORCED (one row per key in `updates`, the
+  * Delta duplicate-source-row check): two updates for one key would
+  * make the result order-dependent, so the merge fails loudly instead.
+  */
+object ShardOps {
+
+  def upsert(spark: SparkSession, dir: String, updates: DataFrame,
+      keyCol: String, nShards: Int = 0,
+      txnId: Long = -1L, txnApp: Option[String] = None): Unit = {
+    val head = ShardFormat.readManifest(dir)
+
+    // replay idempotence FIRST (same rule as the append path)
+    val appliedBefore = txnId >= 0 && {
+      txnApp.map(a => head.txns.getOrElse(a, -1L))
+        .getOrElse(head.lastTxn) >= txnId
+    }
+    if (appliedBefore) return
+
+    // schema must match by storage tag (the append discipline)
+    val a = head.schema.fields
+      .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
+    val b = updates.schema.fields
+      .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
+    require(a == b,
+      s"gshard merge schema mismatch: table=${head.schema.catalogString} " +
+        s"updates=${updates.schema.catalogString}")
+    // v1 merge keys: integral id columns (the CDC key shape) — their
+    // VALUE is the storage long the zone maps hold, so the touched-
+    // file range join below is exact; timestamp/date/decimal keys
+    // would need their catalyst-internal encodings here and reject
+    // until someone needs them
+    val keyType = head.schema(keyCol).dataType
+    require(keyType == org.apache.spark.sql.types.LongType ||
+        keyType == org.apache.spark.sql.types.IntegerType,
+      s"gshard merge key $keyCol must be a long/int id column, got $keyType")
+
+    // the Delta duplicate-source-row check: MERGE is ill-defined when
+    // two source rows hit one target key — fail loudly, never
+    // last-writer-wins silently (also rejects NULL keys: a NULL can
+    // never equi-match, so an "insert" with a NULL key would dodge
+    // idempotent re-merge semantics)
+    val dup = updates.groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1 || col(keyCol).isNull)
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"gshard merge: duplicate or NULL key in updates " +
+        s"(${if (dup.isEmpty) "" else dup(0).toString})")
+
+    // 1. touched files off the manifest zone maps (metadata-scale):
+    // files with NO recorded key bounds (all-null or pre-stats) are
+    // conservatively touched — they may hold anything
+    import spark.implicits._
+    val unbounded = head.entries
+      .filter(e => !e.zMin.contains(keyCol)).map(_.file)
+    val rangesDf = head.entries
+      .flatMap(e => e.zMin.get(keyCol).map(lo =>
+        (e.file, lo, e.zMax(keyCol))))
+      .toDF("file", "lo", "hi")
+    // update keys in the storage long domain (micros/days/unscaled…)
+    val keysLong = updates
+      .select(col(keyCol).cast("long").as("k")) // long-encoded families
+    val touchedBounded: Seq[String] =
+      if (head.entries.isEmpty) Seq.empty
+      else keysLong
+        .join(broadcast(rangesDf),
+          col("k") >= col("lo") && col("k") <= col("hi"))
+        .select(col("file")).distinct().as[String].collect().toSeq
+    val touched = (touchedBounded ++ unbounded).distinct.sorted
+
+    // 2. survivors of the touched files + all updates, rewritten as
+    // fresh key-clustered shards; reading through the connector's
+    // files-restricted scan keeps this the one data pass
+    val out: DataFrame =
+      if (touched.isEmpty) updates
+      else {
+        val touchedRows = spark.read.format("gshard")
+          .option("files", touched.mkString(","))
+          .load(dir)
+        touchedRows
+          .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+          .unionByName(updates)
+      }
+    val shards = if (nShards > 0) nShards else math.max(1, touched.size + 1)
+    // fresh generation's file prefix: collision-free against every
+    // retained generation (gen is monotone)
+    val prefix = s"m${head.gen + 1}-"
+    val fresh = ShardFormat.writeData(
+      out.select(head.schema.fieldNames.map(col).toIndexedSeq: _*),
+      dir, keyCol, shards, prefix = prefix)
+
+    // 3./4. generational publish with the txn slot advanced
+    val (nextLast, nextTxns) = txnApp match {
+      case None =>
+        (if (txnId < 0) head.lastTxn else math.max(txnId, head.lastTxn),
+          head.txns)
+      case Some(app) =>
+        if (txnId < 0) (head.lastTxn, head.txns)
+        else (head.lastTxn,
+          head.txns + (app -> math.max(txnId, head.txns.getOrElse(app, -1L))))
+    }
+    val untouched = head.entries.filterNot(e => touched.contains(e.file))
+    ShardFormat.publishManifest(dir,
+      ShardFormat.Manifest(head.schema, untouched ++ fresh,
+        nextLast, nextTxns))
+  }
+}

@@ -57,10 +57,26 @@ class ShardDeleteSpec extends SparkSpec {
       // manifest: exactly the covered entries vanished
       assert(after.entries.map(_.file).toSet ==
         before.entries.map(_.file).toSet -- dropped)
-      // bytes: dropped files swept from disk, kept files untouched
+      // bytes: the dropped files SURVIVE the delete (the archived
+      // pre-delete generation still references them — VERSION AS OF
+      // reads it), and VACUUM with zero retention sweeps exactly
+      // them, leaving kept files untouched — the Delta
+      // DELETE-then-VACUUM split
+      dropped.foreach(f => assert(Files.exists(Paths.get(tdir, f)), f))
+      val preDeleteGen = before.gen
+      assert(ShardFormat.readManifestVersion(tdir, Some(preDeleteGen))
+        .entries.map(_.file).toSet == before.entries.map(_.file).toSet)
+      val swept = ShardFormat.vacuum(tdir, keepVersions = 0)
+      assert(swept.toSet == dropped.toSet,
+        s"vacuum swept $swept, expected $dropped")
       dropped.foreach(f => assert(!Files.exists(Paths.get(tdir, f)), f))
       after.entries.foreach(e =>
         assert(Files.exists(Paths.get(tdir, e.file)), e.file))
+      // the pre-delete generation is now vacuumed: loud failure
+      val ex = intercept[IllegalArgumentException] {
+        ShardFormat.readManifestVersion(tdir, Some(preDeleteGen))
+      }
+      assert(ex.getMessage.contains("vacuumed"))
       // rows: exact remainder
       val want = proj.filter(col("user_id") >= thr).count()
       assert(spark.table(s"$ns.t1").count() == want)

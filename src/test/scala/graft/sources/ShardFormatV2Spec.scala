@@ -252,8 +252,11 @@ class ShardFormatV2Spec extends SparkSpec {
     assert(m.lastTxn == 1L)
     assert(spark.read.format("gshard").load(d).count() == before,
       "replayed txn double-appended")
-    val onDisk = new java.io.File(d).list().count(_.endsWith(".gshard"))
-    assert(onDisk - 1 == m.entries.size,
+    // count DATA files only (archived generation manifests also end
+    // in .gshard now): a replayed commit must delete its staged parts
+    val onDisk = new java.io.File(d).list()
+      .count(f => f.startsWith("part-") && f.endsWith(".gshard"))
+    assert(onDisk == m.entries.size,
       s"replay left orphan files: disk=$onDisk manifest=${m.entries.size}")
     // a NEW txn still applies
     append(2L, 0)

@@ -338,8 +338,10 @@ class ShardFormatV3Spec extends SparkSpec {
       "a same-app replay double-appended")
     val m = ShardFormat.readManifest(d)
     assert(m.txns == Map("alpha" -> 0L, "beta" -> 0L))
-    val onDisk = new java.io.File(d).list().count(_.endsWith(".gshard"))
-    assert(onDisk - 1 == m.entries.size, "replay left orphan files")
+    // data files only: archived generation manifests are .gshard too
+    val onDisk = new java.io.File(d).list()
+      .count(f => f.startsWith("part-") && f.endsWith(".gshard"))
+    assert(onDisk == m.entries.size, "replay left orphan files")
     // and each app advances independently
     append("alpha", 1L, 2)
     assert(ShardFormat.readManifest(d).txns ==

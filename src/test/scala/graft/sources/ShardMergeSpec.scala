@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.shard.{ShardFormat, ShardOps}
+
+/** MERGE (upsert) through the gshard catalog + generational TIME
+  * TRAVEL + vacuum retention — the mutation lifecycle the r14 verdict
+  * ordered (items 3 & 4): matched keys update, unmatched insert,
+  * untouched files stay physically untouched (metadata-first touched-
+  * file discovery off the key zone maps), replay is idempotent via
+  * the txn slots, every mutation archives a readable generation, and
+  * vacuum reclaims bytes under retention with vacuumed versions
+  * failing loudly. */
+class ShardMergeSpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"gshard_merge_$tag").toString
+
+  private def base(n: Int) = {
+    val sess = spark
+    import sess.implicits._
+    (0L until n.toLong).map(i => (i, s"v$i", i * 10L))
+      .toDF("id", "tag", "score")
+  }
+
+  test("upsert: matched keys update, unmatched insert, untouched " +
+      "files stay physically untouched") {
+    val sess = spark
+    import sess.implicits._
+    val d = tmp("basic")
+    ShardFormat.write(base(1000), d, "id", 8)
+    val before = ShardFormat.readManifest(d)
+    // updates: keys 990..1009 — 10 matched (one file's range), 10 new
+    val updates = (990L until 1010L).map(i => (i, s"UPD$i", i * 100L))
+      .toDF("id", "tag", "score")
+    ShardOps.upsert(spark, d, updates, "id")
+    val after = ShardFormat.readManifest(d)
+    // untouched entries carried over verbatim (same file names)
+    val touched = before.entries.filter(e =>
+      e.zMax("id") >= 990L).map(_.file).toSet
+    assert(touched.nonEmpty && touched.size < before.entries.size)
+    assert(after.entries.map(_.file).toSet
+      .intersect(before.entries.map(_.file).toSet) ==
+      before.entries.map(_.file).toSet -- touched)
+    // rows: merge semantics exact
+    val got = spark.read.format("gshard").load(d)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = ((0L until 990L).map(i => (i, s"v$i", i * 10L)) ++
+      (990L until 1010L).map(i => (i, s"UPD$i", i * 100L))).toSet
+    assert(got == want)
+    // untouched files' BYTES untouched: still on disk, still named
+    (before.entries.map(_.file).toSet -- touched).foreach(f =>
+      assert(Files.exists(Paths.get(d, f)), f))
+  }
+
+  test("upsert replay is idempotent via the txn slot; duplicate and " +
+      "NULL source keys reject") {
+    val sess = spark
+    import sess.implicits._
+    val d = tmp("txn")
+    ShardFormat.write(base(100), d, "id", 2)
+    val u = Seq((5L, "X", 1L)).toDF("id", "tag", "score")
+    ShardOps.upsert(spark, d, u, "id", txnId = 1, txnApp = Some("cdc"))
+    val gen1 = ShardFormat.readManifest(d).gen
+    // replay: same app, same txn — a no-op (no new generation)
+    ShardOps.upsert(spark, d, u, "id", txnId = 1, txnApp = Some("cdc"))
+    assert(ShardFormat.readManifest(d).gen == gen1)
+    assert(spark.read.format("gshard").load(d)
+      .filter(col("id") === 5L).head.getString(1) == "X")
+    // next txn applies
+    ShardOps.upsert(spark, d, Seq((5L, "Y", 2L)).toDF("id", "tag", "score"),
+      "id", txnId = 2, txnApp = Some("cdc"))
+    assert(spark.read.format("gshard").load(d)
+      .filter(col("id") === 5L).head.getString(1) == "Y")
+    // duplicate source keys reject loudly
+    val dup = Seq((7L, "a", 1L), (7L, "b", 2L)).toDF("id", "tag", "score")
+    val ex = intercept[IllegalArgumentException] {
+      ShardOps.upsert(spark, d, dup, "id")
+    }
+    assert(ex.getMessage.contains("duplicate or NULL key"))
+  }
+
+  test("time travel: every mutation archives a readable generation; " +
+      "VERSION AS OF through SQL; vacuumed versions fail loudly; " +
+      "writes to pinned versions reject") {
+    val sess = spark
+    import sess.implicits._
+    val wh = tmp("tt_wh")
+    spark.conf.set("spark.sql.catalog.gshard_tt",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_tt.warehouse", wh)
+    base(50).createOrReplaceTempView("tt_src_a")
+    base(50).withColumn("id", col("id") + 100L)
+      .createOrReplaceTempView("tt_src_b")
+    spark.sql("DROP TABLE IF EXISTS gshard_tt.main.t")
+    spark.sql("CREATE TABLE gshard_tt.main.t AS SELECT * FROM tt_src_a")
+    spark.sql("INSERT INTO gshard_tt.main.t SELECT * FROM tt_src_b")
+    val d = s"$wh/main/t"
+    val head = ShardFormat.readManifest(d)
+    assert(head.gen == 2L) // gen0 empty create, gen1 CTAS data, gen2 append
+    // SQL VERSION AS OF: the pre-append generation
+    assert(spark.sql(
+      "SELECT count(*) FROM gshard_tt.main.t VERSION AS OF 1")
+      .head.getLong(0) == 50L)
+    assert(spark.sql("SELECT count(*) FROM gshard_tt.main.t")
+      .head.getLong(0) == 100L)
+    // the path API equivalent
+    assert(spark.read.format("gshard").option("versionAsOf", "1")
+      .load(d).count() == 50L)
+    // a version beyond head: not committed
+    val exHi = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM gshard_tt.main.t VERSION AS OF 9")
+        .collect()
+    }
+    assert(exHi.getMessage.contains("not committed"))
+    // vacuum with retention 1: v0 drops, v1 survives
+    ShardFormat.vacuum(d, keepVersions = 1)
+    assert(spark.read.format("gshard").option("versionAsOf", "1")
+      .load(d).count() == 50L)
+    val exV = intercept[Exception] {
+      spark.read.format("gshard").option("versionAsOf", "0").load(d).count()
+    }
+    assert(exV.getMessage.contains("vacuumed"))
+    // pinned versions are read-only
+    val exW = intercept[Exception] {
+      spark.sql("DELETE FROM gshard_tt.main.t VERSION AS OF 1")
+    }
+    assert(exW.getMessage != null)
+  }
+
+  test("upsert keeps a version readable: pre-merge generation reads " +
+      "the pre-merge rows; vacuum(0) then sweeps the rewritten files") {
+    val sess = spark
+    import sess.implicits._
+    val d = tmp("ttm")
+    ShardFormat.write(base(200), d, "id", 4)
+    val preGen = ShardFormat.readManifest(d).gen
+    val u = Seq((0L, "Z", 999L), (500L, "NEW", 1L)).toDF("id", "tag", "score")
+    ShardOps.upsert(spark, d, u, "id")
+    // pre-merge generation: original row 0, no row 500
+    val v0 = spark.read.format("gshard")
+      .option("versionAsOf", preGen.toString).load(d)
+    assert(v0.filter(col("id") === 0L).head.getString(1) == "v0")
+    assert(v0.filter(col("id") === 500L).count() == 0L)
+    // head: merged
+    val h = spark.read.format("gshard").load(d)
+    assert(h.filter(col("id") === 0L).head.getString(1) == "Z")
+    assert(h.filter(col("id") === 500L).count() == 1L)
+    // vacuum reclaims the replaced file's bytes
+    val swept = ShardFormat.vacuum(d, 0)
+    assert(swept.nonEmpty)
+    assert(spark.read.format("gshard").load(d).count() == 201L)
+  }
+}

@@ -163,9 +163,14 @@ class ShardSourceSpec extends SparkSpec {
       .select(col("user_id"), col("event_type"), col("cents")))
       == rowsOf(hi))
     val m = ShardFormat.readManifest(d)
-    val onDisk = new java.io.File(d).list().count(_.endsWith(".gshard"))
-    assert(onDisk - 1 == m.entries.size, // manifest itself is .gshard
-      s"orphan files survive overwrite: disk=$onDisk manifest=${m.entries.size}")
+    // retention: the truncated generation's files survive the
+    // overwrite (its archived manifest still references them — time
+    // travel); vacuum(0) reclaims them, after which disk == manifest
+    ShardFormat.vacuum(d, 0)
+    val onDisk = new java.io.File(d).list()
+      .count(f => f.startsWith("part-") && f.endsWith(".gshard"))
+    assert(onDisk == m.entries.size,
+      s"orphan files survive overwrite+vacuum: disk=$onDisk manifest=${m.entries.size}")
   }
 
   test("the freshly written table serves skipping scans like the manual one") {
@@ -207,9 +212,12 @@ class ShardSourceSpec extends SparkSpec {
     assert(rowsOf(spark.read.format("gshard").load(d)
       .select(col("user_id"), col("event_type"), col("cents")))
       == rowsOf(eventsProjected))
-    // no orphan files from either old generation
-    val onDisk = new java.io.File(d).list().count(_.endsWith(".gshard"))
-    assert(onDisk - 1 == after.entries.size)
+    // old generations retained for time travel; vacuum(0) reclaims
+    // them — then no orphan files from either old generation
+    ShardFormat.vacuum(d, 0)
+    val onDisk = new java.io.File(d).list()
+      .count(f => f.startsWith("part-") && f.endsWith(".gshard"))
+    assert(onDisk == after.entries.size)
   }
 
   // ── streaming SOURCE path ──────────────────────────────────────────
