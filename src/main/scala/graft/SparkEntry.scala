@@ -548,6 +548,13 @@ object SparkEntry {
     "q_table_stats_approx" -> q(t => Relational.qTableStatsApprox(t)),
     "events_value_percentiles_approx" ->
       q(t => EventAnalytics.eventsValuePercentilesApprox(t)),
+    // …and their VALUE GATES: error-budget verdicts the oracle asserts
+    // as literal "ok" — the rows-only trio is gate-visible on value
+    "q_approx_stats_bounded" -> q(t => Scale.qApproxStatsBounded(t)),
+    "q_table_stats_approx_bounded" ->
+      q(t => Relational.qTableStatsApproxBounded(t)),
+    "events_value_percentiles_approx_bounded" ->
+      q(t => EventAnalytics.eventsValuePercentilesApproxBounded(t)),
     "q_delete_propagation" -> q(t => Governance.deletePropagation(t)),
     "q_data_masking"      -> q(t => Governance.qDataMasking(t)),
     // ε-DP composition release via the integer-exact discrete-Laplace
@@ -3458,6 +3465,31 @@ object SparkEntry {
          | $mn AS min_v,
          | $mx AS max_v FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n"),
+    // the sketch VALUE GATES: exact fields recomputed, error-budget
+    // verdicts asserted as the literal 'ok' — an out-of-budget sketch
+    // emits FAIL:<detail> on the Spark side and hash-mismatches HERE,
+    // by name (the corpus_len_guard tripwire pattern)
+    "q_approx_stats_bounded" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | 'ok' AS users_ok, 'ok' AS median_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_table_stats_approx_bounded" -> Seq("l_orderkey", "l_partkey",
+      "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_shipdate").map { c =>
+      val (mn, mx) =
+        if (Set("l_quantity", "l_extendedprice", "l_discount")(c))
+          (s"CAST(CAST(min($c) AS DECIMAL(38,4)) AS VARCHAR)",
+           s"CAST(CAST(max($c) AS DECIMAL(38,4)) AS VARCHAR)")
+        else (s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows, 'ok' AS ndv_ok,
+         | CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_null,
+         | $mn AS min_v,
+         | $mx AS max_v FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"),
+    "events_value_percentiles_approx_bounded" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | 'ok' AS p50_ok, 'ok' AS p90_ok, 'ok' AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "events_new_vs_returning" ->
       """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS first_day FROM a GROUP BY 1),

@@ -513,6 +513,34 @@ object EventAnalytics {
         percentile_approx(col("value"), lit(0.9), lit(accuracy)).as("p90"),
         percentile_approx(col("value"), lit(0.99), lit(accuracy)).as("p99"))
 
+  /** `events_value_percentiles_approx_bounded` — the VALUE GATE for
+    * [[eventsValuePercentilesApprox]] (the `q_approx_stats_bounded`
+    * pattern): each approximate quantile must land inside the exact
+    * ±1%-quantile VALUE BAND (p99 clamps its upper bound at the max),
+    * which the accuracy-10000 sketch beats by orders of magnitude
+    * (rank error ≤ n/10000); the oracle asserts the literal "ok" per
+    * group, so a sketch regression fails this named entry loudly. */
+  def eventsValuePercentilesApproxBounded(t: Tables): DataFrame = {
+    val approx = eventsValuePercentilesApprox(t)
+    val exact = t.events.groupBy(col("event_type").as("et"))
+      .agg(
+        percentile(col("value"), lit(0.49)).as("lo50"),
+        percentile(col("value"), lit(0.51)).as("hi50"),
+        percentile(col("value"), lit(0.89)).as("lo90"),
+        percentile(col("value"), lit(0.91)).as("hi90"),
+        percentile(col("value"), lit(0.98)).as("lo99"),
+        percentile(col("value"), lit(1.0)).as("hi99"))
+    def ok(v: String, lo: String, hi: String) =
+      when(col(v).between(col(lo), col(hi)), lit("ok"))
+        .otherwise(concat(lit("FAIL:"), col(v))).as(s"${v}_ok")
+    approx.join(exact, col("event_type") === col("et"))
+      .select(col("event_type"), col("n"),
+        ok("p50", "lo50", "hi50"),
+        ok("p90", "lo90", "hi90"),
+        ok("p99", "lo99", "hi99"))
+      .orderBy(col("event_type"))
+  }
+
   /** `events_cuped` — CUPED variance-reduced A/B readout (public
     * Deng/Xu/Kohavi/Walker formulation): each user's PRE-period value
     * total is the covariate X, the POST-period total the metric Y,

@@ -175,6 +175,40 @@ object Relational {
     one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
   }
 
+  /** `q_table_stats_approx_bounded` — the VALUE GATE for
+    * [[qTableStatsApprox]] (the `q_approx_stats_bounded` pattern):
+    * the exact profile fields (row count, null count, min, max) go
+    * under the FULL oracle — recomputed by DuckDB — while the
+    * engine-specific HLL++ NDV gets a per-column error-budget verdict
+    * the oracle asserts as the literal "ok" (within 15% of the exact
+    * distinct; default rsd 5%, 3σ). One extra exact-distinct pass —
+    * gate-only cost; production runs the sketch form alone. */
+  def qTableStatsApproxBounded(t: Tables): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_returnflag", "l_shipdate")
+    def render(c: Column, name: String): Column =
+      if (tableStatsDoubleCols(name)) c.cast("decimal(38,4)").cast("string")
+      else c.cast("string")
+    val aggs = cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c)).as(s"andv_$c"),
+        countDistinct(col(c)).as(s"xndv_$c"),
+        count(when(col(c).isNull, 1)).as(s"nn_$c"),
+        render(min(col(c)), c).as(s"mn_$c"),
+        render(max(col(c)), c).as(s"mx_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val one = t.lineitem.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("col_name"), col("n_rows").as("n_rows"),
+        when(abs(col(s"andv_$c") - col(s"xndv_$c"))
+            <= col(s"xndv_$c") * 0.15, lit("ok"))
+          .otherwise(concat(lit("FAIL:"), col(s"andv_$c"), lit("/"),
+            col(s"xndv_$c"))).as("ndv_ok"),
+        col(s"nn_$c").as("n_null"),
+        col(s"mn_$c").as("min_v"), col(s"mx_$c").as("max_v"))
+    }
+    one.select(explode(array(stacked: _*)).as("s")).select(col("s.*"))
+  }
+
   /** Multi-key groupBy with the full scalar-aggregate family. */
   def qGroupMulti(t: Tables): DataFrame =
     t.orders

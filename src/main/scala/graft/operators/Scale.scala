@@ -270,6 +270,34 @@ object Scale {
         count(lit(1)).as("n"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("approx_median"))
 
+  /** `q_approx_stats_bounded` — the VALUE GATE for [[qApproxStats]]:
+    * sketch estimates are engine-specific (rows-only at the gate),
+    * but their ERROR BUDGET is not — this twin joins the sketches
+    * against their exact answers and emits per-group verdict columns
+    * the oracle asserts as the literal "ok": HLL++ distinct within
+    * 15% of the exact count (default rsd 5%, 3σ), the approx median
+    * inside the exact [p45, p55] value band (accuracy 10000 ⇒ rank
+    * error ≤ n/10000, orders tighter). A sketch regression now fails
+    * THIS named entry loudly instead of hiding behind rows-only. */
+  def qApproxStatsBounded(t: Tables): DataFrame = {
+    val approx = qApproxStats(t)
+    val exact = t.events.groupBy(col("event_type").as("et"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        percentile(col("value"), lit(0.45)).as("p45"),
+        percentile(col("value"), lit(0.55)).as("p55"))
+    approx.join(exact, col("event_type") === col("et"))
+      .select(col("event_type"), col("n"),
+        when(abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.15, lit("ok"))
+          .otherwise(concat(lit("FAIL:"), col("approx_users"),
+            lit("/"), col("exact_users"))).as("users_ok"),
+        when(col("approx_median").between(col("p45"), col("p55")),
+            lit("ok"))
+          .otherwise(concat(lit("FAIL:"), col("approx_median")))
+          .as("median_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** `q_upsert_latest` — merge-on-read upsert resolution: a base table
     * unioned with a change set, one key-window rank keeping the
     * highest-version row per key — how an incremental ingest without a
