@@ -669,6 +669,8 @@ object SparkEntry {
       ((s, dir) => Scale.prebuildScd2State(Tables(s, dir))),
     "_build_pca_cov" ->
       ((s, dir) => Similarity.prebuildPcaCov(Tables(s, dir))),
+    "_build_er_pairs" ->
+      ((s, dir) => Governance.prebuildErPairs(Tables(s, dir))),
     "_build_er_state" ->
       ((s, dir) => Governance.prebuildErState(Tables(s, dir))),
     "_build_scd2_cdc" ->

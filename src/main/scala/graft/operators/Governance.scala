@@ -75,8 +75,32 @@ object Governance {
     * (name frequency, type×brand buckets); skewed real-world block
     * keys would be salted exactly like `q_salted_join`.
     */
-  def erBlockedPairs(t: Tables): DataFrame =
-    erBlockedPairsOf(erProj(t.part))
+  def erBlockedPairs(t: Tables): DataFrame = erPairs(t)
+
+  /** The full-corpus blocked+scored MATCH-PAIR set, staged ONCE per
+    * (session, dataset) and shared by every consumer —
+    * `er_blocked_pairs`, `er_resolve_clusters`, the er-state history
+    * build (pairs among history keys = the staged pairs with both
+    * keys ≤ split, exact because blocking + scoring are pairwise),
+    * and the incremental's increment-vs-increment slice (both keys >
+    * split). The same self-join pair generation was being recomputed
+    * per consumer (r14 verdict #6); in production this IS the stored
+    * candidate table the nightly ER job maintains. */
+  private val erPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private[graft] def erPairs(t: Tables): DataFrame = {
+    val path = erPairsCache.getOrElseUpdate(
+      (graft.sources.SourceOps.sessionTag(t.spark), t.dir), {
+        val p = graft.sources.SourceOps.staging(
+          s"er_pairs_${graft.sources.SourceOps.dirTag(t.dir)}")
+        erBlockedPairsOf(erProj(t.part)).write.mode("overwrite").parquet(p)
+        p
+      })
+    t.spark.read.parquet(path)
+  }
+
+  private[graft] def prebuildErPairs(t: Tables): Unit = { erPairs(t); () }
 
   /** The master-data projection every ER stage works over. */
   private def erProj(part: DataFrame): DataFrame =
@@ -362,7 +386,7 @@ object Governance {
     * truth every round.
     */
   def erResolveClusters(t: Tables): DataFrame = {
-    val matches = erBlockedPairs(t).select(col("key_1"), col("key_2"))
+    val matches = erPairs(t).select(col("key_1"), col("key_2"))
     val edges = matches
       .select(col("key_1").as("src"), col("key_2").as("dst"))
       .union(matches.select(col("key_2").as("src"), col("key_1").as("dst")))
@@ -439,7 +463,11 @@ object Governance {
           Sources.writeBucketed(hist, byType, Seq("p_type", "p_brand"),
             nBuckets = 8, sortCols = Seq("p_type", "p_brand"),
             path = Some(SourceOps.staging(s"er_bytype_$tag")))
-          val pairs = erBlockedPairsOf(hist).select(col("key_1"), col("key_2"))
+          // restriction of the staged full pair set — exact, because
+          // pair membership depends only on the two rows, and both
+          // keys ≤ split ⇔ key_2 ≤ split (key_1 < key_2)
+          val pairs = erPairs(t).filter(col("key_2") <= splitKey)
+            .select(col("key_1"), col("key_2"))
           val edges = pairs.select(col("key_1").as("src"), col("key_2").as("dst"))
             .union(pairs.select(col("key_2").as("src"), col("key_1").as("dst")))
             .persist()
@@ -508,7 +536,10 @@ object Governance {
             col("a.p_brand") === col("b.p_brand")))
     // history keys < increment keys, so (a, b) is already ordered
     val nhPairs = scorePairs(nhCands).select(col("key_1"), col("key_2"))
-    val nnPairs = erBlockedPairsOf(inc).select(col("key_1"), col("key_2"))
+    // increment-vs-increment from the staged full pair set (both keys
+    // > split ⇔ key_1 > split, exact by the pairwise argument)
+    val nnPairs = erPairs(t).filter(col("key_1") > splitKey)
+      .select(col("key_1"), col("key_2"))
     val reps = sess.table(labelTable)
       .select(col("doc_id").as("key_1"), col("cluster_id").as("rep"))
     val half = nhPairs.join(reps, Seq("key_1"), "left")
