@@ -481,6 +481,9 @@ object SparkEntry {
     // FULL-outer stream-stream join: BOTH sides' null rows, the
     // mirrored watermark proof (completes the join surface)
     "stream_stream_full_join" -> q(t => graft.streaming.Streaming.streamStreamFullJoin(t)),
+    // right outer — the last symmetric variant: unmatched views emit
+    // null-padded once the watermark closes their 1-hour click window
+    "stream_stream_right_join" -> q(t => graft.streaming.Streaming.streamStreamRightJoin(t)),
     // bounded-state exactly-once dedup over an at-least-once replay
     "stream_dedup_watermarked" -> q(t => graft.streaming.Streaming.streamDedupWatermarked(t)),
     "stream_funnel"       -> q(graft.streaming.Streaming.streamFunnel),
@@ -4200,6 +4203,21 @@ object SparkEntry {
         |SELECT COALESCE(c.user_id, v.user_id) AS user_id,
         | c.click_id, v.view_id, c.click_ts, v.view_ts
         |FROM c FULL JOIN v ON v.user_id = c.user_id
+        | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+        | AND v.view_ts <= c.click_ts""".stripMargin,
+    // right outer: only the VIEW side restricts to the provable
+    // region (unmatched clicks are dropped anyway), then the
+    // identical right join — replayed as v LEFT JOIN c
+    "stream_stream_right_join" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_type FROM events),
+        |cut AS (SELECT max(ts) - INTERVAL 2 HOUR AS cutoff FROM e),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts
+        |  FROM e WHERE event_type = 'click'),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |  FROM e, cut WHERE event_type = 'view' AND ts <= cutoff)
+        |SELECT v.user_id, c.click_id, v.view_id, c.click_ts, v.view_ts
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
         | AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
         | AND v.view_ts <= c.click_ts""".stripMargin,
     "stream_dedup_watermarked" ->

@@ -355,6 +355,47 @@ object Streaming {
         col("view_ts").cast(TimestampNTZType).as("view_ts"))
   }
 
+  /** `stream_stream_right_join` — the RIGHT-OUTER stream-stream join,
+    * the one symmetric variant the surface lacked (inner X4,
+    * left-outer X38, full-outer X42): an unmatched RIGHT row (a view
+    * with no click in the hour after it) emits null-padded once the
+    * watermark proves no click can still arrive — a view's window is
+    * [view_ts, view_ts + 1 h], so it closes when the watermark passes
+    * view_ts + 1 h (the mirrored X38 argument). Unmatched LEFT rows
+    * are dropped, so only the VIEW side needs the provable-region
+    * restriction: views ≤ corpus-max − 2 h (applied AFTER the
+    * watermark node, so excluded rows still advance the clock that
+    * closes survivors); clicks flow unrestricted — a click matching a
+    * restricted view emits on arrival, inside the drain. The batch
+    * oracle replays the identical restricted right join. */
+  def streamStreamRightJoin(t: Tables): DataFrame = {
+    val cutoff = t.events
+      .agg((max(col("ts").cast("timestamp")) - expr("INTERVAL 2 HOURS"))
+        .as("cutoff")).head.get(0)
+    def side(evType: String, idAs: String, tsAs: String,
+        restrict: Boolean) = {
+      val s = eventsStream(t)
+        .filter(col("event_type") === evType)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "0 seconds")
+      (if (restrict) s.filter(col("ts") <= lit(cutoff)) else s)
+        .select(col("user_id").as(s"${evType}_user"),
+          col("event_id").as(idAs), col("ts").as(tsAs))
+    }
+    val clicks = side("click", "click_id", "click_ts", restrict = false)
+    val views = side("view", "view_id", "view_ts", restrict = true)
+    val joined = clicks.join(views,
+      col("click_user") === col("view_user") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR") &&
+        col("view_ts") <= col("click_ts"),
+      "rightOuter")
+    drainToTable(joined, "append")
+      .select(col("view_user").as("user_id"),
+        col("click_id"), col("view_id"),
+        col("click_ts").cast(TimestampNTZType).as("click_ts"),
+        col("view_ts").cast(TimestampNTZType).as("view_ts"))
+  }
+
   /** X39 — `stream_dedup_watermarked`: exactly-once semantics over an
     * at-least-once feed via `dropDuplicatesWithinWatermark` — the
     * Spark 3.5+ API whose state RETIRES when the watermark passes,
