@@ -450,6 +450,10 @@ object SparkEntry {
     "embed_outliers"      -> q(t => Similarity.embedOutliers(t)),
     "embed_pca_power"     -> q(t => Similarity.embedPcaPower(t)),
     "ann_ivf_table"       -> q(t => Similarity.annIvfTableTopK(t)),
+    // the IVF inverted-list read through the ENGINE'S OWN connector:
+    // cell-clustered gshard index, probe isin pushes into zone-map
+    // FILE pruning (files=k/n plan-pinned); shares the kmeans oracle
+    "ann_ivf_shard_topk"  -> q(t => Similarity.annIvfShardTopK(t)),
     "embed_quantize"      -> q(Similarity.embedQuantize),
     "embed_project"       -> q(t => Similarity.embedProject(t)),
     "ann_hard_negatives"  -> q(t => Similarity.annHardNegatives(t)),
@@ -691,6 +695,8 @@ object SparkEntry {
     "_build_shard_embed" ->
       ((s, dir) =>
         graft.sources.SourceOps.prebuildShardEmbed(Tables(s, dir))),
+    "_build_shard_ivf" ->
+      ((s, dir) => Similarity.prebuildShardIvf(Tables(s, dir))),
   )
 
   /** DuckDB fragment: normalized word tokens of `text` (kept in exact
@@ -5410,6 +5416,7 @@ object SparkEntry {
     // construction, same oracle.
     "ann_ivf_kmeans_topk" -> ivfKmeansSql,
     "ann_ivf_table" -> ivfKmeansSql,
+    "ann_ivf_shard_topk" -> ivfKmeansSql,
     // PQ: codebooks, codes and ADC tables all replay exactly — the
     // L2² folds are generated from the same index lists as the Spark
     // expressions, so the `+` chains associate identically

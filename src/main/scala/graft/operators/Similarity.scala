@@ -400,6 +400,66 @@ object Similarity {
       .filter(col("rnk") <= TopK)
   }
 
+  /** `ann_ivf_shard_topk` — the IVF index persisted IN THE ENGINE'S
+    * OWN CONNECTOR: the cell assignment lands once as a gshard table
+    * RANGE-CLUSTERED on the cell id (B49 vector columns store the
+    * embeddings themselves), and a query batch's probed-cell `isin`
+    * filter pushes into the manifest's zone maps — unprobed cells'
+    * shard FILES are pruned at planning time (`files=k/n` in the scan
+    * description, plan-pinned), the on-disk inverted-list read
+    * expressed through the connector instead of Spark bucketing
+    * ([[annIvfTableTopK]]'s sibling; identical semantics, so it
+    * shares the same oracle verbatim). At 100 TB this is the serving
+    * layout: embeddings live cell-clustered in engine storage and a
+    * probe opens only the files its cells live in. */
+  def annIvfShardTopK(t: Tables, k: Int = 16, nIters: Int = 4,
+      nProbe: Int = 4): DataFrame = {
+    import graft.sources.SourceOps
+    val cents = kmeansCentroids(t, k, nIters)
+    val e = withEmb(t)
+    val dir = shardIvfDir(t, k, nIters)
+    def probeCells(emb: Column): Column =
+      transform(slice(reverse(array_sort(array(scoredCells(emb, cents): _*))), 1, nProbe),
+        s => s.getField("c"))
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        explode(probeCells(col("emb"))).as("cell32"))
+      // generators can't nest in expressions: cast in a second select
+      .select(col("q_id"), col("q_emb"), col("cell32").cast("long").as("cell"))
+    val probed = queries.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toSeq // bounded: ≤ NumQueries × nProbe
+    t.spark.read.format("gshard").load(dir)
+      .filter(col("cell").isin(probed: _*))
+      .join(broadcast(queries), Seq("cell"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= TopK)
+  }
+
+  /** The staged cell-clustered gshard IVF index (memoized behind its
+    * manifest, like every layout build; `_build_shard_ivf` makes the
+    * cost a visible bench entry). */
+  private[graft] def shardIvfDir(t: Tables, k: Int = 16,
+      nIters: Int = 4): String = {
+    import graft.sources.SourceOps
+    val dir = SourceOps.staging(
+      s"ivf_gshard_${SourceOps.dirTag(t.dir)}_${k}_$nIters")
+    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+      val cents = kmeansCentroids(t, k, nIters)
+      val assigned = withEmb(t).filter(col("vec_id") >= NumQueries)
+        .select(cellOf(col("emb"), cents).cast("long").as("cell"),
+          col("vec_id"), col("emb"))
+      graft.sources.shard.ShardFormat.write(assigned, dir, "cell", 8)
+    }
+    dir
+  }
+
+  private[graft] def prebuildShardIvf(t: Tables): Unit = {
+    shardIvfDir(t); ()
+  }
+
   private def annIvfWith(t: Tables, cents: Seq[(Int, Seq[Double])],
       nProbe: Int): DataFrame = {
     val e = withEmb(t)

@@ -968,6 +968,26 @@ class PlanAuditSpec extends SparkSpec {
       s"zone maps pruned nothing: $desc")
   }
 
+  test("ann_ivf_shard_topk: the probed-cell filter pushes into the " +
+      "gshard scan, and a cell-selective read prunes shard FILES " +
+      "(the inverted-list mechanism)") {
+    // the full query pushes its In(cell, ...) probe set
+    val p = plan(Similarity.annIvfShardTopK(tables))
+    assert(p.contains("In(cell"), s"probe set not pushed:\n$p")
+    // at this tiny SF 10×4 probes cover nearly every cell, so pin the
+    // MECHANISM at production selectivity: one probed cell must open
+    // a strict subset of the cell-clustered files
+    val one = tables.spark.read.format("gshard")
+      .load(Similarity.shardIvfDir(tables))
+      .filter(col("cell") === 0L)
+    val d = plan(one)
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(
+      d.linesIterator.find(_.contains("files=")).getOrElse(""))
+    assert(m.isDefined, s"no pruning readout in scan description:\n$d")
+    assert(m.get.group(1).toInt < m.get.group(2).toInt,
+      s"a single-cell probe pruned no shard files: $d")
+  }
+
   test("q_shard_stats: aggregates answer metadata-only, zero files read") {
     val p = plan(graft.sources.SourceOps.qShardStats(tables))
     assert(p.contains("metadata-only"), s"stats query scanned data:\n$p")
