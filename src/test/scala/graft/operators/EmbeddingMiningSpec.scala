@@ -429,7 +429,13 @@ class EmbeddingMiningSpec extends SparkSpec {
         .map(dst => (dst, cos(nodes(src), nodes(dst))))
         .sortBy { case (dst, s) => (-s, dst) }.take(8).map(_._1)
     }.toMap
-    val entries = nodes.keys.filter(_ % 32 == 0).toSeq
+    // the staged FIXED-CARDINALITY hub entry set: 64 highest in-degree
+    // graph nodes, (deg DESC, id ASC) — the r19 bounded-seeding rule
+    val inDeg = knn.values.flatten.toSeq.groupBy(identity)
+      .map { case (d, xs) => d -> xs.size }
+    val entries = inDeg.toSeq
+      .sortBy { case (id, deg) => (-deg, id) }
+      .take(64).map(_._1)
     def beamCut(q: Long, cand: Set[Long], n: Int): Seq[(Long, Double)] =
       cand.toSeq.map(v => (v, cos(queries(q), nodes(v))))
         .sortBy { case (v, s) => (-s, v) }.take(n)
@@ -446,7 +452,8 @@ class EmbeddingMiningSpec extends SparkSpec {
     // the walk must actually use the graph: some reported neighbor is
     // NOT an entry node (pure-entry results would mean the expansions
     // are dead code)
-    assert(got.exists { case (_, v, _, _) => v % 32 != 0 },
+    val entrySet = entries.toSet
+    assert(got.exists { case (_, v, _, _) => !entrySet.contains(v) },
       "all results are entry nodes — beam expansion did nothing")
   }
 

@@ -132,6 +132,32 @@ class ShardMergeSpec extends SparkSpec {
     assert(exW.getMessage != null)
   }
 
+  test("upsert over a VECTOR table: embedding rows update/insert " +
+      "bit-exactly (MERGE composed with vector columns)") {
+    val d = tmp("vec")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("emb",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))))
+    def frame(ids: Seq[Long], scale: Float) =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(ids.map(i =>
+          org.apache.spark.sql.Row(i,
+            Array.tabulate(8)(j => (i * 8 + j) * scale))), 2), schema)
+    ShardFormat.write(frame(0L until 100L, 0.5f), d, "id", 4)
+    // update ids 90..99, insert 200..204, with a different scale
+    ShardOps.upsert(spark, d,
+      frame((90L until 100L) ++ (200L until 205L), 2.0f), "id")
+    val got = spark.read.format("gshard").load(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got.size == 105)
+    assert(got(5L) == Seq.tabulate(8)(j => (5 * 8 + j) * 0.5f))
+    assert(got(95L) == Seq.tabulate(8)(j => (95 * 8 + j) * 2.0f))
+    assert(got(202L) == Seq.tabulate(8)(j => (202 * 8 + j) * 2.0f))
+  }
+
   test("upsert keeps a version readable: pre-merge generation reads " +
       "the pre-merge rows; vacuum(0) then sweeps the rewritten files") {
     val sess = spark
