@@ -625,6 +625,12 @@ object SparkEntry {
     // retention spec'd in ShardMergeSpec
     "q_shard_time_travel" ->
       q(t => graft.sources.SourceOps.qShardTimeTravel(t)),
+    // the same merge through PURE SQL MERGE INTO (group-based
+    // copy-on-write rewrite); shares q_shard_merge's oracle — the
+    // API path and the SQL path must land the identical table
+    "q_shard_sql_merge" -> q(t => graft.sources.SourceOps.qShardSqlMerge(t)),
+    // pure SQL UPDATE via the rewrite: idempotent redaction
+    "q_shard_sql_update" -> q(t => graft.sources.SourceOps.qShardSqlUpdate(t)),
     // the WIDENED type surface (v3): timestamp/date/int/boolean CTAS
     // through the catalog, both reader paths, micros zone pruning
     "q_shard_types_roundtrip" -> q(t => graft.sources.SourceOps.qShardTypesRoundtrip(t)),
@@ -1152,6 +1158,26 @@ object SparkEntry {
         | round(z_raw + 1e-9, 4) AS z,
         | coalesce(abs(z_raw) >= 2.797, false) AS crossed
         |FROM z ORDER BY 1""".stripMargin
+
+  /** Shared by `q_shard_merge` (the ShardOps.upsert API path) and
+    * `q_shard_sql_merge` (pure SQL MERGE INTO through the row-level
+    * rewrite): MERGE replayed as late ∪ (early ∖ late-keys). */
+  private val shardMergeSql: String =
+    """WITH e AS (SELECT user_id,
+      |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |t AS (SELECT max(day) // 2 AS thr FROM e),
+      |early AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      | FROM e, t WHERE day < thr GROUP BY 1),
+      |late AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      | FROM e, t WHERE day >= thr GROUP BY 1)
+      |SELECT * FROM late
+      |UNION ALL
+      |SELECT * FROM early WHERE NOT EXISTS
+      | (SELECT 1 FROM late WHERE late.user_id = early.user_id)
+      |ORDER BY user_id""".stripMargin
 
   /** Shared by `events_chisq` and its streaming twin (pair #42):
     * chi-square independence — integer cells, per-row double trees,
@@ -5596,23 +5622,20 @@ object SparkEntry {
     // the catalog CTAS + SELECT lands the same rollup
     "q_catalog_sql_roundtrip" -> shardRollupSql,
     // MERGE replayed as late ∪ (early ∖ late-keys) over the same
-    // day split the Spark side upserts with
-    "q_shard_merge" ->
-      """WITH e AS (SELECT user_id,
-        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+    // day split the Spark side upserts with — shared by the API-path
+    // merge and the pure-SQL MERGE INTO (identical semantics by design)
+    "q_shard_merge" -> shardMergeSql,
+    "q_shard_sql_merge" -> shardMergeSql,
+    // the SQL UPDATE's redaction recomputed over raw events
+    "q_shard_sql_update" ->
+      """WITH e AS (SELECT user_id, event_type,
         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |t AS (SELECT max(day) // 2 AS thr FROM e),
-        |early AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(cents) AS BIGINT) AS cents
-        | FROM e, t WHERE day < thr GROUP BY 1),
-        |late AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(cents) AS BIGINT) AS cents
-        | FROM e, t WHERE day >= thr GROUP BY 1)
-        |SELECT * FROM late
-        |UNION ALL
-        |SELECT * FROM early WHERE NOT EXISTS
-        | (SELECT 1 FROM late WHERE late.user_id = early.user_id)
-        |ORDER BY user_id""".stripMargin,
+        |t AS (SELECT max(user_id) // 2 AS thr FROM e)
+        |SELECT CASE WHEN user_id < thr THEN 'redacted' ELSE event_type END
+        |   AS event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e, t GROUP BY 1 ORDER BY 1""".stripMargin,
     // both generations recomputed from raw events under the same
     // day split: v0 = early slice, head = everything
     "q_shard_time_travel" ->

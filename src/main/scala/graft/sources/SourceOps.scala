@@ -818,6 +818,75 @@ object SourceOps {
       .orderBy(col("user_id"))
   }
 
+  /** `q_shard_sql_merge` — the same merge semantics as
+    * [[qShardMerge]] but through PURE SQL `MERGE INTO` (the
+    * SupportsRowLevelOperations group-based rewrite): base = early
+    * per-user stats CTAS'd into the catalog, source = late per-user
+    * stats, matched rows UPDATE SET *, unmatched INSERT *. The merge
+    * payload is deterministic, so re-running the statement is
+    * idempotent (matched rows re-set to identical values) and the
+    * result is stable across bench/verify re-runs. Shares
+    * `q_shard_merge`'s oracle verbatim — the API path and the SQL
+    * path must land the identical table. */
+  def qShardSqlMerge(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val tbl = s"sqlmerge_${dirTag(t.dir)}"
+    val e = t.events.select(col("user_id"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val bounds = e.agg(max(col("day"))).head
+    val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
+    def stats(f: DataFrame): DataFrame = f.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    if (!graft.sources.shard.ShardFormat.hasManifest(s"$wh/main/$tbl")) {
+      val view = s"gshard_sqlmerge_base_$runId"
+      stats(e.filter(col("day") < thr)).createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS SELECT * FROM $view")
+    }
+    val src = s"gshard_sqlmerge_src_$runId"
+    stats(e.filter(col("day") >= thr)).createOrReplaceTempView(src)
+    spark.sql(
+      s"""MERGE INTO gshard_cat.main.$tbl AS tgt USING $src AS src
+         |ON tgt.user_id = src.user_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.table(s"gshard_cat.main.$tbl").orderBy(col("user_id"))
+  }
+
+  /** `q_shard_sql_update` — pure SQL `UPDATE` via the copy-on-write
+    * rewrite: a catalog table of the events projection gets its
+    * low-key half redacted (`SET event_type = 'redacted' WHERE
+    * user_id < thr` — idempotent, so re-runs are stable); only files
+    * whose key range reaches the predicate rewrite (zone maps + the
+    * runtime `_file` group filter bound the rewrite set). The oracle
+    * recomputes the redaction with a CASE over raw events. */
+  def qShardSqlUpdate(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val tbl = s"sqlupd_${dirTag(t.dir)}"
+    val bounds = t.events.agg(max(col("user_id"))).head
+    val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
+    if (!graft.sources.shard.ShardFormat.hasManifest(s"$wh/main/$tbl")) {
+      val view = s"gshard_sqlupd_src_$runId"
+      shardProjection(t).createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS SELECT * FROM $view")
+    }
+    spark.sql(s"UPDATE gshard_cat.main.$tbl " +
+      s"SET event_type = 'redacted' WHERE user_id < $thr")
+    spark.sql(
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(cents) AS BIGINT) AS value_cents
+         |FROM gshard_cat.main.$tbl GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   /** `q_shard_time_travel` — generational reads through the catalog:
     * CTAS the early slice (one generation), append the late slice
     * (the next), then read `VERSION AS OF` the pre-append generation

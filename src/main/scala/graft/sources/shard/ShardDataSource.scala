@@ -79,7 +79,42 @@ class ShardDataSource extends TableProvider
 
 private[shard] class ShardTable(dir: String, tableSchema: StructType,
     pinnedVersion: Option[Long] = None)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** `_file` — the shard-file metadata column (the Iceberg/Delta
+    * `_file`/`input_file_name` idea): constant per input partition,
+    * synthesized by the readers, filterable at FILE grain (an
+    * In(_file, …) runtime filter admits exactly the named entries).
+    * It is what the group-based row-level rewrites group on. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "gshard shard file name"
+    })
+
+  /** SQL `DELETE` (non-metadata-decidable) / `UPDATE` / `MERGE INTO`
+    * via the GROUP-BASED (copy-on-write) row-level contract: Spark
+    * plans ReplaceData — the operation's scan reads the affected
+    * groups (runtime-filtered to matching `_file`s, zone maps pruning
+    * as ever), Spark computes the replacement rows, and the write's
+    * commit atomically swaps exactly the scanned files for the fresh
+    * ones (generational publish — time travel sees the pre-op table).
+    * File-aligned DELETEs still take the metadata-only path: Spark's
+    * OptimizeMetadataOnlyDeleteFromTable converts back to
+    * SupportsDelete whenever canDeleteWhere accepts. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"gshard: cannot mutate ${name()} — time-travel reads are frozen")
+    () => new ShardRowLevelOperation(dir, info.command())
+  }
   override def name(): String = pinnedVersion match {
     case Some(v) => s"gshard.`$dir` VERSION AS OF $v"
     case None => s"gshard.`$dir`"
@@ -517,7 +552,8 @@ private[shard] class ShardDataWriter(dir: String,
 
 private[shard] class ShardScanBuilder(dir: String,
     manifest: ShardFormat.Manifest,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    onPlan: Seq[String] => Unit = null)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
@@ -796,7 +832,7 @@ private[shard] class ShardScanBuilder(dir: String,
       new ShardScan(dir, manifest, required, pushed,
         Option(options.get("maxfilespertrigger")).map(_.toInt),
         Option(options.get("columnar")).forall(_.toBoolean),
-        pushedLimit, pushedTopN)
+        pushedLimit, pushedTopN, onPlan)
   }
 }
 
@@ -864,7 +900,8 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     maxFilesPerTrigger: Option[Int] = None,
     columnar: Boolean = true,
     limitRows: Option[Int] = None,
-    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
+    topN: Option[(String, Boolean, Int)] = None,
+    onPlan: Seq[String] => Unit = null) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -888,9 +925,12 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
       .collect { case f if ShardFormat.physicallyLong(f.dataType) ||
         f.dataType == StringType || f.dataType == DoubleType => f.name }.toSet
     // only columns the (pruned) scan OUTPUT carries: Spark resolves
-    // these refs against the scan's output attributes
-    mappable.intersect(required.fieldNames.toSet).toArray.sorted.map(
-      org.apache.spark.sql.connector.expressions.Expressions.column)
+    // these refs against the scan's output attributes. `_file` (the
+    // metadata column) is filterable at FILE grain when projected —
+    // the handle row-level group filtering prunes with
+    (mappable + "_file").intersect(required.fieldNames.toSet)
+      .toArray.sorted.map(
+        org.apache.spark.sql.connector.expressions.Expressions.column)
   }
 
   override def filter(filters: Array[Filter]): Unit =
@@ -945,8 +985,19 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     ShardFormat.normalizeFilters(manifest.schema,
       (pushed ++ runtimeFilters).toSeq)
 
+  /** `_file` filters admit exactly the named entries — EXACT, not
+    * just sound (the value IS the file identity), which is what lets
+    * the row-level rewrite replace exactly the scanned group set. */
+  private def fileNameAdmits(e: ShardFormat.ShardEntry): Boolean =
+    (pushed ++ runtimeFilters).forall {
+      case EqualTo("_file", v: String) => v == e.file
+      case In("_file", vs) if vs.nonEmpty => vs.contains(e.file)
+      case _ => true
+    }
+
   private def survives(e: ShardFormat.ShardEntry): Boolean = {
     val fs = skipFilters
+    fileNameAdmits(e) &&
     ShardFormat.longZoneAdmits(fs, e.zMin.contains, e.zMin(_), e.zMax(_)) &&
       ShardFormat.stringZoneAdmits(fs, e.sMin.contains,
         c => ShardFormat.unb64(e.sMin(c)), c => ShardFormat.unb64(e.sMax(c))) &&
@@ -1015,12 +1066,17 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    cappedSurvivors.map(e => ShardInputPartition(s"$dir/${e.file}",
+  override def planInputPartitions(): Array[InputPartition] = {
+    val planned = cappedSurvivors
+    // row-level rewrites replace EXACTLY what this scan planned: hand
+    // the survivor set to the operation before execution starts
+    if (onPlan != null) onPlan(planned.map(_.file))
+    planned.map(e => ShardInputPartition(s"$dir/${e.file}",
       // typeTag (canonical): typeName loses array element types
       manifest.schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
       required.fieldNames,
       skipFilters.toArray)).toArray[InputPartition]
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ShardReaderFactory(columnar)
@@ -1170,13 +1226,28 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
   private val fileSchema = StructType(p.fileSchema.toIndexedSeq.map {
     case (n, t) => org.apache.spark.sql.types.StructField(n,
       ShardFormat.dataTypeOf(t)) })
-  private val required = StructType(p.required.toIndexedSeq
-    .map(n => fileSchema(n)))
+  private val required = StructType(p.required.toIndexedSeq.map {
+    case "_file" => org.apache.spark.sql.types.StructField("_file",
+      StringType, nullable = false)
+    case n => fileSchema(n)
+  })
+  // `_file` (metadata column) is synthesized, never decoded
+  private val dataRequired = p.required.filterNot(_ == "_file")
   private val decoded =
-    ShardFormat.readShardFile(p.path, fileSchema, p.required.toIndexedSeq,
+    ShardFormat.readShardFile(p.path, fileSchema, dataRequired.toIndexedSeq,
       p.filters.toIndexedSeq)
   private val nRows = decoded.nRows
-  private val cols = decoded.cols
+  // required index → decoded column index (-1 for the synthesized col)
+  private val dataIdx: Array[Int] = {
+    var j = -1
+    p.required.map(n => if (n == "_file") -1 else { j += 1; j })
+  }
+  // decoded columns re-slotted to required positions (null at `_file`)
+  private val cols: Array[Array[Any]] =
+    dataIdx.map(j => if (j == -1) null else decoded.cols(j))
+  private val fileNameBytes =
+    new java.io.File(p.path).getName.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8)
 
   private val ChunkRows = 4096
   private val vectors = required.fields
@@ -1192,6 +1263,14 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
     while (c < vectors.length) {
       val v = vectors(c)
       v.reset()
+      if (dataIdx(c) == -1) { // synthesized `_file`: one constant
+        var i = 0
+        while (i < n) {
+          v.putByteArray(i, fileNameBytes, 0, fileNameBytes.length)
+          i += 1
+        }
+        c += 1
+      } else {
       required(c).dataType match {
         // timestamps share the long vector path: the stored micros ARE
         // the catalyst internal encoding
@@ -1286,6 +1365,7 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
         case other => throw new IllegalStateException(other.toString)
       }
       c += 1
+      }
     }
     batch.setNumRows(n)
     pos += n
@@ -1304,27 +1384,42 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
       ShardFormat.dataTypeOf(t))
   })
   private val decoded =
-    ShardFormat.readShardFile(p.path, schema, p.required.toIndexedSeq,
+    ShardFormat.readShardFile(p.path, schema,
+      p.required.filterNot(_ == "_file").toIndexedSeq,
       p.filters.toIndexedSeq)
   private val nRows = decoded.nRows
-  private val cols = decoded.cols
+  // decoded columns re-slotted to required positions (the synthesized
+  // `_file` metadata column holds no decoded block)
+  private val cols: Array[Array[Any]] = {
+    var j = -1
+    p.required.map(n =>
+      if (n == "_file") null else { j += 1; decoded.cols(j) })
+  }
+  private val fileNameUtf8 = UTF8String.fromString(
+    new java.io.File(p.path).getName)
   // per-column decode kind: 0 pass-through (long/timestamp/double),
   // 1 string bytes → UTF8String, 2 long → int (date/int), 3 boolean,
-  // 4 unscaled long → Decimal, 5 primitive array → GenericArrayData
-  private val kind: Array[Int] = p.required.map(n =>
-    schema(n).dataType match {
+  // 4 unscaled long → Decimal, 5 primitive array → GenericArrayData,
+  // 6 synthesized `_file` constant
+  private val kind: Array[Int] = p.required.map {
+    case "_file" => 6
+    case n => schema(n).dataType match {
       case StringType => 1
       case DateType | IntegerType => 2
       case BooleanType => 3
       case _: org.apache.spark.sql.types.DecimalType => 4
       case _: org.apache.spark.sql.types.ArrayType => 5
       case _ => 0
-    })
+    }
+  }
   private val decOf: Array[org.apache.spark.sql.types.DecimalType] =
-    p.required.map(n => schema(n).dataType match {
-      case d: org.apache.spark.sql.types.DecimalType => d
-      case _ => null
-    })
+    p.required.map {
+      case "_file" => null
+      case n => schema(n).dataType match {
+        case d: org.apache.spark.sql.types.DecimalType => d
+        case _ => null
+      }
+    }
   private var i = -1
 
   override def next(): Boolean = { i += 1; i < nRows }
@@ -1333,7 +1428,7 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
     val values = new Array[Any](p.required.length)
     var c = 0
     while (c < values.length) {
-      values(c) = cols(c)(i) match {
+      values(c) = if (kind(c) == 6) fileNameUtf8 else cols(c)(i) match {
         case null => null
         case v => kind(c) match {
           case 0 => v
@@ -1356,4 +1451,121 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
   }
 
   override def close(): Unit = ()
+}
+
+/** GROUP-BASED (copy-on-write) row-level operation — the engine
+  * behind SQL `DELETE` (non-metadata-decidable) / `UPDATE` /
+  * `MERGE INTO` on gshard tables. Spark plans ReplaceData over it:
+  *
+  *  - [[newScanBuilder]] reads the target; the optimizer's runtime
+  *    group filtering narrows it to matching `_file` groups (zone
+  *    maps prune as on any scan), and the scan hands the operation
+  *    the EXACT survivor set it planned;
+  *  - Spark computes the replacement rows (survivors of the scanned
+  *    groups, updated/merged/inserted rows included);
+  *  - [[newWriteBuilder]]'s commit atomically swaps exactly the
+  *    scanned files for the freshly written ones — a generational
+  *    publish, so VERSION AS OF still reads the pre-op table and
+  *    vacuum reclaims the replaced bytes under retention.
+  *
+  * Sound because replace-what-you-scanned needs no pruning guarantees
+  * beyond the scan's own (false-negative-free zone maps: an unscanned
+  * file provably holds no matching row). */
+private[shard] class ShardRowLevelOperation(dir: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  /** The scanned group set, recorded at plan time, consumed at
+    * commit. Re-planning (AQE) overwrites with an identical set. */
+  @volatile private[shard] var plannedFiles: Seq[String] = null
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ShardScanBuilder(dir, ShardFormat.readManifest(dir), options,
+      onPlan = fs => plannedFiles = fs)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write =
+        new ShardReplaceWrite(dir, info.schema(), info.queryId(),
+          ShardRowLevelOperation.this)
+    }
+
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(Expressions.column("_file"))
+
+  override def description(): String = s"gshard $cmd copy-on-write"
+}
+
+/** The replacement write: same range-clustered layout contract as any
+  * gshard write (Spark plans the exchange + sort), commit swaps the
+  * operation's scanned files for the fresh ones. */
+private[shard] class ShardReplaceWrite(dir: String, schema: StructType,
+    queryId: String, op: ShardRowLevelOperation)
+    extends Write with RequiresDistributionAndOrdering {
+
+  // ReplaceData writes table columns only; a metadata column here
+  // would mean a planner contract change — fail loudly, not subtly
+  require(!schema.fieldNames.contains("_file"),
+    "gshard: replacement write schema carries metadata columns")
+
+  private val rangeCol: String =
+    schema.fields.find(_.dataType == LongType)
+      .orElse(schema.fields.find(f => ShardFormat.physicallyLong(f.dataType)))
+      .map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        "gshard: no long-encoded column to range-cluster the rewrite on"))
+
+  override def requiredDistribution(): Distribution =
+    Distributions.ordered(Array(
+      Expressions.sort(Expressions.column(rangeCol),
+        SortDirection.ASCENDING)))
+  override def requiredOrdering(): Array[SortOrder] = Array(
+    Expressions.sort(Expressions.column(rangeCol), SortDirection.ASCENDING))
+
+  override def description(): String =
+    s"gshard copy-on-write rewrite $dir rangeCol=$rangeCol"
+
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(
+        info: PhysicalWriteInfo): DataWriterFactory =
+      ShardWriterFactory(dir,
+        schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
+        s"rw${queryId.take(8)}", ShardFormat.DefaultChunkRows)
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val head = ShardFormat.readManifest(dir)
+      val planned = Option(op.plannedFiles).getOrElse(
+        throw new IllegalStateException(
+          "gshard: replacement committed before its scan planned"))
+      val a = head.schema.fields
+        .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
+      val b = schema.fields
+        .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
+      require(a == b, s"gshard rewrite schema mismatch: " +
+        s"table=${head.schema.catalogString} write=${schema.catalogString}")
+      val fresh = messages.collect {
+        case m: ShardCommitMessage if m.rows > 0 =>
+          ShardFormat.ShardEntry(m.file, m.rows, m.mins, m.maxs,
+            m.sMins, m.sMaxs, m.nulls, m.blooms, m.bloomBpv,
+            m.dMins, m.dMaxs, m.sums)
+      }.sortBy(_.file).toSeq
+      val plannedSet = planned.toSet
+      val keep = head.entries.filterNot(e => plannedSet(e.file))
+      // generational publish; replaced bytes reclaim at vacuum
+      ShardFormat.publishManifest(dir,
+        ShardFormat.Manifest(head.schema, keep ++ fresh,
+          head.lastTxn, head.txns))
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      messages.collect { case m: ShardCommitMessage =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(dir, m.file))
+      }
+  }
 }

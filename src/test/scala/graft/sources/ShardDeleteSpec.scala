@@ -91,7 +91,9 @@ class ShardDeleteSpec extends SparkSpec {
     }
   }
 
-  test("a straddling predicate rejects instead of rewriting") {
+  test("a straddling predicate falls back to the copy-on-write " +
+      "REWRITE (exact result) — canDeleteWhere still refuses it, so " +
+      "the metadata path never fires") {
     withCatalog {
       spark.sql(s"DROP TABLE IF EXISTS $ns.t2")
       proj.createOrReplaceTempView("delspec_straddle")
@@ -102,22 +104,27 @@ class ShardDeleteSpec extends SparkSpec {
       val e = m.entries.find(e =>
         e.zMin("user_id") < e.zMax("user_id")).get
       val mid = (e.zMin("user_id") + e.zMax("user_id")) / 2 + 1
-      val ex = intercept[Exception] {
-        spark.sql(s"DELETE FROM $ns.t2 WHERE user_id < $mid")
-      }
-      assert(ex.getMessage != null)
-      // nothing changed: same manifest, same rows
-      assert(ShardFormat.readManifest(s"$wh/main/t2").entries.map(_.file) ==
-        m.entries.map(_.file))
-      assert(spark.table(s"$ns.t2").count() == proj.count())
+      // the metadata path itself still refuses the straddler…
+      import org.apache.spark.sql.sources.{LessThan => LT}
+      assert(!new graft.sources.shard.tests.TableProbe(s"$wh/main/t2")
+        .canDeleteWhere(Array(LT("user_id", mid))))
+      // …and SQL DELETE now succeeds via the row-level rewrite
+      spark.sql(s"DELETE FROM $ns.t2 WHERE user_id < $mid")
+      val want = proj.filter(col("user_id") >= mid).count()
+      assert(spark.table(s"$ns.t2").count() == want)
+      assert(ShardFormat.readManifest(s"$wh/main/t2").gen == m.gen + 1)
     }
   }
 
-  test("a null in the predicate column breaks coverage and rejects") {
+  test("a null in the predicate column breaks metadata coverage — " +
+      "the delete falls back to the copy-on-write rewrite and keeps " +
+      "exactly the NULL rows") {
     withCatalog {
       // cents is null on every %7 event — files are value-covered by
-      // cents >= 0 but NOT null-free, so the delete must reject (a
-      // NULL row satisfies no comparison and would be wrongly dropped)
+      // cents >= 0 but NOT null-free, so the METADATA path must
+      // refuse (a NULL row satisfies no comparison and a metadata
+      // file-drop would wrongly delete it); the row-level rewrite
+      // evaluates per row and keeps the NULLs
       val v = "delspec_nulls"
       tables.events.select(col("user_id"),
           when(col("event_id") % 7 =!= 0,
@@ -125,18 +132,21 @@ class ShardDeleteSpec extends SparkSpec {
         .createOrReplaceTempView(v)
       spark.sql(s"DROP TABLE IF EXISTS $ns.t3")
       spark.sql(s"CREATE TABLE $ns.t3 AS SELECT * FROM $v")
-      val before = spark.table(s"$ns.t3").count()
-      val ex = intercept[Exception] {
-        spark.sql(s"DELETE FROM $ns.t3 WHERE cents >= -1000000")
-      }
-      assert(ex.getMessage != null)
-      assert(spark.table(s"$ns.t3").count() == before)
-      // …but deleting BY nullness is decidable when a file is all-null
-      // or null-free; here files mix both, so IS NULL also rejects
-      val ex2 = intercept[Exception] {
-        spark.sql(s"DELETE FROM $ns.t3 WHERE cents IS NULL")
-      }
-      assert(ex2.getMessage != null)
+      val wh = warehouse
+      val nulls = spark.table(s"$ns.t3")
+        .filter(col("cents").isNull).count()
+      assert(nulls > 0, "degenerate: no null cents rows")
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual => GE}
+      assert(!new graft.sources.shard.tests.TableProbe(s"$wh/main/t3")
+        .canDeleteWhere(Array(GE("cents", -1000000L))))
+      spark.sql(s"DELETE FROM $ns.t3 WHERE cents >= -1000000")
+      // every non-null cents value satisfied the predicate; only the
+      // NULL rows survive — the rewrite evaluated row by row
+      assert(spark.table(s"$ns.t3").count() == nulls)
+      assert(spark.table(s"$ns.t3").filter(col("cents").isNotNull).count() == 0)
+      // deleting BY nullness also rewrites exactly
+      spark.sql(s"DELETE FROM $ns.t3 WHERE cents IS NULL")
+      assert(spark.table(s"$ns.t3").count() == 0L)
     }
   }
 
@@ -153,7 +163,8 @@ class ShardDeleteSpec extends SparkSpec {
     }
   }
 
-  test("a pre-nullcount manifest entry is undecidable and rejects") {
+  test("a pre-nullcount manifest entry is metadata-undecidable; the " +
+      "delete falls back to the exact rewrite") {
     withCatalog {
       spark.sql(s"DROP TABLE IF EXISTS $ns.t5")
       proj.limit(50).createOrReplaceTempView("delspec_compat")
@@ -164,11 +175,12 @@ class ShardDeleteSpec extends SparkSpec {
       // strip the null counts — the manifest an older writer produced
       ShardFormat.writeManifest(tdir, m.copy(entries =
         m.entries.map(_.copy(nullCnt = Map.empty))))
-      val ex = intercept[Exception] {
-        spark.sql(s"DELETE FROM $ns.t5 WHERE user_id >= -1")
-      }
-      assert(ex.getMessage != null)
-      assert(spark.table(s"$ns.t5").count() == 50L)
+      import org.apache.spark.sql.sources.{GreaterThanOrEqual => GE}
+      assert(!new graft.sources.shard.tests.TableProbe(tdir)
+        .canDeleteWhere(Array(GE("user_id", -1L))),
+        "pre-nullcount entries must be metadata-undecidable")
+      spark.sql(s"DELETE FROM $ns.t5 WHERE user_id >= -1")
+      assert(spark.table(s"$ns.t5").count() == 0L)
     }
   }
 }

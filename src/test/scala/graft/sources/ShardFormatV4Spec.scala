@@ -217,13 +217,21 @@ class ShardFormatV4Spec extends SparkSpec {
       before.entries.map(_.file).toSet -- dropped)
     assert(spark.table(s"$cat.main.td").count() == 1000L -
       before.entries.filter(e => dropped.contains(e.file)).map(_.rows).sum)
-    // a threshold strictly inside a surviving file straddles → reject
-    val ex = intercept[Exception] {
-      spark.sql(s"DELETE FROM $cat.main.td WHERE v < ${thr + 0.5}")
-    }
-    assert(ex.getMessage != null)
-    assert(ShardFormat.readManifest(tdir).entries.map(_.file) ==
-      after.entries.map(_.file))
+    // a threshold strictly inside a surviving file straddles: the
+    // METADATA path refuses (canDeleteWhere false — the sound
+    // half-decision), and the statement falls back to the row-level
+    // copy-on-write rewrite, which deletes exactly the matching rows
+    import org.apache.spark.sql.sources.{LessThan => LT}
+    assert(!new graft.sources.shard.tests.TableProbe(tdir)
+      .canDeleteWhere(Array(LT("v", thr + 0.5))),
+      "a straddling double predicate must stay metadata-undecidable")
+    val preCount = spark.table(s"$cat.main.td").count()
+    spark.sql(s"DELETE FROM $cat.main.td WHERE v < ${thr + 0.5}")
+    // exactly one row (v == thr, the boundary file's minimum) matched
+    assert(spark.table(s"$cat.main.td").count() == preCount - 1)
+    assert(spark.table(s"$cat.main.td")
+      .agg(org.apache.spark.sql.functions.min(col("v"))).head.getDouble(0)
+      == thr + 1.0)
   }
 
   test("ADD COLUMN widens the manifest without touching data: old " +
