@@ -631,6 +631,10 @@ object SparkEntry {
     "q_shard_sql_merge" -> q(t => graft.sources.SourceOps.qShardSqlMerge(t)),
     // pure SQL UPDATE via the rewrite: idempotent redaction
     "q_shard_sql_update" -> q(t => graft.sources.SourceOps.qShardSqlUpdate(t)),
+    // change data between two retained generations (readChangeData
+    // from time travel): insert/update/delete classification
+    "q_shard_generation_diff" ->
+      q(t => graft.sources.SourceOps.qShardGenerationDiff(t)),
     // the WIDENED type surface (v3): timestamp/date/int/boolean CTAS
     // through the catalog, both reader paths, micros zone pruning
     "q_shard_types_roundtrip" -> q(t => graft.sources.SourceOps.qShardTypesRoundtrip(t)),
@@ -5626,6 +5630,28 @@ object SparkEntry {
     // merge and the pure-SQL MERGE INTO (identical semantics by design)
     "q_shard_merge" -> shardMergeSql,
     "q_shard_sql_merge" -> shardMergeSql,
+    // the generation diff reclassified from raw events under the
+    // merge's day split: late-only users insert, both-sides users
+    // with changed stats update (no deletes in this feed)
+    "q_shard_generation_diff" ->
+      """WITH e AS (SELECT user_id,
+        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT max(day) // 2 AS thr FROM e),
+        |early AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        | FROM e, t WHERE day < thr GROUP BY 1),
+        |late AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        | FROM e, t WHERE day >= thr GROUP BY 1)
+        |SELECT l.user_id,
+        | CASE WHEN eu.user_id IS NULL THEN 'insert'
+        |      WHEN eu.n <> l.n OR eu.c <> l.c THEN 'update'
+        |      ELSE 'unchanged' END AS change_type,
+        | l.n AS n_events, l.c AS cents
+        |FROM late l LEFT JOIN early eu ON eu.user_id = l.user_id
+        |WHERE NOT (eu.user_id IS NOT NULL AND eu.n = l.n AND eu.c = l.c)
+        |ORDER BY 1""".stripMargin,
     // the SQL UPDATE's redaction recomputed over raw events
     "q_shard_sql_update" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -818,6 +818,36 @@ object SourceOps {
       .orderBy(col("user_id"))
   }
 
+  /** `q_shard_generation_diff` — CHANGE DATA between two retained
+    * gshard generations (the Delta readChangeData shape, computed
+    * from time travel): the pre-merge generation (v0, the early
+    * stats) full-outer-joined against the head (the merged table) on
+    * the key, classified insert / update / delete (unchanged rows
+    * suppressed — a CDC feed carries changes). Generations are
+    * immutable retained manifests, so the diff is reproducible until
+    * vacuum drops v0. The oracle recomputes the same classification
+    * from raw events under the merge's day split. */
+  def qShardGenerationDiff(t: Tables): DataFrame = {
+    qShardMerge(t) // ensures: base written (gen 0), merge applied (head)
+    val dir = staging(s"gshard_upsert_${dirTag(t.dir)}")
+    val v0 = t.spark.read.format("gshard")
+      .option("versionAsOf", "0").load(dir)
+      .select(col("user_id"), col("n_events").as("n0"), col("cents").as("c0"))
+    val head = t.spark.read.format("gshard").load(dir)
+      .select(col("user_id"), col("n_events").as("n1"), col("cents").as("c1"))
+    v0.join(head, Seq("user_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("n0").isNull, lit("insert"))
+          .when(col("n1").isNull, lit("delete"))
+          .when(col("n0") =!= col("n1") || col("c0") =!= col("c1"),
+            lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col("user_id"), col("change_type"),
+        col("n1").as("n_events"), col("c1").as("cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** `q_shard_sql_merge` — the same merge semantics as
     * [[qShardMerge]] but through PURE SQL `MERGE INTO` (the
     * SupportsRowLevelOperations group-based rewrite): base = early
