@@ -3924,7 +3924,8 @@ object SparkEntry {
     // instead of hash-mismatching a random shingle query
     "corpus_len_guard" ->
       s"""WITH t AS (SELECT $sqlToks AS toks FROM documents)
-        |SELECT 'ok' AS status, CAST(max(len(toks)) AS BIGINT) AS max_toks
+        |SELECT 'ok' AS status,
+        | CAST(coalesce(max(len(toks)), 0) AS BIGINT) AS max_toks
         |FROM t""".stripMargin,
     "corpus_split" ->
       """SELECT doc_id,

@@ -90,13 +90,15 @@ object Governance {
     .empty[(String, String), String]
 
   private[graft] def erPairs(t: Tables): DataFrame = {
-    val path = erPairsCache.getOrElseUpdate(
+    // .synchronized like erStateCache: two cold consumers racing the
+    // same staged overwrite-write would tear the directory
+    val path = erPairsCache.synchronized { erPairsCache.getOrElseUpdate(
       (graft.sources.SourceOps.sessionTag(t.spark), t.dir), {
         val p = graft.sources.SourceOps.staging(
           s"er_pairs_${graft.sources.SourceOps.dirTag(t.dir)}")
         erBlockedPairsOf(erProj(t.part)).write.mode("overwrite").parquet(p)
         p
-      })
+      }) }
     t.spark.read.parquet(path)
   }
 

@@ -1969,7 +1969,7 @@ object Similarity {
     .empty[(String, String, Int), String]
 
   private[graft] def knnGraphEdges(t: Tables, graphK: Int): DataFrame = {
-    val path = knnGraphCache.getOrElseUpdate(
+    val path = knnGraphCache.synchronized { knnGraphCache.getOrElseUpdate(
       (graft.sources.SourceOps.sessionTag(t.spark), t.dir, graphK), {
         val e = withEmb(t)
         val nodes = e
@@ -1988,7 +1988,7 @@ object Similarity {
           s"knn_graph_${graft.sources.SourceOps.dirTag(t.dir)}_$graphK")
         knn.write.mode("overwrite").parquet(p)
         p
-      })
+      }) }
     t.spark.read.parquet(path)
   }
 
@@ -2005,7 +2005,7 @@ object Similarity {
 
   private[graft] def knnGraphEntries(t: Tables, graphK: Int,
       nEntries: Int = 64): DataFrame = {
-    val path = knnEntriesCache.getOrElseUpdate(
+    val path = knnEntriesCache.synchronized { knnEntriesCache.getOrElseUpdate(
       (graft.sources.SourceOps.sessionTag(t.spark), t.dir, graphK), {
         val ent = knnGraphEdges(t, graphK)
           .groupBy(col("dst")).agg(count(lit(1)).as("deg"))
@@ -2015,7 +2015,7 @@ object Similarity {
           s"knn_entries_${graft.sources.SourceOps.dirTag(t.dir)}_$graphK")
         ent.write.mode("overwrite").parquet(p)
         p
-      })
+      }) }
     t.spark.read.parquet(path)
   }
 

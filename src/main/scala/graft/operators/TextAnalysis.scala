@@ -639,7 +639,11 @@ object TextAnalysis {
     * random shingle query. One scan, one scalar agg. */
   def corpusLenGuard(t: Tables): DataFrame =
     t.documents
-      .agg(max(size(tokens(col("text")))).cast("long").as("max_toks"))
+      // coalesce: an EMPTY corpus is inside the convention — without
+      // it max() is NULL, the CASE yields NULL, and the guard itself
+      // would diverge from the oracle's literal 'ok'
+      .agg(coalesce(max(size(tokens(col("text")))).cast("long"), lit(0L))
+        .as("max_toks"))
       .select(
         when(col("max_toks") <= 4094L, lit("ok"))
           .otherwise(concat(lit("OVERFLOW:"), col("max_toks"))).as("status"),

@@ -832,7 +832,8 @@ private[shard] class ShardScanBuilder(dir: String,
       new ShardScan(dir, manifest, required, pushed,
         Option(options.get("maxfilespertrigger")).map(_.toInt),
         Option(options.get("columnar")).forall(_.toBoolean),
-        pushedLimit, pushedTopN, onPlan)
+        pushedLimit, pushedTopN, onPlan,
+        groupFilterOnly = onPlan != null)
   }
 }
 
@@ -901,7 +902,8 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     columnar: Boolean = true,
     limitRows: Option[Int] = None,
     topN: Option[(String, Boolean, Int)] = None,
-    onPlan: Seq[String] => Unit = null) extends Scan with Batch
+    onPlan: Seq[String] => Unit = null,
+    groupFilterOnly: Boolean = false) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -921,6 +923,17 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
 
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // a ROW-LEVEL operation's scan advertises ONLY `_file`: the
+    // group-filtering rule builds ONE In predicate over ALL advertised
+    // attributes — a multi-column struct-IN cannot convert to a V1
+    // runtime filter and would be dropped entirely, whereas the
+    // single-column `_file IN (...)` arrives intact and prunes the
+    // unmatched groups (the Iceberg copy-on-write shape)
+    if (groupFilterOnly) {
+      return (if (required.fieldNames.contains("_file")) Array("_file")
+        else Array.empty[String]).map(
+          org.apache.spark.sql.connector.expressions.Expressions.column)
+    }
     val mappable = manifest.schema.fields
       .collect { case f if ShardFormat.physicallyLong(f.dataType) ||
         f.dataType == StringType || f.dataType == DoubleType => f.name }.toSet
@@ -991,7 +1004,12 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
   private def fileNameAdmits(e: ShardFormat.ShardEntry): Boolean =
     (pushed ++ runtimeFilters).forall {
       case EqualTo("_file", v: String) => v == e.file
-      case In("_file", vs) if vs.nonEmpty => vs.contains(e.file)
+      // unlike the zone testers (where an empty In degrades to
+      // admit-all, sound because every filter is residual), `_file`
+      // values ARE file identity — an EMPTY runtime group filter
+      // means "no group matches" and must prune everything, or a
+      // no-op-match MERGE/UPDATE would copy-on-write the whole table
+      case In("_file", vs) => vs.contains(e.file)
       case _ => true
     }
 
@@ -1535,7 +1553,12 @@ private[shard] class ShardReplaceWrite(dir: String, schema: StructType,
         info: PhysicalWriteInfo): DataWriterFactory =
       ShardWriterFactory(dir,
         schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
-        s"rw${queryId.take(8)}", ShardFormat.DefaultChunkRows)
+        s"rw${queryId.take(8)}", ShardFormat.DefaultChunkRows,
+        // a rewrite must not silently strip the table's point-lookup
+        // blooms: rebuild them for every column the existing entries
+        // carry one for (the manifest IS the record of the bloom set)
+        ShardFormat.readManifest(dir).entries
+          .flatMap(_.bloom.keys).toSet)
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val head = ShardFormat.readManifest(dir)

@@ -170,6 +170,11 @@ object ShardFormat {
 
   private[shard] def validateFieldName(name: String): Unit = {
     require(name.nonEmpty, "gshard: empty column name")
+    // `_file` is the reader-synthesized METADATA column: a data
+    // column of that name would be silently shadowed by the file-name
+    // constant on every read — reject at write, don't hijack at read
+    require(name != "_file",
+      "gshard: '_file' is a reserved metadata column name")
     val bad = name.filter(ManifestReserved)
     require(bad.isEmpty,
       s"gshard: column name '$name' contains manifest-reserved " +
@@ -483,12 +488,21 @@ object ShardFormat {
     * Nothing is visible to readers until a manifest names the files. */
   private[shard] def writeData(df: DataFrame, dir: String, rangeCol: String,
       nShards: Int, chunkRows: Int = DefaultChunkRows,
-      prefix: String = ""): Seq[ShardEntry] = {
+      prefix: String = "", bloomCols: Set[String] = Set.empty)
+      : Seq[ShardEntry] = {
     val schema = df.schema
     val bounds = df.agg(min(col(rangeCol)), max(col(rangeCol))).head()
     // empty input: zero shard files
     if (bounds.isNullAt(0)) return Seq.empty
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    // long OR int range columns (upsert permits int id keys; a bare
+    // getLong would ClassCastException on the boxed Integer)
+    def longAt(i: Int): Long = bounds.get(i) match {
+      case l: java.lang.Long => l.longValue()
+      case n: java.lang.Integer => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"gshard: range column $rangeCol must be long/int, got $other")
+    }
+    val (lo, hi) = (longAt(0), longAt(1))
     val width = math.max(1L, (hi - lo) / nShards + 1)
 
     val names = schema.fieldNames.toSeq
@@ -500,14 +514,15 @@ object ShardFormat {
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard") +: names.map(col): _*)
       .mapPartitions { it =>
-        writeTaskShards(it, dir, schema, chunkRows, prefix)
+        writeTaskShards(it, dir, schema, chunkRows, prefix, bloomCols)
       }(Encoders.stats)
       .collect()
 
     statRows.sortBy(_._1).map {
       case (file, rows, mins, maxs, smins, smaxs, nulls, dmins, dmaxs,
-          sums) =>
+          sums, blooms, bpvs) =>
         ShardEntry(file, rows, mins, maxs, smins, smaxs, nulls,
+          bloom = blooms, bloomBpv = bpvs,
           dMin = dmins, dMax = dmaxs, sums = sums)
     }.toSeq
   }
@@ -518,7 +533,7 @@ object ShardFormat {
     implicit val stats: Encoder[(String, Long, Map[String, Long],
         Map[String, Long], Map[String, String], Map[String, String],
         Map[String, Long], Map[String, Double], Map[String, Double],
-        Map[String, Long])] =
+        Map[String, Long], Map[String, String], Map[String, Long])] =
       ExpressionEncoder()
   }
 
@@ -527,15 +542,16 @@ object ShardFormat {
     * one chunk, regardless of shard size. */
   private def writeTaskShards(
       it: Iterator[Row], dir: String, schema: StructType, chunkRows: Int,
-      prefix: String = "")
+      prefix: String = "", bloomCols: Set[String] = Set.empty)
       : Iterator[(String, Long, Map[String, Long], Map[String, Long],
         Map[String, String], Map[String, String], Map[String, Long],
-        Map[String, Double], Map[String, Double], Map[String, Long])] = {
+        Map[String, Double], Map[String, Double], Map[String, Long],
+        Map[String, String], Map[String, Long])] = {
     val nCols = schema.length
     val out = mutable.ArrayBuffer.empty[(String, Long, Map[String, Long],
       Map[String, Long], Map[String, String], Map[String, String],
       Map[String, Long], Map[String, Double], Map[String, Double],
-      Map[String, Long])]
+      Map[String, Long], Map[String, String], Map[String, Long])]
 
     var shard = -1
     var writer: ShardFileWriter = null
@@ -545,7 +561,7 @@ object ShardFormat {
       if (stats.rows > 0)
         out += ((file, stats.rows, stats.zMin, stats.zMax,
           stats.sMin, stats.sMax, stats.nullCnt, stats.dMin, stats.dMax,
-          stats.sums))
+          stats.sums, stats.bloom, stats.bloomBpv))
       writer = null
     }
     it.foreach { r =>
@@ -555,7 +571,8 @@ object ShardFormat {
       if (s != shard) {
         flush(); shard = s
         file = f"part-$prefix$shard%05d.gshard"
-        writer = new ShardFileWriter(s"$dir/$file", schema, chunkRows)
+        writer = new ShardFileWriter(s"$dir/$file", schema, chunkRows,
+          bloomCols)
       }
       val values = new Array[Any](nCols)
       var i = 0
@@ -935,12 +952,17 @@ object ShardFormat {
               }
               r += 1
             }
-            // the variable layout's element offsets are INTs: 2^31
-            // elements per chunk ≈ 32k-wide rows at the default 64k
-            // chunk — shrink chunkRows for wider rows, don't wrap
-            require(totalElems <= Int.MaxValue,
-              s"gshard: vector chunk holds $totalElems elements " +
-                "(> Int.MaxValue) — reduce chunkRows")
+            // the reader materializes one BYTE array per chunk block
+            // and addresses elements with INT offsets, so the bound
+            // must be on BYTES — including the fixed layout's per-null
+            // dim-zero padding, which totalElems does not count;
+            // failing at WRITE time beats committing a file no reader
+            // can ever decode
+            val paddedElems =
+              if (dim >= 0 && fixed) n.toLong * dim else totalElems
+            require(paddedElems * esz <= Int.MaxValue - 64,
+              s"gshard: vector chunk block is ${paddedElems * esz} " +
+                "bytes (> Int.MaxValue) — reduce chunkRows")
             if (dim == -1) { dim = 0 } // all-null chunk: 0-dim fixed
             def writeElems(v: Any, pad: Int): Unit = v match {
               case null =>
@@ -1638,6 +1660,11 @@ object ShardFormat {
                       val offs: Array[Int] = dis.readByte() match {
                         case 0 => // fixed-dim: implicit addressing
                           val dim = dis.readInt()
+                          // a corrupt dim would overflow the Int
+                          // offsets silently — fail loudly instead
+                          require(dim >= 0 &&
+                            nRows.toLong * dim * esz <= Int.MaxValue - 64,
+                            s"gshard: corrupt vector block (dim=$dim)")
                           Array.tabulate(nRows + 1)(_ * dim)
                         case 1 => // variable: explicit element offsets
                           val o = new Array[Int](nRows + 1)
@@ -1648,6 +1675,8 @@ object ShardFormat {
                           s"gshard: unknown vector encoding tag $other")
                       }
                       val total = offs(nRows).toLong
+                      require(total >= 0 && total * esz <= Int.MaxValue - 64,
+                        s"gshard: corrupt vector block ($total elements)")
                       val raw = new Array[Byte]((total * esz).toInt)
                       dis.readFully(raw)
                       val bb = java.nio.ByteBuffer.wrap(raw) // big-endian

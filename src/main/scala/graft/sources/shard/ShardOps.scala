@@ -113,9 +113,18 @@ object ShardOps {
     // fresh generation's file prefix: collision-free against every
     // retained generation (gen is monotone)
     val prefix = s"m${head.gen + 1}-"
-    val fresh = ShardFormat.writeData(
-      out.select(head.schema.fieldNames.map(col).toIndexedSeq: _*),
-      dir, keyCol, shards, prefix = prefix)
+    // persist around writeData's two jobs (range bounds, then the
+    // clustered write): without it the touched-file scan + anti-join
+    // — the merge's dominant cost — executes twice
+    val outAligned = out
+      .select(head.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fresh =
+      try ShardFormat.writeData(outAligned, dir, keyCol, shards,
+        prefix = prefix,
+        // rewritten files keep the table's bloom set (manifest-derived)
+        bloomCols = head.entries.flatMap(_.bloom.keys).toSet)
+      finally outAligned.unpersist()
 
     // 3./4. generational publish with the txn slot advanced
     val (nextLast, nextTxns) = txnApp match {

@@ -84,6 +84,22 @@ class ShardMergeSpec extends SparkSpec {
     assert(ex.getMessage.contains("duplicate or NULL key"))
   }
 
+  test("upsert over an INT-keyed table works (the key family the " +
+      "require blesses must not crash in writeData)") {
+    val sess = spark
+    import sess.implicits._
+    val d = tmp("intkey")
+    val base = (0 until 100).map(i => (i, s"v$i")).toDF("id", "tag")
+    base.write.format("gshard").option("rangecol", "id")
+      .option("shards", 2).mode("overwrite").save(d)
+    ShardOps.upsert(spark, d,
+      Seq((5, "X"), (200, "NEW")).toDF("id", "tag"), "id")
+    val got = spark.read.format("gshard").load(d).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got.size == 101)
+    assert(got(5) == "X" && got(200) == "NEW" && got(6) == "v6")
+  }
+
   test("time travel: every mutation archives a readable generation; " +
       "VERSION AS OF through SQL; vacuumed versions fail loudly; " +
       "writes to pinned versions reject") {

@@ -115,6 +115,51 @@ class ShardRowLevelSpec extends SparkSpec {
     assert(spark.table(t).count() == 0L)
   }
 
+  test("a pure-insert MERGE (no key matches any target row) rewrites " +
+      "NO existing file — an empty runtime group filter prunes all") {
+    val sess = spark
+    import sess.implicits._
+    warehouse
+    val t = s"$ns.insonly"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // two appends → multiple files, so "no file rewritten" is
+    // distinguishable from "the single file was rewritten"
+    (0L until 200L).map(i => (i, s"v$i", i % 7))
+      .toDF("id", "tag", "grp").createOrReplaceTempView("rls_ins_lo")
+    (200L until 400L).map(i => (i, s"v$i", i % 7))
+      .toDF("id", "tag", "grp").createOrReplaceTempView("rls_ins_hi")
+    spark.sql(s"CREATE TABLE $t AS SELECT * FROM rls_ins_lo")
+    spark.sql(s"INSERT INTO $t SELECT * FROM rls_ins_hi")
+    val d = s"$warehouse/main/insonly"
+    val before = ShardFormat.readManifest(d)
+    assert(before.entries.size >= 2)
+    (5000L until 5020L).map(i => (i, s"N$i", 0L))
+      .toDF("id", "tag", "grp").createOrReplaceTempView("rls_ins_src")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING rls_ins_src AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val after = ShardFormat.readManifest(d)
+    assert(before.entries.map(_.file).toSet.subsetOf(
+      after.entries.map(_.file).toSet),
+      "a no-match MERGE copy-on-wrote an existing file")
+    assert(spark.table(t).count() == 420)
+  }
+
+  test("a data column named _file rejects at write (it would be " +
+      "silently shadowed by the metadata column on every read)") {
+    val sess = spark
+    import sess.implicits._
+    val bad = Seq((1L, "x")).toDF("id", "_file")
+    val ex = intercept[IllegalArgumentException] {
+      bad.write.format("gshard").option("rangecol", "id")
+        .mode("overwrite").save(
+          Files.createTempDirectory("gshard_rls_badname").toString)
+    }
+    assert(ex.getMessage.contains("reserved metadata column"))
+  }
+
   test("_file metadata column projects through both readers and " +
       "matches the manifest entries") {
     val t = freshTable("meta", 300)
