@@ -37,7 +37,70 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * anything needing a data rewrite (drop/rename/retype/reposition)
   * rejects, like the layout rebuilds everywhere else in the
   * engine. */
-class ShardCatalog extends TableCatalog {
+class ShardCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+    ProcedureParameter, UnboundProcedure}
+
+  /** SQL-surface MAINTENANCE: `CALL cat.vacuum(table => 'ns.t',
+    * keep_versions => k)` — [[ShardFormat.vacuum]] reachable from
+    * pure SQL (the Iceberg/Delta procedure shape): drops archived
+    * generations beyond the newest `keep_versions` and sweeps data
+    * files no retained manifest references; returns one row
+    * (n_swept, retained generation count). */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.name == "vacuum",
+      s"gshard: unknown procedure ${ident.name} (available: vacuum)")
+    new UnboundProcedure {
+      override def name(): String = "vacuum"
+      override def description(): String =
+        "reclaim gshard bytes under generation retention"
+      override def bind(inputType: org.apache.spark.sql.types.StructType)
+          : BoundProcedure = new BoundProcedure {
+        override def name(): String = "vacuum"
+        override def description(): String =
+          "reclaim gshard bytes under generation retention"
+        override def parameters(): Array[ProcedureParameter] = Array(
+          ProcedureParameter.in("table",
+            org.apache.spark.sql.types.StringType).build(),
+          ProcedureParameter.in("keep_versions",
+            org.apache.spark.sql.types.IntegerType)
+            .defaultValue("0").build())
+        override def isDeterministic: Boolean = false
+        override def call(
+            input: org.apache.spark.sql.catalyst.InternalRow)
+            : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+          val parts = input.getUTF8String(0).toString.split("\\.")
+          val tblIdent = Identifier.of(parts.dropRight(1), parts.last)
+          require(tableExists(tblIdent),
+            s"gshard: no such table ${input.getUTF8String(0)}")
+          val keep = if (input.isNullAt(1)) 0 else input.getInt(1)
+          val dir = dirOf(tblIdent).toString
+          val swept = ShardFormat.vacuum(dir, keep)
+          val retained = ShardFormat.archivedGens(dir).size + 1
+          val out = new org.apache.spark.sql.connector.read.LocalScan {
+            override def readSchema()
+                : org.apache.spark.sql.types.StructType =
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("n_swept",
+                  org.apache.spark.sql.types.LongType, nullable = false),
+                org.apache.spark.sql.types.StructField("n_retained",
+                  org.apache.spark.sql.types.LongType, nullable = false)))
+            override def rows()
+                : Array[org.apache.spark.sql.catalyst.InternalRow] =
+              Array(org.apache.spark.sql.catalyst.InternalRow(
+                swept.size.toLong, retained.toLong))
+          }
+          java.util.Collections.singletonList(
+            out: org.apache.spark.sql.connector.read.Scan).iterator()
+        }
+      }
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "vacuum"))
 
   private var catalogName: String = _
   private var warehouse: Path = _

@@ -174,6 +174,44 @@ class ShardMergeSpec extends SparkSpec {
     assert(got(202L) == Seq.tabulate(8)(j => (202 * 8 + j) * 2.0f))
   }
 
+  test("CALL vacuum from pure SQL: sweeps under retention and " +
+      "reports (n_swept, n_retained); unknown procedures reject") {
+    val sess = spark
+    import sess.implicits._
+    val wh = tmp("proc_wh")
+    spark.conf.set("spark.sql.catalog.gshard_proc",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_proc.warehouse", wh)
+    base(60).createOrReplaceTempView("proc_src_a")
+    base(60).withColumn("id", col("id") + 100L)
+      .createOrReplaceTempView("proc_src_b")
+    spark.sql("DROP TABLE IF EXISTS gshard_proc.main.t")
+    spark.sql("CREATE TABLE gshard_proc.main.t AS SELECT * FROM proc_src_a")
+    spark.sql("INSERT INTO gshard_proc.main.t SELECT * FROM proc_src_b")
+    spark.sql("DELETE FROM gshard_proc.main.t WHERE id >= 100")
+    val d = s"$wh/main/t"
+    assert(ShardFormat.archivedGens(d).size == 3) // v0 empty, v1, v2
+    // keep 1: the newest archive (the pre-delete generation) still
+    // references the deleted files — nothing sweeps yet, by design
+    val r1 = spark.sql(
+      "CALL gshard_proc.vacuum(table => 'main.t', keep_versions => 1)")
+      .head
+    assert(r1.getLong(0) == 0L)
+    assert(r1.getLong(1) == 2L) // 1 archive + head
+    assert(ShardFormat.archivedGens(d).size == 1)
+    // keep 0: the pre-delete generation drops, its files sweep
+    val r0 = spark.sql(
+      "CALL gshard_proc.vacuum(table => 'main.t', keep_versions => 0)")
+      .head
+    assert(r0.getLong(0) >= 1L, "nothing swept")
+    assert(r0.getLong(1) == 1L) // head only
+    assert(spark.table("gshard_proc.main.t").count() == 60L)
+    val ex = intercept[Exception] {
+      spark.sql("CALL gshard_proc.nonsense()").collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("upsert keeps a version readable: pre-merge generation reads " +
       "the pre-merge rows; vacuum(0) then sweeps the rewritten files") {
     val sess = spark
