@@ -446,7 +446,7 @@ object Similarity {
     import graft.sources.SourceOps
     val dir = SourceOps.staging(
       s"ivf_gshard_${SourceOps.dirTag(t.dir)}_${k}_$nIters")
-    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
       val cents = kmeansCentroids(t, k, nIters)
       val assigned = withEmb(t).filter(col("vec_id") >= NumQueries)
         .select(cellOf(col("emb"), cents).cast("long").as("cell"),
@@ -2001,18 +2001,22 @@ object Similarity {
     * 100× and defeat the point of the graph index. Derived from the
     * staged edges (one metadata-scale agg), staged once, memoized. */
   private val knnEntriesCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int), String]
+    .empty[(String, String, Int, Int), String]
 
   private[graft] def knnGraphEntries(t: Tables, graphK: Int,
       nEntries: Int = 64): DataFrame = {
+    // keyed (and pathed) on nEntries too: a caller asking for a
+    // different entry-set size must not silently receive the staged
+    // default-64 hub artifact
     val path = knnEntriesCache.synchronized { knnEntriesCache.getOrElseUpdate(
-      (graft.sources.SourceOps.sessionTag(t.spark), t.dir, graphK), {
+      (graft.sources.SourceOps.sessionTag(t.spark), t.dir, graphK, nEntries), {
         val ent = knnGraphEdges(t, graphK)
           .groupBy(col("dst")).agg(count(lit(1)).as("deg"))
           .orderBy(desc("deg"), asc("dst")).limit(nEntries)
           .select(col("dst").as("vec_id"))
         val p = graft.sources.SourceOps.staging(
-          s"knn_entries_${graft.sources.SourceOps.dirTag(t.dir)}_$graphK")
+          s"knn_entries_${graft.sources.SourceOps.dirTag(t.dir)}_" +
+            s"${graphK}_$nEntries")
         ent.write.mode("overwrite").parquet(p)
         p
       }) }

@@ -599,7 +599,7 @@ object SourceOps {
     * aggregates to exact integers. */
   def qShardScanDouble(t: Tables): DataFrame = {
     val dir = staging(s"gshard_dbl_${dirTag(t.dir)}")
-    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
       graft.sources.shard.ShardFormat.write(
         t.events.select(
           floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"),
@@ -806,7 +806,7 @@ object SourceOps {
     val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
     def stats(f: DataFrame): DataFrame = f.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
-    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
       graft.sources.shard.ShardFormat.write(
         stats(e.filter(col("day") < thr)), dir, "user_id", 8)
     }
@@ -873,7 +873,7 @@ object SourceOps {
     val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
     def stats(f: DataFrame): DataFrame = f.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
-    if (!graft.sources.shard.ShardFormat.hasManifest(s"$wh/main/$tbl")) {
+    graft.sources.shard.ShardFormat.ensureStaged(s"$wh/main/$tbl") {
       val view = s"gshard_sqlmerge_base_$runId"
       stats(e.filter(col("day") < thr)).createOrReplaceTempView(view)
       spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS SELECT * FROM $view")
@@ -904,7 +904,7 @@ object SourceOps {
     val tbl = s"sqlupd_${dirTag(t.dir)}"
     val bounds = t.events.agg(max(col("user_id"))).head
     val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
-    if (!graft.sources.shard.ShardFormat.hasManifest(s"$wh/main/$tbl")) {
+    graft.sources.shard.ShardFormat.ensureStaged(s"$wh/main/$tbl") {
       val view = s"gshard_sqlupd_src_$runId"
       shardProjection(t).createOrReplaceTempView(view)
       spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS SELECT * FROM $view")
@@ -938,7 +938,7 @@ object SourceOps {
         lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"))
     val bounds = e.agg(max(col("day"))).head
     val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
-    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
       val view = s"gshard_tt_src_$runId"
       e.filter(col("day") < thr).createOrReplaceTempView(s"${view}_lo")
       e.filter(col("day") >= thr).createOrReplaceTempView(s"${view}_hi")
@@ -977,7 +977,7 @@ object SourceOps {
       "graft.sources.shard.ShardCatalog")
     spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
     val tbl = s"emb_${dirTag(t.dir)}"
-    if (!graft.sources.shard.ShardFormat.hasManifest(s"$wh/main/$tbl")) {
+    graft.sources.shard.ShardFormat.ensureStaged(s"$wh/main/$tbl") {
       val view = s"gshard_emb_src_$runId"
       t.embeddings.createOrReplaceTempView(view)
       // CTAS carries no options: rangeCol defaults to the first long
@@ -1090,7 +1090,7 @@ object SourceOps {
     * hash-checked. */
   def qShardScanString(t: Tables): DataFrame = {
     val dir = staging(s"gshard_str_${dirTag(t.dir)}")
-    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
       graft.sources.shard.ShardFormat.write(
         shardProjection(t).withColumn("user_tag",
           format_string("u%06d", col("user_id"))),
@@ -1175,7 +1175,7 @@ object SourceOps {
     * files opened, plan-pinned. Oracle recomputes from raw events. */
   def qShardStatsTyped(t: Tables): DataFrame = {
     val dir = staging(s"gshard_typed_${dirTag(t.dir)}")
-    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
       t.events.select(
           col("event_id"),
           col("ts"),
@@ -1204,7 +1204,7 @@ object SourceOps {
     * deterministic. */
   def qShardTopn(t: Tables): DataFrame = {
     val dir = staging(s"gshard_topn_${dirTag(t.dir)}")
-    if (!graft.sources.shard.ShardFormat.hasManifest(dir)) {
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
       t.events.select(col("event_id"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
         .write.format("gshard").option("rangecol", "event_id")

@@ -61,21 +61,29 @@ class ShardCatalog extends TableCatalog
         override def name(): String = "vacuum"
         override def description(): String =
           "reclaim gshard bytes under generation retention"
+        // keep_versions is REQUIRED (no default): a bare CALL
+        // vacuum(table => 't') irreversibly dropping every archived
+        // generation — all VERSION AS OF history — is not a default
+        // anyone means; the destructive retention must be spelled out
         override def parameters(): Array[ProcedureParameter] = Array(
           ProcedureParameter.in("table",
             org.apache.spark.sql.types.StringType).build(),
           ProcedureParameter.in("keep_versions",
-            org.apache.spark.sql.types.IntegerType)
-            .defaultValue("0").build())
+            org.apache.spark.sql.types.IntegerType).build())
         override def isDeterministic: Boolean = false
         override def call(
             input: org.apache.spark.sql.catalyst.InternalRow)
             : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+          require(!input.isNullAt(0),
+            "gshard vacuum: table argument must not be NULL")
+          require(!input.isNullAt(1),
+            "gshard vacuum: keep_versions must be given explicitly " +
+              "(0 drops ALL archived generations)")
           val parts = input.getUTF8String(0).toString.split("\\.")
           val tblIdent = Identifier.of(parts.dropRight(1), parts.last)
           require(tableExists(tblIdent),
             s"gshard: no such table ${input.getUTF8String(0)}")
-          val keep = if (input.isNullAt(1)) 0 else input.getInt(1)
+          val keep = input.getInt(1)
           val dir = dirOf(tblIdent).toString
           val swept = ShardFormat.vacuum(dir, keep)
           val retained = ShardFormat.archivedGens(dir).size + 1
@@ -167,13 +175,10 @@ class ShardCatalog extends TableCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = namespace.foldLeft(warehouse)(_ resolve _)
     if (!Files.isDirectory(ns)) Array.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.list(ns).iterator().asScala
-        .filter(p => ShardFormat.hasManifest(p.toString))
-        .map(p => Identifier.of(namespace, p.getFileName.toString))
-        .toArray
-    }
+    else ShardFormat.listDir(ns)
+      .filter(n => ShardFormat.hasManifest(ns.resolve(n).toString))
+      .map(n => Identifier.of(namespace, n))
+      .toArray
   }
 
   /** SCHEMA EVOLUTION, the append-only kind: `ALTER TABLE … ADD
@@ -211,7 +216,8 @@ class ShardCatalog extends TableCatalog
     }
     // a schema change is a table GENERATION like any other mutation:
     // archive the old head so VERSION AS OF reads the narrow schema
-    ShardFormat.publishManifest(dir, m.copy(schema = schema))
+    ShardFormat.publishManifest(dir, m.copy(schema = schema),
+      basedOn = m.gen)
     new ShardTable(dir, schema)
   }
 

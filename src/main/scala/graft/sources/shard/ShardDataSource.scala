@@ -246,23 +246,29 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType,
     }
   }
 
-  override def deleteWhere(rawFilters: Array[Filter]): Unit = {
-    require(pinnedVersion.isEmpty,
-      s"gshard: cannot DELETE from ${name()} — time-travel reads are frozen")
-    val m = ShardFormat.readManifest(dir)
-    val filters = normalizedForDelete(m.schema, rawFilters)
-    val keep = m.entries.filter { e =>
-      disjoint(e, filters) || !filters.forall(covers(e, _))
+  override def deleteWhere(rawFilters: Array[Filter]): Unit =
+    // metadata-only read-modify-publish: held under the table lock so
+    // a concurrent local writer can't slip a commit between the head
+    // read and the publish (cross-process movers trip the basedOn
+    // check inside publishManifest)
+    ShardFormat.tableLock(dir).synchronized {
+      require(pinnedVersion.isEmpty,
+        s"gshard: cannot DELETE from ${name()} — time-travel reads are frozen")
+      val m = ShardFormat.readManifest(dir)
+      val filters = normalizedForDelete(m.schema, rawFilters)
+      val keep = m.entries.filter { e =>
+        disjoint(e, filters) || !filters.forall(covers(e, _))
+      }
+      require(m.entries.forall { e =>
+        disjoint(e, filters) || filters.forall(covers(e, _))
+      }, s"gshard: DELETE not decidable from metadata for ${name()}")
+      // publish-with-archive, NO physical sweep: the dropped files stay
+      // referenced by the archived generation (VERSION AS OF reads it);
+      // bytes are reclaimed by ShardFormat.vacuum under its retention —
+      // the Delta DELETE-then-VACUUM split
+      ShardFormat.publishManifest(dir, m.copy(entries = keep),
+        basedOn = m.gen)
     }
-    require(m.entries.forall { e =>
-      disjoint(e, filters) || filters.forall(covers(e, _))
-    }, s"gshard: DELETE not decidable from metadata for ${name()}")
-    // publish-with-archive, NO physical sweep: the dropped files stay
-    // referenced by the archived generation (VERSION AS OF reads it);
-    // bytes are reclaimed by ShardFormat.vacuum under its retention —
-    // the Delta DELETE-then-VACUUM split
-    ShardFormat.publishManifest(dir, m.copy(entries = keep))
-  }
 }
 
 /** The DSv2 WRITE path: `df.write.format("gshard").save(dir)`.
@@ -372,7 +378,11 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
       schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
       queryId.take(8), chunkRows, bloomCols)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  // read-head → merge entries → publish, serialized per table within
+  // this JVM; a cross-process mover between OUR head read and publish
+  // trips publishManifest's basedOn check instead of being clobbered
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    ShardFormat.tableLock(dir).synchronized {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     val fresh = messages.collect {
       case m: ShardCommitMessage if m.rows > 0 => // empty partitions emit no file
@@ -444,7 +454,8 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     // generation still references them (time travel); reclamation is
     // ShardFormat.vacuum's job under its retention window
     ShardFormat.publishManifest(dir,
-      ShardFormat.Manifest(schema, prior ++ fresh, nextLast, nextTxns))
+      ShardFormat.Manifest(schema, prior ++ fresh, nextLast, nextTxns),
+      basedOn = existing.map(_.gen).getOrElse(-1L))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -526,6 +537,19 @@ private[shard] class ShardDataWriter(dir: String,
             while (j < m) {
               require(!ad.isNullAt(j), "gshard: null vector element")
               a(j) = ad.getDouble(j); j += 1
+            }
+            a
+          // string lists: copy each element's UTF-8 bytes out (the
+          // ArrayData may be a view into a reused row buffer)
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StringType, _) =>
+            val ad = row.getArray(i)
+            val m = ad.numElements()
+            val a = new Array[Array[Byte]](m)
+            var j = 0
+            while (j < m) {
+              require(!ad.isNullAt(j), "gshard: null string-list element")
+              a(j) = ad.getUTF8String(j).getBytes; j += 1
             }
             a
           case other => throw new IllegalStateException(other.toString)
@@ -1014,6 +1038,14 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     }
 
   private def survives(e: ShardFormat.ShardEntry): Boolean = {
+    // a ROW-LEVEL rewrite's scan admits by `_file` identity ONLY: its
+    // keep-predicate (e.g. DELETE's Not(cond)) must never zone-prune
+    // a file whose every row matches the condition — that file's rows
+    // are exactly the ones the rewrite must drop, and pruning it out
+    // of plannedFiles would silently RETAIN them. Today no keep-
+    // predicate translates to a usable V1 filter (pushed stays empty),
+    // but the restriction makes the invariant structural.
+    if (groupFilterOnly) return fileNameAdmits(e)
     val fs = skipFilters
     fileNameAdmits(e) &&
     ShardFormat.longZoneAdmits(fs, e.zMin.contains, e.zMin(_), e.zMax(_)) &&
@@ -1377,6 +1409,14 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
                 }
                 v.putArray(i, off, a.length)
                 off += a.length
+              case a: Array[Array[Byte]] =>
+                child.reserve(off + a.length)
+                var j = 0
+                while (j < a.length) {
+                  child.putByteArray(off + j, a(j), 0, a(j).length); j += 1
+                }
+                v.putArray(i, off, a.length)
+                off += a.length
             }
             i += 1
           }
@@ -1460,6 +1500,13 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
               new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
             case a: Array[Double] =>
               new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+            case a: Array[Array[Byte]] =>
+              val u = new Array[Any](a.length)
+              var j = 0
+              while (j < a.length) {
+                u(j) = UTF8String.fromBytes(a(j)); j += 1
+              }
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(u)
           }
         }
       }
@@ -1497,13 +1544,22 @@ private[shard] class ShardRowLevelOperation(dir: String,
     * commit. Re-planning (AQE) overwrites with an identical set. */
   @volatile private[shard] var plannedFiles: Seq[String] = null
 
+  /** The generation this operation's scan planned against — the
+    * commit's optimistic-concurrency `basedOn` (a concurrent commit
+    * between plan and publish fails this rewrite loudly instead of
+    * being destroyed by it). */
+  @volatile private[shard] var plannedGen: Long = -1L
+
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new ShardScanBuilder(dir, ShardFormat.readManifest(dir), options,
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val m = ShardFormat.readManifest(dir)
+    plannedGen = m.gen
+    new ShardScanBuilder(dir, m, options,
       onPlan = fs => plannedFiles = fs)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -1579,10 +1635,11 @@ private[shard] class ShardReplaceWrite(dir: String, schema: StructType,
       }.sortBy(_.file).toSeq
       val plannedSet = planned.toSet
       val keep = head.entries.filterNot(e => plannedSet(e.file))
-      // generational publish; replaced bytes reclaim at vacuum
+      // generational publish against the generation the SCAN planned
+      // from; replaced bytes reclaim at vacuum
       ShardFormat.publishManifest(dir,
         ShardFormat.Manifest(head.schema, keep ++ fresh,
-          head.lastTxn, head.txns))
+          head.lastTxn, head.txns), basedOn = op.plannedGen)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -74,6 +74,12 @@ import org.apache.spark.sql.types._
   *                  zero elements (implicit addressing), variable null
   *                  rows an empty slot; NULL ELEMENTS are rejected at
   *                  write, so blocks need no per-element bitmaps
+  *         liststr: (nRows+1)×INT row element offsets
+  *                  | (nElems+1)×INT element byte offsets | bytes —
+  *                  the plain string block nested under the vector
+  *                  offset scheme; null/empty rows hold zero elements
+  *                  (their offsets repeat), NULL ELEMENTS are rejected
+  *                  at write as for vectors
   * }}}
   *
   * LOGICAL TYPES ride the long block: timestamp / timestamp_ntz
@@ -209,10 +215,18 @@ object ShardFormat {
     // name the same storage.
     case ArrayType(FloatType, _) => "vecf"
     case ArrayType(DoubleType, _) => "vecd"
+    // STRING-LIST columns — the tokenized-corpus currency
+    // (text_bpe_tokens output, corpus_token_shards input): the
+    // existing string block's offsets+bytes nested under the vector
+    // tag scheme (row-grain element offsets over one flattened string
+    // block). Same null policy as vectors: row-grain null bitmap,
+    // NO null elements (a token list with null tokens is malformed;
+    // rejecting keeps the layout offset-only).
+    case ArrayType(StringType, _) => "liststr"
     case other => throw new IllegalArgumentException(
       "gshard supports long/double/string/timestamp/timestamp_ntz/" +
-        "date/int/boolean/decimal(<=18,s)/array<float>/array<double>, " +
-        s"got $other")
+        "date/int/boolean/decimal(<=18,s)/array<float>/array<double>/" +
+        s"array<string>, got $other")
   }
 
   private val DecimalTag = """decimal_(\d+)_(\d+)""".r
@@ -237,6 +251,7 @@ object ShardFormat {
     // false the honest read schema (tighter codegen downstream)
     case "vecf" => ArrayType(FloatType, containsNull = false)
     case "vecd" => ArrayType(DoubleType, containsNull = false)
+    case "liststr" => ArrayType(StringType, containsNull = false)
   }
 
   /** Vector (embedding) columns: float/double element arrays. */
@@ -601,6 +616,17 @@ object ShardFormat {
                 a(j) = e.asInstanceOf[Double]; j += 1
               }
               a
+            case ArrayType(StringType, _) =>
+              val s = r.getSeq[Any](i)
+              val a = new Array[Array[Byte]](s.length)
+              var j = 0
+              s.foreach { e =>
+                require(e != null, "gshard: null string-list element")
+                a(j) = e.asInstanceOf[String]
+                  .getBytes(StandardCharsets.UTF_8)
+                j += 1
+              }
+              a
             case dt if physicallyLong(dt) =>
               toPhysLong(dt, r.get(i)).getOrElse(throw new IllegalStateException(
                 s"gshard: can't encode ${r.get(i)} as $dt"))
@@ -926,6 +952,67 @@ object ShardFormat {
               }
               r = 0
               while (r < n) { bdos.write(slices(r)); r += 1 }
+            }
+          case ArrayType(StringType, _) =>
+            // string-list block: row-grain element offsets over ONE
+            // flattened plain string block (element byte offsets +
+            // bytes) — the token-list layout; null/empty rows hold
+            // zero elements, null ELEMENTS were rejected at intake
+            var totalElems = 0L
+            var totalBytes = 0L
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              if (v != null) {
+                val a = v.asInstanceOf[Array[Array[Byte]]]
+                totalElems += a.length
+                var j = 0
+                while (j < a.length) { totalBytes += a(j).length; j += 1 }
+              }
+              r += 1
+            }
+            // the reader addresses both tables with INT offsets —
+            // fail at write, never commit an undecodable file
+            require(totalElems <= Int.MaxValue - 64 &&
+              totalBytes <= Int.MaxValue - 64,
+              s"gshard: string-list chunk block holds $totalElems " +
+                s"elements / $totalBytes bytes (> Int.MaxValue) — " +
+                "reduce chunkRows")
+            val payload = 4L * (n + 1) + 4L * (totalElems + 1) + totalBytes
+            bdos.writeLong(bitmap.length + payload)
+            bdos.write(bitmap)
+            var eOff = 0
+            bdos.writeInt(0)
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              if (v != null) eOff += v.asInstanceOf[Array[Array[Byte]]].length
+              bdos.writeInt(eOff)
+              r += 1
+            }
+            var bOff = 0
+            bdos.writeInt(0)
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              if (v != null) {
+                val a = v.asInstanceOf[Array[Array[Byte]]]
+                var j = 0
+                while (j < a.length) {
+                  bOff += a(j).length; bdos.writeInt(bOff); j += 1
+                }
+              }
+              r += 1
+            }
+            r = 0
+            while (r < n) {
+              val v = buf(r)(c)
+              if (v != null) {
+                val a = v.asInstanceOf[Array[Array[Byte]]]
+                var j = 0
+                while (j < a.length) { bdos.write(a(j)); j += 1 }
+              }
+              r += 1
             }
           case ArrayType(et, _) =>
             // vector block: raw IEEE bits, FIXED-DIM when every
@@ -1279,39 +1366,96 @@ object ShardFormat {
 
   private def archiveName(gen: Long) = s"_manifest.v$gen.gshard"
 
-  /** MUTATING publish: archive the current head manifest (if any) as
-    * `_manifest.v<gen>.gshard`, then write `m` as the new head at
-    * gen+1. Archive-first is crash-safe: a crash in between leaves the
-    * old head both live and archived — the next publish simply
-    * re-archives the same generation (idempotent overwrite), and no
-    * reader ever sees a missing manifest. Returns the published
-    * manifest (with its assigned generation). */
-  private[graft] def publishManifest(dir: String, m: Manifest): Manifest = {
-    val next =
-      if (!hasManifest(dir)) m.copy(gen = 0L)
-      else {
-        val head = readManifest(dir)
+  /** Per-table commit locks (keyed by normalized absolute path):
+    * serializes read-modify-publish sections WITHIN this JVM so two
+    * local writers never interleave between the staleness check and
+    * the manifest write. Cross-process writers are covered by the
+    * [[publishManifest]] `basedOn` check instead — detection, not
+    * prevention (a plain filesystem has no compare-and-swap), the
+    * same discipline as [[graft.sources.MergeTarget]]. */
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[graft] def tableLock(dir: String): Object =
+    tableLocks.computeIfAbsent(
+      Paths.get(dir).toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** The generation a table currently sits at, -1 when uncommitted —
+    * the value a mutation must capture when it PLANS and hand back to
+    * [[publishManifest]] as `basedOn`. */
+  private[graft] def headGen(dir: String): Long =
+    if (hasManifest(dir)) readManifest(dir).gen else -1L
+
+  /** Memoized staged-table build: the hasManifest probe and `build`
+    * run under the per-table lock, so two concurrent cold consumers
+    * never BOTH run the build ([[write]] recursively deletes the
+    * directory — the second builder would tear the first's table out
+    * from under its readers). Readers outside the lock stay safe via
+    * the manifest-written-last invariant. Reentrant for the building
+    * thread (same monitor). */
+  private[graft] def ensureStaged(dir: String)(build: => Unit): Unit =
+    tableLock(dir).synchronized {
+      if (!hasManifest(dir)) build
+    }
+
+  /** MUTATING publish with OPTIMISTIC CONCURRENCY: archive the current
+    * head manifest (if any) as `_manifest.v<gen>.gshard`, then write
+    * `m` as the new head at gen+1. Archive-first is crash-safe: a
+    * crash in between leaves the old head both live and archived —
+    * the next publish simply re-archives the same generation
+    * (idempotent overwrite), and no reader ever sees a missing
+    * manifest.
+    *
+    * `basedOn` is the head generation the caller READ when it planned
+    * the mutation (-1 = planned against an uncommitted table). If the
+    * head moved since — a concurrent writer committed — this publish
+    * throws [[java.util.ConcurrentModificationException]] INSTEAD of
+    * silently destroying the winner's entries (last-writer-wins was
+    * the engine's one silent-data-loss path; r15 verdict task #1).
+    * The loser's staged data files become orphans, re-sweepable by
+    * [[vacuum]]; the table stays byte-exact at the winner's commit.
+    * Returns the published manifest (with its assigned generation). */
+  private[graft] def publishManifest(dir: String, m: Manifest,
+      basedOn: Long): Manifest = tableLock(dir).synchronized {
+    val head = if (hasManifest(dir)) Some(readManifest(dir)) else None
+    val headG = head.map(_.gen).getOrElse(-1L)
+    if (headG != basedOn)
+      throw new java.util.ConcurrentModificationException(
+        s"gshard: concurrent commit detected at $dir — this write " +
+          s"planned against generation $basedOn but the head is now " +
+          s"$headG (a concurrent writer committed); re-plan against " +
+          "the new head and retry")
+    val next = head match {
+      case None => m.copy(gen = 0L)
+      case Some(h) =>
         java.nio.file.Files.copy(
           Paths.get(dir, "_manifest.gshard"),
-          Paths.get(dir, archiveName(head.gen)),
+          Paths.get(dir, archiveName(h.gen)),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        m.copy(gen = head.gen + 1)
-      }
+        m.copy(gen = h.gen + 1)
+    }
     writeManifest(dir, next)
     next
+  }
+
+  /** Directory listing that CLOSES the underlying stream —
+    * `Files.list` holds a directory fd until closed, and the callers
+    * here (archive scans, vacuum, catalog listing) run per-query. */
+  private[graft] def listDir(d: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(d)
+    try s.iterator().asScala.map(_.getFileName.toString).toVector
+    finally s.close()
   }
 
   /** Archived generation numbers present on disk (ascending). */
   private[graft] def archivedGens(dir: String): Seq[Long] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
-    import scala.jdk.CollectionConverters._
     val Pat = """_manifest\.v(\d+)\.gshard""".r
-    Files.list(d).iterator().asScala.flatMap(p =>
-      p.getFileName.toString match {
-        case Pat(g) => Some(g.toLong)
-        case _ => None
-      }).toSeq.sorted
+    listDir(d).flatMap {
+      case Pat(g) => Some(g.toLong)
+      case _ => None
+    }.sorted
   }
 
   /** `VERSION AS OF v`: the head when v is the head generation, else
@@ -1351,12 +1495,10 @@ object ShardFormat {
       archivedGens(dir).map(g =>
         readManifestLines(Files.readAllLines(Paths.get(dir, archiveName(g))))))
       .flatMap(_.entries.map(_.file)).toSet
-    import scala.jdk.CollectionConverters._
-    val swept = Files.list(Paths.get(dir)).iterator().asScala
-      .map(_.getFileName.toString)
+    val swept = listDir(Paths.get(dir))
       .filter(f => f.startsWith("part-") && f.endsWith(".gshard") &&
         !retained(f))
-      .toSeq.sorted
+      .sorted
     swept.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
     swept
   }
@@ -1651,6 +1793,36 @@ object ShardFormat {
                       case other => throw new IllegalStateException(
                         s"gshard: unknown string encoding tag $other")
                     }
+                    case ArrayType(StringType, _) =>
+                      // row element offsets, element byte offsets,
+                      // then ONE bulk byte read; per-row values are
+                      // Array[Array[Byte]] slices (null rows null)
+                      val rOffs = new Array[Int](nRows + 1)
+                      var i = 0
+                      while (i <= nRows) { rOffs(i) = dis.readInt(); i += 1 }
+                      val nElems = rOffs(nRows)
+                      require(nElems >= 0 && nElems <= Int.MaxValue - 64,
+                        s"gshard: corrupt string-list block ($nElems elements)")
+                      val eOffs = new Array[Int](nElems + 1)
+                      i = 0
+                      while (i <= nElems) { eOffs(i) = dis.readInt(); i += 1 }
+                      val bytes = new Array[Byte](eOffs(nElems))
+                      dis.readFully(bytes)
+                      i = 0
+                      while (i < nRows) {
+                        if (!isNull(i)) {
+                          val out = new Array[Array[Byte]](rOffs(i + 1) - rOffs(i))
+                          var j = 0
+                          while (j < out.length) {
+                            val e = rOffs(i) + j
+                            out(j) = java.util.Arrays.copyOfRange(
+                              bytes, eOffs(e), eOffs(e + 1))
+                            j += 1
+                          }
+                          arr(i) = out
+                        }
+                        i += 1
+                      }
                     case ArrayType(et, _) =>
                       // one bulk read of the element payload, then
                       // per-row slices — raw IEEE bits roundtrip

@@ -137,8 +137,13 @@ object ShardOps {
           head.txns + (app -> math.max(txnId, head.txns.getOrElse(app, -1L))))
     }
     val untouched = head.entries.filterNot(e => touched.contains(e.file))
+    // OPTIMISTIC publish: this merge planned (touched files, survivor
+    // read, txn slots) against head.gen — if a concurrent writer
+    // moved the head since, publish throws and the fresh files stay
+    // orphaned (vacuum re-sweeps them) instead of destroying the
+    // winner's commit
     ShardFormat.publishManifest(dir,
       ShardFormat.Manifest(head.schema, untouched ++ fresh,
-        nextLast, nextTxns))
+        nextLast, nextTxns), basedOn = head.gen)
   }
 }

@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.ConcurrentModificationException
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.shard.{ShardFormat, ShardOps}
+
+/** OPTIMISTIC-CONCURRENCY commit for gshard (r15 verdict task #1):
+  * `publishManifest` carries the generation the mutation PLANNED
+  * against (`basedOn`) and fails loudly when the head moved — the
+  * MergeTarget lost-race discipline, closing the engine's last
+  * silent-data-loss path (two independent writers both reading gen N
+  * used to last-writer-wins each other).
+  *
+  * The races are reconstructed DETERMINISTICALLY: writer A plans
+  * (reads the head), writer B commits a full mutation, then A
+  * publishes against its stale generation — exactly the interleaving
+  * a wall-clock race produces, without the flakiness. In-JVM
+  * same-table writers additionally serialize on
+  * [[ShardFormat.tableLock]], so their read-modify-publish sections
+  * can never interleave at all. */
+class ShardConcurrencySpec extends SparkSpec {
+
+  private def tmp(tag: String): String =
+    Files.createTempDirectory(s"gshard_occ_$tag").toString
+
+  private def rows(lo: Long, hi: Long) = {
+    val sess = spark
+    import sess.implicits._
+    (lo until hi).map(i => (i, s"v$i", i * 10L)).toDF("id", "tag", "score")
+  }
+
+  private def tableState(d: String): (Long, Set[String], Set[(Long, String, Long)]) = {
+    val m = ShardFormat.readManifest(d)
+    val data = spark.read.format("gshard").load(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    (m.gen, m.entries.map(_.file).toSet, data)
+  }
+
+  test("append x append: the stale appender throws, the winner's " +
+      "table survives byte-exact") {
+    val d = tmp("appapp")
+    ShardFormat.write(rows(0, 100), d, "id", 2) // gen 0
+    // writer A plans: reads the head at gen 0 and builds its manifest
+    val plannedA = ShardFormat.readManifest(d)
+    // writer B commits first (independent append via the normal path)
+    rows(100, 200).write.format("gshard").option("rangecol", "id")
+      .mode("append").save(d)
+    val winner = tableState(d)
+    assert(winner._1 == 1L)
+    // writer A publishes against its stale gen-0 read -> must THROW,
+    // not destroy B's entries
+    val freshA = ShardFormat.ShardEntry("part-zzz00000.gshard", 1L,
+      Map("id" -> 999L), Map("id" -> 999L), Map.empty, Map.empty,
+      Map("id" -> 0L, "tag" -> 0L, "score" -> 0L))
+    val ex = intercept[ConcurrentModificationException] {
+      ShardFormat.publishManifest(d,
+        plannedA.copy(entries = plannedA.entries :+ freshA),
+        basedOn = plannedA.gen)
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    assert(ex.getMessage.contains("generation 0"))
+    // winner's commit byte-exact: same gen, same files, same rows
+    assert(tableState(d) == winner)
+  }
+
+  test("append x upsert: a merge that planned before an append " +
+      "committed fails at publish; the append survives") {
+    val d = tmp("appups")
+    ShardFormat.write(rows(0, 100), d, "id", 2) // gen 0
+    val stale = ShardFormat.readManifest(d)
+    // the interleaving writer: an upsert commits (gen 0 -> 1)
+    ShardOps.upsert(spark, d, rows(50, 120), "id")
+    val winner = tableState(d)
+    assert(winner._1 == 1L)
+    // the loser (planned at gen 0) publishes -> throws; this is the
+    // exact publish ShardOps.upsert issues (basedOn = its head read)
+    intercept[ConcurrentModificationException] {
+      ShardFormat.publishManifest(d, stale.copy(entries = stale.entries),
+        basedOn = stale.gen)
+    }
+    assert(tableState(d) == winner)
+  }
+
+  test("wall-clock race: two threads appending to one table both " +
+      "succeed or exactly one fails loudly - rows are never lost " +
+      "silently") {
+    val d = tmp("threads")
+    ShardFormat.write(rows(0, 100), d, "id", 2)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Unit]]()
+    val ths = Seq(100L, 200L).map { lo =>
+      new Thread(() => {
+        try {
+          rows(lo, lo + 100).write.format("gshard")
+            .option("rangecol", "id").mode("append").save(d)
+          outcomes.add(Right(()))
+        } catch { case t: Throwable => outcomes.add(Left(t)) }
+      })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join(120000))
+    import scala.jdk.CollectionConverters._
+    val oc = outcomes.asScala.toSeq
+    assert(oc.size == 2)
+    val got = spark.read.format("gshard").load(d)
+      .agg(count(lit(1)), sum(col("id"))).head
+    // every committed writer's rows are PRESENT (the in-JVM table
+    // lock serializes local commits, so both should land); if one had
+    // failed, it failed loudly - either way no silent loss
+    val okWriters = oc.count(_.isRight)
+    assert(got.getLong(0) == 100L + 100L * okWriters)
+    assert(oc.forall {
+      case Right(_) => true
+      case Left(t) =>
+        var c: Throwable = t
+        while (c.getCause != null && !c.isInstanceOf[ConcurrentModificationException])
+          c = c.getCause
+        c.isInstanceOf[ConcurrentModificationException]
+    })
+  }
+
+  test("concurrent cold consumers: ensureStaged runs the build " +
+      "exactly once") {
+    val d = tmp("staged")
+    val built = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ths = (0 until 4).map(_ => new Thread(() =>
+      ShardFormat.ensureStaged(d) {
+        built.incrementAndGet()
+        ShardFormat.write(rows(0, 10), d, "id", 1)
+      }))
+    ths.foreach(_.start()); ths.foreach(_.join(60000))
+    assert(built.get() == 1)
+    assert(spark.read.format("gshard").load(d).count() == 10L)
+  }
+
+  test("stale ALTER TABLE fails after a concurrent mutation; the " +
+      "mutation's schema survives") {
+    val d = tmp("alter")
+    ShardFormat.write(rows(0, 100), d, "id", 2)
+    val stale = ShardFormat.readManifest(d)
+    rows(100, 120).write.format("gshard").option("rangecol", "id")
+      .mode("append").save(d)
+    intercept[ConcurrentModificationException] {
+      ShardFormat.publishManifest(d,
+        stale.copy(schema = org.apache.spark.sql.types.StructType(
+          stale.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "extra", org.apache.spark.sql.types.LongType))),
+        basedOn = stale.gen)
+    }
+    assert(ShardFormat.readManifest(d).schema.fieldNames.toSeq ==
+      Seq("id", "tag", "score"))
+  }
+
+  test("the loser's orphaned data files are re-swept by vacuum") {
+    val d = tmp("orphan")
+    ShardFormat.write(rows(0, 100), d, "id", 2) // gen 0
+    val stale = ShardFormat.readManifest(d)
+    rows(100, 200).write.format("gshard").option("rangecol", "id")
+      .mode("append").save(d) // gen 1
+    // simulate the loser's staged-but-never-published data file
+    val orphan = "part-loser00000.gshard"
+    Files.copy(Paths.get(d, stale.entries.head.file), Paths.get(d, orphan))
+    intercept[ConcurrentModificationException] {
+      ShardFormat.publishManifest(d, stale, basedOn = stale.gen)
+    }
+    val swept = ShardFormat.vacuum(d, keepVersions = 0)
+    assert(swept.contains(orphan))
+    assert(!Files.exists(Paths.get(d, orphan)))
+    // the table is unaffected
+    assert(spark.read.format("gshard").load(d).count() == 200L)
+  }
+}
