@@ -617,6 +617,11 @@ object SparkEntry {
     // parquet (float→double widening is exact)
     "q_shard_embed_roundtrip" ->
       q(t => graft.sources.SourceOps.qShardEmbedRoundtrip(t)),
+    // STRING-LIST columns: the tokenized corpus CTAS'd into the
+    // catalog, per-doc token count / chars / order-sensitive md5
+    // fingerprint hash-checked against a raw-parquet recount
+    "q_shard_tokens_roundtrip" ->
+      q(t => graft.sources.SourceOps.qShardTokensRoundtrip(t)),
     // row-level MERGE (upsert) riding the manifest txn machinery:
     // matched keys replace, unmatched insert, untouched files stay
     // physically untouched; replay-idempotent
@@ -5683,6 +5688,20 @@ object SparkEntry {
         | CAST(embedding[i] AS DOUBLE) AS val
         |FROM embeddings, (SELECT unnest(generate_series(1, 4096)) AS i) g
         |WHERE i <= len(embedding)""".stripMargin,
+    // per-doc recount of the whitespace tokenization that round-
+    // tripped through the gshard string-list column: token count,
+    // total token chars, and the order-sensitive fingerprint of the
+    // space-rejoined list (md5 agrees byte-for-byte across engines)
+    "q_shard_tokens_roundtrip" ->
+      """SELECT doc_id,
+        | CAST(len(toks) AS BIGINT) AS n_tok,
+        | CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+        |   AS BIGINT) AS token_chars,
+        | md5(array_to_string(toks, ' ')) AS tok_fp
+        |FROM (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |FROM documents)""".stripMargin,
     // the pushed top-N replays as a plain ORDER BY ... LIMIT
     "q_shard_topn" ->
       """SELECT event_id,

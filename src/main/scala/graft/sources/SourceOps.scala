@@ -1004,6 +1004,41 @@ object SourceOps {
       .select(col("vec_id"), col("pos").cast("long").as("pos"),
         col("val").cast("double").as("val"))
 
+  /** `q_shard_tokens_roundtrip` — the STRING-LIST column gate (r15
+    * verdict task #2): the engine's own tokenized corpus round-trips
+    * through its own storage. The whitespace tokenization of
+    * `documents` (the text_tokens recipe) is CTAS'd as
+    * `(doc_id, tokens array<string>)` through the gshard catalog,
+    * read back, and recounted PER DOC — token count, total token
+    * chars, and an ORDER-SENSITIVE md5 fingerprint of the space-
+    * rejoined list — against a DuckDB oracle that recomputes the same
+    * values from the raw parquet text. Any lost, reordered, split, or
+    * byte-corrupted token in any row diverges the hash. Map-only
+    * read-back: one scan, no shuffle; the build cost is the staged
+    * `_build` entry as for every layout. */
+  def qShardTokensRoundtrip(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val tbl = s"tok_${dirTag(t.dir)}"
+    graft.sources.shard.ShardFormat.ensureStaged(s"$wh/main/$tbl") {
+      val view = s"gshard_tok_src_$runId"
+      t.documents.select(col("doc_id"),
+        filter(split(col("text"), "\\s+"), tk => length(tk) > 0)
+          .as("tokens"))
+        .createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS SELECT * FROM $view")
+    }
+    spark.table(s"gshard_cat.main.$tbl")
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tok"),
+        aggregate(transform(col("tokens"), tk => length(tk).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("token_chars"),
+        md5(concat_ws(" ", col("tokens"))).as("tok_fp"))
+  }
+
   private def shardProjection(t: Tables): DataFrame =
     t.events.select(col("user_id"), col("event_type"),
       datediff(col("ts").cast("date"),
