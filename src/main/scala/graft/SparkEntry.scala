@@ -626,6 +626,10 @@ object SparkEntry {
     // matched keys replace, unmatched insert, untouched files stay
     // physically untouched; replay-idempotent
     "q_shard_merge" -> q(t => graft.sources.SourceOps.qShardMerge(t)),
+    // the same MERGE keyed on a STRING natural key: touched files
+    // bounded by the lexicographic string zone maps
+    "q_shard_merge_string" ->
+      q(t => graft.sources.SourceOps.qShardMergeString(t)),
     // generational VERSION AS OF reads (archive-on-publish); vacuum
     // retention spec'd in ShardMergeSpec
     "q_shard_time_travel" ->
@@ -5636,6 +5640,24 @@ object SparkEntry {
     // merge and the pure-SQL MERGE INTO (identical semantics by design)
     "q_shard_merge" -> shardMergeSql,
     "q_shard_sql_merge" -> shardMergeSql,
+    // the string-keyed merge replayed over the derived natural key
+    "q_shard_merge_string" ->
+      """WITH e AS (SELECT
+        |  'u' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS ukey,
+        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT max(day) // 2 AS thr FROM e),
+        |early AS (SELECT ukey, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        | FROM e, t WHERE day < thr GROUP BY 1),
+        |late AS (SELECT ukey, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        | FROM e, t WHERE day >= thr GROUP BY 1)
+        |SELECT * FROM late
+        |UNION ALL
+        |SELECT * FROM early WHERE NOT EXISTS
+        | (SELECT 1 FROM late WHERE late.ukey = early.ukey)
+        |ORDER BY ukey""".stripMargin,
     // the generation diff reclassified from raw events under the
     // merge's day split: late-only users insert, both-sides users
     // with changed stats update (no deletes in this feed)

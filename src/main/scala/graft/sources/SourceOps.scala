@@ -785,6 +785,41 @@ object SourceOps {
          |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** `q_shard_merge_string` — the same MERGE shape keyed on a STRING
+    * natural key (r15 verdict task #3: string/timestamp/date/decimal
+    * keys are the common CDC shape). The base table clusters on the
+    * string key through the DSv2 range write (Spark's range exchange
+    * orders strings natively; per-file STRING zone maps fold at
+    * write), and [[graft.sources.shard.ShardOps.upsert]] bounds the
+    * touched set with a lexicographic range join against those
+    * bounds — like-for-like with the long path, exact because the
+    * zone order IS Spark's string order (UTF-8 binary). The zero-pad
+    * in the key keeps lexicographic == numeric order, so the
+    * clustering stays selective. Replay-idempotent via its own txn
+    * slot; oracle replays MERGE as late ∪ (early ∖ late-keys). */
+  def qShardMergeString(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_upsert_str_${dirTag(t.dir)}")
+    val e = t.events.select(
+      concat(lit("u"), lpad(col("user_id").cast("string"), 8, "0"))
+        .as("ukey"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val bounds = e.agg(max(col("day"))).head
+    val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
+    def stats(f: DataFrame): DataFrame = f.groupBy(col("ukey"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
+      stats(e.filter(col("day") < thr)).write.format("gshard")
+        .option("rangecol", "ukey").option("shards", 8)
+        .mode("overwrite").save(dir)
+    }
+    graft.sources.shard.ShardOps.upsert(t.spark, dir,
+      stats(e.filter(col("day") >= thr)), "ukey",
+      txnId = 1L, txnApp = Some("merge_str_gate"))
+    t.spark.read.format("gshard").load(dir).orderBy(col("ukey"))
+  }
+
   /** `q_shard_merge` — row-level MERGE (upsert) through the gshard
     * connector ([[graft.sources.shard.ShardOps.upsert]]): the base
     * table holds per-user stats over the EARLY half of the corpus

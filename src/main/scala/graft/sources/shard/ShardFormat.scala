@@ -8,7 +8,7 @@ import java.util.Base64
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
@@ -503,29 +503,30 @@ object ShardFormat {
     * Nothing is visible to readers until a manifest names the files. */
   private[shard] def writeData(df: DataFrame, dir: String, rangeCol: String,
       nShards: Int, chunkRows: Int = DefaultChunkRows,
-      prefix: String = "", bloomCols: Set[String] = Set.empty)
+      prefix: String = "", bloomCols: Set[String] = Set.empty,
+      rangeExpr: Option[Column] = None)
       : Seq[ShardEntry] = {
     val schema = df.schema
-    val bounds = df.agg(min(col(rangeCol)), max(col(rangeCol))).head()
+    // the CLUSTERING key as a storage long: the column itself for the
+    // long/int default, or a caller-supplied exact storage encoding
+    // (micros/days/unscaled — or a lexicographic prefix for string
+    // keys, where the long only drives LOCALITY and the real string
+    // zone maps drive pruning)
+    val rk = rangeExpr.getOrElse(col(rangeCol)).cast("long")
+    val bounds = df.agg(min(rk), max(rk)).head()
     // empty input: zero shard files
     if (bounds.isNullAt(0)) return Seq.empty
-    // long OR int range columns (upsert permits int id keys; a bare
-    // getLong would ClassCastException on the boxed Integer)
-    def longAt(i: Int): Long = bounds.get(i) match {
-      case l: java.lang.Long => l.longValue()
-      case n: java.lang.Integer => n.longValue()
-      case other => throw new IllegalArgumentException(
-        s"gshard: range column $rangeCol must be long/int, got $other")
-    }
-    val (lo, hi) = (longAt(0), longAt(1))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / nShards + 1)
 
     val names = schema.fieldNames.toSeq
     val statRows = df
       // integer DIV, not double division: a double quotient loses
       // exactness past 2^53 and would misassign shards at key scale
+      .withColumn("__rk", rk)
       .withColumn("__shard",
-        expr(s"CAST(($rangeCol - ${lo}L) DIV ${width}L AS INT)"))
+        expr(s"CAST((__rk - ${lo}L) DIV ${width}L AS INT)"))
+      .drop("__rk")
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard") +: names.map(col): _*)
       .mapPartitions { it =>

@@ -53,15 +53,32 @@ object ShardOps {
     require(a == b,
       s"gshard merge schema mismatch: table=${head.schema.catalogString} " +
         s"updates=${updates.schema.catalogString}")
-    // v1 merge keys: integral id columns (the CDC key shape) — their
-    // VALUE is the storage long the zone maps hold, so the touched-
-    // file range join below is exact; timestamp/date/decimal keys
-    // would need their catalyst-internal encodings here and reject
-    // until someone needs them
+    // merge keys: every type whose STORAGE ordering the zone maps
+    // index — long/int ids, timestamp (micros), date (days),
+    // decimal≤18 (unscaled: p ≤ 18 ⇒ unscaled < 10¹⁸ < 2⁶³, the
+    // ×10^scale never overflows), and STRING natural keys (the common
+    // CDC shape), whose file-grain string zone maps bound the touched
+    // set in the lexicographic domain directly. timestamp_ntz has no
+    // column-level storage-long expression and rejects until needed.
+    import org.apache.spark.sql.types._
     val keyType = head.schema(keyCol).dataType
-    require(keyType == org.apache.spark.sql.types.LongType ||
-        keyType == org.apache.spark.sql.types.IntegerType,
-      s"gshard merge key $keyCol must be a long/int id column, got $keyType")
+    val isStringKey = keyType == StringType
+    // the key's EXACT storage-long encoding as a column expression —
+    // the domain the manifest zone maps hold, so the touched-file
+    // range join below compares like with like
+    def storageKey(c: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column = keyType match {
+      case LongType | IntegerType => c.cast("long")
+      case TimestampType => unix_micros(c)
+      case DateType => unix_date(c).cast("long")
+      case d: DecimalType if d.precision <= 18 =>
+        (c * lit(new java.math.BigDecimal(
+          java.math.BigInteger.TEN.pow(d.scale)))).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"gshard merge key $keyCol must be long/int/timestamp/date/" +
+          s"decimal(<=18)/string, got $other")
+    }
+    if (!isStringKey) storageKey(lit(null).cast(keyType)) // validate type
 
     // the Delta duplicate-source-row check: MERGE is ill-defined when
     // two source rows hit one target key — fail loudly, never
@@ -76,21 +93,35 @@ object ShardOps {
         s"(${if (dup.isEmpty) "" else dup(0).toString})")
 
     // 1. touched files off the manifest zone maps (metadata-scale):
-    // files with NO recorded key bounds (all-null or pre-stats) are
-    // conservatively touched — they may hold anything
+    // files with NO recorded key bounds (all-null, pre-stats, or a
+    // cap-degraded string bound) are conservatively touched — they
+    // may hold anything. Long-encoded keys range-join in the storage
+    // long domain; string keys in the lexicographic domain (Spark's
+    // string comparison is UTF-8 binary order — the same order the
+    // string zone maps were folded in, so the join is exact).
     import spark.implicits._
-    val unbounded = head.entries
-      .filter(e => !e.zMin.contains(keyCol)).map(_.file)
-    val rangesDf = head.entries
-      .flatMap(e => e.zMin.get(keyCol).map(lo =>
-        (e.file, lo, e.zMax(keyCol))))
-      .toDF("file", "lo", "hi")
-    // update keys in the storage long domain (micros/days/unscaled…)
-    val keysLong = updates
-      .select(col(keyCol).cast("long").as("k")) // long-encoded families
+    val unbounded = head.entries.filter(e =>
+      if (isStringKey) !e.sMin.contains(keyCol)
+      else !e.zMin.contains(keyCol)).map(_.file)
+    val rangesDf =
+      if (isStringKey) head.entries
+        .flatMap(e => e.sMin.get(keyCol).map(lo =>
+          (e.file,
+            new String(ShardFormat.unb64(lo),
+              java.nio.charset.StandardCharsets.UTF_8),
+            new String(ShardFormat.unb64(e.sMax(keyCol)),
+              java.nio.charset.StandardCharsets.UTF_8))))
+        .toDF("file", "lo", "hi")
+      else head.entries
+        .flatMap(e => e.zMin.get(keyCol).map(lo =>
+          (e.file, lo, e.zMax(keyCol))))
+        .toDF("file", "lo", "hi")
+    val keysDf =
+      if (isStringKey) updates.select(col(keyCol).as("k"))
+      else updates.select(storageKey(col(keyCol)).as("k"))
     val touchedBounded: Seq[String] =
       if (head.entries.isEmpty) Seq.empty
-      else keysLong
+      else keysDf
         .join(broadcast(rangesDf),
           col("k") >= col("lo") && col("k") <= col("hi"))
         .select(col("file")).distinct().as[String].collect().toSeq
@@ -119,11 +150,22 @@ object ShardOps {
     val outAligned = out
       .select(head.schema.fieldNames.map(col).toIndexedSeq: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // clustering expression for the rewrite: the exact storage long
+    // for long-encoded keys; for STRING keys a big-endian 7-byte
+    // prefix (hex left-justified, zero-padded — monotone in UTF-8
+    // byte order), which drives LOCALITY only: correctness always
+    // comes from the real string zone maps the writer folds per file
+    val clusterExpr =
+      if (isStringKey)
+        conv(rpad(substring(hex(encode(col(keyCol), "UTF-8")), 1, 14),
+          14, "0"), 16, 10).cast("long")
+      else storageKey(col(keyCol))
     val fresh =
       try ShardFormat.writeData(outAligned, dir, keyCol, shards,
         prefix = prefix,
         // rewritten files keep the table's bloom set (manifest-derived)
-        bloomCols = head.entries.flatMap(_.bloom.keys).toSet)
+        bloomCols = head.entries.flatMap(_.bloom.keys).toSet,
+        rangeExpr = Some(clusterExpr))
       finally outAligned.unpersist()
 
     // 3./4. generational publish with the txn slot advanced

@@ -235,4 +235,95 @@ class ShardMergeSpec extends SparkSpec {
     assert(swept.nonEmpty)
     assert(spark.read.format("gshard").load(d).count() == 201L)
   }
+
+  test("STRING-keyed upsert: lexicographic zone maps bound the " +
+      "touched set, untouched files stay physically identical, " +
+      "replay is idempotent") {
+    val sess = spark
+    import sess.implicits._
+    val d = tmp("strkey")
+    // keys k0000..k0999 — zero-padded so lexicographic == numeric
+    val base = (0 until 1000).map(i => (f"k$i%04d", i.toLong))
+      .toDF("key", "score")
+    base.write.format("gshard").option("rangecol", "key")
+      .option("shards", 8).mode("overwrite").save(d)
+    val before = ShardFormat.readManifest(d)
+    assert(before.entries.forall(_.sMin.contains("key")),
+      "string zone maps must fold at write")
+    // updates hit only the TOP of the key space + one new key
+    val upd = ((990 until 1000).map(i => (f"k$i%04d", -1L)) :+
+      (("zz_new", 7L))).toDF("key", "score")
+    ShardOps.upsert(spark, d, upd, "key", txnId = 1, txnApp = Some("s"))
+    val after = ShardFormat.readManifest(d)
+    // untouched files carried over verbatim (lexicographic bounding)
+    val touched = before.entries.filter(e =>
+      new String(ShardFormat.unb64(e.sMax("key")), "UTF-8") >= "k0990")
+      .map(_.file).toSet
+    assert(touched.nonEmpty && touched.size < before.entries.size)
+    assert(after.entries.map(_.file).toSet
+      .intersect(before.entries.map(_.file).toSet) ==
+      before.entries.map(_.file).toSet -- touched)
+    val got = spark.read.format("gshard").load(d).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size == 1001)
+    assert(got("k0995") == -1L && got("zz_new") == 7L && got("k0100") == 100L)
+    // replay no-ops on the txn slot
+    val gen = after.gen
+    ShardOps.upsert(spark, d, upd, "key", txnId = 1, txnApp = Some("s"))
+    assert(ShardFormat.readManifest(d).gen == gen)
+  }
+
+  test("DATE- and DECIMAL-keyed upserts merge in the storage-long " +
+      "domain (days / unscaled)") {
+    val sess = spark
+    import sess.implicits._
+    val dd = tmp("datekey")
+    val dbase = (0 until 200).map(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+        .plusDays(i.toLong)), i.toLong)).toDF("day", "n")
+    dbase.write.format("gshard").option("rangecol", "day")
+      .option("shards", 4).mode("overwrite").save(dd)
+    val before = ShardFormat.readManifest(dd)
+    ShardOps.upsert(spark, dd, Seq(
+      (java.sql.Date.valueOf("2024-01-05"), -5L),
+      (java.sql.Date.valueOf("2025-12-31"), 99L)).toDF("day", "n"), "day")
+    val after = ShardFormat.readManifest(dd)
+    // only the file holding 2024-01-05 rewrote
+    assert(after.entries.map(_.file).toSet
+      .intersect(before.entries.map(_.file).toSet).size ==
+      before.entries.size - 1)
+    val gotD = spark.read.format("gshard").load(dd).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(gotD.size == 201 && gotD("2024-01-05") == -5L &&
+      gotD("2025-12-31") == 99L && gotD("2024-01-06") == 5L)
+
+    val dc = tmp("deckey")
+    val cbase = (0 until 100).map(i =>
+      (BigDecimal(i) / 100, i.toLong)).toDF("price", "n")
+      .select(col("price").cast("decimal(10,2)").as("price"), col("n"))
+    cbase.write.format("gshard").option("rangecol", "price")
+      .option("shards", 4).mode("overwrite").save(dc)
+    ShardOps.upsert(spark, dc,
+      Seq((BigDecimal("0.05"), -1L), (BigDecimal("9.99"), 42L))
+        .toDF("price", "n")
+        .select(col("price").cast("decimal(10,2)").as("price"), col("n")),
+      "price")
+    val gotC = spark.read.format("gshard").load(dc).collect()
+      .map(r => r.getDecimal(0).toPlainString -> r.getLong(1)).toMap
+    assert(gotC.size == 101 && gotC("0.05") == -1L && gotC("9.99") == 42L &&
+      gotC("0.06") == 6L)
+  }
+
+  test("unsupported merge key types reject with a named error") {
+    val sess = spark
+    import sess.implicits._
+    val d = tmp("badkey")
+    val base = Seq((1.5, 1L), (2.5, 2L)).toDF("v", "n")
+    base.write.format("gshard").option("rangecol", "n")
+      .mode("overwrite").save(d)
+    val ex = intercept[IllegalArgumentException] {
+      ShardOps.upsert(spark, d, Seq((1.5, 9L)).toDF("v", "n"), "v")
+    }
+    assert(ex.getMessage.contains("merge key"))
+  }
 }
