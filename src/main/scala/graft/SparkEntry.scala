@@ -638,6 +638,10 @@ object SparkEntry {
     // copy-on-write rewrite); shares q_shard_merge's oracle — the
     // API path and the SQL path must land the identical table
     "q_shard_sql_merge" -> q(t => graft.sources.SourceOps.qShardSqlMerge(t)),
+    // MERGE with WHEN NOT MATCHED BY SOURCE: the snapshot-apply shape
+    // (update + insert + delete/zero by absence in one statement)
+    "q_shard_sql_merge_full" ->
+      q(t => graft.sources.SourceOps.qShardSqlMergeFull(t)),
     // pure SQL UPDATE via the rewrite: idempotent redaction
     "q_shard_sql_update" -> q(t => graft.sources.SourceOps.qShardSqlUpdate(t)),
     // change data between two retained generations (readChangeData
@@ -5640,6 +5644,25 @@ object SparkEntry {
     // merge and the pure-SQL MERGE INTO (identical semantics by design)
     "q_shard_merge" -> shardMergeSql,
     "q_shard_sql_merge" -> shardMergeSql,
+    // snapshot-apply MERGE: late stats win, early-only users either
+    // purge (n_events < 3) or keep with cents zeroed
+    "q_shard_sql_merge_full" ->
+      """WITH e AS (SELECT user_id,
+        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT max(day) // 2 AS thr FROM e),
+        |early AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        | FROM e, t WHERE day < thr GROUP BY 1),
+        |late AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        | FROM e, t WHERE day >= thr GROUP BY 1)
+        |SELECT * FROM late
+        |UNION ALL
+        |SELECT user_id, n_events, CAST(0 AS BIGINT) AS cents
+        | FROM early WHERE n_events >= 3 AND NOT EXISTS
+        | (SELECT 1 FROM late WHERE late.user_id = early.user_id)
+        |ORDER BY user_id""".stripMargin,
     // the string-keyed merge replayed over the derived natural key
     "q_shard_merge_string" ->
       """WITH e AS (SELECT

@@ -893,6 +893,50 @@ object SourceOps {
     * result is stable across bench/verify re-runs. Shares
     * `q_shard_merge`'s oracle verbatim — the API path and the SQL
     * path must land the identical table. */
+  /** `q_shard_sql_merge_full` — MERGE with `WHEN NOT MATCHED BY
+    * SOURCE` (r15 verdict task #4): the snapshot-apply / full-sync
+    * shape, the second most common MERGE after upsert. Base = early-
+    * half per-user stats; source = late-half stats. One statement:
+    * matched UPDATE, unmatched INSERT, and rows ABSENT from the
+    * source either DELETE (thin early-only users, n_events < 3) or
+    * get their cents zeroed (kept-but-stale marker) — all three
+    * by-absence behaviors through the same group-based copy-on-write
+    * ReplaceData plan. IDEMPOTENT fixed point: re-running re-zeroes
+    * zeros and re-updates identical rows (the delete guard reads
+    * n_events, which the zeroing never touches), so replay is stable.
+    * Oracle composes late ∪ (early-only, n≥3, cents→0). */
+  def qShardSqlMergeFull(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val tbl = s"sqlmergefull_${dirTag(t.dir)}"
+    val e = t.events.select(col("user_id"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val bounds = e.agg(max(col("day"))).head
+    val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
+    def stats(f: DataFrame): DataFrame = f.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"))
+    graft.sources.shard.ShardFormat.ensureStaged(s"$wh/main/$tbl") {
+      val view = s"gshard_sqlmergefull_base_$runId"
+      stats(e.filter(col("day") < thr)).createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS SELECT * FROM $view")
+    }
+    val src = s"gshard_sqlmergefull_src_$runId"
+    stats(e.filter(col("day") >= thr)).createOrReplaceTempView(src)
+    spark.sql(
+      s"""MERGE INTO gshard_cat.main.$tbl AS tgt USING $src AS src
+         |ON tgt.user_id = src.user_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE AND tgt.n_events < 3 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET cents = 0""".stripMargin)
+    spark.table(s"gshard_cat.main.$tbl").orderBy(col("user_id"))
+  }
+
   def qShardSqlMerge(t: Tables): DataFrame = {
     val spark = t.spark
     val wh = staging("gshard_warehouse")

@@ -178,4 +178,54 @@ class ShardRowLevelSpec extends SparkSpec {
     ShardFormat.readManifest(d).entries.foreach(e =>
       assert(counts(e.file) == e.rows, e.file))
   }
+
+  test("MERGE with WHEN NOT MATCHED BY SOURCE THEN DELETE: the " +
+      "snapshot-apply shape — update, insert, and delete-by-absence " +
+      "in one statement; pre-op generation still readable") {
+    val sess = spark
+    import sess.implicits._
+    val t = freshTable("fullsync", 100)
+    val d = s"$warehouse/main/fullsync"
+    val genBefore = ShardFormat.readManifest(d).gen
+    // source snapshot: keys 50..119 — 50..99 update, 100..119 insert,
+    // target rows 0..49 are absent from the source -> DELETE
+    (50L until 120L).map(i => (i, s"S$i", 99L))
+      .toDF("id", "tag", "grp").createOrReplaceTempView("rls_sync_src")
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING rls_sync_src AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == (50L until 120L).map(i => (i, s"S$i", 99L)).toSet)
+    // the pre-sync generation still reads the full pre-merge table
+    val pre = spark.sql(
+      s"SELECT count(*) FROM $t VERSION AS OF $genBefore").head.getLong(0)
+    assert(pre == 100L)
+  }
+
+  test("conditional NOT MATCHED BY SOURCE (UPDATE and guarded " +
+      "DELETE) lands exact rows") {
+    val sess = spark
+    import sess.implicits._
+    val t = freshTable("condsync", 60)
+    (40L until 50L).map(i => (i, s"S$i", 1L))
+      .toDF("id", "tag", "grp").createOrReplaceTempView("rls_cond_src")
+    // absent rows: id < 10 delete; 10 <= id < 40 get tag='stale';
+    // 50..59 also absent -> 'stale'
+    spark.sql(
+      s"""MERGE INTO $t AS tgt USING rls_cond_src AS src
+         |ON tgt.id = src.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED BY SOURCE AND tgt.id < 10 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET tag = 'stale'""".stripMargin)
+    val got = spark.table(t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 50)
+    assert(!got.contains(0L) && !got.contains(9L))
+    assert(got(10L) == "stale" && got(39L) == "stale" && got(55L) == "stale")
+    assert(got(45L) == "S45")
+  }
 }
