@@ -663,6 +663,9 @@ object SparkEntry {
     // ... and as a streaming SOURCE (MicroBatchStream over the
     // append-ordered manifest, admission-controlled) — pair #27
     "stream_shard_source" -> q(t => graft.streaming.Streaming.streamShardSource(t)),
+    // the gshard change feed as a STREAM (offsets = generations),
+    // classified per batch; shares the batch diff's oracle
+    "stream_shard_cdc" -> q(t => graft.streaming.Streaming.streamShardCdc(t)),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
@@ -1179,6 +1182,29 @@ object SparkEntry {
   /** Shared by `q_shard_merge` (the ShardOps.upsert API path) and
     * `q_shard_sql_merge` (pure SQL MERGE INTO through the row-level
     * rewrite): MERGE replayed as late ∪ (early ∖ late-keys). */
+  /** Shared by `q_shard_generation_diff` and `stream_shard_cdc`
+    * (equivalence pair: the batch time-travel diff and the streamed
+    * change feed must land identical change rows). */
+  private val shardGenDiffSql: String =
+    """WITH e AS (SELECT user_id,
+        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT max(day) // 2 AS thr FROM e),
+        |early AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        | FROM e, t WHERE day < thr GROUP BY 1),
+        |late AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS c
+        | FROM e, t WHERE day >= thr GROUP BY 1)
+        |SELECT l.user_id,
+        | CASE WHEN eu.user_id IS NULL THEN 'insert'
+        |      WHEN eu.n <> l.n OR eu.c <> l.c THEN 'update'
+        |      ELSE 'unchanged' END AS change_type,
+        | l.n AS n_events, l.c AS cents
+        |FROM late l LEFT JOIN early eu ON eu.user_id = l.user_id
+        |WHERE NOT (eu.user_id IS NOT NULL AND eu.n = l.n AND eu.c = l.c)
+        |ORDER BY 1""".stripMargin
+
   private val shardMergeSql: String =
     """WITH e AS (SELECT user_id,
       |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
@@ -5684,25 +5710,7 @@ object SparkEntry {
     // the generation diff reclassified from raw events under the
     // merge's day split: late-only users insert, both-sides users
     // with changed stats update (no deletes in this feed)
-    "q_shard_generation_diff" ->
-      """WITH e AS (SELECT user_id,
-        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
-        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
-        |t AS (SELECT max(day) // 2 AS thr FROM e),
-        |early AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS c
-        | FROM e, t WHERE day < thr GROUP BY 1),
-        |late AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS c
-        | FROM e, t WHERE day >= thr GROUP BY 1)
-        |SELECT l.user_id,
-        | CASE WHEN eu.user_id IS NULL THEN 'insert'
-        |      WHEN eu.n <> l.n OR eu.c <> l.c THEN 'update'
-        |      ELSE 'unchanged' END AS change_type,
-        | l.n AS n_events, l.c AS cents
-        |FROM late l LEFT JOIN early eu ON eu.user_id = l.user_id
-        |WHERE NOT (eu.user_id IS NOT NULL AND eu.n = l.n AND eu.c = l.c)
-        |ORDER BY 1""".stripMargin,
+    "q_shard_generation_diff" -> shardGenDiffSql,
     // the SQL UPDATE's redaction recomputed over raw events
     "q_shard_sql_update" ->
       """WITH e AS (SELECT user_id, event_type,
@@ -5790,6 +5798,7 @@ object SparkEntry {
     // the streaming-SOURCE twin tails the same table back out through
     // the connector's MicroBatchStream (pair #27) — same oracle
     "stream_shard_source" -> shardRollupSql,
+    "stream_shard_cdc" -> shardGenDiffSql,
     // the merged two-batch read must reconcile with the original table:
     // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
     "q_schema_evolution" ->

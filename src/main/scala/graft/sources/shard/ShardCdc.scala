@@ -1,0 +1,250 @@
+package graft.sources.shard
+
+import java.util
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
+  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition,
+  PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField,
+  StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** STREAMING CHANGE-DATA-FEED over gshard generations (r15 verdict
+  * task #5 — the Delta CDF-as-stream shape, B60's batch diff made a
+  * `MicroBatchStream`):
+  *
+  * {{{
+  *   spark.readStream.format("gshard-cdc")
+  *     .option("startingversion", 0)   // default: head at query start
+  *     .load(dir)
+  * }}}
+  *
+  * OFFSETS ARE GENERATIONS. A micro-batch (a, b] emits the NET file
+  * delta between retained generations a and b as ±side-tagged rows:
+  * every row of a file present in b but not a carries
+  * `_change_side = +1`, every row of a file present in a but not b
+  * carries `-1`, plus `_commit_version = b`. Net composition is exact
+  * across multi-generation batches because file names never recur
+  * (append names are queryId-scoped, rewrite names generation-
+  * scoped): adds/removes are plain set differences of the two
+  * manifests. [[ShardCdc.classify]] folds a ±batch into B60's
+  * insert/update/delete change rows (rewritten-but-unchanged rows —
+  * upsert survivors — cancel out and are suppressed).
+  *
+  * Generations are IMMUTABLE retained manifests, so a batch replans
+  * byte-identically on restart (checkpoint resume is exact); a
+  * vacuumed starting generation fails loudly in readManifestVersion —
+  * never a partial feed. Reads honor the generation SCHEMAS
+  * (append-only evolution: older files decode as a column prefix).
+  * Zone skipping is irrelevant here — a CDC feed forwards everything.
+  */
+class ShardCdcDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "gshard-cdc"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("gshard-cdc: path required"))
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardCdc.feedSchema(ShardFormat.readManifest(dirOf(options)).schema)
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new ShardCdcTable(dirOf(opts), schema,
+      Option(opts.get("startingversion")).map(_.toLong))
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object ShardCdc {
+  val SideCol = "_change_side"
+  val VersionCol = "_commit_version"
+
+  def feedSchema(table: StructType): StructType = {
+    require(!table.fieldNames.contains(SideCol) &&
+      !table.fieldNames.contains(VersionCol),
+      s"gshard-cdc: table schema shadows $SideCol/$VersionCol")
+    StructType(table.fields ++ Seq(
+      StructField(SideCol, IntegerType, nullable = false),
+      StructField(VersionCol, LongType, nullable = false)))
+  }
+
+  /** Fold one ±batch of the feed into B60's change rows: per key, the
+    * net old (−1) and new (+1) images full-outer-join and classify
+    * insert / update / delete, with unchanged images suppressed
+    * (upsert survivors appear identically on both sides and cancel).
+    * A plain batch transformation — the `foreachBatch` consumer shape.
+    * `valueCols` defaults to every non-key, non-feed column. */
+  def classify(batch: DataFrame, keyCol: String,
+      valueCols: Seq[String] = Seq.empty): DataFrame = {
+    val vals =
+      if (valueCols.nonEmpty) valueCols
+      else batch.columns.toSeq
+        .filterNot(c => c == keyCol || c == SideCol || c == VersionCol)
+    // ONE keyed aggregation, no self-join: each key's old (−1) and
+    // new (+1) images fold as conditional structs (max over the ≤1
+    // non-null image per side — a key appears at most once per
+    // generation in a CDC-keyed table). Map-side combinable; also
+    // avoids the conflicting-attribute self-join a memory-sink view
+    // cannot resolve.
+    val folded = batch.groupBy(col(keyCol)).agg(
+      max(when(col(SideCol) === -1,
+        struct(vals.map(col): _*))).as("__o"),
+      max(when(col(SideCol) === 1,
+        struct(vals.map(col): _*))).as("__n"))
+    folded
+      .withColumn("change_type",
+        when(col("__o").isNull && col("__n").isNull, lit("unchanged"))
+          .when(col("__o").isNull, lit("insert"))
+          .when(col("__n").isNull, lit("delete"))
+          .when(!(col("__o") <=> col("__n")), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change_type") =!= "unchanged")
+      .select(col(keyCol) +: col("change_type") +:
+        vals.map(c => col(s"__n.$c").as(c)): _*)
+  }
+}
+
+private[shard] class ShardCdcTable(dir: String, schema: StructType,
+    startingVersion: Option[Long]) extends Table with SupportsRead {
+  override def name(): String = s"gshard-cdc $dir"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ScanBuilder {
+    override def build(): Scan = new Scan {
+      override def readSchema(): StructType = schema
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new ShardCdcMicroBatchStream(dir, schema, startingVersion)
+      override def description(): String = s"gshard-cdc $dir"
+    }
+  }
+}
+
+/** Offsets are GENERATION NUMBERS; batch (a, b] = the net manifest
+  * delta between the two retained generations. */
+private[shard] class ShardCdcMicroBatchStream(dir: String,
+    feedSchema: StructType, startingVersion: Option[Long])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset}
+
+  private val tableSchema =
+    StructType(feedSchema.fields.dropRight(2))
+
+  // AvailableNow: freeze the drain target at query start — the
+  // bounded run drains up to the head generation it saw and stops
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(ShardFormat.readManifest(dir).gen)
+
+  override def initialOffset(): SOffset = {
+    val head = ShardFormat.readManifest(dir).gen
+    val start = startingVersion match {
+      case Some(v) =>
+        require(v >= 0 && v <= head,
+          s"gshard-cdc: startingversion $v not committed (head $head)")
+        // fail NOW if the base generation was vacuumed, not mid-feed
+        ShardFormat.readManifestVersion(dir, Some(v))
+        v
+      case None => head // forward-only feed from the current head
+    }
+    ShardOffset(start.toInt)
+  }
+
+  override def deserializeOffset(json: String): SOffset =
+    ShardOffset(json.trim.toInt)
+
+  override def latestOffset(): SOffset =
+    ShardOffset(availableNowCap
+      .getOrElse(ShardFormat.readManifest(dir).gen).toInt)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: SOffset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : SOffset = latestOffset()
+
+  override def planInputPartitions(start: SOffset,
+      end: SOffset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[ShardOffset].n.toLong,
+      end.asInstanceOf[ShardOffset].n.toLong)
+    if (a == b) return Array.empty
+    require(a < b, s"gshard-cdc: offsets ran backwards ($a > $b)")
+    val ma = ShardFormat.readManifestVersion(dir, Some(a))
+    val mb = ShardFormat.readManifestVersion(dir, Some(b))
+    val aFiles = ma.entries.map(_.file).toSet
+    val bFiles = mb.entries.map(_.file).toSet
+    // every file decodes under the FEED schema (append-only
+    // evolution: an older file carries a column prefix and reads the
+    // rest as NULL — the file header, not the manifest, is
+    // authoritative for its own width)
+    val tags = tableSchema.fields.map(f =>
+      (f.name, ShardFormat.typeTag(f.dataType)))
+    def parts(m: ShardFormat.Manifest, names: Set[String], side: Int)
+        : Seq[InputPartition] =
+      m.entries.filter(e => names(e.file)).map { e =>
+        ShardCdcInputPartition(
+          ShardInputPartition(s"$dir/${e.file}", tags,
+            tableSchema.fieldNames),
+          side, b)
+      }
+    (parts(mb, bFiles -- aFiles, 1) ++
+      parts(ma, aFiles -- bFiles, -1)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardCdcReaderFactory(
+      tableSchema.fields.map(f => ShardFormat.typeTag(f.dataType)))
+
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[shard] final case class ShardCdcInputPartition(
+    inner: ShardInputPartition, side: Int, version: Long)
+  extends InputPartition
+
+private[shard] class ShardCdcReaderFactory(tableTags: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardCdcInputPartition]
+    val inner = new ShardPartitionReader(p.inner)
+    val types = tableTags.map(ShardFormat.dataTypeOf)
+    val n = tableTags.length
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val r = inner.get()
+        val out = new Array[Any](n + 2)
+        var i = 0
+        while (i < n) {
+          out(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
+          i += 1
+        }
+        out(n) = p.side
+        out(n + 1) = p.version
+        InternalRow.fromSeq(out.toIndexedSeq)
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -1795,6 +1795,31 @@ object Streaming {
     * with the sink twin — stream/batch equivalence pair #27, and
     * together with X28 closes the loop: the connector serves BOTH
     * ends of a streaming pipeline. */
+  /** X54 — `stream_shard_cdc`: the gshard CHANGE DATA FEED consumed
+    * as a STREAM (r15 verdict task #5) — offsets are generations,
+    * each micro-batch the net ±file delta between retained manifests.
+    * The staged merge table (gen 0 = early stats, head = merged)
+    * streams its feed from version 0 with Trigger.AvailableNow; the
+    * drained ±rows classify into B60's insert/update/delete rows
+    * ([[graft.sources.shard.ShardCdc.classify]] — the foreachBatch
+    * consumer shape, here applied to the one drained batch). Shares
+    * `q_shard_generation_diff`'s oracle verbatim — equivalence pair:
+    * the stream and the batch time-travel diff must land identical
+    * change rows. */
+  def streamShardCdc(t: Tables): DataFrame = {
+    import graft.sources.shard.ShardCdc
+    graft.sources.SourceOps.qShardMerge(t) // stage: gen 0 + merged head
+    val dir = graft.sources.SourceOps.staging(
+      s"gshard_upsert_${graft.sources.SourceOps.dirTag(t.dir)}")
+    val feed = t.spark.readStream.format("gshard-cdc")
+      .option("startingversion", "0").load(dir)
+    val drained = drainToTable(feed, "append")
+    ShardCdc.classify(drained, "user_id")
+      .select(col("user_id"), col("change_type"),
+        col("n_events"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
   def streamShardSource(t: Tables): DataFrame = {
     val dir = graft.sources.SourceOps.shardTable(t)
     val src = t.spark.readStream.format("gshard")
