@@ -642,6 +642,10 @@ object SparkEntry {
     // (update + insert + delete/zero by absence in one statement)
     "q_shard_sql_merge_full" ->
       q(t => graft.sources.SourceOps.qShardSqlMergeFull(t)),
+    // DROP + RENAME COLUMN evolution, zero data rewrite: head reads
+    // the new shape across pre/post-drop files, VERSION AS OF the old
+    "q_shard_schema_drop" ->
+      q(t => graft.sources.SourceOps.qShardSchemaDrop(t)),
     // pure SQL UPDATE via the rewrite: idempotent redaction
     "q_shard_sql_update" -> q(t => graft.sources.SourceOps.qShardSqlUpdate(t)),
     // change data between two retained generations (readChangeData
@@ -5670,6 +5674,24 @@ object SparkEntry {
     // merge and the pure-SQL MERGE INTO (identical semantics by design)
     "q_shard_merge" -> shardMergeSql,
     "q_shard_sql_merge" -> shardMergeSql,
+    // both rollups recomputed from raw events: the head part spans
+    // all days (the dropped column is gone, the renamed one carries
+    // the values), the v1 part replays the pre-drop early half
+    "q_shard_schema_drop" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |  (CAST(ts AS DATE) - DATE '2024-01-01') AS day,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |t AS (SELECT max(day) // 2 AS thr FROM e)
+        |SELECT 'head_day' AS part, CAST(day AS VARCHAR) AS k,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e GROUP BY day
+        |UNION ALL
+        |SELECT 'v1_type' AS part, event_type AS k,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(cents) AS BIGINT) AS value_cents
+        |FROM e, t WHERE day < thr GROUP BY event_type
+        |ORDER BY part, k""".stripMargin,
     // snapshot-apply MERGE: late stats win, early-only users either
     // purge (n_events < 3) or keep with cents zeroed
     "q_shard_sql_merge_full" ->

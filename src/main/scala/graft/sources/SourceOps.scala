@@ -893,6 +893,58 @@ object SourceOps {
     * result is stable across bench/verify re-runs. Shares
     * `q_shard_merge`'s oracle verbatim — the API path and the SQL
     * path must land the identical table. */
+  /** `q_shard_schema_drop` — DROP + RENAME COLUMN evolution (r15
+    * verdict task #6), both ZERO data rewrite (positional blocks:
+    * DROP tombstones the slot, RENAME rekeys manifest schema+stats):
+    * the staged table CTASes the EARLY event projection WITH
+    * event_type, drops event_type, appends the LATE half (new files
+    * write a null block in the tombstone slot), then renames cents →
+    * value_cents. The readout unions the HEAD per-day rollup (all
+    * days, under the NEW name, across pre- and post-drop files) with
+    * the PRE-DROP generation's per-type rollup via VERSION AS OF
+    * (the dropped column still reads there). The oracle recomputes
+    * both parts from raw events. */
+  def qShardSchemaDrop(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val tbl = s"evodrop_${dirTag(t.dir)}"
+    val e = t.events.select(col("user_id"), col("event_type"),
+      datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
+      floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+    val bounds = e.agg(max(col("day"))).head
+    val thr = if (bounds.isNullAt(0)) 0L else bounds.getLong(0) / 2
+    graft.sources.shard.ShardFormat.ensureStaged(s"$wh/main/$tbl") {
+      val view = s"gshard_evodrop_src_$runId"
+      e.filter(col("day") < thr).createOrReplaceTempView(s"${view}_lo")
+      e.filter(col("day") >= thr).select("user_id", "day", "cents")
+        .createOrReplaceTempView(s"${view}_hi")
+      spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS " +
+        s"SELECT * FROM ${view}_lo")                        // gen 0+1
+      spark.sql(s"ALTER TABLE gshard_cat.main.$tbl DROP COLUMN event_type") // 2
+      spark.sql(s"INSERT INTO gshard_cat.main.$tbl SELECT * FROM ${view}_hi") // 3
+      spark.sql(s"ALTER TABLE gshard_cat.main.$tbl " +
+        "RENAME COLUMN cents TO value_cents")               // gen 4
+    }
+    // head: all days under the renamed column (old + new files)
+    val head = spark.sql(
+      s"""SELECT 'head_day' AS part, CAST(day AS STRING) AS k,
+         | CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(value_cents) AS BIGINT) AS value_cents
+         |FROM gshard_cat.main.$tbl GROUP BY day""".stripMargin)
+    // pre-drop generation (create=0, CTAS append=1): event_type lives
+    val pre = spark.sql(
+      s"""SELECT 'v1_type' AS part, event_type AS k,
+         | CAST(count(*) AS BIGINT) AS n_events,
+         | CAST(sum(cents) AS BIGINT) AS value_cents
+         |FROM gshard_cat.main.$tbl VERSION AS OF 1
+         |GROUP BY event_type""".stripMargin)
+    head.unionByName(pre).orderBy(col("part"), col("k"))
+  }
+
   /** `q_shard_sql_merge_full` — MERGE with `WHEN NOT MATCHED BY
     * SOURCE` (r15 verdict task #4): the snapshot-apply / full-sync
     * shape, the second most common MERGE after upsert. Base = early-

@@ -133,7 +133,8 @@ class ShardCatalog extends TableCatalog
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
-    new ShardTable(dir, ShardFormat.readManifest(dir).schema)
+    new ShardTable(dir,
+      ShardFormat.visible(ShardFormat.readManifest(dir).schema))
   }
 
   /** SQL time travel: `SELECT ... FROM cat.ns.t VERSION AS OF <gen>`
@@ -146,7 +147,8 @@ class ShardCatalog extends TableCatalog
     val dir = dirOf(ident).toString
     val v = version.toLong
     new ShardTable(dir,
-      ShardFormat.readManifestVersion(dir, Some(v)).schema, Some(v))
+      ShardFormat.visible(
+        ShardFormat.readManifestVersion(dir, Some(v)).schema), Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -181,22 +183,34 @@ class ShardCatalog extends TableCatalog
       .toArray
   }
 
-  /** SCHEMA EVOLUTION, the append-only kind: `ALTER TABLE … ADD
-    * COLUMN` appends nullable top-level columns to the manifest
-    * schema WITHOUT rewriting a byte of data — existing files carry
-    * fewer columns (their header count is authoritative) and read
-    * the new columns as NULL; the stats machinery is already sound
-    * for them (absent zone/null-count/sum stats admit scans and
-    * refuse metadata answers). Everything else — drops, renames,
-    * type changes, positioned or nested adds, NOT NULL — rejects:
-    * each would need a rewrite or a null-violating backfill. */
+  /** SCHEMA EVOLUTION, all ZERO-REWRITE kinds. Shard files carry no
+    * column names — blocks are POSITIONAL against the manifest
+    * schema — which makes three evolutions pure metadata:
+    *
+    *  - `ADD COLUMN` (nullable, trailing): existing files carry fewer
+    *    columns (their header count is authoritative) and read the
+    *    new columns as NULL.
+    *  - `RENAME COLUMN`: the manifest schema field and every entry's
+    *    per-column stats rekey; position (and therefore every byte)
+    *    unchanged. Time travel reads the OLD name from the archived
+    *    generation.
+    *  - `DROP COLUMN`: the field becomes a positional TOMBSTONE
+    *    (`__dropped_<pos>`, storage type kept so old files still
+    *    decode); it vanishes from every visible schema and its stats
+    *    and blooms strip; new files write an all-null block in the
+    *    slot (bytes-per-file, not a rewrite). A pre-drop generation
+    *    still reads the column via VERSION AS OF.
+    *
+    * Type changes, positioned/nested adds, and NOT NULL still
+    * reject: each would need a rewrite or a null-violating
+    * backfill. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirOf(ident).toString
     val m = ShardFormat.readManifest(dir)
-    val schema = changes.foldLeft(m.schema) { (s, ch) =>
-      ch match {
+    val (schema, entries) = changes.foldLeft((m.schema, m.entries)) {
+      case ((s, es), ch) => ch match {
         case add: TableChange.AddColumn =>
           require(add.fieldNames.length == 1,
             "gshard: only top-level ADD COLUMN is supported")
@@ -205,20 +219,47 @@ class ShardCatalog extends TableCatalog
           require(add.isNullable,
             "gshard ADD COLUMN must be nullable: existing rows read NULL")
           val name = add.fieldNames()(0)
+          ShardFormat.validateFieldName(name)
           require(!s.fieldNames.contains(name),
             s"gshard: column $name already exists")
           ShardFormat.typeTag(add.dataType) // validate supported type
-          StructType(s.fields :+
-            org.apache.spark.sql.types.StructField(name, add.dataType))
+          (StructType(s.fields :+
+            org.apache.spark.sql.types.StructField(name, add.dataType)), es)
+        case ren: TableChange.RenameColumn =>
+          require(ren.fieldNames.length == 1,
+            "gshard: only top-level RENAME COLUMN is supported")
+          val from = ren.fieldNames()(0)
+          val to = ren.newName
+          val pos = s.fieldNames.indexOf(from)
+          require(pos >= 0 && !ShardFormat.isTombstone(from),
+            s"gshard: no such column $from")
+          ShardFormat.validateFieldName(to)
+          require(!s.fieldNames.contains(to),
+            s"gshard: column $to already exists")
+          (StructType(s.fields.updated(pos, s.fields(pos).copy(name = to))),
+            es.map(e => ShardFormat.renameStats(e, from, to)))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames.length == 1,
+            "gshard: only top-level DROP COLUMN is supported")
+          val name = del.fieldNames()(0)
+          val pos = s.fieldNames.indexOf(name)
+          require(pos >= 0 && !ShardFormat.isTombstone(name),
+            s"gshard: no such column $name")
+          require(ShardFormat.visible(s).length > 1,
+            "gshard: cannot drop the last visible column")
+          (StructType(s.fields.updated(pos, s.fields(pos)
+            .copy(name = s"${ShardFormat.TombstonePrefix}$pos"))),
+            es.map(e => ShardFormat.stripStats(e, name)))
         case other => throw new UnsupportedOperationException(
-          s"gshard supports only appending nullable columns, not $other")
+          "gshard supports ADD/RENAME/DROP COLUMN (zero-rewrite " +
+            s"evolutions), not $other")
       }
     }
     // a schema change is a table GENERATION like any other mutation:
-    // archive the old head so VERSION AS OF reads the narrow schema
-    ShardFormat.publishManifest(dir, m.copy(schema = schema),
-      basedOn = m.gen)
-    new ShardTable(dir, schema)
+    // archive the old head so VERSION AS OF reads the prior schema
+    ShardFormat.publishManifest(dir,
+      m.copy(schema = schema, entries = entries), basedOn = m.gen)
+    new ShardTable(dir, ShardFormat.visible(schema))
   }
 
   override def renameTable(oldIdent: Identifier,

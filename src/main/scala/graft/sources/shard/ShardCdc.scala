@@ -54,7 +54,8 @@ class ShardCdcDataSource extends TableProvider
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ShardCdc.feedSchema(ShardFormat.readManifest(dirOf(options)).schema)
+    ShardCdc.feedSchema(ShardFormat.visible(
+      ShardFormat.readManifest(dirOf(options)).schema))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -192,11 +193,12 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
     val mb = ShardFormat.readManifestVersion(dir, Some(b))
     val aFiles = ma.entries.map(_.file).toSet
     val bFiles = mb.entries.map(_.file).toSet
-    // every file decodes under the FEED schema (append-only
-    // evolution: an older file carries a column prefix and reads the
-    // rest as NULL — the file header, not the manifest, is
-    // authoritative for its own width)
-    val tags = tableSchema.fields.map(f =>
+    // every file decodes under the END generation's PHYSICAL schema
+    // (positions are immutable: evolution only appends fields or
+    // tombstones/renames in place, and an older file carries a
+    // column prefix — the file header is authoritative for its own
+    // width); the feed projects the query-start VISIBLE columns
+    val tags = mb.schema.fields.map(f =>
       (f.name, ShardFormat.typeTag(f.dataType)))
     def parts(m: ShardFormat.Manifest, names: Set[String], side: Int)
         : Seq[InputPartition] =

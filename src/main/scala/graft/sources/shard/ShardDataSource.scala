@@ -63,8 +63,9 @@ class ShardDataSource extends TableProvider
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ShardFormat.readManifestVersion(dir(options),
-      Option(options.get("versionasof")).map(_.toLong)).schema
+    ShardFormat.visible(
+      ShardFormat.readManifestVersion(dir(options),
+        Option(options.get("versionasof")).map(_.toLong)).schema)
 
   // writes to a FRESH table have no manifest: accept the frame's schema
   override def supportsExternalMetadata(): Boolean = true
@@ -369,14 +370,35 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     bloomCols: Set[String] = Set.empty, txnApp: Option[String] = None)
     extends BatchWrite {
 
+  /** The on-disk file schema: the table's PHYSICAL schema when the
+    * table has drop tombstones (new files keep every positional slot,
+    * tombstones as all-null blocks), else the write schema. A
+    * truncating write replaces the physical schema outright. */
+  private def physicalSchema: StructType =
+    if (!truncateFirst && ShardFormat.hasManifest(dir)) {
+      val ms = ShardFormat.readManifest(dir).schema
+      // only when the write schema actually matches the visible
+      // surface — a mismatched write fails commit's NAMED check, not
+      // an oblique fieldIndex error here
+      if (ms.fields.exists(f => ShardFormat.isTombstone(f.name)) &&
+          ShardFormat.visible(ms).fieldNames
+            .forall(schema.fieldNames.contains)) ms
+      else schema
+    } else schema
+
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val phys = physicalSchema
     ShardWriterFactory(dir,
       // typeTag, not typeName: ArrayType.typeName is just "array"
       // (element type lost); the tag is the format's canonical
       // spelling and dataTypeOf accepts both
-      schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
-      queryId.take(8), chunkRows, bloomCols)
+      phys.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
+      queryId.take(8), chunkRows, bloomCols,
+      rowIdx = phys.fields.map(f =>
+        if (ShardFormat.isTombstone(f.name)) -1
+        else schema.fieldIndex(f.name)))
+  }
 
   // read-head → merge entries → publish, serialized per table within
   // this JVM; a cross-process mover between OUR head read and publish
@@ -418,8 +440,11 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
       // compare STORAGE tags, not DataTypes: the tag collapses array
       // containsNull (both spellings name the same storage — null
       // elements are rejected at write either way), and the manifest
-      // round-trips neither nullability nor metadata anyway
-      val a = m.schema.fields
+      // round-trips neither nullability nor metadata anyway. The
+      // comparison is against the VISIBLE surface: drop tombstones
+      // are physical placeholders the writer fills, never part of
+      // the user's frame
+      val a = ShardFormat.visible(m.schema).fields
         .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
       val b = schema.fields
         .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
@@ -453,8 +478,13 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
     // atomically. Replaced files are NOT swept here — the archived
     // generation still references them (time travel); reclamation is
     // ShardFormat.vacuum's job under its retention window
+    // appends preserve the PHYSICAL schema (tombstones and all);
+    // truncation replaces it with the write's schema
+    val published =
+      if (truncateFirst) schema
+      else existing.map(_.schema).getOrElse(schema)
     ShardFormat.publishManifest(dir,
-      ShardFormat.Manifest(schema, prior ++ fresh, nextLast, nextTxns),
+      ShardFormat.Manifest(published, prior ++ fresh, nextLast, nextTxns),
       basedOn = existing.map(_.gen).getOrElse(-1L))
   }
 
@@ -467,12 +497,13 @@ private[shard] class ShardBatchWrite(dir: String, schema: StructType,
 
 private[shard] final case class ShardWriterFactory(dir: String,
     fileSchema: Array[(String, String)], writeTag: String, chunkRows: Int,
-    bloomCols: Set[String] = Set.empty)
+    bloomCols: Set[String] = Set.empty,
+    rowIdx: Array[Int] = null)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
     new ShardDataWriter(dir, fileSchema, writeTag, partitionId, chunkRows,
-      bloomCols)
+      bloomCols, rowIdx)
 }
 
 /** Streams its (range-disjoint) partition through the chunked file
@@ -482,11 +513,18 @@ private[shard] final case class ShardWriterFactory(dir: String,
   * roundtrip through the format's null bitmaps. */
 private[shard] class ShardDataWriter(dir: String,
     fileSchema: Array[(String, String)], writeTag: String, partitionId: Int,
-    chunkRows: Int, bloomCols: Set[String] = Set.empty)
+    chunkRows: Int, bloomCols: Set[String] = Set.empty,
+    rowIdxOrNull: Array[Int] = null)
     extends DataWriter[InternalRow] {
 
   private val schema = StructType(fileSchema.toIndexedSeq.map { case (n, t) =>
     org.apache.spark.sql.types.StructField(n, ShardFormat.dataTypeOf(t)) })
+  // physical position → incoming row ordinal; -1 = a DROP tombstone
+  // slot (written as an all-null block, keeping old files' positional
+  // decode valid)
+  private val rowIdx: Array[Int] =
+    if (rowIdxOrNull != null) rowIdxOrNull
+    else Array.tabulate(schema.length)(identity)
   private val file = f"part-$writeTag-$partitionId%05d.gshard"
   private var writer: ShardFormat.ShardFileWriter = null
 
@@ -497,11 +535,12 @@ private[shard] class ShardDataWriter(dir: String,
         chunkRows, bloomCols)
     }
     val values = new Array[Any](schema.length)
-    var i = 0
-    while (i < schema.length) {
-      values(i) =
-        if (row.isNullAt(i)) null
-        else schema(i).dataType match {
+    var j = 0
+    while (j < schema.length) {
+      val i = rowIdx(j)
+      values(j) =
+        if (i < 0 || row.isNullAt(i)) null
+        else schema(j).dataType match {
           case LongType => row.getLong(i)
           case DoubleType => row.getDouble(i)
           case StringType => row.getUTF8String(i).getBytes
@@ -554,7 +593,7 @@ private[shard] class ShardDataWriter(dir: String,
             a
           case other => throw new IllegalStateException(other.toString)
         }
-      i += 1
+      j += 1
     }
     writer.add(values)
   }
@@ -588,7 +627,9 @@ private[shard] class ShardScanBuilder(dir: String,
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
     Count, CountStar, Max, Min, Sum}
 
-  private var required: StructType = manifest.schema
+  // default projection = the user-VISIBLE schema (drop tombstones are
+  // physical placeholders, never scan output)
+  private var required: StructType = ShardFormat.visible(manifest.schema)
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[Aggregation] = None
   private var pushedLimit: Option[Int] = None
@@ -1606,22 +1647,29 @@ private[shard] class ShardReplaceWrite(dir: String, schema: StructType,
 
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(
-        info: PhysicalWriteInfo): DataWriterFactory =
+        info: PhysicalWriteInfo): DataWriterFactory = {
+      // rewrites keep every PHYSICAL slot (tombstones as null blocks)
+      // so old and new files stay positionally compatible
+      val phys = ShardFormat.readManifest(dir).schema
       ShardWriterFactory(dir,
-        schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
+        phys.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
         s"rw${queryId.take(8)}", ShardFormat.DefaultChunkRows,
         // a rewrite must not silently strip the table's point-lookup
         // blooms: rebuild them for every column the existing entries
         // carry one for (the manifest IS the record of the bloom set)
         ShardFormat.readManifest(dir).entries
-          .flatMap(_.bloom.keys).toSet)
+          .flatMap(_.bloom.keys).toSet,
+        rowIdx = phys.fields.map(f =>
+          if (ShardFormat.isTombstone(f.name)) -1
+          else schema.fieldIndex(f.name)))
+    }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
       val head = ShardFormat.readManifest(dir)
       val planned = Option(op.plannedFiles).getOrElse(
         throw new IllegalStateException(
           "gshard: replacement committed before its scan planned"))
-      val a = head.schema.fields
+      val a = ShardFormat.visible(head.schema).fields
         .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
       val b = schema.fields
         .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq

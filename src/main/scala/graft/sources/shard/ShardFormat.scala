@@ -181,6 +181,10 @@ object ShardFormat {
     // constant on every read — reject at write, don't hijack at read
     require(name != "_file",
       "gshard: '_file' is a reserved metadata column name")
+    // drop tombstones are format-internal placeholders
+    require(!isTombstone(name),
+      s"gshard: '$TombstonePrefix*' column names are reserved " +
+        "(DROP COLUMN tombstones)")
     val bad = name.filter(ManifestReserved)
     require(bad.isEmpty,
       s"gshard: column name '$name' contains manifest-reserved " +
@@ -1235,8 +1239,10 @@ object ShardFormat {
   private[graft] def writeManifest(dir: String, m: Manifest): Unit = {
     // the single chokepoint every write path (batch, streaming,
     // truncate, delete, merge) flows through — the parser's
-    // no-marker-in-names invariant is enforced here, not assumed
-    m.schema.fieldNames.foreach(validateFieldName)
+    // no-marker-in-names invariant is enforced here, not assumed.
+    // Format-internal drop tombstones pass (reserved-char-free by
+    // construction; rejected on USER schemas at the write builders)
+    m.schema.fieldNames.filterNot(isTombstone).foreach(validateFieldName)
     val sb = new StringBuilder
     sb.append("gshard v4\n")
     sb.append("schema ").append(m.schema.fields
@@ -1385,6 +1391,55 @@ object ShardFormat {
     * [[publishManifest]] as `basedOn`. */
   private[graft] def headGen(dir: String): Long =
     if (hasManifest(dir)) readManifest(dir).gen else -1L
+
+  // ── SCHEMA EVOLUTION: tombstones (DROP) and renames ────────────────
+  //
+  // Shard files carry NO column names — blocks are POSITIONAL against
+  // the manifest schema, and every file's blocks are a PREFIX of it.
+  // That makes RENAME a manifest-only rekey (position unchanged) and
+  // DROP a positional TOMBSTONE: the field stays in the manifest
+  // schema (keeping its storage type, so old files still decode) under
+  // the reserved name `__dropped_<pos>`, hidden from every user-facing
+  // schema; new files write an all-null block in that slot (a null
+  // bitmap + a ~zero-byte FOR/empty block — bytes, not a rewrite).
+  // Time travel is untouched: archived generations carry their own
+  // schema line, so a pre-drop version still shows (and decodes) the
+  // column.
+
+  private[shard] val TombstonePrefix = "__dropped_"
+
+  private[shard] def isTombstone(name: String): Boolean =
+    name.startsWith(TombstonePrefix)
+
+  /** The USER-VISIBLE schema: the physical manifest schema minus
+    * drop tombstones. Everything user-facing (table schemas, scans'
+    * default projection, CDC feeds, append schema checks) speaks
+    * visible; decode paths speak physical. */
+  private[graft] def visible(schema: StructType): StructType =
+    StructType(schema.fields.filterNot(f => isTombstone(f.name)))
+
+  /** Rekey one entry's per-column stats for a RENAME. */
+  private[shard] def renameStats(e: ShardEntry, from: String,
+      to: String): ShardEntry = {
+    def rk[V](m: Map[String, V]): Map[String, V] =
+      m.get(from) match {
+        case Some(v) => m - from + (to -> v)
+        case None => m
+      }
+    e.copy(zMin = rk(e.zMin), zMax = rk(e.zMax), sMin = rk(e.sMin),
+      sMax = rk(e.sMax), nullCnt = rk(e.nullCnt), bloom = rk(e.bloom),
+      bloomBpv = rk(e.bloomBpv), dMin = rk(e.dMin), dMax = rk(e.dMax),
+      sums = rk(e.sums))
+  }
+
+  /** Drop one column's stats (a DROPPED column must not keep pruning
+    * or bloom state alive under its tombstone). */
+  private[shard] def stripStats(e: ShardEntry, name: String): ShardEntry =
+    e.copy(zMin = e.zMin - name, zMax = e.zMax - name,
+      sMin = e.sMin - name, sMax = e.sMax - name,
+      nullCnt = e.nullCnt - name, bloom = e.bloom - name,
+      bloomBpv = e.bloomBpv - name, dMin = e.dMin - name,
+      dMax = e.dMax - name, sums = e.sums - name)
 
   /** Memoized staged-table build: the hasManifest probe and `build`
     * run under the per-table lock, so two concurrent cold consumers

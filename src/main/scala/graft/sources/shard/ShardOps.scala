@@ -45,8 +45,9 @@ object ShardOps {
     }
     if (appliedBefore) return
 
-    // schema must match by storage tag (the append discipline)
-    val a = head.schema.fields
+    // schema must match by storage tag (the append discipline), on
+    // the VISIBLE surface — drop tombstones are physical placeholders
+    val a = ShardFormat.visible(head.schema).fields
       .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
     val b = updates.schema.fields
       .map(f => (f.name, ShardFormat.typeTag(f.dataType))).toSeq
@@ -147,8 +148,15 @@ object ShardOps {
     // persist around writeData's two jobs (range bounds, then the
     // clustered write): without it the touched-file scan + anti-join
     // — the merge's dominant cost — executes twice
+    // PHYSICALIZE: the rewrite keeps every physical slot — visible
+    // columns from the merged frame, tombstone slots as null blocks —
+    // so rewritten files stay positionally compatible with old ones
     val outAligned = out
-      .select(head.schema.fieldNames.map(col).toIndexedSeq: _*)
+      .select(head.schema.fields.toIndexedSeq.map { f =>
+        if (ShardFormat.isTombstone(f.name))
+          lit(null).cast(f.dataType).as(f.name)
+        else col(f.name)
+      }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // clustering expression for the rewrite: the exact storage long
     // for long-encoded keys; for STRING keys a big-endian 7-byte

@@ -283,10 +283,9 @@ class ShardFormatV4Spec extends SparkSpec {
       .contains("metadata-only"),
       "evolved-column count answered from incomplete metadata")
     assert(qc.head.getLong(0) == 500L)
-    // the non-appendable ALTERs all reject, loudly
-    Seq(s"ALTER TABLE $cat.main.te DROP COLUMN g",
-      s"ALTER TABLE $cat.main.te RENAME COLUMN g TO h",
-      s"ALTER TABLE $cat.main.te ALTER COLUMN g TYPE STRING",
+    // the rewrite-needing ALTERs still reject, loudly (DROP and
+    // RENAME became zero-rewrite evolutions — ShardDropRenameSpec)
+    Seq(s"ALTER TABLE $cat.main.te ALTER COLUMN g TYPE STRING",
       s"ALTER TABLE $cat.main.te ADD COLUMN bad BIGINT NOT NULL")
       .foreach { ddl =>
         val ex = intercept[Exception] { spark.sql(ddl) }
