@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Scale-probe data generator (r15 verdict task #8).
+
+Builds sf<K*base> parquet tables at OUT by concatenating K key-shifted
+copies of the BASE tables: every key column shifts by copy_index *
+(max_key + 1), so join cardinalities and key-space sizes grow linearly
+while value distributions stay identical. Non-key payloads (names,
+texts, embeddings) duplicate across copies — fine for a TIMING probe;
+dedup-family queries see a 10x duplicate corpus, which is noted in the
+SURVEY ratio table rather than hidden.
+
+Usage: scale_up.py BASE_DIR OUT_DIR K
+"""
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+BASE, OUT, K = sys.argv[1], sys.argv[2], int(sys.argv[3])
+
+# table -> columns shifted by copy * (max(col)+1); the per-copy shift
+# of a FK uses the PK table's span so references stay aligned
+KEYS = {
+    "region": [],
+    "nation": [],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", ("o_custkey", "customer", "c_custkey")],
+    "lineitem": [("l_orderkey", "orders", "o_orderkey"),
+                 ("l_partkey", "part", "p_partkey"),
+                 ("l_suppkey", "supplier", "s_suppkey")],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+spans = {}
+
+
+def span(table, col):
+    key = (table, col)
+    if key not in spans:
+        t = pq.read_table(f"{BASE}/{table}.parquet", columns=[col])
+        spans[key] = pc.max(t.column(col)).as_py() + 1
+    return spans[key]
+
+
+import os
+os.makedirs(OUT, exist_ok=True)
+for table, keys in KEYS.items():
+    t = pq.read_table(f"{BASE}/{table}.parquet")
+    if not keys:
+        pq.write_table(t, f"{OUT}/{table}.parquet")
+        print(f"{table}: copied ({t.num_rows} rows)")
+        continue
+    copies = []
+    for k in range(K):
+        cols = []
+        for name in t.schema.names:
+            col = t.column(name)
+            shift = None
+            for spec in keys:
+                if isinstance(spec, tuple) and spec[0] == name:
+                    shift = k * span(spec[1], spec[2])
+                elif spec == name:
+                    shift = k * span(table, name)
+            if shift:
+                col = pc.add(col, pa.scalar(shift, type=col.type))
+            cols.append(col)
+        copies.append(pa.table(dict(zip(t.schema.names, cols)),
+                               schema=t.schema))
+    out = pa.concat_tables(copies)
+    pq.write_table(out, f"{OUT}/{table}.parquet")
+    print(f"{table}: {t.num_rows} -> {out.num_rows} rows")
