@@ -33,7 +33,9 @@ KEYS = {
                  ("l_suppkey", "supplier", "s_suppkey")],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["vec_id"],
+    # vec_id IS a doc_id in the label/semdedup joins: shift by the
+    # documents span so cross-copy correspondence stays aligned
+    "embeddings": [("vec_id", "documents", "doc_id")],
 }
 
 spans = {}

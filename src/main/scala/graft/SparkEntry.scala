@@ -5774,7 +5774,8 @@ object SparkEntry {
         |   AS BIGINT) AS token_chars,
         | md5(array_to_string(toks, ' ')) AS tok_fp
         |FROM (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(text, '\s+'),
+        |  list_filter(regexp_split_to_array(coalesce(text, ''),
+        |      '[ \t\n\f\r]+'),
         |    x -> len(x) > 0) AS toks
         |FROM documents)""".stripMargin,
     // the pushed top-N replays as a plain ORDER BY ... LIMIT

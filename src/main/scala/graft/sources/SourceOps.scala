@@ -831,8 +831,14 @@ object SourceOps {
     * discovery). Replay-idempotent via the txn slot, so re-running
     * the query re-merges as a no-op and the result is stable. The
     * oracle replays MERGE semantics as late ∪ (early ∖ late-keys). */
+  /** The merge gate's staged table directory — shared by
+    * [[qShardGenerationDiff]] and the streaming CDC gate, so the
+    * path knowledge lives in ONE place. */
+  private[graft] def shardMergeDir(t: Tables): String =
+    staging(s"gshard_upsert_${dirTag(t.dir)}")
+
   def qShardMerge(t: Tables): DataFrame = {
-    val dir = staging(s"gshard_upsert_${dirTag(t.dir)}")
+    val dir = shardMergeDir(t)
     val e = t.events.select(col("user_id"),
       datediff(col("ts").cast("date"),
         lit(java.sql.Date.valueOf("2024-01-01"))).cast("long").as("day"),
@@ -864,7 +870,7 @@ object SourceOps {
     * from raw events under the merge's day split. */
   def qShardGenerationDiff(t: Tables): DataFrame = {
     qShardMerge(t) // ensures: base written (gen 0), merge applied (head)
-    val dir = staging(s"gshard_upsert_${dirTag(t.dir)}")
+    val dir = shardMergeDir(t)
     val v0 = t.spark.read.format("gshard")
       .option("versionAsOf", "0").load(dir)
       .select(col("user_id"), col("n_events").as("n0"), col("cents").as("c0"))
@@ -1156,9 +1162,12 @@ object SourceOps {
     val tbl = s"tok_${dirTag(t.dir)}"
     graft.sources.shard.ShardFormat.ensureStaged(s"$wh/main/$tbl") {
       val view = s"gshard_tok_src_$runId"
+      // EXPLICIT whitespace class + null guard: Java's \s includes
+      // \x0B where RE2's (DuckDB's) does not, and a NULL text would
+      // diverge (NULL vs 0 recounts) — both pinned identical here
       t.documents.select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), tk => length(tk) > 0)
-          .as("tokens"))
+        filter(split(coalesce(col("text"), lit("")), "[ \\t\\n\\f\\r]+"),
+          tk => length(tk) > 0).as("tokens"))
         .createOrReplaceTempView(view)
       spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS SELECT * FROM $view")
     }

@@ -69,7 +69,13 @@ class ShardCatalog extends TableCatalog
           ProcedureParameter.in("table",
             org.apache.spark.sql.types.StringType).build(),
           ProcedureParameter.in("keep_versions",
-            org.apache.spark.sql.types.IntegerType).build())
+            org.apache.spark.sql.types.IntegerType).build(),
+          // concurrent-writer guard: unreferenced files younger than
+          // this are NOT swept (an in-flight writer's staged files
+          // become referenced only at its publish)
+          ProcedureParameter.in("min_age_seconds",
+            org.apache.spark.sql.types.LongType)
+            .defaultValue("0").build())
         override def isDeterministic: Boolean = false
         override def call(
             input: org.apache.spark.sql.catalyst.InternalRow)
@@ -84,8 +90,9 @@ class ShardCatalog extends TableCatalog
           require(tableExists(tblIdent),
             s"gshard: no such table ${input.getUTF8String(0)}")
           val keep = input.getInt(1)
+          val minAge = if (input.isNullAt(2)) 0L else input.getLong(2)
           val dir = dirOf(tblIdent).toString
-          val swept = ShardFormat.vacuum(dir, keep)
+          val swept = ShardFormat.vacuum(dir, keep, minAge)
           val retained = ShardFormat.archivedGens(dir).size + 1
           val out = new org.apache.spark.sql.connector.read.LocalScan {
             override def readSchema()

@@ -148,6 +148,31 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
   private val tableSchema =
     StructType(feedSchema.fields.dropRight(2))
 
+  // the feed columns' PHYSICAL anchors at stream construction:
+  // (name, physical position, storage tag). A DROP or RENAME of a
+  // feed column mid-stream must fail with a NAMED restart error, not
+  // wedge on an unresolvable name — and a DROP-then-re-ADD of the
+  // same name must never silently read the fresh trailing slot as
+  // the old column (old-side images would be wrong)
+  private val anchors: Seq[(String, Int, String)] = {
+    val phys = ShardFormat.readManifest(dir).schema
+    tableSchema.fieldNames.toSeq.map { n =>
+      val pos = phys.fieldNames.indexOf(n)
+      require(pos >= 0, s"gshard-cdc: feed column $n not in $dir")
+      (n, pos, ShardFormat.typeTag(phys.fields(pos).dataType))
+    }
+  }
+
+  private def requireAnchorsHold(m: ShardFormat.Manifest, gen: Long): Unit =
+    anchors.foreach { case (n, pos, tag) =>
+      val ok = pos < m.schema.length && m.schema.fields(pos).name == n &&
+        ShardFormat.typeTag(m.schema.fields(pos).dataType) == tag
+      require(ok,
+        s"gshard-cdc: feed column $n was dropped, renamed, or retyped " +
+          s"by generation $gen — restart the change feed with a new " +
+          "query to pick up the evolved schema")
+    }
+
   // AvailableNow: freeze the drain target at query start — the
   // bounded run drains up to the head generation it saw and stops
   @volatile private var availableNowCap: Option[Long] = None
@@ -191,6 +216,8 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
     require(a < b, s"gshard-cdc: offsets ran backwards ($a > $b)")
     val ma = ShardFormat.readManifestVersion(dir, Some(a))
     val mb = ShardFormat.readManifestVersion(dir, Some(b))
+    requireAnchorsHold(ma, a)
+    requireAnchorsHold(mb, b)
     val aFiles = ma.entries.map(_.file).toSet
     val bFiles = mb.entries.map(_.file).toSet
     // every file decodes under the END generation's PHYSICAL schema
@@ -244,7 +271,10 @@ private[shard] class ShardCdcReaderFactory(tableTags: Array[String])
         }
         out(n) = p.side
         out(n + 1) = p.version
-        InternalRow.fromSeq(out.toIndexedSeq)
+        // consume the array directly — fromSeq would wrap + copy it
+        // once per row on the feed's hot path
+        new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(out)
       }
       override def close(): Unit = inner.close()
     }

@@ -1650,15 +1650,15 @@ private[shard] class ShardReplaceWrite(dir: String, schema: StructType,
         info: PhysicalWriteInfo): DataWriterFactory = {
       // rewrites keep every PHYSICAL slot (tombstones as null blocks)
       // so old and new files stay positionally compatible
-      val phys = ShardFormat.readManifest(dir).schema
+      val m = ShardFormat.readManifest(dir)
+      val phys = m.schema
       ShardWriterFactory(dir,
         phys.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
         s"rw${queryId.take(8)}", ShardFormat.DefaultChunkRows,
         // a rewrite must not silently strip the table's point-lookup
         // blooms: rebuild them for every column the existing entries
         // carry one for (the manifest IS the record of the bloom set)
-        ShardFormat.readManifest(dir).entries
-          .flatMap(_.bloom.keys).toSet,
+        m.entries.flatMap(_.bloom.keys).toSet,
         rowIdx = phys.fields.map(f =>
           if (ShardFormat.isTombstone(f.name)) -1
           else schema.fieldIndex(f.name)))

@@ -1542,8 +1542,19 @@ object ShardFormat {
     * the head read is never affected. Returns the swept data files.
     * Manifests are deleted FIRST: a crash mid-sweep leaves orphan
     * data files (re-sweepable), never a retained manifest naming
-    * deleted data. */
-  def vacuum(dir: String, keepVersions: Int = 0): Seq[String] = {
+    * deleted data.
+    *
+    * `minAgeSeconds` is the CONCURRENT-WRITER guard (Delta's vacuum
+    * retention-period discipline): an unreferenced file is swept only
+    * when older than the threshold, so an in-flight writer's
+    * staged-but-not-yet-published files (they become referenced at
+    * its publish, which vacuum cannot see coming) are never deleted
+    * from under it. 0 (the default) sweeps everything — correct for
+    * single-writer maintenance windows and what the specs/gates
+    * exercise; a deployment with concurrent writers must pass an age
+    * comfortably above its longest write job. */
+  def vacuum(dir: String, keepVersions: Int = 0,
+      minAgeSeconds: Long = 0L): Seq[String] = {
     require(keepVersions >= 0, "keepVersions must be >= 0")
     val drop = archivedGens(dir).dropRight(keepVersions)
     drop.foreach(g => Files.deleteIfExists(Paths.get(dir, archiveName(g))))
@@ -1551,9 +1562,12 @@ object ShardFormat {
       archivedGens(dir).map(g =>
         readManifestLines(Files.readAllLines(Paths.get(dir, archiveName(g))))))
       .flatMap(_.entries.map(_.file)).toSet
+    val cutoff = System.currentTimeMillis() - minAgeSeconds * 1000L
     val swept = listDir(Paths.get(dir))
       .filter(f => f.startsWith("part-") && f.endsWith(".gshard") &&
-        !retained(f))
+        !retained(f) &&
+        (minAgeSeconds <= 0L ||
+          Files.getLastModifiedTime(Paths.get(dir, f)).toMillis <= cutoff))
       .sorted
     swept.foreach(f => Files.deleteIfExists(Paths.get(dir, f)))
     swept

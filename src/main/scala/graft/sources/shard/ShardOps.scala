@@ -142,9 +142,15 @@ object ShardOps {
           .unionByName(updates)
       }
     val shards = if (nShards > 0) nShards else math.max(1, touched.size + 1)
-    // fresh generation's file prefix: collision-free against every
-    // retained generation (gen is monotone)
-    val prefix = s"m${head.gen + 1}-"
+    // fresh file prefix: gen for debuggability PLUS a random token —
+    // two concurrent upserts that both planned at gen N must never
+    // stage under the same names (the loser's tasks would overwrite
+    // the winner's staged bytes BEFORE the OCC check fires, leaving
+    // the winner's committed manifest describing the loser's data);
+    // uniqueness also upholds the CDC feed's names-never-recur
+    // invariant unconditionally
+    val prefix = s"m${head.gen + 1}x" +
+      java.util.UUID.randomUUID.toString.take(8) + "-"
     // persist around writeData's two jobs (range bounds, then the
     // clustered write): without it the touched-file scan + anti-join
     // — the merge's dominant cost — executes twice

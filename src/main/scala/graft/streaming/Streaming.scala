@@ -1809,8 +1809,7 @@ object Streaming {
   def streamShardCdc(t: Tables): DataFrame = {
     import graft.sources.shard.ShardCdc
     graft.sources.SourceOps.qShardMerge(t) // stage: gen 0 + merged head
-    val dir = graft.sources.SourceOps.staging(
-      s"gshard_upsert_${graft.sources.SourceOps.dirTag(t.dir)}")
+    val dir = graft.sources.SourceOps.shardMergeDir(t)
     val feed = t.spark.readStream.format("gshard-cdc")
       .option("startingversion", "0").load(dir)
     val drained = drainToTable(feed, "append")
