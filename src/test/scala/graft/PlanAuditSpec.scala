@@ -1200,4 +1200,27 @@ class PlanAuditSpec extends SparkSpec {
         s"a window runs over raw fact rows:\n${w.treeString}")
     }
   }
+
+  test("q_shard_tokens_roundtrip read-back is MAP-ONLY: one shard " +
+      "scan, no shuffle (the per-doc recount is a projection)") {
+    val p = plan(graft.sources.SourceOps.qShardTokensRoundtrip(tables))
+    assert(!p.contains("Exchange"), s"tokens recount shuffles:\n$p")
+    assert(p.contains("gshard") || p.contains("BatchScan"), p)
+  }
+
+  test("ShardCdc.classify is ONE keyed aggregation: no join, " +
+      "map-side partial present (the foreachBatch consumer shape)") {
+    val sess = spark
+    import sess.implicits._
+    val feed = Seq(
+      (1L, "a", 1L, -1, 1L), (1L, "b", 2L, 1, 1L),
+      (2L, "c", 3L, 1, 1L), (3L, "d", 4L, -1, 1L))
+      .toDF("id", "tag", "score",
+        graft.sources.shard.ShardCdc.SideCol,
+        graft.sources.shard.ShardCdc.VersionCol)
+    val df = graft.sources.shard.ShardCdc.classify(feed, "id")
+    val p = plan(df)
+    assert(!p.contains("Join"), s"classify self-joins:\n$p")
+    assert(p.contains("partial"), s"no map-side partial:\n$p")
+  }
 }
