@@ -33,6 +33,35 @@ import org.apache.spark.sql.functions._
   */
 object ShardOps {
 
+  /** [[upsert]] with OPTIMISTIC-CONCURRENCY RETRY: a merge that loses
+    * a commit race ([[ShardFormat.publishManifest]]'s
+    * `ConcurrentModificationException`) RE-PLANS against the new head
+    * and retries — the loop every OCC store's writer runs (Delta's
+    * commit-retry). Each attempt re-reads the head, re-discovers
+    * touched files, and re-runs the rewrite, so retrying is always
+    * correct; the failed attempt's staged files are vacuum-sweepable
+    * orphans. Replay idempotence still holds: if a RACING writer with
+    * the same (txnApp, txnId) won, the retry no-ops on the txn slot.
+    * Contended writers on DISJOINT keys all converge (spec-pinned);
+    * `maxRetries` bounds pathological contention with a loud error. */
+  def upsertWithRetry(spark: SparkSession, dir: String,
+      updates: DataFrame, keyCol: String, nShards: Int = 0,
+      txnId: Long = -1L, txnApp: Option[String] = None,
+      maxRetries: Int = 5): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      try { upsert(spark, dir, updates, keyCol, nShards, txnId, txnApp)
+        done = true }
+      catch { case e: java.util.ConcurrentModificationException =>
+        attempt += 1
+        if (attempt > maxRetries) throw new java.util.ConcurrentModificationException(
+          s"gshard: merge on $dir lost $attempt commit races " +
+            s"(maxRetries=$maxRetries) — contention too high: " + e.getMessage)
+      }
+    }
+  }
+
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
       keyCol: String, nShards: Int = 0,
       txnId: Long = -1L, txnApp: Option[String] = None): Unit = {

@@ -196,6 +196,32 @@ class ShardConcurrencySpec extends SparkSpec {
     assert(m.entries.map(_.rows).sum == 100L)
   }
 
+  test("upsertWithRetry: contended writers on disjoint keys ALL " +
+      "converge (the OCC commit-retry loop)") {
+    val d = tmp("retry")
+    ShardFormat.write(rows(0, 100), d, "id", 2)
+    val sess = spark
+    import sess.implicits._
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ths = (0 until 4).map { i =>
+      new Thread(() => {
+        try ShardOps.upsertWithRetry(spark, d,
+          Seq((i.toLong, s"R$i", -i.toLong)).toDF("id", "tag", "score"),
+          "id")
+        catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    ths.foreach(_.start()); ths.foreach(_.join(180000))
+    import scala.jdk.CollectionConverters._
+    assert(failures.asScala.isEmpty,
+      s"retry loop failed: ${failures.asScala.headOption}")
+    val got = spark.read.format("gshard").load(d)
+      .filter(col("id") < 4L).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0 until 4).map(i => (i.toLong, s"R$i")).toSet)
+    assert(spark.read.format("gshard").load(d).count() == 100L)
+  }
+
   test("vacuum's min_age guard spares young unreferenced files (an " +
       "in-flight writer's staging) and sweeps old ones") {
     val d = tmp("minage")
