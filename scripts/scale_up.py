@@ -9,7 +9,14 @@ texts, embeddings) duplicate across copies — fine for a TIMING probe;
 dedup-family queries see a 10x duplicate corpus, which is noted in the
 SURVEY ratio table rather than hidden.
 
-Usage: scale_up.py BASE_DIR OUT_DIR K
+With --perturb, payloads VARY per copy instead of duplicating —
+documents get a per-copy token woven into the text and embeddings a
+small deterministic per-copy rotation — so the dedup/ER/ANN families
+see an ORGANIC corpus (near-dups within a copy only) rather than a
+10x-duplicated one; use this mode when probing those families' scaling
+and the plain mode when byte-identical payloads are the point.
+
+Usage: scale_up.py BASE_DIR OUT_DIR K [--perturb]
 """
 import sys
 
@@ -18,6 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 BASE, OUT, K = sys.argv[1], sys.argv[2], int(sys.argv[3])
+PERTURB = "--perturb" in sys.argv[4:]
 
 # table -> columns shifted by copy * (max(col)+1); the per-copy shift
 # of a FK uses the PK table's span so references stay aligned
@@ -70,6 +78,22 @@ for table, keys in KEYS.items():
                     shift = k * span(table, name)
             if shift:
                 col = pc.add(col, pa.scalar(shift, type=col.type))
+            if PERTURB and k > 0:
+                if table == "documents" and name == "text":
+                    # weave a per-copy token in FRONT (keeps length
+                    # stats ~stable, breaks exact/near-dup identity)
+                    col = pc.binary_join_element_wise(
+                        pa.scalar(f"c{k}x"), col, pa.scalar(" "))
+                elif table == "embeddings" and name == "embedding":
+                    # deterministic per-copy jitter: scale by
+                    # 1 + k/1000 (cosine-neighborhood preserved,
+                    # byte-identity broken)
+                    flat = pc.multiply(col.combine_chunks().flatten(),
+                                       pa.scalar(1.0 + k / 1000.0,
+                                                 type=pa.float32()))
+                    lc = col.combine_chunks()
+                    col = pa.ListArray.from_arrays(lc.offsets, flat,
+                                                   type=lc.type)
             cols.append(col)
         copies.append(pa.table(dict(zip(t.schema.names, cols)),
                                schema=t.schema))
