@@ -164,6 +164,16 @@ class ShardCatalog extends TableCatalog
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     require(partitions.isEmpty,
       "gshard tables cluster by the write's rangeCol, not partition transforms")
+    // mirror the DSv2 write-build validation: unsupported types and
+    // manifest-reserved / tombstone-prefixed names reject HERE, not
+    // after writeManifest has silently accepted a column the stat
+    // parser (or the tombstone filter) would mis-handle — a user
+    // column literally named `__dropped_0` must never become an
+    // invisible, unwritable tombstone slot
+    schema.fields.foreach { f =>
+      ShardFormat.validateFieldName(f.name)
+      ShardFormat.typeTag(f.dataType)
+    }
     val dir = dirOf(ident)
     Files.createDirectories(dir)
     ShardFormat.writeManifest(dir.toString,

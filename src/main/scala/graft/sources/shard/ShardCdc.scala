@@ -165,8 +165,14 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
 
   private def requireAnchorsHold(m: ShardFormat.Manifest, gen: Long): Unit =
     anchors.foreach { case (n, pos, tag) =>
-      val ok = pos < m.schema.length && m.schema.fields(pos).name == n &&
-        ShardFormat.typeTag(m.schema.fields(pos).dataType) == tag
+      // a feed column ABSENT from an older generation's schema is the
+      // ADD COLUMN case (schemas only append; startingversion replay
+      // legitimately crosses the ADD): positional prefix decode reads
+      // it as NULL soundly, so only an occupied slot with the wrong
+      // name or storage tag (drop/rename/retype) fails the feed
+      val ok = pos >= m.schema.length ||
+        (m.schema.fields(pos).name == n &&
+          ShardFormat.typeTag(m.schema.fields(pos).dataType) == tag)
       require(ok,
         s"gshard-cdc: feed column $n was dropped, renamed, or retyped " +
           s"by generation $gen — restart the change feed with a new " +
@@ -190,15 +196,15 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
         v
       case None => head // forward-only feed from the current head
     }
-    ShardOffset(start.toInt)
+    ShardOffset(start)
   }
 
   override def deserializeOffset(json: String): SOffset =
-    ShardOffset(json.trim.toInt)
+    ShardOffset(json.trim.toLong)
 
   override def latestOffset(): SOffset =
     ShardOffset(availableNowCap
-      .getOrElse(ShardFormat.readManifest(dir).gen).toInt)
+      .getOrElse(ShardFormat.readManifest(dir).gen))
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -210,8 +216,8 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
 
   override def planInputPartitions(start: SOffset,
       end: SOffset): Array[InputPartition] = {
-    val (a, b) = (start.asInstanceOf[ShardOffset].n.toLong,
-      end.asInstanceOf[ShardOffset].n.toLong)
+    val (a, b) = (start.asInstanceOf[ShardOffset].n,
+      end.asInstanceOf[ShardOffset].n)
     if (a == b) return Array.empty
     require(a < b, s"gshard-cdc: offsets ran backwards ($a > $b)")
     val ma = ShardFormat.readManifestVersion(dir, Some(a))

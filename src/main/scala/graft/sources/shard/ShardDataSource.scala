@@ -1200,7 +1200,12 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
   }
 }
 
-private[shard] final case class ShardOffset(n: Int)
+/** `n` is LONG: the CDC stream's offsets are table GENERATIONS (a
+  * Long counter), and narrowing them to Int would silently wrap past
+  * 2^31 commits; the append stream's entry counts are Int-bounded by
+  * construction (Seq size) and widen losslessly. json() round-trips
+  * the decimal string either way. */
+private[shard] final case class ShardOffset(n: Long)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = n.toString
 }
@@ -1239,7 +1244,7 @@ private[shard] class ShardMicroBatchStream(dir: String,
 
   override def initialOffset(): SOffset = ShardOffset(0)
   override def deserializeOffset(json: String): SOffset =
-    ShardOffset(json.trim.toInt)
+    ShardOffset(json.trim.toLong)
   override def latestOffset(): SOffset = ShardOffset(refresh().entries.size)
 
   override def getDefaultReadLimit: ReadLimit =
@@ -1248,7 +1253,7 @@ private[shard] class ShardMicroBatchStream(dir: String,
 
   override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
     val from = start.asInstanceOf[ShardOffset].n
-    val total = availableNowCap.getOrElse(refresh().entries.size)
+    val total = availableNowCap.getOrElse(refresh().entries.size).toLong
     limit match {
       case f: ReadMaxFiles => ShardOffset(math.min(from + f.maxFiles, total))
       case _ => ShardOffset(total)
@@ -1267,8 +1272,9 @@ private[shard] class ShardMicroBatchStream(dir: String,
       case c if c != null && c.entries.size >= b => c
       case _ => refresh()
     }
+    // entry-count offsets are Int-bounded (Seq size) — exact narrowing
     val scan = new ShardScan(dir,
-      ShardFormat.Manifest(fileSchema, m.entries.slice(a, b)),
+      ShardFormat.Manifest(fileSchema, m.entries.slice(a.toInt, b.toInt)),
       required, pushed)
     scan.planInputPartitions()
   }

@@ -516,10 +516,25 @@ object ShardFormat {
     // (micros/days/unscaled — or a lexicographic prefix for string
     // keys, where the long only drives LOCALITY and the real string
     // zone maps drive pruning)
+    // without an explicit storage-long expression the range column
+    // itself must BE long-encoded: cast("long") on a non-numeric
+    // string yields NULL, and a silently-NULL bound would publish an
+    // EMPTY table where the old path threw — keep the failure loud
+    if (rangeExpr.isEmpty)
+      require(physicallyLong(schema(rangeCol).dataType),
+        s"gshard: range column $rangeCol must be long-encoded " +
+          s"(got ${schema(rangeCol).dataType}); string keys need an " +
+          "explicit rangeExpr")
     val rk = rangeExpr.getOrElse(col(rangeCol)).cast("long")
     val bounds = df.agg(min(rk), max(rk)).head()
-    // empty input: zero shard files
-    if (bounds.isNullAt(0)) return Seq.empty
+    // NULL bounds must mean an EMPTY input (zero shard files), never
+    // an uncastable range expression silently emptying the table
+    if (bounds.isNullAt(0)) {
+      require(df.isEmpty,
+        s"gshard: range key $rangeCol evaluated NULL on a non-empty " +
+          "frame — the clustering expression does not cover the data")
+      return Seq.empty
+    }
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val width = math.max(1L, (hi - lo) / nShards + 1)
 

@@ -77,4 +77,30 @@ class ShardCatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW TABLES IN gcat.main").collect()
       .map(_.getString(1)).toSet.contains("ev4") == false)
   }
+
+  test("CREATE TABLE validates column names: tombstone-prefixed and " +
+      "manifest-reserved names reject instead of becoming invisible " +
+      "or mis-parsed slots") {
+    seedView()
+    def chain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    // a user column literally named __dropped_0 would be silently
+    // hidden by visible() and filled with nulls by every writer
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.main.badtomb (`__dropped_0` BIGINT, " +
+        "v BIGINT) USING gshard")
+    }
+    assert(chain(e1).contains("reserved"), chain(e1))
+    assert(!ShardFormat.hasManifest(s"$warehouse/main/badtomb"))
+    // a stat-marker character in the name would mis-parse on read
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.main.badmark (`a*b` BIGINT, v BIGINT) " +
+        "USING gshard")
+    }
+    assert(chain(e2).contains("manifest-reserved"), chain(e2))
+    assert(!ShardFormat.hasManifest(s"$warehouse/main/badmark"))
+  }
 }

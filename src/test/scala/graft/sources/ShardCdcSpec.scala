@@ -162,4 +162,57 @@ class ShardCdcSpec extends SparkSpec {
       .toSet
     assert(c == Set((5L, "update", "B")))
   }
+
+  test("startingversion replay crosses a later ADD COLUMN: the old " +
+      "generation's rows read the added column as NULL (drop/rename " +
+      "still fails)") {
+    val d = tmp("addcol")
+    ShardFormat.write(base(60), d, "id", 1) // gen 0
+    val sess = spark
+    import sess.implicits._
+    // evolve: add a trailing nullable column (gen 1) — the same
+    // append-only schema publish the catalog's ALTER performs — then
+    // append a file that carries it (gen 2)
+    val m0 = ShardFormat.readManifest(d)
+    import org.apache.spark.sql.types._
+    ShardFormat.publishManifest(d, m0.copy(schema =
+      StructType(m0.schema.fields :+ StructField("extra", LongType))),
+      basedOn = m0.gen) // gen 1: ADD COLUMN extra
+    Seq((900L, "n", 1L, 7L)).toDF("id", "tag", "score", "extra")
+      .write.format("gshard").option("rangecol", "id")
+      .mode("append").save(d) // gen 2
+    // the feed starts BEFORE the ADD: replay must decode gen-0 files
+    // (which predate `extra`) as NULL there, not fail the anchors
+    val q = spark.readStream.format("gshard-cdc")
+      .option("startingversion", "0").load(d)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("ck_addcol"))
+      .format("memory").queryName("cdc_addcol").start()
+    q.awaitTermination()
+    val rows = spark.table("cdc_addcol").collect()
+    assert(rows.length == 1) // net delta: only the appended file
+    val r = rows(0)
+    assert(r.getLong(0) == 900L && r.getLong(3) == 7L)
+    // rename mid-stream STILL fails loudly: re-anchor a fresh feed,
+    // rename the column, and replay across the rename
+    val m2 = ShardFormat.readManifest(d)
+    val pos = m2.schema.fieldNames.indexOf("tag")
+    ShardFormat.publishManifest(d, m2.copy(schema = StructType(
+      m2.schema.fields.updated(pos,
+        m2.schema.fields(pos).copy(name = "label")))), basedOn = m2.gen)
+    val ex = intercept[Exception] {
+      val q2 = spark.readStream.format("gshard-cdc")
+        .option("startingversion", "0").load(d)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", tmp("ck_addcol2"))
+        .format("memory").queryName("cdc_addcol2").start()
+      q2.awaitTermination()
+    }
+    def chain(t: Throwable): String = {
+      var c: Throwable = t; val sb = new StringBuilder
+      while (c != null) { sb.append(c.getMessage).append(' '); c = c.getCause }
+      sb.toString
+    }
+    assert(chain(ex).contains("dropped, renamed, or retyped"))
+  }
 }
