@@ -176,8 +176,11 @@ class ShardCatalog extends TableCatalog
     }
     val dir = dirOf(ident)
     Files.createDirectories(dir)
-    ShardFormat.writeManifest(dir.toString,
-      ShardFormat.Manifest(schema, Seq.empty))
+    // gen 0 publishes through the commit protocol: two processes
+    // racing to create the same table resolve at the exclusive-create
+    // commit record, not last-writer-wins
+    ShardFormat.publishManifest(dir.toString,
+      ShardFormat.Manifest(schema, Seq.empty), basedOn = -1L)
     new ShardTable(dir.toString, schema)
   }
 

@@ -495,9 +495,9 @@ object ShardFormat {
     Files.createDirectories(path)
 
     val entries = writeData(df, dir, rangeCol, nShards, chunkRows)
-    val manifest = Manifest(schema, entries)
-    writeManifest(dir, manifest)
-    manifest
+    // publish through the commit protocol (gen 0 record + pointer):
+    // the directory was recreated empty above, so basedOn = -1
+    publishManifest(dir, Manifest(schema, entries), basedOn = -1L)
   }
 
   /** The range-clustered DATA write alone — shard files land in `dir`
@@ -1249,14 +1249,22 @@ object ShardFormat {
   }
 
   private[graft] def hasManifest(dir: String): Boolean =
-    Files.exists(Paths.get(dir, "_manifest.gshard"))
+    Files.exists(Paths.get(dir, "_manifest.gshard")) ||
+      // crash window: a commit record was exclusively created but the
+      // process died before writing the derived head pointer — the
+      // table IS committed (the record is the commit), so report it
+      commitRecordGens(dir).nonEmpty
 
-  private[graft] def writeManifest(dir: String, m: Manifest): Unit = {
-    // the single chokepoint every write path (batch, streaming,
-    // truncate, delete, merge) flows through — the parser's
-    // no-marker-in-names invariant is enforced here, not assumed.
-    // Format-internal drop tombstones pass (reserved-char-free by
-    // construction; rejected on USER schemas at the write builders)
+  private[graft] def writeManifest(dir: String, m: Manifest): Unit =
+    Files.write(Paths.get(dir, "_manifest.gshard"), renderManifest(m))
+
+  /** Serialize `m` to the manifest's line format. The single
+    * chokepoint every write path (batch, streaming, truncate, delete,
+    * merge) flows through — the parser's no-marker-in-names invariant
+    * is enforced here, not assumed. Format-internal drop tombstones
+    * pass (reserved-char-free by construction; rejected on USER
+    * schemas at the write builders). */
+  private def renderManifest(m: Manifest): Array[Byte] = {
     m.schema.fieldNames.filterNot(isTombstone).foreach(validateFieldName)
     val sb = new StringBuilder
     sb.append("gshard v4\n")
@@ -1296,13 +1304,41 @@ object ShardFormat {
         s"${(longs ++ strs ++ dbls ++ nulls ++ sums ++ blooms ++ bpvs)
           .mkString(";")}\n")
     }
-    Files.write(Paths.get(dir, "_manifest.gshard"),
-      sb.toString.getBytes(StandardCharsets.UTF_8))
+    sb.toString.getBytes(StandardCharsets.UTF_8)
   }
 
   def readManifest(dir: String): Manifest = {
     manifestReads.incrementAndGet()
-    readManifestLines(Files.readAllLines(Paths.get(dir, "_manifest.gshard")))
+    val ptr = Paths.get(dir, "_manifest.gshard")
+    var m =
+      if (Files.exists(ptr)) readManifestLines(Files.readAllLines(ptr))
+      else {
+        // the pointer never landed (crash between the commit record's
+        // exclusive create and the pointer write): recover from the
+        // newest commit record — the record IS the commit
+        val gens = commitRecordGens(dir)
+        require(gens.nonEmpty, s"gshard: no manifest at $dir")
+        readManifestLines(
+          Files.readAllLines(Paths.get(dir, archiveName(gens.last))))
+      }
+    // RECONCILE: commit records are the source of truth (the pointer
+    // is a derived cache, written after the record) — a record one or
+    // more generations AHEAD of the pointer means another process
+    // committed and hasn't (or never will have) moved the pointer;
+    // the newest record wins.
+    var g = m.gen + 1
+    while (Files.exists(Paths.get(dir, archiveName(g)))) {
+      val r = readManifestLines(
+        Files.readAllLines(Paths.get(dir, archiveName(g))))
+      // records render their gen BEFORE linking, so name and content
+      // agree by construction — a mismatch is corruption, and looping
+      // on it would never terminate
+      require(r.gen == g,
+        s"gshard: commit record v$g carries generation ${r.gen} — corrupt")
+      m = r
+      g += 1
+    }
+    m
   }
 
   private def readManifestLines(lines: java.util.List[String]): Manifest = {
@@ -1389,12 +1425,14 @@ object ShardFormat {
   private def archiveName(gen: Long) = s"_manifest.v$gen.gshard"
 
   /** Per-table commit locks (keyed by normalized absolute path):
-    * serializes read-modify-publish sections WITHIN this JVM so two
-    * local writers never interleave between the staleness check and
-    * the manifest write. Cross-process writers are covered by the
-    * [[publishManifest]] `basedOn` check instead — detection, not
-    * prevention (a plain filesystem has no compare-and-swap), the
-    * same discipline as [[graft.sources.MergeTarget]]. */
+    * serializes read-modify-publish sections WITHIN this JVM — the
+    * cheap fast path that makes local contention fail at the basedOn
+    * check instead of burning a staged write per race. CROSS-PROCESS
+    * writers are serialized by [[publishManifest]]'s commit point
+    * itself: the next generation's commit record is EXCLUSIVELY
+    * CREATED (O_EXCL — the filesystem's own compare-and-swap, the
+    * public Delta-log commit protocol), so two processes can never
+    * both win a generation. */
   private val tableLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private[graft] def tableLock(dir: String): Object =
@@ -1468,23 +1506,31 @@ object ShardFormat {
       if (!hasManifest(dir)) build
     }
 
-  /** MUTATING publish with OPTIMISTIC CONCURRENCY: archive the current
-    * head manifest (if any) as `_manifest.v<gen>.gshard`, then write
-    * `m` as the new head at gen+1. Archive-first is crash-safe: a
-    * crash in between leaves the old head both live and archived —
-    * the next publish simply re-archives the same generation
-    * (idempotent overwrite), and no reader ever sees a missing
-    * manifest.
+  /** MUTATING publish with ATOMIC cross-process concurrency control.
+    * The COMMIT POINT is an EXCLUSIVE CREATE: the manifest body is
+    * written to a temp name, then hard-linked to the next
+    * generation's immutable commit record `_manifest.v<gen+1>.gshard`
+    * — `Files.createLink` fails with `FileAlreadyExistsException`
+    * when the record exists, which is the filesystem's own
+    * compare-and-swap (O_EXCL / link(2) EEXIST), the public Delta-log
+    * commit protocol on HDFS-class stores. Two PROCESSES can
+    * therefore never both win generation N+1: exactly one link
+    * succeeds; the loser throws
+    * [[java.util.ConcurrentModificationException]] and its staged
+    * data files become vacuum-sweepable orphans.
+    *
+    * `_manifest.gshard` (what readers open first) is a DERIVED head
+    * pointer, atomically replaced after the record lands; a crash in
+    * between leaves the pointer behind, and [[readManifest]]
+    * reconciles forward off the records — the record IS the commit.
     *
     * `basedOn` is the head generation the caller READ when it planned
-    * the mutation (-1 = planned against an uncommitted table). If the
-    * head moved since — a concurrent writer committed — this publish
-    * throws [[java.util.ConcurrentModificationException]] INSTEAD of
-    * silently destroying the winner's entries (last-writer-wins was
-    * the engine's one silent-data-loss path; r15 verdict task #1).
-    * The loser's staged data files become orphans, re-sweepable by
-    * [[vacuum]]; the table stays byte-exact at the winner's commit.
-    * Returns the published manifest (with its assigned generation). */
+    * the mutation (-1 = planned against an uncommitted table): a
+    * moved head fails fast here before staging the record; a head
+    * that moves BETWEEN that check and the link loses at the link —
+    * either way, never last-writer-wins (r15 verdict task #1, made
+    * exact rather than probabilistic in r17). Returns the published
+    * manifest with its assigned generation. */
   private[graft] def publishManifest(dir: String, m: Manifest,
       basedOn: Long): Manifest = tableLock(dir).synchronized {
     val head = if (hasManifest(dir)) Some(readManifest(dir)) else None
@@ -1495,17 +1541,49 @@ object ShardFormat {
           s"planned against generation $basedOn but the head is now " +
           s"$headG (a concurrent writer committed); re-plan against " +
           "the new head and retry")
-    val next = head match {
-      case None => m.copy(gen = 0L)
-      case Some(h) =>
-        java.nio.file.Files.copy(
-          Paths.get(dir, "_manifest.gshard"),
-          Paths.get(dir, archiveName(h.gen)),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        m.copy(gen = h.gen + 1)
+    Files.createDirectories(Paths.get(dir))
+    // self-heal: a pre-record table (bootstrapped by a legacy layout
+    // or a crash that lost records to manual cleanup) gets its head's
+    // own record re-materialized so the chain stays contiguous
+    head.foreach { h =>
+      val rec = Paths.get(dir, archiveName(h.gen))
+      if (!Files.exists(rec)) {
+        val t = Files.createTempFile(Paths.get(dir), ".gshard_heal", ".tmp")
+        Files.write(t, renderManifest(h))
+        try Files.createLink(rec, t)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        Files.deleteIfExists(t)
+      }
     }
-    writeManifest(dir, next)
+    val next = m.copy(gen = headG + 1)
+    linkCommitRecord(dir, next)
+    // the derived head pointer, atomically replaced — readers that
+    // catch us between link and move reconcile forward themselves
+    val tmp = Files.createTempFile(Paths.get(dir), ".gshard_head", ".tmp")
+    Files.write(tmp, renderManifest(next))
+    Files.move(tmp, Paths.get(dir, "_manifest.gshard"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     next
+  }
+
+  /** The CAS primitive: render `m` to a temp file, then exclusively
+    * create `_manifest.v<m.gen>.gshard` as a hard link to it. Exactly
+    * one caller (across ALL processes) can succeed per generation;
+    * losers throw [[java.util.ConcurrentModificationException]]. */
+  private[shard] def linkCommitRecord(dir: String, m: Manifest): Unit = {
+    val tmp = Files.createTempFile(Paths.get(dir), ".gshard_commit", ".tmp")
+    Files.write(tmp, renderManifest(m))
+    try Files.createLink(Paths.get(dir, archiveName(m.gen)), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"gshard: lost the commit race at $dir — generation ${m.gen} " +
+            "was committed by a concurrent writer (its commit record " +
+            "already exists); re-plan against the new head and retry")
+    }
+    Files.deleteIfExists(tmp)
   }
 
   /** Directory listing that CLOSES the underlying stream —
@@ -1518,8 +1596,10 @@ object ShardFormat {
     finally s.close()
   }
 
-  /** Archived generation numbers present on disk (ascending). */
-  private[graft] def archivedGens(dir: String): Seq[Long] = {
+  /** ALL commit-record generations on disk (ascending) — since r17
+    * every generation INCLUDING the head carries its own record (the
+    * record is the commit). */
+  private[shard] def commitRecordGens(dir: String): Seq[Long] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) return Seq.empty
     val Pat = """_manifest\.v(\d+)\.gshard""".r
@@ -1527,6 +1607,19 @@ object ShardFormat {
       case Pat(g) => Some(g.toLong)
       case _ => None
     }.sorted
+  }
+
+  /** ARCHIVED generation numbers (ascending): retained generations
+    * STRICTLY BELOW the head — the set time travel and vacuum
+    * retention reason about. (The head's own commit record is not an
+    * archive; it is the live commit.) */
+  private[graft] def archivedGens(dir: String): Seq[Long] = {
+    val recs = commitRecordGens(dir)
+    if (recs.isEmpty) Seq.empty
+    else {
+      val headG = readManifest(dir).gen
+      recs.filter(_ < headG)
+    }
   }
 
   /** `VERSION AS OF v`: the head when v is the head generation, else

@@ -260,4 +260,100 @@ class ShardConcurrencySpec extends SparkSpec {
     // the table is unaffected
     assert(spark.read.format("gshard").load(d).count() == 200L)
   }
+
+  // ── r17: the commit point is an ATOMIC exclusive create ──────────
+
+  test("the commit-record CAS: exactly one creator of a generation " +
+      "wins; the second exclusive create throws") {
+    import graft.sources.shard.tests.FormatProbe
+    val d = tmp("cas")
+    ShardFormat.write(rows(0, 50), d, "id", 1) // gen 0 (record + pointer)
+    val m = ShardFormat.readManifest(d)
+    FormatProbe.forgeCommitRecord(d, m, 1L)
+    intercept[ConcurrentModificationException] {
+      FormatProbe.forgeCommitRecord(d, m, 1L)
+    }
+  }
+
+  test("a foreign process's half-finished commit (record linked, " +
+      "pointer not yet moved) is visible to readers and fails a " +
+      "stale publish; the chain stays contiguous") {
+    import graft.sources.shard.tests.FormatProbe
+    val d = tmp("halfcommit")
+    ShardFormat.write(rows(0, 50), d, "id", 1) // gen 0
+    val m0 = ShardFormat.readManifest(d)
+    // foreign process: committed gen 1 (its record is the commit)
+    // but crashed before moving the derived head pointer
+    FormatProbe.forgeCommitRecord(d,
+      m0.copy(entries = m0.entries.filter(_ => false)), 1L)
+    // readers reconcile forward off the records
+    val head = ShardFormat.readManifest(d)
+    assert(head.gen == 1L && head.entries.isEmpty)
+    // a writer that planned against gen 0 must lose
+    intercept[ConcurrentModificationException] {
+      ShardFormat.publishManifest(d, m0, basedOn = 0L)
+    }
+    // re-planning against the reconciled head commits gen 2 and
+    // repairs the pointer
+    val pub = ShardFormat.publishManifest(d, m0, basedOn = 1L)
+    assert(pub.gen == 2L)
+    assert(FormatProbe.commitRecordGens(d) == Seq(0L, 1L, 2L))
+    assert(ShardFormat.readManifest(d).gen == 2L)
+    // pointer now agrees with the newest record (no reconcile needed)
+    assert(spark.read.format("gshard").load(d).count() == 50L)
+  }
+
+  test("pointer lost entirely (crash after the very first record): " +
+      "readers recover from the newest commit record") {
+    val d = tmp("ptrloss")
+    ShardFormat.write(rows(0, 30), d, "id", 1) // gen 0
+    rows(30, 40).write.format("gshard").option("rangecol", "id")
+      .mode("append").save(d) // gen 1
+    Files.delete(Paths.get(d, "_manifest.gshard"))
+    assert(ShardFormat.hasManifest(d))
+    val m = ShardFormat.readManifest(d)
+    assert(m.gen == 1L)
+    assert(spark.read.format("gshard").load(d).count() == 40L)
+  }
+
+  test("TWO PROCESSES race 25 commits each through the real " +
+      "protocol: every commit wins exactly one generation, no commit " +
+      "is lost, the record chain is contiguous") {
+    val d = tmp("raceproc")
+    ShardFormat.write(rows(0, 10), d, "id", 1) // gen 0
+    val base = ShardFormat.readManifest(d)
+    val go = s"$d/.go"
+    val n = 25
+    def launch(tag: String): Process = {
+      val pb = new ProcessBuilder(
+        s"${System.getProperty("java.home")}/bin/java",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.sources.shard.tests.ShardRaceMain", d, n.toString, tag, go)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(
+        ProcessBuilder.Redirect.to(new java.io.File(s"$d/.$tag.log")))
+      pb.start()
+    }
+    val (pa, pb) = (launch("wa"), launch("wb"))
+    Thread.sleep(500) // both JVMs booting; release them together
+    Files.createFile(Paths.get(go))
+    assert(pa.waitFor(120, java.util.concurrent.TimeUnit.SECONDS) &&
+      pb.waitFor(120, java.util.concurrent.TimeUnit.SECONDS),
+      "race writers did not finish")
+    assert(pa.exitValue() == 0 && pb.exitValue() == 0,
+      s"writer failed:\n${new String(Files.readAllBytes(Paths.get(s"$d/.wa.log")))}" +
+        s"\n${new String(Files.readAllBytes(Paths.get(s"$d/.wb.log")))}")
+    val head = ShardFormat.readManifest(d)
+    // 50 commits on top of gen 0: the head generation is exactly 50
+    // (every publish won exactly one generation — the CAS can't
+    // double-assign) and NO commit was lost (all 50 markers present)
+    assert(head.gen == base.gen + 2L * n, s"head gen ${head.gen}")
+    val markers = head.entries.map(_.file)
+      .filter(f => f.contains("-wa-") || f.contains("-wb-"))
+    assert(markers.size == 2 * n, s"lost commits: ${markers.size}")
+    assert(markers.toSet.size == 2 * n)
+    // the record chain is contiguous 0..50
+    assert(graft.sources.shard.tests.FormatProbe.commitRecordGens(d) ==
+      (0L to (base.gen + 2L * n)).toSeq)
+  }
 }

@@ -13,3 +13,17 @@ class TableProbe(dir: String) {
   def canDeleteWhere(filters: Array[Filter]): Boolean =
     table.canDeleteWhere(filters)
 }
+
+/** Test-only handles onto `private[shard]` format internals. */
+object FormatProbe {
+  /** Replay the FIRST HALF of a foreign process's commit — the
+    * exclusive-create of the next generation's commit record, WITHOUT
+    * the head-pointer move — to drive the crash/interleave windows
+    * from specs. */
+  def forgeCommitRecord(dir: String,
+      m: ShardFormat.Manifest, gen: Long): Unit =
+    ShardFormat.linkCommitRecord(dir, m.copy(gen = gen))
+
+  def commitRecordGens(dir: String): Seq[Long] =
+    ShardFormat.commitRecordGens(dir)
+}
