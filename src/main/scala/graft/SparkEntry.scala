@@ -622,6 +622,11 @@ object SparkEntry {
     // fingerprint hash-checked against a raw-parquet recount
     "q_shard_tokens_roundtrip" ->
       q(t => graft.sources.SourceOps.qShardTokensRoundtrip(t)),
+    // TOKEN-ID lists (array<int>, the post-BPE currency): ids ride
+    // the FOR-bitpacked long codec; per-doc count / sum /
+    // order-sensitive fingerprint against a DuckDB recompute
+    "q_shard_token_ids_roundtrip" ->
+      q(t => graft.sources.SourceOps.qShardTokenIdsRoundtrip(t)),
     // row-level MERGE (upsert) riding the manifest txn machinery:
     // matched keys replace, unmatched insert, untouched files stay
     // physically untouched; replay-idempotent
@@ -5777,6 +5782,22 @@ object SparkEntry {
         |  list_filter(regexp_split_to_array(coalesce(text, ''),
         |      '[ \t\n\f\r]+'),
         |    x -> len(x) > 0) AS toks
+        |FROM documents)""".stripMargin,
+    // token IDS recomputed from raw text with the same md5-prefix id
+    // function ('0x' hex cast == Spark's conv(_,16,10), both exact
+    // on the 28-bit domain) and the same order-sensitive fingerprint
+    "q_shard_token_ids_roundtrip" ->
+      """SELECT doc_id,
+        | CAST(len(ids) AS BIGINT) AS n_tok,
+        | CAST(coalesce(list_sum(ids), 0) AS BIGINT) AS id_sum,
+        | md5(array_to_string(
+        |   list_transform(ids, x -> CAST(x AS VARCHAR)), ',')) AS id_fp
+        |FROM (SELECT doc_id,
+        |  list_transform(
+        |    list_filter(regexp_split_to_array(coalesce(text, ''),
+        |        '[ \t\n\f\r]+'),
+        |      x -> len(x) > 0),
+        |    tk -> CAST(('0x' || substr(md5(tk), 1, 7)) AS BIGINT)) AS ids
         |FROM documents)""".stripMargin,
     // the pushed top-N replays as a plain ORDER BY ... LIMIT
     "q_shard_topn" ->

@@ -1179,6 +1179,46 @@ object SourceOps {
         md5(concat_ws(" ", col("tokens"))).as("tok_fp"))
   }
 
+  /** `q_shard_token_ids_roundtrip` — the TOKEN-ID list gate (r16
+    * verdict task #4): post-BPE training data is INTEGER token ids,
+    * not strings, and the engine's storage must carry them first
+    * class. The whitespace tokenization of `documents` maps each
+    * token to a deterministic 28-bit id (hex prefix of its md5 —
+    * `conv(_,16,10)` here, `CAST('0x…')` in the oracle: the one id
+    * function both engines compute bit-identically) and CTASes
+    * `(doc_id, tok_ids array<int>)` through the gshard catalog — the
+    * ids ride the format's measured FOR-bitpack/delta long codec
+    * under the list offset scheme (tag `listi`). Read back, each
+    * doc's list recounts ORDER-SENSITIVELY: token count, id sum, and
+    * an md5 fingerprint of the comma-joined ids — any lost,
+    * reordered, or corrupted id in any row diverges the hash. */
+  def qShardTokenIdsRoundtrip(t: Tables): DataFrame = {
+    val spark = t.spark
+    val wh = staging("gshard_warehouse")
+    spark.conf.set("spark.sql.catalog.gshard_cat",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_cat.warehouse", wh)
+    val tbl = s"tokid_${dirTag(t.dir)}"
+    graft.sources.shard.ShardFormat.ensureStaged(s"$wh/main/$tbl") {
+      val view = s"gshard_tokid_src_$runId"
+      t.documents.select(col("doc_id"),
+        transform(
+          filter(split(coalesce(col("text"), lit("")), "[ \\t\\n\\f\\r]+"),
+            tk => length(tk) > 0),
+          tk => conv(substring(md5(tk), 1, 7), 16, 10).cast("int"))
+          .as("tok_ids"))
+        .createOrReplaceTempView(view)
+      spark.sql(s"CREATE TABLE gshard_cat.main.$tbl AS SELECT * FROM $view")
+    }
+    spark.table(s"gshard_cat.main.$tbl")
+      .select(col("doc_id"),
+        size(col("tok_ids")).cast("long").as("n_tok"),
+        aggregate(col("tok_ids"), lit(0L),
+          (acc, x) => acc + x.cast("long")).as("id_sum"),
+        md5(concat_ws(",",
+          transform(col("tok_ids"), x => x.cast("string")))).as("id_fp"))
+  }
+
   private def shardProjection(t: Tables): DataFrame =
     t.events.select(col("user_id"), col("event_type"),
       datediff(col("ts").cast("date"),

@@ -591,6 +591,29 @@ private[shard] class ShardDataWriter(dir: String,
               a(j) = ad.getUTF8String(j).getBytes; j += 1
             }
             a
+          // token-id lists: primitive copies out of the array view
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.IntegerType, _) =>
+            val ad = row.getArray(i)
+            val m = ad.numElements()
+            val a = new Array[Int](m)
+            var j = 0
+            while (j < m) {
+              require(!ad.isNullAt(j), "gshard: null token-id element")
+              a(j) = ad.getInt(j); j += 1
+            }
+            a
+          case org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, _) =>
+            val ad = row.getArray(i)
+            val m = ad.numElements()
+            val a = new Array[Long](m)
+            var j = 0
+            while (j < m) {
+              require(!ad.isNullAt(j), "gshard: null token-id element")
+              a(j) = ad.getLong(j); j += 1
+            }
+            a
           case other => throw new IllegalStateException(other.toString)
         }
       j += 1
@@ -1464,6 +1487,22 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
                 }
                 v.putArray(i, off, a.length)
                 off += a.length
+              case a: Array[Int] =>
+                child.reserve(off + a.length)
+                var j = 0
+                while (j < a.length) {
+                  child.putInt(off + j, a(j)); j += 1
+                }
+                v.putArray(i, off, a.length)
+                off += a.length
+              case a: Array[Long] =>
+                child.reserve(off + a.length)
+                var j = 0
+                while (j < a.length) {
+                  child.putLong(off + j, a(j)); j += 1
+                }
+                v.putArray(i, off, a.length)
+                off += a.length
             }
             i += 1
           }
@@ -1546,6 +1585,10 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
             case a: Array[Float] =>
               new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
             case a: Array[Double] =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+            case a: Array[Int] =>
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
+            case a: Array[Long] =>
               new org.apache.spark.sql.catalyst.util.GenericArrayData(a)
             case a: Array[Array[Byte]] =>
               val u = new Array[Any](a.length)

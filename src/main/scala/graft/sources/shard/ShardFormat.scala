@@ -227,10 +227,19 @@ object ShardFormat {
     // NO null elements (a token list with null tokens is malformed;
     // rejecting keeps the layout offset-only).
     case ArrayType(StringType, _) => "liststr"
+    // TOKEN-ID LIST columns — the post-BPE training currency (integer
+    // token ids, not strings): row-grain element offsets over ONE
+    // flat long-domain element block that rides the SAME measured
+    // plain/delta-varint/FOR-bitpack encodings as scalar long columns
+    // (ids are small and repetitive — FOR packs them at a few bits
+    // per token). Null policy as for every list: row-grain bitmap,
+    // NULL ELEMENTS rejected at write (offset-only layout).
+    case ArrayType(IntegerType, _) => "listi"
+    case ArrayType(LongType, _) => "listl"
     case other => throw new IllegalArgumentException(
       "gshard supports long/double/string/timestamp/timestamp_ntz/" +
         "date/int/boolean/decimal(<=18,s)/array<float>/array<double>/" +
-        s"array<string>, got $other")
+        s"array<string>/array<int>/array<long>, got $other")
   }
 
   private val DecimalTag = """decimal_(\d+)_(\d+)""".r
@@ -256,6 +265,8 @@ object ShardFormat {
     case "vecf" => ArrayType(FloatType, containsNull = false)
     case "vecd" => ArrayType(DoubleType, containsNull = false)
     case "liststr" => ArrayType(StringType, containsNull = false)
+    case "listi" => ArrayType(IntegerType, containsNull = false)
+    case "listl" => ArrayType(LongType, containsNull = false)
   }
 
   /** Vector (embedding) columns: float/double element arrays. */
@@ -469,6 +480,164 @@ object ShardFormat {
     u | (b.toLong << shift)
   }
 
+  // ── flat long-sequence codec (token-id list elements) ──────────────
+  // The SAME measured three-way choice as scalar long columns — plain
+  // 8-byte, zigzag-delta varint, FOR-bitpack — over a flat element
+  // sequence: tag BYTE + payload. Token ids are small and repetitive,
+  // so FOR typically lands a few BITS per token.
+
+  private[shard] def writeLongSeq(bdos: DataOutputStream,
+      vals: Array[Long]): Unit = {
+    val n = vals.length
+    var mn = Long.MaxValue; var mx = Long.MinValue
+    var deltaLen = 0L
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      val v = vals(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      deltaLen += varintLen(zigzag(v - prev))
+      prev = v
+      i += 1
+    }
+    if (n == 0) { bdos.writeByte(0); return }
+    val range = mx - mn
+    val width =
+      if (range == 0L) 0
+      else if (range < 0L) 64
+      else 64 - java.lang.Long.numberOfLeadingZeros(range)
+    val forLen =
+      if (width > 56) Long.MaxValue
+      else 9L + (n.toLong * width + 7) / 8
+    if (forLen < 8L * n && forLen <= deltaLen) {
+      bdos.writeByte(2)
+      bdos.writeLong(mn)
+      bdos.writeByte(width)
+      var acc = 0L; var nb = 0
+      i = 0
+      while (i < n) {
+        acc |= (vals(i) - mn) << nb
+        nb += width
+        while (nb >= 8) {
+          bdos.writeByte((acc & 0xFFL).toInt); acc >>>= 8; nb -= 8
+        }
+        i += 1
+      }
+      if (nb > 0) bdos.writeByte((acc & 0xFFL).toInt)
+    } else if (deltaLen < 8L * n) {
+      bdos.writeByte(1)
+      prev = 0L
+      i = 0
+      while (i < n) {
+        writeVarint(bdos, zigzag(vals(i) - prev)); prev = vals(i); i += 1
+      }
+    } else {
+      bdos.writeByte(0)
+      i = 0
+      while (i < n) { bdos.writeLong(vals(i)); i += 1 }
+    }
+  }
+
+  private[shard] def readLongSeq(dis: DataInputStream,
+      n: Int): Array[Long] = {
+    val out = new Array[Long](n)
+    dis.readByte() match {
+      case 0 =>
+        var i = 0
+        while (i < n) { out(i) = dis.readLong(); i += 1 }
+      case 1 =>
+        var prev = 0L
+        var i = 0
+        while (i < n) {
+          prev += unzigzag(readVarint(dis)); out(i) = prev; i += 1
+        }
+      case 2 =>
+        val base = dis.readLong()
+        val width = dis.readUnsignedByte()
+        val packed = new Array[Byte](((n.toLong * width + 7) / 8).toInt)
+        dis.readFully(packed)
+        val mask = if (width == 0) 0L else (1L << width) - 1L
+        var acc = 0L; var nb = 0; var bp = 0
+        var i = 0
+        while (i < n) {
+          while (nb < width) {
+            acc |= (packed(bp) & 0xFFL) << nb; bp += 1; nb += 8
+          }
+          out(i) = base + (acc & mask)
+          acc >>>= width; nb -= width
+          i += 1
+        }
+      case other => throw new IllegalStateException(
+        s"gshard: unknown long-seq encoding tag $other")
+    }
+    out
+  }
+
+  // ── payload block compression (string / string-list blocks) ────────
+  // Per-block DEFLATE (java.util.zip, BEST_SPEED), chosen by MEASURED
+  // size like every other encoding in the format — never larger than
+  // raw, never applied to blocks too small to matter. The flag bit
+  // rides the block's existing encoding tag; compressed payloads
+  // carry a 4-byte raw length so the reader can size its buffer. Zone
+  // maps, null bitmaps, and the chunk header stay uncompressed — the
+  // skipping machinery never inflates a byte it then discards.
+
+  /** OR'd into a string/liststr block tag when the payload deflated. */
+  private[shard] val CompressFlag = 2
+  /** Blocks under this size skip the probe (the 4-byte header + zlib
+    * overhead can't win). */
+  private[shard] val MinCompressBytes = 64
+
+  /** Toggle: `-Dgraft.gshard.compress=false` writes raw payloads
+    * (readers accept both unconditionally). */
+  private[shard] def compressEnabled: Boolean =
+    sys.props.get("graft.gshard.compress").forall(_.toBoolean)
+
+  /** Deflate `raw`; Some(4-byte rawLen + deflated bytes) only when
+    * strictly smaller than `raw`, else None (keep raw). */
+  private[shard] def maybeDeflate(raw: Array[Byte]): Option[Array[Byte]] = {
+    if (!compressEnabled || raw.length < MinCompressBytes) return None
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.BEST_SPEED)
+    try {
+      d.setInput(raw); d.finish()
+      // worst case a hair over input size; cap the probe buffer at
+      // raw size — overflowing it just means "didn't win"
+      val buf = new Array[Byte](raw.length)
+      var off = 4
+      while (!d.finished() && off < buf.length)
+        off += d.deflate(buf, off, buf.length - off)
+      if (!d.finished() || off >= raw.length) None
+      else {
+        val out = java.util.Arrays.copyOf(buf, off)
+        out(0) = (raw.length >>> 24).toByte
+        out(1) = (raw.length >>> 16).toByte
+        out(2) = (raw.length >>> 8).toByte
+        out(3) = raw.length.toByte
+        Some(out)
+      }
+    } finally d.end()
+  }
+
+  /** Inflate a compressed payload read off disk: `comp` holds the
+    * 4-byte raw length followed by the deflated bytes. */
+  private[shard] def inflate(comp: Array[Byte]): Array[Byte] = {
+    val rawLen = ((comp(0) & 0xFF) << 24) | ((comp(1) & 0xFF) << 16) |
+      ((comp(2) & 0xFF) << 8) | (comp(3) & 0xFF)
+    require(rawLen >= 0, s"gshard: corrupt compressed block ($rawLen)")
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp, 4, comp.length - 4)
+      val out = new Array[Byte](rawLen)
+      var off = 0
+      while (off < rawLen && !inf.finished())
+        off += inf.inflate(out, off, rawLen - off)
+      require(off == rawLen, "gshard: truncated compressed block")
+      out
+    } finally inf.end()
+  }
+
   /** Chunk-header string zone bounds are capped at this length: a
     * chunk whose min or max exceeds it writes an empty slot (admit
     * always) rather than truncated bounds — missing bounds are sound,
@@ -645,6 +814,24 @@ object ShardFormat {
                 a(j) = e.asInstanceOf[String]
                   .getBytes(StandardCharsets.UTF_8)
                 j += 1
+              }
+              a
+            case ArrayType(IntegerType, _) =>
+              val s = r.getSeq[Any](i)
+              val a = new Array[Int](s.length)
+              var j = 0
+              s.foreach { e =>
+                require(e != null, "gshard: null token-id element")
+                a(j) = e.asInstanceOf[Int]; j += 1
+              }
+              a
+            case ArrayType(LongType, _) =>
+              val s = r.getSeq[Any](i)
+              val a = new Array[Long](s.length)
+              var j = 0
+              s.foreach { e =>
+                require(e != null, "gshard: null token-id element")
+                a(j) = e.asInstanceOf[Long]; j += 1
               }
               a
             case dt if physicallyLong(dt) =>
@@ -939,40 +1126,54 @@ object ShardFormat {
             // tag is common to both, so the comparison ignores it)
             val plainLen = 4L * (n + 1) + total
             val dictLen = 1L + 4L * (d + 1) + dictBytes + n
-            if (!tooMany && dictLen < plainLen) {
-              bdos.writeLong(bitmap.length + 1L + dictLen)
-              bdos.write(bitmap)
-              bdos.writeByte(1) // encoding tag: dictionary
-              bdos.writeByte(d)
-              var off = 0
-              bdos.writeInt(0)
-              dict.keysIterator.foreach { k =>
-                off += k.length; bdos.writeInt(off)
+            // build the chosen payload off-stream so the DEFLATE
+            // probe can measure it (tag bit 2 = compressed payload,
+            // 4-byte raw length prefixed — chosen by size, never
+            // worse than raw)
+            val pbody = new ByteArrayOutputStream(1 << 12)
+            val pdos = new DataOutputStream(pbody)
+            val baseTag =
+              if (!tooMany && dictLen < plainLen) {
+                pdos.writeByte(d)
+                var off = 0
+                pdos.writeInt(0)
+                dict.keysIterator.foreach { k =>
+                  off += k.length; pdos.writeInt(off)
+                }
+                dict.keysIterator
+                  .foreach(k => pdos.write(k.getBytes("ISO-8859-1")))
+                r = 0
+                while (r < n) {
+                  val isNull = (bitmap(r >> 3) & (1 << (r & 7))) != 0
+                  pdos.writeByte(
+                    if (isNull) 0
+                    else dict(new String(slices(r), "ISO-8859-1")))
+                  r += 1
+                }
+                1 // dictionary
+              } else {
+                var off = 0
+                pdos.writeInt(0)
+                r = 0
+                while (r < n) {
+                  off += slices(r).length
+                  pdos.writeInt(off)
+                  r += 1
+                }
+                r = 0
+                while (r < n) { pdos.write(slices(r)); r += 1 }
+                0 // plain offsets+bytes
               }
-              dict.keysIterator.foreach(k => bdos.write(k.getBytes("ISO-8859-1")))
-              r = 0
-              while (r < n) {
-                val isNull = (bitmap(r >> 3) & (1 << (r & 7))) != 0
-                bdos.writeByte(
-                  if (isNull) 0
-                  else dict(new String(slices(r), "ISO-8859-1")))
-                r += 1
-              }
-            } else {
-              bdos.writeLong(bitmap.length + 1L + plainLen)
-              bdos.write(bitmap)
-              bdos.writeByte(0) // encoding tag: plain offsets+bytes
-              var off = 0
-              bdos.writeInt(0)
-              r = 0
-              while (r < n) {
-                off += slices(r).length
-                bdos.writeInt(off)
-                r += 1
-              }
-              r = 0
-              while (r < n) { bdos.write(slices(r)); r += 1 }
+            pdos.flush()
+            val raw = pbody.toByteArray
+            val (tag, payload) = maybeDeflate(raw) match {
+              case Some(comp) => (baseTag | CompressFlag, comp)
+              case None => (baseTag, raw)
             }
+            bdos.writeLong(bitmap.length + 1L + payload.length)
+            bdos.write(bitmap)
+            bdos.writeByte(tag)
+            bdos.write(payload)
           case ArrayType(StringType, _) =>
             // string-list block: row-grain element offsets over ONE
             // flattened plain string block (element byte offsets +
@@ -998,20 +1199,21 @@ object ShardFormat {
               s"gshard: string-list chunk block holds $totalElems " +
                 s"elements / $totalBytes bytes (> Int.MaxValue) — " +
                 "reduce chunkRows")
-            val payload = 4L * (n + 1) + 4L * (totalElems + 1) + totalBytes
-            bdos.writeLong(bitmap.length + payload)
-            bdos.write(bitmap)
+            // tag byte (0 plain / 0|CompressFlag deflated) + payload;
+            // built off-stream so the DEFLATE probe can measure it
+            val pbody = new ByteArrayOutputStream(1 << 12)
+            val pdos = new DataOutputStream(pbody)
             var eOff = 0
-            bdos.writeInt(0)
+            pdos.writeInt(0)
             r = 0
             while (r < n) {
               val v = buf(r)(c)
               if (v != null) eOff += v.asInstanceOf[Array[Array[Byte]]].length
-              bdos.writeInt(eOff)
+              pdos.writeInt(eOff)
               r += 1
             }
             var bOff = 0
-            bdos.writeInt(0)
+            pdos.writeInt(0)
             r = 0
             while (r < n) {
               val v = buf(r)(c)
@@ -1019,7 +1221,7 @@ object ShardFormat {
                 val a = v.asInstanceOf[Array[Array[Byte]]]
                 var j = 0
                 while (j < a.length) {
-                  bOff += a(j).length; bdos.writeInt(bOff); j += 1
+                  bOff += a(j).length; pdos.writeInt(bOff); j += 1
                 }
               }
               r += 1
@@ -1030,10 +1232,79 @@ object ShardFormat {
               if (v != null) {
                 val a = v.asInstanceOf[Array[Array[Byte]]]
                 var j = 0
-                while (j < a.length) { bdos.write(a(j)); j += 1 }
+                while (j < a.length) { pdos.write(a(j)); j += 1 }
               }
               r += 1
             }
+            pdos.flush()
+            val raw = pbody.toByteArray
+            val (tag, payload) = maybeDeflate(raw) match {
+              case Some(comp) => (CompressFlag, comp)
+              case None => (0, raw)
+            }
+            bdos.writeLong(bitmap.length + 1L + payload.length)
+            bdos.write(bitmap)
+            bdos.writeByte(tag)
+            bdos.write(payload)
+          case ArrayType(IntegerType, _) | ArrayType(LongType, _) =>
+            // token-id list block: (nRows+1)×INT row element offsets
+            // over ONE flat long-domain element sequence riding the
+            // measured plain/delta/FOR codec ([[writeLongSeq]] — ids
+            // FOR-pack to a few bits per token; no outer deflate, the
+            // bit packing already is the compression). null/empty
+            // rows hold zero elements; null ELEMENTS were rejected
+            // at intake.
+            var totalElems = 0L
+            r = 0
+            while (r < n) {
+              buf(r)(c) match {
+                case null => ()
+                case a: Array[Int] => totalElems += a.length
+                case a: Array[Long] => totalElems += a.length
+              }
+              r += 1
+            }
+            // the reader materializes the flat element array and
+            // addresses rows with INT offsets — fail at write, never
+            // commit an undecodable file
+            require(totalElems * 8 <= Int.MaxValue - 64,
+              s"gshard: token-id chunk block holds $totalElems " +
+                "elements (> Int.MaxValue/8) — reduce chunkRows")
+            val flat = new Array[Long](totalElems.toInt)
+            var fi = 0
+            r = 0
+            while (r < n) {
+              buf(r)(c) match {
+                case null => ()
+                case a: Array[Int] =>
+                  var j = 0
+                  while (j < a.length) { flat(fi) = a(j); fi += 1; j += 1 }
+                case a: Array[Long] =>
+                  var j = 0
+                  while (j < a.length) { flat(fi) = a(j); fi += 1; j += 1 }
+              }
+              r += 1
+            }
+            val pb = new ByteArrayOutputStream(1 << 12)
+            val pd = new DataOutputStream(pb)
+            var eo = 0
+            pd.writeInt(0)
+            r = 0
+            while (r < n) {
+              buf(r)(c) match {
+                case null => ()
+                case a: Array[Int] => eo += a.length
+                case a: Array[Long] => eo += a.length
+              }
+              pd.writeInt(eo)
+              r += 1
+            }
+            writeLongSeq(pd, flat)
+            pd.flush()
+            val body2 = pb.toByteArray
+            bdos.writeLong(bitmap.length.toLong + body2.length)
+            bdos.write(bitmap)
+            bdos.write(body2)
           case ArrayType(et, _) =>
             // vector block: raw IEEE bits, FIXED-DIM when every
             // non-null row agrees on length (the embedding case —
@@ -1932,13 +2203,25 @@ object ShardFormat {
                         arr(i) = if (isNull(i)) null else v
                         i += 1
                       }
-                    case StringType => dis.readByte() match {
+                    case StringType =>
+                      val t = dis.readByte()
+                      // a compressed payload (tag bit 2) inflates to
+                      // the raw encoding, then parses identically
+                      val in =
+                        if ((t & CompressFlag) != 0) {
+                          val comp =
+                            new Array[Byte]((len - bitmapLen - 1).toInt)
+                          dis.readFully(comp)
+                          new DataInputStream(
+                            new java.io.ByteArrayInputStream(inflate(comp)))
+                        } else dis
+                      (t & ~CompressFlag) match {
                       case 0 => // plain: offsets + bytes
                         val offs = new Array[Int](nRows + 1)
                         var i = 0
-                        while (i <= nRows) { offs(i) = dis.readInt(); i += 1 }
+                        while (i <= nRows) { offs(i) = in.readInt(); i += 1 }
                         val bytes = new Array[Byte](offs(nRows))
-                        dis.readFully(bytes)
+                        in.readFully(bytes)
                         i = 0
                         while (i < nRows) {
                           arr(i) =
@@ -1948,19 +2231,19 @@ object ShardFormat {
                           i += 1
                         }
                       case 1 => // dictionary: entries once, u8 indices
-                        val d = dis.readUnsignedByte()
+                        val d = in.readUnsignedByte()
                         val offs = new Array[Int](d + 1)
                         var i = 0
-                        while (i <= d) { offs(i) = dis.readInt(); i += 1 }
+                        while (i <= d) { offs(i) = in.readInt(); i += 1 }
                         val dictBytes = new Array[Byte](offs(d))
-                        dis.readFully(dictBytes)
+                        in.readFully(dictBytes)
                         // entries are shared read-only slices: equal
                         // rows reference ONE array, the dictionary win
                         val entries = Array.tabulate(d)(k =>
                           java.util.Arrays.copyOfRange(
                             dictBytes, offs(k), offs(k + 1)))
                         val idx = new Array[Byte](nRows)
-                        dis.readFully(idx)
+                        in.readFully(idx)
                         i = 0
                         while (i < nRows) {
                           arr(i) =
@@ -1972,20 +2255,32 @@ object ShardFormat {
                         s"gshard: unknown string encoding tag $other")
                     }
                     case ArrayType(StringType, _) =>
-                      // row element offsets, element byte offsets,
-                      // then ONE bulk byte read; per-row values are
+                      // tag byte (plain / deflated payload), then row
+                      // element offsets, element byte offsets, ONE
+                      // bulk byte read; per-row values are
                       // Array[Array[Byte]] slices (null rows null)
+                      val t = dis.readByte()
+                      val in =
+                        if ((t & CompressFlag) != 0) {
+                          val comp =
+                            new Array[Byte]((len - bitmapLen - 1).toInt)
+                          dis.readFully(comp)
+                          new DataInputStream(
+                            new java.io.ByteArrayInputStream(inflate(comp)))
+                        } else dis
+                      require((t & ~CompressFlag) == 0,
+                        s"gshard: unknown string-list encoding tag $t")
                       val rOffs = new Array[Int](nRows + 1)
                       var i = 0
-                      while (i <= nRows) { rOffs(i) = dis.readInt(); i += 1 }
+                      while (i <= nRows) { rOffs(i) = in.readInt(); i += 1 }
                       val nElems = rOffs(nRows)
                       require(nElems >= 0 && nElems <= Int.MaxValue - 64,
                         s"gshard: corrupt string-list block ($nElems elements)")
                       val eOffs = new Array[Int](nElems + 1)
                       i = 0
-                      while (i <= nElems) { eOffs(i) = dis.readInt(); i += 1 }
+                      while (i <= nElems) { eOffs(i) = in.readInt(); i += 1 }
                       val bytes = new Array[Byte](eOffs(nElems))
-                      dis.readFully(bytes)
+                      in.readFully(bytes)
                       i = 0
                       while (i < nRows) {
                         if (!isNull(i)) {
@@ -1998,6 +2293,44 @@ object ShardFormat {
                             j += 1
                           }
                           arr(i) = out
+                        }
+                        i += 1
+                      }
+                    case ArrayType(IntegerType, _) |
+                         ArrayType(LongType, _) =>
+                      // token-id list: row offsets + one flat
+                      // long-seq decode, sliced per row
+                      val isInt = f.dataType match {
+                        case ArrayType(IntegerType, _) => true
+                        case _ => false
+                      }
+                      val rOffs = new Array[Int](nRows + 1)
+                      var i = 0
+                      while (i <= nRows) { rOffs(i) = dis.readInt(); i += 1 }
+                      val nElems = rOffs(nRows)
+                      require(nElems >= 0 &&
+                        nElems.toLong * 8 <= Int.MaxValue - 64,
+                        s"gshard: corrupt token-id block ($nElems elements)")
+                      val flat = readLongSeq(dis, nElems)
+                      i = 0
+                      while (i < nRows) {
+                        if (!isNull(i)) {
+                          val m = rOffs(i + 1) - rOffs(i)
+                          if (isInt) {
+                            val out = new Array[Int](m)
+                            var j = 0
+                            while (j < m) {
+                              out(j) = flat(rOffs(i) + j).toInt; j += 1
+                            }
+                            arr(i) = out
+                          } else {
+                            val out = new Array[Long](m)
+                            var j = 0
+                            while (j < m) {
+                              out(j) = flat(rOffs(i) + j); j += 1
+                            }
+                            arr(i) = out
+                          }
                         }
                         i += 1
                       }

@@ -117,4 +117,73 @@ class ShardMutationFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("token-id list columns under the mutation fuzz: random " +
+      "upsert/delete/append sequences over (id, toks array<int>) " +
+      "match a driver-side model; time travel replays") {
+    val sess = spark
+    import sess.implicits._
+    // a FRESH catalog name: Spark caches catalog instances per
+    // session, so re-registering gshard_fuzz with a new warehouse
+    // would silently keep pointing at the first test's directory
+    val wh = Files.createTempDirectory("gshard_fuzz_tok_wh_").toString
+    spark.conf.set("spark.sql.catalog.gshard_fuzz_tok",
+      "graft.sources.shard.ShardCatalog")
+    spark.conf.set("spark.sql.catalog.gshard_fuzz_tok.warehouse", wh)
+    val rnd = new scala.util.Random(0x70C1D5L)
+    val t = "gshard_fuzz_tok.main.toks"
+    val dir = s"$wh/main/toks"
+    val model = mutable.Map.empty[Long, Seq[Int]]
+    def toks(k: Long, step: Int): Seq[Int] =
+      if ((k + step) % 11 == 0) Seq.empty[Int]
+      else Seq.tabulate(1 + ((k + step) % 9).toInt)(j =>
+        ((k * 131 + step * 17 + j) % 50000).toInt)
+    def df(rows: Seq[(Long, Seq[Int])]) = rows.toDF("id", "toks")
+    def tableNow(): Map[Long, Seq[Int]] =
+      spark.table(t).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    val n0 = 300
+    val base = (0L until n0.toLong).map(i => (i, toks(i, 0)))
+    base.foreach { case (i, tk) => model(i) = tk }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    df(base).createOrReplaceTempView("fuzz_tok_base")
+    spark.sql(s"CREATE TABLE $t AS SELECT * FROM fuzz_tok_base")
+    val snaps = mutable.ArrayBuffer.empty[(Long, Map[Long, Seq[Int]])]
+    def snap(): Unit =
+      snaps += ((ShardFormat.readManifest(dir).gen, model.toMap))
+    snap()
+    (1 to 5).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 => // upsert: replace + insert token lists
+          val ks = Seq.fill(1 + rnd.nextInt(25))(
+            rnd.nextInt(n0 * 2).toLong).distinct
+          val rows = ks.map(k => (k, toks(k, step)))
+          ShardOps.upsert(spark, dir, df(rows), "id")
+          rows.foreach { case (k, tk) => model(k) = tk }
+        case 1 => // SQL DELETE band
+          val lo = rnd.nextInt(n0 * 2).toLong
+          val hi = lo + rnd.nextInt(n0 / 2)
+          spark.sql(s"DELETE FROM $t WHERE id >= $lo AND id <= $hi")
+          model.keys.filter(k => k >= lo && k <= hi).toSeq
+            .foreach(model.remove)
+        case _ => // append a disjoint band
+          val start = (n0 * 2 + step * 1000).toLong
+          val rows = (start until start + 1 + rnd.nextInt(30))
+            .map(i => (i, toks(i, step)))
+          df(rows).createOrReplaceTempView(s"fuzz_tok_app_$step")
+          spark.sql(s"INSERT INTO $t SELECT * FROM fuzz_tok_app_$step")
+          rows.foreach { case (i, tk) => model(i) = tk }
+      }
+      assert(tableNow() == model.toMap, s"token fuzz step $step diverged")
+      snap()
+    }
+    snaps.foreach { case (gen, want) =>
+      val got = spark.read.format("gshard")
+        .option("versionAsOf", gen.toString).load(dir).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+      assert(got == want, s"token fuzz gen $gen replay diverged")
+    }
+  }
 }
