@@ -171,6 +171,10 @@ object SparkEntry {
     "text_kn_bigram"      -> q(t => TextAnalysis.textKnBigram(t)),
     // metadata-only DELETE: manifest classification, zero files read
     "q_shard_delete"      -> q(t => graft.sources.SourceOps.qShardDelete(t)),
+    // merge-on-read DELETE: a file-straddling predicate masks rows
+    // via position-delete sidecars — zero data-file rewrites
+    "q_shard_delete_mor"  ->
+      q(t => graft.sources.SourceOps.qShardDeleteMor(t)),
     // bloom file skipping where zone maps can't prune (mid-range point
     // lookup on a non-clustered column)
     "q_shard_bloom_skip"  -> q(t => graft.sources.SourceOps.qShardBloomSkip(t)),
@@ -2575,6 +2579,14 @@ object SparkEntry {
         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         | CAST(sum(cents) AS BIGINT) AS value_cents
         |FROM p, th WHERE user_id >= thr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the merge-on-read delete replayed over raw events: survivors of
+    // the file-straddling modulo predicate
+    "q_shard_delete_mor" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |   AS value_cents
+        |FROM events WHERE user_id % 3 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_kn_bigram" ->
       s"""WITH t AS (SELECT $sqlToks AS toks FROM documents),
         |bg AS (SELECT toks[i] AS w1, toks[i+1] AS w2

@@ -785,6 +785,32 @@ object SourceOps {
          |FROM $tbl GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
+  /** `q_shard_delete_mor` — MERGE-ON-READ row-level DELETE (r16
+    * verdict task #2): the predicate `user_id % 3 = 0` STRADDLES
+    * every shard file (the shape copy-on-write hates — a COW delete
+    * would rewrite the whole table), and
+    * [[graft.sources.shard.ShardOps.deleteMor]] instead writes one
+    * position-delete sidecar per file plus a manifest commit: ZERO
+    * data-file rewrites (spec-pinned byte-identity), readers mask at
+    * decode in both the row and columnar paths, the pre-delete
+    * generation still reads via VERSION AS OF, and compaction later
+    * materializes the mask. Re-running is a no-op (masked rows never
+    * re-match). The read-back rollup is oracled against raw events
+    * under the identical predicate. */
+  def qShardDeleteMor(t: Tables): DataFrame = {
+    val dir = staging(s"gshard_mor_${dirTag(t.dir)}")
+    graft.sources.shard.ShardFormat.ensureStaged(dir) {
+      graft.sources.shard.ShardFormat.write(
+        shardProjection(t), dir, "user_id", 16)
+    }
+    graft.sources.shard.ShardOps.deleteMor(t.spark, dir,
+      col("user_id") % 3 === 0)
+    t.spark.read.format("gshard").load(dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** `q_shard_merge_string` — the same MERGE shape keyed on a STRING
     * natural key (r15 verdict task #3: string/timestamp/date/decimal
     * keys are the common CDC shape). The base table clusters on the

@@ -224,8 +224,16 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
     val mb = ShardFormat.readManifestVersion(dir, Some(b))
     requireAnchorsHold(ma, a)
     requireAnchorsHold(mb, b)
-    val aFiles = ma.entries.map(_.file).toSet
-    val bFiles = mb.entries.map(_.file).toSet
+    // file IDENTITY includes the delete vector: a merge-on-read
+    // DELETE changes a file's mask without renaming it, and the net
+    // delta must then re-emit the file under both masks (−old ∪ +new;
+    // classify folds the overlap away, leaving exactly the deleted
+    // rows). Data file names never recur; DV sidecar names are
+    // UUID-fresh per generation — set difference still composes.
+    def ident(e: ShardFormat.ShardEntry): (String, Option[String]) =
+      (e.file, e.dv.map(_._1))
+    val aIds = ma.entries.map(ident).toSet
+    val bIds = mb.entries.map(ident).toSet
     // every file decodes under the END generation's PHYSICAL schema
     // (positions are immutable: evolution only appends fields or
     // tombstones/renames in place, and an older file carries a
@@ -233,16 +241,18 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
     // width); the feed projects the query-start VISIBLE columns
     val tags = mb.schema.fields.map(f =>
       (f.name, ShardFormat.typeTag(f.dataType)))
-    def parts(m: ShardFormat.Manifest, names: Set[String], side: Int)
+    def parts(m: ShardFormat.Manifest,
+        ids: Set[(String, Option[String])], side: Int)
         : Seq[InputPartition] =
-      m.entries.filter(e => names(e.file)).map { e =>
+      m.entries.filter(e => ids(ident(e))).map { e =>
         ShardCdcInputPartition(
           ShardInputPartition(s"$dir/${e.file}", tags,
-            tableSchema.fieldNames),
+            tableSchema.fieldNames,
+            dvPath = e.dv.map(d => s"$dir/${d._1}").orNull),
           side, b)
       }
-    (parts(mb, bFiles -- aFiles, 1) ++
-      parts(ma, aFiles -- bFiles, -1)).toArray
+    (parts(mb, bIds -- aIds, 1) ++
+      parts(ma, aIds -- bIds, -1)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

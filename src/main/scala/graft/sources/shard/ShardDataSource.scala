@@ -97,6 +97,16 @@ private[shard] class ShardTable(dir: String, tableSchema: StructType,
         StringType
       override def isNullable: Boolean = false
       override def comment(): String = "gshard shard file name"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      // `_pos` — the row's PHYSICAL position within its shard file
+      // (the Iceberg _pos idea): stable across chunk skipping and
+      // DV masking, the coordinate merge-on-read deletes address
+      override def name(): String = "_pos"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "gshard physical row position within its shard file"
     })
 
   /** SQL `DELETE` (non-metadata-decidable) / `UPDATE` / `MERGE INTO`
@@ -838,14 +848,21 @@ private[shard] class ShardScanBuilder(dir: String,
       : Option[Array[(Any, org.apache.spark.sql.types.DataType)]] = {
     if (aggCache != null && (aggCache._1 eq agg)) aggCache._2
     else {
+      // DELETE VECTORS and per-column metadata answers don't mix: the
+      // stats are PHYSICAL (they include masked rows), so a min/max/
+      // sum/count(col) over a DV-bearing table could answer with a
+      // deleted row's value — refuse and scan (the scan masks).
+      // COUNT(*) stays exact: live rows = rows − dv count, both known.
+      val anyDv = manifest.entries.exists(_.dv.isDefined)
       val r: Option[Array[(Any, org.apache.spark.sql.types.DataType)]] =
         if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
             agg.aggregateExpressions.isEmpty) None
         else {
           val opts = agg.aggregateExpressions.map {
             case _: CountStar => Some((java.lang.Long.valueOf(
-              manifest.entries.map(_.rows).sum): Any,
+              manifest.entries.map(_.liveRows).sum): Any,
               LongType: org.apache.spark.sql.types.DataType))
+            case _ if anyDv => None
             case m: Min => minMaxAnswer(m.column, isMin = true)
             case m: Max => minMaxAnswer(m.column, isMin = false)
             case s: Sum if !s.isDistinct => sumAnswer(s.column)
@@ -1049,7 +1066,7 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
     new org.apache.spark.sql.connector.read.Statistics {
       private val surviving = survivors
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(surviving.map(_.rows).sum)
+        java.util.OptionalLong.of(surviving.map(_.liveRows).sum)
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(surviving.map { e =>
           val f = java.nio.file.Paths.get(dir, e.file)
@@ -1152,12 +1169,15 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
   private def survivors: Seq[ShardFormat.ShardEntry] =
     manifest.entries.filter(survives)
 
-  /** Take entries (already ordered as desired) until their row
-    * counts reach `n` — the file-grain limit/top-N cap. */
+  /** Take entries (already ordered as desired) until their LIVE row
+    * counts reach `n` — the file-grain limit/top-N cap. Live, not
+    * physical: a DV-masked file contributes fewer rows than its
+    * physical count, and capping on the physical number could starve
+    * the limit. */
   private def prefixByRows(es: Seq[ShardFormat.ShardEntry],
       n: Int): Seq[ShardFormat.ShardEntry] = {
     var acc = 0L
-    es.takeWhile { e => val keep = acc < n; acc += e.rows; keep }
+    es.takeWhile { e => val keep = acc < n; acc += e.liveRows; keep }
   }
 
   /** Survivors with the pushed LIMIT / TOP-N file cap applied. Both
@@ -1189,7 +1209,8 @@ private[shard] class ShardScan(dir: String, manifest: ShardFormat.Manifest,
       // typeTag (canonical): typeName loses array element types
       manifest.schema.fields.map(f => (f.name, ShardFormat.typeTag(f.dataType))),
       required.fieldNames,
-      skipFilters.toArray)).toArray[InputPartition]
+      skipFilters.toArray,
+      dvPath = e.dv.map(d => s"$dir/${d._1}").orNull)).toArray[InputPartition]
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -1315,7 +1336,8 @@ private[shard] class ShardMicroBatchStream(dir: String,
   * re-evaluation backs every skip). */
 private[shard] final case class ShardInputPartition(path: String,
     fileSchema: Array[(String, String)], required: Array[String],
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    dvPath: String = null)
   extends InputPartition
 
 private[shard] class ShardReaderFactory(columnar: Boolean = true)
@@ -1349,22 +1371,33 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
   private val required = StructType(p.required.toIndexedSeq.map {
     case "_file" => org.apache.spark.sql.types.StructField("_file",
       StringType, nullable = false)
+    case "_pos" => org.apache.spark.sql.types.StructField("_pos",
+      LongType, nullable = false)
     case n => fileSchema(n)
   })
-  // `_file` (metadata column) is synthesized, never decoded
-  private val dataRequired = p.required.filterNot(_ == "_file")
+  // `_file` / `_pos` (metadata columns) are synthesized, never decoded
+  private val dataRequired =
+    p.required.filterNot(n => n == "_file" || n == "_pos")
   private val decoded =
     ShardFormat.readShardFile(p.path, fileSchema, dataRequired.toIndexedSeq,
-      p.filters.toIndexedSeq)
+      p.filters.toIndexedSeq,
+      deleted =
+        if (p.dvPath == null) null else ShardFormat.readDeleteVector(p.dvPath),
+      wantPositions = p.required.contains("_pos"))
   private val nRows = decoded.nRows
-  // required index → decoded column index (-1 for the synthesized col)
+  // required index → decoded column index (-1 `_file`, -2 `_pos`)
   private val dataIdx: Array[Int] = {
     var j = -1
-    p.required.map(n => if (n == "_file") -1 else { j += 1; j })
+    p.required.map {
+      case "_file" => -1
+      case "_pos" => -2
+      case _ => j += 1; j
+    }
   }
-  // decoded columns re-slotted to required positions (null at `_file`)
+  // decoded columns re-slotted to required positions (null at the
+  // synthesized metadata slots)
   private val cols: Array[Array[Any]] =
-    dataIdx.map(j => if (j == -1) null else decoded.cols(j))
+    dataIdx.map(j => if (j < 0) null else decoded.cols(j))
   private val fileNameBytes =
     new java.io.File(p.path).getName.getBytes(
       java.nio.charset.StandardCharsets.UTF_8)
@@ -1387,6 +1420,13 @@ private[shard] class ShardColumnarReader(p: ShardInputPartition)
         var i = 0
         while (i < n) {
           v.putByteArray(i, fileNameBytes, 0, fileNameBytes.length)
+          i += 1
+        }
+        c += 1
+      } else if (dataIdx(c) == -2) { // synthesized `_pos`
+        var i = 0
+        while (i < n) {
+          v.putLong(i, decoded.positions(pos + i))
           i += 1
         }
         c += 1
@@ -1529,24 +1569,28 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
   })
   private val decoded =
     ShardFormat.readShardFile(p.path, schema,
-      p.required.filterNot(_ == "_file").toIndexedSeq,
-      p.filters.toIndexedSeq)
+      p.required.filterNot(n => n == "_file" || n == "_pos").toIndexedSeq,
+      p.filters.toIndexedSeq,
+      deleted =
+        if (p.dvPath == null) null else ShardFormat.readDeleteVector(p.dvPath),
+      wantPositions = p.required.contains("_pos"))
   private val nRows = decoded.nRows
   // decoded columns re-slotted to required positions (the synthesized
-  // `_file` metadata column holds no decoded block)
+  // `_file` / `_pos` metadata columns hold no decoded block)
   private val cols: Array[Array[Any]] = {
     var j = -1
     p.required.map(n =>
-      if (n == "_file") null else { j += 1; decoded.cols(j) })
+      if (n == "_file" || n == "_pos") null else { j += 1; decoded.cols(j) })
   }
   private val fileNameUtf8 = UTF8String.fromString(
     new java.io.File(p.path).getName)
   // per-column decode kind: 0 pass-through (long/timestamp/double),
   // 1 string bytes → UTF8String, 2 long → int (date/int), 3 boolean,
   // 4 unscaled long → Decimal, 5 primitive array → GenericArrayData,
-  // 6 synthesized `_file` constant
+  // 6 synthesized `_file` constant, 7 synthesized `_pos`
   private val kind: Array[Int] = p.required.map {
     case "_file" => 6
+    case "_pos" => 7
     case n => schema(n).dataType match {
       case StringType => 1
       case DateType | IntegerType => 2
@@ -1558,7 +1602,7 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
   }
   private val decOf: Array[org.apache.spark.sql.types.DecimalType] =
     p.required.map {
-      case "_file" => null
+      case "_file" | "_pos" => null
       case n => schema(n).dataType match {
         case d: org.apache.spark.sql.types.DecimalType => d
         case _ => null
@@ -1572,7 +1616,9 @@ private[shard] class ShardPartitionReader(p: ShardInputPartition)
     val values = new Array[Any](p.required.length)
     var c = 0
     while (c < values.length) {
-      values(c) = if (kind(c) == 6) fileNameUtf8 else cols(c)(i) match {
+      values(c) = if (kind(c) == 6) fileNameUtf8
+      else if (kind(c) == 7) decoded.positions(i)
+      else cols(c)(i) match {
         case null => null
         case v => kind(c) match {
           case 0 => v

@@ -374,6 +374,13 @@ object ShardFormat {
     * bounds in unsigned-byte order. A column ABSENT from the maps
     * held no non-null value in the file (or predates the map);
     * pruning keeps such files. */
+  /** `dv` — the file's DELETE VECTOR (merge-on-read row-level
+    * deletes): `Some((sidecarName, deletedCount))` when a position-
+    * delete sidecar masks rows of this file at read time. `rows`
+    * stays the PHYSICAL row count (the decode contract); live rows =
+    * `rows - dv.count`. Sidecars are immutable per generation — a
+    * further delete merges positions into a NEW sidecar — so time
+    * travel and CDC read each generation's mask exactly. */
   final case class ShardEntry(file: String, rows: Long,
       zMin: Map[String, Long], zMax: Map[String, Long],
       sMin: Map[String, String] = Map.empty,
@@ -383,7 +390,11 @@ object ShardFormat {
       bloomBpv: Map[String, Long] = Map.empty,
       dMin: Map[String, Double] = Map.empty,
       dMax: Map[String, Double] = Map.empty,
-      sums: Map[String, Long] = Map.empty)
+      sums: Map[String, Long] = Map.empty,
+      dv: Option[(String, Long)] = None) {
+    /** Rows a reader returns after DV masking. */
+    def liveRows: Long = rows - dv.map(_._2).getOrElse(0L)
+  }
 
   /** `lastTxn` is the DEFAULT (anonymous) writer's last applied txn
     * id; `txns` namespaces per-app versions (Delta's
@@ -1575,6 +1586,13 @@ object ShardFormat {
         s"${(longs ++ strs ++ dbls ++ nulls ++ sums ++ blooms ++ bpvs)
           .mkString(";")}\n")
     }
+    // delete vectors as their own line type (per-FILE, not
+    // per-column — the stat-marker scheme doesn't fit them)
+    m.entries.foreach { e =>
+      e.dv.foreach { case (sc, cnt) =>
+        sb.append(s"dv ${e.file} $sc $cnt\n")
+      }
+    }
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
 
@@ -1637,6 +1655,11 @@ object ShardFormat {
       val p = l.split(" ")
       p(1) -> p(2).toLong
     }.toMap
+    val dvs: Map[String, (String, Long)] =
+      rest.filter(_.startsWith("dv ")).map { l =>
+        val p = l.split(" ")
+        p(1) -> ((p(2), p(3).toLong))
+      }.toMap
     val entries = rest.filter(_.startsWith("file ")).map { l =>
       val parts = l.split(" ")
       val (file, rows) = (parts(1), parts(2).toLong)
@@ -1686,9 +1709,58 @@ object ShardFormat {
           }
         }
       ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms, bpvs,
-        dMin, dMax, sums)
+        dMin, dMax, sums, dv = dvs.get(file))
     }.toSeq
     Manifest(schema, entries, lastTxn, txns, gen)
+  }
+
+  // ── DELETE VECTORS (merge-on-read position deletes) ────────────────
+
+  private val DvMagic = 0x47534456 // "GSDV"
+
+  /** Write a delete-vector sidecar: strictly-ascending PHYSICAL row
+    * positions, delta-varint encoded. Returns the sidecar file name
+    * (UUID-fresh — sidecars are immutable; merges write a new one). */
+  private[graft] def writeDeleteVector(dir: String,
+      positions: Array[Long]): String = {
+    require(positions.nonEmpty, "gshard: empty delete vector")
+    val name = s"dv-${java.util.UUID.randomUUID.toString.take(12)}.gshard"
+    val out = new DataOutputStream(new BufferedOutputStream(
+      new FileOutputStream(s"$dir/$name"), 1 << 14))
+    try {
+      out.writeInt(DvMagic)
+      out.writeInt(positions.length)
+      var prev = -1L
+      var i = 0
+      while (i < positions.length) {
+        val p = positions(i)
+        require(p > prev,
+          s"gshard: delete vector positions not strictly ascending ($p)")
+        writeVarint(out, p - prev)
+        prev = p
+        i += 1
+      }
+    } finally out.close()
+    name
+  }
+
+  private[graft] def readDeleteVector(path: String): Array[Long] = {
+    val in = new DataInputStream(new java.io.BufferedInputStream(
+      new FileInputStream(path), 1 << 14))
+    try {
+      require(in.readInt() == DvMagic, s"bad delete-vector magic in $path")
+      val n = in.readInt()
+      require(n >= 0, s"corrupt delete vector $path")
+      val out = new Array[Long](n)
+      var prev = -1L
+      var i = 0
+      while (i < n) {
+        prev += readVarint(in)
+        out(i) = prev
+        i += 1
+      }
+      out
+    } finally in.close()
   }
 
   // ── GENERATIONS: archive-on-publish, VERSION AS OF, vacuum ─────────
@@ -1937,13 +2009,17 @@ object ShardFormat {
     require(keepVersions >= 0, "keepVersions must be >= 0")
     val drop = archivedGens(dir).dropRight(keepVersions)
     drop.foreach(g => Files.deleteIfExists(Paths.get(dir, archiveName(g))))
-    val retained = (readManifest(dir) +:
+    val retainedManifests = readManifest(dir) +:
       archivedGens(dir).map(g =>
-        readManifestLines(Files.readAllLines(Paths.get(dir, archiveName(g))))))
-      .flatMap(_.entries.map(_.file)).toSet
+        readManifestLines(Files.readAllLines(Paths.get(dir, archiveName(g)))))
+    // retained = data files AND delete-vector sidecars any retained
+    // generation references; everything else part-/dv- sweeps
+    val retained = retainedManifests.flatMap(m =>
+      m.entries.map(_.file) ++ m.entries.flatMap(_.dv.map(_._1))).toSet
     val cutoff = System.currentTimeMillis() - minAgeSeconds * 1000L
     val swept = listDir(Paths.get(dir))
-      .filter(f => f.startsWith("part-") && f.endsWith(".gshard") &&
+      .filter(f => (f.startsWith("part-") || f.startsWith("dv-")) &&
+        f.endsWith(".gshard") &&
         !retained(f) &&
         (minAgeSeconds <= 0L ||
           Files.getLastModifiedTime(Paths.get(dir, f)).toMillis <= cutoff))
@@ -1967,9 +2043,14 @@ object ShardFormat {
     }
   }
 
-  /** Decoded shard columns plus the chunk-skipping audit trail. */
+  /** Decoded shard columns plus the chunk-skipping audit trail.
+    * `positions` (present when requested) carries each returned
+    * row's PHYSICAL position in the file — stable across chunk
+    * skipping AND delete-vector masking, the `_pos` metadata column
+    * and the coordinate system delete vectors address. */
   final case class Decoded(nRows: Int, cols: Array[Array[Any]],
-      chunksRead: Int, chunksTotal: Int)
+      chunksRead: Int, chunksTotal: Int,
+      positions: Array[Long] = null)
 
   /** Sound zone test shared by file- and chunk-level pruning: may a
     * region with these LONG bounds contain a row satisfying ALL the
@@ -2073,9 +2154,16 @@ object ShardFormat {
     * value arrays; strings come back as raw UTF-8 byte arrays so the
     * caller can wrap them zero-copy; NULL slots are `null`. */
   def readShardFile(path: String, schema: StructType,
-      required: Seq[String], filters: Seq[Filter] = Nil): Decoded = {
+      required: Seq[String], filters: Seq[Filter] = Nil,
+      deleted: Array[Long] = null,
+      wantPositions: Boolean = false): Decoded = {
     val want = required.zipWithIndex.toMap
-    val chunks = mutable.ArrayBuffer.empty[(Int, Array[Array[Any]])]
+    // (rows, columns, PHYSICAL row base) per surviving chunk — the
+    // base accumulates over SKIPPED chunks too (their headers carry
+    // nRows), so positions and delete-vector masking stay exact under
+    // chunk skipping
+    val chunks = mutable.ArrayBuffer.empty[(Int, Array[Array[Any]], Long)]
+    var rowBase = 0L
     var chunksTotal = 0
     val dis = new DataInputStream(
       new java.io.BufferedInputStream(new FileInputStream(path), 1 << 16))
@@ -2395,24 +2483,104 @@ object ShardFormat {
             missing.foreach { case (_, outIdx) =>
               cols(outIdx) = new Array[Any](nRows) // all NULL
             }
-            chunks += ((nRows, cols))
+            chunks += ((nRows, cols, rowBase))
           }
+          rowBase += nRows
         }
       }
     } finally dis.close()
-    // concatenate surviving chunks into the flat column arrays
-    val total = chunks.iterator.map(_._1).sum
+    val dv = if (deleted != null && deleted.nonEmpty) deleted else null
+    if (dv == null && !wantPositions) {
+      // fast path (no mask, no positions): flat concat as ever
+      val total = chunks.iterator.map(_._1).sum
+      val out = new Array[Array[Any]](required.length)
+      var c = 0
+      while (c < required.length) {
+        val arr = new Array[Any](total)
+        var pos = 0
+        chunks.foreach { case (n, cols, _) =>
+          System.arraycopy(cols(c), 0, arr, pos, n); pos += n
+        }
+        out(c) = arr
+        c += 1
+      }
+      return Decoded(total, out, chunks.length, chunksTotal)
+    }
+    // general path: per-chunk survivor selection against the sorted
+    // delete vector (pointer walk — positions ascend with the scan),
+    // physical positions carried through
+    def lowerBound(a: Array[Long], key: Long): Int = {
+      val i = java.util.Arrays.binarySearch(a, key)
+      if (i >= 0) i else -(i + 1)
+    }
+    // local survivor indices per chunk (null = all survive)
+    val keeps: Seq[Array[Int]] = chunks.toSeq.map { case (n, _, base) =>
+      if (dv == null) null
+      else {
+        val from = lowerBound(dv, base)
+        val to = lowerBound(dv, base + n)
+        if (from == to) null
+        else {
+          val out = new Array[Int](n - (to - from))
+          var w = 0
+          var p = from
+          var i = 0
+          while (i < n) {
+            if (p < to && dv(p) == base + i) p += 1
+            else { out(w) = i; w += 1 }
+            i += 1
+          }
+          out
+        }
+      }
+    }
+    val total = chunks.indices.map { k =>
+      if (keeps(k) == null) chunks(k)._1 else keeps(k).length
+    }.sum
     val out = new Array[Array[Any]](required.length)
     var c = 0
     while (c < required.length) {
       val arr = new Array[Any](total)
       var pos = 0
-      chunks.foreach { case (n, cols) =>
-        System.arraycopy(cols(c), 0, arr, pos, n); pos += n
+      var k = 0
+      while (k < chunks.length) {
+        val (n, cols, _) = chunks(k)
+        val keep = keeps(k)
+        if (keep == null) {
+          System.arraycopy(cols(c), 0, arr, pos, n); pos += n
+        } else {
+          var i = 0
+          while (i < keep.length) {
+            arr(pos) = cols(c)(keep(i)); pos += 1; i += 1
+          }
+        }
+        k += 1
       }
       out(c) = arr
       c += 1
     }
-    Decoded(total, out, chunks.length, chunksTotal)
+    val positions: Array[Long] =
+      if (!wantPositions) null
+      else {
+        val ps = new Array[Long](total)
+        var pos = 0
+        var k = 0
+        while (k < chunks.length) {
+          val (n, _, base) = chunks(k)
+          val keep = keeps(k)
+          if (keep == null) {
+            var i = 0
+            while (i < n) { ps(pos) = base + i; pos += 1; i += 1 }
+          } else {
+            var i = 0
+            while (i < keep.length) {
+              ps(pos) = base + keep(i); pos += 1; i += 1
+            }
+          }
+          k += 1
+        }
+        ps
+      }
+    Decoded(total, out, chunks.length, chunksTotal, positions)
   }
 }
