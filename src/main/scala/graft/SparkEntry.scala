@@ -679,6 +679,10 @@ object SparkEntry {
     // the gshard change feed as a STREAM (offsets = generations),
     // classified per batch; shares the batch diff's oracle
     "stream_shard_cdc" -> q(t => graft.streaming.Streaming.streamShardCdc(t)),
+    // the row-grain change feed (commit-written change files): same
+    // oracle as the file-grain feed and the batch diff
+    "stream_shard_cdc_rows" ->
+      q(t => graft.streaming.Streaming.streamShardCdcRows(t)),
     "q_schema_evolution"  -> q(graft.sources.SourceOps.schemaEvolution),
     "corpus_shards_roundtrip" -> q(graft.sources.SourceOps.corpusShardsRoundtrip),
     "q_dpp"               -> q(graft.sources.SourceOps.qDpp),
@@ -5855,6 +5859,7 @@ object SparkEntry {
     // the connector's MicroBatchStream (pair #27) — same oracle
     "stream_shard_source" -> shardRollupSql,
     "stream_shard_cdc" -> shardGenDiffSql,
+    "stream_shard_cdc_rows" -> shardGenDiffSql,
     // the merged two-batch read must reconcile with the original table:
     // even-key rows (batch 1) have no o_custkey, odd-key rows (batch 2) do
     "q_schema_evolution" ->

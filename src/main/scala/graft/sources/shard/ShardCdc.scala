@@ -61,7 +61,8 @@ class ShardCdcDataSource extends TableProvider
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     new ShardCdcTable(dirOf(opts), schema,
-      Option(opts.get("startingversion")).map(_.toLong))
+      Option(opts.get("startingversion")).map(_.toLong),
+      rowLevel = Option(opts.get("rowlevel")).exists(_.toBoolean))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -87,7 +88,20 @@ object ShardCdc {
     * A plain batch transformation — the `foreachBatch` consumer shape.
     * `valueCols` defaults to every non-key, non-feed column. */
   def classify(batch: DataFrame, keyCol: String,
-      valueCols: Seq[String] = Seq.empty): DataFrame = {
+      valueCols: Seq[String] = Seq.empty): DataFrame =
+    classifyImpl(batch, keyCol, valueCols, perCommit = false)
+
+  /** The ROWLEVEL-feed twin of [[classify]]: folds per (key, commit)
+    * instead of per key, so a multi-generation batch yields each
+    * commit's own insert/update/delete rows (tagged
+    * `_commit_version`) rather than one net row per key — the shape
+    * the per-commit change files carry. */
+  def classifyPerCommit(batch: DataFrame, keyCol: String,
+      valueCols: Seq[String] = Seq.empty): DataFrame =
+    classifyImpl(batch, keyCol, valueCols, perCommit = true)
+
+  private def classifyImpl(batch: DataFrame, keyCol: String,
+      valueCols: Seq[String], perCommit: Boolean): DataFrame = {
     val vals =
       if (valueCols.nonEmpty) valueCols
       else batch.columns.toSeq
@@ -98,11 +112,15 @@ object ShardCdc {
     // generation in a CDC-keyed table). Map-side combinable; also
     // avoids the conflicting-attribute self-join a memory-sink view
     // cannot resolve.
-    val folded = batch.groupBy(col(keyCol)).agg(
+    val groupCols =
+      if (perCommit) Seq(col(keyCol), col(VersionCol)) else Seq(col(keyCol))
+    val folded = batch.groupBy(groupCols: _*).agg(
       max(when(col(SideCol) === -1,
         struct(vals.map(col): _*))).as("__o"),
       max(when(col(SideCol) === 1,
         struct(vals.map(col): _*))).as("__n"))
+    val keep =
+      if (perCommit) Seq(col(keyCol), col(VersionCol)) else Seq(col(keyCol))
     folded
       .withColumn("change_type",
         when(col("__o").isNull && col("__n").isNull, lit("unchanged"))
@@ -111,13 +129,14 @@ object ShardCdc {
           .when(!(col("__o") <=> col("__n")), lit("update"))
           .otherwise(lit("unchanged")))
       .filter(col("change_type") =!= "unchanged")
-      .select(col(keyCol) +: col("change_type") +:
-        vals.map(c => col(s"__n.$c").as(c)): _*)
+      .select(keep ++ (col("change_type") +:
+        vals.map(c => col(s"__n.$c").as(c))): _*)
   }
 }
 
 private[shard] class ShardCdcTable(dir: String, schema: StructType,
-    startingVersion: Option[Long]) extends Table with SupportsRead {
+    startingVersion: Option[Long], rowLevel: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"gshard-cdc $dir"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
@@ -129,16 +148,28 @@ private[shard] class ShardCdcTable(dir: String, schema: StructType,
       override def readSchema(): StructType = schema
       override def toMicroBatchStream(checkpointLocation: String)
           : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new ShardCdcMicroBatchStream(dir, schema, startingVersion)
-      override def description(): String = s"gshard-cdc $dir"
+        new ShardCdcMicroBatchStream(dir, schema, startingVersion, rowLevel)
+      override def description(): String =
+        s"gshard-cdc $dir${if (rowLevel) " rowlevel" else ""}"
     }
   }
 }
 
 /** Offsets are GENERATION NUMBERS; batch (a, b] = the net manifest
   * delta between the two retained generations. */
+/** `rowLevel = true` (option `rowlevel`) switches the feed to the
+  * commit-grain CHANGE FILES (r16 verdict task #3): each generation
+  * step in a batch emits its own net preimage/postimage rows (the
+  * `chg-*` files its mutation wrote at commit — `_change_side` read
+  * from the file, `_commit_version` = the step's generation), so a
+  * 1-row upsert into an N-row file streams 2 rows, not 2N. Steps
+  * whose commit wrote no change files (appends, SQL row-level
+  * rewrites) fall back to the ±file diff for that step — correct,
+  * just file-grain. Multi-commit batches carry every step's rows
+  * tagged by version ([[ShardCdc.classifyPerCommit]] folds them). */
 private[shard] class ShardCdcMicroBatchStream(dir: String,
-    feedSchema: StructType, startingVersion: Option[Long])
+    feedSchema: StructType, startingVersion: Option[Long],
+    rowLevel: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -220,6 +251,34 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
       end.asInstanceOf[ShardOffset].n)
     if (a == b) return Array.empty
     require(a < b, s"gshard-cdc: offsets ran backwards ($a > $b)")
+    if (!rowLevel) return diffParts(a, b, b)
+    // ROWLEVEL: one step per generation — its own change files when
+    // the commit wrote them, the ±file diff otherwise
+    ((a + 1) to b).iterator.flatMap { g =>
+      val mg = ShardFormat.readManifestVersion(dir, Some(g))
+      requireAnchorsHold(mg, g)
+      if (mg.cdf) {
+        // captured commit: its change files are the step (an empty
+        // captured set — a value-identical re-upsert — emits nothing)
+        // chg files carry the commit-time VISIBLE columns + side; a
+        // feed column the file predates decodes as NULL (prefix rule)
+        val tags = ShardFormat.visible(mg.schema).fields.map(f =>
+          (f.name, ShardFormat.typeTag(f.dataType))) :+
+          ((ShardCdc.SideCol, "int"))
+        mg.changes.map { case (f, _) =>
+          ShardCdcRowsPartition(
+            ShardInputPartition(s"$dir/$f", tags,
+              tableSchema.fieldNames :+ ShardCdc.SideCol),
+            g): InputPartition
+        }
+      } else diffParts(g - 1, g, g).toSeq
+    }.toArray
+  }
+
+  /** The net ±file delta between retained generations `a` and `b`,
+    * every row tagged `version`. */
+  private def diffParts(a: Long, b: Long,
+      version: Long): Array[InputPartition] = {
     val ma = ShardFormat.readManifestVersion(dir, Some(a))
     val mb = ShardFormat.readManifestVersion(dir, Some(b))
     requireAnchorsHold(ma, a)
@@ -249,7 +308,7 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
           ShardInputPartition(s"$dir/${e.file}", tags,
             tableSchema.fieldNames,
             dvPath = e.dv.map(d => s"$dir/${d._1}").orNull),
-          side, b)
+          side, version)
       }
     (parts(mb, bIds -- aIds, 1) ++
       parts(ma, aIds -- bIds, -1)).toArray
@@ -267,32 +326,60 @@ private[shard] final case class ShardCdcInputPartition(
     inner: ShardInputPartition, side: Int, version: Long)
   extends InputPartition
 
+/** A commit's own change file: side rides IN the data (last column),
+  * only the version is partition-constant. */
+private[shard] final case class ShardCdcRowsPartition(
+    inner: ShardInputPartition, version: Long)
+  extends InputPartition
+
 private[shard] class ShardCdcReaderFactory(tableTags: Array[String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[ShardCdcInputPartition]
-    val inner = new ShardPartitionReader(p.inner)
     val types = tableTags.map(ShardFormat.dataTypeOf)
     val n = tableTags.length
-    new PartitionReader[InternalRow] {
-      override def next(): Boolean = inner.next()
-      override def get(): InternalRow = {
-        val r = inner.get()
-        val out = new Array[Any](n + 2)
-        var i = 0
-        while (i < n) {
-          out(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
-          i += 1
+    partition match {
+      case p: ShardCdcInputPartition =>
+        val inner = new ShardPartitionReader(p.inner)
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = {
+            val r = inner.get()
+            val out = new Array[Any](n + 2)
+            var i = 0
+            while (i < n) {
+              out(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
+              i += 1
+            }
+            out(n) = p.side
+            out(n + 1) = p.version
+            // consume the array directly — fromSeq would wrap + copy
+            // it once per row on the feed's hot path
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(out)
+          }
+          override def close(): Unit = inner.close()
         }
-        out(n) = p.side
-        out(n + 1) = p.version
-        // consume the array directly — fromSeq would wrap + copy it
-        // once per row on the feed's hot path
-        new org.apache.spark.sql.catalyst.expressions
-          .GenericInternalRow(out)
-      }
-      override def close(): Unit = inner.close()
+      case p: ShardCdcRowsPartition =>
+        val inner = new ShardPartitionReader(p.inner)
+        new PartitionReader[InternalRow] {
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = {
+            val r = inner.get()
+            val out = new Array[Any](n + 2)
+            var i = 0
+            while (i < n) {
+              out(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
+              i += 1
+            }
+            out(n) = r.getInt(n) // _change_side from the change file
+            out(n + 1) = p.version
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(out)
+          }
+          override def close(): Unit = inner.close()
+        }
+      case other => throw new IllegalStateException(other.toString)
     }
   }
 }

@@ -404,9 +404,25 @@ object ShardFormat {
     * `_manifest.v<gen>.gshard` and writes gen+1 — the retained chain
     * is what `VERSION AS OF` reads and what vacuum's retention
     * protects. */
+  /** `changes` — THIS generation's row-grain CHANGE FILES (the Delta
+    * CDF choice, r16 verdict task #3): `(file, rows)` pairs naming
+    * `chg-*` data files that hold the commit's NET preimage/postimage
+    * rows (visible columns + `_change_side` ±1), written by the
+    * mutation at commit time where the data was already in hand.
+    * They describe ONE commit, never carry forward (every publish
+    * builds a fresh manifest; the default keeps non-CDF commits
+    * empty), are invisible to normal scans, and vacuum under the
+    * same retention as data files. */
+  /** `cdf` — true when this generation's mutation CAPTURED row-grain
+    * changes (even if the net set was empty — a value-identical
+    * re-upsert legitimately changes zero rows). The rowlevel CDC feed
+    * falls back to the ±file diff only for commits WITHOUT capture
+    * (appends, SQL row-level rewrites); an empty captured set emits
+    * nothing, which is exact. */
   final case class Manifest(schema: StructType, entries: Seq[ShardEntry],
       lastTxn: Long = -1L, txns: Map[String, Long] = Map.empty,
-      gen: Long = 0L)
+      gen: Long = 0L, changes: Seq[(String, Long)] = Seq.empty,
+      cdf: Boolean = false)
 
   /** Per-file writer stats, reported from tasks to the manifest.
     * `nullCnt` carries EVERY column (zero included): a column absent
@@ -688,7 +704,8 @@ object ShardFormat {
   private[shard] def writeData(df: DataFrame, dir: String, rangeCol: String,
       nShards: Int, chunkRows: Int = DefaultChunkRows,
       prefix: String = "", bloomCols: Set[String] = Set.empty,
-      rangeExpr: Option[Column] = None)
+      rangeExpr: Option[Column] = None,
+      namePrefix: String = "part-")
       : Seq[ShardEntry] = {
     val schema = df.schema
     // the CLUSTERING key as a storage long: the column itself for the
@@ -729,7 +746,8 @@ object ShardFormat {
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard") +: names.map(col): _*)
       .mapPartitions { it =>
-        writeTaskShards(it, dir, schema, chunkRows, prefix, bloomCols)
+        writeTaskShards(it, dir, schema, chunkRows, prefix, bloomCols,
+          namePrefix)
       }(Encoders.stats)
       .collect()
 
@@ -757,7 +775,8 @@ object ShardFormat {
     * one chunk, regardless of shard size. */
   private def writeTaskShards(
       it: Iterator[Row], dir: String, schema: StructType, chunkRows: Int,
-      prefix: String = "", bloomCols: Set[String] = Set.empty)
+      prefix: String = "", bloomCols: Set[String] = Set.empty,
+      namePrefix: String = "part-")
       : Iterator[(String, Long, Map[String, Long], Map[String, Long],
         Map[String, String], Map[String, String], Map[String, Long],
         Map[String, Double], Map[String, Double], Map[String, Long],
@@ -785,7 +804,7 @@ object ShardFormat {
       val s = r.getInt(nCols) // trailing __shard column
       if (s != shard) {
         flush(); shard = s
-        file = f"part-$prefix$shard%05d.gshard"
+        file = f"$namePrefix$prefix$shard%05d.gshard"
         writer = new ShardFileWriter(s"$dir/$file", schema, chunkRows,
           bloomCols)
       }
@@ -1593,6 +1612,12 @@ object ShardFormat {
         sb.append(s"dv ${e.file} $sc $cnt\n")
       }
     }
+    // this generation's row-grain change files (Delta CDF shape);
+    // `cdf` marks capture even when the net set is empty
+    if (m.cdf) sb.append("cdf 1\n")
+    m.changes.foreach { case (f, rows) =>
+      sb.append(s"change $f $rows\n")
+    }
     sb.toString.getBytes(StandardCharsets.UTF_8)
   }
 
@@ -1660,6 +1685,12 @@ object ShardFormat {
         val p = l.split(" ")
         p(1) -> ((p(2), p(3).toLong))
       }.toMap
+    val changes: Seq[(String, Long)] =
+      rest.filter(_.startsWith("change ")).map { l =>
+        val p = l.split(" ")
+        (p(1), p(2).toLong)
+      }.toSeq
+    val cdf = rest.exists(_.startsWith("cdf "))
     val entries = rest.filter(_.startsWith("file ")).map { l =>
       val parts = l.split(" ")
       val (file, rows) = (parts(1), parts(2).toLong)
@@ -1711,7 +1742,7 @@ object ShardFormat {
       ShardEntry(file, rows, zMin, zMax, sMin, sMax, nulls, blooms, bpvs,
         dMin, dMax, sums, dv = dvs.get(file))
     }.toSeq
-    Manifest(schema, entries, lastTxn, txns, gen)
+    Manifest(schema, entries, lastTxn, txns, gen, changes, cdf)
   }
 
   // ── DELETE VECTORS (merge-on-read position deletes) ────────────────
@@ -2012,13 +2043,16 @@ object ShardFormat {
     val retainedManifests = readManifest(dir) +:
       archivedGens(dir).map(g =>
         readManifestLines(Files.readAllLines(Paths.get(dir, archiveName(g)))))
-    // retained = data files AND delete-vector sidecars any retained
-    // generation references; everything else part-/dv- sweeps
+    // retained = data files, delete-vector sidecars, AND change
+    // files any retained generation references; everything else
+    // part-/dv-/chg- sweeps
     val retained = retainedManifests.flatMap(m =>
-      m.entries.map(_.file) ++ m.entries.flatMap(_.dv.map(_._1))).toSet
+      m.entries.map(_.file) ++ m.entries.flatMap(_.dv.map(_._1)) ++
+        m.changes.map(_._1)).toSet
     val cutoff = System.currentTimeMillis() - minAgeSeconds * 1000L
     val swept = listDir(Paths.get(dir))
-      .filter(f => (f.startsWith("part-") || f.startsWith("dv-")) &&
+      .filter(f => (f.startsWith("part-") || f.startsWith("dv-") ||
+        f.startsWith("chg-")) &&
         f.endsWith(".gshard") &&
         !retained(f) &&
         (minAgeSeconds <= 0L ||

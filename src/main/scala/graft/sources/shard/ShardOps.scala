@@ -97,9 +97,17 @@ object ShardOps {
     val oldDv: Map[String, String] = head.entries
       .flatMap(e => e.dv.map(d => e.file -> d._1)).toMap
     import spark.implicits._
-    val matched = spark.read.format("gshard").load(dir)
+    val visCols = ShardFormat.visible(head.schema).fieldNames.toSeq
+    // matched rows with their coordinates AND their full images —
+    // persisted: the sidecar write and the change capture both read it
+    val matchedFull = spark.read.format("gshard").load(dir)
       .filter(cond)
-      .select(col("_file").as("f"), col("_pos").as("p"))
+      .select(visCols.map(col) :+ col("_file").as("__f") :+
+        col("_pos").as("__p"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val matched = matchedFull
+      .select(col("__f").as("f"), col("__p").as("p"))
     // one sidecar-writing task per touched file: positions arrive
     // sorted per file, merge-walk against the prior mask
     val perFile: Seq[(String, String, Long)] = matched
@@ -146,13 +154,24 @@ object ShardOps {
         case Some((sc, cnt)) => Some(e.copy(dv = Some((sc, cnt))))
       }
     }
+    // row-grain change capture: the deleted rows ARE the commit's net
+    // change set (side −1) — written as this generation's change
+    // files so the rowlevel CDC feed streams exactly them
+    import graft.sources.shard.ShardCdc.{SideCol => ChangeSide}
+    val changeEntries = ShardFormat.writeData(
+      matchedFull.select(visCols.map(col) :+ lit(-1).as(ChangeSide): _*),
+      dir, visCols.head, 1,
+      prefix = s"d${java.util.UUID.randomUUID.toString.take(8)}-",
+      rangeExpr = Some(lit(0L)), namePrefix = "chg-")
     ShardFormat.publishManifest(dir,
-      ShardFormat.Manifest(head.schema, entries, head.lastTxn, head.txns),
+      ShardFormat.Manifest(head.schema, entries, head.lastTxn, head.txns,
+        changes = changeEntries.map(e => (e.file, e.rows)), cdf = true),
       basedOn = head.gen)
     val newly = perFile.map(_._3).sum -
       perFile.map(t => head.entries.find(_.file == t._1)
         .flatMap(_.dv.map(_._2)).getOrElse(0L)).sum
     newly
+    } finally matchedFull.unpersist()
   }
 
   def upsert(spark: SparkSession, dir: String, updates: DataFrame,
@@ -252,17 +271,21 @@ object ShardOps {
 
     // 2. survivors of the touched files + all updates, rewritten as
     // fresh key-clustered shards; reading through the connector's
-    // files-restricted scan keeps this the one data pass
-    val out: DataFrame =
-      if (touched.isEmpty) updates
-      else {
-        val touchedRows = spark.read.format("gshard")
-          .option("files", touched.mkString(","))
-          .load(dir)
-        touchedRows
-          .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+    // files-restricted scan keeps this the one data pass (persisted:
+    // the survivor rewrite AND the change capture below both consume
+    // it, and writeData runs two jobs on top)
+    val touchedRows: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else Some(spark.read.format("gshard")
+        .option("files", touched.mkString(","))
+        .load(dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val out: DataFrame = touchedRows match {
+      case None => updates
+      case Some(tr) =>
+        tr.join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
           .unionByName(updates)
-      }
+    }
     val shards = if (nShards > 0) nShards else math.max(1, touched.size + 1)
     // fresh file prefix: gen for debuggability PLUS a random token —
     // two concurrent upserts that both planned at gen N must never
@@ -304,6 +327,45 @@ object ShardOps {
         rangeExpr = Some(clusterExpr))
       finally outAligned.unpersist()
 
+    // ROW-GRAIN CHANGE CAPTURE at commit (the Delta CDF choice, r16
+    // verdict task #3): the commit's NET preimage (−1) / postimage
+    // (+1) rows, computed HERE where the touched rows and updates are
+    // already in hand — a CDC consumer then streams O(changed rows)
+    // per commit instead of O(rewritten-file rows). Unchanged pairs
+    // (old <=> new) suppress; the `gshard-cdc` rowlevel feed reads
+    // these files, falling back to the ±file diff for generations
+    // without them (appends, SQL row-level rewrites).
+    val visCols = ShardFormat.visible(head.schema).fieldNames.toSeq
+    import graft.sources.shard.ShardCdc.{SideCol => ChangeSide}
+    val changesDf: DataFrame = touchedRows match {
+      case None => // no touched files: every update is a net insert
+        updates.select(visCols.map(col) :+ lit(1).as(ChangeSide): _*)
+      case Some(tr) =>
+        // EXPLICIT renames, not subquery aliases: both legs carry the
+        // same column names, and alias-path resolution across a join
+        // of related lineages can silently bind both `o.c` and `u.c`
+        // to one side — renamed attributes cannot
+        val o = tr.select(visCols.map(c => col(c).as(s"__o_$c")): _*)
+        val u = updates.select(visCols.map(c => col(c).as(s"__u_$c")): _*)
+        val j = o.join(u,
+          col(s"__o_$keyCol") === col(s"__u_$keyCol"), "right_outer")
+        val oStruct = struct(visCols.map(c => col(s"__o_$c").as(c)): _*)
+        val uStruct = struct(visCols.map(c => col(s"__u_$c").as(c)): _*)
+        val changed = j.filter(
+          col(s"__o_$keyCol").isNull || !(oStruct <=> uStruct))
+        changed.filter(col(s"__o_$keyCol").isNotNull)
+          .select(visCols.map(c => col(s"__o_$c").as(c)) :+
+            lit(-1).as(ChangeSide): _*)
+          .unionByName(changed.select(
+            visCols.map(c => col(s"__u_$c").as(c)) :+
+              lit(1).as(ChangeSide): _*))
+    }
+    val changeEntries =
+      try ShardFormat.writeData(changesDf, dir, keyCol,
+        math.max(1, math.min(4, shards)), prefix = s"c$prefix",
+        rangeExpr = Some(clusterExpr), namePrefix = "chg-")
+      finally touchedRows.foreach(_.unpersist())
+
     // 3./4. generational publish with the txn slot advanced
     val (nextLast, nextTxns) = txnApp match {
       case None =>
@@ -322,6 +384,9 @@ object ShardOps {
     // winner's commit
     ShardFormat.publishManifest(dir,
       ShardFormat.Manifest(head.schema, untouched ++ fresh,
-        nextLast, nextTxns), basedOn = head.gen)
+        nextLast, nextTxns,
+        changes = changeEntries.map(e => (e.file, e.rows)),
+        cdf = true),
+      basedOn = head.gen)
   }
 }

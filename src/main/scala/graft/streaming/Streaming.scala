@@ -1819,6 +1819,29 @@ object Streaming {
       .orderBy(col("user_id"))
   }
 
+  /** X55 — `stream_shard_cdc_rows`: the ROW-GRAIN change feed (r16
+    * verdict task #3) — `rowlevel=true` streams the COMMIT-written
+    * change files (net preimage/postimage rows, the Delta CDF
+    * choice) instead of ±whole rewritten files, so a 1-row upsert
+    * into an N-row file emits 2 rows, not 2N (spec-pinned
+    * amplification bound). Same staged merge table, same classify
+    * fold, and the SAME oracle as `stream_shard_cdc` /
+    * `q_shard_generation_diff` — a three-way equivalence: batch
+    * time-travel diff == file-grain feed == row-grain feed. */
+  def streamShardCdcRows(t: Tables): DataFrame = {
+    import graft.sources.shard.ShardCdc
+    graft.sources.SourceOps.qShardMerge(t) // stage: gen 0 + merged head
+    val dir = graft.sources.SourceOps.shardMergeDir(t)
+    val feed = t.spark.readStream.format("gshard-cdc")
+      .option("rowlevel", "true")
+      .option("startingversion", "0").load(dir)
+    val drained = drainToTable(feed, "append")
+    ShardCdc.classify(drained, "user_id")
+      .select(col("user_id"), col("change_type"),
+        col("n_events"), col("cents"))
+      .orderBy(col("user_id"))
+  }
+
   def streamShardSource(t: Tables): DataFrame = {
     val dir = graft.sources.SourceOps.shardTable(t)
     val src = t.spark.readStream.format("gshard")

@@ -30,9 +30,10 @@ class ShardCdcSpec extends SparkSpec {
   /** Drain all available CDC batches once (AvailableNow), appending
     * raw ± rows to an in-memory table; returns the drained rows. */
   private def drain(dir: String, ckpt: String, name: String,
-      startingVersion: Option[Long] = None)
+      startingVersion: Option[Long] = None, rowLevel: Boolean = false)
       : Seq[(Long, String, Long, Int, Long)] = {
     var r = spark.readStream.format("gshard-cdc")
+    if (rowLevel) r = r.option("rowlevel", "true")
     startingVersion.foreach(v => r = r.option("startingversion", v))
     val q = r.load(dir).writeStream
       .trigger(Trigger.AvailableNow())
@@ -214,5 +215,106 @@ class ShardCdcSpec extends SparkSpec {
       sb.toString
     }
     assert(chain(ex).contains("dropped, renamed, or retyped"))
+  }
+
+  // ── r17: ROWLEVEL feed off the commits' change files ─────────────
+
+  test("rowlevel feed AMPLIFICATION: a 1-row upsert into a 1000-row " +
+      "file emits 2 rows, not 2000") {
+    val d = tmp("amp")
+    ShardFormat.write(base(1000), d, "id", 1) // gen 0: one big file
+    val sess = spark
+    import sess.implicits._
+    ShardOps.upsert(spark, d,
+      Seq((5L, "NEW", -1L)).toDF("id", "tag", "score"), "id") // gen 1
+    val rows = drain(d, tmp("ck_amp"), "cdc_amp", Some(0L),
+      rowLevel = true)
+    assert(rows.size == 2, s"amplified: ${rows.size} rows")
+    assert(rows.map(_._5).toSet == Set(1L))
+    assert(rows.map(r => (r._1, r._2, r._4)).toSet ==
+      Set((5L, "v5", -1), (5L, "NEW", 1)))
+    // the plain file-grain feed on the same commit streams the whole
+    // rewritten file — the amplification the change files remove
+    val fileGrain = drain(d, tmp("ck_amp2"), "cdc_amp2", Some(0L))
+    assert(fileGrain.size >= 2000, s"expected 2N rows: ${fileGrain.size}")
+  }
+
+  test("rowlevel feed: unchanged upsert survivors never emit; a " +
+      "same-value re-upsert emits nothing") {
+    val d = tmp("net0")
+    ShardFormat.write(base(100), d, "id", 1)
+    val sess = spark
+    import sess.implicits._
+    // re-upsert an IDENTICAL row: the net change set is empty
+    ShardOps.upsert(spark, d,
+      Seq((7L, "v7", 70L)).toDF("id", "tag", "score"), "id")
+    val rows = drain(d, tmp("ck_net0"), "cdc_net0", Some(0L),
+      rowLevel = true)
+    assert(rows.isEmpty, s"no-op upsert emitted: $rows")
+  }
+
+  test("rowlevel feed: multi-commit batches tag each commit's rows; " +
+      "classifyPerCommit folds per commit; append and MoR-delete " +
+      "steps ride their own grain") {
+    val d = tmp("multi")
+    ShardFormat.write(base(200), d, "id", 1) // gen 0
+    val sess = spark
+    import sess.implicits._
+    ShardOps.upsert(spark, d,
+      Seq((5L, "A", 1L)).toDF("id", "tag", "score"), "id") // gen 1
+    ShardOps.upsert(spark, d,
+      Seq((5L, "B", 2L)).toDF("id", "tag", "score"), "id") // gen 2
+    Seq((900L, "app", 9L)).toDF("id", "tag", "score")
+      .write.format("gshard").option("rangecol", "id")
+      .mode("append").save(d) // gen 3: append (no change file)
+    ShardOps.deleteMor(spark, d, col("id") === 13L) // gen 4: MoR delete
+    val rows = drain(d, tmp("ck_multi"), "cdc_multi", Some(0L),
+      rowLevel = true)
+    // per-commit grain: v1 2 rows, v2 2 rows, v3 1 row (append
+    // fallback: the new file is all inserts), v4 1 row (the deleted
+    // row from the commit's change file)
+    val byV = rows.groupBy(_._5).view.mapValues(_.size).toMap
+    assert(byV == Map(1L -> 2, 2L -> 2, 3L -> 1, 4L -> 1), byV.toString)
+    val c = ShardCdc.classifyPerCommit(
+      rows.toDF("id", "tag", "score", ShardCdc.SideCol,
+        ShardCdc.VersionCol), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(c == Set(
+      (5L, 1L, "update", "A"),
+      (5L, 2L, "update", "B"),
+      (900L, 3L, "insert", "app"),
+      (13L, 4L, "delete", null)), c.toString)
+  }
+
+  test("rowlevel feed: checkpoint resume emits each commit's change " +
+      "rows exactly once") {
+    val d = tmp("rlresume")
+    val ck = tmp("ck_rlresume")
+    val out = tmp("out_rlresume")
+    ShardFormat.write(base(100), d, "id", 1)
+    val sess = spark
+    import sess.implicits._
+    def drainFile(): Seq[(Long, Long)] = {
+      val q = spark.readStream.format("gshard-cdc")
+        .option("rowlevel", "true").load(d)
+        .writeStream.trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck)
+        .format("parquet").option("path", out).start()
+      q.awaitTermination()
+      spark.read.parquet(out).collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(4)))
+    }
+    assert(drainFile().isEmpty)
+    ShardOps.upsert(spark, d,
+      Seq((5L, "X", 1L)).toDF("id", "tag", "score"), "id")
+    val r1 = drainFile()
+    assert(r1.size == 2 && r1.forall(_._2 == 1L))
+    ShardOps.upsert(spark, d,
+      Seq((6L, "Y", 2L)).toDF("id", "tag", "score"), "id")
+    val r2 = drainFile()
+    assert(r2.count(_._2 == 1L) == 2, "version-1 rows re-emitted")
+    assert(r2.count(_._2 == 2L) == 2)
+    assert(drainFile().size == r2.size)
   }
 }
