@@ -194,6 +194,21 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
     }
   }
 
+  /** A generation's physical schema tags PADDED with any anchored
+    * feed columns it predates (appended AFTER the physical fields so
+    * the file-prefix decode rule is untouched — a file's own header
+    * width governs which slots it carries; the padded names resolve
+    * in the readers and decode as all-NULL). Without the padding, a
+    * replay across a later ADD COLUMN would crash the reader on the
+    * unresolvable name instead of reading NULL. */
+  private def padTags(fields: Seq[(String, String)])
+      : Seq[(String, String)] = {
+    val have = fields.map(_._1).toSet
+    fields ++ anchors.collect {
+      case (n, _, tag) if !have(n) => (n, tag)
+    }
+  }
+
   private def requireAnchorsHold(m: ShardFormat.Manifest, gen: Long): Unit =
     anchors.foreach { case (n, pos, tag) =>
       // a feed column ABSENT from an older generation's schema is the
@@ -255,16 +270,32 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
     // ROWLEVEL: one step per generation — its own change files when
     // the commit wrote them, the ±file diff otherwise
     ((a + 1) to b).iterator.flatMap { g =>
-      val mg = ShardFormat.readManifestVersion(dir, Some(g))
+      // ROWLEVEL RETENTION COUPLING: the per-commit feed needs EVERY
+      // generation in the lag window retained (the file-grain feed
+      // needs only the endpoints) — name that contract when a vacuum
+      // broke it instead of surfacing a bare missing-version error
+      val mg =
+        try ShardFormat.readManifestVersion(dir, Some(g))
+        catch { case e: IllegalArgumentException =>
+          throw new IllegalStateException(
+            s"gshard-cdc rowlevel: generation $g in the feed's lag " +
+              s"window ($a, $b] is no longer retained — the rowlevel " +
+              "feed replays PER COMMIT, so vacuum keep_versions must " +
+              "cover the slowest consumer's lag (the file-grain feed " +
+              "needs only the endpoints); restart from a retained " +
+              "generation or raise retention", e)
+        }
       requireAnchorsHold(mg, g)
       if (mg.cdf) {
         // captured commit: its change files are the step (an empty
         // captured set — a value-identical re-upsert — emits nothing)
         // chg files carry the commit-time VISIBLE columns + side; a
-        // feed column the file predates decodes as NULL (prefix rule)
-        val tags = ShardFormat.visible(mg.schema).fields.map(f =>
-          (f.name, ShardFormat.typeTag(f.dataType))) :+
-          ((ShardCdc.SideCol, "int"))
+        // feed column the file predates decodes as NULL (prefix
+        // rule + padTags resolution)
+        val tags = padTags(
+          ShardFormat.visible(mg.schema).fields.toSeq.map(f =>
+            (f.name, ShardFormat.typeTag(f.dataType))) :+
+            ((ShardCdc.SideCol, "int"))).toArray
         mg.changes.map { case (f, _) =>
           ShardCdcRowsPartition(
             ShardInputPartition(s"$dir/$f", tags,
@@ -297,9 +328,10 @@ private[shard] class ShardCdcMicroBatchStream(dir: String,
     // (positions are immutable: evolution only appends fields or
     // tombstones/renames in place, and an older file carries a
     // column prefix — the file header is authoritative for its own
-    // width); the feed projects the query-start VISIBLE columns
-    val tags = mb.schema.fields.map(f =>
-      (f.name, ShardFormat.typeTag(f.dataType)))
+    // width); the feed projects the query-start VISIBLE columns,
+    // padded for replays whose end generation predates a later ADD
+    val tags = padTags(mb.schema.fields.toSeq.map(f =>
+      (f.name, ShardFormat.typeTag(f.dataType)))).toArray
     def parts(m: ShardFormat.Manifest,
         ids: Set[(String, Option[String])], side: Int)
         : Seq[InputPartition] =
@@ -338,47 +370,35 @@ private[shard] class ShardCdcReaderFactory(tableTags: Array[String])
       : PartitionReader[InternalRow] = {
     val types = tableTags.map(ShardFormat.dataTypeOf)
     val n = tableTags.length
+    // one projection body for both partition kinds; the only delta is
+    // where the side comes from (partition constant vs the change
+    // file's own `_change_side` column)
+    def wrap(inner: ShardPartitionReader, version: Long,
+        side: InternalRow => Int): PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        override def next(): Boolean = inner.next()
+        override def get(): InternalRow = {
+          val r = inner.get()
+          val out = new Array[Any](n + 2)
+          var i = 0
+          while (i < n) {
+            out(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
+            i += 1
+          }
+          out(n) = side(r)
+          out(n + 1) = version
+          // consume the array directly — fromSeq would wrap + copy
+          // it once per row on the feed's hot path
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(out)
+        }
+        override def close(): Unit = inner.close()
+      }
     partition match {
       case p: ShardCdcInputPartition =>
-        val inner = new ShardPartitionReader(p.inner)
-        new PartitionReader[InternalRow] {
-          override def next(): Boolean = inner.next()
-          override def get(): InternalRow = {
-            val r = inner.get()
-            val out = new Array[Any](n + 2)
-            var i = 0
-            while (i < n) {
-              out(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
-              i += 1
-            }
-            out(n) = p.side
-            out(n + 1) = p.version
-            // consume the array directly — fromSeq would wrap + copy
-            // it once per row on the feed's hot path
-            new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(out)
-          }
-          override def close(): Unit = inner.close()
-        }
+        wrap(new ShardPartitionReader(p.inner), p.version, _ => p.side)
       case p: ShardCdcRowsPartition =>
-        val inner = new ShardPartitionReader(p.inner)
-        new PartitionReader[InternalRow] {
-          override def next(): Boolean = inner.next()
-          override def get(): InternalRow = {
-            val r = inner.get()
-            val out = new Array[Any](n + 2)
-            var i = 0
-            while (i < n) {
-              out(i) = if (r.isNullAt(i)) null else r.get(i, types(i))
-              i += 1
-            }
-            out(n) = r.getInt(n) // _change_side from the change file
-            out(n + 1) = p.version
-            new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(out)
-          }
-          override def close(): Unit = inner.close()
-        }
+        wrap(new ShardPartitionReader(p.inner), p.version, _.getInt(n))
       case other => throw new IllegalStateException(other.toString)
     }
   }

@@ -658,8 +658,15 @@ object ShardFormat {
       inf.setInput(comp, 4, comp.length - 4)
       val out = new Array[Byte](rawLen)
       var off = 0
-      while (off < rawLen && !inf.finished())
-        off += inf.inflate(out, off, rawLen - off)
+      var progress = true
+      while (off < rawLen && !inf.finished() && progress) {
+        val n = inf.inflate(out, off, rawLen - off)
+        // a truncated-but-valid deflate prefix returns 0 forever
+        // (needsInput with nothing left) — FAIL, never hang (the
+        // skipFully contract: truncation is loud)
+        progress = n > 0
+        off += n
+      }
       require(off == rawLen, "gshard: truncated compressed block")
       out
     } finally inf.end()
@@ -2038,10 +2045,14 @@ object ShardFormat {
   def vacuum(dir: String, keepVersions: Int = 0,
       minAgeSeconds: Long = 0L): Seq[String] = {
     require(keepVersions >= 0, "keepVersions must be >= 0")
-    val drop = archivedGens(dir).dropRight(keepVersions)
+    // ONE head parse for the whole sweep (archivedGens would re-read
+    // the manifest per call — three full parses per vacuum otherwise)
+    val head = readManifest(dir)
+    val archived = commitRecordGens(dir).filter(_ < head.gen)
+    val drop = archived.dropRight(keepVersions)
     drop.foreach(g => Files.deleteIfExists(Paths.get(dir, archiveName(g))))
-    val retainedManifests = readManifest(dir) +:
-      archivedGens(dir).map(g =>
+    val retainedManifests = head +:
+      archived.drop(drop.length).map(g =>
         readManifestLines(Files.readAllLines(Paths.get(dir, archiveName(g)))))
     // retained = data files, delete-vector sidecars, AND change
     // files any retained generation references; everything else

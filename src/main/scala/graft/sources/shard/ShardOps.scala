@@ -167,9 +167,12 @@ object ShardOps {
       ShardFormat.Manifest(head.schema, entries, head.lastTxn, head.txns,
         changes = changeEntries.map(e => (e.file, e.rows)), cdf = true),
       basedOn = head.gen)
+    // newly deleted = merged counts − prior counts, per touched file
+    // (map lookup, not a per-file linear scan over the entries)
+    val priorCnt: Map[String, Long] = head.entries
+      .flatMap(e => e.dv.map(d => e.file -> d._2)).toMap
     val newly = perFile.map(_._3).sum -
-      perFile.map(t => head.entries.find(_.file == t._1)
-        .flatMap(_.dv.map(_._2)).getOrElse(0L)).sum
+      perFile.map(t => priorCnt.getOrElse(t._1, 0L)).sum
     newly
     } finally matchedFull.unpersist()
   }
@@ -353,12 +356,18 @@ object ShardOps {
         val uStruct = struct(visCols.map(c => col(s"__u_$c").as(c)): _*)
         val changed = j.filter(
           col(s"__o_$keyCol").isNull || !(oStruct <=> uStruct))
+        // preimages keep duplicates (two physical old rows = two
+        // removals); postimages DEDUPE — a duplicate-keyed target
+        // (plain appends don't enforce uniqueness) joins one update
+        // against several old rows, but the commit lands the update
+        // ONCE (key included in the row, and updates are key-unique,
+        // so distinct() is exact)
         changed.filter(col(s"__o_$keyCol").isNotNull)
           .select(visCols.map(c => col(s"__o_$c").as(c)) :+
             lit(-1).as(ChangeSide): _*)
           .unionByName(changed.select(
             visCols.map(c => col(s"__u_$c").as(c)) :+
-              lit(1).as(ChangeSide): _*))
+              lit(1).as(ChangeSide): _*).distinct())
     }
     val changeEntries =
       try ShardFormat.writeData(changesDf, dir, keyCol,

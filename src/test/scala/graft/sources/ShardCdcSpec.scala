@@ -287,6 +287,80 @@ class ShardCdcSpec extends SparkSpec {
       (13L, 4L, "delete", null)), c.toString)
   }
 
+  test("rowlevel feed: replay across a later ADD COLUMN reads the " +
+      "added column as NULL from pre-ADD change files (no reader " +
+      "crash on the unresolvable name)") {
+    val d = tmp("rladd")
+    ShardFormat.write(base(80), d, "id", 1) // gen 0
+    val sess = spark
+    import sess.implicits._
+    ShardOps.upsert(spark, d,
+      Seq((5L, "PRE", 1L)).toDF("id", "tag", "score"), "id") // gen 1
+    val m1 = ShardFormat.readManifest(d)
+    import org.apache.spark.sql.types._
+    ShardFormat.publishManifest(d, m1.copy(schema =
+      StructType(m1.schema.fields :+ StructField("extra", LongType)),
+      changes = Seq.empty, cdf = false), basedOn = m1.gen) // gen 2: ADD
+    Seq((901L, "app", 2L, 7L)).toDF("id", "tag", "score", "extra")
+      .write.format("gshard").option("rangecol", "id")
+      .mode("append").save(d) // gen 3
+    val q = spark.readStream.format("gshard-cdc")
+      .option("rowlevel", "true").option("startingversion", "0").load(d)
+      .writeStream.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmp("ck_rladd"))
+      .format("memory").queryName("cdc_rladd").start()
+    q.awaitTermination()
+    val rows = spark.table("cdc_rladd").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+        r.getInt(4), r.getLong(5))).toSeq
+    // gen 1's change file predates `extra`: its rows read it as NULL
+    val v1 = rows.filter(_._5 == 1L)
+    assert(v1.map(r => (r._1, r._2, r._4)).toSet ==
+      Set((5L, "v5", -1), (5L, "PRE", 1)), v1.toString)
+    assert(v1.forall(_._3 == null))
+    // gen 3's appended file carries the value
+    val v3 = rows.filter(_._5 == 3L)
+    assert(v3 == Seq((901L, "app", java.lang.Long.valueOf(7L), 1, 3L)))
+    // the ALTER generation itself emitted nothing
+    assert(!rows.exists(_._5 == 2L))
+  }
+
+  test("rowlevel feed on a duplicate-keyed target: preimages keep " +
+      "both old rows, the postimage lands ONCE") {
+    val d = tmp("rldup")
+    val sess = spark
+    import sess.implicits._
+    // plain appends don't enforce key uniqueness: key 1 twice
+    Seq((1L, "a", 1L), (1L, "b", 2L), (2L, "c", 3L))
+      .toDF("id", "tag", "score")
+      .write.format("gshard").option("rangecol", "id")
+      .mode("overwrite").save(d)
+    ShardOps.upsert(spark, d,
+      Seq((1L, "NEW", 9L)).toDF("id", "tag", "score"), "id")
+    val rows = drain(d, tmp("ck_rldup"), "cdc_rldup", Some(0L),
+      rowLevel = true)
+    val pre = rows.filter(_._4 == -1).map(r => (r._1, r._2)).sorted
+    val post = rows.filter(_._4 == 1).map(r => (r._1, r._2))
+    assert(pre == Seq((1L, "a"), (1L, "b")), pre.toString)
+    assert(post == Seq((1L, "NEW")), post.toString)
+  }
+
+  test("a truncated compressed block FAILS loudly instead of " +
+      "hanging the reader") {
+    import graft.sources.shard.tests.FormatProbe
+    val raw = ("the quick brown fox " * 40).getBytes("UTF-8")
+    val comp = FormatProbe.maybeDeflate(raw)
+      .getOrElse(fail("payload should deflate"))
+    assert(FormatProbe.inflate(comp).sameElements(raw))
+    // chop DATA, not just the zlib trailer: half the stream
+    val truncated = java.util.Arrays.copyOf(comp, comp.length / 2)
+    val ex = intercept[IllegalArgumentException] {
+      FormatProbe.inflate(truncated)
+    }
+    assert(ex.getMessage.contains("truncated compressed block"))
+  }
+
   test("rowlevel feed: checkpoint resume emits each commit's change " +
       "rows exactly once") {
     val d = tmp("rlresume")

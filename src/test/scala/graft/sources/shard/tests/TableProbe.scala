@@ -26,4 +26,10 @@ object FormatProbe {
 
   def commitRecordGens(dir: String): Seq[Long] =
     ShardFormat.commitRecordGens(dir)
+
+  def maybeDeflate(raw: Array[Byte]): Option[Array[Byte]] =
+    ShardFormat.maybeDeflate(raw)
+
+  def inflate(comp: Array[Byte]): Array[Byte] =
+    ShardFormat.inflate(comp)
 }
