@@ -80,20 +80,63 @@ for table, keys in KEYS.items():
                 col = pc.add(col, pa.scalar(shift, type=col.type))
             if PERTURB and k > 0:
                 if table == "documents" and name == "text":
-                    # weave a per-copy token in FRONT (keeps length
-                    # stats ~stable, breaks exact/near-dup identity)
-                    col = pc.binary_join_element_wise(
-                        pa.scalar(f"c{k}x"), col, pa.scalar(" "))
+                    # v2 (r17): interleave the per-copy token EVERY 6
+                    # WORDS, not once in front — one front token left
+                    # cross-copy 3-gram Jaccard at ~0.97 (still a
+                    # near-dup), so the r16 probe measured a
+                    # duplicated corpus anyway. Dense interleaving
+                    # drops cross-copy Jaccard well below every dedup
+                    # threshold: copies are organically DISTINCT docs.
+                    import re as _re
+                    tok = f"c{k}x"
+                    def weave(s, _t=tok):
+                        if s is None:
+                            return None
+                        w = s.split(" ")
+                        out = []
+                        for i, word in enumerate(w):
+                            if i % 6 == 0:
+                                out.append(_t)
+                            out.append(word)
+                        return " ".join(out)
+                    col = pa.array([weave(v) for v in col.to_pylist()],
+                                   type=pa.string())
                 elif table == "embeddings" and name == "embedding":
-                    # deterministic per-copy jitter: scale by
-                    # 1 + k/1000 (cosine-neighborhood preserved,
-                    # byte-identity broken)
-                    flat = pc.multiply(col.combine_chunks().flatten(),
-                                       pa.scalar(1.0 + k / 1000.0,
-                                                 type=pa.float32()))
+                    # v2 (r17): add a copy-specific deterministic
+                    # ±0.5·RMS pattern per dimension — the r16 scale
+                    # jitter (×(1+k/1000)) left COSINE exactly 1.0
+                    # (scaling never moves cosine), so cosine-space
+                    # ops still saw 10 perfect duplicates. The
+                    # pattern puts base↔copy cosine at ~0.89 and
+                    # copy↔copy at ~0.80: organically related, never
+                    # duplicates.
+                    import numpy as np
                     lc = col.combine_chunks()
-                    col = pa.ListArray.from_arrays(lc.offsets, flat,
-                                                   type=lc.type)
+                    flat = lc.flatten().to_numpy(zero_copy_only=False)
+                    offs = lc.offsets.to_numpy(zero_copy_only=False)
+                    dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+                    rms = float(np.sqrt(np.mean(flat ** 2))) or 1.0
+                    rng = np.random.RandomState(0xC0FFEE + k)
+                    pattern = rng.choice([-1.0, 1.0], size=dim) \
+                        .astype(np.float32) * np.float32(0.5 * rms)
+                    flat = (flat.reshape(-1, dim) + pattern) \
+                        .astype(np.float32).ravel()
+                    col = pa.ListArray.from_arrays(
+                        lc.offsets, pa.array(flat, type=pa.float32()),
+                        type=lc.type)
+                elif table == "part" and name == "p_name":
+                    # v2 (r17): per-copy name suffix — the ER/fuzzy
+                    # family blocks and edit-distances over p_name,
+                    # and unperturbed names left cross-copy parts as
+                    # EXACT duplicates (quadratic true-match growth,
+                    # the r16 adjudication's unmeasured caveat)
+                    col = pc.binary_join_element_wise(
+                        col, pa.scalar(f"c{k}"), pa.scalar(" "))
+                elif table == "part" and name == "p_size":
+                    # spread sizes too (deterministic ±2 per copy):
+                    # size agreement must not survive copying either
+                    col = pc.add(col, pa.scalar((k * 3) % 5 - 2,
+                                                type=col.type))
             cols.append(col)
         copies.append(pa.table(dict(zip(t.schema.names, cols)),
                                schema=t.schema))

@@ -30,12 +30,20 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_BENCH_ONLY=csv-of-query-names: a TARGETED probe
+    // (e.g. one family at a big SF) — skips everything else,
+    // including state builds not named. The full run leaves it unset.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
     val warmDir = {
       val sibling = Paths.get(sfDir).resolveSibling("sf0.001")
       if (Files.isDirectory(sibling)) sibling.toString else sfDir
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (wanted(name))
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
 
     def once(run: () => Unit): (Double, Option[String]) = {
@@ -72,13 +80,15 @@ object Bench {
     // production runs these as scheduled jobs, so their cost must not
     // be attributed to the first consumer query of the session
     val results =
-      SparkEntry.stateBuilds.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.stateBuilds.toSeq.sortBy(_._1)
+        .filter(kv => wanted(kv._1)).map { case (name, fn) =>
         // builds are memoized behind their staged artifact: a re-run
         // would time the cache hit, not the build — single-shot only
         val (first, err) = once(() => fn(spark, sfDir))
         (name, first, first, err)
       } ++
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(kv => wanted(kv._1)).map { case (name, fn) =>
         timed(name, () => { fn(spark, sfDir).count(); () })
       }
     // 3-decimal fixed-point timings (Locale.ROOT: a comma decimal

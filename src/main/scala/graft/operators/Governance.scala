@@ -121,13 +121,41 @@ object Governance {
       .filter(col("score") >= 3)
       .distinct() // a pair may surface from both blocks; score is identical
 
+  /** Candidate generation, COMPLETE for the score ≥ 3 rule and
+    * SIZE-BANDED on the low-cardinality block (the r17 organic-probe
+    * fix). A match agrees on ≥ 2 of {name, type, brand}: either it
+    * agrees on `name` (block 1), or on {type, brand} WITHOUT name —
+    * in which case the third point must be `size_close`
+    * (|Δsize| ≤ 2), so block 2 only ever needs candidates within the
+    * size tolerance. Banding it (stride-2 keys: each row lands in
+    * bands ⌊size/2⌋ and ⌊size/2⌋+1, so any |Δ| ≤ 2 pair shares a
+    * band — the `q_range_join_banded` cover) divides the quadratic
+    * (type, brand) block volume by the size spread: (type, brand) is
+    * FIXED-cardinality (the classic blocking-selectivity trap — at
+    * 10× rows its Σb² grows 100×), while (type, brand, band) adds
+    * the one attribute the rule lets us add for free. Completeness
+    * stays HASH-VERIFIED, not argued: the DuckDB oracle scores all
+    * pairs. Band duplicates dedupe in scorePairs' distinct(). */
   private def erBlockedPairsOf(p: DataFrame): DataFrame = {
     def blocked(cond: org.apache.spark.sql.Column): DataFrame =
       p.as("a").join(p.as("b"), cond && col("a.p_partkey") < col("b.p_partkey"))
-    scorePairs(
-      blocked(col("a.p_name") === col("b.p_name"))
-        .unionAll(blocked(
-          col("a.p_type") === col("b.p_type") && col("a.p_brand") === col("b.p_brand"))))
+    val banded = {
+      def withBands(df: DataFrame): DataFrame =
+        df.withColumn("__band",
+          explode(array(floor(col("p_size") / 2),
+            floor(col("p_size") / 2) + 1)))
+      withBands(p).as("a").join(withBands(p).as("b"),
+        col("a.p_type") === col("b.p_type") &&
+          col("a.p_brand") === col("b.p_brand") &&
+          col("a.__band") === col("b.__band") &&
+          col("a.p_partkey") < col("b.p_partkey"))
+    }
+    // score each leg against its own join lineage (the banded leg
+    // carries window-key columns the union must not see), then dedupe
+    // across legs — a pair may surface from both with equal score
+    scorePairs(blocked(col("a.p_name") === col("b.p_name")))
+      .unionAll(scorePairs(banded))
+      .distinct()
   }
 
   /** `er_review_queue` — the CLERICAL-REVIEW band of the

@@ -994,6 +994,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("files=0/"), s"a shard file was planned:\n$p")
   }
 
+  test("q_shard_delete_mor: the masked read-back goes through the " +
+      "connector with ONE aggregation exchange (masking is reader-" +
+      "side, never a plan-side anti-join)") {
+    val p = plan(graft.sources.SourceOps.qShardDeleteMor(tables))
+    assert(p.contains("gshard"), s"not reading through the connector:\n$p")
+    // rollup + orderBy: one shuffle for the agg, one range exchange
+    // for the sort — a DV mask must add NO join or extra exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"$exchanges exchanges:\n$p")
+    assert(!p.contains("Join"), s"DV masking leaked a plan-side join:\n$p")
+  }
+
+  test("q_shard_token_ids_roundtrip: map-only read-back — zero " +
+      "exchanges, token ids decode in place") {
+    val p = plan(graft.sources.SourceOps.qShardTokenIdsRoundtrip(tables))
+    assert(p.contains("gshard"), s"not reading through the connector:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 0, s"read-back shuffled:\n$p")
+  }
+
   test("q_shard_types_roundtrip: the TIMESTAMP predicate pushes down " +
       "into the scan (typed ReadSchema, normalized filter)") {
     val p = plan(graft.sources.SourceOps.qShardTypesRoundtrip(tables))
