@@ -19,7 +19,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def raw(name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    // Memoize the inferred schema per file path: the input tables are
+    // immutable, but every `spark.read.parquet` without an explicit
+    // schema pays a driver-side footer read + merge at PLAN time —
+    // hundreds of query constructions × several tables each made
+    // schema inference a measurable per-query tax. (Metadata only;
+    // every query still computes from the parquet data.)
+    val schema = Tables.schemaCache.getOrElseUpdate(
+      path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
   }
 
   def region: DataFrame = raw("region")
@@ -60,4 +69,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     val df = if (n == "events") events else raw(n)
     df.createOrReplaceTempView(n)
   }
+}
+
+object Tables {
+  /** Inferred parquet schemas keyed by file path (immutable inputs). */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.sql.types.StructType]
 }

@@ -2269,15 +2269,20 @@ object EventAnalytics {
     // computed, so checkpointing it loses nothing.
     var settled = seeds.select(col("item"), lit(0).as("dist"))
       .localCheckpoint()
-    var frontier = seeds.select(col("item")).localCheckpoint()
+    var frontier = seeds.select(col("item"))
     for (d <- 1 to maxDist) {
-      val next = frontier.join(edges, frontier("item") === edges("src"))
-        .select(col("dst").as("item")).distinct()
-        .join(settled, Seq("item"), "left_anti")
+      // fold expansion + dedup + anti-join into ONE keyed min-agg:
+      // min(dist) over settled ∪ frontier-expansions IS the BFS level
+      // (old items keep their smaller d, new items surface at d), and
+      // the next frontier is just the rows that settled at this round
+      // — one exchange + one checkpoint per round instead of three
+      // jobs (distinct, anti-join, settled-union checkpoint)
+      val expanded = frontier.join(edges, frontier("item") === edges("src"))
+        .select(col("dst").as("item"), lit(d).as("dist"))
+      settled = settled.unionAll(expanded)
+        .groupBy(col("item")).agg(min(col("dist")).as("dist"))
         .localCheckpoint()
-      settled = settled.unionAll(next.select(col("item"), lit(d).as("dist")))
-        .localCheckpoint()
-      frontier = next
+      frontier = settled.filter(col("dist") === d).select(col("item"))
     }
     items.unpersist()
     edges.unpersist()
@@ -2334,20 +2339,25 @@ object EventAnalytics {
     var frontier = dist
     val rounds = (budget / 2L).toInt // min edge cost 2 bounds path length
     for (_ <- 1 to rounds) {
+      // ONE min-agg carries both readouts: candidates enter with a
+      // NULL `old`, settled rows with old = their current dist, so
+      // min(dist) is the merged distance and min(old) (null-skipping)
+      // recovers the pre-round distance — the improved-frontier test
+      // becomes a map-side filter over the merged checkpoint instead
+      // of a second agg + join + second checkpoint per round
       val cand = frontier.join(edges, frontier("item") === edges("src"))
-        .select(col("dst").as("item"), (col("dist") + col("cost")).as("dist"))
+        .select(col("dst").as("item"), (col("dist") + col("cost")).as("dist"),
+          lit(null).cast("long").as("old"))
         .filter(col("dist") <= budget)
-        .groupBy(col("item")).agg(min(col("dist")).as("dist"))
-      val merged = dist.unionAll(cand)
-        .groupBy(col("item")).agg(min(col("dist")).as("dist"))
+      val merged = dist.select(col("item"), col("dist"), col("dist").as("old"))
+        .unionAll(cand)
+        .groupBy(col("item"))
+        .agg(min(col("dist")).as("dist"), min(col("old")).as("old"))
         .localCheckpoint()
-      frontier = merged.as("m")
-        .join(dist.select(col("item"), col("dist").as("old")).as("o"),
-          Seq("item"), "left")
+      frontier = merged
         .filter(col("old").isNull || col("dist") < col("old"))
         .select(col("item"), col("dist"))
-        .localCheckpoint()
-      dist = merged
+      dist = merged.select(col("item"), col("dist"))
     }
     items.unpersist()
     edges.unpersist()
