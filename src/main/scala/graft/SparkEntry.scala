@@ -709,6 +709,8 @@ object SparkEntry {
     * `dedup_clusters_incremental` merges against). All are memoized
     * per (session, dataset), so consumers pay lookups only. */
   def stateBuilds: Map[String, (SparkSession, String) => Unit] = Map(
+    "_build_band_pairs" ->
+      ((s, dir) => Dedup.prebuildMinhashPairs(Tables(s, dir))),
     "_build_pq_index" ->
       ((s, dir) => { Similarity.pqIndex(Tables(s, dir)); () }),
     "_build_history_index" ->

@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.TimestampNTZType
   */
 final case class Tables(spark: SparkSession, dir: String) {
 
+  /** IMMUTABILITY CONTRACT: `raw` serves the driver-generated input
+    * tables, which are never rewritten in-place during a process
+    * lifetime — the schema memo below is keyed by path alone and has
+    * no invalidation. Code that writes parquet it will read back
+    * (staging, tests) must use fresh per-run paths (every staging
+    * helper does), never overwrite a path previously read here. */
   def raw(name: String): DataFrame = {
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -202,7 +202,7 @@ object Dedup {
     * key become candidates. The self-join is keyed by the band hash, so
     * bucket sizes — not corpus size — bound the work.
     */
-  def dedupMinhashLsh(t: Tables): DataFrame = minhashPairsFrom(shingleSet(t))
+  def dedupMinhashLsh(t: Tables): DataFrame = minhashPairs(t)
 
   /** 16-column MinHash signature frame (doc_id, h0..h15) over an
     * exploded (doc_id, shingle) frame. The explode means the text is
@@ -251,6 +251,53 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
       .distinct()
+  }
+
+  /** The full-corpus MinHash-LSH match-pair set, staged ONCE per
+    * (session, dataset) and shared by every consumer — the
+    * [[graft.operators.Governance.erPairs]] discipline applied to the
+    * dedup family: the LSH pair table IS the stored artifact a
+    * production dedup pipeline maintains (nightly job), and its
+    * consumers — `dedup_minhash_lsh`, `dedup_clusters`,
+    * `dedup_survivorship`, `corpus_dedup_weights`,
+    * `dedup_minhash_eval`, the history cluster-state build — were
+    * each regenerating the tokenize → 16-md5 signature → band
+    * self-join chain per query (§2.4: the same shuffles paid six
+    * times a session). Slice restrictions stay exact: a doc's
+    * signature depends only on its own shingles, so
+    * pairs(slice) = pairs(full) restricted to both endpoints in the
+    * slice. Bench cost is visible as the `_build_band_pairs` entry. */
+  private val minhashPairsCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), String]
+
+  private[operators] def minhashPairs(t: Tables): DataFrame = {
+    // .synchronized like the ER pair stage: two cold consumers racing
+    // the same staged overwrite-write would tear the directory
+    val path = minhashPairsCache.synchronized {
+      minhashPairsCache.getOrElseUpdate(
+        (graft.sources.SourceOps.sessionTag(t.spark), t.dir), {
+          val p = graft.sources.SourceOps.staging(
+            s"dedup_pairs_${graft.sources.SourceOps.dirTag(t.dir)}")
+          val bands = minhashBands(shingleSet(t))
+          bands.as("a")
+            .join(bands.as("b"),
+              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_id_1"),
+              col("b.doc_id").as("doc_id_2"))
+            .distinct()
+            .write.mode("overwrite").parquet(p)
+          bands.unpersist()
+          p
+        })
+    }
+    t.spark.read.parquet(path)
+  }
+
+  /** Force the staged pair set for the bench's explicit state-build
+    * step (`_build_band_pairs` sorts ahead of every consumer). */
+  private[graft] def prebuildMinhashPairs(t: Tables): Unit = {
+    minhashPairs(t); ()
   }
 
   /** D4 — SimHash near-dup pairs (32-bit, hamming ≤ 3).
@@ -643,7 +690,7 @@ object Dedup {
     * propagation for comparison. */
   private[graft] def dedupClustersWithIters(t: Tables, maxIters: Int = 50,
       pathHalving: Boolean = true): (DataFrame, Int) = {
-    val pairs = minhashPairsFrom(shingleSet(t))
+    val pairs = minhashPairs(t)
     val edges = pairs
       .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
       .union(pairs.select(col("doc_id_2").as("src"), col("doc_id_1").as("dst")))
@@ -670,15 +717,24 @@ object Dedup {
 
   /** Edge-count ceiling for the adaptive driver-local CC fallback:
     * below it the whole component structure fits comfortably on the
-    * driver (250k edges ≈ tens of MB with map overhead), and a
-    * union-find beats paying per-round distributed-job latency on a
-    * tiny graph — the same "broadcast the small side" decision AQE
-    * makes for joins, applied to iteration (GraphFrames' CC makes the
-    * same call). Match graphs are usually MUCH smaller than their
+    * driver, and a union-find beats paying per-round distributed-job
+    * latency on a small graph — the same "broadcast the small side"
+    * decision AQE makes for joins, applied to iteration (GraphFrames'
+    * CC makes the same call). Sizing: 1M edges collect as an
+    * Array[(Long, Long)] (~50 MB) plus a ≤2M-entry parent map
+    * (~150 MB boxed) — comfortably inside any driver sized for
+    * Spark work (the default 8g heap here; a production driver is
+    * larger), and an O(E·α) single-threaded pass at 1M edges is
+    * milliseconds next to even ONE distributed round's stage
+    * latency. Match graphs are usually MUCH smaller than their
     * corpora (only near-dup/matched nodes appear), so small-corpus
-    * runs and incremental merge graphs take this path, while a 100 TB
-    * first-build's giant pair graph keeps the distributed loop. */
-  private[graft] val LocalCcMaxEdges: Long = 250000L
+    * runs and incremental merge graphs take this path, while a
+    * 100 TB first-build's giant pair graph keeps the distributed
+    * loop (exercised by the localMaxEdges=0 specs). r18: raised from
+    * 250k — the sf0.1 ER match graph (415k edges, 5 MB of longs) was
+    * paying a ~70-stage distributed loop on a graph the driver
+    * resolves in well under a second. */
+  private[graft] val LocalCcMaxEdges: Long = 1000000L
 
   /** Driver union-find over a collected edge list, min-root union so
     * every root is its component's MINIMUM node id — exactly the
@@ -785,15 +841,18 @@ object Dedup {
     try {
       var prevSum = labelSum(labels)
       while (!converged && iter < maxIters) {
-        val nbrMin = edges.as("e")
-          .join(labels.as("l"), col("e.src") === col("l.doc_id"))
-          .groupBy(col("e.dst").as("doc_id"))
-          .agg(min(col("l.cluster_id")).as("nbr_min"))
-        val prop = labels.as("l")
-          .join(nbrMin.as("n"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("l.cluster_id"), coalesce(col("n.nbr_min"), col("l.cluster_id")))
-              .as("cluster_id"))
+        // neighbor-min merge as ONE keyed min-agg (the r17 BFS
+        // discipline): every node's own label and its neighbors'
+        // labels union into one groupBy(doc_id).min — labels has
+        // exactly one row per node and every edge dst is a node, so
+        // min(own ∪ neighbor labels) ≡ the old least(own,
+        // left-joined nbr_min) row for row, without the second
+        // keyed join (and its exchange) per round
+        val prop = labels.unionAll(edges.as("e")
+            .join(labels.as("l"), col("e.src") === col("l.doc_id"))
+            .select(col("e.dst").as("doc_id"), col("l.cluster_id")))
+          .groupBy(col("doc_id"))
+          .agg(min(col("cluster_id")).as("cluster_id"))
         val halve = iter + 1 >= halveFrom
         val nextPlan = if (!halve) prop else {
           prop.persist()
@@ -865,18 +924,21 @@ object Dedup {
       ccStateCache.getOrElseUpdate(
         (SourceOps.sessionTag(t.spark), t.dir, splitId), {
           val tag = s"${SourceOps.runId}_${SourceOps.dirTag(t.dir)}_$splitId"
+          // single consumer now (the bucketed write) — no need to
+          // materialize the band cache
           val bands = minhashBands(
-            shingleSetOf(t.documents.filter(col("doc_id") < splitId)))
+            shingleSetOf(t.documents.filter(col("doc_id") < splitId)),
+            materialize = false)
           val bandTable = s"graft_cc_bands_$tag"
           Sources.writeBucketed(bands, bandTable, Seq("band", "bh"), nBuckets = 8,
             sortCols = Seq("band", "bh"),
             path = Some(SourceOps.staging(s"cc_bands_$tag")))
-          val pairs = bands.as("a")
-            .join(bands.as("b"),
-              col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-                col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-            .distinct()
+          // history pairs = the staged full pair set restricted to
+          // both endpoints < split (exact: signatures are per-doc;
+          // doc_id_1 < doc_id_2, so both < split ⇔ doc_id_2 < split)
+          // — the band self-join never re-runs over history
+          val pairs = minhashPairs(t).filter(col("doc_id_2") < splitId)
+            .select(col("doc_id_1").as("src"), col("doc_id_2").as("dst"))
           val edges = pairs
             .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
             .persist()
@@ -887,7 +949,6 @@ object Dedup {
           Sources.writeBucketed(labels, labelTable, Seq("doc_id"), nBuckets = 8,
             sortCols = Seq("doc_id"),
             path = Some(SourceOps.staging(s"cc_labels_$tag")))
-          bands.unpersist()
           (bandTable, labelTable)
         })
     }
@@ -1057,13 +1118,9 @@ object Dedup {
     sh.count()
     val sig = minhashSignatures(sh).persist()
     sig.count()
-    val bands = bandsFromSignatures(sig)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id_1"), col("b.doc_id").as("doc_id_2"))
-      .distinct()
+    // the candidate set IS the staged production pair table (same
+    // 4×4 band config) — no need to re-run the band self-join here
+    val cand = minhashPairs(t)
     val agree = (0 until 16)
       .map(s => when(col(s"a.h$s") === col(s"b.h$s"), 1L).otherwise(0L))
       .reduce(_ + _)

@@ -1939,29 +1939,31 @@ object EventAnalytics {
     * pair per user). */
   private[graft] def survivalFromUsers(users: DataFrame): DataFrame = {
     val spark = users.sparkSession
-    val maxDayRow = users.agg(max(col("last"))).first()
-    if (maxDayRow.isNullAt(0)) { // empty slice: no cohort, empty table
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Long, Long, Long)]
-        .toDF("t_days", "n_at_risk", "n_churned", "n_censored",
-          "survival_micro")
-    }
-    val maxDay = maxDayRow.getLong(0)
-    val life = users.select(
-      when(col("last") < maxDay, col("last") - col("first"))
-        .otherwise(lit(maxDay) - col("first")).as("t"),
-      (col("last") < maxDay).cast("int").as("churn"))
+    // the censoring horizon rides along as a broadcast one-row agg
+    // (the minSup convention) instead of a construction-time
+    // `.first()`, and the risk set is the SUFFIX sum of exits
+    // (every user exits exactly once, so Σ_{t'≥t} exits ≡
+    // total − exits-before-t) instead of `total − prefix`, which
+    // needed a second construction-time action (`life.count()`):
+    // the whole life table is now ONE job — the final collect.
+    // An empty cohort flows through as zero rows (empty ⨯ agg-row
+    // is empty), collapsing the old explicit empty-return branch.
+    val life = users
+      .crossJoin(broadcast(users.agg(max(col("last")).as("max_day"))))
+      .select(
+        when(col("last") < col("max_day"), col("last") - col("first"))
+          .otherwise(col("max_day") - col("first")).as("t"),
+        (col("last") < col("max_day")).cast("int").as("churn"))
     val byT = life.groupBy(col("t"))
       .agg(sum(col("churn")).cast("long").as("n_churned"),
         sum(lit(1) - col("churn")).cast("long").as("n_censored"))
-    val total = life.count()
-    val wPrev = Window.orderBy(asc("t"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // risk set = all users minus those who exited strictly earlier —
-    // a prefix window over the DISTINCT-lifetime table (≤ day span)
+    // risk set = users still alive at t = everyone exiting at or
+    // after t — a suffix window over the DISTINCT-lifetime table
+    // (≤ day span, bounded at any event volume)
+    val wSuffix = Window.orderBy(asc("t"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val table = byT.withColumn("n_at_risk",
-      lit(total) - coalesce(
-        sum(col("n_churned") + col("n_censored")).over(wPrev), lit(0L)))
+        sum(col("n_churned") + col("n_censored")).over(wSuffix))
       .select(col("t").as("t_days"), col("n_at_risk"),
         col("n_churned"), col("n_censored"))
       .orderBy(col("t_days"))
@@ -2215,20 +2217,24 @@ object EventAnalytics {
     * triangles this completes the graph-primitive set: reachability
     * WITH distances, which none of the others expose.
     *
-    * Shape: textbook frontier BFS — the Pregel/GraphX pattern
-    * expressed in DataFrames. Each level is ONE keyed equi-join of
-    * the current frontier against the symmetric edge list plus an
-    * anti-join against the settled set; a node therefore enters the
-    * result at exactly its minimum distance and is never re-expanded,
-    * so total work is O(Σ_level |frontier|·avg-degree) — edges touched
-    * at most once per direction over the whole run, never |V|·|E|.
-    * `maxDist` bounds the rounds (the analytics question is "within k
-    * hops"; unbounded BFS on a 100 TB graph is a different product).
-    * The edge list builds once behind the same hyperactive-user cap
+    * Shape: frontier BFS as ONE keyed min-agg per level — the Pregel
+    * pattern expressed in DataFrames. Each level joins the current
+    * frontier against the symmetric edge list and folds the
+    * expansions into the settled table via `min(dist)` over
+    * settled ∪ expansions: settled items keep their smaller d,
+    * first-reached items surface at exactly d (their minimum
+    * distance — no anti-join needed), and the next frontier is just
+    * the rows that settled this round. A node is expanded only at
+    * the level it settles, so total work is
+    * O(Σ_level |frontier|·avg-degree) — edges touched at most once
+    * per direction over the whole run, never |V|·|E|. `maxDist`
+    * bounds the rounds (the analytics question is "within k hops";
+    * unbounded BFS on a 100 TB graph is a different product). The
+    * edge list builds once behind the same hyperactive-user cap
     * as every other graph query ([[cappedUserItems]]) and persists
-    * for the ≤ maxDist probes; frontiers materialize per level so the
-    * anti-join reads a computed set, not a growing lineage. The
-    * DuckDB oracle replays the walk as a recursive CTE with min-dist
+    * for the ≤ maxDist probes; the merged settled table
+    * localCheckpoints per level so lineage stays flat. The DuckDB
+    * oracle replays the walk as a recursive CTE with min-dist
     * semantics — same seeds, same edges, same cut.
     *
     * Edges carry a SIGNIFICANCE FLOOR: a pair must co-occur in at
@@ -2309,10 +2315,14 @@ object EventAnalytics {
     * of the IMPROVED frontier against the symmetric weighted edge
     * list, a budget cut, and a min-merge into the settled
     * distances; a node re-expands only when its distance improves,
-    * so total work is O(Σ rounds |improved|·avg-degree). Per-round
-    * frontiers `localCheckpoint` — the BFS lineage discipline
-    * ([[eventsShortestPaths]]); the same significance-floored edge
-    * build backs both walks. The DuckDB oracle replays the walk as
+    * so total work is O(Σ rounds |improved|·avg-degree). The merged
+    * min-dist table `localCheckpoint`s per round — the BFS lineage
+    * discipline ([[eventsShortestPaths]]) — and the improved
+    * frontier is a lazy filter over it (settled rows carry
+    * `old` = their pre-round dist, candidates a NULL `old`; the
+    * null-skipping `min(old)` recovers the pre-round distance, so
+    * improvement is a map-side `dist < old` test); the same
+    * significance-floored edge build backs both walks. The DuckDB oracle replays the walk as
     * a recursive CTE over the identical weighted edges with
     * min-dist semantics and the same budget cut (UNION-deduped, so
     * the enumeration converges on (item, dist) pairs). */

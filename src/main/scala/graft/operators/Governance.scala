@@ -221,11 +221,19 @@ object Governance {
   def erFuzzyPairs(t: Tables): DataFrame = {
     val c = t.customer.select(col("c_custkey").cast("long").as("id"),
       col("c_name").as("name"))
+    // the join key is the 64-bit HASH of the deletion variant, not
+    // the variant string (§2.3: shuffle narrow keys — the variants
+    // are name-length strings, ~3× the bytes of the hash, and the
+    // equi-join only needs "same variant", not its text). A hash
+    // collision can only ADD a candidate pair, never drop one, and
+    // the exact Levenshtein verify below already removes every
+    // false candidate — output provably unchanged.
     val vars = c.withColumn("v", explode(array_union(array(col("name")),
       expr("transform(sequence(1, length(name)), i -> " +
         "concat(substring(name, 1, i-1), substring(name, i+1, length(name))))"))))
+      .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
     vars.as("a")
-      .join(vars.as("b"), col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .join(vars.as("b"), col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.name").as("a_name"), col("b.name").as("b_name"))
       // verify FIRST (map-side, banded DP via the threshold form that
@@ -422,19 +430,28 @@ object Governance {
       .union(matches.select(col("key_2").as("src"), col("key_1").as("dst")))
       .persist()
     edges.count() // eager: every CC round joins this frame
-    val (ccLabels, _) =
+    val (ccLabels, ccIters) =
       try Dedup.connectedComponents(edges)
       finally edges.unpersist()
-    // the entity assignment is a persisted artifact in production (the
-    // master-data crosswalk table); writing it out here doubles as the
-    // deterministic release point for the CC rounds' checkpoint blocks,
-    // which live outside the CacheManager and would otherwise linger
-    // until ContextCleaner GC (see Dedup.releaseLabels)
-    val labelPath = graft.sources.SourceOps.staging(
-      s"er_labels_${graft.sources.SourceOps.dirTag(t.dir)}")
-    ccLabels.write.mode("overwrite").parquet(labelPath)
-    Dedup.releaseLabels(ccLabels)
-    goldenOf(t.part, t.spark.read.parquet(labelPath))
+    if (ccIters == 0) {
+      // adaptive driver-local CC path (small match graph): the labels
+      // are a LocalRelation — no checkpoint blocks to release and
+      // nothing to gain from a parquet roundtrip; feed the rollup
+      // directly (two fewer jobs per call)
+      goldenOf(t.part, ccLabels)
+    } else {
+      // distributed path: the entity assignment is a persisted
+      // artifact in production (the master-data crosswalk table);
+      // writing it out here doubles as the deterministic release
+      // point for the CC rounds' checkpoint blocks, which live
+      // outside the CacheManager and would otherwise linger until
+      // ContextCleaner GC (see Dedup.releaseLabels)
+      val labelPath = graft.sources.SourceOps.staging(
+        s"er_labels_${graft.sources.SourceOps.dirTag(t.dir)}")
+      ccLabels.write.mode("overwrite").parquet(labelPath)
+      Dedup.releaseLabels(ccLabels)
+      goldenOf(t.part, t.spark.read.parquet(labelPath))
+    }
   }
 
   /** Golden-record rollup shared by the batch resolve and the

@@ -1046,14 +1046,22 @@ object Similarity {
     val mLit = typedlit((0 until dims).map(i => means.getOrElse(i, 0.0)))
     val centered = corpus.select(
       transform(col("emb"), (x, i) => x - element_at(mLit, i + 1)).as("ce"))
+    // the matrix is symmetric and IEEE multiply is commutative, so
+    // the (j, i) cell's per-row quantized product is bit-identical to
+    // (i, j)'s: emit only the upper triangle (i ≤ j) — half the
+    // explode fan-out and half the partial-agg rows — and mirror the
+    // collected means driver-side (§2.3: shuffle fewer bytes)
     val cells = centered
       .select(explode(flatten(transform(col("ce"), (xi, i) =>
-        transform(col("ce"), (xj, j) =>
-          struct(i.as("i"), j.as("j"), (xi * xj).as("p")))))).as("s"))
+        transform(slice(col("ce"), i + 1, lit(dims) - i), (xj, jj) =>
+          struct(i.as("i"), (i + jj).as("j"), (xi * xj).as("p")))))).as("s"))
       .select(col("s.i").as("i"), col("s.j").as("j"), col("s.p").as("p"))
-    Some((means, cells.groupBy(col("i"), col("j"))
+    val upper = cells.groupBy(col("i"), col("j"))
       .agg(ExactAgg.exactMean(col("p"), 6).as("cv"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2)))
+    Some((means, upper.flatMap { case ((i, j), v) =>
+      if (i == j) Seq((i, j) -> v) else Seq((i, j) -> v, (j, i) -> v)
+    }.toMap))
   }
 
   private def rnd6(x: Double): Double =
@@ -1677,7 +1685,13 @@ object Similarity {
       (0, _ => lit(false)),
       (50, v => v % 10 === 0), // the even half of the %5 increment
       (100, _ => lit(true)))
-    val rows = shares.map { case (pct, subset) =>
+    // all three shares fold into ONE action (a tagged union + one
+    // keyed count) instead of one `.count()` job per share: the
+    // serve/truth subtrees stay identical per share, but the single
+    // job lets identical exchanges (history-code scan, query
+    // broadcast) be reused across shares and pays job/scheduling
+    // overhead once (§2.4/§1.2 — fewer passes)
+    val hitFrames = shares.map { case (pct, subset) =>
       val index = histCodes.unionByName(
         pqEncode(incrementEmb(t).filter(subset(col("vec_id"))), h.cents, h.books))
       val served = ivfPqServe(t, index, h, nProbe = 4, shortlist = 50)
@@ -1691,8 +1705,13 @@ object Similarity {
           Window.partitionBy(col("q_id")).orderBy(asc("d"), asc("vec_id"))))
         .filter(col("rnk") <= TopK)
         .select(col("q_id"), col("vec_id"))
-      (pct, truth.join(served, Seq("q_id", "vec_id")).count())
+      truth.join(served, Seq("q_id", "vec_id"))
+        .select(lit(pct).as("inc_share_pct"))
     }
+    val counts = hitFrames.reduce(_ unionAll _)
+      .groupBy(col("inc_share_pct")).agg(count(lit(1)).as("n_hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rows = shares.map { case (pct, _) => (pct, counts.getOrElse(pct, 0L)) }
     rows.toDF("inc_share_pct", "n_hits")
       .select(col("inc_share_pct"), col("n_hits"),
         round(col("n_hits") / lit((NumQueries * TopK).toDouble) + lit(1e-9), 4)
@@ -2264,26 +2283,54 @@ object Similarity {
         .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
     }.reduce(_ unionByName _)
       .distinct() // a pair sharing both bands must not occupy 2 rank slots
-    // each round's graph is persisted (mark-only, materializes inside
-    // the final job): round r's plan embeds rounds 0..r−1, and the
-    // per-round union references every round — without the cache the
-    // init + early ranks execute O(rounds²) times (production builds
-    // checkpoint per round for exactly this reason)
-    var g = rank(init).persist()
+    // each round's graph is localCheckpoint'ed (eager): round r's
+    // plan would otherwise EMBED rounds 0..r−1 — five copies of the
+    // previous round per level via undir×undir ∪ g — so plan size
+    // (and Catalyst analysis + CacheManager canonicalization) grows
+    // 5^r with persist() alone, the exact lineage disease the BFS
+    // walks hit in r17 (EventAnalytics). Checkpointing cuts each
+    // round to a LogicalRDD leaf; the graph is already computed, so
+    // nothing is lost (production builds checkpoint per round for
+    // exactly this reason).
+    // localCheckpoint + constraint barrier: the checkpointed
+    // LogicalRDD carries origin constraints that can reference
+    // pre-checkpoint attribute ids, and UnionBase.rewriteConstraints
+    // crashes on them ("key not found") when the frame lands under a
+    // union — rebuilding from the checkpointed RDD + schema keeps the
+    // materialized blocks and drops the stale constraints
+    def ckpt(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint()
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
+    var g = ckpt(rank(init))
     var perRound = g.select(lit(0).as("round"), col("src"), col("dst"))
     for (r <- 1 to rounds) {
-      // no distinct here: a reciprocal edge duplicates a few two-hop
-      // candidate rows, and the candidate set distincts below anyway —
-      // the dedup exchange per round bought nothing
-      val undir = g.unionByName(
-        g.select(col("dst").as("src"), col("src").as("dst")))
-      val cands = undir.as("x")
-        .join(undir.as("y"), col("x.dst") === col("y.src"))
-        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+      // two-hop candidates via the NN-descent LOCAL JOIN (Dong et al.
+      // §2): collect each mid node's undirected neighborhood and emit
+      // N(m)×N(m) — ONE keyed exchange (groupBy mid, fed map-side by
+      // a 2-struct explode that emits both edge directions) instead
+      // of the old self-join's two (undir keyed by dst AND by src are
+      // different subplans, so nothing reuses; no distinct was needed
+      // on undir — reciprocal duplicates die in the distinct below).
+      // Per-mid lists are bounded by 2·graphK by construction, so the
+      // collect+explode never holds more than (2k)² pairs per row —
+      // safe at any corpus size (unlike the init buckets, whose size
+      // scales with the corpus and which therefore keep the streaming
+      // join form above).
+      val cands = g
+        .select(explode(array(
+          struct(col("src").as("mid"), col("dst").as("nbr")),
+          struct(col("dst").as("mid"), col("src").as("nbr")))).as("e"))
+        .groupBy(col("e.mid").as("mid"))
+        .agg(collect_list(col("e.nbr")).as("nbrs"))
+        .select(explode(expr(
+          "flatten(transform(nbrs, a -> transform(nbrs, b -> " +
+            "struct(a AS u, b AS v))))")).as("p"))
+        .select(col("p.u").as("src"), col("p.v").as("dst"))
         .filter(col("src") =!= col("dst"))
         .unionByName(g)
         .distinct()
-      g = rank(cands).persist()
+      g = ckpt(rank(cands))
       perRound = perRound.unionByName(
         g.select(lit(r).as("round"), col("src"), col("dst")))
     }

@@ -1506,13 +1506,23 @@ object TextAnalysis {
     val sess = t.spark
     import sess.implicits._
     val units = regexp_extract_all(col("word"), lit(bpeRegex), lit(0))
-    var syms = t.documents
+    // ONE cached frame: the (word-type, count) rollup — the corpus is
+    // tokenized exactly once. Each round's merge is a LAZY map-only
+    // replace stacked on top of it: round r recomputes replaces
+    // 1..r−1 from cache, which is Σr ≈ 36 string passes over a
+    // METADATA-SCALE type table, versus the old per-round
+    // persist+count that paid a cache-materialization job (and held
+    // a superseded cache copy) every round — 8 fewer jobs, identical
+    // results, and lineage stays a linear single-branch chain (no
+    // 5^r union blowup; plan depth 8 is trivial for Catalyst).
+    val base = t.documents
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n_word"))
       .select(concat(lit(" "), array_join(units, "  "), lit(" ")).as("sym"),
         col("n_word"))
       .persist()
-    syms.count()
+    base.count()
+    var syms: DataFrame = base
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to merges) {
       val best = syms
@@ -1525,15 +1535,12 @@ object TextAnalysis {
         val (pair, n) = (best(0).getString(0), best(0).getLong(1))
         val Array(a, b) = pair.split(" ", 2)
         merged += ((r, pair, a + b, n))
-        val next = syms.select(
+        syms = syms.select(
           replace(col("sym"), lit(s" $a  $b "), lit(s" $a$b ")).as("sym"),
-          col("n_word")).persist()
-        next.count()
-        syms.unpersist()
-        syms = next
+          col("n_word"))
       }
     }
-    syms.unpersist()
+    base.unpersist()
     merged.toSeq.toDF("round", "pair", "merged", "n")
   }
 
@@ -1790,8 +1797,43 @@ object TextAnalysis {
       .join(newTypes, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_toks"),
         coalesce(col("new_types"), lit(0L)).as("new_types"))
-    val perBucket = perDoc
-      .withColumn("bucket", ntile(buckets).over(Window.orderBy(col("doc_id"))))
+    // ntile over doc order WITHOUT a single-partition window (the old
+    // `ntile(b).over(Window.orderBy(doc_id))` pulled one row PER
+    // DOCUMENT through one task — a global sort that dies at 100 TB).
+    // Distributed ranking instead: coarse range cells of the doc-id
+    // axis (each ≤ 2^20 docs), per-cell row_number (partitioned
+    // window, parallel), cell offsets from a prefix sum over the
+    // metadata-scale cell table, then Spark's exact NTILE arithmetic
+    // (first n%b buckets get ⌈n/b⌉ rows, the rest ⌊n/b⌋) applied to
+    // rank = offset + in-cell row_number. Bit-identical bucket
+    // assignment — doc_id is unique in perDoc, so rank is the same
+    // total order ntile saw.
+    val celled = perDoc.withColumn("cell",
+      floor(col("doc_id") / lit(1048576L)))
+    val offsets = celled.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn"))
+      .select(col("cell"),
+        coalesce(sum(col("cn")).over(Window.orderBy(col("cell"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"))
+    val nRow = perDoc.agg(count(lit(1)).as("n_docs"))
+    val sized = lit(buckets.toLong)
+    val ranked = celled
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("doc_id"))))
+      .join(broadcast(offsets), Seq("cell"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("rank", col("off") + col("r"))
+      .withColumn("bbase", expr(s"n_docs DIV ${buckets}L"))
+      .withColumn("brem", col("n_docs") % sized)
+      .withColumn("bucket",
+        // integer DIV keeps the arithmetic exact at any corpus size
+        // (double division could mis-floor next to a bucket boundary)
+        when(col("rank") <= col("brem") * (col("bbase") + 1),
+          expr("(rank - 1) DIV (bbase + 1) + 1"))
+          .otherwise(
+            expr("brem + (rank - brem * (bbase + 1) - 1) DIV bbase + 1"))
+        .cast("int"))
+    val perBucket = ranked
       .groupBy(col("bucket"))
       .agg(sum(col("n_toks")).as("b_toks"), sum(col("new_types")).as("b_types"))
     val cum = perBucket

@@ -205,9 +205,13 @@ object SourceOps {
       val idxPath = staging(s"orders_bloom_idx_${dirTag(t.dir)}")
       val rows = t.spark.read.parquet(dataPath)
         .select(col("_metadata.file_path").as("file"), col("o_orderkey"))
-      (0 until 3).map { j =>
-        rows.select(col("file"), bloomPos(col("o_orderkey"), j).as("pos"))
-      }.reduce(_ unionByName _)
+      // ONE scan and ONE md5 per row (the digest is shared by all 3
+      // probe windows — only the substring offset differs), exploded
+      // into the 3 positions: the unionByName form re-scanned the
+      // laid-out files 3× and hashed every key 3× (§2.3/§6)
+      rows.select(col("file"), explode(array((0 until 3).map(j =>
+          conv(substring(md5(col("o_orderkey").cast("string")),
+            1 + 4 * j, 4), 16, 10).cast("long")): _*)).as("pos"))
         .select(col("file"), expr("pos DIV 64").as("word_idx"),
           expr("shiftleft(1L, cast(pos % 64 AS INT))").as("mask"))
         .groupBy(col("file"), col("word_idx"))
