@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 import graft.Tables
 import graft.functions.ExactAgg
@@ -2247,8 +2248,31 @@ object EventAnalytics {
     * The floor is corpus-relative so the graph stays comparable
     * across SFs; items whose every edge falls below it simply don't
     * appear (disconnected under the significance lens). */
+  /** Driver-local walk results → a DataFrame carrying the distributed
+    * branch's exact schema (native item type, nullable fields),
+    * ordered by item — so the two branches are indistinguishable to
+    * any consumer (pinned by the adaptive-local-walk specs). */
+  private def localPathsDF(spark: org.apache.spark.sql.SparkSession,
+      itemType: org.apache.spark.sql.types.DataType,
+      distType: org.apache.spark.sql.types.DataType,
+      rows: Seq[(Long, Any)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField("item", itemType),
+      StructField("dist", distType)))
+    val data = rows.map { case (i, d) =>
+      Row(itemType match {
+        case LongType => i
+        case _        => i.toInt
+      }, d)
+    }
+    spark.createDataFrame(data.asJava, schema).orderBy(col("item"))
+  }
+
   def eventsShortestPaths(t: Tables, maxItemsPerUser: Int = 64,
-      maxDist: Int = 4): DataFrame = {
+      maxDist: Int = 4,
+      localMaxEdges: Long = Dedup.LocalCcMaxEdges): DataFrame = {
     val items = cappedUserItems(t, maxItemsPerUser).persist()
     val minSup = items.agg(
       greatest(lit(2L), expr("count(DISTINCT user_id) DIV 50")).as("ms"))
@@ -2262,7 +2286,37 @@ object EventAnalytics {
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
       .persist()
-    edges.count()
+    val nEdges = edges.count()
+    // ADAPTIVE LOCAL WALK (the Dedup.LocalCcMaxEdges decision applied
+    // to BFS): a significance-floored co-purchase graph at or below
+    // the ceiling collects to the driver (two longs per edge) and the
+    // ≤ maxDist levels run as a hash-map BFS — identical labelling by
+    // construction, no per-level distributed job latency. The
+    // distributed min-agg loop below is the 100 TB path.
+    if (nEdges <= localMaxEdges) {
+      val sess = t.spark
+      import sess.implicits._
+      val itemType = edges.schema("src").dataType
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      items.unpersist()
+      edges.unpersist()
+      val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val dist = scala.collection.mutable.LongMap.empty[Int]
+      var frontier = adj.keysIterator.filter(_ % 17 == 0).toArray
+      frontier.foreach(dist.update(_, 0))
+      var d = 1
+      while (d <= maxDist && frontier.nonEmpty) {
+        frontier = frontier.flatMap(s => adj.getOrElse(s, Array.empty[Long]))
+          .distinct.filter(n => !dist.contains(n))
+        frontier.foreach(dist.update(_, d))
+        d += 1
+      }
+      // build with the distributed branch's exact schema (native item
+      // type, nullable fields) so the result is indistinguishable
+      return localPathsDF(sess, itemType, IntegerType,
+        dist.toSeq.map { case (i, dd) => (i, dd: Any) })
+    }
     val seeds = edges.select(col("src").as("item")).distinct()
       .filter(col("item") % 17 === 0)
     // localCheckpoint (eager), NOT persist: an iterated persist chain
@@ -2327,7 +2381,8 @@ object EventAnalytics {
     * min-dist semantics and the same budget cut (UNION-deduped, so
     * the enumeration converges on (item, dist) pairs). */
   def eventsWeightedPaths(t: Tables, maxItemsPerUser: Int = 64,
-      budget: Long = 9L): DataFrame = {
+      budget: Long = 9L,
+      localMaxEdges: Long = Dedup.LocalCcMaxEdges): DataFrame = {
     val items = cappedUserItems(t, maxItemsPerUser).persist()
     val minSup = items.agg(
       greatest(lit(2L), expr("count(DISTINCT user_id) DIV 50")).as("ms"))
@@ -2342,7 +2397,49 @@ object EventAnalytics {
     val edges = und.select(col("a").as("src"), col("b").as("dst"), col("cost"))
       .unionAll(und.select(col("b").as("src"), col("a").as("dst"), col("cost")))
       .persist()
-    edges.count()
+    val nEdges = edges.count()
+    // ADAPTIVE LOCAL WALK — the [[eventsShortestPaths]] decision for
+    // the weighted twin: at or below the ceiling the (src, dst, cost)
+    // triples collect to the driver (three longs per edge) and the
+    // bounded Bellman-Ford rounds run as hash-map relaxations with
+    // the same synchronous min-merge semantics (improvements land
+    // after each round, exactly the distributed keyed min-agg). The
+    // distributed loop below is the 100 TB path.
+    if (nEdges <= localMaxEdges) {
+      val sess = t.spark
+      import sess.implicits._
+      val itemType = edges.schema("src").dataType
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"),
+        col("cost").cast("long")).as[(Long, Long, Long)].collect()
+      items.unpersist()
+      edges.unpersist()
+      val adj = es.groupBy(_._1).view
+        .mapValues(_.map(e => (e._2, e._3))).toMap
+      val dist = scala.collection.mutable.LongMap.empty[Long]
+      var frontier = adj.keysIterator.filter(_ % 17 == 0).toArray
+      frontier.foreach(dist.update(_, 0L))
+      val rounds = (budget / 2L).toInt
+      var r = 0
+      while (r < rounds && frontier.nonEmpty) {
+        val improved = scala.collection.mutable.LongMap.empty[Long]
+        frontier.foreach { s =>
+          val d0 = dist(s)
+          adj.getOrElse(s, Array.empty[(Long, Long)]).foreach { case (n, c) =>
+            val nd = d0 + c
+            if (nd <= budget && nd < dist.getOrElse(n, Long.MaxValue) &&
+                nd < improved.getOrElse(n, Long.MaxValue))
+              improved.update(n, nd)
+          }
+        }
+        improved.foreach { case (n, nd) => dist.update(n, nd) }
+        frontier = improved.keysIterator.toArray
+        r += 1
+      }
+      // build with the distributed branch's exact schema (native item
+      // type, nullable fields) so the result is indistinguishable
+      return localPathsDF(sess, itemType, LongType,
+        dist.toSeq.map { case (i, dd) => (i, dd: Any) })
+    }
     val seeds = edges.select(col("src").as("item")).distinct()
       .filter(col("item") % 17 === 0)
     var dist = seeds.select(col("item"), lit(0L).as("dist")).localCheckpoint()

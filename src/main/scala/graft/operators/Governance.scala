@@ -219,8 +219,14 @@ object Governance {
     * matches shuffle; the oracle's plain all-pairs DP is exact on
     * the same ASCII and agrees on every surviving distance. */
   def erFuzzyPairs(t: Tables): DataFrame = {
+    // repartition straight off the scan (the dedupSpans small-file
+    // rule, §2.5 input skew): the register is one parquet file, so
+    // without this the broadcast self-join — and the whole Levenshtein
+    // verify fan-out — runs inside a 1-task scan stage, serializing
+    // seconds of per-candidate CPU on one core
     val c = t.customer.select(col("c_custkey").cast("long").as("id"),
       col("c_name").as("name"))
+      .repartition(t.spark.sparkContext.defaultParallelism)
     // the join key is the 64-bit HASH of the deletion variant, not
     // the variant string (§2.3: shuffle narrow keys — the variants
     // are name-length strings, ~3× the bytes of the hash, and the

@@ -599,11 +599,12 @@ object Similarity {
       kmeansCentroidsOf(corpusEmb(t), k, nIters))
 
   private[operators] def kmeansCentroidsOf(trainSet: DataFrame, k: Int,
-      nIters: Int): Seq[(Int, Seq[Double])] = {
+      nIters: Int,
+      initCents: Option[Seq[(Int, Seq[Double])]] = None): Seq[(Int, Seq[Double])] = {
     // staging cache: the loop scans the corpus once per iteration
     val corpus = trainSet.persist()
     try {
-      var cents = centroidSeqOf(corpus, k)
+      var cents = initCents.getOrElse(centroidSeqOf(corpus, k))
       var it = 1
       var converged = false
       while (it < nIters && !converged) {
@@ -1186,7 +1187,8 @@ object Similarity {
     pqCodebooksOf(corpusEmb(t), m, nCents, subDims, nIters)
 
   private[operators] def pqCodebooksOf(trainSet: DataFrame, m: Int, nCents: Int,
-      subDims: Int, nIters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+      subDims: Int, nIters: Int,
+      initCents: Option[Seq[(Int, Seq[Double])]] = None): Seq[Seq[(Int, Seq[Double])]] = {
     import graft.functions.VectorFunctions.l2SqDistance
     val corpus = trainSet
       .select(col("vec_id") +:
@@ -1194,7 +1196,10 @@ object Similarity {
       .persist()
     try {
       var books: Seq[Seq[(Int, Seq[Double])]] = {
-        val cs = centroidSeqOf(trainSet, nCents)
+        // init = the deterministic first-K seed; callers that already
+        // collected it (the index builds run kmeans over the same
+        // trainSet first) pass it in and skip the duplicate job
+        val cs = initCents.getOrElse(centroidSeqOf(trainSet, nCents))
         (0 until m).map(j => cs.map { case (cid, cv) =>
           cid -> cv.slice(j * subDims, (j + 1) * subDims) })
       }
@@ -1499,8 +1504,14 @@ object Similarity {
         (graft.sources.SourceOps.sessionTag(t.spark), t.dir), {
           import graft.sources.{SourceOps, Sources}
           val hist = historyEmb(t)
-          val cents = kmeansCentroidsOf(hist, PqCells, nIters = 4)
-          val books = pqCodebooksOf(hist, PqM, PqCells, PqSubDims, nIters = 3)
+          // ONE deterministic first-K seed collect feeds both the
+          // coarse k-means init and the codebook init (identical by
+          // definition — both are centroidSeqOf over the same slice)
+          val seed = centroidSeqOf(hist, PqCells)
+          val cents = kmeansCentroidsOf(hist, PqCells, nIters = 4,
+            initCents = Some(seed))
+          val books = pqCodebooksOf(hist, PqM, PqCells, PqSubDims,
+            nIters = 3, initCents = Some(seed))
           val dirTag = graft.sources.SourceOps.dirTag(t.dir)
           val histTable = s"graft_pq_hist_index_${SourceOps.runId}_$dirTag"
           Sources.writeBucketed(pqEncode(hist, cents, books), histTable,

@@ -872,4 +872,22 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(got.values.exists(_ >= 4L), s"${got.values.toSeq.distinct.sorted}")
   }
 
+  test("events_shortest_paths adaptive local walk equals the " +
+      "forced-distributed loop (rows AND schema)") {
+    val local = EventAnalytics.eventsShortestPaths(tables)
+    val dist = EventAnalytics.eventsShortestPaths(tables, localMaxEdges = 0L)
+    assert(local.schema == dist.schema,
+      s"schema drift: ${local.schema} vs ${dist.schema}")
+    assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty)
+  }
+
+  test("events_weighted_paths adaptive local walk equals the " +
+      "forced-distributed loop (rows AND schema)") {
+    val local = EventAnalytics.eventsWeightedPaths(tables)
+    val dist = EventAnalytics.eventsWeightedPaths(tables, localMaxEdges = 0L)
+    assert(local.schema == dist.schema,
+      s"schema drift: ${local.schema} vs ${dist.schema}")
+    assert(local.exceptAll(dist).isEmpty && dist.exceptAll(local).isEmpty)
+  }
+
 }
