@@ -567,15 +567,28 @@ object Dedup {
     * 32-char hashes do.
     */
   def dedupCrossSource(t: Tables, k: Int = 10): DataFrame = {
-    val wins = t.documents
+    // one wh-keyed aggregation instead of distinct + wh-keyed
+    // self-join (§2.3/§2.4): collect_set dedupes (wh, source)
+    // map-side, so the 32-char md5 key crosses the wire ONCE (was:
+    // the distinct exchange, then both self-join sides), and the
+    // source pairs explode map-side from the per-wh source set —
+    // bounded by the SOURCE count, metadata-scale at any corpus
+    // size. sort_array makes pair order (a < b) identical to the
+    // join's `a.source < b.source` cut.
+    val srcSets = t.documents
       .select(col("source"),
         explode(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), k))
           .as("w"))
       .select(col("source"), md5(col("w")).as("wh"))
-      .distinct()
-    wins.as("a").join(wins.as("b"),
-        col("a.wh") === col("b.wh") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .groupBy(col("wh"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+    srcSets
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+          b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 

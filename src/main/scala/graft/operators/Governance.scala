@@ -263,7 +263,12 @@ object Governance {
       struct(lit(1).as("fam"), floor((size - 2) / 4).cast("long").as("w")))
 
   def erReviewQueue(t: Tables): DataFrame = {
+    // repartition off the single-file scan (the erFuzzyPairs rule,
+    // §2.5 input skew): all four blocked self-joins broadcast, so
+    // without this the whole pair fan-out runs inside the scan's
+    // handful of tasks (measured: 10 tasks carrying ~5 s of CPU)
     val p = erProj(t.part)
+      .repartition(t.spark.sparkContext.defaultParallelism)
     // the exactly-2 score test rides INSIDE each block join as a
     // residual condition: a kept pair needs one more agreement beyond
     // its block keys, and evaluating the full test at the join cuts

@@ -2111,10 +2111,50 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id")).persist()
     val nTruth = truth.count()
-    val served = beams.map { b =>
-      annGraphTopK(t, k, beam = b)
-        .select(lit(b).as("beam"), col("q_id"), col("vec_id"))
-    }.reduce(_ unionByName _)
+    // ONE multi-beam walk replaces the previous one-[[annGraphTopK]]-
+    // per-beam-width evaluation (§2.4 — share exchanges): the frame
+    // carries a `beam` column and every window partitions by
+    // (beam, q_id), so each beam's slice evolves EXACTLY as its
+    // standalone walk (restriction to one beam commutes with the
+    // joins/unions/distinct, and the per-round cut reads the row's own
+    // beam) while the seed scoring, the edge expansions and the
+    // per-round rankings each run once instead of |beams| times.
+    // The seed ranking is beam-independent (same ordering), so it is
+    // computed once and the per-beam seed cut is a rank filter.
+    val sess = t.spark
+    import sess.implicits._
+    val graphK = 8
+    val byVec = nodes.select(col("vec_id"), col("emb"))
+    val knn = knnGraphEdges(t, graphK)
+    val beamsDF = broadcast(beams.toDF("beam"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(byVec, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("beam"), col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+    def cut(scored: DataFrame, limit: Column): DataFrame = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("beam"), col("q_id"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= limit)
+      .select(col("beam"), col("q_id"), col("vec_id"))
+    def expand(bm: DataFrame): DataFrame = bm
+      .join(knn, bm("vec_id") === knn("src"))
+      .select(col("beam"), col("q_id"), col("dst").as("vec_id"))
+      .unionByName(bm.select(col("beam"), col("q_id"), col("vec_id")))
+      .distinct()
+    val entries = knnGraphEntries(t, graphK).select(col("vec_id"))
+    val seedRank = queries.select(col("q_id")).crossJoin(broadcast(entries))
+      .join(byVec, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))))
+    val b0 = seedRank.crossJoin(beamsDF).filter(col("rnk") <= col("beam"))
+      .select(col("beam"), col("q_id"), col("vec_id"))
+    val b1 = cut(score(expand(b0)), col("beam"))
+    val served = cut(score(expand(b1)), lit(k))
     val out = served.join(truth, Seq("q_id", "vec_id"))
       .groupBy(col("beam"))
       .agg(count(lit(1)).as("n_hits"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -473,6 +474,35 @@ class EmbeddingMiningSpec extends SparkSpec {
       assert(hits <= 50)
       assert(math.abs(rec - hits / 50.0) < 1e-3)
     }
+  }
+
+  test("ann_graph_recall_eval fused multi-beam walk equals per-beam " +
+      "annGraphTopK recounts") {
+    // independent recount: run the standalone serving walk once per
+    // beam width and intersect with the same brute-force truth the
+    // eval uses — the fused (beam-column) walk must reproduce it
+    val e = tables.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"))
+    val truth = e.filter(col("vec_id") >= 10 && col("vec_id") % 4 === 0)
+      .join(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions
+          .cosineSimilarity(col("q_emb"), col("emb")), 4).as("cos_sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(desc("cos_sim"), asc("vec_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val want = Seq(4, 8, 16).map { b =>
+      b -> Similarity.annGraphTopK(tables, k = 5, beam = b)
+        .select(col("q_id"), col("vec_id"))
+        .join(truth, Seq("q_id", "vec_id")).count()
+    }.toMap
+    val got = Similarity.annGraphRecallEval(tables).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == want, s"fused walk drift: $got vs $want")
   }
 
   test("ann_nndescent_build: recall strictly improves per round, never trapped") {
